@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers over the driver's testdata layout (`TESTDATA.md`): one parquet
+  * file per table under a scale-factor directory (`sf0.001`, `sf0.01`, …).
+  *
+  * Scale stance: these are plain columnar scans — at 100 TB the same code
+  * reads a partitioned parquet lake; filters/projections placed on top of
+  * these readers reach the scan via Catalyst pushdown (verified in
+  * `PlanSpec`), so nothing here caches or collects.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark has no native
+    * type for (PARQUET_TYPE_ILLEGAL). We read it as long nanos-since-epoch
+    * (legacy conf) and truncate to microsecond TimestampType — the same
+    * truncation DuckDB applies on `CAST(ts AS TIMESTAMP)`, which every
+    * oracle query does before deriving from ts.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** UDAF surface (SURVEY §2B `q_udaf_custom`): exact weighted mean
+  * `sum(x*w)/sum(w)` as a typed `Aggregator`, registered with
+  * `functions.udaf`.
+  *
+  * The buffer is two running sums, so partial aggregates merge
+  * associatively — Spark plans it as partial + final HashAggregate with
+  * map-side combine, which is what keeps the shuffle narrow at scale.
+  */
+object WeightedAvg extends Aggregator[(Double, Double), (Double, Double), Double] {
+  override def zero: (Double, Double) = (0.0, 0.0)
+
+  override def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) =
+    (b._1 + in._1 * in._2, b._2 + in._2)
+
+  override def merge(x: (Double, Double), y: (Double, Double)): (Double, Double) =
+    (x._1 + y._1, x._2 + y._2)
+
+  override def finish(b: (Double, Double)): Double =
+    if (b._2 == 0.0) Double.NaN else b._1 / b._2
+
+  override def bufferEncoder: Encoder[(Double, Double)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine operator exposed to the driver contract: a Spark
+  * implementation plus (when SQL-expressible) a DuckDB oracle query that
+  * must hash-match it on the same parquet inputs.
+  *
+  * Determinism rules (SURVEY §5.2): every query ends in a total ORDER BY
+  * (with tiebreakers), float aggregates are round()ed, timestamps are
+  * formatted to strings at the output edge, and the Spark/SQL column
+  * aliases are identical (the driver sorts columns by name before hashing).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  def all: Seq[Q] =
+    Relational.qs ++ TextOps.qs ++ Dedup.qs ++ Similarity.qs ++
+      Multimodal.qs ++ LogQueries.qs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,570 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.WeightedAvg
+
+/** Relational operator surface (SURVEY §2B): scans, filters, scalar
+  * expressions, every join shape, aggregation, windows, top-k, set ops,
+  * sessionization, tumbling windows, and the UDAF surface.
+  *
+  * Everything here is declarative DataFrame API — Catalyst handles
+  * pushdown/pruning/join selection; AQE handles runtime re-planning.
+  * Scale notes are on each query.
+  */
+object Relational {
+
+  /** Second-precision timestamp → string, identical to DuckDB
+    * strftime(x, '%Y-%m-%d %H:%M:%S'). */
+  private def fmtS(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Microsecond-precision variant (DuckDB '%Y-%m-%d %H:%M:%S.%f'). */
+  private def fmtUs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** DuckDB-side: events.ts is TIMESTAMP_NS; truncate to micros to match
+    * the engine's read path (Tables.events). */
+  private val oracleEvents =
+    "SELECT event_id, user_id, event_type, value, props, CAST(ts AS TIMESTAMP) AS ts FROM events"
+
+  // ---------------------------------------------------------------- scans
+
+  /** Column-pruned scan: only 4 of 11 lineitem columns reach the parquet
+    * reader (ReadSchema pruning — verified in PlanSpec). At 100 TB this is
+    * the difference between reading 4 columns' pages and the whole table. */
+  private val qScanProjection = Q(
+    "q_scan_projection",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+  )
+
+  /** Multi-predicate filter; predicates push to the parquet scan
+    * (PushedFilters). */
+  private val qFilterPredicate = Q(
+    "q_filter_predicate",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 30 && col("l_discount") <= 0.05 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+            FROM lineitem
+            WHERE l_quantity > 30 AND l_discount <= 0.05 AND l_returnflag = 'R'
+            ORDER BY l_orderkey, l_linenumber""")
+  )
+
+  // ------------------------------------------------------------- scalars
+
+  /** Arithmetic scalar surface (ref F-ops analog): TPC-H revenue/charge
+    * expressions, abs/ceil/floor. Whole-stage-codegen'd.
+    *
+    * Per-row double arithmetic is left unrounded on purpose: IEEE ops on
+    * identical operands are bit-deterministic across engines, whereas
+    * round(x, 2) semantics differ exactly on .xx5 boundaries (Spark
+    * rounds the shortest decimal representation HALF_UP; DuckDB scales
+    * the binary value). */
+  private val qScalarMath = Q(
+    "q_scalar_math",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"),
+          abs(col("l_discount") - 0.05).as("disc_dev"),
+          ceil(col("l_quantity")).as("qty_ceil"),
+          floor(col("l_quantity")).as("qty_floor"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS revenue,
+              l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+              abs(l_discount - 0.05) AS disc_dev,
+              CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+              CAST(floor(l_quantity) AS BIGINT) AS qty_floor
+            FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+  )
+
+  /** String scalar surface (ref F2 analog): case, substring, replace,
+    * concat, length, split_part. */
+  private val qScalarString = Q(
+    "q_scalar_string",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          lower(col("p_type")).as("type_lower"),
+          upper(col("p_name")).as("name_upper"),
+          substring(col("p_name"), 1, 5).as("name_prefix"),
+          regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          length(col("p_name")).as("name_len"),
+          expr("split_part(p_name, ' ', 1)").as("first_word"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+              lower(p_type) AS type_lower,
+              upper(p_name) AS name_upper,
+              substring(p_name, 1, 5) AS name_prefix,
+              replace(p_name, ' ', '_') AS name_snake,
+              concat_ws('|', p_brand, p_type) AS brand_type,
+              CAST(length(p_name) AS INT) AS name_len,
+              split_part(p_name, ' ', 1) AS first_word
+            FROM part ORDER BY p_partkey""")
+  )
+
+  /** Timestamp scalar surface (ref F1 analog): parse/format/truncate/
+    * extract on events.ts. */
+  private val qScalarTimestamp = Q(
+    "q_scalar_timestamp",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          fmtS(col("ts")).as("ts_sec"),
+          fmtS(date_trunc("hour", col("ts"))).as("ts_hour"),
+          year(col("ts")).as("y"),
+          month(col("ts")).as("mo"),
+          dayofmonth(col("ts")).as("dom"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("mi"),
+          second(col("ts")).as("sec"))
+        .orderBy(col("event_id")),
+    Some(s"""WITH e AS ($oracleEvents)
+             SELECT event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_sec,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ts_hour,
+               CAST(year(ts) AS INT) AS y,
+               CAST(month(ts) AS INT) AS mo,
+               CAST(day(ts) AS INT) AS dom,
+               CAST(hour(ts) AS INT) AS h,
+               CAST(minute(ts) AS INT) AS mi,
+               CAST(CAST(floor(second(ts)) AS BIGINT) AS INT) AS sec
+             FROM e ORDER BY event_id""")
+  )
+
+  /** Constant + derived enrichment (ref F3 analog: serviceId/type/env). */
+  private val qEnrichLiterals = Q(
+    "q_enrich_literals",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          lit("globaledge_cloudfront").as("type"),
+          lit("prod").as("env"),
+          concat(lit("svc-"), col("c_nationkey").cast("string")).as("serviceId"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+              'globaledge_cloudfront' AS type,
+              'prod' AS env,
+              'svc-' || CAST(c_nationkey AS VARCHAR) AS serviceId
+            FROM customer ORDER BY c_custkey""")
+  )
+
+  /** JSON extraction (ref F4 analog): pull a typed field out of the
+    * events.props JSON string. */
+  private val qJsonExtract = Q(
+    "q_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events ORDER BY event_id""")
+  )
+
+  // --------------------------------------------------------------- joins
+
+  /** Broadcast equi-join: region (5 rows) is an explicit broadcast —
+    * no shuffle of the probe side at any scale. */
+  private val qJoinBroadcast = Q(
+    "q_join_broadcast",
+    (s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey")),
+    Some("""SELECT n_nationkey, n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            ORDER BY n_nationkey""")
+  )
+
+  /** Multi-way join: orders ⋈ customer is a shuffle join on o_custkey at
+    * scale; customer ⋈ nation broadcasts the 25-row dim. AQE picks
+    * SMJ/SHJ per actual sizes. */
+  private val qJoinLarge = Q(
+    "q_join_large",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_orderkey"), col("c_name"), col("n_name"),
+          col("o_totalprice").as("total"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, c_name, n_name, o_totalprice AS total
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY o_orderkey""")
+  )
+
+  /** Left-semi join: customers having at least one order. */
+  private val qJoinSemi = Q(
+    "q_join_semi",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey""")
+  )
+
+  /** Left-anti join: customers with no pending ('P') orders — the
+    * pending subset keeps the anti-join result non-trivial on this data
+    * (every customer has *some* order). */
+  private val qJoinAnti = Q(
+    "q_join_anti",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+            ORDER BY c_custkey""")
+  )
+
+  /** Theta/range join: acctbal band match. The small side (supplier) is
+    * broadcast → BroadcastNestedLoopJoin; the non-equi predicate never
+    * forces a cartesian shuffle. */
+  private val qJoinRange = Q(
+    "q_join_range",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          broadcast(Tables.supplier(s, d)),
+          col("c_acctbal") >= col("s_acctbal") - 100.0 &&
+            col("c_acctbal") <= col("s_acctbal") + 100.0)
+        .select(col("s_suppkey"), col("c_custkey"),
+          (col("c_acctbal") - col("s_acctbal")).as("bal_diff"))
+        .orderBy(col("s_suppkey"), col("c_custkey")),
+    Some("""SELECT s_suppkey, c_custkey, c_acctbal - s_acctbal AS bal_diff
+            FROM customer JOIN supplier
+              ON c_acctbal >= s_acctbal - 100.0 AND c_acctbal <= s_acctbal + 100.0
+            ORDER BY s_suppkey, c_custkey""")
+  )
+
+  /** As-of join: for each purchase event, the most recent click of the
+    * same user at-or-before its timestamp.
+    *
+    * Implementation is the O(n log n) union+running-max trick (NOT a
+    * pairwise range join): tag both streams, sort within user by
+    * (ts, kind), carry max(click_ts) forward. One shuffle on user_id —
+    * this is the plan that survives 100 TB; a join+group-by would
+    * produce O(clicks × purchases) intermediates per user.
+    */
+  private val qJoinAsof = Q(
+    "q_join_asof",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+          lit(0).as("is_p"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(null).cast("timestamp").as("click_ts"),
+          lit(1).as("is_p"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_p"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionAll(purchases)
+        .withColumn("last_click_ts", max(col("click_ts")).over(w))
+        .filter(col("is_p") === 1)
+        .select(col("event_id"), col("user_id"),
+          fmtUs(col("ts")).as("purchase_ts"),
+          fmtUs(col("last_click_ts")).as("last_click_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""WITH e AS ($oracleEvents),
+               p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+               c AS (SELECT * FROM e WHERE event_type = 'click')
+             SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+             FROM p ASOF LEFT JOIN c
+               ON p.user_id = c.user_id AND c.ts <= p.ts
+             ORDER BY p.event_id""")
+  )
+
+  // ---------------------------------------------------------- aggregates
+
+  /** TPC-H Q1 shape: hash aggregate with partial (map-side) combine —
+    * the shuffle carries one row per (flag,status) per partition, not
+    * per input row.
+    *
+    * Money sums run in exact DECIMAL and convert to double at the edge:
+    * the result is then independent of partition/row order (a plain
+    * double sum differs in low bits between any two execution orders,
+    * which no post-hoc round() reliably absorbs). */
+  private val qAggGroupby = Q(
+    "q_agg_groupby",
+    (s, d) => {
+      val qty   = col("l_quantity").cast("decimal(8,2)")
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc  = col("l_discount").cast("decimal(4,2)")
+      val tax   = col("l_tax").cast("decimal(4,2)")
+      val n     = count(lit(1))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qty).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+          sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"),
+          (sum(qty).cast("double") / n).as("avg_qty"),
+          (sum(price).cast("double") / n).as("avg_price"),
+          (sum(disc).cast("double") / n).as("avg_disc"),
+          n.as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+              CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+              CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+              count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  private val qAggDistinct = Q(
+    "q_agg_distinct",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("uniq_cust"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+              count(DISTINCT o_custkey) AS uniq_cust, count(*) AS cnt
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  /** HyperLogLog++ approximate distinct — the 100 TB substitute for exact
+    * distinct (fixed-size sketch per group, no expand). Not exactly
+    * SQL-oracle-able; the driver records a rows-only check. */
+  private val qAggApproxDistinct = Q(
+    "q_agg_approx_distinct",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy(col("event_type")),
+    None
+  )
+
+  /** Rollup (grouping sets) over (event_type, day). */
+  private val qAggRollup = Q(
+    "q_agg_rollup",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("event_type"), col("day"), col("cnt"), col("sum_value"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day")),
+    Some(s"""WITH e AS ($oracleEvents)
+             SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) AS cnt, round(sum(value), 2) AS sum_value
+             FROM e
+             GROUP BY ROLLUP (event_type, day)
+             ORDER BY event_type NULLS FIRST, day NULLS FIRST""")
+  )
+
+  // ------------------------------------------------------------- windows
+
+  /** Ranking window: top-3 orders per customer. Partition-local sort
+    * after one shuffle on the partition key. */
+  private val qWindowRank = Q(
+    "q_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_totalprice").as("total"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, total FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice AS total,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) t
+            WHERE rn <= 3 ORDER BY o_custkey, rn""")
+  )
+
+  /** Analytic window with an explicit frame: 4-row moving average +
+    * lag/lead per user over event time. */
+  private val qWindowFrame = Q(
+    "q_window_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(
+          col("event_id"), col("user_id"), col("value"),
+          round(avg(col("value")).over(w.rowsBetween(-3, 0)), 4).as("mavg4"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""WITH e AS ($oracleEvents)
+             SELECT event_id, user_id, value,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg4,
+               lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+               lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+             FROM e ORDER BY event_id""")
+  )
+
+  /** Global top-k: planner turns orderBy+limit into TakeOrderedAndProject
+    * (per-partition heap + driver merge of k rows — no global sort). */
+  private val qTopk = Q(
+    "q_topk",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+    Some("""SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem
+            ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 100""")
+  )
+
+  // -------------------------------------------------------------- set ops
+
+  /** UNION / INTERSECT / EXCEPT over customer-key sets (open vs finished
+    * orders), tagged into one result. */
+  private val qSetOps = Q(
+    "q_set_ops",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      a.union(b).distinct().select(lit("union").as("op"), col("k"))
+        .unionAll(a.intersect(b).select(lit("intersect").as("op"), col("k")))
+        .unionAll(a.except(b).select(lit("except").as("op"), col("k")))
+        .orderBy(col("op"), col("k"))
+    },
+    Some("""WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+                 b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+            SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+            UNION ALL SELECT 'intersect', k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+            UNION ALL SELECT 'except', k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+            ORDER BY op, k""")
+  )
+
+  // ------------------------------------------------- sessions & windows
+
+  /** Sessionization (30-minute gap rule, batch form): lag → gap flag →
+    * running sum as session id → per-session aggregates. Two window
+    * passes + one aggregate over a single shuffle on user_id. The
+    * streaming form is session_window(ts, "30 minutes") — see
+    * graft.stream. */
+  private val qSessionize = Q(
+    "q_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_sess")).over(wRun))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          fmtUs(min(col("ts"))).as("sess_start"),
+          fmtUs(max(col("ts"))).as("sess_end"),
+          round(sum(col("value")), 2).as("sess_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+    Some(s"""WITH e AS ($oracleEvents),
+               g AS (SELECT *, CASE WHEN lag(ts, 1) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+                     FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+               x AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                     FROM g)
+             SELECT user_id, session_seq, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+               round(sum(value), 2) AS sess_value
+             FROM x GROUP BY user_id, session_seq ORDER BY user_id, session_seq""")
+  )
+
+  /** Tumbling time-window aggregation (batch form of the streaming
+    * `window()` group). */
+  private val qTumblingWindow = Q(
+    "q_tumbling_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(fmtS(col("w.start")).as("hour_ts"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("hour_ts"), col("event_type")),
+    Some(s"""WITH e AS ($oracleEvents)
+             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+               event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+             FROM e GROUP BY 1, 2 ORDER BY hour_ts, event_type""")
+  )
+
+  // ---------------------------------------------------------------- UDAF
+
+  /** UDAF surface: exact weighted mean as a typed Aggregator registered
+    * via functions.udaf — partial-merge friendly (map-side combine). */
+  private val qUdafCustom = Q(
+    "q_udaf_custom",
+    (s, d) => {
+      val wavg = udaf(WeightedAvg)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+              round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  def qs: Seq[Q] = Seq(
+    qScanProjection, qFilterPredicate,
+    qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
+    qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
+    qAggGroupby, qAggDistinct, qAggApproxDistinct, qAggRollup,
+    qWindowRank, qWindowFrame, qTopk, qSetOps,
+    qSessionize, qTumblingWindow, qUdafCustom)
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify via
+sbt, then execute each oracle SQL in DuckDB over the same testdata and
+compare (column names sorted, rows sorted, values stringified).
+
+Usage: python3 tools/diffcheck.py [sfdir] [--only q1,q2]
+"""
+import duckdb, glob, json, math, os, subprocess, sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.001"
+ONLY = None
+for a in sys.argv:
+    if a.startswith("--only="):
+        ONLY = set(a.split("=", 1)[1].split(","))
+OUT = "/tmp/graft_verify_out"
+
+subprocess.run(["rm", "-rf", OUT])
+r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+                   cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+sys.stdout.write("\n".join(l for l in (r.stdout + r.stderr).splitlines()
+                           if "[verify]" in l or "error]" in l.lower()[:8]) + "\n")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def norm(v):
+    if v is None: return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(v)
+    return str(v)
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(row[i]) for i in order) for row in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+fails = 0
+for name in sorted(oracle):
+    if ONLY and name not in ONLY: continue
+    pdir = f"{OUT}/{name}"
+    if not os.path.isdir(pdir):
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        scols, srows = None, None
+        sres = con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
+        scols = [d[0] for d in sres.description]; srows = sres.fetchall()
+        ores = con.execute(oracle[name])
+        ocols = [d[0] for d in ores.description]; orows = ores.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails += 1; continue
+    sc, sr = canon(srows, scols)
+    oc, orr = canon(orows, ocols)
+    if sc != oc:
+        print(f"FAIL {name}: columns spark={sc} oracle={oc}"); fails += 1; continue
+    if len(sr) != len(orr):
+        print(f"FAIL {name}: rows spark={len(sr)} oracle={len(orr)}"); fails += 1; continue
+    if sr != orr:
+        bad = [i for i, (a, b) in enumerate(zip(sr, orr)) if a != b]
+        print(f"FAIL {name}: {len(bad)} differing rows of {len(sr)}; first at {bad[0]}")
+        print(f"  cols   {sc}")
+        print(f"  spark  {sr[bad[0]]}")
+        print(f"  oracle {orr[bad[0]]}")
+        fails += 1; continue
+    print(f"OK   {name} ({len(sr)} rows)")
+
+# queries without oracle: rows-only
+allq = {os.path.basename(p) for p in glob.glob(f"{OUT}/*") if os.path.isdir(p)}
+for name in sorted(allq - set(oracle)):
+    if ONLY and name not in ONLY: continue
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{OUT}/{name}/*.parquet')").fetchone()[0]
+    print(f"{'OK  ' if n > 0 else 'WARN'} {name} (rows-only: {n})")
+
+print(f"\n{fails} failures")
+sys.exit(1 if fails else 0)
