@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support (north star): media payloads are opaque
+  * `binary` columns traveling next to typed metadata; decode /
+  * feature-extract run as batched per-partition transforms.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * DETERMINISTIC FAKE standing in for a real decoder — but the Spark-side
+  * plumbing is real: binary columns in the schema, a typed Dataset
+  * boundary, `mapPartitions` with an explicit micro-batch shape (the
+  * Scala analog of `mapInPandas`: amortize per-batch model/codec setup
+  * across `batchSize` records), and partition-parallel execution with no
+  * driver involvement. Swapping in a real decoder changes only the body
+  * of `decodeBatch`.
+  */
+object MultimodalOps {
+
+  /** A media record: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      doc_id: Long,
+      media: Array[Byte],
+      media_type: String,
+      width: Int,
+      height: Int)
+
+  /** Decoder output: fixed-size feature vector + parsed dimensions. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      features: Array[Float])
+
+  val FeatureDim = 8
+  val BatchSize = 64
+
+  /** ??? REAL DECODER GOES HERE ??? — stub: a real implementation would
+    * hand the batch of payloads to a codec/model (JPEG decode, mel
+    * spectrogram, frame sampler) in one native call. The fake derives a
+    * deterministic FeatureDim-vector from byte statistics so tests have
+    * stable expectations. The *batch* signature is the contract. */
+  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { m =>
+      val feats = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < m.media.length) {
+        feats(i % FeatureDim) += (m.media(i) & 0xff) / 255.0f
+        i += 1
+      }
+      MediaFeatures(m.doc_id, m.media.length, m.width, m.height, feats)
+    }
+
+  /** documents → MediaRecord dataset: text bytes stand in for an image
+    * payload; width/height are deterministic fake header metadata. */
+  def asMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("media"),
+        lit("image/fake").as("media_type"),
+        (pmod(col("n_chars"), lit(640)) + 32).cast("int").as("width"),
+        (pmod(col("n_chars"), lit(480)) + 24).cast("int").as("height"))
+      .as[MediaRecord]
+  }
+
+  /** The batched decode pipeline: partition iterator → micro-batches →
+    * decoder → flat iterator. No shuffle; scales with partition count. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(decodeBatch)
+    }
+  }
+}

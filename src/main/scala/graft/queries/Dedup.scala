@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operator family (north star): exact key-dedup, MinHash
+  * LSH near-dup, SimHash near-dup, and bounded n-gram Jaccard.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs trap —
+  * exact dedup is one hash shuffle on the key; MinHash/SimHash generate
+  * candidates by *bucket join* (band hash / simhash band equality), so
+  * the pair space is only within-bucket; the exact-Jaccard query bounds
+  * its pair set structurally. This is the shape that survives 100 TB.
+  */
+object Dedup {
+
+  /** Tokens → distinct 3-token shingles. Docs shorter than 3 tokens get
+    * an empty set. */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles",
+        when(size(col("toks")) >= 3,
+          array_distinct(expr(
+            "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+          .otherwise(array().cast("array<string>")))
+
+  /** Exact dedup, keep-earliest-representative: row_number over the key
+    * ordered by (ts, event_id). Deterministic, unlike dropDuplicates —
+    * which keeps an arbitrary row and is only suitable when any
+    * representative will do. One shuffle on the dedup key. */
+  private val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                         CAST(ts AS TIMESTAMP) AS ts FROM events),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS rn FROM e)
+            SELECT user_id, event_type, event_id AS first_event_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+            FROM r WHERE rn = 1 ORDER BY user_id, event_type""")
+  )
+
+  /** MinHash + LSH near-duplicate candidates:
+    * shingle → 16 minhashes (xxhash64 seeded by position) → 4 bands of 4
+    * → band-hash bucket join → exact Jaccard verification on candidates.
+    *
+    * The candidate join is on (band, band_hash) — only docs agreeing on
+    * a full band ever meet, so work scales with collision count, not n².
+    * Output: top candidate pairs by verified Jaccard (not SQL-oracle-able
+    * — xxhash64 is engine-specific; driver records rows-only).
+    */
+  private val qMinhashDup = Q(
+    "q_minhash_dup",
+    (s, d) => {
+      val docs = withShingles(Tables.documents(s, d))
+        .filter(size(col("shingles")) > 0)
+        .select(col("doc_id"), col("shingles"))
+      val sig = docs.withColumn("sig",
+        expr("transform(sequence(0, 15), k -> array_min(transform(shingles, sh -> xxhash64(k, sh))))"))
+      val bands = sig.select(col("doc_id"), col("shingles"),
+          explode(expr(
+            "transform(sequence(0, 3), b -> named_struct('band', b, 'bh', xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))"))
+            .as("band"))
+        .select(col("doc_id"), col("shingles"), col("band.band"), col("band.bh"))
+      val l = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      val r = bands.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+      l.join(r, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("jaccard")).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(50)
+    },
+    None
+  )
+
+  /** SimHash near-duplicate candidates: 64-bit simhash from distinct
+    * token hashes (majority vote per bit), candidates = pairs equal on
+    * any of the 4 16-bit bands (Hamming ≤ 3 guarantees a matching band
+    * by pigeonhole at hamming<4 over 4 bands), verified with bit_count.
+    */
+  private val qSimhashDup = Q(
+    "q_simhash_dup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("hs", expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
+        .withColumn("simhash", expr(
+          """aggregate(sequence(0, 63), 0L, (acc, b) ->
+             acc + IF(size(filter(hs, h -> (h >> b) & 1 = 1)) * 2 > size(hs), shiftleft(1L, b), 0L))"""))
+        .select(col("doc_id"), col("simhash"))
+      val bands = docs.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> named_struct('band', b, 'bits', (simhash >> (16*b)) & 65535))")).as("bd"))
+        .select(col("doc_id"), col("simhash"), col("bd.band"), col("bd.bits"))
+      val l = bands.select(col("band"), col("bits"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      val r = bands.select(col("band"), col("bits"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+      l.join(r, Seq("band", "bits")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(expr("sh_a ^ sh_b")).as("hamming"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("hamming")).as("hamming"))
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(50)
+    },
+    None
+  )
+
+  /** Exact n-gram Jaccard over a structurally bounded pair set (same
+    * source, doc_id within 20): each doc joins ≤20 others regardless of
+    * corpus size. Fully SQL-oracle-able: set ops on distinct shingles. */
+  private val qNgramJaccard = Q(
+    "q_ngram_jaccard",
+    (s, d) => {
+      val docs = withShingles(Tables.documents(s, d))
+        .filter(size(col("shingles")) > 0)
+        .select(col("doc_id"), col("source"), col("shingles"))
+      val a = docs.select(col("source"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      val b = docs.select(col("source"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+      a.join(b, Seq("source"))
+        .filter(col("doc_b") > col("doc_a") && col("doc_b") <= col("doc_a") + 20)
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH s AS (
+              SELECT doc_id, source,
+                list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingles
+              FROM documents
+              WHERE len(string_split(text,' ')) >= 3)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              len(list_intersect(a.shingles, b.shingles)) /
+                len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+            FROM s a JOIN s b
+              ON a.source = b.source
+             AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+            ORDER BY doc_a, doc_b""")
+  )
+
+  def qs: Seq[Q] = Seq(qDedupExact, qMinhashDup, qSimhashDup, qNgramJaccard)
+}

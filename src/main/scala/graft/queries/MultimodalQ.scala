@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.MultimodalOps
+
+/** Multimodal query surface (north star): binary-column metadata (exact,
+  * SQL-oracle-able) and the batched decode/feature pipeline (rows-only —
+  * the stub decoder is engine-specific by design). */
+object Multimodal {
+
+  /** Binary payload metadata: byte length + SHA-256 digest of the media
+    * column. DuckDB's sha256(VARCHAR) hashes the UTF-8 bytes — exactly
+    * what Spark's sha2(encode(text,'UTF-8'), 256) sees. */
+  private val qMultimodalMeta = Q(
+    "q_multimodal_meta",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(encode(col("text"), "UTF-8")).as("byte_len"),
+          sha2(encode(col("text"), "UTF-8"), 256).as("sha"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              CAST(octet_length(encode(text)) AS INT) AS byte_len,
+              sha256(text) AS sha
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** The batched per-partition decode pipeline (mapPartitions with
+    * micro-batches — Scala analog of mapInPandas). Feature checksum keeps
+    * the output compact and deterministic. */
+  private val qMultimodalFeatures = Q(
+    "q_multimodal_features",
+    (s, d) => {
+      val feats = MultimodalOps.extractFeatures(MultimodalOps.asMedia(s, d))
+      feats.toDF()
+        .select(
+          col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          round(aggregate(col("features"), lit(0.0), (a, v) => a + v), 3).as("feat_sum"))
+        .orderBy(col("doc_id"))
+    },
+    None
+  )
+
+  def qs: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures)
+}

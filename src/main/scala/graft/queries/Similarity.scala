@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity-search operator family (north star): brute-force cosine
+  * top-k as the exact baseline, random-hyperplane LSH as the scale path,
+  * and bounded cosine near-duplicate pairs.
+  *
+  * Scale design: queries are a small broadcast side crossed against the
+  * partitioned corpus (map-side only, no shuffle of the corpus); the LSH
+  * variant replaces the cross with a bucket equi-join so candidate count
+  * tracks bucket collisions, not corpus size.
+  */
+object Similarity {
+
+  /** embedding (float[]) → double[] once, so all downstream arithmetic is
+    * double-precision and bit-comparable with the DuckDB oracle. */
+  private def embDouble(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+
+  /** cosine(a, b) = dot / sqrt(dot(a,a) * dot(b,b)), each dot a
+    * sequential left fold — mirrors DuckDB list_dot_product exactly. */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  private val oracleDot =
+    "list_dot_product(%s, %s)"
+
+  private def oracleCos(a: String, b: String): String =
+    s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
+
+  private val oracleEmb =
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
+
+  /** Brute-force exact top-5 cosine neighbors for each query vector
+    * (vec_id < 10) over the rest of the corpus. The query side is tiny →
+    * broadcast; the corpus is scanned once, partition-parallel; per-query
+    * top-k via window over rounded cosine (round(6) absorbs last-ulp
+    * engine differences; ties broken by vec_id). */
+  private val qSimilarityBruteforce = Q(
+    "q_similarity_bruteforce",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      val corpus = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("emb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      corpus.crossJoin(broadcast(queries))
+        .withColumn("cos", round(cosine(col("qemb"), col("emb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS ($oracleEmb),
+               q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 10),
+               c AS (SELECT vec_id AS neighbor_id, emb FROM e WHERE vec_id >= 10),
+               x AS (SELECT query_id, neighbor_id,
+                       round(${oracleCos("qemb", "emb")}, 6) AS cos
+                     FROM q CROSS JOIN c),
+               r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank FROM x)
+             SELECT query_id, rank, neighbor_id, cos
+             FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
+  /** Random-hyperplane LSH (the ANN scale path): 4 hash tables × 8
+    * deterministic pseudo-random hyperplanes each (weights derived from
+    * xxhash64(table*8+plane, dim) — no RNG, reproducible across runs).
+    * Sign bits → 8-bit bucket per table; candidates = same-(table,bucket)
+    * pairs, unioned across tables (OR-amplification for recall), then
+    * exact cosine re-rank. Candidate count tracks bucket collisions, not
+    * corpus size. Engine-specific hashing → rows-only check. */
+  private val qSimilarityLsh = Q(
+    "q_similarity_lsh",
+    (s, d) => {
+      val e = embDouble(s, d)
+      // table t, plane p, dim j weight in [-1, 1): (xxhash64(8t+p, j) mod 2001 - 1000) / 1000
+      val bucketed = e.select(col("vec_id"), col("emb"),
+          explode(expr("""transform(sequence(0, 3), t -> named_struct('tbl', t, 'bucket',
+              aggregate(sequence(0, 7), 0L, (acc, p) ->
+                acc + IF(aggregate(sequence(0, size(emb) - 1), 0D,
+                  (dp, j) -> dp + emb[j] * (CAST(pmod(xxhash64(t * 8 + p, j), 2001) AS DOUBLE) - 1000.0) / 1000.0) > 0D,
+                shiftleft(1L, p), 0L))))""")).as("h"))
+        .select(col("vec_id"), col("emb"), col("h.tbl"), col("h.bucket"))
+      val l = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("query_id"), col("emb").as("qemb"))
+        .filter(col("query_id") < 10)
+      val r = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("neighbor_id"), col("emb"))
+        .filter(col("neighbor_id") >= 10)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      l.join(r, Seq("tbl", "bucket"))
+        .select(col("query_id"), col("qemb"), col("neighbor_id"), col("emb"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .withColumn("cos", round(cosine(col("qemb"), col("emb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None
+  )
+
+  /** Embedding-cosine near-duplicate pairs over a structurally bounded
+    * pair set (vec_id within 10): exact, SQL-oracle-able. */
+  private val qEmbedCosineDup = Q(
+    "q_embed_cosine_dup",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+      a.join(b, col("vec_b") > col("vec_a") && col("vec_b") <= col("vec_a") + 10)
+        .select(col("vec_a"), col("vec_b"),
+          round(cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+        .limit(100)
+    },
+    Some(s"""WITH e AS ($oracleEmb)
+             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(${oracleCos("a.emb", "b.emb")}, 6) AS cos
+             FROM e a JOIN e b
+               ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 10
+             ORDER BY cos DESC, vec_a, vec_b LIMIT 100""")
+  )
+
+  def qs: Seq[Q] = Seq(qSimilarityBruteforce, qSimilarityLsh, qEmbedCosineDup)
+}

@@ -2,8 +2,4 @@ package graft.queries
 
 /** Placeholder registries — filled in as the corresponding operator
   * families land. Kept separate so Registry compiles from day one. */
-object TextOps    { def qs: Seq[Q] = Seq.empty }
-object Dedup      { def qs: Seq[Q] = Seq.empty }
-object Similarity { def qs: Seq[Q] = Seq.empty }
-object Multimodal { def qs: Seq[Q] = Seq.empty }
 object LogQueries { def qs: Seq[Q] = Seq.empty }

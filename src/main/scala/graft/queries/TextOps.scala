@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operator family (north star): tokenization + frequency,
+  * token counting (whitespace and BPE-ish regex), quality scoring,
+  * language-ID heuristic, and document fingerprinting.
+  *
+  * All pure built-in expressions (split/explode/filter/aggregate/
+  * regexp_count) — whole-stage-codegen'd, no UDFs, so the same code runs
+  * unchanged over a 100 TB document lake; the only shuffle in the family
+  * is the groupBy in q_text_tokens (partial-agg'd, keyed on token).
+  */
+object TextOps {
+
+  /** Word frequencies: explode (the Generator/UDTF surface) + count.
+    * Top-100 keeps the output bounded at any corpus size; the heavy
+    * lifting (token explode + partial agg) is fully distributed. */
+  private val qTextTokens = Q(
+    "q_text_tokens",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100),
+    Some("""SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 100""")
+  )
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * (letter runs / digit runs / single punctuation). */
+  private val qTokenCount = Q(
+    "q_token_count",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Quality scoring: length, token count, mean token length, stopword
+    * ratio — the standard cheap filters in a pretraining data pipeline. */
+  private val qTextQuality = Q(
+    "q_text_quality",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          length(col("text")).as("text_len"),
+          size(col("toks")).as("n_tokens"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("toks")))
+            .as("avg_token_len"),
+          (expr("size(filter(toks, t -> t IN ('the','a','of','and','is')))").cast("double") /
+            size(col("toks"))).as("stopword_ratio"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              CAST(length(text) AS INT) AS text_len,
+              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+              length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS avg_token_len,
+              len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','of','and','is')))
+                / len(string_split(text, ' ')) AS stopword_ratio
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Language-ID heuristic: stopword-hit votes per language, argmax with
+    * a fixed precedence for ties. (The corpus text is synthetic, so this
+    * demonstrates the operator shape: per-language evidence columns +
+    * deterministic argmax.) */
+  private val qLangId = Q(
+    "q_lang_id",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("en_hits", expr("size(filter(toks, t -> t IN ('the','a','of','and','is')))"))
+        .withColumn("es_hits", expr("size(filter(toks, t -> t IN ('el','la','de','y','es')))"))
+        .withColumn("de_hits", expr("size(filter(toks, t -> t IN ('der','die','und','das','ist')))"))
+        .select(
+          col("doc_id"), col("lang"), col("en_hits"), col("es_hits"), col("de_hits"),
+          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits"), "en")
+            .when(col("es_hits") >= col("de_hits"), "es")
+            .otherwise("de").as("predicted"))
+        .orderBy(col("doc_id")),
+    Some("""WITH h AS (
+              SELECT doc_id, lang,
+                CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is'))) AS INT) AS en_hits,
+                CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y','es'))) AS INT) AS es_hits,
+                CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ist'))) AS INT) AS de_hits
+              FROM documents)
+            SELECT doc_id, lang, en_hits, es_hits, de_hits,
+              CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                   WHEN es_hits >= de_hits THEN 'es'
+                   ELSE 'de' END AS predicted
+            FROM h ORDER BY doc_id""")
+  )
+
+  /** Document fingerprint: 64-bit polynomial rolling hash of the
+    * character stream, mod 1e9+7 — content-addressable identity that two
+    * engines can agree on (unlike xxhash). Single narrow pass. */
+  private val qDocFingerprint = Q(
+    "q_doc_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          expr("aggregate(split(text, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 1000000007)")
+            .as("fingerprint"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              list_reduce(list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                          (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+            FROM documents ORDER BY doc_id""")
+  )
+
+  def qs: Seq[Q] =
+    Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint)
+}
