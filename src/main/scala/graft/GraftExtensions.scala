@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.logs.expressions.UrlUnquote
+
+/** Engine extensions, injected via the public
+  * `spark.sql.extensions=graft.GraftExtensions` config: custom Catalyst
+  * expressions registered as SQL functions so they are usable from both
+  * the Column API (`call_function("url_unquote", c)`) and `spark.sql`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("url_unquote"),
+      new ExpressionInfo(classOf[UrlUnquote].getName, "url_unquote"),
+      (args: Seq[Expression]) => UrlUnquote(args.head)))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.logs
+
+import org.apache.spark.sql.types._
+
+/** The CloudFront access-log v1.0 schema as the reference declares it:
+  * the 33-field `FIELDNAMES` tuple at
+  * `cloudfront_kinesis_lambda.py:20-54`, with the reference's
+  * analytics-friendly renames preserved verbatim (including the two
+  * fle-* names that keep their original hyphens).
+  *
+  * Three layers, mirroring SURVEY §1.2–1.3:
+  *  - `raw`: all 33 columns as strings — byte-exact fidelity with the
+  *    reference, whose `csv.DictReader` yields only strings.
+  *  - `typed`: the semantic types the string columns carry (timestamps,
+  *    longs, doubles), with CloudFront's `-` missing-marker mapped to
+  *    null. This is what analytics at 100 TB wants: typed parquet with
+  *    min/max stats, predicate pushdown, and no per-query casts.
+  *  - drop lists: the columns the reference's code actually removes
+  *    (`droppedByCode`, `cloudfront_kinesis_lambda.py:194,198`) vs the
+  *    larger set its comments *intend* to strip (`strictDropList`,
+  *    the "this gets stripped" annotations at
+  *    `cloudfront_kinesis_lambda.py:21-53`). The canonical transform
+  *    reproduces the code; the strict projection is opt-in.
+  */
+object CloudFrontSchema {
+
+  /** Field order = CloudFront's published column order, names = the
+    * reference's renames (`cloudfront_kinesis_lambda.py:20-54`). */
+  val fieldNames: Seq[String] = Seq(
+    "log_date", "log_time", "cf_pop", "bytes_sent", "src_ip",
+    "http_method", "cf_distribution", "http_path", "http_status",
+    "http_referer", "http_user_agent", "http_query", "http_cookie",
+    "cf_result", "cf_request_id", "http_host", "http_protocol",
+    "bytes_received", "duration_s", "xff", "tls_protocol", "tls_cipher",
+    "cf_result_pre", "http_version", "fle-status", "fle-encrypted-fields",
+    "src_port", "ttfb_s", "cf_result_detail", "http_content_type",
+    "http_content_length", "http_range_start", "http_range_end")
+
+  /** Strings-only schema — the reference's actual data model. */
+  val raw: StructType =
+    StructType(fieldNames.map(StructField(_, StringType, nullable = true)))
+
+  /** Columns the reference's code removes (`pop` calls at
+    * `cloudfront_kinesis_lambda.py:194,198`). */
+  val droppedByCode: Seq[String] = Seq("http_referer", "log_date", "log_time")
+
+  /** The full commented drop-list ("this gets stripped",
+    * `cloudfront_kinesis_lambda.py:21-53`) — the stricter projection the
+    * schema comments intend but the code never performs. */
+  val strictDropList: Seq[String] = droppedByCode ++ Seq(
+    "http_query", "http_cookie", "xff", "fle-status",
+    "fle-encrypted-fields", "http_range_start", "http_range_end")
+
+  /** Columns added by the canonical transform
+    * (`cloudfront_kinesis_lambda.py:196-210`). */
+  val derived: Seq[String] = Seq("@timestamp", "serviceId", "type", "env")
+
+  /** Semantic types for the numeric/temporal string columns (SURVEY
+    * §1.3). Everything not listed stays StringType. */
+  val typedOverrides: Map[String, DataType] = Map(
+    "bytes_sent" -> LongType,
+    "bytes_received" -> LongType,
+    "http_content_length" -> LongType,
+    "http_status" -> IntegerType,
+    "src_port" -> IntegerType,
+    "http_range_start" -> LongType,
+    "http_range_end" -> LongType,
+    "duration_s" -> DoubleType,
+    "ttfb_s" -> DoubleType)
+
+  /** Output-side schema of the canonical (code-faithful) transform:
+    * 33 − 3 dropped + 4 derived, `@timestamp` as a true timestamp. */
+  val canonicalOutputColumns: Seq[String] =
+    fieldNames.filterNot(droppedByCode.contains) ++ derived
+}

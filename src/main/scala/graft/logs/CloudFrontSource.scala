@@ -1,0 +1,55 @@
+package graft.logs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CloudFront access-log reader (reference operators S2–S5).
+  *
+  * One `spark.read` covers everything the reference hand-writes:
+  *   - S2 object scan: the path (any Hadoop FS — `s3a://`, local, …);
+  *   - S3 streaming gunzip: `.gz` handled transparently by the codec
+  *     factory (unsplittable → 1 file = 1 task, exactly the
+  *     reference's 1 file = 1 Lambda, `cloudfront_kinesis_lambda.py:177`);
+  *   - S4 TSV parse against the declared 33-column schema — never
+  *     inferred (`cloudfront_kinesis_lambda.py:183`);
+  *   - S5 header skip: both preamble lines start with `#`
+  *     (`#Version:`, `#Fields:`), dropped by the comment option
+  *     (`cloudfront_kinesis_lambda.py:185-186`).
+  *
+  * Scale: a day of CloudFront logs is millions of small .gz objects;
+  * this reader lists and assigns them partition-parallel, so
+  * throughput scales with executor count, same as the reference scales
+  * with concurrent Lambda invocations.
+  */
+object CloudFrontSource {
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(CloudFrontSchema.raw)
+      .option("sep", "\t")
+      .option("comment", "#")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** Streaming variant: same parse over a watched directory; each
+    * micro-batch discovers new files — the Structured-Streaming
+    * equivalent of the S3-event trigger (`cloudformation.yaml:19-28`). */
+  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 32): DataFrame =
+    spark.readStream
+      .schema(CloudFrontSchema.raw)
+      .option("sep", "\t")
+      .option("comment", "#")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(dir)
+
+  /** Path-derived metadata (reference F3a): the key layout
+    * `/{env}/{logging_id}/{file}.gz` parsed from the file each row came
+    * from (`cloudfront_kinesis_lambda.py:171-173`). Computed once per
+    * row from `input_file_name()`, no extra scan. */
+  def withPathMeta(df: DataFrame): DataFrame = {
+    val parts = split(input_file_name(), "/")
+    val n = size(parts)
+    df.withColumn("env", element_at(parts, n - lit(2)))
+      .withColumn("serviceId", element_at(parts, n - lit(1)))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.logs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's canonical per-record transform (operators P1, F1–F5,
+  * `cloudfront_kinesis_lambda.py:191-212`) as one declarative `select`
+  * stage — Catalyst collapses it with the scan into a single
+  * whole-stage-codegen'd pass, the same fused row loop the reference
+  * hand-writes (SURVEY §4.1).
+  */
+object CloudFrontTransform {
+
+  /** ISO-8601-with-offset, the exact shape Python's
+    * `datetime.astimezone().isoformat()` emits on a UTC Lambda:
+    * `2019-01-18T02:00:00+00:00` (`cloudfront_kinesis_lambda.py:196-203`).
+    */
+  val IsoFormat = "yyyy-MM-dd'T'HH:mm:ssxxx"
+
+  /** F1: merge `log_date`+`log_time` into a true timestamp. Session
+    * timezone is pinned UTC engine-wide, matching the Lambda runtime. */
+  def eventTimestamp: Column =
+    to_timestamp(
+      concat_ws(" ", col("log_date"), col("log_time")),
+      "yyyy-MM-dd HH:mm:ss")
+
+  /** The canonical (code-faithful) transform:
+    *   - P1 drop `http_referer`, `log_date`, `log_time`
+    *     (`cloudfront_kinesis_lambda.py:194,198`);
+    *   - F1 `@timestamp` from date+time (kept as TimestampType — format
+    *     to ISO only at the serialization edge);
+    *   - F2 `http_user_agent` percent-decoded with Python-`unquote`
+    *     semantics (`cloudfront_kinesis_lambda.py:206`);
+    *   - F3 `serviceId`/`type`/`env` enrichment
+    *     (`cloudfront_kinesis_lambda.py:208-210`).
+    */
+  def canonical(logs: DataFrame, serviceId: String, env: String): DataFrame =
+    canonicalCols(
+      logs.withColumn("serviceId", lit(serviceId)).withColumn("env", lit(env)))
+
+  /** Canonical transform with `serviceId`/`env` already present as
+    * columns (e.g. from `CloudFrontSource.withPathMeta`). */
+  def canonicalCols(logs: DataFrame): DataFrame =
+    logs
+      .withColumn("@timestamp", eventTimestamp)
+      .withColumn("http_user_agent",
+        call_function("url_unquote", col("http_user_agent")))
+      .withColumn("type", lit("globaledge_cloudfront"))
+      .drop("http_referer", "log_date", "log_time")
+
+  /** The stricter projection the reference's schema comments intend
+    * (all eight "this gets stripped" fields, SURVEY §1.2) — opt-in. */
+  def strictDrop(df: DataFrame): DataFrame =
+    df.drop(CloudFrontSchema.strictDropList: _*)
+
+  /** Typed view (SURVEY §1.3): numeric/temporal semantics for the
+    * string columns, CloudFront's `-` missing-marker → null. At 100 TB
+    * this is the layer to persist: typed parquet gets min/max stats and
+    * predicate pushdown that an all-strings table can't. */
+  def typed(df: DataFrame): DataFrame = {
+    val typedCols = df.columns.map { name =>
+      CloudFrontSchema.typedOverrides.get(name) match {
+        case Some(t) =>
+          when(col(name) === "-", lit(null)).otherwise(col(name))
+            .cast(t).as(name)
+        case None => col(name)
+      }
+    }
+    df.select(typedCols.toIndexedSeq: _*)
+  }
+
+  /** F4+F5: the sink-side record shape — `Data` = row as JSON (with
+    * `@timestamp` ISO-formatted at this edge, like the reference's
+    * `isoformat()`), `PartitionKey` = fresh uuid per record
+    * (`cloudfront_kinesis_lambda.py:212`). `uuid()` is
+    * non-deterministic and uniform — the same deliberate
+    * key-randomization the reference uses for shard spread. */
+  def toSinkRecords(df: DataFrame): DataFrame = {
+    val jsonCols = df.columns.map {
+      case "@timestamp" =>
+        date_format(col("@timestamp"), IsoFormat).as("@timestamp")
+      case c => col(c)
+    }
+    df.select(
+      to_json(struct(jsonCols.toIndexedSeq: _*)).as("Data"),
+      // uuid4().hex shape: 32 hex chars, no dashes (reference :212)
+      expr("replace(uuid(), '-', '')").as("PartitionKey"))
+  }
+}

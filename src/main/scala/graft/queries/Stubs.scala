@@ -1,5 +1,99 @@
 package graft.queries
 
-/** Placeholder registries — filled in as the corresponding operator
-  * families land. Kept separate so Registry compiles from day one. */
-object LogQueries { def qs: Seq[Q] = Seq.empty }
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.logs.{CloudFrontSchema, CloudFrontTransform}
+
+/** The reference's canonical ETL (P1, F1–F5) pushed through the
+  * driver's DuckDB-oracle gate. The testdata has no CloudFront files,
+  * so a deterministic 33-column raw log frame is synthesized from
+  * `orders` (dates, times, a percent-encoded UA, `-` missing markers)
+  * and run through the REAL `CloudFrontTransform` code path; the oracle
+  * recomputes the expected derived columns directly in SQL.
+  */
+object LogQueries {
+
+  /** orders → a raw CloudFront-shaped frame (all 33 schema columns plus
+    * `o_orderkey` carried through for deterministic ordering). */
+  private def syntheticRaw(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("log_date"),
+      format_string("%02d:%02d:%02d",
+        (col("o_orderkey") % 24).cast("int"),
+        (col("o_custkey") % 60).cast("int"),
+        ((col("o_orderkey") * 7) % 60).cast("int")).as("log_time"),
+      concat(lit("Mozilla%2F5.0%20("), col("o_orderpriority"), lit(")"))
+        .as("http_user_agent"),
+      when(col("o_orderkey") % 10 === 0, lit("-"))
+        .otherwise(floor(col("o_totalprice")).cast("long").cast("string"))
+        .as("bytes_sent"),
+      concat(lit("/order/"), col("o_orderkey")).as("http_path"),
+      lit("example.cloudfront.net").as("cf_distribution"))
+    CloudFrontSchema.fieldNames.filterNot(base.columns.contains)
+      .foldLeft(base)((df, c) => df.withColumn(c, lit("-")))
+  }
+
+  private val oracleTime =
+    """lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(o_custkey % 60 AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST((o_orderkey * 7) % 60 AS VARCHAR), 2, '0')"""
+
+  private val oracleIso =
+    s"strftime(o_orderdate, '%Y-%m-%d') || 'T' || $oracleTime || '+00:00'"
+
+  private val oracleUa = "'Mozilla/5.0 (' || o_orderpriority || ')'"
+
+  /** Canonical transform + typed projection: timestamp merge (F1),
+    * Python-unquote UA decode (F2, via the codegen'd `url_unquote`
+    * expression), literal enrichment (F3), `-`→null typing. */
+  private val qCloudfrontEtl = Q(
+    "q_cloudfront_etl",
+    (s, d) => {
+      val out = CloudFrontTransform.typed(
+        CloudFrontTransform.canonical(syntheticRaw(s, d), "svc-0001", "prod"))
+      out.select(
+        col("o_orderkey"),
+        date_format(col("@timestamp"), CloudFrontTransform.IsoFormat).as("ts_iso"),
+        col("http_user_agent"), col("serviceId"), col("type"), col("env"),
+        col("bytes_sent"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(s"""SELECT o_orderkey,
+               $oracleIso AS ts_iso,
+               $oracleUa AS http_user_agent,
+               'svc-0001' AS serviceId,
+               'globaledge_cloudfront' AS type,
+               'prod' AS env,
+               CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                    ELSE CAST(floor(o_totalprice) AS BIGINT) END AS bytes_sent
+             FROM orders ORDER BY o_orderkey""")
+  )
+
+  /** Sink-record shape (F4+F5): `Data` = row JSON, `PartitionKey` =
+    * uuid4-hex. Verified by parsing the JSON back out and checking the
+    * key's shape (content is random by design — that's the reference's
+    * deliberate uniform shard spread). */
+  private val qCloudfrontSink = Q(
+    "q_cloudfront_sink",
+    (s, d) => {
+      val recs = CloudFrontTransform.toSinkRecords(
+        CloudFrontTransform.canonical(syntheticRaw(s, d), "svc-0001", "prod"))
+      recs.select(
+        get_json_object(col("Data"), "$.o_orderkey").cast("long").as("o_orderkey"),
+        get_json_object(col("Data"), "$['@timestamp']").as("ts_rt"),
+        get_json_object(col("Data"), "$.http_user_agent").as("ua_rt"),
+        length(col("PartitionKey")).as("key_len"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(s"""SELECT o_orderkey,
+               $oracleIso AS ts_rt,
+               $oracleUa AS ua_rt,
+               CAST(32 AS INT) AS key_len
+             FROM orders ORDER BY o_orderkey""")
+  )
+
+  def qs: Seq[Q] = Seq(qCloudfrontEtl, qCloudfrontSink)
+}

@@ -1,0 +1,151 @@
+package graft.sink
+
+import scala.annotation.tailrec
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
+
+/** One sink record: opaque payload + shard partition key — the
+  * reference's `{Data, PartitionKey}` pair
+  * (`cloudfront_kinesis_lambda.py:212`). */
+final case class SinkRecord(data: Array[Byte], partitionKey: String)
+
+/** Order-aligned per-record result of one `put_records`-shaped call:
+  * `errorCode` is set for records the service rejected — the response
+  * shape the reference's subset-retry walks
+  * (`cloudfront_kinesis_lambda.py:135-144`). */
+final case class PutEntry(errorCode: Option[String] = None)
+
+/** The service boundary, pluggable so tests inject failures and prod
+  * wraps an AWS SDK client. Implementations must return one `PutEntry`
+  * per input record, in input order. */
+trait RecordsClient extends Serializable {
+  def putRecords(stream: String, records: IndexedSeq[SinkRecord]): IndexedSeq[PutEntry]
+}
+
+/** @param maxBatch       hard API batch cap — 500 for Kinesis
+  *                       (`cloudfront_kinesis_lambda.py:73`)
+  * @param baseBackoffMs  backoff base; wait = 2^attempt × base
+  *                       (`cloudfront_kinesis_lambda.py:111`)
+  * @param deadlineMs     wall-clock budget per task, the analog of the
+  *                       Lambda's remaining-time check
+  *                       (`cloudfront_kinesis_lambda.py:114`)
+  */
+final case class KinesisSinkConfig(
+    stream: String,
+    maxBatch: Int = 500,
+    baseBackoffMs: Long = 100L,
+    deadlineMs: Long = 600000L)
+
+/** Kinesis-shaped delivery core (reference operators B1, K1–K3), shared
+  * by the streaming `ForeachWriter` and the batch `foreachPartition`
+  * path. Semantics preserved from the reference:
+  *   - B1 chunking: ≤ `maxBatch` records per put
+  *     (`cloudfront_kinesis_lambda.py:216-227`);
+  *   - K2 subset retry: only the records the response flags failed are
+  *     resent, matched by index — responses are order-aligned
+  *     (`cloudfront_kinesis_lambda.py:134-146`);
+  *   - K2 hot-shard escape: every retried record gets a fresh random
+  *     partition key (`cloudfront_kinesis_lambda.py:142-143`);
+  *   - K3 exponential backoff 2^attempt × base, unbounded attempts,
+  *     bounded only by the deadline
+  *     (`cloudfront_kinesis_lambda.py:109-119`).
+  *
+  * Documented DIVERGENCE (SURVEY §3.3): where the reference silently
+  * drops a chunk on deadline or unexpected error, this sink THROWS —
+  * Spark fails and retries the task, so delivery is at-least-once or
+  * the job fails loudly, never silent loss.
+  *
+  * Scale: delivery is per-partition with no coordination; 1000
+  * executors = 1000 independent writers, the same shape as the
+  * reference's concurrent Lambda fleet.
+  */
+class KinesisDelivery(
+    client: RecordsClient,
+    conf: KinesisSinkConfig,
+    clock: () => Long = () => System.currentTimeMillis(),
+    sleeper: Long => Unit = Thread.sleep,
+    keyGen: () => String = () => java.util.UUID.randomUUID().toString.replace("-", ""))
+  extends Serializable {
+
+  private val buf = new ArrayBuffer[SinkRecord](conf.maxBatch)
+  private var startedAt: Long = 0L
+
+  def start(): Unit = { buf.clear(); startedAt = clock() }
+
+  def add(rec: SinkRecord): Unit = {
+    buf += rec
+    if (buf.size >= conf.maxBatch) flush()
+  }
+
+  def flush(): Unit =
+    if (buf.nonEmpty) {
+      val chunk = buf.toIndexedSeq
+      buf.clear()
+      sendWithRetry(chunk, attempt = 0)
+    }
+
+  @tailrec
+  private def sendWithRetry(records: IndexedSeq[SinkRecord], attempt: Int): Unit = {
+    if (attempt > 0) {
+      val wait = (1L << attempt) * conf.baseBackoffMs
+      if (clock() - startedAt + wait > conf.deadlineMs)
+        throw new IllegalStateException(
+          s"kinesis-shaped sink: deadline ${conf.deadlineMs}ms exceeded at attempt $attempt " +
+            s"with ${records.size} undelivered records")
+      sleeper(wait)
+    }
+    val results = client.putRecords(conf.stream, records)
+    require(results.size == records.size,
+      s"client returned ${results.size} results for ${records.size} records")
+    val failed = results.indices.collect {
+      case i if results(i).errorCode.isDefined =>
+        records(i).copy(partitionKey = keyGen())
+    }
+    if (failed.nonEmpty) sendWithRetry(failed.toIndexedSeq, attempt + 1)
+  }
+}
+
+/** Structured-Streaming face of the sink: rows with `Data` (string) and
+  * `PartitionKey` (string) columns, e.g. from
+  * `CloudFrontTransform.toSinkRecords`. */
+class KinesisShapedWriter(
+    client: RecordsClient,
+    conf: KinesisSinkConfig,
+    clock: () => Long = () => System.currentTimeMillis(),
+    sleeper: Long => Unit = Thread.sleep)
+  extends ForeachWriter[Row] {
+
+  @transient private var delivery: KinesisDelivery = _
+
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    delivery = new KinesisDelivery(client, conf, clock, sleeper)
+    delivery.start()
+    true
+  }
+
+  override def process(row: Row): Unit = {
+    val data = row.getAs[String]("Data").getBytes("UTF-8")
+    delivery.add(SinkRecord(data, row.getAs[String]("PartitionKey")))
+  }
+
+  override def close(errorOrNull: Throwable): Unit =
+    if (errorOrNull == null) delivery.flush()
+}
+
+object KinesisShapedSink {
+
+  /** Batch face: deliver a `{Data, PartitionKey}` DataFrame partition-
+    * parallel, one independent retrying writer per partition. */
+  def writeBatch(df: DataFrame, client: RecordsClient, conf: KinesisSinkConfig): Unit =
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val d = new KinesisDelivery(client, conf)
+      d.start()
+      it.foreach { row =>
+        d.add(SinkRecord(
+          row.getAs[String]("Data").getBytes("UTF-8"),
+          row.getAs[String]("PartitionKey")))
+      }
+      d.flush()
+    }
+}

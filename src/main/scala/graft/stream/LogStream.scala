@@ -1,0 +1,86 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
+import org.apache.spark.sql.Row
+
+import graft.logs.{CloudFrontSource, CloudFrontTransform}
+import graft.sink.{KinesisShapedWriter, KinesisSinkConfig, RecordsClient}
+
+/** Streaming shell (SURVEY §7.1-5): the reference's macro data model —
+  * an unbounded stream of bounded log files
+  * (`cloudformation.yaml:19-28` trigger → one Lambda per file) — as a
+  * Structured Streaming pipeline: file-source discovery per trigger,
+  * the same canonical transform as batch (one code path, two
+  * execution modes), watermarked event-time state, and the
+  * Kinesis-shaped sink.
+  *
+  * Scale: state stores are keyed and partitioned; watermarks bound
+  * state size, `maxFilesPerTrigger` bounds micro-batch size — the two
+  * knobs that keep a 1000-executor stream stable under backlog.
+  */
+object LogStream {
+
+  /** Ingest + canonical transform over a watched directory
+    * (`/{env}/{serviceId}/file.gz` layout, metadata from the path). */
+  def canonicalStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 32): DataFrame =
+    CloudFrontTransform.canonicalCols(
+      CloudFrontSource.withPathMeta(
+        CloudFrontSource.readStream(spark, dir, maxFilesPerTrigger)))
+
+  /** Event-time tumbling rollup: requests/bytes by result type per
+    * window. The watermark drops data later than `lateness` and lets
+    * Spark expire window state — bounded memory at any volume. */
+  def hourlyRollup(canonical: DataFrame, window_ : String = "1 hour", lateness: String = "2 hours"): DataFrame =
+    canonical
+      .withWatermark("`@timestamp`", lateness)
+      .groupBy(
+        window(col("@timestamp"), window_).as("w"),
+        col("cf_result"))
+      .agg(
+        count(lit(1)).as("requests"),
+        sum(col("bytes_sent").cast("long")).as("bytes_sent"))
+      .select(col("w.start").as("window_start"), col("cf_result"),
+        col("requests"), col("bytes_sent"))
+
+  /** Per-client session windows (30-min inactivity gap), the streaming
+    * form of the batch `q_sessionize` operator. */
+  def sessions(canonical: DataFrame, gap: String = "30 minutes", lateness: String = "2 hours"): DataFrame =
+    canonical
+      .withWatermark("`@timestamp`", lateness)
+      .groupBy(session_window(col("@timestamp"), gap).as("s"), col("src_ip"))
+      .agg(count(lit(1)).as("requests"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col("src_ip"), col("requests"))
+
+  /** Stateful exact dedup on the request id — CloudFront at-least-once
+    * delivery made exactly-once within the watermark horizon. State is
+    * dropped once the watermark passes, so it stays bounded. */
+  def dedupedByRequestId(canonical: DataFrame, lateness: String = "2 hours"): DataFrame =
+    canonical
+      .withWatermark("`@timestamp`", lateness)
+      .dropDuplicatesWithinWatermark("cf_request_id")
+
+  /** Full reference pipeline: canonical stream → `{Data, PartitionKey}`
+    * → Kinesis-shaped sink with subset retry (K1–K3). */
+  def toKinesis(
+      canonical: DataFrame,
+      client: RecordsClient,
+      conf: KinesisSinkConfig,
+      checkpointDir: String): DataStreamWriter[Row] =
+    CloudFrontTransform.toSinkRecords(canonical)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreach(new KinesisShapedWriter(client, conf))
+
+  /** Convenience: run the whole file→transform→sink pipeline. */
+  def run(
+      spark: SparkSession,
+      inputDir: String,
+      client: RecordsClient,
+      conf: KinesisSinkConfig,
+      checkpointDir: String): StreamingQuery =
+    toKinesis(canonicalStream(spark, inputDir), client, conf, checkpointDir).start()
+}

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for all suites (Spark startup is ~5 s; a
+  * per-suite session would dominate test wall-clock). Config mirrors
+  * Verify/Bench: UTC, graft extensions, small shuffle width. */
+object SparkTestSession {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+trait SparkTestSupport {
+  lazy val spark: SparkSession = SparkTestSession.session
+}

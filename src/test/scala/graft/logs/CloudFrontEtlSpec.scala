@@ -1,0 +1,133 @@
+package graft.logs
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.file.{Files, Path}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Golden-file ETL tests (SURVEY §5.2-2): a synthetic CloudFront `.gz`
+  * fixture in the reference's `/{env}/{logging_id}/{file}.gz` layout →
+  * source → canonical transform → hand-computed expected values for
+  * operators S2–S5, P1, F1–F5.
+  */
+class CloudFrontEtlSpec extends AnyFunSuite with SparkTestSupport {
+
+  /** 33 tab-separated values in CloudFront column order, mostly `-`. */
+  private def line(over: Map[Int, String]): String =
+    (0 until 33).map(i => over.getOrElse(i, "-")).mkString("\t")
+
+  // column indexes in CloudFront order (= CloudFrontSchema.fieldNames)
+  private val DATE = 0; private val TIME = 1; private val POP = 2
+  private val BYTES = 3; private val IP = 4; private val REFERER = 9
+  private val UA = 10; private val QUERY = 11; private val STATUS = 8
+
+  private lazy val fixtureRoot: Path = {
+    val root = Files.createTempDirectory("cf-logs")
+    val dir = root.resolve("stg").resolve("bf574f33-66e3-4936-a0b6-420325157173")
+    Files.createDirectories(dir)
+    val out = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(
+        dir.resolve("EGI5P51QNDZ.2019-01-18-02.a3221b62.gz").toFile)), "UTF-8"))
+    out.write("#Version: 1.0\n")
+    out.write("#Fields: date time x-edge-location sc-bytes c-ip cs-method cs(Host) cs-uri-stem sc-status cs(Referer) cs(User-Agent) cs-uri-query cs(Cookie) x-edge-result-type x-edge-request-id x-host-header cs-protocol cs-bytes time-taken x-forwarded-for ssl-protocol ssl-cipher x-edge-response-result-type cs-protocol-version fle-status fle-encrypted-fields c-port time-to-first-byte x-edge-detailed-result-type sc-content-type sc-content-len sc-range-start sc-range-end\n")
+    out.write(line(Map(
+      DATE -> "2019-01-18", TIME -> "02:13:45", POP -> "SYD1",
+      BYTES -> "2048", IP -> "203.0.113.9", STATUS -> "200",
+      REFERER -> "https://example.com/",
+      UA -> "Mozilla%2F5.0%20(Windows%20NT%2010.0)",
+      QUERY -> "q=spark+scala")) + "\n")
+    out.write(line(Map(
+      DATE -> "2019-01-18", TIME -> "23:59:59", POP -> "IAD2",
+      BYTES -> "-", IP -> "198.51.100.7", STATUS -> "304",
+      UA -> "curl%2520%7Bbad%zz%7D+ok")) + "\n")
+    out.close()
+    root
+  }
+
+  private lazy val canonical =
+    CloudFrontTransform.canonicalCols(
+      CloudFrontSource.withPathMeta(
+        CloudFrontSource.read(spark, s"$fixtureRoot/*/*/*.gz")))
+      .cache()
+
+  test("S4/S5: parses rows against the declared schema, skipping both # headers") {
+    val raw = CloudFrontSource.read(spark, s"$fixtureRoot/*/*/*.gz")
+    assert(raw.count() == 2)
+    assert(raw.columns.toSeq == CloudFrontSchema.fieldNames)
+  }
+
+  test("P1: drops exactly http_referer, log_date, log_time; keeps the comment-only drop list") {
+    val cols = canonical.columns.toSet
+    assert(!cols.contains("http_referer") && !cols.contains("log_date") && !cols.contains("log_time"))
+    // fields the schema comments mark "stripped" but the code keeps (SURVEY §1.2)
+    Seq("http_query", "http_cookie", "xff", "fle-status",
+      "fle-encrypted-fields", "http_range_start", "http_range_end")
+      .foreach(c => assert(cols.contains(c), s"code-faithful transform must keep $c"))
+    assert(cols == CloudFrontSchema.canonicalOutputColumns.toSet)
+  }
+
+  test("F1: @timestamp merges date+time; ISO edge format matches astimezone().isoformat()") {
+    val got = canonical
+      .select(col("cf_pop"), date_format(col("@timestamp"), CloudFrontTransform.IsoFormat))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("SYD1") == "2019-01-18T02:13:45+00:00")
+    assert(got("IAD2") == "2019-01-18T23:59:59+00:00")
+  }
+
+  test("F2: user agent decoded with unquote semantics (+ kept, %2520 one layer, bad escape literal)") {
+    val got = canonical.select(col("cf_pop"), col("http_user_agent"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("SYD1") == "Mozilla/5.0 (Windows NT 10.0)")
+    assert(got("IAD2") == "curl%20{bad%zz}+ok")
+  }
+
+  test("F3: env and serviceId derived from the /{env}/{logging_id}/file.gz path; type literal") {
+    val r = canonical.select(col("env"), col("serviceId"), col("type")).distinct().collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "stg")
+    assert(r(0).getString(1) == "bf574f33-66e3-4936-a0b6-420325157173")
+    assert(r(0).getString(2) == "globaledge_cloudfront")
+  }
+
+  test("typed: '-' markers become nulls, numerics become numeric") {
+    val t = CloudFrontTransform.typed(canonical)
+    val by = t.select(col("cf_pop"), col("bytes_sent"), col("http_status"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(by("SYD1").getLong(1) == 2048L && by("SYD1").getInt(2) == 200)
+    assert(by("IAD2").isNullAt(1) && by("IAD2").getInt(2) == 304)
+  }
+
+  test("strictDrop removes all eight commented fields") {
+    val cols = CloudFrontTransform.strictDrop(canonical).columns.toSet
+    CloudFrontSchema.strictDropList.foreach(c => assert(!cols.contains(c)))
+  }
+
+  test("F4/F5: sink records are valid JSON with uuid4-hex partition keys") {
+    val recs = CloudFrontTransform.toSinkRecords(canonical).collect()
+    assert(recs.length == 2)
+    recs.foreach { r =>
+      val key = r.getAs[String]("PartitionKey")
+      assert(key.matches("[0-9a-f]{32}"), s"key $key")
+      assert(r.getAs[String]("Data").startsWith("{"))
+    }
+    assert(recs.map(_.getAs[String]("PartitionKey")).distinct.length == 2)
+    // JSON payload round-trips a field
+    val uas = CloudFrontTransform.toSinkRecords(canonical)
+      .select(get_json_object(col("Data"), "$.http_user_agent"))
+      .collect().map(_.getString(0)).toSet
+    assert(uas == Set("Mozilla/5.0 (Windows NT 10.0)", "curl%20{bad%zz}+ok"))
+  }
+
+  test("transform preserves row count and field arithmetic (in − 3 + 4)") {
+    val raw = CloudFrontSource.withPathMeta(
+      CloudFrontSource.read(spark, s"$fixtureRoot/*/*/*.gz"))
+    val out = CloudFrontTransform.canonicalCols(raw)
+    assert(out.count() == raw.count())
+    // raw + pathMeta(2) − dropped(3) + derived(@timestamp, type) = 33 + 2 − 3 + 2
+    assert(out.columns.length == 33 + 2 - 3 + 2)
+  }
+}

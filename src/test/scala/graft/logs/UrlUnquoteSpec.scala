@@ -1,0 +1,66 @@
+package graft.logs
+
+import org.scalacheck.{Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+import graft.logs.expressions.PyUnquote
+
+/** Pins Python-`urllib.parse.unquote` semantics (golden values computed
+  * with CPython; SURVEY §5.2-2 edge cases: `%2520`, `+`, invalid
+  * escapes, truncated UTF-8). */
+class UrlUnquoteSpec extends AnyFunSuite with SparkTestSupport {
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val golden = Seq(
+    "Mozilla%2F5.0%20(Windows)" -> "Mozilla/5.0 (Windows)",
+    "a+b" -> "a+b", // unquote leaves + alone; URLDecoder would not
+    "%2520" -> "%20", // double-encoding decodes exactly one layer
+    "bad%zzesc" -> "bad%zzesc", // invalid escape stays literal
+    "trail%2" -> "trail%2", // truncated escape stays literal
+    "%" -> "%",
+    "100%" -> "100%",
+    "50%1x" -> "50%1x",
+    "a%41b" -> "aAb",
+    "%e2%82%ac" -> "€", // € via 3-byte UTF-8
+    "%E2%82%AC" -> "€", // uppercase hex
+    "%e2%82" -> "�", // truncated UTF-8 → replacement
+    "%ff%fe" -> "��", // invalid bytes → one replacement each
+    "%e9a" -> "�a",
+    "" -> "",
+    "no escapes at all" -> "no escapes at all")
+
+  test("golden values match CPython unquote") {
+    golden.foreach { case (in, want) =>
+      assert(PyUnquote.unquote(in) == want, s"input: $in")
+    }
+  }
+
+  test("null-safe") {
+    assert(PyUnquote.unquote(null: String) == null)
+  }
+
+  test("strings without % pass through unchanged (same object)") {
+    check(Prop.forAll { (s: String) =>
+      s.contains('%') || (PyUnquote.unquote(s) eq s)
+    })
+  }
+
+  test("never throws and never grows the string") {
+    check(Prop.forAll { (s: String) =>
+      val out = PyUnquote.unquote(s)
+      out != null && out.length <= s.length
+    })
+  }
+
+  test("SQL function url_unquote is registered and codegen path agrees with eval") {
+    val df = spark.sql(
+      "SELECT url_unquote(v) AS u FROM VALUES ('Mozilla%2F5.0%20(X)'), ('%2520'), ('bad%zz'), (NULL) t(v)")
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("Mozilla/5.0 (X)", "%20", "bad%zz", null))
+  }
+}

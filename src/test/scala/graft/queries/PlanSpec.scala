@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Physical-plan quality gates (the 100 TB stance, SURVEY §4/§7.3):
+  * these assert the *plan shape* — scans prune columns and push
+  * filters, small dims broadcast, hot paths stay in whole-stage
+  * codegen. A correctness-green query with the wrong plan fails here.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestSupport {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = Registry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan projection prunes the read schema to the selected columns") {
+    val p = plan("q_scan_projection")
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"), p)
+  }
+
+  test("filter predicates are pushed into the parquet scan") {
+    val p = plan("q_filter_predicate")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull") || p.contains("GreaterThan") || p.contains("EqualTo"), p)
+  }
+
+  test("small-dimension join plans as broadcast hash join") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("similarity search broadcasts the query side, not the corpus") {
+    val p = plan("q_similarity_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("group-by aggregate does partial (map-side) aggregation before the shuffle") {
+    val df = Registry.queries("q_agg_groupby")(spark, sf)
+    val executed = df.queryExecution.executedPlan
+    val p = executed.toString
+    // two HashAggregate levels (partial + final) around one shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("custom url_unquote expression stays inside whole-stage codegen") {
+    // AQE defers codegen wrapping to stage materialization; turn it off to
+    // inspect the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Registry.queries("q_cloudfront_etl")(spark, sf)
+      val p = df.queryExecution.executedPlan
+      assert(p.toString.contains("url_unquote"), p.toString)
+      // the expression must not fall back to an interpreted project outside WSCG
+      val cg = p.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      assert(cg.nonEmpty, "expected at least one WholeStageCodegen span")
+      assert(cg.exists(_.toString.contains("url_unquote")),
+        "url_unquote must sit inside a WholeStageCodegen span")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("exact dedup shuffles once on the dedup key (no extra exchange)") {
+    val df = Registry.queries("q_dedup_exact")(spark, sf)
+    val p = df.queryExecution.executedPlan
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one shuffle for the window partitioning; the final orderBy adds a range exchange
+    assert(exchanges.size <= 2, p.toString)
+  }
+
+  private def stripAqe(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan =
+    p match { case a: AdaptiveSparkPlanExec => a.executedPlan; case other => other }
+}

@@ -1,0 +1,115 @@
+package graft.sink
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sink contract tests (SURVEY §5.2-5): fake client asserting ≤500 per
+  * batch, the 2^attempt backoff schedule, index-aligned subset retry,
+  * partition-key re-randomization, and fail-loud deadline semantics.
+  */
+class KinesisSinkSpec extends AnyFunSuite {
+
+  private def rec(i: Int) = SinkRecord(s"payload-$i".getBytes("UTF-8"), f"key$i%032d")
+
+  /** Scripted client: `failPlan(n)` = indices to fail on the n-th call. */
+  private class FakeClient(failPlan: Int => Seq[Int]) extends RecordsClient {
+    val calls = new ArrayBuffer[IndexedSeq[SinkRecord]]
+    override def putRecords(stream: String, records: IndexedSeq[SinkRecord]): IndexedSeq[PutEntry] = {
+      calls += records
+      val fails = failPlan(calls.size - 1).toSet
+      records.indices.map(i =>
+        if (fails.contains(i)) PutEntry(Some("ProvisionedThroughputExceededException"))
+        else PutEntry(None))
+    }
+    def delivered: Seq[String] = {
+      val failedPerCall = calls.indices.map(c => failPlan(c).toSet)
+      calls.indices.flatMap { c =>
+        calls(c).indices.filterNot(failedPerCall(c).contains)
+          .map(i => new String(calls(c)(i).data, "UTF-8"))
+      }
+    }
+  }
+
+  private def delivery(client: RecordsClient, sleeps: ArrayBuffer[Long] = new ArrayBuffer,
+      deadlineMs: Long = 600000L, maxBatch: Int = 500): KinesisDelivery = {
+    var keySeq = 0
+    new KinesisDelivery(client, KinesisSinkConfig("s", maxBatch, 100L, deadlineMs),
+      clock = () => 0L, sleeper = sleeps += _,
+      keyGen = () => { keySeq += 1; f"retry$keySeq%027d" })
+  }
+
+  test("B1: chunks of exactly maxBatch, remainder on flush") {
+    val client = new FakeClient(_ => Nil)
+    val d = delivery(client)
+    d.start()
+    (0 until 1203).foreach(i => d.add(rec(i)))
+    d.flush()
+    assert(client.calls.map(_.size).toSeq == Seq(500, 500, 203))
+    assert(client.delivered == (0 until 1203).map(i => s"payload-$i"))
+  }
+
+  test("K2: only the index-aligned failed subset is retried, with fresh keys") {
+    // call 0: indices 1 and 3 fail; call 1 (the 2-record retry): index 0 fails; then clean
+    val client = new FakeClient({ case 0 => Seq(1, 3); case 1 => Seq(0); case _ => Nil })
+    val sleeps = new ArrayBuffer[Long]
+    val d = delivery(client, sleeps)
+    d.start()
+    (0 until 5).foreach(i => d.add(rec(i)))
+    d.flush()
+    assert(client.calls.size == 3)
+    assert(client.calls(1).map(r => new String(r.data, "UTF-8")) == Seq("payload-1", "payload-3"))
+    assert(client.calls(2).map(r => new String(r.data, "UTF-8")) == Seq("payload-1"))
+    // K2 hot-shard escape: retried records carry regenerated keys
+    assert(client.calls(1).forall(_.partitionKey.startsWith("retry")))
+    assert(client.calls(2)(0).partitionKey != client.calls(1)(0).partitionKey)
+    // K3 backoff schedule: 2^1×100, 2^2×100
+    assert(sleeps.toSeq == Seq(200L, 400L))
+    // every record delivered exactly once across calls
+    assert(client.delivered.sorted == (0 until 5).map(i => s"payload-$i"))
+  }
+
+  test("K3: deadline exceeded → throws (documented divergence from silent drop)") {
+    val client = new FakeClient(_ => Seq(0)) // always fails
+    val d = delivery(client, deadlineMs = 500L)
+    d.start()
+    d.add(rec(0))
+    val e = intercept[IllegalStateException](d.flush())
+    assert(e.getMessage.contains("deadline"))
+  }
+
+  test("property: chunking covers all records with no batch over the cap") {
+    val prop = Prop.forAll(Gen.chooseNum(0, 2000), Gen.chooseNum(1, 500)) { (n, cap) =>
+      val client = new FakeClient(_ => Nil)
+      val d = delivery(client, maxBatch = cap)
+      d.start()
+      (0 until n).foreach(i => d.add(rec(i)))
+      d.flush()
+      client.calls.forall(_.size <= cap) &&
+        client.calls.map(_.size).sum == n &&
+        client.delivered == (0 until n).map(i => s"payload-$i")
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: retry subset selection always picks exactly the failed indices") {
+    val prop = Prop.forAll(Gen.chooseNum(1, 50), Gen.listOf(Gen.chooseNum(0, 49))) { (n, rawFails) =>
+      val fails = rawFails.distinct.filter(_ < n).sorted
+      val client = new FakeClient({ case 0 => fails; case _ => Nil })
+      val d = delivery(client)
+      d.start()
+      (0 until n).foreach(i => d.add(rec(i)))
+      d.flush()
+      val expectedRetry = fails.map(i => s"payload-$i")
+      val actualRetry =
+        if (client.calls.size > 1) client.calls(1).map(r => new String(r.data, "UTF-8")).toList
+        else Nil
+      actualRetry == expectedRetry &&
+        client.delivered.sorted == (0 until n).map(i => s"payload-$i").sorted
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(r.passed, r.status.toString)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.stream
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.zip.GZIPOutputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+import graft.logs.CloudFrontTransform
+import graft.sink.{KinesisSinkConfig, PutEntry, RecordsClient, SinkRecord}
+
+/** Raw-log row for MemoryStream micro-batch tests: the subset of the 33
+  * columns the canonical transform and the windowed operators touch. */
+case class LogRow(
+    log_date: String, log_time: String, http_user_agent: String,
+    http_referer: String, src_ip: String, cf_request_id: String,
+    cf_result: String, bytes_sent: String, serviceId: String, env: String)
+
+/** Collects everything "delivered" across executor threads (local mode =
+  * one JVM, so a static object is visible to the writer tasks). */
+object CollectingClient extends RecordsClient {
+  val received = new ConcurrentLinkedQueue[(String, String)]
+  override def putRecords(stream: String, records: IndexedSeq[SinkRecord]): IndexedSeq[PutEntry] = {
+    records.foreach(r => received.add((new String(r.data, "UTF-8"), r.partitionKey)))
+    records.map(_ => PutEntry(None))
+  }
+}
+
+/** Streaming semantics tests (SURVEY §5.2-4): watermarked tumbling
+  * windows with late-data drop, stateful dedup, session windows,
+  * batch-vs-streaming equivalence, and the full file→transform→sink
+  * pipeline against the fake Kinesis client.
+  */
+class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def row(time: String, ip: String = "1.1.1.1", reqId: String = java.util.UUID.randomUUID().toString,
+      result: String = "Hit", bytes: String = "100"): LogRow =
+    LogRow("2019-01-18", time, "ua", "-", ip, reqId, result, bytes, "svc", "stg")
+
+  private def withQuery[T](df: org.apache.spark.sql.DataFrame, name: String, mode: String)(body: org.apache.spark.sql.streaming.StreamingQuery => T): T = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try body(q) finally q.stop()
+  }
+
+  test("tumbling rollup emits finalized windows and drops data later than the watermark") {
+    val input = MemoryStream[LogRow](spark)
+    val rollup = LogStream.hourlyRollup(
+      CloudFrontTransform.canonicalCols(input.toDF()), "1 hour", "30 minutes")
+    withQuery(rollup, "rollup_append", "append") { q =>
+      input.addData(row("02:10:00"), row("02:20:00", result = "Miss"), row("02:40:00"))
+      q.processAllAvailable()
+      // advance watermark far past the 02:00 window
+      input.addData(row("06:00:00"))
+      q.processAllAvailable()
+      val finalized = spark.table("rollup_append")
+        .select("window_start", "cf_result", "requests", "bytes_sent").collect()
+      val hits = finalized.find(r => r.getString(1) == "Hit").get
+      assert(hits.getLong(2) == 2 && hits.getLong(3) == 200L)
+      assert(finalized.count(_.getString(1) == "Miss") == 1)
+      // a record 3.5 h late (watermark is 05:30) must be silently dropped
+      val before = spark.table("rollup_append").count()
+      input.addData(row("02:15:00"))
+      q.processAllAvailable()
+      input.addData(row("09:00:00")) // push watermark again so any state would flush
+      q.processAllAvailable()
+      val after = spark.table("rollup_append")
+        .where(col("window_start") === "2019-01-18 02:00:00").collect()
+      assert(after.map(_.getLong(2)).sum == 3, "late row must not re-open the 02:00 window")
+      assert(spark.table("rollup_append").count() >= before)
+    }
+  }
+
+  test("streaming rollup equals the batch rollup on the same data (complete mode)") {
+    val rows = Seq(row("02:10:00"), row("02:20:00"), row("03:05:00", result = "Miss"),
+      row("03:30:00"), row("10:00:00"))
+    val input = MemoryStream[LogRow](spark)
+    val rollup = LogStream.hourlyRollup(CloudFrontTransform.canonicalCols(input.toDF()))
+    withQuery(rollup, "rollup_complete", "complete") { q =>
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("rollup_complete")
+        .orderBy("window_start", "cf_result")
+        .collect().map(_.toSeq).toSeq
+      val batch = LogStream.hourlyRollup(
+        CloudFrontTransform.canonicalCols(rows.toDF()))
+        .orderBy("window_start", "cf_result")
+        .collect().map(_.toSeq).toSeq
+      assert(streaming == batch)
+    }
+  }
+
+  test("stateful dedup keeps one row per request id within the watermark") {
+    val input = MemoryStream[LogRow](spark)
+    val deduped = LogStream.dedupedByRequestId(
+      CloudFrontTransform.canonicalCols(input.toDF()))
+      .select("cf_request_id")
+    withQuery(deduped, "dedup_out", "append") { q =>
+      input.addData(row("02:00:00", reqId = "r1"), row("02:00:01", reqId = "r1"),
+        row("02:00:02", reqId = "r2"))
+      q.processAllAvailable()
+      input.addData(row("02:00:03", reqId = "r1")) // still duplicate
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect().map(_.getString(0)).sorted
+      assert(got.toSeq == Seq("r1", "r2"))
+    }
+  }
+
+  test("session windows merge events within the gap and close after it") {
+    val input = MemoryStream[LogRow](spark)
+    val sessions = LogStream.sessions(
+      CloudFrontTransform.canonicalCols(input.toDF()), "30 minutes", "1 minute")
+    withQuery(sessions, "sessions_out", "append") { q =>
+      input.addData(row("02:00:00"), row("02:10:00"), row("04:00:00"))
+      q.processAllAvailable()
+      input.addData(row("08:00:00")) // advance watermark, close all sessions
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .select(date_format(col("session_start"), "HH:mm").as("s"),
+          date_format(col("session_end"), "HH:mm").as("e"), col("requests"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      assert(got.contains(("02:00", "02:40", 2L)), s"got ${got.toSeq}")
+      assert(got.contains(("04:00", "04:30", 1L)), s"got ${got.toSeq}")
+    }
+  }
+
+  test("end-to-end: gz fixture directory → canonical stream → kinesis-shaped sink") {
+    val root: Path = Files.createTempDirectory("cf-stream")
+    val dir = root.resolve("prod").resolve("svc-42")
+    Files.createDirectories(dir)
+    val out = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(dir.resolve("f1.gz").toFile)), "UTF-8"))
+    out.write("#Version: 1.0\n#Fields: x\n")
+    (0 until 7).foreach { i =>
+      out.write((Seq("2019-01-18", f"02:00:0$i") ++ Seq.fill(31)("-")).mkString("\t") + "\n")
+    }
+    out.close()
+    CollectingClient.received.clear()
+    val ckpt = Files.createTempDirectory("cf-ckpt").toString
+    val q = LogStream.run(spark, s"$root/*/*/*.gz", CollectingClient,
+      KinesisSinkConfig("test-stream"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val got = CollectingClient.received.asScala.toSeq
+    assert(got.size == 7)
+    assert(got.forall(_._2.matches("[0-9a-f]{32}")))
+    assert(got.forall(_._1.contains("\"env\":\"prod\"")))
+    assert(got.forall(_._1.contains("\"serviceId\":\"svc-42\"")))
+    assert(got.map(_._1).exists(_.contains("\"@timestamp\":\"2019-01-18T02:00:03+00:00\"")))
+  }
+}
