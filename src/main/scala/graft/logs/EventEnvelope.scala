@@ -1,0 +1,61 @@
+package graft.logs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference operator S1: the SNS-wrapped S3 `ObjectCreated` event →
+  * `(bucket, key)` unwrap (`cloudfront_kinesis_lambda.py:256-260`),
+  * declaratively: `from_json` against the nested envelope schema, then
+  * a second `from_json` for the S3 notification carried inside the SNS
+  * `Message` string, then the key-path split that yields `env` and
+  * `serviceId` (`cloudfront_kinesis_lambda.py:171-173`).
+  *
+  * In the Spark engine the *file source itself* plays the trigger role
+  * (new files per micro-batch), but an event-driven deployment can feed
+  * the raw event stream (e.g. from a queue) through this parser to know
+  * which objects arrived.
+  */
+object EventEnvelope {
+
+  /** Lambda event shape: Records[0].Sns.Message (a JSON string). */
+  val snsEnvelopeSchema: StructType = StructType(Seq(
+    StructField("Records", ArrayType(StructType(Seq(
+      StructField("Sns", StructType(Seq(
+        StructField("Message", StringType))))))))))
+
+  /** S3 notification shape inside the Message:
+    * Records[0].s3.{bucket.name, object.key}. */
+  val s3NotificationSchema: StructType = StructType(Seq(
+    StructField("Records", ArrayType(StructType(Seq(
+      StructField("s3", StructType(Seq(
+        StructField("bucket", StructType(Seq(StructField("name", StringType)))),
+        StructField("object", StructType(Seq(StructField("key", StringType)))))))))))))
+
+  /** Raw event JSON column → struct<bucket, key, env, serviceId>.
+    * Key layout `/{env}/{logging_id}/{file}.gz`; a leading slash makes
+    * element_at(1) empty, so env/serviceId are read as the 2nd and 3rd
+    * segments, matching the reference's `split_key[1]`/`[2]`. */
+  def unwrap(eventJson: Column): Column = {
+    val msg = element_at(
+      from_json(eventJson, snsEnvelopeSchema).getField("Records"), 1)
+      .getField("Sns").getField("Message")
+    val s3 = element_at(
+      from_json(msg, s3NotificationSchema).getField("Records"), 1)
+      .getField("s3")
+    val key = s3.getField("object").getField("key")
+    val parts = split(key, "/")
+    struct(
+      s3.getField("bucket").getField("name").as("bucket"),
+      key.as("key"),
+      element_at(parts, 2).as("env"),
+      element_at(parts, 3).as("serviceId"))
+  }
+
+  /** DataFrame face: `events(df, "event_json")` → bucket/key/env/serviceId. */
+  def parse(df: DataFrame, jsonCol: String): DataFrame =
+    df.withColumn("_evt", unwrap(col(jsonCol)))
+      .select(col("*"), col("_evt.bucket"), col("_evt.key"),
+        col("_evt.env"), col("_evt.serviceId"))
+      .drop("_evt")
+}

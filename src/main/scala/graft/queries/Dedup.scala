@@ -17,15 +17,34 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Tokens → distinct 3-token shingles. Docs shorter than 3 tokens get
-    * an empty set. */
-  private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles",
-        when(size(col("toks")) >= 3,
-          array_distinct(expr(
-            "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
-          .otherwise(array().cast("array<string>")))
+  /** One row per 3-token shingle occurrence: `(doc_id, source, h)` with
+    * `h` = xxhash64 of the shingle text. Shape matters for both speed
+    * and scale: a `transform(sequence(...), …)` lambda formulation is
+    * interpreted (higher-order functions have no codegen) and
+    * `CollapseProject` re-inlines `split(text)` into every lambda slot
+    * — measured ~1 ms/doc. posexplode + window `lead` keeps the whole
+    * pipeline in codegen, and its doc_id shuffle is one every consumer
+    * (signature agg / shingle-set agg) needs anyway. Docs shorter than
+    * 3 tokens produce no rows. */
+  private def shingleHashes(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    df.select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .withColumn("t1", lead(col("t"), 1).over(w))
+      .withColumn("t2", lead(col("t"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("source"),
+        xxhash64(concat_ws(" ", col("t"), col("t1"), col("t2"))).as("h"))
+  }
+
+  /** Distinct shingle-hash set per doc (64-bit hashes stand in for the
+    * shingle strings: Jaccard over the hash sets equals Jaccard over
+    * the string sets absent xxhash64 collisions, and the arrays carried
+    * through joins shrink from ~50 strings to ~50 longs). */
+  private def shingleSets(df: DataFrame): DataFrame =
+    shingleHashes(df)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(collect_set(col("h")).as("shingles"))
 
   /** Exact dedup, keep-earliest-representative: row_number over the key
     * ordered by (ts, event_id). Deterministic, unlike dropDuplicates —
@@ -53,35 +72,51 @@ object Dedup {
   )
 
   /** MinHash + LSH near-duplicate candidates:
-    * shingle → 16 minhashes (xxhash64 seeded by position) → 4 bands of 4
-    * → band-hash bucket join → exact Jaccard verification on candidates.
+    * shingle → 16 minhashes → 4 bands of 4 → band-hash bucket join →
+    * exact Jaccard verification on candidates.
     *
+    * Execution shape chosen for codegen (and therefore 100 TB): nested
+    * higher-order-function lambdas are *interpreted* in Spark, so the
+    * signature is computed as explode(shingles) → one string xxhash64
+    * per shingle → 16 `min` aggregates over cheap long re-hashes —
+    * all whole-stage-codegen'd HashAggregate with map-side combine.
     * The candidate join is on (band, band_hash) — only docs agreeing on
-    * a full band ever meet, so work scales with collision count, not n².
-    * Output: top candidate pairs by verified Jaccard (not SQL-oracle-able
-    * — xxhash64 is engine-specific; driver records rows-only).
+    * a full band ever meet, so work scales with collision count, not
+    * n². Output: top candidate pairs by verified Jaccard (engine-
+    * specific hashing → driver records rows-only).
     */
   private val qMinhashDup = Q(
     "q_minhash_dup",
     (s, d) => {
-      val docs = withShingles(Tables.documents(s, d))
-        .filter(size(col("shingles")) > 0)
-        .select(col("doc_id"), col("shingles"))
-      val sig = docs.withColumn("sig",
-        expr("transform(sequence(0, 15), k -> array_min(transform(shingles, sh -> xxhash64(k, sh))))"))
-      val bands = sig.select(col("doc_id"), col("shingles"),
+      // single agg pass produces the 16-slot signature AND the distinct
+      // shingle-hash set used for candidate verification (min over
+      // occurrences == min over distinct values, so no pre-dedup needed)
+      val sig = shingleHashes(Tables.documents(s, d))
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("h")).as("shingles"),
+          (0 until 16).map(k => min(xxhash64(lit(k), col("h"))).as(s"s$k")): _*)
+      val docs = sig.select(col("doc_id"), col("shingles"))
+      val bands = sig.select(col("doc_id"),
           explode(expr(
-            "transform(sequence(0, 3), b -> named_struct('band', b, 'bh', xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))"))
-            .as("band"))
-        .select(col("doc_id"), col("shingles"), col("band.band"), col("band.bh"))
-      val l = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-      val r = bands.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-      l.join(r, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+            """array(named_struct('band', 0, 'bh', xxhash64(s0, s1, s2, s3)),
+                     named_struct('band', 1, 'bh', xxhash64(s4, s5, s6, s7)),
+                     named_struct('band', 2, 'bh', xxhash64(s8, s9, s10, s11)),
+                     named_struct('band', 3, 'bh', xxhash64(s12, s13, s14, s15)))""")).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.bh"))
+      val l = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      val r = bands.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+      val pairs = l.join(r, Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      // exact-Jaccard verification only on the candidate pairs
+      val a = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+      pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
         .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(max(col("jaccard")).as("jaccard"))
+          (col("inter").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter"))).as("jaccard"))
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(50)
     },
@@ -96,12 +131,33 @@ object Dedup {
   private val qSimhashDup = Q(
     "q_simhash_dup",
     (s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("hs", expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
-        .withColumn("simhash", expr(
-          """aggregate(sequence(0, 63), 0L, (acc, b) ->
-             acc + IF(size(filter(hs, h -> (h >> b) & 1 = 1)) * 2 > size(hs), shiftleft(1L, b), 0L))"""))
-        .select(col("doc_id"), col("simhash"))
+      // Same codegen rationale as minhash: explode distinct tokens, one
+      // string hash each, then 64 per-bit SUM aggregates (map-side
+      // combined) and a single majority-vote bit-assembly expression.
+      // dropDuplicates materializes h through an aggregate, so the 64
+      // per-bit references below read an attribute instead of letting
+      // CollapseProject re-inline (and recompute) the string hash 64×
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"), xxhash64(col("t")).as("h"))
+        .dropDuplicates("doc_id", "h")
+      // 64 per-bit counters packed 4-to-a-long (16-bit slots, safe to
+      // 65k tokens/doc): 16 SUM aggregates instead of 64 keeps the
+      // generated aggregate code small — the unpacked version spent
+      // more time in Janino compilation than in data
+      val packedSums = (0 until 16).map { j =>
+        val terms = (0 until 4)
+          .map(k => s"(((h >> ${j + 16 * k}) & 1) << ${16 * k})")
+          .mkString(" | ")
+        sum(expr(terms)).as(s"p$j")
+      }
+      val bitSums = tok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), packedSums: _*)
+      val assemble = (0 until 64).map { b =>
+        val (j, k) = (b % 16, b / 16)
+        s"IF(((p$j >> ${16 * k}) & 65535) * 2 > n, ${1L << b}L, 0L)"
+      }.mkString(" + ")
+      val docs = bitSums.select(col("doc_id"), expr(assemble).as("simhash"))
       val bands = docs.select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), b -> named_struct('band', b, 'bits', (simhash >> (16*b)) & 65535))")).as("bd"))
@@ -125,16 +181,15 @@ object Dedup {
   private val qNgramJaccard = Q(
     "q_ngram_jaccard",
     (s, d) => {
-      val docs = withShingles(Tables.documents(s, d))
-        .filter(size(col("shingles")) > 0)
-        .select(col("doc_id"), col("source"), col("shingles"))
+      val docs = shingleSets(Tables.documents(s, d))
       val a = docs.select(col("source"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
       val b = docs.select(col("source"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
       a.join(b, Seq("source"))
         .filter(col("doc_b") > col("doc_a") && col("doc_b") <= col("doc_a") + 20)
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
         .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+          (col("inter").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter"))).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some("""WITH s AS (
@@ -142,14 +197,17 @@ object Dedup {
                 list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
                   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingles
               FROM documents
-              WHERE len(string_split(text,' ')) >= 3)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              len(list_intersect(a.shingles, b.shingles)) /
-                len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-            FROM s a JOIN s b
-              ON a.source = b.source
-             AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
-            ORDER BY doc_a, doc_b""")
+              WHERE len(string_split(text,' ')) >= 3),
+                 p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                len(list_intersect(a.shingles, b.shingles)) AS inter,
+                len(a.shingles) AS na, len(b.shingles) AS nb
+              FROM s a JOIN s b
+                ON a.source = b.source
+               AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20)
+            SELECT doc_a, doc_b,
+              CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+            FROM p ORDER BY doc_a, doc_b""")
   )
 
   def qs: Seq[Q] = Seq(qDedupExact, qMinhashDup, qSimhashDup, qNgramJaccard)

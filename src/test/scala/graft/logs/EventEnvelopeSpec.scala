@@ -1,0 +1,35 @@
+package graft.logs
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** S1: SNS-wrapped S3 event → (bucket, key, env, serviceId), the shape
+  * from `cloudfront_kinesis_lambda.py:256-260` and the key layout from
+  * `:167-173`. */
+class EventEnvelopeSpec extends AnyFunSuite with SparkTestSupport {
+
+  private val event =
+    """{"Records":[{"Sns":{"Message":
+      |"{\"Records\":[{\"s3\":{\"bucket\":{\"name\":\"cf-logs-bucket\"},
+      |\"object\":{\"key\":\"/stg/bf574f33-66e3-4936-a0b6-420325157173/EGI5P51QNDZ.2019-01-18-02.a3221b62.gz\"}}}]}"
+      |}}]}""".stripMargin.replace("\n", "")
+
+  test("unwraps bucket, key, env, serviceId from the nested envelope") {
+    import spark.implicits._
+    val out = EventEnvelope.parse(Seq(event).toDF("event_json"), "event_json")
+      .select("bucket", "key", "env", "serviceId").collect()(0)
+    assert(out.getString(0) == "cf-logs-bucket")
+    assert(out.getString(1) == "/stg/bf574f33-66e3-4936-a0b6-420325157173/EGI5P51QNDZ.2019-01-18-02.a3221b62.gz")
+    assert(out.getString(2) == "stg")
+    assert(out.getString(3) == "bf574f33-66e3-4936-a0b6-420325157173")
+  }
+
+  test("malformed event yields nulls, not an exception (PERMISSIVE semantics)") {
+    import spark.implicits._
+    val out = EventEnvelope.parse(Seq("""{"nope":1}""").toDF("event_json"), "event_json")
+      .select("bucket", "key").collect()(0)
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+}
