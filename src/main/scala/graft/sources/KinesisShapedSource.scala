@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The ingestion half of the reference's Kinesis boundary: a
+  * Structured-Streaming *source* shaped like a Kinesis stream (shards,
+  * per-shard monotone sequence numbers, at-least-once offsets), so the
+  * engine can consume the record stream the sink produces — the
+  * downstream role `prod-logs` plays in the reference architecture
+  * (`cloudfront_kinesis_lambda.py:122`).
+  *
+  * Like the sink's `RecordsClient`, the transport is pluggable and the
+  * in-container implementation is an in-memory shard store (no AWS SDK
+  * here); the Spark side — DataSource V2 `TableProvider` →
+  * `MicroBatchStream` with per-shard offsets, one input partition per
+  * shard — is the real, scale-relevant plumbing: a 1000-shard stream
+  * reads as 1000 parallel partitions, offsets commit per micro-batch,
+  * and replay from a checkpoint re-reads exactly the uncommitted range.
+  */
+object KinesisShapedStore {
+
+  final case class StoredRecord(
+      data: Array[Byte], partitionKey: String, seq: Long, arrivalMs: Long)
+
+  private val streams = TrieMap[String, Array[ArrayBuffer[StoredRecord]]]()
+
+  def createStream(name: String, shards: Int): Unit =
+    streams.put(name, Array.fill(shards)(new ArrayBuffer[StoredRecord]))
+
+  def deleteStream(name: String): Unit = streams.remove(name)
+
+  /** Kinesis routing: shard chosen by hash of the partition key. */
+  def put(name: String, partitionKey: String, data: Array[Byte]): Unit = {
+    val shards = streams(name)
+    val shard = shards(math.floorMod(partitionKey.hashCode, shards.length))
+    shard.synchronized {
+      shard += StoredRecord(data, partitionKey, shard.size.toLong,
+        System.currentTimeMillis())
+    }
+  }
+
+  def shardCount(name: String): Int = streams(name).length
+
+  /** Current end sequence number per shard (exclusive). */
+  def latestSeqs(name: String): Array[Long] =
+    streams(name).map(s => s.synchronized(s.size.toLong))
+
+  def range(name: String, shard: Int, from: Long, until: Long): IndexedSeq[StoredRecord] = {
+    val s = streams(name)(shard)
+    s.synchronized(s.slice(from.toInt, until.toInt).toIndexedSeq)
+  }
+}
+
+object KinesisShapedSource {
+  val schema: StructType = StructType(Seq(
+    StructField("data", BinaryType),
+    StructField("partitionKey", StringType),
+    StructField("shardId", IntegerType),
+    StructField("sequenceNumber", LongType),
+    StructField("approximateArrivalTimestamp", TimestampType)))
+}
+
+class KinesisShapedSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kinesis-shaped"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KinesisShapedSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KinesisShapedTable(properties.get("stream"))
+}
+
+private class KinesisShapedTable(stream: String) extends Table with SupportsRead {
+  require(stream != null, "option 'stream' is required")
+  override def name(): String = s"kinesis-shaped:$stream"
+  override def schema(): StructType = KinesisShapedSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = KinesisShapedSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new KinesisShapedMicroBatchStream(stream)
+    }
+}
+
+/** Per-shard sequence-number vector, the analog of a Kinesis consumer's
+  * checkpointed shard iterators. */
+private case class ShardOffsets(seqs: Seq[Long]) extends Offset {
+  override def json(): String = seqs.mkString("[", ",", "]")
+}
+
+private object ShardOffsets {
+  def fromJson(json: String): ShardOffsets = {
+    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
+    ShardOffsets(
+      if (body.isEmpty) Seq.empty else body.split(",").map(_.trim.toLong).toSeq)
+  }
+}
+
+private class KinesisShapedMicroBatchStream(stream: String) extends MicroBatchStream {
+
+  override def initialOffset(): Offset =
+    ShardOffsets(Seq.fill(KinesisShapedStore.shardCount(stream))(0L))
+
+  override def latestOffset(): Offset =
+    ShardOffsets(KinesisShapedStore.latestSeqs(stream).toSeq)
+
+  override def deserializeOffset(json: String): Offset = ShardOffsets.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ShardOffsets].seqs
+    val e = end.asInstanceOf[ShardOffsets].seqs
+    e.indices.map { shard =>
+      val from = if (shard < s.size) s(shard) else 0L
+      KinesisShardPartition(stream, shard, from, e(shard)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[KinesisShardPartition]
+      new PartitionReader[InternalRow] {
+        private val records =
+          KinesisShapedStore.range(p.stream, p.shard, p.from, p.until).iterator
+        private var current: KinesisShapedStore.StoredRecord = _
+        override def next(): Boolean = {
+          if (!records.hasNext) return false
+          current = records.next(); true
+        }
+        override def get(): InternalRow = InternalRow(
+          current.data,
+          UTF8String.fromString(current.partitionKey),
+          p.shard,
+          current.seq,
+          current.arrivalMs * 1000L)
+        override def close(): Unit = ()
+      }
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private case class KinesisShardPartition(
+    stream: String, shard: Int, from: Long, until: Long) extends InputPartition

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+import graft.sink.{KinesisSinkConfig, KinesisShapedSink, PutEntry, RecordsClient, SinkRecord}
+
+/** The DSv2 kinesis-shaped source: per-shard offsets, incremental
+  * micro-batches, and the full produce→consume loop through the
+  * kinesis-shaped sink. */
+class KinesisShapedSourceSpec extends AnyFunSuite with SparkTestSupport {
+
+  test("streams records with per-shard offsets; later puts arrive in later micro-batches") {
+    val stream = "src-spec-1"
+    KinesisShapedStore.createStream(stream, 4)
+    (0 until 100).foreach(i =>
+      KinesisShapedStore.put(stream, s"key-$i", s"rec-$i".getBytes("UTF-8")))
+    val df = spark.readStream.format("kinesis-shaped")
+      .option("stream", stream).load()
+      .select(col("shardId"), col("sequenceNumber"),
+        col("data").cast("string").as("payload"))
+    val q = df.writeStream.format("memory").queryName("ksrc").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ksrc").count() == 100)
+      // incremental: new puts picked up from the committed offsets
+      (100 until 130).foreach(i =>
+        KinesisShapedStore.put(stream, s"key-$i", s"rec-$i".getBytes("UTF-8")))
+      q.processAllAvailable()
+      val rows = spark.table("ksrc").collect()
+      assert(rows.length == 130)
+      assert(rows.map(_.getAs[String]("payload")).sorted.toSeq ==
+        (0 until 130).map(i => s"rec-$i").sorted)
+      // per-shard sequence numbers are dense from 0
+      val byShard = rows.groupBy(_.getAs[Int]("shardId"))
+      assert(byShard.size == 4)
+      byShard.values.foreach { rs =>
+        assert(rs.map(_.getAs[Long]("sequenceNumber")).sorted.toSeq ==
+          (0L until rs.length.toLong))
+      }
+    } finally q.stop()
+    KinesisShapedStore.deleteStream(stream)
+  }
+
+  test("full loop: batch sink delivery → shard store → streaming consumer") {
+    val stream = "src-spec-loop"
+    KinesisShapedStore.createStream(stream, 2)
+    val client = new RecordsClient {
+      override def putRecords(s: String, records: IndexedSeq[SinkRecord]): IndexedSeq[PutEntry] = {
+        records.foreach(r => KinesisShapedStore.put(stream, r.partitionKey, r.data))
+        records.map(_ => PutEntry(None))
+      }
+    }
+    import spark.implicits._
+    val out = (0 until 57).map(i => (s"""{"n":$i}""", f"k$i%032d")).toDF("Data", "PartitionKey")
+    KinesisShapedSink.writeBatch(out, client, KinesisSinkConfig(stream, maxBatch = 10))
+    val df = spark.readStream.format("kinesis-shaped").option("stream", stream).load()
+      .select(get_json_object(col("data").cast("string"), "$.n").cast("int").as("n"))
+    val q = df.writeStream.format("memory").queryName("kloop").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kloop").collect().map(_.getInt(0)).sorted.toSeq == (0 until 57))
+    } finally q.stop()
+    KinesisShapedStore.deleteStream(stream)
+  }
+}
