@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+import graft.functions.{CosineSim, DotProduct}
 import graft.logs.expressions.UrlUnquote
 
 /** Engine extensions, injected via the public
@@ -17,5 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("url_unquote"),
       new ExpressionInfo(classOf[UrlUnquote].getName, "url_unquote"),
       (args: Seq[Expression]) => UrlUnquote(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))))
   }
 }

@@ -24,13 +24,13 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
 
-  /** cosine(a, b) = dot / sqrt(dot(a,a) * dot(b,b)), each dot a
-    * sequential left fold — mirrors DuckDB list_dot_product exactly. */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
+  /** cosine(a, b) = dot / sqrt(dot(a,a) * dot(b,b)) via the codegen'd
+    * `CosineSim` kernel (graft.functions.VectorExpressions) — the same
+    * sequential left fold as DuckDB's list_dot_product, so oracle
+    * hashes match, but compiled into the whole-stage loop instead of
+    * interpreted zip_with/aggregate lambdas. */
+  private def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   private val oracleDot =
     "list_dot_product(%s, %s)"
@@ -76,23 +76,42 @@ object Similarity {
   )
 
   /** Random-hyperplane LSH (the ANN scale path): 4 hash tables × 8
-    * deterministic pseudo-random hyperplanes each (weights derived from
-    * xxhash64(table*8+plane, dim) — no RNG, reproducible across runs).
-    * Sign bits → 8-bit bucket per table; candidates = same-(table,bucket)
-    * pairs, unioned across tables (OR-amplification for recall), then
-    * exact cosine re-rank. Candidate count tracks bucket collisions, not
-    * corpus size. Engine-specific hashing → rows-only check. */
+    * deterministic pseudo-random hyperplanes each (weights from a
+    * splitmix64 sequence computed once on the driver — no RNG state,
+    * reproducible across runs; the planes ship to executors as array
+    * literals, a broadcast of 2 KB). Sign bits of 8 codegen'd
+    * dot-products → 8-bit bucket per table; candidates =
+    * same-(table,bucket) pairs, unioned across tables
+    * (OR-amplification for recall), then exact cosine re-rank.
+    * Candidate count tracks bucket collisions, not corpus size.
+    * Engine-specific hashing → rows-only check. */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** plane(t, p) = 64 weights in [-1, 1). */
+  private def plane(t: Int, p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      (splitmix64((t * 8L + p) * 1024L + j).toDouble / Long.MaxValue)
+    }
+
   private val qSimilarityLsh = Q(
     "q_similarity_lsh",
     (s, d) => {
       val e = embDouble(s, d)
-      // table t, plane p, dim j weight in [-1, 1): (xxhash64(8t+p, j) mod 2001 - 1000) / 1000
+      val dim = 64
+      val tables = (0 until 4).map { t =>
+        val bucket = (0 until 8).map { p =>
+          when(call_function("dot_product", col("emb"), typedLit(plane(t, p, dim))) > 0d,
+            lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(t).as("tbl"), bucket.as("bucket"))
+      }
       val bucketed = e.select(col("vec_id"), col("emb"),
-          explode(expr("""transform(sequence(0, 3), t -> named_struct('tbl', t, 'bucket',
-              aggregate(sequence(0, 7), 0L, (acc, p) ->
-                acc + IF(aggregate(sequence(0, size(emb) - 1), 0D,
-                  (dp, j) -> dp + emb[j] * (CAST(pmod(xxhash64(t * 8 + p, j), 2001) AS DOUBLE) - 1000.0) / 1000.0) > 0D,
-                shiftleft(1L, p), 0L))))""")).as("h"))
+          explode(array(tables: _*)).as("h"))
         .select(col("vec_id"), col("emb"), col("h.tbl"), col("h.bucket"))
       val l = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("query_id"), col("emb").as("qemb"))
         .filter(col("query_id") < 10)

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** The codegen'd vector kernels must agree bit-for-bit with the
+  * sequential-fold reference (same order ⇒ same IEEE result) and be
+  * null-safe. */
+class VectorExpressionsSpec extends AnyFunSuite with SparkTestSupport {
+
+  test("dot_product and cosine_sim match a sequential fold exactly") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 128)
+      a <- Gen.listOfN(n, Gen.chooseNum(-10.0, 10.0))
+      b <- Gen.listOfN(n, Gen.chooseNum(-10.0, 10.0))
+    } yield (a, b)
+    val prop = Prop.forAll(gen) { case (a, b) =>
+      val expectDot = a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+      val expectCos = {
+        val daa = a.foldLeft(0.0)((acc, x) => acc + x * x)
+        val dbb = b.foldLeft(0.0)((acc, x) => acc + x * x)
+        expectDot / math.sqrt(daa * dbb)
+      }
+      val row = spark.sql(
+        s"SELECT dot_product(a, b), cosine_sim(a, b) FROM VALUES " +
+          s"(array(${a.map(x => s"${x}d").mkString(",")}), " +
+          s"array(${b.map(x => s"${x}d").mkString(",")})) t(a, b)")
+        .collect()(0)
+      // == comparison: identical fold order must give identical bits
+      java.lang.Double.compare(row.getDouble(0), expectDot) == 0 &&
+        (expectCos.isNaN && row.getDouble(1).isNaN ||
+          java.lang.Double.compare(row.getDouble(1), expectCos) == 0)
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("null array yields null") {
+    val row = spark.sql(
+      "SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)), " +
+        "cosine_sim(array(1.0d), CAST(NULL AS ARRAY<DOUBLE>))").collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
+  test("interpreted eval path agrees with codegen (eval called directly)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val a = Literal.create(ArrayData.toArrayData(Array(1.0, 2.0, 3.0)), ArrayType(DoubleType))
+    val b = Literal.create(ArrayData.toArrayData(Array(4.0, 5.0, 6.0)), ArrayType(DoubleType))
+    assert(DotProduct(a, b).eval(null) == 32.0)
+    assert(CosineSim(a, b).eval(null).asInstanceOf[Double] ==
+      32.0 / math.sqrt(14.0 * 77.0))
+  }
+}
