@@ -1,12 +1,25 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.logs.{CloudFrontSource, CloudFrontTransform}
 import graft.sink.{KinesisShapedWriter, KinesisSinkConfig, RecordsClient}
+
+/** One request event for custom-state sessionization. */
+case class Hit(src_ip: String, ts: java.sql.Timestamp)
+
+/** Open-session state held per src_ip (epoch millis). */
+case class OpenSession(start: Long, last: Long, count: Long)
+
+/** A finalized session (end = last event + gap, matching
+  * `session_window`'s definition). */
+case class ClosedSession(
+    src_ip: String,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    requests: Long)
 
 /** Streaming shell (SURVEY §7.1-5): the reference's macro data model —
   * an unbounded stream of bounded log files
@@ -53,6 +66,63 @@ object LogStream {
       .agg(count(lit(1)).as("requests"))
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col("src_ip"), col("requests"))
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * escape hatch for gap logic `session_window` can't express (here it
+    * reproduces the same 30-min-gap semantics so the two variants are
+    * testable against each other; a real custom policy — e.g. cap
+    * session length, split on auth events — edits only the fold).
+    *
+    * State per src_ip is one open session (start, last, count), expired
+    * by event-time timeout when the watermark passes last + gap —
+    * bounded exactly like the built-in operator. Emits each session
+    * once, when it closes (Append semantics).
+    */
+  def sessionsCustom(
+      canonical: DataFrame,
+      gapMs: Long = 30L * 60 * 1000,
+      lateness: String = "2 hours"): Dataset[ClosedSession] = {
+    import canonical.sparkSession.implicits._
+    canonical
+      .withWatermark("`@timestamp`", lateness)
+      .select(col("src_ip"), col("@timestamp").as("ts"))
+      .as[Hit]
+      .groupByKey(_.src_ip)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (ip: String, events: Iterator[Hit], state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) = ClosedSession(
+            ip, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.last + gapMs), s.count)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(close(s))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var cur = state.getOption
+            events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(OpenSession(s.start, math.max(s.last, t), s.count + 1))
+                case Some(s) =>
+                  closed += close(s)
+                  cur = Some(OpenSession(t, t, 1))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout must sit above the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Stateful exact dedup on the request id — CloudFront at-least-once
     * delivery made exactly-once within the watermark horizon. State is

@@ -130,6 +130,40 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("custom-state sessionization agrees with the session_window variant") {
+    val data = Seq(row("02:00:00"), row("02:10:00"), row("04:00:00"),
+      row("03:00:00", ip = "2.2.2.2"), row("03:20:00", ip = "2.2.2.2"))
+    val end = row("08:00:00") // watermark push that closes everything
+
+    def collect(name: String, df: org.apache.spark.sql.DataFrame): Set[(String, String, String, Long)] = {
+      val input = MemoryStream[LogRow](spark)
+      // both variants read the same canonical stream shape
+      val out = if (name == "builtin")
+        LogStream.sessions(CloudFrontTransform.canonicalCols(input.toDF()), "30 minutes", "1 minute")
+      else
+        LogStream.sessionsCustom(CloudFrontTransform.canonicalCols(input.toDF()), 30L * 60 * 1000, "1 minute")
+          .select(col("session_start"), col("session_end"), col("src_ip"), col("requests").as("requests"))
+      withQuery(out.toDF(), s"sess_$name", "append") { q =>
+        input.addData(data: _*)
+        q.processAllAvailable()
+        input.addData(end)
+        q.processAllAvailable()
+        input.addData(row("09:00:00")) // second push: fires pending event-time timeouts
+        q.processAllAvailable()
+        spark.table(s"sess_$name")
+          .select(date_format(col("session_start"), "HH:mm").as("s"),
+            date_format(col("session_end"), "HH:mm").as("e"), col("src_ip"), col("requests"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      }
+    }
+    val builtin = collect("builtin", null)
+    val custom = collect("custom", null)
+    assert(builtin.subsetOf(custom), s"builtin=$builtin custom=$custom")
+    assert(custom.contains(("02:00", "02:40", "1.1.1.1", 2L)), custom)
+    assert(custom.contains(("03:00", "03:50", "2.2.2.2", 2L)), custom)
+    assert(custom.contains(("04:00", "04:30", "1.1.1.1", 1L)), custom)
+  }
+
   test("end-to-end: gz fixture directory → canonical stream → kinesis-shaped sink") {
     val root: Path = Files.createTempDirectory("cf-stream")
     val dir = root.resolve("prod").resolve("svc-42")
