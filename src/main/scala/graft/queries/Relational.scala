@@ -560,11 +560,70 @@ object Relational {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  // ------------------------------------------------------- scale patterns
+
+  /** Exact percentiles (median / p90 / p99) per group — the latency-
+    * analysis shape every log pipeline needs. Spark's `percentile` and
+    * DuckDB's `quantile_cont` both do linear interpolation. At 100 TB
+    * the same query swaps in `approx_percentile` (t-digest sketch,
+    * mergeable map-side) — kept exact here so the oracle can check it. */
+  private val qAggPercentile = Q(
+    "q_agg_percentile",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+              round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** Skew-mitigation pattern: the same lineitem⋈orders join as
+    * `q_join_large`, executed salted — the build side is replicated
+    * across 8 salt values and the probe side picks a deterministic salt
+    * per row, so one hot key spreads over 8 reducers instead of
+    * stalling one. Result is identical to the unsalted join (the oracle
+    * is the plain SQL join); the *plan* is what changes. AQE's
+    * skewedJoin does this adaptively; the explicit form is for engines/
+    * keys where the runtime can't see the skew (e.g. pre-shuffle agg). */
+  private val qJoinSalted = Q(
+    "q_join_salted",
+    (s, d) => {
+      val salts = 8
+      val salted = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          explode(array((0 until salts).map(lit): _*)).as("salt"))
+      val line = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts))
+            .cast("int").as("salt"))
+      // shuffle_hash hint: without it the planner would just broadcast
+      // the small dim at test SF and the salt would never see a shuffle
+      line.join(salted.hint("shuffle_hash"),
+          line("l_orderkey") === salted("o_orderkey") &&
+            line("salt") === salted("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+              round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
   def qs: Seq[Q] = Seq(
     qScanProjection, qFilterPredicate,
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
     qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
-    qAggGroupby, qAggDistinct, qAggApproxDistinct, qAggRollup,
+    qAggGroupby, qAggDistinct, qAggApproxDistinct, qAggRollup, qAggPercentile,
     qWindowRank, qWindowFrame, qTopk, qSetOps,
-    qSessionize, qTumblingWindow, qUdafCustom)
+    qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted)
 }
