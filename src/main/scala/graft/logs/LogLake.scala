@@ -1,0 +1,41 @@
+package graft.logs
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persistence layer a 100 TB deployment actually queries: the
+  * canonical+typed log events written as a parquet lake partitioned by
+  * `(env, log_day)`.
+  *
+  * Why this layout: CloudFront delivers millions of small unsplittable
+  * .gz files; re-materializing them once as typed parquet buys
+  *   - partition pruning: `WHERE env='prod' AND log_day='2019-01-18'`
+  *     never lists other days' files (asserted in `LogLakeSpec`);
+  *   - column pruning + min/max row-group skipping from typed columns
+  *     (a strings-only table can skip on nothing);
+  *   - splittable, right-sized files instead of gz row streams.
+  * Day granularity keeps partition counts sane at scale (~365 × envs
+  * per year, each holding many files) — hour-level partitioning would
+  * explode the metadata for little pruning gain over row-group stats.
+  */
+object LogLake {
+
+  /** Canonical (transformed) events → typed lake. `log_day` is derived
+    * from `@timestamp`; `env` already exists from path metadata. */
+  def write(canonical: DataFrame, path: String, mode: SaveMode = SaveMode.Append): Unit =
+    CloudFrontTransform.typed(canonical)
+      .withColumn("log_day", to_date(col("@timestamp")))
+      .repartition(col("env"), col("log_day"))
+      .write
+      .mode(mode)
+      .partitionBy("env", "log_day")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The pruned-scan shape: day + env predicates reach the file listing
+    * (PartitionFilters), value predicates reach parquet (PushedFilters). */
+  def forDay(spark: SparkSession, path: String, env: String, day: String): DataFrame =
+    read(spark, path).filter(col("env") === env && col("log_day") === day)
+}

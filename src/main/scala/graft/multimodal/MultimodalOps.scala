@@ -75,4 +75,42 @@ object MultimodalOps {
       it.grouped(BatchSize).flatMap(decodeBatch)
     }
   }
+
+  /** ??? REAL RESIZE GOES HERE ??? — stub: a real implementation decodes,
+    * scales, re-encodes in one native batch call. The fake clamps the
+    * header dims and truncates the payload proportionally so tests have
+    * stable expectations; the batched per-partition shape is the
+    * contract. */
+  private def resizeBatch(target: Int)(batch: Seq[MediaRecord]): Seq[MediaRecord] =
+    batch.map { m =>
+      val w = math.min(m.width, target)
+      val h = math.min(m.height, target)
+      val keep =
+        if (m.width * m.height == 0) 0
+        else (m.media.length.toLong * (w * h) / (m.width * m.height)).toInt
+      m.copy(media = m.media.take(keep), width = w, height = h)
+    }
+
+  /** Resize every payload to fit `target`×`target` (stubbed codec, real
+    * plumbing). */
+  def resize(media: Dataset[MediaRecord], target: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(resizeBatch(target)))
+  }
+
+  /** ??? REAL FRAME SAMPLER GOES HERE ??? — stub for the video verb:
+    * treats the payload as `width`-byte frames and keeps every
+    * `stride`-th one, emitting one MediaRecord per kept frame
+    * (`media_type` marks the frame index). One input row → many output
+    * rows: the flatMap shape a real sampler needs. */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val frameSize = math.max(m.width, 1)
+      m.media.grouped(frameSize).zipWithIndex
+        .collect { case (frame, i) if i % stride == 0 =>
+          m.copy(media = frame, media_type = s"frame/${i}")
+        }
+    }
+  }
 }

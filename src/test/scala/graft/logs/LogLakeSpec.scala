@@ -1,0 +1,58 @@
+package graft.logs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** The typed parquet lake: partition layout, round-trip typing, and —
+  * the point — partition pruning visible in the physical plan. */
+class LogLakeSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def canonicalFixture = {
+    val rows = Seq(
+      ("2019-01-18", "02:10:00", "prod", "200", "1000"),
+      ("2019-01-18", "03:10:00", "prod", "304", "-"),
+      ("2019-01-19", "02:10:00", "prod", "200", "2000"),
+      ("2019-01-18", "02:10:00", "stg", "500", "300"))
+      .toDF("log_date", "log_time", "env", "http_status", "bytes_sent")
+      .withColumn("http_user_agent", lit("ua"))
+      .withColumn("http_referer", lit("-"))
+      .withColumn("serviceId", lit("svc"))
+      .withColumn("cf_pop", lit("SYD1"))
+    CloudFrontTransform.canonicalCols(rows)
+  }
+
+  test("writes env/log_day partitions and round-trips typed values") {
+    val dir = Files.createTempDirectory("loglake").toString
+    LogLake.write(canonicalFixture, dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("env=")).sorted
+    assert(files.toSeq == Seq("env=prod", "env=stg"))
+    val back = LogLake.read(spark, dir)
+    assert(back.count() == 4)
+    // typed: bytes_sent long with '-' -> null; http_status int
+    val s = back.filter(col("env") === "stg").select("http_status", "bytes_sent").collect()(0)
+    assert(s.getInt(0) == 500 && s.getLong(1) == 300L)
+    assert(back.filter(col("bytes_sent").isNull).count() == 1)
+  }
+
+  test("day+env predicates prune partitions; value predicates push to parquet") {
+    val dir = Files.createTempDirectory("loglake2").toString
+    LogLake.write(canonicalFixture, dir)
+    val q = LogLake.forDay(spark, dir, "prod", "2019-01-18")
+      .filter(col("http_status") === 200)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("env#") && plan.contains("log_day#"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(http_status), EqualTo(http_status,200)]"), plan)
+    assert(q.count() == 1)
+    // pruned read really skips the other partitions' files
+    val scanned = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.inputFiles.length
+    }
+    assert(scanned.exists(_ <= 4)) // listing bounded; filters applied at planning
+  }
+}

@@ -1,0 +1,44 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+import graft.multimodal.MultimodalOps.MediaRecord
+
+/** Multimodal plumbing: binary columns through typed Datasets, batched
+  * per-partition transforms, deterministic stub codecs. */
+class MultimodalOpsSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def rec(id: Long, n: Int, w: Int, h: Int) =
+    MediaRecord(id, Array.tabulate(n)(i => (i % 251).toByte), "image/fake", w, h)
+
+  test("extractFeatures: batched, deterministic, feature dim fixed") {
+    val ds = Seq(rec(1, 300, 10, 10), rec(2, 0, 4, 4), rec(3, 1000, 20, 5)).toDS()
+    val out = MultimodalOps.extractFeatures(ds).collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(_.features.length == MultimodalOps.FeatureDim))
+    assert(out(0).n_bytes == 300 && out(1).n_bytes == 0)
+    // deterministic: same input → same features
+    val again = MultimodalOps.extractFeatures(ds).collect().sortBy(_.doc_id)
+    assert(out.zip(again).forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("resize clamps dims and shrinks payload proportionally") {
+    val ds = Seq(rec(1, 800, 40, 20), rec(2, 100, 8, 8)).toDS()
+    val out = MultimodalOps.resize(ds, 16).collect().sortBy(_.doc_id)
+    assert(out(0).width == 16 && out(0).height == 16)
+    assert(out(0).media.length == (800L * 256 / 800).toInt)
+    // already-small record untouched
+    assert(out(1).width == 8 && out(1).media.length == 100)
+  }
+
+  test("sampleFrames keeps every k-th width-sized frame, one row per frame") {
+    val ds = Seq(rec(1, 100, 10, 1)).toDS() // 10 frames of 10 bytes
+    val out = MultimodalOps.sampleFrames(ds, 3).collect()
+    assert(out.length == 4) // frames 0,3,6,9
+    assert(out.map(_.media_type).sorted.toSeq ==
+      Seq("frame/0", "frame/3", "frame/6", "frame/9"))
+    assert(out.forall(_.media.length == 10))
+  }
+}
