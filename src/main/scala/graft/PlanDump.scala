@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Plan-quality sweep: one summary line per registered query — physical
+  * join strategies, shuffle count, cartesian products — so plan
+  * regressions are visible at a glance (`sbt "runMain graft.PlanDump"`).
+  * Pass a query name to print its full formatted plan instead.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    if (args.nonEmpty) {
+      SparkEntry.queries(args(0))(spark, sf).explain("formatted")
+    } else {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, sf).queryExecution.executedPlan
+          def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+            case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+            case other => other +: other.children.flatMap(nodes)
+          }
+          val ns = nodes(plan)
+          val joins = ns.map(_.nodeName)
+            .filter(n => n.contains("Join") || n.contains("Cartesian"))
+            .groupBy(identity).map { case (k, v) => s"$k×${v.size}" }.toSeq.sorted
+          val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+          val flags = Seq(
+            if (ns.exists(_.nodeName.contains("Cartesian"))) "CARTESIAN!" else "",
+            if (joins.exists(_.startsWith("BroadcastNestedLoopJoin")) &&
+              !name.contains("bruteforce")) "BNLJ!" else "").filter(_.nonEmpty)
+          println(f"PLAN $name%-28s shuffles=$shuffles%-3d ${joins.mkString(",")}%-60s ${flags.mkString(" ")}")
+        } catch {
+          case e: Throwable => println(s"PLAN $name ERROR ${e.getMessage.take(80)}")
+        }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -251,15 +251,29 @@ object Relational {
     * forces a cartesian shuffle. */
   private val qJoinRange = Q(
     "q_join_range",
-    (s, d) =>
-      Tables.customer(s, d)
-        .join(
-          broadcast(Tables.supplier(s, d)),
-          col("c_acctbal") >= col("s_acctbal") - 100.0 &&
-            col("c_acctbal") <= col("s_acctbal") + 100.0)
+    (s, d) => {
+      // Banded range join: a raw non-equi condition plans as a
+      // broadcast-nested-loop (O(n·m) compares). Bucketing both sides
+      // at band = range width turns it into an equi-join on the bucket
+      // (the supplier side explodes into ≤3 adjacent buckets) with the
+      // exact range as a post-filter — the shape that scales: shuffle
+      // or broadcast on a key, compares only within a band.
+      val width = 100.0
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_acctbal"),
+          explode(sequence(
+            floor((col("s_acctbal") - 100.0) / width).cast("long"),
+            floor((col("s_acctbal") + 100.0) / width).cast("long"))).as("bucket"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          floor(col("c_acctbal") / width).cast("long").as("bucket"))
+      cust.join(sup, Seq("bucket"))
+        .filter(col("c_acctbal") >= col("s_acctbal") - 100.0 &&
+          col("c_acctbal") <= col("s_acctbal") + 100.0)
         .select(col("s_suppkey"), col("c_custkey"),
           (col("c_acctbal") - col("s_acctbal")).as("bal_diff"))
-        .orderBy(col("s_suppkey"), col("c_custkey")),
+        .orderBy(col("s_suppkey"), col("c_custkey"))
+    },
     Some("""SELECT s_suppkey, c_custkey, c_acctbal - s_acctbal AS bal_diff
             FROM customer JOIN supplier
               ON c_acctbal >= s_acctbal - 100.0 AND c_acctbal <= s_acctbal + 100.0

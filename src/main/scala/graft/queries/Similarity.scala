@@ -132,14 +132,21 @@ object Similarity {
   )
 
   /** Embedding-cosine near-duplicate pairs over a structurally bounded
-    * pair set (vec_id within 10): exact, SQL-oracle-able. */
+    * pair set (vec_id within 10): exact, SQL-oracle-able. Banded into
+    * an equi-join on floor(vec_id/10) (a-side explodes into its bucket
+    * and the next) — a bare non-equi condition would plan as an O(n²)
+    * broadcast-nested-loop. */
   private val qEmbedCosineDup = Q(
     "q_embed_cosine_dup",
     (s, d) => {
       val e = embDouble(s, d)
-      val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
-      val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"))
-      a.join(b, col("vec_b") > col("vec_a") && col("vec_b") <= col("vec_a") + 10)
+      val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+        explode(sequence(floor(col("vec_id") / 10),
+          floor(col("vec_id") / 10) + 1)).as("bucket"))
+      val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+        floor(col("vec_id") / 10).as("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_b") > col("vec_a") && col("vec_b") <= col("vec_a") + 10)
         .select(col("vec_a"), col("vec_b"),
           round(cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))

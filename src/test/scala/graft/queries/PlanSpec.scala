@@ -69,6 +69,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("banded range joins plan as equi hash joins, not nested-loop") {
+    Seq("q_join_range", "q_embed_cosine_dup").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name fell back to an O(n*m) join:\n$p")
+      assert(p.contains("HashJoin"), s"$name: expected a hash equi-join\n$p")
+    }
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
