@@ -574,6 +574,103 @@ object Relational {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** Full cube over (l_returnflag, l_linestatus): all 4 grouping-set
+    * combinations in one pass (partial-agg'd once, expanded by the
+    * Expand operator — not 4 scans). */
+  private val qAggCube = Q(
+    "q_agg_cube",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  )
+
+  /** Pivot: event counts per user-bucket × event_type. The pivot value
+    * list is EXPLICIT — with an inferred list Spark would first run a
+    * distinct scan, and unstable column order would break any consumer;
+    * at scale the explicit list is also what keeps the plan one pass. */
+  private val qPivot = Q(
+    "q_pivot",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy(col("user_bucket")),
+    Some(s"""WITH e AS ($oracleEvents)
+             SELECT user_id % 10 AS user_bucket,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'error') AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'view') AS view
+             FROM e GROUP BY 1 ORDER BY user_bucket""")
+  )
+
+  /** Unpivot/melt: wide per-flag quantity columns back to long form —
+    * the inverse reshape, a narrow Expand (no shuffle beyond the
+    * source agg). */
+  private val qUnpivot = Q(
+    "q_unpivot",
+    (s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          round(sum(when(col("l_returnflag") === "A", col("l_quantity"))), 2).as("qty_A"),
+          round(sum(when(col("l_returnflag") === "N", col("l_quantity"))), 2).as("qty_N"),
+          round(sum(when(col("l_returnflag") === "R", col("l_quantity"))), 2).as("qty_R"))
+      wide.unpivot(
+          Array(col("l_orderkey")),
+          Array(col("qty_A"), col("qty_N"), col("qty_R")),
+          "flag", "qty")
+        .filter(col("qty").isNotNull)
+        .withColumn("flag", expr("substring(flag, 5, 1)"))
+        .orderBy(col("l_orderkey"), col("flag"))
+    },
+    Some("""WITH w AS (
+              SELECT l_orderkey,
+                round(sum(l_quantity) FILTER (l_returnflag = 'A'), 2) AS qty_A,
+                round(sum(l_quantity) FILTER (l_returnflag = 'N'), 2) AS qty_N,
+                round(sum(l_quantity) FILTER (l_returnflag = 'R'), 2) AS qty_R
+              FROM lineitem GROUP BY l_orderkey),
+                 u AS (
+              UNPIVOT w ON qty_A, qty_N, qty_R INTO NAME flag VALUE qty)
+            SELECT l_orderkey, substring(flag, 5, 1) AS flag, qty
+            FROM u ORDER BY l_orderkey, flag""")
+  )
+
+  /** RANGE window frame: per-user sum of event values over a trailing
+    * 10-minute event-time window — value-based framing, distinct from
+    * the row-count frame in q_window_frame. */
+  private val qWindowRange = Q(
+    "q_window_range",
+    (s, d) => {
+      // integer microseconds on both engines: casting to whole seconds
+      // here while the oracle keeps fractions shifts frame membership
+      // for events straddling the boundary by <1s
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-600000000L, 0L)
+      Tables.events(s, d)
+        .withColumn("sum_10m", round(sum(col("value")).over(w), 2))
+        .select(col("event_id"), col("user_id"), fmtUs(col("ts")).as("ts_s"),
+          col("sum_10m"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""WITH e AS ($oracleEvents)
+             SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 2) AS sum_10m
+             FROM e ORDER BY event_id""")
+  )
+
   // ------------------------------------------------------- scale patterns
 
   /** Exact percentiles (median / p90 / p99) per group — the latency-
@@ -638,6 +735,7 @@ object Relational {
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
     qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
     qAggGroupby, qAggDistinct, qAggApproxDistinct, qAggRollup, qAggPercentile,
-    qWindowRank, qWindowFrame, qTopk, qSetOps,
+    qAggCube, qPivot, qUnpivot,
+    qWindowRank, qWindowFrame, qWindowRange, qTopk, qSetOps,
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted)
 }

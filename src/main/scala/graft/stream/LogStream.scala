@@ -132,6 +132,30 @@ object LogStream {
       .withWatermark("`@timestamp`", lateness)
       .dropDuplicatesWithinWatermark("cf_request_id")
 
+  /** Stream-stream interval join: each error response joined to the
+    * same client's non-error requests in the preceding `lookback` —
+    * the "what led up to this error" enrichment, entirely on event
+    * time. Both sides carry watermarks and the join condition bounds
+    * the interval, so Spark can expire buffered state from both sides
+    * (without the time bound this join would buffer forever). */
+  def errorContext(
+      canonical: DataFrame,
+      lookback: String = "10 minutes",
+      lateness: String = "1 hour"): DataFrame = {
+    val errors = canonical.filter(col("cf_result") === "Error")
+      .select(col("src_ip").as("e_ip"), col("@timestamp").as("e_ts"),
+        col("http_path").as("e_path"))
+      .withWatermark("e_ts", lateness)
+    val prior = canonical.filter(col("cf_result") =!= "Error")
+      .select(col("src_ip").as("p_ip"), col("@timestamp").as("p_ts"),
+        col("cf_result").as("p_result"))
+      .withWatermark("p_ts", lateness)
+    errors.join(prior,
+      col("e_ip") === col("p_ip") &&
+        col("p_ts") <= col("e_ts") &&
+        col("p_ts") >= col("e_ts") - expr(s"interval $lookback"))
+  }
+
   /** Full reference pipeline: canonical stream → `{Data, PartitionKey}`
     * → Kinesis-shaped sink with subset retry (K1–K3). */
   def toKinesis(

@@ -20,7 +20,8 @@ import graft.sink.{KinesisSinkConfig, PutEntry, RecordsClient, SinkRecord}
 case class LogRow(
     log_date: String, log_time: String, http_user_agent: String,
     http_referer: String, src_ip: String, cf_request_id: String,
-    cf_result: String, bytes_sent: String, serviceId: String, env: String)
+    cf_result: String, bytes_sent: String, http_path: String,
+    serviceId: String, env: String)
 
 /** Collects everything "delivered" across executor threads (local mode =
   * one JVM, so a static object is visible to the writer tasks). */
@@ -42,7 +43,7 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
 
   private def row(time: String, ip: String = "1.1.1.1", reqId: String = java.util.UUID.randomUUID().toString,
       result: String = "Hit", bytes: String = "100"): LogRow =
-    LogRow("2019-01-18", time, "ua", "-", ip, reqId, result, bytes, "svc", "stg")
+    LogRow("2019-01-18", time, "ua", "-", ip, reqId, result, bytes, "/index", "svc", "stg")
 
   private def withQuery[T](df: org.apache.spark.sql.DataFrame, name: String, mode: String)(body: org.apache.spark.sql.streaming.StreamingQuery => T): T = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
@@ -127,6 +128,30 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(_._1)
       assert(got.contains(("02:00", "02:40", 2L)), s"got ${got.toSeq}")
       assert(got.contains(("04:00", "04:30", 1L)), s"got ${got.toSeq}")
+    }
+  }
+
+  test("stream-stream interval join pairs errors with the client's recent requests") {
+    val input = MemoryStream[LogRow](spark)
+    val joined = LogStream.errorContext(
+      CloudFrontTransform.canonicalCols(input.toDF()), "10 minutes", "1 minute")
+      .select(col("e_ip"), date_format(col("e_ts"), "HH:mm").as("e_t"),
+        date_format(col("p_ts"), "HH:mm").as("p_t"), col("p_result"))
+    withQuery(joined, "errctx", "append") { q =>
+      input.addData(
+        row("01:00:00"), // same ip but > 10 min before the error: no match
+        row("02:00:00"), // within window: match
+        row("02:03:00", result = "Miss"), // within window: match
+        row("02:05:00", result = "Error"),
+        row("02:04:00", ip = "2.2.2.2")) // other ip: no match
+      q.processAllAvailable()
+      input.addData(row("05:00:00")) // advance both watermarks to emit/expire
+      q.processAllAvailable()
+      val got = spark.table("errctx").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(got == Set(
+        ("1.1.1.1", "02:05", "02:00", "Hit"),
+        ("1.1.1.1", "02:05", "02:03", "Miss")), got.toString)
     }
   }
 
