@@ -18,11 +18,16 @@ object CloudFrontTransform {
   val IsoFormat = "yyyy-MM-dd'T'HH:mm:ssxxx"
 
   /** F1: merge `log_date`+`log_time` into a true timestamp. Session
-    * timezone is pinned UTC engine-wide, matching the Lambda runtime. */
+    * timezone is pinned UTC engine-wide, matching the Lambda runtime.
+    * `try_to_timestamp`, deliberately: under ANSI mode a plain
+    * `to_timestamp` throws on the first malformed line and fails the
+    * whole file — the reference instead aborts the file silently
+    * (§3.2); we keep the row with a null timestamp so bad records are
+    * visible and quarantine-able (`WHERE "@timestamp" IS NULL`). */
   def eventTimestamp: Column =
-    to_timestamp(
+    try_to_timestamp(
       concat_ws(" ", col("log_date"), col("log_time")),
-      "yyyy-MM-dd HH:mm:ss")
+      lit("yyyy-MM-dd HH:mm:ss"))
 
   /** The canonical (code-faithful) transform:
     *   - P1 drop `http_referer`, `log_date`, `log_time`

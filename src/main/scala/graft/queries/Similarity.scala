@@ -160,5 +160,72 @@ object Similarity {
              ORDER BY cos DESC, vec_a, vec_b LIMIT 100""")
   )
 
-  def qs: Seq[Q] = Seq(qSimilarityBruteforce, qSimilarityLsh, qEmbedCosineDup)
+  /** IVF (inverted-file) ANN — the other standard scale path next to
+    * LSH: a coarse quantizer (here: the 16 lowest-id vectors as
+    * centroids — a deterministic stand-in for k-means, which only
+    * changes centroid quality, not the operator shape) partitions the
+    * corpus into posting lists; each query probes its 2 nearest lists
+    * and re-ranks exactly. Corpus work per query drops from n to
+    * ~2n/16. Everything is declarative (centroid assignment = corpus ×
+    * broadcast(16 rows) + row_number), so unlike LSH this variant is
+    * fully DuckDB-oracle-checkable. */
+  private val qSimilarityIvf = Q(
+    "q_similarity_ivf",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      def assign(df: DataFrame, idCol: String, embCol: String, probes: Int) = {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("cd").desc, col("cid"))
+        df.crossJoin(broadcast(cent))
+          .withColumn("cd", round(cosine(col(embCol), col("cemb")), 6))
+          .withColumn("crn", row_number().over(w))
+          .filter(col("crn") <= probes)
+          .drop("cemb", "cd", "crn")
+      }
+      val corpus = assign(
+        e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("neighbor_id"), col("emb")),
+        "neighbor_id", "emb", 1)
+      val queries = assign(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb")),
+        "query_id", "qemb", 2)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      queries.join(corpus, "cid")
+        .withColumn("cos", round(cosine(col("qemb"), col("emb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS ($oracleEmb),
+               cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+               corpus0 AS (SELECT vec_id AS neighbor_id, emb FROM e WHERE vec_id >= 10),
+               queries0 AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 10),
+               ca AS (SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                        ORDER BY cd DESC, cid) AS crn
+                      FROM (SELECT c.*, cent.cid,
+                              round(${oracleCos("c.emb", "cent.cemb")}, 6) AS cd
+                            FROM corpus0 c CROSS JOIN cent)),
+               corpus AS (SELECT neighbor_id, emb, cid FROM ca WHERE crn <= 1),
+               qa AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cd DESC, cid) AS crn
+                      FROM (SELECT q.*, cent.cid,
+                              round(${oracleCos("q.qemb", "cent.cemb")}, 6) AS cd
+                            FROM queries0 q CROSS JOIN cent)),
+               queries AS (SELECT query_id, qemb, cid FROM qa WHERE crn <= 2),
+               x AS (SELECT query_id, neighbor_id,
+                       round(${oracleCos("qemb", "emb")}, 6) AS cos
+                     FROM queries JOIN corpus USING (cid)),
+               r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank FROM x)
+             SELECT query_id, rank, neighbor_id, cos
+             FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
+  def qs: Seq[Q] =
+    Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityIvf, qEmbedCosineDup)
 }

@@ -65,7 +65,8 @@ class KinesisDelivery(
     conf: KinesisSinkConfig,
     clock: () => Long = () => System.currentTimeMillis(),
     sleeper: Long => Unit = Thread.sleep,
-    keyGen: () => String = () => java.util.UUID.randomUUID().toString.replace("-", ""))
+    keyGen: () => String = () => java.util.UUID.randomUUID().toString.replace("-", ""),
+    onDelivered: Int => Unit = _ => ())
   extends Serializable {
 
   private val buf = new ArrayBuffer[SinkRecord](conf.maxBatch)
@@ -102,6 +103,7 @@ class KinesisDelivery(
       case i if results(i).errorCode.isDefined =>
         records(i).copy(partitionKey = keyGen())
     }
+    onDelivered(records.size - failed.size)
     if (failed.nonEmpty) sendWithRetry(failed.toIndexedSeq, attempt + 1)
   }
 }
@@ -136,10 +138,15 @@ class KinesisShapedWriter(
 object KinesisShapedSink {
 
   /** Batch face: deliver a `{Data, PartitionKey}` DataFrame partition-
-    * parallel, one independent retrying writer per partition. */
-  def writeBatch(df: DataFrame, client: RecordsClient, conf: KinesisSinkConfig): Unit =
+    * parallel, one independent retrying writer per partition. Returns
+    * the delivered-record count, tallied on executors via a
+    * LongAccumulator (the reference's `line_count` progress metric, D2
+    * at `cloudfront_kinesis_lambda.py:188-192,230` — an accumulator is
+    * its distributed form: no extra pass, merged at the driver). */
+  def writeBatch(df: DataFrame, client: RecordsClient, conf: KinesisSinkConfig): Long = {
+    val delivered = df.sparkSession.sparkContext.longAccumulator("kinesis.delivered")
     df.foreachPartition { (it: Iterator[Row]) =>
-      val d = new KinesisDelivery(client, conf)
+      val d = new KinesisDelivery(client, conf, onDelivered = delivered.add(_))
       d.start()
       it.foreach { row =>
         d.add(SinkRecord(
@@ -148,4 +155,6 @@ object KinesisShapedSink {
       }
       d.flush()
     }
+    delivered.value
+  }
 }

@@ -122,6 +122,28 @@ class CloudFrontEtlSpec extends AnyFunSuite with SparkTestSupport {
     assert(uas == Set("Mozilla/5.0 (Windows NT 10.0)", "curl%20{bad%zz}+ok"))
   }
 
+  test("malformed lines parse PERMISSIVE to null-padded rows, never kill the job") {
+    val root = Files.createTempDirectory("cf-bad")
+    val dir = root.resolve("prod").resolve("svc-x")
+    Files.createDirectories(dir)
+    val out = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(dir.resolve("bad.gz").toFile)), "UTF-8"))
+    out.write("#Version: 1.0\n#Fields: x\n")
+    out.write(line(Map(DATE -> "2019-01-18", TIME -> "01:00:00", POP -> "SYD1")) + "\n")
+    out.write("only\tthree\tfields\n") // truncated record
+    out.write("\n") // blank line
+    out.close()
+    val parsed = CloudFrontTransform.canonicalCols(
+      CloudFrontSource.withPathMeta(
+        CloudFrontSource.read(spark, s"$root/*/*/*.gz")))
+    val rows = parsed.collect()
+    // blank line is dropped by the CSV reader; truncated row survives null-padded
+    assert(rows.length == 2)
+    val bad = rows.find(_.getAs[String]("cf_pop") == "fields").get
+    assert(bad.getAs[String]("bytes_sent") == null) // missing cols → null
+    assert(bad.getAs[AnyRef]("@timestamp") == null) // unparseable ts → null, not error
+  }
+
   test("transform preserves row count and field arithmetic (in − 3 + 4)") {
     val raw = CloudFrontSource.withPathMeta(
       CloudFrontSource.read(spark, s"$fixtureRoot/*/*/*.gz"))
