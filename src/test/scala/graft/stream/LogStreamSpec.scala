@@ -189,6 +189,35 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(custom.contains(("04:00", "04:30", "1.1.1.1", 1L)), custom)
   }
 
+  test("restart from checkpoint resumes at committed offsets without reprocessing") {
+    val root = Files.createTempDirectory("cf-restart")
+    val dir = root.resolve("prod").resolve("svc-r")
+    Files.createDirectories(dir)
+    def writeFile(name: String, times: Seq[String]): Unit = {
+      val out = new BufferedWriter(new OutputStreamWriter(
+        new GZIPOutputStream(new FileOutputStream(dir.resolve(name).toFile)), "UTF-8"))
+      out.write("#Version: 1.0\n#Fields: x\n")
+      times.foreach(t => out.write((Seq("2019-01-18", t) ++ Seq.fill(31)("-")).mkString("\t") + "\n"))
+      out.close()
+    }
+    writeFile("a.gz", Seq("01:00:00", "01:00:01"))
+    CollectingClient.received.clear()
+    val ckpt = Files.createTempDirectory("cf-restart-ckpt").toString
+    val q1 = LogStream.run(spark, s"$root/*/*/*.gz", CollectingClient,
+      KinesisSinkConfig("restart-stream"), ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(CollectingClient.received.size == 2)
+
+    writeFile("b.gz", Seq("02:00:00"))
+    val q2 = LogStream.run(spark, s"$root/*/*/*.gz", CollectingClient,
+      KinesisSinkConfig("restart-stream"), ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    // only the new file's record is delivered on restart — a.gz is not replayed
+    val all = CollectingClient.received.asScala.toSeq
+    assert(all.size == 3, s"expected 3 total, got ${all.size}")
+    assert(all.count(_._1.contains("02:00:00")) == 1)
+  }
+
   test("end-to-end: gz fixture directory → canonical stream → kinesis-shaped sink") {
     val root: Path = Files.createTempDirectory("cf-stream")
     val dir = root.resolve("prod").resolve("svc-42")
