@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale-up smoke: replicate the sf0.1 tables N× in-memory (union of
+  * per-copy key-shifted scans, so keys stay distinct and join/group
+  * cardinalities grow linearly) and run the heaviest queries. This
+  * probes the 100 TB question the small-SF gate can't: do shuffles,
+  * window state, and candidate generation grow linearly, or does
+  * something quadratic/driver-bound hide at small scale?
+  * `SCALE_COPIES=8 sbt "runMain graft.ScaleSmoke"`.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val copies = sys.env.getOrElse("SCALE_COPIES", "8").toInt
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    // raw reads (events.ts stays long nanos) so the written copies have
+    // the exact on-disk shape Tables expects when reading them back
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    /** N key-shifted copies of a table registered as a temp view over
+      * the original name, so the query code runs unmodified. */
+    def amplify(name: String, keyCols: Seq[String]): Unit = {
+      val base = spark.read.parquet(s"$sf/$name.parquet")
+      val big: DataFrame = (0 until copies).map { i =>
+        keyCols.foldLeft(base)((df, k) =>
+          df.withColumn(k, col(k) + lit(i.toLong * 100000000L)))
+      }.reduce(_ union _)
+      big.createOrReplaceTempView(s"amplified_$name")
+    }
+    amplify("documents", Seq("doc_id"))
+    amplify("events", Seq("event_id", "user_id"))
+    amplify("embeddings", Seq("vec_id"))
+
+    // patched table reader: route the amplified names through the views
+    val patched = new java.io.File("/tmp/graft_scale_smoke")
+    patched.mkdirs()
+    Seq("documents", "events", "embeddings").foreach { t =>
+      spark.table(s"amplified_$t").write.mode("overwrite")
+        .parquet(s"${patched.getPath}/$t.parquet")
+    }
+    // lineitem/orders etc. read straight from sf0.1 (unamplified dims)
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        val src = spark.read.parquet(s"$sf/$t.parquet")
+        src.limit(0).write.mode("ignore").parquet(s"${patched.getPath}/$t.parquet")
+      }
+
+    val heavy = Seq("q_minhash_dup", "q_simhash_dup", "q_ngram_jaccard",
+      "q_similarity_lsh", "q_similarity_ivf", "q_embed_cosine_dup",
+      "q_dedup_exact", "q_sessionize", "q_text_tokens")
+    println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
+      s"events=${spark.table("amplified_events").count()}, " +
+      s"embeddings=${spark.table("amplified_embeddings").count()})")
+    heavy.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        val n = SparkEntry.queries(name)(spark, patched.getPath).count()
+        println(f"SCALE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      } catch {
+        case e: Throwable =>
+          println(f"SCALE $name%-24s FAILED ${e.getMessage.take(100)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -103,8 +103,16 @@ object Dedup {
                      named_struct('band', 2, 'bh', xxhash64(s8, s9, s10, s11)),
                      named_struct('band', 3, 'bh', xxhash64(s12, s13, s14, s15)))""")).as("b"))
         .select(col("doc_id"), col("b.band"), col("b.bh"))
-      val l = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-      val r = bands.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+      // Bucket-size cap: a bucket of b docs yields b² candidate pairs,
+      // so one degenerate mega-bucket (mass-duplicated boilerplate)
+      // dominates the whole job. Cap at 256 — such clusters are exact/
+      // near-exact dup families that exact dedup already catches; the
+      // 8×-amplified scale smoke went quadratic here without this.
+      val capped = bands.withColumn("bn",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+        .filter(col("bn") <= 256)
+      val l = capped.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      val r = capped.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
       val pairs = l.join(r, Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
@@ -162,8 +170,12 @@ object Dedup {
         explode(expr(
           "transform(sequence(0, 3), b -> named_struct('band', b, 'bits', (simhash >> (16*b)) & 65535))")).as("bd"))
         .select(col("doc_id"), col("simhash"), col("bd.band"), col("bd.bits"))
-      val l = bands.select(col("band"), col("bits"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-      val r = bands.select(col("band"), col("bits"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+      // same bucket-size cap rationale as minhash (see above)
+      val capped = bands.withColumn("bn",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bits"))))
+        .filter(col("bn") <= 256)
+      val l = capped.select(col("band"), col("bits"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      val r = capped.select(col("band"), col("bits"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
       l.join(r, Seq("band", "bits")).filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           bit_count(expr("sh_a ^ sh_b")).as("hamming"))
