@@ -1,0 +1,22 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Every oracle-backed query must be run-to-run deterministic — the
+  * driver's correctness gate hash-compares results, so an unstable sort
+  * or a float-keyed tie flakes the whole round. Runs each query twice
+  * at sf0.001 and requires identical ordered output. */
+class DeterminismSpec extends AnyFunSuite with SparkTestSupport {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  Registry.all.filter(_.oracle.isDefined).foreach { q =>
+    test(s"${q.name} is run-to-run deterministic") {
+      def run(): Seq[String] =
+        q.fn(spark, sf).collect().map(_.mkString("")).toSeq
+      assert(run() == run(), s"${q.name} produced different results on a second run")
+    }
+  }
+}
