@@ -28,6 +28,7 @@ object LogLake {
       .repartition(col("env"), col("log_day"))
       .write
       .mode(mode)
+      .option("compression", "zstd") // ~30% smaller than snappy on logs
       .partitionBy("env", "log_day")
       .parquet(path)
 

@@ -671,6 +671,27 @@ object Relational {
              FROM e ORDER BY event_id""")
   )
 
+  /** Mergeable-sketch pattern: per-day HLL sketches built in one pass,
+    * then UNIONED into a running total — the shape that lets a 100 TB
+    * pipeline keep daily sketches and answer "distinct users over any
+    * date range" without rescanning raw data. Estimates are
+    * engine-specific (DataSketches HLL) → rows-only check; the spec is
+    * the estimate's consistency with the one-shot sketch. */
+  private val qAggHllUnion = Q(
+    "q_agg_hll_union",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("events"))
+      daily.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_users_total"),
+          sum(col("events")).as("total_events"),
+          count(lit(1)).as("days"))
+    },
+    None
+  )
+
   // ------------------------------------------------------- scale patterns
 
   /** Exact percentiles (median / p90 / p99) per group — the latency-
@@ -735,7 +756,7 @@ object Relational {
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
     qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
     qAggGroupby, qAggDistinct, qAggApproxDistinct, qAggRollup, qAggPercentile,
-    qAggCube, qPivot, qUnpivot,
+    qAggCube, qAggHllUnion, qPivot, qUnpivot,
     qWindowRank, qWindowFrame, qWindowRange, qTopk, qSetOps,
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted)
 }

@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSupport, Tables}
+
+/** The mergeable-sketch contract behind q_agg_hll_union: unioning
+  * per-day sketches must estimate the same cardinality as sketching
+  * the whole table at once, and land near the exact count. */
+class HllUnionSpec extends AnyFunSuite with SparkTestSupport {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("per-day HLL union ≈ one-shot sketch ≈ exact distinct") {
+    val e = Tables.events(spark, sf)
+    val exact = e.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val oneShot = e.select(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .collect()(0).getLong(0)
+    val unioned = e.groupBy(to_date(col("ts")))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .collect()(0).getLong(0)
+    assert(unioned == oneShot,
+      s"union of partial sketches ($unioned) must equal the one-shot sketch ($oneShot)")
+    assert(math.abs(oneShot - exact).toDouble / exact < 0.05,
+      s"estimate $oneShot too far from exact $exact")
+  }
+}
