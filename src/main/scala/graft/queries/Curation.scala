@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation (north star): the composite pipeline an LLM
+  * data team actually runs — quality filter → content dedup →
+  * deterministic split — and sequence packing, each as one declarative
+  * query. Both are engine-agnostic by construction: content identity
+  * and split assignment use the polynomial rolling hash (the same one
+  * `q_doc_fingerprint` proves byte-equal in DuckDB), never an
+  * engine-private hash, so the oracle can check the whole pipeline.
+  */
+object Curation {
+
+  /** content fingerprint both engines compute identically */
+  private val sparkFp =
+    "aggregate(split(text, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 1000000007)"
+  private val duckFp =
+    """list_reduce(list_transform(string_split_regex(text, ''),
+         c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"""
+
+  /** Filter (quality) → dedup (exact content, keep lowest doc_id) →
+    * split (fingerprint mod 10: 8/1/1 train/val/test). Per-split doc
+    * and token counts. Everything shuffles once on the fingerprint and
+    * once for the final tiny agg — no operator in the chain holds more
+    * than a key and two longs of state per row at 100 TB. */
+  private val qCurationPipeline = Q(
+    "q_curation_pipeline",
+    (s, d) => {
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        // quality gate: length band + stopword evidence
+        .filter(col("n_chars") >= 100 && col("n_tokens") >= 20 &&
+          expr("size(filter(split(text, ' '), t -> t IN ('the','a','of','and','is')))") > 0)
+        .withColumn("fp", expr(sparkFp))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1) // exact-content dedup, keep lowest id
+        .withColumn("split",
+          when(col("fp") % 10 <= 7, "train")
+            .when(col("fp") % 10 === 8, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
+        .orderBy(col("split"))
+    },
+    Some(s"""WITH q AS (
+               SELECT doc_id, text,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                 $duckFp AS fp
+               FROM documents
+               WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20
+                 AND len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the','a','of','and','is'))) > 0),
+                 dd AS (
+               SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+               FROM q)
+             SELECT CASE WHEN fp % 10 <= 7 THEN 'train'
+                         WHEN fp % 10 = 8 THEN 'val'
+                         ELSE 'test' END AS split,
+               count(*) AS docs, sum(n_tokens) AS tokens
+             FROM dd WHERE rn = 1 GROUP BY 1 ORDER BY split""")
+  )
+
+  /** Sequence packing: fill 4096-token training bins per source by
+    * cumulative token count (running sum over a deterministic doc
+    * order → bin = ceil boundary crossing). The window runs per
+    * source partition — at scale each partition packs independently,
+    * which is exactly how distributed packing is done (global greedy
+    * packing would serialize). */
+  private val qPackSequences = Q(
+    "q_pack_sequences",
+    (s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", floor((col("cum") - 1) / 4096).cast("long"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy(col("source"), col("bin"))
+    },
+    Some("""WITH t AS (
+              SELECT source, doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+              FROM documents),
+                 c AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+            SELECT source, CAST(floor((cum - 1) / 4096) AS BIGINT) AS bin,
+              count(*) AS docs, sum(n_tokens) AS bin_tokens
+            FROM c GROUP BY source, bin ORDER BY source, bin""")
+  )
+
+  def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences)
+}

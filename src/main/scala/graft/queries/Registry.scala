@@ -19,7 +19,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     Relational.qs ++ TextOps.qs ++ Dedup.qs ++ Similarity.qs ++
-      Multimodal.qs ++ LogQueries.qs
+      Multimodal.qs ++ Curation.qs ++ LogQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
