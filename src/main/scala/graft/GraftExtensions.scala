@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotProduct}
+import graft.functions.{CosineSim, DotProduct, PolyHash}
 import graft.logs.expressions.UrlUnquote
 
 /** Engine extensions, injected via the public
@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (args: Seq[Expression]) => PolyHash(args.head)))
   }
 }

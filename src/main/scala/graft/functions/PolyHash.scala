@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `poly_hash(text)` — the polynomial rolling hash
+  * `fold(a, cp) = (a·31 + codepoint) mod 1e9+7` used as the engine-
+  * agnostic document fingerprint (`q_doc_fingerprint`,
+  * `q_curation_pipeline`): DuckDB computes the identical value with
+  * `list_reduce(list_transform(string_split_regex(text,''), ascii), …)`,
+  * so content identity survives an engine swap — unlike xxhash64.
+  *
+  * Why an expression: the SQL formulation is an `aggregate` lambda over
+  * a per-character `split` — interpreted, and measured at ~0.5 ms/doc.
+  * This loop codegens into the scan stage. Iterates codepoints (not
+  * UTF-16 units) to match DuckDB's per-character `ascii`.
+  */
+object PolyHash {
+  final val Mod = 1000000007L
+
+  def hash(s: UTF8String): Long = {
+    if (s == null) return 0L
+    val str = s.toString
+    var a = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      a = (a * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    a
+  }
+}
+
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}

@@ -106,17 +106,17 @@ object TextOps {
             FROM h ORDER BY doc_id""")
   )
 
-  /** Document fingerprint: 64-bit polynomial rolling hash of the
-    * character stream, mod 1e9+7 — content-addressable identity that two
-    * engines can agree on (unlike xxhash). Single narrow pass. */
+  /** Document fingerprint: polynomial rolling hash of the character
+    * stream, mod 1e9+7 — content-addressable identity that two engines
+    * can agree on (unlike xxhash). The codegen'd `poly_hash` expression
+    * keeps it a single narrow fused pass. */
   private val qDocFingerprint = Q(
     "q_doc_fingerprint",
     (s, d) =>
       Tables.documents(s, d)
         .select(
           col("doc_id"),
-          expr("aggregate(split(text, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 1000000007)")
-            .as("fingerprint"))
+          expr("poly_hash(text)").as("fingerprint"))
         .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
               list_reduce(list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)),

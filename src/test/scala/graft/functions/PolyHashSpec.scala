@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** poly_hash must equal the per-codepoint sequential fold (the oracle
+  * formulation) and handle unicode + nulls. */
+class PolyHashSpec extends AnyFunSuite with SparkTestSupport {
+
+  private def reference(s: String): Long =
+    s.codePoints().toArray.foldLeft(0L)((a, cp) => (a * 31 + cp) % 1000000007L)
+
+  test("matches the sequential codepoint fold") {
+    import spark.implicits._
+    val prop = Prop.forAll(Gen.asciiPrintableStr) { s =>
+      Seq(s).toDF("t").selectExpr("poly_hash(t)")
+        .collect()(0).getLong(0) == reference(s)
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("codepoint iteration (astral chars count once), null-safe, empty = 0") {
+    val rows = spark.sql(
+      "SELECT poly_hash('a😀b'), poly_hash(NULL), poly_hash('')").collect()(0)
+    val emoji = 0x1F600
+    assert(rows.getLong(0) ==
+      ((('a'.toLong * 31 + emoji) % 1000000007L) * 31 + 'b') % 1000000007L)
+    assert(rows.isNullAt(1))
+    assert(rows.getLong(2) == 0L)
+  }
+}
