@@ -1,0 +1,84 @@
+package graft
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.SparkSession
+
+import graft.logs.{CloudFrontSource, CloudFrontTransform}
+import graft.sink.{KinesisShapedSink, KinesisSinkConfig, PutEntry, RecordsClient, SinkRecord}
+
+/** Single-node throughput vs the reference's envelope (SURVEY §6):
+  * the Lambda's ceiling is 25 concurrent puts × 500 records — 12,500
+  * records/s if Kinesis sustains one put per consumer per second —
+  * processing one gz file per 512 MB invocation. This harness runs the
+  * same job shape (gz → parse → canonical transform → 500-record
+  * chunked delivery with retry bookkeeping) on one JVM and reports
+  * records/s. `RECORDS=2000000 FILES=32 sbt "runMain graft.ThroughputSmoke"`.
+  *
+  * Files are the parallelism unit (gz is unsplittable in both
+  * systems), so FILES ≥ cores measures the fleet shape, FILES=1 the
+  * single-Lambda shape.
+  */
+object ThroughputSmoke {
+  def main(args: Array[String]): Unit = {
+    val records = sys.env.getOrElse("RECORDS", "1000000").toInt
+    val files = sys.env.getOrElse("FILES", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = Files.createTempDirectory("tput-logs")
+    val dir = root.resolve("prod").resolve("svc-tput")
+    Files.createDirectories(dir)
+    val perFile = records / files
+    (0 until files).foreach { f =>
+      val out = new BufferedWriter(new OutputStreamWriter(
+        new GZIPOutputStream(new FileOutputStream(dir.resolve(s"f$f.gz").toFile)), "UTF-8"), 1 << 20)
+      out.write("#Version: 1.0\n#Fields: ...\n")
+      var i = 0
+      while (i < perFile) {
+        val fld = Array.fill(33)("-")
+        fld(0) = "2019-01-18"; fld(1) = f"${i % 24}%02d:${i % 60}%02d:${i % 60}%02d"
+        fld(2) = "SYD1"; fld(3) = (200 + i % 1400).toString; fld(4) = s"203.0.113.${i % 255}"
+        fld(8) = "200"; fld(10) = "Mozilla%2F5.0%20(Windows%20NT%2010.0)%20AppleWebKit"
+        fld(13) = "Hit"
+        out.write(fld.mkString("\t")); out.write("\n")
+        i += 1
+      }
+      out.close()
+    }
+    val total = (records / files) * files
+
+    def canonical = CloudFrontTransform.canonicalCols(
+      CloudFrontSource.withPathMeta(CloudFrontSource.read(spark, s"$root/*/*/*.gz")))
+
+    // warmup (JIT + codegen on a subset)
+    canonical.limit(1000).collect()
+
+    val t0 = System.nanoTime()
+    val n1 = canonical.count()
+    val parseS = (System.nanoTime() - t0) / 1e9
+
+    val noop = new RecordsClient {
+      override def putRecords(s: String, rs: IndexedSeq[SinkRecord]): IndexedSeq[PutEntry] =
+        rs.map(_ => PutEntry(None))
+    }
+    val t1 = System.nanoTime()
+    val delivered = KinesisShapedSink.writeBatch(
+      CloudFrontTransform.toSinkRecords(canonical), noop, KinesisSinkConfig("tput"))
+    val sinkS = (System.nanoTime() - t1) / 1e9
+
+    println(f"TPUT files=$files records=$total")
+    println(f"TPUT parse+transform       ${parseS}%8.2f s  ${n1 / parseS}%12.0f rec/s")
+    println(f"TPUT parse+json+chunk+sink ${sinkS}%8.2f s  ${delivered / sinkS}%12.0f rec/s")
+    println(f"TPUT reference envelope ceiling: 12500 rec/s (25 puts x 500 rec, SURVEY §6)")
+    spark.stop()
+  }
+}
