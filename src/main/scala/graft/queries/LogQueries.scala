@@ -95,5 +95,60 @@ object LogQueries {
              FROM orders ORDER BY o_orderkey""")
   )
 
-  def qs: Seq[Q] = Seq(qCloudfrontEtl, qCloudfrontSink)
+  /** IP/CIDR arithmetic — the log-analytics staple the reference's
+    * `src_ip`/`xff` columns exist for: dotted-quad → u32, RFC-1918 /
+    * loopback classification (bitwise prefix tests), and /24 subnet
+    * rollup. IPs synthesized deterministically from orders keys. */
+  private val qScalarIp = Q(
+    "q_scalar_ip",
+    (s, d) => {
+      val ip = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        format_string("%d.%d.%d.%d",
+          (col("o_orderkey") % 223 + 1).cast("int"),
+          (col("o_custkey") % 256).cast("int"),
+          ((col("o_orderkey") * 7) % 256).cast("int"),
+          ((col("o_orderkey") * 13) % 256).cast("int")).as("src_ip"))
+      val oct = split(col("src_ip"), "\\.")
+      val ipNum = ip.withColumn("ip_num",
+        element_at(oct, 1).cast("long") * 16777216L +
+          element_at(oct, 2).cast("long") * 65536L +
+          element_at(oct, 3).cast("long") * 256L +
+          element_at(oct, 4).cast("long"))
+      ipNum
+        .withColumn("ip_class",
+          // CIDR prefix tests as shifts: 10/8, 172.16/12, 192.168/16, 127/8
+          when(shiftright(col("ip_num"), 24) === 10, "private_10_8")
+            .when(shiftright(col("ip_num"), 20) === lit((172L << 4) + 1), "private_172_16_12")
+            .when(shiftright(col("ip_num"), 16) === lit((192L << 8) + 168), "private_192_168_16")
+            .when(shiftright(col("ip_num"), 24) === 127, "loopback")
+            .otherwise("public"))
+        .groupBy(col("ip_class"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(floor(col("ip_num") / 256)).as("n_subnets_24"),
+          min(col("ip_num")).as("min_ip"), max(col("ip_num")).as("max_ip"))
+        .orderBy(col("ip_class"))
+    },
+    Some("""WITH ip AS (
+              SELECT o_orderkey,
+                CAST(o_orderkey % 223 + 1 AS BIGINT) * 16777216 +
+                CAST(o_custkey % 256 AS BIGINT) * 65536 +
+                CAST((o_orderkey * 7) % 256 AS BIGINT) * 256 +
+                CAST((o_orderkey * 13) % 256 AS BIGINT) AS ip_num
+              FROM orders),
+                 c AS (
+              SELECT *, CASE
+                WHEN ip_num // 16777216 = 10 THEN 'private_10_8'
+                WHEN ip_num // 1048576 = 2753 THEN 'private_172_16_12'
+                WHEN ip_num // 65536 = 49320 THEN 'private_192_168_16'
+                WHEN ip_num // 16777216 = 127 THEN 'loopback'
+                ELSE 'public' END AS ip_class
+              FROM ip)
+            SELECT ip_class, count(*) AS n,
+              count(DISTINCT ip_num // 256) AS n_subnets_24,
+              min(ip_num) AS min_ip, max(ip_num) AS max_ip
+            FROM c GROUP BY ip_class ORDER BY ip_class""")
+  )
+
+  def qs: Seq[Q] = Seq(qCloudfrontEtl, qCloudfrontSink, qScalarIp)
 }
