@@ -692,6 +692,33 @@ object Relational {
     None
   )
 
+  /** Correlated scalar subquery through the `spark.sql` entry point
+    * (every other query uses the DataFrame API; both front ends feed
+    * the same Catalyst pipeline): orders priced above their customer's
+    * average. Catalyst decorrelates the subquery into an aggregate +
+    * join — there is no per-row re-execution at any scale (the naive
+    * reading of this query is O(orders × orders/customer)). */
+  private val qSubqueryCorrelated = Q(
+    "q_subquery_correlated",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_custkey, count(*) AS n_above,
+                 round(max(o_totalprice), 2) AS max_price
+               FROM orders_v o
+               WHERE o_totalprice > (SELECT 1.5 * avg(i.o_totalprice)
+                                     FROM orders_v i
+                                     WHERE i.o_custkey = o.o_custkey)
+               GROUP BY o_custkey ORDER BY o_custkey""")
+    },
+    Some("""SELECT o_custkey, count(*) AS n_above,
+              round(max(o_totalprice), 2) AS max_price
+            FROM orders o
+            WHERE o_totalprice > (SELECT 1.5 * avg(i.o_totalprice)
+                                  FROM orders i
+                                  WHERE i.o_custkey = o.o_custkey)
+            GROUP BY o_custkey ORDER BY o_custkey""")
+  )
+
   // ------------------------------------------------------- scale patterns
 
   /** Exact percentiles (median / p90 / p99) per group — the latency-
@@ -758,5 +785,6 @@ object Relational {
     qAggGroupby, qAggDistinct, qAggApproxDistinct, qAggRollup, qAggPercentile,
     qAggCube, qAggHllUnion, qPivot, qUnpivot,
     qWindowRank, qWindowFrame, qWindowRange, qTopk, qSetOps,
-    qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted)
+    qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,
+    qSubqueryCorrelated)
 }
