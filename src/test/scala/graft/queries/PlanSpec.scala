@@ -78,6 +78,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("correlated subquery decorrelates to a join (no per-row subquery)") {
+    val df = Registry.queries("q_subquery_correlated")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+    assert(!p.toLowerCase.contains("scalarsubquery"),
+      "subquery must be decorrelated, not executed per row:\n" + p)
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
