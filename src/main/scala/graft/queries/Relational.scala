@@ -719,6 +719,34 @@ object Relational {
             GROUP BY o_custkey ORDER BY o_custkey""")
   )
 
+  /** Event-sequence transitions (navigation/funnel analysis): for each
+    * user's time-ordered event stream, count (previous → current) type
+    * pairs. One window shuffle on user_id + one partial-agg'd count —
+    * the per-user sequence never materializes. */
+  private val qPathTransitions = Q(
+    "q_path_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("transitions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("prev_type"), col("event_type"))
+    },
+    Some(s"""WITH e AS ($oracleEvents),
+               t AS (SELECT user_id, event_type,
+                       lag(event_type, 1) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_type
+                     FROM e)
+             SELECT prev_type, event_type, count(*) AS transitions,
+               count(DISTINCT user_id) AS n_users
+             FROM t WHERE prev_type IS NOT NULL
+             GROUP BY prev_type, event_type
+             ORDER BY prev_type, event_type""")
+  )
+
   // ------------------------------------------------------- scale patterns
 
   /** Exact percentiles (median / p90 / p99) per group — the latency-
@@ -786,5 +814,5 @@ object Relational {
     qAggCube, qAggHllUnion, qPivot, qUnpivot,
     qWindowRank, qWindowFrame, qWindowRange, qTopk, qSetOps,
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,
-    qSubqueryCorrelated)
+    qSubqueryCorrelated, qPathTransitions)
 }

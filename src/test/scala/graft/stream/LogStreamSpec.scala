@@ -25,6 +25,12 @@ case class LogRow(
 
 /** Collects everything "delivered" across executor threads (local mode =
   * one JVM, so a static object is visible to the writer tasks). */
+/** Rejects every record — drives the deadline/fail-loud path. */
+object AlwaysFailingClient extends RecordsClient {
+  override def putRecords(stream: String, records: IndexedSeq[SinkRecord]): IndexedSeq[PutEntry] =
+    records.map(_ => PutEntry(Some("InternalFailure")))
+}
+
 object CollectingClient extends RecordsClient {
   val received = new ConcurrentLinkedQueue[(String, String)]
   override def putRecords(stream: String, records: IndexedSeq[SinkRecord]): IndexedSeq[PutEntry] = {
@@ -216,6 +222,28 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     val all = CollectingClient.received.asScala.toSeq
     assert(all.size == 3, s"expected 3 total, got ${all.size}")
     assert(all.count(_._1.contains("02:00:00")) == 1)
+  }
+
+  test("sink failure fails the query loudly (documented divergence from silent drop)") {
+    val root = Files.createTempDirectory("cf-fail")
+    val dir = root.resolve("prod").resolve("svc-f")
+    Files.createDirectories(dir)
+    val out = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(dir.resolve("f.gz").toFile)), "UTF-8"))
+    out.write("#Version: 1.0\n#Fields: x\n")
+    out.write((Seq("2019-01-18", "01:00:00") ++ Seq.fill(31)("-")).mkString("\t") + "\n")
+    out.close()
+    val alwaysFails = AlwaysFailingClient
+    val ckpt = Files.createTempDirectory("cf-fail-ckpt").toString
+    val q = LogStream.run(spark, s"$root/*/*/*.gz", alwaysFails,
+      KinesisSinkConfig("fail-stream", baseBackoffMs = 1L, deadlineMs = 50L), ckpt)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("deadline")), chain(e).mkString("\n"))
   }
 
   test("end-to-end: gz fixture directory → canonical stream → kinesis-shaped sink") {
