@@ -91,6 +91,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("salted join actually shuffles (broadcast would defeat the salt demo)") {
+    val p = plan("q_join_salted")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("HLL union plans as two-level ObjectHashAggregate (mergeable sketches)") {
+    val p = plan("q_agg_hll_union")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final sketch aggregation:\n" + p)
+  }
+
   test("exact dedup shuffles once on the dedup key (no extra exchange)") {
     val df = Registry.queries("q_dedup_exact")(spark, sf)
     val p = df.queryExecution.executedPlan
