@@ -246,9 +246,9 @@ object Relational {
             ORDER BY c_custkey""")
   )
 
-  /** Theta/range join: acctbal band match. The small side (supplier) is
-    * broadcast → BroadcastNestedLoopJoin; the non-equi predicate never
-    * forces a cartesian shuffle. */
+  /** Theta/range join: acctbal band match, executed as a banded
+    * equi-join (see inline comment) rather than the nested-loop plan a
+    * raw range condition produces. */
   private val qJoinRange = Q(
     "q_join_range",
     (s, d) => {
