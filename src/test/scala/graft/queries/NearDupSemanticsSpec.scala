@@ -1,0 +1,90 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Semantic checks for the rows-only queries the DuckDB oracle can't
+  * verify: plant exact/near/unrelated duplicates and require each
+  * detector to find exactly what it claims to. */
+class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def tok(s: String, n: Int): String =
+    (0 until n).map(i => s"$s$i").mkString(" ")
+
+  /** docs 1≈2 (one token differs), 4=5 exact, 3 & 6 unrelated. */
+  private lazy val docsDir: String = {
+    val dir = Files.createTempDirectory("neardup").toString
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four"
+    val docs = Seq(
+      (1L, base, "en", "web", base.length.toLong),
+      (2L, base.replace("november", "NOVEMBER"), "en", "web", base.length.toLong),
+      (3L, tok("unrelated", 30), "en", "web", 100L),
+      (4L, tok("identical", 30), "en", "web", 100L),
+      (5L, tok("identical", 30), "en", "web", 100L),
+      (6L, tok("distinct", 30), "en", "web", 100L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** queries 0..9; corpus 10..29. vec 10 == vec 0; vec 11 ≈ vec 1;
+    * the rest pseudo-random. */
+  private lazy val embDir: String = {
+    val dir = Files.createTempDirectory("neardup-emb").toString
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => (math.sin(seed * 97.0 + j * 13.0)).toFloat)
+    val rows = (0 until 30).map { i =>
+      val v =
+        if (i == 10) vec(0)
+        else if (i == 11) { val x = vec(1); x(0) = x(0) + 0.01f; x }
+        else vec(i)
+      (i.toLong, v, i % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("minhash finds the exact pair at jaccard 1.0 and the near pair high") {
+    val got = Registry.queries("q_minhash_dup")(spark, docsDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.get((4L, 5L)).contains(1.0), got.toString)
+    assert(got.getOrElse((1L, 2L), 0.0) > 0.8, got.toString)
+    assert(!got.keySet.exists { case (a, b) => Set(a, b).contains(3L) || Set(a, b).contains(6L) },
+      s"unrelated docs must not pair up: $got")
+  }
+
+  test("simhash reports hamming 0 for the exact pair, small for the near pair") {
+    val got = Registry.queries("q_simhash_dup")(spark, docsDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got.get((4L, 5L)).contains(0), got.toString)
+    assert(got.getOrElse((1L, 2L), 64) <= 12, got.toString)
+  }
+
+  test("ngram jaccard scores the planted pairs correctly") {
+    val got = Registry.queries("q_ngram_jaccard")(spark, docsDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((4L, 5L)) == 1.0)
+    assert(got((1L, 2L)) > 0.8)
+    assert(got((3L, 4L)) == 0.0) // unrelated
+  }
+
+  test("brute-force, LSH, and IVF all rank the planted twin as top-1") {
+    Seq("q_similarity_bruteforce", "q_similarity_lsh", "q_similarity_ivf").foreach { name =>
+      val top1 = Registry.queries(name)(spark, embDir)
+        .filter(col("query_id") === 0 && col("rank") === 1)
+        .collect()
+      assert(top1.length == 1, s"$name returned no rank-1 row for query 0")
+      assert(top1(0).getAs[Long]("neighbor_id") == 10L,
+        s"$name: expected vec 10 (identical twin) as top-1, got ${top1(0)}")
+      assert(top1(0).getAs[Double]("cos") == 1.0, s"$name: ${top1(0)}")
+    }
+  }
+}
