@@ -53,6 +53,16 @@ object CloudFrontTransform {
       .withColumn("type", lit("globaledge_cloudfront"))
       .drop("http_referer", "log_date", "log_time")
 
+  /** Byte-exact fidelity mode (SURVEY §1.3): the reference's actual
+    * data model is strings-only — `DictReader` yields str, nothing is
+    * ever numerically parsed. This view formats `@timestamp` back to
+    * the ISO string `isoformat()` emits and leaves every other column
+    * the raw string the TSV carried, so each row equals the reference's
+    * JSON payload field-for-field. */
+  def referenceFaithful(canonical: DataFrame): DataFrame =
+    canonical.withColumn("@timestamp",
+      date_format(col("@timestamp"), IsoFormat))
+
   /** The stricter projection the reference's schema comments intend
     * (all eight "this gets stripped" fields, SURVEY §1.2) — opt-in. */
   def strictDrop(df: DataFrame): DataFrame =

@@ -169,12 +169,20 @@ object LogStream {
       .option("checkpointLocation", checkpointDir)
       .foreach(new KinesisShapedWriter(client, conf))
 
-  /** Convenience: run the whole file→transform→sink pipeline. */
+  /** Convenience: run the whole file→transform→sink pipeline.
+    * `drainAndStop=true` uses Trigger.AvailableNow — process the whole
+    * backlog in rate-limited micro-batches, then stop: the backfill /
+    * catch-up mode (a plain batch job would ignore the checkpoint;
+    * this one advances it). */
   def run(
       spark: SparkSession,
       inputDir: String,
       client: RecordsClient,
       conf: KinesisSinkConfig,
-      checkpointDir: String): StreamingQuery =
-    toKinesis(canonicalStream(spark, inputDir), client, conf, checkpointDir).start()
+      checkpointDir: String,
+      drainAndStop: Boolean = false): StreamingQuery = {
+    val w = toKinesis(canonicalStream(spark, inputDir), client, conf, checkpointDir)
+    (if (drainAndStop)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w).start()
+  }
 }

@@ -144,6 +144,15 @@ class CloudFrontEtlSpec extends AnyFunSuite with SparkTestSupport {
     assert(bad.getAs[AnyRef]("@timestamp") == null) // unparseable ts → null, not error
   }
 
+  test("referenceFaithful mode is strings-only with ISO @timestamp") {
+    val faithful = CloudFrontTransform.referenceFaithful(canonical)
+    assert(faithful.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    val ts = faithful.select(col("cf_pop"), col("@timestamp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ts("SYD1") == "2019-01-18T02:13:45+00:00")
+  }
+
   test("transform preserves row count and field arithmetic (in − 3 + 4)") {
     val raw = CloudFrontSource.withPathMeta(
       CloudFrontSource.read(spark, s"$fixtureRoot/*/*/*.gz"))

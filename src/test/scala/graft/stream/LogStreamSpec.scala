@@ -215,9 +215,11 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(CollectingClient.received.size == 2)
 
     writeFile("b.gz", Seq("02:00:00"))
+    // restart in drain-and-stop (AvailableNow) mode: processes only the
+    // backlog the checkpoint hasn't seen, then terminates on its own
     val q2 = LogStream.run(spark, s"$root/*/*/*.gz", CollectingClient,
-      KinesisSinkConfig("restart-stream"), ckpt)
-    try q2.processAllAvailable() finally q2.stop()
+      KinesisSinkConfig("restart-stream"), ckpt, drainAndStop = true)
+    try q2.awaitTermination(60000) finally q2.stop()
     // only the new file's record is delivered on restart — a.gz is not replayed
     val all = CollectingClient.received.asScala.toSeq
     assert(all.size == 3, s"expected 3 total, got ${all.size}")
