@@ -78,7 +78,31 @@ object ThroughputSmoke {
     println(f"TPUT files=$files records=$total")
     println(f"TPUT parse+transform       ${parseS}%8.2f s  ${n1 / parseS}%12.0f rec/s")
     println(f"TPUT parse+json+chunk+sink ${sinkS}%8.2f s  ${delivered / sinkS}%12.0f rec/s")
+
+    // streaming leg: the reference's actual execution model — micro-
+    // batches through the checkpointed file source into the retrying
+    // sink (AvailableNow drains the backlog then stops)
+    val counted = new CountingClient
+    val ckpt = Files.createTempDirectory("tput-ckpt").toString
+    val t2 = System.nanoTime()
+    val q = graft.stream.LogStream.run(spark, s"$root/*/*/*.gz", counted,
+      KinesisSinkConfig("tput-stream"), ckpt, drainAndStop = true)
+    q.awaitTermination()
+    val streamS = (System.nanoTime() - t2) / 1e9
+    println(f"TPUT streaming end-to-end  ${streamS}%8.2f s  ${CountingClient.count.get() / streamS}%12.0f rec/s")
     println(f"TPUT reference envelope ceiling: 12500 rec/s (25 puts x 500 rec, SURVEY §6)")
     spark.stop()
+  }
+}
+
+/** Counts delivered records across writer tasks (local mode: one JVM). */
+object CountingClient {
+  val count = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
+class CountingClient extends RecordsClient {
+  override def putRecords(stream: String, records: IndexedSeq[SinkRecord]): IndexedSeq[PutEntry] = {
+    CountingClient.count.addAndGet(records.size)
+    records.map(_ => PutEntry(None))
   }
 }
