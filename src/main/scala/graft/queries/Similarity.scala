@@ -32,9 +32,6 @@ object Similarity {
   private def cosine(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
-  private val oracleDot =
-    "list_dot_product(%s, %s)"
-
   private def oracleCos(a: String, b: String): String =
     s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
 

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSupport
@@ -113,6 +112,4 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     assert(exchanges.size <= 2, p.toString)
   }
 
-  private def stripAqe(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan =
-    p match { case a: AdaptiveSparkPlanExec => a.executedPlan; case other => other }
 }
