@@ -17,9 +17,14 @@ final case class Q(
     oracle: Option[String])
 
 object Registry {
-  def all: Seq[Q] =
-    Relational.qs ++ TextOps.qs ++ Dedup.qs ++ Similarity.qs ++
+  def all: Seq[Q] = {
+    val qs = Relational.qs ++ TextOps.qs ++ Dedup.qs ++ Similarity.qs ++
       Multimodal.qs ++ Curation.qs ++ LogQueries.qs
+    require(qs.map(_.name).distinct.size == qs.size,
+      "duplicate query names: " +
+        qs.groupBy(_.name).filter(_._2.size > 1).keys.mkString(", "))
+    qs
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

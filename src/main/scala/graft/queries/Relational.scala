@@ -459,6 +459,30 @@ object Relational {
              FROM e ORDER BY event_id""")
   )
 
+  /** Statistical window functions: quartile bucket, percent rank, and
+    * cumulative distribution of order value within each status group —
+    * the distribution-analysis companions to row_number. */
+  private val qWindowStats = Q(
+    "q_window_stats",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+              CAST(ntile(4) OVER w AS INT) AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderkey""")
+  )
+
   /** Global top-k: planner turns orderBy+limit into TakeOrderedAndProject
     * (per-partition heap + driver merge of k rows — no global sort). */
   private val qTopk = Q(
@@ -812,7 +836,7 @@ object Relational {
     qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
     qAggGroupby, qAggDistinct, qAggApproxDistinct, qAggRollup, qAggPercentile,
     qAggCube, qAggHllUnion, qPivot, qUnpivot,
-    qWindowRank, qWindowFrame, qWindowRange, qTopk, qSetOps,
+    qWindowRank, qWindowFrame, qWindowRange, qWindowStats, qTopk, qSetOps,
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,
     qSubqueryCorrelated, qPathTransitions)
 }
