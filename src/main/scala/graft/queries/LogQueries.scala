@@ -150,5 +150,35 @@ object LogQueries {
             FROM c GROUP BY ip_class ORDER BY ip_class""")
   )
 
-  def qs: Seq[Q] = Seq(qCloudfrontEtl, qCloudfrontSink, qScalarIp)
+  /** MapType surface (SURVEY §1.3): the reference's `http_query`
+    * column is a URL query string; parse it into map<string,string>
+    * with `str_to_map` and operate on it (lookup, cardinality, sorted
+    * key list). The query string is synthesized from part columns, so
+    * the oracle knows every expected value by construction. */
+  private val qMapQueryParams = Q(
+    "q_map_query_params",
+    (s, d) =>
+      Tables.part(s, d)
+        .withColumn("http_query",
+          concat(lit("size="), col("p_size"), lit("&brand="), col("p_brand"),
+            lit("&type="), regexp_replace(col("p_type"), " ", "+")))
+        .withColumn("m", expr("str_to_map(http_query, '&', '=')"))
+        .select(
+          col("p_partkey"),
+          element_at(col("m"), "size").cast("int").as("size_v"),
+          element_at(col("m"), "brand").as("brand_v"),
+          element_at(col("m"), "missing").as("absent_v"),
+          size(col("m")).as("n_params"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("param_keys"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+              CAST(p_size AS INT) AS size_v,
+              p_brand AS brand_v,
+              CAST(NULL AS VARCHAR) AS absent_v,
+              3 AS n_params,
+              'brand,size,type' AS param_keys
+            FROM part ORDER BY p_partkey""")
+  )
+
+  def qs: Seq[Q] = Seq(qCloudfrontEtl, qCloudfrontSink, qScalarIp, qMapQueryParams)
 }
