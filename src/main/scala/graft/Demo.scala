@@ -20,13 +20,7 @@ import graft.stream.LogStream
   */
 object Demo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder("8").appName("graft-demo").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     // -- a day of CloudFront logs in the reference's bucket layout

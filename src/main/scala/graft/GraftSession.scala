@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the library's session defaults, so no query function
+  * has to mutate conf at read time:
+  *
+  *  - `graft.GraftExtensions` registers the codegen'd expressions
+  *    (url_unquote, dot_product, cosine_sim, poly_hash).
+  *  - UTC session timezone: every timestamp oracle assumes it.
+  *  - `nanosAsLong`: `events.ts` is parquet TIMESTAMP(NANOS), which
+  *    Spark has no native type for — this legacy conf reads it as
+  *    long nanos, and `Tables.events` truncates to microseconds. It is
+  *    a session-level SQL conf (no per-reader option exists), so it
+  *    belongs here, not inside a reader (a library reader mutating the
+  *    caller's session is a side effect the caller can't see).
+  *  - shuffle width = local core count, not the 200 default: on
+  *    local[N] the extra partitions are pure scheduling overhead; a
+  *    real cluster deployment sets this (or lets AQE coalesce).
+  */
+object GraftSession {
+
+  /** Standard builder; callers add master/appName and extra conf. */
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Env-derived core count used by the driver-run mains. */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    Runtime.getRuntime.availableProcessors().toString)
+
+  def local(appName: String): SparkSession = {
+    val s = builder(cpus).appName(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -14,19 +14,13 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val copies = sys.env.getOrElse("SCALE_COPIES", "8").toInt
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(GraftSession.cpus)
+      .appName("graft-scalesmoke").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions._
-
-    // raw reads (events.ts stays long nanos) so the written copies have
-    // the exact on-disk shape Tables expects when reading them back
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // raw reads (events.ts stays long nanos, via the session-level
+    // nanosAsLong conf) so written copies keep the on-disk shape
+    // Tables expects when reading them back
 
     /** N key-shifted copies of a table registered as a temp view over
       * the original name, so the query code runs unmodified. */
@@ -49,11 +43,15 @@ object ScaleSmoke {
       spark.table(s"amplified_$t").write.mode("overwrite")
         .parquet(s"${patched.getPath}/$t.parquet")
     }
-    // lineitem/orders etc. read straight from sf0.1 (unamplified dims)
+    // relational tables are not amplified (the heavy list is the
+    // dedup/similarity/text family) — copy the REAL sf files so any
+    // query later added to `heavy` that touches them runs over real
+    // rows instead of silently seeing 0
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach { t =>
-        val src = spark.read.parquet(s"$sf/$t.parquet")
-        src.limit(0).write.mode("ignore").parquet(s"${patched.getPath}/$t.parquet")
+        val dst = java.nio.file.Paths.get(patched.getPath, s"$t.parquet")
+        java.nio.file.Files.copy(java.nio.file.Paths.get(sf, s"$t.parquet"), dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
 
     val heavy = Seq("q_minhash_dup", "q_simhash_dup", "q_ngram_jaccard",

@@ -17,13 +17,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark has no native
-    * type for (PARQUET_TYPE_ILLEGAL). We read it as long nanos-since-epoch
-    * (legacy conf) and truncate to microsecond TimestampType — the same
-    * truncation DuckDB applies on `CAST(ts AS TIMESTAMP)`, which every
-    * oracle query does before deriving from ts.
+    * type for (PARQUET_TYPE_ILLEGAL). With `nanosAsLong` set at session
+    * build time (`GraftSession`) it reads as long nanos-since-epoch; we
+    * truncate to microsecond TimestampType — the same truncation DuckDB
+    * applies on `CAST(ts AS TIMESTAMP)`, which every oracle query does
+    * before deriving from ts. Fails fast with a pointer at the conf if
+    * the session wasn't built through `GraftSession` (a reader mutating
+    * the caller's session conf would be an invisible side effect).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet uses TIMESTAMP(NANOS): build the session via graft.GraftSession " +
+        "or set spark.sql.legacy.parquet.nanosAsLong=true before reading")
     spark.read
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

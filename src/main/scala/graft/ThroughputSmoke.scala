@@ -25,13 +25,8 @@ object ThroughputSmoke {
   def main(args: Array[String]): Unit = {
     val records = sys.env.getOrElse("RECORDS", "1000000").toInt
     val files = sys.env.getOrElse("FILES", "32").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(GraftSession.cpus)
+      .appName("graft-throughput").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val root = Files.createTempDirectory("tput-logs")

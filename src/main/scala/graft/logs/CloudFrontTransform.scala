@@ -97,7 +97,11 @@ object CloudFrontTransform {
       case c => col(c)
     }
     df.select(
-      to_json(struct(jsonCols.toIndexedSeq: _*)).as("Data"),
+      // ignoreNullFields=false: the reference's json.dumps emits
+      // `"field": null` for missing/short-row columns; Spark's default
+      // would silently drop them, changing the payload schema per row
+      to_json(struct(jsonCols.toIndexedSeq: _*),
+        Map("ignoreNullFields" -> "false")).as("Data"),
       // uuid4().hex shape: 32 hex chars, no dashes (reference :212)
       expr("replace(uuid(), '-', '')").as("PartitionKey"))
   }

@@ -62,7 +62,7 @@ object Curation {
              SELECT CASE WHEN fp % 10 <= 7 THEN 'train'
                          WHEN fp % 10 = 8 THEN 'val'
                          ELSE 'test' END AS split,
-               count(*) AS docs, sum(n_tokens) AS tokens
+               count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
              FROM dd WHERE rn = 1 GROUP BY 1 ORDER BY split""")
   )
 
@@ -94,7 +94,7 @@ object Curation {
                 ROWS UNBOUNDED PRECEDING) AS cum
               FROM t)
             SELECT source, CAST(floor((cum - 1) / 4096) AS BIGINT) AS bin,
-              count(*) AS docs, sum(n_tokens) AS bin_tokens
+              count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
             FROM c GROUP BY source, bin ORDER BY source, bin""")
   )
 

@@ -725,12 +725,15 @@ object Relational {
   private val qSubqueryCorrelated = Q(
     "q_subquery_correlated",
     (s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      // prefixed view name so the registration can't collide with a
+      // user's own temp views (it is still session-scoped state — the
+      // price of exercising the SQL front end from a library function)
+      Tables.orders(s, d).createOrReplaceTempView("graft_q_subquery_orders")
       s.sql("""SELECT o_custkey, count(*) AS n_above,
                  round(max(o_totalprice), 2) AS max_price
-               FROM orders_v o
+               FROM graft_q_subquery_orders o
                WHERE o_totalprice > (SELECT 1.5 * avg(i.o_totalprice)
-                                     FROM orders_v i
+                                     FROM graft_q_subquery_orders i
                                      WHERE i.o_custkey = o.o_custkey)
                GROUP BY o_custkey ORDER BY o_custkey""")
     },

@@ -72,16 +72,25 @@ object Similarity {
              FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
-  /** Random-hyperplane LSH (the ANN scale path): 4 hash tables × 8
-    * deterministic pseudo-random hyperplanes each (weights from a
-    * splitmix64 sequence computed once on the driver — no RNG state,
-    * reproducible across runs; the planes ship to executors as array
-    * literals, a broadcast of 2 KB). Sign bits of 8 codegen'd
-    * dot-products → 8-bit bucket per table; candidates =
+  /** Random-hyperplane LSH (the ANN scale path): 4 hash tables ×
+    * `planesFor(n)` deterministic pseudo-random hyperplanes each
+    * (weights from a splitmix64 sequence computed once on the driver —
+    * no RNG state, reproducible across runs; the planes ship to
+    * executors as array literals, a few KB). Sign bits of the codegen'd
+    * dot-products → a bucket id per table; candidates =
     * same-(table,bucket) pairs, unioned across tables
     * (OR-amplification for recall), then exact cosine re-rank.
-    * Candidate count tracks bucket collisions, not corpus size.
-    * Engine-specific hashing → rows-only check. */
+    *
+    * Scale: plane count grows with log2(corpus) so expected bucket
+    * occupancy stays ~`targetBucket` regardless of corpus size (fixed
+    * geometry means buckets — and thus per-query candidates — grow
+    * linearly with n). On top of that, a hard 256-docs-per-bucket cap
+    * (same rationale as the minhash band cap, Dedup.scala) bounds the
+    * damage from a degenerate near-dup cluster hashing into one
+    * bucket: such clusters are exact/near-exact dup families that
+    * exact dedup already catches. Engine-specific hashing → rows-only
+    * driver check; recall + cap semantics pinned by
+    * NearDupSemanticsSpec. */
   private def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -89,19 +98,38 @@ object Similarity {
     z ^ (z >>> 31)
   }
 
-  /** plane(t, p) = 64 weights in [-1, 1). */
+  /** plane(t, p) = `dim` weights in [-1, 1). Seed stride 32 keeps
+    * plane streams disjoint up to 32 planes/table. */
   private def plane(t: Int, p: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { j =>
-      (splitmix64((t * 8L + p) * 1024L + j).toDouble / Long.MaxValue)
+      (splitmix64((t * 32L + p) * 1024L + j).toDouble / Long.MaxValue)
     }
+
+  /** Planes per table so that E[bucket size] = n / 2^planes ≈
+    * targetBucket: ceil(log2(n / targetBucket)), clamped to [4, 30].
+    * n=1e3 → 4 planes; n=1e6 → 14; n=1e11 (100 TB of 1 KB docs) → 30
+    * with E[bucket] ≈ 93. Driver-side arithmetic on one count — the
+    * only job-level stat the plan needs. */
+  private[queries] def planesFor(n: Long, targetBucket: Long = 64L): Int = {
+    val raw = math.ceil(math.log(math.max(n, 1L).toDouble / targetBucket) /
+      math.log(2.0)).toInt
+    math.min(30, math.max(4, raw))
+  }
+
+  /** Hard per-(table,bucket) occupancy cap — same constant as the
+    * minhash/simhash band caps in Dedup. */
+  private[queries] val LshBucketCap = 256
 
   private val qSimilarityLsh = Q(
     "q_similarity_lsh",
     (s, d) => {
       val e = embDouble(s, d)
       val dim = 64
+      // one count() job sizes the geometry (parquet count is metadata-
+      // pushdown cheap — the same stat AQE reads)
+      val nPlanes = planesFor(e.count())
       val tables = (0 until 4).map { t =>
-        val bucket = (0 until 8).map { p =>
+        val bucket = (0 until nPlanes).map { p =>
           when(call_function("dot_product", col("emb"), typedLit(plane(t, p, dim))) > 0d,
             lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
@@ -110,9 +138,12 @@ object Similarity {
       val bucketed = e.select(col("vec_id"), col("emb"),
           explode(array(tables: _*)).as("h"))
         .select(col("vec_id"), col("emb"), col("h.tbl"), col("h.bucket"))
-      val l = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("query_id"), col("emb").as("qemb"))
+      val capped = bucketed.withColumn("bn",
+          count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
+        .filter(col("bn") <= LshBucketCap)
+      val l = capped.select(col("tbl"), col("bucket"), col("vec_id").as("query_id"), col("emb").as("qemb"))
         .filter(col("query_id") < 10)
-      val r = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("neighbor_id"), col("emb"))
+      val r = capped.select(col("tbl"), col("bucket"), col("vec_id").as("neighbor_id"), col("emb"))
         .filter(col("neighbor_id") >= 10)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))

@@ -57,6 +57,27 @@ object LogStream {
       .select(col("w.start").as("window_start"), col("cf_result"),
         col("requests"), col("bytes_sent"))
 
+  /** Sliding event-time rollup — overlapping windows (`width` long,
+    * advancing every `slide`): the moving-average view of traffic a
+    * tumbling window can't give. Each event lands in width/slide
+    * windows (Spark expands it declaratively, no custom state); the
+    * watermark expires per-window state exactly as in the tumbling
+    * case, so memory stays bounded at width/slide × the tumbling
+    * state. */
+  def slidingRollup(
+      canonical: DataFrame,
+      width: String = "10 minutes",
+      slide: String = "5 minutes",
+      lateness: String = "2 hours"): DataFrame =
+    canonical
+      .withWatermark("`@timestamp`", lateness)
+      .groupBy(window(col("@timestamp"), width, slide).as("w"), col("cf_result"))
+      .agg(
+        count(lit(1)).as("requests"),
+        sum(col("bytes_sent").cast("long")).as("bytes_sent"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("cf_result"), col("requests"), col("bytes_sent"))
+
   /** Per-client session windows (30-min inactivity gap), the streaming
     * form of the batch `q_sessionize` operator. */
   def sessions(canonical: DataFrame, gap: String = "30 minutes", lateness: String = "2 hours"): DataFrame =

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.{SparkTestSupport, Tables}
+import graft.{SparkEntry, SparkTestSupport, Tables}
 
 /** The mergeable-sketch contract behind q_agg_hll_union: unioning
   * per-day sketches must estimate the same cardinality as sketching
@@ -25,5 +25,25 @@ class HllUnionSpec extends AnyFunSuite with SparkTestSupport {
       s"union of partial sketches ($unioned) must equal the one-shot sketch ($oneShot)")
     assert(math.abs(oneShot - exact).toDouble / exact < 0.05,
       s"estimate $oneShot too far from exact $exact")
+  }
+
+  test("q_agg_approx_distinct estimates land within 3×rsd of exact per group") {
+    // the query is registered rows-only (HLL++ values are engine-
+    // specific, so no DuckDB oracle) — this pins its accuracy instead:
+    // approx_count_distinct(rsd=0.01) must land within 3 standard
+    // errors of the exact per-group distinct count
+    val rsd = 0.01
+    val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex) <= math.max(1.0, 3 * rsd * ex),
+        s"group $k: approx $ap vs exact $ex exceeds 3×rsd")
+    }
   }
 }

@@ -76,6 +76,44 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     assert(got((3L, 4L)) == 0.0) // unrelated
   }
 
+  test("LSH geometry scales with corpus size (planesFor) and is clamped") {
+    assert(Similarity.planesFor(0) == 4)
+    assert(Similarity.planesFor(1000) == 4)
+    assert(Similarity.planesFor(1000000) == 14)
+    assert(Similarity.planesFor(100000000000L) == 30, "clamped at 30 planes")
+    // monotone: bigger corpus never gets fewer planes
+    val ns = Seq(100L, 10000L, 1000000L, 100000000L, 10000000000L)
+    assert(ns.map(Similarity.planesFor(_)) == ns.map(Similarity.planesFor(_)).sorted)
+  }
+
+  test("LSH bucket cap drops a degenerate near-dup cluster but keeps the twin") {
+    // corpus: the planted twin (id 10), some background vectors, and a
+    // degenerate cluster of LshBucketCap+400 IDENTICAL vectors — all of
+    // which hash to the same bucket in every table. Without the cap
+    // each query colliding with that bucket would drag in the whole
+    // cluster (the linear blowup ScaleSmoke measures at 32×); with it,
+    // the cluster contributes zero candidates while the twin ranks 1.
+    val dir = Files.createTempDirectory("neardup-lsh-cap").toString
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => (math.sin(seed * 97.0 + j * 13.0)).toFloat)
+    val clusterSize = Similarity.LshBucketCap + 400
+    val rows =
+      (0 until 30).map { i =>
+        val v = if (i == 10) vec(0) else vec(i)
+        (i.toLong, v, i % 3)
+      } ++ (0 until clusterSize).map(i => ((100 + i).toLong, vec(42), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Registry.queries("q_similarity_lsh")(spark, dir)
+      .filter(col("query_id") === 0).collect()
+    assert(got.nonEmpty, "query 0 must still return neighbors")
+    val top1 = got.find(_.getAs[Int]("rank") == 1).get
+    assert(top1.getAs[Long]("neighbor_id") == 10L && top1.getAs[Double]("cos") == 1.0,
+      s"twin must survive the cap: $top1")
+    assert(!got.exists(_.getAs[Long]("neighbor_id") >= 100L),
+      s"capped mega-cluster must contribute no candidates: ${got.toSeq}")
+  }
+
   test("brute-force, LSH, and IVF all rank the planted twin as top-1") {
     Seq("q_similarity_bruteforce", "q_similarity_lsh", "q_similarity_ivf").foreach { name =>
       val top1 = Registry.queries(name)(spark, embDir)

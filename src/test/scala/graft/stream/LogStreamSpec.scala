@@ -103,6 +103,36 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("sliding rollup overlaps windows and equals the batch rollup on the same data") {
+    val rows = Seq(row("02:01:00"), row("02:06:00"), row("02:12:00", result = "Miss"),
+      row("03:00:00"))
+    val input = MemoryStream[LogRow](spark)
+    val rollup = LogStream.slidingRollup(
+      CloudFrontTransform.canonicalCols(input.toDF()), "10 minutes", "5 minutes")
+    withQuery(rollup, "sliding_complete", "complete") { q =>
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("sliding_complete")
+        .orderBy("window_start", "cf_result")
+        .collect().map(_.toSeq).toSeq
+      val batch = LogStream.slidingRollup(
+        CloudFrontTransform.canonicalCols(rows.toDF()), "10 minutes", "5 minutes")
+        .orderBy("window_start", "cf_result")
+        .collect().map(_.toSeq).toSeq
+      assert(streaming == batch)
+      // width/slide = 2 → every event is counted in exactly two windows
+      val totalCounted = spark.table("sliding_complete")
+        .agg(sum("requests")).collect()(0).getLong(0)
+      assert(totalCounted == 2L * rows.size, s"each event should land in 2 windows")
+      // the 02:01 event belongs to [01:55,02:05) and [02:00,02:10)
+      val hit0201 = spark.table("sliding_complete")
+        .where(col("cf_result") === "Hit" &&
+          col("window_start").isin("2019-01-18 01:55:00", "2019-01-18 02:00:00"))
+        .collect()
+      assert(hit0201.length == 2, s"got ${hit0201.toSeq}")
+    }
+  }
+
   test("stateful dedup keeps one row per request id within the watermark") {
     val input = MemoryStream[LogRow](spark)
     val deduped = LogStream.dedupedByRequestId(
