@@ -1,0 +1,115 @@
+package graft.sink.aws
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Instant
+import java.util.Base64
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.sink.{PutEntry, RecordsClient, SinkRecord}
+
+/** A service-level (whole-request) failure the sink should NOT retry
+  * silently — auth, validation, unknown stream. Throttling-class errors
+  * are mapped to per-record failures instead (see `putRecords`). */
+final class AwsServiceException(val statusCode: Int, val errorType: String, detail: String)
+  extends RuntimeException(s"$errorType (HTTP $statusCode): $detail")
+
+/** Kinesis `PutRecords` transport over pure JDK `java.net.http` + the
+  * `SigV4` signer — the production counterpart of the test fakes behind
+  * the `RecordsClient` boundary, with zero SDK dependency (nothing to
+  * resolve, nothing to shade). Wire protocol from the public API
+  * reference (docs.aws.amazon.com/kinesis/latest/APIReference/API_PutRecords.html):
+  * `POST /` with `X-Amz-Target: Kinesis_20131202.PutRecords` and an
+  * `application/x-amz-json-1.1` body.
+  *
+  * This module is the reference's boto3 `put_records` call
+  * (`cloudfront_kinesis_lambda.py:93,122`) re-homed: chunking/retry/
+  * backoff live in `KinesisDelivery` (operators B1, K2, K3); this class
+  * only moves one already-chunked batch and reports per-record status.
+  *
+  * Failure mapping:
+  *  - HTTP 200 → order-aligned `PutEntry` per record (`ErrorCode`
+  *    passed through — `KinesisDelivery` resends exactly those).
+  *  - Request-level throttling/5xx (`ProvisionedThroughputExceededException`,
+  *    `ThrottlingException`, `ServiceUnavailable`, `InternalFailure`)
+  *    → EVERY record marked failed, so the delivery loop's exponential
+  *    backoff owns the retry (same at-least-once stance as the
+  *    reference; no silent drop).
+  *  - Anything else (auth, validation, missing stream) → throw: the
+  *    Spark task fails loudly.
+  *
+  * Scale: instances are constructed per executor (Serializable; the
+  * HTTP client is `@transient lazy`), so 1000 executors = 1000
+  * independent HTTP clients, exactly like the reference's Lambda fleet.
+  *
+  * @param endpointOverride non-AWS endpoint for tests/local stacks,
+  *                         e.g. `http://localhost:4566`
+  */
+final class AwsKinesisClient(
+    region: String,
+    credentials: CredentialsProvider,
+    endpointOverride: Option[URI] = None,
+    clock: () => Instant = () => Instant.now())
+  extends RecordsClient {
+
+  private val RetriableTypes = Set(
+    "ProvisionedThroughputExceededException", "ThrottlingException",
+    "ServiceUnavailable", "InternalFailure", "LimitExceededException")
+
+  @transient private lazy val http: HttpClient = HttpClient.newHttpClient()
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private def endpoint: URI =
+    endpointOverride.getOrElse(URI.create(s"https://kinesis.$region.amazonaws.com/"))
+
+  override def putRecords(stream: String,
+      records: IndexedSeq[SinkRecord]): IndexedSeq[PutEntry] = {
+    val root = mapper.createObjectNode()
+    root.put("StreamName", stream)
+    val arr = root.putArray("Records")
+    records.foreach { r =>
+      val n = arr.addObject()
+      n.put("Data", Base64.getEncoder.encodeToString(r.data))
+      n.put("PartitionKey", r.partitionKey)
+    }
+    val payload = mapper.writeValueAsBytes(root)
+
+    val uri = endpoint
+    val host = uri.getHost + (if (uri.getPort > 0) s":${uri.getPort}" else "")
+    val headers = SigV4.signedHeaders(
+      method = "POST", host = host, path = "/", query = Nil,
+      headers = Map(
+        "content-type" -> "application/x-amz-json-1.1",
+        "x-amz-target" -> "Kinesis_20131202.PutRecords"),
+      payload = payload, region = region, service = "kinesis",
+      creds = credentials.credentials(), now = clock())
+
+    val reqB = HttpRequest.newBuilder(uri)
+      .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
+    headers.foreach { case (k, v) => reqB.header(k, v) }
+    val resp = http.send(reqB.build(), HttpResponse.BodyHandlers.ofString())
+
+    if (resp.statusCode() == 200) {
+      val recs = mapper.readTree(resp.body()).get("Records")
+      require(recs != null && recs.size() == records.size,
+        s"PutRecords response not order-aligned: ${records.size} sent, " +
+          s"${if (recs == null) 0 else recs.size()} returned")
+      (0 until recs.size()).map { i =>
+        val r = recs.get(i)
+        if (r.has("ErrorCode")) PutEntry(Some(r.get("ErrorCode").asText()))
+        else PutEntry(None)
+      }.toIndexedSeq
+    } else {
+      // error body shape: {"__type":"...#ProvisionedThroughputExceededException","message":"..."}
+      val errType =
+        try Option(mapper.readTree(resp.body()).get("__type"))
+          .map(_.asText.split('#').last).getOrElse("UnknownError")
+        catch { case _: Throwable => "UnknownError" }
+      if (RetriableTypes.contains(errType))
+        records.map(_ => PutEntry(Some(errType)))
+      else
+        throw new AwsServiceException(resp.statusCode(), errType, resp.body().take(500))
+    }
+  }
+}

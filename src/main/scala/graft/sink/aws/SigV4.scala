@@ -1,0 +1,144 @@
+package graft.sink.aws
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Instant
+import java.time.ZoneOffset
+import java.time.format.DateTimeFormatter
+
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** AWS credentials triple; `sessionToken` is present for temporary
+  * (STS-issued) credentials and is signed as `x-amz-security-token`. */
+final case class AwsCredentials(
+    accessKeyId: String,
+    secretAccessKey: String,
+    sessionToken: Option[String] = None)
+
+/** Pluggable credentials source. Implementations must be cheap to call
+  * per request (cache internally if resolution is expensive). */
+trait CredentialsProvider extends Serializable {
+  def credentials(): AwsCredentials
+}
+
+final case class StaticCredentials(creds: AwsCredentials) extends CredentialsProvider {
+  override def credentials(): AwsCredentials = creds
+}
+
+/** The default-chain stand-in this sandbox can express: environment
+  * variables (`AWS_ACCESS_KEY_ID` / `AWS_SECRET_ACCESS_KEY` /
+  * optional `AWS_SESSION_TOKEN`) — the same variables every AWS tool
+  * honors and the first stop of the SDK default chain. */
+object EnvCredentials extends CredentialsProvider {
+  override def credentials(): AwsCredentials = {
+    def need(k: String) = sys.env.getOrElse(k,
+      throw new IllegalStateException(s"$k is not set; pass explicit credentials"))
+    AwsCredentials(need("AWS_ACCESS_KEY_ID"), need("AWS_SECRET_ACCESS_KEY"),
+      sys.env.get("AWS_SESSION_TOKEN"))
+  }
+}
+
+/** AWS Signature Version 4 request signing, from the published spec
+  * (docs.aws.amazon.com/IAM/latest/UserGuide/create-signed-request.html)
+  * — pure JDK (`javax.crypto.Mac` + SHA-256), no SDK dependency. The
+  * signer is what lets the Kinesis/STS transports below run on nothing
+  * but `java.net.http`; correctness is pinned in `SigV4Spec` against
+  * the worked example in the AWS documentation.
+  */
+object SigV4 {
+
+  private val Algorithm = "AWS4-HMAC-SHA256"
+  private val AmzDateFmt =
+    DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(ZoneOffset.UTC)
+
+  def hexSha256(bytes: Array[Byte]): String =
+    hex(java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
+
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  private def hmacSha256(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  /** RFC 3986 "unreserved characters" percent-encoding as the SigV4
+    * spec requires (space → %20, not +; uppercase hex). */
+  def uriEncode(s: String, encodeSlash: Boolean = true): String = {
+    val sb = new StringBuilder
+    s.getBytes(UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || c == '-' || c == '_' || c == '.' || c == '~')
+        sb.append(c)
+      else if (c == '/' && !encodeSlash) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** HMAC chain: kSecret → kDate → kRegion → kService → kSigning. */
+  private def signingKey(secret: String, dateStamp: String, region: String,
+      service: String): Array[Byte] = {
+    val kDate = hmacSha256(("AWS4" + secret).getBytes(UTF_8), dateStamp)
+    val kRegion = hmacSha256(kDate, region)
+    val kService = hmacSha256(kRegion, service)
+    hmacSha256(kService, "aws4_request")
+  }
+
+  /** Sign one HTTP request; returns ALL headers to send (the input
+    * `headers` plus `x-amz-date`, optional `x-amz-security-token`, and
+    * `authorization`) EXCEPT `host`, which `java.net.http` sets itself
+    * from the URI — it is included in the signature but must not be
+    * set manually (restricted header).
+    *
+    * @param host    host[:port] exactly as the URI will render it
+    * @param path    absolute path ("/" for service endpoints)
+    * @param query   query parameters, unencoded
+    * @param headers additional headers to sign (content-type, x-amz-target, …)
+    */
+  def signedHeaders(
+      method: String,
+      host: String,
+      path: String,
+      query: Seq[(String, String)],
+      headers: Map[String, String],
+      payload: Array[Byte],
+      region: String,
+      service: String,
+      creds: AwsCredentials,
+      now: Instant): Map[String, String] = {
+    val amzDate = AmzDateFmt.format(now)
+    val dateStamp = amzDate.substring(0, 8)
+
+    val allHeaders = headers.map { case (k, v) => k.toLowerCase -> v.trim } ++
+      Map("host" -> host, "x-amz-date" -> amzDate) ++
+      creds.sessionToken.map("x-amz-security-token" -> _)
+    val sorted = allHeaders.toSeq.sortBy(_._1)
+    val canonicalHeaders = sorted.map { case (k, v) => s"$k:$v\n" }.mkString
+    val signedHeaderNames = sorted.map(_._1).mkString(";")
+
+    val canonicalQuery = query
+      .map { case (k, v) => uriEncode(k) + "=" + uriEncode(v) }
+      .sorted.mkString("&")
+
+    val canonicalRequest = Seq(
+      method,
+      uriEncode(path, encodeSlash = false) match { case "" => "/"; case p => p },
+      canonicalQuery,
+      canonicalHeaders,
+      signedHeaderNames,
+      hexSha256(payload)).mkString("\n")
+
+    val scope = s"$dateStamp/$region/$service/aws4_request"
+    val stringToSign = Seq(Algorithm, amzDate, scope,
+      hexSha256(canonicalRequest.getBytes(UTF_8))).mkString("\n")
+    val signature =
+      hex(hmacSha256(signingKey(creds.secretAccessKey, dateStamp, region, service),
+        stringToSign))
+
+    val authorization = s"$Algorithm Credential=${creds.accessKeyId}/$scope, " +
+      s"SignedHeaders=$signedHeaderNames, Signature=$signature"
+    (allHeaders - "host") + ("authorization" -> authorization)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.sink.aws
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Instant
+
+import javax.xml.parsers.DocumentBuilderFactory
+
+/** STS `AssumeRole` as a caching `CredentialsProvider` — the engine
+  * counterpart of the reference's cross-account delivery plumbing
+  * (`cloudfront_kinesis_lambda.py:56-71`: assume the configured role,
+  * reuse the session until near expiry, then re-assume). §2A operator
+  * D3.
+  *
+  * Wire protocol from the public API reference
+  * (docs.aws.amazon.com/STS/latest/APIReference/API_AssumeRole.html):
+  * form-encoded `Action=AssumeRole` query API, XML response — both
+  * expressible with the JDK (`java.net.http` + DOM parser), signed by
+  * `SigV4` with the base credentials.
+  *
+  * Refresh: temporary credentials are cached and re-fetched once
+  * within `refreshSkew` of expiry. The cache is per-JVM-instance and
+  * `@transient` — each executor assumes the role once per session
+  * lifetime, which is exactly the reference's per-Lambda behavior.
+  */
+final class StsAssumeRoleProvider(
+    base: CredentialsProvider,
+    roleArn: String,
+    sessionName: String,
+    region: String = "us-east-1",
+    endpointOverride: Option[URI] = None,
+    durationSeconds: Int = 3600,
+    refreshSkew: java.time.Duration = java.time.Duration.ofMinutes(5),
+    clock: () => Instant = () => Instant.now())
+  extends CredentialsProvider {
+
+  @transient private var cached: AwsCredentials = _
+  @transient private var expiry: Instant = Instant.EPOCH
+
+  override def credentials(): AwsCredentials = synchronized {
+    if (cached == null || !clock().isBefore(expiry.minus(refreshSkew))) {
+      val (c, e) = assume()
+      cached = c
+      expiry = e
+    }
+    cached
+  }
+
+  private def endpoint: URI =
+    endpointOverride.getOrElse(URI.create(s"https://sts.$region.amazonaws.com/"))
+
+  private def assume(): (AwsCredentials, Instant) = {
+    val params = Seq(
+      "Action" -> "AssumeRole",
+      "DurationSeconds" -> durationSeconds.toString,
+      "RoleArn" -> roleArn,
+      "RoleSessionName" -> sessionName,
+      "Version" -> "2011-06-15")
+    val body = params
+      .map { case (k, v) => SigV4.uriEncode(k) + "=" + SigV4.uriEncode(v) }
+      .mkString("&").getBytes(UTF_8)
+
+    val uri = endpoint
+    val host = uri.getHost + (if (uri.getPort > 0) s":${uri.getPort}" else "")
+    val headers = SigV4.signedHeaders(
+      method = "POST", host = host, path = "/", query = Nil,
+      headers = Map("content-type" -> "application/x-www-form-urlencoded; charset=utf-8"),
+      payload = body, region = region, service = "sts",
+      creds = base.credentials(), now = clock())
+
+    val reqB = HttpRequest.newBuilder(uri)
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+    headers.foreach { case (k, v) => reqB.header(k, v) }
+    val resp = HttpClient.newHttpClient()
+      .send(reqB.build(), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new AwsServiceException(resp.statusCode(), "AssumeRoleFailed",
+        resp.body().take(500))
+    parseCredentials(resp.body())
+  }
+
+  /** Pull `<Credentials>` out of the AssumeRole XML response with the
+    * JDK DOM parser (external entities disabled — the response is
+    * service-controlled but defense costs two lines). */
+  private def parseCredentials(xml: String): (AwsCredentials, Instant) = {
+    val dbf = DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setExpandEntityReferences(false)
+    val doc = dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes(UTF_8)))
+    def text(tag: String): String = {
+      val nodes = doc.getElementsByTagName(tag)
+      require(nodes.getLength > 0, s"AssumeRole response missing <$tag>")
+      nodes.item(0).getTextContent.trim
+    }
+    val creds = AwsCredentials(
+      accessKeyId = text("AccessKeyId"),
+      secretAccessKey = text("SecretAccessKey"),
+      sessionToken = Some(text("SessionToken")))
+    (creds, Instant.parse(text("Expiration")))
+  }
+}

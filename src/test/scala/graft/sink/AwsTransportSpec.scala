@@ -1,0 +1,183 @@
+package graft.sink
+
+import java.net.{InetSocketAddress, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Instant
+import java.util.Base64
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.aws.{AwsCredentials, AwsKinesisClient, AwsServiceException, SigV4, StaticCredentials, StsAssumeRoleProvider}
+
+/** The AWS transport without AWS: the SigV4 signer is pinned against
+  * the worked example in the public AWS signing documentation, and the
+  * Kinesis/STS clients run against a local `com.sun.net.httpserver`
+  * stub — same wire shapes as the real services, so the adapter is
+  * exercised end-to-end (sign → HTTP → parse → per-record status)
+  * including its contract parity with the test fakes used elsewhere.
+  */
+class AwsTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+  private def port: Int = server.getAddress.getPort
+
+  // one mutable handler slot so each test installs its own behavior
+  @volatile private var handler: HttpExchange => Unit = _
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (ex: HttpExchange) => handler(ex))
+    server.start()
+  }
+  override def afterAll(): Unit = server.stop(0)
+
+  private def respond(ex: HttpExchange, status: Int, body: String,
+      contentType: String = "application/x-amz-json-1.1"): Unit = {
+    val b = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, b.length)
+    ex.getResponseBody.write(b)
+    ex.close()
+  }
+
+  private val testCreds = StaticCredentials(AwsCredentials("AKIDEXAMPLE", "secret"))
+  private def client(clock: () => Instant = () => Instant.now()) =
+    new AwsKinesisClient("us-east-1", testCreds,
+      Some(URI.create(s"http://localhost:$port/")), clock)
+
+  test("SigV4 signature matches the worked example in the AWS documentation") {
+    // docs.aws.amazon.com SigV4 example: GET iam ListUsers, 2015-08-30,
+    // AKIDEXAMPLE — expected signature published in the docs
+    val creds = AwsCredentials("AKIDEXAMPLE",
+      "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+    val headers = SigV4.signedHeaders(
+      method = "GET", host = "iam.amazonaws.com", path = "/",
+      query = Seq("Action" -> "ListUsers", "Version" -> "2010-05-08"),
+      headers = Map("content-type" -> "application/x-www-form-urlencoded; charset=utf-8"),
+      payload = Array.emptyByteArray,
+      region = "us-east-1", service = "iam", creds = creds,
+      now = Instant.parse("2015-08-30T12:36:00Z"))
+    assert(headers("x-amz-date") == "20150830T123600Z")
+    assert(headers("authorization") ==
+      "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20150830/us-east-1/iam/aws4_request, " +
+        "SignedHeaders=content-type;host;x-amz-date, " +
+        "Signature=5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7")
+    assert(!headers.contains("host"), "host is a restricted header; java.net.http sets it")
+  }
+
+  test("putRecords sends the PutRecords wire shape and maps per-record errors by index") {
+    val seen = ArrayBuffer[String]()
+    handler = { ex =>
+      seen += new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      assert(ex.getRequestHeaders.getFirst("X-Amz-Target") == "Kinesis_20131202.PutRecords")
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      assert(auth != null && auth.startsWith("AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/"))
+      assert(auth.contains("content-type;host;x-amz-date;x-amz-target"))
+      // fail the middle record only
+      respond(ex, 200,
+        """{"FailedRecordCount":1,"Records":[
+          {"SequenceNumber":"1","ShardId":"s-0"},
+          {"ErrorCode":"ProvisionedThroughputExceededException","ErrorMessage":"slow down"},
+          {"SequenceNumber":"2","ShardId":"s-1"}]}""")
+    }
+    val recs = IndexedSeq(
+      SinkRecord("r0".getBytes(UTF_8), "k0"),
+      SinkRecord("r1".getBytes(UTF_8), "k1"),
+      SinkRecord("r2".getBytes(UTF_8), "k2"))
+    val out = client().putRecords("my-stream", recs)
+    assert(out.map(_.errorCode) == IndexedSeq(
+      None, Some("ProvisionedThroughputExceededException"), None))
+    // body round-trips: stream name + base64 data + partition keys, in order
+    val body = mapper.readTree(seen.head)
+    assert(body.get("StreamName").asText == "my-stream")
+    val sent = body.get("Records")
+    assert(sent.size() == 3)
+    assert((0 until 3).map(i =>
+      new String(Base64.getDecoder.decode(sent.get(i).get("Data").asText), UTF_8)) ==
+      Seq("r0", "r1", "r2"))
+    assert((0 until 3).map(i => sent.get(i).get("PartitionKey").asText) ==
+      Seq("k0", "k1", "k2"))
+  }
+
+  test("request-level throttling marks every record failed (delivery loop owns backoff)") {
+    handler = respond(_, 400,
+      """{"__type":"com.amazonaws.kinesis#ProvisionedThroughputExceededException","message":"x"}""")
+    val out = client().putRecords("s",
+      IndexedSeq(SinkRecord("a".getBytes(UTF_8), "k"), SinkRecord("b".getBytes(UTF_8), "k")))
+    assert(out.map(_.errorCode) == IndexedSeq(
+      Some("ProvisionedThroughputExceededException"),
+      Some("ProvisionedThroughputExceededException")))
+  }
+
+  test("non-retriable service errors throw loudly") {
+    handler = respond(_, 400,
+      """{"__type":"ResourceNotFoundException","message":"no such stream"}""")
+    val e = intercept[AwsServiceException] {
+      client().putRecords("nope", IndexedSeq(SinkRecord("a".getBytes(UTF_8), "k")))
+    }
+    assert(e.errorType == "ResourceNotFoundException" && e.statusCode == 400)
+  }
+
+  test("KinesisDelivery over the HTTP transport retries exactly the failed subset") {
+    // first call fails index 1, second call (the 1-record resend) succeeds —
+    // the same contract KinesisSinkSpec pins against the in-memory fake
+    val calls = new AtomicInteger(0)
+    val batchSizes = ArrayBuffer[Int]()
+    handler = { ex =>
+      val n = mapper.readTree(ex.getRequestBody.readAllBytes()).get("Records").size()
+      batchSizes += n
+      val entries =
+        if (calls.getAndIncrement() == 0)
+          (0 until n).map(i => if (i == 1)
+            """{"ErrorCode":"InternalFailure","ErrorMessage":"x"}"""
+          else s"""{"SequenceNumber":"$i","ShardId":"s"}""")
+        else (0 until n).map(i => s"""{"SequenceNumber":"$i","ShardId":"s"}""")
+      respond(ex, 200,
+        s"""{"FailedRecordCount":0,"Records":[${entries.mkString(",")}]}""")
+    }
+    val delivered = new AtomicInteger(0)
+    val delivery = new KinesisDelivery(client(), KinesisSinkConfig("s"),
+      sleeper = _ => (), onDelivered = delivered.addAndGet(_))
+    delivery.start()
+    (0 until 3).foreach(i => delivery.add(SinkRecord(s"r$i".getBytes(UTF_8), s"k$i")))
+    delivery.flush()
+    assert(batchSizes.toSeq == Seq(3, 1), "resend must carry only the failed record")
+    assert(delivered.get() == 3)
+  }
+
+  test("STS assume-role parses credentials, caches them, and refreshes near expiry") {
+    val issued = new AtomicInteger(0)
+    handler = { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      assert(body.contains("Action=AssumeRole") &&
+        body.contains("RoleArn=arn%3Aaws%3Aiam%3A%3A123%3Arole%2Fdelivery"))
+      val n = issued.incrementAndGet()
+      respond(ex, 200,
+        s"""<AssumeRoleResponse><AssumeRoleResult><Credentials>
+           <AccessKeyId>ASIAKEY$n</AccessKeyId>
+           <SecretAccessKey>tmpsecret$n</SecretAccessKey>
+           <SessionToken>tok$n</SessionToken>
+           <Expiration>2026-01-01T01:00:00Z</Expiration>
+           </Credentials></AssumeRoleResult></AssumeRoleResponse>""",
+        contentType = "text/xml")
+    }
+    var now = Instant.parse("2026-01-01T00:00:00Z")
+    val p = new StsAssumeRoleProvider(testCreds, "arn:aws:iam::123:role/delivery",
+      "graft-sink", endpointOverride = Some(URI.create(s"http://localhost:$port/")),
+      clock = () => now)
+    val c1 = p.credentials()
+    assert(c1 == AwsCredentials("ASIAKEY1", "tmpsecret1", Some("tok1")))
+    assert(p.credentials() eq c1, "within validity the cached session is reused")
+    assert(issued.get() == 1)
+    now = Instant.parse("2026-01-01T00:56:00Z") // inside the 5-min refresh skew
+    assert(p.credentials() == AwsCredentials("ASIAKEY2", "tmpsecret2", Some("tok2")))
+    assert(issued.get() == 2)
+  }
+}
