@@ -98,5 +98,43 @@ object Curation {
             FROM c GROUP BY source, bin ORDER BY source, bin""")
   )
 
-  def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences)
+  /** Deterministic stratified sampling — hash-mod sampling with a
+    * per-stratum rate (here: rate keyed off the source id; a real
+    * pipeline reads rates from a config table and broadcast-joins it).
+    * `rand()`-based sampling is non-reproducible and un-auditable;
+    * `fp % 100 < rate` gives every row a stable in/out decision, so
+    * reruns, spot-checks, and incremental re-trains see the same
+    * sample — and the oracle can verify it row for row. One scan, one
+    * tiny agg; the decision is per-row with no shuffle before the agg,
+    * so it holds at any scale. */
+  private val qSampleStratified = Q(
+    "q_sample_stratified",
+    (s, d) => {
+      val rate = (substring(col("source"), 4, 10).cast("int") % 3 + 1) * 10
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("fp", expr(sparkFp))
+        .withColumn("keep", (pmod(col("fp"), lit(100)) < rate).cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(col("keep")).as("n_sampled"),
+          sum(when(col("keep") === 1, col("n_tokens")).otherwise(0L)).as("tokens_sampled"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH q AS (
+               SELECT source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CASE WHEN ($duckFp) % 100 <
+                   (CAST(substr(source, 4) AS INT) % 3 + 1) * 10
+                 THEN 1 ELSE 0 END AS keep
+               FROM documents)
+             SELECT source, count(*) AS n_total,
+               CAST(sum(keep) AS BIGINT) AS n_sampled,
+               CAST(sum(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+                 AS tokens_sampled
+             FROM q GROUP BY source ORDER BY source""")
+  )
+
+  def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences, qSampleStratified)
 }

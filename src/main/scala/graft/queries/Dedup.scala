@@ -230,5 +230,135 @@ object Dedup {
             FROM p ORDER BY doc_a, doc_b""")
   )
 
-  def qs: Seq[Q] = Seq(qDedupExact, qMinhashDup, qSimhashDup, qNgramJaccard)
+  /** N-gram CONTAINMENT — the asymmetric companion to Jaccard:
+    * `|A∩B| / |A|` ≈ "how much of doc A is inside doc B". Catches
+    * quote/boilerplate inclusion that Jaccard misses (a paragraph fully
+    * contained in a much longer doc scores near-zero Jaccard but 1.0
+    * containment) — a standard filter in LLM training-data pipelines.
+    * Same structurally bounded pair set as `q_ngram_jaccard`; emits
+    * both directions' scores per pair. */
+  private val qNgramContainment = Q(
+    "q_ngram_containment",
+    (s, d) => {
+      val docs = shingleSets(Tables.documents(s, d))
+      val a = docs.select(col("source"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        explode(sequence(floor(col("doc_id") / 20),
+          floor(col("doc_id") / 20) + 1)).as("bucket"))
+      val b = docs.select(col("source"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        floor(col("doc_id") / 20).as("bucket"))
+      a.join(b, Seq("source", "bucket"))
+        .filter(col("doc_b") > col("doc_a") && col("doc_b") <= col("doc_a") + 20)
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .filter(col("inter") > 0)
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") / size(col("sh_a"))).as("cont_a_in_b"),
+          (col("inter").cast("double") / size(col("sh_b"))).as("cont_b_in_a"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH s AS (
+              SELECT doc_id, source,
+                list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingles
+              FROM documents
+              WHERE len(string_split(text,' ')) >= 3),
+                 p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                len(list_intersect(a.shingles, b.shingles)) AS inter,
+                len(a.shingles) AS na, len(b.shingles) AS nb
+              FROM s a JOIN s b
+                ON a.source = b.source
+               AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20)
+            SELECT doc_a, doc_b,
+              CAST(inter AS DOUBLE) / na AS cont_a_in_b,
+              CAST(inter AS DOUBLE) / nb AS cont_b_in_a
+            FROM p WHERE inter > 0 ORDER BY doc_a, doc_b""")
+  )
+
+  /** Duplicate-CLUSTER resolution — the step every pair detector above
+    * feeds: near-dup pairs are edges, connected components are the
+    * actual duplicate groups, and `cluster_id = min(doc_id)` names the
+    * canonical representative to keep. Pairs alone under-dedup (A≈B,
+    * B≈C but A and C drift below threshold must still collapse to one
+    * kept doc).
+    *
+    * Implementation: min-label propagation to a fixpoint — labels
+    * start as each node's own id, every round each node takes the min
+    * of its own and its neighbors' labels. Rounds needed = cluster
+    * diameter; near-dup families are shallow (chains of drafts), so
+    * this converges in a handful of rounds, each one join + one
+    * aggregate. Lineage is truncated per round (`localCheckpoint`) —
+    * the standard guard for iterative Spark jobs. At extreme diameters
+    * the alternating large-star/small-star formulation (Kiveris et al.,
+    * "Connected Components in MapReduce", SoCC'14) drops rounds to
+    * O(log n); the edge shape here is identical, only the propagation
+    * rule changes. Fully oracle-checkable: DuckDB computes the same
+    * components with a recursive CTE. */
+  private val qDupClusters = Q(
+    "q_dup_clusters",
+    (s, d) => {
+      val docs = shingleSets(Tables.documents(s, d))
+      val a = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        explode(sequence(floor(col("doc_id") / 20),
+          floor(col("doc_id") / 20) + 1)).as("bucket"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        floor(col("doc_id") / 20).as("bucket"))
+      val pairs = a.join(b, Seq("bucket"))
+        .filter(col("doc_b") > col("doc_a") && col("doc_b") <= col("doc_a") + 20)
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .filter(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      // symmetric edge list, materialized once (read every round)
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("doc_a").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint(true)
+      var converged = edges.isEmpty
+      var round = 0
+      while (!converged && round < 20) {
+        val prop = edges.join(labels, edges("doc_a") === labels("node"))
+          .select(edges("doc_b").as("node"), col("label"))
+        val next = labels.union(prop)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .localCheckpoint(true)
+        converged = next.as("n")
+          .join(labels.as("o"), "node")
+          .filter(col("n.label") =!= col("o.label"))
+          .isEmpty
+        labels = next
+        round += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE s AS (
+              SELECT doc_id,
+                list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingles
+              FROM documents
+              WHERE len(string_split(text,' ')) >= 3),
+                 p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM s a JOIN s b
+                ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+              WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                    (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+                 e AS (
+              SELECT doc_a AS a, doc_b AS b FROM p
+              UNION ALL
+              SELECT doc_b AS a, doc_a AS b FROM p),
+                 reach(node, r) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r)
+            SELECT node AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY node ORDER BY doc_id""")
+  )
+
+  def qs: Seq[Q] =
+    Seq(qDedupExact, qMinhashDup, qSimhashDup, qNgramJaccard,
+      qNgramContainment, qDupClusters)
 }

@@ -124,6 +124,61 @@ object TextOps {
             FROM documents ORDER BY doc_id""")
   )
 
+  /** PII scrub — redact emails and dotted-quad IPs before a corpus is
+    * trained on (the compliance pass every LLM-data pipeline runs).
+    * The test corpus is synthetic words, so deterministic PII is
+    * planted per row from the doc_id, then scrubbed; the query reports
+    * per-source found/redacted counts and a residual column that MUST
+    * be zero — the oracle re-runs the same regexes in DuckDB, proving
+    * the scrub semantics, not just the plumbing. Pure regexp
+    * expressions (codegen'd, no UDF), one scan + tiny agg; regexes are
+    * restricted to syntax Java regex and RE2 interpret identically. */
+  private val qTextPiiScrub = Q(
+    "q_text_pii_scrub",
+    (s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      Tables.documents(s, d)
+        .withColumn("aug", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.1."),
+          (col("doc_id") % 256).cast("string"), lit(".7")))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(regexp_count(col("aug"), lit(emailRe))).as("emails_found"),
+          sum(regexp_count(col("aug"), lit(ipRe))).as("ips_found"),
+          sum(regexp_count(col("scrubbed"), lit(emailRe)) +
+            regexp_count(col("scrubbed"), lit(ipRe))).as("residual"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH q AS (
+              SELECT source,
+                text || ' contact user' || doc_id || '@example.com from 10.1.' ||
+                  (doc_id % 256) || '.7' AS aug
+              FROM documents),
+                 r AS (
+              SELECT source, aug,
+                regexp_replace(regexp_replace(aug,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
+              FROM q)
+            SELECT source, count(*) AS docs,
+              CAST(sum(len(regexp_extract_all(aug,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails_found,
+              CAST(sum(len(regexp_extract_all(aug,
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) AS ips_found,
+              CAST(sum(len(regexp_extract_all(scrubbed,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(scrubbed,
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) AS residual
+            FROM r GROUP BY source ORDER BY source""")
+  )
+
   def qs: Seq[Q] =
-    Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint)
+    Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint,
+      qTextPiiScrub)
 }

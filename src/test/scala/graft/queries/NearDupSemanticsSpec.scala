@@ -76,6 +76,29 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     assert(got((3L, 4L)) == 0.0) // unrelated
   }
 
+  test("dup clusters collapse a transitive chain the pair threshold alone would split") {
+    // chain: 1≈2 and 2≈3 are above the 0.5 jaccard edge threshold, but
+    // 1 vs 3 is below it — only transitive closure puts all three in
+    // one cluster with canonical id 1. Doc 6 is unrelated.
+    val dir = Files.createTempDirectory("dupclusters").toString
+    val base = (0 until 30).map(i => s"w$i")
+    val d1 = base.mkString(" ")
+    val d2 = (base.take(24) ++ (0 until 6).map(i => s"x$i")).mkString(" ")
+    val d3 = ((0 until 6).map(i => s"y$i") ++ base.slice(6, 24) ++
+      (0 until 6).map(i => s"x$i")).mkString(" ")
+    Seq(
+      (1L, d1, "en", "web", d1.length.toLong),
+      (2L, d2, "en", "web", d2.length.toLong),
+      (3L, d3, "en", "web", d3.length.toLong),
+      (6L, tok("unrelated", 30), "en", "web", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("q_dup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"expected one cluster {1,2,3} labeled 1, got $got")
+  }
+
   test("LSH geometry scales with corpus size (planesFor) and is clamped") {
     assert(Similarity.planesFor(0) == 4)
     assert(Similarity.planesFor(1000) == 4)
