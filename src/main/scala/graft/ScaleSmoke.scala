@@ -49,14 +49,20 @@ object ScaleSmoke {
     // rows instead of silently seeing 0
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach { t =>
-        val dst = java.nio.file.Paths.get(patched.getPath, s"$t.parquet")
-        java.nio.file.Files.copy(java.nio.file.Paths.get(sf, s"$t.parquet"), dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val dst = new java.io.File(patched, s"$t.parquet")
+        // dst may be a directory-shaped parquet left by an older run
+        if (dst.isDirectory) {
+          dst.listFiles().foreach(_.delete())
+          dst.delete()
+        }
+        java.nio.file.Files.copy(java.nio.file.Paths.get(sf, s"$t.parquet"),
+          dst.toPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
 
     val heavy = Seq("q_minhash_dup", "q_simhash_dup", "q_ngram_jaccard",
       "q_similarity_lsh", "q_similarity_ivf", "q_embed_cosine_dup",
-      "q_dedup_exact", "q_sessionize", "q_text_tokens")
+      "q_dedup_exact", "q_sessionize", "q_text_tokens",
+      "q_ngram_containment", "q_dup_clusters", "q_text_pii_scrub")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

@@ -312,22 +312,29 @@ object Dedup {
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .localCheckpoint(true)
-      var labels = edges.select(col("doc_a").as("node")).distinct()
-        .withColumn("label", col("node"))
+      // init fuses the first propagation round: label = min(self, neighbors)
+      var labels = edges.select(col("doc_a").as("node"), col("doc_b").as("label"))
+        .union(edges.select(col("doc_a").as("node"), col("doc_a").as("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
       var converged = edges.isEmpty
       var round = 0
       while (!converged && round < 20) {
+        // one join + one agg per round: carry the previous label through
+        // the min-aggregate (prop rows contribute MaxValue) so the
+        // convergence check is a filter on the checkpointed result, not
+        // another join
         val prop = edges.join(labels, edges("doc_a") === labels("node"))
-          .select(edges("doc_b").as("node"), col("label"))
-        val next = labels.union(prop)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .select(edges("doc_b").as("node"), col("label"),
+            lit(Long.MaxValue).as("prev"))
+        val merged = labels
+          .select(col("node"), col("label"), col("label").as("prev"))
+          .union(prop)
+          .groupBy(col("node"))
+          .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
           .localCheckpoint(true)
-        converged = next.as("n")
-          .join(labels.as("o"), "node")
-          .filter(col("n.label") =!= col("o.label"))
-          .isEmpty
-        labels = next
+        converged = merged.filter(col("label") < col("prev")).isEmpty
+        labels = merged.select(col("node"), col("label"))
         round += 1
       }
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))

@@ -145,6 +145,16 @@ object LogStream {
       }
   }
 
+  /** Stream-static enrichment join: each streamed request joined to a
+    * batch dimension table (e.g. service metadata) on `serviceId`. The
+    * static side is re-planned per micro-batch (so dimension updates
+    * are picked up) and broadcast when small — no streaming state at
+    * all, which is why this is the first tool for enrichment before
+    * reaching for stream-stream joins. Left join keeps requests whose
+    * service is unknown (null-extended), matching batch semantics. */
+  def enriched(canonical: DataFrame, services: DataFrame): DataFrame =
+    canonical.join(broadcast(services), Seq("serviceId"), "left")
+
   /** Stateful exact dedup on the request id — CloudFront at-least-once
     * delivery made exactly-once within the watermark horizon. State is
     * dropped once the watermark passes, so it stays bounded. */

@@ -133,6 +133,36 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("stream-static join enriches from a broadcast dimension and keeps unknown services") {
+    val services = Seq(("svc", "team-a", 1), ("other", "team-b", 2))
+      .toDF("serviceId", "owner", "tier")
+    val input = MemoryStream[LogRow](spark)
+    val out = LogStream.enriched(
+      CloudFrontTransform.canonicalCols(input.toDF()), services)
+      .select("serviceId", "owner", "tier", "src_ip")
+    withQuery(out, "enriched_out", "append") { q =>
+      input.addData(row("02:00:00", ip = "1.1.1.1"))
+      q.processAllAvailable()
+      val got = spark.table("enriched_out").collect()
+      assert(got.length == 1)
+      assert(got(0).getString(1) == "team-a" && got(0).getInt(2) == 1)
+      // unknown service → left join null-extends instead of dropping
+      val input2 = MemoryStream[LogRow](spark)
+      val out2 = LogStream.enriched(
+        CloudFrontTransform.canonicalCols(
+          input2.toDF().withColumn("serviceId", lit("mystery"))), services)
+        .select("serviceId", "owner")
+      val q2 = out2.writeStream.format("memory").queryName("enriched_out2")
+        .outputMode("append").start()
+      try {
+        input2.addData(row("02:00:00"))
+        q2.processAllAvailable()
+        val rows2 = spark.table("enriched_out2").collect()
+        assert(rows2.length == 1 && rows2(0).isNullAt(1), rows2.mkString)
+      } finally q2.stop()
+    }
+  }
+
   test("stateful dedup keeps one row per request id within the watermark") {
     val input = MemoryStream[LogRow](spark)
     val deduped = LogStream.dedupedByRequestId(
