@@ -254,6 +254,38 @@ object Similarity {
              FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
+  /** ANN quality harness — recall@5 of each approximate index (IVF,
+    * hyperplane LSH) against the exact brute-force top-5. The eval
+    * every ANN deployment runs before trusting an index: a tuning
+    * change (planes, probes, caps) shows up here as a recall delta
+    * before it ships. Per-query recall = |approx ∩ exact| / 5, then
+    * averaged — joins are on (query_id, neighbor_id), so cost is the
+    * two index queries plus the exact baseline, not a new scan shape.
+    * Approx sides are engine-specific (LSH hashes) → rows-only check;
+    * NearDupSemanticsSpec pins the bounds and the planted-twin floor. */
+  private val qAnnRecall = Q(
+    "q_ann_recall",
+    (s, d) => {
+      val exact = qSimilarityBruteforce.fn(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      def recall(approx: DataFrame, method: String) =
+        exact.join(
+            approx.select(col("query_id"), col("neighbor_id"))
+              .withColumn("hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall"))
+          .agg(round(avg(col("recall")), 3).as("avg_recall"),
+            round(min(col("recall")), 3).as("min_recall"))
+          .select(lit(method).as("method"), col("avg_recall"), col("min_recall"))
+      recall(qSimilarityIvf.fn(s, d), "ivf")
+        .unionByName(recall(qSimilarityLsh.fn(s, d), "lsh"))
+        .orderBy(col("method"))
+    },
+    None
+  )
+
   def qs: Seq[Q] =
-    Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityIvf, qEmbedCosineDup)
+    Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityIvf, qEmbedCosineDup,
+      qAnnRecall)
 }

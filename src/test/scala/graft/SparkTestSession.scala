@@ -7,7 +7,12 @@ import org.apache.spark.sql.SparkSession
   * Verify/Bench: UTC, graft extensions, small shuffle width. */
 object SparkTestSession {
   lazy val session: SparkSession = {
-    val s = GraftSession.builder("4").appName("graft-test").getOrCreate()
+    val s = GraftSession.builder("4").appName("graft-test")
+      // saveAsTable targets (bucketed-join gate) land in a temp
+      // warehouse, not ./spark-warehouse inside the repo
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-test-wh").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -137,6 +137,20 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
       s"capped mega-cluster must contribute no candidates: ${got.toSeq}")
   }
 
+  test("ANN recall eval: bounds hold and the planted corpus keeps recall above the floor") {
+    val rows = Registry.queries("q_ann_recall")(spark, embDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Set("ivf", "lsh"))
+    rows.foreach { case (m, (avg, mn)) =>
+      assert(avg >= 0.0 && avg <= 1.0 && mn >= 0.0 && mn <= avg,
+        s"$m: avg=$avg min=$mn out of bounds")
+    }
+    // both indexes find the planted identical twin (cos 1.0) for query 0,
+    // so average recall on the 30-vector corpus can't be ~zero
+    assert(rows("ivf")._1 >= 0.2, s"ivf recall collapsed: $rows")
+    assert(rows("lsh")._1 >= 0.2, s"lsh recall collapsed: $rows")
+  }
+
   test("brute-force, LSH, and IVF all rank the planted twin as top-1") {
     Seq("q_similarity_bruteforce", "q_similarity_lsh", "q_similarity_ivf").foreach { name =>
       val top1 = Registry.queries(name)(spark, embDir)

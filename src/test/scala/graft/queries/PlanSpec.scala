@@ -1,9 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.SparkTestSupport
+import graft.{SparkTestSupport, Tables}
 
 /** Physical-plan quality gates (the 100 TB stance, SURVEY §4/§7.3):
   * these assert the *plan shape* — scans prune columns and push
@@ -110,6 +111,39 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     }
     // one shuffle for the window partitioning; the final orderBy adds a range exchange
     assert(exchanges.size <= 2, p.toString)
+  }
+
+  test("bucketed tables co-locate the join: zero shuffles between scan and join") {
+    // the at-scale answer to repeated fact-fact joins: pay the shuffle
+    // once at write time (bucketBy on the join key), then every join on
+    // that key reads co-partitioned buckets and skips the exchange
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
+    Tables.orders(spark, sf).write.bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").mode("overwrite").saveAsTable("graft_orders_bkt")
+    Tables.lineitem(spark, sf).write.bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").mode("overwrite").saveAsTable("graft_lineitem_bkt")
+    // forbid broadcast so the test proves co-location, not small-table luck;
+    // AQE off to inspect the static plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.table("graft_orders_bkt")
+        .join(spark.table("graft_lineitem_bkt"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("l_quantity"))
+      val p = joined.queryExecution.executedPlan
+      val shuffles = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty, s"bucketed join must not shuffle:\n$p")
+      assert(p.toString.contains("SortMergeJoin"), p.toString)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
 }
