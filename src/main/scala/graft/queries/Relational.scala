@@ -833,6 +833,62 @@ object Relational {
             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
+  /** Ordered funnel (view → click → purchase): stage N's entry time is
+    * the user's first qualifying event AT OR AFTER their stage-N−1
+    * time, so out-of-order events don't count (a purchase before the
+    * first view is not a conversion). Each stage is one filter + one
+    * user-keyed aggregate; all three stages and joins share the
+    * user_id partitioning, so at scale this is one shuffle's worth of
+    * movement re-used three times, never a per-user sort of the whole
+    * stream. The final stage counts are three 1-row aggregates crossed
+    * together (driver-sized). */
+  private val qFunnelSteps = Q(
+    "q_funnel_steps",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("ts") >= col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("ts") >= col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val row = t1.agg(count(lit(1)).as("n1"))
+        .crossJoin(t2.agg(count(lit(1)).as("n2")))
+        .crossJoin(t3.agg(count(lit(1)).as("n3")))
+      row.select(lit("1_view").as("stage"), col("n1").as("users"),
+          round(col("n1").cast("double") / col("n1"), 4).as("pct_of_top"))
+        .unionByName(row.select(lit("2_click").as("stage"), col("n2").as("users"),
+          round(col("n2").cast("double") / col("n1"), 4).as("pct_of_top")))
+        .unionByName(row.select(lit("3_purchase").as("stage"), col("n3").as("users"),
+          round(col("n3").cast("double") / col("n1"), 4).as("pct_of_top")))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                       FROM events),
+                 t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                        WHERE event_type = 'view' GROUP BY user_id),
+                 t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+                        JOIN t1 ON e.user_id = t1.user_id
+                        WHERE e.event_type = 'click' AND e.ts >= t1.t1
+                        GROUP BY e.user_id),
+                 t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+                        JOIN t2 ON e.user_id = t2.user_id
+                        WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+                        GROUP BY e.user_id),
+                 n AS (SELECT (SELECT count(*) FROM t1) AS n1,
+                              (SELECT count(*) FROM t2) AS n2,
+                              (SELECT count(*) FROM t3) AS n3)
+            SELECT '1_view' AS stage, n1 AS users,
+              round(CAST(n1 AS DOUBLE) / n1, 4) AS pct_of_top FROM n
+            UNION ALL
+            SELECT '2_click', n2, round(CAST(n2 AS DOUBLE) / n1, 4) FROM n
+            UNION ALL
+            SELECT '3_purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 4) FROM n
+            ORDER BY stage""")
+  )
+
   def qs: Seq[Q] = Seq(
     qScanProjection, qFilterPredicate,
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
@@ -841,5 +897,5 @@ object Relational {
     qAggCube, qAggHllUnion, qPivot, qUnpivot,
     qWindowRank, qWindowFrame, qWindowRange, qWindowStats, qTopk, qSetOps,
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,
-    qSubqueryCorrelated, qPathTransitions)
+    qSubqueryCorrelated, qPathTransitions, qFunnelSteps)
 }

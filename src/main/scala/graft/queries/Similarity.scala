@@ -285,7 +285,42 @@ object Similarity {
     None
   )
 
+  /** Per-label embedding centroids (class prototypes) — the vector
+    * aggregate behind curation moves like outlier filtering and
+    * cluster naming. Determinism across engines is the hard part:
+    * float sums are order-dependent, so each component is floored into
+    * exact integer micro-units first (IEEE multiply + floor are
+    * bit-identical in both engines), summed exactly as longs, and only
+    * divided back to double at the edge. posexplode keeps the whole
+    * thing in codegen; one shuffle on (label, dim). Reported for the
+    * first 8 dims to keep the oracle output small — the plan is
+    * dim-count-independent. */
+  private val qEmbedCentroids = Q(
+    "q_embed_centroids",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .filter(col("dim") < 8)
+        // long dim: DuckDB's range() yields BIGINT and the driver's
+        // hash is type-sensitive (the round-1 HUGEINT lesson)
+        .withColumn("dim", col("dim").cast("long"))
+        .withColumn("micro",
+          floor(col("v").cast("double") * 1000000L).cast("long"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("micro")).cast("double") / count(lit(1)) / 1000000.0)
+            .as("centroid"))
+        .orderBy(col("label"), col("dim")),
+    Some("""WITH x AS (
+              SELECT label, i - 1 AS dim,
+                CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+              FROM embeddings, range(1, 9) t(i))
+            SELECT label, dim, count(*) AS n,
+              CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0 AS centroid
+            FROM x GROUP BY label, dim ORDER BY label, dim""")
+  )
+
   def qs: Seq[Q] =
     Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityIvf, qEmbedCosineDup,
-      qAnnRecall)
+      qAnnRecall, qEmbedCentroids)
 }

@@ -187,6 +187,30 @@ object LogStream {
         col("p_ts") >= col("e_ts") - expr(s"interval $lookback"))
   }
 
+  /** One micro-batch → one `batch_id=N` parquet partition, mode
+    * OVERWRITE: the idempotent write unit `toIdempotentLake` commits.
+    * Exposed separately so the replay property is directly testable. */
+  def writeBatchIdempotent(batch: Dataset[Row], lakeDir: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$lakeDir/batch_id=$batchId")
+
+  /** Exactly-once lake delivery via `foreachBatch`: a crash between a
+    * batch's write and its checkpoint commit makes Structured Streaming
+    * replay that batch — with an append sink that duplicates rows, but
+    * here the replay overwrites its own `batch_id` partition, so the
+    * lake converges to exactly-once without sink-side transactions.
+    * Reading `lakeDir` back discovers `batch_id` as a partition column
+    * (prune it or drop it downstream). */
+  def toIdempotentLake(
+      canonical: DataFrame,
+      lakeDir: String,
+      checkpointDir: String): StreamingQuery =
+    canonical.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        writeBatchIdempotent(batch, lakeDir, batchId))
+      .start()
+
   /** Full reference pipeline: canonical stream → `{Data, PartitionKey}`
     * → Kinesis-shaped sink with subset retry (K1–K3). */
   def toKinesis(

@@ -133,6 +133,32 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("idempotent lake sink: a replayed batch overwrites its partition, never duplicates") {
+    val lake = Files.createTempDirectory("graft-lake").toString
+    val ckpt = Files.createTempDirectory("graft-lake-ckpt").toString
+    val input = MemoryStream[LogRow](spark)
+    val q = LogStream.toIdempotentLake(
+      CloudFrontTransform.canonicalCols(input.toDF()), lake, ckpt)
+    try {
+      input.addData(row("02:00:00"), row("02:01:00"))
+      q.processAllAvailable()
+      input.addData(row("03:00:00"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(lake).count() == 3)
+      // crash-replay simulation: re-run the last batch's write with the
+      // same rows (materialized first — a real replay re-derives the
+      // batch from the source, not from the sink being overwritten)
+      val src = spark.read.parquet(s"$lake/batch_id=1")
+      val replay = spark.createDataFrame(
+        spark.sparkContext.parallelize(src.collect().toIndexedSeq), src.schema)
+      LogStream.writeBatchIdempotent(replay, lake, 1L)
+      assert(spark.read.parquet(lake).count() == 3,
+        "replay must overwrite, not append")
+      // batch_id surfaces as a partition column on read
+      assert(spark.read.parquet(lake).select("batch_id").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches from a broadcast dimension and keeps unknown services") {
     val services = Seq(("svc", "team-a", 1), ("other", "team-b", 2))
       .toDF("serviceId", "owner", "tier")
