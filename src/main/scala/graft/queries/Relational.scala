@@ -805,7 +805,13 @@ object Relational {
     * stalling one. Result is identical to the unsalted join (the oracle
     * is the plain SQL join); the *plan* is what changes. AQE's
     * skewedJoin does this adaptively; the explicit form is for engines/
-    * keys where the runtime can't see the skew (e.g. pre-shuffle agg). */
+    * keys where the runtime can't see the skew (e.g. pre-shuffle agg).
+    * NOTE the `shuffle_hash` hint below exists so the pattern is
+    * visible at test SF (the planner would otherwise broadcast the
+    * small side and no salt would ever meet a shuffle); a production
+    * job at real scale should NOT pin the join strategy — leave AQE in
+    * charge and reach for explicit salting only when AQE's skew stats
+    * can't see the hot key. */
   private val qJoinSalted = Q(
     "q_join_salted",
     (s, d) => {
