@@ -99,6 +99,16 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
       s"expected one cluster {1,2,3} labeled 1, got $got")
   }
 
+  test("dup clusters on a corpus with no near-dup edges returns empty, not an error") {
+    val dir = Files.createTempDirectory("dupclusters-empty").toString
+    Seq(
+      (1L, tok("aa", 30), "en", "web", 100L),
+      (2L, tok("bb", 30), "en", "web", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Registry.queries("q_dup_clusters")(spark, dir).count() == 0)
+  }
+
   test("LSH geometry scales with corpus size (planesFor) and is clamped") {
     assert(Similarity.planesFor(0) == 4)
     assert(Similarity.planesFor(1000) == 4)

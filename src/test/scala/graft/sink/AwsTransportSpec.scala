@@ -72,6 +72,15 @@ class AwsTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!headers.contains("host"), "host is a restricted header; java.net.http sets it")
   }
 
+  test("SigV4 uriEncode follows the spec's RFC 3986 rules exactly") {
+    assert(SigV4.uriEncode("AZaz09-_.~") == "AZaz09-_.~", "unreserved pass through")
+    assert(SigV4.uriEncode("a b") == "a%20b", "space is %20, never +")
+    assert(SigV4.uriEncode("a/b") == "a%2Fb", "slash encoded in query values")
+    assert(SigV4.uriEncode("/a/b", encodeSlash = false) == "/a/b", "path keeps slashes")
+    assert(SigV4.uriEncode("=&+") == "%3D%26%2B", "reserved chars uppercase-hex")
+    assert(SigV4.uriEncode("é") == "%C3%A9", "UTF-8 bytes percent-encoded")
+  }
+
   test("putRecords sends the PutRecords wire shape and maps per-record errors by index") {
     val seen = ArrayBuffer[String]()
     handler = { ex =>
