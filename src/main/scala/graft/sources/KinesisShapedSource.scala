@@ -54,6 +54,18 @@ object KinesisShapedStore {
 
   def shardCount(name: String): Int = streams(name).length
 
+  /** Reshard (the scale-up half of a Kinesis shard split): one more
+    * shard, starting empty; existing shards keep their data and
+    * sequence numbers, and the hash routing immediately spreads new
+    * puts over the larger shard set. The source handles the growth
+    * because `planInputPartitions` reads shards beyond the start
+    * offset's vector from sequence 0 — exactly how a real consumer
+    * picks up child shards at TRIM_HORIZON. */
+  def addShard(name: String): Unit = {
+    val old = streams(name)
+    streams.put(name, old :+ new ArrayBuffer[StoredRecord])
+  }
+
   /** Current end sequence number per shard (exclusive). */
   def latestSeqs(name: String): Array[Long] =
     streams(name).map(s => s.synchronized(s.size.toLong))

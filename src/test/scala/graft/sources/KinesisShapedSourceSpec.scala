@@ -43,6 +43,35 @@ class KinesisShapedSourceSpec extends AnyFunSuite with SparkTestSupport {
     KinesisShapedStore.deleteStream(stream)
   }
 
+  test("reshard mid-stream: a new shard is picked up from sequence 0, nothing re-read") {
+    val stream = "src-spec-reshard"
+    KinesisShapedStore.createStream(stream, 2)
+    (0 until 40).foreach(i =>
+      KinesisShapedStore.put(stream, s"key-$i", s"pre-$i".getBytes("UTF-8")))
+    val df = spark.readStream.format("kinesis-shaped")
+      .option("stream", stream).load()
+      .select(col("shardId"), col("data").cast("string").as("payload"))
+    val q = df.writeStream.format("memory").queryName("kreshard")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kreshard").count() == 40)
+      // split: shard count 2 → 3, then write across the NEW routing
+      KinesisShapedStore.addShard(stream)
+      (40 until 70).foreach(i =>
+        KinesisShapedStore.put(stream, s"key-$i", s"post-$i".getBytes("UTF-8")))
+      q.processAllAvailable()
+      val rows = spark.table("kreshard").collect()
+      assert(rows.length == 70, "every record exactly once across the reshard")
+      assert(rows.map(_.getAs[String]("payload")).distinct.length == 70)
+      val shards = rows.map(_.getAs[Int]("shardId")).distinct.sorted
+      assert(shards.contains(2) ||
+        KinesisShapedStore.latestSeqs(stream)(2) == 0L,
+        s"new shard participates when routing hits it (shards seen: ${shards.toSeq})")
+    } finally q.stop()
+    KinesisShapedStore.deleteStream(stream)
+  }
+
   test("full loop: batch sink delivery → shard store → streaming consumer") {
     val stream = "src-spec-loop"
     KinesisShapedStore.createStream(stream, 2)
