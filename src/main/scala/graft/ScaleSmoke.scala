@@ -49,14 +49,24 @@ object ScaleSmoke {
     // rows instead of silently seeing 0
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach { t =>
-        val dst = new java.io.File(patched, s"$t.parquet")
-        // dst may be a directory-shaped parquet left by an older run
-        if (dst.isDirectory) {
-          dst.listFiles().foreach(_.delete())
-          dst.delete()
+        // recursive delete + copy: both src and dst may be single-file
+        // OR directory-shaped parquet (a Spark-written table is a dir;
+        // a dir left by an older run may hold _temporary subdirs)
+        def rmRec(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmRec)
+          f.delete()
         }
-        java.nio.file.Files.copy(java.nio.file.Paths.get(sf, s"$t.parquet"),
-          dst.toPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        def cpRec(src: java.io.File, dst: java.io.File): Unit =
+          if (src.isDirectory) {
+            dst.mkdirs()
+            src.listFiles().foreach(c => cpRec(c, new java.io.File(dst, c.getName)))
+          } else {
+            java.nio.file.Files.copy(src.toPath, dst.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        val dst = new java.io.File(patched, s"$t.parquet")
+        if (dst.exists()) rmRec(dst)
+        cpRec(new java.io.File(sf, s"$t.parquet"), dst)
       }
 
     val heavy = Seq("q_minhash_dup", "q_simhash_dup", "q_ngram_jaccard",

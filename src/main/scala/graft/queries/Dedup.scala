@@ -317,9 +317,10 @@ object Dedup {
         .union(edges.select(col("doc_a").as("node"), col("doc_a").as("label")))
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
+      val maxRounds = 50
       var converged = edges.isEmpty
       var round = 0
-      while (!converged && round < 20) {
+      while (!converged && round < maxRounds) {
         // one join + one agg per round: carry the previous label through
         // the min-aggregate (prop rows contribute MaxValue) so the
         // convergence check is a filter on the checkpointed result, not
@@ -337,6 +338,13 @@ object Dedup {
         labels = merged.select(col("node"), col("label"))
         round += 1
       }
+      // fail LOUD on non-convergence: returning at round cap would
+      // silently under-merge clusters (wrong dedup output). A chain
+      // needing >50 rounds means a >50-diameter component — switch the
+      // propagation rule to large-star/small-star before raising the cap.
+      require(converged,
+        s"q_dup_clusters did not converge in $maxRounds rounds — component " +
+          "diameter exceeds the cap; use the O(log n) large-star/small-star rule")
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
     },

@@ -860,15 +860,20 @@ object Relational {
       val t3 = e.filter(col("event_type") === "purchase")
         .join(t2, "user_id").filter(col("ts") >= col("t2"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      // explode the single 1-row result rather than union three
+      // references to `row` — a union would embed three copies of the
+      // whole funnel subplan (3 joins + 6 aggregates) in the plan
       val row = t1.agg(count(lit(1)).as("n1"))
         .crossJoin(t2.agg(count(lit(1)).as("n2")))
         .crossJoin(t3.agg(count(lit(1)).as("n3")))
-      row.select(lit("1_view").as("stage"), col("n1").as("users"),
-          round(col("n1").cast("double") / col("n1"), 4).as("pct_of_top"))
-        .unionByName(row.select(lit("2_click").as("stage"), col("n2").as("users"),
-          round(col("n2").cast("double") / col("n1"), 4).as("pct_of_top")))
-        .unionByName(row.select(lit("3_purchase").as("stage"), col("n3").as("users"),
-          round(col("n3").cast("double") / col("n1"), 4).as("pct_of_top")))
+      def stage(name: String, n: Column) =
+        struct(lit(name).as("stage"), n.as("users"),
+          round(n.cast("double") / col("n1"), 4).as("pct_of_top"))
+      row.select(explode(array(
+          stage("1_view", col("n1")),
+          stage("2_click", col("n2")),
+          stage("3_purchase", col("n3")))).as("s"))
+        .select(col("s.stage"), col("s.users"), col("s.pct_of_top"))
         .orderBy(col("stage"))
     },
     Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts

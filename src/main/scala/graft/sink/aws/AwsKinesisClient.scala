@@ -106,7 +106,10 @@ final class AwsKinesisClient(
         try Option(mapper.readTree(resp.body()).get("__type"))
           .map(_.asText.split('#').last).getOrElse("UnknownError")
         catch { case _: Throwable => "UnknownError" }
-      if (RetriableTypes.contains(errType))
+      // any 5xx is transient regardless of body shape (a proxy/LB 503
+      // often carries HTML or nothing — it must still hit the backoff
+      // path, not fail the task)
+      if (RetriableTypes.contains(errType) || resp.statusCode() >= 500)
         records.map(_ => PutEntry(Some(errType)))
       else
         throw new AwsServiceException(resp.statusCode(), errType, resp.body().take(500))

@@ -111,16 +111,25 @@ object SigV4 {
     val amzDate = AmzDateFmt.format(now)
     val dateStamp = amzDate.substring(0, 8)
 
-    val allHeaders = headers.map { case (k, v) => k.toLowerCase -> v.trim } ++
+    // canonical header values: trimmed AND internal space runs collapsed
+    // to one space, per the spec's canonicalization rules
+    val allHeaders = headers.map { case (k, v) =>
+      k.toLowerCase -> v.trim.replaceAll(" +", " ")
+    } ++
       Map("host" -> host, "x-amz-date" -> amzDate) ++
       creds.sessionToken.map("x-amz-security-token" -> _)
     val sorted = allHeaders.toSeq.sortBy(_._1)
     val canonicalHeaders = sorted.map { case (k, v) => s"$k:$v\n" }.mkString
     val signedHeaderNames = sorted.map(_._1).mkString(";")
 
+    // sort by encoded NAME then encoded VALUE (sorting the joined
+    // "k=v" strings is wrong when one name prefixes another: '=' 0x3D
+    // sorts after digits, so "Tag1=y" would land before "Tag=x")
     val canonicalQuery = query
-      .map { case (k, v) => uriEncode(k) + "=" + uriEncode(v) }
-      .sorted.mkString("&")
+      .map { case (k, v) => (uriEncode(k), uriEncode(v)) }
+      .sorted
+      .map { case (k, v) => s"$k=$v" }
+      .mkString("&")
 
     val canonicalRequest = Seq(
       method,

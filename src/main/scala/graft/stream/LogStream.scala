@@ -148,12 +148,15 @@ object LogStream {
   /** Stream-static enrichment join: each streamed request joined to a
     * batch dimension table (e.g. service metadata) on `serviceId`. The
     * static side is re-planned per micro-batch (so dimension updates
-    * are picked up) and broadcast when small — no streaming state at
-    * all, which is why this is the first tool for enrichment before
-    * reaching for stream-stream joins. Left join keeps requests whose
-    * service is unknown (null-extended), matching batch semantics. */
+    * are picked up); the planner broadcasts it when it is small — no
+    * hint here, because pinning broadcast on a caller-supplied
+    * dimension of unknown size is exactly the strategy-forcing this
+    * library warns against elsewhere. No streaming state at all, which
+    * is why this is the first tool for enrichment before reaching for
+    * stream-stream joins. Left join keeps requests whose service is
+    * unknown (null-extended), matching batch semantics. */
   def enriched(canonical: DataFrame, services: DataFrame): DataFrame =
-    canonical.join(broadcast(services), Seq("serviceId"), "left")
+    canonical.join(services, Seq("serviceId"), "left")
 
   /** Stateful exact dedup on the request id — CloudFront at-least-once
     * delivery made exactly-once within the watermark horizon. State is

@@ -81,6 +81,31 @@ class AwsTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SigV4.uriEncode("é") == "%C3%A9", "UTF-8 bytes percent-encoded")
   }
 
+  test("SigV4 canonicalization: params sort by name before value; header spaces collapse") {
+    // Tag vs Tag1: whole-string "k=v" sorting would put Tag1 first
+    // ('1' < '='); the spec orders by name, so Tag must come first.
+    // Signatures with swapped order differ — assert via equality with
+    // an explicitly pre-sorted call.
+    val creds = AwsCredentials("AKIDEXAMPLE", "secret")
+    def sig(q: Seq[(String, String)], h: Map[String, String]) =
+      SigV4.signedHeaders("GET", "x.amazonaws.com", "/", q, h,
+        Array.emptyByteArray, "us-east-1", "iam", creds,
+        Instant.parse("2015-08-30T12:36:00Z"))("authorization")
+    assert(sig(Seq("Tag1" -> "y", "Tag" -> "x"), Map.empty) ==
+      sig(Seq("Tag" -> "x", "Tag1" -> "y"), Map.empty),
+      "param order in the input must not change the signature")
+    assert(sig(Nil, Map("content-type" -> "a;  b")) ==
+      sig(Nil, Map("content-type" -> "a; b")),
+      "internal space runs in header values collapse before signing")
+  }
+
+  test("a bare 5xx with a non-JSON body is retriable, not fatal") {
+    handler = respond(_, 503, "<html>Service Unavailable</html>", "text/html")
+    val out = client().putRecords("s", IndexedSeq(SinkRecord("a".getBytes(UTF_8), "k")))
+    assert(out.map(_.errorCode) == IndexedSeq(Some("UnknownError")),
+      "proxy/LB 5xx must hit the backoff path, not fail the task")
+  }
+
   test("putRecords sends the PutRecords wire shape and maps per-record errors by index") {
     val seen = ArrayBuffer[String]()
     handler = { ex =>
