@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** SCALE.md claims "AQE skew-join handles the adaptive case" as the
+  * production counterpart of the explicit q_join_salted pattern — this
+  * spec proves it on a constructed hot key rather than asserting it.
+  * One key holds ~90% of the probe side; with the skew thresholds
+  * scaled down to test size, AQE must split the skewed partition
+  * (isSkew=true on the join) at runtime.
+  */
+class AqeSkewJoinSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  test("AQE splits a skewed join partition at runtime (the adaptive salting)") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // scale the skew detection down to test-sized data
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // probe side: 200k rows, 90% on key 0, long payload to cross the
+      // byte threshold; build side: 100 distinct keys
+      val probe = spark.range(200000).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 100).as("k"),
+        concat(lit("x" * 100), col("id")).as("payload"))
+      val build = spark.range(100).select(col("id").as("k"),
+        concat(lit("dim-"), col("id")).as("name"))
+      val joined = probe.join(build, "k")
+      val n = joined.count()
+      assert(n == 200000L)
+      // inspect the FINAL adaptive plan, post-execution
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(finalPlan.contains("isSkew=true") || finalPlan.contains("skew=true"),
+        s"expected AQE to mark the hot partition skewed:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
