@@ -22,6 +22,19 @@ class PolyHashSpec extends AnyFunSuite with SparkTestSupport {
     assert(r.passed, r.status.toString)
   }
 
+  test("interpreted eval path agrees with codegen") {
+    // the SQL path above exercises doGenCode; eval() is the interpreted
+    // fallback Spark uses in non-codegen contexts (e.g. constant
+    // folding) — the two must agree or plans silently diverge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    Seq("", "a", "hello world", "a😀b", "ünïcode").foreach { s =>
+      val got = PolyHash(Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)).eval(null)
+      assert(got == reference(s), s"eval('$s') = $got != ${reference(s)}")
+    }
+  }
+
   test("codepoint iteration (astral chars count once), null-safe, empty = 0") {
     val rows = spark.sql(
       "SELECT poly_hash('a😀b'), poly_hash(NULL), poly_hash('')").collect()(0)
