@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.sink.{KinesisDelivery, KinesisSinkConfig, PutEntry, RecordsClient, SinkRecord}
+
+/** DataSource V2 WRITE half of the kinesis-shaped table — the source
+  * file covers MICRO_BATCH_READ; this adds BATCH_WRITE and
+  * STREAMING_WRITE so `df.write.format("kinesis-shaped")` and
+  * `writeStream.format("kinesis-shaped")` both deliver through the
+  * same `KinesisDelivery` core (B1 chunking, K2 subset retry, K3
+  * backoff) as the `ForeachWriter`/`foreachPartition` faces.
+  *
+  * Semantics: at-least-once, like the reference — `commit` is a no-op
+  * because Kinesis has no transactional put; a failed task re-runs and
+  * re-sends its partition (the same stance documented in
+  * `KinesisDelivery`). Each partition writes independently through its
+  * own retrying delivery — 1000 partitions = 1000 concurrent writers.
+  *
+  * Input schema is the sink-record pair `{Data: string, PartitionKey:
+  * string}` produced by `CloudFrontTransform.toSinkRecords`; anything
+  * else is rejected at planning time, not per-row.
+  */
+private object KinesisShapedWrite {
+  /** Executors are a single JVM here (local mode), so the in-memory
+    * shard store is reachable; a cluster deployment swaps this for
+    * `graft.sink.aws.AwsKinesisClient` — same trait, same delivery. */
+  final class StoreClient extends RecordsClient {
+    override def putRecords(stream: String,
+        records: IndexedSeq[SinkRecord]): IndexedSeq[PutEntry] = {
+      records.foreach(r => KinesisShapedStore.put(stream, r.partitionKey, r.data))
+      records.map(_ => PutEntry(None))
+    }
+  }
+
+  def validate(schema: StructType): (Int, Int) = {
+    def idx(name: String): Int = {
+      val i = schema.fieldNames.indexOf(name)
+      require(i >= 0 && schema.fields(i).dataType == StringType,
+        s"kinesis-shaped write needs a string column '$name' " +
+          s"(got schema ${schema.simpleString})")
+      i
+    }
+    (idx("Data"), idx("PartitionKey"))
+  }
+}
+
+private class KinesisShapedWriteBuilder(stream: String, info: LogicalWriteInfo)
+  extends WriteBuilder {
+
+  override def build(): Write = new Write {
+    // fail on bad schema at plan time
+    KinesisShapedWrite.validate(info.schema())
+
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+        new KinesisShapedWriterFactory(stream, info.schema())
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+
+    override def toStreaming: StreamingWrite = new StreamingWrite {
+      override def createStreamingWriterFactory(
+          p: PhysicalWriteInfo): StreamingDataWriterFactory =
+        new KinesisShapedWriterFactory(stream, info.schema())
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+private case object KinesisWriteCommitted extends WriterCommitMessage
+
+private class KinesisShapedWriterFactory(stream: String, schema: StructType)
+  extends DataWriterFactory with StreamingDataWriterFactory {
+
+  private def writer(): DataWriter[InternalRow] = {
+    val (dataIdx, keyIdx) = KinesisShapedWrite.validate(schema)
+    val delivery = new KinesisDelivery(
+      new KinesisShapedWrite.StoreClient, KinesisSinkConfig(stream))
+    delivery.start()
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit =
+        delivery.add(SinkRecord(
+          row.getUTF8String(dataIdx).toString.getBytes("UTF-8"),
+          row.getUTF8String(keyIdx).toString))
+      override def commit(): WriterCommitMessage = {
+        delivery.flush()
+        KinesisWriteCommitted
+      }
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+  }
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    writer()
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = writer()
+}
