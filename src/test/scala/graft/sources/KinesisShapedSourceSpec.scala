@@ -72,6 +72,59 @@ class KinesisShapedSourceSpec extends AnyFunSuite with SparkTestSupport {
     KinesisShapedStore.deleteStream(stream)
   }
 
+  test("DSv2 batch write delivers through KinesisDelivery into the shard store") {
+    import spark.implicits._
+    val stream = "src-spec-v2write"
+    KinesisShapedStore.createStream(stream, 3)
+    (0 until 25).map(i => (s"""{"i":$i}""", s"key-$i"))
+      .toDF("Data", "PartitionKey")
+      .write.format("kinesis-shaped").option("stream", stream)
+      .mode("append").save()
+    assert(KinesisShapedStore.latestSeqs(stream).sum == 25L)
+    KinesisShapedStore.deleteStream(stream)
+  }
+
+  test("DSv2 write rejects a frame without the sink-record schema at plan time") {
+    import spark.implicits._
+    val stream = "src-spec-v2badschema"
+    KinesisShapedStore.createStream(stream, 1)
+    val e = intercept[Exception] {
+      Seq((1, "x")).toDF("a", "b")
+        .write.format("kinesis-shaped").option("stream", stream)
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("Data") || e.getMessage.contains("kinesis-shaped"),
+      e.getMessage)
+    assert(KinesisShapedStore.latestSeqs(stream).sum == 0L, "nothing written")
+    KinesisShapedStore.deleteStream(stream)
+  }
+
+  test("full DSv2 loop: writeStream kinesis-shaped → readStream kinesis-shaped") {
+    import spark.implicits._
+    val stream = "src-spec-v2loop"
+    KinesisShapedStore.createStream(stream, 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int](spark)
+    val writer = input.toDF()
+      .select(concat(lit("""{"n":"""), col("value"), lit("}")).as("Data"),
+        col("value").cast("string").as("PartitionKey"))
+      .writeStream.format("kinesis-shaped").option("stream", stream)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("v2loop-ckpt").toString)
+      .start()
+    val reader = spark.readStream.format("kinesis-shaped")
+      .option("stream", stream).load()
+      .select(get_json_object(col("data").cast("string"), "$.n").cast("int").as("n"))
+      .writeStream.format("memory").queryName("v2loop").outputMode("append").start()
+    try {
+      input.addData(1 to 40: _*)
+      writer.processAllAvailable()
+      reader.processAllAvailable()
+      val got = spark.table("v2loop").collect().map(_.getInt(0)).sorted
+      assert(got.toSeq == (1 to 40), s"got ${got.length} rows")
+    } finally { writer.stop(); reader.stop() }
+    KinesisShapedStore.deleteStream(stream)
+  }
+
   test("full loop: batch sink delivery → shard store → streaming consumer") {
     val stream = "src-spec-loop"
     KinesisShapedStore.createStream(stream, 2)
