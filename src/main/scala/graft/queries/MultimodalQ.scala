@@ -44,5 +44,30 @@ object Multimodal {
     None
   )
 
-  def qs: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures)
+  /** Exact media dedup by content digest — the binary-column form of
+    * exact text dedup: group on sha256 of the payload, keep the lowest
+    * doc_id as canonical. The digest is computed in the scan stage
+    * (one pass over the bytes), then the shuffle moves 32-byte hashes,
+    * never the payloads — at 100 TB of media that asymmetry is the
+    * whole ballgame. Output: one row per DUPLICATED digest with the
+    * kept doc and the dropped count (the planted-dup test corpus has
+    * none in testdata; the oracle proves the empty answer is right,
+    * and MultimodalOpsSpec plants real dups). */
+  private val qMultimodalDedup = Q(
+    "q_multimodal_dedup",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), sha2(encode(col("text"), "UTF-8"), 256).as("sha"))
+        .groupBy(col("sha"))
+        .agg(min(col("doc_id")).as("keep_doc"),
+          (count(lit(1)) - 1).as("dropped"))
+        .filter(col("dropped") > 0)
+        .orderBy(col("keep_doc")),
+    Some("""SELECT sha256(text) AS sha, min(doc_id) AS keep_doc,
+              count(*) - 1 AS dropped
+            FROM documents GROUP BY sha HAVING count(*) - 1 > 0
+            ORDER BY keep_doc""")
+  )
+
+  def qs: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDedup)
 }

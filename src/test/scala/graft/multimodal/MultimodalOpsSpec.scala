@@ -13,6 +13,21 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestSupport {
   private def rec(id: Long, n: Int, w: Int, h: Int) =
     MediaRecord(id, Array.tabulate(n)(i => (i % 251).toByte), "image/fake", w, h)
 
+  test("content-digest dedup finds planted payload duplicates, keeps the lowest id") {
+    val dir = java.nio.file.Files.createTempDirectory("mm-dedup").toString
+    Seq(
+      (1L, "same payload bytes", "en", "web", 18L),
+      (2L, "same payload bytes", "en", "web", 18L),
+      (3L, "same payload bytes", "en", "web", 18L),
+      (4L, "unique payload", "en", "web", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Registry.queries("q_multimodal_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L)),
+      s"one dup family: keep doc 1, drop 2 — got ${got.toSeq}")
+  }
+
   test("extractFeatures: batched, deterministic, feature dim fixed") {
     val ds = Seq(rec(1, 300, 10, 10), rec(2, 0, 4, 4), rec(3, 1000, 20, 5)).toDS()
     val out = MultimodalOps.extractFeatures(ds).collect().sortBy(_.doc_id)
