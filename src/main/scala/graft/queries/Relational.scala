@@ -900,6 +900,57 @@ object Relational {
             ORDER BY stage""")
   )
 
+  /** Cohort retention — the other classic event-analytics matrix next
+    * to the funnel: users grouped by first-seen day, activity counted
+    * per (cohort, day-offset). Two shuffles total (first-seen agg +
+    * the cohort matrix agg), both keyed and partial-aggregated; the
+    * user_id join reuses the first agg's partitioning. */
+  private val qCohortRetention = Q(
+    "q_cohort_retention",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      e.join(first, "user_id")
+        .select(col("user_id"),
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                       FROM events),
+                 f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id)
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+              date_diff('day', cohort, day) AS day_offset,
+              count(DISTINCT e.user_id) AS active_users
+            FROM e JOIN f ON e.user_id = f.user_id
+            GROUP BY cohort_day, day_offset
+            ORDER BY cohort_day, day_offset""")
+  )
+
+  /** Ordered set aggregation (`string_agg`/`listagg` shape): collect a
+    * group's distinct values into one deterministic ordered string.
+    * `collect_set` alone is partition-order-dependent — `array_sort`
+    * before joining is what makes it reproducible (and oracle-able). */
+  private val qStringAggOrdered = Q(
+    "q_string_agg_ordered",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+            .as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+              string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+                AS statuses,
+              count(DISTINCT o_orderstatus) AS n_statuses
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
   def qs: Seq[Q] = Seq(
     qScanProjection, qFilterPredicate,
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
@@ -908,5 +959,6 @@ object Relational {
     qAggCube, qAggHllUnion, qPivot, qUnpivot,
     qWindowRank, qWindowFrame, qWindowRange, qWindowStats, qTopk, qSetOps,
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,
-    qSubqueryCorrelated, qPathTransitions, qFunnelSteps)
+    qSubqueryCorrelated, qPathTransitions, qFunnelSteps,
+    qCohortRetention, qStringAggOrdered)
 }
