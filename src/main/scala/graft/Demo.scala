@@ -76,6 +76,22 @@ object Demo {
     println("[demo] per-result counts consumed back from the stream:")
     spark.table("demo_counts").orderBy("r").collect()
       .foreach(r => println(s"[demo]   ${r.mkString("  ")}"))
+
+    // -- 4. same delivery through the DSv2 write face (one line, no
+    //      hand-wired client), then an exactly-once lake off the stream
+    KinesisShapedStore.createStream("demo-logs-v2", 4)
+    CloudFrontTransform.toSinkRecords(canonical)
+      .write.format("kinesis-shaped").option("stream", "demo-logs-v2")
+      .mode("append").save()
+    println(s"[demo] DSv2 write delivered " +
+      s"${KinesisShapedStore.latestSeqs("demo-logs-v2").sum} records")
+    val lakeDir = Files.createTempDirectory("demo-idem-lake").toString
+    val lq = LogStream.toIdempotentLake(
+      LogStream.canonicalStream(spark, s"$root/*/*"),
+      lakeDir, Files.createTempDirectory("demo-idem-ckpt").toString)
+    lq.processAllAvailable(); lq.stop()
+    println(s"[demo] idempotent lake holds " +
+      s"${spark.read.parquet(lakeDir).count()} rows (replay-safe by batch_id)")
     spark.stop()
   }
 }
