@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lineage-truncation strategy for iterative DataFrame jobs (label
+  * propagation, alternating stars). Iterative plans grow one join+agg
+  * per round; without truncation the lineage (and closure size, and
+  * re-execution cost on task retry) grows without bound.
+  *
+  *  - [[Checkpointer.Local]]: `localCheckpoint(eager)` — blocks live in
+  *    *executor* storage. Fast (no I/O to a reliable store) and the
+  *    right default on local[*] / notebooks, but NOT fault-tolerant:
+  *    on a real cluster an executor loss mid-iteration loses blocks
+  *    that cannot be recomputed (lineage was truncated) and kills the
+  *    job.
+  *  - [[Checkpointer.Reliable]]: `checkpoint(eager)` to a reliable
+  *    checkpoint dir (HDFS / object store) — survives executor loss;
+  *    the strategy to run at 100 TB. Sets the SparkContext checkpoint
+  *    dir if unset (and never overrides one the caller configured).
+  */
+sealed trait Checkpointer extends Serializable {
+  def apply(df: DataFrame): DataFrame
+}
+
+object Checkpointer {
+  case object Local extends Checkpointer {
+    override def apply(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  }
+
+  final case class Reliable(dir: String) extends Checkpointer {
+    override def apply(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      df.checkpoint(true)
+    }
+  }
+}
+
+/** Distributed connected components over a near-duplicate edge list —
+  * the cluster-resolution step behind `q_dup_clusters`. Two propagation
+  * rules with identical output (`doc_id → cluster_id = component min`):
+  *
+  *  - [[ConnectedComponents.minLabel]]: each round every node takes the
+  *    min of its own and its neighbors' labels. Rounds = component
+  *    diameter — ideal for the shallow duplicate families near-dup
+  *    detection actually produces (chains of drafts, mirrored pages).
+  *  - [[ConnectedComponents.alternatingStars]]: the large-star/
+  *    small-star rule of Kiveris et al., "Connected Components in
+  *    MapReduce and Beyond" (SoCC'14) — rounds = O(log n) independent
+  *    of diameter, the escape hatch for pathological long-chain
+  *    components where min-label would need diameter rounds.
+  *
+  * Both are one-to-two shuffles per round carrying only (long, long)
+  * pairs, with lineage truncated through the pluggable [[Checkpointer]]
+  * — the 100 TB shape.
+  */
+object ConnectedComponents {
+
+  /** Min-label propagation to a fixpoint.
+    *
+    * @param pairs unique undirected edges as columns (`doc_a`,
+    *              `doc_b`); orientation and self-pairs don't matter
+    *              (symmetrized internally)
+    * @return (`doc_id`, `cluster_id`) for every node with ≥1 edge,
+    *         `cluster_id` = min doc_id of the component
+    */
+  def minLabel(pairs: DataFrame, ckpt: Checkpointer = Checkpointer.Local,
+      maxRounds: Int = 50): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    // symmetric edge list, materialized once (read every round)
+    val edges = ckpt(p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    // init fuses the first propagation round: label = min(self, neighbors)
+    var labels = ckpt(
+      edges.select(col("doc_a").as("node"), col("doc_b").as("label"))
+        .union(edges.select(col("doc_a").as("node"), col("doc_a").as("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("label")))
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // one join + one agg per round: carry the previous label through
+      // the min-aggregate (prop rows contribute MaxValue) so the
+      // convergence check is a filter on the checkpointed result, not
+      // another join
+      val prop = edges.join(labels, edges("doc_a") === labels("node"))
+        .select(edges("doc_b").as("node"), col("label"),
+          lit(Long.MaxValue).as("prev"))
+      val merged = ckpt(labels
+        .select(col("node"), col("label"), col("label").as("prev"))
+        .union(prop)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"), min(col("prev")).as("prev")))
+      converged = merged.filter(col("label") < col("prev")).isEmpty
+      labels = merged.select(col("node"), col("label"))
+      round += 1
+    }
+    // fail LOUD on non-convergence: returning at round cap would
+    // silently under-merge clusters (wrong dedup output). A component
+    // needing >maxRounds rounds means extreme diameter — use
+    // `alternatingStars` (O(log n) rounds) instead of raising the cap.
+    require(converged,
+      s"minLabel did not converge in $maxRounds rounds — component " +
+        "diameter exceeds the cap; use alternatingStars (O(log n) rounds)")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Alternating large-star/small-star (Kiveris et al., SoCC'14).
+    *
+    * Each round applies both operations to the undirected edge set:
+    *  - large-star: per node u with m = min(N(u) ∪ {u}), emit (v, m)
+    *    for every *strictly larger* neighbor v > u;
+    *  - small-star: per node u over its ≤-neighbors (edges oriented
+    *    large→small) with m = min(N≤(u) ∪ {u}), emit (v, m) for every
+    *    v ∈ N≤(u) ∪ {u}, dropping the (m, m) self-loop.
+    *
+    * Both preserve connectivity and strictly flatten the graph; the
+    * fixpoint is a forest of stars (v, root) with root = component min.
+    * Rounds = O(log n) regardless of diameter.
+    *
+    * Same contract as [[minLabel]]: input unique undirected pairs,
+    * output (`doc_id`, `cluster_id`).
+    */
+  def alternatingStars(pairs: DataFrame, ckpt: Checkpointer = Checkpointer.Local,
+      maxRounds: Int = 35): DataFrame = {
+    val p = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .filter(col("a") =!= col("b"))
+
+    // large-star over symmetric edges: m = min over neighborhood ∪ self,
+    // emitted to larger neighbors only
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a").as("u"), least(col("a"), col("mb")).as("m"))
+      sym.join(mins, sym("a") === mins("u"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+
+    // small-star over edges oriented large→small: m = min over the
+    // smaller neighbors ∪ self, emitted to all of them plus self
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      val mins = oriented.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val toSmaller = oriented.join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+      val self = mins.select(col("a"), col("m").as("b"))
+      toSmaller.union(self)
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    var edges = ckpt(p.distinct())
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = ckpt(smallStar(largeStar(edges)))
+      // fixpoint test on the canonical (undirected) edge set: both
+      // operations only ever shrink labels, so equal sets = converged
+      val canonNext = next.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val canonPrev = edges.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      converged = canonNext.except(canonPrev).isEmpty &&
+        canonPrev.except(canonNext).isEmpty
+      edges = next
+      round += 1
+    }
+    require(converged,
+      s"alternatingStars did not converge in $maxRounds rounds — " +
+        "this bounds O(log n); check the edge list for corruption")
+    // fixpoint is a star forest: every edge is (member, root)
+    val members = edges.select(
+      greatest(col("a"), col("b")).as("doc_id"), least(col("a"), col("b")).as("cluster_id"))
+    val roots = members.select(col("cluster_id")).distinct()
+      .select(col("cluster_id").as("doc_id"), col("cluster_id"))
+    members.union(roots)
+  }
+}

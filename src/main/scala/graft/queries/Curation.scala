@@ -18,10 +18,12 @@ object Curation {
   /** content fingerprint both engines compute identically (Spark side:
     * the codegen'd PolyHash expression; the interpreted aggregate-over-
     * split formulation measured ~0.5 ms/doc) */
-  private val sparkFp = "poly_hash(text)"
-  private val duckFp =
-    """list_reduce(list_transform(string_split_regex(text, ''),
+  private def sparkFpOf(colName: String) = s"poly_hash($colName)"
+  private def duckFpOf(colName: String) =
+    s"""list_reduce(list_transform(string_split_regex($colName, ''),
          c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"""
+  private val sparkFp = sparkFpOf("text")
+  private val duckFp = duckFpOf("text")
 
   /** Filter (quality) → dedup (exact content, keep lowest doc_id) →
     * split (fingerprint mod 10: 8/1/1 train/val/test). Per-split doc
@@ -99,8 +101,10 @@ object Curation {
   )
 
   /** Deterministic stratified sampling — hash-mod sampling with a
-    * per-stratum rate (here: rate keyed off the source id; a real
-    * pipeline reads rates from a config table and broadcast-joins it).
+    * per-stratum rate (here: rate keyed off a hash of the full source
+    * string, so ANY source id yields a valid rate — no format
+    * precondition; a real pipeline reads rates from a config table and
+    * broadcast-joins it).
     * `rand()`-based sampling is non-reproducible and un-auditable;
     * `fp % 100 < rate` gives every row a stable in/out decision, so
     * reruns, spot-checks, and incremental re-trains see the same
@@ -110,7 +114,7 @@ object Curation {
   private val qSampleStratified = Q(
     "q_sample_stratified",
     (s, d) => {
-      val rate = (substring(col("source"), 4, 10).cast("int") % 3 + 1) * 10
+      val rate = (pmod(expr(sparkFpOf("source")), lit(3)) + 1) * 10
       Tables.documents(s, d)
         .withColumn("n_tokens", size(split(col("text"), " ")))
         .withColumn("fp", expr(sparkFp))
@@ -126,7 +130,7 @@ object Curation {
                SELECT source,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                  CASE WHEN ($duckFp) % 100 <
-                   (CAST(substr(source, 4) AS INT) % 3 + 1) * 10
+                   ((${duckFpOf("source")}) % 3 + 1) * 10
                  THEN 1 ELSE 0 END AS keep
                FROM documents)
              SELECT source, count(*) AS n_total,

@@ -281,18 +281,24 @@ object Dedup {
     * B≈C but A and C drift below threshold must still collapse to one
     * kept doc).
     *
-    * Implementation: min-label propagation to a fixpoint — labels
-    * start as each node's own id, every round each node takes the min
-    * of its own and its neighbors' labels. Rounds needed = cluster
-    * diameter; near-dup families are shallow (chains of drafts), so
-    * this converges in a handful of rounds, each one join + one
-    * aggregate. Lineage is truncated per round (`localCheckpoint`) —
-    * the standard guard for iterative Spark jobs. At extreme diameters
-    * the alternating large-star/small-star formulation (Kiveris et al.,
-    * "Connected Components in MapReduce", SoCC'14) drops rounds to
-    * O(log n); the edge shape here is identical, only the propagation
-    * rule changes. Fully oracle-checkable: DuckDB computes the same
-    * components with a recursive CTE. */
+    * Implementation: [[ConnectedComponents]] — min-label propagation
+    * to a fixpoint (rounds = cluster diameter; near-dup families are
+    * shallow, so a handful of one-join-one-agg rounds), with the
+    * alternating large-star/small-star rule (Kiveris et al., SoCC'14,
+    * O(log n) rounds) available for pathological diameters and spec'd
+    * equivalent on a planted 60-node chain. Lineage is truncated per
+    * round through the pluggable [[Checkpointer]]: `Local` here
+    * (executor storage, right for local[*]); `Reliable(dir)` is the
+    * cluster-mode strategy — executor loss mid-iteration cannot kill
+    * the job. Fully oracle-checkable: DuckDB computes the same
+    * components with a recursive CTE.
+    *
+    * Oracle timeout safety: the recursive CTE materializes every
+    * (node, reachable-min) pair, so its cost is Σ component_size² —
+    * fine on the bounded synthetic corpus (clusters ≤ 21 docs by the
+    * banding), but a mass-duplicated real corpus would blow it up;
+    * keep oracle runs at sf ≤ 0.1 where the band cap bounds components.
+    */
   private val qDupClusters = Q(
     "q_dup_clusters",
     (s, d) => {
@@ -308,44 +314,7 @@ object Dedup {
         .filter(col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
         .select(col("doc_a"), col("doc_b"))
-      // symmetric edge list, materialized once (read every round)
-      val edges = pairs
-        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint(true)
-      // init fuses the first propagation round: label = min(self, neighbors)
-      var labels = edges.select(col("doc_a").as("node"), col("doc_b").as("label"))
-        .union(edges.select(col("doc_a").as("node"), col("doc_a").as("label")))
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      val maxRounds = 50
-      var converged = edges.isEmpty
-      var round = 0
-      while (!converged && round < maxRounds) {
-        // one join + one agg per round: carry the previous label through
-        // the min-aggregate (prop rows contribute MaxValue) so the
-        // convergence check is a filter on the checkpointed result, not
-        // another join
-        val prop = edges.join(labels, edges("doc_a") === labels("node"))
-          .select(edges("doc_b").as("node"), col("label"),
-            lit(Long.MaxValue).as("prev"))
-        val merged = labels
-          .select(col("node"), col("label"), col("label").as("prev"))
-          .union(prop)
-          .groupBy(col("node"))
-          .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
-          .localCheckpoint(true)
-        converged = merged.filter(col("label") < col("prev")).isEmpty
-        labels = merged.select(col("node"), col("label"))
-        round += 1
-      }
-      // fail LOUD on non-convergence: returning at round cap would
-      // silently under-merge clusters (wrong dedup output). A chain
-      // needing >50 rounds means a >50-diameter component — switch the
-      // propagation rule to large-star/small-star before raising the cap.
-      require(converged,
-        s"q_dup_clusters did not converge in $maxRounds rounds — component " +
-          "diameter exceeds the cap; use the O(log n) large-star/small-star rule")
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      ConnectedComponents.minLabel(pairs, Checkpointer.Local)
         .orderBy(col("doc_id"))
     },
     Some("""WITH RECURSIVE s AS (

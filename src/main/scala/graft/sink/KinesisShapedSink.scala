@@ -23,25 +23,37 @@ trait RecordsClient extends Serializable {
   def putRecords(stream: String, records: IndexedSeq[SinkRecord]): IndexedSeq[PutEntry]
 }
 
-/** @param maxBatch       hard API batch cap — 500 for Kinesis
-  *                       (`cloudfront_kinesis_lambda.py:73`)
-  * @param baseBackoffMs  backoff base; wait = 2^attempt × base
-  *                       (`cloudfront_kinesis_lambda.py:111`)
-  * @param deadlineMs     wall-clock budget per task, the analog of the
-  *                       Lambda's remaining-time check
-  *                       (`cloudfront_kinesis_lambda.py:114`)
+/** @param maxBatch        hard API batch cap — 500 for Kinesis
+  *                        (`cloudfront_kinesis_lambda.py:73`)
+  * @param baseBackoffMs   backoff base; wait = 2^attempt × base
+  *                        (`cloudfront_kinesis_lambda.py:111`)
+  * @param deadlineMs      wall-clock budget per task, the analog of the
+  *                        Lambda's remaining-time check
+  *                        (`cloudfront_kinesis_lambda.py:114`)
+  * @param maxRecordBytes  per-record service cap (data + partition key);
+  *                        Kinesis rejects larger with ValidationException,
+  *                        which is non-retriable — so the sink fails fast
+  *                        with a targeted message instead of spinning
+  * @param maxRequestBytes per-request service cap; batches are flushed
+  *                        early so no put exceeds it even when maxBatch
+  *                        records would
   */
 final case class KinesisSinkConfig(
     stream: String,
     maxBatch: Int = 500,
     baseBackoffMs: Long = 100L,
-    deadlineMs: Long = 600000L)
+    deadlineMs: Long = 600000L,
+    maxRecordBytes: Long = 1L << 20,
+    maxRequestBytes: Long = 5L << 20)
 
 /** Kinesis-shaped delivery core (reference operators B1, K1–K3), shared
   * by the streaming `ForeachWriter` and the batch `foreachPartition`
   * path. Semantics preserved from the reference:
   *   - B1 chunking: ≤ `maxBatch` records per put
-  *     (`cloudfront_kinesis_lambda.py:216-227`);
+  *     (`cloudfront_kinesis_lambda.py:216-227`), extended with the
+  *     service's byte caps (1 MiB/record, 5 MiB/request) the reference
+  *     never hits with ≤2 KB log lines: batches flush early on bytes,
+  *     oversize single records fail fast (non-retriable at the service);
   *   - K2 subset retry: only the records the response flags failed are
   *     resent, matched by index — responses are order-aligned
   *     (`cloudfront_kinesis_lambda.py:134-146`);
@@ -70,12 +82,28 @@ class KinesisDelivery(
   extends Serializable {
 
   private val buf = new ArrayBuffer[SinkRecord](conf.maxBatch)
+  private var bufBytes: Long = 0L
   private var startedAt: Long = 0L
 
-  def start(): Unit = { buf.clear(); startedAt = clock() }
+  def start(): Unit = { buf.clear(); bufBytes = 0L; startedAt = clock() }
+
+  /** Service-visible size of one record: data blob + UTF-8 partition key
+    * (both count toward Kinesis's 1 MiB record / 5 MiB request caps). */
+  private def sizeOf(rec: SinkRecord): Long =
+    rec.data.length.toLong + rec.partitionKey.getBytes("UTF-8").length
 
   def add(rec: SinkRecord): Unit = {
+    val sz = sizeOf(rec)
+    // oversize records are rejected by the service with a non-retriable
+    // ValidationException on EVERY attempt — fail fast and name the cause
+    if (sz > conf.maxRecordBytes)
+      throw new IllegalArgumentException(
+        s"kinesis-shaped sink: record of $sz bytes (data + partition key) exceeds " +
+          s"the ${conf.maxRecordBytes}-byte per-record service cap; " +
+          "split or compress the payload upstream")
+    if (bufBytes + sz > conf.maxRequestBytes) flush()
     buf += rec
+    bufBytes += sz
     if (buf.size >= conf.maxBatch) flush()
   }
 
@@ -83,6 +111,7 @@ class KinesisDelivery(
     if (buf.nonEmpty) {
       val chunk = buf.toIndexedSeq
       buf.clear()
+      bufBytes = 0L
       sendWithRetry(chunk, attempt = 0)
     }
 

@@ -42,8 +42,8 @@ object EnvCredentials extends CredentialsProvider {
   * (docs.aws.amazon.com/IAM/latest/UserGuide/create-signed-request.html)
   * — pure JDK (`javax.crypto.Mac` + SHA-256), no SDK dependency. The
   * signer is what lets the Kinesis/STS transports below run on nothing
-  * but `java.net.http`; correctness is pinned in `SigV4Spec` against
-  * the worked example in the AWS documentation.
+  * but `java.net.http`; correctness is pinned in `AwsTransportSpec`
+  * against the worked example in the AWS documentation.
   */
 object SigV4 {
 

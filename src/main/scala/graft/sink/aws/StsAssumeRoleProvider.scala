@@ -38,6 +38,10 @@ final class StsAssumeRoleProvider(
   @transient private var cached: AwsCredentials = _
   @transient private var expiry: Instant = Instant.EPOCH
 
+  // one client per provider instance (mirrors AwsKinesisClient) — a fresh
+  // HttpClient per refresh would leak a selector thread + pool until GC
+  @transient private lazy val http: HttpClient = HttpClient.newHttpClient()
+
   override def credentials(): AwsCredentials = synchronized {
     if (cached == null || !clock().isBefore(expiry.minus(refreshSkew))) {
       val (c, e) = assume()
@@ -72,8 +76,7 @@ final class StsAssumeRoleProvider(
     val reqB = HttpRequest.newBuilder(uri)
       .POST(HttpRequest.BodyPublishers.ofByteArray(body))
     headers.foreach { case (k, v) => reqB.header(k, v) }
-    val resp = HttpClient.newHttpClient()
-      .send(reqB.build(), HttpResponse.BodyHandlers.ofString())
+    val resp = http.send(reqB.build(), HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
       throw new AwsServiceException(resp.statusCode(), "AssumeRoleFailed",
         resp.body().take(500))

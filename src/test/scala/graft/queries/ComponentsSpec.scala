@@ -1,0 +1,79 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Connected-components semantics: both propagation rules must agree
+  * with each other and with the obvious ground truth, and the
+  * large-star/small-star rule must converge where diameter-bound
+  * min-label cannot — that round-count separation IS the reason the
+  * second rule exists. */
+class ComponentsSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** 60-node chain 0-1-2-…-59 (diameter 59) plus a disjoint triangle
+    * {100,101,102} and an isolated edge {200,201}. */
+  private lazy val plantedEdges = {
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val extra = Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    (chain ++ extra).toDF("doc_a", "doc_b")
+  }
+
+  private lazy val expected: Map[Long, Long] =
+    ((0L to 59L).map(_ -> 0L) ++
+      Seq(100L, 101L, 102L).map(_ -> 100L) ++
+      Seq(200L, 201L).map(_ -> 200L)).toMap
+
+  test("minLabel resolves chain + triangle + pair to component minima") {
+    // diameter 59 > the default 50-round cap (tuned for shallow real
+    // dup families) — raise it; the cap semantics get their own test
+    assert(labelsOf(
+      ConnectedComponents.minLabel(plantedEdges, maxRounds = 70)) === expected)
+  }
+
+  test("alternatingStars agrees with minLabel on the planted graph") {
+    assert(labelsOf(ConnectedComponents.alternatingStars(plantedEdges)) === expected)
+  }
+
+  test("alternatingStars converges in O(log n) rounds where min-label needs diameter") {
+    // the separation claim, falsified directly: 10 rounds are not
+    // enough for diameter-59 min-label but plenty for the star rule
+    assertThrows[IllegalArgumentException] {
+      ConnectedComponents.minLabel(plantedEdges, maxRounds = 10).collect()
+    }
+    val stars = ConnectedComponents.alternatingStars(plantedEdges, maxRounds = 10)
+    assert(labelsOf(stars) === expected)
+  }
+
+  test("reversed / self-loop edges do not change the result") {
+    val messy = plantedEdges
+      .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
+      .union(Seq((7L, 7L), (100L, 100L)).toDF("doc_a", "doc_b"))
+    assert(labelsOf(ConnectedComponents.minLabel(messy, maxRounds = 70)) === expected)
+    assert(labelsOf(ConnectedComponents.alternatingStars(messy)) === expected)
+  }
+
+  test("empty edge list yields empty labels under both rules") {
+    val empty = spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(ConnectedComponents.minLabel(empty).isEmpty)
+    assert(ConnectedComponents.alternatingStars(empty).isEmpty)
+  }
+
+  test("Reliable checkpointer truncates lineage to a real directory and agrees") {
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    val labels = ConnectedComponents.minLabel(
+      plantedEdges, Checkpointer.Reliable(dir), maxRounds = 70)
+    assert(labelsOf(labels) === expected)
+    // the reliable strategy must actually write RDD checkpoint files
+    val wrote = Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, s"no checkpoint files under $dir")
+  }
+}

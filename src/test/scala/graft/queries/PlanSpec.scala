@@ -118,6 +118,7 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     // once at write time (bucketBy on the join key), then every join on
     // that key reads co-partitioned buckets and skips the exchange
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = spark.conf.get("spark.sql.adaptive.enabled")
     spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
     spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
     Tables.orders(spark, sf).write.bucketBy(8, "o_orderkey")
@@ -142,7 +143,9 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
       assert(joined.count() > 0)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAdaptive)
+      spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
     }
   }
 

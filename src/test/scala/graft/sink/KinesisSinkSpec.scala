@@ -70,6 +70,36 @@ class KinesisSinkSpec extends AnyFunSuite {
     assert(client.delivered.sorted == (0 until 5).map(i => s"payload-$i"))
   }
 
+  test("B1 bytes: batches flush early so no request exceeds maxRequestBytes") {
+    val client = new FakeClient(_ => Nil)
+    // 3 KB payloads against a 10 KB request cap → 3 records per put
+    // (key bytes count too), never the 500-record count cap
+    val conf = KinesisSinkConfig("s", maxBatch = 500,
+      maxRecordBytes = 4096L, maxRequestBytes = 10240L)
+    val d = new KinesisDelivery(client, conf, clock = () => 0L, sleeper = _ => ())
+    d.start()
+    val payload = Array.fill[Byte](3000)('x')
+    (0 until 10).foreach(i => d.add(SinkRecord(payload, f"key$i%032d")))
+    d.flush()
+    assert(client.calls.nonEmpty)
+    client.calls.foreach { call =>
+      val bytes = call.map(r => r.data.length + r.partitionKey.getBytes("UTF-8").length).sum
+      assert(bytes <= 10240, s"request of $bytes bytes exceeds the cap")
+    }
+    assert(client.calls.map(_.size).sum == 10)
+  }
+
+  test("B1 bytes: an oversize single record fails fast with a targeted message") {
+    val client = new FakeClient(_ => Nil)
+    val d = new KinesisDelivery(client,
+      KinesisSinkConfig("s", maxRecordBytes = 1024L), clock = () => 0L)
+    d.start()
+    val e = intercept[IllegalArgumentException](
+      d.add(SinkRecord(Array.fill[Byte](2048)('x'), "k")))
+    assert(e.getMessage.contains("per-record service cap"))
+    assert(client.calls.isEmpty) // never reached the wire
+  }
+
   test("K3: deadline exceeded → throws (documented divergence from silent drop)") {
     val client = new FakeClient(_ => Seq(0)) // always fails
     val d = delivery(client, deadlineMs = 500L)
