@@ -1,20 +1,33 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support (north star): media payloads are opaque
   * `binary` columns traveling next to typed metadata; decode /
-  * feature-extract run as batched per-partition transforms.
+  * feature-extract / resize / frame-sample run as batched per-partition
+  * transforms over REAL codecs — `javax.imageio` (PNG/JPEG/BMP/GIF),
+  * which ships with the JDK, so the engine adds zero dependencies.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * DETERMINISTIC FAKE standing in for a real decoder — but the Spark-side
-  * plumbing is real: binary columns in the schema, a typed Dataset
-  * boundary, `mapPartitions` with an explicit micro-batch shape (the
-  * Scala analog of `mapInPandas`: amortize per-batch model/codec setup
-  * across `batchSize` records), and partition-parallel execution with no
-  * driver involvement. Swapping in a real decoder changes only the body
-  * of `decodeBatch`.
+  * Execution shape (the part that matters at 100 TB): binary columns in
+  * the schema, a typed Dataset boundary, `mapPartitions` with an
+  * explicit micro-batch shape (the Scala analog of `mapInPandas`:
+  * amortize per-batch codec/model setup across `BatchSize` records),
+  * partition-parallel with no driver involvement, and no shuffle — a
+  * decode pipeline is embarrassingly parallel, so cost scales with
+  * executor count.
+  *
+  * Failure stance: media columns at scale contain garbage; a corrupt
+  * payload must not kill a 1000-executor job. Undecodable bytes
+  * fail SOFT — metadata passes through, `features` comes back from a
+  * byte-level fallback, and decode success is observable per row
+  * (`decoded` flag) so a quality gate can filter or quarantine.
   */
 object MultimodalOps {
 
@@ -26,46 +39,146 @@ object MultimodalOps {
       width: Int,
       height: Int)
 
-  /** Decoder output: fixed-size feature vector + parsed dimensions. */
+  /** Decoder output: fixed-size feature vector + DECODED dimensions
+    * (from the pixels, not the carried metadata) + success flag. */
   final case class MediaFeatures(
       doc_id: Long,
       n_bytes: Int,
       width: Int,
       height: Int,
+      decoded: Boolean,
       features: Array[Float])
 
   val FeatureDim = 8
   val BatchSize = 64
 
-  /** ??? REAL DECODER GOES HERE ??? — stub: a real implementation would
-    * hand the batch of payloads to a codec/model (JPEG decode, mel
-    * spectrogram, frame sampler) in one native call. The fake derives a
-    * deterministic FeatureDim-vector from byte statistics so tests have
-    * stable expectations. The *batch* signature is the contract. */
+  // ImageIO's default stream cache is a TEMP FILE per image — at
+  // thousands of small payloads per partition that is pure syscall
+  // overhead; in-memory caching is strictly better for byte-array media
+  ImageIO.setUseCache(false)
+
+  // ---------------------------------------------------------------- codecs
+
+  /** PNG-encode via the JDK's ImageIO writer (lossless — decode gives
+    * the exact pixels back, which is what makes the feature pipeline
+    * deterministic end-to-end). */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "png", bos), "JDK PNG writer missing")
+    bos.toByteArray
+  }
+
+  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Real pixel features, all in [0,1]: mean R, G, B, mean luma
+    * (ITU-R BT.601), and per-quadrant mean luma (TL, TR, BL, BR) — the
+    * classic cheap perceptual signature (quadrant lumas catch layout,
+    * channel means catch palette). One pass over the pixels. */
+  private def pixelFeatures(img: BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Double](FeatureDim)
+    val quadN = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = ((rgb >> 16) & 0xff) / 255.0
+        val g = ((rgb >> 8) & 0xff) / 255.0
+        val b = (rgb & 0xff) / 255.0
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        sums(0) += r; sums(1) += g; sums(2) += b; sums(3) += luma
+        val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+        sums(4 + q) += luma
+        quadN(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val out = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < 4) {
+      out(i) = if (n == 0) 0f else (sums(i) / n).toFloat
+      out(4 + i) = if (quadN(i) == 0) 0f else (sums(4 + i) / quadN(i)).toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Fail-soft fallback for undecodable payloads: a deterministic
+    * byte-histogram-ish vector (so quarantined rows still cluster by
+    * content, and nothing in the pipeline is null). */
+  private def byteFeatures(bytes: Array[Byte]): Array[Float] = {
+    val feats = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < bytes.length) {
+      feats(i % FeatureDim) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    feats
+  }
+
+  /** Batch decode: real `ImageIO` per payload; the batch signature is
+    * the contract (a GPU/native codec would take the whole batch in one
+    * call — `BatchSize` is its amortization unit). */
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { m =>
-      val feats = new Array[Float](FeatureDim)
-      var i = 0
-      while (i < m.media.length) {
-        feats(i % FeatureDim) += (m.media(i) & 0xff) / 255.0f
-        i += 1
+      decodeImage(m.media) match {
+        case Some(img) =>
+          MediaFeatures(m.doc_id, m.media.length, img.getWidth, img.getHeight,
+            decoded = true, pixelFeatures(img))
+        case None =>
+          MediaFeatures(m.doc_id, m.media.length, m.width, m.height,
+            decoded = false, byteFeatures(m.media))
       }
-      MediaFeatures(m.doc_id, m.media.length, m.width, m.height, feats)
     }
 
-  /** documents → MediaRecord dataset: text bytes stand in for an image
-    * payload; width/height are deterministic fake header metadata. */
+  // ------------------------------------------------------------- synthesis
+
+  /** Deterministic image for a document: pixels derived from the doc's
+    * bytes (3 bytes → one RGB pixel, cycling). This is the planted-
+    * content generator — real PNG bytes whose decoded pixels are a pure
+    * function of the text, so the whole decode pipeline computes on
+    * actual images while staying oracle-friendly. */
+  def synthImage(seed: Array[Byte], w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val n = seed.length
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        def b(k: Int): Int = if (n == 0) 0 else seed((i + k) % n) & 0xff
+        img.setRGB(x, y, (b(0) << 16) | (b(1) << 8) | b(2))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** documents → MediaRecord dataset with REAL PNG payloads: each doc's
+    * text bytes are rendered into a small deterministic image and
+    * PNG-encoded with the JDK codec. Dims keyed off `n_chars` so sizes
+    * vary; kept small (≤79×59) — the point is a real codec in the
+    * pipeline, not pixel volume. */
   def asMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
-      .select(
-        col("doc_id"),
-        encode(col("text"), "UTF-8").as("media"),
-        lit("image/fake").as("media_type"),
-        (pmod(col("n_chars"), lit(640)) + 32).cast("int").as("width"),
-        (pmod(col("n_chars"), lit(480)) + 24).cast("int").as("height"))
-      .as[MediaRecord]
+      .select(col("doc_id"), col("text"),
+        (pmod(col("n_chars"), lit(64)) + 16).cast("int").as("w"),
+        (pmod(col("n_chars"), lit(48)) + 12).cast("int").as("h"))
+      .as[(Long, String, Int, Int)]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, text, w, h) =>
+        val png = encodePng(synthImage(text.getBytes("UTF-8"), w, h))
+        MediaRecord(id, png, "image/png", w, h)
+      }))
   }
+
+  // ------------------------------------------------------------ operators
 
   /** The batched decode pipeline: partition iterator → micro-batches →
     * decoder → flat iterator. No shuffle; scales with partition count. */
@@ -76,41 +189,89 @@ object MultimodalOps {
     }
   }
 
-  /** ??? REAL RESIZE GOES HERE ??? — stub: a real implementation decodes,
-    * scales, re-encodes in one native batch call. The fake clamps the
-    * header dims and truncates the payload proportionally so tests have
-    * stable expectations; the batched per-partition shape is the
-    * contract. */
+  /** Real resize: decode, resample to fit `target`×`target` preserving
+    * aspect ratio, PNG re-encode. Resampling is explicit nearest-
+    * neighbor (src pixel at the proportional coordinate) — bit-exact
+    * deterministic on every JVM, no rendering pipeline in the loop.
+    * Payloads already inside the box (or undecodable — fail-soft)
+    * pass through untouched. */
   private def resizeBatch(target: Int)(batch: Seq[MediaRecord]): Seq[MediaRecord] =
     batch.map { m =>
-      val w = math.min(m.width, target)
-      val h = math.min(m.height, target)
-      val keep =
-        if (m.width * m.height == 0) 0
-        else (m.media.length.toLong * (w * h) / (m.width * m.height)).toInt
-      m.copy(media = m.media.take(keep), width = w, height = h)
+      decodeImage(m.media) match {
+        case Some(img) if math.max(img.getWidth, img.getHeight) > target =>
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          val scale = target.toDouble / math.max(sw, sh)
+          val tw = math.max(1, math.round(sw * scale).toInt)
+          val th = math.max(1, math.round(sh * scale).toInt)
+          val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              out.setRGB(x, y, img.getRGB(x * sw / tw, y * sh / th))
+              x += 1
+            }
+            y += 1
+          }
+          m.copy(media = encodePng(out), width = tw, height = th)
+        case _ => m
+      }
     }
 
-  /** Resize every payload to fit `target`×`target` (stubbed codec, real
-    * plumbing). */
+  /** Resize every payload to fit `target`×`target` (real codec, batched
+    * per-partition shape). */
   def resize(media: Dataset[MediaRecord], target: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.grouped(BatchSize).flatMap(resizeBatch(target)))
   }
 
-  /** ??? REAL FRAME SAMPLER GOES HERE ??? — stub for the video verb:
-    * treats the payload as `width`-byte frames and keeps every
-    * `stride`-th one, emitting one MediaRecord per kept frame
-    * (`media_type` marks the frame index). One input row → many output
-    * rows: the flatMap shape a real sampler needs. */
+  /** Animated-GIF encode via the JDK writer — the planted-content
+    * generator for the frame sampler (a "video" the JDK can actually
+    * produce and read back). */
+  def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val it = ImageIO.getImageWritersByFormatName("gif")
+    require(it.hasNext, "JDK GIF writer missing")
+    val writer = it.next()
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Real frame sampling for multi-frame media (animated GIF — the one
+    * video-shaped container the JDK decodes): open one `ImageReader`
+    * per payload, keep every `stride`-th frame, re-encode each kept
+    * frame as standalone PNG. One input row → many output rows — the
+    * flatMap shape any video sampler needs; per-partition, no shuffle.
+    * Single-frame images yield frame 0 only; undecodable payloads
+    * fail soft to zero rows (quarantine upstream via `extractFeatures`'
+    * `decoded` flag). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
+    require(stride >= 1, s"stride must be ≥1, got $stride")
     media.flatMap { m =>
-      val frameSize = math.max(m.width, 1)
-      m.media.grouped(frameSize).zipWithIndex
-        .collect { case (frame, i) if i % stride == 0 =>
-          m.copy(media = frame, media_type = s"frame/${i}")
-        }
+      val readers = ImageIO.getImageReaders(
+        new MemoryCacheImageInputStream(new ByteArrayInputStream(m.media)))
+      if (!readers.hasNext) Seq.empty
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(new MemoryCacheImageInputStream(
+            new ByteArrayInputStream(m.media)), false, true)
+          val n = reader.getNumImages(true)
+          (0 until n).collect { case i if i % stride == 0 =>
+            val frame = reader.read(i)
+            m.copy(media = encodePng(frame), media_type = s"frame/$i",
+              width = frame.getWidth, height = frame.getHeight)
+          }
+        } catch { case _: Exception => Seq.empty }
+        finally reader.dispose()
+      }
     }
   }
 }

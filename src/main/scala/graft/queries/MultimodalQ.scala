@@ -29,15 +29,18 @@ object Multimodal {
   )
 
   /** The batched per-partition decode pipeline (mapPartitions with
-    * micro-batches — Scala analog of mapInPandas). Feature checksum keeps
-    * the output compact and deterministic. */
+    * micro-batches — Scala analog of mapInPandas), now over a REAL
+    * codec: `asMedia` PNG-encodes a deterministic image per doc with
+    * `javax.imageio`, `extractFeatures` decodes it back and derives the
+    * features from actual pixels. Feature checksum keeps the output
+    * compact; `decoded` exposes codec success per row. */
   private val qMultimodalFeatures = Q(
     "q_multimodal_features",
     (s, d) => {
       val feats = MultimodalOps.extractFeatures(MultimodalOps.asMedia(s, d))
       feats.toDF()
         .select(
-          col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("doc_id"), col("n_bytes"), col("width"), col("height"), col("decoded"),
           round(aggregate(col("features"), lit(0.0), (a, v) => a + v), 3).as("feat_sum"))
         .orderBy(col("doc_id"))
     },

@@ -1,17 +1,29 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSupport
 import graft.multimodal.MultimodalOps.MediaRecord
 
-/** Multimodal plumbing: binary columns through typed Datasets, batched
-  * per-partition transforms, deterministic stub codecs. */
+/** Multimodal plumbing over REAL `javax.imageio` codecs: planted PNG
+  * bytes decode to known pixel features, resize resamples real pixels,
+  * the frame sampler reads a real animated GIF, and garbage bytes fail
+  * soft instead of killing the partition. */
 class MultimodalOpsSpec extends AnyFunSuite with SparkTestSupport {
   import spark.implicits._
 
-  private def rec(id: Long, n: Int, w: Int, h: Int) =
-    MediaRecord(id, Array.tabulate(n)(i => (i % 251).toByte), "image/fake", w, h)
+  private def solid(rgb: Int, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    img
+  }
+
+  private def rec(id: Long, img: BufferedImage): MediaRecord = {
+    val png = MultimodalOps.encodePng(img)
+    MediaRecord(id, png, "image/png", img.getWidth, img.getHeight)
+  }
 
   test("content-digest dedup finds planted payload duplicates, keeps the lowest id") {
     val dir = java.nio.file.Files.createTempDirectory("mm-dedup").toString
@@ -28,32 +40,98 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestSupport {
       s"one dup family: keep doc 1, drop 2 — got ${got.toSeq}")
   }
 
-  test("extractFeatures: batched, deterministic, feature dim fixed") {
-    val ds = Seq(rec(1, 300, 10, 10), rec(2, 0, 4, 4), rec(3, 1000, 20, 5)).toDS()
+  test("extractFeatures decodes planted real PNG bytes to exact pixel features") {
+    // solid red 8×4, solid green 4×8, half-white/half-black 10×10
+    val half = new BufferedImage(10, 10, BufferedImage.TYPE_INT_RGB)
+    (0 until 10).foreach(y => (0 until 10).foreach(x =>
+      half.setRGB(x, y, if (y < 5) 0xffffff else 0x000000)))
+    val ds = Seq(
+      rec(1, solid(0xff0000, 8, 4)),
+      rec(2, solid(0x00ff00, 4, 8)),
+      rec(3, half)).toDS()
     val out = MultimodalOps.extractFeatures(ds).collect().sortBy(_.doc_id)
-    assert(out.map(_.doc_id).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(_.decoded), "every planted PNG must decode")
     assert(out.forall(_.features.length == MultimodalOps.FeatureDim))
-    assert(out(0).n_bytes == 300 && out(1).n_bytes == 0)
+    // dims come from the DECODED image, not the carried metadata
+    assert(out(0).width == 8 && out(0).height == 4)
+    val eps = 1e-4f
+    // doc 1 solid red: meanR=1, meanG=0, meanB=0, luma=0.299 everywhere
+    assert(math.abs(out(0).features(0) - 1f) < eps)
+    assert(math.abs(out(0).features(1)) < eps && math.abs(out(0).features(2)) < eps)
+    (3 until 8).foreach(i => assert(math.abs(out(0).features(i) - 0.299f) < eps))
+    // doc 2 solid green: luma = 0.587
+    assert(math.abs(out(1).features(1) - 1f) < eps)
+    assert(math.abs(out(1).features(3) - 0.587f) < eps)
+    // doc 3: top quadrants white (luma 1), bottom quadrants black (0),
+    // overall luma 0.5 — the quadrant features see the layout
+    assert(math.abs(out(2).features(3) - 0.5f) < eps)
+    assert(math.abs(out(2).features(4) - 1f) < eps) // TL
+    assert(math.abs(out(2).features(5) - 1f) < eps) // TR
+    assert(math.abs(out(2).features(6)) < eps)      // BL
+    assert(math.abs(out(2).features(7)) < eps)      // BR
     // deterministic: same input → same features
     val again = MultimodalOps.extractFeatures(ds).collect().sortBy(_.doc_id)
     assert(out.zip(again).forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
-  test("resize clamps dims and shrinks payload proportionally") {
-    val ds = Seq(rec(1, 800, 40, 20), rec(2, 100, 8, 8)).toDS()
-    val out = MultimodalOps.resize(ds, 16).collect().sortBy(_.doc_id)
-    assert(out(0).width == 16 && out(0).height == 16)
-    assert(out(0).media.length == (800L * 256 / 800).toInt)
-    // already-small record untouched
-    assert(out(1).width == 8 && out(1).media.length == 100)
+  test("undecodable payloads fail soft: decoded=false, metadata passthrough") {
+    val garbage = MediaRecord(9L, Array.tabulate(100)(i => (i % 251).toByte),
+      "image/fake", 10, 10)
+    val out = MultimodalOps.extractFeatures(Seq(garbage).toDS()).collect()
+    assert(out.length == 1 && !out(0).decoded)
+    assert(out(0).width == 10 && out(0).n_bytes == 100)
+    assert(out(0).features.length == MultimodalOps.FeatureDim)
   }
 
-  test("sampleFrames keeps every k-th width-sized frame, one row per frame") {
-    val ds = Seq(rec(1, 100, 10, 1)).toDS() // 10 frames of 10 bytes
-    val out = MultimodalOps.sampleFrames(ds, 3).collect()
-    assert(out.length == 4) // frames 0,3,6,9
+  test("resize really resamples: aspect preserved, pixels survive, small untouched") {
+    val ds = Seq(rec(1, solid(0x0000ff, 40, 20)), rec(2, solid(0xff0000, 8, 8))).toDS()
+    val out = MultimodalOps.resize(ds, 16).collect().sortBy(_.doc_id)
+    // 40×20 → fit 16 box preserving aspect → 16×8
+    assert(out(0).width == 16 && out(0).height == 8)
+    val img = MultimodalOps.decodeImage(out(0).media).get
+    assert(img.getWidth == 16 && img.getHeight == 8)
+    // nearest-neighbor on a solid image keeps the exact color
+    assert((img.getRGB(7, 3) & 0xffffff) == 0x0000ff)
+    // already-small record untouched (byte-identical payload)
+    assert(out(1).width == 8 && out(1).media.length == ds.collect()
+      .find(_.doc_id == 2L).get.media.length)
+  }
+
+  test("sampleFrames reads a real animated GIF, keeps every k-th frame as PNG") {
+    val frames = (0 until 10).map(i => solid(i * 0x0a0a0a, 6, 4))
+    val gif = MediaRecord(1L, MultimodalOps.encodeGif(frames), "image/gif", 6, 4)
+    val out = MultimodalOps.sampleFrames(Seq(gif).toDS(), 3).collect()
     assert(out.map(_.media_type).sorted.toSeq ==
       Seq("frame/0", "frame/3", "frame/6", "frame/9"))
-    assert(out.forall(_.media.length == 10))
+    // every kept frame is a standalone decodable PNG with the frame dims
+    out.foreach { f =>
+      val img = MultimodalOps.decodeImage(f.media).get
+      assert(img.getWidth == 6 && img.getHeight == 4)
+      assert(f.width == 6 && f.height == 4)
+    }
+    // single-frame PNG → exactly frame 0; garbage → zero rows, no throw
+    val single = rec(2L, solid(0x123456, 3, 3))
+    assert(MultimodalOps.sampleFrames(Seq(single).toDS(), 3).collect()
+      .map(_.media_type).toSeq == Seq("frame/0"))
+    val garbage = MediaRecord(3L, Array.fill[Byte](64)(7), "bin", 1, 1)
+    assert(MultimodalOps.sampleFrames(Seq(garbage).toDS(), 2).isEmpty)
+  }
+
+  test("asMedia emits real PNG payloads whose pixels derive from the text") {
+    val dir = java.nio.file.Files.createTempDirectory("mm-media").toString
+    Seq((1L, "abcdef", "en", "web", 6L), (2L, "abcdef", "en", "web", 6L),
+      (3L, "zzzzzz", "en", "web", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val media = MultimodalOps.asMedia(spark, dir).collect().sortBy(_.doc_id)
+    assert(media.forall(_.media_type == "image/png"))
+    // PNG magic bytes — these are real files, not fakes
+    assert(media.forall(m => (m.media(0) & 0xff) == 0x89 && m.media(1) == 'P'))
+    val imgs = media.map(m => MultimodalOps.decodeImage(m.media).get)
+    assert(imgs.zip(media).forall { case (i, m) =>
+      i.getWidth == m.width && i.getHeight == m.height })
+    // same text → same pixels; different text → different pixels
+    assert(imgs(0).getRGB(0, 0) == imgs(1).getRGB(0, 0))
+    assert(imgs(0).getRGB(0, 0) != imgs(2).getRGB(0, 0))
   }
 }
