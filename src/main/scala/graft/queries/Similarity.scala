@@ -120,11 +120,20 @@ object Similarity {
     * minhash/simhash band caps in Dedup. */
   private[queries] val LshBucketCap = 256
 
+  /** Embedding dim from the DATA (first row), never hardcoded: planes
+    * must span every dimension or vectors differing only in the
+    * untouched dims collide — recall loss that no error surfaces. One
+    * LIMIT-1 job; uniform dims assumed (the table contract). */
+  private def dimOf(e: DataFrame): Int = {
+    val head = e.select(size(col("emb")).as("d")).limit(1).collect()
+    if (head.isEmpty) 1 else head(0).getInt(0)
+  }
+
   private val qSimilarityLsh = Q(
     "q_similarity_lsh",
     (s, d) => {
       val e = embDouble(s, d)
-      val dim = 64
+      val dim = dimOf(e)
       // one count() job sizes the geometry (parquet count is metadata-
       // pushdown cheap — the same stat AQE reads)
       val nPlanes = planesFor(e.count())
@@ -188,20 +197,32 @@ object Similarity {
              ORDER BY cos DESC, vec_a, vec_b LIMIT 100""")
   )
 
+  /** IVF centroid count ≈ √n — the standard heuristic: per-query work
+    * is probes·n/k, so k=√n makes it O(√n); fixed k means posting
+    * lists (and query cost) grow linearly with the corpus. Clamped to
+    * [16, 4096]: 16 keeps tiny fixtures meaningful, 4096 caps the
+    * broadcast at a few MB of centroids (4096 × 768 dims × 8 B ≈ 25 MB
+    * — still broadcastable; raise deliberately if ever needed). */
+  private[queries] def centroidsFor(n: Long): Int =
+    math.min(4096,
+      math.max(16, math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt))
+
   /** IVF (inverted-file) ANN — the other standard scale path next to
-    * LSH: a coarse quantizer (here: the 16 lowest-id vectors as
-    * centroids — a deterministic stand-in for k-means, which only
+    * LSH: a coarse quantizer (the `centroidsFor(n)` lowest-id vectors
+    * as centroids — a deterministic stand-in for k-means, which only
     * changes centroid quality, not the operator shape) partitions the
     * corpus into posting lists; each query probes its 2 nearest lists
     * and re-ranks exactly. Corpus work per query drops from n to
-    * ~2n/16. Everything is declarative (centroid assignment = corpus ×
-    * broadcast(16 rows) + row_number), so unlike LSH this variant is
+    * ~2n/√n = 2√n. Everything is declarative (centroid assignment =
+    * corpus × broadcast(k rows) + row_number) and the oracle computes
+    * the same k from the same count, so unlike LSH this variant is
     * fully DuckDB-oracle-checkable. */
   private val qSimilarityIvf = Q(
     "q_similarity_ivf",
     (s, d) => {
       val e = embDouble(s, d)
-      val cent = e.filter(col("vec_id") < 16)
+      val k = centroidsFor(e.count())
+      val cent = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("emb").as("cemb"))
       def assign(df: DataFrame, idCol: String, embCol: String, probes: Int) = {
         val w = Window.partitionBy(col(idCol))
@@ -230,7 +251,9 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""WITH e AS ($oracleEmb),
-               cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+               cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
+                        WHERE vec_id < (SELECT least(4096, greatest(16,
+                          CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM e)),
                corpus0 AS (SELECT vec_id AS neighbor_id, emb FROM e WHERE vec_id >= 10),
                queries0 AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 10),
                ca AS (SELECT *, row_number() OVER (PARTITION BY neighbor_id

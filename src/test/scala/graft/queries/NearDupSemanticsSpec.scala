@@ -172,4 +172,46 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
       assert(top1(0).getAs[Double]("cos") == 1.0, s"$name: ${top1(0)}")
     }
   }
+
+  /** Same planted-twin corpus at dim=24: the geometry must come from
+    * the data, not a hardcoded 64 — on a non-64-dim table a fixed-dim
+    * index would hash on phantom dims (or miss real ones) and silently
+    * lose recall. */
+  private lazy val embDir24: String = {
+    val dir = Files.createTempDirectory("neardup-emb24").toString
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(24)(j => (math.sin(seed * 97.0 + j * 13.0)).toFloat)
+    val rows = (0 until 30).map { i =>
+      val v = if (i == 10) vec(0) else vec(i)
+      (i.toLong, v, i % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("non-64-dim corpus: indexes use the data's dim, twin still top-1, recall floor holds") {
+    Seq("q_similarity_bruteforce", "q_similarity_lsh", "q_similarity_ivf").foreach { name =>
+      val top1 = Registry.queries(name)(spark, embDir24)
+        .filter(col("query_id") === 0 && col("rank") === 1)
+        .collect()
+      assert(top1.length == 1 && top1(0).getAs[Long]("neighbor_id") == 10L &&
+        top1(0).getAs[Double]("cos") == 1.0,
+        s"$name at dim=24: expected twin 10 at cos 1.0, got ${top1.toSeq}")
+    }
+    val rows = Registry.queries("q_ann_recall")(spark, embDir24)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("ivf") >= 0.2 && rows("lsh") >= 0.2,
+      s"recall floor must hold at dim=24: $rows")
+  }
+
+  test("IVF centroid count scales ~sqrt(n) and is clamped") {
+    assert(Similarity.centroidsFor(0) == 16)
+    assert(Similarity.centroidsFor(100) == 16)
+    assert(Similarity.centroidsFor(1000000) == 1000)
+    assert(Similarity.centroidsFor(100000000000L) == 4096, "clamped at 4096")
+    val ns = Seq(100L, 10000L, 1000000L, 100000000L, 10000000000L)
+    assert(ns.map(Similarity.centroidsFor(_)) ==
+      ns.map(Similarity.centroidsFor(_)).sorted)
+  }
 }
