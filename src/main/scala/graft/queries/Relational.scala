@@ -798,6 +798,30 @@ object Relational {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** The 100 TB form of `q_agg_percentile` as its own query key:
+    * `approx_percentile` (a quantile sketch — bounded memory, mergeable
+    * map-side partials) instead of exact `percentile` (which collects
+    * every value per group — fine per log-day, not per 10¹¹-row key).
+    * `accuracy = 10000` bounds rank error at n/10000 per group. Sketch
+    * internals are engine-specific → rows-only driver check;
+    * PercentileApproxSpec pins the error against the exact query per
+    * group (the HllUnionSpec pattern). */
+  private val qAggPercentileApprox = Q(
+    "q_agg_percentile_approx",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+            .as("pcts"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pcts"), 1), 4).as("p50"),
+          round(element_at(col("pcts"), 2), 4).as("p90"),
+          round(element_at(col("pcts"), 3), 4).as("p99"))
+        .orderBy(col("l_returnflag")),
+    None
+  )
+
   /** Skew-mitigation pattern: the same lineitem⋈orders join as
     * `q_join_large`, executed salted — the build side is replicated
     * across 8 salt values and the probe side picks a deterministic salt
@@ -956,6 +980,7 @@ object Relational {
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
     qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
     qAggGroupby, qAggDistinct, qAggApproxDistinct, qAggRollup, qAggPercentile,
+    qAggPercentileApprox,
     qAggCube, qAggHllUnion, qPivot, qUnpivot,
     qWindowRank, qWindowFrame, qWindowRange, qWindowStats, qTopk, qSetOps,
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,

@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSupport}
+
+/** Accuracy contract for q_agg_percentile_approx (registered rows-only
+  * — the quantile sketch is engine-specific, so no DuckDB oracle):
+  * every approximate percentile must land close to the exact
+  * `percentile` answer per group. With accuracy=10000 the rank error
+  * is ≤ n/10000 per group; on the sf0.001 groups (n in the thousands)
+  * that is a handful of ranks, so a 1% relative value tolerance is a
+  * comfortable but falsifying bound (a wrong percentile index or a
+  * swapped group fails it immediately). */
+class PercentileApproxSpec extends AnyFunSuite with SparkTestSupport {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx percentiles land within 1% of exact per group, schemas align") {
+    def byGroup(name: String): Map[String, Seq[Double]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+    val exact = byGroup("q_agg_percentile")
+    val approx = byGroup("q_agg_percentile_approx")
+    assert(approx.keySet == exact.keySet, "same groups in both queries")
+    for ((g, ex) <- exact; (e, a) <- ex.zip(approx(g))) {
+      assert(math.abs(a - e) <= 0.01 * math.abs(e),
+        s"group $g: approx $a vs exact $e beyond 1%")
+    }
+    // percentiles are ordered within a group: p50 ≤ p90 ≤ p99
+    approx.values.foreach(ps => assert(ps == ps.sorted, s"unordered: $ps"))
+  }
+}
