@@ -190,6 +190,39 @@ object LogStream {
         col("p_ts") >= col("e_ts") - expr(s"interval $lookback"))
   }
 
+  /** Streaming AS-OF enrichment — each error gets only the LATEST
+    * same-client non-error within `lookback` (the streaming
+    * counterpart of the batch `q_join_asof`: "the last good request
+    * before this failure", one row per error instead of
+    * `errorContext`'s all-priors fan-out).
+    *
+    * Shape: the watermark-bounded interval join above, then a windowed
+    * max-aggregation picking the latest prior event per error — two
+    * chained stateful operators, both expirable (the join by its
+    * interval bounds, the agg by the event-time window on `e_ts`), so
+    * state stays bounded on both. `max(struct(p_ts, …))` orders on
+    * p_ts first — the as-of pick, deterministic through the struct's
+    * lexicographic tail. Errors with no prior request in the lookback
+    * don't appear (inner as-of); rows finalize when the watermark
+    * passes their window — the price of an exact answer under
+    * out-of-order arrival. */
+  def asOfErrorContext(
+      canonical: DataFrame,
+      lookback: String = "10 minutes",
+      lateness: String = "1 hour"): DataFrame =
+    errorContext(canonical, lookback, lateness)
+      // an aggregation may carry at most ONE event-time column: the
+      // window() below becomes it, so group/emit on a metadata-stripped
+      // copy of e_ts (aliasing with empty metadata drops the
+      // watermark tag, not the value)
+      .withColumn("e_time",
+        col("e_ts").as("e_time", org.apache.spark.sql.types.Metadata.empty))
+      .groupBy(window(col("e_ts"), "1 minute").as("w"),
+        col("e_ip"), col("e_time"), col("e_path"))
+      .agg(max(struct(col("p_ts"), col("p_result"))).as("latest"))
+      .select(col("e_ip"), col("e_time").as("e_ts"), col("e_path"),
+        col("latest.p_ts").as("asof_ts"), col("latest.p_result").as("asof_result"))
+
   /** One micro-batch → one `batch_id=N` parquet partition, mode
     * OVERWRITE: the idempotent write unit `toIdempotentLake` commits.
     * Exposed separately so the replay property is directly testable. */

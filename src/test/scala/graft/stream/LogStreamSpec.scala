@@ -247,6 +247,47 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("streaming as-of enrichment keeps only the latest prior request per error") {
+    val rows = Seq(
+      row("01:00:00"),                        // > 10 min before the error: out of lookback
+      row("02:00:00"),                        // prior, but not the latest
+      row("02:03:00", result = "Miss"),       // the as-of pick for the 02:05 error
+      row("02:05:00", result = "Error"),
+      row("02:04:00", ip = "2.2.2.2"),        // other client: not a candidate
+      row("02:30:00", ip = "3.3.3.3", result = "Error")) // no prior: inner as-of drops it
+    val input = MemoryStream[LogRow](spark)
+    val asof = LogStream.asOfErrorContext(
+      CloudFrontTransform.canonicalCols(input.toDF()), "10 minutes", "1 minute")
+      .select(col("e_ip"), date_format(col("e_ts"), "HH:mm").as("e_t"),
+        date_format(col("asof_ts"), "HH:mm").as("asof_t"), col("asof_result"))
+    withQuery(asof, "asofctx", "append") { q =>
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(row("05:00:00")) // advance watermarks: join emits, agg window finalizes
+      q.processAllAvailable()
+      val streaming = spark.table("asofctx").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      // exactly ONE row per error — the latest prior, not the fan-out
+      assert(streaming == Set(("1.1.1.1", "02:05", "02:03", "Miss")), streaming.toString)
+      // batch equivalence: the same as-of computed relationally on the same rows
+      val canonical = CloudFrontTransform.canonicalCols(rows.toDF())
+      val errors = canonical.filter(col("cf_result") === "Error")
+        .select(col("src_ip").as("e_ip"), col("@timestamp").as("e_ts"))
+      val prior = canonical.filter(col("cf_result") =!= "Error")
+        .select(col("src_ip").as("p_ip"), col("@timestamp").as("p_ts"),
+          col("cf_result").as("p_result"))
+      val batch = errors.join(prior,
+          col("e_ip") === col("p_ip") && col("p_ts") <= col("e_ts") &&
+            col("p_ts") >= col("e_ts") - expr("interval 10 minutes"))
+        .groupBy(col("e_ip"), col("e_ts"))
+        .agg(max(struct(col("p_ts"), col("p_result"))).as("latest"))
+        .select(col("e_ip"), date_format(col("e_ts"), "HH:mm"),
+          date_format(col("latest.p_ts"), "HH:mm"), col("latest.p_result"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(streaming == batch, s"stream $streaming != batch $batch")
+    }
+  }
+
   test("custom-state sessionization agrees with the session_window variant") {
     val data = Seq(row("02:00:00"), row("02:10:00"), row("04:00:00"),
       row("03:00:00", ip = "2.2.2.2"), row("03:20:00", ip = "2.2.2.2"))
