@@ -19,11 +19,15 @@ object Bench {
       val v2 = p2.getOrElse(k, v1)
       k -> (if (v1 < 0 || v2 < 0) math.max(v1, v2) else math.min(v1, v2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision keeps the whole line under the driver's
+    // ~2000-char log-tail capture; total goes LAST so a front-truncated
+    // tail still carries it (BENCH_r03's tail cut the leading "value")
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":${fmt(total)}}"""
     println(json)
     // also write to a file: sbt's log tail is noisy enough that stdout
     // scraping has failed (BENCH_r01 recorded parsed:null)
@@ -32,5 +36,8 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
+    // re-print as the very last output so shutdown logging can't push the
+    // JSON line out of a bounded tail capture
+    println(json)
   }
 }

@@ -54,8 +54,10 @@ object MultimodalOps {
 
   // ImageIO's default stream cache is a TEMP FILE per image — at
   // thousands of small payloads per partition that is pure syscall
-  // overhead; in-memory caching is strictly better for byte-array media
-  ImageIO.setUseCache(false)
+  // overhead. Rather than flipping the JVM-global `setUseCache(false)`
+  // (which would leak policy onto unrelated ImageIO users in the same
+  // executor), every call site below constructs a MemoryCache image
+  // stream explicitly — the cache choice is scoped per stream.
 
   // ---------------------------------------------------------------- codecs
 
@@ -64,13 +66,20 @@ object MultimodalOps {
     * deterministic end-to-end). */
   def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    require(ImageIO.write(img, "png", bos), "JDK PNG writer missing")
+    val ios = new MemoryCacheImageOutputStream(bos)
+    try require(ImageIO.write(img, "png", ios), "JDK PNG writer missing")
+    finally ios.close() // close flushes the cache into bos
     bos.toByteArray
   }
 
-  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] = {
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    // ImageIO.read(ImageInputStream) closes the stream itself, but only
+    // on the non-exception path — the finally covers decode failures
+    try Option(ImageIO.read(iis))
     catch { case _: Exception => None }
+    finally { try iis.close() catch { case _: Exception => () } }
+  }
 
   /** Real pixel features, all in [0,1]: mean R, G, B, mean luma
     * (ITU-R BT.601), and per-quadrant mean luma (TL, TR, BL, BR) — the
@@ -255,14 +264,23 @@ object MultimodalOps {
     import media.sparkSession.implicits._
     require(stride >= 1, s"stride must be ≥1, got $stride")
     media.flatMap { m =>
-      val readers = ImageIO.getImageReaders(
-        new MemoryCacheImageInputStream(new ByteArrayInputStream(m.media)))
-      if (!readers.hasNext) Seq.empty
-      else {
-        val reader = readers.next()
+      // both streams are closed eagerly below — the in-memory cache
+      // buffers are otherwise held until GC, which is real pressure on
+      // large-payload partitions
+      val probe = new MemoryCacheImageInputStream(new ByteArrayInputStream(m.media))
+      // the provider iterator probes the stream lazily — consume it
+      // (hasNext/next) while the stream is still open, then close
+      val readerOpt =
         try {
-          reader.setInput(new MemoryCacheImageInputStream(
-            new ByteArrayInputStream(m.media)), false, true)
+          val rs = ImageIO.getImageReaders(probe)
+          if (rs.hasNext) Some(rs.next()) else None
+        } finally probe.close()
+      if (readerOpt.isEmpty) Seq.empty
+      else {
+        val reader = readerOpt.get
+        val input = new MemoryCacheImageInputStream(new ByteArrayInputStream(m.media))
+        try {
+          reader.setInput(input, false, true)
           val n = reader.getNumImages(true)
           (0 until n).collect { case i if i % stride == 0 =>
             val frame = reader.read(i)
@@ -270,7 +288,7 @@ object MultimodalOps {
               width = frame.getWidth, height = frame.getHeight)
           }
         } catch { case _: Exception => Seq.empty }
-        finally reader.dispose()
+        finally { reader.dispose(); input.close() }
       }
     }
   }

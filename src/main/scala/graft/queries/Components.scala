@@ -21,18 +21,57 @@ import org.apache.spark.sql.functions._
   */
 sealed trait Checkpointer extends Serializable {
   def apply(df: DataFrame): DataFrame
+
+  /** Free the checkpoint storage behind a DataFrame previously returned
+    * by [[apply]], once a newer round has superseded it. Iterative jobs
+    * otherwise accumulate O(rounds) full copies of their working set in
+    * the checkpoint store (Spark's `cleanCheckpoints` cleaner is off by
+    * default and GC-driven even when on). Must only be called when no
+    * later computation will read `df`. */
+  def release(df: DataFrame): Unit = ()
 }
 
 object Checkpointer {
   case object Local extends Checkpointer {
     override def apply(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // localCheckpoint blocks are reclaimed by the ContextCleaner as the
+    // superseded Dataset becomes unreachable — nothing to delete here
   }
 
   final case class Reliable(dir: String) extends Checkpointer {
+    // checkpoint dirs owned by each returned DataFrame, discovered by
+    // diffing the checkpoint root around the eager checkpoint (public
+    // API only — the rdd-<id> dir name is not exposed through Dataset)
+    @transient private lazy val owned =
+      new java.util.IdentityHashMap[DataFrame, Seq[org.apache.hadoop.fs.Path]]
+
+    private def root(df: DataFrame): Option[org.apache.hadoop.fs.Path] =
+      df.sparkSession.sparkContext.getCheckpointDir
+        .map(new org.apache.hadoop.fs.Path(_))
+
+    private def ls(df: DataFrame): Set[org.apache.hadoop.fs.Path] =
+      root(df).map { p =>
+        val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.listStatus(p).map(_.getPath).toSet
+        else Set.empty[org.apache.hadoop.fs.Path]
+      }.getOrElse(Set.empty)
+
     override def apply(df: DataFrame): DataFrame = {
       val sc = df.sparkSession.sparkContext
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-      df.checkpoint(true)
+      val before = ls(df)
+      val out = df.checkpoint(true)
+      owned.put(out, (ls(out) -- before).toSeq)
+      out
+    }
+
+    override def release(df: DataFrame): Unit = {
+      val dirs = Option(owned.remove(df)).getOrElse(Seq.empty)
+      if (dirs.nonEmpty) {
+        val fs = dirs.head.getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        dirs.foreach(p => fs.delete(p, true))
+      }
     }
   }
 }
@@ -71,10 +110,11 @@ object ConnectedComponents {
     // symmetric edge list, materialized once (read every round)
     val edges = ckpt(p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     // init fuses the first propagation round: label = min(self, neighbors)
-    var labels = ckpt(
+    var labelsCkpt = ckpt(
       edges.select(col("doc_a").as("node"), col("doc_b").as("label"))
         .union(edges.select(col("doc_a").as("node"), col("doc_a").as("label")))
         .groupBy(col("node")).agg(min(col("label")).as("label")))
+    var labels = labelsCkpt
     var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
@@ -91,6 +131,10 @@ object ConnectedComponents {
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"), min(col("prev")).as("prev")))
       converged = merged.filter(col("label") < col("prev")).isEmpty
+      // merged is materialized and the convergence check is done — the
+      // previous round's checkpoint is dead weight in the store
+      ckpt.release(labelsCkpt)
+      labelsCkpt = merged
       labels = merged.select(col("node"), col("label"))
       round += 1
     }
@@ -101,6 +145,9 @@ object ConnectedComponents {
     require(converged,
       s"minLabel did not converge in $maxRounds rounds — component " +
         "diameter exceeds the cap; use alternatingStars (O(log n) rounds)")
+    // the result reads only the final labels checkpoint; the edge copy
+    // is no longer reachable from it
+    ckpt.release(edges)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -164,6 +211,8 @@ object ConnectedComponents {
         least(col("a"), col("b")).as("b"))
       converged = canonNext.except(canonPrev).isEmpty &&
         canonPrev.except(canonNext).isEmpty
+      // the fixpoint test was the last reader of the old edge set
+      ckpt.release(edges)
       edges = next
       round += 1
     }
@@ -175,6 +224,15 @@ object ConnectedComponents {
       greatest(col("a"), col("b")).as("doc_id"), least(col("a"), col("b")).as("cluster_id"))
     val roots = members.select(col("cluster_id")).distinct()
       .select(col("cluster_id").as("doc_id"), col("cluster_id"))
-    members.union(roots)
+    // parity with minLabel on degenerate input: a node whose only edges
+    // are self-loops vanished in the a =!= b filter above, but minLabel
+    // emits it as its own singleton cluster — union those back
+    val selfOnly = pairs.filter(col("doc_a") === col("doc_b"))
+      .select(col("doc_a").as("doc_id")).distinct()
+      .join(p.select(col("a").as("doc_id"))
+              .union(p.select(col("b").as("doc_id"))).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    members.union(roots).union(selfOnly)
   }
 }

@@ -60,6 +60,16 @@ class ComponentsSpec extends AnyFunSuite with SparkTestSupport {
     assert(labelsOf(ConnectedComponents.alternatingStars(messy)) === expected)
   }
 
+  test("a self-loop-ONLY node is a singleton cluster under both rules") {
+    // node 7 has no non-self edge at all — minLabel keeps it naturally;
+    // alternatingStars must union it back after its a =!= b filter
+    // (contract: both rules produce identical output)
+    val pairs = Seq((7L, 7L), (7L, 7L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val exp = Map(7L -> 7L, 1L -> 1L, 2L -> 1L)
+    assert(labelsOf(ConnectedComponents.minLabel(pairs)) === exp)
+    assert(labelsOf(ConnectedComponents.alternatingStars(pairs)) === exp)
+  }
+
   test("empty edge list yields empty labels under both rules") {
     val empty = spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b")
     assert(ConnectedComponents.minLabel(empty).isEmpty)
@@ -75,5 +85,27 @@ class ComponentsSpec extends AnyFunSuite with SparkTestSupport {
     val wrote = Files.walk(java.nio.file.Paths.get(dir))
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, s"no checkpoint files under $dir")
+  }
+
+  test("Reliable checkpointer releases superseded round checkpoints") {
+    // diameter-59 min-label runs ~60 rounds = ~60 checkpoints written;
+    // without release the store would keep every one of them. Measure
+    // the DELTA of rdd-* dirs in the (session-global) checkpoint root:
+    // only the final labels checkpoint may survive the run.
+    val sc = spark.sparkContext
+    def rddDirs(): Int = sc.getCheckpointDir.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
+      if (fs.exists(p)) fs.listStatus(p).count(_.getPath.getName.startsWith("rdd-"))
+      else 0
+    }.getOrElse(0)
+    val dir = Files.createTempDirectory("graft-ckpt-gc").toString
+    val before = rddDirs()
+    val labels = ConnectedComponents.minLabel(
+      plantedEdges, Checkpointer.Reliable(dir), maxRounds = 70)
+    assert(labelsOf(labels) === expected)
+    val leaked = rddDirs() - before
+    assert(leaked <= 1,
+      s"checkpoint store not GC'd: $leaked new rdd-* dirs survive (expected ≤1, the final labels)")
   }
 }

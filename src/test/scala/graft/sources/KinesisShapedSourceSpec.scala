@@ -81,40 +81,53 @@ class KinesisShapedSourceSpec extends AnyFunSuite with SparkTestSupport {
     val stream = "src-spec-reshard-ckpt"
     KinesisShapedStore.createStream(stream, 2)
     val ckpt = java.nio.file.Files.createTempDirectory("reshard-ckpt").toString
-    def startQuery(name: String) =
+    // Sink: foreachBatch into a batchId-keyed map. Unlike the memory sink
+    // (which cannot recover from a checkpoint at all), foreachBatch supports
+    // restart, and keying by batchId makes the sink idempotent — a replayed
+    // batch overwrites its own slot, so any duplicate that survives into the
+    // assertions below is a genuine SOURCE re-read, not sink-side replay.
+    val batches = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[String]]()
+    def startQuery() =
       spark.readStream.format("kinesis-shaped").option("stream", stream).load()
-        .select(col("shardId"), col("data").cast("string").as("payload"))
-        .writeStream.format("memory").queryName(name)
+        .select(col("data").cast("string").as("payload"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batches.put(id, df.collect().map(_.getString(0))); ()
+        }
         .option("checkpointLocation", ckpt).outputMode("append").start()
 
     (0 until 40).foreach(i =>
       KinesisShapedStore.put(stream, s"key-$i", s"pre-$i".getBytes("UTF-8")))
-    val q1 = startQuery("reshard_p1")
+    val q1 = startQuery()
     val phase1 =
       try {
         q1.processAllAvailable()
-        spark.table("reshard_p1").collect().map(_.getAs[String]("payload")).toSeq
+        import scala.jdk.CollectionConverters._
+        batches.asScala.toMap
       } finally q1.stop()
-    assert(phase1.length == 40)
+    assert(phase1.values.map(_.length).sum == 40)
 
     // while the consumer is DOWN: split, then write across the 3-shard routing
     KinesisShapedStore.addShard(stream)
     (40 until 90).foreach(i =>
       KinesisShapedStore.put(stream, s"key-$i", s"post-$i".getBytes("UTF-8")))
 
-    val q2 = startQuery("reshard_p2")
+    val q2 = startQuery()
     val phase2 =
       try {
         q2.processAllAvailable()
-        spark.table("reshard_p2").collect().map(_.getAs[String]("payload")).toSeq
+        import scala.jdk.CollectionConverters._
+        batches.asScala.toMap -- phase1.keys
       } finally q2.stop()
 
-    // memory sink restarts empty, so phase2 is exactly the post-restart
-    // delta: the committed prefix must NOT be re-read…
-    assert(phase2.intersect(phase1).isEmpty,
-      s"records re-read across the checkpoint: ${phase2.intersect(phase1)}")
+    val phase1Rows = phase1.values.flatten.toSeq
+    val phase2Rows = phase2.values.flatten.toSeq
+    // the restarted query resumes from committed offsets, so phase2 is
+    // exactly the post-restart delta: the committed prefix must NOT be re-read…
+    assert(phase2Rows.intersect(phase1Rows).isEmpty,
+      s"records re-read across the checkpoint: ${phase2Rows.intersect(phase1Rows)}")
     // …and the union must be every record exactly once
-    val all = phase1 ++ phase2
+    val all = phase1Rows ++ phase2Rows
     assert(all.length == 90 && all.distinct.length == 90,
       s"expected 90 exactly-once records, got ${all.length} (${all.distinct.length} distinct)")
     assert(all.sorted ==
