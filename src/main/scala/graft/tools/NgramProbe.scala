@@ -1,0 +1,29 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Scratch profiler for the q_ngram_containment vs q_ngram_jaccard
+  * bench delta (r3: 3.73 s vs 1.10 s on structurally identical plans).
+  * Times each 3×, and counts how many times the expensive
+  * array_intersect appears in each physical plan (CollapseProject
+  * re-inlining suspect). Not part of the driver contract. */
+object NgramProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local("ngram-probe")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    for (name <- Seq("q_ngram_jaccard", "q_ngram_containment")) {
+      val fn = SparkEntry.queries(name)
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val nIntersect = "array_intersect".r.findAllIn(plan).length
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $name%-22s array_intersect_in_plan=$nIntersect " +
+        s"times=${times.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
