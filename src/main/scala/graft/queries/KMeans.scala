@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd's k-means — the coarse-quantizer trainer behind
+  * `q_similarity_ivf_kmeans`. Replaces the lowest-id-vectors centroid
+  * stand-in with trained centroids (better list balance → better recall
+  * at the same probe count), while staying bit-reproducible run to run:
+  *
+  *  - fixed iteration count, no convergence-dependent control flow;
+  *  - init = the k sample vectors ranked first by xxhash64(vec_id) —
+  *    a deterministic pseudo-random spread. Ranking by raw id would
+  *    inherit the stand-in's worst failure: a duplicated low-id prefix
+  *    (mass-duplicated docs are routine in web corpora) makes every
+  *    init centroid the same point and Lloyd's can never separate
+  *    them; hash order picks structurally unrelated vectors instead;
+  *  - centroid updates sum exact integer micro-units (floor(x·10⁶) as
+  *    long) per dimension — float-sum order dependence, the classic
+  *    nondeterminism of distributed k-means, never enters;
+  *  - assignment ties break on the lower centroid id.
+  *
+  * Scale design (the part that must survive 100 TB): training runs on a
+  * deterministic hash-mod sample capped at `samplePerCentroid`·k vectors
+  * (FAISS-style 64–256 points per centroid is ample), so the per-
+  * iteration cost is sample × k cosine kernels + one (cid, dim) shuffle
+  * of longs — independent of corpus size. Centroids live on the driver
+  * between iterations (k ≤ 4096 × dim doubles, a few MB — the same shape
+  * Spark MLlib uses) and ship to executors as a broadcast join side.
+  * Only the final single-pass list assignment ever touches the full
+  * corpus, in the caller.
+  */
+object KMeans {
+
+  /** @param e   (vec_id: long, emb: array<double>) — uniform dims
+    * @return k centroids as (cid 0..k-1) → mean vector; empty clusters
+    *         keep their previous centroid so exactly k lists exist
+    */
+  def train(e: DataFrame, k: Int, iters: Int = 5,
+      samplePerCentroid: Int = 64): Array[Array[Double]] = {
+    require(k >= 1 && iters >= 1)
+    val spark = e.sparkSession
+    import spark.implicits._
+
+    val n = e.count()
+    val cap = k.toLong * samplePerCentroid
+    val sample =
+      if (n <= cap) e.select(col("vec_id"), col("emb"))
+      else {
+        // deterministic 1-in-mod thinning on a hash of the id — no RNG
+        // state, no sampleBy; survives reruns and repartitioning
+        val mod = math.max(1L, math.round(n.toDouble / cap))
+        e.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+          .select(col("vec_id"), col("emb"))
+      }
+
+    var cent: Array[Array[Double]] = sample
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("emb")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cent.nonEmpty, "k-means needs a non-empty corpus")
+
+    for (_ <- 1 to iters) {
+      val centDf = broadcast(
+        cent.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+          .toDF("cid", "cemb"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cd").desc, col("cid"))
+      val assigned = sample.crossJoin(centDf)
+        .withColumn("cd", call_function("cosine_sim", col("emb"), col("cemb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("emb"))
+      // exact integer sums per (cid, dim): k×dim longs back to the
+      // driver — the MLlib-sized update, not a data-sized one
+      val sums = assigned
+        .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .withColumn("micro", floor(col("v") * 1000000L).cast("long"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("micro")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val next = cent.map(_.clone())
+      sums.foreach { r =>
+        val cid = r.getLong(0).toInt
+        next(cid)(r.getInt(1)) =
+          r.getLong(2).toDouble / r.getLong(3) / 1000000.0
+      }
+      cent = next
+    }
+    cent
+  }
+}

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+
+/** Scratch probe: posting-list balance of the lowest-id centroid
+  * stand-in vs trained k-means centroids, plus per-method recall.
+  * Evidence for the IVF centroid-quality spec thresholds. */
+object IvfProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local("ivf-probe")
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val k = Similarity.centroidsFor(e.count())
+
+    def listStats(cent: DataFrame, tag: String): Unit = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))
+      val sizes = e.crossJoin(broadcast(cent))
+        .withColumn("cd", call_function("cosine_sim", col("emb"), col("cemb")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("cid")).count()
+        .agg(max(col("count")).as("mx"), avg(col("count")).as("av"),
+          count(lit(1)).as("nonempty"), stddev_pop(col("count")).as("sd"))
+        .collect()(0)
+      println(f"[ivfprobe] $tag%-10s k=$k maxList=${sizes.getLong(0)} " +
+        f"avgList=${sizes.getDouble(1)}%.1f nonempty=${sizes.getLong(2)} sd=${sizes.getDouble(3)}%.1f")
+    }
+
+    import spark.implicits._
+    val standIn = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val trained = KMeans.train(e.select(col("vec_id"), col("emb")), k)
+      .zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cid", "cemb")
+    listStats(standIn, "standin")
+    listStats(trained, "kmeans")
+    spark.stop()
+  }
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** The deterministic k-means coarse quantizer: reproducibility, cluster
+  * recovery on planted structure, and the property it exists for — on a
+  * density-skewed corpus, trained centroids balance IVF posting lists
+  * where the lowest-id stand-in produces hot lists (the 100 TB
+  * straggler/hot-partition scenario). */
+class KMeansSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  /** deterministic pseudo-random unit-ish direction per cluster */
+  private def center(c: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(j => math.sin(c * 131.0 + j * 17.0))
+
+  /** a point near cluster c's center with a small deterministic wobble */
+  private def point(c: Int, i: Int, dim: Int): Array[Double] = {
+    val base = center(c, dim)
+    Array.tabulate(dim)(j => base(j) + 0.05 * math.sin(i * 37.0 + j * 7.0))
+  }
+
+  /** SKEWED corpus: ids 0..15 (the stand-in centroid prefix) plus 80%
+    * of all ids sit in dense cluster 0; the rest spread over clusters
+    * 1..7. n=1000 → centroidsFor = 32. */
+  private lazy val skewed: DataFrame = {
+    val dim = 32
+    val rows = (0 until 1000).map { i =>
+      val c = if (i < 16 || i % 10 < 8) 0 else 1 + (i % 7)
+      (i.toLong, point(c, i, dim).toSeq)
+    }
+    rows.toDF("vec_id", "emb")
+  }
+
+  private def listSizes(e: DataFrame, cent: DataFrame): Seq[Long] = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("cd", call_function("cosine_sim", col("emb"), col("cemb")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("cid")).count()
+      .collect().map(_.getLong(1)).toSeq
+  }
+
+  test("training is bit-deterministic across runs") {
+    val a = KMeans.train(skewed, k = 32)
+    val b = KMeans.train(skewed, k = 32)
+    assert(a.length == 32 && b.length == 32)
+    (a zip b).foreach { case (ca, cb) => assert(ca.sameElements(cb)) }
+  }
+
+  test("recovers planted cluster structure: every planted center has a nearby centroid") {
+    val dim = 32
+    // balanced 8-cluster corpus, 40 points each; k=32 ≫ 8 so the
+    // hash-spread init covers every cluster with near-certainty (k=16
+    // leaves a cluster uncovered with p≈0.94 and Lloyd's then converges
+    // to a merged-cluster local optimum — expected k-means behavior,
+    // not a trainer bug)
+    val rows = (0 until 320).map(i => (i.toLong, point(i % 8, i, dim).toSeq))
+    val cent = KMeans.train(rows.toDF("vec_id", "emb"), k = 32, iters = 8)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = (a zip b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    (0 until 8).foreach { c =>
+      val best = cent.map(cos(_, center(c, dim))).max
+      assert(best > 0.98,
+        f"no trained centroid near planted cluster $c (best cos $best%.3f)")
+    }
+  }
+
+  test("duplicated low-id prefix: stand-in collapses to ONE hot list, trained centroids stay balanced") {
+    // mass-duplicated docs are routine in web corpora. If the first k
+    // ids are all the same vector, the lowest-id stand-in's centroids
+    // are one point — every corpus vector ties across all lists and the
+    // cid tie-break funnels the ENTIRE corpus into list 0 (the 100 TB
+    // hot-partition/straggler case). Hash-spread k-means init picks
+    // structurally unrelated vectors, so trained lists stay bounded.
+    val dim = 32
+    val k = Similarity.centroidsFor(1000)
+    val dupPrefix = (0 until 1000).map { i =>
+      // ids 0..99 identical; the rest spread over 8 clusters
+      val v = if (i < 100) point(0, 0, dim) else point(i % 8, i, dim)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "emb")
+    val standIn = dupPrefix.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val trained = KMeans.train(dupPrefix, k)
+      .zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cid", "cemb")
+    val standSizes = listSizes(dupPrefix, standIn)
+    val trainSizes = listSizes(dupPrefix, trained)
+    assert(standSizes.max == 1000L,
+      s"fixture must exhibit the collapse: standin max=${standSizes.max}")
+    assert(trainSizes.max <= 300L,
+      s"trained centroids must break the hot list: max=${trainSizes.max}")
+    assert(trainSizes.count(_ > 0) >= 8,
+      s"trained lists must cover the cluster structure: ${trainSizes.sorted.reverse.take(10)}")
+  }
+
+  test("sampling cap keeps the training set bounded and the result usable") {
+    // n=1000 with a 4-per-centroid cap → ~128-vector sample at k=32;
+    // training must still produce k finite centroids
+    val cent = KMeans.train(skewed, k = 32, samplePerCentroid = 4)
+    assert(cent.length == 32)
+    assert(cent.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+  }
+}

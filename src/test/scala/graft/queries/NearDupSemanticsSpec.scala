@@ -150,19 +150,21 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
   test("ANN recall eval: bounds hold and the planted corpus keeps recall above the floor") {
     val rows = Registry.queries("q_ann_recall")(spark, embDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(rows.keySet == Set("ivf", "lsh"))
+    assert(rows.keySet == Set("ivf", "ivf_kmeans", "lsh"))
     rows.foreach { case (m, (avg, mn)) =>
       assert(avg >= 0.0 && avg <= 1.0 && mn >= 0.0 && mn <= avg,
         s"$m: avg=$avg min=$mn out of bounds")
     }
-    // both indexes find the planted identical twin (cos 1.0) for query 0,
+    // all indexes find the planted identical twin (cos 1.0) for query 0,
     // so average recall on the 30-vector corpus can't be ~zero
     assert(rows("ivf")._1 >= 0.2, s"ivf recall collapsed: $rows")
+    assert(rows("ivf_kmeans")._1 >= 0.2, s"ivf_kmeans recall collapsed: $rows")
     assert(rows("lsh")._1 >= 0.2, s"lsh recall collapsed: $rows")
   }
 
   test("brute-force, LSH, and IVF all rank the planted twin as top-1") {
-    Seq("q_similarity_bruteforce", "q_similarity_lsh", "q_similarity_ivf").foreach { name =>
+    Seq("q_similarity_bruteforce", "q_similarity_lsh", "q_similarity_ivf",
+      "q_similarity_ivf_kmeans").foreach { name =>
       val top1 = Registry.queries(name)(spark, embDir)
         .filter(col("query_id") === 0 && col("rank") === 1)
         .collect()
@@ -191,7 +193,8 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
   }
 
   test("non-64-dim corpus: indexes use the data's dim, twin still top-1, recall floor holds") {
-    Seq("q_similarity_bruteforce", "q_similarity_lsh", "q_similarity_ivf").foreach { name =>
+    Seq("q_similarity_bruteforce", "q_similarity_lsh", "q_similarity_ivf",
+      "q_similarity_ivf_kmeans").foreach { name =>
       val top1 = Registry.queries(name)(spark, embDir24)
         .filter(col("query_id") === 0 && col("rank") === 1)
         .collect()
@@ -201,7 +204,7 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     }
     val rows = Registry.queries("q_ann_recall")(spark, embDir24)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(rows("ivf") >= 0.2 && rows("lsh") >= 0.2,
+    assert(rows("ivf") >= 0.2 && rows("ivf_kmeans") >= 0.2 && rows("lsh") >= 0.2,
       s"recall floor must hold at dim=24: $rows")
   }
 
