@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *    the strategy to run at 100 TB. Sets the SparkContext checkpoint
   *    dir if unset (and never overrides one the caller configured).
   */
-sealed trait Checkpointer extends Serializable {
+trait Checkpointer extends Serializable {
   def apply(df: DataFrame): DataFrame
 
   /** Free the checkpoint storage behind a DataFrame previously returned

@@ -87,6 +87,40 @@ class ComponentsSpec extends AnyFunSuite with SparkTestSupport {
     assert(wrote > 0, s"no checkpoint files under $dir")
   }
 
+  /** Delegates to `inner`, and after the `wipeAfter`-th checkpoint
+    * drops EVERY cached RDD block in the context — the local-mode
+    * stand-in for losing an executor mid-iteration. localCheckpoint
+    * data lives only in those blocks and its lineage is truncated, so
+    * the next round cannot recompute; reliable checkpoint data lives in
+    * the checkpoint store and re-reads transparently. */
+  private final class SabotagingCkpt(inner: Checkpointer, wipeAfter: Int)
+      extends Checkpointer {
+    private var n = 0
+    override def apply(df: org.apache.spark.sql.DataFrame) = {
+      val out = inner(df)
+      n += 1
+      if (n == wipeAfter)
+        df.sparkSession.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      out
+    }
+    override def release(df: org.apache.spark.sql.DataFrame): Unit = inner.release(df)
+  }
+
+  test("mid-iteration block loss kills Local but Reliable completes (fault injection)") {
+    // wipe after the 3rd checkpoint — well inside the ~60-round chain
+    intercept[Exception] {
+      ConnectedComponents.minLabel(
+        plantedEdges, new SabotagingCkpt(Checkpointer.Local, 3), maxRounds = 70)
+        .collect()
+    }
+    val dir = Files.createTempDirectory("graft-ckpt-fault").toString
+    val labels = ConnectedComponents.minLabel(
+      plantedEdges, new SabotagingCkpt(Checkpointer.Reliable(dir), 3), maxRounds = 70)
+    assert(labelsOf(labels) === expected,
+      "Reliable must survive the exact failure that killed Local")
+  }
+
   test("Reliable checkpointer releases superseded round checkpoints") {
     // diameter-59 min-label runs ~60 rounds = ~60 checkpoints written;
     // without release the store would keep every one of them. Measure
