@@ -110,7 +110,7 @@ object Similarity {
     * n=1e3 → 4 planes; n=1e6 → 14; n=1e11 (100 TB of 1 KB docs) → 30
     * with E[bucket] ≈ 93. Driver-side arithmetic on one count — the
     * only job-level stat the plan needs. */
-  private[queries] def planesFor(n: Long, targetBucket: Long = 64L): Int = {
+  private[graft] def planesFor(n: Long, targetBucket: Long = 64L): Int = {
     val raw = math.ceil(math.log(math.max(n, 1L).toDouble / targetBucket) /
       math.log(2.0)).toInt
     math.min(30, math.max(4, raw))
@@ -118,13 +118,30 @@ object Similarity {
 
   /** Hard per-(table,bucket) occupancy cap — same constant as the
     * minhash/simhash band caps in Dedup. */
-  private[queries] val LshBucketCap = 256
+  private[graft] val LshBucketCap = 256
+
+  /** The LSH bucket ids of an embedding column as
+    * `array<struct<tbl,bucket>>` — one entry per hash table. A pure
+    * per-row expression (sign bits of codegen'd dot products against
+    * plane literals), which is what makes this index usable from a
+    * STREAM: bucket assignment needs no window, no aggregation, no
+    * state. Shared by `q_similarity_lsh` and
+    * `LogStream.nearestNeighborEnriched`. */
+  private[graft] def lshBucketsExpr(emb: Column, dim: Int, nPlanes: Int,
+      nTables: Int = 4): Column =
+    array((0 until nTables).map { t =>
+      val bucket = (0 until nPlanes).map { p =>
+        when(call_function("dot_product", emb, typedLit(plane(t, p, dim))) > 0d,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }: _*)
 
   /** Embedding dim from the DATA (first row), never hardcoded: planes
     * must span every dimension or vectors differing only in the
     * untouched dims collide — recall loss that no error surfaces. One
     * LIMIT-1 job; uniform dims assumed (the table contract). */
-  private def dimOf(e: DataFrame): Int = {
+  private[graft] def dimOf(e: DataFrame): Int = {
     val head = e.select(size(col("emb")).as("d")).limit(1).collect()
     if (head.isEmpty) 1 else head(0).getInt(0)
   }
@@ -137,15 +154,8 @@ object Similarity {
       // one count() job sizes the geometry (parquet count is metadata-
       // pushdown cheap — the same stat AQE reads)
       val nPlanes = planesFor(e.count())
-      val tables = (0 until 4).map { t =>
-        val bucket = (0 until nPlanes).map { p =>
-          when(call_function("dot_product", col("emb"), typedLit(plane(t, p, dim))) > 0d,
-            lit(1L << p)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        struct(lit(t).as("tbl"), bucket.as("bucket"))
-      }
       val bucketed = e.select(col("vec_id"), col("emb"),
-          explode(array(tables: _*)).as("h"))
+          explode(lshBucketsExpr(col("emb"), dim, nPlanes)).as("h"))
         .select(col("vec_id"), col("emb"), col("h.tbl"), col("h.bucket"))
       val capped = bucketed.withColumn("bn",
           count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))

@@ -223,6 +223,76 @@ object LogStream {
       .select(col("e_ip"), col("e_time").as("e_ts"), col("e_path"),
         col("latest.p_ts").as("asof_ts"), col("latest.p_result").as("asof_result"))
 
+  /** Streaming SIMILARITY enrichment — each streamed embedding gets its
+    * approximate nearest neighbor from a static corpus (the "which
+    * known document/prototype is this closest to" lookup every
+    * streaming ingest pipeline wants before routing/dedup decisions).
+    *
+    * Index choice: hyperplane LSH, because its bucket id is a pure
+    * per-row expression (sign bits of codegen'd dot products against
+    * broadcast-able plane literals) — a stream row can be bucketed with
+    * NO state, no window, no aggregation. IVF by contrast needs a
+    * per-row top-probes ranking over the centroid set, which streaming
+    * append mode cannot express without an extra stateful operator.
+    *
+    * Shape: stream rows explode into their 4 table buckets (stateless)
+    * → stream-static equi-join on (tbl, bucket) against the bucketed,
+    * occupancy-capped corpus (static side re-planned per micro-batch,
+    * broadcast when small — same rationale as [[enriched]]) → ONE
+    * watermark-bounded windowed aggregation picks the max-cosine
+    * candidate (dedup across tables falls out of the max). Same
+    * two-operator shape as [[asOfErrorContext]]; rows finalize when the
+    * watermark passes their window.
+    *
+    * Geometry (planes, dim, bucket cap) is the data-derived one from
+    * [[graft.queries.Similarity]] — the static corpus is counted once
+    * at plan-build time, exactly like the batch index.
+    *
+    * @param stream (doc_id: long, ts: timestamp, emb: array<double>)
+    * @param corpus static (vec_id: long, label, emb: array<double>)
+    * @return (doc_id, ts, nn_id, nn_label, nn_cos) — inner semantics:
+    *         rows whose buckets hold no candidate are dropped
+    */
+  def nearestNeighborEnriched(
+      stream: DataFrame,
+      corpus: DataFrame,
+      lateness: String = "10 minutes"): DataFrame = {
+    import graft.queries.Similarity.{dimOf, lshBucketsExpr, planesFor, LshBucketCap}
+    val c = corpus.select(col("vec_id"), col("label"), col("emb"))
+    val dim = dimOf(c)
+    val nPlanes = planesFor(c.count())
+    val bucketedCorpus = c.select(
+        col("vec_id").as("nn_id"), col("label").as("nn_label"),
+        col("emb").as("nn_emb"),
+        explode(lshBucketsExpr(col("emb"), dim, nPlanes)).as("h"))
+      .select(col("nn_id"), col("nn_label"), col("nn_emb"),
+        col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("bn") <= LshBucketCap)
+      .drop("bn")
+    stream
+      .withWatermark("ts", lateness)
+      .select(col("doc_id"), col("ts"), col("emb"),
+        explode(lshBucketsExpr(col("emb"), dim, nPlanes)).as("h"))
+      .select(col("doc_id"), col("ts"), col("emb"),
+        col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
+      .join(bucketedCorpus, Seq("tbl", "bucket"))
+      .withColumn("cos",
+        round(call_function("cosine_sim", col("emb"), col("nn_emb")), 6))
+      // the window() below becomes the aggregation's one event-time
+      // column; group/emit on a metadata-stripped copy of ts (same
+      // trick as asOfErrorContext)
+      .withColumn("doc_ts",
+        col("ts").as("doc_ts", org.apache.spark.sql.types.Metadata.empty))
+      .groupBy(window(col("ts"), "1 minute"), col("doc_id"), col("doc_ts"))
+      .agg(max(struct(col("cos"), col("nn_id"), col("nn_label"))).as("nn"))
+      .select(col("doc_id"), col("doc_ts").as("ts"),
+        col("nn.nn_id").as("nn_id"), col("nn.nn_label").as("nn_label"),
+        col("nn.cos").as("nn_cos"))
+  }
+
   /** One micro-batch → one `batch_id=N` parquet partition, mode
     * OVERWRITE: the idempotent write unit `toIdempotentLake` commits.
     * Exposed separately so the replay property is directly testable. */

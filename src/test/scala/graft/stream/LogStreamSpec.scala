@@ -23,6 +23,9 @@ case class LogRow(
     cf_result: String, bytes_sent: String, http_path: String,
     serviceId: String, env: String)
 
+/** Streamed embedding row for the similarity-enrichment tests. */
+case class EmbRow(doc_id: Long, ts: java.sql.Timestamp, emb: Seq[Double])
+
 /** Collects everything "delivered" across executor threads (local mode =
   * one JVM, so a static object is visible to the writer tasks). */
 /** Rejects every record — drives the deadline/fail-loud path. */
@@ -284,6 +287,41 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
         .select(col("e_ip"), date_format(col("e_ts"), "HH:mm"),
           date_format(col("latest.p_ts"), "HH:mm"), col("latest.p_result"))
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(streaming == batch, s"stream $streaming != batch $batch")
+    }
+  }
+
+  test("streaming similarity enrichment finds the planted twin and matches its own batch run") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 16).map(j => math.sin(seed * 97.0 + j * 13.0))
+    val corpus = (0 until 30).map(i => (i.toLong, s"l${i % 3}", vec(i)))
+      .toDF("vec_id", "label", "emb")
+    def t(time: String) = java.sql.Timestamp.valueOf(s"2019-01-18 $time")
+    // each streamed embedding IS a corpus vector, so LSH must bucket it
+    // with its twin in every table — found with cos exactly 1.0
+    val queries = Seq(
+      EmbRow(100L, t("02:00:00"), vec(3)),
+      EmbRow(101L, t("02:00:30"), vec(7)),
+      EmbRow(102L, t("02:02:00"), vec(20)))
+    val input = MemoryStream[EmbRow](spark)
+    val out = LogStream.nearestNeighborEnriched(input.toDF(), corpus, "1 minute")
+    withQuery(out, "nn_out", "append") { q =>
+      input.addData(queries: _*)
+      q.processAllAvailable()
+      input.addData(EmbRow(999L, t("05:00:00"), vec(29))) // advance watermark
+      q.processAllAvailable()
+      val streaming = spark.table("nn_out").filter(col("doc_id") < 999)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getDouble(4))).toSet
+      assert(streaming == Set(
+        (100L, 3L, "l0", 1.0),
+        (101L, 7L, "l1", 1.0),
+        (102L, 20L, "l2", 1.0)), streaming.toString)
+      // batch equivalence: the IDENTICAL operator over the same rows as
+      // a batch frame (watermark no-ops, window-agg runs relationally)
+      val batch = LogStream.nearestNeighborEnriched(queries.toDF(), corpus, "1 minute")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getDouble(4))).toSet
       assert(streaming == batch, s"stream $streaming != batch $batch")
     }
   }
