@@ -45,9 +45,13 @@ object CloudFrontSource {
   /** Path-derived metadata (reference F3a): the key layout
     * `/{env}/{logging_id}/{file}.gz` parsed from the file each row came
     * from (`cloudfront_kinesis_lambda.py:171-173`). Computed once per
-    * row from `input_file_name()`, no extra scan. */
-  def withPathMeta(df: DataFrame): DataFrame = {
-    val parts = split(input_file_name(), "/")
+    * row from `input_file_name()` by default, no extra scan; the
+    * column is injectable so the layout parse is testable against any
+    * URI scheme (`s3a://bucket/stg/svc/file.gz` and `file:/...` parse
+    * identically — the split is scheme-agnostic). */
+  def withPathMeta(df: DataFrame,
+      fileCol: org.apache.spark.sql.Column = input_file_name()): DataFrame = {
+    val parts = split(fileCol, "/")
     val n = size(parts)
     df.withColumn("env", element_at(parts, n - lit(2)))
       .withColumn("serviceId", element_at(parts, n - lit(1)))

@@ -54,6 +54,33 @@ class CloudFrontEtlSpec extends AnyFunSuite with SparkTestSupport {
         CloudFrontSource.read(spark, s"$fixtureRoot/*/*/*.gz")))
       .cache()
 
+  test("S2: an s3a:// URI reaches the Hadoop FS layer untouched") {
+    // the sandbox carries no hadoop-aws connector, so the read must
+    // fail — but with the UNKNOWN-SCHEME error naming s3a, which
+    // proves the URI passed through the reader verbatim (no mangling,
+    // no local-path coercion). With hadoop-aws + credentials on the
+    // classpath (README "Reading from S3") the same call just works.
+    val e = intercept[Exception] {
+      CloudFrontSource.read(spark, "s3a://example-bucket/stg/svc1/*.gz")
+        .limit(1).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("s3a"), s"expected an s3a scheme error, got: $msgs")
+  }
+
+  test("F3a: path metadata parses identically for s3a:// and file:/ layouts") {
+    import spark.implicits._
+    val df = Seq(
+      ("s3a://log-bucket/stg/svc42/E123.2019-01-18.abc.gz", 1),
+      ("file:/tmp/lake/prod/svc7/E9.2019-01-18.def.gz", 2))
+      .toDF("path", "n")
+    val got = CloudFrontSource.withPathMeta(df, col("path"))
+      .select(col("n"), col("env"), col("serviceId"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1, "stg", "svc42"), (2, "prod", "svc7")), got.toString)
+  }
+
   test("S4/S5: parses rows against the declared schema, skipping both # headers") {
     val raw = CloudFrontSource.read(spark, s"$fixtureRoot/*/*/*.gz")
     assert(raw.count() == 2)
