@@ -1,0 +1,29 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Scratch probe for q_simhash_dup's 2.1 s bench figure: consecutive
+  * timed runs split Janino-compile cost (first run, cold codegen cache)
+  * from data cost (later runs), with and without two-level hash-agg
+  * codegen. Evidence for whether a codegen shave is worth taking. */
+object SimhashProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local("simhash-probe")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val fn = SparkEntry.queries("q_simhash_dup")
+    def time3(tag: String): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[simprobe] $tag times=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    time3("twolevel=on(default)")
+    spark.conf.set("spark.sql.codegen.aggregate.map.twolevel.enabled", "false")
+    time3("twolevel=off")
+    spark.conf.set("spark.sql.codegen.aggregate.map.twolevel.enabled", "true")
+    spark.stop()
+  }
+}
