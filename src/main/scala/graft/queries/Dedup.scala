@@ -26,15 +26,17 @@ object Dedup {
     * pipeline in codegen, and its doc_id shuffle is one every consumer
     * (signature agg / shingle-set agg) needs anyway. Docs shorter than
     * 3 tokens produce no rows. */
-  private def shingleHashes(df: DataFrame): DataFrame = {
+  private[queries] def shingleHashes(df: DataFrame, width: Int = 3): DataFrame = {
+    require(width >= 2)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until width).map(i => lead(col("t"), i).over(w).as(s"t$i"))
+    val gram = concat_ws(" ",
+      col("t") +: (1 until width).map(i => col(s"t$i")): _*)
     df.select(col("doc_id"), col("source"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .withColumn("t1", lead(col("t"), 1).over(w))
-      .withColumn("t2", lead(col("t"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), col("source"),
-        xxhash64(concat_ws(" ", col("t"), col("t1"), col("t2"))).as("h"))
+      .select(col("doc_id") +: col("source") +: col("t") +: leads: _*)
+      .filter(col(s"t${width - 1}").isNotNull)
+      .select(col("doc_id"), col("source"), xxhash64(gram).as("h"))
   }
 
   /** Distinct shingle-hash set per doc (64-bit hashes stand in for the
@@ -274,6 +276,54 @@ object Dedup {
             FROM p WHERE inter > 0 ORDER BY doc_a, doc_b""")
   )
 
+  /** Benchmark DECONTAMINATION — the pre-training hygiene step: find
+    * corpus documents sharing n-grams with a held-out evaluation set,
+    * so eval answers don't leak into training data. Eval membership is
+    * `doc_id % 97 == 0` here (a stand-in for "the benchmark suite");
+    * the detector reports every corpus doc with ≥1 shared distinct
+    * 5-gram and its contamination fraction — downstream policy decides
+    * drop vs flag.
+    *
+    * Scale shape: the eval side is BROADCAST — benchmark suites are
+    * thousands of docs, so their distinct-gram set is megabytes while
+    * the corpus is the 100 TB side; corpus grams never shuffle for the
+    * membership probe, and the only corpus-wide exchange is the
+    * per-doc groupBy that the gram window already clusters by. Exact
+    * n-gram collision (the industry-standard detector), fully
+    * SQL-oracle-able. */
+  private val qDecontaminate = Q(
+    "q_decontaminate",
+    (s, d) => {
+      val g = shingleHashes(Tables.documents(s, d), width = 5)
+      val evalG = g.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("h")).distinct()
+      val corpus = g.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .dropDuplicates("doc_id", "h")
+      corpus.join(broadcast(evalG.withColumn("hit", lit(1))), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .filter(col("n_hit") > 0)
+        .withColumn("contamination",
+          col("n_hit").cast("double") / col("n_grams"))
+        .orderBy(col("contamination").desc, col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+                 g AS (SELECT doc_id,
+                         unnest(list_distinct(list_transform(range(1, len(ts) - 3),
+                           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                                ts[i+3] || ' ' || ts[i+4]))) AS gram
+                       FROM tok WHERE len(ts) >= 5),
+                 ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+                 c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+            SELECT c.doc_id, count(*) AS n_grams,
+              count(ev.gram) AS n_hit,
+              CAST(count(ev.gram) AS DOUBLE) / count(*) AS contamination
+            FROM c LEFT JOIN ev ON c.gram = ev.gram
+            GROUP BY c.doc_id HAVING count(ev.gram) > 0
+            ORDER BY contamination DESC, doc_id""")
+  )
+
   /** Duplicate-CLUSTER resolution — the step every pair detector above
     * feeds: near-dup pairs are edges, connected components are the
     * actual duplicate groups, and `cluster_id = min(doc_id)` names the
@@ -344,5 +394,5 @@ object Dedup {
 
   def qs: Seq[Q] =
     Seq(qDedupExact, qMinhashDup, qSimhashDup, qNgramJaccard,
-      qNgramContainment, qDupClusters)
+      qNgramContainment, qDecontaminate, qDupClusters)
 }

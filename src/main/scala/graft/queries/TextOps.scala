@@ -178,7 +178,38 @@ object TextOps {
             FROM r GROUP BY source ORDER BY source""")
   )
 
+  /** REPETITION ratio — the intra-document twin of cross-document
+    * dedup: the fraction of a doc's 3-gram occurrences that repeat an
+    * earlier 3-gram (1 − distinct/total). High values flag boilerplate,
+    * template spam, and degenerate generations — a standard quality
+    * gate in web-corpus curation pipelines, complementary to
+    * `q_text_quality`'s character-level signals.
+    *
+    * Reuses the dedup family's codegen'd shingle pipeline
+    * ([[Dedup.shingleHashes]]): per-doc window + one groupBy(doc_id)
+    * agg, no joins — embarrassingly parallel at any corpus size. */
+  private val qRepetitionRatio = Q(
+    "q_repetition_ratio",
+    (s, d) =>
+      Dedup.shingleHashes(Tables.documents(s, d))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct(col("h")).as("n_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_total"))
+        .orderBy(col("rep_ratio").desc, col("doc_id")),
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+                 g AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(ts) - 1),
+                           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gram
+                       FROM tok WHERE len(ts) >= 3)
+            SELECT doc_id, count(*) AS n_total,
+              count(DISTINCT gram) AS n_distinct,
+              1 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS rep_ratio
+            FROM g GROUP BY doc_id ORDER BY rep_ratio DESC, doc_id""")
+  )
+
   def qs: Seq[Q] =
     Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint,
-      qTextPiiScrub)
+      qTextPiiScrub, qRepetitionRatio)
 }

@@ -52,6 +52,42 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     dir
   }
 
+  test("decontamination flags exactly the doc containing an eval-set span, with the exact fraction") {
+    val dir = Files.createTempDirectory("decontam").toString
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    val evalDoc = toks("e", 20).mkString(" ")             // doc 0 → eval (0 % 97 == 0)
+    val leaky = (toks("e", 10) ++ toks("u", 10)).mkString(" ") // 10-token eval span + 10 own
+    val clean = toks("c", 20).mkString(" ")
+    Seq(
+      (0L, evalDoc, "en", "web", evalDoc.length.toLong),
+      (1L, leaky, "en", "web", leaky.length.toLong),
+      (2L, clean, "en", "web", clean.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("q_decontaminate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 1: 16 5-grams, of which the 6 fully inside the copied span
+    // collide with eval grams → 6/16; doc 2 must not appear, and the
+    // eval doc itself is never scored
+    assert(got.toSeq == Seq((1L, 16L, 6L, 6.0 / 16.0)), got.mkString(", "))
+  }
+
+  test("repetition ratio scores looped text high and unique text zero") {
+    val dir = Files.createTempDirectory("repratio").toString
+    val looped = "a b c a b c a b c"         // 7 3-grams, 3 distinct
+    val unique = (1 to 10).map(i => s"w$i").mkString(" ") // 8 grams, all distinct
+    Seq(
+      (1L, looped, "en", "web", looped.length.toLong),
+      (2L, unique, "en", "web", unique.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("q_repetition_ratio")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 7L, 3L, 1.0 - 3.0 / 7.0),
+      (2L, 8L, 8L, 0.0)), got.mkString(", "))
+  }
+
   test("minhash finds the exact pair at jaccard 1.0 and the near pair high") {
     val got = Registry.queries("q_minhash_dup")(spark, docsDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
