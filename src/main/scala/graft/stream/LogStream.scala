@@ -223,6 +223,22 @@ object LogStream {
       .select(col("e_ip"), col("e_time").as("e_ts"), col("e_path"),
         col("latest.p_ts").as("asof_ts"), col("latest.p_result").as("asof_result"))
 
+  /** Streaming dedup against a STATIC seen-corpus — "drop documents the
+    * lake already holds", the first filter of any incremental ingest
+    * into a deduplicated corpus. A stream-static LEFT ANTI join on the
+    * content digest: stateless (no watermark, no store — the static
+    * side is re-planned per micro-batch, so a growing lake index is
+    * picked up), broadcast when the digest set is small, shuffle-hash
+    * otherwise. Complements [[dedupedByRequestId]], which dedups the
+    * stream against ITSELF within the watermark; composing both gives
+    * "new within the stream AND new against history".
+    *
+    * @param stream      must carry `digest` (e.g. sha256 of the payload)
+    * @param seenDigests static (digest) — one column, pre-distinct
+    */
+  def dedupAgainstCorpus(stream: DataFrame, seenDigests: DataFrame): DataFrame =
+    stream.join(seenDigests.select(col("digest")), Seq("digest"), "left_anti")
+
   /** Streaming SIMILARITY enrichment — each streamed embedding gets its
     * approximate nearest neighbor from a static corpus (the "which
     * known document/prototype is this closest to" lookup every

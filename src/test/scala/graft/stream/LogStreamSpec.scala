@@ -291,6 +291,25 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("stream-static anti-join dedup drops exactly the digests the corpus already holds") {
+    val seen = Seq("d1", "d3").toDF("digest")
+    val input = MemoryStream[(String, Long)](spark)
+    val out = LogStream.dedupAgainstCorpus(
+      input.toDF().toDF("digest", "n"), seen)
+    withQuery(out, "corpus_dedup", "append") { q =>
+      input.addData(("d1", 1L), ("d2", 2L), ("d3", 3L), ("d4", 4L))
+      q.processAllAvailable()
+      val got = spark.table("corpus_dedup").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == Set(("d2", 2L), ("d4", 4L)), got.toString)
+      // batch equivalence of the same operator
+      val batch = LogStream.dedupAgainstCorpus(
+        Seq(("d1", 1L), ("d2", 2L), ("d3", 3L), ("d4", 4L)).toDF("digest", "n"), seen)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == batch)
+    }
+  }
+
   test("streaming similarity enrichment finds the planted twin and matches its own batch run") {
     def vec(seed: Int): Seq[Double] =
       (0 until 16).map(j => math.sin(seed * 97.0 + j * 13.0))
