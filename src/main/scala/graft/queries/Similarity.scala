@@ -328,6 +328,62 @@ object Similarity {
     None
   )
 
+  /** SEMANTIC dedup (SemDeDup-shaped: Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication") — the embedding-space analog of minhash dedup:
+    * cluster the corpus with the trained coarse quantizer, generate
+    * candidate pairs only WITHIN a cluster (semantically unrelated docs
+    * never pair, so pair count tracks cluster occupancy, not n²),
+    * keep pairs above a cosine threshold, resolve transitive groups
+    * with [[ConnectedComponents]], and emit `keep = false` for every
+    * doc that is not its group's lowest id.
+    *
+    * Composition of three scale-proven parts: [[KMeans.train]] (bounded
+    * sample, driver-held centroids), the capped within-cluster pair
+    * join (same occupancy-cap rationale as every band join in Dedup),
+    * and min-label components (one (long,long) shuffle per round).
+    * Engine-trained centroids → rows-only driver check; planted-dup
+    * semantics spec'd in NearDupSemanticsSpec. */
+  private val qSemanticDedup = Q(
+    "q_semantic_dedup",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val k = centroidsFor(e.count())
+      import s.implicits._
+      val cent = KMeans.train(e.select(col("vec_id"), col("emb")), k)
+        .zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+        .toDF("cid", "cemb")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cd").desc, col("cid"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("cd", call_function("cosine_sim", col("emb"), col("cemb")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cid"), col("vec_id"), col("emb"))
+      // occupancy cap: a degenerate mega-cluster (mass-duplicated
+      // embeddings) would otherwise go quadratic — same guard as the
+      // LSH/minhash band caps; such clusters are exact-dup families
+      // that exact dedup already collapses
+      val capped = assigned.withColumn("cn",
+          count(lit(1)).over(Window.partitionBy(col("cid"))))
+        .filter(col("cn") <= LshBucketCap)
+      val l = capped.select(col("cid"), col("vec_id").as("doc_a"), col("emb").as("emb_a"))
+      val r = capped.select(col("cid"), col("vec_id").as("doc_b"), col("emb").as("emb_b"))
+      val pairs = l.join(r, Seq("cid"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("cos", call_function("cosine_sim", col("emb_a"), col("emb_b")))
+        .filter(col("cos") > 0.995)
+        .select(col("doc_a"), col("doc_b"))
+      val clusters = ConnectedComponents.minLabel(pairs)
+      e.select(col("vec_id")).join(clusters,
+          e("vec_id") === clusters("doc_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("group_id"),
+          (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id")).as("keep"))
+        .orderBy(col("vec_id"))
+    },
+    None
+  )
+
   /** ANN quality harness — recall@5 of each approximate index (IVF,
     * hyperplane LSH) against the exact brute-force top-5. The eval
     * every ANN deployment runs before trusting an index: a tuning
@@ -397,5 +453,6 @@ object Similarity {
 
   def qs: Seq[Q] =
     Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityIvf,
-      qSimilarityIvfKmeans, qEmbedCosineDup, qAnnRecall, qEmbedCentroids)
+      qSimilarityIvfKmeans, qSemanticDedup, qEmbedCosineDup, qAnnRecall,
+      qEmbedCentroids)
 }

@@ -244,6 +244,47 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
       s"recall floor must hold at dim=24: $rows")
   }
 
+  test("semantic dedup keeps one representative per planted embedding-twin group") {
+    // dedicated fixture: integer-hash vectors, NOT the sin-based ones —
+    // sin(seed·97 + …) is nearly periodic at seed offset 16 (97·16 ≈
+    // 44.05 ≈ 7·2π), so that fixture contains accidental cos≈0.9975
+    // near-twins which semantic dedup (correctly!) collapses
+    val dir = Files.createTempDirectory("semdedup").toString
+    // splitmix64 avalanche — a LINEAR congruential ramp here makes any
+    // small seed offset a near-constant vector shift (cos ≈ 1), i.e.
+    // accidental twins again
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def pv(seed: Int): Array[Float] =
+      Array.tabulate(64)(j =>
+        (((mix(seed * 64L + j) & 0x7fffffffL) % 1000L).toDouble / 1000.0 * 2 - 1).toFloat)
+    val rows0 = (0 until 30).map { i =>
+      val v =
+        if (i == 10) pv(0) // exact twin of 0
+        else if (i == 11) { val x = pv(1); x(0) = x(0) + 0.01f; x } // near twin of 1
+        else if (i == 12) { val x = pv(0); x(1) = x(1) + 0.01f; x } // transitive: ≈0 ≈10
+        else pv(i)
+      (i.toLong, v, i % 3)
+    }
+    rows0.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Registry.queries("q_semantic_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows.size == 30, s"one verdict per vector: ${rows.size}")
+    // {0,10,12} one group kept at 0 (transitivity through the exact
+    // twin), {1,11} kept at 1; everything else its own kept group
+    assert(rows(10L) == (0L, false), rows(10L).toString)
+    assert(rows(12L) == (0L, false), rows(12L).toString)
+    assert(rows(11L) == (1L, false), rows(11L).toString)
+    assert(rows(0L) == (0L, true) && rows(1L) == (1L, true))
+    val dropped = rows.filter(!_._2._2).keys.toSet
+    assert(dropped == Set(10L, 11L, 12L), s"only the planted twins drop: $dropped")
+  }
+
   test("IVF centroid count scales ~sqrt(n) and is clamped") {
     assert(Similarity.centroidsFor(0) == 16)
     assert(Similarity.centroidsFor(100) == 16)
