@@ -33,6 +33,23 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** Training is deterministic, so a (corpus key, k, iters) triple
+    * always yields the same centroids — the memo makes index REUSE
+    * explicit: every consumer of the same corpus's quantizer
+    * (ivf-kmeans search, the recall harness, semantic dedup) trains
+    * once per JVM instead of once per query. Bounded by the distinct
+    * corpora a session touches (each entry is k × dim doubles). */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Double]]]
+
+  /** Memoized [[train]]. `corpusKey` must uniquely name the training
+    * input (e.g. data dir + a held-out/full tag) — a stale key returns
+    * the wrong quantizer, same as reusing any index across datasets. */
+  def trainCached(e: => DataFrame, k: Int, corpusKey: String,
+      iters: Int = 5, samplePerCentroid: Int = 64): Array[Array[Double]] =
+    memo.computeIfAbsent((corpusKey, k, iters),
+      _ => train(e, k, iters, samplePerCentroid))
+
   /** @param e   (vec_id: long, emb: array<double>) — uniform dims
     * @return k centroids as (cid 0..k-1) → mean vector; empty clusters
     *         keep their previous centroid so exactly k lists exist

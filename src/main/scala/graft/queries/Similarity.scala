@@ -317,8 +317,9 @@ object Similarity {
     (s, d) => {
       val e = embDouble(s, d)
       val k = centroidsFor(e.count())
-      val trained = KMeans.train(
-        e.filter(col("vec_id") >= 10).select(col("vec_id"), col("emb")), k)
+      val trained = KMeans.trainCached(
+        e.filter(col("vec_id") >= 10).select(col("vec_id"), col("emb")), k,
+        corpusKey = s"$d#heldout")
       import s.implicits._
       val cent = trained.zipWithIndex
         .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
@@ -350,7 +351,8 @@ object Similarity {
       val e = embDouble(s, d)
       val k = centroidsFor(e.count())
       import s.implicits._
-      val cent = KMeans.train(e.select(col("vec_id"), col("emb")), k)
+      val cent = KMeans.trainCached(e.select(col("vec_id"), col("emb")), k,
+          corpusKey = s"$d#full")
         .zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
         .toDF("cid", "cemb")
       val w = Window.partitionBy(col("vec_id"))
