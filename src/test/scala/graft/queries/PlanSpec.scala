@@ -43,6 +43,12 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("decontamination probes the broadcast eval side, never shuffles the corpus for it") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("group-by aggregate does partial (map-side) aggregation before the shuffle") {
     val df = Registry.queries("q_agg_groupby")(spark, sf)
     val executed = df.queryExecution.executedPlan
