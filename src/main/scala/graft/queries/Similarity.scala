@@ -146,6 +146,35 @@ object Similarity {
     if (head.isEmpty) 1 else head(0).getInt(0)
   }
 
+  /** Multi-probe QUERY buckets: the main bucket plus, per table, the
+    * two buckets reached by flipping the sign bit whose hyperplane
+    * margin |dot| is smallest — the classic asymmetric multiprobe
+    * (Lv et al., VLDB'07): a near neighbor that landed one
+    * low-confidence bit away is recovered without adding hash tables
+    * or touching the corpus side. Only the (tiny, broadcast) query
+    * side triples its probe rows, so candidate cost stays bounded by
+    * probes × bucket cap. The sort_array ranking is interpreted, but
+    * it runs on query rows only — never on the corpus. */
+  private[graft] def lshQueryProbesExpr(emb: Column, dim: Int, nPlanes: Int,
+      nTables: Int = 4): Column = {
+    val perTable = (0 until nTables).flatMap { t =>
+      val dots = (0 until nPlanes).map(p =>
+        call_function("dot_product", emb, typedLit(plane(t, p, dim))))
+      val bucket = dots.zipWithIndex.map { case (dt, p) =>
+        when(dt > 0d, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val ranked = sort_array(array(dots.zipWithIndex.map { case (dt, p) =>
+        struct(abs(dt).as("a"), lit(p).as("p"))
+      }: _*))
+      def flip(i: Int) = bucket.bitwiseXOR(
+        call_function("shiftleft", lit(1L), ranked.getItem(i).getField("p")))
+      Seq(struct(lit(t).as("tbl"), bucket.as("bucket")),
+        struct(lit(t).as("tbl"), flip(0).as("bucket")),
+        struct(lit(t).as("tbl"), flip(1).as("bucket")))
+    }
+    array(perTable: _*)
+  }
+
   private val qSimilarityLsh = Q(
     "q_similarity_lsh",
     (s, d) => {
@@ -154,16 +183,21 @@ object Similarity {
       // one count() job sizes the geometry (parquet count is metadata-
       // pushdown cheap — the same stat AQE reads)
       val nPlanes = planesFor(e.count())
-      val bucketed = e.select(col("vec_id"), col("emb"),
+      // corpus: single bucket per table, occupancy-capped on CORPUS
+      // counts (the degenerate-cluster guard)
+      val r = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("emb"),
           explode(lshBucketsExpr(col("emb"), dim, nPlanes)).as("h"))
-        .select(col("vec_id"), col("emb"), col("h.tbl"), col("h.bucket"))
-      val capped = bucketed.withColumn("bn",
+        .select(col("neighbor_id"), col("emb"), col("h.tbl"), col("h.bucket"))
+        .withColumn("bn",
           count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
         .filter(col("bn") <= LshBucketCap)
-      val l = capped.select(col("tbl"), col("bucket"), col("vec_id").as("query_id"), col("emb").as("qemb"))
-        .filter(col("query_id") < 10)
-      val r = capped.select(col("tbl"), col("bucket"), col("vec_id").as("neighbor_id"), col("emb"))
-        .filter(col("neighbor_id") >= 10)
+        .drop("bn")
+      // queries: multiprobe (main + 2 lowest-margin flips per table)
+      val l = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+          explode(lshQueryProbesExpr(col("emb"), dim, nPlanes)).as("h"))
+        .select(col("query_id"), col("qemb"), col("h.tbl"), col("h.bucket"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
       l.join(r, Seq("tbl", "bucket"))
@@ -229,8 +263,12 @@ object Similarity {
     * fully DuckDB-oracle-checkable. */
   /** The IVF search shape shared by both centroid strategies: assign
     * every corpus vector to its nearest list (probes=1), every query to
-    * its 2 nearest lists, equi-join on the list id, exact re-rank. */
-  private def ivfSearch(e: DataFrame, cent: DataFrame): DataFrame = {
+    * its `queryProbes` nearest lists, equi-join on the list id, exact
+    * re-rank. Query probes only multiply the tiny broadcast side —
+    * corpus cost is unchanged — so nprobe is the knob recall is bought
+    * with (scan fraction ≈ probes/k). */
+  private def ivfSearch(e: DataFrame, cent: DataFrame,
+      queryProbes: Int = 2): DataFrame = {
     def assign(df: DataFrame, idCol: String, embCol: String, probes: Int) = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("cd").desc, col("cid"))
@@ -247,7 +285,7 @@ object Similarity {
     val queries = assign(
       e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb")),
-      "query_id", "qemb", 2)
+      "query_id", "qemb", queryProbes)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     queries.join(corpus, "cid")
@@ -324,7 +362,11 @@ object Similarity {
       val cent = trained.zipWithIndex
         .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
         .toDF("cid", "cemb")
-      ivfSearch(e, cent)
+      // nprobe=4: the trained quantizer's standard operating point —
+      // held-out centroids have no query-as-centroid shortcut (see the
+      // stand-in note above), so recall is bought with probes; scan
+      // fraction stays probes/k and only the broadcast side multiplies
+      ivfSearch(e, cent, queryProbes = 4)
     },
     None
   )
