@@ -1,0 +1,64 @@
+package graft.functions
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.Encoder
+
+/** Misra–Gries frequent-items summary as a typed `Aggregator` — the
+  * third mergeable sketch family next to HLL (`q_agg_hll_union`) and
+  * t-digest (`q_agg_percentile_approx`): bounded memory (≤ k−1
+  * counters per partial), associative merge, map-side combinable, so
+  * the shuffle carries k counters per partition regardless of corpus
+  * size.
+  *
+  * Guarantees (Misra & Gries 1982; merge rule of Agarwal et al.,
+  * PODS'12): with n total items, every reported count is within
+  * `[true − n/k, true]`, and any item with true count > n/k is
+  * guaranteed present. When the item domain has < k distinct values no
+  * counter is ever evicted and the summary is EXACT regardless of
+  * merge order — the regime `q_heavy_hitters` runs in on the synthetic
+  * corpus, which is what makes that query fully oracle-checkable while
+  * the eviction regime is spec'd on planted wide-domain data.
+  *
+  * Buffers are immutable Maps for clarity; at k ≤ a few hundred the
+  * per-row update is O(1) amortized (eviction is O(k) but amortized
+  * over ≥ k arrivals).
+  */
+final class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]]
+    with Serializable {
+  require(k >= 2, s"k must be ≥ 2, got $k")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+    b.get(a) match {
+      case Some(c) => b.updated(a, c + 1)
+      case None if b.size < k - 1 => b.updated(a, 1L)
+      case None =>
+        // decrement-all: the classic MG step — drops counters hitting 0
+        b.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+    }
+
+  override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+    val combined = y.foldLeft(x) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    if (combined.size <= k - 1) combined
+    else {
+      // keep k−1 counters: subtract the k-th largest count from all,
+      // drop non-positives — preserves the summed-error bound
+      val kth = combined.values.toSeq.sortBy(-_).apply(k - 1)
+      combined.flatMap { case (t, c) =>
+        if (c > kth) Some(t -> (c - kth)) else None
+      }
+    }
+  }
+
+  override def finish(b: Map[String, Long]): Map[String, Long] = b
+
+  private def enc[T: TypeTag]: Encoder[T] = ExpressionEncoder[T]()
+  override def bufferEncoder: Encoder[Map[String, Long]] = enc
+  override def outputEncoder: Encoder[Map[String, Long]] = enc
+}

@@ -209,7 +209,30 @@ object TextOps {
             FROM g GROUP BY doc_id ORDER BY rep_ratio DESC, doc_id""")
   )
 
+  /** Heavy hitters via the Misra–Gries mergeable sketch
+    * ([[graft.functions.MisraGries]], k=64): the bounded-memory form of
+    * "top tokens" — each partition keeps ≤ 63 counters, merges are
+    * associative, and any token with frequency > n/64 is guaranteed
+    * reported. Oracle-checkable HERE because the synthetic corpus has
+    * 31 distinct tokens < k−1, the regime where MG is provably exact
+    * and merge-order-independent; the eviction (approximate) regime is
+    * pinned by FrequentItemsSpec on planted wide-domain data. */
+  private val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    (s, d) => {
+      val mg = udaf(new graft.functions.MisraGries(64))
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .agg(mg(col("token")).as("summary"))
+        .select(explode(col("summary")).as(Seq("token", "approx_count")))
+        .orderBy(col("approx_count").desc, col("token"))
+    },
+    Some("""SELECT token, count(*) AS approx_count
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY approx_count DESC, token""")
+  )
+
   def qs: Seq[Q] =
     Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint,
-      qTextPiiScrub, qRepetitionRatio)
+      qTextPiiScrub, qRepetitionRatio, qHeavyHitters)
 }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Misra–Gries guarantees in the regime the oracle can't check — a
+  * domain wider than k, where eviction actually happens: presence of
+  * every true heavy hitter, the n/k error bound, and exactness below
+  * the domain threshold. */
+class FrequentItemsSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  test("eviction regime: heavy hitters survive with counts within the n/k bound") {
+    val k = 32
+    // n = 1000: hot1 ×500, hot2 ×300, and 200 distinct singletons —
+    // the singletons force constant eviction pressure
+    val items = Seq.fill(500)("hot1") ++ Seq.fill(300)("hot2") ++
+      (0 until 200).map(i => s"rare$i")
+    val mg = udaf(new MisraGries(k))
+    val summary = items.toDF("token")
+      .repartition(8) // make partial merges real
+      .agg(mg(col("token")).as("s"))
+      .select(explode(col("s")).as(Seq("token", "c")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eps = items.size.toDouble / k // 31.25
+    // any item with true count > n/k must be present…
+    assert(summary.contains("hot1") && summary.contains("hot2"), summary.toString)
+    // …and reported counts are within [true − n/k, true]
+    assert(summary("hot1") <= 500 && summary("hot1") >= 500 - eps, summary("hot1").toString)
+    assert(summary("hot2") <= 300 && summary("hot2") >= 300 - eps, summary("hot2").toString)
+    // bounded memory: never more than k−1 counters
+    assert(summary.size <= k - 1, s"${summary.size} counters exceed k-1")
+  }
+
+  test("exact regime: domain smaller than k reproduces exact counts under any split") {
+    val items = Seq.fill(7)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c")
+    val mg = new MisraGries(16)
+    // fold in two different partition splits and merge — both must be
+    // exact (no eviction can ever fire below the domain threshold)
+    def run(chunks: Seq[Seq[String]]): Map[String, Long] =
+      chunks.map(_.foldLeft(mg.zero)(mg.reduce)).reduce(mg.merge)
+    val exact = Map("a" -> 7L, "b" -> 5L, "c" -> 3L)
+    assert(run(Seq(items)) == exact)
+    assert(run(items.grouped(4).toSeq) == exact)
+    assert(run(items.reverse.grouped(5).toSeq) == exact)
+  }
+
+  test("merge keeps the counter bound and the error budget across partials") {
+    val mg = new MisraGries(8)
+    val p1 = (0 until 50).map(i => s"x$i").foldLeft(mg.zero)(mg.reduce)
+    val p2 = (Seq.fill(40)("hh") ++ (0 until 30).map(i => s"y$i"))
+      .foldLeft(mg.zero)(mg.reduce)
+    val m = mg.merge(p1, p2)
+    assert(m.size <= 7, m.toString)
+    // hh: true 40 of n=120 → must survive with count ≥ 40 − 120/8 = 25
+    assert(m.getOrElse("hh", 0L) >= 25, m.toString)
+  }
+}
