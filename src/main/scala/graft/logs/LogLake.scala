@@ -39,4 +39,50 @@ object LogLake {
     * (PartitionFilters), value predicates reach parquet (PushedFilters). */
   def forDay(spark: SparkSession, path: String, env: String, day: String): DataFrame =
     read(spark, path).filter(col("env") === env && col("log_day") === day)
+
+  /** Small-file COMPACTION for one `(env, log_day)` partition — the
+    * maintenance job every streaming-fed lake needs: each micro-batch
+    * appends a few files, and after a day a partition holds hundreds of
+    * KB-sized files whose open/footer overhead dominates scans. Rewrite
+    * the partition into `ceil(bytes / targetBytes)` files and swap it
+    * in atomically-enough for a single-writer lake (write to a temp
+    * dir, delete the old partition dir, rename — crash between the last
+    * two steps loses no data, the temp survives and the swap is
+    * re-runnable).
+    *
+    * Scale shape: one partition at a time (the unit a scheduler fans
+    * out over env × day), byte-sized from the actual listing, one
+    * shuffle-free coalesce when shrinking file counts. Returns
+    * (filesBefore, filesAfter).
+    */
+  def compactPartition(
+      spark: SparkSession,
+      path: String,
+      env: String,
+      day: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val partDir = new org.apache.hadoop.fs.Path(s"$path/env=$env/log_day=$day")
+    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(partDir), s"no such partition: $partDir")
+    val files = fs.listStatus(partDir).filter(f =>
+      f.isFile && !f.getPath.getName.startsWith("_"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.compact-tmp-env=$env-log_day=$day")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale temp from a crash
+    // coalesce, not repartition: shrinking file count needs no shuffle
+    spark.read.parquet(partDir.toString)
+      .coalesce(nOut)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(tmp.toString)
+    fs.delete(partDir, true)
+    require(fs.rename(tmp, partDir), s"rename $tmp -> $partDir failed")
+    // drop the _SUCCESS marker so the partition dir holds data files only
+    fs.delete(new org.apache.hadoop.fs.Path(partDir, "_SUCCESS"), false)
+    val after = fs.listStatus(partDir).count(f =>
+      f.isFile && !f.getPath.getName.startsWith("_"))
+    (files.length, after)
+  }
 }

@@ -55,4 +55,30 @@ class LogLakeSpec extends AnyFunSuite with SparkTestSupport {
     }
     assert(scanned.exists(_ <= 4)) // listing bounded; filters applied at planning
   }
+
+  test("compaction rewrites a many-file partition into few files with identical content") {
+    val dir = Files.createTempDirectory("loglake3").toString
+    // simulate a streaming-fed day: many tiny appends → many files
+    (1 to 6).foreach(_ => LogLake.write(canonicalFixture, dir))
+    val part = new java.io.File(s"$dir/env=prod/log_day=2019-01-18")
+    val before = part.listFiles().count(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(before >= 6, s"fixture must start fragmented, had $before files")
+    val expected = LogLake.forDay(spark, dir, "prod", "2019-01-18")
+      .drop("env", "log_day")
+      .collect().map(_.toString).sorted
+
+    val (nBefore, nAfter) = LogLake.compactPartition(spark, dir, "prod", "2019-01-18")
+    assert(nBefore == before && nAfter < before && nAfter >= 1,
+      s"expected a real shrink, got $nBefore -> $nAfter")
+    // content identical through the swap, and other partitions untouched
+    val back = LogLake.forDay(spark, dir, "prod", "2019-01-18")
+      .drop("env", "log_day")
+      .collect().map(_.toString).sorted
+    assert(back.toSeq == expected.toSeq)
+    assert(LogLake.read(spark, dir).count() == 6 * 4)
+    // re-running is safe (idempotent maintenance)
+    val (_, nAgain) = LogLake.compactPartition(spark, dir, "prod", "2019-01-18")
+    assert(nAgain == nAfter)
+  }
 }
