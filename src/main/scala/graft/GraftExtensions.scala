@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotProduct, PolyHash}
+import graft.functions.{CosineSim, DotProduct, NgramHashes, PolyHash}
 import graft.logs.expressions.UrlUnquote
 
 /** Engine extensions, injected via the public
@@ -30,5 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (args: Seq[Expression]) => PolyHash(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      (args: Seq[Expression]) => {
+        require(args(1).foldable, "ngram_hashes: n must be a literal")
+        NgramHashes(args.head, args(1).eval().asInstanceOf[Int])
+      }))
   }
 }

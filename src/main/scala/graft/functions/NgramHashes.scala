@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `ngram_hashes(text, n)` — the xxhash64 of every word n-gram of
+  * `text`, as one codegen'd pass over the raw UTF-8 bytes.
+  *
+  * Replaces the shingling pipeline's `posexplode(split(text,' ')) →
+  * window lead(1..n-1) → xxhash64(concat_ws(' ', …))`, which shuffles
+  * AND sorts every token occurrence by (doc_id, pos) before a single
+  * gram is hashed. The identity that makes the single pass possible:
+  * splitting on a single space and re-joining with a single space
+  * reconstructs the exact original byte span, so gram j's hash is
+  * XXH64 (seed 42, Spark's `xxhash64`) over
+  * `bytes[tokenStart(j), tokenEnd(j+n-1))` of the input — zero copies,
+  * and bit-identical to the old formulation (trailing/embedded empty
+  * tokens included, matching Spark's `split` limit=-1 semantics).
+  * Downstream `explode` + per-doc aggregation then needs no
+  * pre-shuffle at all.
+  */
+object NgramHashes {
+  final val Seed = 42L // spark.sql.functions.xxhash64's fixed seed
+
+  def hashes(s: UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val len = s.numBytes()
+    // token k spans [starts(k), ends(k)); single-space separators
+    var tokens = 1
+    var i = 0
+    while (i < len) {
+      if (Platform.getByte(base, offset + i) == ' '.toByte) tokens += 1
+      i += 1
+    }
+    if (tokens < n) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](tokens)
+    val ends = new Array[Int](tokens)
+    var k = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (Platform.getByte(base, offset + i) == ' '.toByte) {
+        ends(k) = i; k += 1; starts(k) = i + 1
+      }
+      i += 1
+    }
+    ends(k) = len
+    val out = new Array[Long](tokens - n + 1)
+    var j = 0
+    while (j <= tokens - n) {
+      val from = starts(j)
+      val until = ends(j + n - 1)
+      out(j) = XXH64.hashUnsafeBytes(base, offset + from, until - from, Seed)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be ≥ 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramHashes.hashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramHashes.hashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}

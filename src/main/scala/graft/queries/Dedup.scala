@@ -17,26 +17,23 @@ import graft.Tables
   */
 object Dedup {
 
-  /** One row per 3-token shingle occurrence: `(doc_id, source, h)` with
-    * `h` = xxhash64 of the shingle text. Shape matters for both speed
-    * and scale: a `transform(sequence(...), …)` lambda formulation is
-    * interpreted (higher-order functions have no codegen) and
+  /** One row per `width`-token shingle occurrence: `(doc_id, source,
+    * h)` with `h` = xxhash64 of the shingle text. Three formulations
+    * were measured on the way here (SCALE.md): a
+    * `transform(sequence(...), …)` lambda is interpreted AND
     * `CollapseProject` re-inlines `split(text)` into every lambda slot
-    * — measured ~1 ms/doc. posexplode + window `lead` keeps the whole
-    * pipeline in codegen, and its doc_id shuffle is one every consumer
-    * (signature agg / shingle-set agg) needs anyway. Docs shorter than
-    * 3 tokens produce no rows. */
+    * (~1 ms/doc); `posexplode + window lead` is codegen'd but shuffles
+    * and SORTS every token occurrence by (doc_id, pos) before hashing a
+    * single gram. The current form — the codegen'd
+    * [[graft.functions.NgramHashes]] expression, bit-identical output —
+    * computes all gram hashes in one pass over the raw UTF-8 bytes
+    * inside the scan stage: no pre-shuffle, no sort, and consumers'
+    * per-doc aggregations get map-side partials. Docs shorter than
+    * `width` tokens produce no rows. */
   private[queries] def shingleHashes(df: DataFrame, width: Int = 3): DataFrame = {
     require(width >= 2)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until width).map(i => lead(col("t"), i).over(w).as(s"t$i"))
-    val gram = concat_ws(" ",
-      col("t") +: (1 until width).map(i => col(s"t$i")): _*)
     df.select(col("doc_id"), col("source"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .select(col("doc_id") +: col("source") +: col("t") +: leads: _*)
-      .filter(col(s"t${width - 1}").isNotNull)
-      .select(col("doc_id"), col("source"), xxhash64(gram).as("h"))
+      explode(call_function("ngram_hashes", col("text"), lit(width))).as("h"))
   }
 
   /** Distinct shingle-hash set per doc (64-bit hashes stand in for the

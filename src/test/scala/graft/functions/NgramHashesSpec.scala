@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** The single-pass gram hasher must be BIT-IDENTICAL to the formulation
+  * it replaced (posexplode → window lead → xxhash64(concat_ws)) — the
+  * oracle hashes of seven queries ride on that equality — including on
+  * the awkward inputs: empty tokens from double/leading/trailing
+  * spaces, multi-byte UTF-8, and docs shorter than the gram width. */
+class NgramHashesSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private val awkward = Seq(
+    "alpha bravo charlie delta echo",
+    "one two three",
+    "short doc",            // < 3 tokens → no 3-grams
+    "a  b c",               // double space → empty token
+    " leading and trailing ",
+    "naïve café 日本語 emoji 🙂 mix",
+    "x",
+    "exact three toks")
+
+  private def legacy(width: Int) = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until width).map(i => lead(col("t"), i).over(w).as(s"t$i"))
+    val gram = concat_ws(" ", col("t") +: (1 until width).map(i => col(s"t$i")): _*)
+    awkward.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .select(col("doc_id") +: col("t") +: leads: _*)
+      .filter(col(s"t${width - 1}").isNotNull)
+      .select(col("doc_id"), xxhash64(gram).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+  }
+
+  private def onePass(width: Int) =
+    awkward.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(call_function("ngram_hashes", col("text"), lit(width))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  test("bit-identical to the window-lead formulation at widths 2, 3, 5") {
+    Seq(2, 3, 5).foreach { w =>
+      assert(onePass(w) == legacy(w), s"width $w diverged")
+    }
+  }
+
+  test("gram hash equals xxhash64 of the joined gram string") {
+    val got = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+      .select(explode(call_function("ngram_hashes", col("text"), lit(2))).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = Seq("aa bb", "bb cc").toDF("g")
+      .select(xxhash64(col("g"))).collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
+  test("stays inside whole-stage codegen") {
+    val plan = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select(explode(call_function("ngram_hashes", col("text"), lit(3))))
+      .queryExecution.executedPlan.toString
+    // "*(n)" is executedPlan.toString's WholeStageCodegen marker
+    assert(plan.contains("*(1) Generate explode(ngram_hashes"), plan)
+  }
+}
