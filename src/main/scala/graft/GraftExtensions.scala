@@ -34,8 +34,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ngram_hashes"),
       new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
       (args: Seq[Expression]) => {
+        // validated here (not in the Expression) so misuse fails at
+        // analysis with a function-shaped message, not a codegen CCE
+        require(args.length == 2,
+          s"ngram_hashes(text, n) requires exactly 2 arguments, got ${args.length}")
         require(args(1).foldable, "ngram_hashes: n must be a literal")
-        NgramHashes(args.head, args(1).eval().asInstanceOf[Int])
+        val n = args(1).eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long if l >= 1 && l <= Int.MaxValue => l.intValue()
+          case null => throw new IllegalArgumentException(
+            "ngram_hashes: n must be a non-null integer literal")
+          case other => throw new IllegalArgumentException(
+            s"ngram_hashes: n must be an integer literal, got " +
+              s"${other.getClass.getSimpleName} ($other)")
+        }
+        NgramHashes(args.head, n)
       }))
   }
 }

@@ -45,10 +45,18 @@ object LogLake {
     * appends a few files, and after a day a partition holds hundreds of
     * KB-sized files whose open/footer overhead dominates scans. Rewrite
     * the partition into `ceil(bytes / targetBytes)` files and swap it
-    * in atomically-enough for a single-writer lake (write to a temp
-    * dir, delete the old partition dir, rename — crash between the last
-    * two steps loses no data, the temp survives and the swap is
-    * re-runnable).
+    * in atomically-enough for a single-writer lake.
+    *
+    * Swap protocol (every crash point leaves a re-runnable state; the
+    * live partition is never the only copy that gets deleted):
+    *   1. write compacted output to `tmp`
+    *   2. rename `partDir` → `aside`      (old data parked, not deleted)
+    *   3. rename `tmp` → `partDir`        (new data live)
+    *   4. delete `aside`
+    * Crash before 2: partDir intact, stale tmp removed on rerun.
+    * Crash between 2 and 3: partDir missing but tmp holds the complete
+    * compacted copy — rerun finishes the swap (3–4) before anything
+    * else. Crash after 3: partDir live, stale aside removed on rerun.
     *
     * Scale shape: one partition at a time (the unit a scheduler fans
     * out over env × day), byte-sized from the actual listing, one
@@ -63,22 +71,32 @@ object LogLake {
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val partDir = new org.apache.hadoop.fs.Path(s"$path/env=$env/log_day=$day")
     val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.compact-tmp-env=$env-log_day=$day")
+    val aside = new org.apache.hadoop.fs.Path(
+      s"$path/.compact-old-env=$env-log_day=$day")
+    if (!fs.exists(partDir) && fs.exists(tmp)) {
+      // crashed between steps 2 and 3: tmp is the only complete copy —
+      // finish the interrupted swap before anything else
+      require(fs.rename(tmp, partDir), s"recovery rename $tmp -> $partDir failed")
+      fs.delete(new org.apache.hadoop.fs.Path(partDir, "_SUCCESS"), false)
+    }
+    if (fs.exists(aside)) fs.delete(aside, true) // completed/parked old copy
     require(fs.exists(partDir), s"no such partition: $partDir")
     val files = fs.listStatus(partDir).filter(f =>
       f.isFile && !f.getPath.getName.startsWith("_"))
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$path/.compact-tmp-env=$env-log_day=$day")
-    if (fs.exists(tmp)) fs.delete(tmp, true) // stale temp from a crash
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale temp from a pre-swap crash
     // coalesce, not repartition: shrinking file count needs no shuffle
     spark.read.parquet(partDir.toString)
       .coalesce(nOut)
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .parquet(tmp.toString)
-    fs.delete(partDir, true)
+    require(fs.rename(partDir, aside), s"rename $partDir -> $aside failed")
     require(fs.rename(tmp, partDir), s"rename $tmp -> $partDir failed")
+    fs.delete(aside, true)
     // drop the _SUCCESS marker so the partition dir holds data files only
     fs.delete(new org.apache.hadoop.fs.Path(partDir, "_SUCCESS"), false)
     val after = fs.listStatus(partDir).count(f =>

@@ -33,22 +33,40 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Training is deterministic, so a (corpus key, k, iters) triple
-    * always yields the same centroids — the memo makes index REUSE
-    * explicit: every consumer of the same corpus's quantizer
+  /** Training is deterministic, so a (corpus key, k, iters, sample cap)
+    * tuple always yields the same centroids — the memo makes index
+    * REUSE explicit: every consumer of the same corpus's quantizer
     * (ivf-kmeans search, the recall harness, semantic dedup) trains
     * once per JVM instead of once per query. Bounded by the distinct
     * corpora a session touches (each entry is k × dim doubles). */
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Double]]]
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), Array[Array[Double]]]
 
   /** Memoized [[train]]. `corpusKey` must uniquely name the training
-    * input (e.g. data dir + a held-out/full tag) — a stale key returns
-    * the wrong quantizer, same as reusing any index across datasets. */
+    * input CONTENT, not just its location — a stale key returns the
+    * wrong quantizer, same as reusing any index across datasets. For
+    * on-disk corpora, build it with [[dirFingerprint]] so data
+    * rewritten at the same path misses the memo. */
   def trainCached(e: => DataFrame, k: Int, corpusKey: String,
       iters: Int = 5, samplePerCentroid: Int = 64): Array[Array[Double]] =
-    memo.computeIfAbsent((corpusKey, k, iters),
+    memo.computeIfAbsent((corpusKey, k, iters, samplePerCentroid),
       _ => train(e, k, iters, samplePerCentroid))
+
+  /** Content token for memo keys built from an on-disk corpus: hashes
+    * the listing's (name, length, mtime) triples so a rewrite at the
+    * same path changes the key within a JVM. Metadata-only — one FS
+    * listing, no data read; at 100 TB this is a namenode/list call,
+    * not a scan. */
+  def dirFingerprint(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val parts = fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      Integer.toHexString(scala.util.hashing.MurmurHash3.arrayHash(parts))
+    }
+  }
 
   /** @param e   (vec_id: long, emb: array<double>) — uniform dims
     * @return k centroids as (cid 0..k-1) → mean vector; empty clusters

@@ -247,7 +247,7 @@ object Similarity {
     * [16, 4096]: 16 keeps tiny fixtures meaningful, 4096 caps the
     * broadcast at a few MB of centroids (4096 × 768 dims × 8 B ≈ 25 MB
     * — still broadcastable; raise deliberately if ever needed). */
-  private[queries] def centroidsFor(n: Long): Int =
+  private[graft] def centroidsFor(n: Long): Int =
     math.min(4096,
       math.max(16, math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt))
 
@@ -357,7 +357,7 @@ object Similarity {
       val k = centroidsFor(e.count())
       val trained = KMeans.trainCached(
         e.filter(col("vec_id") >= 10).select(col("vec_id"), col("emb")), k,
-        corpusKey = s"$d#heldout")
+        corpusKey = s"$d#heldout#${KMeans.dirFingerprint(s, s"$d/embeddings.parquet")}")
       import s.implicits._
       val cent = trained.zipWithIndex
         .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
@@ -394,7 +394,7 @@ object Similarity {
       val k = centroidsFor(e.count())
       import s.implicits._
       val cent = KMeans.trainCached(e.select(col("vec_id"), col("emb")), k,
-          corpusKey = s"$d#full")
+          corpusKey = s"$d#full#${KMeans.dirFingerprint(s, s"$d/embeddings.parquet")}")
         .zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
         .toDF("cid", "cemb")
       val w = Window.partitionBy(col("vec_id"))

@@ -303,7 +303,12 @@ object LogStream {
       .withColumn("doc_ts",
         col("ts").as("doc_ts", org.apache.spark.sql.types.Metadata.empty))
       .groupBy(window(col("ts"), "1 minute"), col("doc_id"), col("doc_ts"))
-      .agg(max(struct(col("cos"), col("nn_id"), col("nn_label"))).as("nn"))
+      // ties on cos break toward the LOWEST nn_id (negate inside the
+      // max-struct) — the same order the batch index uses
+      // (`cos DESC, neighbor_id ASC`), so stream and batch agree on
+      // duplicate corpus vectors
+      .agg(max(struct(col("cos"), (-col("nn_id")).as("neg_id"),
+        col("nn_id"), col("nn_label"))).as("nn"))
       .select(col("doc_id"), col("doc_ts").as("ts"),
         col("nn.nn_id").as("nn_id"), col("nn.nn_label").as("nn_label"),
         col("nn.cos").as("nn_cos"))

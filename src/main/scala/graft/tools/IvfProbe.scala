@@ -1,10 +1,11 @@
-package graft.queries
+package graft.tools
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GraftSession, Tables}
+import graft.queries.{KMeans, Similarity}
 
 /** Scratch probe: posting-list balance of the lowest-id centroid
   * stand-in vs trained k-means centroids, plus per-method recall.

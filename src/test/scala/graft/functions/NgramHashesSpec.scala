@@ -64,4 +64,29 @@ class NgramHashesSpec extends AnyFunSuite with SparkTestSupport {
     // "*(n)" is executedPlan.toString's WholeStageCodegen marker
     assert(plan.contains("*(1) Generate explode(ngram_hashes"), plan)
   }
+
+  test("builder misuse fails at analysis with a function-shaped message") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    def messageOf(f: => Any): String = {
+      val e = intercept[Exception](f)
+      // the require/IAE may arrive wrapped in an AnalysisException
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+    }
+    assert(messageOf(df.select(call_function("ngram_hashes", col("text"))).collect())
+      .contains("exactly 2 arguments"))
+    assert(messageOf(
+      df.select(call_function("ngram_hashes", col("text"), lit("x"))).collect())
+      .contains("integer literal"))
+    assert(messageOf(
+      df.select(call_function("ngram_hashes", col("text"),
+        lit(null).cast("int"))).collect())
+      .contains("non-null"))
+    // a long literal in range is accepted, same grams as the int form
+    val viaLong = df.select(
+      explode(call_function("ngram_hashes", col("text"), lit(2L)))).collect()
+    val viaInt = df.select(
+      explode(call_function("ngram_hashes", col("text"), lit(2)))).collect()
+    assert(viaLong.toSeq == viaInt.toSeq)
+  }
 }

@@ -81,4 +81,44 @@ class LogLakeSpec extends AnyFunSuite with SparkTestSupport {
     val (_, nAgain) = LogLake.compactPartition(spark, dir, "prod", "2019-01-18")
     assert(nAgain == nAfter)
   }
+
+  test("compaction recovers from a crash between the two swap renames") {
+    val dir = Files.createTempDirectory("loglake4").toString
+    (1 to 3).foreach(_ => LogLake.write(canonicalFixture, dir))
+    val expected = LogLake.forDay(spark, dir, "prod", "2019-01-18")
+      .drop("env", "log_day").collect().map(_.toString).sorted
+    val partDir = new org.apache.hadoop.fs.Path(s"$dir/env=prod/log_day=2019-01-18")
+    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.compact-tmp-env=prod-log_day=2019-01-18")
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/.compact-old-env=prod-log_day=2019-01-18")
+    // crash state between swap steps 2 and 3: tmp holds the complete
+    // compacted copy, old data is parked aside, the live dir is MISSING
+    spark.read.parquet(partDir.toString).coalesce(1)
+      .write.option("compression", "zstd").parquet(tmp.toString)
+    assert(fs.rename(partDir, aside) && !fs.exists(partDir))
+    // a rerun must finish the interrupted swap, not abort on the
+    // missing partition (the pre-fix behavior stranded tmp)
+    val (_, nAfter) = LogLake.compactPartition(spark, dir, "prod", "2019-01-18")
+    assert(nAfter >= 1)
+    val back = LogLake.forDay(spark, dir, "prod", "2019-01-18")
+      .drop("env", "log_day").collect().map(_.toString).sorted
+    assert(back.toSeq == expected.toSeq, "no row lost through crash recovery")
+    assert(!fs.exists(tmp) && !fs.exists(aside), "no scratch dirs survive")
+  }
+
+  test("compaction cleans a parked old copy left by a crash after the swap") {
+    val dir = Files.createTempDirectory("loglake5").toString
+    (1 to 2).foreach(_ => LogLake.write(canonicalFixture, dir))
+    val expectedCount = LogLake.forDay(spark, dir, "prod", "2019-01-18").count()
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/.compact-old-env=prod-log_day=2019-01-18")
+    val fs = aside.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash state after step 3: new data live, superseded copy parked
+    LogLake.forDay(spark, dir, "prod", "2019-01-18").drop("env", "log_day")
+      .write.parquet(aside.toString)
+    val (_, nAfter) = LogLake.compactPartition(spark, dir, "prod", "2019-01-18")
+    assert(nAfter >= 1)
+    assert(LogLake.forDay(spark, dir, "prod", "2019-01-18").count() == expectedCount,
+      "parked copy must not double-count")
+    assert(!fs.exists(aside))
+  }
 }

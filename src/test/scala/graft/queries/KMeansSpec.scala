@@ -111,4 +111,28 @@ class KMeansSpec extends AnyFunSuite with SparkTestSupport {
     assert(cent.length == 32)
     assert(cent.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
   }
+
+  test("memo key separates different sampling caps on the same corpus") {
+    // same corpusKey/k/iters but different samplePerCentroid train on
+    // different samples → must not share one memo slot (ADVICE r4)
+    val key = s"kmeans-spec-caps-${System.nanoTime()}"
+    val a = KMeans.trainCached(skewed, k = 4, corpusKey = key, samplePerCentroid = 4)
+    val b = KMeans.trainCached(skewed, k = 4, corpusKey = key, samplePerCentroid = 250)
+    assert(!a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "different sampling caps must yield their own centroids, not a shared memo hit")
+    // and the memo still hits for an identical call
+    val a2 = KMeans.trainCached(skewed, k = 4, corpusKey = key, samplePerCentroid = 4)
+    assert(a.zip(a2).forall { case (x, y) => x.sameElements(y) })
+  }
+
+  test("dirFingerprint changes when data is rewritten at the same path") {
+    val dir = Files.createTempDirectory("kmfp").toString + "/emb.parquet"
+    skewed.limit(10).write.mode("overwrite").parquet(dir)
+    val f1 = KMeans.dirFingerprint(spark, dir)
+    Thread.sleep(1100) // mtime granularity on some filesystems is 1s
+    skewed.limit(20).write.mode("overwrite").parquet(dir)
+    val f2 = KMeans.dirFingerprint(spark, dir)
+    assert(f1 != f2, "rewrite at the same path must change the content token")
+    assert(KMeans.dirFingerprint(spark, dir + "-missing") == "absent")
+  }
 }

@@ -345,6 +345,33 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("streaming similarity enrichment breaks cosine ties toward the lowest neighbor id") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 16).map(j => math.sin(seed * 97.0 + j * 13.0))
+    // ids 4, 50, 51 share one embedding → a three-way cos=1.0 tie for a
+    // query equal to it; batch LSH ranks `cos DESC, neighbor_id ASC`,
+    // so both forms must answer 4 (the pre-fix stream answered 51)
+    val corpus = ((0 until 30).map(i => (i.toLong, s"l${i % 3}", vec(i)))
+      ++ Seq((50L, "dupA", vec(4)), (51L, "dupB", vec(4))))
+      .toDF("vec_id", "label", "emb")
+    def t(time: String) = java.sql.Timestamp.valueOf(s"2019-01-18 $time")
+    val queries = Seq(EmbRow(200L, t("02:00:00"), vec(4)))
+    val input = MemoryStream[EmbRow](spark)
+    val out = LogStream.nearestNeighborEnriched(input.toDF(), corpus, "1 minute")
+    withQuery(out, "nn_tie_out", "append") { q =>
+      input.addData(queries: _*)
+      q.processAllAvailable()
+      input.addData(EmbRow(999L, t("05:00:00"), vec(29))) // advance watermark
+      q.processAllAvailable()
+      val streaming = spark.table("nn_tie_out").filter(col("doc_id") === 200)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSet
+      assert(streaming == Set((200L, 4L, 1.0)), streaming.toString)
+      val batch = LogStream.nearestNeighborEnriched(queries.toDF(), corpus, "1 minute")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSet
+      assert(streaming == batch, s"stream $streaming != batch $batch")
+    }
+  }
+
   test("custom-state sessionization agrees with the session_window variant") {
     val data = Seq(row("02:00:00"), row("02:10:00"), row("04:00:00"),
       row("03:00:00", ip = "2.2.2.2"), row("03:20:00", ip = "2.2.2.2"))
