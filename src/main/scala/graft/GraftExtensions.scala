@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotProduct, NgramHashes, PolyHash}
+import graft.functions.{BloomMightContain, CosineSim, DotProduct, NgramHashes, PolyHash}
 import graft.logs.expressions.UrlUnquote
 
 /** Engine extensions, injected via the public
@@ -49,6 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"${other.getClass.getSimpleName} ($other)")
         }
         NgramHashes(args.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"bloom_might_contain(bits, key) requires exactly 2 arguments, got ${args.length}")
+        BloomMightContain(args.head, args(1))
       }))
   }
 }

@@ -1,0 +1,161 @@
+package graft.functions
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.Encoder
+
+/** Bloom membership sketch over long keys — the fourth mergeable sketch
+  * family next to HLL (`q_agg_hll_union`), t-digest
+  * (`q_agg_percentile_approx`) and Misra–Gries (`q_heavy_hitters`):
+  * bounded memory (a fixed bit array per partial), word-wise-OR merge,
+  * map-side combinable.
+  *
+  * What it buys at 100 TB: JOIN PRUNING. When the build side's keys are
+  * too many to broadcast as a hash relation but their bloom fits in KBs
+  * –MBs, shipping the sketch and filtering the probe side BEFORE its
+  * shuffle removes most fact rows at the scan (this is exactly the
+  * shape of Spark's own runtime row-level filtering, made explicit and
+  * reusable — the sketch is a value, storable next to the corpus for
+  * incremental runs). No false negatives, so a bloom prefilter composed
+  * with the exact join downstream changes no results — which is why
+  * `q_bloom_prefilter_join` is fully oracle-checkable against the plain
+  * join.
+  *
+  * Geometry: `numBits` must be a power of two (mask, not mod, in the
+  * per-row hot path); [[Bloom.wordsFor]] sizes ~9.6 bits/key (fpp ≈ 1%
+  * at [[Bloom.NumHashes]] = 5 probes). Hashing is splitmix64 double
+  * hashing — chosen over linear-congruential mixes deliberately: LCG
+  * steps turn small key deltas into constant hash shifts (the planted-
+  * fixture trap documented in this repo's memory), splitmix has full
+  * avalanche.
+  */
+object Bloom {
+  val NumHashes = 5
+
+  /** bit-array words (64-bit) for n expected keys: ≥ 9.6 bits/key
+    * rounded up to a power of two, min 1 word. */
+  def wordsFor(n: Long): Int = {
+    val bits = math.max(64L, math.round(n * 9.6))
+    var w = 1
+    while (w.toLong * 64 < bits && w < (1 << 24)) w <<= 1
+    w
+  }
+
+  def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** i-th probe's bit index in a numBits-bit (power-of-two) array. */
+  def bitIndex(key: Long, i: Int, numBits: Int): Int = {
+    val h1 = splitmix64(key)
+    val h2 = splitmix64(key ^ 0x9E3779B97F4A7C15L) | 1L
+    ((h1 + i.toLong * h2) & (numBits - 1)).toInt
+  }
+
+  def set(words: Array[Long], key: Long): Unit = {
+    val numBits = words.length * 64
+    var i = 0
+    while (i < NumHashes) {
+      val b = bitIndex(key, i, numBits)
+      words(b >>> 6) |= (1L << (b & 63))
+      i += 1
+    }
+  }
+
+  def mightContain(words: Array[Long], key: Long): Boolean = {
+    val numBits = words.length * 64
+    var i = 0
+    while (i < NumHashes) {
+      val b = bitIndex(key, i, numBits)
+      if ((words(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** Typed Aggregator building the sketch: partials are per-partition bit
+  * arrays (map-side combined), merge is word-wise OR — associative and
+  * commutative, so the shuffle carries `numWords` longs per partition
+  * regardless of build-side size. */
+final class BloomAgg(numWords: Int) extends Aggregator[Long, Array[Long], Array[Long]]
+    with Serializable {
+  require(numWords >= 1 && (numWords & (numWords - 1)) == 0,
+    s"numWords must be a positive power of two, got $numWords")
+
+  override def zero: Array[Long] = new Array[Long](numWords)
+
+  override def reduce(b: Array[Long], key: Long): Array[Long] = {
+    Bloom.set(b, key); b
+  }
+
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < x.length) { x(i) |= y(i); i += 1 }
+    x
+  }
+
+  override def finish(b: Array[Long]): Array[Long] = b
+
+  private def enc[T: TypeTag]: Encoder[T] = ExpressionEncoder[T]()
+  override def bufferEncoder: Encoder[Array[Long]] = enc
+  override def outputEncoder: Encoder[Array[Long]] = enc
+}
+
+/** `bloom_might_contain(bits: array<bigint>, key: bigint) → boolean` —
+  * the probe-side membership test as a codegen'd expression: it runs
+  * once per FACT row (the 100 TB side), so it must stay inside the
+  * whole-stage loop, not fall out to an interpreted HOF or UDF. The
+  * hash arithmetic is inlined in the generated Java and mirrors
+  * [[Bloom.bitIndex]] exactly (spec'd equal in BloomSpec). Null bits or
+  * null key → null, matching SQL semantics.
+  */
+case class BloomMightContain(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "bloom_might_contain"
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(bits: Any, key: Any): Any = {
+    val a = bits.asInstanceOf[ArrayData]
+    Bloom.mightContain(a.toLongArray(), key.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (bits, key) => {
+      val nb = ctx.freshName("numBits"); val i = ctx.freshName("i")
+      val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2")
+      val z = ctx.freshName("z"); val b = ctx.freshName("bit")
+      val hit = ctx.freshName("hit")
+      // splitmix64(key) and splitmix64(key ^ golden)|1, inlined
+      s"""
+        int $nb = $bits.numElements() * 64;
+        long $z = $key + 0x9E3779B97F4A7C15L;
+        $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+        $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+        long $h1 = $z ^ ($z >>> 31);
+        $z = ($key ^ 0x9E3779B97F4A7C15L) + 0x9E3779B97F4A7C15L;
+        $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+        $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+        long $h2 = ($z ^ ($z >>> 31)) | 1L;
+        boolean $hit = true;
+        for (int $i = 0; $i < ${Bloom.NumHashes}; $i++) {
+          int $b = (int) (($h1 + (long) $i * $h2) & ($nb - 1));
+          if (($bits.getLong($b >>> 6) & (1L << ($b & 63))) == 0L) {
+            $hit = false; break;
+          }
+        }
+        ${ev.value} = $hit;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over relational data — the operator family
+  * [[ConnectedComponents]] opened (dup-cluster resolution), here in its
+  * second form: PageRank.
+  *
+  * Graph: the supplier→customer fulfillment network — one edge per
+  * distinct (l_suppkey, o_custkey) pair in lineitem⋈orders, customer
+  * ids offset into their own node-id space. Rank flow answers "which
+  * customers concentrate supply" — same shape as user→resource,
+  * page→page, or doc→doc citation graphs at 100 TB.
+  *
+  * Scale design mirrors ConnectedComponents: per iteration ONE join of
+  * the rank vector (long, double) with the edge list on src and ONE
+  * groupBy dst — both shuffles keyed on node id, so co-partitioning is
+  * reusable across iterations; nothing is ever collected (ranks stay a
+  * DataFrame; at chain lengths beyond a few iterations the caller
+  * should truncate lineage through [[Checkpointer]], exactly as
+  * components does). Fixed iteration count + deterministic arithmetic
+  * (the only float reduction is the contribution sum, rounded once at
+  * the output edge) keeps the result oracle-checkable — the oracle
+  * UNROLLS the same three iterations in SQL.
+  */
+object Graph {
+
+  private val Damping = 0.85
+  private val Iterations = 3
+  private val CustOffset = 1000000L
+
+  /** Simplified PageRank (no dangling-mass redistribution — sinks keep
+    * the teleport term only; the common tutorial/GraphX-static variant,
+    * and the one an unrolled SQL oracle can mirror exactly). */
+  private[queries] def pagerank(edges: DataFrame, iterations: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val n = nodes.count() // driver scalar: teleport denominator
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val degEdges = edges.join(deg, "src") // every src has outdeg ≥ 1 by construction
+    var ranks = nodes.withColumn("rank", lit(1.0) / lit(n.toDouble))
+    for (_ <- 1 to iterations) {
+      val contribs = degEdges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("c"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - Damping) / lit(n.toDouble) +
+            lit(Damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
+  private val qPagerank = Q(
+    "q_pagerank",
+    (s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + CustOffset).as("dst"))
+        .distinct()
+      pagerank(edges, Iterations)
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+        .orderBy(col("id"))
+    },
+    Some(s"""WITH edges AS (SELECT DISTINCT l_suppkey AS src,
+                 o_custkey + $CustOffset AS dst
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+             nn AS (SELECT count(*) AS n FROM nodes),
+             deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+             r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+             c1 AS (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS c
+                    FROM edges e JOIN r0 r ON e.src = r.id
+                    JOIN deg d ON e.src = d.src GROUP BY e.dst),
+             r1 AS (SELECT nodes.id, ${1.0 - Damping} / nn.n
+                      + $Damping * coalesce(c1.c, 0.0) AS rank
+                    FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id),
+             c2 AS (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS c
+                    FROM edges e JOIN r1 r ON e.src = r.id
+                    JOIN deg d ON e.src = d.src GROUP BY e.dst),
+             r2 AS (SELECT nodes.id, ${1.0 - Damping} / nn.n
+                      + $Damping * coalesce(c2.c, 0.0) AS rank
+                    FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id),
+             c3 AS (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS c
+                    FROM edges e JOIN r2 r ON e.src = r.id
+                    JOIN deg d ON e.src = d.src GROUP BY e.dst),
+             r3 AS (SELECT nodes.id, ${1.0 - Damping} / nn.n
+                      + $Damping * coalesce(c3.c, 0.0) AS rank
+                    FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id)
+           SELECT id, round(rank, 9) AS rank FROM r3 ORDER BY id""")
+  )
+
+  def qs: Seq[Q] = Seq(qPagerank)
+}

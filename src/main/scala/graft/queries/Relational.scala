@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.WeightedAvg
+import graft.functions.{Bloom, BloomAgg, WeightedAvg}
 
 /** Relational operator surface (SURVEY §2B): scans, filters, scalar
   * expressions, every join shape, aggregation, windows, top-k, set ops,
@@ -975,6 +975,103 @@ object Relational {
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
+  /** Join pruned by a broadcast BLOOM SKETCH ([[graft.functions.Bloom]],
+    * the fourth mergeable sketch family): build a bit array over the
+    * filtered dim keys (map-side-combined typed Aggregator → ONE row),
+    * broadcast it to every fact partition, and drop fact rows whose key
+    * cannot be in the dim side BEFORE any join machinery runs. The
+    * exact join downstream removes bloom false positives, so the result
+    * is identical to the plain join — full oracle.
+    *
+    * 100 TB rationale: this is Spark's runtime row-level filtering made
+    * explicit and reusable. When the build side is too large for a
+    * broadcast hash relation but its bloom fits in KBs–MBs, the
+    * prefilter runs at the scan (inside whole-stage codegen — the
+    * membership test is a codegen'd expression, asserted in BloomSpec)
+    * and the fact side's shuffle carries only surviving rows. The
+    * sketch itself is a mergeable value: store it next to the corpus
+    * and incremental runs OR in the new day's keys. */
+  private val qBloomPrefilterJoin = Q(
+    "q_bloom_prefilter_join",
+    (s, d) => {
+      import s.implicits._
+      val dim = Tables.part(s, d)
+        .filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_brand"))
+      // metadata-cheap driver scalar sizing the sketch — the same
+      // pattern as the LSH/IVF geometry stats (what AQE also reads)
+      val nKeys = dim.count()
+      val bits = dim.select(col("p_partkey")).as[Long]
+        .select(new BloomAgg(Bloom.wordsFor(nKeys)).toColumn)
+        .toDF("bits")
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_extendedprice"))
+        .crossJoin(broadcast(bits)) // single-row sketch side
+        .filter(call_function("bloom_might_contain", col("bits"), col("l_partkey")))
+        .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS n_items,
+              round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 10
+            GROUP BY p_brand ORDER BY p_brand""")
+  )
+
+  /** Overlapping-interval MERGE (islands): each event spans
+    * `[ts, ts + value seconds]`; per user, transitively overlapping
+    * spans collapse into one island (the classic cumulative-max sweep —
+    * an interval starts a new island iff it begins after the running
+    * max end of everything before it). The relational form of "merge
+    * touching sessions/outages/locks", complementing gap-based
+    * `q_sessionize`.
+    *
+    * Scale: two window passes and one aggregate over the SAME
+    * `(user_id, start, end, id)` sort order — one shuffle total, no
+    * self-join (the naive overlap self-join is quadratic per user).
+    * Arithmetic is micros-exact (`unix_micros/1e6` = DuckDB
+    * `epoch_us/1e6`), ordering is made total by the event id, so the
+    * island numbering is deterministic and fully oracle-checked. */
+  private val qIntervalMerge = Q(
+    "q_interval_merge",
+    (s, d) => {
+      val spans = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) / lit(1000000.0)).as("start_s"),
+          (unix_micros(col("ts")) / lit(1000000.0) + col("value")).as("end_s"))
+      val order = Seq(col("start_s"), col("end_s"), col("event_id"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      spans
+        .withColumn("prev_max", max(col("end_s")).over(wPrev))
+        .withColumn("fresh",
+          when(col("prev_max").isNull || col("start_s") > col("prev_max"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("fresh")).over(wRun))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("start_s")).as("start_s"), max(col("end_s")).as("end_s"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("island"))
+    },
+    Some(s"""WITH e AS ($oracleEvents),
+               i AS (SELECT user_id, event_id, epoch_us(ts) / 1000000.0 AS start_s,
+                       epoch_us(ts) / 1000000.0 + value AS end_s FROM e),
+               m AS (SELECT *, max(end_s) OVER (PARTITION BY user_id
+                       ORDER BY start_s, end_s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                     FROM i),
+               g AS (SELECT *, sum(CASE WHEN prev_max IS NULL OR start_s > prev_max
+                       THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                       ORDER BY start_s, end_s, event_id) AS island FROM m)
+             SELECT user_id, island, min(start_s) AS start_s, max(end_s) AS end_s,
+               count(*) AS n_events
+             FROM g GROUP BY user_id, island ORDER BY user_id, island""")
+  )
+
   def qs: Seq[Q] = Seq(
     qScanProjection, qFilterPredicate,
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
@@ -985,5 +1082,6 @@ object Relational {
     qWindowRank, qWindowFrame, qWindowRange, qWindowStats, qTopk, qSetOps,
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,
     qSubqueryCorrelated, qPathTransitions, qFunnelSteps,
-    qCohortRetention, qStringAggOrdered)
+    qCohortRetention, qStringAggOrdered,
+    qBloomPrefilterJoin, qIntervalMerge)
 }

@@ -232,7 +232,62 @@ object TextOps {
             GROUP BY token ORDER BY approx_count DESC, token""")
   )
 
+  /** TF-IDF top terms per document — the standard relevance weighting,
+    * here with the RAW idf variant `(N+1)/(df+1)` instead of
+    * `ln((N+1)/(df+1))+1`: per-term the two are monotone-equivalent,
+    * and raw idf keeps every arithmetic step exact in IEEE doubles
+    * (integer-valued tf/df/N; one multiply, one divide), so the DuckDB
+    * oracle hash-matches bit-for-bit — `ln` is NOT guaranteed to round
+    * identically across libm implementations, which would turn a
+    * correctness gate into a ulp lottery. Production swap to log idf is
+    * one line.
+    *
+    * Scale: tf is a (doc, term) partial-agg'd groupBy; df aggregates
+    * the tf output (already one row per doc×term — no second pass over
+    * text); the tf⋈df join is keyed on term and AQE broadcasts the
+    * vocab side when it fits. Top-3 via row_number over (doc) — the
+    * per-doc state is 3 rows. */
+  private val qTfidf = Q(
+    "q_tfidf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val n = docs.count() // driver scalar: corpus size for idf
+      val tf = docs
+        .select(col("doc_id"),
+          explode(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " "))
+            .as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df_, "term")
+        .withColumn("score", (col("tf") * (lit(n) + lit(1.0))) / (col("df") + lit(1.0)))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+          col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+                 unnest(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' ')) AS term
+               FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+                    WHERE term <> '' GROUP BY doc_id, term),
+             df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             n AS (SELECT count(*) AS n FROM documents),
+             x AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     (tf.tf * (n.n + 1.0)) / (df.df + 1.0) AS score
+                   FROM tf JOIN df USING (term) CROSS JOIN n),
+             r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term) AS rnk FROM x)
+           SELECT doc_id, rnk, term, tf, df, score
+           FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""")
+  )
+
   def qs: Seq[Q] =
     Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint,
-      qTextPiiScrub, qRepetitionRatio, qHeavyHitters)
+      qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf)
 }

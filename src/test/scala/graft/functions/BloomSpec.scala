@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** The Bloom sketch (4th mergeable family): the no-false-negative
+  * guarantee join pruning rides on, a false-positive-rate sanity bound
+  * at the sized geometry, merge-order invariance (what makes the
+  * Aggregator map-side combinable), and the codegen'd membership
+  * expression agreeing bit-for-bit with the Scala builder's hashing. */
+class BloomSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private val keys = (0L until 1000L).map(i => Bloom.splitmix64(i) >> 8)
+
+  private def built(ks: Seq[Long], partitions: Int): Array[Long] = {
+    val w = Bloom.wordsFor(ks.size)
+    ks.toDS().repartition(partitions)
+      .select(new BloomAgg(w).toColumn).collect()(0)
+  }
+
+  test("no false negatives: every inserted key tests positive via the expression") {
+    val bits = built(keys, 8)
+    val misses = keys.toDF("k")
+      .withColumn("bits", lit(bits))
+      .filter(!call_function("bloom_might_contain", col("bits"), col("k")))
+      .count()
+    assert(misses == 0L, s"$misses inserted keys tested negative")
+  }
+
+  test("false-positive rate at the sized geometry stays near the ~1% design point") {
+    val bits = built(keys, 4)
+    val nProbe = 20000L
+    val fps = spark.range(nProbe)
+      .select((col("id") + 5000000L).as("k")) // disjoint from the inserted keys
+      .withColumn("bits", lit(bits))
+      .filter(call_function("bloom_might_contain", col("bits"), col("k")))
+      .count()
+    val rate = fps.toDouble / nProbe
+    assert(rate < 0.05, f"false-positive rate $rate%.4f should be ~0.01 at 9.6 bits/key")
+  }
+
+  test("merge-order invariance: 1-partition and 16-partition builds produce identical bits") {
+    assert(java.util.Arrays.equals(built(keys, 1), built(keys, 16)))
+  }
+
+  test("expression membership agrees with the Scala-side hashing") {
+    val words = new Array[Long](Bloom.wordsFor(100))
+    (0L until 100L).foreach(k => Bloom.set(words, k * 7919L))
+    val probes = (0L until 400L).map(_ * 7919L / 2) // half hits, half arbitrary
+    val viaExpr = probes.toDF("k")
+      .withColumn("bits", lit(words))
+      .select(call_function("bloom_might_contain", col("bits"), col("k")))
+      .collect().map(_.getBoolean(0)).toSeq
+    val viaScala = probes.map(Bloom.mightContain(words, _))
+    assert(viaExpr == viaScala)
+  }
+
+  test("membership test stays inside whole-stage codegen") {
+    val words = new Array[Long](8)
+    val p = spark.range(10)
+      .select(call_function("bloom_might_contain", lit(words), col("id")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1)") && p.contains("bloom_might_contain"), p)
+  }
+
+  test("builder and aggregator reject bad geometry/arity loudly") {
+    assertThrows[IllegalArgumentException](new BloomAgg(3)) // not a power of two
+    val e = intercept[Exception](
+      spark.range(1).select(call_function("bloom_might_contain", col("id"))).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).mkString(" | ")
+    assert(msgs.contains("exactly 2 arguments"))
+  }
+}

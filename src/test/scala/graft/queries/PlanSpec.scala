@@ -109,6 +109,32 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
       "expected partial+final sketch aggregation:\n" + p)
   }
 
+  test("bloom prefilter runs at the fact scan inside codegen; dim join broadcasts") {
+    val p = plan("q_bloom_prefilter_join")
+    assert(p.contains("bloom_might_contain"), p)
+    assert(p.contains("BroadcastHashJoin"), "exact dim join should broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in this plan should shuffle-join:\n" + p)
+  }
+
+  test("pagerank iterations are hash joins + partial aggregation, never nested-loop") {
+    val p = plan("q_pagerank")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "rank-edge joins must be equi-joins:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "contribution sums must partial-aggregate:\n" + p)
+  }
+
+  test("interval merge computes islands in one shuffle (windows reuse the sort)") {
+    val df = Registry.queries("q_interval_merge")(spark, sf)
+    val p = df.queryExecution.executedPlan
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one hash exchange for the user_id windows + the output range sort
+    assert(exchanges.size <= 2, p.toString)
+  }
+
   test("exact dedup shuffles once on the dedup key (no extra exchange)") {
     val df = Registry.queries("q_dedup_exact")(spark, sf)
     val p = df.queryExecution.executedPlan
