@@ -264,6 +264,15 @@ object LogStream {
     * [[graft.queries.Similarity]] — the static corpus is counted once
     * at plan-build time, exactly like the batch index.
     *
+    * Multiprobe (default ON, the batch index's operating point since
+    * `q_similarity_lsh` adopted it): the STREAM side also probes, per
+    * table, the two buckets reached by flipping the lowest-margin sign
+    * bit — still a pure per-row expression, so it stays stateless; only
+    * the stream row (not the corpus) multiplies its probe rows, and the
+    * downstream max-agg absorbs the extra candidates. Recovers near
+    * neighbors that hashed one low-confidence bit away (batch recall
+    * 0.32 → 0.70 on the sf0.1 harness).
+    *
     * @param stream (doc_id: long, ts: timestamp, emb: array<double>)
     * @param corpus static (vec_id: long, label, emb: array<double>)
     * @return (doc_id, ts, nn_id, nn_label, nn_cos) — inner semantics:
@@ -272,8 +281,9 @@ object LogStream {
   def nearestNeighborEnriched(
       stream: DataFrame,
       corpus: DataFrame,
-      lateness: String = "10 minutes"): DataFrame = {
-    import graft.queries.Similarity.{dimOf, lshBucketsExpr, planesFor, LshBucketCap}
+      lateness: String = "10 minutes",
+      multiprobe: Boolean = true): DataFrame = {
+    import graft.queries.Similarity.{dimOf, lshBucketsExpr, lshQueryProbesExpr, planesFor, LshBucketCap}
     val c = corpus.select(col("vec_id"), col("label"), col("emb"))
     val dim = dimOf(c)
     val nPlanes = planesFor(c.count())
@@ -288,10 +298,13 @@ object LogStream {
           .partitionBy(col("tbl"), col("bucket"))))
       .filter(col("bn") <= LshBucketCap)
       .drop("bn")
+    val streamBuckets =
+      if (multiprobe) lshQueryProbesExpr(col("emb"), dim, nPlanes)
+      else lshBucketsExpr(col("emb"), dim, nPlanes)
     stream
       .withWatermark("ts", lateness)
       .select(col("doc_id"), col("ts"), col("emb"),
-        explode(lshBucketsExpr(col("emb"), dim, nPlanes)).as("h"))
+        explode(streamBuckets).as("h"))
       .select(col("doc_id"), col("ts"), col("emb"),
         col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
       .join(bucketedCorpus, Seq("tbl", "bucket"))

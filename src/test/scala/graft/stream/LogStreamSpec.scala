@@ -372,6 +372,58 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("multiprobe widens streaming similarity coverage over single-probe, losslessly") {
+    import graft.functions.Bloom.splitmix64
+    // splitmix-mixed vectors (NOT sin-periodic/LCG — those plant
+    // accidental twins, see the repo's fixture-trap note)
+    def vec(seed: Long): Seq[Double] =
+      (0 until 16).map(j => splitmix64(seed * 16 + j).toDouble / Long.MaxValue)
+    val corpus = (0 until 200).map(i => (i.toLong, s"l$i", vec(i.toLong)))
+      .toDF("vec_id", "label", "emb")
+    def t(i: Int) = java.sql.Timestamp.valueOf(f"2019-01-18 02:00:${i % 50}%02d")
+    // noisy near-twins of corpus vectors: noise is large enough to flip
+    // low-margin plane bits, so single-probe misses some of them
+    val queries = (0 until 40).map { i =>
+      val base = vec(i.toLong)
+      val noisy = base.zipWithIndex.map { case (v, j) =>
+        v + 0.7 * (splitmix64(9000L + i * 16 + j).toDouble / Long.MaxValue)
+      }
+      EmbRow(1000L + i, t(i), noisy)
+    }
+    // batch mode (the operator runs identically relationally — proven
+    // by the equivalence tests above): compare the two probe settings.
+    // Buckets are dense, so every query matches SOMETHING — the metric
+    // that discriminates is whether the PLANTED TWIN wins (nn_id =
+    // doc_id − 1000), i.e. whether its bucket was probed at all.
+    def twinHits(multiprobe: Boolean): Set[Long] =
+      LogStream.nearestNeighborEnriched(
+          queries.toDF(), corpus, "1 minute", multiprobe = multiprobe)
+        .filter(col("nn_id") === col("doc_id") - 1000)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val single = twinHits(multiprobe = false)
+    val multi = twinHits(multiprobe = true)
+    assert(single.subsetOf(multi), "multiprobe must never lose a single-probe twin")
+    assert(multi.size > single.size,
+      s"fixture should show recovered twins: single=${single.size} multi=${multi.size}")
+    // and the streaming run of the multiprobe form agrees with batch
+    val input = MemoryStream[EmbRow](spark)
+    val out = LogStream.nearestNeighborEnriched(input.toDF(), corpus, "1 minute")
+    withQuery(out, "nn_mp_out", "append") { q =>
+      input.addData(queries: _*)
+      q.processAllAvailable()
+      input.addData(EmbRow(9999L, java.sql.Timestamp.valueOf("2019-01-18 05:00:00"), vec(0L)))
+      q.processAllAvailable()
+      val streamed = spark.table("nn_mp_out").filter(col("doc_id") < 9999)
+        .select(col("doc_id"), col("nn_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchPairs = LogStream.nearestNeighborEnriched(
+          queries.toDF(), corpus, "1 minute")
+        .select(col("doc_id"), col("nn_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchPairs, s"stream $streamed != batch $batchPairs")
+    }
+  }
+
   test("custom-state sessionization agrees with the session_window variant") {
     val data = Seq(row("02:00:00"), row("02:10:00"), row("04:00:00"),
       row("03:00:00", ip = "2.2.2.2"), row("03:20:00", ip = "2.2.2.2"))
