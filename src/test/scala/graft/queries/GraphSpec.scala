@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** PageRank semantics beyond the oracle (which pins the 3-iteration
+  * fixed point on real data): hand-computed ranks on a planted graph,
+  * and checkpoint-transparency — truncating the rank lineage must not
+  * change a single bit of the result. */
+class GraphSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  // star: 1,2,3 → 0; chain: 4 → 5; node 0 and 5 are sinks
+  private def edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 5L))
+    .toDF("src", "dst")
+
+  test("one iteration matches the hand computation on a planted star+chain") {
+    val got = Graph.pagerank(edges, 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = 6.0
+    val teleport = (1.0 - 0.85) / n
+    // sources keep teleport only; node 0 receives 3 whole shares, 5 one
+    assert(math.abs(got(1L) - teleport) < 1e-15)
+    assert(math.abs(got(0L) - (teleport + 0.85 * 3.0 / n)) < 1e-15)
+    assert(math.abs(got(5L) - (teleport + 0.85 * 1.0 / n)) < 1e-15)
+    // probability mass lost to sinks only (no dangling redistribution)
+    assert(got.values.sum <= 1.0 + 1e-12)
+  }
+
+  test("checkpointing the rank lineage is bit-transparent at deep iteration counts") {
+    def run(every: Int) = Graph.pagerank(edges, iterations = 12, ckptEvery = every)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val unchecked = run(every = 100) // never triggers
+    val checked = run(every = 3)     // truncates three times
+    assert(unchecked == checked, "checkpoint must not perturb values")
+  }
+}
