@@ -1072,6 +1072,48 @@ object Relational {
              FROM g GROUP BY user_id, island ORDER BY user_id, island""")
   )
 
+  /** Robust anomaly detection: flag events whose value deviates from
+    * their type's MEDIAN by more than 3 robust standard deviations
+    * (MAD × 1.4826) — the outlier gate that, unlike mean/stddev z-score,
+    * is not dragged by the outliers it is trying to find (50% breakdown
+    * point vs 0%).
+    *
+    * Shape: two aggregation passes over the fact (median, then median
+    * absolute deviation — MAD needs the median first) + a per-type
+    * stats join the optimizer broadcasts (5 rows). Exact `percentile`
+    * keeps the full oracle; at 100 TB swap in the mergeable t-digest
+    * exactly as `q_agg_percentile_approx` does for `q_agg_percentile`
+    * — the operator shape is unchanged. */
+  private val qAnomalyMad = Q(
+    "q_anomaly_mad",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = e.join(med, "event_type")
+        .groupBy(col("event_type"), col("med"))
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      e.join(mad, "event_type")
+        .filter(abs(col("value") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""WITH e AS ($oracleEvents),
+               med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                       FROM e GROUP BY event_type),
+               mad AS (SELECT e.event_type, med.med,
+                         quantile_cont(abs(e.value - med.med), 0.5) AS mad
+                       FROM e JOIN med USING (event_type)
+                       GROUP BY e.event_type, med.med)
+             SELECT e.event_id, e.event_type, e.value,
+               round(mad.med, 4) AS med, round(mad.mad, 4) AS mad
+             FROM e JOIN mad USING (event_type)
+             WHERE abs(e.value - mad.med) > 3.0 * 1.4826 * mad.mad
+             ORDER BY e.event_id""")
+  )
+
   def qs: Seq[Q] = Seq(
     qScanProjection, qFilterPredicate,
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
@@ -1083,5 +1125,5 @@ object Relational {
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,
     qSubqueryCorrelated, qPathTransitions, qFunnelSteps,
     qCohortRetention, qStringAggOrdered,
-    qBloomPrefilterJoin, qIntervalMerge)
+    qBloomPrefilterJoin, qIntervalMerge, qAnomalyMad)
 }

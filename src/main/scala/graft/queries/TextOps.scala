@@ -287,7 +287,38 @@ object TextOps {
            FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""")
   )
 
+  /** Sequence-LENGTH HISTOGRAM on power-of-two buckets — the planning
+    * input for sequence packing and curriculum bucketing (how much of
+    * the corpus fits a 512/1k/2k context, what padding waste each
+    * packing target implies). Bucket = floor(log2(tokens)) computed as
+    * `length(bin(n)) − 1`: pure integer/string ops, so both engines
+    * agree exactly (floating log2 would hit cross-libm rounding).
+    * One narrow groupBy on a handful of keys — partial-agg'd, scale-
+    * trivial; the per-doc token count reuses q_token_count's
+    * whitespace tokenizer. */
+  private val qLengthHistogram = Q(
+    "q_length_histogram",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("bucket")),
+    Some("""WITH t AS (SELECT doc_id, n_chars,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+              FROM documents)
+            SELECT CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket,
+              count(*) AS n_docs, min(n_tokens) AS min_tokens,
+              max(n_tokens) AS max_tokens, sum(n_chars) AS total_chars
+            FROM t GROUP BY bucket ORDER BY bucket""")
+  )
+
   def qs: Seq[Q] =
     Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint,
-      qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf)
+      qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf, qLengthHistogram)
 }

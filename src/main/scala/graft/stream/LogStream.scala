@@ -239,6 +239,38 @@ object LogStream {
   def dedupAgainstCorpus(stream: DataFrame, seenDigests: DataFrame): DataFrame =
     stream.join(seenDigests.select(col("digest")), Seq("digest"), "left_anti")
 
+  /** Streaming HEAVY HITTERS: per event-time window, the top tokens by
+    * the Misra–Gries mergeable sketch ([[graft.functions.MisraGries]])
+    * — "top URLs/IPs/terms this hour" over an UNBOUNDED token domain.
+    *
+    * Why the sketch and not a plain `groupBy(window, token).count`: the
+    * plain form keeps one state row per DISTINCT token per open window
+    * — unbounded exactly when the data is interesting (an attack, a
+    * crawler, an id-shaped token column); the MG aggregation keeps ONE
+    * ≤ k−1-counter summary per window regardless of domain size, with
+    * the usual guarantee (any token with frequency > n/k is present;
+    * counts within n/k). Same Aggregator as batch `q_heavy_hitters`, so
+    * stream and batch agree exactly in the < k-distinct regime
+    * (spec'd), and the batch query's oracle covers the semantics.
+    *
+    * @param tokens (ts: timestamp, token: string)
+    * @return (window_start, token, approx_count), finalized per
+    *         watermark in append mode
+    */
+  def heavyHittersWindowed(
+      tokens: DataFrame,
+      windowDur: String = "1 hour",
+      lateness: String = "30 minutes",
+      k: Int = 64): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(k))
+    tokens
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(mg(col("token")).as("summary"))
+      .select(col("w.start").as("window_start"),
+        explode(col("summary")).as(Seq("token", "approx_count")))
+  }
+
   /** Streaming SIMILARITY enrichment — each streamed embedding gets its
     * approximate nearest neighbor from a static corpus (the "which
     * known document/prototype is this closest to" lookup every

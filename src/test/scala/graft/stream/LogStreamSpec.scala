@@ -424,6 +424,39 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("windowed heavy hitters: bounded-state sketch is exact below k and matches batch") {
+    def t(time: String) = java.sql.Timestamp.valueOf(s"2019-01-18 $time")
+    // two 1-hour windows; < 63 distinct tokens → MG is provably exact
+    val rows =
+      (1 to 5).map(_ => (t("02:10:00"), "alpha")) ++
+      (1 to 3).map(_ => (t("02:20:00"), "beta")) ++
+      Seq((t("02:30:00"), "gamma")) ++
+      (1 to 4).map(_ => (t("03:15:00"), "beta"))
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val out = LogStream.heavyHittersWindowed(
+      input.toDF().toDF("ts", "token"), "1 hour", "30 minutes")
+    withQuery(out, "hh_out", "append") { q =>
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((t("09:00:00"), "flush")) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("hh_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == Set(
+        ("2019-01-18 02:00:00.0", "alpha", 5L),
+        ("2019-01-18 02:00:00.0", "beta", 3L),
+        ("2019-01-18 02:00:00.0", "gamma", 1L),
+        ("2019-01-18 03:00:00.0", "beta", 4L)), got.toString)
+      // batch run of the IDENTICAL operator over the same rows
+      val batch = LogStream.heavyHittersWindowed(
+          rows.toDF("ts", "token"), "1 hour", "30 minutes")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == batch)
+    }
+  }
+
   test("custom-state sessionization agrees with the session_window variant") {
     val data = Seq(row("02:00:00"), row("02:10:00"), row("04:00:00"),
       row("03:00:00", ip = "2.2.2.2"), row("03:20:00", ip = "2.2.2.2"))
