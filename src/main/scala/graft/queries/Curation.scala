@@ -140,5 +140,75 @@ object Curation {
              FROM q GROUP BY source ORDER BY source""")
   )
 
-  def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences, qSampleStratified)
+  /** EQUAL-FREQUENCY binning (ntile) over document length — curriculum
+    * bucketing: split the corpus into 8 same-sized difficulty tiers and
+    * report each tier's length band.
+    *
+    * The unpartitioned ntile window is a single-reducer global sort —
+    * correct here and at the oracle's scale, but the documented 100 TB
+    * swap is approximate bin BOUNDARIES (percentile_approx / t-digest,
+    * the q_agg_percentile_approx machinery) broadcast as a range join:
+    * same output schema, no global sort. */
+  private val qNtileBucketize = Q(
+    "q_ntile_bucketize",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          ntile(8).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("bucket")),
+    Some("""WITH b AS (SELECT n_chars,
+                ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+              FROM documents)
+            SELECT bucket, count(*) AS n_docs,
+              min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+              sum(n_chars) AS sum_chars
+            FROM b GROUP BY bucket ORDER BY bucket""")
+  )
+
+  /** WEIGHTED sampling — importance sampling where longer (higher-
+    * weight) documents get a proportionally higher keep probability:
+    * weight w ∈ [1,4] from the length tier, keep iff
+    * poly_hash(text) mod 1000 < 125·w (12.5% per weight unit). The
+    * deterministic hash-threshold form of weighted Bernoulli sampling:
+    * auditable, rerunnable, engine-portable (same [[qSampleStratified]]
+    * rationale), and embarrassingly parallel — no per-partition RNG
+    * state, no reservoir. Per-source report of total/kept mass. */
+  private val qSampleWeighted = Q(
+    "q_sample_weighted",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("wt", least(lit(1L) + expr("n_chars div 500"), lit(4L)))
+        .withColumn("fp", expr(sparkFp))
+        .withColumn("keep", (pmod(col("fp"), lit(1000)) < col("wt") * 125).cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(col("wt")).as("weight_mass"),
+          sum(col("keep")).as("n_sampled"),
+          sum(when(col("keep") === 1, col("n_tokens")).otherwise(0L)).as("tokens_sampled"))
+        .orderBy(col("source")),
+    Some(s"""WITH q AS (
+               SELECT source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 least(1 + n_chars // 500, 4) AS wt,
+                 CASE WHEN ($duckFp) % 1000 < least(1 + n_chars // 500, 4) * 125
+                 THEN 1 ELSE 0 END AS keep
+               FROM documents)
+             SELECT source, count(*) AS n_total,
+               CAST(sum(wt) AS BIGINT) AS weight_mass,
+               CAST(sum(keep) AS BIGINT) AS n_sampled,
+               CAST(sum(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+                 AS tokens_sampled
+             FROM q GROUP BY source ORDER BY source""")
+  )
+
+  def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences, qSampleStratified,
+    qNtileBucketize, qSampleWeighted)
 }

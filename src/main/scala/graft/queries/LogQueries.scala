@@ -180,5 +180,75 @@ object LogQueries {
             FROM part ORDER BY p_partkey""")
   )
 
-  def qs: Seq[Q] = Seq(qCloudfrontEtl, qCloudfrontSink, qScalarIp, qMapQueryParams)
+  /** URL CANONICALIZATION + dup collapse — the normalization step a
+    * web-crawl pipeline runs before URL-level dedup: lowercase scheme
+    * and host, strip default ports, drop fragments and `utm_*` tracking
+    * params, sort the remaining query params, strip the trailing slash;
+    * then group by the canonical form to count how many raw variants
+    * collapse onto it.
+    *
+    * Raw inputs are synthesized deterministically from `part` (three
+    * messy variants per key, exploded) — two collapse to one canonical
+    * URL, the third is a genuinely different host and must NOT merge.
+    * Everything is codegen'd string ops; the one `filter` higher-order
+    * function runs over a ≤3-element array, so its interpreted lambda
+    * is off the hot path. One shuffle (the canonical groupBy). */
+  private val qUrlNormalize = Q(
+    "q_url_normalize",
+    (s, d) => {
+      val raw = Tables.part(s, d)
+        .select(col("p_partkey").as("pk"))
+        .withColumn("url", explode(array(
+          concat(lit("HTTP://Shop.Example.COM:80/item/"), col("pk"),
+            lit("?b=2&a=1&utm_source=mail#top")),
+          concat(lit("http://shop.example.com/item/"), col("pk"), lit("?a=1&b=2")),
+          concat(lit("https://CDN.Example.com:443/item/"), col("pk"), lit("/?b=2&a=1")))))
+      raw
+        .withColumn("scheme", lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+        .withColumn("host",
+          regexp_replace(lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+            ":(80|443)$", ""))
+        .withColumn("path",
+          regexp_replace(regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+            "/$", ""))
+        .withColumn("qs", regexp_extract(col("url"), "\\?([^#]*)", 1))
+        .withColumn("params",
+          array_join(array_sort(filter(split(col("qs"), "&"),
+            x => !x.startsWith("utm_") && x =!= "")), "&"))
+        .withColumn("canonical_url",
+          concat(col("scheme"), lit("://"), col("host"), col("path"),
+            when(col("params") =!= "", concat(lit("?"), col("params"))).otherwise(lit(""))))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_hits"), countDistinct(col("url")).as("n_variants"))
+        .orderBy(col("canonical_url"))
+    },
+    Some("""WITH raw AS (
+              SELECT unnest([
+                  'HTTP://Shop.Example.COM:80/item/' || p_partkey || '?b=2&a=1&utm_source=mail#top',
+                  'http://shop.example.com/item/' || p_partkey || '?a=1&b=2',
+                  'https://CDN.Example.com:443/item/' || p_partkey || '/?b=2&a=1'
+                ]) AS url
+              FROM part),
+            n AS (SELECT url,
+                lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                  ':(80|443)$', '') AS host,
+                regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                  '/$', '') AS path,
+                regexp_extract(url, '\?([^#]*)', 1) AS qs
+              FROM raw),
+            p AS (SELECT *,
+                array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                  x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') AS params
+              FROM n),
+            c AS (SELECT url, scheme || '://' || host || path ||
+                CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canonical_url
+              FROM p)
+            SELECT canonical_url, count(*) AS n_hits,
+              count(DISTINCT url) AS n_variants
+            FROM c GROUP BY canonical_url ORDER BY canonical_url""")
+  )
+
+  def qs: Seq[Q] =
+    Seq(qCloudfrontEtl, qCloudfrontSink, qScalarIp, qMapQueryParams, qUrlNormalize)
 }

@@ -1114,6 +1114,50 @@ object Relational {
              ORDER BY e.event_id""")
   )
 
+  /** Exponentially TIME-DECAYED counts per key — the "recent activity
+    * score" behind trending/leaderboard features: each event's value is
+    * weighted 2^-(age/halflife), so last week counts double next week.
+    *
+    * Cross-engine determinism by integer-exactness: the decay exponent
+    * is the INTEGER halflife bucket (age_days div 7, capped at 8), the
+    * value becomes exact integer cents (round(value*100)), and the sum
+    * runs entirely on BIGINT — cents × 2^(8−k) — with ONE final division
+    * by 25600.0 (exact integer → correctly-rounded double in both
+    * engines). No order-dependent double accumulation anywhere.
+    *
+    * Shape: one partial-agg'd groupBy on event_type after a broadcast
+    * join of the 1-row max-date anchor — two scans, one tiny shuffle;
+    * the anchor join stays broadcast at any fact size. */
+  private val qDecayedCounts = Q(
+    "q_decayed_counts",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), col("value"), to_date(col("ts")).as("day"))
+      val anchor = e.agg(max(col("day")).as("anchor"))
+      e.crossJoin(broadcast(anchor))
+        .withColumn("k", least(expr("datediff(anchor, day) div 7"), lit(8)))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(expr("cents * shiftleft(1L, cast(8 - k as int))")).as("wsum"))
+        .select(col("event_type"), col("n_events"),
+          (col("wsum") / lit(25600.0)).as("decayed_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH e AS (SELECT event_type, value, CAST(ts AS DATE) AS day
+                        FROM events),
+               a AS (SELECT max(day) AS anchor FROM e),
+               w AS (SELECT event_type,
+                       least(date_diff('day', day, anchor) // 7, 8) AS k,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                     FROM e CROSS JOIN a)
+             SELECT event_type, count(*) AS n_events,
+               CAST(sum(cents * (1::BIGINT << CAST(8 - k AS INT))) AS BIGINT)
+                 / 25600.0 AS decayed_value
+             FROM w GROUP BY event_type ORDER BY event_type""")
+  )
+
   def qs: Seq[Q] = Seq(
     qScanProjection, qFilterPredicate,
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
@@ -1125,5 +1169,5 @@ object Relational {
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,
     qSubqueryCorrelated, qPathTransitions, qFunnelSteps,
     qCohortRetention, qStringAggOrdered,
-    qBloomPrefilterJoin, qIntervalMerge, qAnomalyMad)
+    qBloomPrefilterJoin, qIntervalMerge, qAnomalyMad, qDecayedCounts)
 }

@@ -318,7 +318,85 @@ object TextOps {
             FROM t GROUP BY bucket ORDER BY bucket""")
   )
 
+  /** BM25 relevance scoring for a fixed 3-term query — the ranking
+    * function behind retrieval-based curation (finding the corpus
+    * documents most relevant to a probe query, dataset decontamination
+    * by retrieval, RAG index quality checks).
+    *
+    * Cross-engine determinism: idf is the LOG-FREE odds ratio
+    * (N−df+0.5)/(df+0.5) — monotone in the standard ln(idf), so ranking
+    * is unchanged, but it avoids cross-libm `ln` rounding (the same
+    * swap q_tfidf makes); every remaining op is IEEE +,−,×,÷ evaluated
+    * in an identical expression tree in both engines, and the per-doc
+    * sum over query terms is a FIXED-ORDER 3-term addition via
+    * conditional aggregation — never an order-dependent SUM.
+    *
+    * Shape: token explode → per-doc length agg + per-(doc,term) tf agg
+    * (both partial-agg'd), df and corpus stats broadcast (≤3 rows and
+    * 1 row), top-20 via global sort on the bounded 20-row result. At
+    * 100 TB the only wide ops are the two keyed aggs. */
+  private val qBm25 = Q(
+    "q_bm25",
+    (s, d) => {
+      val terms = Seq("hash", "scan", "merge")
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " "))
+            .as("term"))
+        .filter(col("term") =!= "")
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      val tf = tok.filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val sc = tf.join(broadcast(df_), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("sterm",
+          ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            ((col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * (col("dl") / (col("sumdl") / col("n")))))))
+      sc.groupBy(col("doc_id"))
+        .agg(
+          coalesce(max(when(col("term") === "hash", col("sterm"))), lit(0.0)).as("s_hash"),
+          coalesce(max(when(col("term") === "scan", col("sterm"))), lit(0.0)).as("s_scan"),
+          coalesce(max(when(col("term") === "merge", col("sterm"))), lit(0.0)).as("s_merge"))
+        .select(col("doc_id"),
+          (col("s_hash") + col("s_scan") + col("s_merge")).as("score"),
+          col("s_hash"), col("s_scan"), col("s_merge"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+                 unnest(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' ')) AS term
+               FROM documents),
+             tok AS (SELECT * FROM t WHERE term <> ''),
+             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+             st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                    WHERE term IN ('hash','scan','merge') GROUP BY doc_id, term),
+             df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             -- every fractional literal is ::DOUBLE: DuckDB otherwise
+             -- parses them as DECIMAL and computes exact decimal
+             -- products where Spark computes IEEE doubles (last-ulp
+             -- hash mismatches)
+             sc AS (SELECT tf.doc_id, tf.term,
+                      ((st.n - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) *
+                        ((tf.tf * 2.2::DOUBLE) /
+                          (tf.tf + 1.2::DOUBLE *
+                            (0.25::DOUBLE + 0.75::DOUBLE * (dl.dl / (st.sumdl / st.n))))) AS sterm
+                    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+             p AS (SELECT doc_id,
+                     coalesce(max(CASE WHEN term = 'hash' THEN sterm END), 0.0) AS s_hash,
+                     coalesce(max(CASE WHEN term = 'scan' THEN sterm END), 0.0) AS s_scan,
+                     coalesce(max(CASE WHEN term = 'merge' THEN sterm END), 0.0) AS s_merge
+                   FROM sc GROUP BY doc_id)
+           SELECT doc_id, s_hash + s_scan + s_merge AS score, s_hash, s_scan, s_merge
+           FROM p ORDER BY score DESC, doc_id LIMIT 20""")
+  )
+
   def qs: Seq[Q] =
     Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint,
-      qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf, qLengthHistogram)
+      qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf, qLengthHistogram,
+      qBm25)
 }
