@@ -69,38 +69,142 @@ object LogLake {
       env: String,
       day: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val partDir = new org.apache.hadoop.fs.Path(s"$path/env=$env/log_day=$day")
-    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$path/.compact-tmp-env=$env-log_day=$day")
-    val aside = new org.apache.hadoop.fs.Path(
-      s"$path/.compact-old-env=$env-log_day=$day")
-    if (!fs.exists(partDir) && fs.exists(tmp)) {
-      // crashed between steps 2 and 3: tmp is the only complete copy —
-      // finish the interrupted swap before anything else
-      require(fs.rename(tmp, partDir), s"recovery rename $tmp -> $partDir failed")
-      fs.delete(new org.apache.hadoop.fs.Path(partDir, "_SUCCESS"), false)
-    }
-    if (fs.exists(aside)) fs.delete(aside, true) // completed/parked old copy
-    require(fs.exists(partDir), s"no such partition: $partDir")
-    val files = fs.listStatus(partDir).filter(f =>
+    val sw = new PartitionSwap(spark, path, "compact", env, day)
+    sw.recover()
+    require(sw.fs.exists(sw.partDir), s"no such partition: ${sw.partDir}")
+    val files = sw.fs.listStatus(sw.partDir).filter(f =>
       f.isFile && !f.getPath.getName.startsWith("_"))
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    if (fs.exists(tmp)) fs.delete(tmp, true) // stale temp from a pre-swap crash
     // coalesce, not repartition: shrinking file count needs no shuffle
-    spark.read.parquet(partDir.toString)
+    spark.read.parquet(sw.partDir.toString)
       .coalesce(nOut)
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
-      .parquet(tmp.toString)
-    require(fs.rename(partDir, aside), s"rename $partDir -> $aside failed")
-    require(fs.rename(tmp, partDir), s"rename $tmp -> $partDir failed")
-    fs.delete(aside, true)
-    // drop the _SUCCESS marker so the partition dir holds data files only
-    fs.delete(new org.apache.hadoop.fs.Path(partDir, "_SUCCESS"), false)
-    val after = fs.listStatus(partDir).count(f =>
+      .parquet(sw.tmp.toString)
+    sw.swapIn()
+    val after = sw.fs.listStatus(sw.partDir).count(f =>
       f.isFile && !f.getPath.getName.startsWith("_"))
     (files.length, after)
+  }
+
+  /** CDC UPSERT for one `(env, log_day)` partition — apply a changelog
+    * (rows carrying an `_op` column: `upsert` replaces-or-inserts by
+    * key, `delete` removes by key) to the lake, the keyed-table MERGE
+    * every warehouse feed needs (dedupe-by-latest, GDPR erasure,
+    * late-arriving corrections).
+    *
+    * Semantics: rewrite-on-merge — survivors = existing ∖ touched keys
+    * (a left-anti join), plus the upsert rows; written through the same
+    * crash-safe [[PartitionSwap]] protocol as compaction, so every
+    * crash point is re-runnable and the live partition is never the
+    * only copy deleted. IDEMPOTENT by construction: re-applying the
+    * same changelog reproduces the identical partition (keys removed
+    * then re-inserted identically), which is exactly the property
+    * `foreachBatch` redelivery needs — see
+    * [[graft.stream.LogStream.toUpsertLake]].
+    *
+    * Scale shape: one partition per call (the scheduler's fan-out unit,
+    * like compaction); only TOUCHED partitions are ever read or
+    * rewritten, the anti-join broadcasts the changelog keys when small,
+    * and a missing partition is created from the upserts alone. This is
+    * partition-granular single-writer MERGE — the honest subset of a
+    * transactional table format; concurrent writers need the real
+    * thing (a Delta/Iceberg-style commit log). */
+  def upsertPartition(
+      spark: SparkSession,
+      path: String,
+      env: String,
+      day: String,
+      changes: DataFrame,
+      key: String): Unit = {
+    require(changes.columns.contains("_op"), "changelog needs an _op column")
+    val sw = new PartitionSwap(spark, path, "upsert", env, day)
+    sw.recover()
+    val upserts = changes.filter(col("_op") === "upsert").drop("_op")
+    if (!sw.fs.exists(sw.partDir) && upserts.isEmpty)
+      return // deletes against a partition that doesn't exist: no-op
+    val merged =
+      if (sw.fs.exists(sw.partDir)) {
+        val existing = spark.read.parquet(sw.partDir.toString)
+        existing
+          .join(broadcast(changes.select(col(key)).distinct()), Seq(key), "left_anti")
+          // a using-column join moves the key first; keep the files'
+          // column order stable across merges
+          .select(existing.columns.map(col).toIndexedSeq: _*)
+          .unionByName(upserts)
+      } else upserts
+    merged.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(sw.tmp.toString)
+    sw.swapIn()
+  }
+
+  /** Apply a full CHANGELOG across partitions: split `changes` by the
+    * `(env, log_day)` it targets (derived from `@timestamp` like
+    * [[write]]), then merge each touched partition via
+    * [[upsertPartition]]. The driver-side loop is over the DISTINCT
+    * touched partitions only — the same unit a maintenance scheduler
+    * fans out over, never over rows. Returns the touched partitions. */
+  def applyChangelog(
+      spark: SparkSession,
+      path: String,
+      changes: DataFrame,
+      key: String = "request_id"): Seq[(String, String)] = {
+    // SNAPSHOT the changelog before any partition swap: a changelog
+    // derived (even partly) from this same lake is a lazy plan over
+    // files the first merge replaces — later partitions would read
+    // deleted files. One materialization, bounded by changelog size,
+    // never lake size (the same reason Delta materializes the MERGE
+    // source). Eager localCheckpoint also truncates the lineage.
+    val withPart = changes.withColumn("log_day",
+      date_format(to_date(col("@timestamp")), "yyyy-MM-dd"))
+      .localCheckpoint(true)
+    val parts = withPart.select(col("env"), col("log_day"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    parts.foreach { case (env, day) =>
+      upsertPartition(spark, path, env, day,
+        withPart.filter(col("env") === env && col("log_day") === day)
+          .drop("env", "log_day"),
+        key)
+    }
+    parts
+  }
+
+  /** The crash-safe SWAP protocol shared by compaction and upsert
+    * (steps documented on [[compactPartition]]): write the replacement
+    * to `tmp`, park the live dir `aside`, move `tmp` into place, delete
+    * `aside`. [[recover]] first finishes/cleans every interrupted
+    * state, so each crash point is re-runnable and the live partition
+    * is never the only deleted copy. */
+  private final class PartitionSwap(
+      spark: SparkSession, path: String, tag: String, env: String, day: String) {
+    val partDir = new org.apache.hadoop.fs.Path(s"$path/env=$env/log_day=$day")
+    val fs: org.apache.hadoop.fs.FileSystem =
+      partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.$tag-tmp-env=$env-log_day=$day")
+    private val aside =
+      new org.apache.hadoop.fs.Path(s"$path/.$tag-old-env=$env-log_day=$day")
+
+    def recover(): Unit = {
+      if (!fs.exists(partDir) && fs.exists(tmp)) {
+        // crashed between park and promote: tmp is the only complete
+        // copy — finish the interrupted swap before anything else
+        require(fs.rename(tmp, partDir), s"recovery rename $tmp -> $partDir failed")
+        fs.delete(new org.apache.hadoop.fs.Path(partDir, "_SUCCESS"), false)
+      }
+      if (fs.exists(aside)) fs.delete(aside, true) // parked old copy
+      if (fs.exists(tmp)) fs.delete(tmp, true)     // pre-swap crash leftover
+    }
+
+    def swapIn(): Unit = {
+      if (fs.exists(partDir))
+        require(fs.rename(partDir, aside), s"rename $partDir -> $aside failed")
+      require(fs.rename(tmp, partDir), s"rename $tmp -> $partDir failed")
+      fs.delete(aside, true)
+      // drop the _SUCCESS marker so the partition dir holds data files only
+      fs.delete(new org.apache.hadoop.fs.Path(partDir, "_SUCCESS"), false)
+    }
   }
 }

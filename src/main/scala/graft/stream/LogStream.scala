@@ -383,6 +383,47 @@ object LogStream {
         writeBatchIdempotent(batch, lakeDir, batchId))
       .start()
 
+  /** Streaming ANOMALY GATE — the streaming form of `q_anomaly_mad`:
+    * score each event against PRECOMPUTED per-key robust stats
+    * (`med`/`mad` per `event_type`, from the batch median/MAD pass) and
+    * keep only outliers beyond nSigma robust standard deviations.
+    *
+    * The train/serve split every production detector runs: thresholds
+    * are fit offline where exact percentiles are computable, the stream
+    * applies them statelessly. Stream-static BROADCAST join + filter —
+    * no watermark, no state store, per-row cost is one hash probe and
+    * one comparison, so it rides at source throughput at any scale.
+    * Batch-equivalence is spec'd in LogStreamSpec against the identical
+    * predicate run as a batch join. */
+  def anomalyGate(
+      events: DataFrame,
+      stats: DataFrame,
+      nSigma: Double = 3.0): DataFrame =
+    events.join(broadcast(stats.select(col("event_type"), col("med"), col("mad"))),
+        Seq("event_type"))
+      .filter(abs(col("value") - col("med")) >
+        lit(nSigma) * lit(1.4826) * col("mad"))
+
+  /** Streaming CDC apply: each micro-batch of changelog rows (`_op` =
+    * upsert|delete) is MERGED into the keyed lake via
+    * [[graft.logs.LogLake.applyChangelog]] inside `foreachBatch`.
+    * Exactly-once without sink transactions, by a different route than
+    * [[toIdempotentLake]]: there, replays overwrite their own
+    * `batch_id` partition; here, the merge itself is IDEMPOTENT
+    * (re-applying a changelog reproduces the identical partition), so a
+    * crash-replayed batch converges to the same lake state. */
+  def toUpsertLake(
+      changelog: DataFrame,
+      lakeDir: String,
+      checkpointDir: String,
+      key: String = "request_id"): StreamingQuery =
+    changelog.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[Row], _: Long) =>
+        graft.logs.LogLake.applyChangelog(batch.sparkSession, lakeDir, batch, key): Unit)
+      .start()
+
   /** Full reference pipeline: canonical stream → `{Data, PartitionKey}`
     * → Kinesis-shaped sink with subset retry (K1–K3). */
   def toKinesis(

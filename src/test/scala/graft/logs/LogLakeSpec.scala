@@ -121,4 +121,97 @@ class LogLakeSpec extends AnyFunSuite with SparkTestSupport {
       "parked copy must not double-count")
     assert(!fs.exists(aside))
   }
+
+  /** Keyed fixture for the CDC-merge tests: canonical rows carrying an
+    * explicit request_id key. */
+  private def keyedFixture = {
+    val rows = Seq(
+      ("2019-01-18", "02:10:00", "prod", "200", "1000", "r1"),
+      ("2019-01-18", "03:10:00", "prod", "304", "500", "r2"),
+      ("2019-01-19", "02:10:00", "prod", "200", "2000", "r3"),
+      ("2019-01-18", "02:10:00", "stg", "500", "300", "r4"))
+      .toDF("log_date", "log_time", "env", "http_status", "bytes_sent", "request_id")
+      .withColumn("http_user_agent", lit("ua"))
+      .withColumn("http_referer", lit("-"))
+      .withColumn("serviceId", lit("svc"))
+      .withColumn("cf_pop", lit("SYD1"))
+    CloudFrontTransform.canonicalCols(rows)
+  }
+
+  test("changelog merge: update + insert + delete hit only the touched partition; re-apply is idempotent") {
+    val dir = Files.createTempDirectory("lakeup1").toString
+    LogLake.write(keyedFixture, dir)
+    val live = LogLake.read(spark, dir)
+    // r1 updated, r2 deleted, r9 inserted — all in (prod, 2019-01-18)
+    val upd = live.filter(col("request_id") === "r1").drop("log_day")
+      .withColumn("bytes_sent", lit(9999L)).withColumn("_op", lit("upsert"))
+    val del = live.filter(col("request_id") === "r2").drop("log_day")
+      .withColumn("_op", lit("delete"))
+    val ins = live.filter(col("request_id") === "r1").drop("log_day")
+      .withColumn("request_id", lit("r9")).withColumn("_op", lit("upsert"))
+    // materialize: a changelog is DATA (what a stream replay redelivers),
+    // not a lazy plan over the lake it is about to rewrite
+    val changelog = upd.unionByName(del).unionByName(ins).localCheckpoint(true)
+
+    val touched = LogLake.applyChangelog(spark, dir, changelog)
+    assert(touched == Seq(("prod", "2019-01-18")),
+      s"only the partition the changelog targets gets rewritten, got $touched")
+
+    def snapshot() = LogLake.read(spark, dir)
+      .select(col("request_id"), col("bytes_sent"), col("env"),
+        date_format(col("log_day"), "yyyy-MM-dd").as("day"))
+      .collect().map(_.toString).sorted.toSeq
+    val after = snapshot()
+    val ids = LogLake.read(spark, dir).select("request_id")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("r1", "r3", "r4", "r9"), s"r2 deleted, r9 inserted: $ids")
+    assert(LogLake.read(spark, dir)
+      .filter(col("request_id") === "r1").select("bytes_sent")
+      .collect()(0).getLong(0) == 9999L, "r1 must carry the update")
+    // untouched partitions intact
+    assert(LogLake.forDay(spark, dir, "prod", "2019-01-19").count() == 1)
+    assert(LogLake.read(spark, dir).filter(col("env") === "stg").count() == 1)
+    // exactly-once-by-idempotence: re-applying the same changelog (a
+    // foreachBatch crash replay) converges to the identical lake
+    LogLake.applyChangelog(spark, dir, changelog)
+    assert(snapshot() == after)
+  }
+
+  test("upsert recovers from a crash between the two swap renames") {
+    val dir = Files.createTempDirectory("lakeup2").toString
+    LogLake.write(keyedFixture, dir)
+    val expected = LogLake.forDay(spark, dir, "prod", "2019-01-18")
+      .drop("env", "log_day").collect().map(_.toString).sorted
+    val partDir = new org.apache.hadoop.fs.Path(s"$dir/env=prod/log_day=2019-01-18")
+    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.upsert-tmp-env=prod-log_day=2019-01-18")
+    // crash state between park and promote: tmp is the only complete copy
+    spark.read.parquet(partDir.toString).write.parquet(tmp.toString)
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/.upsert-old-env=prod-log_day=2019-01-18")
+    assert(fs.rename(partDir, aside) && !fs.exists(partDir))
+    // rerun with a no-op changelog (delete of an absent key): must first
+    // finish the interrupted swap, then merge — nothing may be lost
+    val noop = LogLake.forDay(spark, dir, "prod", "2019-01-19")
+      .drop("env", "log_day")
+      .withColumn("request_id", lit("absent")).withColumn("_op", lit("delete"))
+    LogLake.upsertPartition(spark, dir, "prod", "2019-01-18", noop, "request_id")
+    val back = LogLake.forDay(spark, dir, "prod", "2019-01-18")
+      .drop("env", "log_day").collect().map(_.toString).sorted
+    assert(back.toSeq == expected.toSeq, "no row lost through crash recovery")
+    assert(!fs.exists(tmp) && !fs.exists(aside), "no scratch dirs survive")
+  }
+
+  test("delete-only changelog against a missing partition is a no-op") {
+    val dir = Files.createTempDirectory("lakeup3").toString
+    LogLake.write(keyedFixture, dir)
+    val del = LogLake.forDay(spark, dir, "prod", "2019-01-18")
+      .drop("env", "log_day")
+      .withColumn("request_id", lit("ghost")).withColumn("_op", lit("delete"))
+    LogLake.upsertPartition(spark, dir, "prod", "2099-01-01", del, "request_id")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/env=prod/log_day=2099-01-01")),
+      "no empty partition materialized")
+    assert(LogLake.read(spark, dir).count() == 4, "lake untouched")
+  }
 }

@@ -457,6 +457,65 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("streaming anomaly gate applies exactly the batch MAD predicate") {
+    // precomputed robust stats (the batch q_anomaly_mad output shape)
+    val stats = Seq(("a", 10.0, 1.0), ("b", 100.0, 10.0))
+      .toDF("event_type", "med", "mad")
+    // thresholds: 3*1.4826*mad = 4.45 for 'a', 44.5 for 'b';
+    // 'c' has no fitted stats and must be dropped by the inner join
+    val rows = Seq(("a", 10.5, 1L), ("a", 20.0, 2L), ("b", 90.0, 3L),
+      ("b", 500.0, 4L), ("c", 1e9, 5L))
+    val input = MemoryStream[(String, Double, Long)](spark)
+    val out = LogStream.anomalyGate(
+      input.toDF().toDF("event_type", "value", "event_id"), stats)
+    withQuery(out, "anom_out", "append") { q =>
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("anom_out").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(2L, 4L), got.toString)
+      // identical operator run as a batch join
+      val batch = LogStream.anomalyGate(
+          rows.toDF("event_type", "value", "event_id"), stats)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got == batch)
+    }
+  }
+
+  test("streaming changelog merges into the keyed lake; replayed batches converge") {
+    def t(time: String) = java.sql.Timestamp.valueOf(s"2019-01-18 $time")
+    val dir = Files.createTempDirectory("uplake").toString
+    val ckpt = Files.createTempDirectory("uplake-ckpt").toString
+    val input = MemoryStream[(String, java.sql.Timestamp, String, Long, String)](spark)
+    val q = LogStream.toUpsertLake(
+      input.toDF().toDF("request_id", "@timestamp", "env", "bytes", "_op"),
+      dir, ckpt)
+    try {
+      // batch 1 creates the partition from upserts alone
+      input.addData(("r1", t("02:00:00"), "prod", 100L, "upsert"),
+        ("r2", t("03:00:00"), "prod", 200L, "upsert"))
+      q.processAllAvailable()
+      // batch 2: update r1, delete r2, insert r3
+      input.addData(("r1", t("02:00:00"), "prod", 111L, "upsert"),
+        ("r2", t("03:00:00"), "prod", 0L, "delete"),
+        ("r3", t("04:00:00"), "prod", 300L, "upsert"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(dir).select("request_id", "bytes")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == Set(("r1", 111L), ("r3", 300L)), got.toString)
+    } finally q.stop()
+    // a crash replay of batch 2 (same changelog, fresh query) converges
+    // to the identical lake state — the idempotence exactly-once needs
+    graft.logs.LogLake.applyChangelog(spark,  dir,
+      Seq(("r1", t("02:00:00"), "prod", 111L, "upsert"),
+        ("r2", t("03:00:00"), "prod", 0L, "delete"),
+        ("r3", t("04:00:00"), "prod", 300L, "upsert"))
+        .toDF("request_id", "@timestamp", "env", "bytes", "_op"))
+    val again = spark.read.parquet(dir).select("request_id", "bytes")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == Set(("r1", 111L), ("r3", 300L)), again.toString)
+  }
+
   test("custom-state sessionization agrees with the session_window variant") {
     val data = Seq(row("02:00:00"), row("02:10:00"), row("04:00:00"),
       row("03:00:00", ip = "2.2.2.2"), row("03:20:00", ip = "2.2.2.2"))
