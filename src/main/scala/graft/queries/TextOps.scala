@@ -338,59 +338,73 @@ object TextOps {
   private val qBm25 = Q(
     "q_bm25",
     (s, d) => {
-      val terms = Seq("hash", "scan", "merge")
+      // per-term BM25 contribution with k1=1.2, b=0.75; tf=0 makes the
+      // numerator 0, so absent terms contribute exactly 0.0 with no
+      // branching — the identical IEEE tree in both engines
+      def sterm(t: String) =
+        ((col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))) *
+          ((col(s"tf_$t") * lit(2.2)) /
+            (col(s"tf_$t") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dl") / (col("sumdl") / col("n"))))))
       val tok = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " "))
             .as("term"))
         .filter(col("term") =!= "")
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-      val tf = tok.filter(col("term").isin(terms: _*))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val sc = tf.join(broadcast(df_), "term").join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("sterm",
-          ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-            ((col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * (col("dl") / (col("sumdl") / col("n")))))))
-      sc.groupBy(col("doc_id"))
-        .agg(
-          coalesce(max(when(col("term") === "hash", col("sterm"))), lit(0.0)).as("s_hash"),
-          coalesce(max(when(col("term") === "scan", col("sterm"))), lit(0.0)).as("s_scan"),
-          coalesce(max(when(col("term") === "merge", col("sterm"))), lit(0.0)).as("s_merge"))
+      // ONE wide groupBy carries doc length AND the probe-term tfs —
+      // one explode pass, one shuffle (vs the textbook dl⋈tf⋈df shape:
+      // two extra aggs and two joins for the same numbers)
+      val perDoc = tok.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("dl"),
+        sum(when(col("term") === "hash", 1L).otherwise(0L)).as("tf_hash"),
+        sum(when(col("term") === "scan", 1L).otherwise(0L)).as("tf_scan"),
+        sum(when(col("term") === "merge", 1L).otherwise(0L)).as("tf_merge"))
+      val stats = perDoc.agg(
+        count(lit(1)).as("n"), sum(col("dl")).as("sumdl"),
+        sum((col("tf_hash") > 0).cast("long")).as("df_hash"),
+        sum((col("tf_scan") > 0).cast("long")).as("df_scan"),
+        sum((col("tf_merge") > 0).cast("long")).as("df_merge"))
+      perDoc.crossJoin(broadcast(stats))
+        .withColumn("s_hash", sterm("hash"))
+        .withColumn("s_scan", sterm("scan"))
+        .withColumn("s_merge", sterm("merge"))
         .select(col("doc_id"),
           (col("s_hash") + col("s_scan") + col("s_merge")).as("score"),
           col("s_hash"), col("s_scan"), col("s_merge"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
     },
+    // every fractional literal is ::DOUBLE: DuckDB otherwise parses
+    // them as DECIMAL and computes exact decimal products where Spark
+    // computes IEEE doubles (last-ulp hash mismatches)
     Some("""WITH t AS (SELECT doc_id,
                  unnest(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' ')) AS term
                FROM documents),
              tok AS (SELECT * FROM t WHERE term <> ''),
-             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-             st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
-             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-                    WHERE term IN ('hash','scan','merge') GROUP BY doc_id, term),
-             df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-             -- every fractional literal is ::DOUBLE: DuckDB otherwise
-             -- parses them as DECIMAL and computes exact decimal
-             -- products where Spark computes IEEE doubles (last-ulp
-             -- hash mismatches)
-             sc AS (SELECT tf.doc_id, tf.term,
-                      ((st.n - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) *
-                        ((tf.tf * 2.2::DOUBLE) /
-                          (tf.tf + 1.2::DOUBLE *
-                            (0.25::DOUBLE + 0.75::DOUBLE * (dl.dl / (st.sumdl / st.n))))) AS sterm
-                    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+             perdoc AS (SELECT doc_id, count(*) AS dl,
+                 sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS tf_hash,
+                 sum(CASE WHEN term = 'scan' THEN 1 ELSE 0 END) AS tf_scan,
+                 sum(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS tf_merge
+               FROM tok GROUP BY doc_id),
+             st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+                 sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+                 sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan,
+                 sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+               FROM perdoc),
              p AS (SELECT doc_id,
-                     coalesce(max(CASE WHEN term = 'hash' THEN sterm END), 0.0) AS s_hash,
-                     coalesce(max(CASE WHEN term = 'scan' THEN sterm END), 0.0) AS s_scan,
-                     coalesce(max(CASE WHEN term = 'merge' THEN sterm END), 0.0) AS s_merge
-                   FROM sc GROUP BY doc_id)
+                 ((st.n - st.df_hash + 0.5::DOUBLE) / (st.df_hash + 0.5::DOUBLE)) *
+                   ((tf_hash * 2.2::DOUBLE) /
+                     (tf_hash + 1.2::DOUBLE *
+                       (0.25::DOUBLE + 0.75::DOUBLE * (dl / (st.sumdl / st.n))))) AS s_hash,
+                 ((st.n - st.df_scan + 0.5::DOUBLE) / (st.df_scan + 0.5::DOUBLE)) *
+                   ((tf_scan * 2.2::DOUBLE) /
+                     (tf_scan + 1.2::DOUBLE *
+                       (0.25::DOUBLE + 0.75::DOUBLE * (dl / (st.sumdl / st.n))))) AS s_scan,
+                 ((st.n - st.df_merge + 0.5::DOUBLE) / (st.df_merge + 0.5::DOUBLE)) *
+                   ((tf_merge * 2.2::DOUBLE) /
+                     (tf_merge + 1.2::DOUBLE *
+                       (0.25::DOUBLE + 0.75::DOUBLE * (dl / (st.sumdl / st.n))))) AS s_merge
+               FROM perdoc CROSS JOIN st)
            SELECT doc_id, s_hash + s_scan + s_merge AS score, s_hash, s_scan, s_merge
            FROM p ORDER BY score DESC, doc_id LIMIT 20""")
   )

@@ -1,0 +1,22 @@
+package graft.tools
+
+/** Ad-hoc per-query timing probe: `runMain graft.tools.TimeQuery q_a q_b`
+  * times each named registry query for 3 passes after the standard
+  * warmup — the tool for before/after comparisons of a single plan
+  * change without paying for a full Bench sweep. */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: TimeQuery <query-name>...")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local("graft-timequery")
+    try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    args.foreach { name =>
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.queries.Registry.queries(name)(spark, sfDir).count()
+        println(f"[time] $name pass$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
+    spark.stop()
+  }
+}
