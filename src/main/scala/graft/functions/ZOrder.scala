@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-ORDER (Morton) clustering — the data-layout lever for multi-column
+  * scan pruning: interleaving the bits of two key columns makes rows
+  * that are close in EITHER dimension land close in the sort order, so
+  * parquet min/max stats (row-group and file level) become selective
+  * for predicates on BOTH columns at once. A lake sorted by timestamp
+  * alone skips nothing for `WHERE customer_id = X`; the z-ordered
+  * layout skips most files for either predicate — at 100 TB that is
+  * the difference between a pruned scan and a full pass.
+  *
+  * The z-value is computed entirely with built-in integer ops
+  * (shift/mask Morton spreading, 4 steps per column), so it is
+  * whole-stage-codegen'd, engine-portable (the same chain is emitted
+  * as DuckDB SQL for the oracle), and exactly deterministic.
+  * Each input is masked to its low 16 bits (65536 distinct cluster
+  * cells per dimension is far past the granularity parquet stats can
+  * exploit); the interleave yields a 32-bit z-value.
+  */
+object ZOrder {
+
+  /** Morton bit-spread of `col`'s low 16 bits to even bit positions,
+    * emitted as a SQL string. `shl` renders a left-shift in the target
+    * dialect (Spark `shiftleft(e, n)`, DuckDB `(e << n)`). */
+  private def spreadSql(col: String, shl: (String, Int) => String): String = {
+    val steps = Seq(
+      (8, 16711935L),   // 0x00FF00FF
+      (4, 252645135L),  // 0x0F0F0F0F
+      (2, 858993459L),  // 0x33333333
+      (1, 1431655765L)) // 0x55555555
+    var e = s"(CAST($col AS BIGINT) & 65535)"
+    for ((s, m) <- steps) e = s"(($e | ${shl(e, s)}) & $m)"
+    e
+  }
+
+  /** z-value expression in Spark SQL (codegen'd built-ins only). */
+  def zvalueSparkSql(x: String, y: String): String = {
+    val shl = (e: String, n: Int) => s"shiftleft($e, $n)"
+    s"(${spreadSql(x, shl)} | shiftleft(${spreadSql(y, shl)}, 1))"
+  }
+
+  /** The identical chain in DuckDB SQL — the oracle side. */
+  def zvalueDuckSql(x: String, y: String): String = {
+    val shl = (e: String, n: Int) => s"($e << $n)"
+    s"(${spreadSql(x, shl)} | (${spreadSql(y, shl)} << 1))"
+  }
+
+  def zvalue(x: String, y: String): Column = expr(zvalueSparkSql(x, y))
+
+  /** Write `df` z-ordered on (x, y): range-partition by z-value (file
+    * count = `nFiles`, sized by the caller from data volume / target
+    * file size), sort within partitions, drop the helper column at the
+    * output edge. Each resulting file covers a bounded rectangle of
+    * (x, y) space — the locality ZOrderSpec measures. */
+  def writeClustered(
+      df: DataFrame, x: String, y: String, path: String, nFiles: Int): Unit =
+    df.withColumn("__z", zvalue(x, y))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

@@ -1158,6 +1158,36 @@ object Relational {
              FROM w GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Z-ORDER layout audit: Morton-interleave (l_partkey, l_suppkey)
+    * ([[graft.functions.ZOrder]]) and report, per z-bucket (1024
+    * consecutive z-values = one 32×32 cell), the (x, y) bounding box it
+    * covers. The point the numbers make: every
+    * bucket spans a BOUNDED RECTANGLE of the 2-D key space — which is
+    * exactly why a z-sorted file layout lets parquet min/max stats
+    * prune scans on either key column (see `ZOrder.writeClustered` and
+    * the locality measurement in ZOrderSpec). Pure integer shift/mask
+    * arithmetic, bit-identical in both engines → full oracle. */
+  private val qZorderLayout = Q(
+    "q_zorder_layout",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+        .withColumn("z", graft.functions.ZOrder.zvalue("x", "y"))
+        .withColumn("bucket", expr("shiftright(z, 10)").cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("bucket")),
+    Some(s"""WITH z AS (SELECT l_partkey AS x, l_suppkey AS y,
+                 ${graft.functions.ZOrder.zvalueDuckSql("l_partkey", "l_suppkey")} AS z
+               FROM lineitem)
+             SELECT CAST(z >> 10 AS BIGINT) AS bucket, count(*) AS n,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+             FROM z GROUP BY bucket ORDER BY bucket""")
+  )
+
   def qs: Seq[Q] = Seq(
     qScanProjection, qFilterPredicate,
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
@@ -1169,5 +1199,6 @@ object Relational {
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,
     qSubqueryCorrelated, qPathTransitions, qFunnelSteps,
     qCohortRetention, qStringAggOrdered,
-    qBloomPrefilterJoin, qIntervalMerge, qAnomalyMad, qDecayedCounts)
+    qBloomPrefilterJoin, qIntervalMerge, qAnomalyMad, qDecayedCounts,
+    qZorderLayout)
 }

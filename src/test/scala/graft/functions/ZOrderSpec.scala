@@ -1,0 +1,69 @@
+package graft.functions
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Morton-interleave correctness goldens plus the claim that matters:
+  * a z-ordered file layout gives every output file a tight bounding
+  * box in BOTH key dimensions (the precondition for parquet min/max
+  * pruning on either column). */
+class ZOrderSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def z(x: Long, y: Long): Long =
+    Seq((x, y)).toDF("x", "y")
+      .select(ZOrder.zvalue("x", "y")).collect()(0).getLong(0)
+
+  test("morton goldens: bit interleave puts x on even, y on odd bits") {
+    assert(z(0, 0) == 0L)
+    assert(z(1, 0) == 1L)
+    assert(z(0, 1) == 2L)
+    assert(z(1, 1) == 3L)
+    assert(z(2, 0) == 4L)
+    assert(z(0, 2) == 8L)
+    assert(z(65535, 0) == 0x55555555L)
+    assert(z(0, 65535) == 0xAAAAAAAAL)
+    assert(z(65535, 65535) == 0xFFFFFFFFL)
+    // inputs mask to their low 16 bits
+    assert(z(65536 + 3, 0) == z(3, 0))
+  }
+
+  test("morton quadrant order: z respects the recursive quadrant layout") {
+    // all of quadrant (x<2^15, y<2^15) sorts before any point with the
+    // top bit of y set
+    assert(z(32767, 32767) < z(0, 32768))
+    // within a quadrant, sub-quadrant order recurses the same way
+    assert(z(1, 1) < z(2, 0) && z(3, 3) < z(0, 4))
+  }
+
+  test("z-ordered layout: every file covers a tight (x, y) bounding box") {
+    val dir = Files.createTempDirectory("zorder").toString
+    // 64x64 grid, both dims uniform on [0, 4096)
+    val grid = spark.range(4096)
+      .select((col("id") % 64 * 64).as("x"), (col("id") / 64 * 64).cast("long").as("y"))
+    ZOrder.writeClustered(grid, "x", "y", dir, nFiles = 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 16, s"expected 16 files, got ${files.length}")
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // global span is 4032 per dim; a z-ordered 16-file split keeps each
+    // file within a quadrant-ish box — no file may span a full dim, and
+    // the mean span must be well under half the global span
+    assert(spans.forall { case (sx, sy) => sx < 4032 && sy < 4032 },
+      spans.mkString(","))
+    val meanSpan = spans.map { case (sx, sy) => sx + sy }.sum.toDouble / (2 * spans.length)
+    assert(meanSpan < 4032 / 2.0,
+      f"mean per-file span $meanSpan%.0f too wide for a clustered layout")
+    // and the layout actually round-trips every row
+    assert(spark.read.parquet(dir).count() == 4096)
+  }
+}
