@@ -1,0 +1,62 @@
+package graft.functions
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.Encoder
+import org.apache.spark.unsafe.types.UTF8String
+
+/** COUNT-MIN sketch as a typed `Aggregator` — the 5th mergeable sketch
+  * family (HLL distincts, t-digest percentiles, Misra–Gries heavy
+  * hitters, Bloom membership, and now per-key FREQUENCY ESTIMATES for
+  * arbitrary point lookups): `depth × width` counters, each row a
+  * different hash of the key; estimate = min over rows of the key's
+  * counter (Cormode & Muthukrishnan 2005).
+  *
+  * Guarantees: never underestimates; overestimate ≤ εn with
+  * probability 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉. Memory is a
+  * fixed `depth·width` long array per partial — map-side combinable,
+  * merge = elementwise sum (exactly associative/commutative, so the
+  * sketch is INDEPENDENT of partitioning and merge order — what makes
+  * `q_cms_counts` fully oracle-checkable, not just rows-only).
+  *
+  * Row hashes are [[PolyHash]] of `"<row>:<key>"` — the engine-
+  * agnostic hash, so DuckDB rebuilds the identical counter matrix in
+  * SQL. */
+final class CountMin(depth: Int, width: Int)
+    extends Aggregator[String, Array[Long], Seq[Long]] with Serializable {
+  require(depth >= 1 && width >= 2, s"bad geometry: $depth x $width")
+
+  override def zero: Array[Long] = new Array[Long](depth * width)
+
+  override def reduce(b: Array[Long], key: String): Array[Long] = {
+    if (key != null) {
+      var i = 0
+      while (i < depth) {
+        b(i * width + CountMin.bucket(i, key, width)) += 1L
+        i += 1
+      }
+    }
+    b
+  }
+
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < x.length) { x(i) += y(i); i += 1 }
+    x
+  }
+
+  override def finish(b: Array[Long]): Seq[Long] = b.toIndexedSeq
+
+  private def enc[T: TypeTag]: Encoder[T] = ExpressionEncoder[T]()
+  override def bufferEncoder: Encoder[Array[Long]] = enc
+  override def outputEncoder: Encoder[Seq[Long]] = enc
+}
+
+object CountMin {
+  /** Row `row`'s bucket for `key`: poly_hash("row:key") mod width —
+    * non-negative by PolyHash's construction. */
+  def bucket(row: Int, key: String, width: Int): Int =
+    (PolyHash.hash(UTF8String.fromString(row + ":" + key)) % width).toInt
+}

@@ -346,24 +346,29 @@ object Dedup {
     * banding), but a mass-duplicated real corpus would blow it up;
     * keep oracle runs at sf ≤ 0.1 where the band cap bounds components.
     */
+  /** Near-dup candidate pairs at Jaccard ≥ 0.5, banded by doc_id range
+    * (bucket join, never all-pairs) — the edge set both
+    * [[qDupClusters]] and [[qLeakageSafeSplit]] resolve. */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = shingleSets(Tables.documents(s, d))
+    val a = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+      explode(sequence(floor(col("doc_id") / 20),
+        floor(col("doc_id") / 20) + 1)).as("bucket"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+      floor(col("doc_id") / 20).as("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_b") > col("doc_a") && col("doc_b") <= col("doc_a") + 20)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   private val qDupClusters = Q(
     "q_dup_clusters",
-    (s, d) => {
-      val docs = shingleSets(Tables.documents(s, d))
-      val a = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-        explode(sequence(floor(col("doc_id") / 20),
-          floor(col("doc_id") / 20) + 1)).as("bucket"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-        floor(col("doc_id") / 20).as("bucket"))
-      val pairs = a.join(b, Seq("bucket"))
-        .filter(col("doc_b") > col("doc_a") && col("doc_b") <= col("doc_a") + 20)
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .filter(col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      ConnectedComponents.minLabel(pairs, Checkpointer.Local)
-        .orderBy(col("doc_id"))
-    },
+    (s, d) =>
+      ConnectedComponents.minLabel(nearDupPairs(s, d), Checkpointer.Local)
+        .orderBy(col("doc_id")),
     Some("""WITH RECURSIVE s AS (
               SELECT doc_id,
                 list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
@@ -389,7 +394,90 @@ object Dedup {
             FROM reach GROUP BY node ORDER BY doc_id""")
   )
 
+  /** LEAKAGE-SAFE train/val/test split — the assignment rule a
+    * pretraining pipeline must use: hash the near-dup CLUSTER id, not
+    * the document id, so near-duplicates can never straddle a split
+    * boundary (doc-level hashing leaks eval content into train through
+    * its duplicates — the classic benchmark-contamination mechanism).
+    *
+    * Shape: the banded near-dup edge set → ConnectedComponents →
+    * left-join labels onto all docs (singletons are their own cluster)
+    * → split by poly_hash(cluster) mod 10 (8/1/1) → per-split rollup
+    * with a self-audit column: `leaked_clusters` counts clusters seen
+    * in >1 split and MUST be 0 by construction — the oracle re-derives
+    * it from first principles (recursive-CTE components) and agrees.
+    * One extra shuffle over q_dup_clusters (the audit groupBy); all
+    * banding/checkpoint scale properties carry over unchanged. */
+  private val qLeakageSafeSplit = Q(
+    "q_leakage_safe_split",
+    (s, d) => {
+      val labels = ConnectedComponents.minLabel(nearDupPairs(s, d), Checkpointer.Local)
+      val clustered = Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("m", pmod(expr("poly_hash(cast(cluster as string))"), lit(10)))
+        .withColumn("split",
+          when(col("m") <= 7, "train").when(col("m") === 8, "val").otherwise("test"))
+      val audit = clustered.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("sz"), countDistinct(col("split")).as("n_splits"))
+      clustered.join(audit, Seq("cluster"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("docs_in_dup_clusters"),
+          countDistinct(when(col("n_splits") > 1, col("cluster"))).as("leaked_clusters"))
+        .orderBy(col("split"))
+    },
+    Some("""WITH RECURSIVE s AS (
+              SELECT doc_id,
+                list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingles
+              FROM documents
+              WHERE len(string_split(text,' ')) >= 3),
+                 p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM s a JOIN s b
+                ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+              WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                    (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+                 e AS (
+              SELECT doc_a AS a, doc_b AS b FROM p
+              UNION ALL
+              SELECT doc_b AS a, doc_a AS b FROM p),
+                 reach(node, r) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r),
+                 lab AS (SELECT node AS doc_id, min(r) AS cluster_id
+                         FROM reach GROUP BY node),
+                 cl AS (SELECT d.doc_id,
+                          coalesce(lab.cluster_id, d.doc_id) AS cluster
+                        FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+                 sp AS (SELECT doc_id, cluster,
+                          CASE WHEN m <= 7 THEN 'train'
+                               WHEN m = 8 THEN 'val' ELSE 'test' END AS split
+                        FROM (SELECT *,
+                            list_reduce(list_transform(
+                                string_split_regex(CAST(cluster AS VARCHAR), ''),
+                                c -> CAST(ascii(c) AS BIGINT)),
+                              (a, b) -> (a * 31 + b) % 1000000007) % 10 AS m
+                          FROM cl)),
+                 aud AS (SELECT cluster, count(*) AS sz,
+                           count(DISTINCT split) AS n_splits
+                         FROM sp GROUP BY cluster)
+            SELECT split, count(*) AS n_docs,
+              count(DISTINCT sp.cluster) AS n_clusters,
+              CAST(sum(CASE WHEN aud.sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS docs_in_dup_clusters,
+              count(DISTINCT CASE WHEN aud.n_splits > 1 THEN sp.cluster END)
+                AS leaked_clusters
+            FROM sp JOIN aud USING (cluster)
+            GROUP BY split ORDER BY split""")
+  )
+
   def qs: Seq[Q] =
     Seq(qDedupExact, qMinhashDup, qSimhashDup, qNgramJaccard,
-      qNgramContainment, qDecontaminate, qDupClusters)
+      qNgramContainment, qDecontaminate, qDupClusters, qLeakageSafeSplit)
 }

@@ -409,8 +409,80 @@ object TextOps {
            FROM p ORDER BY score DESC, doc_id LIMIT 20""")
   )
 
+  /** COUNT-MIN point-frequency estimates ([[graft.functions.CountMin]],
+    * 4×32 counters — width deliberately SMALL so collisions are real
+    * and the overcount column is non-trivial): build one sketch over
+    * the token stream, probe it for three common terms and one absent
+    * one, and report estimate vs exact with the overcount.
+    *
+    * Fully oracle-checked — unusual for a sketch — because the merge
+    * is an elementwise sum (partitioning/merge-order independent) and
+    * the row hashes are poly_hash, which DuckDB recomputes; the oracle
+    * rebuilds the whole counter matrix in SQL and probes it the same
+    * way. The `overcount >= 0` column IS the CMS guarantee (never
+    * underestimates) made visible.
+    *
+    * Scale: the sketch is one fixed buffer per partial with
+    * map-side combine (1 KiB here) — the bounded-memory point-lookup complement to
+    * Misra–Gries (which only retains the heavy tail). */
+  private val qCmsCounts = Q(
+    "q_cms_counts",
+    (s, d) => {
+      val depth = 4; val width = 32
+      val probes = Seq("hash", "merge", "scan", "zzzunseen")
+      val cms = udaf(new graft.functions.CountMin(depth, width))
+      val tok = Tables.documents(s, d)
+        .select(explode(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " "))
+          .as("term"))
+        .filter(col("term") =!= "")
+      val sk = tok.agg(cms(col("term")).as("counters")) // 1 row, 256 longs
+      val exact = tok.filter(col("term").isin(probes: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("exact"))
+      import s.implicits._
+      val est = probes.toDF("term").crossJoin(broadcast(sk))
+        .withColumn("est", least((0 until depth).map(i =>
+          element_at(col("counters"),
+            (lit(i * width) +
+              pmod(call_function("poly_hash", concat(lit(s"$i:"), col("term"))),
+                lit(width))).cast("int") + lit(1))): _*))
+      est.join(exact, Seq("term"), "left")
+        .select(col("term"), col("est").as("cms_count"),
+          coalesce(col("exact"), lit(0L)).as("exact_count"),
+          (col("est") - coalesce(col("exact"), lit(0L))).as("overcount"))
+        .orderBy(col("term"))
+    },
+    Some("""WITH t AS (SELECT unnest(string_split_regex(
+                  regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' ')) AS term
+               FROM documents),
+             tok AS (SELECT * FROM t WHERE term <> ''),
+             rows_(i) AS (VALUES (0), (1), (2), (3)),
+             h AS (SELECT r.i,
+                 list_reduce(list_transform(
+                     string_split_regex(r.i || ':' || tok.term, ''),
+                     c -> CAST(ascii(c) AS BIGINT)),
+                   (a, b) -> (a * 31 + b) % 1000000007) % 32 AS b
+               FROM tok CROSS JOIN rows_ r),
+             counters AS (SELECT i, b, count(*) AS c FROM h GROUP BY i, b),
+             probes(term) AS (VALUES ('hash'), ('merge'), ('scan'), ('zzzunseen')),
+             pb AS (SELECT p.term, r.i,
+                 list_reduce(list_transform(
+                     string_split_regex(r.i || ':' || p.term, ''),
+                     c -> CAST(ascii(c) AS BIGINT)),
+                   (a, b) -> (a * 31 + b) % 1000000007) % 32 AS b
+               FROM probes p CROSS JOIN rows_ r),
+             e AS (SELECT pb.term, min(coalesce(c.c, 0)) AS est
+                   FROM pb LEFT JOIN counters c USING (i, b) GROUP BY pb.term),
+             ex AS (SELECT term, count(*) AS exact FROM tok
+                    WHERE term IN ('hash', 'merge', 'scan', 'zzzunseen')
+                    GROUP BY term)
+           SELECT e.term, CAST(e.est AS BIGINT) AS cms_count,
+             CAST(coalesce(ex.exact, 0) AS BIGINT) AS exact_count,
+             CAST(e.est - coalesce(ex.exact, 0) AS BIGINT) AS overcount
+           FROM e LEFT JOIN ex USING (term) ORDER BY term""")
+  )
+
   def qs: Seq[Q] =
     Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint,
       qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf, qLengthHistogram,
-      qBm25)
+      qBm25, qCmsCounts)
 }

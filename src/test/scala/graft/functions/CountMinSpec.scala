@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Count-Min sketch properties on planted data: never underestimates,
+  * collisions only ever inflate, and the merge is partitioning-
+  * invariant (what makes the q_cms_counts oracle possible at all). */
+class CountMinSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def estimate(counters: Seq[Long], key: String, depth: Int, width: Int): Long =
+    (0 until depth).map(i => counters(i * width + CountMin.bucket(i, key, width))).min
+
+  private val corpus: Seq[String] =
+    Seq.fill(100)("alpha") ++ Seq.fill(37)("beta") ++ Seq.fill(9)("gamma") ++
+      (1 to 50).map(i => s"tail$i")
+
+  test("never underestimates; exact when no row collides") {
+    val depth = 4; val width = 64
+    val cms = udaf(new CountMin(depth, width))
+    val counters = corpus.toDF("k").agg(cms(col("k"))).collect()(0).getSeq[Long](0)
+    val exact = corpus.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((k, n) <- exact)
+      assert(estimate(counters, k, depth, width) >= n, s"underestimated $k")
+    assert(estimate(counters, "alpha", depth, width) >= 100L)
+    assert(estimate(counters, "absent-key", depth, width) >= 0L)
+  }
+
+  test("forced-collision regime: depth 1, width 2 inflates but never drops") {
+    val depth = 1; val width = 2
+    val cms = udaf(new CountMin(depth, width))
+    val counters = corpus.toDF("k").agg(cms(col("k"))).collect()(0).getSeq[Long](0)
+    assert(counters.sum == corpus.size, "every arrival lands in exactly one bucket")
+    // with 53 distinct keys in 2 buckets every estimate is inflated…
+    val estAlpha = estimate(counters, "alpha", depth, width)
+    assert(estAlpha > 100L, s"collision must inflate alpha, got $estAlpha")
+    // …but still never below the true count
+    assert(estimate(counters, "beta", depth, width) >= 37L)
+  }
+
+  test("merge is partitioning-invariant: 1-partition and 16-partition sketches agree") {
+    val depth = 4; val width = 32
+    val cms = udaf(new CountMin(depth, width))
+    val one = corpus.toDF("k").coalesce(1).agg(cms(col("k"))).collect()(0).getSeq[Long](0)
+    val many = corpus.toDF("k").repartition(16).agg(cms(col("k"))).collect()(0).getSeq[Long](0)
+    assert(one == many, "elementwise-sum merge must be order/partitioning independent")
+  }
+}
