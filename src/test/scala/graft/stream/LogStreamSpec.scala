@@ -516,6 +516,41 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(again == Set(("r1", 111L), ("r3", 300L)), again.toString)
   }
 
+  test("streaming rollup view: lake converges to the batch rollup across updates") {
+    def t(time: String) = java.sql.Timestamp.valueOf(s"2019-01-18 $time")
+    val dir = Files.createTempDirectory("rollupview").toString
+    val ckpt = Files.createTempDirectory("rollupview-ckpt").toString
+    val input = MemoryStream[(java.sql.Timestamp, String, String)](spark)
+    val q = LogStream.toRollupView(
+      input.toDF().toDF("@timestamp", "cf_result", "bytes_sent"), dir, ckpt)
+    val b1 = Seq((t("02:10:00"), "Hit", "100"), (t("02:20:00"), "Hit", "50"),
+      (t("02:30:00"), "Miss", "10"), (t("03:10:00"), "Hit", "7"))
+    // a LATE event for the 02:00 window, still inside the watermark:
+    // must UPDATE that window's row in place, not append a duplicate
+    val b2 = Seq((t("02:40:00"), "Hit", "25"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(dir)
+      .select("window_start", "cf_result", "requests", "bytes_sent")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch rollup over ALL events — the view must equal it exactly
+    val batch = (b1 ++ b2).toDF("@timestamp", "cf_result", "bytes_sent")
+      .groupBy(window(col("`@timestamp`"), "1 hour"), col("cf_result"))
+      .agg(count(lit(1)).as("requests"), sum(col("bytes_sent").cast("long")).as("bytes"))
+      .select(col("window.start"), col("cf_result"), col("requests"), col("bytes"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == batch, s"view $got != batch $batch")
+    assert(got.size == 3, "one row per (window, result) — updates merged, not appended")
+  }
+
   test("custom-state sessionization agrees with the session_window variant") {
     val data = Seq(row("02:00:00"), row("02:10:00"), row("04:00:00"),
       row("03:00:00", ip = "2.2.2.2"), row("03:20:00", ip = "2.2.2.2"))
