@@ -73,7 +73,8 @@ object ScaleSmoke {
       "q_similarity_lsh", "q_similarity_ivf", "q_similarity_ivf_kmeans",
       "q_embed_cosine_dup", "q_dedup_exact", "q_sessionize", "q_text_tokens",
       "q_ngram_containment", "q_decontaminate", "q_repetition_ratio",
-      "q_semantic_dedup", "q_dup_clusters", "q_text_pii_scrub")
+      "q_semantic_dedup", "q_dup_clusters", "q_text_pii_scrub",
+      "q_tfidf", "q_bm25", "q_cms_counts", "q_leakage_safe_split")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")
