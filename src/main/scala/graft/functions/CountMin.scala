@@ -59,4 +59,19 @@ object CountMin {
     * non-negative by PolyHash's construction. */
   def bucket(row: Int, key: String, width: Int): Int =
     (PolyHash.hash(UTF8String.fromString(row + ":" + key)) % width).toInt
+
+  /** Column-level probe of a sketch produced by [[CountMin]]: the
+    * estimate for `term` = min over rows of its counter. Pure built-in
+    * expressions (codegen'd poly_hash + element_at), so probing joins/
+    * projections stay in whole-stage codegen — used by `q_cms_counts`
+    * and the windowed streaming variant. */
+  def estimate(counters: org.apache.spark.sql.Column,
+      term: org.apache.spark.sql.Column, depth: Int, width: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    least((0 until depth).map(i =>
+      element_at(counters,
+        (lit(i * width) +
+          pmod(call_function("poly_hash", concat(lit(s"$i:"), term)),
+            lit(width))).cast("int") + lit(1))): _*)
+  }
 }

@@ -443,11 +443,8 @@ object TextOps {
         .groupBy(col("term")).agg(count(lit(1)).as("exact"))
       import s.implicits._
       val est = probes.toDF("term").crossJoin(broadcast(sk))
-        .withColumn("est", least((0 until depth).map(i =>
-          element_at(col("counters"),
-            (lit(i * width) +
-              pmod(call_function("poly_hash", concat(lit(s"$i:"), col("term"))),
-                lit(width))).cast("int") + lit(1))): _*))
+        .withColumn("est",
+          graft.functions.CountMin.estimate(col("counters"), col("term"), depth, width))
       est.join(exact, Seq("term"), "left")
         .select(col("term"), col("est").as("cms_count"),
           coalesce(col("exact"), lit(0L)).as("exact_count"),

@@ -271,6 +271,34 @@ object LogStream {
         explode(col("summary")).as(Seq("token", "approx_count")))
   }
 
+  /** Streaming COUNT-MIN rollup: one [[graft.functions.CountMin]]
+    * sketch per event-time window — point-frequency estimates over an
+    * UNBOUNDED token domain in `depth × width` longs of state per
+    * window (the estimation complement to [[heavyHittersWindowed]]'s
+    * top-k: MG keeps the heavy tail, CMS answers "how often did X
+    * occur this hour" for ANY X, probed after the fact with
+    * [[graft.functions.CountMin.estimate]]). Same aggregator as batch
+    * `q_cms_counts`, so stream and batch sketches are IDENTICAL on the
+    * same rows (elementwise-sum merge is partitioning/merge-order
+    * independent) — spec'd in LogStreamSpec.
+    *
+    * @return (window_start, counters), finalized per watermark in
+    *         append mode
+    */
+  def cmsWindowed(
+      tokens: DataFrame,
+      windowDur: String = "1 hour",
+      lateness: String = "30 minutes",
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    val cms = udaf(new graft.functions.CountMin(depth, width))
+    tokens
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(cms(col("token")).as("counters"))
+      .select(col("w.start").as("window_start"), col("counters"))
+  }
+
   /** Streaming SIMILARITY enrichment — each streamed embedding gets its
     * approximate nearest neighbor from a static corpus (the "which
     * known document/prototype is this closest to" lookup every

@@ -551,6 +551,39 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(got.size == 3, "one row per (window, result) — updates merged, not appended")
   }
 
+  test("windowed CMS: streaming sketch equals the batch sketch and never underestimates") {
+    def t(time: String) = java.sql.Timestamp.valueOf(s"2019-01-18 $time")
+    val rows =
+      (1 to 7).map(_ => (t("02:10:00"), "alpha")) ++
+      (1 to 3).map(_ => (t("02:20:00"), "beta")) ++
+      (1 to 4).map(_ => (t("03:15:00"), "alpha"))
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val out = LogStream.cmsWindowed(
+      input.toDF().toDF("ts", "token"), "1 hour", "30 minutes", 4, 64)
+    withQuery(out, "cms_out", "append") { q =>
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((t("09:00:00"), "flush"))
+      q.processAllAvailable()
+      val got = spark.table("cms_out")
+        .collect().map(r => r.getTimestamp(0).toString -> r.getSeq[Long](1)).toMap
+      // identical operator over the same rows as a batch
+      val batch = LogStream.cmsWindowed(
+          rows.toDF("ts", "token"), "1 hour", "30 minutes", 4, 64)
+        .collect().map(r => r.getTimestamp(0).toString -> r.getSeq[Long](1)).toMap
+      assert(got == batch, "stream and batch sketches must be bit-identical")
+      // probe the finalized window sketches: estimates are >= truth,
+      // and exact here (no colliding keys at this tiny cardinality)
+      def est(w: String, term: String): Long =
+        (0 until 4).map(i => got(w)(i * 64 +
+          graft.functions.CountMin.bucket(i, term, 64))).min
+      assert(est("2019-01-18 02:00:00.0", "alpha") == 7L)
+      assert(est("2019-01-18 02:00:00.0", "beta") == 3L)
+      assert(est("2019-01-18 03:00:00.0", "alpha") == 4L)
+      assert(est("2019-01-18 03:00:00.0", "absent") >= 0L)
+    }
+  }
+
   test("custom-state sessionization agrees with the session_window variant") {
     val data = Seq(row("02:00:00"), row("02:10:00"), row("04:00:00"),
       row("03:00:00", ip = "2.2.2.2"), row("03:20:00", ip = "2.2.2.2"))
