@@ -209,6 +209,68 @@ object Curation {
              FROM q GROUP BY source ORDER BY source""")
   )
 
+  /** SOURCE MIXTURE sampling — the data-mixing step of a pretraining
+    * run: given target mixture weights per source group (web 30%,
+    * books 50%, code 20% of a 200-doc budget here) compute each
+    * group's keep RATE from its actual size, clamp at 1, and sample by
+    * hash threshold. The rate lands in integer BASIS POINTS
+    * (`floor(rate·10⁴)`) so the keep decision `fp mod 10⁴ < rate_bp`
+    * is pure integer comparison — deterministic, auditable, and
+    * engine-exact (the one double chain producing rate_bp is the
+    * identical IEEE tree in both engines, ::DOUBLE-pinned in the
+    * oracle).
+    *
+    * Shape: one tiny group-size agg broadcast back, one scan with the
+    * hash gate, one final rollup — the sizes join is O(#groups) and
+    * everything else is map-side at any corpus size. */
+  private val qMixSources = Q(
+    "q_mix_sources",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("grp",
+          when(expr("cast(substring(source, 4, 10) as int)") <= 6, "web")
+            .when(expr("cast(substring(source, 4, 10) as int)") <= 13, "books")
+            .otherwise("code"))
+        .withColumn("w",
+          when(col("grp") === "web", lit(0.3))
+            .when(col("grp") === "books", lit(0.5))
+            .otherwise(lit(0.2)))
+        .withColumn("fp", expr(sparkFp))
+      val sizes = docs.groupBy(col("grp")).agg(count(lit(1)).as("n_g"))
+      docs.join(broadcast(sizes), "grp")
+        .withColumn("rate_bp",
+          floor(least(lit(1.0), (lit(200.0) * col("w")) / col("n_g")) * lit(10000))
+            .cast("long"))
+        .withColumn("keep", (pmod(col("fp"), lit(10000)) < col("rate_bp")).cast("long"))
+        .groupBy(col("grp"))
+        .agg(
+          max(col("n_g")).as("n_total"),
+          max(col("rate_bp")).as("rate_bp"),
+          sum(col("keep")).as("n_sampled"))
+        .orderBy(col("grp"))
+    },
+    Some(s"""WITH g AS (SELECT source,
+                 CASE WHEN CAST(substr(source, 4) AS INT) <= 6 THEN 'web'
+                      WHEN CAST(substr(source, 4) AS INT) <= 13 THEN 'books'
+                      ELSE 'code' END AS grp,
+                 $duckFp AS fp
+               FROM documents),
+             gw AS (SELECT *,
+                 CASE grp WHEN 'web' THEN 0.3::DOUBLE
+                          WHEN 'books' THEN 0.5::DOUBLE
+                          ELSE 0.2::DOUBLE END AS w
+               FROM g),
+             sz AS (SELECT grp, count(*) AS n_g FROM gw GROUP BY grp),
+             r AS (SELECT gw.grp, gw.fp, sz.n_g,
+                 CAST(floor(least(1.0::DOUBLE, (200.0::DOUBLE * w) / sz.n_g)
+                   * 10000) AS BIGINT) AS rate_bp
+               FROM gw JOIN sz USING (grp))
+           SELECT grp, max(n_g) AS n_total, max(rate_bp) AS rate_bp,
+             CAST(sum(CASE WHEN fp % 10000 < rate_bp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled
+           FROM r GROUP BY grp ORDER BY grp""")
+  )
+
   def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences, qSampleStratified,
-    qNtileBucketize, qSampleWeighted)
+    qNtileBucketize, qSampleWeighted, qMixSources)
 }
