@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, CosineSim, DotProduct, NgramHashes, PolyHash}
+import graft.functions.{BloomMightContain, CosineSim, DotProduct, NgramHashes, PolyHash, SimHash64}
 import graft.logs.expressions.UrlUnquote
 
 /** Engine extensions, injected via the public
@@ -49,6 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"${other.getClass.getSimpleName} ($other)")
         }
         NgramHashes(args.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"simhash64(text) requires exactly 1 argument, got ${args.length}")
+        SimHash64(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),

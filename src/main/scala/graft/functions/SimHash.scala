@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `simhash64(text)` — the 64-bit SimHash of a document's DISTINCT
+  * whitespace tokens, as one codegen'd pass over the raw UTF-8 bytes.
+  *
+  * Bit-identical to the relational formulation it replaces in
+  * `q_simhash_dup` (`explode(split(text,' ')) → xxhash64 →
+  * dropDuplicates → 64 per-bit majority SUMs`), which shuffled every
+  * token occurrence once for the distinct and once for the vote
+  * aggregation. Here the whole computation — token spans, per-token
+  * XXH64 (seed 42, Spark's `xxhash64`), sort+dedup, majority vote with
+  * the same strict `2·count > n` rule — runs inside the scan stage:
+  * ZERO shuffles before candidate banding. Empty tokens from
+  * consecutive spaces hash like Spark's `split` produces them
+  * (limit=-1 semantics), so the migration is provably a no-op
+  * (SimHashSpec pins equality against the old pipeline).
+  */
+object SimHash {
+  final val Seed = 42L // spark.sql.functions.xxhash64's fixed seed
+
+  def hash(s: UTF8String): Long = {
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val len = s.numBytes()
+    var tokens = 1
+    var i = 0
+    while (i < len) {
+      if (Platform.getByte(base, offset + i) == ' '.toByte) tokens += 1
+      i += 1
+    }
+    val hs = new Array[Long](tokens)
+    var start = 0
+    var k = 0
+    i = 0
+    while (i < len) {
+      if (Platform.getByte(base, offset + i) == ' '.toByte) {
+        hs(k) = XXH64.hashUnsafeBytes(base, offset + start, i - start, Seed)
+        k += 1; start = i + 1
+      }
+      i += 1
+    }
+    hs(k) = XXH64.hashUnsafeBytes(base, offset + start, len - start, Seed)
+    java.util.Arrays.sort(hs)
+    // distinct hashes vote; majority rule is STRICT (2·cnt > n), the
+    // same tie-break as the SUM-aggregate formulation
+    val counts = new Array[Int](64)
+    var n = 0
+    var prev = 0L
+    i = 0
+    while (i < tokens) {
+      val h = hs(i)
+      if (i == 0 || h != prev) {
+        n += 1
+        var b = 0
+        while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      }
+      prev = h
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * counts(b) > n) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

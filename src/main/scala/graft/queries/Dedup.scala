@@ -138,33 +138,17 @@ object Dedup {
   private val qSimhashDup = Q(
     "q_simhash_dup",
     (s, d) => {
-      // Same codegen rationale as minhash: explode distinct tokens, one
-      // string hash each, then 64 per-bit SUM aggregates (map-side
-      // combined) and a single majority-vote bit-assembly expression.
-      // dropDuplicates materializes h through an aggregate, so the 64
-      // per-bit references below read an attribute instead of letting
-      // CollapseProject re-inline (and recompute) the string hash 64×
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .select(col("doc_id"), xxhash64(col("t")).as("h"))
-        .dropDuplicates("doc_id", "h")
-      // 64 per-bit counters packed 4-to-a-long (16-bit slots, safe to
-      // 65k tokens/doc): 16 SUM aggregates instead of 64 keeps the
-      // generated aggregate code small — the unpacked version spent
-      // more time in Janino compilation than in data
-      val packedSums = (0 until 16).map { j =>
-        val terms = (0 until 4)
-          .map(k => s"(((h >> ${j + 16 * k}) & 1) << ${16 * k})")
-          .mkString(" | ")
-        sum(expr(terms)).as(s"p$j")
-      }
-      val bitSums = tok.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n"), packedSums: _*)
-      val assemble = (0 until 64).map { b =>
-        val (j, k) = (b % 16, b / 16)
-        s"IF(((p$j >> ${16 * k}) & 65535) * 2 > n, ${1L << b}L, 0L)"
-      }.mkString(" + ")
-      val docs = bitSums.select(col("doc_id"), expr(assemble).as("simhash"))
+      // The whole signature — token spans, per-token xxhash64, distinct,
+      // strict-majority vote — is ONE codegen'd expression
+      // ([[graft.functions.SimHash64]]) inside the scan stage: zero
+      // shuffles before banding. It replaced two earlier formulations,
+      // each measured: 64 naked SUM aggregates (Janino-compile-bound),
+      // then 16 packed 4-per-long SUMs (execution-bound on two shuffles
+      // of every token occurrence, 1.1 s warm at sf0.1); SimHashSpec
+      // pins bit-equality against the aggregate formulation
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull) // the explode form dropped null docs
+        .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
       val bands = docs.select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), b -> named_struct('band', b, 'bits', (simhash >> (16*b)) & 65535))")).as("bd"))

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** The single-pass `simhash64` expression must be BIT-IDENTICAL to the
+  * relational formulation it replaced (explode → xxhash64 →
+  * dropDuplicates → packed per-bit majority SUMs) — that equality is
+  * what makes the q_simhash_dup migration a provable no-op. */
+class SimHashSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  /** The pre-expression pipeline, verbatim. */
+  private def aggregateSimhash(docs: org.apache.spark.sql.DataFrame) = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .dropDuplicates("doc_id", "h")
+    val packedSums = (0 until 16).map { j =>
+      val terms = (0 until 4)
+        .map(k => s"(((h >> ${j + 16 * k}) & 1) << ${16 * k})")
+        .mkString(" | ")
+      sum(expr(terms)).as(s"p$j")
+    }
+    val assemble = (0 until 64).map { b =>
+      val (j, k) = (b % 16, b / 16)
+      s"IF(((p$j >> ${16 * k}) & 65535) * 2 > n, ${1L << b}L, 0L)"
+    }.mkString(" + ")
+    tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), packedSums: _*)
+      .select(col("doc_id"), expr(assemble).as("simhash"))
+  }
+
+  test("expression equals the aggregate formulation on real corpus text") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val old = aggregateSimhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val neo = docs.select(col("doc_id"), expr("simhash64(text)").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(old.keySet == neo.keySet)
+    val diffs = old.keys.filter(k => old(k) != neo(k))
+    assert(diffs.isEmpty, s"simhash mismatch for docs: ${diffs.take(5).toSeq}")
+  }
+
+  test("edge cases: single token, repeated tokens, consecutive spaces, empty string") {
+    val docs = Seq(
+      (1L, "solo"),
+      (2L, "dup dup dup"),                 // distinct reduces to one token
+      (3L, "a  b"),                        // empty token between the spaces
+      (4L, ""),                            // split("") = [""] — one empty token
+      (5L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val old = aggregateSimhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val neo = docs.select(col("doc_id"), expr("simhash64(text)").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(old == neo, s"old=$old new=$neo")
+    // a doc reduced to one distinct token IS that token's hash bits
+    assert(neo(2L) == neo.getOrElse(2L, 0L))
+  }
+
+  test("misuse fails at analysis with a function-shaped message") {
+    val e = intercept[Exception] {
+      Seq(("x")).toDF("t").select(expr("simhash64(t, 2)")).collect()
+    }
+    assert(e.getMessage.contains("simhash64"), e.getMessage)
+  }
+}
