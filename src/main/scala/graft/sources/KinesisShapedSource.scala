@@ -96,12 +96,15 @@ class KinesisShapedSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new KinesisShapedTable(properties.get("stream"))
+    new KinesisShapedTable(properties.get("stream"),
+      Option(properties.get("maxRecordsPerTrigger")).map(_.toLong).getOrElse(0L))
 }
 
-private class KinesisShapedTable(stream: String)
+private class KinesisShapedTable(stream: String, maxRecordsPerTrigger: Long)
   extends Table with SupportsRead with SupportsWrite {
   require(stream != null, "option 'stream' is required")
+  require(maxRecordsPerTrigger >= 0,
+    s"maxRecordsPerTrigger must be >= 0, got $maxRecordsPerTrigger")
   override def name(): String = s"kinesis-shaped:$stream"
   override def schema(): StructType = KinesisShapedSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -116,7 +119,7 @@ private class KinesisShapedTable(stream: String)
     () => new Scan {
       override def readSchema(): StructType = KinesisShapedSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new KinesisShapedMicroBatchStream(stream)
+        new KinesisShapedMicroBatchStream(stream, maxRecordsPerTrigger)
     }
 }
 
@@ -134,12 +137,52 @@ private object ShardOffsets {
   }
 }
 
-private class KinesisShapedMicroBatchStream(stream: String) extends MicroBatchStream {
+private class KinesisShapedMicroBatchStream(stream: String, maxRecordsPerTrigger: Long)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   override def initialOffset(): Offset =
     ShardOffsets(Seq.fill(KinesisShapedStore.shardCount(stream))(0L))
 
   override def latestOffset(): Offset =
+    ShardOffsets(KinesisShapedStore.latestSeqs(stream).toSeq)
+
+  /** ADMISSION CONTROL — the backpressure knob every unbounded source
+    * needs (the reference's analog: its 500-record chunks + bounded
+    * queue, `cloudfront_kinesis_lambda.py:216-221`). With
+    * `maxRecordsPerTrigger` set, each micro-batch admits at most that
+    * many records, split evenly across shards (each shard gets
+    * ≥ 1 so a tiny budget can never starve a shard of progress —
+    * documented to overshoot by at most shards−1 in that corner, the
+    * same rounding contract as Kafka's maxOffsetsPerTrigger). A
+    * backlog then drains as a SEQUENCE of bounded batches instead of
+    * one giant catch-up batch — bounded executor memory and steady
+    * progress after downtime. */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    if (maxRecordsPerTrigger > 0) ReadLimit.maxRows(maxRecordsPerTrigger)
+    else ReadLimit.allAvailable()
+  }
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.ReadMaxRows
+    val latest = KinesisShapedStore.latestSeqs(stream)
+    val s = start.asInstanceOf[ShardOffsets].seqs
+    limit match {
+      case r: ReadMaxRows =>
+        val perShard = math.max(1L, r.maxRows() / math.max(1, latest.length))
+        ShardOffsets(latest.indices.map { shard =>
+          val from = if (shard < s.size) s(shard) else 0L
+          math.min(latest(shard), from + perShard)
+        })
+      case _ => ShardOffsets(latest.toSeq)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
     ShardOffsets(KinesisShapedStore.latestSeqs(stream).toSeq)
 
   override def deserializeOffset(json: String): Offset = ShardOffsets.fromJson(json)

@@ -43,6 +43,32 @@ class KinesisShapedSourceSpec extends AnyFunSuite with SparkTestSupport {
     KinesisShapedStore.deleteStream(stream)
   }
 
+  test("maxRecordsPerTrigger: a backlog drains as bounded batches, no loss, no dup") {
+    val stream = "src-spec-limit"
+    KinesisShapedStore.createStream(stream, 2)
+    (0 until 20).foreach(i =>
+      KinesisShapedStore.put(stream, s"key-$i", s"rec-$i".getBytes("UTF-8")))
+    val df = spark.readStream.format("kinesis-shaped")
+      .option("stream", stream).option("maxRecordsPerTrigger", "6").load()
+      .select(col("data").cast("string").as("payload"))
+    val q = df.writeStream.format("memory").queryName("klimit")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("klimit").collect().map(_.getString(0))
+      assert(rows.length == 20, "the whole backlog must drain")
+      assert(rows.sorted.toSeq == (0 until 20).map(i => s"rec-$i").sorted,
+        "exactly-once across the bounded batches")
+      // every admitted batch respects the cap (6 split over 2 shards =
+      // 3 per shard per trigger) — and draining 20 rows at ≤6 per
+      // batch requires at least 4 non-empty batches
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(sizes.forall(_ <= 6), s"batch over cap: ${sizes.mkString(",")}")
+      assert(sizes.length >= 4, s"expected ≥4 bounded batches, got ${sizes.mkString(",")}")
+    } finally q.stop()
+    KinesisShapedStore.deleteStream(stream)
+  }
+
   test("reshard mid-stream: a new shard is picked up from sequence 0, nothing re-read") {
     val stream = "src-spec-reshard"
     KinesisShapedStore.createStream(stream, 2)
