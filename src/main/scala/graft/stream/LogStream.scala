@@ -271,6 +271,28 @@ object LogStream {
         explode(col("summary")).as(Seq("token", "approx_count")))
   }
 
+  /** Windowed APPROX-DISTINCT visitors — the HLL sketch family's
+    * streaming form (next to Misra–Gries [[heavyHittersWindowed]] and
+    * Count-Min [[cmsWindowed]]): per event-time window, the
+    * approximate distinct `src_ip` count via `approx_count_distinct`
+    * (HLL++ — mergeable partials, so state per open window is one
+    * fixed-size sketch, never a per-ip set; at rsd 5% that is ~1.5 KiB
+    * per window regardless of traffic). The batch analog with the same
+    * precision/semantics is `q_agg_approx_distinct`; stream-vs-batch
+    * equality is spec'd (HLL++ is deterministic on identical data). */
+  def distinctVisitorsWindowed(
+      canonical: DataFrame,
+      window_ : String = "1 hour",
+      lateness: String = "2 hours",
+      rsd: Double = 0.05): DataFrame =
+    canonical
+      .withWatermark("`@timestamp`", lateness)
+      .groupBy(window(col("@timestamp"), window_).as("w"))
+      .agg(approx_count_distinct(col("src_ip"), rsd).as("approx_visitors"),
+        count(lit(1)).as("requests"))
+      .select(col("w.start").as("window_start"),
+        col("approx_visitors"), col("requests"))
+
   /** Streaming COUNT-MIN rollup: one [[graft.functions.CountMin]]
     * sketch per event-time window — point-frequency estimates over an
     * UNBOUNDED token domain in `depth × width` longs of state per

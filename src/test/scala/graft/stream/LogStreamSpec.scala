@@ -551,6 +551,35 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(got.size == 3, "one row per (window, result) — updates merged, not appended")
   }
 
+  test("windowed approx-distinct: streaming HLL equals batch on the same rows") {
+    val rows = Seq(
+      row("02:10:00", ip = "1.1.1.1"), row("02:20:00", ip = "1.1.1.1"),
+      row("02:30:00", ip = "2.2.2.2"), row("02:40:00", ip = "3.3.3.3"),
+      row("03:10:00", ip = "1.1.1.1"), row("03:20:00", ip = "4.4.4.4"))
+    val input = MemoryStream[LogRow](spark)
+    val out = LogStream.distinctVisitorsWindowed(
+      CloudFrontTransform.canonicalCols(input.toDF()))
+    withQuery(out, "adv_out", "append") { q =>
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(row("09:00:00")) // advance watermark, finalize
+      q.processAllAvailable()
+      val got = spark.table("adv_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+        .toSet
+      // HLL++ is deterministic on identical data — stream must equal batch
+      val batch = LogStream.distinctVisitorsWindowed(
+          CloudFrontTransform.canonicalCols(rows.toDF()))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      // at cardinality 3/2 the sparse HLL++ representation is exact
+      assert(got == Set(
+        ("2019-01-18 02:00:00.0", 3L, 4L),
+        ("2019-01-18 03:00:00.0", 2L, 2L)), got.toString)
+    }
+  }
+
   test("windowed CMS: streaming sketch equals the batch sketch and never underestimates") {
     def t(time: String) = java.sql.Timestamp.valueOf(s"2019-01-18 $time")
     val rows =
