@@ -172,6 +172,32 @@ object LogLake {
     parts
   }
 
+  /** Maintenance DISCOVERY: list `(env, log_day)` partitions holding
+    * at least `minFiles` data files — the work-list a compaction
+    * scheduler fans out over (each item = one [[compactPartition]]
+    * call). Pure FileSystem listing, no Spark jobs: two directory
+    * levels deep, proportional to partition count, never to data
+    * volume. Scratch dirs (`.compact-*`/`.upsert-*`) and non-partition
+    * files are ignored. */
+  def fragmentedPartitions(
+      spark: SparkSession,
+      path: String,
+      minFiles: Int = 8): Seq[(String, String, Int)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    for {
+      envDir <- fs.listStatus(root).toSeq
+      if envDir.isDirectory && envDir.getPath.getName.startsWith("env=")
+      dayDir <- fs.listStatus(envDir.getPath).toSeq
+      if dayDir.isDirectory && dayDir.getPath.getName.startsWith("log_day=")
+      n = fs.listStatus(dayDir.getPath).count(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+      if n >= minFiles
+    } yield (envDir.getPath.getName.stripPrefix("env="),
+      dayDir.getPath.getName.stripPrefix("log_day="), n)
+  }.sortBy(p => (p._1, p._2))
+
   /** The crash-safe SWAP protocol shared by compaction and upsert
     * (steps documented on [[compactPartition]]): write the replacement
     * to `tmp`, park the live dir `aside`, move `tmp` into place, delete

@@ -201,6 +201,24 @@ class LogLakeSpec extends AnyFunSuite with SparkTestSupport {
     assert(!fs.exists(tmp) && !fs.exists(aside), "no scratch dirs survive")
   }
 
+  test("fragmented-partition discovery lists exactly the compaction work-list") {
+    val dir = Files.createTempDirectory("lakefrag").toString
+    // prod/2019-01-18 gets 5 append rounds (≥5 files); the others 1
+    (1 to 5).foreach(_ => LogLake.write(canonicalFixture, dir))
+    val frag = LogLake.fragmentedPartitions(spark, dir, minFiles = 5)
+    assert(frag.map(p => (p._1, p._2)) ==
+      Seq(("prod", "2019-01-18"), ("prod", "2019-01-19"), ("stg", "2019-01-18")),
+      s"all 5×-appended day partitions qualify: $frag")
+    assert(frag.forall(_._3 >= 5))
+    // compacting one drops it from the next discovery pass
+    LogLake.compactPartition(spark, dir, "prod", "2019-01-18")
+    val after = LogLake.fragmentedPartitions(spark, dir, minFiles = 5)
+    assert(after.map(p => (p._1, p._2)) ==
+      Seq(("prod", "2019-01-19"), ("stg", "2019-01-18")), after.toString)
+    // empty/missing lakes yield an empty work-list, not an error
+    assert(LogLake.fragmentedPartitions(spark, "/tmp/no-such-lake-xyz").isEmpty)
+  }
+
   test("delete-only changelog against a missing partition is a no-op") {
     val dir = Files.createTempDirectory("lakeup3").toString
     LogLake.write(keyedFixture, dir)
