@@ -3,11 +3,11 @@ package graft.functions
 import scala.reflect.runtime.universe.TypeTag
 
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 import org.apache.spark.sql.Encoder
 
 /** Bloom membership sketch over long keys — the fourth mergeable sketch
@@ -119,9 +119,16 @@ final class BloomAgg(numWords: Int) extends Aggregator[Long, Array[Long], Array[
   * [[Bloom.bitIndex]] exactly (spec'd equal in BloomSpec). Null bits or
   * null key → null, matching SQL semantics.
   */
-case class BloomMightContain(left: Expression, right: Expression) extends BinaryExpression {
+case class BloomMightContain(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
   override def prettyName: String = "bloom_might_contain"
   override def dataType: DataType = BooleanType
+  // fail at ANALYSIS with a function-shaped message on a mistyped call
+  // (consistent with the arity checks in GraftExtensions) instead of a
+  // runtime ClassCastException from nullSafeEval/codegen. Typed
+  // Seq[DataType] because AbstractDataType is private[sql] (covariance
+  // makes it conform to ExpectsInputTypes' signature).
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), LongType)
 
   override protected def nullSafeEval(bits: Any, key: Any): Any = {
     val a = bits.asInstanceOf[ArrayData]

@@ -128,7 +128,12 @@ object LogLake {
       if (sw.fs.exists(sw.partDir)) {
         val existing = spark.read.parquet(sw.partDir.toString)
         existing
-          .join(broadcast(changes.select(col(key)).distinct()), Seq(key), "left_anti")
+          // no explicit broadcast hint: a micro-batch changelog is tiny
+          // and AQE broadcasts it from the measured size, but a bulk
+          // backfill / GDPR sweep can be arbitrarily large — the hint
+          // would force it past the broadcast limit instead of letting
+          // the join degrade to a shuffle
+          .join(changes.select(col(key)).distinct(), Seq(key), "left_anti")
           // a using-column join moves the key first; keep the files'
           // column order stable across merges
           .select(existing.columns.map(col).toIndexedSeq: _*)
@@ -160,6 +165,18 @@ object LogLake {
     val withPart = changes.withColumn("log_day",
       date_format(to_date(col("@timestamp")), "yyyy-MM-dd"))
       .localCheckpoint(true)
+    // Reject null merge/partition keys up front: a null key slips
+    // through the left-anti join (SQL null never equals null), so every
+    // replay would APPEND a fresh null-key row instead of replacing it
+    // — silently breaking merge idempotence, the exactly-once
+    // invariant. One cheap count over the already-materialized
+    // changelog (bounded by changelog size, never lake size).
+    val nNullKeys = withPart.filter(
+      col(key).isNull || col("env").isNull || col("log_day").isNull).count()
+    require(nNullKeys == 0,
+      s"changelog has $nNullKeys rows with null '$key'/env/@timestamp — " +
+        "null merge keys cannot be upserted idempotently; coalesce them " +
+        "to a sentinel upstream (see LogStream.toRollupView)")
     val parts = withPart.select(col("env"), col("log_day"))
       .distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
@@ -215,10 +232,18 @@ object LogLake {
 
     def recover(): Unit = {
       if (!fs.exists(partDir) && fs.exists(tmp)) {
-        // crashed between park and promote: tmp is the only complete
-        // copy — finish the interrupted swap before anything else
-        require(fs.rename(tmp, partDir), s"recovery rename $tmp -> $partDir failed")
-        fs.delete(new org.apache.hadoop.fs.Path(partDir, "_SUCCESS"), false)
+        // partDir missing + tmp present is ambiguous: either we crashed
+        // between park and promote (tmp is the complete compacted copy,
+        // still carrying the _SUCCESS marker swapIn only strips after
+        // promotion) or we crashed MID-WRITE of tmp while creating a
+        // brand-new partition (upsert path, partDir never existed — tmp
+        // is partial). The _SUCCESS marker distinguishes them: only a
+        // committed write has it, so only then is finishing the swap
+        // safe; a partial tmp is deleted like any pre-swap leftover.
+        if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+          require(fs.rename(tmp, partDir), s"recovery rename $tmp -> $partDir failed")
+          fs.delete(new org.apache.hadoop.fs.Path(partDir, "_SUCCESS"), false)
+        }
       }
       if (fs.exists(aside)) fs.delete(aside, true) // parked old copy
       if (fs.exists(tmp)) fs.delete(tmp, true)     // pre-swap crash leftover

@@ -165,9 +165,9 @@ object Curation {
     Some("""WITH b AS (SELECT n_chars,
                 ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
               FROM documents)
-            SELECT bucket, count(*) AS n_docs,
+            SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-              sum(n_chars) AS sum_chars
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM b GROUP BY bucket ORDER BY bucket""")
   )
 

@@ -428,7 +428,7 @@ object Relational {
           col("o_totalprice").as("total"))
         .orderBy(col("o_custkey"), col("rn"))
     },
-    Some("""SELECT o_custkey, rn, o_orderkey, total FROM (
+    Some("""SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, total FROM (
               SELECT o_custkey, o_orderkey, o_totalprice AS total,
                 row_number() OVER (PARTITION BY o_custkey
                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -1067,9 +1067,10 @@ object Relational {
                g AS (SELECT *, sum(CASE WHEN prev_max IS NULL OR start_s > prev_max
                        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
                        ORDER BY start_s, end_s, event_id) AS island FROM m)
-             SELECT user_id, island, min(start_s) AS start_s, max(end_s) AS end_s,
+             SELECT user_id, CAST(island AS BIGINT) AS island,
+               min(start_s) AS start_s, max(end_s) AS end_s,
                count(*) AS n_events
-             FROM g GROUP BY user_id, island ORDER BY user_id, island""")
+             FROM g GROUP BY island, user_id ORDER BY user_id, island""")
   )
 
   /** Robust anomaly detection: flag events whose value deviates from

@@ -68,7 +68,7 @@ object Similarity {
                      FROM q CROSS JOIN c),
                r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos DESC, neighbor_id) AS rank FROM x)
-             SELECT query_id, rank, neighbor_id, cos
+             SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
              FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
@@ -328,7 +328,7 @@ object Similarity {
                      FROM queries JOIN corpus USING (cid)),
                r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos DESC, neighbor_id) AS rank FROM x)
-             SELECT query_id, rank, neighbor_id, cos
+             SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
              FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 

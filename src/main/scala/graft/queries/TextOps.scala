@@ -286,7 +286,7 @@ object TextOps {
                    FROM tf JOIN df USING (term) CROSS JOIN n),
              r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                      ORDER BY score DESC, term) AS rnk FROM x)
-           SELECT doc_id, rnk, term, tf, df, score
+           SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, df, score
            FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""")
   )
 
@@ -317,7 +317,8 @@ object TextOps {
               FROM documents)
             SELECT CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket,
               count(*) AS n_docs, min(n_tokens) AS min_tokens,
-              max(n_tokens) AS max_tokens, sum(n_chars) AS total_chars
+              max(n_tokens) AS max_tokens,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM t GROUP BY bucket ORDER BY bucket""")
   )
 

@@ -461,7 +461,12 @@ object LogStream {
     * [[toIdempotentLake]]: there, replays overwrite their own
     * `batch_id` partition; here, the merge itself is IDEMPOTENT
     * (re-applying a changelog reproduces the identical partition), so a
-    * crash-replayed batch converges to the same lake state. */
+    * crash-replayed batch converges to the same lake state.
+    *
+    * Merge keys must be NON-NULL (a null key can never match the
+    * merge's anti-join, so replays would duplicate it —
+    * [[graft.logs.LogLake.applyChangelog]] rejects null keys hard);
+    * coalesce a nullable `request_id` to a sentinel upstream. */
   def toUpsertLake(
       changelog: DataFrame,
       lakeDir: String,
@@ -508,8 +513,14 @@ object LogStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val changelog = batch
+          // coalesce the group column before keying: concat over a null
+          // cf_result yields a NULL view_key, which the merge's anti-
+          // join can never match — each replay would append a duplicate
+          // row for the null group instead of updating it in place
+          // (LogLake.applyChangelog now also rejects null keys hard)
           .withColumn("view_key",
-            concat(col("window_start").cast("string"), lit("|"), col("cf_result")))
+            concat(col("window_start").cast("string"), lit("|"),
+              coalesce(col("cf_result"), lit("(null)"))))
           .withColumn("@timestamp", col("window_start"))
           .withColumn("env", lit("view"))
           .withColumn("_op", lit("upsert"))

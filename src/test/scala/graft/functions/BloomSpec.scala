@@ -74,4 +74,16 @@ class BloomSpec extends AnyFunSuite with SparkTestSupport {
       .map(_.getMessage).filter(_ != null).mkString(" | ")
     assert(msgs.contains("exactly 2 arguments"))
   }
+
+  test("mistyped arguments fail at ANALYSIS, not with a runtime ClassCastException") {
+    // ExpectsInputTypes: a string where array<bigint> is required must
+    // produce an analysis-time, function-shaped error — same contract
+    // as the arity check above
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1)
+        .select(call_function("bloom_might_contain", lit("not-bits"), col("id")))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("bloom_might_contain"), e.getMessage)
+  }
 }

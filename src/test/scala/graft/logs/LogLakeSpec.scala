@@ -219,6 +219,51 @@ class LogLakeSpec extends AnyFunSuite with SparkTestSupport {
     assert(LogLake.fragmentedPartitions(spark, "/tmp/no-such-lake-xyz").isEmpty)
   }
 
+  test("recovery deletes a PARTIAL tmp (no _SUCCESS) instead of installing it") {
+    // crash MID-WRITE of tmp while creating a brand-new partition: the
+    // upsert path's partDir never existed, so 'partDir missing + tmp
+    // present' is the same filesystem state as the interrupted-swap
+    // window — only the _SUCCESS marker tells them apart. Recovery must
+    // treat an uncommitted tmp as garbage, or a later different
+    // changelog leaves the partial data live.
+    val dir = Files.createTempDirectory("lakeup4").toString
+    LogLake.write(keyedFixture, dir)
+    val day = "2099-02-02"
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.upsert-tmp-env=prod-log_day=$day")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // partial tmp: a real parquet write whose _SUCCESS we strip to
+    // simulate dying before job commit
+    LogLake.forDay(spark, dir, "prod", "2019-01-18").drop("env", "log_day")
+      .withColumn("request_id", lit("partial"))
+      .write.parquet(tmp.toString)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false))
+    val ins = LogLake.forDay(spark, dir, "prod", "2019-01-19").drop("env", "log_day")
+      .withColumn("request_id", lit("fresh")).withColumn("_op", lit("upsert"))
+    LogLake.upsertPartition(spark, dir, "prod", day, ins, "request_id")
+    val ids = LogLake.forDay(spark, dir, "prod", day)
+      .select("request_id").collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("fresh"), s"partial tmp must not leak into the lake: $ids")
+    assert(!fs.exists(tmp), "partial tmp cleaned up")
+    // the committed-tmp path (crash BETWEEN renames) still recovers —
+    // covered by 'upsert recovers from a crash between the two swap renames'
+  }
+
+  test("changelog with null merge/partition keys is rejected, not silently duplicated") {
+    // a null key never matches the merge's anti-join, so every replay
+    // would append a fresh copy — applyChangelog fails fast instead
+    val dir = Files.createTempDirectory("lakeup5").toString
+    LogLake.write(keyedFixture, dir)
+    val nullKey = LogLake.forDay(spark, dir, "prod", "2019-01-18")
+      .drop("env", "log_day")
+      .withColumn("request_id", lit(null).cast("string"))
+      .withColumn("_op", lit("upsert"))
+    val e = intercept[IllegalArgumentException] {
+      LogLake.applyChangelog(spark, dir, nullKey)
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+    assert(LogLake.read(spark, dir).count() == 4, "lake untouched on reject")
+  }
+
   test("delete-only changelog against a missing partition is a no-op") {
     val dir = Files.createTempDirectory("lakeup3").toString
     LogLake.write(keyedFixture, dir)

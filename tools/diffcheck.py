@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run graft.Verify via
 sbt, then execute each oracle SQL in DuckDB over the same testdata and
-compare (column names sorted, rows sorted, values stringified).
+compare (column names sorted, rows sorted, values stringified) — AND
+column TYPES (DuckDB DESCRIBE of the Spark parquet vs of the oracle SQL),
+because the driver's hash is type-sensitive: a DuckDB HUGEINT sum() vs a
+Spark BIGINT is a driver RED even when every value matches (the round-5
+lesson — q_interval_merge / q_length_histogram / q_ntile_bucketize).
 
 Usage: python3 tools/diffcheck.py [sfdir] [--only q1,q2]
 """
@@ -38,6 +42,10 @@ def canon(rows, cols):
     out.sort()
     return [cols[i] for i in order], out
 
+def types_of(sql):
+    """{column_name: duckdb_type} for a query, via DESCRIBE."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
 fails = 0
 for name in sorted(oracle):
     if ONLY and name not in ONLY: continue
@@ -56,6 +64,18 @@ for name in sorted(oracle):
     oc, orr = canon(orows, ocols)
     if sc != oc:
         print(f"FAIL {name}: columns spark={sc} oracle={oc}"); fails += 1; continue
+    # Type gate: DuckDB's view of the Spark parquet schema must match the
+    # oracle's result types exactly (driver hashes are type-sensitive).
+    try:
+        stypes = types_of(f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
+        otypes = types_of(oracle[name])
+    except Exception as e:
+        print(f"FAIL {name}: DESCRIBE failed: {e}"); fails += 1; continue
+    tdiff = [(c, stypes.get(c), otypes.get(c)) for c in sc
+             if stypes.get(c) != otypes.get(c)]
+    if tdiff:
+        print(f"FAIL {name}: column TYPE mismatch (spark vs oracle): {tdiff}")
+        fails += 1; continue
     if len(sr) != len(orr):
         print(f"FAIL {name}: rows spark={len(sr)} oracle={len(orr)}"); fails += 1; continue
     if sr != orr:
