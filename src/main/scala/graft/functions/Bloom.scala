@@ -3,7 +3,7 @@ package graft.functions
 import scala.reflect.runtime.universe.TypeTag
 
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Aggregator
@@ -120,14 +120,16 @@ final class BloomAgg(numWords: Int) extends Aggregator[Long, Array[Long], Array[
   * null key → null, matching SQL semantics.
   */
 case class BloomMightContain(left: Expression, right: Expression) extends BinaryExpression
-    with ExpectsInputTypes {
+    with ImplicitCastInputTypes {
   override def prettyName: String = "bloom_might_contain"
   override def dataType: DataType = BooleanType
-  // fail at ANALYSIS with a function-shaped message on a mistyped call
-  // (consistent with the arity checks in GraftExtensions) instead of a
-  // runtime ClassCastException from nullSafeEval/codegen. Typed
-  // Seq[DataType] because AbstractDataType is private[sql] (covariance
-  // makes it conform to ExpectsInputTypes' signature).
+  // ImplicitCast (not bare ExpectsInputTypes): an INT key — the common
+  // `bloom_might_contain(bits, lit(5))` call — is widened to LONG by
+  // the analyzer like any builtin numeric function, while a genuinely
+  // mistyped call (string key) still fails at ANALYSIS with a
+  // function-shaped message instead of a runtime ClassCastException.
+  // Typed Seq[DataType] because AbstractDataType is private[sql]
+  // (covariance makes it conform to the trait's signature).
   override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), LongType)
 
   override protected def nullSafeEval(bits: Any, key: Any): Any = {

@@ -82,6 +82,7 @@ object LogLake {
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .parquet(sw.tmp.toString)
+    sw.markCommitted()
     sw.swapIn()
     val after = sw.fs.listStatus(sw.partDir).count(f =>
       f.isFile && !f.getPath.getName.startsWith("_"))
@@ -142,6 +143,7 @@ object LogLake {
     merged.write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .parquet(sw.tmp.toString)
+    sw.markCommitted()
     sw.swapIn()
   }
 
@@ -156,6 +158,16 @@ object LogLake {
       path: String,
       changes: DataFrame,
       key: String = "request_id"): Seq[(String, String)] = {
+    // Contract check BEFORE any plan is built: a malformed changelog
+    // (missing the merge key, the partition columns' inputs, or _op)
+    // should fail with a function-shaped message here, not surface as
+    // an unresolved-column analysis error from deep inside the
+    // partition-routing plan.
+    val missing = Seq(key, "env", "@timestamp", "_op")
+      .filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changelog is missing required column(s) ${missing.mkString(", ")} — " +
+        s"need '$key' (merge key), env + @timestamp (partition routing), _op")
     // SNAPSHOT the changelog before any partition swap: a changelog
     // derived (even partly) from this same lake is a lazy plan over
     // files the first merge replaces — later partitions would read
@@ -230,19 +242,47 @@ object LogLake {
     private val aside =
       new org.apache.hadoop.fs.Path(s"$path/.$tag-old-env=$env-log_day=$day")
 
+    /** Framework-owned commit marker, written into `tmp` by
+      * [[markCommitted]] AFTER the Spark write completes. Relying on
+      * the Hadoop committer's `_SUCCESS` alone is fragile: deployments
+      * commonly set `mapreduce.fileoutputcommitter.marksuccessfuljobs
+      * =false`, and then a crash between the two swap renames would
+      * leave a complete-but-unmarked tmp that recovery can't tell from
+      * a mid-write partial. Our own marker is independent of that
+      * setting. */
+    private val commitMark = new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMIT")
+
+    def markCommitted(): Unit = fs.create(commitMark, true).close()
+
+    private def tmpCommitted: Boolean = fs.exists(tmp) &&
+      (fs.exists(commitMark) ||
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+
+    private def stripMarkers(dir: org.apache.hadoop.fs.Path): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, "_GRAFT_COMMIT"), false): Unit
+    }
+
     def recover(): Unit = {
-      if (!fs.exists(partDir) && fs.exists(tmp)) {
+      if (!fs.exists(partDir)) {
         // partDir missing + tmp present is ambiguous: either we crashed
-        // between park and promote (tmp is the complete compacted copy,
-        // still carrying the _SUCCESS marker swapIn only strips after
-        // promotion) or we crashed MID-WRITE of tmp while creating a
-        // brand-new partition (upsert path, partDir never existed — tmp
-        // is partial). The _SUCCESS marker distinguishes them: only a
-        // committed write has it, so only then is finishing the swap
-        // safe; a partial tmp is deleted like any pre-swap leftover.
-        if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        // between park and promote (tmp is the complete replacement,
+        // still carrying its commit marker) or we crashed MID-WRITE of
+        // tmp while creating a brand-new partition (upsert path,
+        // partDir never existed — tmp is partial). The marker
+        // distinguishes them: only a committed write has one, so only
+        // then is finishing the swap safe.
+        if (tmpCommitted) {
           require(fs.rename(tmp, partDir), s"recovery rename $tmp -> $partDir failed")
-          fs.delete(new org.apache.hadoop.fs.Path(partDir, "_SUCCESS"), false)
+          stripMarkers(partDir)
+        } else if (fs.exists(aside)) {
+          // crashed between park and promote but tmp carries no commit
+          // marker (or is already gone): the parked old copy is the
+          // ONLY surviving copy of the partition — restore it, never
+          // let the cleanup below delete it. This upholds the
+          // protocol's invariant that the live partition is never the
+          // only copy deleted, whatever the committer configuration.
+          require(fs.rename(aside, partDir), s"recovery rename $aside -> $partDir failed")
         }
       }
       if (fs.exists(aside)) fs.delete(aside, true) // parked old copy
@@ -254,8 +294,8 @@ object LogLake {
         require(fs.rename(partDir, aside), s"rename $partDir -> $aside failed")
       require(fs.rename(tmp, partDir), s"rename $tmp -> $partDir failed")
       fs.delete(aside, true)
-      // drop the _SUCCESS marker so the partition dir holds data files only
-      fs.delete(new org.apache.hadoop.fs.Path(partDir, "_SUCCESS"), false)
+      // drop the markers so the partition dir holds data files only
+      stripMarkers(partDir)
     }
   }
 }

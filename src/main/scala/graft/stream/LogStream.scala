@@ -517,10 +517,14 @@ object LogStream {
           // cf_result yields a NULL view_key, which the merge's anti-
           // join can never match — each replay would append a duplicate
           // row for the null group instead of updating it in place
-          // (LogLake.applyChangelog now also rejects null keys hard)
+          // (LogLake.applyChangelog now also rejects null keys hard).
+          // The sentinel is a NUL control character: no log field can
+          // carry it (CloudFront fields are URL-encoded printable
+          // ASCII), so a literal string like "(null)" in the data can
+          // never collide with the null group's key.
           .withColumn("view_key",
             concat(col("window_start").cast("string"), lit("|"),
-              coalesce(col("cf_result"), lit("(null)"))))
+              coalesce(col("cf_result"), lit("\u0000null"))))
           .withColumn("@timestamp", col("window_start"))
           .withColumn("env", lit("view"))
           .withColumn("_op", lit("upsert"))

@@ -75,10 +75,23 @@ class BloomSpec extends AnyFunSuite with SparkTestSupport {
     assert(msgs.contains("exactly 2 arguments"))
   }
 
+  test("an INT key is implicitly widened to LONG like builtin numeric functions") {
+    // ImplicitCastInputTypes: bloom_might_contain(bits, lit(5)) — an
+    // IntegerType literal — must analyze (widened to bigint), not
+    // demand an explicit cast from every caller
+    val words = new Array[Long](8)
+    Bloom.set(words, 5L)
+    val hit = spark.range(1)
+      .select(call_function("bloom_might_contain", lit(words), lit(5)).as("m"))
+      .collect()(0).getBoolean(0)
+    assert(hit, "key 5 inserted as LONG must be found via an INT probe")
+  }
+
   test("mistyped arguments fail at ANALYSIS, not with a runtime ClassCastException") {
-    // ExpectsInputTypes: a string where array<bigint> is required must
-    // produce an analysis-time, function-shaped error — same contract
-    // as the arity check above
+    // ImplicitCastInputTypes still rejects what has no implicit cast: a
+    // string where array<bigint> is required must produce an
+    // analysis-time, function-shaped error — same contract as the
+    // arity check above
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.range(1)
         .select(call_function("bloom_might_contain", lit("not-bits"), col("id")))

@@ -248,19 +248,66 @@ class LogLakeSpec extends AnyFunSuite with SparkTestSupport {
     // covered by 'upsert recovers from a crash between the two swap renames'
   }
 
+  test("recovery restores the parked copy when tmp carries no commit marker") {
+    // the marksuccessfuljobs=false hazard: crash between park and
+    // promote with a tmp that carries NEITHER _SUCCESS (committer
+    // configured silent) NOR _GRAFT_COMMIT (crashed before the marker
+    // write). The parked aside is then the ONLY copy of the partition —
+    // recovery must restore it, not delete both aside and tmp.
+    val dir = Files.createTempDirectory("lakeup7").toString
+    LogLake.write(keyedFixture, dir)
+    val expected = LogLake.forDay(spark, dir, "prod", "2019-01-18")
+      .drop("env", "log_day").collect().map(_.toString).sorted
+    val partDir = new org.apache.hadoop.fs.Path(s"$dir/env=prod/log_day=2019-01-18")
+    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.upsert-tmp-env=prod-log_day=2019-01-18")
+    spark.read.parquet(partDir.toString).write.parquet(tmp.toString)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false))
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/.upsert-old-env=prod-log_day=2019-01-18")
+    assert(fs.rename(partDir, aside) && !fs.exists(partDir))
+    val noop = LogLake.forDay(spark, dir, "prod", "2019-01-19")
+      .drop("env", "log_day")
+      .withColumn("request_id", lit("absent")).withColumn("_op", lit("delete"))
+    LogLake.upsertPartition(spark, dir, "prod", "2019-01-18", noop, "request_id")
+    val back = LogLake.forDay(spark, dir, "prod", "2019-01-18")
+      .drop("env", "log_day").collect().map(_.toString).sorted
+    assert(back.toSeq == expected.toSeq,
+      "aside (the only surviving copy) must be restored, never deleted")
+    assert(!fs.exists(tmp) && !fs.exists(aside), "no scratch dirs survive")
+  }
+
   test("changelog with null merge/partition keys is rejected, not silently duplicated") {
     // a null key never matches the merge's anti-join, so every replay
     // would append a fresh copy — applyChangelog fails fast instead
     val dir = Files.createTempDirectory("lakeup5").toString
     LogLake.write(keyedFixture, dir)
+    // keep env (applyChangelog needs it to route partitions); null the
+    // MERGE key so the null-key require itself is what fires — dropping
+    // env instead would die earlier at the column-presence guard
     val nullKey = LogLake.forDay(spark, dir, "prod", "2019-01-18")
-      .drop("env", "log_day")
+      .drop("log_day")
       .withColumn("request_id", lit(null).cast("string"))
       .withColumn("_op", lit("upsert"))
     val e = intercept[IllegalArgumentException] {
       LogLake.applyChangelog(spark, dir, nullKey)
     }
     assert(e.getMessage.contains("null"), e.getMessage)
+    assert(LogLake.read(spark, dir).count() == 4, "lake untouched on reject")
+  }
+
+  test("changelog missing a required column fails fast with a shaped message") {
+    // a malformed changelog (no env) must fail at the function's own
+    // require, not leak an analysis exception from col("env") deep in
+    // the partition-routing plan
+    val dir = Files.createTempDirectory("lakeup6").toString
+    LogLake.write(keyedFixture, dir)
+    val noEnv = LogLake.forDay(spark, dir, "prod", "2019-01-18")
+      .drop("env", "log_day")
+      .withColumn("_op", lit("upsert"))
+    val e = intercept[IllegalArgumentException] {
+      LogLake.applyChangelog(spark, dir, noEnv)
+    }
+    assert(e.getMessage.contains("env"), e.getMessage)
     assert(LogLake.read(spark, dir).count() == 4, "lake untouched on reject")
   }
 

@@ -42,9 +42,20 @@ def canon(rows, cols):
     out.sort()
     return [cols[i] for i in order], out
 
+def norm_type(t):
+    """Canonicalize DuckDB type names before comparing: representational
+    variants the driver's value-hash cannot distinguish (timestamp zone
+    flavors, varchar width aliases) must not produce false FAILs."""
+    t = t.upper()
+    if t.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    if t.startswith("VARCHAR") or t.startswith("CHAR") or t in ("TEXT", "STRING", "BPCHAR"):
+        return "VARCHAR"
+    return t
+
 def types_of(sql):
-    """{column_name: duckdb_type} for a query, via DESCRIBE."""
-    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    """{column_name: canonical_duckdb_type} for a query, via DESCRIBE."""
+    return {r[0]: norm_type(r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()}
 
 fails = 0
 for name in sorted(oracle):
