@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+
+/** SQL FRONT-END parity surface: the engine driven through
+  * `spark.sql(...)` text instead of the DataFrame API — what a user
+  * replacing the reference's downstream analytics writes first.
+  *
+  * Design: each query holds ONE portable ANSI SQL text that runs
+  * VERBATIM on both Spark and the DuckDB oracle (`oracle = Some(sql)`
+  * is literally the same string). A hash-green driver row therefore
+  * proves three surfaces agree at once: SQL text ≡ DataFrame API
+  * (same results as the paired `q_agg_groupby`/`q_join_broadcast`/
+  * `q_window_rank` keys) ≡ the oracle engine. Dialect rules that make
+  * this possible:
+  *   - exact DECIMAL sums CAST to DOUBLE at the edge (both engines
+  *     normalize to the same IEEE value regardless of their internal
+  *     decimal precision promotion);
+  *   - `CAST(rn AS INT)` pins the window-function type where the
+  *     engines' natural types differ (DuckDB row_number → BIGINT,
+  *     Spark → INT);
+  *   - optimizer hints ride in SQL comment syntax (plus-prefixed
+  *     block comments) that Spark reads and DuckDB ignores.
+  *
+  * Scale: temp views are lazy plan aliases over the parquet readers —
+  * no materialization, and Catalyst pushes filters/projections through
+  * them to the scan exactly as for the DataFrame API (same optimized
+  * plan, verified in SqlFrontendSpec).
+  */
+object SqlFrontend {
+
+  /** Register every testdata table as a temp view named like the bare
+    * table. Idempotent (createOrReplace) and cheap: a view is a parsed
+    * plan alias, not data. */
+  def registerViews(s: SparkSession, d: String): Unit =
+    Tables.names.foreach(n => Tables(s, d, n).createOrReplaceTempView(n))
+
+  /** A query whose Spark implementation IS the oracle text. */
+  private def sqlQ(name: String, sql: String): Q =
+    Q(name, (s, d) => { registerViews(s, d); s.sql(sql) }, Some(sql))
+
+  /** TPC-H Q1 shape through SQL text — the SQL twin of
+    * [[Relational.qs q_agg_groupby]] (same aliases, same decimal-exact
+    * summation discipline, same oracle result). */
+  private val qSqlAggGroupby = sqlQ(
+    "q_sql_agg_groupby",
+    """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+         CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+         count(*) AS count_order
+       FROM lineitem
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""")
+
+  /** Broadcast dim join through SQL text — the hint travels as a
+    * comment, so the same string plans a broadcast join in Spark and
+    * plain SQL in DuckDB. */
+  private val qSqlJoinBroadcast = sqlQ(
+    "q_sql_join_broadcast",
+    """SELECT /*+ BROADCAST(region) */ n_nationkey, n_name, r_name
+       FROM nation JOIN region ON n_regionkey = r_regionkey
+       ORDER BY n_nationkey""")
+
+  /** Ranking window through SQL text (top-3 orders per customer);
+    * CAST pins row_number's type across engines. */
+  private val qSqlWindowRank = sqlQ(
+    "q_sql_window_rank",
+    """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, total FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice AS total,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) t
+       WHERE rn <= 3 ORDER BY o_custkey, rn""")
+
+  def qs: Seq[Q] = Seq(qSqlAggGroupby, qSqlJoinBroadcast, qSqlWindowRank)
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** SQL front-end ≡ DataFrame front-end: the `q_sql_*` keys must return
+  * byte-identical results to their DataFrame twins AND plan identically
+  * (broadcast hint honored, pushdown reaching the scan through the
+  * temp view). The driver's oracle then closes the third leg — the same
+  * SQL text hash-matching DuckDB.
+  */
+class SqlFrontendSpec extends AnyFunSuite with SparkTestSupport {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(name: String): Seq[String] =
+    Registry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+
+  test("SQL groupby twin matches the DataFrame q_agg_groupby row-for-row") {
+    assert(rows("q_sql_agg_groupby") == rows("q_agg_groupby"))
+  }
+
+  test("SQL broadcast-join twin matches q_join_broadcast row-for-row") {
+    assert(rows("q_sql_join_broadcast") == rows("q_join_broadcast"))
+  }
+
+  test("SQL window-rank twin matches q_window_rank row-for-row") {
+    assert(rows("q_sql_window_rank") == rows("q_window_rank"))
+  }
+
+  test("the comment-syntax BROADCAST hint survives the view and plans a broadcast join") {
+    val p = Registry.queries("q_sql_join_broadcast")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("filter pushdown reaches the parquet scan through a temp view") {
+    SqlFrontend.registerViews(spark, sf)
+    val p = spark.sql(
+      "SELECT l_orderkey FROM lineitem WHERE l_quantity > 30")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: ") && p.contains("GreaterThan(l_quantity"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+}
