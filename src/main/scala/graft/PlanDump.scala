@@ -11,6 +11,26 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
   * Pass a query name to print its full formatted plan instead.
   */
 object PlanDump {
+
+  /** Flatten a physical plan (through AQE wrappers) to its node list. */
+  def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+    case other => other +: other.children.flatMap(nodes)
+  }
+
+  /** Compact, deterministic plan signature: shuffle count + join
+    * strategy histogram. This is the unit the golden plan-regression
+    * gate (PlanGoldenSpec) pins — a lost broadcast, an extra shuffle,
+    * or a join degrading to BroadcastNestedLoop all change it. */
+  def signature(df: org.apache.spark.sql.DataFrame): String = {
+    val ns = nodes(df.queryExecution.executedPlan)
+    val joins = ns.map(_.nodeName)
+      .filter(n => n.contains("Join") || n.contains("Cartesian"))
+      .groupBy(identity).map { case (k, v) => s"$k x${v.size}" }.toSeq.sorted
+    val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+    s"shuffles=$shuffles joins=[${joins.mkString(",")}]"
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("8").appName("graft-plandump").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -22,10 +42,6 @@ object PlanDump {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try {
           val plan = fn(spark, sf).queryExecution.executedPlan
-          def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-            case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-            case other => other +: other.children.flatMap(nodes)
-          }
           val ns = nodes(plan)
           val joins = ns.map(_.nodeName)
             .filter(n => n.contains("Join") || n.contains("Cartesian"))

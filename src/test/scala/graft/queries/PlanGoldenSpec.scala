@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{PlanDump, SparkTestSupport}
+
+/** Golden plan-shape gate for the most expensive queries: pins each
+  * one's [[PlanDump.signature]] (shuffle count + join-strategy
+  * histogram), so a plan regression — a lost broadcast, a join
+  * degrading to BroadcastNestedLoop, an extra shuffle from a moved
+  * repartition — fails CI here instead of surfacing rounds later as an
+  * unexplained bench slowdown (the round-5 mystery this de-risks).
+  *
+  * Intentional plan changes update the golden EXPLICITLY: the failure
+  * message prints the new signature line to paste.
+  */
+class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The 10 most expensive queries by the round-6 sf0.1 bench, the set
+    * where a silent plan regression costs the most. */
+  private val golden = Map(
+    // iterative queries (pagerank, components-based) checkpoint their
+    // lineage, so the signature covers the FINAL returned plan — the
+    // per-round shape is pinned by the round structure itself.
+    // BroadcastNestedLoopJoin entries here are the deliberate
+    // broadcast-tiny-side crosses (query set / centroid table), not
+    // regressions — see PlanDump's flag exclusions.
+    "q_pagerank" -> "shuffles=14 joins=[SortMergeJoin x9]",
+    "q_leakage_safe_split" -> "shuffles=10 joins=[SortMergeJoin x3]",
+    "q_multimodal_features" -> "shuffles=1 joins=[]",
+    "q_similarity_lsh" -> "shuffles=4 joins=[BroadcastHashJoin x1]",
+    "q_dup_clusters" -> "shuffles=1 joins=[]",
+    "q_ann_recall" -> "shuffles=28 joins=[BroadcastHashJoin x1,BroadcastNestedLoopJoin x7,SortMergeJoin x5]",
+    "q_tfidf" -> "shuffles=4 joins=[]",
+    "q_simhash_dup" -> "shuffles=3 joins=[BroadcastHashJoin x1]",
+    "q_semantic_dedup" -> "shuffles=3 joins=[SortMergeJoin x1]",
+    "q_similarity_ivf" -> "shuffles=6 joins=[BroadcastNestedLoopJoin x2,SortMergeJoin x1]"
+  )
+
+  golden.toSeq.sortBy(_._1).foreach { case (name, expected) =>
+    test(s"plan signature pinned: $name") {
+      val actual = PlanDump.signature(Registry.queries(name)(spark, sf))
+      assert(actual == expected,
+        s"""plan shape changed for $name — if intentional, update the golden to:
+           |    "$name" -> "$actual",""".stripMargin)
+    }
+  }
+}
