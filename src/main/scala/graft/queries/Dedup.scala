@@ -84,9 +84,14 @@ object Dedup {
     * n². Output: top candidate pairs by verified Jaccard (engine-
     * specific hashing → driver records rows-only).
     */
-  private val qMinhashDup = Q(
-    "q_minhash_dup",
-    (s, d) => {
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification —
+    * `(doc_a, doc_b, jaccard)`. This is the CONTENT-BASED pair
+    * generator: two near-identical documents meet through their band
+    * hashes wherever they sit in the corpus (unlike the
+    * positionally-banded [[nearDupPairs]], which only compares
+    * doc_id-adjacent documents). Work scales with band-bucket
+    * collision count, never n². */
+  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
       // single agg pass produces the 16-slot signature AND the distinct
       // shingle-hash set used for candidate verification (min over
       // occurrences == min over distinct values, so no pre-dedup needed)
@@ -124,9 +129,14 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"),
           (col("inter").cast("double") /
             (size(col("sh_a")) + size(col("sh_b")) - col("inter"))).as("jaccard"))
+  }
+
+  private val qMinhashDup = Q(
+    "q_minhash_dup",
+    (s, d) =>
+      minhashPairs(s, d)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-        .limit(50)
-    },
+        .limit(50),
     None
   )
 
@@ -378,6 +388,27 @@ object Dedup {
             FROM reach GROUP BY node ORDER BY doc_id""")
   )
 
+  /** Duplicate-cluster resolution over CONTENT-BASED edges: the minhash
+    * band buckets ([[minhashPairs]]) find duplicate pairs wherever they
+    * sit in the corpus — no positional doc_id banding — and connected
+    * components resolves the groups. This is the real 100 TB semantics:
+    * a document duplicated 10 million ids away still lands in the same
+    * cluster (planted-twin case in NearDupSemanticsSpec). The Jaccard
+    * threshold (0.5) is applied to the EXACT verified score, so LSH
+    * recall only affects which candidates are scored, never a false
+    * positive. Engine-specific band hashing → driver records rows-only;
+    * the semantics are spec'd on planted inputs. */
+  private val qDupClustersMinhash = Q(
+    "q_dup_clusters_minhash",
+    (s, d) =>
+      ConnectedComponents.minLabel(
+        minhashPairs(s, d).filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b")),
+        Checkpointer.Local)
+        .orderBy(col("doc_id")),
+    None
+  )
+
   /** LEAKAGE-SAFE train/val/test split — the assignment rule a
     * pretraining pipeline must use: hash the near-dup CLUSTER id, not
     * the document id, so near-duplicates can never straddle a split
@@ -463,5 +494,6 @@ object Dedup {
 
   def qs: Seq[Q] =
     Seq(qDedupExact, qMinhashDup, qSimhashDup, qNgramJaccard,
-      qNgramContainment, qDecontaminate, qDupClusters, qLeakageSafeSplit)
+      qNgramContainment, qDecontaminate, qDupClusters,
+      qDupClustersMinhash, qLeakageSafeSplit)
 }

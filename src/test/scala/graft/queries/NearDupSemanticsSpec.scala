@@ -52,6 +52,39 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     dir
   }
 
+  test("minhash-edged clustering finds a planted twin pair 10k ids apart") {
+    // the content-based edge source's whole point: positional banding
+    // (q_dup_clusters) only compares doc_id-adjacent documents, so a
+    // duplicate planted FAR away in id space is invisible to it — the
+    // minhash band buckets must still collide the pair and CC must put
+    // both docs in one cluster
+    val dir = Files.createTempDirectory("fartwin").toString
+    val twin = tok("twin", 40)
+    val near = twin.replace("twin7", "TWIN7") // one token differs → J ≈ 0.93
+    val docs = Seq(
+      (1L, twin, "en", "web", twin.length.toLong),
+      (10001L, twin, "en", "web", twin.length.toLong),
+      (10002L, near, "en", "web", near.length.toLong),
+      (3L, tok("noise", 40), "en", "web", 100L),
+      (20003L, tok("other", 40), "en", "web", 100L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clusters = Registry.queries("q_dup_clusters_minhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters.get(1L).contains(1L) && clusters.get(10001L).contains(1L),
+      s"exact twins 10k apart must share cluster 1: $clusters")
+    assert(clusters.get(10002L).contains(1L),
+      s"the one-token-off near-dup joins the same cluster: $clusters")
+    assert(!clusters.contains(3L) && !clusters.contains(20003L),
+      s"unrelated docs form no cluster rows: $clusters")
+    // contrast: the positionally-banded variant cannot see the pair
+    val positional = Registry.queries("q_dup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!positional.contains(1L),
+      s"doc_id-banded clustering is blind to far-apart twins (the gap " +
+        s"q_dup_clusters_minhash closes): $positional")
+  }
+
   test("decontamination flags exactly the doc containing an eval-set span, with the exact fraction") {
     val dir = Files.createTempDirectory("decontam").toString
     def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
