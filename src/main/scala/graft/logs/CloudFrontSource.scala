@@ -23,13 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object CloudFrontSource {
 
-  def read(spark: SparkSession, path: String): DataFrame =
+  /** Varargs so the event-driven bridge ([[graft.stream.LogStream
+    * .fromEnvelopes]]) can read exactly the files a micro-batch's
+    * notifications name; single-path callers are unchanged. */
+  def read(spark: SparkSession, paths: String*): DataFrame =
     spark.read
       .schema(CloudFrontSchema.raw)
       .option("sep", "\t")
       .option("comment", "#")
       .option("mode", "PERMISSIVE")
-      .csv(path)
+      .csv(paths: _*)
 
   /** Streaming variant: same parse over a watched directory; each
     * micro-batch discovers new files — the Structured-Streaming

@@ -42,6 +42,56 @@ object LogStream {
       CloudFrontSource.withPathMeta(
         CloudFrontSource.readStream(spark, dir, maxFilesPerTrigger)))
 
+  /** S3-EVENT-NOTIFICATION trigger parity — the reference's actual
+    * wiring (`cloudformation.yaml:19-28`: S3 ObjectCreated → SNS →
+    * one Lambda per file) as a Structured Streaming bridge, closing
+    * the gap where [[canonicalStream]] substitutes directory listing.
+    *
+    * The envelope stream is CONTROL-PLANE data: one small JSON per
+    * arriving file (from SQS/Kinesis/a file drop of the raw events).
+    * Per micro-batch, [[graft.logs.EventEnvelope]] unwraps
+    * `(bucket, key)`, the driver collects that file list — bounded by
+    * the source's per-trigger admission, one row per FILE, never per
+    * log line — and the named objects are read with the same batch
+    * reader + canonical transform as every other path, then appended
+    * to the lake. One event = one file read is exactly the reference's
+    * unit of work, with Spark's scheduler in place of the Lambda fleet
+    * and the checkpointed source offsets in place of SNS redelivery
+    * dedup: a replayed micro-batch re-reads the same files into the
+    * same append, which the downstream lake merge/compaction handles
+    * like any at-least-once feed.
+    *
+    * @param envelopes   streaming DataFrame with the raw Lambda-shaped
+    *                    event JSON in `event_json`
+    * @param resolvePath map (bucket, key) → a Hadoop-readable URI; the
+    *                    default targets s3a like the reference, tests
+    *                    inject a `file:` resolver
+    */
+  def fromEnvelopes(
+      envelopes: DataFrame,
+      lakeDir: String,
+      checkpointDir: String,
+      resolvePath: (String, String) => String = (b, k) => s"s3a://$b$k"): StreamingQuery =
+    graft.logs.EventEnvelope.parse(envelopes, "event_json")
+      .select(col("bucket"), col("key"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val paths = batch.collect()
+          .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+          .map(r => resolvePath(r.getString(0), r.getString(1)))
+          .distinct.toSeq
+        if (paths.nonEmpty) {
+          val spark = batch.sparkSession
+          val canonical = CloudFrontTransform.canonicalCols(
+            CloudFrontSource.withPathMeta(
+              CloudFrontSource.read(spark, paths: _*)))
+          graft.logs.LogLake.write(canonical, lakeDir)
+        }
+      }
+      .start()
+
   /** Event-time tumbling rollup: requests/bytes by result type per
     * window. The watermark drops data later than `lateness` and lets
     * Spark expire window state — bounded memory at any volume. */

@@ -700,6 +700,50 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(chain(e).exists(_.contains("deadline")), chain(e).mkString("\n"))
   }
 
+  test("SNS envelope stream drives file ingest into the lake (event-trigger parity)") {
+    // the reference's wiring: S3 ObjectCreated → SNS → one worker per
+    // file. Here the raw envelope JSONs arrive as a stream; each
+    // micro-batch unwraps (bucket, key), reads exactly the named gz
+    // files, and appends the canonical rows to the lake.
+    val root = Files.createTempDirectory("cf-envelope")
+    val dir = root.resolve("prod").resolve("svc-ev")
+    Files.createDirectories(dir)
+    def writeGz(name: String, times: Seq[String]): Unit = {
+      val out = new BufferedWriter(new OutputStreamWriter(
+        new GZIPOutputStream(new FileOutputStream(dir.resolve(name).toFile)), "UTF-8"))
+      out.write("#Version: 1.0\n#Fields: x\n")
+      times.foreach(t => out.write((Seq("2019-01-18", t) ++ Seq.fill(31)("-")).mkString("\t") + "\n"))
+      out.close()
+    }
+    writeGz("e1.gz", Seq("01:00:00", "01:00:01", "01:00:02"))
+    writeGz("e2.gz", Seq("02:00:00", "02:00:01"))
+    // Lambda-shaped event: SNS envelope carrying the S3 notification as
+    // an embedded JSON string (key layout /{env}/{serviceId}/{file}.gz)
+    def envelope(key: String): String = {
+      val msg =
+        s"""{"Records":[{"s3":{"bucket":{"name":"logs-bucket"},"object":{"key":"$key"}}}]}"""
+      s"""{"Records":[{"Sns":{"Message":"${msg.replace("\"", "\\\"")}"}}]}"""
+    }
+    val lake = Files.createTempDirectory("cf-envelope-lake").toString
+    val ckpt = Files.createTempDirectory("cf-envelope-ckpt").toString
+    val input = MemoryStream[String](spark)
+    val q = LogStream.fromEnvelopes(
+      input.toDF().withColumnRenamed("value", "event_json"),
+      lake, ckpt,
+      resolvePath = (bucket, key) => { assert(bucket == "logs-bucket"); s"$root$key" })
+    try {
+      input.addData(envelope("/prod/svc-ev/e1.gz"))
+      q.processAllAvailable()
+      input.addData(envelope("/prod/svc-ev/e2.gz"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = graft.logs.LogLake.read(spark, lake)
+    assert(rows.count() == 5, "both notified files ingested, nothing else")
+    assert(rows.select("env").distinct().collect().map(_.getString(0)).toSeq == Seq("prod"))
+    assert(rows.select("serviceId").distinct().collect().map(_.getString(0)).toSeq == Seq("svc-ev"))
+    assert(rows.filter(col("@timestamp") === "2019-01-18 02:00:01").count() == 1)
+  }
+
   test("end-to-end: gz fixture directory → canonical stream → kinesis-shaped sink") {
     val root: Path = Files.createTempDirectory("cf-stream")
     val dir = root.resolve("prod").resolve("svc-42")
