@@ -50,16 +50,68 @@ object ZOrder {
 
   def zvalue(x: String, y: String): Column = expr(zvalueSparkSql(x, y))
 
-  /** Write `df` z-ordered on (x, y): range-partition by z-value (file
-    * count = `nFiles`, sized by the caller from data volume / target
-    * file size), sort within partitions, drop the helper column at the
-    * output edge. Each resulting file covers a bounded rectangle of
-    * (x, y) space — the locality ZOrderSpec measures. */
+  // ------------------------------------------------------------ n-column
+
+  /** Bits kept per column for an n-way interleave: 16 (the 2-D mask
+    * chain's granularity) while n·bits fits in 62 bits, shrinking for
+    * wide keys so the z-value stays a non-negative BIGINT in BOTH
+    * engines (bit 63 would flip the sign and break range-partitioning
+    * order). n=2,3 → 16 bits; n=4 → 15; n=5 → 12; n=6 → 10. */
+  def bitsPerColumn(n: Int): Int = math.min(16, 62 / n)
+
+  /** n-way interleave as a uniform bit-placement sum: bit `b` of
+    * column `i` lands at z-bit `b·n + i`. The chain is 16·n plain
+    * shift/mask/or terms — all codegen'd built-ins, emitted in either
+    * dialect. (The 2-column API above keeps its tighter mask-spread
+    * chain; ZOrderSpec pins the two formulations bit-equal on n=2, so
+    * the sum form is cross-validated against the chain.) */
+  private def bitSumSql(
+      cols: Seq[String],
+      shl: (String, Int) => String,
+      shr: (String, Int) => String): String = {
+    val n = cols.size
+    require(n >= 2, s"z-order needs at least 2 columns, got $n")
+    val bits = bitsPerColumn(n)
+    val terms = for {
+      (c, i) <- cols.zipWithIndex
+      b <- 0 until bits
+    } yield {
+      val bit = s"(${shr(s"CAST($c AS BIGINT)", b)} & 1)"
+      val pos = b * n + i
+      if (pos == 0) bit else shl(bit, pos)
+    }
+    terms.mkString("(", " | ", ")")
+  }
+
+  /** n-column z-value in Spark SQL. */
+  def zvalueSparkSql(cols: Seq[String]): String =
+    bitSumSql(cols,
+      (e, s) => s"shiftleft($e, $s)",
+      (e, s) => s"shiftright($e, $s)")
+
+  /** The identical n-column chain in DuckDB SQL — the oracle side. */
+  def zvalueDuckSql(cols: Seq[String]): String =
+    bitSumSql(cols,
+      (e, s) => s"($e << $s)",
+      (e, s) => s"($e >> $s)")
+
+  def zvalue(cols: Seq[String]): Column = expr(zvalueSparkSql(cols))
+
+  /** Write `df` z-ordered on the given key columns: range-partition by
+    * z-value (file count = `nFiles`, sized by the caller from data
+    * volume / target file size), sort within partitions, drop the
+    * helper column at the output edge. Each resulting file covers a
+    * bounded BOX of the n-dimensional key space — the locality
+    * ZOrderSpec measures in 2 and 3 dimensions. */
   def writeClustered(
-      df: DataFrame, x: String, y: String, path: String, nFiles: Int): Unit =
-    df.withColumn("__z", zvalue(x, y))
+      df: DataFrame, cols: Seq[String], path: String, nFiles: Int): Unit =
+    df.withColumn("__z", if (cols.size == 2) zvalue(cols(0), cols(1)) else zvalue(cols))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  def writeClustered(
+      df: DataFrame, x: String, y: String, path: String, nFiles: Int): Unit =
+    writeClustered(df, Seq(x, y), path, nFiles)
 }

@@ -1189,6 +1189,37 @@ object Relational {
              FROM z GROUP BY bucket ORDER BY bucket""")
   )
 
+  /** 3-COLUMN z-order layout audit — the n-way interleave
+    * ([[graft.functions.ZOrder.zvalueSparkSql(cols:Seq[String])*]])
+    * over (l_partkey, l_suppkey, l_linenumber): per z-bucket (4096
+    * consecutive z-values = one 16×16×16 cell), the 3-D bounding box it
+    * covers — bounded in ALL THREE dims, which is what lets parquet
+    * min/max stats prune on any of the three predicates. Same pure
+    * integer shift/mask chain in both engines → full oracle. */
+  private val qZorderLayout3 = Q(
+    "q_zorder_layout3",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+          col("l_linenumber").as("w"))
+        .withColumn("z", graft.functions.ZOrder.zvalue(Seq("x", "y", "w")))
+        .withColumn("bucket", expr("shiftright(z, 12)").cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          min(col("w")).as("min_w"), max(col("w")).as("max_w"))
+        .orderBy(col("bucket")),
+    Some(s"""WITH z AS (SELECT l_partkey AS x, l_suppkey AS y, l_linenumber AS w,
+                 ${graft.functions.ZOrder.zvalueDuckSql(Seq("l_partkey", "l_suppkey", "l_linenumber"))} AS z
+               FROM lineitem)
+             SELECT CAST(z >> 12 AS BIGINT) AS bucket, count(*) AS n,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y,
+               min(w) AS min_w, max(w) AS max_w
+             FROM z GROUP BY bucket ORDER BY bucket""")
+  )
+
   def qs: Seq[Q] = Seq(
     qScanProjection, qFilterPredicate,
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
@@ -1201,5 +1232,5 @@ object Relational {
     qSubqueryCorrelated, qPathTransitions, qFunnelSteps,
     qCohortRetention, qStringAggOrdered,
     qBloomPrefilterJoin, qIntervalMerge, qAnomalyMad, qDecayedCounts,
-    qZorderLayout)
+    qZorderLayout, qZorderLayout3)
 }

@@ -40,6 +40,75 @@ class ZOrderSpec extends AnyFunSuite with SparkTestSupport {
     assert(z(1, 1) < z(2, 0) && z(3, 3) < z(0, 4))
   }
 
+  private def z3(x: Long, y: Long, w: Long): Long =
+    Seq((x, y, w)).toDF("x", "y", "w")
+      .select(ZOrder.zvalue(Seq("x", "y", "w"))).collect()(0).getLong(0)
+
+  test("3-column goldens: bit b of column i lands at z-bit 3b+i") {
+    assert(z3(0, 0, 0) == 0L)
+    assert(z3(1, 0, 0) == 1L)
+    assert(z3(0, 1, 0) == 2L)
+    assert(z3(0, 0, 1) == 4L)
+    assert(z3(2, 0, 0) == 8L)
+    assert(z3(0, 2, 0) == 16L)
+    assert(z3(0, 0, 2) == 32L)
+    assert(z3(1, 1, 1) == 7L)
+    // 16 bits per column at n=3: the max input fills every 3rd bit of 48
+    assert(z3(65535, 0, 0) == 0x249249249249L)
+    assert(z3(65535, 65535, 65535) == 0xFFFFFFFFFFFFL)
+  }
+
+  test("the n-way bit-sum form is bit-equal to the 2-column mask chain") {
+    // cross-validation of the two formulations on a value grid covering
+    // low bits, high bits, and the 16-bit mask edge
+    val vals = Seq(0L, 1L, 2L, 3L, 255L, 256L, 32767L, 32768L, 65535L, 65536L + 7)
+    val pairs = for (x <- vals; y <- vals) yield (x, y)
+    val df = pairs.toDF("x", "y")
+    val diff = df.select(
+      ZOrder.zvalue("x", "y").as("chain"),
+      ZOrder.zvalue(Seq("x", "y")).as("sum"))
+      .filter(col("chain") =!= col("sum")).count()
+    assert(diff == 0L, s"$diff of ${pairs.size} grid points disagree")
+  }
+
+  test("bits per column shrink to keep the z-value in 62 bits") {
+    assert(ZOrder.bitsPerColumn(2) == 16 && ZOrder.bitsPerColumn(3) == 16)
+    assert(ZOrder.bitsPerColumn(4) == 15 && ZOrder.bitsPerColumn(6) == 10)
+    // 4-way interleave of max values stays non-negative
+    val m = (1L << 15) - 1
+    val v = Seq((m, m, m, m)).toDF("a", "b", "c", "d")
+      .select(ZOrder.zvalue(Seq("a", "b", "c", "d"))).collect()(0).getLong(0)
+    assert(v > 0 && v == (1L << 60) - 1, v.toString)
+  }
+
+  test("3-d z-ordered layout: every file covers a bounded box in all three dims") {
+    val dir = Files.createTempDirectory("zorder3").toString
+    // 16x16x16 grid, each dim uniform on [0, 4096)
+    val grid = spark.range(4096).select(
+      (col("id") % 16 * 256).as("x"),
+      (col("id") / 16 % 16 * 256).cast("long").as("y"),
+      (col("id") / 256 * 256).cast("long").as("w"))
+    ZOrder.writeClustered(grid, Seq("x", "y", "w"), dir, nFiles = 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 16, s"expected 16 files, got ${files.length}")
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")),
+          max(col("w")) - min(col("w")))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // global span is 3840 per dim; no file may cover a full dimension,
+    // and the mean per-dim span must be well under half the global span
+    assert(spans.forall { case (sx, sy, sw) => sx < 3840 && sy < 3840 && sw < 3840 },
+      spans.mkString(","))
+    val meanSpan = spans.map { case (sx, sy, sw) => sx + sy + sw }.sum.toDouble / (3 * spans.length)
+    assert(meanSpan < 3840 / 2.0,
+      f"mean per-file span $meanSpan%.0f too wide for a clustered layout")
+    assert(spark.read.parquet(dir).count() == 4096)
+  }
+
   test("z-ordered layout: every file covers a tight (x, y) bounding box") {
     val dir = Files.createTempDirectory("zorder").toString
     // 64x64 grid, both dims uniform on [0, 4096)
