@@ -429,10 +429,16 @@ object TextOps {
     * Scale: the sketch is one fixed buffer per partial with
     * map-side combine (1 KiB here) — the bounded-memory point-lookup complement to
     * Misra–Gries (which only retains the heavy tail). */
-  private val qCmsCounts = Q(
-    "q_cms_counts",
+  /** Geometry-parameterized CMS query builder: BOTH the Spark plan and
+    * the DuckDB oracle are generated from (depth, width), so the sketch
+    * geometry is a genuine query knob — any point stays fully
+    * oracle-checkable, not just the default. Registered at the sized
+    * default (4×32, collisions real) and a second wider point (8×128)
+    * to prove the knob, with stream-side parity spec'd at a third
+    * geometry in LogStreamSpec. */
+  private def cmsCountsQ(name: String, depth: Int, width: Int): Q = Q(
+    name,
     (s, d) => {
-      val depth = 4; val width = 32
       val probes = Seq("hash", "merge", "scan", "zzzunseen")
       val cms = udaf(new graft.functions.CountMin(depth, width))
       val tok = Tables.documents(s, d)
@@ -452,16 +458,16 @@ object TextOps {
           (col("est") - coalesce(col("exact"), lit(0L))).as("overcount"))
         .orderBy(col("term"))
     },
-    Some("""WITH t AS (SELECT unnest(string_split_regex(
+    Some(s"""WITH t AS (SELECT unnest(string_split_regex(
                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' ')) AS term
                FROM documents),
              tok AS (SELECT * FROM t WHERE term <> ''),
-             rows_(i) AS (VALUES (0), (1), (2), (3)),
+             rows_(i) AS (VALUES ${(0 until depth).map(i => s"($i)").mkString(", ")}),
              h AS (SELECT r.i,
                  list_reduce(list_transform(
                      string_split_regex(r.i || ':' || tok.term, ''),
                      c -> CAST(ascii(c) AS BIGINT)),
-                   (a, b) -> (a * 31 + b) % 1000000007) % 32 AS b
+                   (a, b) -> (a * 31 + b) % 1000000007) % $width AS b
                FROM tok CROSS JOIN rows_ r),
              counters AS (SELECT i, b, count(*) AS c FROM h GROUP BY i, b),
              probes(term) AS (VALUES ('hash'), ('merge'), ('scan'), ('zzzunseen')),
@@ -469,7 +475,7 @@ object TextOps {
                  list_reduce(list_transform(
                      string_split_regex(r.i || ':' || p.term, ''),
                      c -> CAST(ascii(c) AS BIGINT)),
-                   (a, b) -> (a * 31 + b) % 1000000007) % 32 AS b
+                   (a, b) -> (a * 31 + b) % 1000000007) % $width AS b
                FROM probes p CROSS JOIN rows_ r),
              e AS (SELECT pb.term, min(coalesce(c.c, 0)) AS est
                    FROM pb LEFT JOIN counters c USING (i, b) GROUP BY pb.term),
@@ -482,8 +488,14 @@ object TextOps {
            FROM e LEFT JOIN ex USING (term) ORDER BY term""")
   )
 
+  private val qCmsCounts = cmsCountsQ("q_cms_counts", depth = 4, width = 32)
+
+  /** The knob proven at a second point: wider/deeper sketch, smaller
+    * overcounts, same fully-oracle-checked contract. */
+  private val qCmsCountsWide = cmsCountsQ("q_cms_counts_wide", depth = 8, width = 128)
+
   def qs: Seq[Q] =
     Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint,
       qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf, qLengthHistogram,
-      qBm25, qCmsCounts)
+      qBm25, qCmsCounts, qCmsCountsWide)
 }
