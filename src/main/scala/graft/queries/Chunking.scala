@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-preparation operators a pretraining pipeline runs between raw
+  * text and training examples: global boilerplate-span removal (the
+  * C4/RefinedWeb "line-level dedup" step), fixed-size overlapping
+  * chunking (example windowing), and adjacent-pair counting (the
+  * candidate table of one BPE merge step).
+  *
+  * The testdata documents are single-line space-separated token
+  * streams, so the "line" unit of line-level dedup is re-expressed as a
+  * non-overlapping K-token span — same semantics (a content unit hashed
+  * and counted corpus-wide), corpus-appropriate granularity.
+  *
+  * All three are pure built-in higher-order expressions (split /
+  * transform / sequence / slice / explode) — no UDFs, fully
+  * whole-stage-codegen'd row generation; the only shuffles are the
+  * span/pair groupBys (partial-agg'd) and the span count join-back.
+  */
+object Chunking {
+
+  /** Span length for the line-dedup analog. Real line-dedup hashes
+    * whole lines; K=3 matches the synthetic corpus (docs are one line
+    * of ~10-110 random tokens) so the cross-doc duplication regime the
+    * operator exists for actually occurs (~19% of distinct spans at
+    * sf0.01). */
+  private val SpanK = 3
+
+  /** Global boilerplate-span detection: split each doc into
+    * non-overlapping K-token spans, count DISTINCT docs per span
+    * corpus-wide, and report per doc how much of it is made of spans
+    * that also appear elsewhere — the signal C4/RefinedWeb use to strip
+    * headers/footers/nav boilerplate.
+    *
+    * 100 TB shape: explode is map-side; the span groupBy and the
+    * count join-back both shuffle on the span key (partial-agg'd,
+    * AQE-coalesced). Spans here shuffle as short strings; at scale the
+    * key swaps to a 128-bit content hash (xxhash64 pair / sha-256
+    * truncation) so shuffle rows are fixed-width — counts are
+    * identical, and the string form keeps the DuckDB oracle exact. */
+  private val qSpanDedup = Q(
+    "q_span_dedup",
+    (s, d) => {
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(0, cast(ceil(size(toks)/$SpanK.0) as int) - 1),
+             |          i -> concat_ws(' ', slice(toks, i*$SpanK+1, $SpanK)))""".stripMargin))
+          .as("span"))
+      val counts = spans.groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("span_docs"))
+      spans.join(counts, "span")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("span_docs") > 1, 1L).otherwise(0L)).as("n_boilerplate"),
+          round(avg(when(col("span_docs") > 1, 1.0d).otherwise(0.0d)), 6)
+            .as("boilerplate_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |spans AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(range(0, CAST(ceil(len(l)/$SpanK.0) AS BIGINT)),
+             |                i -> array_to_string(l[(i*$SpanK+1):(i*$SpanK+$SpanK)], ' '))) AS span
+             |  FROM toks),
+             |counts AS (SELECT span, count(DISTINCT doc_id) AS span_docs FROM spans GROUP BY span)
+             |SELECT s.doc_id,
+             |       count(*) AS n_spans,
+             |       CAST(sum(CASE WHEN c.span_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+             |       round(avg(CASE WHEN c.span_docs > 1 THEN 1.0 ELSE 0.0 END), 6) AS boilerplate_ratio
+             |FROM spans s JOIN counts c USING (span)
+             |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Chunk geometry: 100-char windows every 80 chars (20-char overlap
+    * so no training example starts cold at a hard cut). */
+  private val ChunkLen = 100
+  private val Stride = 80
+
+  /** Fixed-size overlapping chunking — the document→training-example
+    * windowing step. One output row per (doc, window); the window count
+    * is ceil(n_chars/stride) computed arithmetically so the generator
+    * is a pure `sequence` (no while-loop, no UDF) and the whole thing
+    * stays in codegen. Embarrassingly parallel: zero shuffles — the
+    * explode multiplies rows in place and the sink (or downstream
+    * tokenizer) sees them partition-local. */
+  private val qChunkDocuments = Q(
+    "q_chunk_documents",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(expr(
+            s"sequence(0, cast(floor((greatest(n_chars, 1) - 1) / $Stride) as int))"))
+            .as("chunk_id"))
+        .select(
+          col("doc_id"),
+          col("chunk_id"),
+          expr(s"substring(text, chunk_id * $Stride + 1, $ChunkLen)").as("chunk"))
+        .withColumn("chunk_len", length(col("chunk")))
+        .orderBy(col("doc_id"), col("chunk_id")),
+    Some(s"""SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             |       substr(text, CAST(i*$Stride + 1 AS BIGINT), $ChunkLen) AS chunk,
+             |       CAST(length(substr(text, CAST(i*$Stride + 1 AS BIGINT), $ChunkLen)) AS INT) AS chunk_len
+             |FROM documents,
+             |     LATERAL (SELECT unnest(range(0, CAST(floor((greatest(n_chars, 1) - 1)/$Stride) AS BIGINT) + 1)) AS i) r
+             |ORDER BY doc_id, chunk_id""".stripMargin)
+  )
+
+  /** Adjacent-token-pair frequencies — the candidate table a BPE
+    * trainer scans to pick the next merge (count every (tok[i],
+    * tok[i+1]) over the corpus, take the argmax). Top-50 with total and
+    * doc frequency; the full table is what iterates at train time.
+    *
+    * 100 TB shape: the pair generator is a map-side transform over the
+    * token array (no self-join on position — the classic mistake that
+    * shuffles the corpus twice); one partial-agg'd groupBy on the pair
+    * key is the only shuffle. */
+  private val qBpePairs = Q(
+    "q_bpe_pairs",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |          i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin))
+          .as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(50),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            |pairs AS (
+            |  SELECT doc_id,
+            |         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair
+            |  FROM toks WHERE len(l) >= 2)
+            |SELECT pair, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+            |FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin)
+  )
+
+  def qs: Seq[Q] = Seq(qSpanDedup, qChunkDocuments, qBpePairs)
+}

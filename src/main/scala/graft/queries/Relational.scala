@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Bloom, BloomAgg, WeightedAvg}
+import graft.functions.{Bloom, BloomAgg, TopKByScore, WeightedAvg}
 
 /** Relational operator surface (SURVEY §2B): scans, filters, scalar
   * expressions, every join shape, aggregation, windows, top-k, set ops,
@@ -497,6 +497,36 @@ object Relational {
               l_extendedprice * (1 - l_discount) AS revenue
             FROM lineitem
             ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 100""")
+  )
+
+  /** Per-group top-k via the bounded-memory TopKByScore Aggregator
+    * (top-3 orders per customer by price): map-side combine keeps ≤ k
+    * candidates per (group × partition), so the shuffle carries
+    * O(groups × k) rows instead of every order — the 100 TB
+    * replacement for the row_number-window idiom the oracle uses
+    * (identical result is exactly the point). posexplode turns the
+    * ranked array back into rows; rank = array position + 1. */
+  private val qGroupTopk = Q(
+    "q_group_topk",
+    (s, d) => {
+      val top3 = udaf(new TopKByScore(3))
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(top3(col("o_orderkey"), col("o_totalprice")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(
+          col("o_custkey"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          col("col._1").as("o_orderkey"),
+          col("col._2").as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    },
+    Some("""SELECT o_custkey, CAST(rn AS INT) AS rnk, o_orderkey, o_totalprice
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 3 ORDER BY o_custkey, rnk""")
   )
 
   // -------------------------------------------------------------- set ops
@@ -1227,7 +1257,7 @@ object Relational {
     qAggGroupby, qAggDistinct, qAggApproxDistinct, qAggRollup, qAggPercentile,
     qAggPercentileApprox,
     qAggCube, qAggHllUnion, qPivot, qUnpivot,
-    qWindowRank, qWindowFrame, qWindowRange, qWindowStats, qTopk, qSetOps,
+    qWindowRank, qWindowFrame, qWindowRange, qWindowStats, qTopk, qGroupTopk, qSetOps,
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,
     qSubqueryCorrelated, qPathTransitions, qFunnelSteps,
     qCohortRetention, qStringAggOrdered,

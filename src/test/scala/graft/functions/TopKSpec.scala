@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TopKByScore is only a valid window-sort replacement if its result is
+  * independent of arrival order and partitioning — reduce/merge must
+  * commute with any split of the input. These tests pin that and the
+  * deterministic tie order. */
+class TopKSpec extends AnyFunSuite {
+
+  private val agg = new TopKByScore(3)
+
+  private def runSplit(rows: Seq[(Long, Double)], splitAt: Int): Seq[(Long, Double)] = {
+    val (a, b) = rows.splitAt(splitAt)
+    val pa = a.foldLeft(agg.zero)(agg.reduce)
+    val pb = b.foldLeft(agg.zero)(agg.reduce)
+    agg.finish(agg.merge(pa, pb))
+  }
+
+  private val rows = Seq(
+    (10L, 5.0), (11L, 9.0), (12L, 1.0), (13L, 9.0), (14L, 7.0),
+    (15L, 3.0), (16L, 9.0), (17L, 0.5))
+
+  test("top-k is (score desc, id asc) with ties broken by id") {
+    val r = rows.foldLeft(agg.zero)(agg.reduce)
+    // three rows tie at 9.0 → all three win, ordered by id
+    assert(agg.finish(r) === Seq((11L, 9.0), (13L, 9.0), (16L, 9.0)))
+  }
+
+  test("result is invariant to input order and split point (merge-invariance)") {
+    val expected = Seq((11L, 9.0), (13L, 9.0), (16L, 9.0))
+    for (perm <- Seq(rows, rows.reverse, rows.sortBy(_._2), rows.sortBy(_._1));
+         split <- 0 to rows.size) {
+      assert(runSplit(perm, split) === expected, s"split=$split")
+    }
+  }
+
+  test("fewer than k inputs returns them all, still totally ordered") {
+    val r = Seq((2L, 1.0), (1L, 4.0)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(r) === Seq((1L, 4.0), (2L, 1.0)))
+  }
+
+  test("buffer never exceeds k (the bounded-memory contract)") {
+    val big = (0 until 1000).map(i => (i.toLong, (i % 17).toDouble))
+    val (h1, h2) = big.splitAt(500)
+    val buf = h1.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.size === 3)
+    val merged = agg.merge(buf, h2.reverse.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.size === 3)
+    // scores 16.0 dominate; lowest ids among score-16 rows win
+    assert(agg.finish(merged) === Seq((16L, 16.0), (33L, 16.0), (50L, 16.0)))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Semantic pins for the corpus-preparation family beyond the DuckDB
+  * hash (which proves Spark ≡ oracle but not that either means what the
+  * operator claims): planted boilerplate must be flagged in EVERY doc
+  * carrying it regardless of id distance, chunk windows must tile the
+  * text with the declared overlap, and pair counts must match a hand
+  * count. */
+class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String, src: String = "web") =
+    (id, text, "en", src, text.length.toLong)
+
+  /** Boilerplate "subscribe now click here" planted in docs 1, 7 and
+    * 9000 (id-distant on purpose); doc 5 is clean. Spans are 3 tokens,
+    * so the planted sentence must land span-aligned: it is placed at
+    * token offset 0 and is 6 tokens long → spans 0 and 1 of each
+    * carrier doc are corpus-duplicated. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("chunking").toString
+    val boiler = "subscribe now click here for more"
+    val docs = Seq(
+      doc(1L, s"$boiler apple banana cherry"),
+      doc(5L, "unique tokens only nothing shared anywhere at all here"),
+      doc(7L, s"$boiler dog elephant fox"),
+      doc(9000L, s"$boiler grape honey iris"))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("span dedup flags the planted boilerplate in every carrier, even 9k ids apart") {
+    val out = Registry.queries("q_span_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // each carrier doc: 9 tokens → 3 spans, of which the 2 boilerplate
+    // spans are shared with the other carriers
+    for (id <- Seq(1L, 7L, 9000L)) {
+      assert(out(id) === ((3L, 2L)), s"doc $id")
+    }
+    // the clean doc shares nothing
+    assert(out(5L)._2 === 0L)
+  }
+
+  test("chunks tile the text: stride 80, window 100, full coverage, declared overlap") {
+    val text = ("x" * 250)
+    val d = Files.createTempDirectory("chunking2").toString
+    Seq(doc(1L, text)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_chunk_documents")(spark, d).collect()
+    // ceil(250/80) starts: 0, 80, 160, 240 → 4 chunks
+    assert(rows.length === 4)
+    val lens = rows.map(r => r.getInt(1) -> r.getInt(3)).toMap
+    assert(lens === Map(0 -> 100, 1 -> 100, 2 -> 90, 3 -> 10))
+    // consecutive windows overlap by window − stride = 20 chars
+    val chunks = rows.sortBy(_.getInt(1)).map(_.getString(2))
+    assert(chunks(0).takeRight(20) === chunks(1).take(20))
+    // concatenating each chunk's first `stride` chars reconstructs the text
+    val rebuilt = chunks.map(_.take(80)).mkString
+    assert(rebuilt === text)
+  }
+
+  test("bpe pair counts match a hand count") {
+    val d = Files.createTempDirectory("chunking3").toString
+    Seq(
+      doc(1L, "a b a b c"), // pairs: a b, b a, a b, b c
+      doc(2L, "a b x"))     // pairs: a b, b x
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Registry.queries("q_bpe_pairs")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.head === (("a b", 3L, 2L))) // the merge candidate a BPE step would pick
+    assert(out.toSet === Set(
+      ("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L), ("b x", 1L, 1L)))
+  }
+
+  test("group topk matches the window idiom on a skewed planted group") {
+    // one hot group with 100 orders, one group below k — the aggregator
+    // must cap the hot group at k and return the small group whole
+    val d = Files.createTempDirectory("chunking4").toString
+    val orders =
+      (0 until 100).map(i => (1000L + i, 1L, "O", 10.0 + (i % 7), "1996-01-01")) ++
+        Seq((5000L, 2L, "F", 42.0, "1996-01-01"))
+    orders.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val rows = Registry.queries("q_group_topk")(spark, d).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    assert(byCust(1L).length === 3)
+    // score 16.0 rows are i ∈ {6, 13, 20, …}; lowest orderkeys win ties
+    assert(byCust(1L).map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      === Seq((1, 1006L, 16.0), (2, 1013L, 16.0), (3, 1020L, 16.0)))
+    assert(byCust(2L).map(r => (r.getInt(1), r.getLong(2))).toSeq === Seq((1, 5000L)))
+  }
+}
