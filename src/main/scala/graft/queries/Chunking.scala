@@ -142,5 +142,91 @@ object Chunking {
             |FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin)
   )
 
-  def qs: Seq[Q] = Seq(qSpanDedup, qChunkDocuments, qBpePairs)
+  /** Cross-source span-overlap matrix — the report a data team runs
+    * BEFORE mixing corpora: for every pair of sources, how many
+    * distinct content spans they share (shared spans ⇒ the mixture
+    * double-counts that content and `q_mix_sources` weights lie).
+    *
+    * 100 TB shape: `(span, source)` is distinct-reduced FIRST
+    * (partial-agg'd, so the self-join sides carry one row per span per
+    * source, not per occurrence), then the span-keyed self-join emits
+    * at most C(sources, 2) rows per span — bounded by the source
+    * count squared, never by corpus size. Output is one row per
+    * source pair. */
+  private val qSourceOverlap = Q(
+    "q_source_overlap",
+    (s, d) => {
+      val spanSrc = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .select(col("source"), explode(expr(
+          s"""transform(sequence(0, cast(ceil(size(toks)/$SpanK.0) as int) - 1),
+             |          i -> concat_ws(' ', slice(toks, i*$SpanK+1, $SpanK)))""".stripMargin))
+          .as("span"))
+        .distinct()
+      spanSrc.as("a")
+        .join(spanSrc.as("b"),
+          col("a.span") === col("b.span") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared_spans"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some(s"""WITH toks AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+             |spans AS (
+             |  SELECT DISTINCT source,
+             |         unnest(list_transform(range(0, CAST(ceil(len(l)/$SpanK.0) AS BIGINT)),
+             |                i -> array_to_string(l[(i*$SpanK+1):(i*$SpanK+$SpanK)], ' '))) AS span
+             |  FROM toks)
+             |SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_spans
+             |FROM spans a JOIN spans b ON a.span = b.span AND a.source < b.source
+             |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin)
+  )
+
+  /** Vocabulary size for OOV scoring: small enough relative to the
+    * synthetic corpus's tiny token domain that out-of-vocab tokens
+    * actually occur (with the corpus's ~40 distinct tokens a "real"
+    * 32k vocab would make every doc trivially 0% OOV). */
+  private val VocabV = 20
+
+  /** Out-of-vocabulary rate per document against a frequency-built
+    * top-V vocabulary — the tokenizer-fit signal a curation pipeline
+    * scores before training (high OOV ⇒ the doc is noise for this
+    * tokenizer, or the tokenizer undercovers the domain).
+    *
+    * 100 TB shape: the vocab is BOUNDED (V rows) by construction —
+    * built with one partial-agg'd groupBy + TakeOrdered, then
+    * broadcast, so scoring is a map-side join: the corpus never
+    * shuffles. Vocab selection is deterministic (count desc, token
+    * asc). */
+  private val qOovRate = Q(
+    "q_oov_rate",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(VocabV)
+        .select(col("tok").as("vtok"))
+      toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("n_oov"),
+          round(avg(when(col("vtok").isNull, 1.0d).otherwise(0.0d)), 6).as("oov_rate"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |vocab AS (SELECT tok AS vtok FROM (
+             |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+             |  ORDER BY cnt DESC, tok LIMIT $VocabV))
+             |SELECT t.doc_id,
+             |       count(*) AS n_tokens,
+             |       CAST(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |       round(avg(CASE WHEN v.vtok IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
+             |FROM toks t LEFT JOIN vocab v ON t.tok = v.vtok
+             |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  def qs: Seq[Q] =
+    Seq(qSpanDedup, qChunkDocuments, qBpePairs, qSourceOverlap, qOovRate)
 }

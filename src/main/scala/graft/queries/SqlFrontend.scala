@@ -31,15 +31,28 @@ import graft.Tables
   */
 object SqlFrontend {
 
-  /** Register every testdata table as a temp view named like the bare
-    * table. Idempotent (createOrReplace) and cheap: a view is a parsed
-    * plan alias, not data. */
-  def registerViews(s: SparkSession, d: String): Unit =
-    Tables.names.foreach(n => Tables(s, d, n).createOrReplaceTempView(n))
+  /** Tracks which dir each (session, table) view currently points at,
+    * so re-running a query on the same dir skips the parquet footer
+    * read that `Tables(...)` does for schema — that read is pure
+    * driver-side latency (~40 ms/table, ~0.4 s for all ten) repeated
+    * on every call otherwise. Switching dirs re-registers. */
+  private val viewDir =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
-  /** A query whose Spark implementation IS the oracle text. */
-  private def sqlQ(name: String, sql: String): Q =
-    Q(name, (s, d) => { registerViews(s, d); s.sql(sql) }, Some(sql))
+  /** Register testdata tables as temp views named like the bare table.
+    * Idempotent (createOrReplace) and cheap: a view is a parsed plan
+    * alias, not data. */
+  def registerViews(s: SparkSession, d: String,
+      tables: Seq[String] = Tables.names): Unit =
+    tables.foreach { n =>
+      if (viewDir.put((s, n), d) != d) Tables(s, d, n).createOrReplaceTempView(n)
+    }
+
+  /** A query whose Spark implementation IS the oracle text; `tables`
+    * lists the views it reads (registering only those keeps the
+    * first-call setup proportional to the query, not the catalog). */
+  private def sqlQ(name: String, sql: String, tables: Seq[String]): Q =
+    Q(name, (s, d) => { registerViews(s, d, tables); s.sql(sql) }, Some(sql))
 
   /** TPC-H Q1 shape through SQL text — the SQL twin of
     * [[Relational.qs q_agg_groupby]] (same aliases, same decimal-exact
@@ -57,7 +70,8 @@ object SqlFrontend {
          count(*) AS count_order
        FROM lineitem
        GROUP BY l_returnflag, l_linestatus
-       ORDER BY l_returnflag, l_linestatus""")
+       ORDER BY l_returnflag, l_linestatus""",
+    Seq("lineitem"))
 
   /** Broadcast dim join through SQL text — the hint travels as a
     * comment, so the same string plans a broadcast join in Spark and
@@ -66,7 +80,8 @@ object SqlFrontend {
     "q_sql_join_broadcast",
     """SELECT /*+ BROADCAST(region) */ n_nationkey, n_name, r_name
        FROM nation JOIN region ON n_regionkey = r_regionkey
-       ORDER BY n_nationkey""")
+       ORDER BY n_nationkey""",
+    Seq("nation", "region"))
 
   /** Ranking window through SQL text (top-3 orders per customer);
     * CAST pins row_number's type across engines. */
@@ -77,7 +92,8 @@ object SqlFrontend {
            row_number() OVER (PARTITION BY o_custkey
                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
          FROM orders) t
-       WHERE rn <= 3 ORDER BY o_custkey, rn""")
+       WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    Seq("orders"))
 
   def qs: Seq[Q] = Seq(qSqlAggGroupby, qSqlJoinBroadcast, qSqlWindowRank)
 }

@@ -81,6 +81,37 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
       ("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L), ("b x", 1L, 1L)))
   }
 
+  test("source overlap counts shared spans once per source pair, never per occurrence") {
+    val d = Files.createTempDirectory("chunking5").toString
+    val shared = "one two three four five six" // 2 spans at K=3
+    Seq(
+      doc(1L, shared, "srcA"),
+      doc(2L, s"$shared $shared", "srcB"), // repeats the spans WITHIN the doc
+      doc(3L, "sole content here never shared at", "srcC"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_source_overlap")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // distinct-first: srcB's internal repetition must not inflate the count
+    assert(rows.toSeq === Seq(("srcA", "srcB", 2L)))
+  }
+
+  test("oov rate: tokens outside the top-V vocabulary are flagged, vocab ties break by token") {
+    val d = Files.createTempDirectory("chunking6").toString
+    // "common" dominates; 25 distinct rare tokens push vocab past V=20 so
+    // the rarest fall out and appear as OOV in their carrier doc
+    val commons = (0 until 30).map(_ => "common").mkString(" ")
+    val rares = (0 until 25).map(i => f"rare$i%02d").mkString(" ")
+    Seq(doc(1L, commons), doc(2L, s"common $rares"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Registry.queries("q_oov_rate")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((30L, 0L))) // all in vocab
+    // vocab = common + first 19 rares (count ties broken token-asc) → 6 OOV
+    assert(out(2L) === ((26L, 6L)))
+  }
+
   test("group topk matches the window idiom on a skewed planted group") {
     // one hot group with 100 orders, one group below k — the aggregator
     // must cap the hot group at k and return the small group whole
