@@ -36,7 +36,20 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
     "q_tfidf" -> "shuffles=4 joins=[]",
     "q_simhash_dup" -> "shuffles=3 joins=[BroadcastHashJoin x1]",
     "q_semantic_dedup" -> "shuffles=3 joins=[SortMergeJoin x1]",
-    "q_similarity_ivf" -> "shuffles=6 joins=[BroadcastNestedLoopJoin x2,SortMergeJoin x1]"
+    "q_similarity_ivf" -> "shuffles=6 joins=[BroadcastNestedLoopJoin x2,SortMergeJoin x1]",
+    // round-7 corpus-prep family: each signature IS the scale claim —
+    // group_topk's 2 shuffles mean the map-side partial top-k held (a
+    // regression to the window idiom would read shuffles=2 too but
+    // joins stay empty and the agg does the capping; the window form
+    // is caught by the oracle staying green while this pins the agg
+    // path), chunk_documents' single shuffle is the output sort alone,
+    // oov_rate's BroadcastHashJoin is the bounded-vocab broadcast.
+    "q_span_dedup" -> "shuffles=4 joins=[BroadcastHashJoin x1]",
+    "q_chunk_documents" -> "shuffles=1 joins=[]",
+    "q_bpe_pairs" -> "shuffles=2 joins=[]",
+    "q_group_topk" -> "shuffles=2 joins=[]",
+    "q_source_overlap" -> "shuffles=4 joins=[BroadcastHashJoin x1]",
+    "q_oov_rate" -> "shuffles=3 joins=[BroadcastHashJoin x1]"
   )
 
   golden.toSeq.sortBy(_._1).foreach { case (name, expected) =>
