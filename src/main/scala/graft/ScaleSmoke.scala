@@ -74,7 +74,11 @@ object ScaleSmoke {
       "q_embed_cosine_dup", "q_dedup_exact", "q_sessionize", "q_text_tokens",
       "q_ngram_containment", "q_decontaminate", "q_repetition_ratio",
       "q_semantic_dedup", "q_dup_clusters", "q_text_pii_scrub",
-      "q_tfidf", "q_bm25", "q_cms_counts", "q_leakage_safe_split")
+      "q_tfidf", "q_bm25", "q_cms_counts", "q_leakage_safe_split",
+      // corpus-prep family: span_dedup/source_overlap are the
+      // join-bearing ones whose linearity needs proving; bpe_pairs
+      // and oov_rate pin the single-exchange claims
+      "q_span_dedup", "q_source_overlap", "q_bpe_pairs", "q_oov_rate")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")
