@@ -92,6 +92,21 @@ object Demo {
     lq.processAllAvailable(); lq.stop()
     println(s"[demo] idempotent lake holds " +
       s"${spark.read.parquet(lakeDir).count()} rows (replay-safe by batch_id)")
+
+    // -- 5. the LLM-pipeline tail: curate → chunk → manifest-verified
+    //      training-data delivery (the part the reference's output
+    //      exists to feed)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val curated = queries.Registry.queries("q_chunk_documents")(spark, sfDir)
+    val exportDir = Files.createTempDirectory("demo-export").toString + "/corpus"
+    val manifest = graft.sink.TrainingExport.writeJsonlShards(
+      curated, exportDir, maxRecordsPerShard = 200L)
+    val rederived = graft.sink.TrainingExport.contentChecksum(
+      spark.read.text(s"$exportDir/*.json.gz"))
+    val manifestXor = manifest.shards.map(_.rowHashXor).reduce(_ ^ _)
+    println(s"[demo] exported ${manifest.totalRows} training chunks in " +
+      s"${manifest.shards.size} shards (${manifest.totalBytes} bytes); " +
+      s"manifest checksum ${if (rederived == manifestXor) "VERIFIED" else "MISMATCH"}")
     spark.stop()
   }
 }
