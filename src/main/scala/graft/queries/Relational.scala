@@ -231,6 +231,38 @@ object Relational {
   /** Left-anti join: customers with no pending ('P') orders — the
     * pending subset keeps the anti-join result non-trivial on this data
     * (every customer has *some* order). */
+  /** FULL OUTER equi-join: per-customer open-order count against the
+    * customer dim, preserving BOTH unmatched sides (customers with no
+    * open orders AND any order rows whose custkey is missing from the
+    * dim — referential-integrity drift surfaces as rows, not silent
+    * drops). Shuffle join on the key (outer sides can't broadcast);
+    * the aggregate pre-shrinks the fact side to one row per key before
+    * the join. */
+  private val qJoinFullOuter = Q(
+    "q_join_full_outer",
+    (s, d) => {
+      val openOrders = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("open_orders"))
+      Tables.customer(s, d)
+        .join(openOrders, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"),
+          coalesce(col("open_orders"), lit(0L)).as("open_orders"))
+        .orderBy(col("custkey"))
+    },
+    Some("""SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+              coalesce(open_orders, 0) AS open_orders
+            FROM customer
+            FULL OUTER JOIN (SELECT o_custkey, count(*) AS open_orders
+                             FROM orders WHERE o_orderstatus = 'O'
+                             GROUP BY o_custkey) oo
+              ON c_custkey = o_custkey
+            ORDER BY custkey""")
+  )
+
   private val qJoinAnti = Q(
     "q_join_anti",
     (s, d) =>
@@ -1253,7 +1285,8 @@ object Relational {
   def qs: Seq[Q] = Seq(
     qScanProjection, qFilterPredicate,
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
-    qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
+    qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinFullOuter,
+    qJoinRange, qJoinAsof,
     qAggGroupby, qAggDistinct, qAggApproxDistinct, qAggRollup, qAggPercentile,
     qAggPercentileApprox,
     qAggCube, qAggHllUnion, qPivot, qUnpivot,
