@@ -271,6 +271,67 @@ object Curation {
            FROM r GROUP BY grp ORDER BY grp""")
   )
 
+  /** Deterministic training order: a reproducible global permutation
+    * of the corpus keyed by an epoch seed — rerunning the pipeline (or
+    * resuming a crashed epoch) yields the identical data order, unlike
+    * `rand()`-based shuffles. The sort key is the engine-agnostic
+    * rolling hash of "seed:doc_id", so different seeds give
+    * uncorrelated permutations of the same corpus.
+    *
+    * 100 TB shape: the ORDER is the result — Spark's orderBy is a
+    * distributed RANGE sort (sampled boundaries, parallel merge), so
+    * there is deliberately no global row_number here (that would be a
+    * single-reducer; a consumer needing absolute positions derives
+    * them per range partition + offset). */
+  private val qTrainingOrder = Q(
+    "q_training_order",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          expr(sparkFpOf("concat('ep1:', cast(doc_id as string))")).as("sort_key"))
+        .orderBy(col("sort_key"), col("doc_id")),
+    Some(s"""SELECT doc_id,
+               ${duckFpOf("'ep1:' || CAST(doc_id AS VARCHAR)")} AS sort_key
+             FROM documents ORDER BY sort_key, doc_id""")
+  )
+
+  /** Docs kept per source under the cap. Sources here carry ~25 docs
+    * each; 15 exercises both regimes (some sources capped, none
+    * empty). */
+  private val SourceCapN = 15
+
+  /** Per-source frequency cap: keep at most N docs per source,
+    * deterministically chosen by hash priority — the curation step
+    * that stops one boilerplate-heavy domain from dominating the
+    * mixture (the cap analog of `q_mix_sources`' rate scaling).
+    * Hash-priority selection (not "first N by id") means the kept
+    * subset is unbiased w.r.t. crawl/id order and reproducible.
+    *
+    * 100 TB shape: one shuffle on source for the per-source window;
+    * a pathologically hot source still sorts its whole group — the
+    * documented swap is [[graft.functions.TopKByScore]] keyed on
+    * source (O(N) state per group, q_group_topk's plan). */
+  private val qSourceCap = Q(
+    "q_source_cap",
+    (s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("fp"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("fp", expr(sparkFpOf("concat('cap:', cast(doc_id as string))")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= SourceCapN)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some(s"""SELECT source, doc_id FROM (
+               SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY ${duckFpOf("'cap:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+               FROM documents) t
+             WHERE rn <= $SourceCapN ORDER BY source, doc_id""")
+  )
+
   def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences, qSampleStratified,
-    qNtileBucketize, qSampleWeighted, qMixSources)
+    qNtileBucketize, qSampleWeighted, qMixSources, qTrainingOrder, qSourceCap)
 }
