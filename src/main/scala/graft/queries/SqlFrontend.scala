@@ -95,5 +95,28 @@ object SqlFrontend {
        WHERE rn <= 3 ORDER BY o_custkey, rn""",
     Seq("orders"))
 
-  def qs: Seq[Q] = Seq(qSqlAggGroupby, qSqlJoinBroadcast, qSqlWindowRank)
+  /** CTE + 3-way join + unpartitioned analytic window in one portable
+    * string — the "report query" shape (revenue share per nation).
+    * The global `sum() OVER ()` is a deliberate single-partition
+    * window over the POST-AGGREGATION result (25 nation rows), not
+    * the fact table — the safe place for an unpartitioned window at
+    * any scale. The window sums DECIMAL (exact, order-independent in
+    * both engines) and casts to DOUBLE only at the division, so the
+    * share is bit-identical regardless of each engine's accumulation
+    * order. */
+  private val qSqlCte = sqlQ(
+    "q_sql_cte",
+    """WITH nation_rev AS (
+         SELECT n_name,
+           sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue_dec
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name)
+       SELECT n_name, CAST(revenue_dec AS DOUBLE) AS revenue,
+         round(CAST(revenue_dec AS DOUBLE) / CAST(sum(revenue_dec) OVER () AS DOUBLE), 6) AS share
+       FROM nation_rev ORDER BY n_name""",
+    Seq("orders", "customer", "nation"))
+
+  def qs: Seq[Q] = Seq(qSqlAggGroupby, qSqlJoinBroadcast, qSqlWindowRank, qSqlCte)
 }

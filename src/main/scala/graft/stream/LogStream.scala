@@ -483,6 +483,34 @@ object LogStream {
         writeBatchIdempotent(batch, lakeDir, batchId))
       .start()
 
+  /** Streaming TRAINING-DATA DELIVERY: each micro-batch lands as
+    * manifest-verified gzip-JSONL shards under its own
+    * `batch_id=<n>/` directory via [[graft.sink.TrainingExport]] —
+    * the streaming tail of the curate→chunk→export pipeline
+    * (`Demo` step 5 runs the batch form).
+    *
+    * Exactly-once by the same route as [[toIdempotentLake]]: a
+    * replayed batch OVERWRITES its own batch directory (shards and
+    * `_MANIFEST.json` both), so a crash between write and checkpoint
+    * commit converges instead of duplicating. Each batch directory is
+    * independently consumable and verifiable — a downstream trainer
+    * can tail completed `batch_id=` dirs and check their manifests
+    * without coordinating with the stream. */
+  def toTrainingDelivery(
+      curated: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      maxRecordsPerShard: Long = 1000000L): StreamingQuery =
+    curated.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sink.TrainingExport.writeJsonlShards(
+            batch.toDF(), s"$outDir/batch_id=$batchId", maxRecordsPerShard): Unit
+        })
+      .start()
+
   /** Streaming ANOMALY GATE — the streaming form of `q_anomaly_mad`:
     * score each event against PRECOMPUTED per-key robust stats
     * (`med`/`mad` per `event_type`, from the batch median/MAD pass) and

@@ -136,6 +136,37 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("streaming training delivery: per-batch manifest-verified JSONL, replay overwrites") {
+    val out = Files.createTempDirectory("graft-tdeliver").toString
+    val ckpt = Files.createTempDirectory("graft-tdeliver-ckpt").toString
+    val input = MemoryStream[LogRow](spark)
+    val q = LogStream.toTrainingDelivery(
+      CloudFrontTransform.canonicalCols(input.toDF()), out, ckpt,
+      maxRecordsPerShard = 2L)
+    try {
+      input.addData(row("02:00:00"), row("02:01:00"), row("02:02:00"))
+      q.processAllAvailable()
+      input.addData(row("03:00:00"))
+      q.processAllAvailable()
+      // each batch directory is independently consumable + verifiable
+      for ((batch, expectRows) <- Seq(("batch_id=0", 3L), ("batch_id=1", 1L))) {
+        val m = graft.sink.TrainingExport.buildManifest(spark, s"$out/$batch")
+        assert(m.totalRows === expectRows, batch)
+        assert(m.shards.forall(_.rows <= 2L), batch)
+        val rederived = graft.sink.TrainingExport.contentChecksum(
+          spark.read.text(s"$out/$batch/*.json.gz"))
+        assert(rederived === m.shards.map(_.rowHashXor).reduce(_ ^ _), batch)
+      }
+      // crash-replay: re-delivering batch 1's rows to its own directory
+      // converges (overwrite), never duplicates
+      val src = spark.read.json(s"$out/batch_id=1/*.json.gz")
+      val replay = spark.createDataFrame(
+        spark.sparkContext.parallelize(src.collect().toIndexedSeq), src.schema)
+      graft.sink.TrainingExport.writeJsonlShards(replay, s"$out/batch_id=1", 2L)
+      assert(spark.read.json(s"$out/batch_id=1/*.json.gz").count() === 1L)
+    } finally q.stop()
+  }
+
   test("idempotent lake sink: a replayed batch overwrites its partition, never duplicates") {
     val lake = Files.createTempDirectory("graft-lake").toString
     val ckpt = Files.createTempDirectory("graft-lake-ckpt").toString
