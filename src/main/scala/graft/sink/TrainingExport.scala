@@ -61,6 +61,15 @@ object TrainingExport {
   /** One distributed pass over the written shards: per-shard row count
     * + order-independent checksum; byte sizes from file metadata. */
   def buildManifest(spark: SparkSession, outDir: String): Manifest = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .filter(_.getPath.getName.endsWith(".json.gz"))
+      .sortBy(_.getPath.getName)
+    // an empty corpus writes no shards; the glob read below would
+    // throw PATH_NOT_FOUND, so short-circuit to an empty manifest
+    if (statuses.isEmpty) return Manifest(0L, 0L, Seq.empty)
+
     // read back as raw JSON lines (text, not parsed) so the checksum
     // covers the exact bytes a consumer will see per line
     val perShard = spark.read.text(s"$outDir/*.json.gz")
@@ -73,18 +82,11 @@ object TrainingExport {
       .map(r => shardName(r.getString(0)) -> ((r.getLong(1), r.getLong(2))))
       .toMap
 
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val shards = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
-      .filter(_.getPath.getName.endsWith(".json.gz"))
-      .sortBy(_.getPath.getName)
-      .map { st =>
-        val name = st.getPath.getName
-        val (rows, hashSum) = perShard.get(name)
-          .map(t => (t._1, t._2))
-          .getOrElse((0L, 0L))
-        Shard(name, rows, st.getLen, hashSum)
-      }.toSeq
+    val shards = statuses.map { st =>
+      val name = st.getPath.getName
+      val (rows, hashXor) = perShard.getOrElse(name, (0L, 0L))
+      Shard(name, rows, st.getLen, hashXor)
+    }.toSeq
     Manifest(shards.map(_.rows).sum, shards.map(_.bytes).sum, shards)
   }
 

@@ -28,6 +28,20 @@ class TrainingExportSpec extends AnyFunSuite with SparkTestSupport {
     assert(new java.io.File(dir, "_MANIFEST.json").exists())
   }
 
+  test("empty corpus yields a zero-row manifest, not a glob error") {
+    val dir = Files.createTempDirectory("texport0").toString + "/out"
+    // an empty frame still writes (empty) shard files; the manifest
+    // must account them as zero rows rather than erroring
+    val m = TrainingExport.writeJsonlShards(corpus(0), dir, maxRecordsPerShard = 10L)
+    assert(m.totalRows === 0L)
+    assert(m.shards.forall(s => s.rows == 0L && s.rowHashXor == 0L))
+    assert(new java.io.File(dir, "_MANIFEST.json").exists())
+    // and a directory with no shards at all short-circuits cleanly
+    val bare = Files.createTempDirectory("texport0b").toString
+    assert(TrainingExport.buildManifest(spark, bare) ===
+      TrainingExport.Manifest(0L, 0L, Seq.empty))
+  }
+
   test("roundtrip: reading the shards back yields the original rows") {
     val dir = Files.createTempDirectory("texport2").toString + "/out"
     val df = corpus(250)
