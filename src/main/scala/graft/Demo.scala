@@ -103,7 +103,7 @@ object Demo {
       curated, exportDir, maxRecordsPerShard = 200L)
     val rederived = graft.sink.TrainingExport.contentChecksum(
       spark.read.text(s"$exportDir/*.json.gz"))
-    val manifestXor = manifest.shards.map(_.rowHashXor).reduce(_ ^ _)
+    val manifestXor = manifest.shards.map(_.rowHashXor).fold(0L)(_ ^ _)
     println(s"[demo] exported ${manifest.totalRows} training chunks in " +
       s"${manifest.shards.size} shards (${manifest.totalBytes} bytes); " +
       s"manifest checksum ${if (rederived == manifestXor) "VERIFIED" else "MISMATCH"}")

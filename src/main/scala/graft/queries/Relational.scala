@@ -228,9 +228,6 @@ object Relational {
             ORDER BY c_custkey""")
   )
 
-  /** Left-anti join: customers with no pending ('P') orders — the
-    * pending subset keeps the anti-join result non-trivial on this data
-    * (every customer has *some* order). */
   /** FULL OUTER equi-join: per-customer open-order count against the
     * customer dim, preserving BOTH unmatched sides (customers with no
     * open orders AND any order rows whose custkey is missing from the
@@ -263,6 +260,9 @@ object Relational {
             ORDER BY custkey""")
   )
 
+  /** Left-anti join: customers with no pending ('P') orders — the
+    * pending subset keeps the anti-join result non-trivial on this data
+    * (every customer has *some* order). */
   private val qJoinAnti = Q(
     "q_join_anti",
     (s, d) =>

@@ -31,22 +31,37 @@ import graft.Tables
   */
 object SqlFrontend {
 
-  /** Tracks which dir each (session, table) view currently points at,
-    * so re-running a query on the same dir skips the parquet footer
-    * read that `Tables(...)` does for schema — that read is pure
-    * driver-side latency (~40 ms/table, ~0.4 s for all ten) repeated
-    * on every call otherwise. Switching dirs re-registers. */
+  /** Tracks which dir each table's view currently points at, per
+    * session, so re-running a query on the same dir skips the parquet
+    * footer read that `Tables(...)` does for schema — that read is
+    * pure driver-side latency (~40 ms/table, ~0.4 s for all ten)
+    * repeated on every call otherwise. Switching dirs re-registers.
+    * Weak session keys: a stopped session's entry (and the session
+    * itself) stays collectable — this object must never pin a
+    * SparkSession. */
   private val viewDir =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
 
   /** Register testdata tables as temp views named like the bare table.
     * Idempotent (createOrReplace) and cheap: a view is a parsed plan
-    * alias, not data. */
+    * alias, not data. A dir is recorded only AFTER its view registers,
+    * so a failed registration (missing parquet) is retried on the next
+    * call rather than poisoning the cache; on the memoized path the
+    * view's file index is refreshed so data rewritten at the same path
+    * is picked up (the refresh is metadata-only — the saved footer
+    * read stays saved). Synchronized: the registered view and the
+    * recorded dir can never disagree under concurrent callers. */
   def registerViews(s: SparkSession, d: String,
-      tables: Seq[String] = Tables.names): Unit =
+      tables: Seq[String] = Tables.names): Unit = viewDir.synchronized {
+    val dirs = viewDir.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
     tables.foreach { n =>
-      if (viewDir.put((s, n), d) != d) Tables(s, d, n).createOrReplaceTempView(n)
+      if (dirs.get(n).contains(d)) s.catalog.refreshTable(n)
+      else {
+        Tables(s, d, n).createOrReplaceTempView(n)
+        dirs(n) = d
+      }
     }
+  }
 
   /** A query whose Spark implementation IS the oracle text; `tables`
     * lists the views it reads (registering only those keeps the

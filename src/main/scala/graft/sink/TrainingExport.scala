@@ -94,8 +94,11 @@ object TrainingExport {
     * same single JSON-text column — what a consumer runs to verify a
     * delivery against its manifest. */
   def contentChecksum(lines: DataFrame): Long = {
-    val col0 = lines.columns.head
-    val r = lines.agg(expr(s"bit_xor(xxhash64($col0))")).head()
+    // hash via the Column API (no SQL-text interpolation, so any
+    // column name works), then the one SQL-only piece is over our
+    // own alias
+    val r = lines.select(xxhash64(col(lines.columns.head)).as("h"))
+      .agg(expr("bit_xor(h)")).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 

@@ -60,6 +60,6 @@ class TrainingExportSpec extends AnyFunSuite with SparkTestSupport {
     val direct = TrainingExport.contentChecksum(lines)
     val shuffled = TrainingExport.contentChecksum(lines.repartition(7))
     assert(direct === shuffled)
-    assert(direct === m.shards.map(_.rowHashXor).reduce(_ ^ _))
+    assert(direct === m.shards.map(_.rowHashXor).fold(0L)(_ ^ _))
   }
 }

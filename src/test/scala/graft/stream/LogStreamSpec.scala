@@ -155,7 +155,7 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
         assert(m.shards.forall(_.rows <= 2L), batch)
         val rederived = graft.sink.TrainingExport.contentChecksum(
           spark.read.text(s"$out/$batch/*.json.gz"))
-        assert(rederived === m.shards.map(_.rowHashXor).reduce(_ ^ _), batch)
+        assert(rederived === m.shards.map(_.rowHashXor).fold(0L)(_ ^ _), batch)
       }
       // crash-replay: re-delivering batch 1's rows to its own directory
       // converges (overwrite), never duplicates
