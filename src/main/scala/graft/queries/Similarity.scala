@@ -495,8 +495,77 @@ object Similarity {
             FROM x GROUP BY label, dim ORDER BY label, dim""")
   )
 
+  /** Coarse candidates kept per query before the exact re-rank. */
+  private val Sq8Coarse = 20
+
+  /** INT8 scalar-quantized similarity (SQ8) — the COMPRESSION scale
+    * path, orthogonal to the candidate-pruning paths (LSH/IVF): each
+    * vector stores as `round(x·127/maxabs)` int8 codes + one scale,
+    * 4× smaller than float32 (≈8× vs the double working form), so 4×
+    * more index fits a node's RAM and the coarse scan reads 4× fewer
+    * bytes. Scales CANCEL in cosine, so the coarse pass ranks by the
+    * cosine of the quantized vectors directly (no dequantization),
+    * keeps top-`Sq8Coarse` per query, and only those candidates are
+    * re-ranked at full precision — the quantized corpus is the only
+    * thing the scan touches.
+    *
+    * Fully oracle-checked: quantization is `round()` (both engines
+    * round ties away from zero), coarse and exact scores are
+    * round(·,6)-stabilized with vec_id tie-breaks, so the candidate
+    * sets — not just the final rows — match across engines. A planted
+    * identical twin must surface at rank 1 (NearDupSemanticsSpec). */
+  private val qSimilaritySq8 = Q(
+    "q_similarity_sq8",
+    (s, d) => {
+      val e = embDouble(s, d)
+      def quantize(df: DataFrame): DataFrame =
+        df.withColumn("scale",
+            expr("greatest(array_max(transform(emb, x -> abs(x))), 1e-30d)"))
+          .withColumn("qemb",
+            expr("transform(emb, x -> CAST(round(x * 127.0 / scale) AS DOUBLE))"))
+      val queries = quantize(e.filter(col("vec_id") < 10))
+        .select(col("vec_id").as("query_id"), col("emb").as("q_full"), col("qemb").as("q_q"))
+      val corpus = quantize(e.filter(col("vec_id") >= 10))
+        .select(col("vec_id").as("neighbor_id"), col("emb").as("c_full"), col("qemb").as("c_q"))
+      val wCoarse = Window.partitionBy(col("query_id"))
+        .orderBy(col("coarse").desc, col("neighbor_id"))
+      val wExact = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      corpus.crossJoin(broadcast(queries))
+        .withColumn("coarse", round(cosine(col("q_q"), col("c_q")), 6))
+        .withColumn("crank", row_number().over(wCoarse))
+        .filter(col("crank") <= Sq8Coarse)
+        .withColumn("cos", round(cosine(col("q_full"), col("c_full")), 6))
+        .withColumn("rank", row_number().over(wExact))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS ($oracleEmb),
+             |qz AS (SELECT vec_id, emb,
+             |         greatest(list_max(list_transform(emb, x -> abs(x))), 1e-30) AS scale
+             |       FROM e),
+             |qq AS (SELECT vec_id, emb,
+             |         list_transform(emb, x -> CAST(round(x * 127.0 / scale) AS DOUBLE)) AS qemb
+             |       FROM qz),
+             |q AS (SELECT vec_id AS query_id, emb AS q_full, qemb AS q_q FROM qq WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS neighbor_id, emb AS c_full, qemb AS c_q FROM qq WHERE vec_id >= 10),
+             |coarse AS (SELECT query_id, neighbor_id, q_full, c_full,
+             |             round(${oracleCos("q_q", "c_q")}, 6) AS coarse
+             |           FROM q CROSS JOIN c),
+             |cr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |         ORDER BY coarse DESC, neighbor_id) AS crank FROM coarse),
+             |cand AS (SELECT query_id, neighbor_id,
+             |           round(${oracleCos("q_full", "c_full")}, 6) AS cos
+             |         FROM cr WHERE crank <= $Sq8Coarse),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |        ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+  )
+
   def qs: Seq[Q] =
     Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityIvf,
       qSimilarityIvfKmeans, qSemanticDedup, qEmbedCosineDup, qAnnRecall,
-      qEmbedCentroids)
+      qEmbedCentroids, qSimilaritySq8)
 }

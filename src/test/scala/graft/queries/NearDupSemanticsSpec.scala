@@ -178,6 +178,20 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     assert(Registry.queries("q_dup_clusters")(spark, dir).count() == 0)
   }
 
+  test("sq8 quantized search surfaces the planted identical twin at rank 1") {
+    // vec 10 == vec 0 exactly: quantization cannot break an identical
+    // match (same codes, same scale), so the coarse pass must rank it
+    // first and the exact re-rank must report cosine 1.0
+    val rows = Registry.queries("q_similarity_sq8")(spark, embDir).collect()
+    val top = rows.filter(r => r.getLong(0) == 0L && r.getInt(1) == 1).head
+    assert(top.getLong(2) === 10L)
+    assert(top.getDouble(3) === 1.0)
+    // and the near-twin (vec 11 ≈ vec 1) survives quantization too
+    val top1 = rows.filter(r => r.getLong(0) == 1L && r.getInt(1) == 1).head
+    assert(top1.getLong(2) === 11L)
+    assert(top1.getDouble(3) > 0.999)
+  }
+
   test("LSH geometry scales with corpus size (planesFor) and is clamped") {
     assert(Similarity.planesFor(0) == 4)
     assert(Similarity.planesFor(1000) == 4)
