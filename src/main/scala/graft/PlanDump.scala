@@ -49,10 +49,11 @@ object PlanDump {
           val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
           val flags = Seq(
             if (ns.exists(_.nodeName.contains("Cartesian"))) "CARTESIAN!" else "",
-            // bruteforce/ivf deliberately cross a broadcast-tiny side
+            // bruteforce/ivf/sq8 deliberately cross a broadcast-tiny side
             // (query set / 16 centroids) against the corpus
             if (joins.exists(_.startsWith("BroadcastNestedLoopJoin")) &&
-              !name.contains("bruteforce") && !name.contains("ivf")) "BNLJ!" else "").filter(_.nonEmpty)
+              !name.contains("bruteforce") && !name.contains("ivf") &&
+              !name.contains("sq8")) "BNLJ!" else "").filter(_.nonEmpty)
           println(f"PLAN $name%-28s shuffles=$shuffles%-3d ${joins.mkString(",")}%-60s ${flags.mkString(" ")}")
         } catch {
           case e: Throwable => println(s"PLAN $name ERROR ${e.getMessage.take(80)}")

@@ -49,7 +49,11 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
     "q_bpe_pairs" -> "shuffles=2 joins=[]",
     "q_group_topk" -> "shuffles=2 joins=[]",
     "q_source_overlap" -> "shuffles=4 joins=[BroadcastHashJoin x1]",
-    "q_oov_rate" -> "shuffles=3 joins=[BroadcastHashJoin x1]"
+    "q_oov_rate" -> "shuffles=3 joins=[BroadcastHashJoin x1]",
+    // sq8's BroadcastNestedLoopJoin is the deliberate broadcast-tiny
+    // query-set cross (same stance as bruteforce/ivf in PlanDump's
+    // flag exclusions); the 2 shuffles are the two ranking windows
+    "q_similarity_sq8" -> "shuffles=2 joins=[BroadcastNestedLoopJoin x1]"
   )
 
   golden.toSeq.sortBy(_._1).foreach { case (name, expected) =>
