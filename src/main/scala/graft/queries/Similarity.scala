@@ -455,6 +455,7 @@ object Similarity {
       recall(qSimilarityIvf.fn(s, d), "ivf")
         .unionByName(recall(qSimilarityIvfKmeans.fn(s, d), "ivf_kmeans"))
         .unionByName(recall(qSimilarityLsh.fn(s, d), "lsh"))
+        .unionByName(recall(qSimilaritySq8.fn(s, d), "sq8"))
         .orderBy(col("method"))
     },
     None

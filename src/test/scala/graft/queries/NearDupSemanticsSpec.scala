@@ -233,7 +233,7 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
   test("ANN recall eval: bounds hold and the planted corpus keeps recall above the floor") {
     val rows = Registry.queries("q_ann_recall")(spark, embDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(rows.keySet == Set("ivf", "ivf_kmeans", "lsh"))
+    assert(rows.keySet == Set("ivf", "ivf_kmeans", "lsh", "sq8"))
     rows.foreach { case (m, (avg, mn)) =>
       assert(avg >= 0.0 && avg <= 1.0 && mn >= 0.0 && mn <= avg,
         s"$m: avg=$avg min=$mn out of bounds")
@@ -243,6 +243,9 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     assert(rows("ivf")._1 >= 0.2, s"ivf recall collapsed: $rows")
     assert(rows("ivf_kmeans")._1 >= 0.2, s"ivf_kmeans recall collapsed: $rows")
     assert(rows("lsh")._1 >= 0.2, s"lsh recall collapsed: $rows")
+    // sq8 only compresses (no candidate pruning beyond the coarse
+    // top-20), so its recall floor is the strictest of the four
+    assert(rows("sq8")._1 >= 0.6, s"sq8 recall collapsed: $rows")
   }
 
   test("brute-force, LSH, and IVF all rank the planted twin as top-1") {
@@ -289,6 +292,7 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rows("ivf") >= 0.2 && rows("ivf_kmeans") >= 0.2 && rows("lsh") >= 0.2,
       s"recall floor must hold at dim=24: $rows")
+    assert(rows("sq8") >= 0.6, s"sq8 recall floor must hold at dim=24: $rows")
   }
 
   test("semantic dedup keeps one representative per planted embedding-twin group") {

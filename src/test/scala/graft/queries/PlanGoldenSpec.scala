@@ -32,7 +32,9 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
     "q_multimodal_features" -> "shuffles=1 joins=[]",
     "q_similarity_lsh" -> "shuffles=4 joins=[BroadcastHashJoin x1]",
     "q_dup_clusters" -> "shuffles=1 joins=[]",
-    "q_ann_recall" -> "shuffles=28 joins=[BroadcastHashJoin x1,BroadcastNestedLoopJoin x7,SortMergeJoin x5]",
+    // r7: +6 shuffles/+2 BNLJ/+1 SMJ from adding the sq8 index to the
+    // recall union (intentional — the harness now gates all four)
+    "q_ann_recall" -> "shuffles=34 joins=[BroadcastHashJoin x1,BroadcastNestedLoopJoin x9,SortMergeJoin x6]",
     "q_tfidf" -> "shuffles=4 joins=[]",
     "q_simhash_dup" -> "shuffles=3 joins=[BroadcastHashJoin x1]",
     "q_semantic_dedup" -> "shuffles=3 joins=[SortMergeJoin x1]",
