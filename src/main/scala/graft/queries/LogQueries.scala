@@ -249,6 +249,79 @@ object LogQueries {
             FROM c GROUP BY canonical_url ORDER BY canonical_url""")
   )
 
+  /** User-agent classification — the UA-parse every log-analytics
+    * pipeline runs on the decoded `http_user_agent` column the
+    * reference ships (F2): browser family (token precedence matters:
+    * Edge carries "Chrome/", Chrome carries "Safari/" — match
+    * most-specific first), OS family, and a bot gate. Pure CASE/LIKE
+    * chains — codegen'd, no UDF, no regex backtracking — over six
+    * representative UA strings synthesized deterministically from
+    * `orders` (testdata has no real UA corpus). One partial-agg'd
+    * groupBy on the tiny (family × os × bot) domain is the only
+    * shuffle. */
+  private val qUaClassify = Q(
+    "q_ua_classify",
+    (s, d) => {
+      val chrome = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
+      val safari = "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15"
+      val firefox = "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/118.0"
+      val edge = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.0.0"
+      val gbot = "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"
+      val curl = "curl/8.4.0"
+      val k = col("o_orderkey") % 6
+      Tables.orders(s, d)
+        .withColumn("ua",
+          when(k === 0, lit(chrome)).when(k === 1, lit(safari))
+            .when(k === 2, lit(firefox)).when(k === 3, lit(edge))
+            .when(k === 4, lit(gbot)).otherwise(lit(curl)))
+        .withColumn("browser_family",
+          when(col("ua").contains("Edg/"), "Edge")
+            .when(col("ua").contains("Chrome/"), "Chrome")
+            .when(col("ua").contains("Firefox/"), "Firefox")
+            .when(col("ua").contains("Safari/"), "Safari")
+            .otherwise("Other"))
+        .withColumn("os_family",
+          when(col("ua").contains("Windows NT"), "Windows")
+            .when(col("ua").contains("Mac OS X"), "macOS")
+            .when(col("ua").contains("Linux"), "Linux")
+            .otherwise("Other"))
+        .withColumn("is_bot",
+          (col("ua").contains("bot") || col("ua").contains("curl") ||
+            col("ua").contains("spider") || col("ua").contains("crawl")).cast("int"))
+        .groupBy(col("browser_family"), col("os_family"), col("is_bot"))
+        .agg(count(lit(1)).as("requests"))
+        .orderBy(col("browser_family"), col("os_family"), col("is_bot"))
+    },
+    Some("""WITH ua_rows AS (
+              SELECT CASE o_orderkey % 6
+                WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36'
+                WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15'
+                WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/118.0'
+                WHEN 3 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.0.0'
+                WHEN 4 THEN 'Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)'
+                ELSE 'curl/8.4.0' END AS ua
+              FROM orders),
+            classified AS (
+              SELECT
+                CASE WHEN contains(ua, 'Edg/') THEN 'Edge'
+                     WHEN contains(ua, 'Chrome/') THEN 'Chrome'
+                     WHEN contains(ua, 'Firefox/') THEN 'Firefox'
+                     WHEN contains(ua, 'Safari/') THEN 'Safari'
+                     ELSE 'Other' END AS browser_family,
+                CASE WHEN contains(ua, 'Windows NT') THEN 'Windows'
+                     WHEN contains(ua, 'Mac OS X') THEN 'macOS'
+                     WHEN contains(ua, 'Linux') THEN 'Linux'
+                     ELSE 'Other' END AS os_family,
+                CAST(CASE WHEN contains(ua, 'bot') OR contains(ua, 'curl')
+                       OR contains(ua, 'spider') OR contains(ua, 'crawl')
+                     THEN 1 ELSE 0 END AS INT) AS is_bot
+              FROM ua_rows)
+            SELECT browser_family, os_family, is_bot, count(*) AS requests
+            FROM classified GROUP BY 1, 2, 3
+            ORDER BY browser_family, os_family, is_bot""")
+  )
+
   def qs: Seq[Q] =
-    Seq(qCloudfrontEtl, qCloudfrontSink, qScalarIp, qMapQueryParams, qUrlNormalize)
+    Seq(qCloudfrontEtl, qCloudfrontSink, qScalarIp, qMapQueryParams,
+      qUrlNormalize, qUaClassify)
 }
