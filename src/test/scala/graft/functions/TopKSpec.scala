@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** TopKByScore is only a valid window-sort replacement if its result is
@@ -38,6 +39,17 @@ class TopKSpec extends AnyFunSuite {
   test("fewer than k inputs returns them all, still totally ordered") {
     val r = Seq((2L, 1.0), (1L, 4.0)).foldLeft(agg.zero)(agg.reduce)
     assert(agg.finish(r) === Seq((1L, 4.0), (2L, 1.0)))
+  }
+
+  test("property: any input, any partitioning — result equals a full sort's take(k)") {
+    val rowsGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(0, 20).map(_.toDouble)))
+    val prop = Prop.forAll(rowsGen, Gen.chooseNum(0, 64)) { (rows, splitRaw) =>
+      val expected = rows.sortBy(t => (-t._2, t._1)).take(3)
+      val split = if (rows.isEmpty) 0 else splitRaw % (rows.size + 1)
+      runSplit(rows, split) == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("buffer never exceeds k (the bounded-memory contract)") {
