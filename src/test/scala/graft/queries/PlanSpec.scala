@@ -26,6 +26,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
       "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"), p)
   }
 
+  test("corpus-prep scans prune to the columns they use") {
+    // chunking reads doc_id/text/n_chars — lang and source must not
+    // reach the scan; bpe reads doc_id/text only. At 100 TB unread
+    // columns are the cheapest bytes in the job.
+    val chunk = plan("q_chunk_documents")
+    assert(chunk.contains("ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"), chunk)
+    val bpe = plan("q_bpe_pairs")
+    assert(bpe.contains("ReadSchema: struct<doc_id:bigint,text:string>"), bpe)
+    // oov's vocab is a broadcast join, corpus side never sort-merges
+    val oov = plan("q_oov_rate")
+    assert(oov.contains("BroadcastHashJoin") && !oov.contains("SortMergeJoin"), oov)
+  }
+
   test("filter predicates are pushed into the parquet scan") {
     val p = plan("q_filter_predicate")
     assert(p.contains("PushedFilters: ["), p)
