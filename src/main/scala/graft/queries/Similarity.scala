@@ -503,12 +503,14 @@ object Similarity {
     * path, orthogonal to the candidate-pruning paths (LSH/IVF): each
     * vector stores as `round(x·127/maxabs)` int8 codes + one scale,
     * 4× smaller than float32 (≈8× vs the double working form), so 4×
-    * more index fits a node's RAM and the coarse scan reads 4× fewer
-    * bytes. Scales CANCEL in cosine, so the coarse pass ranks by the
+    * more index fits a node's RAM and the coarse candidate explosion
+    * (n×q rows through the ranking window) carries ONLY the small
+    * codes. Scales CANCEL in cosine, so the coarse pass ranks by the
     * cosine of the quantized vectors directly (no dequantization),
-    * keeps top-`Sq8Coarse` per query, and only those candidates are
-    * re-ranked at full precision — the quantized corpus is the only
-    * thing the scan touches.
+    * keeps top-`Sq8Coarse` per query, and the O(queries × Sq8Coarse)
+    * survivors broadcast back against the full-precision corpus —
+    * exact vectors are read map-side for exactly the candidates and
+    * never ride a shuffle.
     *
     * Fully oracle-checked: quantization is `round()` (both engines
     * round ties away from zero), coarse and exact scores are
@@ -526,16 +528,26 @@ object Similarity {
             expr("transform(emb, x -> CAST(round(x * 127.0 / scale) AS DOUBLE))"))
       val queries = quantize(e.filter(col("vec_id") < 10))
         .select(col("vec_id").as("query_id"), col("emb").as("q_full"), col("qemb").as("q_q"))
-      val corpus = quantize(e.filter(col("vec_id") >= 10))
-        .select(col("vec_id").as("neighbor_id"), col("emb").as("c_full"), col("qemb").as("c_q"))
+      // coarse side carries ONLY the quantized codes — full-precision
+      // vectors must not ride the n×q candidate explosion and its
+      // window shuffle (that would move MORE bytes than brute force)
+      val corpusQ = quantize(e.filter(col("vec_id") >= 10))
+        .select(col("vec_id").as("neighbor_id"), col("qemb").as("c_q"))
+      val corpusFull = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("emb").as("c_full"))
       val wCoarse = Window.partitionBy(col("query_id"))
         .orderBy(col("coarse").desc, col("neighbor_id"))
       val wExact = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
-      corpus.crossJoin(broadcast(queries))
+      val survivors = corpusQ.crossJoin(broadcast(queries))
         .withColumn("coarse", round(cosine(col("q_q"), col("c_q")), 6))
         .withColumn("crank", row_number().over(wCoarse))
         .filter(col("crank") <= Sq8Coarse)
+        .select(col("query_id"), col("q_full"), col("neighbor_id"))
+      // survivors are O(queries × Sq8Coarse) — broadcast them back
+      // against the full-precision corpus, so exact vectors are read
+      // map-side for exactly the candidates and nothing else shuffles
+      corpusFull.join(broadcast(survivors), "neighbor_id")
         .withColumn("cos", round(cosine(col("q_full"), col("c_full")), 6))
         .withColumn("rank", row_number().over(wExact))
         .filter(col("rank") <= 5)

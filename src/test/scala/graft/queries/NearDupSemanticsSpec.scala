@@ -192,6 +192,37 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     assert(top1.getDouble(3) > 0.999)
   }
 
+  test("sq8 coarse pruning is ACTIVE (corpus > coarse width) and still finds the exact top-5") {
+    // dedicated fixture: 10 queries + 40 corpus vectors, so crank<=20
+    // drops half the corpus — the coarse stage genuinely executes
+    // (the shared embDir has exactly 20 corpus vectors, where the
+    // filter keeps everything and a broken coarse order would hide).
+    // vec 10 == vec 0 planted twin: its quantized cosine is exactly
+    // 1.0 (identical codes), the coarse maximum — an inverted or
+    // mis-scaled coarse ranking drops it and rank-1 fails.
+    val dir = Files.createTempDirectory("sq8prune").toString
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => (math.sin(seed * 97.0 + j * 13.0)).toFloat)
+    val rows = (0 until 50).map { i =>
+      val v = if (i == 10) vec(0) else vec(i)
+      (i.toLong, v, i % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val sq8 = Registry.queries("q_similarity_sq8")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(sq8((0L, 1)) === ((10L, 1.0)), "planted twin must survive active pruning")
+    // with pruning live, sq8's top-5 must still equal the exact
+    // brute-force top-5 on this corpus (quantization is 8-bit — more
+    // than enough separation on these vectors)
+    val exact = Registry.queries("q_similarity_bruteforce")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (q <- 0L until 10L; rk <- 1 to 5)
+      assert(sq8((q, rk))._1 === exact((q, rk)),
+        s"query $q rank $rk diverged from exact under active pruning")
+  }
+
   test("LSH geometry scales with corpus size (planesFor) and is clamped") {
     assert(Similarity.planesFor(0) == 4)
     assert(Similarity.planesFor(1000) == 4)
