@@ -78,7 +78,8 @@ object ScaleSmoke {
       // corpus-prep family: span_dedup/source_overlap are the
       // join-bearing ones whose linearity needs proving; bpe_pairs
       // and oov_rate pin the single-exchange claims
-      "q_span_dedup", "q_source_overlap", "q_bpe_pairs", "q_oov_rate")
+      "q_span_dedup", "q_source_overlap", "q_bpe_pairs", "q_oov_rate",
+      "q_similarity_sq8")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

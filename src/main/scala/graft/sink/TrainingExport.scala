@@ -102,6 +102,50 @@ object TrainingExport {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  /** Consumer-side verified read: re-derive the per-shard manifest
+    * from the delivered files and compare row counts and checksums
+    * against `_MANIFEST.json` BEFORE handing data to a trainer —
+    * corruption, truncation, or a partially-replaced delivery fails
+    * loudly here instead of silently training on bad data. Returns
+    * the parsed rows on success. The verification pass is the same
+    * O(shards)-output distributed scan the producer ran. */
+  def readVerified(spark: SparkSession, dir: String): DataFrame = {
+    val recorded = parseManifest(spark, dir)
+    val actual = buildManifest(spark, dir)
+    val recordedByName = recorded.shards.map(s => s.path -> s).toMap
+    require(actual.shards.map(_.path) == recorded.shards.map(_.path),
+      s"delivery at $dir: shard set differs from manifest " +
+        s"(manifest: ${recorded.shards.map(_.path)}, on disk: ${actual.shards.map(_.path)})")
+    actual.shards.foreach { s =>
+      val r = recordedByName(s.path)
+      require(s.rows == r.rows && s.rowHashXor == r.rowHashXor,
+        s"delivery at $dir: shard ${s.path} fails verification " +
+          s"(rows ${s.rows} vs manifest ${r.rows}, " +
+          s"checksum ${s.rowHashXor} vs manifest ${r.rowHashXor})")
+    }
+    spark.read.json(s"$dir/*.json.gz")
+  }
+
+  /** Parser for the manifest this object writes. Underscore-prefixed
+    * files are hidden from Spark's file index (the `_SUCCESS`
+    * convention), so the marker-sized file is read driver-side and
+    * parsed with Jackson (already on Spark's classpath). */
+  private def parseManifest(spark: SparkSession, dir: String): Manifest = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_MANIFEST.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val shards = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        root.get("shards").elements()).asScala
+      .map(n => Shard(n.get("path").asText(), n.get("rows").asLong(),
+        n.get("bytes").asLong(), n.get("row_hash_xor").asLong()))
+      .toSeq
+    Manifest(root.get("total_rows").asLong(), root.get("total_bytes").asLong(), shards)
+  }
+
   private def shardName(uri: String): String =
     uri.substring(uri.lastIndexOf('/') + 1)
 

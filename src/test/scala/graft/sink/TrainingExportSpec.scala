@@ -52,6 +52,30 @@ class TrainingExportSpec extends AnyFunSuite with SparkTestSupport {
     assert(back.except(df).isEmpty && df.except(back).isEmpty)
   }
 
+  test("readVerified returns the rows when the delivery is intact") {
+    val dir = Files.createTempDirectory("texport4").toString + "/out"
+    TrainingExport.writeJsonlShards(corpus(120), dir, maxRecordsPerShard = 40L)
+    val back = TrainingExport.readVerified(spark, dir)
+    assert(back.count() === 120L)
+  }
+
+  test("readVerified fails loudly on a corrupted shard") {
+    val dir = Files.createTempDirectory("texport5").toString + "/out"
+    TrainingExport.writeJsonlShards(corpus(100), dir, maxRecordsPerShard = 25L)
+    // truncate one shard to simulate partial/corrupt delivery
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json.gz")).minBy(_.getName)
+    val gzOut = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(shard))
+    gzOut.write("{\"id\":999999,\"text\":\"tampered\",\"tier\":0}\n".getBytes("UTF-8"))
+    gzOut.close()
+    // drop the local-FS CRC sidecar so the tamper reaches OUR gate
+    // (on object stores there is no sidecar — the manifest is the
+    // only integrity check)
+    new java.io.File(shard.getParent, s".${shard.getName}.crc").delete()
+    val ex = intercept[IllegalArgumentException](TrainingExport.readVerified(spark, dir))
+    assert(ex.getMessage.contains("fails verification"), ex.getMessage)
+  }
+
   test("consumer re-derives the content checksum from the delivered lines") {
     val dir = Files.createTempDirectory("texport3").toString + "/out"
     val m = TrainingExport.writeJsonlShards(corpus(300), dir, maxRecordsPerShard = 50L)
