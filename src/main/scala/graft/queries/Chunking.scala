@@ -15,10 +15,16 @@ import graft.Tables
   * non-overlapping K-token span — same semantics (a content unit hashed
   * and counted corpus-wide), corpus-appropriate granularity.
   *
-  * All three are pure built-in higher-order expressions (split /
-  * transform / sequence / slice / explode) — no UDFs, fully
-  * whole-stage-codegen'd row generation; the only shuffles are the
-  * span/pair groupBys (partial-agg'd) and the span count join-back.
+  * All three are pure built-in expressions (split / transform /
+  * sequence / slice / explode) — no UDFs, no serialization fences.
+  * Precision note: the higher-order lambdas (transform/slice) are
+  * CodegenFallback in Spark, so the Generate stage runs interpreted —
+  * accepted deliberately: the 8×/32× scale smoke measured the family
+  * linear-or-better (SCALE.md) with cost dominated by the span/pair
+  * exchanges, not the row generation, so a custom codegen'd generator
+  * (the ngram_hashes treatment) isn't warranted here. The only
+  * shuffles are the span/pair groupBys (partial-agg'd) and the span
+  * count join-back.
   */
 object Chunking {
 
@@ -84,10 +90,10 @@ object Chunking {
   /** Fixed-size overlapping chunking — the document→training-example
     * windowing step. One output row per (doc, window); the window count
     * is ceil(n_chars/stride) computed arithmetically so the generator
-    * is a pure `sequence` (no while-loop, no UDF) and the whole thing
-    * stays in codegen. Embarrassingly parallel: zero shuffles — the
-    * explode multiplies rows in place and the sink (or downstream
-    * tokenizer) sees them partition-local. */
+    * is a pure `sequence` (no while-loop, no UDF). Embarrassingly
+    * parallel: zero data shuffles — the explode multiplies rows in
+    * place and the sink (or downstream tokenizer) sees them
+    * partition-local. */
   private val qChunkDocuments = Q(
     "q_chunk_documents",
     (s, d) =>
