@@ -793,6 +793,41 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(rows.filter(col("@timestamp") === "2019-01-18 02:00:01").count() == 1)
   }
 
+  test("training delivery survives a checkpointed restart: no redelivery, batch ids continue") {
+    val root: Path = Files.createTempDirectory("tdeliver-restart")
+    val dir = root.resolve("prod").resolve("svc-td")
+    Files.createDirectories(dir)
+    def writeGz(name: String, times: Seq[String]): Unit = {
+      val out = new BufferedWriter(new OutputStreamWriter(
+        new GZIPOutputStream(new FileOutputStream(dir.resolve(name).toFile)), "UTF-8"))
+      out.write("#Version: 1.0\n#Fields: x\n")
+      times.foreach(t => out.write((Seq("2019-01-18", t) ++ Seq.fill(31)("-")).mkString("\t") + "\n"))
+      out.close()
+    }
+    val outDir = Files.createTempDirectory("tdeliver-restart-out").toString
+    val ckpt = Files.createTempDirectory("tdeliver-restart-ckpt").toString
+
+    writeGz("a.gz", Seq("01:00:00", "01:00:01"))
+    val q1 = LogStream.toTrainingDelivery(
+      LogStream.canonicalStream(spark, s"$root/*/*"), outDir, ckpt)
+    try { q1.processAllAvailable() } finally q1.stop()
+
+    // restart from the SAME checkpoint with a new file present
+    writeGz("b.gz", Seq("02:00:00"))
+    val q2 = LogStream.toTrainingDelivery(
+      LogStream.canonicalStream(spark, s"$root/*/*"), outDir, ckpt)
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val batchDirs = new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(batchDirs.length >= 2, s"restart must CONTINUE batch numbering: ${batchDirs.toSeq}")
+    // exactly-once across the restart: 3 rows total, each delivered once
+    val total = batchDirs.map { b =>
+      graft.sink.TrainingExport.buildManifest(spark, s"$outDir/$b").totalRows
+    }.sum
+    assert(total === 3L, s"no loss, no redelivery across restart (got $total)")
+  }
+
   test("end-to-end: gz fixture directory → canonical stream → kinesis-shaped sink") {
     val root: Path = Files.createTempDirectory("cf-stream")
     val dir = root.resolve("prod").resolve("svc-42")
