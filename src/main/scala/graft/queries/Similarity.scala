@@ -19,7 +19,7 @@ object Similarity {
 
   /** embedding (float[]) → double[] once, so all downstream arithmetic is
     * double-precision and bit-comparable with the DuckDB oracle. */
-  private def embDouble(s: SparkSession, d: String): DataFrame =
+  private[queries] def embDouble(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
@@ -296,16 +296,12 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val qSimilarityIvf = Q(
-    "q_similarity_ivf",
-    (s, d) => {
-      val e = embDouble(s, d)
-      val k = centroidsFor(e.count())
-      val cent = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
-      ivfSearch(e, cent)
-    },
-    Some(s"""WITH e AS ($oracleEmb),
+  /** The IVF oracle text, shared verbatim with `q_similarity_indexed`
+    * (queries/Indexed.scala): the stored-index query must return
+    * EXACTLY what the inline build returns — same oracle, same hash —
+    * which is the proof that persisting the index changes nothing. */
+  private[queries] val ivfOracle: String =
+    s"""WITH e AS ($oracleEmb),
                cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
                         WHERE vec_id < (SELECT least(4096, greatest(16,
                           CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM e)),
@@ -329,7 +325,18 @@ object Similarity {
                r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos DESC, neighbor_id) AS rank FROM x)
              SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
-             FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
+             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val qSimilarityIvf = Q(
+    "q_similarity_ivf",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val k = centroidsFor(e.count())
+      val cent = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      ivfSearch(e, cent)
+    },
+    Some(ivfOracle)
   )
 
   /** IVF with TRAINED centroids — same search shape as
@@ -526,11 +533,15 @@ object Similarity {
             expr("greatest(array_max(transform(emb, x -> abs(x))), 1e-30d)"))
           .withColumn("qemb",
             expr("transform(emb, x -> CAST(round(x * 127.0 / scale) AS DOUBLE))"))
-      val queries = quantize(e.filter(col("vec_id") < 10))
-        .select(col("vec_id").as("query_id"), col("emb").as("q_full"), col("qemb").as("q_q"))
       // coarse side carries ONLY the quantized codes — full-precision
-      // vectors must not ride the n×q candidate explosion and its
-      // window shuffle (that would move MORE bytes than brute force)
+      // vectors (query AND corpus) must not ride the n×q candidate
+      // explosion and its window shuffle (that would move MORE bytes
+      // than brute force): q_full stays out of the coarse plan entirely
+      // and is recovered by a broadcast re-join on the tiny survivor set
+      val queriesQ = quantize(e.filter(col("vec_id") < 10))
+        .select(col("vec_id").as("query_id"), col("qemb").as("q_q"))
+      val queriesFull = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_full"))
       val corpusQ = quantize(e.filter(col("vec_id") >= 10))
         .select(col("vec_id").as("neighbor_id"), col("qemb").as("c_q"))
       val corpusFull = e.filter(col("vec_id") >= 10)
@@ -539,15 +550,17 @@ object Similarity {
         .orderBy(col("coarse").desc, col("neighbor_id"))
       val wExact = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
-      val survivors = corpusQ.crossJoin(broadcast(queries))
+      val survivors = corpusQ.crossJoin(broadcast(queriesQ))
         .withColumn("coarse", round(cosine(col("q_q"), col("c_q")), 6))
         .withColumn("crank", row_number().over(wCoarse))
         .filter(col("crank") <= Sq8Coarse)
-        .select(col("query_id"), col("q_full"), col("neighbor_id"))
-      // survivors are O(queries × Sq8Coarse) — broadcast them back
-      // against the full-precision corpus, so exact vectors are read
-      // map-side for exactly the candidates and nothing else shuffles
+        .select(col("query_id"), col("neighbor_id"))
+      // survivors are O(queries × Sq8Coarse) id pairs — broadcast them
+      // back against the full-precision corpus AND the full-precision
+      // query set, so exact vectors (both sides) are read map-side for
+      // exactly the candidates and nothing wide ever shuffles
       corpusFull.join(broadcast(survivors), "neighbor_id")
+        .join(broadcast(queriesFull), "query_id")
         .withColumn("cos", round(cosine(col("q_full"), col("c_full")), 6))
         .withColumn("rank", row_number().over(wExact))
         .filter(col("rank") <= 5)

@@ -31,35 +31,50 @@ import graft.Tables
   */
 object SqlFrontend {
 
-  /** Tracks which dir each table's view currently points at, per
-    * session, so re-running a query on the same dir skips the parquet
-    * footer read that `Tables(...)` does for schema — that read is
-    * pure driver-side latency (~40 ms/table, ~0.4 s for all ten)
-    * repeated on every call otherwise. Switching dirs re-registers.
-    * Weak session keys: a stopped session's entry (and the session
-    * itself) stays collectable — this object must never pin a
-    * SparkSession. */
-  private val viewDir =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+  /** Memoizes the RESOLVED reader per (table, dir), per session: the
+    * expensive part of registration is the parquet footer read that
+    * `Tables(...)` does for schema (~40 ms/table of pure driver-side
+    * latency, ~0.4 s for all ten, repeated on every call otherwise) —
+    * the view registration itself is a cheap catalog-map update and is
+    * deliberately NOT memoized (see registerViews). Weak session keys:
+    * a stopped session's entry (and the session itself) stays
+    * collectable — this object must never pin a SparkSession. */
+  private val readerCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), org.apache.spark.sql.DataFrame]]()
 
   /** Register testdata tables as temp views named like the bare table.
-    * Idempotent (createOrReplace) and cheap: a view is a parsed plan
-    * alias, not data. A dir is recorded only AFTER its view registers,
-    * so a failed registration (missing parquet) is retried on the next
-    * call rather than poisoning the cache; on the memoized path the
-    * view's file index is refreshed so data rewritten at the same path
-    * is picked up (the refresh is metadata-only — the saved footer
-    * read stays saved). Synchronized: the registered view and the
-    * recorded dir can never disagree under concurrent callers. */
+    *
+    * The view is (re-)claimed UNCONDITIONALLY on every call — only the
+    * footer-read is memoized, so the memo is a latency optimization,
+    * never a correctness assumption: foreign code that dropped OR
+    * re-pointed a view since our last call is simply overwritten
+    * again, and a failed reader resolution (missing parquet) caches
+    * nothing and retries next call. `refreshTable` after each claim
+    * picks up data rewritten at the same path (metadata-only — the
+    * saved footer read stays saved). Known limit, stated loudly: the
+    * memoized reader carries the schema read at first resolution, so
+    * data rewritten at the same dir with a CHANGED SCHEMA keeps
+    * serving the old schema until the dir changes or the session is
+    * replaced (testdata tables are schema-stable by contract).
+    *
+    * NAMESPACE CLAIM: this front-end owns the bare table names
+    * (`lineitem`, `orders`, …) as temp views in any session it runs
+    * in — a pre-existing user view of the same name IS replaced
+    * (`createOrReplaceTempView`). Deliberate: each SQL text here runs
+    * VERBATIM on the DuckDB oracle, where the tables carry exactly
+    * these bare names — a `graft_` prefix would fork the one-string
+    * design. Spec'd in SqlFrontendSpec; users who need those names
+    * must drive the DataFrame API instead. Synchronized: concurrent
+    * callers can't race the cache. */
   def registerViews(s: SparkSession, d: String,
-      tables: Seq[String] = Tables.names): Unit = viewDir.synchronized {
-    val dirs = viewDir.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+      tables: Seq[String] = Tables.names): Unit = readerCache.synchronized {
+    val cache = readerCache.computeIfAbsent(s,
+      _ => scala.collection.mutable.Map.empty)
     tables.foreach { n =>
-      if (dirs.get(n).contains(d)) s.catalog.refreshTable(n)
-      else {
-        Tables(s, d, n).createOrReplaceTempView(n)
-        dirs(n) = d
-      }
+      val df = cache.getOrElseUpdate((n, d), Tables(s, d, n))
+      df.createOrReplaceTempView(n)
+      s.catalog.refreshTable(n)
     }
   }
 

@@ -108,8 +108,36 @@ object TrainingExport {
     * corruption, truncation, or a partially-replaced delivery fails
     * loudly here instead of silently training on bad data. Returns
     * the parsed rows on success. The verification pass is the same
-    * O(shards)-output distributed scan the producer ran. */
-  def readVerified(spark: SparkSession, dir: String): DataFrame = {
+    * O(shards)-output distributed scan the producer ran.
+    *
+    * Pass `schema` to parse the shards with `from_json` over the same
+    * text-line scan the checksum covered — no schema-inference pass,
+    * so consumption costs ONE read of the shards instead of two.
+    * Without a schema the fallback is `spark.read.json`, which adds an
+    * inference scan (fine at demo scale; at 100 TB always pass the
+    * schema — the trainer knows its example shape).
+    *
+    * SCOPE — verification vs consumption are separate passes: Spark
+    * DataFrames are lazy, so the returned frame re-reads the shard
+    * files at action time. A shard REPLACED in the window between this
+    * check and the consuming action is ingested unverified (classic
+    * TOCTOU). The gate's contract is delivery-time integrity
+    * (truncation, corruption, partial replacement at handoff), not
+    * concurrent-writer isolation: deliveries are immutable batch
+    * directories by convention ([[graft.stream.LogStream.toTrainingDelivery]]
+    * overwrites only its OWN `batch_id=` dir, never a completed one).
+    * A trainer that must close the window re-runs `buildManifest`
+    * AFTER consumption and compares again.
+    *
+    * The manifest's `bytes` field is deliberately NOT verified here:
+    * the content checksum + row count already pin the line content
+    * exactly, while byte sizes can legitimately change under a
+    * content-preserving gzip re-compression (level, mtime header).
+    * Verifying bytes would turn such a delivery into a false-positive
+    * tamper alarm; `bytes` exists for capacity accounting, not
+    * integrity. */
+  def readVerified(spark: SparkSession, dir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val recorded = parseManifest(spark, dir)
     val actual = buildManifest(spark, dir)
     val recordedByName = recorded.shards.map(s => s.path -> s).toMap
@@ -123,7 +151,23 @@ object TrainingExport {
           s"(rows ${s.rows} vs manifest ${r.rows}, " +
           s"checksum ${s.rowHashXor} vs manifest ${r.rowHashXor})")
     }
-    spark.read.json(s"$dir/*.json.gz")
+    schema match {
+      case Some(sc) if recorded.shards.isEmpty =>
+        // a legitimately-empty delivery (zero-row micro-batch) has a
+        // verifiable manifest but no shard files to glob
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      case Some(sc) =>
+        // parse the exact text lines the checksum covered; explicit
+        // schema, so no inference scan
+        spark.read.text(s"$dir/*.json.gz")
+          .select(from_json(col("value"), sc).as("r"))
+          .select(col("r.*"))
+      case None =>
+        require(recorded.shards.nonEmpty,
+          s"delivery at $dir is empty — there is nothing to infer a " +
+            "schema from; pass an explicit schema to read it")
+        spark.read.json(s"$dir/*.json.gz")
+    }
   }
 
   /** Parser for the manifest this object writes. Underscore-prefixed

@@ -495,7 +495,12 @@ object LogStream {
     * commit converges instead of duplicating. Each batch directory is
     * independently consumable and verifiable — a downstream trainer
     * can tail completed `batch_id=` dirs and check their manifests
-    * without coordinating with the stream. */
+    * without coordinating with the stream. EMPTY micro-batches write
+    * their (zero-shard) manifest too: the `batch_id=` sequence stays
+    * gap-free, so a trainer tailing it can tell "intentionally empty"
+    * from "write lost" — a hole in the sequence is always a fault.
+    * (Skipping empties would also cost an extra isEmpty job per
+    * micro-batch.) */
   def toTrainingDelivery(
       curated: DataFrame,
       outDir: String,
@@ -505,10 +510,8 @@ object LogStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.sink.TrainingExport.writeJsonlShards(
-            batch.toDF(), s"$outDir/batch_id=$batchId", maxRecordsPerShard): Unit
-        })
+        graft.sink.TrainingExport.writeJsonlShards(
+          batch.toDF(), s"$outDir/batch_id=$batchId", maxRecordsPerShard): Unit)
       .start()
 
   /** Streaming ANOMALY GATE — the streaming form of `q_anomaly_mad`:

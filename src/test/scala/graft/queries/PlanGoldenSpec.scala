@@ -33,8 +33,9 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
     "q_similarity_lsh" -> "shuffles=4 joins=[BroadcastHashJoin x1]",
     "q_dup_clusters" -> "shuffles=1 joins=[]",
     // r7: grew from adding the sq8 index to the recall union
-    // (intentional — the harness now gates all four)
-    "q_ann_recall" -> "shuffles=35 joins=[BroadcastHashJoin x2,BroadcastNestedLoopJoin x9,SortMergeJoin x6]",
+    // (intentional — the harness now gates all four); r8: +1 BHJ from
+    // sq8's q_full recovery join (see q_similarity_sq8 note below)
+    "q_ann_recall" -> "shuffles=35 joins=[BroadcastHashJoin x3,BroadcastNestedLoopJoin x9,SortMergeJoin x6]",
     "q_tfidf" -> "shuffles=4 joins=[]",
     "q_simhash_dup" -> "shuffles=3 joins=[BroadcastHashJoin x1]",
     "q_semantic_dedup" -> "shuffles=3 joins=[SortMergeJoin x1]",
@@ -54,10 +55,11 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
     "q_oov_rate" -> "shuffles=3 joins=[BroadcastHashJoin x1]",
     // sq8's BroadcastNestedLoopJoin is the deliberate broadcast-tiny
     // query-set cross (same stance as bruteforce/ivf in PlanDump's
-    // flag exclusions); the BroadcastHashJoin is the survivors
-    // broadcast back against the full-precision corpus — full vectors
-    // never ride the coarse candidate shuffle
-    "q_similarity_sq8" -> "shuffles=3 joins=[BroadcastHashJoin x1,BroadcastNestedLoopJoin x1]"
+    // flag exclusions); the two BroadcastHashJoins are the survivor-id
+    // pairs broadcast back against the full-precision corpus AND the
+    // full-precision query set (r8: the query vectors no longer ride
+    // the coarse window shuffle either — only int8 codes do)
+    "q_similarity_sq8" -> "shuffles=3 joins=[BroadcastHashJoin x2,BroadcastNestedLoopJoin x1]"
   )
 
   golden.toSeq.sortBy(_._1).foreach { case (name, expected) =>

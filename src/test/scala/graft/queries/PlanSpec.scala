@@ -27,11 +27,12 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
   }
 
   test("corpus-prep scans prune to the columns they use") {
-    // chunking reads doc_id/text/n_chars — lang and source must not
-    // reach the scan; bpe reads doc_id/text only. At 100 TB unread
-    // columns are the cheapest bytes in the job.
+    // chunking reads doc_id/text ONLY (r8: the window bound derives
+    // from length(text), so even n_chars stays unread); lang and
+    // source must not reach the scan; bpe reads doc_id/text only. At
+    // 100 TB unread columns are the cheapest bytes in the job.
     val chunk = plan("q_chunk_documents")
-    assert(chunk.contains("ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"), chunk)
+    assert(chunk.contains("ReadSchema: struct<doc_id:bigint,text:string>"), chunk)
     val bpe = plan("q_bpe_pairs")
     assert(bpe.contains("ReadSchema: struct<doc_id:bigint,text:string>"), bpe)
     // oov's vocab is a broadcast join, corpus side never sort-merges

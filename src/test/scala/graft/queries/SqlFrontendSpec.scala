@@ -44,4 +44,36 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestSupport {
     assert(p.contains("PushedFilters: ") && p.contains("GreaterThan(l_quantity"), p)
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
   }
+
+  test("NAMESPACE CLAIM: a pre-existing user view of a bare table name is replaced") {
+    import spark.implicits._
+    // the documented contract (SqlFrontend scaladoc): the SQL front-end
+    // owns the bare table names; a user view is replaced, not served
+    Seq((1, "not-a-region")).toDF("x", "y").createOrReplaceTempView("region")
+    SqlFrontend.registerViews(spark, sf, Seq("region"))
+    val cols = spark.table("region").columns.toSeq
+    assert(cols.take(2) == Seq("r_regionkey", "r_name"),
+      s"registerViews must claim the name for the graft table, got $cols")
+  }
+
+  test("memoized path self-heals when foreign code drops the view") {
+    SqlFrontend.registerViews(spark, sf, Seq("nation"))
+    spark.catalog.dropTempView("nation")
+    // memo still says registered-at-sf — the stale entry must be
+    // detected (tableExists false) and the view re-registered, not
+    // crash refreshTable or serve nothing
+    SqlFrontend.registerViews(spark, sf, Seq("nation"))
+    assert(spark.table("nation").count() == 25)
+  }
+
+  test("memoized path self-heals when foreign code re-points the view then drops it mid-race") {
+    import spark.implicits._
+    SqlFrontend.registerViews(spark, sf, Seq("supplier"))
+    // foreign code re-points the bare name at its own data; the next
+    // registerViews call re-claims it (createOrReplace semantics are
+    // the documented contract, memo or not)
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("supplier")
+    SqlFrontend.registerViews(spark, sf, Seq("supplier"))
+    assert(spark.table("supplier").columns.head == "s_suppkey")
+  }
 }

@@ -1,0 +1,156 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+import graft.index.VectorIndex
+
+/** The persistent ANN index contract (VERDICT r7 #1): build-once /
+  * query-many separation, incremental append visibility, replay
+  * idempotence, compaction, partition-pruned search I/O, and SQ8 code
+  * fidelity. The ORACLE leg — a stored-index query hash-matching the
+  * inline `q_similarity_ivf` — is the `q_similarity_indexed` driver
+  * row; the first test here pins the same equivalence in-process. */
+class VectorIndexSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(64)(j => math.sin(seed * 97.0 + j * 13.0).toFloat)
+
+  /** vec 10 == vec 0 (the planted twin); everything else pseudo-random. */
+  private def writeCorpus(dir: String): Unit =
+    (0 until 30).map { i =>
+      (i.toLong, if (i == 10) vec(0) else vec(i), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+  private def embOf(dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+
+  private def centOf(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+
+  private val query0: DataFrame = {
+    val q = Seq((0L, vec(0).map(_.toDouble).toSeq)).toDF("query_id", "qemb")
+    q
+  }
+
+  test("q_similarity_indexed equals the inline q_similarity_ivf row-for-row") {
+    val sf = "/root/testdata/sf0.001"
+    val stored = Registry.queries("q_similarity_indexed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val inline = Registry.queries("q_similarity_ivf")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == inline,
+      "the stored index must answer bit-identically to the inline build")
+  }
+
+  test("build and query are SEPARABLE: search reads only the index artifact") {
+    val work = Files.createTempDirectory("vindex-sep").toString
+    writeCorpus(s"$work/corpus")
+    val e = embOf(s"$work/corpus")
+    VectorIndex.build(
+      e.filter(col("vec_id") >= 10), centOf(e), s"$work/idx")
+    // destroy the source corpus — a query-many consumer never touches it
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/corpus"), true)
+    val hits = VectorIndex.search(spark, s"$work/idx", query0).collect()
+    assert(hits.nonEmpty)
+    assert(hits.head.getLong(2) == 10L && hits.head.getDouble(3) == 1.0,
+      s"planted twin must rank 1 from the stored index alone: ${hits.toSeq}")
+  }
+
+  test("appended vectors are findable — incremental maintenance without a rebuild") {
+    val work = Files.createTempDirectory("vindex-app").toString
+    writeCorpus(s"$work/corpus")
+    val e = embOf(s"$work/corpus")
+    // build WITHOUT the twin (vec 10) or vec 11
+    VectorIndex.build(
+      e.filter(col("vec_id") >= 12), centOf(e), s"$work/idx")
+    val before = VectorIndex.search(spark, s"$work/idx", query0).collect()
+    assert(!before.exists(_.getLong(2) == 10L), "twin not yet in the index")
+    // a later micro-batch delivers the twin: assign to EXISTING
+    // centroids, land as an append sub-table
+    VectorIndex.append(
+      e.filter(col("vec_id").isin(10L, 11L)), s"$work/idx", "batch-1")
+    val after = VectorIndex.search(spark, s"$work/idx", query0).collect()
+    assert(after.head.getLong(2) == 10L && after.head.getDouble(3) == 1.0,
+      s"appended twin must be found at rank 1: ${after.toSeq}")
+
+    // replay idempotence: re-appending the same label OVERWRITES its
+    // own sub-table — total postings unchanged, results unchanged
+    val rowsBefore = VectorIndex.postings(spark, s"$work/idx").count()
+    VectorIndex.append(
+      e.filter(col("vec_id").isin(10L, 11L)), s"$work/idx", "batch-1")
+    assert(VectorIndex.postings(spark, s"$work/idx").count() == rowsBefore,
+      "a crash-replayed append must converge, not duplicate")
+
+    // compaction folds appends into the base and changes NOTHING else
+    VectorIndex.compact(spark, s"$work/idx")
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/appends/batch-1")),
+      "compact removes the folded append sub-table")
+    val compacted = VectorIndex.search(spark, s"$work/idx", query0).collect()
+    assert(compacted.map(_.toSeq).toSeq == after.map(_.toSeq).toSeq,
+      "compaction must not change query results")
+  }
+
+  test("search scans only the probed posting lists (partition pruning is live)") {
+    val work = Files.createTempDirectory("vindex-prune").toString
+    writeCorpus(s"$work/corpus")
+    val e = embOf(s"$work/corpus")
+    VectorIndex.build(e.filter(col("vec_id") >= 10), centOf(e), s"$work/idx")
+    val searched = VectorIndex.search(spark, s"$work/idx", query0)
+    searched.collect()
+    val plan = searched.queryExecution.executedPlan.toString
+    // the probed-cid literal filter must land as a PARTITION filter on
+    // the postings scan — that is the probes/k I/O claim
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"probed lists must prune the postings scan:\n$plan")
+  }
+
+  test("stored SQ8 codes match the quantization convention exactly") {
+    val work = Files.createTempDirectory("vindex-sq8").toString
+    writeCorpus(s"$work/corpus")
+    val e = embOf(s"$work/corpus")
+    VectorIndex.build(e.filter(col("vec_id") >= 10), centOf(e), s"$work/idx")
+    val p = VectorIndex.postings(spark, s"$work/idx")
+    val bad = p
+      .withColumn("escale",
+        expr("greatest(array_max(transform(emb, x -> abs(x))), 1e-30d)"))
+      .withColumn("ecode",
+        expr("transform(emb, x -> CAST(round(x * 127.0 / escale) AS TINYINT))"))
+      .filter(col("qscale") =!= col("escale") || col("qcode") =!= col("ecode"))
+    assert(bad.count() == 0,
+      "qcode/qscale must be re-derivable from emb by the q_similarity_sq8 convention")
+  }
+
+  test("streaming appendStream maintains the index exactly-once per micro-batch") {
+    val work = Files.createTempDirectory("vindex-stream").toString
+    writeCorpus(s"$work/corpus")
+    val e = embOf(s"$work/corpus")
+    VectorIndex.build(e.filter(col("vec_id") >= 12), centOf(e), s"$work/idx")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])](spark)
+    val q = VectorIndex.appendStream(
+      input.toDF().toDF("vec_id", "emb"),
+      s"$work/idx", Files.createTempDirectory("vindex-ckpt").toString)
+    try {
+      input.addData((10L, vec(0).map(_.toDouble).toSeq))
+      q.processAllAvailable()
+      val hits = VectorIndex.search(spark, s"$work/idx", query0).collect()
+      assert(hits.head.getLong(2) == 10L && hits.head.getDouble(3) == 1.0,
+        s"vector delivered by the stream must be findable: ${hits.toSeq}")
+    } finally q.stop()
+  }
+}

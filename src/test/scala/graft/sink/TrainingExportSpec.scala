@@ -76,6 +76,39 @@ class TrainingExportSpec extends AnyFunSuite with SparkTestSupport {
     assert(ex.getMessage.contains("fails verification"), ex.getMessage)
   }
 
+  test("readVerified with an explicit schema parses the checksummed lines without an inference scan") {
+    val dir = Files.createTempDirectory("texport6").toString + "/out"
+    TrainingExport.writeJsonlShards(corpus(120), dir, maxRecordsPerShard = 40L)
+    val schema = corpus(1).schema
+    val back = TrainingExport.readVerified(spark, dir, Some(schema))
+    // from_json yields nullable fields (a JSON value can always be
+    // null) — names and types must match exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() === 120L)
+    assert(back.except(corpus(120)).isEmpty && corpus(120).except(back).isEmpty)
+    // the plan must be a text scan + from_json — not a JsonScan whose
+    // construction needed a second inference pass over the shards
+    val plan = back.queryExecution.optimizedPlan.toString
+    assert(plan.contains("from_json"), plan)
+  }
+
+  test("readVerified on a legitimately-empty delivery: schema path returns empty, no-schema fails loudly") {
+    // the zero-SHARD shape: a committed delivery whose manifest lists
+    // no files at all (a local empty-frame write still emits one empty
+    // shard file, but object-store writers may emit none — the
+    // manifest, not the file listing, is the contract)
+    val dir = Files.createTempDirectory("texport7").toString
+    Files.write(java.nio.file.Paths.get(dir, "_MANIFEST.json"),
+      """{"total_rows": 0, "total_bytes": 0, "shards": []}""".getBytes("UTF-8"))
+    val back = TrainingExport.readVerified(spark, dir, Some(corpus(1).schema))
+    assert(back.count() === 0L)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      corpus(1).schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val ex = intercept[IllegalArgumentException](TrainingExport.readVerified(spark, dir))
+    assert(ex.getMessage.contains("explicit schema"), ex.getMessage)
+  }
+
   test("consumer re-derives the content checksum from the delivered lines") {
     val dir = Files.createTempDirectory("texport3").toString + "/out"
     val m = TrainingExport.writeJsonlShards(corpus(300), dir, maxRecordsPerShard = 50L)

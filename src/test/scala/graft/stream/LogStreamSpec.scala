@@ -167,6 +167,31 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     } finally q.stop()
   }
 
+  test("streaming training delivery: an EMPTY micro-batch still writes its manifest (gap-free sequence)") {
+    val out = Files.createTempDirectory("graft-tdeliver-empty").toString
+    val ckpt = Files.createTempDirectory("graft-tdeliver-empty-ckpt").toString
+    val input = MemoryStream[LogRow](spark)
+    val curated = CloudFrontTransform.canonicalCols(input.toDF())
+      .filter(col("cf_result") === "Hit")
+    val q = LogStream.toTrainingDelivery(curated, out, ckpt, maxRecordsPerShard = 2L)
+    try {
+      input.addData(row("02:00:00"))
+      q.processAllAvailable()
+      // this row is dropped by the curation filter → batch 1 is empty
+      input.addData(row("03:00:00", result = "Miss"))
+      q.processAllAvailable()
+      assert(graft.sink.TrainingExport
+        .buildManifest(spark, s"$out/batch_id=0").totalRows === 1L)
+      // the empty batch committed a verifiable zero-row manifest: a
+      // trainer tailing batch_id= dirs reads "intentionally empty" —
+      // a MISSING dir in the sequence is now always a fault
+      assert(new java.io.File(s"$out/batch_id=1", "_MANIFEST.json").exists(),
+        "empty micro-batch must still write its manifest dir")
+      assert(graft.sink.TrainingExport
+        .buildManifest(spark, s"$out/batch_id=1").totalRows === 0L)
+    } finally q.stop()
+  }
+
   test("idempotent lake sink: a replayed batch overwrites its partition, never duplicates") {
     val lake = Files.createTempDirectory("graft-lake").toString
     val ckpt = Files.createTempDirectory("graft-lake-ckpt").toString
