@@ -79,7 +79,12 @@ object ScaleSmoke {
       // join-bearing ones whose linearity needs proving; bpe_pairs
       // and oov_rate pin the single-exchange claims
       "q_span_dedup", "q_source_overlap", "q_bpe_pairs", "q_oov_rate",
-      "q_similarity_sq8")
+      "q_similarity_sq8",
+      // r8: the trainer loop (N corpus passes — linearity per pass is
+      // the claim) and the stored-index query (amplified corpus ⇒
+      // fresh fingerprint ⇒ the measured time INCLUDES one index
+      // build; query-only cost is the memoized second call's)
+      "q_bpe_train", "q_similarity_indexed", "q_source_cap_agg")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

@@ -310,8 +310,9 @@ object Curation {
     *
     * 100 TB shape: one shuffle on source for the per-source window;
     * a pathologically hot source still sorts its whole group — the
-    * documented swap is [[graft.functions.TopKByScore]] keyed on
-    * source (O(N) state per group, q_group_topk's plan). */
+    * swap for that regime is [[qSourceCapAgg]] below (O(N) state per
+    * group, q_group_topk's plan), kept as its own key so both plans
+    * stay pinned and oracle-checked against the same SQL. */
   private val qSourceCap = Q(
     "q_source_cap",
     (s, d) => {
@@ -332,6 +333,34 @@ object Curation {
              WHERE rn <= $SourceCapN ORDER BY source, doc_id""")
   )
 
+  /** The HOT-SOURCE form of [[qSourceCap]]: identical result (same
+    * oracle SQL — that equality IS the contract), but the per-source
+    * selection runs as the bounded [[graft.functions.TopKByScore]]
+    * Aggregator instead of a window: map-side combine keeps ≤ N
+    * candidates per (source × partition), so a source with a billion
+    * docs ships O(partitions × N) rows through the shuffle instead of
+    * sorting the whole group on one reducer's heap. Priority is the
+    * SAME hash, negated into the aggregator's score-desc order —
+    * exact, because poly_hash is mod 1e9+7 and every value below 2^53
+    * is a representable double. Plan pinned in PlanGoldenSpec (2
+    * shuffles, no join, partial agg); skewed-fixture equality to the
+    * window form spec'd in CurationSpec. */
+  private val qSourceCapAgg = Q(
+    "q_source_cap_agg",
+    (s, d) => {
+      val keepN = udaf(new graft.functions.TopKByScore(SourceCapN))
+      Tables.documents(s, d)
+        .withColumn("fp", expr(sparkFpOf("concat('cap:', cast(doc_id as string))")))
+        .groupBy(col("source"))
+        .agg(keepN(col("doc_id"), -col("fp").cast("double")).as("kept"))
+        .select(col("source"), explode(col("kept")).as("k"))
+        .select(col("source"), col("k._1").as("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    qSourceCap.oracle
+  )
+
   def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences, qSampleStratified,
-    qNtileBucketize, qSampleWeighted, qMixSources, qTrainingOrder, qSourceCap)
+    qNtileBucketize, qSampleWeighted, qMixSources, qTrainingOrder, qSourceCap,
+    qSourceCapAgg)
 }

@@ -84,6 +84,72 @@ object Dedup {
     * n². Output: top candidate pairs by verified Jaccard (engine-
     * specific hashing → driver records rows-only).
     */
+  /** The 16-slot minhash signature AND the distinct shingle-hash set,
+    * in ONE agg pass (min over occurrences == min over distinct values,
+    * so no pre-dedup is needed). Shared by the batch pair generator and
+    * the persistable band-index builders below. */
+  private def minhashSig(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(call_function("ngram_hashes", col("text"), lit(3))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("shingles"),
+        (0 until 16).map(k => min(xxhash64(lit(k), col("h"))).as(s"s$k")): _*)
+
+  /** 16 minhash slots → 4 bands of 4 → `(doc_id, band, bh)`. */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+        explode(expr(
+          """array(named_struct('band', 0, 'bh', xxhash64(s0, s1, s2, s3)),
+                   named_struct('band', 1, 'bh', xxhash64(s4, s5, s6, s7)),
+                   named_struct('band', 2, 'bh', xxhash64(s8, s9, s10, s11)),
+                   named_struct('band', 3, 'bh', xxhash64(s12, s13, s14, s15)))""")).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+
+  /** The persistable CONTENT band index of a corpus — `(doc_id, band,
+    * bh)`, occupancy-capped (same 256 cap and rationale as the batch
+    * path). Write this plus [[minhashShingles]] as lake tables and the
+    * streaming probe ([[graft.stream.LogStream.toNearDedupedLake]])
+    * becomes a pure stream-static join: no corpus pass per micro-batch. */
+  def minhashBands(docs: DataFrame): DataFrame =
+    bandsOf(minhashSig(docs))
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bn") <= 256)
+      .drop("bn")
+
+  /** Distinct shingle-hash set per doc — the exact-verification side of
+    * the persisted index ([[minhashBands]]' companion table). */
+  def minhashShingles(docs: DataFrame): DataFrame =
+    minhashSig(docs).select(col("doc_id"), col("shingles"))
+
+  /** Drop every `batch` doc whose verified Jaccard against ANY indexed
+    * corpus doc reaches `threshold` — the batch core of streaming
+    * corpus-wide near-dedup (the content-based analog of the
+    * digest-exact [[graft.stream.LogStream.dedupAgainstCorpus]]).
+    * Candidates come from the band equi-join (collision-scaled, never
+    * n²); verification is exact Jaccard on the two shingle sets. The
+    * batch side is a micro-batch (small); the corpus side is the
+    * PERSISTED index, so per-batch cost is the probe, not an index
+    * rebuild. */
+  def dropNearDups(batch: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val sig = minhashSig(batch)
+    val hits = bandsOf(sig)
+      .join(corpusBands
+          .select(col("doc_id").as("cdoc"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("doc_id"), col("cdoc")).distinct()
+      .join(sig.select(col("doc_id"), col("shingles")), "doc_id")
+      .join(corpusShingles
+          .select(col("doc_id").as("cdoc"), col("shingles").as("csh")),
+        "cdoc")
+      .withColumn("inter", size(array_intersect(col("shingles"), col("csh"))))
+      .filter(col("inter").cast("double") /
+        (size(col("shingles")) + size(col("csh")) - col("inter")) >= threshold)
+      .select(col("doc_id")).distinct()
+    batch.join(hits, Seq("doc_id"), "left_anti")
+  }
+
   /** MinHash-LSH candidate pairs with exact-Jaccard verification —
     * `(doc_a, doc_b, jaccard)`. This is the CONTENT-BASED pair
     * generator: two near-identical documents meet through their band
@@ -92,21 +158,9 @@ object Dedup {
     * doc_id-adjacent documents). Work scales with band-bucket
     * collision count, never n². */
   private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
-      // single agg pass produces the 16-slot signature AND the distinct
-      // shingle-hash set used for candidate verification (min over
-      // occurrences == min over distinct values, so no pre-dedup needed)
-      val sig = shingleHashes(Tables.documents(s, d))
-        .groupBy(col("doc_id"))
-        .agg(collect_set(col("h")).as("shingles"),
-          (0 until 16).map(k => min(xxhash64(lit(k), col("h"))).as(s"s$k")): _*)
+      val sig = minhashSig(Tables.documents(s, d))
       val docs = sig.select(col("doc_id"), col("shingles"))
-      val bands = sig.select(col("doc_id"),
-          explode(expr(
-            """array(named_struct('band', 0, 'bh', xxhash64(s0, s1, s2, s3)),
-                     named_struct('band', 1, 'bh', xxhash64(s4, s5, s6, s7)),
-                     named_struct('band', 2, 'bh', xxhash64(s8, s9, s10, s11)),
-                     named_struct('band', 3, 'bh', xxhash64(s12, s13, s14, s15)))""")).as("b"))
-        .select(col("doc_id"), col("b.band"), col("b.bh"))
+      val bands = bandsOf(sig)
       // Bucket-size cap: a bucket of b docs yields b² candidate pairs,
       // so one degenerate mega-bucket (mass-duplicated boilerplate)
       // dominates the whole job. Cap at 256 — such clusters are exact/

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -249,16 +249,49 @@ object LogQueries {
             FROM c GROUP BY canonical_url ORDER BY canonical_url""")
   )
 
+  /** Browser-family classification by token precedence, most-specific
+    * first: Opera ships "Chrome/" AND "Safari/" plus its own "OPR/";
+    * Edge ships "Chrome/" and "Safari/" plus "Edg/"; Chrome ships
+    * "Safari/". A chain ordered any other way misclassifies real
+    * traffic silently — precedence is property-spec'd in
+    * LogQueriesSpec against every token subset. Pure CASE/contains —
+    * codegen'd, no regex. */
+  private[graft] def uaBrowser(ua: Column): Column =
+    when(ua.contains("OPR/"), "Opera")
+      .when(ua.contains("Edg/"), "Edge")
+      .when(ua.contains("Chrome/"), "Chrome")
+      .when(ua.contains("Firefox/"), "Firefox")
+      .when(ua.contains("Safari/"), "Safari")
+      .otherwise("Other")
+
+  /** OS family: Android UAs carry BOTH "Linux;" and "Android" (the
+    * kernel token rides along), so Android must match first. */
+  private[graft] def uaOs(ua: Column): Column =
+    when(ua.contains("Windows NT"), "Windows")
+      .when(ua.contains("Mac OS X"), "macOS")
+      .when(ua.contains("Android"), "Android")
+      .when(ua.contains("Linux"), "Linux")
+      .otherwise("Other")
+
+  /** Bot gate: marker tokens only — an empty, "-", or NULL UA (proxies
+    * strip them routinely) is UNKNOWN traffic, not a bot (the coalesce
+    * keeps a null UA from yielding a null flag that would crash or
+    * silently drop from downstream counts). */
+  private[graft] def uaIsBot(ua: Column): Column =
+    coalesce(ua.contains("bot") || ua.contains("curl") ||
+      ua.contains("spider") || ua.contains("crawl"), lit(false)).cast("int")
+
   /** User-agent classification — the UA-parse every log-analytics
     * pipeline runs on the decoded `http_user_agent` column the
-    * reference ships (F2): browser family (token precedence matters:
-    * Edge carries "Chrome/", Chrome carries "Safari/" — match
-    * most-specific first), OS family, and a bot gate. Pure CASE/LIKE
-    * chains — codegen'd, no UDF, no regex backtracking — over six
-    * representative UA strings synthesized deterministically from
-    * `orders` (testdata has no real UA corpus). One partial-agg'd
-    * groupBy on the tiny (family × os × bot) domain is the only
-    * shuffle. */
+    * reference ships (F2): browser family, OS family, and a bot gate
+    * (see [[uaBrowser]]/[[uaOs]]/[[uaIsBot]] for the precedence
+    * rules). Ten representative UA strings synthesized
+    * deterministically from `orders` (testdata has no real UA
+    * corpus), covering the precedence traps — Opera and Edge (both
+    * carry Chrome+Safari tokens), Android (carries Linux), and the
+    * degenerate empty / "-" UAs a log pipeline actually receives. One
+    * partial-agg'd groupBy on the tiny (family × os × bot) domain is
+    * the only shuffle. */
   private val qUaClassify = Q(
     "q_ua_classify",
     (s, d) => {
@@ -268,48 +301,47 @@ object LogQueries {
       val edge = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.0.0"
       val gbot = "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"
       val curl = "curl/8.4.0"
-      val k = col("o_orderkey") % 6
+      val opera = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 OPR/106.0.0.0"
+      val android = "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36"
+      val k = col("o_orderkey") % 10
       Tables.orders(s, d)
         .withColumn("ua",
           when(k === 0, lit(chrome)).when(k === 1, lit(safari))
             .when(k === 2, lit(firefox)).when(k === 3, lit(edge))
-            .when(k === 4, lit(gbot)).otherwise(lit(curl)))
-        .withColumn("browser_family",
-          when(col("ua").contains("Edg/"), "Edge")
-            .when(col("ua").contains("Chrome/"), "Chrome")
-            .when(col("ua").contains("Firefox/"), "Firefox")
-            .when(col("ua").contains("Safari/"), "Safari")
-            .otherwise("Other"))
-        .withColumn("os_family",
-          when(col("ua").contains("Windows NT"), "Windows")
-            .when(col("ua").contains("Mac OS X"), "macOS")
-            .when(col("ua").contains("Linux"), "Linux")
-            .otherwise("Other"))
-        .withColumn("is_bot",
-          (col("ua").contains("bot") || col("ua").contains("curl") ||
-            col("ua").contains("spider") || col("ua").contains("crawl")).cast("int"))
+            .when(k === 4, lit(gbot)).when(k === 5, lit(opera))
+            .when(k === 6, lit(android)).when(k === 7, lit(""))
+            .when(k === 8, lit("-")).otherwise(lit(curl)))
+        .withColumn("browser_family", uaBrowser(col("ua")))
+        .withColumn("os_family", uaOs(col("ua")))
+        .withColumn("is_bot", uaIsBot(col("ua")))
         .groupBy(col("browser_family"), col("os_family"), col("is_bot"))
         .agg(count(lit(1)).as("requests"))
         .orderBy(col("browser_family"), col("os_family"), col("is_bot"))
     },
     Some("""WITH ua_rows AS (
-              SELECT CASE o_orderkey % 6
+              SELECT CASE o_orderkey % 10
                 WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36'
                 WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15'
                 WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/118.0'
                 WHEN 3 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.0.0'
                 WHEN 4 THEN 'Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)'
+                WHEN 5 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 OPR/106.0.0.0'
+                WHEN 6 THEN 'Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36'
+                WHEN 7 THEN ''
+                WHEN 8 THEN '-'
                 ELSE 'curl/8.4.0' END AS ua
               FROM orders),
             classified AS (
               SELECT
-                CASE WHEN contains(ua, 'Edg/') THEN 'Edge'
+                CASE WHEN contains(ua, 'OPR/') THEN 'Opera'
+                     WHEN contains(ua, 'Edg/') THEN 'Edge'
                      WHEN contains(ua, 'Chrome/') THEN 'Chrome'
                      WHEN contains(ua, 'Firefox/') THEN 'Firefox'
                      WHEN contains(ua, 'Safari/') THEN 'Safari'
                      ELSE 'Other' END AS browser_family,
                 CASE WHEN contains(ua, 'Windows NT') THEN 'Windows'
                      WHEN contains(ua, 'Mac OS X') THEN 'macOS'
+                     WHEN contains(ua, 'Android') THEN 'Android'
                      WHEN contains(ua, 'Linux') THEN 'Linux'
                      ELSE 'Other' END AS os_family,
                 CAST(CASE WHEN contains(ua, 'bot') OR contains(ua, 'curl')

@@ -514,6 +514,41 @@ object LogStream {
           batch.toDF(), s"$outDir/batch_id=$batchId", maxRecordsPerShard): Unit)
       .start()
 
+  /** Streaming CONTENT-BASED near-dedup: each micro-batch of documents
+    * is probed against a PERSISTED minhash band index of the corpus
+    * ([[graft.queries.Dedup.minhashBands]] + [[graft.queries.Dedup.minhashShingles]],
+    * built once, stored as lake tables) and docs whose verified Jaccard
+    * reaches `threshold` against ANY indexed doc are dropped before the
+    * survivors land in the lake — the near-dup analog of the
+    * digest-exact [[dedupAgainstCorpus]], closing the gap between
+    * batch corpus-wide near-dedup and a live ingest feed.
+    *
+    * Per-batch cost is the band PROBE (micro-batch bands equi-join the
+    * static index — collision-scaled) plus exact verification on the
+    * candidates; the corpus is never re-scanned. Exactly-once by the
+    * [[toIdempotentLake]] route: survivors overwrite their own
+    * `batch_id=` partition on replay. The index is static per stream
+    * lifetime — newly ACCEPTED docs do not join it mid-flight (batch
+    * re-index + stream restart is the refresh path; an accepted dup
+    * pair WITHIN one micro-batch is left to the batch dedup that built
+    * the index, same stance as `dedupAgainstCorpus`). */
+  def toNearDedupedLake(
+      docs: DataFrame,
+      corpusBands: DataFrame,
+      corpusShingles: DataFrame,
+      lakeDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.9): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        writeBatchIdempotent(
+          graft.queries.Dedup.dropNearDups(
+            batch.toDF(), corpusBands, corpusShingles, threshold),
+          lakeDir, batchId))
+      .start()
+
   /** Streaming ANOMALY GATE — the streaming form of `q_anomaly_mad`:
     * score each event against PRECOMPUTED per-key robust stats
     * (`med`/`mad` per `event_type`, from the batch median/MAD pass) and

@@ -81,6 +81,26 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
       ("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L), ("b x", 1L, 1L)))
   }
 
+  test("bpe TRAINING: 3 hand-computed merge rounds, re-tokenizing with merges so far") {
+    // doc A: a b a b c   round-1 pairs (a,b)×2 (b,a) (b,c)
+    // doc B: a b c d     round-1 pairs (a,b) (b,c) (c,d)
+    // doc C: x x x       round-1 pairs (x,x)×2
+    // round 1: (a,b)=3 wins → A=[a~b a~b c], B=[a~b c d]
+    // round 2: (a~b,c)=2 TIES (x,x)=2 and wins on the (l,r)-ascending
+    //          tie-break ("a~b" < "x") — a pair of a MERGED symbol,
+    //          which is the whole point: later rounds see the new
+    //          vocabulary. → A=[a~b a~b~c], B=[a~b~c d]
+    // round 3: (x,x)=2 wins; C's greedy left-to-right merge is
+    //          [x~x, x] — the 3rd x stays single, NOT re-merged
+    val d = Files.createTempDirectory("bpetrain").toString
+    Seq(doc(1L, "a b a b c"), doc(2L, "a b c d"), doc(3L, "x x x"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val merges = Registry.queries("q_bpe_train")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges === Seq((1, "a", "b", 3L), (2, "a~b", "c", 2L), (3, "x", "x", 2L)))
+  }
+
   test("source overlap counts shared spans once per source pair, never per occurrence") {
     val d = Files.createTempDirectory("chunking5").toString
     val shared = "one two three four five six" // 2 spans at K=3

@@ -1,0 +1,35 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Curation-operator semantics the oracle can't see: the hot-source
+  * aggregator cap must select EXACTLY the window form's rows on a
+  * fixture skewed enough that the two plans differ by orders of
+  * magnitude in shuffled rows. */
+class CurationSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  test("source cap: aggregator form equals the window form on a skewed fixture") {
+    val d = Files.createTempDirectory("srccap").toString
+    // one pathologically hot source (500 docs vs the cap of 15) and
+    // one under-cap source — both selection regimes in one run
+    val docs =
+      (0 until 500).map(i => (i.toLong, s"hot doc $i", "en", "hot", 10L)) ++
+        (500 until 503).map(i => (i.toLong, s"cold doc $i", "en", "cold", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val win = Registry.queries("q_source_cap")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val agg = Registry.queries("q_source_cap_agg")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(agg == win,
+      "the bounded aggregator must keep exactly the window form's rows")
+    val bySrc = agg.groupBy(_.head)
+    assert(bySrc("hot").size == 15, "hot source capped")
+    assert(bySrc("cold").size == 3, "under-cap source kept whole")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** UA-classifier precedence as a PROPERTY: for ANY subset of marker
+  * tokens assembled into one UA string, the classifier must pick the
+  * highest-precedence marker present — the invariant that makes the
+  * CASE-chain order load-bearing (Opera and Edge UAs carry Chrome and
+  * Safari tokens; Android UAs carry Linux). Plus the degenerate inputs
+  * a log pipeline actually receives: empty, "-", and null UAs. */
+class LogQueriesSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  /** (marker token, expected family) in DESCENDING precedence. */
+  private val browserMarkers = Seq(
+    "OPR/106.0" -> "Opera", "Edg/120.0" -> "Edge", "Chrome/120.0" -> "Chrome",
+    "Firefox/118.0" -> "Firefox", "Safari/605.1" -> "Safari")
+  private val osMarkers = Seq(
+    "Windows NT 10.0" -> "Windows", "Mac OS X 10_15_7" -> "macOS",
+    "Android 14" -> "Android", "Linux x86_64" -> "Linux")
+
+  private def classify(uas: Seq[String]): Seq[(String, String, Int)] = {
+    val df = uas.toDF("ua")
+    df.select(
+        LogQueries.uaBrowser(col("ua")),
+        LogQueries.uaOs(col("ua")),
+        LogQueries.uaIsBot(col("ua")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+  }
+
+  test("PROPERTY: any marker-token subset classifies as its highest-precedence member") {
+    val gen = for {
+      b <- Gen.someOf(browserMarkers)
+      o <- Gen.someOf(osMarkers)
+    } yield (b.toSeq, o.toSeq)
+    // collect the generated cases, classify in ONE Spark job, check all
+    val cases = Iterator.continually(gen.sample).flatten.take(80).toList
+    val uas = cases.map { case (b, o) =>
+      s"Mozilla/5.0 (${o.map(_._1).mkString("; ")}) ${b.map(_._1).mkString(" ")}"
+    }
+    val out = classify(uas)
+    cases.zip(out).foreach { case ((b, o), (bf, of, bot)) =>
+      val wantB = browserMarkers.collectFirst {
+        case (tok, fam) if b.exists(_._1 == tok) => fam }.getOrElse("Other")
+      val wantO = osMarkers.collectFirst {
+        case (tok, fam) if o.exists(_._1 == tok) => fam }.getOrElse("Other")
+      assert(bf == wantB, s"browser precedence broken for markers ${b.map(_._1)}")
+      assert(of == wantO, s"os precedence broken for markers ${o.map(_._1)}")
+      assert(bot == 0, "marker-only UAs carry no bot tokens")
+    }
+  }
+
+  test("degenerate UAs: empty, '-', and null are Other/Other and NOT bots") {
+    val out = classify(Seq("", "-", null))
+    out.foreach { case (b, o, bot) =>
+      assert(b == "Other" && o == "Other" && bot == 0, out.toString)
+    }
+  }
+
+  test("real-world trap UAs classify correctly") {
+    val opera = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 OPR/106.0.0.0"
+    val android = "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36"
+    val edge = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.0.0"
+    val bingbot = "Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)"
+    assert(classify(Seq(opera, android, edge, bingbot)) == Seq(
+      ("Opera", "Windows", 0),
+      ("Chrome", "Android", 0),
+      ("Edge", "Windows", 0),
+      ("Other", "Other", 1)))
+  }
+}

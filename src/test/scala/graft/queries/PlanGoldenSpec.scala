@@ -52,6 +52,21 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
     "q_bpe_pairs" -> "shuffles=2 joins=[]",
     "q_group_topk" -> "shuffles=2 joins=[]",
     "q_source_overlap" -> "shuffles=4 joins=[BroadcastHashJoin x1]",
+    // r8 hot-source cap swap: same 2-shuffle no-join shape as
+    // q_group_topk — the pin proves the partial-agg path (a regression
+    // to the window idiom would keep joins=[] but the agg would vanish;
+    // that is caught by CurationSpec's equality + this signature pair)
+    "q_source_cap_agg" -> "shuffles=2 joins=[]",
+    // r8 BPE trainer: 3 unrolled rounds, one pair-count exchange per
+    // round + the output sort; earlier rounds' re-tokenizations (and
+    // their one-row argmax broadcasts) are checkpointed out of the
+    // visible plan — the signature covering only the LAST round is
+    // itself the proof the iteration lineage got cut
+    "q_bpe_train" -> "shuffles=3 joins=[]",
+    // r8 stored-index search: centroid broadcast cross (BNLJ) + the
+    // probed-postings broadcast hash join; shuffles are the two
+    // ranking windows + output sort
+    "q_similarity_indexed" -> "shuffles=2 joins=[BroadcastHashJoin x1,BroadcastNestedLoopJoin x1]",
     "q_oov_rate" -> "shuffles=3 joins=[BroadcastHashJoin x1]",
     // sq8's BroadcastNestedLoopJoin is the deliberate broadcast-tiny
     // query-set cross (same stance as bruteforce/ivf in PlanDump's

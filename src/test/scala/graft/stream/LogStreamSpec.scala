@@ -192,6 +192,41 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     } finally q.stop()
   }
 
+  test("streaming near-dedup: a near-twin arriving in a LATER micro-batch is dropped") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-neardedup").toString
+    val ckpt = Files.createTempDirectory("graft-neardedup-ckpt").toString
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    // 100 tokens: one changed token gives J ≈ 0.94, inside the 4×4
+    // band geometry's reliable-recall regime (a 40-token fixture sat
+    // at J ≈ 0.85, where 4 bands of 4 legitimately miss ~5% of pairs)
+    val corpusText = toks("corpus", 100)
+    // the static index, built ONCE from the existing corpus
+    val corpus = Seq((1L, corpusText), (2L, toks("other", 100)))
+      .toDF("doc_id", "text")
+    val bands = graft.queries.Dedup.minhashBands(corpus).cache()
+    val shingles = graft.queries.Dedup.minhashShingles(corpus).cache()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = LogStream.toNearDedupedLake(
+      input.toDF().toDF("doc_id", "text"), bands, shingles,
+      lake, ckpt, threshold = 0.9)
+    try {
+      // batch 0: a fresh doc — kept
+      input.addData((100L, toks("fresh", 100)))
+      q.processAllAvailable()
+      // batch 1: a near-twin of corpus doc 1 (one token differs) plus
+      // another fresh doc — the twin must be dropped, the fresh kept
+      input.addData(
+        (101L, corpusText.replace("corpus7 ", "CORPUS7 ")),
+        (102L, toks("novel", 100)))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(lake)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(100L, 102L),
+        s"near-twin 101 must be dropped, fresh docs kept: $kept")
+    } finally q.stop()
+  }
+
   test("idempotent lake sink: a replayed batch overwrites its partition, never duplicates") {
     val lake = Files.createTempDirectory("graft-lake").toString
     val ckpt = Files.createTempDirectory("graft-lake-ckpt").toString
