@@ -107,6 +107,32 @@ object Demo {
     println(s"[demo] exported ${manifest.totalRows} training chunks in " +
       s"${manifest.shards.size} shards (${manifest.totalBytes} bytes); " +
       s"manifest checksum ${if (rederived == manifestXor) "VERIFIED" else "MISMATCH"}")
+
+    // -- 6. the persistent ANN index: build once from the corpus,
+    //      query it (partition-pruned), append a micro-batch, query
+    //      again — the appended vector is findable without a rebuild
+    import org.apache.spark.sql.functions.{col, expr}
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val idxDir = Files.createTempDirectory("demo-vindex").toString + "/idx"
+    graft.index.VectorIndex.build(
+      emb.filter(col("vec_id") >= 10),
+      emb.limit(64).select(col("vec_id").as("cid"), col("emb").as("cemb")),
+      idxDir)
+    val q0 = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val top = graft.index.VectorIndex.search(spark, idxDir, q0, topK = 3)
+    println(s"[demo] stored-index ANN: ${top.count()} neighbor rows " +
+      "from a partition-pruned read of the posting lists")
+    graft.index.VectorIndex.append(
+      emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("emb")),
+      idxDir, "batch-demo")
+    val after = graft.index.VectorIndex.search(spark, idxDir, q0, topK = 1)
+      .filter(col("neighbor_id") >= 1000000L).count()
+    println(s"[demo] after appending exact twins, $after/3 queries " +
+      "rank an appended vector first — index maintained, no rebuild")
     spark.stop()
   }
 }

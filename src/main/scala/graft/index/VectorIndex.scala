@@ -216,6 +216,55 @@ object VectorIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[search]] with the SQ8 coarse pass — BOTH scale axes composed
+    * from the stored artifact: IVF partition pruning cuts the I/O to
+    * `probes/k` of the corpus, and within the probed lists the coarse
+    * ranking reads ONLY the stored int8 codes (the wide `emb` column
+    * stays unread — columnar projection, asserted in VectorIndexSpec),
+    * so the candidate explosion moves 4× fewer bytes. The
+    * O(queries × coarseWidth) survivors then re-join the probed lists'
+    * full-precision vectors map-side for the exact re-rank (the same
+    * survivors-broadcast shape as `q_similarity_sq8`). Scales cancel
+    * in cosine, so quantized vectors rank directly — no
+    * dequantization. */
+  def searchSq8(spark: SparkSession, dir: String, queries: DataFrame,
+      topK: Int = 5, probes: Int = 2, coarseWidth: Int = 20): DataFrame = {
+    val cent = readCentroids(spark, dir)
+    val qFull = queries.select(col("query_id"), col("qemb"))
+    val q = assign(qFull, cent, "query_id", "qemb", probes)
+      // quantize the query side by the stored convention; the corpus
+      // side's codes come straight off the index
+      .withColumn("qscale",
+        expr("greatest(array_max(transform(qemb, x -> abs(x))), 1e-30d)"))
+      .withColumn("q_q",
+        expr("transform(qemb, x -> CAST(round(x * 127.0 / qscale) AS DOUBLE))"))
+      .select(col("query_id"), col("cid"), col("q_q"))
+    val probed = q.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)) // bounded: ≤ queries × probes values
+    val probedLists = postings(spark, dir)
+      .filter(col("cid").isin(probed.toIndexedSeq: _*))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val survivors = q
+      .join(probedLists.select(col("cid"), col("neighbor_id"),
+          expr("transform(qcode, x -> CAST(x AS DOUBLE))").as("c_q")),
+        "cid")
+      .withColumn("coarse", round(cosine(col("q_q"), col("c_q")), 6))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= coarseWidth)
+      .select(col("query_id"), col("neighbor_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probedLists.select(col("neighbor_id"), col("emb"))
+      .join(broadcast(survivors), "neighbor_id")
+      .join(broadcast(qFull), "query_id")
+      .withColumn("cos", round(cosine(col("qemb"), col("emb")), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** True once [[build]] completed at `dir` (meta marker present). */
   def exists(spark: SparkSession, dir: String): Boolean =
     fsFor(spark, dir).exists(

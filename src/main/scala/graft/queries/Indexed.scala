@@ -60,5 +60,64 @@ object Indexed {
     },
     Some(Similarity.ivfOracle))
 
-  def qs: Seq[Q] = Seq(qSimilarityIndexed)
+  /** Both scale axes composed FROM the stored artifact: IVF pruning
+    * (read probes/k of the corpus) × SQ8 compression (the coarse pass
+    * within the probed lists reads only the stored int8 codes; the
+    * wide emb column stays unread until the exact re-rank of the
+    * O(queries × 20) survivors). Fully oracle-checked — the oracle
+    * re-derives the assignment (ivf geometry) AND the quantization
+    * (sq8 convention) in SQL, so a hash-green row proves the stored
+    * codes are exactly the convention's codes and the composed search
+    * loses nothing vs computing both inline. */
+  private val qSimilarityIndexedSq8 = Q(
+    "q_similarity_indexed_sq8",
+    (s, d) => {
+      val dir = indexDirFor(s, d)
+      VectorIndex.searchSq8(s, dir,
+        Similarity.embDouble(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb")),
+        topK = 5, probes = 2, coarseWidth = 20)
+    },
+    Some {
+      import Similarity.{oracleCos, oracleEmb}
+      s"""WITH e AS ($oracleEmb),
+         |qz AS (SELECT vec_id, emb,
+         |         greatest(list_max(list_transform(emb, x -> abs(x))), 1e-30) AS scale
+         |       FROM e),
+         |qq AS (SELECT vec_id, emb,
+         |         list_transform(emb, x -> CAST(round(x * 127.0 / scale) AS DOUBLE)) AS qemb
+         |       FROM qz),
+         |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
+         |         WHERE vec_id < (SELECT least(4096, greatest(16,
+         |           CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM e)),
+         |corpus0 AS (SELECT vec_id AS neighbor_id, emb, qemb FROM qq WHERE vec_id >= 10),
+         |queries0 AS (SELECT vec_id AS query_id, emb AS q_full, qemb AS q_q FROM qq WHERE vec_id < 10),
+         |ca AS (SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |         ORDER BY cd DESC, cid) AS crn
+         |       FROM (SELECT c.*, cent.cid,
+         |               round(${oracleCos("c.emb", "cent.cemb")}, 6) AS cd
+         |             FROM corpus0 c CROSS JOIN cent)),
+         |corpus AS (SELECT neighbor_id, emb AS c_full, qemb AS c_q, cid
+         |           FROM ca WHERE crn <= 1),
+         |qa AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cd DESC, cid) AS crn
+         |       FROM (SELECT q.*, cent.cid,
+         |               round(${oracleCos("q.q_full", "cent.cemb")}, 6) AS cd
+         |             FROM queries0 q CROSS JOIN cent)),
+         |queries AS (SELECT query_id, q_full, q_q, cid FROM qa WHERE crn <= 2),
+         |coarse AS (SELECT query_id, neighbor_id, q_full, c_full,
+         |             round(${oracleCos("q_q", "c_q")}, 6) AS coarse
+         |           FROM queries JOIN corpus USING (cid)),
+         |cr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY coarse DESC, neighbor_id) AS crank FROM coarse),
+         |cand AS (SELECT query_id, neighbor_id,
+         |           round(${oracleCos("q_full", "c_full")}, 6) AS cos
+         |         FROM cr WHERE crank <= 20),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    })
+
+  def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8)
 }

@@ -32,10 +32,10 @@ object Similarity {
   private def cosine(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
-  private def oracleCos(a: String, b: String): String =
+  private[queries] def oracleCos(a: String, b: String): String =
     s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
 
-  private val oracleEmb =
+  private[queries] val oracleEmb =
     "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
 
   /** Brute-force exact top-5 cosine neighbors for each query vector

@@ -67,6 +67,10 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
     // probed-postings broadcast hash join; shuffles are the two
     // ranking windows + output sort
     "q_similarity_indexed" -> "shuffles=2 joins=[BroadcastHashJoin x1,BroadcastNestedLoopJoin x1]",
+    // r8 composed-axes search: coarse BHJ on the codes-only probed
+    // scan + the two survivor/query-recovery BHJs + centroid BNLJ;
+    // the extra shuffle is the coarse ranking window
+    "q_similarity_indexed_sq8" -> "shuffles=3 joins=[BroadcastHashJoin x3,BroadcastNestedLoopJoin x1]",
     "q_oov_rate" -> "shuffles=3 joins=[BroadcastHashJoin x1]",
     // sq8's BroadcastNestedLoopJoin is the deliberate broadcast-tiny
     // query-set cross (same stance as bruteforce/ivf in PlanDump's

@@ -119,6 +119,24 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSupport {
       s"probed lists must prune the postings scan:\n$plan")
   }
 
+  test("searchSq8 composes both axes from the stored artifact: twin found, coarse reads codes only") {
+    val work = Files.createTempDirectory("vindex-sq8s").toString
+    writeCorpus(s"$work/corpus")
+    val e = embOf(s"$work/corpus")
+    VectorIndex.build(e.filter(col("vec_id") >= 10), centOf(e), s"$work/idx")
+    val searched = VectorIndex.searchSq8(spark, s"$work/idx", query0)
+    val hits = searched.collect()
+    assert(hits.head.getLong(2) == 10L && hits.head.getDouble(3) == 1.0,
+      s"planted twin must survive the quantized coarse pass: ${hits.toSeq}")
+    val plan = searched.queryExecution.executedPlan.toString
+    // the coarse pass must scan (neighbor_id, qcode) WITHOUT the wide
+    // emb column — that projection is the 4×-fewer-bytes claim
+    assert(plan.contains("ReadSchema: struct<neighbor_id:bigint,qcode:array<tinyint>>"),
+      s"coarse scan must read int8 codes only:\n$plan")
+    // and the probed-list pruning still applies to both postings scans
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("stored SQ8 codes match the quantization convention exactly") {
     val work = Files.createTempDirectory("vindex-sq8").toString
     writeCorpus(s"$work/corpus")
