@@ -111,14 +111,16 @@ object Demo {
     // -- 6. the persistent ANN index: build once from the corpus,
     //      query it (partition-pruned), append a micro-batch, query
     //      again — the appended vector is findable without a rebuild
-    import org.apache.spark.sql.functions.{col, expr}
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
     val idxDir = Files.createTempDirectory("demo-vindex").toString + "/idx"
     graft.index.VectorIndex.build(
       emb.filter(col("vec_id") >= 10),
-      emb.limit(64).select(col("vec_id").as("cid"), col("emb").as("cemb")),
+      // deterministic lowest-id centroid stand-in (an unordered
+      // limit() would pick scheduler-dependent rows run to run)
+      emb.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb")),
       idxDir)
     val q0 = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))

@@ -84,8 +84,8 @@ object ScaleSmoke {
       // the claim) and the stored-index query (amplified corpus ⇒
       // fresh fingerprint ⇒ the measured time INCLUDES one index
       // build; query-only cost is the memoized second call's)
-      "q_bpe_train", "q_similarity_indexed", "q_similarity_indexed_sq8",
-      "q_source_cap_agg")
+      "q_bpe_train", "q_bpe_train_hist", "q_similarity_indexed",
+      "q_similarity_indexed_sq8", "q_source_cap_agg")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

@@ -38,6 +38,29 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The RAW file schema of a table (pre any reader transform) — one
+    * parquet footer read. Session-independent, so callers may cache it
+    * freely (unlike a DataFrame, which pins its SparkSession). */
+  def fileSchema(spark: SparkSession, dir: String,
+      name: String): org.apache.spark.sql.types.StructType = {
+    if (name == "events")
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "events.parquet uses TIMESTAMP(NANOS): build the session via graft.GraftSession")
+    spark.read.parquet(s"$dir/$name.parquet").schema
+  }
+
+  /** [[apply]] with a known raw schema: skips the footer read entirely
+    * and applies the same reader transforms (the events ts shim). */
+  def withKnownSchema(spark: SparkSession, dir: String, name: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val raw = spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "events.parquet uses TIMESTAMP(NANOS): build the session via graft.GraftSession")
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else raw
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")

@@ -1,0 +1,42 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** THE frozen vector-index conventions, defined once: the whole
+  * persistent-index design rests on byte-identical semantics between
+  * the inline queries (`queries/Similarity.scala`), the stored artifact
+  * ([[VectorIndex]]), and the DuckDB oracles that re-derive both — so
+  * the assignment ranking and the SQ8 quantization live HERE and
+  * nowhere else. A change to either is a format change to every stored
+  * index and every oracle at once; hand-synced copies drifting apart
+  * would only surface as a hash mismatch at oracle time.
+  */
+private[graft] object VectorConventions {
+
+  /** Nearest-`probes` centroid assignment: rank candidates by
+    * round(cosine, 6) descending, break ties toward the LOWER cid.
+    * `cent` must be (cid, cemb) and small enough to broadcast. */
+  def assign(df: DataFrame, cent: DataFrame, idCol: String,
+      embCol: String, probes: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cd").desc, col("cid"))
+    df.crossJoin(broadcast(cent))
+      .withColumn("cd",
+        round(call_function("cosine_sim", col(embCol), col("cemb")), 6))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= probes)
+      .drop("cemb", "cd", "crn")
+  }
+
+  /** SQ8 scale: max |component|, floored at 1e-30 so a zero vector
+    * still quantizes (to all-zero codes) instead of dividing by 0. */
+  def sq8Scale(embCol: String): Column =
+    expr(s"greatest(array_max(transform($embCol, x -> abs(x))), 1e-30d)")
+
+  /** SQ8 codes: round(x·127/scale), cast to `castTo` — TINYINT for the
+    * stored form (true int8), DOUBLE where the codes feed straight
+    * into a cosine kernel (integral values are exact in both). */
+  def sq8Codes(embCol: String, scaleCol: String, castTo: String): Column =
+    expr(s"transform($embCol, x -> CAST(round(x * 127.0 / $scaleCol) AS $castTo))")
+}

@@ -18,10 +18,12 @@ import org.apache.spark.sql.types._
   * On-disk layout (all plain parquet + one JSON marker — readable by
   * any engine, no custom format):
   * {{{
-  *   <dir>/_INDEX_META.json            dim, k, corpus fingerprint
+  *   <dir>/_INDEX_META.json            k, dim, current postings table
+  *                                     name, folded append labels
   *   <dir>/centroids/                  (cid long, cemb array<double>)
-  *   <dir>/postings/                   (neighbor_id, emb, qcode, qscale)
-  *                                     PARTITIONED BY (cid)
+  *   <dir>/postings[_vN]/              (neighbor_id, emb, qcode, qscale)
+  *                                     PARTITIONED BY (cid); the meta
+  *                                     names the CURRENT version
   *   <dir>/appends/<label>/            same schema+partitioning; one
   *                                     subdir per appended micro-batch
   * }}}
@@ -35,27 +37,31 @@ import org.apache.spark.sql.types._
   *    entire point of IVF. The probed-list filter is a literal `IN`
   *    built from a driver-side collect bounded by queries × probes rows.
   *  - '''SQ8 codes ride along''' (`qcode` int8 + `qscale`): the stored
-  *    form of `q_similarity_sq8`'s compression path — a reader that
-  *    wants the 4×-smaller working set scans (cid, neighbor_id, qcode,
-  *    qscale) and leaves the wide `emb` column unread (columnar
-  *    projection does the skipping; no separate table needed).
+  *    form of `q_similarity_sq8`'s compression path — [[searchSq8]]
+  *    scans (cid, neighbor_id, qcode, qscale) for the coarse pass and
+  *    leaves the wide `emb` column unread (columnar projection does the
+  *    skipping; no separate table needed).
   *  - '''Appends are separate sub-tables, not in-place writes.''' Each
   *    appended batch lands as `appends/<label>/` — an idempotent
   *    OVERWRITE of its own directory, so a crash-replayed streaming
   *    micro-batch converges instead of duplicating (the
   *    [[graft.stream.LogStream.toIdempotentLake]] route). Search unions
-  *    base + appends; [[compact]] folds appends back into the base when
-  *    the union grows long.
-  *  - '''Assignment semantics are frozen''' and identical to the inline
-  *    `q_similarity_ivf` (round(cosine,6) ranking, ties to the lower
-  *    cid), so a query answered FROM the stored index hash-matches the
-  *    inline query's DuckDB oracle — `q_similarity_indexed` proves
+  *    the current postings version + unfolded appends; [[compact]]
+  *    folds appends into a NEW postings version and commits by
+  *    rewriting the meta marker — see its scaladoc for the crash
+  *    windows.
+  *  - '''Assignment and quantization semantics live in ONE place'''
+  *    ([[VectorConventions]]) shared with the inline queries, so a
+  *    query answered FROM the stored index hash-matches the inline
+  *    query's DuckDB oracle — `q_similarity_indexed`(`_sq8`) prove
   *    build/query separation changes nothing.
   *
   * Single-writer assumption (documented, not enforced): one maintainer
   * process builds/appends/compacts; readers are concurrent-safe against
-  * completed writes (parquet dirs appear atomically enough via the
-  * _SUCCESS convention) but not against a concurrent compact's delete.
+  * completed writes but not against a concurrent compact's cleanup.
+  * Labels must be unique per logical batch (streaming batch ids are;
+  * a REPLAYED label converges by overwrite, and a label already folded
+  * into the base is excluded from reads — also convergent).
   */
 object VectorIndex {
 
@@ -69,51 +75,45 @@ object VectorIndex {
     StructField("qscale", DoubleType),
     StructField("cid", LongType)))
 
+  private[index] case class Meta(k: Long, dim: Int, postings: String,
+    folded: Seq[String])
+
   private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     call_function("cosine_sim", a, b)
 
-  /** Nearest-`probes` centroid assignment — THE frozen semantics both
-    * build and search use (and `q_similarity_ivf`'s oracle mirrors):
-    * rank by round(cosine, 6) desc, break ties on the lower cid. */
-  private def assign(df: DataFrame, cent: DataFrame, idCol: String,
-      embCol: String, probes: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cd").desc, col("cid"))
-    df.crossJoin(broadcast(cent))
-      .withColumn("cd", round(cosine(col(embCol), col("cemb")), 6))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") <= probes)
-      .drop("cemb", "cd", "crn")
-  }
-
-  /** SQ8 quantization columns (same convention as `q_similarity_sq8`):
-    * `qscale` = max |component| (floored at 1e-30), `qcode` =
-    * round(x·127/scale) stored as real int8. */
-  private def withSq8(df: DataFrame, embCol: String): DataFrame =
-    df.withColumn("qscale",
-        expr(s"greatest(array_max(transform($embCol, x -> abs(x))), 1e-30d)"))
-      .withColumn("qcode",
-        expr(s"transform($embCol, x -> CAST(round(x * 127.0 / qscale) AS TINYINT))"))
+  /** Assign + SQ8-quantize a vector set into postings rows. */
+  private def toPostings(vectors: DataFrame, cent: DataFrame): DataFrame =
+    VectorConventions.assign(
+        vectors.select(col("vec_id").as("neighbor_id"), col("emb")),
+        cent, "neighbor_id", "emb", probes = 1)
+      .withColumn("qscale", VectorConventions.sq8Scale("emb"))
+      .withColumn("qcode", VectorConventions.sq8Codes("emb", "qscale", "TINYINT"))
+      .select(col("neighbor_id"), col("emb"), col("qcode"), col("qscale"), col("cid"))
 
   /** Build the index: `centroids` (cid, cemb) persist as-is; `corpus`
     * (vec_id, emb) is assigned to its nearest list, SQ8-quantized, and
     * written as the cid-partitioned postings table. One corpus pass —
-    * the single shuffle is the partitioned write's clustering. */
+    * the single shuffle is the partitioned write's clustering. Fails
+    * fast (before any corpus work) on an empty centroid set. */
   def build(corpus: DataFrame, centroids: DataFrame, dir: String): Unit = {
     val spark = corpus.sparkSession
     centroids.select(col("cid").cast("long"), col("cemb"))
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    val assigned = assign(
-      corpus.select(col("vec_id").as("neighbor_id"), col("emb")),
-      readCentroids(spark, dir), "neighbor_id", "emb", probes = 1)
-    withSq8(assigned, "emb")
-      .select(col("neighbor_id"), col("emb"), col("qcode"), col("qscale"), col("cid"))
+    // one job: k + dim together; k = 0 aborts before the corpus pass
+    val stats = readCentroids(spark, dir)
+      .agg(count(lit(1)), first(size(col("cemb")))).head()
+    require(stats.getLong(0) > 0,
+      s"index build at $dir requires a non-empty centroid set")
+    toPostings(corpus, readCentroids(spark, dir))
       // sort within partitions by list id so each task writes each of
       // its lists as one contiguous file rather than an open-file per
       // list; repartition(cid) would be a full extra shuffle — at
       // build time sortWithinPartitions gives the layout win for free
       .sortWithinPartitions(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/postings")
-    writeMeta(spark, dir)
+    // the meta marker is written LAST: its presence == build complete
+    writeMeta(spark, dir,
+      Meta(stats.getLong(0), stats.getInt(1), "postings", Seq.empty))
   }
 
   /** Append a micro-batch of new vectors: assign against the EXISTING
@@ -123,11 +123,7 @@ object VectorIndex {
     * a crash-replayed batch converges. */
   def append(vectors: DataFrame, dir: String, label: String): Unit = {
     require(label.nonEmpty && !label.contains("/"), s"bad append label: $label")
-    val assigned = assign(
-      vectors.select(col("vec_id").as("neighbor_id"), col("emb")),
-      readCentroids(vectors.sparkSession, dir), "neighbor_id", "emb", probes = 1)
-    withSq8(assigned, "emb")
-      .select(col("neighbor_id"), col("emb"), col("qcode"), col("qscale"), col("cid"))
+    toPostings(vectors, readCentroids(vectors.sparkSession, dir))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/appends/$label")
   }
 
@@ -143,38 +139,67 @@ object VectorIndex {
           batchId: Long) => append(batch.toDF(), dir, s"batch_id=$batchId"))
       .start()
 
-  /** Fold all appended sub-tables into the base postings table and
-    * remove them — run when the append list grows long enough that the
-    * per-query union cost matters (each append dir adds one scan's
-    * planning overhead; the data itself stays partition-pruned).
-    * Rewrites into a fresh directory and renames over the old base so
-    * a reader never sees a half-written table; single-writer assumed
-    * (see object scaladoc). */
+  /** Fold all live appended sub-tables into a NEW postings version and
+    * retire the old one — run when the append list grows long enough
+    * that the per-query union cost matters. CRASH-SAFE by a
+    * commit-marker protocol (single writer assumed):
+    *
+    *  1. leftover cleanup — delete append dirs already folded by a
+    *     previous compact (listed in the meta) and any postings
+    *     version that is not the current one;
+    *  2. write `postings_v<n+1>` from current ∪ live appends;
+    *  3. COMMIT: rewrite `_INDEX_META.json` naming the new version and
+    *     the labels it folded (readers atomically switch, and folded
+    *     labels are excluded from reads even while their dirs linger);
+    *  4. delete the folded append dirs and the old version;
+    *  5. clear the folded list in the meta.
+    *
+    * A crash before 3 leaves the old state fully live (the half-built
+    * version is garbage, removed by the next compact's step 1). A
+    * crash after 3 leaves correct reads immediately (folded labels
+    * excluded), and the next compact's step 1 completes the cleanup. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val labels = appendLabels(spark, dir)
-    if (labels.isEmpty) return
-    val all = postings(spark, dir)
-    all.sortWithinPartitions(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/postings_compacting")
     val fs = fsFor(spark, dir)
-    val base = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/postings_old")
-    fs.rename(base, old)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/postings_compacting"), base)
-    fs.delete(old, true)
+    val meta0 = readMeta(spark, dir)
+    // step 1: finish any interrupted predecessor
+    meta0.folded.foreach(l =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("postings")
+        && st.getPath.getName != meta0.postings)
+      .foreach(st => fs.delete(st.getPath, true))
+    val meta = meta0.copy(folded = Seq.empty)
+    val labels = appendLabels(spark, dir)
+    if (labels.isEmpty) { writeMeta(spark, dir, meta); return }
+
+    val next = meta.postings match {
+      case "postings" => "postings_v1"
+      case v => s"postings_v${v.stripPrefix("postings_v").toInt + 1}"
+    }
+    postings(spark, dir)
+      .sortWithinPartitions(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/$next")
+    // step 3 — the commit point
+    writeMeta(spark, dir, meta.copy(postings = next, folded = labels))
     labels.foreach(l =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${meta.postings}"), true)
+    writeMeta(spark, dir, meta.copy(postings = next, folded = Seq.empty))
   }
 
-  /** All live postings: base table ∪ every appended sub-table. Each
-    * side reads with the explicit schema (no footer/inference pass)
-    * and stays partition-prunable on `cid`. */
+  /** All live postings: the CURRENT version (named by the meta) ∪ every
+    * unfolded appended sub-table. Each side reads with the explicit
+    * schema (no footer/inference pass) and stays partition-prunable on
+    * `cid`. */
   def postings(spark: SparkSession, dir: String): DataFrame = {
-    val base = spark.read.schema(postingsSchema).parquet(s"$dir/postings")
-    appendLabels(spark, dir).foldLeft(base) { (acc, l) =>
-      acc.unionByName(
-        spark.read.schema(postingsSchema).parquet(s"$dir/appends/$l"))
-    }
+    val meta = readMeta(spark, dir)
+    val base = spark.read.schema(postingsSchema)
+      .parquet(s"$dir/${meta.postings}")
+    appendLabels(spark, dir).filterNot(meta.folded.toSet)
+      .foldLeft(base) { (acc, l) =>
+        acc.unionByName(
+          spark.read.schema(postingsSchema).parquet(s"$dir/appends/$l"))
+      }
   }
 
   def readCentroids(spark: SparkSession, dir: String): DataFrame =
@@ -198,7 +223,7 @@ object VectorIndex {
   def search(spark: SparkSession, dir: String, queries: DataFrame,
       topK: Int = 5, probes: Int = 2): DataFrame = {
     val cent = readCentroids(spark, dir)
-    val q = assign(
+    val q = VectorConventions.assign(
       queries.select(col("query_id"), col("qemb")),
       cent, "query_id", "qemb", probes)
     val probed = q.select(col("cid")).distinct()
@@ -231,13 +256,11 @@ object VectorIndex {
       topK: Int = 5, probes: Int = 2, coarseWidth: Int = 20): DataFrame = {
     val cent = readCentroids(spark, dir)
     val qFull = queries.select(col("query_id"), col("qemb"))
-    val q = assign(qFull, cent, "query_id", "qemb", probes)
+    val q = VectorConventions.assign(qFull, cent, "query_id", "qemb", probes)
       // quantize the query side by the stored convention; the corpus
       // side's codes come straight off the index
-      .withColumn("qscale",
-        expr("greatest(array_max(transform(qemb, x -> abs(x))), 1e-30d)"))
-      .withColumn("q_q",
-        expr("transform(qemb, x -> CAST(round(x * 127.0 / qscale) AS DOUBLE))"))
+      .withColumn("qscale", VectorConventions.sq8Scale("qemb"))
+      .withColumn("q_q", VectorConventions.sq8Codes("qemb", "qscale", "DOUBLE"))
       .select(col("query_id"), col("cid"), col("q_q"))
     val probed = q.select(col("cid")).distinct()
       .collect().map(_.getLong(0)) // bounded: ≤ queries × probes values
@@ -282,14 +305,30 @@ object VectorIndex {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def writeMeta(spark: SparkSession, dir: String): Unit = {
-    val k = readCentroids(spark, dir).count()
-    val dim = readCentroids(spark, dir)
-      .select(size(col("cemb"))).limit(1).collect()(0).getInt(0)
-    val fs = fsFor(spark, dir)
-    val out = fs.create(
+  private[index] def readMeta(spark: SparkSession, dir: String): Meta = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json")
+    val in = fsFor(spark, dir).open(path)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val folded =
+      if (root.has("folded"))
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          root.get("folded").elements()).asScala.map(_.asText()).toSeq
+      else Seq.empty
+    Meta(root.get("k").asLong(), root.get("dim").asInt(),
+      if (root.has("postings")) root.get("postings").asText() else "postings",
+      folded)
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
+    val folded = m.folded.map(l => "\"" + l + "\"").mkString("[", ", ", "]")
+    val out = fsFor(spark, dir).create(
       new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json"), true)
-    try out.write(s"""{"k": $k, "dim": $dim}""".getBytes("UTF-8"))
+    try out.write(
+      s"""{"k": ${m.k}, "dim": ${m.dim}, "postings": "${m.postings}", "folded": $folded}"""
+        .getBytes("UTF-8"))
     finally out.close()
   }
 }

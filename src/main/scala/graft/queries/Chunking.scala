@@ -186,11 +186,11 @@ object Chunking {
     * quadratic; measured 5.3 s → 3.2 s at sf0.1 for N=3, and the gap
     * widens with N). `localCheckpoint` here for the single-node
     * harness; the reliable-checkpoint swap is the same line (see
-    * [[Checkpointer]]). The deeper production swap, noted not shipped:
-    * fold the corpus to a (sequence, weight) histogram first and train
-    * on distinct sequences weighted by count — same merges, corpus
-    * passes replaced by histogram passes (the standard BPE-trainer
-    * move). */
+    * [[Checkpointer]]). The deeper production swap SHIPS as
+    * [[qBpeTrainHist]]: fold the corpus to a (sequence, weight)
+    * histogram first and train on distinct sequences weighted by
+    * count — same merges (same oracle, hash-proven), histogram passes
+    * instead of corpus passes. */
   private val qBpeTrain = Q(
     "q_bpe_train",
     (s, d) => {
@@ -248,6 +248,59 @@ object Chunking {
          |${(1 to BpeTrainRounds).map(round).mkString(",\n")}
          |$selects ORDER BY round""".stripMargin
     }
+  )
+
+  /** The HISTOGRAM form of [[qBpeTrain]] — the production BPE-trainer
+    * move its scaladoc promises: fold the corpus to a
+    * (distinct text → weight) histogram FIRST, then run the merge
+    * rounds over DISTINCT token sequences with pair counts as
+    * `sum(weight)`. Same merge table by construction (pair counts are
+    * identical sums, ties identical), which is exactly what the oracle
+    * proves: this key reuses `q_bpe_train`'s oracle VERBATIM — a
+    * hash-green row is a machine-checked proof the optimization is
+    * LOSSLESS. On a real web corpus (mass-duplicated boilerplate,
+    * Zipfian page templates) the histogram is orders of magnitude
+    * smaller than the corpus, so every per-round pass — the fold, the
+    * pair count, the checkpoint — shrinks by the duplication factor;
+    * on the synthetic testdata docs are near-unique, so the win here
+    * is the proof, not the seconds. */
+  private val qBpeTrainHist = Q(
+    "q_bpe_train_hist",
+    (s, d) => {
+      var cur = Tables.documents(s, d)
+        .groupBy(col("text")).agg(count(lit(1)).as("w"))
+        .select(split(col("text"), " ").as("toks"), col("w"))
+      val rounds = (1 to BpeTrainRounds).map { r =>
+        val best = cur.where(size(col("toks")) >= 2)
+          .select(col("w"), explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+              |          i -> struct(element_at(toks, i) AS lt,
+              |                      element_at(toks, i + 1) AS rt))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.lt").as("l"), col("p.rt").as("r"))
+          .agg(sum(col("w")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1)
+          .select(lit(r).as("round"), col("l"), col("r"), col("cnt"))
+        if (r < BpeTrainRounds) {
+          cur = cur
+            .crossJoin(broadcast(best.select(col("l").as("_ml"), col("r").as("_mr"))))
+            .withColumn("toks", expr(
+              s"""aggregate(toks, CAST(array() AS ARRAY<STRING>),
+                 |  (acc, x) -> CASE WHEN size(acc) > 0
+                 |                    AND element_at(acc, -1) = _ml AND x = _mr
+                 |              THEN concat(slice(acc, 1, size(acc) - 1),
+                 |                          array(concat(_ml, '$BpeJoin', _mr)))
+                 |              ELSE concat(acc, array(x)) END)""".stripMargin))
+            .drop("_ml", "_mr")
+            .localCheckpoint(true)
+        }
+        best
+      }
+      rounds.reduce((a: DataFrame, b: DataFrame) => a.unionByName(b))
+        .orderBy(col("round"))
+    },
+    qBpeTrain.oracle
   )
 
   /** Cross-source span-overlap matrix — the report a data team runs
@@ -336,6 +389,6 @@ object Chunking {
   )
 
   def qs: Seq[Q] =
-    Seq(qSpanDedup, qChunkDocuments, qBpePairs, qBpeTrain, qSourceOverlap,
-      qOovRate)
+    Seq(qSpanDedup, qChunkDocuments, qBpePairs, qBpeTrain, qBpeTrainHist,
+      qSourceOverlap, qOovRate)
 }

@@ -106,14 +106,22 @@ object Dedup {
       .select(col("doc_id"), col("b.band"), col("b.bh"))
 
   /** The persistable CONTENT band index of a corpus — `(doc_id, band,
-    * bh)`, occupancy-capped (same 256 cap and rationale as the batch
-    * path). Write this plus [[minhashShingles]] as lake tables and the
-    * streaming probe ([[graft.stream.LogStream.toNearDedupedLake]])
-    * becomes a pure stream-static join: no corpus pass per micro-batch. */
+    * bh)`. Over-occupied buckets are TRUNCATED to the 256
+    * lowest-doc_id members, NOT dropped wholesale: the batch pair
+    * generator's drop-the-bucket stance (below) is safe there because a
+    * degenerate bucket is a dup family exact dedup already collapses —
+    * but this index backs the streaming LOOKUP gate, where dropping
+    * the whole bucket would blind the probe to near-twins of exactly
+    * the most mass-duplicated content (the stream side's exact dedup
+    * only catches byte-identical twins). Keeping ANY 256
+    * representatives preserves detection — a probing near-twin matches
+    * the band hash and verifies against whichever members remain —
+    * while the probe's candidate fan-out stays capped. */
   def minhashBands(docs: DataFrame): DataFrame =
     bandsOf(minhashSig(docs))
       .withColumn("bn",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+        row_number().over(Window.partitionBy(col("band"), col("bh"))
+          .orderBy(col("doc_id"))))
       .filter(col("bn") <= 256)
       .drop("bn")
 
@@ -121,6 +129,21 @@ object Dedup {
     * the persisted index ([[minhashBands]]' companion table). */
   def minhashShingles(docs: DataFrame): DataFrame =
     minhashSig(docs).select(col("doc_id"), col("shingles"))
+
+  /** Materialize the content band index as lake tables. At any real
+    * scale the index must be TABLE-BACKED: passing the derived
+    * [[minhashBands]]/[[minhashShingles]] plans straight into a
+    * streaming probe re-executes the full corpus signature pass on
+    * EVERY micro-batch (Spark replans foreachBatch inputs each
+    * trigger) — the exact cost the index exists to eliminate. */
+  def writeMinhashIndex(docs: DataFrame, dir: String): Unit = {
+    minhashBands(docs).write.mode("overwrite").parquet(s"$dir/bands")
+    minhashShingles(docs).write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** The persisted index's two tables, as pure reads. */
+  def readMinhashIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/shingles"))
 
   /** Drop every `batch` doc whose verified Jaccard against ANY indexed
     * corpus doc reaches `threshold` — the batch core of streaming

@@ -22,28 +22,45 @@ import graft.index.VectorIndex
 object Indexed {
 
   /** Index-build memo: (corpus dir + content fingerprint) → index dir.
-    * The fingerprint rides IN the index path, so data rewritten at the
-    * same corpus dir builds a fresh index instead of serving a stale
-    * one, even across JVMs sharing the temp dir. Bounded by the
-    * distinct corpora a session touches. */
+    * The FULL key — sanitized corpus path plus the content fingerprint
+    * — rides IN the index path (no lossy hashing: a 32-bit hash of the
+    * key would let a collision silently serve another corpus's index),
+    * so data rewritten at the same corpus dir builds a fresh index and
+    * distinct corpora can never alias, even across JVMs sharing the
+    * temp dir. Bounded by the distinct corpora a session touches. */
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]
 
   private[queries] def indexDirFor(s: SparkSession, d: String): String = {
-    val key = s"$d#${KMeans.dirFingerprint(s, s"$d/embeddings.parquet")}"
-    built.computeIfAbsent(key, _ => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vindex_" +
-        Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(key))
+    val fp = KMeans.dirFingerprint(s, s"$d/embeddings.parquet")
+    built.computeIfAbsent(s"$d#$fp", _ => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vindex/" +
+        s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}__$fp"
       if (!VectorIndex.exists(s, dir)) {
         val e = Similarity.embDouble(s, d)
         // same geometry as the inline q_similarity_ivf: k from the full
         // table count, centroids = the k lowest-id vectors, postings
         // from the corpus side (vec_id >= 10)
         val k = Similarity.centroidsFor(e.count())
+        // build into a private scratch dir, then RENAME into place:
+        // two JVMs racing the same (corpus, fingerprint) each build
+        // the identical artifact in isolation; the rename loser just
+        // uses the winner's copy instead of overwriting files the
+        // winner may be mid-read on
+        val scratch = s"$dir.build-${java.util.UUID.randomUUID()}"
         VectorIndex.build(
           e.filter(col("vec_id") >= 10).select(col("vec_id"), col("emb")),
           e.filter(col("vec_id") < k)
             .select(col("vec_id").as("cid"), col("emb").as("cemb")),
-          dir)
+          scratch)
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(dir).getParent)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(scratch),
+            new org.apache.hadoop.fs.Path(dir))) {
+          require(VectorIndex.exists(s, dir),
+            s"index build race at $dir: rename failed and no index present")
+          fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+        }
       }
       dir
     })

@@ -269,23 +269,18 @@ object Similarity {
     * with (scan fraction ≈ probes/k). */
   private def ivfSearch(e: DataFrame, cent: DataFrame,
       queryProbes: Int = 2): DataFrame = {
-    def assign(df: DataFrame, idCol: String, embCol: String, probes: Int) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("cd").desc, col("cid"))
-      df.crossJoin(broadcast(cent))
-        .withColumn("cd", round(cosine(col(embCol), col("cemb")), 6))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= probes)
-        .drop("cemb", "cd", "crn")
-    }
-    val corpus = assign(
+    // assignment semantics are THE shared convention
+    // (graft.index.VectorConventions) — the persistent index stores
+    // exactly this assignment, which is why q_similarity_indexed can
+    // reuse this query's oracle verbatim
+    val corpus = graft.index.VectorConventions.assign(
       e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("neighbor_id"), col("emb")),
-      "neighbor_id", "emb", 1)
-    val queries = assign(
+      cent, "neighbor_id", "emb", 1)
+    val queries = graft.index.VectorConventions.assign(
       e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb")),
-      "query_id", "qemb", queryProbes)
+      cent, "query_id", "qemb", queryProbes)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     queries.join(corpus, "cid")
@@ -528,11 +523,12 @@ object Similarity {
     "q_similarity_sq8",
     (s, d) => {
       val e = embDouble(s, d)
+      // quantization is THE shared convention (VectorConventions) —
+      // the stored index's qcode column is these exact codes as int8
       def quantize(df: DataFrame): DataFrame =
-        df.withColumn("scale",
-            expr("greatest(array_max(transform(emb, x -> abs(x))), 1e-30d)"))
+        df.withColumn("scale", graft.index.VectorConventions.sq8Scale("emb"))
           .withColumn("qemb",
-            expr("transform(emb, x -> CAST(round(x * 127.0 / scale) AS DOUBLE))"))
+            graft.index.VectorConventions.sq8Codes("emb", "scale", "DOUBLE"))
       // coarse side carries ONLY the quantized codes — full-precision
       // vectors (query AND corpus) must not ride the n×q candidate
       // explosion and its window shuffle (that would move MORE bytes

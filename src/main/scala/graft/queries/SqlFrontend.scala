@@ -31,17 +31,21 @@ import graft.Tables
   */
 object SqlFrontend {
 
-  /** Memoizes the RESOLVED reader per (table, dir), per session: the
-    * expensive part of registration is the parquet footer read that
-    * `Tables(...)` does for schema (~40 ms/table of pure driver-side
-    * latency, ~0.4 s for all ten, repeated on every call otherwise) —
-    * the view registration itself is a cheap catalog-map update and is
-    * deliberately NOT memoized (see registerViews). Weak session keys:
-    * a stopped session's entry (and the session itself) stays
-    * collectable — this object must never pin a SparkSession. */
-  private val readerCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, String), org.apache.spark.sql.DataFrame]]()
+  /** Memoizes the raw FILE SCHEMA per (table, dir): the expensive part
+    * of registration is the parquet footer read that resolving a
+    * reader does for schema (~40 ms/table of pure driver-side latency,
+    * ~0.4 s for all ten, repeated on every call otherwise). A
+    * StructType is session-INDEPENDENT, so the cache holds no
+    * SparkSession reference at all — caching the resolved DataFrame
+    * instead would pin its session forever (a Dataset strongly
+    * references its SparkSession, which defeats any weak-keyed map
+    * built around the session). Content-keyed staleness is the same
+    * documented limit as before: data rewritten at the same dir with a
+    * CHANGED SCHEMA keeps serving the old schema (testdata tables are
+    * schema-stable by contract); a failed schema read caches nothing
+    * and retries next call. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]
 
   /** Register testdata tables as temp views named like the bare table.
     *
@@ -49,14 +53,9 @@ object SqlFrontend {
     * footer-read is memoized, so the memo is a latency optimization,
     * never a correctness assumption: foreign code that dropped OR
     * re-pointed a view since our last call is simply overwritten
-    * again, and a failed reader resolution (missing parquet) caches
-    * nothing and retries next call. `refreshTable` after each claim
-    * picks up data rewritten at the same path (metadata-only — the
-    * saved footer read stays saved). Known limit, stated loudly: the
-    * memoized reader carries the schema read at first resolution, so
-    * data rewritten at the same dir with a CHANGED SCHEMA keeps
-    * serving the old schema until the dir changes or the session is
-    * replaced (testdata tables are schema-stable by contract).
+    * again. `refreshTable` after each claim picks up data rewritten at
+    * the same path (metadata-only — the saved footer read stays
+    * saved).
     *
     * NAMESPACE CLAIM: this front-end owns the bare table names
     * (`lineitem`, `orders`, …) as temp views in any session it runs
@@ -65,18 +64,15 @@ object SqlFrontend {
     * VERBATIM on the DuckDB oracle, where the tables carry exactly
     * these bare names — a `graft_` prefix would fork the one-string
     * design. Spec'd in SqlFrontendSpec; users who need those names
-    * must drive the DataFrame API instead. Synchronized: concurrent
-    * callers can't race the cache. */
+    * must drive the DataFrame API instead. */
   def registerViews(s: SparkSession, d: String,
-      tables: Seq[String] = Tables.names): Unit = readerCache.synchronized {
-    val cache = readerCache.computeIfAbsent(s,
-      _ => scala.collection.mutable.Map.empty)
+      tables: Seq[String] = Tables.names): Unit =
     tables.foreach { n =>
-      val df = cache.getOrElseUpdate((n, d), Tables(s, d, n))
-      df.createOrReplaceTempView(n)
+      val schema = schemaCache.computeIfAbsent((d, n),
+        _ => Tables.fileSchema(s, d, n))
+      Tables.withKnownSchema(s, d, n, schema).createOrReplaceTempView(n)
       s.catalog.refreshTable(n)
     }
-  }
 
   /** A query whose Spark implementation IS the oracle text; `tables`
     * lists the views it reads (registering only those keeps the

@@ -525,7 +525,13 @@ object LogStream {
     *
     * Per-batch cost is the band PROBE (micro-batch bands equi-join the
     * static index — collision-scaled) plus exact verification on the
-    * candidates; the corpus is never re-scanned. Exactly-once by the
+    * candidates; the corpus is never re-scanned — PROVIDED the two
+    * index inputs are table-backed (written by
+    * [[graft.queries.Dedup.writeMinhashIndex]] — use the `indexDir`
+    * overload below) or at least cached: Spark replans `foreachBatch`
+    * inputs every trigger, so passing the DERIVED
+    * `Dedup.minhashBands(corpusDf)` plan directly re-executes the full
+    * corpus signature pass per micro-batch. Exactly-once by the
     * [[toIdempotentLake]] route: survivors overwrite their own
     * `batch_id=` partition on replay. The index is static per stream
     * lifetime — newly ACCEPTED docs do not join it mid-flight (batch
@@ -548,6 +554,21 @@ object LogStream {
             batch.toDF(), corpusBands, corpusShingles, threshold),
           lakeDir, batchId))
       .start()
+
+  /** [[toNearDedupedLake]] reading the PERSISTED index at `indexDir`
+    * (written once by [[graft.queries.Dedup.writeMinhashIndex]]) — the
+    * form a deployment runs: the per-batch probe is a pure parquet
+    * read, never a corpus pass. */
+  def toNearDedupedLake(
+      docs: DataFrame,
+      indexDir: String,
+      lakeDir: String,
+      checkpointDir: String,
+      threshold: Double): StreamingQuery = {
+    val (bands, shingles) =
+      graft.queries.Dedup.readMinhashIndex(docs.sparkSession, indexDir)
+    toNearDedupedLake(docs, bands, shingles, lakeDir, checkpointDir, threshold)
+  }
 
   /** Streaming ANOMALY GATE — the streaming form of `q_anomaly_mad`:
     * score each event against PRECOMPUTED per-key robust stats

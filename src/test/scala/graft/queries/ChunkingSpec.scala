@@ -101,6 +101,25 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
     assert(merges === Seq((1, "a", "b", 3L), (2, "a~b", "c", 2L), (3, "x", "x", 2L)))
   }
 
+  test("histogram BPE trainer equals the per-doc trainer on a fixture with REPEATED docs") {
+    // three identical copies of doc A (the histogram's weight=3 path)
+    // plus two distinct docs — weights must multiply pair counts
+    // exactly or the merge order diverges from the per-doc trainer
+    val d = Files.createTempDirectory("bpehist").toString
+    Seq(doc(1L, "a b a b c"), doc(2L, "a b a b c"), doc(3L, "a b a b c"),
+      doc(4L, "a b c d"), doc(5L, "x x x"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val perDoc = Registry.queries("q_bpe_train")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hist = Registry.queries("q_bpe_train_hist")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(hist == perDoc,
+      "the histogram optimization must be lossless (identical merge table)")
+    // sanity: round 1 really saw the 3× weight — (a,b) appears 2×3+1=7
+    assert(perDoc.head == Seq(1, "a", "b", 7L), perDoc.toString)
+  }
+
   test("source overlap counts shared spans once per source pair, never per occurrence") {
     val d = Files.createTempDirectory("chunking5").toString
     val shared = "one two three four five six" // 2 spans at K=3

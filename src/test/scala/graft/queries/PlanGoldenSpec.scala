@@ -63,6 +63,9 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
     // visible plan — the signature covering only the LAST round is
     // itself the proof the iteration lineage got cut
     "q_bpe_train" -> "shuffles=3 joins=[]",
+    // histogram form: +1 shuffle — the (text → weight) histogram fold
+    // that shrinks everything after it
+    "q_bpe_train_hist" -> "shuffles=4 joins=[]",
     // r8 stored-index search: centroid broadcast cross (BNLJ) + the
     // probed-postings broadcast hash join; shuffles are the two
     // ranking windows + output sort

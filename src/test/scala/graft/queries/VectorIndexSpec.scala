@@ -102,6 +102,59 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSupport {
     val compacted = VectorIndex.search(spark, s"$work/idx", query0).collect()
     assert(compacted.map(_.toSeq).toSeq == after.map(_.toSeq).toSeq,
       "compaction must not change query results")
+
+    // a SECOND append+compact cycle rolls the version again (v1 → v2)
+    // with the same invariants — the versioned-pointer protocol is not
+    // a one-shot. The appended vector is NEW (id 200): appending an id
+    // already in the index stores it twice by design — dedup is the
+    // upstream curation pipeline's job, not the index's.
+    VectorIndex.append(
+      Seq((200L, vec(29).map(v => v.toDouble + 0.001).toSeq))
+        .toDF("vec_id", "emb"),
+      s"$work/idx", "batch-2")
+    VectorIndex.compact(spark, s"$work/idx")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/appends/batch-2")))
+    val twice = VectorIndex.search(spark, s"$work/idx", query0).collect()
+    assert(twice.map(_.toSeq).toSeq == after.map(_.toSeq).toSeq,
+      "second compaction cycle must preserve results")
+    assert(VectorIndex.postings(spark, s"$work/idx")
+      .filter(col("neighbor_id") === 200L).count() == 1,
+      "batch-2's vector folded exactly once")
+  }
+
+  test("compact crash window (committed, cleanup pending): folded appends are excluded, next compact converges") {
+    val work = Files.createTempDirectory("vindex-crash").toString
+    writeCorpus(s"$work/corpus")
+    val e = embOf(s"$work/corpus")
+    VectorIndex.build(e.filter(col("vec_id") >= 12), centOf(e), s"$work/idx")
+    VectorIndex.append(e.filter(col("vec_id") === 10L), s"$work/idx", "batch-1")
+    VectorIndex.compact(spark, s"$work/idx")
+    // emulate a crash AFTER the meta commit but BEFORE cleanup: the
+    // folded rows are in the new base AND the append dir is back on
+    // disk, with the meta naming it as folded
+    VectorIndex.append(e.filter(col("vec_id") === 10L), s"$work/idx", "batch-1")
+    val metaPath = java.nio.file.Paths.get(s"$work/idx", "_INDEX_META.json")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    assert(meta.contains("\"folded\": []"), meta)
+    java.nio.file.Files.write(metaPath,
+      meta.replace("\"folded\": []", "\"folded\": [\"batch-1\"]").getBytes("UTF-8"))
+    // the direct edit invalidates the local-FS CRC sidecar; drop it so
+    // the read reaches our code (object stores have no sidecar)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$work/idx", "._INDEX_META.json.crc"))
+    // reads must EXCLUDE the lingering folded dir — the twin appears
+    // exactly once, not as a duplicate neighbor row
+    val hits = VectorIndex.search(spark, s"$work/idx", query0).collect()
+    assert(hits.head.getLong(2) == 10L && hits.head.getDouble(3) == 1.0, hits.toSeq)
+    assert(hits.count(_.getLong(2) == 10L) == 1,
+      s"folded append must not double-count: ${hits.toSeq}")
+    // the next compact completes the interrupted cleanup and converges
+    VectorIndex.compact(spark, s"$work/idx")
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/appends/batch-1")))
+    val after = VectorIndex.search(spark, s"$work/idx", query0).collect()
+    assert(after.map(_.toSeq).toSeq == hits.map(_.toSeq).toSeq)
   }
 
   test("search scans only the probed posting lists (partition pruning is live)") {

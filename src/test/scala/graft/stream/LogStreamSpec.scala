@@ -201,14 +201,16 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     // band geometry's reliable-recall regime (a 40-token fixture sat
     // at J ≈ 0.85, where 4 bands of 4 legitimately miss ~5% of pairs)
     val corpusText = toks("corpus", 100)
-    // the static index, built ONCE from the existing corpus
+    // the static index, built ONCE from the existing corpus and
+    // PERSISTED — the deployment form: the per-batch probe below is a
+    // pure parquet read, never a corpus signature pass
     val corpus = Seq((1L, corpusText), (2L, toks("other", 100)))
       .toDF("doc_id", "text")
-    val bands = graft.queries.Dedup.minhashBands(corpus).cache()
-    val shingles = graft.queries.Dedup.minhashShingles(corpus).cache()
+    val idxDir = Files.createTempDirectory("graft-neardedup-idx").toString
+    graft.queries.Dedup.writeMinhashIndex(corpus, idxDir)
     val input = MemoryStream[(Long, String)](spark)
     val q = LogStream.toNearDedupedLake(
-      input.toDF().toDF("doc_id", "text"), bands, shingles,
+      input.toDF().toDF("doc_id", "text"), idxDir,
       lake, ckpt, threshold = 0.9)
     try {
       // batch 0: a fresh doc — kept
@@ -225,6 +227,28 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
       assert(kept == Set(100L, 102L),
         s"near-twin 101 must be dropped, fresh docs kept: $kept")
     } finally q.stop()
+  }
+
+  test("persisted band index keeps representatives of an over-cap dup family — the stream gate still fires") {
+    import spark.implicits._
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    // 300 identical docs: every band bucket of the family exceeds the
+    // 256 cap. The index must TRUNCATE (keep 256 representatives), not
+    // drop the bucket — otherwise near-twins of exactly the most
+    // mass-duplicated content would sail through the gate
+    val corpus = ((0 until 300).map(i => (i.toLong, toks("mega", 100))) :+
+      (9000L, toks("solo", 100))).toDF("doc_id", "text")
+    val bands = graft.queries.Dedup.minhashBands(corpus)
+    val maxOcc = bands.groupBy("band", "bh").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxOcc <= 256, s"bucket occupancy must stay capped: $maxOcc")
+    assert(bands.filter(col("doc_id") < 300).count() > 0,
+      "the mega family must keep representatives in the index")
+    val twin = Seq((99999L, toks("mega", 100).replace("mega5 ", "MEGA5 ")))
+      .toDF("doc_id", "text")
+    val out = graft.queries.Dedup.dropNearDups(
+      twin, bands, graft.queries.Dedup.minhashShingles(corpus), 0.9)
+    assert(out.isEmpty, "a near-twin of the over-cap family must be dropped")
   }
 
   test("idempotent lake sink: a replayed batch overwrites its partition, never duplicates") {
