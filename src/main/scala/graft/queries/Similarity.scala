@@ -43,6 +43,18 @@ object Similarity {
     * broadcast; the corpus is scanned once, partition-parallel; per-query
     * top-k via window over rounded cosine (round(6) absorbs last-ulp
     * engine differences; ties broken by vec_id). */
+  private[queries] val bruteOracle: String =
+    s"""WITH e AS ($oracleEmb),
+         q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, emb FROM e WHERE vec_id >= 10),
+         x AS (SELECT query_id, neighbor_id,
+                 round(${oracleCos("qemb", "emb")}, 6) AS cos
+               FROM q CROSS JOIN c),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank FROM x)
+       SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+       FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
   private val qSimilarityBruteforce = Q(
     "q_similarity_bruteforce",
     (s, d) => {
@@ -60,16 +72,7 @@ object Similarity {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(s"""WITH e AS ($oracleEmb),
-               q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 10),
-               c AS (SELECT vec_id AS neighbor_id, emb FROM e WHERE vec_id >= 10),
-               x AS (SELECT query_id, neighbor_id,
-                       round(${oracleCos("qemb", "emb")}, 6) AS cos
-                     FROM q CROSS JOIN c),
-               r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                       ORDER BY cos DESC, neighbor_id) AS rank FROM x)
-             SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
-             FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
+    Some(bruteOracle)
   )
 
   /** Random-hyperplane LSH (the ANN scale path): 4 hash tables ×
@@ -563,7 +566,11 @@ object Similarity {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(s"""WITH e AS ($oracleEmb),
+    Some(sq8Oracle)
+  )
+
+  private[queries] lazy val sq8Oracle: String =
+    s"""WITH e AS ($oracleEmb),
              |qz AS (SELECT vec_id, emb,
              |         greatest(list_max(list_transform(emb, x -> abs(x))), 1e-30) AS scale
              |       FROM e),
@@ -583,11 +590,101 @@ object Similarity {
              |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
              |        ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
-             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
-  )
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** 1/log2(pos+1) DCG discounts as LITERALS: log is the one operation
+    * IEEE-754 does NOT pin across engines (each libm rounds its own
+    * way), while +,−,×,÷ are correctly-rounded everywhere — so the
+    * discounts are Scala-computed constants interpolated into BOTH the
+    * Spark expression and the DuckDB oracle, and every remaining op in
+    * the metric is bit-identical by construction. */
+  private val DcgRecip: Seq[Double] =
+    Seq(2.0, 3.0, 4.0, 5.0, 6.0).map(x => 1.0 / (math.log(x) / math.log(2.0)))
+
+  /** IDCG@5 for graded gains 5..1 — same literal both engines. */
+  private val Idcg5: Double =
+    (1 to 5).map(i => (6 - i) * DcgRecip(i - 1)).sum
+
+  /** Graded ranking metrics of a candidate top-5 against the exact
+    * brute-force top-5: MRR@5 (reciprocal rank of the TRUE nearest
+    * neighbor in the candidate list) and NDCG@5 (graded gain
+    * 6 − true_rank, position-discounted). The eval a retrieval system
+    * reports beyond recall: recall says the right items were found,
+    * NDCG says they were found IN THE RIGHT ORDER. Per-term values are
+    * floored into exact nano-units and summed as longs (float-sum
+    * order dependence never enters), so unlike `q_ann_recall` this
+    * harness is FULLY oracle-checked for the SQL-expressible indexes
+    * (ivf, sq8). */
+  private def rankingMetrics(cand: DataFrame, truth: DataFrame,
+      method: String): DataFrame = {
+    val denomSql = (1 to 5)
+      .map(i => s"WHEN $i THEN ${DcgRecip(i - 1)}d")
+      .mkString("CASE c_rank ", " ", " ELSE 0.0d END")
+    val joined = cand
+      .select(col("query_id"), col("rank").as("c_rank"), col("neighbor_id"))
+      .join(truth
+          .select(col("query_id"), col("rank").as("t_rank"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left")
+      .withColumn("dcg_nano", expr(
+        s"""CAST(floor((CASE WHEN t_rank IS NOT NULL
+           |  THEN CAST(6 - t_rank AS DOUBLE) * ($denomSql)
+           |  ELSE 0.0d END) * 1000000000.0d) AS BIGINT)""".stripMargin))
+      .withColumn("mrr_nano", expr(
+        """CAST(floor((CASE WHEN t_rank = 1
+          |  THEN 1.0d / CAST(c_rank AS DOUBLE)
+          |  ELSE 0.0d END) * 1000000000.0d) AS BIGINT)""".stripMargin))
+    joined
+      .agg(sum(col("dcg_nano")).as("dcg_sum"), sum(col("mrr_nano")).as("mrr_sum"))
+      .crossJoin(broadcast(
+        truth.agg(countDistinct(col("query_id")).as("nq"))))
+      .select(lit(method).as("method"),
+        round(col("mrr_sum").cast("double") / 1e9 / col("nq"), 6).as("mrr5"),
+        round(col("dcg_sum").cast("double") / 1e9 / lit(Idcg5) / col("nq"), 6)
+          .as("ndcg5"))
+  }
+
+  private def rankingMetricsOracleFor(candCte: String, method: String): String = {
+    val denomSql = (1 to 5)
+      .map(i => s"WHEN $i THEN CAST(${DcgRecip(i - 1)} AS DOUBLE)")
+      .mkString("CASE c.c_rank ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+    s"""SELECT '$method' AS method,
+       |  round(CAST(sum(mrr_nano) AS DOUBLE) / 1000000000.0 / nq.nq, 6) AS mrr5,
+       |  round(CAST(sum(dcg_nano) AS DOUBLE) / 1000000000.0
+       |        / CAST($Idcg5 AS DOUBLE) / nq.nq, 6) AS ndcg5
+       |FROM (
+       |  SELECT
+       |    CAST(floor((CASE WHEN t.t_rank IS NOT NULL
+       |      THEN CAST(6 - t.t_rank AS DOUBLE) * ($denomSql)
+       |      ELSE CAST(0.0 AS DOUBLE) END) * 1000000000.0) AS BIGINT) AS dcg_nano,
+       |    CAST(floor((CASE WHEN t.t_rank = 1
+       |      THEN CAST(1.0 AS DOUBLE) / CAST(c.c_rank AS DOUBLE)
+       |      ELSE CAST(0.0 AS DOUBLE) END) * 1000000000.0) AS BIGINT) AS mrr_nano
+       |  FROM $candCte c LEFT JOIN truth t
+       |    ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id), nq
+       |GROUP BY nq.nq""".stripMargin
+  }
+
+  private val qRetrievalMetrics = Q(
+    "q_retrieval_metrics",
+    (s, d) => {
+      val truth = qSimilarityBruteforce.fn(s, d)
+      rankingMetrics(qSimilarityIvf.fn(s, d), truth, "ivf")
+        .unionByName(rankingMetrics(qSimilaritySq8.fn(s, d), truth, "sq8"))
+        .orderBy(col("method"))
+    },
+    Some {
+      s"""WITH truth AS (SELECT query_id, rank AS t_rank, neighbor_id
+         |              FROM ($bruteOracle)),
+         |nq AS (SELECT count(DISTINCT query_id) AS nq FROM truth),
+         |cand_ivf AS (SELECT query_id, rank AS c_rank, neighbor_id FROM ($ivfOracle)),
+         |cand_sq8 AS (SELECT query_id, rank AS c_rank, neighbor_id FROM ($sq8Oracle)),
+         |m_ivf AS (${rankingMetricsOracleFor("cand_ivf", "ivf")}),
+         |m_sq8 AS (${rankingMetricsOracleFor("cand_sq8", "sq8")})
+         |SELECT * FROM m_ivf UNION ALL SELECT * FROM m_sq8 ORDER BY method""".stripMargin
+    })
 
   def qs: Seq[Q] =
     Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityIvf,
       qSimilarityIvfKmeans, qSemanticDedup, qEmbedCosineDup, qAnnRecall,
-      qEmbedCentroids, qSimilaritySq8)
+      qEmbedCentroids, qSimilaritySq8, qRetrievalMetrics)
 }

@@ -223,6 +223,19 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
         s"query $q rank $rk diverged from exact under active pruning")
   }
 
+  test("retrieval metrics: exhaustive candidates score a perfect 1.0, pruned index stays in (0,1]") {
+    val rows = Registry.queries("q_retrieval_metrics")(spark, embDir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(rows.keySet == Set("ivf", "sq8"))
+    // on the 30-vector fixture the sq8 coarse width (20) covers the
+    // WHOLE corpus — candidates are exhaustive, so the exact re-rank
+    // reproduces the brute-force order and both metrics are exactly 1
+    assert(rows("sq8") == ((1.0, 1.0)), s"exhaustive sq8 must be perfect: $rows")
+    // ivf probes 2 of the centroid lists — it may miss, never exceed
+    val (mrr, ndcg) = rows("ivf")
+    assert(mrr > 0.0 && mrr <= 1.0 && ndcg > 0.0 && ndcg <= 1.0, rows.toString)
+  }
+
   test("LSH geometry scales with corpus size (planesFor) and is clamped") {
     assert(Similarity.planesFor(0) == 4)
     assert(Similarity.planesFor(1000) == 4)
