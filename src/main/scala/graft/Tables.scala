@@ -26,13 +26,19 @@ object Tables {
     * the caller's session conf would be an invisible side effect).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    requireNanosConf(spark)
+    eventsTsShim(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** The one events transform, shared by every reader path (a second
+    * hand-synced copy of the truncation would drift silently). */
+  private def eventsTsShim(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  private def requireNanosConf(spark: SparkSession): Unit =
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "events.parquet uses TIMESTAMP(NANOS): build the session via graft.GraftSession " +
         "or set spark.sql.legacy.parquet.nanosAsLong=true before reading")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
@@ -43,9 +49,7 @@ object Tables {
     * freely (unlike a DataFrame, which pins its SparkSession). */
   def fileSchema(spark: SparkSession, dir: String,
       name: String): org.apache.spark.sql.types.StructType = {
-    if (name == "events")
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "events.parquet uses TIMESTAMP(NANOS): build the session via graft.GraftSession")
+    if (name == "events") requireNanosConf(spark)
     spark.read.parquet(s"$dir/$name.parquet").schema
   }
 
@@ -54,11 +58,8 @@ object Tables {
   def withKnownSchema(spark: SparkSession, dir: String, name: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val raw = spark.read.schema(schema).parquet(s"$dir/$name.parquet")
-    if (name == "events") {
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "events.parquet uses TIMESTAMP(NANOS): build the session via graft.GraftSession")
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else raw
+    if (name == "events") { requireNanosConf(spark); eventsTsShim(raw) }
+    else raw
   }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")

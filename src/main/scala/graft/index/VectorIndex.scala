@@ -97,6 +97,11 @@ object VectorIndex {
     * fast (before any corpus work) on an empty centroid set. */
   def build(corpus: DataFrame, centroids: DataFrame, dir: String): Unit = {
     val spark = corpus.sparkSession
+    // a REBUILD at an existing dir retires the old centroids — append
+    // sub-tables carry assignments made under them and must not come
+    // back to life under the new geometry
+    fsFor(spark, dir).delete(
+      new org.apache.hadoop.fs.Path(s"$dir/appends"), true)
     centroids.select(col("cid").cast("long"), col("cemb"))
       .write.mode("overwrite").parquet(s"$dir/centroids")
     // one job: k + dim together; k = 0 aborts before the corpus pass
@@ -122,7 +127,10 @@ object VectorIndex {
     * batch's own `appends/<label>/` sub-table. Idempotent per label:
     * a crash-replayed batch converges. */
   def append(vectors: DataFrame, dir: String, label: String): Unit = {
-    require(label.nonEmpty && !label.contains("/"), s"bad append label: $label")
+    // safe charset: the label lands in a path AND in the meta's JSON
+    // folded-list (a quote or backslash there would corrupt the meta)
+    require(label.nonEmpty && label.matches("[A-Za-z0-9._=-]+"),
+      s"bad append label (allowed: [A-Za-z0-9._=-]+): $label")
     toPostings(vectors, readCentroids(vectors.sparkSession, dir))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/appends/$label")
   }
@@ -176,7 +184,16 @@ object VectorIndex {
       case "postings" => "postings_v1"
       case v => s"postings_v${v.stripPrefix("postings_v").toInt + 1}"
     }
-    postings(spark, dir)
+    // fold from the explicit label SNAPSHOT, never a re-listing: an
+    // append landing between two listings would be baked into the new
+    // version yet missing from the folded record — read again (and
+    // re-folded by the next compact) as a duplicate
+    labels
+      .foldLeft(spark.read.schema(postingsSchema)
+        .parquet(s"$dir/${meta.postings}")) { (acc, l) =>
+        acc.unionByName(
+          spark.read.schema(postingsSchema).parquet(s"$dir/appends/$l"))
+      }
       .sortWithinPartitions(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/$next")
     // step 3 — the commit point
@@ -288,10 +305,13 @@ object VectorIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** True once [[build]] completed at `dir` (meta marker present). */
-  def exists(spark: SparkSession, dir: String): Boolean =
-    fsFor(spark, dir).exists(
-      new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json"))
+  /** True once [[build]] completed at `dir` (meta marker present —
+    * including one staged mid-swap, which [[readMeta]] promotes). */
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val fs = fsFor(spark, dir)
+    fs.exists(new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json.next"))
+  }
 
   private def appendLabels(spark: SparkSession, dir: String): Seq[String] = {
     val fs = fsFor(spark, dir)
@@ -306,8 +326,19 @@ object VectorIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private[index] def readMeta(spark: SparkSession, dir: String): Meta = {
+    val fs = fsFor(spark, dir)
     val path = new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json")
-    val in = fsFor(spark, dir).open(path)
+    val staged = new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json.next")
+    if (!fs.exists(path)) {
+      // interrupted meta swap: the live marker was deleted after the
+      // staged copy was fully written, so the staged copy IS the
+      // committed state — promote it (racing readers: one rename wins,
+      // the rest fall through to the now-present live file)
+      require(fs.exists(staged), s"no index meta at $dir")
+      fs.rename(staged, path)
+      require(fs.exists(path), s"meta promotion failed at $dir")
+    }
+    val in = fs.open(path)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -322,13 +353,24 @@ object VectorIndex {
       folded)
   }
 
+  /** Meta swap in two steps so no reader ever sees a truncated file
+    * (an in-place overwrite truncates BEFORE writing — a crash or
+    * concurrent open in that window bricks the index): stage the full
+    * bytes as `.next`, then delete-live + rename-staged. A crash
+    * before the delete leaves the old meta live (the staged copy is
+    * garbage, overwritten next time); a crash between delete and
+    * rename is healed by [[readMeta]]'s promotion. */
   private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
+    val fs = fsFor(spark, dir)
+    val live = new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json")
+    val staged = new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json.next")
     val folded = m.folded.map(l => "\"" + l + "\"").mkString("[", ", ", "]")
-    val out = fsFor(spark, dir).create(
-      new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json"), true)
+    val out = fs.create(staged, true)
     try out.write(
       s"""{"k": ${m.k}, "dim": ${m.dim}, "postings": "${m.postings}", "folded": $folded}"""
         .getBytes("UTF-8"))
     finally out.close()
+    fs.delete(live, false)
+    require(fs.rename(staged, live), s"meta swap failed at $dir")
   }
 }

@@ -54,13 +54,26 @@ object Indexed {
           scratch)
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(dir).getParent)
-        if (!fs.rename(new org.apache.hadoop.fs.Path(scratch),
-            new org.apache.hadoop.fs.Path(dir))) {
-          require(VectorIndex.exists(s, dir),
-            s"index build race at $dir: rename failed and no index present")
-          fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+        val dirP = new org.apache.hadoop.fs.Path(dir)
+        val scratchP = new org.apache.hadoop.fs.Path(scratch)
+        fs.mkdirs(dirP.getParent)
+        if (fs.exists(dirP)) {
+          // a racing JVM finished first — same (corpus, fingerprint)
+          // means the identical artifact; drop ours and use theirs
+          fs.delete(scratchP, true)
+        } else {
+          fs.rename(scratchP, dirP)
+          // Hadoop rename semantics trap: if the destination dir
+          // appeared between the exists check and the rename, the
+          // source is moved INSIDE it (and rename still returns true)
+          // — detect the nested copy and the failed-rename leftover,
+          // clean both
+          val nested = new org.apache.hadoop.fs.Path(dirP, scratchP.getName)
+          if (fs.exists(nested)) fs.delete(nested, true)
+          if (fs.exists(scratchP)) fs.delete(scratchP, true)
         }
+        require(VectorIndex.exists(s, dir),
+          s"index build race at $dir left no readable index")
       }
       dir
     })

@@ -616,7 +616,7 @@ object Similarity {
     * harness is FULLY oracle-checked for the SQL-expressible indexes
     * (ivf, sq8). */
   private def rankingMetrics(cand: DataFrame, truth: DataFrame,
-      method: String): DataFrame = {
+      nQueries: Long, method: String): DataFrame = {
     val denomSql = (1 to 5)
       .map(i => s"WHEN $i THEN ${DcgRecip(i - 1)}d")
       .mkString("CASE c_rank ", " ", " ELSE 0.0d END")
@@ -635,11 +635,9 @@ object Similarity {
           |  ELSE 0.0d END) * 1000000000.0d) AS BIGINT)""".stripMargin))
     joined
       .agg(sum(col("dcg_nano")).as("dcg_sum"), sum(col("mrr_nano")).as("mrr_sum"))
-      .crossJoin(broadcast(
-        truth.agg(countDistinct(col("query_id")).as("nq"))))
       .select(lit(method).as("method"),
-        round(col("mrr_sum").cast("double") / 1e9 / col("nq"), 6).as("mrr5"),
-        round(col("dcg_sum").cast("double") / 1e9 / lit(Idcg5) / col("nq"), 6)
+        round(col("mrr_sum").cast("double") / 1e9 / lit(nQueries), 6).as("mrr5"),
+        round(col("dcg_sum").cast("double") / 1e9 / lit(Idcg5) / lit(nQueries), 6)
           .as("ndcg5"))
   }
 
@@ -667,9 +665,13 @@ object Similarity {
   private val qRetrievalMetrics = Q(
     "q_retrieval_metrics",
     (s, d) => {
-      val truth = qSimilarityBruteforce.fn(s, d)
-      rankingMetrics(qSimilarityIvf.fn(s, d), truth, "ivf")
-        .unionByName(rankingMetrics(qSimilaritySq8.fn(s, d), truth, "sq8"))
+      // materialize the ground truth ONCE: the brute-force cross-join
+      // plan feeds both method joins (and its query count) — left lazy
+      // it would recompute per consumer
+      val truth = qSimilarityBruteforce.fn(s, d).localCheckpoint(true)
+      val nq = truth.agg(countDistinct(col("query_id"))).head().getLong(0)
+      rankingMetrics(qSimilarityIvf.fn(s, d), truth, nq, "ivf")
+        .unionByName(rankingMetrics(qSimilaritySq8.fn(s, d), truth, nq, "sq8"))
         .orderBy(col("method"))
     },
     Some {

@@ -47,6 +47,12 @@ object SqlFrontend {
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), org.apache.spark.sql.types.StructType]
 
+  /** Crude bound so rotating data dirs (temp dirs per test run, dated
+    * drops) can't grow the cache for the JVM's lifetime: past the cap
+    * the whole map resets — the next call per table re-reads one
+    * footer, which is the cache's worst case anyway. */
+  private val SchemaCacheMax = 256
+
   /** Register testdata tables as temp views named like the bare table.
     *
     * The view is (re-)claimed UNCONDITIONALLY on every call — only the
@@ -68,6 +74,7 @@ object SqlFrontend {
   def registerViews(s: SparkSession, d: String,
       tables: Seq[String] = Tables.names): Unit =
     tables.foreach { n =>
+      if (schemaCache.size > SchemaCacheMax) schemaCache.clear()
       val schema = schemaCache.computeIfAbsent((d, n),
         _ => Tables.fileSchema(s, d, n))
       Tables.withKnownSchema(s, d, n, schema).createOrReplaceTempView(n)
