@@ -1,0 +1,81 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PERSISTENT hyperplane-LSH index — the stored form of the bucketed
+  * corpus that `LogStream.nearestNeighborEnriched` probes. Built once,
+  * read per stream: passing the DERIVED bucket plan into a stream-
+  * static join re-executes the corpus bucketing (explode + the
+  * occupancy-cap window) on EVERY micro-batch — the [[VectorIndex]]
+  * lesson applied to the LSH path. The hyperplanes themselves are
+  * deterministic functions of (table, plane, dim) (splitmix64 —
+  * `Similarity.plane`), so only the GEOMETRY (dim, plane count, table
+  * count) needs persisting for a consumer to reconstruct the exact
+  * probe expressions; the bucket table is the expensive part.
+  *
+  * Layout: `<dir>/_LSH_META.json` (dim, nPlanes, nTables) +
+  * `<dir>/buckets/` parquet (nn_id, nn_label, nn_emb, tbl, bucket),
+  * occupancy-capped at build time with the same 256 cap as the inline
+  * index. Static per stream lifetime; refresh = rebuild + restart
+  * (same stance as the minhash band index).
+  */
+object LshIndex {
+
+  final case class Geometry(dim: Int, nPlanes: Int, nTables: Int)
+
+  /** `nn_label` persists as STRING regardless of the corpus's label
+    * type — it is the enrichment's routing tag, and a fixed stored
+    * type keeps the explicit read schema valid for every corpus. */
+  private val bucketsSchema = StructType(Seq(
+    StructField("nn_id", LongType),
+    StructField("nn_label", StringType),
+    StructField("nn_emb", ArrayType(DoubleType)),
+    StructField("tbl", IntegerType),
+    StructField("bucket", LongType)))
+
+  /** Bucket a corpus (vec_id, label, emb) with the data-derived
+    * geometry and persist it. One corpus pass. */
+  def build(corpus: DataFrame, dir: String, nTables: Int = 4): Unit = {
+    import graft.queries.Similarity.{dimOf, lshBucketsExpr, planesFor, LshBucketCap}
+    val spark = corpus.sparkSession
+    val c = corpus.select(col("vec_id"), col("label"), col("emb"))
+    val dim = dimOf(c)
+    val nPlanes = planesFor(c.count())
+    c.select(col("vec_id").as("nn_id"), col("label").as("nn_label"),
+        col("emb").as("nn_emb"),
+        explode(lshBucketsExpr(col("emb"), dim, nPlanes, nTables)).as("h"))
+      .select(col("nn_id"), col("nn_label").cast("string").as("nn_label"),
+        col("nn_emb"), col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("bn") <= LshBucketCap)
+      .drop("bn")
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    val out = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(new org.apache.hadoop.fs.Path(dir, "_LSH_META.json"), true)
+    try out.write(
+      s"""{"dim": $dim, "n_planes": $nPlanes, "n_tables": $nTables}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readGeometry(spark: SparkSession, dir: String): Geometry = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_LSH_META.json")
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    Geometry(root.get("dim").asInt(), root.get("n_planes").asInt(),
+      root.get("n_tables").asInt())
+  }
+
+  /** The persisted bucket table as a pure read (explicit schema — no
+    * footer pass). */
+  def buckets(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(bucketsSchema).parquet(s"$dir/buckets")
+}

@@ -415,7 +415,7 @@ object LogStream {
       corpus: DataFrame,
       lateness: String = "10 minutes",
       multiprobe: Boolean = true): DataFrame = {
-    import graft.queries.Similarity.{dimOf, lshBucketsExpr, lshQueryProbesExpr, planesFor, LshBucketCap}
+    import graft.queries.Similarity.{dimOf, lshBucketsExpr, planesFor, LshBucketCap}
     val c = corpus.select(col("vec_id"), col("label"), col("emb"))
     val dim = dimOf(c)
     val nPlanes = planesFor(c.count())
@@ -430,6 +430,37 @@ object LogStream {
           .partitionBy(col("tbl"), col("bucket"))))
       .filter(col("bn") <= LshBucketCap)
       .drop("bn")
+    nnEnrichCore(stream, bucketedCorpus, dim, nPlanes, lateness, multiprobe)
+  }
+
+  /** [[nearestNeighborEnriched]] probing the PERSISTED
+    * [[graft.index.LshIndex]] at `indexDir` — the deployment form:
+    * the static side of the stream-static join is a pure parquet read
+    * per micro-batch, not a re-derived corpus bucketing (Spark replans
+    * foreachBatch/stream-static inputs every trigger, so the inline
+    * form above re-buckets the corpus per batch — fine for tests,
+    * wasteful for a long-lived stream over a big corpus). The probe
+    * expressions are reconstructed from the persisted GEOMETRY, so
+    * stream buckets and stored buckets agree by construction. */
+  def nearestNeighborEnriched(
+      stream: DataFrame,
+      indexDir: String,
+      lateness: String,
+      multiprobe: Boolean): DataFrame = {
+    val g = graft.index.LshIndex.readGeometry(stream.sparkSession, indexDir)
+    nnEnrichCore(stream,
+      graft.index.LshIndex.buckets(stream.sparkSession, indexDir),
+      g.dim, g.nPlanes, lateness, multiprobe)
+  }
+
+  private def nnEnrichCore(
+      stream: DataFrame,
+      bucketedCorpus: DataFrame,
+      dim: Int,
+      nPlanes: Int,
+      lateness: String,
+      multiprobe: Boolean): DataFrame = {
+    import graft.queries.Similarity.{lshBucketsExpr, lshQueryProbesExpr}
     val streamBuckets =
       if (multiprobe) lshQueryProbesExpr(col("emb"), dim, nPlanes)
       else lshBucketsExpr(col("emb"), dim, nPlanes)

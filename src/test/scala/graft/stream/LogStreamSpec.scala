@@ -457,6 +457,16 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
         .collect()
         .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getDouble(4))).toSet
       assert(streaming == batch, s"stream $streaming != batch $batch")
+      // PERSISTED-index equivalence: the LshIndex overload (geometry
+      // from the meta, buckets as a pure parquet read) must answer
+      // identically to the inline corpus-bucketing form
+      val idxDir = Files.createTempDirectory("graft-lshidx").toString
+      graft.index.LshIndex.build(corpus, idxDir)
+      val fromIndex = LogStream.nearestNeighborEnriched(
+          queries.toDF(), idxDir, "1 minute", multiprobe = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getDouble(4))).toSet
+      assert(fromIndex == batch, s"index $fromIndex != inline $batch")
     }
   }
 
