@@ -37,45 +37,92 @@ object LshIndex {
     StructField("bucket", LongType)))
 
   /** Bucket a corpus (vec_id, label, emb) with the data-derived
-    * geometry and persist it. One corpus pass. */
+    * geometry and persist it. The bucketing itself is
+    * [[graft.queries.Similarity.bucketedCorpus]] — the SAME definition
+    * the inline streaming form uses, so index/inline agreement is
+    * structural. Cost: one bucketing pass over the corpus plus two
+    * small stat jobs (the dim probe and the count that sizes
+    * `planesFor`) — cache the corpus first if it is an expensive
+    * derived plan rather than a scan.
+    *
+    * REBUILD-safe by the VectorIndex pointer protocol: the new buckets
+    * land in a fresh `buckets_vN` dir, and the meta — which names both
+    * the geometry AND the buckets version — commits by
+    * stage-then-rename, so geometry and buckets can never be served as
+    * a torn pair (new 11-plane buckets under an old 10-plane meta
+    * would silently join near-nothing). A crash before the commit
+    * leaves the old index fully live; the orphaned version dir is
+    * cleaned by the next successful build. */
   def build(corpus: DataFrame, dir: String, nTables: Int = 4): Unit = {
-    import graft.queries.Similarity.{dimOf, lshBucketsExpr, planesFor, LshBucketCap}
+    import graft.queries.Similarity.{bucketedCorpus, dimOf, planesFor}
     val spark = corpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = if (metaExists(fs, dir)) Some(readMetaFull(fs, dir)) else None
+    val next = current match {
+      case Some((_, name)) =>
+        s"buckets_v${name.stripPrefix("buckets_v").stripPrefix("buckets")
+          .toIntOption.getOrElse(0) + 1}"
+      case None => "buckets_v0"
+    }
     val c = corpus.select(col("vec_id"), col("label"), col("emb"))
     val dim = dimOf(c)
     val nPlanes = planesFor(c.count())
-    c.select(col("vec_id").as("nn_id"), col("label").as("nn_label"),
-        col("emb").as("nn_emb"),
-        explode(lshBucketsExpr(col("emb"), dim, nPlanes, nTables)).as("h"))
-      .select(col("nn_id"), col("nn_label").cast("string").as("nn_label"),
-        col("nn_emb"), col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
-      .withColumn("bn", count(lit(1)).over(
-        Window.partitionBy(col("tbl"), col("bucket"))))
-      .filter(col("bn") <= LshBucketCap)
-      .drop("bn")
-      .write.mode("overwrite").parquet(s"$dir/buckets")
-    val out = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .create(new org.apache.hadoop.fs.Path(dir, "_LSH_META.json"), true)
+    bucketedCorpus(c, dim, nPlanes, nTables)
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    // commit: geometry + buckets version in ONE staged meta swap
+    val live = new org.apache.hadoop.fs.Path(dir, "_LSH_META.json")
+    val staged = new org.apache.hadoop.fs.Path(dir, "_LSH_META.json.next")
+    val out = fs.create(staged, true)
     try out.write(
-      s"""{"dim": $dim, "n_planes": $nPlanes, "n_tables": $nTables}"""
+      s"""{"dim": $dim, "n_planes": $nPlanes, "n_tables": $nTables, "buckets": "$next"}"""
         .getBytes("UTF-8"))
     finally out.close()
+    fs.delete(live, false)
+    require(fs.rename(staged, live), s"lsh meta swap failed at $dir")
+    // retire every other buckets version (the pre-rebuild one and any
+    // orphans from crashed builds)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("buckets")
+        && st.getPath.getName != next)
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
-  def readGeometry(spark: SparkSession, dir: String): Geometry = {
+  def readGeometry(spark: SparkSession, dir: String): Geometry =
+    readMetaFull(fsFor(spark, dir), dir)._1
+
+  /** The persisted bucket table (the version the meta names) as a pure
+    * read (explicit schema — no footer pass). */
+  def buckets(spark: SparkSession, dir: String): DataFrame = {
+    val name = readMetaFull(fsFor(spark, dir), dir)._2
+    spark.read.schema(bucketsSchema).parquet(s"$dir/$name")
+  }
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def metaExists(fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(dir, "_LSH_META.json")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "_LSH_META.json.next"))
+
+  private def readMetaFull(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): (Geometry, String) = {
     val p = new org.apache.hadoop.fs.Path(dir, "_LSH_META.json")
-    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val staged = new org.apache.hadoop.fs.Path(dir, "_LSH_META.json.next")
+    if (!fs.exists(p)) {
+      // interrupted meta swap — the staged copy is the committed state
+      require(fs.exists(staged), s"no lsh index meta at $dir")
+      fs.rename(staged, p)
+      require(fs.exists(p), s"lsh meta promotion failed at $dir")
+    }
+    val in = fs.open(p)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-    Geometry(root.get("dim").asInt(), root.get("n_planes").asInt(),
-      root.get("n_tables").asInt())
+    (Geometry(root.get("dim").asInt(), root.get("n_planes").asInt(),
+        root.get("n_tables").asInt()),
+      root.get("buckets").asText())
   }
-
-  /** The persisted bucket table as a pure read (explicit schema — no
-    * footer pass). */
-  def buckets(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(bucketsSchema).parquet(s"$dir/buckets")
 }

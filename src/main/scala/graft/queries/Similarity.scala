@@ -140,6 +140,27 @@ object Similarity {
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }: _*)
 
+  /** The enrichment-index corpus bucketing — ONE definition shared by
+    * the inline streaming form (`LogStream.nearestNeighborEnriched`)
+    * and the persisted [[graft.index.LshIndex]], so index/inline
+    * agreement is structural, not hand-synced. Normalizes the stored
+    * column types at the source (id → long, emb → array<double>,
+    * label → string: the routing tag, fixed so the index's explicit
+    * read schema fits every corpus). Occupancy-capped with the same
+    * 256 cap as the batch index. */
+  private[graft] def bucketedCorpus(c: DataFrame, dim: Int, nPlanes: Int,
+      nTables: Int): DataFrame =
+    c.select(col("vec_id").cast("long").as("nn_id"),
+        col("label").cast("string").as("nn_label"),
+        expr("transform(emb, x -> CAST(x AS DOUBLE))").as("nn_emb"),
+        explode(lshBucketsExpr(col("emb"), dim, nPlanes, nTables)).as("h"))
+      .select(col("nn_id"), col("nn_label"), col("nn_emb"),
+        col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("bn") <= LshBucketCap)
+      .drop("bn")
+
   /** Embedding dim from the DATA (first row), never hardcoded: planes
     * must span every dimension or vectors differing only in the
     * untouched dims collide — recall loss that no error surfaces. One

@@ -415,22 +415,12 @@ object LogStream {
       corpus: DataFrame,
       lateness: String = "10 minutes",
       multiprobe: Boolean = true): DataFrame = {
-    import graft.queries.Similarity.{dimOf, lshBucketsExpr, planesFor, LshBucketCap}
+    import graft.queries.Similarity.{bucketedCorpus, dimOf, planesFor}
     val c = corpus.select(col("vec_id"), col("label"), col("emb"))
     val dim = dimOf(c)
     val nPlanes = planesFor(c.count())
-    val bucketedCorpus = c.select(
-        col("vec_id").as("nn_id"), col("label").as("nn_label"),
-        col("emb").as("nn_emb"),
-        explode(lshBucketsExpr(col("emb"), dim, nPlanes)).as("h"))
-      .select(col("nn_id"), col("nn_label"), col("nn_emb"),
-        col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
-      .withColumn("bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("tbl"), col("bucket"))))
-      .filter(col("bn") <= LshBucketCap)
-      .drop("bn")
-    nnEnrichCore(stream, bucketedCorpus, dim, nPlanes, lateness, multiprobe)
+    nnEnrichCore(stream, bucketedCorpus(c, dim, nPlanes, nTables = 4),
+      dim, nPlanes, nTables = 4, lateness, multiprobe)
   }
 
   /** [[nearestNeighborEnriched]] probing the PERSISTED
@@ -450,7 +440,7 @@ object LogStream {
     val g = graft.index.LshIndex.readGeometry(stream.sparkSession, indexDir)
     nnEnrichCore(stream,
       graft.index.LshIndex.buckets(stream.sparkSession, indexDir),
-      g.dim, g.nPlanes, lateness, multiprobe)
+      g.dim, g.nPlanes, g.nTables, lateness, multiprobe)
   }
 
   private def nnEnrichCore(
@@ -458,12 +448,16 @@ object LogStream {
       bucketedCorpus: DataFrame,
       dim: Int,
       nPlanes: Int,
+      nTables: Int,
       lateness: String,
       multiprobe: Boolean): DataFrame = {
     import graft.queries.Similarity.{lshBucketsExpr, lshQueryProbesExpr}
+    // probe expressions derive from the SAME geometry the buckets were
+    // built with — including the table count (probing 4 tables of an
+    // 8-table index would silently halve recall)
     val streamBuckets =
-      if (multiprobe) lshQueryProbesExpr(col("emb"), dim, nPlanes)
-      else lshBucketsExpr(col("emb"), dim, nPlanes)
+      if (multiprobe) lshQueryProbesExpr(col("emb"), dim, nPlanes, nTables)
+      else lshBucketsExpr(col("emb"), dim, nPlanes, nTables)
     stream
       .withWatermark("ts", lateness)
       .select(col("doc_id"), col("ts"), col("emb"),

@@ -470,6 +470,40 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("persisted LSH index: non-default geometry round-trips and a rebuild swaps whole") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 16).map(j => math.sin(seed * 97.0 + j * 13.0))
+    val corpus = (0 until 30).map(i => (i.toLong, s"l${i % 3}", vec(i)))
+      .toDF("vec_id", "label", "emb")
+    def t(time: String) = java.sql.Timestamp.valueOf(s"2019-01-18 $time")
+    val idxDir = Files.createTempDirectory("graft-lshidx-geom").toString
+    // build with EIGHT tables — the stream probes must follow the
+    // PERSISTED table count, not the inline default of 4 (probing 4
+    // tables of an 8-table index silently halves recall)
+    graft.index.LshIndex.build(corpus, idxDir, nTables = 8)
+    assert(graft.index.LshIndex.readGeometry(spark, idxDir) ===
+      graft.index.LshIndex.Geometry(16, 4, 8))
+    val queries = Seq(EmbRow(100L, t("02:00:00"), vec(5)))
+    val hit = LogStream.nearestNeighborEnriched(
+        queries.toDF(), idxDir, "1 minute", multiprobe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSet
+    assert(hit == Set((100L, 5L, 1.0)), hit.toString)
+    // REBUILD with different geometry: the meta pointer swaps buckets
+    // and geometry together — no torn pairing, old version retired
+    graft.index.LshIndex.build(corpus, idxDir, nTables = 2)
+    assert(graft.index.LshIndex.readGeometry(spark, idxDir).nTables === 2)
+    val hit2 = LogStream.nearestNeighborEnriched(
+        queries.toDF(), idxDir, "1 minute", multiprobe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSet
+    assert(hit2 == Set((100L, 5L, 1.0)), hit2.toString)
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(idxDir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("buckets"))
+      .map(_.getPath.getName).toSeq
+    assert(versions == Seq("buckets_v1"), s"old version must be retired: $versions")
+  }
+
   test("streaming similarity enrichment breaks cosine ties toward the lowest neighbor id") {
     def vec(seed: Int): Seq[Double] =
       (0 until 16).map(j => math.sin(seed * 97.0 + j * 13.0))
