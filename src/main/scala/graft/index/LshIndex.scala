@@ -71,15 +71,8 @@ object LshIndex {
     bucketedCorpus(c, dim, nPlanes, nTables)
       .write.mode("overwrite").parquet(s"$dir/$next")
     // commit: geometry + buckets version in ONE staged meta swap
-    val live = new org.apache.hadoop.fs.Path(dir, "_LSH_META.json")
-    val staged = new org.apache.hadoop.fs.Path(dir, "_LSH_META.json.next")
-    val out = fs.create(staged, true)
-    try out.write(
-      s"""{"dim": $dim, "n_planes": $nPlanes, "n_tables": $nTables, "buckets": "$next"}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(live, false)
-    require(fs.rename(staged, live), s"lsh meta swap failed at $dir")
+    MetaMarker.write(fs, dir, "_LSH_META.json",
+      s"""{"dim": $dim, "n_planes": $nPlanes, "n_tables": $nTables, "buckets": "$next"}""")
     // retire every other buckets version (the pre-rebuild one and any
     // orphans from crashed builds)
     fs.listStatus(new org.apache.hadoop.fs.Path(dir))
@@ -103,24 +96,11 @@ object LshIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def metaExists(fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(dir, "_LSH_META.json")) ||
-      fs.exists(new org.apache.hadoop.fs.Path(dir, "_LSH_META.json.next"))
+    MetaMarker.exists(fs, dir, "_LSH_META.json")
 
   private def readMetaFull(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): (Geometry, String) = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_LSH_META.json")
-    val staged = new org.apache.hadoop.fs.Path(dir, "_LSH_META.json.next")
-    if (!fs.exists(p)) {
-      // interrupted meta swap — the staged copy is the committed state
-      require(fs.exists(staged), s"no lsh index meta at $dir")
-      fs.rename(staged, p)
-      require(fs.exists(p), s"lsh meta promotion failed at $dir")
-    }
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val root = MetaMarker.read(fs, dir, "_LSH_META.json")
     (Geometry(root.get("dim").asInt(), root.get("n_planes").asInt(),
         root.get("n_tables").asInt()),
       root.get("buckets").asText())

@@ -1,0 +1,58 @@
+package graft.index
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The ONE implementation of the staged-swap commit-marker protocol all
+  * persistent indexes use ([[VectorIndex]], [[LshIndex]],
+  * [[MinhashIndex]]): a tiny JSON marker file names the current
+  * version(s) of the index's table dirs, and rewriting it atomically
+  * switches readers to a new version set.
+  *
+  * Why not an in-place overwrite: `FileSystem.create(overwrite=true)`
+  * TRUNCATES before writing, so a crash — or a concurrent reader's
+  * open — in that window sees an empty/partial marker and the index
+  * bricks. Instead the full bytes are staged as `<name>.next`, then the
+  * live file is deleted and the staged one renamed over it:
+  *
+  *  - crash before the delete → the old marker stays live; the staged
+  *    copy is garbage, overwritten by the next write;
+  *  - crash between delete and rename → [[read]] heals by promoting
+  *    the staged copy (it was fully written, so it IS the committed
+  *    state); racing readers race the rename — one wins, the rest fall
+  *    through to the now-present live file.
+  */
+private[graft] object MetaMarker {
+
+  /** True once a marker was ever committed at `dir` — including one
+    * staged mid-swap, which [[read]] promotes. */
+  def exists(fs: FileSystem, dir: String, name: String): Boolean =
+    fs.exists(new Path(dir, name)) || fs.exists(new Path(dir, s"$name.next"))
+
+  /** Read the live marker, healing an interrupted swap first. */
+  def read(fs: FileSystem, dir: String, name: String): JsonNode = {
+    val live = new Path(dir, name)
+    val staged = new Path(dir, s"$name.next")
+    if (!fs.exists(live)) {
+      require(fs.exists(staged), s"no index meta at $dir")
+      fs.rename(staged, live)
+      require(fs.exists(live), s"meta promotion failed at $dir")
+    }
+    val in = fs.open(live)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    new ObjectMapper().readTree(text)
+  }
+
+  /** Commit `json` as the marker's new content (stage-then-swap). */
+  def write(fs: FileSystem, dir: String, name: String, json: String): Unit = {
+    val live = new Path(dir, name)
+    val staged = new Path(dir, s"$name.next")
+    val out = fs.create(staged, true)
+    try out.write(json.getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(live, false)
+    require(fs.rename(staged, live), s"meta swap failed at $dir")
+  }
+}

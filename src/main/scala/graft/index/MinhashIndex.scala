@@ -1,0 +1,93 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** PERSISTENT MinHash band index — the stored form of the content
+  * band/shingle tables the streaming near-dedup gate
+  * ([[graft.stream.LogStream.toNearDedupedLake]]) probes. The index is
+  * a PAIR of tables derived from the same corpus pass
+  * ([[graft.queries.Dedup.minhashBands]] / `minhashShingles`): `bands`
+  * generates candidates, `shingles` verifies them — a torn pair (bands
+  * from corpus v2 verified against shingles from corpus v1) makes the
+  * gate drop or keep documents incorrectly and SILENTLY.
+  *
+  * So both tables are versioned and committed together by the
+  * [[MetaMarker]] pointer protocol (the [[LshIndex]]/[[VectorIndex]]
+  * treatment): new versions land in fresh `bands_vN`/`shingles_vN`
+  * dirs and ONE staged meta swap names the pair. A crash mid-rebuild —
+  * or a rebuild racing a reading stream — leaves readers on the old,
+  * internally-consistent pair; orphaned version dirs are retired by
+  * the next successful build.
+  *
+  * Layout: `<dir>/_MINHASH_META.json` (bands + shingles version names)
+  * + the two parquet dirs. Pre-r9 indexes (unversioned `bands/` +
+  * `shingles/`, no meta) are still readable.
+  */
+object MinhashIndex {
+
+  private val META = "_MINHASH_META.json"
+
+  private val bandsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("band", IntegerType),
+    StructField("bh", LongType)))
+
+  private val shinglesSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("shingles", ArrayType(LongType))))
+
+  /** Persist a (bands, shingles) pair as the index's next version and
+    * commit both names in one meta swap. */
+  def build(bands: DataFrame, shingles: DataFrame, dir: String): Unit = {
+    val spark = bands.sparkSession
+    val fs = fsFor(spark, dir)
+    val n = currentNames(fs, dir) match {
+      case Some((b, _)) =>
+        b.stripPrefix("bands").stripPrefix("_v").toIntOption.getOrElse(0) + 1
+      case None => 0
+    }
+    val (nextB, nextS) = (s"bands_v$n", s"shingles_v$n")
+    bands.write.mode("overwrite").parquet(s"$dir/$nextB")
+    shingles.write.mode("overwrite").parquet(s"$dir/$nextS")
+    // commit: the pair switches together or not at all
+    MetaMarker.write(fs, dir, META,
+      s"""{"bands": "$nextB", "shingles": "$nextS"}""")
+    // retire every other version (the pre-rebuild pair and any orphans
+    // of crashed builds)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter { st =>
+        val name = st.getPath.getName
+        st.isDirectory &&
+          (name.startsWith("bands") || name.startsWith("shingles")) &&
+          name != nextB && name != nextS
+      }
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** The committed (bands, shingles) pair as pure reads (explicit
+    * schema — no footer pass), resolved through the meta so both
+    * tables always come from the SAME corpus version. */
+  def read(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (b, s) = currentNames(fsFor(spark, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no minhash index at $dir"))
+    (spark.read.schema(bandsSchema).parquet(s"$dir/$b"),
+      spark.read.schema(shinglesSchema).parquet(s"$dir/$s"))
+  }
+
+  /** The committed version names, or the pre-r9 unversioned layout if
+    * only legacy dirs exist; None when nothing was ever built. */
+  private def currentNames(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[(String, String)] =
+    if (MetaMarker.exists(fs, dir, META)) {
+      val root = MetaMarker.read(fs, dir, META)
+      Some((root.get("bands").asText(), root.get("shingles").asText()))
+    } else if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bands")))
+      Some(("bands", "shingles"))
+    else None
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

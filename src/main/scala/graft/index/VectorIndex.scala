@@ -18,12 +18,13 @@ import org.apache.spark.sql.types._
   * On-disk layout (all plain parquet + one JSON marker — readable by
   * any engine, no custom format):
   * {{{
-  *   <dir>/_INDEX_META.json            k, dim, current postings table
-  *                                     name, folded append labels
-  *   <dir>/centroids/                  (cid long, cemb array<double>)
+  *   <dir>/_INDEX_META.json            k, dim, current centroids +
+  *                                     postings table names, folded
+  *                                     append labels
+  *   <dir>/centroids[_vN]/             (cid long, cemb array<double>)
   *   <dir>/postings[_vN]/              (neighbor_id, emb, qcode, qscale)
   *                                     PARTITIONED BY (cid); the meta
-  *                                     names the CURRENT version
+  *                                     names the CURRENT version of both
   *   <dir>/appends/<label>/            same schema+partitioning; one
   *                                     subdir per appended micro-batch
   * }}}
@@ -76,7 +77,13 @@ object VectorIndex {
     StructField("cid", LongType)))
 
   private[index] case class Meta(k: Long, dim: Int, postings: String,
-    folded: Seq[String])
+    centroids: String, folded: Seq[String])
+
+  /** Next version name for a rebuild: `postings` → `postings_v1`,
+    * `postings_v3` → `postings_v4` (same for centroids). */
+  private def bumped(current: String, base: String): String =
+    s"${base}_v${current.stripPrefix(base).stripPrefix("_v")
+      .toIntOption.getOrElse(0) + 1}"
 
   private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     call_function("cosine_sim", a, b)
@@ -93,33 +100,76 @@ object VectorIndex {
   /** Build the index: `centroids` (cid, cemb) persist as-is; `corpus`
     * (vec_id, emb) is assigned to its nearest list, SQ8-quantized, and
     * written as the cid-partitioned postings table. One corpus pass —
-    * the single shuffle is the partitioned write's clustering. Fails
-    * fast (before any corpus work) on an empty centroid set. */
+    * the single shuffle is the partitioned write's clustering.
+    *
+    * CRASH-ATOMIC, including a REBUILD over a live index: the new
+    * centroid set is validated BEFORE any existing state is touched,
+    * both tables land in fresh version dirs (`centroids_vN` /
+    * `postings_vN`), and the single staged meta swap commits the pair
+    * together — the same pointer protocol as [[compact]] and
+    * [[LshIndex.build]]. A crash anywhere before the swap leaves the
+    * old index fully live (the half-written version dirs are orphans,
+    * cleaned by the next build/compact); a crash after it leaves the
+    * new index live with cleanup pending. Append sub-tables carry
+    * assignments made under the OLD geometry and must not come back to
+    * life under the new one, so the commit lists them as folded
+    * (excluded from reads even while their dirs linger) and they are
+    * deleted only after the swap. */
   def build(corpus: DataFrame, centroids: DataFrame, dir: String): Unit = {
     val spark = corpus.sparkSession
-    // a REBUILD at an existing dir retires the old centroids — append
-    // sub-tables carry assignments made under them and must not come
-    // back to life under the new geometry
-    fsFor(spark, dir).delete(
-      new org.apache.hadoop.fs.Path(s"$dir/appends"), true)
-    centroids.select(col("cid").cast("long"), col("cemb"))
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    // one job: k + dim together; k = 0 aborts before the corpus pass
-    val stats = readCentroids(spark, dir)
-      .agg(count(lit(1)), first(size(col("cemb")))).head()
+    val fs = fsFor(spark, dir)
+    // validate the NEW centroid set first — one tiny job for k + dim
+    // together; a failure here must leave any previous index untouched
+    val cent = centroids.select(col("cid").cast("long"), col("cemb"))
+    val stats = cent.agg(count(lit(1)), first(size(col("cemb")))).head()
     require(stats.getLong(0) > 0,
       s"index build at $dir requires a non-empty centroid set")
-    toPostings(corpus, readCentroids(spark, dir))
+    val prior = if (exists(spark, dir)) Some(readMeta(spark, dir)) else None
+    // leftover cleanup from a crashed predecessor: version dirs the
+    // live meta does not name, and appends it already folded
+    prior.foreach { m =>
+      m.folded.foreach(l =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+      staleVersionDirs(fs, dir, m).foreach(p => fs.delete(p, true))
+    }
+    val nextC = prior.fold("centroids")(m => bumped(m.centroids, "centroids"))
+    val nextP = prior.fold("postings")(m => bumped(m.postings, "postings"))
+    cent.write.mode("overwrite").parquet(s"$dir/$nextC")
+    toPostings(corpus, readCentroidsAt(spark, dir, nextC))
       // sort within partitions by list id so each task writes each of
       // its lists as one contiguous file rather than an open-file per
       // list; repartition(cid) would be a full extra shuffle — at
       // build time sortWithinPartitions gives the layout win for free
       .sortWithinPartitions(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/postings")
-    // the meta marker is written LAST: its presence == build complete
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/$nextP")
+    // COMMIT: one staged swap names the new centroids+postings pair and
+    // retires the old-geometry appends
+    val retired = appendLabels(spark, dir)
     writeMeta(spark, dir,
-      Meta(stats.getLong(0), stats.getInt(1), "postings", Seq.empty))
+      Meta(stats.getLong(0), stats.getInt(1), nextP, nextC, retired))
+    retired.foreach(l =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+    prior.foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${m.postings}"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${m.centroids}"), true)
+    }
+    if (retired.nonEmpty)
+      writeMeta(spark, dir,
+        Meta(stats.getLong(0), stats.getInt(1), nextP, nextC, Seq.empty))
   }
+
+  /** Version dirs (`centroids*` / `postings*`) that `m` does NOT name —
+    * orphans of a crashed build/compact, safe to delete. */
+  private def staleVersionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, m: Meta): Seq[org.apache.hadoop.fs.Path] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory &&
+          ((n.startsWith("postings") && n != m.postings) ||
+           (n.startsWith("centroids") && n != m.centroids))
+      }
+      .map(_.getPath).toSeq
 
   /** Append a micro-batch of new vectors: assign against the EXISTING
     * centroids (no retrain — the IVF maintenance move; centroid drift
@@ -172,10 +222,7 @@ object VectorIndex {
     // step 1: finish any interrupted predecessor
     meta0.folded.foreach(l =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("postings")
-        && st.getPath.getName != meta0.postings)
-      .foreach(st => fs.delete(st.getPath, true))
+    staleVersionDirs(fs, dir, meta0).foreach(p => fs.delete(p, true))
     val meta = meta0.copy(folded = Seq.empty)
     val labels = appendLabels(spark, dir)
     if (labels.isEmpty) { writeMeta(spark, dir, meta); return }
@@ -208,8 +255,11 @@ object VectorIndex {
     * unfolded appended sub-table. Each side reads with the explicit
     * schema (no footer/inference pass) and stays partition-prunable on
     * `cid`. */
-  def postings(spark: SparkSession, dir: String): DataFrame = {
-    val meta = readMeta(spark, dir)
+  def postings(spark: SparkSession, dir: String): DataFrame =
+    postingsFor(spark, dir, readMeta(spark, dir))
+
+  private def postingsFor(spark: SparkSession, dir: String,
+      meta: Meta): DataFrame = {
     val base = spark.read.schema(postingsSchema)
       .parquet(s"$dir/${meta.postings}")
     appendLabels(spark, dir).filterNot(meta.folded.toSet)
@@ -219,11 +269,29 @@ object VectorIndex {
       }
   }
 
+  /** Fail loudly on a query set whose vectors do not match the stored
+    * dim: `cosine_sim` truncates to the shorter operand, so a
+    * wrong-dim query would otherwise return plausible-but-wrong
+    * similarities silently. One cheap job on the (tiny) query side. */
+  private def requireQueryDim(queries: DataFrame, meta: Meta,
+      dir: String): Unit = {
+    val bad = queries.filter(size(col("qemb")) =!= meta.dim)
+      .select(col("query_id"), size(col("qemb")).as("qdim")).head(1)
+    require(bad.isEmpty,
+      s"query dim ${bad.head.get(1)} != index dim ${meta.dim} at $dir " +
+        s"(query_id=${bad.head.get(0)})")
+  }
+
+  /** The CURRENT centroid table (the version the meta names). */
   def readCentroids(spark: SparkSession, dir: String): DataFrame =
+    readCentroidsAt(spark, dir, readMeta(spark, dir).centroids)
+
+  private def readCentroidsAt(spark: SparkSession, dir: String,
+      name: String): DataFrame =
     spark.read.schema(StructType(Seq(
         StructField("cid", LongType),
         StructField("cemb", ArrayType(DoubleType)))))
-      .parquet(s"$dir/centroids")
+      .parquet(s"$dir/$name")
 
   /** Answer a top-k cosine query set FROM the stored index: assign each
     * query to its `probes` nearest lists (centroids table is k rows →
@@ -239,13 +307,15 @@ object VectorIndex {
     * `q_similarity_indexed`. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
       topK: Int = 5, probes: Int = 2): DataFrame = {
-    val cent = readCentroids(spark, dir)
+    val meta = readMeta(spark, dir)
+    requireQueryDim(queries, meta, dir)
+    val cent = readCentroidsAt(spark, dir, meta.centroids)
     val q = VectorConventions.assign(
       queries.select(col("query_id"), col("qemb")),
       cent, "query_id", "qemb", probes)
     val probed = q.select(col("cid")).distinct()
       .collect().map(_.getLong(0)) // bounded: ≤ queries × probes values
-    val lists = postings(spark, dir)
+    val lists = postingsFor(spark, dir, meta)
       .filter(col("cid").isin(probed.toIndexedSeq: _*))
       .select(col("cid"), col("neighbor_id"), col("emb"))
     val w = Window.partitionBy(col("query_id"))
@@ -271,7 +341,9 @@ object VectorIndex {
     * dequantization. */
   def searchSq8(spark: SparkSession, dir: String, queries: DataFrame,
       topK: Int = 5, probes: Int = 2, coarseWidth: Int = 20): DataFrame = {
-    val cent = readCentroids(spark, dir)
+    val meta = readMeta(spark, dir)
+    requireQueryDim(queries, meta, dir)
+    val cent = readCentroidsAt(spark, dir, meta.centroids)
     val qFull = queries.select(col("query_id"), col("qemb"))
     val q = VectorConventions.assign(qFull, cent, "query_id", "qemb", probes)
       // quantize the query side by the stored convention; the corpus
@@ -281,7 +353,7 @@ object VectorIndex {
       .select(col("query_id"), col("cid"), col("q_q"))
     val probed = q.select(col("cid")).distinct()
       .collect().map(_.getLong(0)) // bounded: ≤ queries × probes values
-    val probedLists = postings(spark, dir)
+    val probedLists = postingsFor(spark, dir, meta)
       .filter(col("cid").isin(probed.toIndexedSeq: _*))
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("coarse").desc, col("neighbor_id"))
@@ -307,11 +379,8 @@ object VectorIndex {
 
   /** True once [[build]] completed at `dir` (meta marker present —
     * including one staged mid-swap, which [[readMeta]] promotes). */
-  def exists(spark: SparkSession, dir: String): Boolean = {
-    val fs = fsFor(spark, dir)
-    fs.exists(new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json")) ||
-      fs.exists(new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json.next"))
-  }
+  def exists(spark: SparkSession, dir: String): Boolean =
+    MetaMarker.exists(fsFor(spark, dir), dir, "_INDEX_META.json")
 
   private def appendLabels(spark: SparkSession, dir: String): Seq[String] = {
     val fs = fsFor(spark, dir)
@@ -326,23 +395,7 @@ object VectorIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private[index] def readMeta(spark: SparkSession, dir: String): Meta = {
-    val fs = fsFor(spark, dir)
-    val path = new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json")
-    val staged = new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json.next")
-    if (!fs.exists(path)) {
-      // interrupted meta swap: the live marker was deleted after the
-      // staged copy was fully written, so the staged copy IS the
-      // committed state — promote it (racing readers: one rename wins,
-      // the rest fall through to the now-present live file)
-      require(fs.exists(staged), s"no index meta at $dir")
-      fs.rename(staged, path)
-      require(fs.exists(path), s"meta promotion failed at $dir")
-    }
-    val in = fs.open(path)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val root = MetaMarker.read(fsFor(spark, dir), dir, "_INDEX_META.json")
     val folded =
       if (root.has("folded"))
         scala.jdk.CollectionConverters.IteratorHasAsScala(
@@ -350,27 +403,16 @@ object VectorIndex {
       else Seq.empty
     Meta(root.get("k").asLong(), root.get("dim").asInt(),
       if (root.has("postings")) root.get("postings").asText() else "postings",
+      // pre-r9 metas name no centroids version — the unversioned dir
+      if (root.has("centroids")) root.get("centroids").asText() else "centroids",
       folded)
   }
 
-  /** Meta swap in two steps so no reader ever sees a truncated file
-    * (an in-place overwrite truncates BEFORE writing — a crash or
-    * concurrent open in that window bricks the index): stage the full
-    * bytes as `.next`, then delete-live + rename-staged. A crash
-    * before the delete leaves the old meta live (the staged copy is
-    * garbage, overwritten next time); a crash between delete and
-    * rename is healed by [[readMeta]]'s promotion. */
+  /** Commit `m` by the [[MetaMarker]] stage-then-swap protocol. */
   private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
-    val fs = fsFor(spark, dir)
-    val live = new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json")
-    val staged = new org.apache.hadoop.fs.Path(dir, "_INDEX_META.json.next")
     val folded = m.folded.map(l => "\"" + l + "\"").mkString("[", ", ", "]")
-    val out = fs.create(staged, true)
-    try out.write(
-      s"""{"k": ${m.k}, "dim": ${m.dim}, "postings": "${m.postings}", "folded": $folded}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(live, false)
-    require(fs.rename(staged, live), s"meta swap failed at $dir")
+    MetaMarker.write(fsFor(spark, dir), dir, "_INDEX_META.json",
+      s"""{"k": ${m.k}, "dim": ${m.dim}, "postings": "${m.postings}", """ +
+        s""""centroids": "${m.centroids}", "folded": $folded}""")
   }
 }

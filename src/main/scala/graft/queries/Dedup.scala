@@ -135,15 +135,17 @@ object Dedup {
     * [[minhashBands]]/[[minhashShingles]] plans straight into a
     * streaming probe re-executes the full corpus signature pass on
     * EVERY micro-batch (Spark replans foreachBatch inputs each
-    * trigger) — the exact cost the index exists to eliminate. */
-  def writeMinhashIndex(docs: DataFrame, dir: String): Unit = {
-    minhashBands(docs).write.mode("overwrite").parquet(s"$dir/bands")
-    minhashShingles(docs).write.mode("overwrite").parquet(s"$dir/shingles")
-  }
+    * trigger) — the exact cost the index exists to eliminate.
+    * Versioned + meta-committed ([[graft.index.MinhashIndex]]), so a
+    * crash or a rebuild racing a reading stream can never serve a torn
+    * bands/shingles pair. */
+  def writeMinhashIndex(docs: DataFrame, dir: String): Unit =
+    graft.index.MinhashIndex.build(minhashBands(docs), minhashShingles(docs), dir)
 
-  /** The persisted index's two tables, as pure reads. */
+  /** The persisted index's two tables, as pure reads (both from the
+    * SAME committed version — resolved through the meta). */
   def readMinhashIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/shingles"))
+    graft.index.MinhashIndex.read(spark, dir)
 
   /** Drop every `batch` doc whose verified Jaccard against ANY indexed
     * corpus doc reaches `threshold` — the batch core of streaming

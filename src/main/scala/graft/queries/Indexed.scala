@@ -22,19 +22,32 @@ import graft.index.VectorIndex
 object Indexed {
 
   /** Index-build memo: (corpus dir + content fingerprint) → index dir.
-    * The FULL key — sanitized corpus path plus the content fingerprint
-    * — rides IN the index path (no lossy hashing: a 32-bit hash of the
-    * key would let a collision silently serve another corpus's index),
-    * so data rewritten at the same corpus dir builds a fresh index and
+    * The FULL key — the INJECTIVELY-encoded corpus path plus the
+    * 128-bit content fingerprint — rides IN the index path, so data
+    * rewritten at the same corpus dir builds a fresh index and
     * distinct corpora can never alias, even across JVMs sharing the
-    * temp dir. Bounded by the distinct corpora a session touches. */
+    * temp dir. Injective matters (r8 ADVICE): a lossy sanitize that
+    * collapsed every odd char to '_' made `/tmp/x/data` and
+    * `/tmp/x_data` collide — [[encodePath]] escapes '_' itself, so
+    * distinct raw paths always encode to distinct dir names. Bounded
+    * by the distinct corpora a session touches. */
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Injective path→dirname encoding: `[A-Za-z0-9.-]` pass through,
+    * every other char (including '_', the escape lead) becomes
+    * `_XXXX` hex. Decodable, collision-free by construction. */
+  private[queries] def encodePath(raw: String): String =
+    raw.flatMap {
+      case c if c != '_' && (c.isLetterOrDigit && c < 128 || c == '.' || c == '-') =>
+        c.toString
+      case c => f"_${c.toInt}%04x"
+    }
 
   private[queries] def indexDirFor(s: SparkSession, d: String): String = {
     val fp = KMeans.dirFingerprint(s, s"$d/embeddings.parquet")
     built.computeIfAbsent(s"$d#$fp", _ => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vindex/" +
-        s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}__$fp"
+        s"${encodePath(d)}__$fp"
       if (!VectorIndex.exists(s, dir)) {
         val e = Similarity.embDouble(s, d)
         // same geometry as the inline q_similarity_ivf: k from the full

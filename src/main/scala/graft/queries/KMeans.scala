@@ -56,15 +56,21 @@ object KMeans {
     * the listing's (name, length, mtime) triples so a rewrite at the
     * same path changes the key within a JVM. Metadata-only — one FS
     * listing, no data read; at 100 TB this is a namenode/list call,
-    * not a scan. */
+    * not a scan. 128-bit (SHA-256 truncated): wide enough that
+    * distinct listings colliding is not a practical event — a 32-bit
+    * hash was (r8 ADVICE: a collision would silently serve a stale or
+    * foreign index). */
   def dirFingerprint(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"
     else {
-      val parts = fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
-        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-      Integer.toHexString(scala.util.hashing.MurmurHash3.arrayHash(parts))
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+        .foreach(f => md.update(
+          s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}\n"
+            .getBytes("UTF-8")))
+      md.digest().take(16).map("%02x".format(_)).mkString
     }
   }
 

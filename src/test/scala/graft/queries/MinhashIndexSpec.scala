@@ -1,0 +1,73 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+import graft.index.MinhashIndex
+
+/** The persisted minhash band index's commit protocol (r8 ADVICE):
+  * bands and shingles are one logical artifact — a torn pair makes the
+  * streaming near-dedup gate drop/keep documents silently wrong — so
+  * both tables version together under one staged meta swap. */
+class MinhashIndexSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+
+  private def corpus(seed: String) =
+    Seq((1L, toks(seed, 100)), (2L, toks(s"${seed}other", 100)))
+      .toDF("doc_id", "text")
+
+  test("rebuild rolls both versions in one commit and retires the old pair") {
+    val dir = Files.createTempDirectory("mhidx").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.writeMinhashIndex(corpus("a"), dir)
+    val (b0, s0) = Dedup.readMinhashIndex(spark, dir)
+    assert(b0.count() > 0 && s0.count() == 2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bands_v0")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/shingles_v0")))
+
+    // an orphan dir from a crashed build must neither be served nor
+    // block the next build
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/bands_v7"))
+
+    Dedup.writeMinhashIndex(corpus("b"), dir)
+    val (b1, s1) = Dedup.readMinhashIndex(spark, dir)
+    // the new pair is served together: shingle sets are corpus-b's
+    val sh = s1.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(sh == Set(1L, 2L))
+    assert(b1.count() > 0)
+    for (old <- Seq("bands_v0", "shingles_v0", "bands_v7"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$old")),
+        s"retired/orphan version $old must be cleaned")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bands_v1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/shingles_v1")))
+  }
+
+  test("an interrupted meta swap is healed: the staged copy is the committed state") {
+    val dir = Files.createTempDirectory("mhidx-swap").toString
+    Dedup.writeMinhashIndex(corpus("a"), dir)
+    // emulate the crash window between delete-live and rename-staged
+    val live = java.nio.file.Paths.get(dir, "_MINHASH_META.json")
+    val staged = java.nio.file.Paths.get(dir, "_MINHASH_META.json.next")
+    java.nio.file.Files.move(live, staged)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._MINHASH_META.json.crc"))
+    val (b, s) = Dedup.readMinhashIndex(spark, dir)
+    assert(b.count() > 0 && s.count() == 2,
+      "reader must promote the staged meta and serve the committed pair")
+  }
+
+  test("pre-r9 unversioned layout stays readable") {
+    val dir = Files.createTempDirectory("mhidx-legacy").toString
+    val c = corpus("a")
+    Dedup.minhashBands(c).write.parquet(s"$dir/bands")
+    Dedup.minhashShingles(c).write.parquet(s"$dir/shingles")
+    val (b, s) = MinhashIndex.read(spark, dir)
+    assert(b.count() > 0 && s.count() == 2)
+  }
+}

@@ -206,6 +206,79 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSupport {
       "qcode/qscale must be re-derivable from emb by the q_similarity_sq8 convention")
   }
 
+  test("rebuild is crash-atomic: a failed rebuild leaves the old index live; a successful one rolls versions and retires old-geometry appends") {
+    val work = Files.createTempDirectory("vindex-rebuild").toString
+    writeCorpus(s"$work/corpus")
+    val e = embOf(s"$work/corpus")
+    VectorIndex.build(e.filter(col("vec_id") >= 12), centOf(e), s"$work/idx")
+    VectorIndex.append(e.filter(col("vec_id") === 10L), s"$work/idx", "batch-1")
+    val before = VectorIndex.search(spark, s"$work/idx", query0).collect()
+    assert(before.head.getLong(2) == 10L, before.toSeq)
+    // a rebuild with an EMPTY centroid set fails the validation gate
+    // BEFORE any state is touched — the old index stays fully live
+    // (pre-fix this overwrote centroids/ first, leaving the old meta
+    // live over a destroyed table)
+    intercept[IllegalArgumentException] {
+      VectorIndex.build(e.filter(col("vec_id") >= 12),
+        centOf(e).filter(col("cid") < 0), s"$work/idx")
+    }
+    assert(VectorIndex.search(spark, s"$work/idx", query0).collect()
+        .map(_.toSeq).toSeq == before.map(_.toSeq).toSeq,
+      "a failed rebuild must leave the old index answering unchanged")
+    // successful rebuild WITHOUT the twin: both table versions roll in
+    // one commit and the old-geometry append (which held the twin) is
+    // retired with it
+    VectorIndex.build(e.filter(col("vec_id") >= 12), centOf(e), s"$work/idx")
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/appends/batch-1")),
+      "rebuild retires old-geometry appends")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/postings_v1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/centroids_v1")),
+      "rebuild writes fresh version dirs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/postings")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/centroids")),
+      "rebuild cleans the retired versions after the commit")
+    val after = VectorIndex.search(spark, s"$work/idx", query0).collect()
+    assert(!after.exists(_.getLong(2) == 10L),
+      s"retired append rows must not come back to life: ${after.toSeq}")
+  }
+
+  test("search fails loudly on a query set whose dim mismatches the index") {
+    val work = Files.createTempDirectory("vindex-dim").toString
+    writeCorpus(s"$work/corpus")
+    val e = embOf(s"$work/corpus")
+    VectorIndex.build(e.filter(col("vec_id") >= 10), centOf(e), s"$work/idx")
+    val badQ = Seq((0L, Seq(1.0, 2.0))).toDF("query_id", "qemb")
+    // cosine_sim truncates to the shorter operand, so without the gate
+    // this would return plausible-but-wrong neighbors silently
+    val ex = intercept[IllegalArgumentException](
+      VectorIndex.search(spark, s"$work/idx", badQ))
+    assert(ex.getMessage.contains("dim"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException](
+      VectorIndex.searchSq8(spark, s"$work/idx", badQ))
+    assert(ex2.getMessage.contains("dim"), ex2.getMessage)
+  }
+
+  test("index memo path encoding is injective (decode(encode(x)) == x)") {
+    // the r8 ADVICE collision pair: a lossy sanitize collapsed both to
+    // the same dir name and could silently serve the wrong index
+    assert(Indexed.encodePath("/tmp/x/data") != Indexed.encodePath("/tmp/x_data"))
+    // decodability is the strong form of injectivity: invert the
+    // encoding and require a perfect round-trip on awkward inputs
+    def decode(enc: String): String = {
+      val sb = new StringBuilder; var i = 0
+      while (i < enc.length) enc(i) match {
+        case '_' => sb.append(Integer.parseInt(enc.substring(i + 1, i + 5), 16).toChar); i += 5
+        case c => sb.append(c); i += 1
+      }
+      sb.toString
+    }
+    for (raw <- Seq("/tmp/x/data", "/tmp/x_data", "a_b", "a__b", "_", "",
+        "s3a://bucket/path name/µ-corpus", "C:\\data\\corpus", "ünï/códe"))
+      assert(decode(Indexed.encodePath(raw)) == raw, raw)
+  }
+
   test("streaming appendStream maintains the index exactly-once per micro-batch") {
     val work = Files.createTempDirectory("vindex-stream").toString
     writeCorpus(s"$work/corpus")
