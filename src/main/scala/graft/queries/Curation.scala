@@ -144,24 +144,62 @@ object Curation {
     * bucketing: split the corpus into 8 same-sized difficulty tiers and
     * report each tier's length band.
     *
-    * The unpartitioned ntile window is a single-reducer global sort —
-    * correct here and at the oracle's scale, but the documented 100 TB
-    * swap is approximate bin BOUNDARIES (percentile_approx / t-digest,
-    * the q_agg_percentile_approx machinery) broadcast as a range join:
-    * same output schema, no global sort. */
+    * EXACT ntile semantics WITHOUT the corpus-wide single-reducer sort
+    * (the r8 `weak` downgrade): the reported aggregates depend only on
+    * each row's `n_chars` and its tier, and the tier of rank r is a
+    * pure function of (r, total) — so the corpus folds to its LENGTH
+    * HISTOGRAM first (one map-side-combined shuffle; |distinct
+    * lengths| rows, bounded by the max document length — the value
+    * domain, not the corpus). A running sum over the histogram turns
+    * each length into its global rank interval, and a broadcast range
+    * join against the 8 driver-computed tier boundaries splits each
+    * interval across the tiers it straddles. The doc_id tie-break in
+    * the oracle's ORDER BY never surfaces: rows sharing a length are
+    * interchangeable for every reported aggregate, whichever of them a
+    * boundary cuts. The only remaining unpartitioned window runs over
+    * the histogram (the same stance as q_bpe_train_hist's fold), and
+    * the only driver traffic is one scalar (the total) plus the 8
+    * boundary rows. */
   private val qNtileBucketize = Q(
     "q_ntile_bucketize",
-    (s, d) =>
-      Tables.documents(s, d)
-        .withColumn("bucket",
-          ntile(8).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+    (s, d) => {
+      val hist = Tables.documents(s, d)
+        .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+      // rank interval (start_rank, end_rank] per length, via a running
+      // sum over the HISTOGRAM — not the corpus
+      val cum = hist
+        .withColumn("end_rank",
+          sum(col("cnt")).over(Window.orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("start_rank", col("end_rank") - col("cnt"))
+      // ntile(8) boundaries from the total: the first (total mod 8)
+      // tiers get one extra row — computed on the driver from ONE
+      // scalar (a bounded, documented collect)
+      val total = cum.agg(max(col("end_rank"))).head().getLong(0)
+      val base = total / 8
+      val rem = total % 8
+      val bounds = (1 to 8).scanLeft((0, 0L, 0L)) { case ((b, _, hi), nb) =>
+        (nb, hi + 1L, hi + base + (if (nb <= rem) 1L else 0L))
+      }.tail.filter { case (_, lo, hi) => hi >= lo }
+      import s.implicits._
+      val tiers = bounds.toDF("bucket", "lo", "hi")
+      // broadcast range join: a length's rank interval meets exactly
+      // the tiers it overlaps; `overlap` = how many of its rows fall
+      // in that tier
+      cum.join(broadcast(tiers),
+          col("end_rank") >= col("lo") && col("start_rank") < col("hi"))
+        .withColumn("overlap",
+          least(col("hi"), col("end_rank")) -
+            greatest(col("lo") - 1, col("start_rank")))
+        .filter(col("overlap") > 0)
         .groupBy(col("bucket"))
         .agg(
-          count(lit(1)).as("n_docs"),
+          sum(col("overlap")).as("n_docs"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"),
-          sum(col("n_chars")).as("sum_chars"))
-        .orderBy(col("bucket")),
+          sum(col("n_chars") * col("overlap")).as("sum_chars"))
+        .orderBy(col("bucket"))
+    },
     Some("""WITH b AS (SELECT n_chars,
                 ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
               FROM documents)

@@ -32,4 +32,36 @@ class CurationSpec extends AnyFunSuite with SparkTestSupport {
     assert(bySrc("hot").size == 15, "hot source capped")
     assert(bySrc("cold").size == 3, "under-cap source kept whole")
   }
+
+  test("ntile bucketize: histogram form equals the exact ntile window on tie-heavy fixtures") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // adversarial length distributions: ties STRADDLING tier
+    // boundaries (17 = 2×8+1 rows of few distinct lengths), a
+    // fewer-rows-than-tiers corpus (ntile emits tiles 1..n only), one
+    // mega-tie spanning several whole tiers, and an exact multiple
+    for ((lengths, tag) <- Seq(
+        (Seq.fill(9)(10L) ++ Seq.fill(5)(20L) ++ Seq.fill(3)(30L), "straddle"),
+        (Seq(5L, 7L, 9L), "fewer-than-tiers"),
+        (Seq.fill(30)(10L) ++ Seq(99L), "mega-tie"),
+        ((1L to 16L).toSeq, "exact-multiple"))) {
+      val d = Files.createTempDirectory(s"ntile-$tag").toString
+      lengths.zipWithIndex
+        .map { case (n, i) => (i.toLong, s"doc $i", "en", "s", n) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val got = Registry.queries("q_ntile_bucketize")(spark, d)
+        .collect().map(_.toSeq).toSeq
+      val exact = graft.Tables.documents(spark, d)
+        .withColumn("bucket",
+          ntile(8).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("bucket"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == exact,
+        s"[$tag] histogram form must reproduce exact ntile: $got vs $exact")
+    }
+  }
 }

@@ -75,6 +75,14 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
     // the extra shuffle is the coarse ranking window
     "q_similarity_indexed_sq8" -> "shuffles=3 joins=[BroadcastHashJoin x3,BroadcastNestedLoopJoin x1]",
     "q_oov_rate" -> "shuffles=3 joins=[BroadcastHashJoin x1]",
+    // r9 ntile scale swap: the BroadcastNestedLoopJoin is the 8-row
+    // tier-boundary RANGE join (non-equi predicate over a broadcast
+    // 8-row side — the cheap and correct strategy for it); the
+    // shuffles are the corpus→histogram fold and the 8-group
+    // agg/sort tail. The forbidden regression — the corpus-wide
+    // unpartitioned ntile window — would read shuffles=2 joins=[]:
+    // joins=[] is what this pin rejects.
+    "q_ntile_bucketize" -> "shuffles=2 joins=[BroadcastNestedLoopJoin x1]",
     // sq8's BroadcastNestedLoopJoin is the deliberate broadcast-tiny
     // query-set cross (same stance as bruteforce/ivf in PlanDump's
     // flag exclusions); the two BroadcastHashJoins are the survivor-id
