@@ -28,10 +28,13 @@ object MinhashIndex {
 
   private val META = "_MINHASH_META.json"
 
+  // bucket_n = TRUE pre-truncation bucket occupancy (see
+  // Dedup.minhashBands) — reads of a pre-r9 index surface it as null
   private val bandsSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("band", IntegerType),
-    StructField("bh", LongType)))
+    StructField("bh", LongType),
+    StructField("bucket_n", LongType)))
 
   private val shinglesSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -75,6 +78,11 @@ object MinhashIndex {
     (spark.read.schema(bandsSchema).parquet(s"$dir/$b"),
       spark.read.schema(shinglesSchema).parquet(s"$dir/$s"))
   }
+
+  /** True once [[build]] ever committed at `dir` (or a pre-r9 legacy
+    * layout exists there). */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    currentNames(fsFor(spark, dir), dir).isDefined
 
   /** The committed version names, or the pre-r9 unversioned layout if
     * only legacy dirs exist; None when nothing was ever built. */

@@ -118,7 +118,18 @@ object Dedup {
     * the band hash and verifies against whichever members remain —
     * while the probe's candidate fan-out stays capped. */
   def minhashBands(docs: DataFrame): DataFrame =
-    bandsOf(minhashSig(docs))
+    occupancyBands(minhashSig(docs))
+
+  /** [[minhashBands]] from an already-computed signature set.
+    * `bucket_n` = the TRUE pre-truncation occupancy, carried so a
+    * consumer can apply EITHER cap stance: the streaming probe uses
+    * every stored row (truncation), the batch pair generator filters
+    * `bucket_n <= 256` (drop) — bit-identical to its inline form even
+    * on buckets the index truncated. */
+  private def occupancyBands(sig: DataFrame): DataFrame =
+    bandsOf(sig)
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
       .withColumn("bn",
         row_number().over(Window.partitionBy(col("band"), col("bh"))
           .orderBy(col("doc_id"))))
@@ -183,17 +194,34 @@ object Dedup {
     * doc_id-adjacent documents). Work scales with band-bucket
     * collision count, never n². */
   private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
-      val sig = minhashSig(Tables.documents(s, d))
-      val docs = sig.select(col("doc_id"), col("shingles"))
-      val bands = bandsOf(sig)
-      // Bucket-size cap: a bucket of b docs yields b² candidate pairs,
-      // so one degenerate mega-bucket (mass-duplicated boilerplate)
-      // dominates the whole job. Cap at 256 — such clusters are exact/
-      // near-exact dup families that exact dedup already catches; the
-      // 8×-amplified scale smoke went quadratic here without this.
-      val capped = bands.withColumn("bn",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-        .filter(col("bn") <= 256)
+    val sig = minhashSig(Tables.documents(s, d))
+    verifiedPairsFrom(occupancyBands(sig),
+      sig.select(col("doc_id"), col("shingles")))
+  }
+
+  /** [[minhashPairs]] answered FROM the persisted band index instead
+    * of an inline signature pass — the build-once / query-many form
+    * (r8 VERDICT gap #3). Bit-identical to the inline generator: the
+    * stored `bucket_n` restores the drop-the-bucket stance exactly,
+    * even on buckets the stored table truncated. */
+  private[queries] def minhashPairsIndexed(s: SparkSession, d: String): DataFrame = {
+    val (bands, shingles) =
+      graft.index.MinhashIndex.read(s, Indexed.minhashDirFor(s, d))
+    verifiedPairsFrom(bands, shingles)
+  }
+
+  /** Candidate generation + exact verification from a (bands,
+    * shingle-sets) pair — the ONE definition behind the inline and
+    * index-backed generators.
+    *
+    * Bucket-size cap: a bucket of b docs yields b² candidate pairs,
+    * so one degenerate mega-bucket (mass-duplicated boilerplate)
+    * dominates the whole job. Drop buckets over 256 — such clusters
+    * are exact/near-exact dup families that exact dedup already
+    * catches; the 8×-amplified scale smoke went quadratic here
+    * without this. */
+  private def verifiedPairsFrom(bands: DataFrame, docs: DataFrame): DataFrame = {
+      val capped = bands.filter(col("bucket_n") <= 256)
       val l = capped.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
       val r = capped.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
       val pairs = l.join(r, Seq("band", "bh"))

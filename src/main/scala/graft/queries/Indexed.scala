@@ -43,28 +43,23 @@ object Indexed {
       case c => f"_${c.toInt}%04x"
     }
 
-  private[queries] def indexDirFor(s: SparkSession, d: String): String = {
-    val fp = KMeans.dirFingerprint(s, s"$d/embeddings.parquet")
-    built.computeIfAbsent(s"$d#$fp", _ => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vindex/" +
+  /** Memoized build-once for ANY index family: resolve the target dir
+    * from (family, corpus dir, content fingerprint) and, if nothing
+    * readable is there yet, `build` into a private scratch dir and
+    * RENAME into place — two JVMs racing the same key each build the
+    * identical artifact in isolation; the rename loser just uses the
+    * winner's copy instead of overwriting files the winner may be
+    * mid-read on. */
+  private def ensureIndex(s: SparkSession, family: String, d: String,
+      sourceTable: String, exists: String => Boolean)
+      (build: String => Unit): String = {
+    val fp = KMeans.dirFingerprint(s, s"$d/$sourceTable")
+    built.computeIfAbsent(s"$family#$d#$fp", _ => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_$family/" +
         s"${encodePath(d)}__$fp"
-      if (!VectorIndex.exists(s, dir)) {
-        val e = Similarity.embDouble(s, d)
-        // same geometry as the inline q_similarity_ivf: k from the full
-        // table count, centroids = the k lowest-id vectors, postings
-        // from the corpus side (vec_id >= 10)
-        val k = Similarity.centroidsFor(e.count())
-        // build into a private scratch dir, then RENAME into place:
-        // two JVMs racing the same (corpus, fingerprint) each build
-        // the identical artifact in isolation; the rename loser just
-        // uses the winner's copy instead of overwriting files the
-        // winner may be mid-read on
+      if (!exists(dir)) {
         val scratch = s"$dir.build-${java.util.UUID.randomUUID()}"
-        VectorIndex.build(
-          e.filter(col("vec_id") >= 10).select(col("vec_id"), col("emb")),
-          e.filter(col("vec_id") < k)
-            .select(col("vec_id").as("cid"), col("emb").as("cemb")),
-          scratch)
+        build(scratch)
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         val dirP = new org.apache.hadoop.fs.Path(dir)
@@ -85,12 +80,36 @@ object Indexed {
           if (fs.exists(nested)) fs.delete(nested, true)
           if (fs.exists(scratchP)) fs.delete(scratchP, true)
         }
-        require(VectorIndex.exists(s, dir),
+        require(exists(dir),
           s"index build race at $dir left no readable index")
       }
       dir
     })
   }
+
+  private[queries] def indexDirFor(s: SparkSession, d: String): String =
+    ensureIndex(s, "vindex", d, "embeddings.parquet",
+        dir => VectorIndex.exists(s, dir)) { scratch =>
+      val e = Similarity.embDouble(s, d)
+      // same geometry as the inline q_similarity_ivf: k from the full
+      // table count, centroids = the k lowest-id vectors, postings
+      // from the corpus side (vec_id >= 10)
+      val k = Similarity.centroidsFor(e.count())
+      VectorIndex.build(
+        e.filter(col("vec_id") >= 10).select(col("vec_id"), col("emb")),
+        e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("emb").as("cemb")),
+        scratch)
+    }
+
+  /** Build-once memo for the minhash band index over a corpus dir's
+    * `documents` table — the batch near-dup queries' stored artifact
+    * ([[Dedup.minhashPairsIndexed]]). */
+  private[queries] def minhashDirFor(s: SparkSession, d: String): String =
+    ensureIndex(s, "mhindex", d, "documents.parquet",
+        dir => graft.index.MinhashIndex.exists(s, dir)) { scratch =>
+      Dedup.writeMinhashIndex(graft.Tables.documents(s, d), scratch)
+    }
 
   private val qSimilarityIndexed = Q(
     "q_similarity_indexed",
@@ -162,5 +181,36 @@ object Indexed {
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     })
 
-  def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8)
+  /** `q_minhash_dup` answered FROM the persisted band index — the
+    * build-once / query-many form of batch near-dedup (r8 VERDICT gap
+    * #3: the batch queries rebuilt signatures inline per call, the
+    * exact pattern this module eliminated for IVF). Engine-specific
+    * band hashing → rows-only at the driver; MinhashIndexSpec pins
+    * bit-equality with the inline generator, including on a bucket the
+    * stored table truncated. */
+  private val qMinhashDupIndexed = Q(
+    "q_minhash_dup_indexed",
+    (s, d) =>
+      Dedup.minhashPairsIndexed(s, d)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(50),
+    None)
+
+  /** `q_dup_clusters_minhash` from the same stored index: content-based
+    * edges off the persisted band tables, resolved by connected
+    * components. The index is built once per (corpus, fingerprint);
+    * both indexed near-dup queries — and every streaming probe —
+    * share the artifact. */
+  private val qDupClustersMinhashIndexed = Q(
+    "q_dup_clusters_minhash_indexed",
+    (s, d) =>
+      ConnectedComponents.minLabel(
+        Dedup.minhashPairsIndexed(s, d).filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b")),
+        Checkpointer.Local)
+        .orderBy(col("doc_id")),
+    None)
+
+  def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
+    qMinhashDupIndexed, qDupClustersMinhashIndexed)
 }

@@ -62,6 +62,41 @@ class MinhashIndexSpec extends AnyFunSuite with SparkTestSupport {
       "reader must promote the staged meta and serve the committed pair")
   }
 
+  test("indexed batch near-dup queries equal their inline forms on real data") {
+    val sf = "/root/testdata/sf0.001"
+    for ((indexed, inline) <- Seq(
+        "q_minhash_dup_indexed" -> "q_minhash_dup",
+        "q_dup_clusters_minhash_indexed" -> "q_dup_clusters_minhash")) {
+      val got = Registry.queries(indexed)(spark, sf).collect().map(_.toSeq).toSeq
+      val want = Registry.queries(inline)(spark, sf).collect().map(_.toSeq).toSeq
+      assert(got == want,
+        s"$indexed must answer bit-identically to $inline from the stored index")
+    }
+  }
+
+  test("indexed pair generator reproduces the drop-the-bucket stance on a bucket the index TRUNCATED") {
+    // a 300-copy family overflows the 256 cap: the stored band table
+    // keeps only 256 representatives, but carries bucket_n=300 — so
+    // the indexed generator must DROP the family's buckets exactly
+    // like the inline one, not emit 256² pairs from the survivors
+    val d = Files.createTempDirectory("mhidx-cap").toString
+    val family = (0 until 300).map(i => (i.toLong, toks("fam", 100)))
+    val nearPair = Seq(
+      (1000L, toks("pair", 100)),
+      (1001L, toks("pair", 100).replace("pair7 ", "PAIR7 ")))
+    (family ++ nearPair).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val indexed = Registry.queries("q_minhash_dup_indexed")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val inline = Registry.queries("q_minhash_dup")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed == inline, s"indexed=$indexed inline=$inline")
+    assert(inline.nonEmpty && inline.forall(r =>
+        Set(1000L, 1001L).contains(r.head.asInstanceOf[Long])),
+      s"only the under-cap near-pair may surface: $inline")
+  }
+
   test("pre-r9 unversioned layout stays readable") {
     val dir = Files.createTempDirectory("mhidx-legacy").toString
     val c = corpus("a")
