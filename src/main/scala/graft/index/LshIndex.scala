@@ -17,10 +17,15 @@ import org.apache.spark.sql.types._
   * probe expressions; the bucket table is the expensive part.
   *
   * Layout: `<dir>/_LSH_META.json` (dim, nPlanes, nTables) +
-  * `<dir>/buckets/` parquet (nn_id, nn_label, nn_emb, tbl, bucket),
+  * `<dir>/buckets_vN/` parquet (nn_id, nn_label, nn_emb, tbl, bucket),
   * occupancy-capped at build time with the same 256 cap as the inline
-  * index. Static per stream lifetime; refresh = rebuild + restart
-  * (same stance as the minhash band index).
+  * index. Refresh: a rebuild commits geometry + buckets atomically,
+  * and the `foreachBatch` consumers
+  * ([[graft.stream.LogStream.toNearestNeighborLake]]) re-resolve the
+  * meta per trigger, so a running stream serves the new version from
+  * its next micro-batch without a restart. The continuous stream-
+  * static-join form pins the version read at plan time (restart to
+  * refresh).
   */
 object LshIndex {
 

@@ -979,4 +979,108 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(got.forall(_._1.contains("\"serviceId\":\"svc-42\"")))
     assert(got.map(_._1).exists(_.contains("\"@timestamp\":\"2019-01-18T02:00:03+00:00\"")))
   }
+
+  test("LSH-enriched lake serves a rebuilt index (new corpus AND geometry) from the next micro-batch, no restart") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 16).map(j => math.sin(seed * 97.0 + j * 13.0))
+    def t(time: String) = java.sql.Timestamp.valueOf(s"2019-01-18 $time")
+    val idxDir = Files.createTempDirectory("graft-nnlake-idx").toString
+    val lake = Files.createTempDirectory("graft-nnlake").toString
+    val ckpt = Files.createTempDirectory("graft-nnlake-ckpt").toString
+    val corpusA = (0 until 30).map(i => (i.toLong, "A", vec(i)))
+      .toDF("vec_id", "label", "emb")
+    graft.index.LshIndex.build(corpusA, idxDir)
+    val input = MemoryStream[EmbRow](spark)
+    val q = LogStream.toNearestNeighborLake(input.toDF(), idxDir, lake, ckpt)
+    try {
+      input.addData(EmbRow(100L, t("02:00:00"), vec(3)))
+      q.processAllAvailable()
+      // REBUILD mid-stream: same embeddings under NEW ids/labels and a
+      // DIFFERENT table count — geometry and buckets swap atomically,
+      // and the running stream must probe the new pair next batch
+      val corpusB = (0 until 30).map(i => (2000L + i, "B", vec(i)))
+        .toDF("vec_id", "label", "emb")
+      graft.index.LshIndex.build(corpusB, idxDir, nTables = 8)
+      input.addData(EmbRow(101L, t("02:01:00"), vec(7)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(lake)
+        .select("doc_id", "nn_id", "nn_label", "nn_cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toSet
+      assert(got == Set(
+        (100L, 3L, "A", 1.0),
+        (101L, 2007L, "B", 1.0)),
+        s"batch 0 must see corpus A, batch 1 must see corpus B: $got")
+    } finally q.stop()
+  }
+
+  test("ANN-enriched lake probes the stored IVF/SQ8 index and serves a rebuild next micro-batch") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 16).map(j => math.sin(seed * 97.0 + j * 13.0))
+    def t(time: String) = java.sql.Timestamp.valueOf(s"2019-01-18 $time")
+    val idxDir = Files.createTempDirectory("graft-annidx").toString
+    val lake = Files.createTempDirectory("graft-annlake").toString
+    val ckpt = Files.createTempDirectory("graft-annckpt").toString
+    // vec 10 is the planted twin of the query embedding vec(0)
+    val e = (0 until 30).map(i => (i.toLong, if (i == 10) vec(0) else vec(i)))
+      .toDF("vec_id", "emb")
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    graft.index.VectorIndex.build(e.filter(col("vec_id") >= 10), cent, idxDir)
+    val input = MemoryStream[EmbRow](spark)
+    val q = LogStream.toAnnEnrichedLake(input.toDF(), idxDir, lake, ckpt)
+    try {
+      input.addData(EmbRow(100L, t("02:00:00"), vec(0)))
+      q.processAllAvailable()
+      // REBUILD without the twin: the next micro-batch must answer
+      // from the new postings/centroids pair — not the retired one
+      graft.index.VectorIndex.build(e.filter(col("vec_id") >= 12), cent, idxDir)
+      input.addData(EmbRow(101L, t("02:01:00"), vec(0)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(lake)
+        .select("doc_id", "nn_id", "nn_cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val first = got.filter(_._1 == 100L)
+      val second = got.filter(_._1 == 101L)
+      assert(first == Set((100L, 10L, 1.0)),
+        s"batch 0 must find the planted twin at cos 1.0: $got")
+      assert(second.size == 1 && second.head._2 != 10L && second.head._3 < 1.0,
+        s"batch 1 must answer from the rebuilt (twin-free) index: $got")
+    } finally q.stop()
+  }
+
+  test("near-dedup gate follows a minhash index rebuild from the next micro-batch, no restart") {
+    import spark.implicits._
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    val idxDir = Files.createTempDirectory("graft-nd-refresh-idx").toString
+    val lake = Files.createTempDirectory("graft-nd-refresh").toString
+    val ckpt = Files.createTempDirectory("graft-nd-refresh-ckpt").toString
+    val alphaText = toks("alpha", 100)
+    val betaText = toks("beta", 100)
+    graft.queries.Dedup.writeMinhashIndex(
+      Seq((1L, alphaText)).toDF("doc_id", "text"), idxDir)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = LogStream.toNearDedupedLake(
+      input.toDF().toDF("doc_id", "text"), idxDir, lake, ckpt, threshold = 0.9)
+    try {
+      // batch 0: near-twin of alpha dropped, fresh doc kept
+      input.addData(
+        (100L, alphaText.replace("alpha7 ", "ALPHA7 ")),
+        (101L, toks("fresh", 100)))
+      q.processAllAvailable()
+      // REBUILD the index over a different corpus mid-stream
+      graft.queries.Dedup.writeMinhashIndex(
+        Seq((2L, betaText)).toDF("doc_id", "text"), idxDir)
+      // batch 1: the alpha near-twin is now FRESH (old corpus version
+      // retired), the beta near-twin is now the duplicate
+      input.addData(
+        (102L, alphaText.replace("alpha9 ", "ALPHA9 ")),
+        (103L, betaText.replace("beta7 ", "BETA7 ")))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(lake)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(101L, 102L),
+        s"gate must follow the rebuilt index next batch: $kept")
+    } finally q.stop()
+  }
 }
