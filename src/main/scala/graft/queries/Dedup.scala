@@ -49,6 +49,15 @@ object Dedup {
     * ordered by (ts, event_id). Deterministic, unlike dropDuplicates —
     * which keeps an arbitrary row and is only suitable when any
     * representative will do. One shuffle on the dedup key. */
+  private val dedupExactOracle =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                         CAST(ts AS TIMESTAMP) AS ts FROM events),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS rn FROM e)
+            SELECT user_id, event_type, event_id AS first_event_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+            FROM r WHERE rn = 1 ORDER BY user_id, event_type"""
+
   private val qDedupExact = Q(
     "q_dedup_exact",
     (s, d) => {
@@ -61,13 +70,31 @@ object Dedup {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"))
         .orderBy(col("user_id"), col("event_type"))
     },
-    Some("""WITH e AS (SELECT event_id, user_id, event_type,
-                         CAST(ts AS TIMESTAMP) AS ts FROM events),
-                 r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-                         ORDER BY ts, event_id) AS rn FROM e)
-            SELECT user_id, event_type, event_id AS first_event_id,
-              strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
-            FROM r WHERE rn = 1 ORDER BY user_id, event_type""")
+    Some(dedupExactOracle)
+  )
+
+  /** [[qDedupExact]]'s keep-earliest selection as ONE partial-
+    * aggregable aggregate — `min(struct(ts, event_id))` per key —
+    * instead of a per-key row_number window. Same hot-key logic as
+    * `q_source_cap_agg`: the window form shuffles and sorts EVERY
+    * occurrence of a key into one reducer partition (a key with 10M
+    * duplicates = a 10M-row sort on one task); the aggregate form
+    * combines map-side, so the shuffle carries one candidate row per
+    * (partition, key) and no per-key sort exists. REUSES the window
+    * form's oracle VERBATIM — hash-green machine-checks the swap picks
+    * the identical representative (struct comparison is lexicographic:
+    * earliest ts, then lowest event_id). */
+  private val qDedupExactAgg = Q(
+    "q_dedup_exact_agg",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+        .select(col("user_id"), col("event_type"),
+          col("f.event_id").as("first_event_id"),
+          date_format(col("f.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"))
+        .orderBy(col("user_id"), col("event_type")),
+    Some(dedupExactOracle)
   )
 
   /** MinHash + LSH near-duplicate candidates:
@@ -600,7 +627,7 @@ object Dedup {
   )
 
   def qs: Seq[Q] =
-    Seq(qDedupExact, qMinhashDup, qSimhashDup, qNgramJaccard,
+    Seq(qDedupExact, qDedupExactAgg, qMinhashDup, qSimhashDup, qNgramJaccard,
       qNgramContainment, qDecontaminate, qDupClusters,
       qDupClustersMinhash, qLeakageSafeSplit)
 }

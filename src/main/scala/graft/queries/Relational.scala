@@ -1282,6 +1282,104 @@ object Relational {
              FROM z GROUP BY bucket ORDER BY bucket""")
   )
 
+  /** Exact distributed SIMPLE LINEAR REGRESSION + correlation per
+    * group (the `regr_slope`/`regr_intercept`/`corr` family) — fitted
+    * from SUFFICIENT STATISTICS: one partial-aggregable pass collects
+    * the six sums (n, Σx, Σy, Σxy, Σx², Σy²) and the coefficients are
+    * closed-form arithmetic on the six per-group rows. That is the
+    * whole scale story: map-side combine does the heavy lifting, the
+    * shuffle carries 6 numbers per (partition, group), and adding 100×
+    * more data changes nothing downstream — the same shape streaming
+    * or incremental fitting would merge.
+    *
+    * Hash-exactness discipline: the built-in `corr`/`regr_*` aggregate
+    * DOUBLES in data order (both engines), so their results are
+    * partition-count-dependent — unusable under a bit-compare. Here x
+    * (quantity) and y (price in cents) are INTEGERS, the sums are
+    * exact (DECIMAL(38) on Spark, HUGEINT in DuckDB), and the final
+    * coefficients are ONE double expression over identical exact
+    * inputs — IEEE ops are correctly rounded, so both engines emit the
+    * same bits. (`round(x*100)` is safe here, unlike general per-row
+    * rounding: both engines round the SAME double, and x100 of a
+    * 2-decimal price never lands on a .5 tie.) */
+  private val qRegressionStats = Q(
+    "q_regression_stats",
+    (s, d) => {
+      val b = Tables.lineitem(s, d).select(
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      b.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy"))
+        .withColumn("nd", col("n").cast("double"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("nd") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("nd") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"),
+          ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            (col("nd") * col("sxx") - col("sx") * col("sx")))
+            .as("slope_cents_per_unit"),
+          ((col("sy") - ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+              (col("nd") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+            col("nd")).as("intercept_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH b AS (SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+               FROM lineitem),
+                 s AS (SELECT l_returnflag, count(*) AS n,
+                 CAST(count(*) AS DOUBLE) AS nd,
+                 CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x*y) AS DOUBLE) AS sxy,
+                 CAST(sum(x*x) AS DOUBLE) AS sxx,
+                 CAST(sum(y*y) AS DOUBLE) AS syy
+               FROM b GROUP BY l_returnflag)
+             SELECT l_returnflag, n,
+               (nd*sxy - sx*sy) / (sqrt(nd*sxx - sx*sx) * sqrt(nd*syy - sy*sy))
+                 AS corr_qty_price,
+               (nd*sxy - sx*sy) / (nd*sxx - sx*sx) AS slope_cents_per_unit,
+               (sy - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * sx) / nd
+                 AS intercept_cents
+             FROM s ORDER BY l_returnflag""")
+  )
+
+  /** Deterministic MODE per key (most frequent event_type per user,
+    * ties to the lexicographically smallest) WITHOUT a window: count
+    * per (key, value), then `min(struct(-cnt, value))` per key — both
+    * levels are partial-aggregable HashAggregates, so the shuffle
+    * carries one row per (partition, key[, value]) and no corpus-wide
+    * sort or per-key row_number ever runs (the window idiom the oracle
+    * uses is the NON-scalable formulation; hash-green proves the
+    * aggregate form selects the identical row). The built-in `mode()`
+    * of both engines is tie-nondeterministic — unusable under a
+    * bit-compare and in any reproducible pipeline. */
+  private val qModePerKey = Q(
+    "q_mode_per_key",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("mode_event"),
+          (-col("m.neg")).as("n_events"))
+        .orderBy(col("user_id")),
+    Some("""WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+                       FROM events GROUP BY user_id, event_type),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                         ORDER BY cnt DESC, event_type) AS rn FROM c)
+            SELECT user_id, event_type AS mode_event, cnt AS n_events
+            FROM r WHERE rn = 1 ORDER BY user_id""")
+  )
+
   def qs: Seq[Q] = Seq(
     qScanProjection, qFilterPredicate,
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
@@ -1295,5 +1393,5 @@ object Relational {
     qSubqueryCorrelated, qPathTransitions, qFunnelSteps,
     qCohortRetention, qStringAggOrdered,
     qBloomPrefilterJoin, qIntervalMerge, qAnomalyMad, qDecayedCounts,
-    qZorderLayout, qZorderLayout3)
+    qZorderLayout, qZorderLayout3, qRegressionStats, qModePerKey)
 }

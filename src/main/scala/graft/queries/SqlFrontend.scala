@@ -151,5 +151,27 @@ object SqlFrontend {
        FROM nation_rev ORDER BY n_name""",
     Seq("orders", "customer", "nation"))
 
-  def qs: Seq[Q] = Seq(qSqlAggGroupby, qSqlJoinBroadcast, qSqlWindowRank, qSqlCte)
+  /** GROUPING SETS — the general form `cube`/`rollup` are shorthands
+    * of: three explicit aggregation grains in ONE pass over the fact
+    * table, each output row tagged by its grain via `grouping()` bits
+    * (the standard way a reporting layer distinguishes a (flag,status)
+    * cell from a flag subtotal from the grand total — rollup/cube
+    * cover only prefix/power-set grains). Same one-string portability
+    * discipline as the rest of this front-end; Spark executes it as a
+    * single Expand + hash aggregate — grains share the scan, no
+    * per-grain re-read, exactly like `q_agg_rollup`. */
+  private val qSqlGroupingSets = sqlQ(
+    "q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+         CAST(grouping(l_returnflag) AS INT) * 2 +
+           CAST(grouping(l_linestatus) AS INT) AS gid,
+         count(*) AS n_rows,
+         CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       ORDER BY gid, l_returnflag, l_linestatus""",
+    Seq("lineitem"))
+
+  def qs: Seq[Q] = Seq(qSqlAggGroupby, qSqlJoinBroadcast, qSqlWindowRank, qSqlCte,
+    qSqlGroupingSets)
 }

@@ -1,0 +1,76 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Planted-input semantics for the r9 exact-stats family: the
+  * aggregate dedup swap must pick the window form's exact row under
+  * ties and skew, the deterministic mode must break ties to the
+  * smallest value, and the regression coefficients must be the
+  * closed-form truth on a perfectly linear fixture. */
+class ExactStatsSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  /** events fixture in the on-disk shape `Tables.events` expects:
+    * `ts` as NANOS-since-epoch long (the shim truncates to micros). */
+  private def writeEvents(d: String,
+      rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+
+  test("dedup agg form picks the window form's exact representative under ties and a hot key") {
+    val d = Files.createTempDirectory("dedupagg").toString
+    val base = 1547776800L * 1000000000L
+    // user 1: a pathologically hot key (5000 dups) whose two EARLIEST
+    // rows tie on ts — the representative must be the lower event_id;
+    // user 2: a singleton
+    val hot = (0 until 5000).map(i =>
+      ((5000 - i).toLong, base + (i % 997) * 1000000L, 1L, "click", 1.0, "{}"))
+    val tied = Seq(
+      (9001L, base - 1000000L, 1L, "click", 1.0, "{}"),
+      (9000L, base - 1000000L, 1L, "click", 1.0, "{}"))
+    writeEvents(d, hot ++ tied :+ (42L, base, 2L, "view", 1.0, "{}"))
+    val agg = Registry.queries("q_dedup_exact_agg")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val win = Registry.queries("q_dedup_exact")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(agg == win, s"agg=$agg win=$win")
+    assert(agg.head(2) == 9000L, s"tie must break to the lowest event_id: $agg")
+  }
+
+  test("mode per key is deterministic: ties break to the smallest value") {
+    val d = Files.createTempDirectory("modekey").toString
+    val base = 1547776800L * 1000000000L
+    // user 1: click×2 vs view×2 (tie → 'click'); user 2: clear winner
+    writeEvents(d, Seq(
+      (1L, base, 1L, "view", 1.0, "{}"),
+      (2L, base, 1L, "view", 1.0, "{}"),
+      (3L, base, 1L, "click", 1.0, "{}"),
+      (4L, base, 1L, "click", 1.0, "{}"),
+      (5L, base, 2L, "view", 1.0, "{}"),
+      (6L, base, 2L, "view", 1.0, "{}"),
+      (7L, base, 2L, "click", 1.0, "{}")))
+    val got = Registry.queries("q_mode_per_key")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "click", 2L), (2L, "view", 2L)), got.toString)
+  }
+
+  test("regression stats recover the exact line from a perfectly linear fixture") {
+    val d = Files.createTempDirectory("regstats").toString
+    // y_cents = 2x + 3 exactly: slope 2, intercept 3, corr 1.0
+    (1 to 40).map(x => ("A", x.toDouble, (2 * x + 3) / 100.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = Registry.queries("q_regression_stats")(spark, d).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 40L)
+    // the closed form may exceed 1 by an ulp (sqrt rounding); the
+    // contract is determinism, not clamping
+    assert(math.abs(r.head.getDouble(2) - 1.0) < 1e-12, s"corr: ${r.head.getDouble(2)}")
+    assert(math.abs(r.head.getDouble(3) - 2.0) < 1e-9, s"slope: ${r.head.getDouble(3)}")
+    assert(math.abs(r.head.getDouble(4) - 3.0) < 1e-9, s"intercept: ${r.head.getDouble(4)}")
+  }
+}
