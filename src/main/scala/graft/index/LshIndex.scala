@@ -64,6 +64,19 @@ object LshIndex {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = if (metaExists(fs, dir)) Some(readMetaFull(fs, dir)) else None
+    // ONE-GENERATION GRACE: retire only versions the CURRENT meta does
+    // not name (crash orphans AND the version the PREVIOUS build
+    // retired) — never the version a just-now reader may have resolved.
+    // Deleting the pre-rebuild version right after the commit would
+    // yank files out from under an in-flight scan that read the old
+    // meta a moment earlier (a streaming trigger mid-probe) and kill
+    // the very query the no-restart refresh contract protects.
+    current.foreach { case (_, name) =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("buckets")
+          && st.getPath.getName != name)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     val next = current match {
       case Some((_, name)) =>
         s"buckets_v${name.stripPrefix("buckets_v").stripPrefix("buckets")
@@ -75,15 +88,11 @@ object LshIndex {
     val nPlanes = planesFor(c.count())
     bucketedCorpus(c, dim, nPlanes, nTables)
       .write.mode("overwrite").parquet(s"$dir/$next")
-    // commit: geometry + buckets version in ONE staged meta swap
+    // commit: geometry + buckets version in ONE staged meta swap; the
+    // pre-rebuild version stays on disk until the NEXT build's grace
+    // cleanup above
     MetaMarker.write(fs, dir, "_LSH_META.json",
       s"""{"dim": $dim, "n_planes": $nPlanes, "n_tables": $nTables, "buckets": "$next"}""")
-    // retire every other buckets version (the pre-rebuild one and any
-    // orphans from crashed builds)
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("buckets")
-        && st.getPath.getName != next)
-      .foreach(st => fs.delete(st.getPath, true))
   }
 
   def readGeometry(spark: SparkSession, dir: String): Geometry =
@@ -94,6 +103,17 @@ object LshIndex {
   def buckets(spark: SparkSession, dir: String): DataFrame = {
     val name = readMetaFull(fsFor(spark, dir), dir)._2
     spark.read.schema(bucketsSchema).parquet(s"$dir/$name")
+  }
+
+  /** Geometry AND buckets from ONE meta read — what every consumer
+    * must use: calling [[readGeometry]] then [[buckets]] reads the
+    * meta twice, and a rebuild committing between the two reads would
+    * pair old-geometry probe expressions with new-geometry buckets —
+    * a torn read that silently enriches with near-nothing, the exact
+    * failure the atomic swap exists to prevent. */
+  def readIndex(spark: SparkSession, dir: String): (Geometry, DataFrame) = {
+    val (g, name) = readMetaFull(fsFor(spark, dir), dir)
+    (g, spark.read.schema(bucketsSchema).parquet(s"$dir/$name"))
   }
 
   private def fsFor(spark: SparkSession, dir: String) =

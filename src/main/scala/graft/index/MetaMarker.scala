@@ -24,26 +24,49 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 private[graft] object MetaMarker {
 
-  /** True once a marker was ever committed at `dir` — including one
-    * staged mid-swap, which [[read]] promotes. */
+  /** True once a marker was ever COMMITTED at `dir` — including one
+    * staged mid-swap, which [[read]] promotes. A staged-only file that
+    * does not parse is NOT a commit: it is the debris of a first-ever
+    * write that crashed mid-stage (a staged copy only becomes the
+    * committed state once it was fully written — [[write]] deletes the
+    * live marker strictly after closing the stage), so it must not
+    * make a half-built index look live. */
   def exists(fs: FileSystem, dir: String, name: String): Boolean =
-    fs.exists(new Path(dir, name)) || fs.exists(new Path(dir, s"$name.next"))
+    fs.exists(new Path(dir, name)) ||
+      (fs.exists(new Path(dir, s"$name.next")) &&
+        parse(fs, new Path(dir, s"$name.next")).isDefined)
 
-  /** Read the live marker, healing an interrupted swap first. */
+  /** Read the live marker, healing an interrupted swap first. A torn
+    * staged-only marker (crashed first-ever stage) is discarded and
+    * reported as "no index" rather than promoted into a permanently
+    * unparseable live marker. */
   def read(fs: FileSystem, dir: String, name: String): JsonNode = {
     val live = new Path(dir, name)
     val staged = new Path(dir, s"$name.next")
     if (!fs.exists(live)) {
       require(fs.exists(staged), s"no index meta at $dir")
+      if (parse(fs, staged).isEmpty) {
+        fs.delete(staged, false)
+        require(false, s"no index meta at $dir (torn staged marker discarded)")
+      }
       fs.rename(staged, live)
       require(fs.exists(live), s"meta promotion failed at $dir")
     }
-    val in = fs.open(live)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    new ObjectMapper().readTree(text)
+    parse(fs, live).getOrElse(
+      throw new IllegalStateException(s"unreadable index meta at $dir/$name"))
   }
+
+  private def parse(fs: FileSystem, p: Path): Option[JsonNode] =
+    try {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val node = new ObjectMapper().readTree(text)
+      // readTree returns null/MissingNode-ish values for empty input
+      // instead of throwing — normalize both to "not a commit"
+      Option(node).filter(_.isObject)
+    } catch { case _: java.io.IOException => None }
 
   /** Commit `json` as the marker's new content (stage-then-swap). */
   def write(fs: FileSystem, dir: String, name: String, json: String): Unit = {

@@ -45,7 +45,22 @@ object MinhashIndex {
   def build(bands: DataFrame, shingles: DataFrame, dir: String): Unit = {
     val spark = bands.sparkSession
     val fs = fsFor(spark, dir)
-    val n = currentNames(fs, dir) match {
+    val current = currentNames(fs, dir)
+    // ONE-GENERATION GRACE (the LshIndex.build stance): retire only
+    // dirs the CURRENT meta does not name — crash orphans and the pair
+    // the PREVIOUS build retired — never the pair a just-now reader
+    // (a streaming trigger mid-probe) may still be scanning.
+    current.foreach { case (curB, curS) =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter { st =>
+          val name = st.getPath.getName
+          st.isDirectory &&
+            (name.startsWith("bands") || name.startsWith("shingles")) &&
+            name != curB && name != curS
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    val n = current match {
       case Some((b, _)) =>
         b.stripPrefix("bands").stripPrefix("_v").toIntOption.getOrElse(0) + 1
       case None => 0
@@ -53,19 +68,11 @@ object MinhashIndex {
     val (nextB, nextS) = (s"bands_v$n", s"shingles_v$n")
     bands.write.mode("overwrite").parquet(s"$dir/$nextB")
     shingles.write.mode("overwrite").parquet(s"$dir/$nextS")
-    // commit: the pair switches together or not at all
+    // commit: the pair switches together or not at all; the
+    // pre-rebuild pair stays on disk until the next build's grace
+    // cleanup
     MetaMarker.write(fs, dir, META,
       s"""{"bands": "$nextB", "shingles": "$nextS"}""")
-    // retire every other version (the pre-rebuild pair and any orphans
-    // of crashed builds)
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter { st =>
-        val name = st.getPath.getName
-        st.isDirectory &&
-          (name.startsWith("bands") || name.startsWith("shingles")) &&
-          name != nextB && name != nextS
-      }
-      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** The committed (bands, shingles) pair as pure reads (explicit

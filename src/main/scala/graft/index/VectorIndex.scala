@@ -143,19 +143,20 @@ object VectorIndex {
       .sortWithinPartitions(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/$nextP")
     // COMMIT: one staged swap names the new centroids+postings pair and
-    // retires the old-geometry appends
+    // retires the old-geometry appends. The label list is taken at the
+    // commit point; an append lands in it or after the whole commit,
+    // never half-in — concurrent appends during a build would be a
+    // second writer, outside the module's single-writer contract.
     val retired = appendLabels(spark, dir)
     writeMeta(spark, dir,
       Meta(stats.getLong(0), stats.getInt(1), nextP, nextC, retired))
-    retired.foreach(l =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
-    prior.foreach { m =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${m.postings}"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${m.centroids}"), true)
-    }
-    if (retired.nonEmpty)
-      writeMeta(spark, dir,
-        Meta(stats.getLong(0), stats.getInt(1), nextP, nextC, Seq.empty))
+    // ONE-GENERATION GRACE: nothing is deleted after the commit. The
+    // retired versions and folded appends stay on disk — excluded from
+    // every read via the meta — until the NEXT build/compact's step-1
+    // cleanup. Deleting them here would yank files out from under a
+    // reader that resolved the old meta a moment before the swap (a
+    // streaming trigger mid-search), killing the very query the
+    // no-restart refresh contract protects.
   }
 
   /** Version dirs (`centroids*` / `postings*`) that `m` does NOT name —
@@ -203,19 +204,20 @@ object VectorIndex {
     * commit-marker protocol (single writer assumed):
     *
     *  1. leftover cleanup — delete append dirs already folded by a
-    *     previous compact (listed in the meta) and any postings
-    *     version that is not the current one;
+    *     previous compact/build (listed in the meta) and any version
+    *     dirs the meta does not name;
     *  2. write `postings_v<n+1>` from current ∪ live appends;
     *  3. COMMIT: rewrite `_INDEX_META.json` naming the new version and
     *     the labels it folded (readers atomically switch, and folded
-    *     labels are excluded from reads even while their dirs linger);
-    *  4. delete the folded append dirs and the old version;
-    *  5. clear the folded list in the meta.
+    *     labels are excluded from reads even while their dirs linger).
     *
-    * A crash before 3 leaves the old state fully live (the half-built
-    * version is garbage, removed by the next compact's step 1). A
-    * crash after 3 leaves correct reads immediately (folded labels
-    * excluded), and the next compact's step 1 completes the cleanup. */
+    * Cleanup of the now-retired dirs is deliberately DEFERRED to the
+    * next compact/build's step 1 — the one-generation grace that keeps
+    * a reader who resolved the old meta just before the commit from
+    * having files deleted under its in-flight scan. A crash before 3
+    * leaves the old state fully live (the half-built version is
+    * garbage, removed by step 1 next time); a crash after 3 IS the
+    * normal post-state. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val fs = fsFor(spark, dir)
     val meta0 = readMeta(spark, dir)
@@ -243,12 +245,12 @@ object VectorIndex {
       }
       .sortWithinPartitions(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/$next")
-    // step 3 — the commit point
+    // step 3 — the commit point. Cleanup of the folded dirs and the
+    // old version is DEFERRED to the next compact/build's step 1 (the
+    // same one-generation grace as build): deleting them here would
+    // race a reader that resolved the pre-commit meta a moment ago.
+    // Reads are correct immediately — folded labels are excluded.
     writeMeta(spark, dir, meta.copy(postings = next, folded = labels))
-    labels.foreach(l =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${meta.postings}"), true)
-    writeMeta(spark, dir, meta.copy(postings = next, folded = Seq.empty))
   }
 
   /** All live postings: the CURRENT version (named by the meta) ∪ every

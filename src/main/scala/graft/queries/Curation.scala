@@ -174,8 +174,13 @@ object Curation {
         .withColumn("start_rank", col("end_rank") - col("cnt"))
       // ntile(8) boundaries from the total: the first (total mod 8)
       // tiers get one extra row — computed on the driver from ONE
-      // scalar (a bounded, documented collect)
-      val total = cum.agg(max(col("end_rank"))).head().getLong(0)
+      // scalar (a bounded, documented collect). The total comes from
+      // the histogram's OWN sum — no window and no second running-rank
+      // execution in this job — and coalesce handles the empty table
+      // (sum over zero rows is null; ntile over zero rows is zero
+      // tiers, matching the oracle's empty result)
+      val total = hist.agg(coalesce(sum(col("cnt")), lit(0L)))
+        .head().getLong(0)
       val base = total / 8
       val rem = total % 8
       val bounds = (1 to 8).scanLeft((0, 0L, 0L)) { case ((b, _, hi), nb) =>

@@ -232,8 +232,15 @@ object Dedup {
     * stored `bucket_n` restores the drop-the-bucket stance exactly,
     * even on buckets the stored table truncated. */
   private[queries] def minhashPairsIndexed(s: SparkSession, d: String): DataFrame = {
-    val (bands, shingles) =
-      graft.index.MinhashIndex.read(s, Indexed.minhashDirFor(s, d))
+    val dir = Indexed.minhashDirFor(s, d)
+    val (bands, shingles) = graft.index.MinhashIndex.read(s, dir)
+    // fail LOUDLY on a pre-r9 index (no bucket_n): the cap filter
+    // below would evaluate null <= 256 → null and silently drop every
+    // band — zero pairs with no error. One tiny probe job; the memo
+    // above always builds current-format indexes, so this only fires
+    // on a foreign/stale dir.
+    require(bands.filter(col("bucket_n").isNull).head(1).isEmpty,
+      s"minhash index at $dir predates bucket_n — rebuild it (writeMinhashIndex)")
     verifiedPairsFrom(bands, shingles)
   }
 

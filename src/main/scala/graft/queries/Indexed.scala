@@ -35,13 +35,30 @@ object Indexed {
 
   /** Injective path→dirname encoding: `[A-Za-z0-9.-]` pass through,
     * every other char (including '_', the escape lead) becomes
-    * `_XXXX` hex. Decodable, collision-free by construction. */
-  private[queries] def encodePath(raw: String): String =
-    raw.flatMap {
+    * `_XXXX` hex. Escaping inflates (5 bytes/char), and a dir NAME
+    * component must stay under the 255-byte filesystem limit — so past
+    * 120 encoded chars the name switches to a truncated prefix (for
+    * human greppability) plus a full SHA-256 of the RAW path.
+    * Collision-free either way: short names by decodability, long
+    * names by the full-width hash. */
+  private[queries] def encodePath(raw: String): String = {
+    val enc = raw.flatMap {
       case c if c != '_' && (c.isLetterOrDigit && c < 128 || c == '.' || c == '-') =>
         c.toString
       case c => f"_${c.toInt}%04x"
     }
+    if (enc.length <= 120) enc
+    else {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // never split an _XXXX escape: trim back to a safe boundary
+      val cut = enc.lastIndexOf('_', 80) match {
+        case i if i > 75 => i // an escape could straddle the cut
+        case _ => 80
+      }
+      s"${enc.substring(0, cut)}...$digest"
+    }
+  }
 
   /** Memoized build-once for ANY index family: resolve the target dir
     * from (family, corpus dir, content fingerprint) and, if nothing

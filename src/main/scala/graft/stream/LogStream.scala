@@ -437,11 +437,49 @@ object LogStream {
       indexDir: String,
       lateness: String,
       multiprobe: Boolean): DataFrame = {
-    val g = graft.index.LshIndex.readGeometry(stream.sparkSession, indexDir)
-    nnEnrichCore(stream,
-      graft.index.LshIndex.buckets(stream.sparkSession, indexDir),
-      g.dim, g.nPlanes, g.nTables, lateness, multiprobe)
+    // geometry and buckets from ONE meta read — two reads could pair
+    // old-geometry probes with new-geometry buckets across a racing
+    // rebuild's commit (see LshIndex.readIndex)
+    val (g, buckets) =
+      graft.index.LshIndex.readIndex(stream.sparkSession, indexDir)
+    nnEnrichCore(stream, buckets, g.dim, g.nPlanes, g.nTables,
+      lateness, multiprobe)
   }
+
+  /** The shared candidate pipeline of both LSH enrichment forms:
+    * per-row (multi)probe bucketing → (tbl, bucket) equi-join against
+    * the bucketed corpus → rounded cosine per candidate. Probe
+    * expressions derive from the SAME geometry the buckets were built
+    * with — including the table count (probing 4 tables of an 8-table
+    * index would silently halve recall). */
+  private def nnCandidates(
+      rows: DataFrame,
+      bucketedCorpus: DataFrame,
+      dim: Int,
+      nPlanes: Int,
+      nTables: Int,
+      multiprobe: Boolean): DataFrame = {
+    import graft.queries.Similarity.{lshBucketsExpr, lshQueryProbesExpr}
+    val streamBuckets =
+      if (multiprobe) lshQueryProbesExpr(col("emb"), dim, nPlanes, nTables)
+      else lshBucketsExpr(col("emb"), dim, nPlanes, nTables)
+    rows
+      .select(col("doc_id"), col("ts"), col("emb"),
+        explode(streamBuckets).as("h"))
+      .select(col("doc_id"), col("ts"), col("emb"),
+        col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
+      .join(bucketedCorpus, Seq("tbl", "bucket"))
+      .withColumn("cos",
+        round(call_function("cosine_sim", col("emb"), col("nn_emb")), 6))
+  }
+
+  /** The shared best-candidate pick: ties on cos break toward the
+    * LOWEST nn_id (negate inside the max-struct) — the same order the
+    * batch index uses (`cos DESC, neighbor_id ASC`), so stream and
+    * batch agree on duplicate corpus vectors. */
+  private val nnBest =
+    max(struct(col("cos"), (-col("nn_id")).as("neg_id"),
+      col("nn_id"), col("nn_label"))).as("nn")
 
   private def nnEnrichCore(
       stream: DataFrame,
@@ -450,72 +488,39 @@ object LogStream {
       nPlanes: Int,
       nTables: Int,
       lateness: String,
-      multiprobe: Boolean): DataFrame = {
-    import graft.queries.Similarity.{lshBucketsExpr, lshQueryProbesExpr}
-    // probe expressions derive from the SAME geometry the buckets were
-    // built with — including the table count (probing 4 tables of an
-    // 8-table index would silently halve recall)
-    val streamBuckets =
-      if (multiprobe) lshQueryProbesExpr(col("emb"), dim, nPlanes, nTables)
-      else lshBucketsExpr(col("emb"), dim, nPlanes, nTables)
-    stream
-      .withWatermark("ts", lateness)
-      .select(col("doc_id"), col("ts"), col("emb"),
-        explode(streamBuckets).as("h"))
-      .select(col("doc_id"), col("ts"), col("emb"),
-        col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
-      .join(bucketedCorpus, Seq("tbl", "bucket"))
-      .withColumn("cos",
-        round(call_function("cosine_sim", col("emb"), col("nn_emb")), 6))
+      multiprobe: Boolean): DataFrame =
+    nnCandidates(stream.withWatermark("ts", lateness), bucketedCorpus,
+      dim, nPlanes, nTables, multiprobe)
       // the window() below becomes the aggregation's one event-time
       // column; group/emit on a metadata-stripped copy of ts (same
       // trick as asOfErrorContext)
       .withColumn("doc_ts",
         col("ts").as("doc_ts", org.apache.spark.sql.types.Metadata.empty))
       .groupBy(window(col("ts"), "1 minute"), col("doc_id"), col("doc_ts"))
-      // ties on cos break toward the LOWEST nn_id (negate inside the
-      // max-struct) — the same order the batch index uses
-      // (`cos DESC, neighbor_id ASC`), so stream and batch agree on
-      // duplicate corpus vectors
-      .agg(max(struct(col("cos"), (-col("nn_id")).as("neg_id"),
-        col("nn_id"), col("nn_label"))).as("nn"))
+      .agg(nnBest)
       .select(col("doc_id"), col("doc_ts").as("ts"),
         col("nn.nn_id").as("nn_id"), col("nn.nn_label").as("nn_label"),
         col("nn.cos").as("nn_cos"))
-  }
 
   /** Batch-mode LSH enrichment of one micro-batch — the per-batch core
-    * of [[toNearestNeighborLake]]. Same probe expressions, join, and
-    * tie-break as [[nnEnrichCore]], but with a plain groupBy instead of
-    * the watermarked window: inside `foreachBatch` every candidate
-    * arrives WITH its row (the corpus side is static), so there is no
-    * late data to wait for and no cross-batch state to keep. */
+    * of [[toNearestNeighborLake]]: the same [[nnCandidates]] pipeline
+    * and [[nnBest]] tie-break, with a plain groupBy instead of the
+    * watermarked window: inside `foreachBatch` every candidate arrives
+    * WITH its row (the corpus side is static), so there is no late
+    * data to wait for and no cross-batch state to keep. */
   private def nnEnrichBatch(
       batch: DataFrame,
       bucketedCorpus: DataFrame,
       dim: Int,
       nPlanes: Int,
       nTables: Int,
-      multiprobe: Boolean): DataFrame = {
-    import graft.queries.Similarity.{lshBucketsExpr, lshQueryProbesExpr}
-    val streamBuckets =
-      if (multiprobe) lshQueryProbesExpr(col("emb"), dim, nPlanes, nTables)
-      else lshBucketsExpr(col("emb"), dim, nPlanes, nTables)
-    batch
-      .select(col("doc_id"), col("ts"), col("emb"),
-        explode(streamBuckets).as("h"))
-      .select(col("doc_id"), col("ts"), col("emb"),
-        col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
-      .join(bucketedCorpus, Seq("tbl", "bucket"))
-      .withColumn("cos",
-        round(call_function("cosine_sim", col("emb"), col("nn_emb")), 6))
+      multiprobe: Boolean): DataFrame =
+    nnCandidates(batch, bucketedCorpus, dim, nPlanes, nTables, multiprobe)
       .groupBy(col("doc_id"), col("ts"))
-      .agg(max(struct(col("cos"), (-col("nn_id")).as("neg_id"),
-        col("nn_id"), col("nn_label"))).as("nn"))
+      .agg(nnBest)
       .select(col("doc_id"), col("ts"),
         col("nn.nn_id").as("nn_id"), col("nn.nn_label").as("nn_label"),
         col("nn.cos").as("nn_cos"))
-  }
 
   /** Streaming LSH similarity enrichment with ONLINE index refresh —
     * the `foreachBatch` deployment form of [[nearestNeighborEnriched]]:
@@ -547,11 +552,13 @@ object LogStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val s = batch.sparkSession
-        val g = graft.index.LshIndex.readGeometry(s, indexDir)
+        // ONE meta read per trigger feeds both the geometry (probe
+        // expressions) and the bucket table — two reads could tear
+        // across a rebuild's commit and probe with stale geometry
+        val (g, buckets) =
+          graft.index.LshIndex.readIndex(batch.sparkSession, indexDir)
         writeBatchIdempotent(
-          nnEnrichBatch(batch.toDF(),
-            graft.index.LshIndex.buckets(s, indexDir),
+          nnEnrichBatch(batch.toDF(), buckets,
             g.dim, g.nPlanes, g.nTables, multiprobe),
           lakeDir, batchId)
       }

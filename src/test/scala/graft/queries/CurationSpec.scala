@@ -63,5 +63,11 @@ class CurationSpec extends AnyFunSuite with SparkTestSupport {
       assert(got == exact,
         s"[$tag] histogram form must reproduce exact ntile: $got vs $exact")
     }
+    // empty table: zero tiers, not a crash (the oracle returns 0 rows)
+    val d = Files.createTempDirectory("ntile-empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    assert(Registry.queries("q_ntile_bucketize")(spark, d).collect().isEmpty)
   }
 }

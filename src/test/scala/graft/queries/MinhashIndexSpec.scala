@@ -21,7 +21,7 @@ class MinhashIndexSpec extends AnyFunSuite with SparkTestSupport {
     Seq((1L, toks(seed, 100)), (2L, toks(s"${seed}other", 100)))
       .toDF("doc_id", "text")
 
-  test("rebuild rolls both versions in one commit and retires the old pair") {
+  test("rebuild rolls both versions in one commit; the old pair is retired one generation later") {
     val dir = Files.createTempDirectory("mhidx").toString
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -41,11 +41,35 @@ class MinhashIndexSpec extends AnyFunSuite with SparkTestSupport {
     val sh = s1.select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(sh == Set(1L, 2L))
     assert(b1.count() > 0)
-    for (old <- Seq("bands_v0", "shingles_v0", "bands_v7"))
-      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$old")),
-        s"retired/orphan version $old must be cleaned")
+    // the orphan (never named by any meta) is cleaned at build entry;
+    // the PRE-rebuild pair lingers one generation (a racing reader on
+    // the old meta may still be scanning it) and is cleaned by the
+    // build after that
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bands_v7")),
+      "crash orphan must be cleaned")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bands_v0")),
+      "the just-retired pair lingers one generation")
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bands_v1")) &&
       fs.exists(new org.apache.hadoop.fs.Path(s"$dir/shingles_v1")))
+    Dedup.writeMinhashIndex(corpus("c"), dir)
+    for (old <- Seq("bands_v0", "shingles_v0"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$old")),
+        s"generation-old $old must be cleaned by the next build")
+  }
+
+  test("a torn first-ever staged marker is debris, not a commit") {
+    val dir = Files.createTempDirectory("mhidx-torn").toString
+    // emulate a first build crashing mid-stage: a garbage .next file
+    // and no live marker
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_MINHASH_META.json.next"),
+      "{\"bands\": \"band".getBytes("UTF-8"))
+    assert(!MinhashIndex.exists(spark, dir),
+      "a torn staged-only marker must not make the index look live")
+    // and a retried build succeeds over the debris
+    Dedup.writeMinhashIndex(corpus("a"), dir)
+    val (b, s) = Dedup.readMinhashIndex(spark, dir)
+    assert(b.count() > 0 && s.count() == 2)
   }
 
   test("an interrupted meta swap is healed: the staged copy is the committed state") {

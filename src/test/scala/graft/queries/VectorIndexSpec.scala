@@ -93,27 +93,33 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSupport {
     assert(VectorIndex.postings(spark, s"$work/idx").count() == rowsBefore,
       "a crash-replayed append must converge, not duplicate")
 
-    // compaction folds appends into the base and changes NOTHING else
+    // compaction folds appends into the base and changes NOTHING else.
+    // The folded dir LINGERS (one-generation grace — deleting it at
+    // commit would race a reader on the old meta) but is excluded from
+    // every read via the meta's folded list.
     VectorIndex.compact(spark, s"$work/idx")
     val fs = new org.apache.hadoop.fs.Path(work)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/appends/batch-1")),
-      "compact removes the folded append sub-table")
     val compacted = VectorIndex.search(spark, s"$work/idx", query0).collect()
     assert(compacted.map(_.toSeq).toSeq == after.map(_.toSeq).toSeq,
       "compaction must not change query results")
+    assert(VectorIndex.postings(spark, s"$work/idx")
+      .filter(col("neighbor_id") === 10L).count() == 1,
+      "lingering folded dir must be excluded, not double-counted")
 
     // a SECOND append+compact cycle rolls the version again (v1 → v2)
     // with the same invariants — the versioned-pointer protocol is not
-    // a one-shot. The appended vector is NEW (id 200): appending an id
-    // already in the index stores it twice by design — dedup is the
-    // upstream curation pipeline's job, not the index's.
+    // a one-shot — and its step-1 grace cleanup retires the PREVIOUS
+    // cycle's folded dir. The appended vector is NEW (id 200):
+    // appending an id already in the index stores it twice by design —
+    // dedup is the upstream curation pipeline's job, not the index's.
     VectorIndex.append(
       Seq((200L, vec(29).map(v => v.toDouble + 0.001).toSeq))
         .toDF("vec_id", "emb"),
       s"$work/idx", "batch-2")
     VectorIndex.compact(spark, s"$work/idx")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/appends/batch-2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/appends/batch-1")),
+      "the NEXT compact completes the previous cycle's deferred cleanup")
     val twice = VectorIndex.search(spark, s"$work/idx", query0).collect()
     assert(twice.map(_.toSeq).toSeq == after.map(_.toSeq).toSeq,
       "second compaction cycle must preserve results")
@@ -122,39 +128,40 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSupport {
       "batch-2's vector folded exactly once")
   }
 
-  test("compact crash window (committed, cleanup pending): folded appends are excluded, next compact converges") {
+  test("post-compact state (commit done, cleanup deferred): folded appends are excluded, next compact converges") {
     val work = Files.createTempDirectory("vindex-crash").toString
     writeCorpus(s"$work/corpus")
     val e = embOf(s"$work/corpus")
     VectorIndex.build(e.filter(col("vec_id") >= 12), centOf(e), s"$work/idx")
     VectorIndex.append(e.filter(col("vec_id") === 10L), s"$work/idx", "batch-1")
+    // compact commits and STOPS — the folded rows are in the new base,
+    // the append dir lingers on disk, and the meta names it as folded
+    // (this is both the normal post-compact state under the
+    // one-generation grace AND the crash-after-commit state: they are
+    // the same state by design)
     VectorIndex.compact(spark, s"$work/idx")
-    // emulate a crash AFTER the meta commit but BEFORE cleanup: the
-    // folded rows are in the new base AND the append dir is back on
-    // disk, with the meta naming it as folded
-    VectorIndex.append(e.filter(col("vec_id") === 10L), s"$work/idx", "batch-1")
-    val metaPath = java.nio.file.Paths.get(s"$work/idx", "_INDEX_META.json")
-    val meta = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
-    assert(meta.contains("\"folded\": []"), meta)
-    java.nio.file.Files.write(metaPath,
-      meta.replace("\"folded\": []", "\"folded\": [\"batch-1\"]").getBytes("UTF-8"))
-    // the direct edit invalidates the local-FS CRC sidecar; drop it so
-    // the read reaches our code (object stores have no sidecar)
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(s"$work/idx", "._INDEX_META.json.crc"))
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/appends/batch-1")),
+      "cleanup is deferred: the folded dir lingers")
+    val metaTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$work/idx", "_INDEX_META.json")), "UTF-8")
+    assert(metaTxt.contains("batch-1"), metaTxt)
     // reads must EXCLUDE the lingering folded dir — the twin appears
     // exactly once, not as a duplicate neighbor row
     val hits = VectorIndex.search(spark, s"$work/idx", query0).collect()
     assert(hits.head.getLong(2) == 10L && hits.head.getDouble(3) == 1.0, hits.toSeq)
     assert(hits.count(_.getLong(2) == 10L) == 1,
       s"folded append must not double-count: ${hits.toSeq}")
-    // the next compact completes the interrupted cleanup and converges
+    // the next compact's step 1 completes the deferred cleanup (and
+    // must NOT re-fold the lingering dir as if it were a live append)
     VectorIndex.compact(spark, s"$work/idx")
-    val fs = new org.apache.hadoop.fs.Path(work)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/appends/batch-1")))
     val after = VectorIndex.search(spark, s"$work/idx", query0).collect()
     assert(after.map(_.toSeq).toSeq == hits.map(_.toSeq).toSeq)
+    assert(VectorIndex.postings(spark, s"$work/idx")
+      .filter(col("neighbor_id") === 10L).count() == 1,
+      "second compact must not duplicate the folded rows")
   }
 
   test("search scans only the probed posting lists (partition pruning is live)") {
@@ -231,17 +238,28 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSupport {
     VectorIndex.build(e.filter(col("vec_id") >= 12), centOf(e), s"$work/idx")
     val fs = new org.apache.hadoop.fs.Path(work)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/appends/batch-1")),
-      "rebuild retires old-geometry appends")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/appends/batch-1")),
+      "old-geometry append lingers (folded, excluded from reads) until the next cleanup")
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/postings_v1")) &&
       fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/centroids_v1")),
       "rebuild writes fresh version dirs")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/postings")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/centroids")),
-      "rebuild cleans the retired versions after the commit")
+    // one-generation grace: the retired versions linger (a reader on
+    // the pre-swap meta may still be scanning them) but the meta no
+    // longer names them
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/postings")),
+      "retired version lingers until the next build's cleanup")
     val after = VectorIndex.search(spark, s"$work/idx", query0).collect()
     assert(!after.exists(_.getLong(2) == 10L),
       s"retired append rows must not come back to life: ${after.toSeq}")
+    // the NEXT rebuild's step-1 cleanup retires the previous generation
+    VectorIndex.build(e.filter(col("vec_id") >= 12), centOf(e), s"$work/idx")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/postings")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/centroids")),
+      "generation-old versions are cleaned by the next build")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/appends/batch-1")),
+      "generation-old folded appends are cleaned by the next build")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$work/idx/postings_v2")),
+      "third build rolls to v2")
   }
 
   test("search fails loudly on a query set whose dim mismatches the index") {
@@ -277,6 +295,12 @@ class VectorIndexSpec extends AnyFunSuite with SparkTestSupport {
     for (raw <- Seq("/tmp/x/data", "/tmp/x_data", "a_b", "a__b", "_", "",
         "s3a://bucket/path name/µ-corpus", "C:\\data\\corpus", "ünï/códe"))
       assert(decode(Indexed.encodePath(raw)) == raw, raw)
+    // long paths switch to prefix+SHA-256 — bounded WELL under the
+    // 255-byte dir-name limit, still collision-free via the full hash
+    val deep = (1 to 40).map(i => s"dir $i").mkString("/", "/", "/corpus")
+    val deep2 = deep.replace("dir 7", "dir-7")
+    assert(Indexed.encodePath(deep).length < 200, Indexed.encodePath(deep))
+    assert(Indexed.encodePath(deep) != Indexed.encodePath(deep2))
   }
 
   test("streaming appendStream maintains the index exactly-once per micro-batch") {

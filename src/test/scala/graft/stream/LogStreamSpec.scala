@@ -489,7 +489,9 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSet
     assert(hit == Set((100L, 5L, 1.0)), hit.toString)
     // REBUILD with different geometry: the meta pointer swaps buckets
-    // and geometry together — no torn pairing, old version retired
+    // and geometry together — no torn pairing; the old version lingers
+    // ONE generation (a racing reader may still scan it) and the build
+    // after that retires it
     graft.index.LshIndex.build(corpus, idxDir, nTables = 2)
     assert(graft.index.LshIndex.readGeometry(spark, idxDir).nTables === 2)
     val hit2 = LogStream.nearestNeighborEnriched(
@@ -498,10 +500,14 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(hit2 == Set((100L, 5L, 1.0)), hit2.toString)
     val fs = new org.apache.hadoop.fs.Path(idxDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(idxDir))
+    def versions = fs.listStatus(new org.apache.hadoop.fs.Path(idxDir))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("buckets"))
-      .map(_.getPath.getName).toSeq
-    assert(versions == Seq("buckets_v1"), s"old version must be retired: $versions")
+      .map(_.getPath.getName).toSeq.sorted
+    assert(versions == Seq("buckets_v0", "buckets_v1"),
+      s"pre-rebuild version lingers one generation: $versions")
+    graft.index.LshIndex.build(corpus, idxDir, nTables = 2)
+    assert(versions == Seq("buckets_v1", "buckets_v2"),
+      s"generation-old version retired by the next build: $versions")
   }
 
   test("streaming similarity enrichment breaks cosine ties toward the lowest neighbor id") {
