@@ -72,10 +72,7 @@ object LshIndex {
     // meta a moment earlier (a streaming trigger mid-probe) and kill
     // the very query the no-restart refresh contract protects.
     current.foreach { case (_, name) =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("buckets")
-          && st.getPath.getName != name)
-        .foreach(st => fs.delete(st.getPath, true))
+      MetaMarker.retireUnnamed(fs, dir, Seq("buckets"), Set(name))
     }
     val next = current match {
       case Some((_, name)) =>

@@ -13,62 +13,48 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * TRUNCATES before writing, so a crash — or a concurrent reader's
   * open — in that window sees an empty/partial marker and the index
   * bricks. Instead the full bytes are staged as `<name>.next`, then the
-  * live file is deleted and the staged one renamed over it:
+  * live file is deleted and the staged one renamed over it.
   *
-  *  - crash before the delete → the old marker stays live; the staged
-  *    copy is garbage, overwritten by the next write;
-  *  - crash between delete and rename → [[read]] heals by promoting
-  *    the staged copy (it was fully written, so it IS the committed
-  *    state); racing readers race the rename — one wins, the rest fall
-  *    through to the now-present live file.
+  * READERS NEVER MUTATE. An earlier design had [[read]] "heal" an
+  * interrupted swap by renaming the staged copy live — but a reader
+  * renaming (or deleting debris) races an IN-FLIGHT writer's own
+  * delete+rename and can strand the commit with no marker at all.
+  * Instead a reader resolves, in order: the live marker, then the
+  * staged copy (by the protocol, a fully-written staged copy IS a
+  * committed state: the writer stages the complete bytes BEFORE
+  * touching the live file, and the version dirs it names were written
+  * before the marker swap began). A torn staged-only file — a
+  * first-ever write that crashed mid-stage — parses as garbage and
+  * reads as "no index"; the next [[write]] simply re-stages over the
+  * debris. The transient neither-file instant between the writer's
+  * delete and rename is absorbed by a short re-read loop.
   */
 private[graft] object MetaMarker {
 
-  /** True once a marker was ever COMMITTED at `dir` — including one
-    * staged mid-swap, which [[read]] promotes. A staged-only file that
-    * does not parse is NOT a commit: it is the debris of a first-ever
-    * write that crashed mid-stage (a staged copy only becomes the
-    * committed state once it was fully written — [[write]] deletes the
-    * live marker strictly after closing the stage), so it must not
-    * make a half-built index look live. */
+  /** True once a marker was ever COMMITTED at `dir` — a live marker,
+    * or a staged copy that parses (fully written ⇒ committed; torn
+    * staged-only debris must not make a half-built index look live). */
   def exists(fs: FileSystem, dir: String, name: String): Boolean =
-    fs.exists(new Path(dir, name)) ||
-      (fs.exists(new Path(dir, s"$name.next")) &&
-        parse(fs, new Path(dir, s"$name.next")).isDefined)
+    resolve(fs, dir, name).isDefined
 
-  /** Read the live marker, healing an interrupted swap first. A torn
-    * staged-only marker (crashed first-ever stage) is discarded and
-    * reported as "no index" rather than promoted into a permanently
-    * unparseable live marker. */
+  /** Read the committed marker. Retries across the writer's momentary
+    * delete→rename window before concluding there is no index. */
   def read(fs: FileSystem, dir: String, name: String): JsonNode = {
-    val live = new Path(dir, name)
-    val staged = new Path(dir, s"$name.next")
-    if (!fs.exists(live)) {
-      require(fs.exists(staged), s"no index meta at $dir")
-      if (parse(fs, staged).isEmpty) {
-        fs.delete(staged, false)
-        require(false, s"no index meta at $dir (torn staged marker discarded)")
+    var attempt = 0
+    while (true) {
+      resolve(fs, dir, name) match {
+        case Some(node) => return node
+        case None if attempt < 4 => attempt += 1; Thread.sleep(20L << attempt)
+        case None => throw new IllegalArgumentException(s"no index meta at $dir")
       }
-      fs.rename(staged, live)
-      require(fs.exists(live), s"meta promotion failed at $dir")
     }
-    parse(fs, live).getOrElse(
-      throw new IllegalStateException(s"unreadable index meta at $dir/$name"))
+    throw new IllegalStateException("unreachable")
   }
 
-  private def parse(fs: FileSystem, p: Path): Option[JsonNode] =
-    try {
-      val in = fs.open(p)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val node = new ObjectMapper().readTree(text)
-      // readTree returns null/MissingNode-ish values for empty input
-      // instead of throwing — normalize both to "not a commit"
-      Option(node).filter(_.isObject)
-    } catch { case _: java.io.IOException => None }
-
-  /** Commit `json` as the marker's new content (stage-then-swap). */
+  /** Commit `json` as the marker's new content (stage-then-swap). The
+    * live delete may legitimately find nothing (first-ever write, or a
+    * predecessor that crashed mid-swap and left staged-only state —
+    * which readers already serve); the rename is the commit point. */
   def write(fs: FileSystem, dir: String, name: String, json: String): Unit = {
     val live = new Path(dir, name)
     val staged = new Path(dir, s"$name.next")
@@ -78,4 +64,40 @@ private[graft] object MetaMarker {
     fs.delete(live, false)
     require(fs.rename(staged, live), s"meta swap failed at $dir")
   }
+
+  /** Live marker if it parses, else the staged copy if it parses,
+    * else nothing — one read-only pass, no side effects. */
+  private def resolve(fs: FileSystem, dir: String, name: String): Option[JsonNode] =
+    parse(fs, new Path(dir, name))
+      .orElse(parse(fs, new Path(dir, s"$name.next")))
+
+  private def parse(fs: FileSystem, p: Path): Option[JsonNode] =
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        // readTree returns null/non-object values for empty or partial
+        // input instead of always throwing — normalize to "no commit"
+        Option(new ObjectMapper().readTree(text)).filter(_.isObject)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** One-generation-grace retirement sweep, shared by every builder:
+    * delete the version dirs under `dir` that start with one of
+    * `prefixes` but are NOT in `keep` (the names the current meta
+    * points at). Called at BUILD ENTRY, never after a commit — so the
+    * pair a just-now reader resolved is never yanked from under its
+    * in-flight scan; only generation-old dirs (crash orphans and the
+    * previous build's retirees) fall. */
+  def retireUnnamed(fs: FileSystem, dir: String, prefixes: Seq[String],
+      keep: Set[String]): Unit =
+    fs.listStatus(new Path(dir))
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && prefixes.exists(n.startsWith) && !keep(n)
+      }
+      .foreach(st => fs.delete(st.getPath, true))
 }

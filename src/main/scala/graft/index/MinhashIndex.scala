@@ -51,14 +51,8 @@ object MinhashIndex {
     // the PREVIOUS build retired — never the pair a just-now reader
     // (a streaming trigger mid-probe) may still be scanning.
     current.foreach { case (curB, curS) =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-        .filter { st =>
-          val name = st.getPath.getName
-          st.isDirectory &&
-            (name.startsWith("bands") || name.startsWith("shingles")) &&
-            name != curB && name != curS
-        }
-        .foreach(st => fs.delete(st.getPath, true))
+      MetaMarker.retireUnnamed(fs, dir, Seq("bands", "shingles"),
+        Set(curB, curS))
     }
     val n = current match {
       case Some((b, _)) =>

@@ -130,7 +130,8 @@ object VectorIndex {
     prior.foreach { m =>
       m.folded.foreach(l =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
-      staleVersionDirs(fs, dir, m).foreach(p => fs.delete(p, true))
+      MetaMarker.retireUnnamed(fs, dir, Seq("postings", "centroids"),
+        Set(m.postings, m.centroids))
     }
     val nextC = prior.fold("centroids")(m => bumped(m.centroids, "centroids"))
     val nextP = prior.fold("postings")(m => bumped(m.postings, "postings"))
@@ -159,18 +160,6 @@ object VectorIndex {
     // no-restart refresh contract protects.
   }
 
-  /** Version dirs (`centroids*` / `postings*`) that `m` does NOT name —
-    * orphans of a crashed build/compact, safe to delete. */
-  private def staleVersionDirs(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, m: Meta): Seq[org.apache.hadoop.fs.Path] =
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isDirectory &&
-          ((n.startsWith("postings") && n != m.postings) ||
-           (n.startsWith("centroids") && n != m.centroids))
-      }
-      .map(_.getPath).toSeq
 
   /** Append a micro-batch of new vectors: assign against the EXISTING
     * centroids (no retrain — the IVF maintenance move; centroid drift
@@ -224,7 +213,8 @@ object VectorIndex {
     // step 1: finish any interrupted predecessor
     meta0.folded.foreach(l =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
-    staleVersionDirs(fs, dir, meta0).foreach(p => fs.delete(p, true))
+    MetaMarker.retireUnnamed(fs, dir, Seq("postings", "centroids"),
+      Set(meta0.postings, meta0.centroids))
     val meta = meta0.copy(folded = Seq.empty)
     val labels = appendLabels(spark, dir)
     if (labels.isEmpty) { writeMeta(spark, dir, meta); return }
@@ -379,8 +369,8 @@ object VectorIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** True once [[build]] completed at `dir` (meta marker present —
-    * including one staged mid-swap, which [[readMeta]] promotes). */
+  /** True once [[build]] completed at `dir` (committed meta marker —
+    * live, or a fully-staged copy left by an interrupted swap). */
   def exists(spark: SparkSession, dir: String): Boolean =
     MetaMarker.exists(fsFor(spark, dir), dir, "_INDEX_META.json")
 

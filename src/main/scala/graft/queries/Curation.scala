@@ -163,8 +163,14 @@ object Curation {
   private val qNtileBucketize = Q(
     "q_ntile_bucketize",
     (s, d) => {
+      // localCheckpoint: the corpus fold runs ONCE — the histogram
+      // (bounded by the value domain, tiny) is materialized and then
+      // feeds BOTH the driver-side total below and the returned plan;
+      // without it the total job and the main job each re-scan the
+      // corpus
       val hist = Tables.documents(s, d)
         .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       // rank interval (start_rank, end_rank] per length, via a running
       // sum over the HISTOGRAM — not the corpus
       val cum = hist

@@ -177,8 +177,16 @@ object Dedup {
     * Versioned + meta-committed ([[graft.index.MinhashIndex]]), so a
     * crash or a rebuild racing a reading stream can never serve a torn
     * bands/shingles pair. */
-  def writeMinhashIndex(docs: DataFrame, dir: String): Unit =
-    graft.index.MinhashIndex.build(minhashBands(docs), minhashShingles(docs), dir)
+  def writeMinhashIndex(docs: DataFrame, dir: String): Unit = {
+    // persist the signature set so the corpus pass (ngram explode +
+    // 16-min agg + collect_set — the dominant build cost) runs ONCE
+    // and both table writes derive from it, instead of once per table
+    val sig = minhashSig(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try graft.index.MinhashIndex.build(
+      occupancyBands(sig), sig.select(col("doc_id"), col("shingles")), dir)
+    finally sig.unpersist()
+  }
 
   /** The persisted index's two tables, as pure reads (both from the
     * SAME committed version — resolved through the meta). */

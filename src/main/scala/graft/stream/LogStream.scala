@@ -597,15 +597,24 @@ object LogStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
-        val q = batch.toDF()
-          .select(col("doc_id").as("query_id"), col("emb").as("qemb"))
+        // a SURROGATE query key, not doc_id: the search windows rank
+        // candidates per query_id, so two rows sharing a doc_id in one
+        // micro-batch (a doc re-emitting) would have their candidate
+        // sets MERGED and both rows enriched from the mixture. The
+        // localCheckpoint pins the generated ids — the same rows feed
+        // the query set and the join-back, so the key must not be
+        // re-generated between the two evaluations.
+        val rows = batch.toDF()
+          .withColumn("qid", monotonically_increasing_id())
+          .localCheckpoint()
+        val q = rows.select(col("qid").as("query_id"), col("emb").as("qemb"))
         val hits =
           (if (sq8) graft.index.VectorIndex.searchSq8(s, indexDir, q, topK, probes)
            else graft.index.VectorIndex.search(s, indexDir, q, topK, probes))
-            .select(col("query_id").as("doc_id"), col("rank"),
+            .select(col("query_id").as("qid"), col("rank"),
               col("neighbor_id").as("nn_id"), col("cos").as("nn_cos"))
         writeBatchIdempotent(
-          batch.toDF().join(hits, Seq("doc_id"), "left"),
+          rows.join(hits, Seq("qid"), "left").drop("qid"),
           lakeDir, batchId)
       }
       .start()

@@ -78,11 +78,13 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
     // r9 ntile scale swap: the BroadcastNestedLoopJoin is the 8-row
     // tier-boundary RANGE join (non-equi predicate over a broadcast
     // 8-row side — the cheap and correct strategy for it); the
-    // shuffles are the corpus→histogram fold and the 8-group
-    // agg/sort tail. The forbidden regression — the corpus-wide
-    // unpartitioned ntile window — would read shuffles=2 joins=[]:
-    // joins=[] is what this pin rejects.
-    "q_ntile_bucketize" -> "shuffles=2 joins=[BroadcastNestedLoopJoin x1]",
+    // corpus→histogram fold is localCheckpointed OUT of the visible
+    // plan (it runs once, shared with the driver-side total job —
+    // the checkpoint is itself part of the pinned shape), leaving the
+    // 8-group agg/sort tail's single exchange. The forbidden
+    // regression — the corpus-wide unpartitioned ntile window — would
+    // read joins=[]: joins=[] is what this pin rejects.
+    "q_ntile_bucketize" -> "shuffles=1 joins=[BroadcastNestedLoopJoin x1]",
     // sq8's BroadcastNestedLoopJoin is the deliberate broadcast-tiny
     // query-set cross (same stance as bruteforce/ivf in PlanDump's
     // flag exclusions); the two BroadcastHashJoins are the survivor-id
