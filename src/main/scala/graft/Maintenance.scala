@@ -1,0 +1,170 @@
+package graft
+
+import java.util.concurrent.{Callable, Executors}
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.SparkSession
+
+/** The maintenance DRIVER over the engine's persisted artifacts — the
+  * orchestration layer that turns the single-call maintenance units
+  * ([[graft.logs.LogLake.compactPartition]],
+  * [[graft.index.VectorIndex.compact]], the corpus-driven index
+  * rebuilds) into one schedulable nightly job.
+  *
+  * Shape at 100 TB:
+  *   - DISCOVERY is pure metadata: lake fragmentation comes from a
+  *     two-level directory listing proportional to partition count
+  *     ([[graft.logs.LogLake.fragmentedPartitions]]), index append
+  *     pressure from a meta read + one listing
+  *     ([[graft.index.VectorIndex.pendingAppends]]). No Spark job runs
+  *     until a task fires, so planning over thousands of partitions is
+  *     driver-cheap.
+  *   - the FAN-OUT UNIT is one partition / one index — each task is an
+  *     independent crash-safe swap (the units own their recovery
+  *     protocols), so tasks parallelize freely across a bounded
+  *     thread pool (Spark's scheduler interleaves the concurrent
+  *     jobs; `spark.scheduler.mode=FAIR` spreads executors across
+  *     them on a real cluster).
+  *   - FAILURES ISOLATE: one partition's failure is recorded and the
+  *     rest of the work-list proceeds — rerunning the driver is always
+  *     safe because every unit is idempotent/re-runnable by design.
+  *
+  * Reference parity note: the reference fleet has no persistent state
+  * to maintain (each Lambda invocation is stateless,
+  * `cloudfront_kinesis_lambda.py`); this driver exists because the
+  * engine ADDS persisted artifacts (lake partitions, ANN/LSH/band
+  * indexes) that accumulate micro-batch debris.
+  *
+  * Runnable as a main: `sbt "runMain graft.Maintenance <lakeDir>*
+  * --index <vectorIndexDir>*"` plans and runs with defaults.
+  */
+object Maintenance {
+
+  /** One schedulable unit of maintenance work. `id` is the dedup /
+    * logging identity: [[run]] executes each distinct id once per
+    * invocation, because the partition-swap protocols are
+    * single-writer per artifact — two concurrent compactions of the
+    * SAME partition would race each other's aside/tmp dirs. */
+  sealed trait Task {
+    def id: String
+
+    /** Execute, returning a one-line human summary. Must be
+      * idempotent / re-runnable after any crash point (the units'
+      * own contracts guarantee this). */
+    def run(spark: SparkSession): String
+  }
+
+  /** Rewrite one fragmented `(env, log_day)` lake partition into
+    * target-sized files ([[graft.logs.LogLake.compactPartition]]). */
+  final case class CompactLakePartition(
+      path: String, env: String, day: String, nFiles: Int) extends Task {
+    def id: String = s"lake-compact:$path/env=$env/log_day=$day"
+    def run(spark: SparkSession): String = {
+      val (before, after) =
+        logs.LogLake.compactPartition(spark, path, env, day)
+      s"$before -> $after files"
+    }
+  }
+
+  /** Fold a vector index's pending append sub-tables into the next
+    * postings version ([[graft.index.VectorIndex.compact]]). */
+  final case class FoldVectorIndexAppends(dir: String, nPending: Int)
+      extends Task {
+    def id: String = s"index-compact:$dir"
+    def run(spark: SparkSession): String = {
+      index.VectorIndex.compact(spark, dir)
+      s"folded $nPending append table(s)"
+    }
+  }
+
+  /** A corpus-driven rebuild (minhash band index, LSH, full IVF
+    * retrain) the CALLER requests: only the pipeline knows which fresh
+    * corpus an index should be rebuilt from, so the body is supplied,
+    * and this driver contributes scheduling, isolation, and the
+    * summary. The rebuild units themselves commit via versioned dirs +
+    * staged meta swap, so running one under live readers is safe. */
+  final case class Rebuild(name: String)(body: SparkSession => String)
+      extends Task {
+    def id: String = s"rebuild:$name"
+    def run(spark: SparkSession): String = body(spark)
+  }
+
+  /** One executed task: what ran, what happened, how long it took. */
+  final case class Result(task: Task, outcome: Try[String], seconds: Double) {
+    def summary: String = outcome match {
+      case Success(s) => f"OK   ${task.id}  ($seconds%.1f s)  $s"
+      case Failure(e) => f"FAIL ${task.id}  ($seconds%.1f s)  ${e.getMessage}"
+    }
+  }
+
+  /** Enumerate the trigger conditions over the registered artifacts
+    * and return the work-list — metadata reads only, no Spark jobs.
+    * `rebuilds` pass through (their trigger is the caller's — e.g.
+    * "corpus version advanced"). */
+  def plan(
+      spark: SparkSession,
+      lakes: Seq[String] = Seq.empty,
+      vectorIndexes: Seq[String] = Seq.empty,
+      minLakeFiles: Int = 8,
+      minIndexAppends: Int = 4,
+      rebuilds: Seq[Rebuild] = Seq.empty): Seq[Task] = {
+    val lakeTasks = lakes.flatMap { p =>
+      logs.LogLake.fragmentedPartitions(spark, p, minLakeFiles)
+        .map { case (env, day, n) => CompactLakePartition(p, env, day, n) }
+    }
+    val indexTasks = vectorIndexes.flatMap { d =>
+      if (!index.VectorIndex.exists(spark, d)) None
+      else {
+        val n = index.VectorIndex.pendingAppends(spark, d)
+        if (n >= minIndexAppends) Some(FoldVectorIndexAppends(d, n)) else None
+      }
+    }
+    lakeTasks ++ indexTasks ++ rebuilds
+  }
+
+  /** Fan the work-list out over a bounded thread pool (each task is
+    * itself a distributed Spark job — the pool bounds CONCURRENT
+    * jobs, not work). Duplicate ids collapse to one execution
+    * (single-writer protocols); failures isolate per task. Results
+    * come back in the submitted (id-sorted) order. */
+  def run(spark: SparkSession, tasks: Seq[Task], parallelism: Int = 4): Seq[Result] = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val distinct = tasks.groupBy(_.id).values.map(_.head).toSeq.sortBy(_.id)
+    if (distinct.isEmpty) return Seq.empty
+    val pool = Executors.newFixedThreadPool(math.min(parallelism, distinct.size))
+    try {
+      distinct
+        .map { t =>
+          pool.submit(new Callable[Result] {
+            def call(): Result = {
+              val t0 = System.nanoTime()
+              val out = Try(t.run(spark))
+              Result(t, out, (System.nanoTime() - t0) / 1e9)
+            }
+          })
+        }
+        .map(_.get())
+    } finally pool.shutdown()
+  }
+
+  /** Operational entry point: positional args are lake dirs; dirs
+    * after `--index` are vector-index dirs. Plans with defaults, runs,
+    * prints one summary line per task, exits nonzero if any failed. */
+  def main(args: Array[String]): Unit = {
+    val splitAt = args.indexOf("--index")
+    val (lakes, idx) =
+      if (splitAt < 0) (args.toSeq, Seq.empty[String])
+      else (args.take(splitAt).toSeq, args.drop(splitAt + 1).toSeq)
+    val spark = GraftSession.builder(GraftSession.cpus)
+      .appName("graft-maintenance").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val tasks = plan(spark, lakes, idx)
+      println(s"MAINT planned ${tasks.size} task(s)")
+      val results = run(spark, tasks)
+      results.foreach(r => println(s"MAINT ${r.summary}"))
+      if (results.exists(_.outcome.isFailure)) sys.exit(1)
+    } finally spark.stop()
+  }
+}

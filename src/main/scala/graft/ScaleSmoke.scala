@@ -89,7 +89,11 @@ object ScaleSmoke {
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")
-    heavy.foreach { name =>
+    // SCALE_ONLY=q_a,q_b,bpe_deep restricts to named entries (comma
+    // list; "bpe_deep" names the deep-trainer block below)
+    val only = sys.env.get("SCALE_ONLY").map(_.split(",").map(_.trim).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+    heavy.filter(wanted).foreach { name =>
       val t0 = System.nanoTime()
       try {
         val n = SparkEntry.queries(name)(spark, patched.getPath).count()
@@ -98,6 +102,30 @@ object ScaleSmoke {
         case e: Throwable =>
           println(f"SCALE $name%-24s FAILED ${e.getMessage.take(100)}")
       }
+    }
+
+    // DEEP BPE training: the q_bpe_train loop at production round
+    // counts (30 rounds vs the oracle-gated 3), Checkpointer-every-5
+    // policy. The claim under test is LINEARITY IN N: per-round cost
+    // must stay flat (lineage bounded by ckptEvery, superseded
+    // checkpoints released), not grow with round number. Printed
+    // per-round so the first:last ratio is the measurement.
+    if (wanted("bpe_deep")) {
+      val rounds = sys.env.getOrElse("SCALE_BPE_ROUNDS", "30").toInt
+      val hist = spark.table("amplified_documents")
+        .groupBy(col("text")).agg(count(lit(1)).as("w"))
+        .select(split(col("text"), " ").as("toks"), col("w"))
+      var tPrev = System.nanoTime()
+      val t0 = System.nanoTime()
+      val merges = graft.queries.Chunking.bpeTrain(
+        hist, rounds, graft.queries.Checkpointer.Local, ckptEvery = 5,
+        onRound = (r, _) => {
+          val now = System.nanoTime()
+          println(f"SCALE bpe_deep round=$r%-3d ${(now - tPrev) / 1e9}%6.2f s")
+          tPrev = now
+        }).count()
+      val label = s"bpe_deep($rounds rounds)"
+      println(f"SCALE $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$merges")
     }
     spark.stop()
   }

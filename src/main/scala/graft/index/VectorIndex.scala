@@ -243,6 +243,16 @@ object VectorIndex {
     writeMeta(spark, dir, meta.copy(postings = next, folded = labels))
   }
 
+  /** Append sub-tables not yet folded into the main postings version —
+    * the compaction-pressure reading a maintenance scheduler triggers
+    * on ([[graft.Maintenance.plan]]). Folded labels whose dirs linger
+    * under the one-generation cleanup grace don't count. Pure listing +
+    * meta read, no Spark jobs. */
+  def pendingAppends(spark: SparkSession, dir: String): Int = {
+    val folded = readMeta(spark, dir).folded.toSet
+    appendLabels(spark, dir).count(!folded(_))
+  }
+
   /** All live postings: the CURRENT version (named by the meta) ∪ every
     * unfolded appended sub-table. Each side reads with the explicit
     * schema (no footer/inference pass) and stays partition-prunable on

@@ -161,6 +161,81 @@ object Chunking {
     * merged token can never collide with a pre-existing one. */
   private val BpeJoin = "~"
 
+  /** The N-round BPE merge trainer both `q_bpe_train*` keys wrap:
+    * `weighted` is a `(toks ARRAY<STRING>, w BIGINT)` frame — one row
+    * per document with `w = 1` for the corpus form, one row per
+    * DISTINCT sequence with its multiplicity for the histogram form —
+    * and each round counts adjacent pairs as `sum(w)`, picks the
+    * argmax (count desc, then (l, r) asc), and re-tokenizes with the
+    * greedy left-to-right fold before the next round. Returns the
+    * merge table: one `(round, l, r, cnt)` row per round.
+    *
+    * Deep-N lineage policy (the [[Graph]]/[[Checkpointer]] lesson,
+    * generalized from the fixed unrolled N=3): the re-tokenization is
+    * checkpointed every `ckptEvery` rounds, so lineage depth — and
+    * with it planning time and task-retry cost — stays bounded by
+    * `ckptEvery` at ANY round count instead of growing with N. Each
+    * round's ONE-ROW winner is pinned through the same Checkpointer at
+    * creation (a job per round either way — the broadcast re-tokenizer
+    * needs the winner materialized), which is what makes the release
+    * step sound: once round r's re-tokenization is checkpointed,
+    * nothing unmaterialized references the PREVIOUS checkpoint — every
+    * intervening argmax is already pinned — so the superseded
+    * working-set copy is freed immediately ([[Checkpointer.release]])
+    * rather than accumulating O(N/ckptEvery) corpus copies in the
+    * checkpoint store. A pinned winner also spares the final
+    * merge-table union from re-running each round's full pair count
+    * (the unrolled form recomputed every round's aggregation once more
+    * at action time).
+    *
+    * `Checkpointer.Reliable` + `ckptEvery ≈ 5` is the 100 TB / N≈30k
+    * configuration; the query keys below use `Local`/1 — same code
+    * path, same results (ChunkingSpec proves ckptEvery-invariance). */
+  private[graft] def bpeTrain(weighted: DataFrame, rounds: Int,
+      ckpt: Checkpointer = Checkpointer.Local, ckptEvery: Int = 1,
+      onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
+    var cur = weighted
+    var lastCkpt: Option[DataFrame] = None
+    val merges = Seq.newBuilder[DataFrame]
+    (1 to rounds).foreach { r =>
+      val best = ckpt(cur.where(size(col("toks")) >= 2)
+        .select(col("w"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |          i -> struct(element_at(toks, i) AS lt,
+            |                      element_at(toks, i + 1) AS rt))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.lt").as("l"), col("p.rt").as("r"))
+        .agg(sum(col("w")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .select(lit(r).as("round"), col("l"), col("r"), col("cnt")))
+      merges += best
+      if (r < rounds) { // the last round's re-tokenization is unread
+        val next = cur
+          .crossJoin(broadcast(best.select(col("l").as("_ml"), col("r").as("_mr"))))
+          .withColumn("toks", expr(
+            s"""aggregate(toks, CAST(array() AS ARRAY<STRING>),
+               |  (acc, x) -> CASE WHEN size(acc) > 0
+               |                    AND element_at(acc, -1) = _ml AND x = _mr
+               |              THEN concat(slice(acc, 1, size(acc) - 1),
+               |                          array(concat(_ml, '$BpeJoin', _mr)))
+               |              ELSE concat(acc, array(x)) END)""".stripMargin))
+          .drop("_ml", "_mr")
+        cur = if (r % ckptEvery == 0) {
+          val c = ckpt(next)
+          lastCkpt.foreach(ckpt.release) // winners since are pinned; safe
+          lastCkpt = Some(c)
+          c
+        } else next
+      }
+      onRound(r, best)
+    }
+    merges.result().reduce((a: DataFrame, b: DataFrame) => a.unionByName(b))
+      .orderBy(col("round"))
+  }
+
   /** The ITERATIVE BPE trainer — `q_bpe_pairs` run to a fixed point of
     * N rounds: each round counts adjacent pairs over the CURRENT
     * tokenization, picks the argmax (count desc, then (l, r) asc — the
@@ -180,52 +255,23 @@ object Chunking {
     *
     * 100 TB shape: N rounds = N corpus passes (map-side fold + one
     * partial-agg'd pair count each — the only shuffle per round), made
-    * LINEAR in N by checkpointing each round's re-tokenization (the
+    * LINEAR in N by checkpointing the re-tokenization (the
     * `q_pagerank` iteration-lineage move — without it, round r's
     * argmax replans rounds 1..r−1's folds and total passes go
     * quadratic; measured 5.3 s → 3.2 s at sf0.1 for N=3, and the gap
-    * widens with N). `localCheckpoint` here for the single-node
-    * harness; the reliable-checkpoint swap is the same line (see
-    * [[Checkpointer]]). The deeper production swap SHIPS as
-    * [[qBpeTrainHist]]: fold the corpus to a (sequence, weight)
-    * histogram first and train on distinct sequences weighted by
-    * count — same merges (same oracle, hash-proven), histogram passes
-    * instead of corpus passes. */
+    * widens with N). The loop is [[bpeTrain]] — N is a parameter, and
+    * the checkpoint cadence/store is the [[Checkpointer]] policy knob
+    * (this key: `Local`, every round). The deeper production swap
+    * SHIPS as [[qBpeTrainHist]]: fold the corpus to a
+    * (sequence, weight) histogram first and train on distinct
+    * sequences weighted by count — same merges (same oracle,
+    * hash-proven), histogram passes instead of corpus passes. */
   private val qBpeTrain = Q(
     "q_bpe_train",
-    (s, d) => {
-      var cur = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val rounds = (1 to BpeTrainRounds).map { r =>
-        val best = cur.where(size(col("toks")) >= 2)
-          .select(explode(expr(
-            """transform(sequence(1, size(toks) - 1),
-              |          i -> struct(element_at(toks, i) AS lt,
-              |                      element_at(toks, i + 1) AS rt))""".stripMargin))
-            .as("p"))
-          .groupBy(col("p.lt").as("l"), col("p.rt").as("r"))
-          .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1)
-          .select(lit(r).as("round"), col("l"), col("r"), col("cnt"))
-        if (r < BpeTrainRounds) { // the last round's re-tokenization is unread
-          cur = cur
-            .crossJoin(broadcast(best.select(col("l").as("_ml"), col("r").as("_mr"))))
-            .withColumn("toks", expr(
-              s"""aggregate(toks, CAST(array() AS ARRAY<STRING>),
-                 |  (acc, x) -> CASE WHEN size(acc) > 0
-                 |                    AND element_at(acc, -1) = _ml AND x = _mr
-                 |              THEN concat(slice(acc, 1, size(acc) - 1),
-                 |                          array(concat(_ml, '$BpeJoin', _mr)))
-                 |              ELSE concat(acc, array(x)) END)""".stripMargin))
-            .drop("_ml", "_mr")
-            .localCheckpoint(true)
-        }
-        best
-      }
-      rounds.reduce((a: DataFrame, b: DataFrame) => a.unionByName(b))
-        .orderBy(col("round"))
-    },
+    (s, d) => bpeTrain(
+      Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"), lit(1L).as("w")),
+      BpeTrainRounds),
     Some {
       def round(r: Int): String =
         s"""p$r AS (SELECT l[i] AS lt, l[i+1] AS rt, count(*) AS cnt
@@ -266,40 +312,11 @@ object Chunking {
     * is the proof, not the seconds. */
   private val qBpeTrainHist = Q(
     "q_bpe_train_hist",
-    (s, d) => {
-      var cur = Tables.documents(s, d)
+    (s, d) => bpeTrain(
+      Tables.documents(s, d)
         .groupBy(col("text")).agg(count(lit(1)).as("w"))
-        .select(split(col("text"), " ").as("toks"), col("w"))
-      val rounds = (1 to BpeTrainRounds).map { r =>
-        val best = cur.where(size(col("toks")) >= 2)
-          .select(col("w"), explode(expr(
-            """transform(sequence(1, size(toks) - 1),
-              |          i -> struct(element_at(toks, i) AS lt,
-              |                      element_at(toks, i + 1) AS rt))""".stripMargin))
-            .as("p"))
-          .groupBy(col("p.lt").as("l"), col("p.rt").as("r"))
-          .agg(sum(col("w")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1)
-          .select(lit(r).as("round"), col("l"), col("r"), col("cnt"))
-        if (r < BpeTrainRounds) {
-          cur = cur
-            .crossJoin(broadcast(best.select(col("l").as("_ml"), col("r").as("_mr"))))
-            .withColumn("toks", expr(
-              s"""aggregate(toks, CAST(array() AS ARRAY<STRING>),
-                 |  (acc, x) -> CASE WHEN size(acc) > 0
-                 |                    AND element_at(acc, -1) = _ml AND x = _mr
-                 |              THEN concat(slice(acc, 1, size(acc) - 1),
-                 |                          array(concat(_ml, '$BpeJoin', _mr)))
-                 |              ELSE concat(acc, array(x)) END)""".stripMargin))
-            .drop("_ml", "_mr")
-            .localCheckpoint(true)
-        }
-        best
-      }
-      rounds.reduce((a: DataFrame, b: DataFrame) => a.unionByName(b))
-        .orderBy(col("round"))
-    },
+        .select(split(col("text"), " ").as("toks"), col("w")),
+      BpeTrainRounds),
     qBpeTrain.oracle
   )
 

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.VectorIndex
+import graft.logs.{CloudFrontTransform, LogLake}
+
+/** The maintenance driver's contract: discovery finds exactly the
+  * artifacts whose triggers fired (planted fragmentation / append
+  * pressure), running the plan restores them through the units' own
+  * crash-safe protocols with results intact, one task's failure
+  * isolates from the rest, and duplicate ids collapse to a single
+  * execution (the single-writer requirement). */
+class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def lakeFixture = {
+    val rows = Seq(
+      ("2019-01-18", "02:10:00", "prod", "200", "1000"),
+      ("2019-01-18", "03:10:00", "prod", "304", "-"),
+      ("2019-01-19", "02:10:00", "prod", "200", "2000"),
+      ("2019-01-18", "02:10:00", "stg", "500", "300"))
+      .toDF("log_date", "log_time", "env", "http_status", "bytes_sent")
+      .withColumn("http_user_agent", lit("ua"))
+      .withColumn("http_referer", lit("-"))
+      .withColumn("serviceId", lit("svc"))
+      .withColumn("cf_pop", lit("SYD1"))
+    CloudFrontTransform.canonicalCols(rows)
+  }
+
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(16)(j => math.sin(seed * 97.0 + j * 13.0).toFloat)
+
+  private def corpus(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, vec(i).map(_.toDouble).toSeq))
+      .toDF("vec_id", "emb")
+
+  private def plantIndex(dir: String, nAppends: Int): Unit = {
+    val base = corpus(0 until 8)
+    VectorIndex.build(base,
+      base.select(col("vec_id").as("cid"), col("emb").as("cemb")), dir)
+    (0 until nAppends).foreach(i =>
+      VectorIndex.append(corpus(100 + i to 100 + i), dir, s"batch-$i"))
+  }
+
+  test("plan() fires exactly the planted triggers; run() restores the artifacts") {
+    val work = Files.createTempDirectory("maint").toString
+    // lake: 6 appended micro-batches fragment every partition
+    val lake = s"$work/lake"
+    (1 to 6).foreach(_ => LogLake.write(lakeFixture, lake))
+    // two indexes: one over the append-pressure threshold, one under
+    val hotIdx = s"$work/idx-hot"
+    val coldIdx = s"$work/idx-cold"
+    plantIndex(hotIdx, nAppends = 4)
+    plantIndex(coldIdx, nAppends = 1)
+
+    val tasks = Maintenance.plan(spark,
+      lakes = Seq(lake), vectorIndexes = Seq(hotIdx, coldIdx),
+      minLakeFiles = 4, minIndexAppends = 4)
+    // discovery: every fragmented (env, day) partition + ONLY the hot index
+    val lakeTasks = tasks.collect { case t: Maintenance.CompactLakePartition => t }
+    val idxTasks = tasks.collect { case t: Maintenance.FoldVectorIndexAppends => t }
+    assert(lakeTasks.map(t => (t.env, t.day)).toSet ===
+      Set(("prod", "2019-01-18"), ("prod", "2019-01-19"), ("stg", "2019-01-18")))
+    assert(lakeTasks.forall(_.nFiles >= 4))
+    assert(idxTasks === Seq(Maintenance.FoldVectorIndexAppends(hotIdx, 4)))
+
+    val rowsBefore = LogLake.read(spark, lake).collect().map(_.toSeq).toSet
+    val hitsBefore = VectorIndex.search(spark, hotIdx,
+      corpus(100 until 101).select(col("vec_id").as("query_id"),
+        col("emb").as("qemb")), topK = 3).collect().map(_.toSeq).toSeq
+
+    val results = Maintenance.run(spark, tasks, parallelism = 3)
+    assert(results.size === tasks.size)
+    assert(results.forall(_.outcome.isSuccess),
+      results.map(_.summary).mkString("\n"))
+
+    // lake: same rows, fewer files
+    assert(LogLake.read(spark, lake).collect().map(_.toSeq).toSet === rowsBefore)
+    assert(LogLake.fragmentedPartitions(spark, lake, 4).isEmpty,
+      "every fragmented partition must be compacted below the threshold")
+    // index: appends folded, identical answers
+    assert(VectorIndex.pendingAppends(spark, hotIdx) === 0)
+    assert(VectorIndex.search(spark, hotIdx,
+      corpus(100 until 101).select(col("vec_id").as("query_id"),
+        col("emb").as("qemb")), topK = 3).collect().map(_.toSeq).toSeq === hitsBefore)
+
+    // re-planning after the run finds nothing left to do
+    assert(Maintenance.plan(spark, lakes = Seq(lake),
+      vectorIndexes = Seq(hotIdx, coldIdx),
+      minLakeFiles = 4, minIndexAppends = 4).isEmpty)
+  }
+
+  test("a failing task isolates; duplicates collapse; rebuild bodies run") {
+    val work = Files.createTempDirectory("maint2").toString
+    val lake = s"$work/lake"
+    (1 to 5).foreach(_ => LogLake.write(lakeFixture, lake))
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks: Seq[Maintenance.Task] = Seq(
+      Maintenance.CompactLakePartition(lake, "prod", "2019-01-18", 5),
+      // same id submitted twice: must execute ONCE (single-writer swap)
+      Maintenance.CompactLakePartition(lake, "prod", "2019-01-18", 5),
+      Maintenance.Rebuild("band-index") { _ =>
+        ran.incrementAndGet(); "rebuilt"
+      },
+      Maintenance.CompactLakePartition(lake, "nope", "1970-01-01", 99))
+    val results = Maintenance.run(spark, tasks, parallelism = 2)
+    assert(results.size === 3, "duplicate id must collapse")
+    val byId = results.map(r => r.task.id -> r).toMap
+    assert(byId(s"lake-compact:$lake/env=prod/log_day=2019-01-18").outcome.isSuccess)
+    assert(byId("rebuild:band-index").outcome === scala.util.Success("rebuilt"))
+    assert(ran.get() === 1)
+    val bad = byId(s"lake-compact:$lake/env=nope/log_day=1970-01-01")
+    assert(bad.outcome.isFailure, "missing partition must fail its own task")
+    // the failure did not poison the successful compaction
+    assert(LogLake.forDay(spark, lake, "prod", "2019-01-18").count() === 10)
+  }
+}

@@ -120,6 +120,32 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
     assert(perDoc.head == Seq(1, "a", "b", 7L), perDoc.toString)
   }
 
+  test("bpeTrain(n): deep rounds beyond the oracle's N=3, ckptEvery-invariant") {
+    // 6 rounds over a corpus engineered so every round has a distinct
+    // hand-checkable winner; run the SAME training at ckptEvery 1, 3,
+    // and 7 (> rounds, i.e. never checkpoints) — the lineage policy
+    // must be invisible in the result, only in the plan depth
+    val docs = Seq(
+      "a b c d e f g",  // chain: each merge creates the next round's pair
+      "a b c d e f g",
+      "a b c d e f g")
+    import org.apache.spark.sql.functions.{col, lit, split}
+    val weighted = docs.toDF("text")
+      .select(split(col("text"), " ").as("toks"), lit(1L).as("w"))
+    val expected = Seq( // greedy left-to-right: (a,b) wins r1 (ties broken
+      // by (l,r) asc), then the merged symbol chains left-to-right
+      (1, "a", "b", 3L), (2, "a~b", "c", 3L), (3, "a~b~c", "d", 3L),
+      (4, "a~b~c~d", "e", 3L), (5, "a~b~c~d~e", "f", 3L),
+      (6, "a~b~c~d~e~f", "g", 3L))
+    Seq(1, 3, 7).foreach { every =>
+      val got = Chunking.bpeTrain(weighted, rounds = 6, ckptEvery = every)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(got === expected, s"ckptEvery=$every")
+    }
+  }
+
   test("source overlap counts shared spans once per source pair, never per occurrence") {
     val d = Files.createTempDirectory("chunking5").toString
     val shared = "one two three four five six" // 2 spans at K=3

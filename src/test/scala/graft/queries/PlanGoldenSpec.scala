@@ -57,15 +57,18 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
     // to the window idiom would keep joins=[] but the agg would vanish;
     // that is caught by CurationSpec's equality + this signature pair)
     "q_source_cap_agg" -> "shuffles=2 joins=[]",
-    // r8 BPE trainer: 3 unrolled rounds, one pair-count exchange per
-    // round + the output sort; earlier rounds' re-tokenizations (and
-    // their one-row argmax broadcasts) are checkpointed out of the
-    // visible plan — the signature covering only the LAST round is
-    // itself the proof the iteration lineage got cut
-    "q_bpe_train" -> "shuffles=3 joins=[]",
-    // histogram form: +1 shuffle — the (text → weight) histogram fold
-    // that shrinks everything after it
-    "q_bpe_train_hist" -> "shuffles=4 joins=[]",
+    // r9 generalized BPE trainer (bpeTrain(n)): every round's ONE-ROW
+    // winner is now pinned through the Checkpointer at creation (what
+    // lets deep-N runs release superseded working-set checkpoints),
+    // so the returned merge table is a union of checkpointed rows —
+    // the only exchange left visible is the output sort. The per-round
+    // pair-count shuffles all ran eagerly inside the loop; a
+    // regression that re-planned rounds at action time would read
+    // shuffles>=3 here
+    "q_bpe_train" -> "shuffles=1 joins=[]",
+    // histogram form: identical tail — the (text → weight) fold runs
+    // inside round 1's eager winner job, upstream of its checkpoint
+    "q_bpe_train_hist" -> "shuffles=1 joins=[]",
     // r8 stored-index search: centroid broadcast cross (BNLJ) + the
     // probed-postings broadcast hash join; shuffles are the two
     // ranking windows + output sort
