@@ -110,6 +110,92 @@ object ScaleSmoke {
     // must stay flat (lineage bounded by ckptEvery, superseded
     // checkpoints released), not grow with round number. Printed
     // per-round so the first:last ratio is the measurement.
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def rmDir(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+
+    // PERSISTENT ANN INDEX at scale: build / search / append-union /
+    // compact wall times, plus the probe-I/O fraction (the probes/k
+    // claim MEASURED — distinct probed posting lists over total lists;
+    // that the probed-list set lands as a partition filter is
+    // plan-pinned in VectorIndexSpec).
+    if (wanted("vector_index")) {
+      import graft.index.{VectorConventions, VectorIndex}
+      val dir = s"${patched.getPath}/vindex_scale"
+      rmDir(dir)
+      val e = spark.table("amplified_embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val n = e.count()
+      val k = math.min(4096L,
+        math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong))
+      val (_, tBuild) = timed(VectorIndex.build(
+        e.filter(col("vec_id") >= 10).select(col("vec_id"), col("emb")),
+        e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("emb").as("cemb")),
+        dir))
+      val q = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+        .localCheckpoint(true)
+      val (r1, tS) = timed(
+        VectorIndex.search(spark, dir, q, topK = 5, probes = 2).count())
+      val (r2, tS8) = timed(VectorIndex.searchSq8(
+        spark, dir, q, topK = 5, probes = 2, coarseWidth = 20).count())
+      val probed = VectorConventions.assign(
+          q, VectorIndex.readCentroids(spark, dir), "query_id", "qemb", 2)
+        .select(col("cid")).distinct().count()
+      println(f"SCALE vindex n=$n k=$k build=$tBuild%.2f s " +
+        f"search=$tS%.2f s rows=$r1  sq8=$tS8%.2f s rows=$r2  " +
+        f"probedLists=$probed/$k (${probed * 100.0 / k}%.1f%% of postings)")
+      // append pressure: 8 micro-batches land as union sub-tables —
+      // measure the documented read-side degradation, then the
+      // compaction fold and the restored search
+      val (_, tApp) = timed((0 until 8).foreach { i =>
+        VectorIndex.append(
+          e.filter(col("vec_id") >= 10 && col("vec_id") < 260)
+            .select((col("vec_id") + lit(7_000_000_000_000L + i * 1000L))
+              .as("vec_id"), col("emb")),
+          dir, f"scale-batch-$i%02d")
+      })
+      val (_, tSApp) = timed(
+        VectorIndex.search(spark, dir, q, topK = 5, probes = 2).count())
+      val (_, tComp) = timed(VectorIndex.compact(spark, dir))
+      val (_, tSComp) = timed(
+        VectorIndex.search(spark, dir, q, topK = 5, probes = 2).count())
+      println(f"SCALE vindex append(8x250)=$tApp%.2f s " +
+        f"searchOverUnion=$tSApp%.2f s compact=$tComp%.2f s " +
+        f"searchCompacted=$tSComp%.2f s")
+    }
+
+    // PERSISTED MINHASH BAND INDEX at scale: the streaming near-dedup
+    // split measured — index BUILD is the amortized corpus-side cost,
+    // the per-trigger cost is only the PROBE (a micro-batch's bands
+    // joined against the stored tables + exact-Jaccard verification).
+    // The amplified corpus is pathological (every doc in `copies`
+    // identical versions), so this also exercises the bucket caps.
+    if (wanted("near_dedup_index")) {
+      import graft.queries.Dedup
+      val dir = s"${patched.getPath}/mh_scale"
+      rmDir(dir)
+      val docs = Tables.documents(spark, patched.getPath)
+      val (_, tBuild) = timed(Dedup.writeMinhashIndex(docs, dir))
+      val (bands, shingles) = Dedup.readMinhashIndex(spark, dir)
+      val batch = docs.filter(col("doc_id") < 1000)
+      val ((nb, kept), tProbe) = timed {
+        val b = batch.count()
+        (b, Dedup.dropNearDups(batch, bands, shingles, 0.9).count())
+      }
+      println(f"SCALE mh_index build=$tBuild%.2f s " +
+        f"probe(batch=$nb)=$tProbe%.2f s kept=$kept " +
+        "(batch docs are indexed, so ~all drop)")
+    }
+
     if (wanted("bpe_deep")) {
       val rounds = sys.env.getOrElse("SCALE_BPE_ROUNDS", "30").toInt
       val hist = spark.table("amplified_documents")

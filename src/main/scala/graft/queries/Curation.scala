@@ -409,7 +409,100 @@ object Curation {
     qSourceCap.oracle
   )
 
+  /** Filter-funnel ATTRITION report — the observability query a
+    * curation team runs before and after every gate change: for each
+    * stage of the stacked quality pipeline (length → token count →
+    * stopword evidence → repetition → exact-dedup survivor), how many
+    * docs entered and how many survived. One row per stage, so a
+    * regression in any single gate is visible as ITS row's drop, not a
+    * mystery delta in the final corpus size.
+    *
+    * Stages are CONJUNCTIVE by construction (a doc is counted at stage
+    * k iff it passed 1..k), computed as per-doc booleans in ONE corpus
+    * scan; the only shuffles are the fingerprint window for the dedup
+    * stage and the final one-row aggregate, which `stack`s into the
+    * 5-row funnel. The repetition gate compares 10·distinct > 3·total
+    * in INTEGER arithmetic — same result as a 0.3 distinct-ratio
+    * threshold with zero float-literal/round-trip divergence between
+    * engines.
+    *
+    * 100 TB shape: identical to `q_curation_pipeline`'s (this is its
+    * report twin) — one scan, one keyed window shuffle, O(1) output. */
+  private val qFilterFunnel = Q(
+    "q_filter_funnel",
+    (s, d) => {
+      val w = Window.partitionBy(col("fp"), col("g4")).orderBy(col("doc_id"))
+      val flags = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("g1", col("n_chars") >= 100)
+        .withColumn("g2", col("g1") && col("n_tokens") >= 20)
+        .withColumn("g3", col("g2") &&
+          expr("size(filter(toks, t -> t IN ('the','a','of','and','is'))) > 0"))
+        .withColumn("g4", col("g3") &&
+          size(array_distinct(col("toks"))) * 10 > col("n_tokens") * 3)
+        .withColumn("fp", expr(sparkFp))
+        // survivor among the g4-passing docs of each fingerprint: the
+        // (fp, g4) partition makes rn=1 ∧ g4 exactly "kept by dedup"
+        .withColumn("rn", row_number().over(w))
+        .withColumn("g5", col("g4") && col("rn") === 1)
+      flags
+        .agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("g3"), 1L).otherwise(0L)).as("n3"),
+          sum(when(col("g4"), 1L).otherwise(0L)).as("n4"),
+          sum(when(col("g5"), 1L).otherwise(0L)).as("n5"))
+        .selectExpr(
+          """stack(5,
+            |  1, 'length>=100',    n0, n1,
+            |  2, 'tokens>=20',     n1, n2,
+            |  3, 'has_stopwords',  n2, n3,
+            |  4, 'repetition',     n3, n4,
+            |  5, 'exact_dedup',    n4, n5)
+            |AS (stage_id, stage, docs_in, docs_out)""".stripMargin)
+        .withColumn("dropped", col("docs_in") - col("docs_out"))
+        .orderBy(col("stage_id"))
+    },
+    Some(s"""WITH f AS (
+               SELECT doc_id, n_chars,
+                 string_split(text, ' ') AS toks,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                 $duckFp AS fp
+               FROM documents),
+             g AS (
+               SELECT *,
+                 (n_chars >= 100) AS g1,
+                 (n_chars >= 100 AND n_tokens >= 20) AS g2,
+                 (n_chars >= 100 AND n_tokens >= 20 AND
+                  len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) > 0) AS g3,
+                 (n_chars >= 100 AND n_tokens >= 20 AND
+                  len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) > 0 AND
+                  len(list_distinct(toks)) * 10 > n_tokens * 3) AS g4
+               FROM f),
+             r AS (
+               SELECT *, row_number() OVER (PARTITION BY fp, g4 ORDER BY doc_id) AS rn
+               FROM g),
+             c AS (
+               SELECT count(*) AS n0,
+                 CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                 CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+                 CAST(sum(CASE WHEN g4 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+               FROM r)
+             SELECT stage_id, stage, docs_in, docs_out, docs_in - docs_out AS dropped
+             FROM (
+               SELECT CAST(1 AS INT) AS stage_id, 'length>=100' AS stage, n0 AS docs_in, n1 AS docs_out FROM c
+               UNION ALL SELECT 2, 'tokens>=20', n1, n2 FROM c
+               UNION ALL SELECT 3, 'has_stopwords', n2, n3 FROM c
+               UNION ALL SELECT 4, 'repetition', n3, n4 FROM c
+               UNION ALL SELECT 5, 'exact_dedup', n4, n5 FROM c)
+             ORDER BY stage_id""")
+  )
+
   def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences, qSampleStratified,
     qNtileBucketize, qSampleWeighted, qMixSources, qTrainingOrder, qSourceCap,
-    qSourceCapAgg)
+    qSourceCapAgg, qFilterFunnel)
 }

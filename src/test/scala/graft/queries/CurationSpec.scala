@@ -70,4 +70,30 @@ class CurationSpec extends AnyFunSuite with SparkTestSupport {
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     assert(Registry.queries("q_ntile_bucketize")(spark, d).collect().isEmpty)
   }
+
+  test("filter funnel: each planted doc dies at exactly its intended gate") {
+    val d = Files.createTempDirectory("funnel").toString
+    // a doc that survives ALL gates (long, stopworded, diverse), used
+    // twice so the dedup gate has exactly one casualty
+    // 120 tokens, 62 distinct (ratio 0.52 > 0.3), stopworded, long
+    val good = (1 to 30).map(i => s"the word${i}a word${i}b of").mkString(" ")
+    val docs = Seq(
+      (1L, good, 150L),                                   // survives everything
+      (2L, good, 150L),                                   // dies at exact_dedup (dup of 1)
+      (3L, "short", 5L),                                  // dies at length (n_chars < 100)
+      (4L, "ten tokens only but the chars are padded out", 120L), // dies at tokens>=20
+      (5L, ("lorem ipsum dolor " * 10).trim, 120L),       // 30 toks, no stopwords → dies at has_stopwords
+      (6L, ("the the the the the " * 6).trim, 120L))      // 30 toks all 'the' → dies at repetition
+      .map { case (id, text, n) => (id, text, "en", "web", n) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_filter_funnel")(spark, d).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      ("length>=100", 6L, 5L, 1L),   // doc 3 out
+      ("tokens>=20", 5L, 4L, 1L),    // doc 4 out
+      ("has_stopwords", 4L, 3L, 1L), // doc 5 out
+      ("repetition", 3L, 2L, 1L),    // doc 6 out
+      ("exact_dedup", 2L, 1L, 1L)))  // doc 2 out; doc 1 survives
+  }
 }
