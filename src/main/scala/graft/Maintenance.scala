@@ -139,7 +139,14 @@ object Maintenance {
           pool.submit(new Callable[Result] {
             def call(): Result = {
               val t0 = System.nanoTime()
-              val out = Try(t.run(spark))
+              // catch Throwable, not just NonFatal: a task thread's
+              // InterruptedException / assertion / OOM must land in
+              // ITS OWN Result — escaping the Callable would surface
+              // as ExecutionException from get() and discard every
+              // other task's outcome, breaking the isolation contract
+              // this driver exists for
+              val out = try Success(t.run(spark))
+                catch { case e: Throwable => Failure(e) }
               Result(t, out, (System.nanoTime() - t0) / 1e9)
             }
           })

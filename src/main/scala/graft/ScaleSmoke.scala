@@ -186,11 +186,14 @@ object ScaleSmoke {
       val docs = Tables.documents(spark, patched.getPath)
       val (_, tBuild) = timed(Dedup.writeMinhashIndex(docs, dir))
       val (bands, shingles) = Dedup.readMinhashIndex(spark, dir)
-      val batch = docs.filter(col("doc_id") < 1000)
-      val ((nb, kept), tProbe) = timed {
-        val b = batch.count()
-        (b, Dedup.dropNearDups(batch, bands, shingles, 0.9).count())
-      }
+      // materialize the micro-batch OUTSIDE the timed block: the
+      // filter scan over the amplified corpus is corpus-proportional
+      // and would pollute the per-trigger-cost reading (a real
+      // trigger's batch arrives already materialized)
+      val batch = docs.filter(col("doc_id") < 1000).localCheckpoint(true)
+      val nb = batch.count()
+      val (kept, tProbe) = timed(
+        Dedup.dropNearDups(batch, bands, shingles, 0.9).count())
       println(f"SCALE mh_index build=$tBuild%.2f s " +
         f"probe(batch=$nb)=$tProbe%.2f s kept=$kept " +
         "(batch docs are indexed, so ~all drop)")

@@ -33,9 +33,27 @@ private[graft] object MetaMarker {
 
   /** True once a marker was ever COMMITTED at `dir` — a live marker,
     * or a staged copy that parses (fully written ⇒ committed; torn
-    * staged-only debris must not make a half-built index look live). */
-  def exists(fs: FileSystem, dir: String, name: String): Boolean =
-    resolve(fs, dir, name).isDefined
+    * staged-only debris must not make a half-built index look live).
+    * Like [[read]], absorbs the writer's momentary delete→rename
+    * window with a short re-read — but ONLY when the index dir itself
+    * exists (a swap could be in flight); a never-built dir answers
+    * false immediately, so first-build callers don't pay the retries.
+    * Without the retry, a committed index could transiently report as
+    * absent and a caller (the Indexed memo, Maintenance.plan) would
+    * start a SECOND concurrent build — breaking the single-writer
+    * assumption the staged-swap/retire protocols rest on. */
+  def exists(fs: FileSystem, dir: String, name: String): Boolean = {
+    var attempt = 0
+    while (true) {
+      resolve(fs, dir, name) match {
+        case Some(_) => return true
+        case None if attempt < 2 && fs.exists(new Path(dir)) =>
+          attempt += 1; Thread.sleep(15L << attempt)
+        case None => return false
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Read the committed marker. Retries across the writer's momentary
     * delete→rename window before concluding there is no index. */
@@ -53,11 +71,23 @@ private[graft] object MetaMarker {
 
   /** Commit `json` as the marker's new content (stage-then-swap). The
     * live delete may legitimately find nothing (first-ever write, or a
-    * predecessor that crashed mid-swap and left staged-only state —
-    * which readers already serve); the rename is the commit point. */
+    * predecessor that crashed mid-swap and left staged-only state);
+    * the rename is the commit point.
+    *
+    * WRITER-SIDE HEAL first: if a predecessor crashed between its
+    * delete and rename, the staged copy is the committed state and the
+    * ONLY copy — readers serve it, but `fs.create(staged, overwrite)`
+    * below would TRUNCATE it, and a crash mid-stage would then leave
+    * no parseable marker at all (the brick this protocol exists to
+    * prevent). Promoting it live here is safe precisely because only
+    * WRITERS mutate markers and the index contracts are single-writer
+    * per dir — the race that made reader-side healing unsound does not
+    * exist on this path. */
   def write(fs: FileSystem, dir: String, name: String, json: String): Unit = {
     val live = new Path(dir, name)
     val staged = new Path(dir, s"$name.next")
+    if (!fs.exists(live) && parse(fs, staged).isDefined)
+      fs.rename(staged, live)
     val out = fs.create(staged, true)
     try out.write(json.getBytes("UTF-8"))
     finally out.close()

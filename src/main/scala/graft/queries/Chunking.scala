@@ -199,7 +199,10 @@ object Chunking {
     var cur = weighted
     var lastCkpt: Option[DataFrame] = None
     val merges = Seq.newBuilder[DataFrame]
-    (1 to rounds).foreach { r =>
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      r += 1
       val best = ckpt(cur.where(size(col("toks")) >= 2)
         .select(col("w"), explode(expr(
           """transform(sequence(1, size(toks) - 1),
@@ -212,7 +215,15 @@ object Chunking {
         .limit(1)
         .select(lit(r).as("round"), col("l"), col("r"), col("cnt")))
       merges += best
-      if (r < rounds) { // the last round's re-tokenization is unread
+      // merges EXHAUSTED (every sequence folded to a single token):
+      // stop instead of cross-joining the zero-row broadcast into the
+      // working set — later rounds would silently wipe the corpus and
+      // still burn two jobs each. Matches the oracle's CTE behavior
+      // (an empty argmax layer contributes no rows); the returned
+      // merge table simply ends at the last productive round. The
+      // check is a head-probe of an already-checkpointed ≤1-row frame.
+      exhausted = best.isEmpty
+      if (r < rounds && !exhausted) { // the last round's re-tokenization is unread
         val next = cur
           .crossJoin(broadcast(best.select(col("l").as("_ml"), col("r").as("_mr"))))
           .withColumn("toks", expr(

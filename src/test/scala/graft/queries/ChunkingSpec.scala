@@ -146,6 +146,20 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("bpeTrain(n): merge exhaustion stops the loop at the last productive round") {
+    // "a a" folds to the single token a~a after round 1 — rounds 2..5
+    // have NO pairs left. The trainer must stop (not cross-join a
+    // zero-row broadcast through the corpus for 4 more rounds) and
+    // return just the productive round, like the oracle's empty CTE
+    // layers would.
+    import org.apache.spark.sql.functions.{col, lit, split}
+    val weighted = Seq("a a").toDF("text")
+      .select(split(col("text"), " ").as("toks"), lit(1L).as("w"))
+    val got = Chunking.bpeTrain(weighted, rounds = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a", "a", 1L)))
+  }
+
   test("source overlap counts shared spans once per source pair, never per occurrence") {
     val d = Files.createTempDirectory("chunking5").toString
     val shared = "one two three four five six" // 2 spans at K=3
