@@ -43,11 +43,17 @@ object Maintenance {
 
   /** One schedulable unit of maintenance work. `id` is the dedup /
     * logging identity: [[run]] executes each distinct id once per
-    * invocation, because the partition-swap protocols are
-    * single-writer per artifact — two concurrent compactions of the
-    * SAME partition would race each other's aside/tmp dirs. */
+    * invocation. `resource` names the ARTIFACT the task mutates —
+    * every swap protocol in the engine is single-writer per artifact,
+    * so [[run]] serializes tasks sharing a resource (two concurrent
+    * writers on one partition/index would race each other's aside/tmp
+    * dirs and version names) while distinct resources parallelize. */
   sealed trait Task {
     def id: String
+
+    /** The mutated artifact (partition dir, index dir): the
+      * mutual-exclusion key [[run]] serializes on. */
+    def resource: String
 
     /** Execute, returning a one-line human summary. Must be
       * idempotent / re-runnable after any crash point (the units'
@@ -60,6 +66,7 @@ object Maintenance {
   final case class CompactLakePartition(
       path: String, env: String, day: String, nFiles: Int) extends Task {
     def id: String = s"lake-compact:$path/env=$env/log_day=$day"
+    def resource: String = s"$path/env=$env/log_day=$day"
     def run(spark: SparkSession): String = {
       val (before, after) =
         logs.LogLake.compactPartition(spark, path, env, day)
@@ -72,6 +79,7 @@ object Maintenance {
   final case class FoldVectorIndexAppends(dir: String, nPending: Int)
       extends Task {
     def id: String = s"index-compact:$dir"
+    def resource: String = dir
     def run(spark: SparkSession): String = {
       index.VectorIndex.compact(spark, dir)
       s"folded $nPending append table(s)"
@@ -82,10 +90,14 @@ object Maintenance {
     * retrain) the CALLER requests: only the pipeline knows which fresh
     * corpus an index should be rebuilt from, so the body is supplied,
     * and this driver contributes scheduling, isolation, and the
-    * summary. The rebuild units themselves commit via versioned dirs +
-    * staged meta swap, so running one under live readers is safe. */
-  final case class Rebuild(name: String)(body: SparkSession => String)
-      extends Task {
+    * summary. `resource` must name the index dir the body writes —
+    * that is what keeps a requested rebuild from racing an
+    * auto-planned compaction of the SAME artifact (both would compute
+    * the same next version name and interleave writes into it). The
+    * rebuild units themselves commit via versioned dirs + staged meta
+    * swap, so running one under live READERS is safe. */
+  final case class Rebuild(name: String, resource: String)(
+      body: SparkSession => String) extends Task {
     def id: String = s"rebuild:$name"
     def run(spark: SparkSession): String = body(spark)
   }
@@ -125,33 +137,38 @@ object Maintenance {
 
   /** Fan the work-list out over a bounded thread pool (each task is
     * itself a distributed Spark job — the pool bounds CONCURRENT
-    * jobs, not work). Duplicate ids collapse to one execution
-    * (single-writer protocols); failures isolate per task. Results
-    * come back in the submitted (id-sorted) order. */
+    * jobs, not work). Duplicate ids collapse to one execution; tasks
+    * sharing a `resource` run SEQUENTIALLY in id order (single-writer
+    * per artifact — an auto-planned compaction and a requested rebuild
+    * of the same index must never interleave), distinct resources in
+    * parallel. Failures isolate per task. Results come back id-sorted. */
   def run(spark: SparkSession, tasks: Seq[Task], parallelism: Int = 4): Seq[Result] = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val distinct = tasks.groupBy(_.id).values.map(_.head).toSeq.sortBy(_.id)
     if (distinct.isEmpty) return Seq.empty
-    val pool = Executors.newFixedThreadPool(math.min(parallelism, distinct.size))
+    val byResource = distinct.groupBy(_.resource).values.toSeq
+    val pool = Executors.newFixedThreadPool(
+      math.min(parallelism, byResource.size))
+    def exec(t: Task): Result = {
+      val t0 = System.nanoTime()
+      // catch Throwable, not just NonFatal: a task thread's
+      // InterruptedException / assertion / OOM must land in ITS OWN
+      // Result — escaping the Callable would surface as
+      // ExecutionException from get() and discard every other task's
+      // outcome, breaking the isolation contract this driver exists for
+      val out = try Success(t.run(spark))
+        catch { case e: Throwable => Failure(e) }
+      Result(t, out, (System.nanoTime() - t0) / 1e9)
+    }
     try {
-      distinct
-        .map { t =>
-          pool.submit(new Callable[Result] {
-            def call(): Result = {
-              val t0 = System.nanoTime()
-              // catch Throwable, not just NonFatal: a task thread's
-              // InterruptedException / assertion / OOM must land in
-              // ITS OWN Result — escaping the Callable would surface
-              // as ExecutionException from get() and discard every
-              // other task's outcome, breaking the isolation contract
-              // this driver exists for
-              val out = try Success(t.run(spark))
-                catch { case e: Throwable => Failure(e) }
-              Result(t, out, (System.nanoTime() - t0) / 1e9)
-            }
+      byResource
+        .map { group =>
+          pool.submit(new Callable[Seq[Result]] {
+            def call(): Seq[Result] = group.map(exec)
           })
         }
-        .map(_.get())
+        .flatMap(_.get())
+        .sortBy(_.task.id)
     } finally pool.shutdown()
   }
 
@@ -166,12 +183,18 @@ object Maintenance {
     val spark = GraftSession.builder(GraftSession.cpus)
       .appName("graft-maintenance").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try {
-      val tasks = plan(spark, lakes, idx)
-      println(s"MAINT planned ${tasks.size} task(s)")
-      val results = run(spark, tasks)
-      results.foreach(r => println(s"MAINT ${r.summary}"))
-      if (results.exists(_.outcome.isFailure)) sys.exit(1)
-    } finally spark.stop()
+    // exit code decided OUTSIDE the try/finally: sys.exit never runs
+    // finally blocks, so exiting inside would skip the graceful
+    // spark.stop() (event-log flush) on exactly the failed runs an
+    // operator needs to debug
+    val anyFailed =
+      try {
+        val tasks = plan(spark, lakes, idx)
+        println(s"MAINT planned ${tasks.size} task(s)")
+        val results = run(spark, tasks)
+        results.foreach(r => println(s"MAINT ${r.summary}"))
+        results.exists(_.outcome.isFailure)
+      } finally spark.stop()
+    if (anyFailed) sys.exit(1)
   }
 }

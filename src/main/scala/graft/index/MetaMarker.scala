@@ -47,7 +47,13 @@ private[graft] object MetaMarker {
     while (true) {
       resolve(fs, dir, name) match {
         case Some(_) => return true
-        case None if attempt < 2 && fs.exists(new Path(dir)) =>
+        // retry only while some marker FILE is present-but-unreadable
+        // (a swap or torn stage in flight). A dir with NO marker files
+        // at all — never built, or a pre-marker legacy layout — is an
+        // immediate false: those callers (legacy streaming triggers,
+        // first builds) must not pay the backoff on every call.
+        case None if attempt < 2 && (fs.exists(new Path(dir, name)) ||
+            fs.exists(new Path(dir, s"$name.next"))) =>
           attempt += 1; Thread.sleep(15L << attempt)
         case None => return false
       }
@@ -62,7 +68,12 @@ private[graft] object MetaMarker {
     while (true) {
       resolve(fs, dir, name) match {
         case Some(node) => return node
-        case None if attempt < 4 => attempt += 1; Thread.sleep(20L << attempt)
+        // same carve-out as [[exists]]: only a present-but-unreadable
+        // marker file warrants the backoff; a dir with no marker files
+        // fails fast
+        case None if attempt < 4 && (fs.exists(new Path(dir, name)) ||
+            fs.exists(new Path(dir, s"$name.next"))) =>
+          attempt += 1; Thread.sleep(20L << attempt)
         case None => throw new IllegalArgumentException(s"no index meta at $dir")
       }
     }
@@ -87,7 +98,9 @@ private[graft] object MetaMarker {
     val live = new Path(dir, name)
     val staged = new Path(dir, s"$name.next")
     if (!fs.exists(live) && parse(fs, staged).isDefined)
-      fs.rename(staged, live)
+      // must not fall through on a failed rename: create(staged,
+      // overwrite) below would truncate the sole committed copy
+      require(fs.rename(staged, live), s"meta heal failed at $dir")
     val out = fs.create(staged, true)
     try out.write(json.getBytes("UTF-8"))
     finally out.close()

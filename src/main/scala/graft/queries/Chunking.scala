@@ -243,8 +243,18 @@ object Chunking {
       }
       onRound(r, best)
     }
-    merges.result().reduce((a: DataFrame, b: DataFrame) => a.unionByName(b))
-      .orderBy(col("round"))
+    // BALANCED union, not a left-deep reduce: at the deep-N target
+    // (N≈30k) a left-nested 30k-child Union is O(N²) re-analysis work
+    // and overflows the driver stack in Catalyst's recursive tree
+    // traversal; a balanced tree is log-depth with O(N log N) total
+    // analysis. Shuffle/join counts are identical (plan pins unmoved).
+    def union(fs: Seq[DataFrame]): DataFrame =
+      if (fs.size == 1) fs.head
+      else {
+        val (a, b) = fs.splitAt(fs.size / 2)
+        union(a).unionByName(union(b))
+      }
+    union(merges.result()).orderBy(col("round"))
   }
 
   /** The ITERATIVE BPE trainer — `q_bpe_pairs` run to a fixed point of

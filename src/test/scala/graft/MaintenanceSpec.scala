@@ -104,7 +104,7 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
       Maintenance.CompactLakePartition(lake, "prod", "2019-01-18", 5),
       // same id submitted twice: must execute ONCE (single-writer swap)
       Maintenance.CompactLakePartition(lake, "prod", "2019-01-18", 5),
-      Maintenance.Rebuild("band-index") { _ =>
+      Maintenance.Rebuild("band-index", s"$work/band-idx") { _ =>
         ran.incrementAndGet(); "rebuilt"
       },
       Maintenance.CompactLakePartition(lake, "nope", "1970-01-01", 99))
@@ -118,5 +118,28 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     assert(bad.outcome.isFailure, "missing partition must fail its own task")
     // the failure did not poison the successful compaction
     assert(LogLake.forDay(spark, lake, "prod", "2019-01-18").count() === 10)
+  }
+
+  test("tasks sharing a resource serialize; distinct resources parallelize") {
+    // two tasks on the SAME artifact (a requested rebuild racing an
+    // auto-planned compaction is the real case) must never overlap —
+    // every swap protocol is single-writer per artifact; a third task
+    // on a different artifact is free to interleave with either
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def body(tag: String): org.apache.spark.sql.SparkSession => String = { _ =>
+      if (active.incrementAndGet() > 1) overlapped.set(true)
+      Thread.sleep(120)
+      active.decrementAndGet()
+      tag
+    }
+    val results = Maintenance.run(spark, Seq(
+      Maintenance.Rebuild("r1", "shared-idx-dir")(body("a")),
+      Maintenance.Rebuild("r2", "shared-idx-dir")(body("b")),
+      Maintenance.Rebuild("r3", "other-dir")(_ => "c")),
+      parallelism = 4)
+    assert(results.map(_.task.id) === Seq("rebuild:r1", "rebuild:r2", "rebuild:r3"))
+    assert(results.forall(_.outcome.isSuccess))
+    assert(!overlapped.get(), "same-resource tasks must never run concurrently")
   }
 }
