@@ -52,7 +52,11 @@ object Maintenance {
     def id: String
 
     /** The mutated artifact (partition dir, index dir): the
-      * mutual-exclusion key [[run]] serializes on. */
+      * mutual-exclusion key [[run]] serializes on. Grouping compares
+      * PATH-NORMALIZED forms (trailing/double slashes collapse), but
+      * cannot unify relative-vs-absolute spellings of one dir — name
+      * artifacts consistently (the auto-planned tasks echo the dirs
+      * exactly as registered with [[plan]]). */
     def resource: String
 
     /** Execute, returning a one-line human summary. Must be
@@ -146,7 +150,10 @@ object Maintenance {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val distinct = tasks.groupBy(_.id).values.map(_.head).toSeq.sortBy(_.id)
     if (distinct.isEmpty) return Seq.empty
-    val byResource = distinct.groupBy(_.resource).values.toSeq
+    // normalize before grouping: "/data/idx/" and "/data/idx" are one
+    // artifact, and missing the match would run two writers on it
+    val byResource = distinct.groupBy(t =>
+      new org.apache.hadoop.fs.Path(t.resource).toString).values.toSeq
     val pool = Executors.newFixedThreadPool(
       math.min(parallelism, byResource.size))
     def exec(t: Task): Result = {

@@ -120,12 +120,22 @@ object ScaleSmoke {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
 
+    // per-block isolation, same stance as the heavy-query loop: a
+    // multi-hour amplified run must not lose the remaining blocks'
+    // measurements to one block's failure
+    def block(name: String)(body: => Unit): Unit =
+      try body
+      catch {
+        case e: Throwable =>
+          println(f"SCALE $name%-24s FAILED ${e.getMessage.take(100)}")
+      }
+
     // PERSISTENT ANN INDEX at scale: build / search / append-union /
     // compact wall times, plus the probe-I/O fraction (the probes/k
     // claim MEASURED — distinct probed posting lists over total lists;
     // that the probed-list set lands as a partition filter is
     // plan-pinned in VectorIndexSpec).
-    if (wanted("vector_index")) {
+    if (wanted("vector_index")) block("vector_index") {
       import graft.index.{VectorConventions, VectorIndex}
       val dir = s"${patched.getPath}/vindex_scale"
       rmDir(dir)
@@ -179,7 +189,7 @@ object ScaleSmoke {
     // joined against the stored tables + exact-Jaccard verification).
     // The amplified corpus is pathological (every doc in `copies`
     // identical versions), so this also exercises the bucket caps.
-    if (wanted("near_dedup_index")) {
+    if (wanted("near_dedup_index")) block("near_dedup_index") {
       import graft.queries.Dedup
       val dir = s"${patched.getPath}/mh_scale"
       rmDir(dir)
@@ -199,7 +209,7 @@ object ScaleSmoke {
         "(batch docs are indexed, so ~all drop)")
     }
 
-    if (wanted("bpe_deep")) {
+    if (wanted("bpe_deep")) block("bpe_deep") {
       val rounds = sys.env.getOrElse("SCALE_BPE_ROUNDS", "30").toInt
       val hist = spark.table("amplified_documents")
         .groupBy(col("text")).agg(count(lit(1)).as("w"))

@@ -35,25 +35,21 @@ private[graft] object MetaMarker {
     * or a staged copy that parses (fully written ⇒ committed; torn
     * staged-only debris must not make a half-built index look live).
     * Like [[read]], absorbs the writer's momentary delete→rename
-    * window with a short re-read — but ONLY when the index dir itself
-    * exists (a swap could be in flight); a never-built dir answers
-    * false immediately, so first-build callers don't pay the retries.
-    * Without the retry, a committed index could transiently report as
-    * absent and a caller (the Indexed memo, Maintenance.plan) would
-    * start a SECOND concurrent build — breaking the single-writer
-    * assumption the staged-swap/retire protocols rest on. */
+    * window with a short re-read — but ONLY while a marker FILE is
+    * present-but-unreadable (a swap or torn stage in flight); a dir
+    * with no marker files at all — never built, or a pre-marker
+    * legacy layout — answers false immediately, so first-build and
+    * legacy-streaming callers don't pay the backoff per call. Without
+    * the retry, a committed index could transiently report as absent
+    * and a caller (the Indexed memo, Maintenance.plan) would start a
+    * SECOND concurrent build — breaking the single-writer assumption
+    * the staged-swap/retire protocols rest on. */
   def exists(fs: FileSystem, dir: String, name: String): Boolean = {
     var attempt = 0
     while (true) {
       resolve(fs, dir, name) match {
         case Some(_) => return true
-        // retry only while some marker FILE is present-but-unreadable
-        // (a swap or torn stage in flight). A dir with NO marker files
-        // at all — never built, or a pre-marker legacy layout — is an
-        // immediate false: those callers (legacy streaming triggers,
-        // first builds) must not pay the backoff on every call.
-        case None if attempt < 2 && (fs.exists(new Path(dir, name)) ||
-            fs.exists(new Path(dir, s"$name.next"))) =>
+        case None if attempt < 2 && swapMayBeInFlight(fs, dir, name) =>
           attempt += 1; Thread.sleep(15L << attempt)
         case None => return false
       }
@@ -68,11 +64,7 @@ private[graft] object MetaMarker {
     while (true) {
       resolve(fs, dir, name) match {
         case Some(node) => return node
-        // same carve-out as [[exists]]: only a present-but-unreadable
-        // marker file warrants the backoff; a dir with no marker files
-        // fails fast
-        case None if attempt < 4 && (fs.exists(new Path(dir, name)) ||
-            fs.exists(new Path(dir, s"$name.next"))) =>
+        case None if attempt < 4 && swapMayBeInFlight(fs, dir, name) =>
           attempt += 1; Thread.sleep(20L << attempt)
         case None => throw new IllegalArgumentException(s"no index meta at $dir")
       }
@@ -106,6 +98,28 @@ private[graft] object MetaMarker {
     finally out.close()
     fs.delete(live, false)
     require(fs.rename(staged, live), s"meta swap failed at $dir")
+  }
+
+  /** The retry-worthiness guard for [[read]]/[[exists]]: a backoff is
+    * warranted only while a swap could actually be IN FLIGHT — i.e. a
+    * marker file is present-but-unreadable AND fresh (written within
+    * the last few seconds; a live swap's stage→rename spans
+    * milliseconds). Old unparseable debris — a crashed first-ever
+    * stage — must NOT tax every subsequent call with the backoff: it
+    * reads as "no index" immediately and stays inert until the next
+    * [[write]] re-stages over it. A dir with no marker files at all
+    * (never built, or a pre-marker legacy layout) also answers
+    * immediately. The freshness window trades a sliver of the
+    * duplicate-build race back in (a writer PAUSED >10 s mid-swap
+    * looks like debris) for not penalizing the permanent-debris case
+    * forever — acceptable: the race's worst case is a redundant
+    * identical build, the tax was per-trigger latency. */
+  private def swapMayBeInFlight(fs: FileSystem, dir: String, name: String): Boolean = {
+    def fresh(p: Path): Boolean =
+      try fs.getFileStatus(p).getModificationTime >
+        System.currentTimeMillis() - 10000L
+      catch { case _: java.io.IOException => false } // incl. not-found
+    fresh(new Path(dir, name)) || fresh(new Path(dir, s"$name.next"))
   }
 
   /** Live marker if it parses, else the staged copy if it parses,

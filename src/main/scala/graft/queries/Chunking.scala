@@ -183,10 +183,14 @@ object Chunking {
     * intervening argmax is already pinned — so the superseded
     * working-set copy is freed immediately ([[Checkpointer.release]])
     * rather than accumulating O(N/ckptEvery) corpus copies in the
-    * checkpoint store. A pinned winner also spares the final
-    * merge-table union from re-running each round's full pair count
-    * (the unrolled form recomputed every round's aggregation once more
-    * at action time).
+    * checkpoint store. The winners themselves don't accumulate either:
+    * at each checkpoint cadence (and at the end) the pending winner
+    * frames are ABSORBED into one accumulated merge-table checkpoint
+    * and then released — so live checkpoint state at any moment is one
+    * working-set copy + one ≤N-row merge table + ≤ckptEvery one-row
+    * winners, O(1) dirs in the reliable store instead of O(N). A
+    * pinned winner also spares the merge table from re-running each
+    * round's full pair count at action time (the unrolled form did).
     *
     * `Checkpointer.Reliable` + `ckptEvery ≈ 5` is the 100 TB / N≈30k
     * configuration; the query keys below use `Local`/1 — same code
@@ -198,7 +202,27 @@ object Chunking {
     require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
     var cur = weighted
     var lastCkpt: Option[DataFrame] = None
-    val merges = Seq.newBuilder[DataFrame]
+    // the merge table so far (checkpointed) + winners not yet absorbed
+    var acc: Option[DataFrame] = None
+    var pending: Vector[DataFrame] = Vector.empty
+    // fold `pending` into `acc` as ONE new checkpoint, then release
+    // the absorbed frames — sound only AFTER the working set no longer
+    // references them (callers invoke this right after the working-set
+    // checkpoint, or at loop end when nothing re-tokenizes again)
+    def absorbPending(): Unit = if (pending.nonEmpty) {
+      val all = acc.toVector ++ pending
+      def union(fs: Vector[DataFrame]): DataFrame =
+        if (fs.size == 1) fs.head
+        else {
+          val (a, b) = fs.splitAt(fs.size / 2)
+          union(a).unionByName(union(b))
+        }
+      val next = ckpt(union(all))
+      acc.foreach(ckpt.release)
+      pending.foreach(ckpt.release)
+      acc = Some(next)
+      pending = Vector.empty
+    }
     var r = 0
     var exhausted = false
     while (r < rounds && !exhausted) {
@@ -214,7 +238,7 @@ object Chunking {
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1)
         .select(lit(r).as("round"), col("l"), col("r"), col("cnt")))
-      merges += best
+      pending :+= best
       // merges EXHAUSTED (every sequence folded to a single token):
       // stop instead of cross-joining the zero-row broadcast into the
       // working set — later rounds would silently wipe the corpus and
@@ -223,6 +247,10 @@ object Chunking {
       // merge table simply ends at the last productive round. The
       // check is a head-probe of an already-checkpointed ≤1-row frame.
       exhausted = best.isEmpty
+      // progress callback BEFORE any absorb/release below: under
+      // Checkpointer.Reliable an absorbed winner's storage is freed,
+      // so the frame handed to the callback must still be live here
+      onRound(r, best)
       if (r < rounds && !exhausted) { // the last round's re-tokenization is unread
         val next = cur
           .crossJoin(broadcast(best.select(col("l").as("_ml"), col("r").as("_mr"))))
@@ -234,27 +262,22 @@ object Chunking {
                |                          array(concat(_ml, '$BpeJoin', _mr)))
                |              ELSE concat(acc, array(x)) END)""".stripMargin))
           .drop("_ml", "_mr")
-        cur = if (r % ckptEvery == 0) {
+        if (r % ckptEvery == 0) {
           val c = ckpt(next)
           lastCkpt.foreach(ckpt.release) // winners since are pinned; safe
           lastCkpt = Some(c)
-          c
-        } else next
+          cur = c
+          // the working set no longer reads this window's winners (its
+          // checkpoint just materialized through them) — fold them
+          // into the accumulated merge table and free their storage
+          absorbPending()
+        } else cur = next
       }
-      onRound(r, best)
     }
-    // BALANCED union, not a left-deep reduce: at the deep-N target
-    // (N≈30k) a left-nested 30k-child Union is O(N²) re-analysis work
-    // and overflows the driver stack in Catalyst's recursive tree
-    // traversal; a balanced tree is log-depth with O(N log N) total
-    // analysis. Shuffle/join counts are identical (plan pins unmoved).
-    def union(fs: Seq[DataFrame]): DataFrame =
-      if (fs.size == 1) fs.head
-      else {
-        val (a, b) = fs.splitAt(fs.size / 2)
-        union(a).unionByName(union(b))
-      }
-    union(merges.result()).orderBy(col("round"))
+    // absorb the tail window (incl. the final round's winner, which no
+    // re-tokenization reads)
+    absorbPending()
+    acc.get.orderBy(col("round"))
   }
 
   /** The ITERATIVE BPE trainer — `q_bpe_pairs` run to a fixed point of
