@@ -151,9 +151,14 @@ object Maintenance {
     val distinct = tasks.groupBy(_.id).values.map(_.head).toSeq.sortBy(_.id)
     if (distinct.isEmpty) return Seq.empty
     // normalize before grouping: "/data/idx/" and "/data/idx" are one
-    // artifact, and missing the match would run two writers on it
-    val byResource = distinct.groupBy(t =>
-      new org.apache.hadoop.fs.Path(t.resource).toString).values.toSeq
+    // artifact, and missing the match would run two writers on it. A
+    // string Path can't parse (empty, "foo:") groups by its raw form —
+    // grouping must never throw, or zero tasks run and the documented
+    // per-task failure isolation is voided before it starts
+    def normalized(r: String): String =
+      try new org.apache.hadoop.fs.Path(r).toString
+      catch { case _: IllegalArgumentException => r }
+    val byResource = distinct.groupBy(t => normalized(t.resource)).values.toSeq
     val pool = Executors.newFixedThreadPool(
       math.min(parallelism, byResource.size))
     def exec(t: Task): Result = {

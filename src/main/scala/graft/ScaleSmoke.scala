@@ -100,7 +100,8 @@ object ScaleSmoke {
         println(f"SCALE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
       } catch {
         case e: Throwable =>
-          println(f"SCALE $name%-24s FAILED ${e.getMessage.take(100)}")
+          val msg = Option(e.getMessage).getOrElse(e.toString)
+          println(f"SCALE $name%-24s FAILED ${msg.take(100)}")
       }
     }
 
@@ -127,7 +128,10 @@ object ScaleSmoke {
       try body
       catch {
         case e: Throwable =>
-          println(f"SCALE $name%-24s FAILED ${e.getMessage.take(100)}")
+          // getMessage is null for bare AssertionError/StackOverflow —
+          // an NPE out of the catch would kill the run this isolates
+          val msg = Option(e.getMessage).getOrElse(e.toString)
+          println(f"SCALE $name%-24s FAILED ${msg.take(100)}")
       }
 
     // PERSISTENT ANN INDEX at scale: build / search / append-union /

@@ -47,9 +47,10 @@ private[graft] object MetaMarker {
   def exists(fs: FileSystem, dir: String, name: String): Boolean = {
     var attempt = 0
     while (true) {
-      resolve(fs, dir, name) match {
+      val ps = probes(fs, dir, name)
+      ps.collectFirst { case (_, Committed(_)) => () } match {
         case Some(_) => return true
-        case None if attempt < 2 && swapMayBeInFlight(fs, dir, name) =>
+        case None if attempt < 2 && retryWorthy(fs, ps) =>
           attempt += 1; Thread.sleep(15L << attempt)
         case None => return false
       }
@@ -62,9 +63,10 @@ private[graft] object MetaMarker {
   def read(fs: FileSystem, dir: String, name: String): JsonNode = {
     var attempt = 0
     while (true) {
-      resolve(fs, dir, name) match {
+      val ps = probes(fs, dir, name)
+      ps.collectFirst { case (_, Committed(n)) => n } match {
         case Some(node) => return node
-        case None if attempt < 4 && swapMayBeInFlight(fs, dir, name) =>
+        case None if attempt < 4 && retryWorthy(fs, ps) =>
           attempt += 1; Thread.sleep(20L << attempt)
         case None => throw new IllegalArgumentException(s"no index meta at $dir")
       }
@@ -89,7 +91,10 @@ private[graft] object MetaMarker {
   def write(fs: FileSystem, dir: String, name: String, json: String): Unit = {
     val live = new Path(dir, name)
     val staged = new Path(dir, s"$name.next")
-    if (!fs.exists(live) && parse(fs, staged).isDefined)
+    if (!fs.exists(live) && (probe(fs, staged) match {
+          case Committed(_) => true
+          case _ => false
+        }))
       // must not fall through on a failed rename: create(staged,
       // overwrite) below would truncate the sole committed copy
       require(fs.rename(staged, live), s"meta heal failed at $dir")
@@ -100,47 +105,64 @@ private[graft] object MetaMarker {
     require(fs.rename(staged, live), s"meta swap failed at $dir")
   }
 
-  /** The retry-worthiness guard for [[read]]/[[exists]]: a backoff is
-    * warranted only while a swap could actually be IN FLIGHT — i.e. a
-    * marker file is present-but-unreadable AND fresh (written within
-    * the last few seconds; a live swap's stage→rename spans
-    * milliseconds). Old unparseable debris — a crashed first-ever
-    * stage — must NOT tax every subsequent call with the backoff: it
-    * reads as "no index" immediately and stays inert until the next
-    * [[write]] re-stages over it. A dir with no marker files at all
-    * (never built, or a pre-marker legacy layout) also answers
-    * immediately. The freshness window trades a sliver of the
-    * duplicate-build race back in (a writer PAUSED >10 s mid-swap
-    * looks like debris) for not penalizing the permanent-debris case
-    * forever — acceptable: the race's worst case is a redundant
-    * identical build, the tax was per-trigger latency. */
-  private def swapMayBeInFlight(fs: FileSystem, dir: String, name: String): Boolean = {
-    def fresh(p: Path): Boolean =
-      try fs.getFileStatus(p).getModificationTime >
-        System.currentTimeMillis() - 10000L
-      catch { case _: java.io.IOException => false } // incl. not-found
-    fresh(new Path(dir, name)) || fresh(new Path(dir, s"$name.next"))
-  }
+  /** What a single marker-file probe saw — the distinction the retry
+    * guard needs: a TRANSIENT read failure (datanode blip, store
+    * throttle) on a committed marker must retry regardless of the
+    * file's age, while old TORN debris (readable bytes that don't
+    * parse — a crashed first-ever stage) must answer "no index"
+    * immediately instead of taxing every call with the backoff. */
+  private sealed trait Probe
+  private case object Missing extends Probe
+  private case object Torn extends Probe        // read fine, not a commit
+  private case object Unreadable extends Probe  // I/O failure mid-probe
+  private final case class Committed(node: JsonNode) extends Probe
 
-  /** Live marker if it parses, else the staged copy if it parses,
-    * else nothing — one read-only pass, no side effects. */
-  private def resolve(fs: FileSystem, dir: String, name: String): Option[JsonNode] =
-    parse(fs, new Path(dir, name))
-      .orElse(parse(fs, new Path(dir, s"$name.next")))
+  /** The retry-worthiness guard for [[read]]/[[exists]]: backoff iff
+    *  - some probe FAILED on I/O (present marker we could not read —
+    *    transient store errors retry unconditionally, else a healthy
+    *    index transiently reports absent and a caller starts the
+    *    duplicate concurrent build), or
+    *  - a TORN file is FRESH (mtime within ~10 s): a live swap's
+    *    torn-read window spans milliseconds, while debris is old.
+    *    The window is a heuristic — clock skew beyond it trades
+    *    either a sliver of the duplicate-build race (worst case: a
+    *    redundant identical build) or a lingering backoff tax on
+    *    debris (healed at the next write) — both bounded, neither
+    *    corrupting. */
+  private def retryWorthy(fs: FileSystem, probes: Seq[(Path, Probe)]): Boolean =
+    probes.exists {
+      case (_, Unreadable) => true
+      case (p, Torn) =>
+        try fs.getFileStatus(p).getModificationTime >
+          System.currentTimeMillis() - 10000L
+        catch { case _: java.io.IOException => false }
+      case _ => false
+    }
 
-  private def parse(fs: FileSystem, p: Path): Option[JsonNode] =
+  /** One read-only resolution pass: the live marker, then the staged
+    * copy, each classified — no side effects. [[read]]/[[exists]] take
+    * the first `Committed` and feed the full probe states to
+    * [[retryWorthy]]. */
+  private def probes(fs: FileSystem, dir: String, name: String): Seq[(Path, Probe)] =
+    Seq(new Path(dir, name), new Path(dir, s"$name.next"))
+      .map(p => p -> probe(fs, p))
+
+  private def probe(fs: FileSystem, p: Path): Probe =
     try {
-      if (!fs.exists(p)) None
+      if (!fs.exists(p)) Missing
       else {
         val in = fs.open(p)
         val text =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        // readTree returns null/non-object values for empty or partial
-        // input instead of always throwing — normalize to "no commit"
-        Option(new ObjectMapper().readTree(text)).filter(_.isObject)
+        // readTree returns null/non-object for empty input and THROWS
+        // JacksonException for malformed bytes — both are "read fine,
+        // not a commit", distinct from an I/O failure
+        try Option(new ObjectMapper().readTree(text)).filter(_.isObject)
+          .map(Committed).getOrElse(Torn)
+        catch { case _: com.fasterxml.jackson.core.JacksonException => Torn }
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case _: java.io.IOException => Unreadable }
 
   /** One-generation-grace retirement sweep, shared by every builder:
     * delete the version dirs under `dir` that start with one of

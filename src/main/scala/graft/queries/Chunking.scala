@@ -275,8 +275,11 @@ object Chunking {
       }
     }
     // absorb the tail window (incl. the final round's winner, which no
-    // re-tokenization reads)
+    // re-tokenization reads), and free the last working-set checkpoint
+    // — nothing reads `cur` after the loop, and leaving it would leak
+    // one full corpus copy per training run in the reliable store
     absorbPending()
+    lastCkpt.foreach(ckpt.release)
     acc.get.orderBy(col("round"))
   }
 

@@ -146,6 +146,44 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("bpeTrain(n): Reliable checkpointer — release choreography keeps results intact and storage bounded") {
+    // the absorb/release ordering is only OBSERVABLE under a
+    // Checkpointer whose release() deletes storage: a frame freed
+    // while something unmaterialized still reads it fails the query,
+    // and leaked frames fail the bounded-storage assertion below
+    import org.apache.spark.sql.functions.{col, lit, split}
+    val docs = Seq.fill(3)("a b c d e f g")
+    val weighted = docs.toDF("text")
+      .select(split(col("text"), " ").as("toks"), lit(1L).as("w"))
+    val ckptDir = Files.createTempDirectory("bpe-reliable").toString
+    val reliable = Checkpointer.Reliable(ckptDir)
+    def liveDirs(): Set[String] =
+      spark.sparkContext.getCheckpointDir.toSet[String].flatMap { r =>
+        val root = new org.apache.hadoop.fs.Path(r)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root))
+          fs.listStatus(root).filter(_.isDirectory)
+            .map(_.getPath.toString).toSet
+        else Set.empty[String]
+      }
+    val before = liveDirs()
+    val got = Chunking.bpeTrain(weighted, rounds = 6, ckpt = reliable,
+      ckptEvery = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val local = Chunking.bpeTrain(weighted, rounds = 6, ckptEvery = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === local.toSeq,
+      "Reliable and Local checkpointing must train identical merges")
+    // bounded storage: after the action, this run's live checkpoints =
+    // the final accumulated merge table only (working set + absorbed
+    // winners all released) — not O(rounds) dirs
+    val leaked = liveDirs() -- before
+    assert(leaked.size <= 2,
+      s"expected O(1) live checkpoint dirs after training, found ${leaked.size}: $leaked")
+  }
+
   test("bpeTrain(n): merge exhaustion stops the loop at the last productive round") {
     // "a a" folds to the single token a~a after round 1 — rounds 2..5
     // have NO pairs left. The trainer must stop (not cross-join a
