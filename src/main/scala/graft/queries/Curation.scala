@@ -502,7 +502,68 @@ object Curation {
              ORDER BY stage_id""")
   )
 
+  /** Per-source DATASET CARD — the datasheet a corpus ships with: per
+    * source, document and token volume, exact mean length, distinct
+    * content count (its complement is the within-source dup rate),
+    * language spread, and the dominant language (deterministic mode:
+    * count desc, ties to the smallest language code — the
+    * `q_mode_per_key` aggregate, reused as a card column).
+    *
+    * 100 TB shape: two partial-agg'd shuffles on `source` (the main
+    * stat pass and the source×lang count feeding the mode) + one
+    * source-keyed join of two source-cardinality sides — no windows
+    * over the corpus, no driver loops. `avg_chars` divides two exact
+    * integer sums AS DOUBLES in the same operand order on both
+    * engines, so the card is bit-reproducible. */
+  private val qDatasetCard = Q(
+    "q_dataset_card",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("fp", expr(sparkFp))
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      val stats = base.groupBy(col("source")).agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("n_chars")).as("chars"),
+        countDistinct(col("fp")).as("distinct_texts"),
+        countDistinct(col("lang")).as("langs"))
+      val topLang = base
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("lang"))).as("m"))
+        .select(col("source"), col("m.lang").as("top_lang"))
+      stats.join(topLang, "source")
+        .select(col("source"), col("docs"), col("tokens"),
+          (col("chars").cast("double") / col("docs").cast("double"))
+            .as("avg_chars"),
+          col("distinct_texts"), col("langs"), col("top_lang"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH base AS (
+               SELECT source, lang, n_chars, $duckFp AS fp,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+               FROM documents),
+             s AS (
+               SELECT source, count(*) AS docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS chars,
+                 count(DISTINCT fp) AS distinct_texts,
+                 count(DISTINCT lang) AS langs
+               FROM base GROUP BY source),
+             lc AS (SELECT source, lang, count(*) AS cnt
+                    FROM base GROUP BY 1, 2),
+             tl AS (SELECT source, lang AS top_lang FROM (
+                      SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY cnt DESC, lang) AS rn FROM lc)
+                    WHERE rn = 1)
+             SELECT s.source, docs, tokens,
+               CAST(chars AS DOUBLE) / CAST(docs AS DOUBLE) AS avg_chars,
+               distinct_texts, langs, top_lang
+             FROM s JOIN tl USING (source) ORDER BY source""")
+  )
+
   def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences, qSampleStratified,
     qNtileBucketize, qSampleWeighted, qMixSources, qTrainingOrder, qSourceCap,
-    qSourceCapAgg, qFilterFunnel)
+    qSourceCapAgg, qFilterFunnel, qDatasetCard)
 }

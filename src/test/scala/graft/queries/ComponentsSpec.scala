@@ -77,14 +77,33 @@ class ComponentsSpec extends AnyFunSuite with SparkTestSupport {
   }
 
   test("Reliable checkpointer truncates lineage to a real directory and agrees") {
+    // count under the EFFECTIVE checkpoint root, not the dir passed
+    // here: Reliable pins the session-global root on FIRST use and
+    // deliberately never overrides one a previous caller configured —
+    // so when another suite's Reliable test ran earlier in this JVM,
+    // this run's files land under that root. The contract under test
+    // (the reliable strategy writes real RDD checkpoint files) is
+    // root-agnostic; measure it as a before/after delta.
+    val sc = spark.sparkContext
+    def files(): Long = sc.getCheckpointDir.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      }
+    }.getOrElse(0L)
     val dir = Files.createTempDirectory("graft-ckpt").toString
+    val before = files()
     val labels = ConnectedComponents.minLabel(
       plantedEdges, Checkpointer.Reliable(dir), maxRounds = 70)
     assert(labelsOf(labels) === expected)
-    // the reliable strategy must actually write RDD checkpoint files
-    val wrote = Files.walk(java.nio.file.Paths.get(dir))
-      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
-    assert(wrote > 0, s"no checkpoint files under $dir")
+    val wrote = files() - before
+    assert(wrote > 0,
+      s"no new checkpoint files under ${sc.getCheckpointDir.getOrElse(dir)}")
   }
 
   /** Delegates to `inner`, and after the `wipeAfter`-th checkpoint

@@ -71,6 +71,28 @@ class CurationSpec extends AnyFunSuite with SparkTestSupport {
     assert(Registry.queries("q_ntile_bucketize")(spark, d).collect().isEmpty)
   }
 
+  test("dataset card: dup rate, exact mean, and deterministic top-lang tie-break") {
+    val d = Files.createTempDirectory("card").toString
+    Seq(
+      // srcA: 4 docs, one exact dup pair ACROSS langs (distinct_texts
+      // counts content, not (content, lang)); en=2 de=2 is a top-lang
+      // TIE that must break to the smaller code 'de'
+      (1L, "x y", "en", "srcA", 10L),
+      (2L, "x y", "de", "srcA", 10L),
+      (3L, "p q r", "de", "srcA", 15L),
+      (4L, "m n", "en", "srcA", 12L),
+      // srcB: singleton
+      (5L, "solo doc here", "fr", "srcB", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_dataset_card")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(rows.toSeq === Seq(
+      ("srcA", 4L, 9L, 47.0 / 4.0, 3L, 2L, "de"),
+      ("srcB", 1L, 3L, 13.0, 1L, 1L, "fr")))
+  }
+
   test("filter funnel: each planted doc dies at exactly its intended gate") {
     val d = Files.createTempDirectory("funnel").toString
     // a doc that survives ALL gates (long, stopworded, diverse), used
