@@ -78,6 +78,18 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
     // the extra shuffle is the coarse ranking window
     "q_similarity_indexed_sq8" -> "shuffles=3 joins=[BroadcastHashJoin x3,BroadcastNestedLoopJoin x1]",
     "q_oov_rate" -> "shuffles=3 joins=[BroadcastHashJoin x1]",
+    // r9 curation reports: the funnel is ONE corpus scan — its two
+    // exchanges are the (fp, pass) dedup-window shuffle and the
+    // single-partition collapse for the one-row funnel agg (5 output
+    // rows). A regression to per-gate corpus passes would multiply
+    // the scan count — covered by CurationSpec + this pin
+    "q_filter_funnel" -> "shuffles=2 joins=[]",
+    // the card's source-keyed join of two source-cardinality sides
+    // must BROADCAST (sources are thousands at 100 TB, never
+    // corpus-sized); the 5 exchanges are the two countDistinct expand
+    // phases + the stat agg, the source×lang mode agg, and the
+    // output sort
+    "q_dataset_card" -> "shuffles=5 joins=[BroadcastHashJoin x1]",
     // r9 ntile scale swap: the BroadcastNestedLoopJoin is the 8-row
     // tier-boundary RANGE join (non-equi predicate over a broadcast
     // 8-row side — the cheap and correct strategy for it); the
