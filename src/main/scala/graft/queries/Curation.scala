@@ -527,13 +527,14 @@ object Curation {
         sum(col("n_chars")).as("chars"),
         countDistinct(col("fp")).as("distinct_texts"),
         countDistinct(col("lang")).as("langs"))
-      val topLang = base
-        .groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("source"))
-        .agg(min(struct((-col("cnt")).as("neg"), col("lang"))).as("m"))
-        .select(col("source"), col("m.lang").as("top_lang"))
-      stats.join(topLang, "source")
+      // the q_mode_per_key idiom, REUSED (one source of truth for the
+      // tie-break + null semantics — Relational.deterministicMode);
+      // left join: a source whose langs are all null keeps its card
+      // row with a null top_lang
+      val topLang = Relational
+        .deterministicMode(base, col("source"), col("lang"))
+        .select(col("_mk").as("source"), col("_mode").as("top_lang"))
+      stats.join(topLang, Seq("source"), "left")
         .select(col("source"), col("docs"), col("tokens"),
           (col("chars").cast("double") / col("docs").cast("double"))
             .as("avg_chars"),
@@ -552,7 +553,7 @@ object Curation {
                  count(DISTINCT lang) AS langs
                FROM base GROUP BY source),
              lc AS (SELECT source, lang, count(*) AS cnt
-                    FROM base GROUP BY 1, 2),
+                    FROM base WHERE lang IS NOT NULL GROUP BY 1, 2),
              tl AS (SELECT source, lang AS top_lang FROM (
                       SELECT *, row_number() OVER (PARTITION BY source
                         ORDER BY cnt DESC, lang) AS rn FROM lc)
@@ -560,7 +561,7 @@ object Curation {
              SELECT s.source, docs, tokens,
                CAST(chars AS DOUBLE) / CAST(docs AS DOUBLE) AS avg_chars,
                distinct_texts, langs, top_lang
-             FROM s JOIN tl USING (source) ORDER BY source""")
+             FROM s LEFT JOIN tl USING (source) ORDER BY source""")
   )
 
   def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences, qSampleStratified,

@@ -1351,29 +1351,47 @@ object Relational {
              FROM s ORDER BY l_returnflag""")
   )
 
-  /** Deterministic MODE per key (most frequent event_type per user,
-    * ties to the lexicographically smallest) WITHOUT a window: count
-    * per (key, value), then `min(struct(-cnt, value))` per key — both
-    * levels are partial-aggregable HashAggregates, so the shuffle
-    * carries one row per (partition, key[, value]) and no corpus-wide
-    * sort or per-key row_number ever runs (the window idiom the oracle
-    * uses is the NON-scalable formulation; hash-green proves the
-    * aggregate form selects the identical row). The built-in `mode()`
-    * of both engines is tie-nondeterministic — unusable under a
-    * bit-compare and in any reproducible pipeline. */
+  /** The ONE deterministic-mode idiom (`q_mode_per_key` is its
+    * oracle-checked key; `q_dataset_card` reuses it as a column):
+    * most frequent `value` per `key`, ties to the smallest value,
+    * WITHOUT a window — count per (key, value), then
+    * `min(struct(-cnt, value))` per key; both levels are
+    * partial-aggregable HashAggregates. NULL values are EXCLUDED
+    * before counting: the two engines order NULLs oppositely in the
+    * tie-break (Spark struct comparison is NULLS FIRST, DuckDB's
+    * ORDER BY default is NULLS LAST), so a null tying for most
+    * frequent would silently diverge — and "mode of the observed
+    * values" is the defensible semantic anyway. A key whose values
+    * are ALL null gets no row; callers needing such keys left-join.
+    * Output columns: `_mk` (the key), `_mode`, `_mcnt`. */
+  private[queries] def deterministicMode(df: DataFrame, key: Column,
+      value: Column): DataFrame =
+    df.filter(value.isNotNull)
+      .groupBy(key.as("_mk"), value.as("_mv"))
+      .agg(count(lit(1)).as("_mc"))
+      .groupBy(col("_mk"))
+      .agg(min(struct((-col("_mc")).as("neg"), col("_mv"))).as("_m"))
+      .select(col("_mk"), col("_m._mv").as("_mode"), (-col("_m.neg")).as("_mcnt"))
+
+  /** Deterministic MODE per key via [[deterministicMode]] (most
+    * frequent event_type per user, ties to the lexicographically
+    * smallest): the shuffle carries one row per (partition,
+    * key[, value]) and no corpus-wide sort or per-key row_number ever
+    * runs (the window idiom the oracle uses is the NON-scalable
+    * formulation; hash-green proves the aggregate form selects the
+    * identical row). The built-in `mode()` of both engines is
+    * tie-nondeterministic — unusable under a bit-compare and in any
+    * reproducible pipeline. */
   private val qModePerKey = Q(
     "q_mode_per_key",
     (s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("user_id"))
-        .agg(min(struct((-col("cnt")).as("neg"), col("event_type"))).as("m"))
-        .select(col("user_id"), col("m.event_type").as("mode_event"),
-          (-col("m.neg")).as("n_events"))
+      deterministicMode(Tables.events(s, d), col("user_id"), col("event_type"))
+        .select(col("_mk").as("user_id"), col("_mode").as("mode_event"),
+          col("_mcnt").as("n_events"))
         .orderBy(col("user_id")),
     Some("""WITH c AS (SELECT user_id, event_type, count(*) AS cnt
-                       FROM events GROUP BY user_id, event_type),
+                       FROM events WHERE event_type IS NOT NULL
+                       GROUP BY user_id, event_type),
                  r AS (SELECT *, row_number() OVER (PARTITION BY user_id
                          ORDER BY cnt DESC, event_type) AS rn FROM c)
             SELECT user_id, event_type AS mode_event, cnt AS n_events

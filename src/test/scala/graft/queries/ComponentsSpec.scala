@@ -97,6 +97,7 @@ class ComponentsSpec extends AnyFunSuite with SparkTestSupport {
       }
     }.getOrElse(0L)
     val dir = Files.createTempDirectory("graft-ckpt").toString
+    val rootWasUnset = sc.getCheckpointDir.isEmpty
     val before = files()
     val labels = ConnectedComponents.minLabel(
       plantedEdges, Checkpointer.Reliable(dir), maxRounds = 70)
@@ -104,6 +105,14 @@ class ComponentsSpec extends AnyFunSuite with SparkTestSupport {
     val wrote = files() - before
     assert(wrote > 0,
       s"no new checkpoint files under ${sc.getCheckpointDir.getOrElse(dir)}")
+    // when THIS run pinned the root, it must be under the dir we
+    // passed — the coverage the delta form alone would lose (a
+    // Reliable that ignored its dir argument would still write files
+    // somewhere)
+    if (rootWasUnset)
+      assert(sc.getCheckpointDir.exists(_.contains(
+        new java.io.File(dir).getName)),
+        s"Reliable must pin the root under $dir, got ${sc.getCheckpointDir}")
   }
 
   /** Delegates to `inner`, and after the `wipeAfter`-th checkpoint

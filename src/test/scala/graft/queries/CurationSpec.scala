@@ -82,7 +82,17 @@ class CurationSpec extends AnyFunSuite with SparkTestSupport {
       (3L, "p q r", "de", "srcA", 15L),
       (4L, "m n", "en", "srcA", 12L),
       // srcB: singleton
-      (5L, "solo doc here", "fr", "srcB", 13L))
+      (5L, "solo doc here", "fr", "srcB", 13L),
+      // srcC: ONLY null langs — card row survives with null top_lang
+      // and langs=0 (count distinct ignores nulls in both engines)
+      (6L, "null lang doc", null, "srcC", 13L),
+      // srcD: null TIES 'en' at 2 apiece — nulls are excluded from
+      // the mode (the engines order null oppositely in tie-breaks),
+      // so top_lang must be 'en', never null
+      (7L, "a b", null, "srcD", 5L),
+      (8L, "c d", null, "srcD", 5L),
+      (9L, "e f", "en", "srcD", 5L),
+      (10L, "g h", "en", "srcD", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     val rows = Registry.queries("q_dataset_card")(spark, d).collect()
@@ -90,7 +100,9 @@ class CurationSpec extends AnyFunSuite with SparkTestSupport {
         r.getLong(4), r.getLong(5), r.getString(6)))
     assert(rows.toSeq === Seq(
       ("srcA", 4L, 9L, 47.0 / 4.0, 3L, 2L, "de"),
-      ("srcB", 1L, 3L, 13.0, 1L, 1L, "fr")))
+      ("srcB", 1L, 3L, 13.0, 1L, 1L, "fr"),
+      ("srcC", 1L, 3L, 13.0, 1L, 0L, null),
+      ("srcD", 4L, 8L, 5.0, 4L, 1L, "en")))
   }
 
   test("filter funnel: each planted doc dies at exactly its intended gate") {
