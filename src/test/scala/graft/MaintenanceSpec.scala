@@ -120,6 +120,52 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     assert(LogLake.forDay(spark, lake, "prod", "2019-01-18").count() === 10)
   }
 
+  test("a Maintenance-driven index rebuild is served to a running stream next micro-batch") {
+    // the round's two features COMPOSED: the orchestration layer runs a
+    // caller-supplied Rebuild of the minhash band index while the
+    // streaming near-dedup gate keeps consuming — the gate must follow
+    // the rebuilt corpus from the NEXT trigger, no restart (the
+    // versioned meta-swap protocol under Maintenance's scheduling)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    val work = Files.createTempDirectory("maint-stream").toString
+    val idxDir = s"$work/idx"
+    val alphaText = toks("alpha", 100)
+    val betaText = toks("beta", 100)
+    graft.queries.Dedup.writeMinhashIndex(
+      Seq((1L, alphaText)).toDF("doc_id", "text"), idxDir)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.stream.LogStream.toNearDedupedLake(
+      input.toDF().toDF("doc_id", "text"), idxDir,
+      s"$work/lake", s"$work/ckpt", threshold = 0.9)
+    try {
+      // batch 0 under corpus v1: alpha near-twin dropped, fresh kept
+      input.addData(
+        (100L, alphaText.replace("alpha7 ", "ALPHA7 ")),
+        (101L, toks("fresh", 100)))
+      q.processAllAvailable()
+      // the nightly driver rebuilds the index over corpus v2 while the
+      // stream is live
+      val results = Maintenance.run(spark, Seq(
+        Maintenance.Rebuild("near-dedup-index", idxDir) { _ =>
+          graft.queries.Dedup.writeMinhashIndex(
+            Seq((2L, betaText)).toDF("doc_id", "text"), idxDir)
+          "rebuilt over corpus v2"
+        }))
+      assert(results.forall(_.outcome.isSuccess),
+        results.map(_.summary).mkString("\n"))
+      // batch 1: alpha twin now fresh, beta twin now the duplicate
+      input.addData(
+        (102L, alphaText.replace("alpha9 ", "ALPHA9 ")),
+        (103L, betaText.replace("beta7 ", "BETA7 ")))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$work/lake")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(101L, 102L),
+        s"stream must serve the Maintenance-rebuilt index next batch: $kept")
+    } finally q.stop()
+  }
+
   test("tasks sharing a resource serialize; distinct resources parallelize") {
     // two tasks on the SAME artifact (a requested rebuild racing an
     // auto-planned compaction is the real case) must never overlap —
