@@ -539,7 +539,11 @@ object Curation {
           (col("chars").cast("double") / col("docs").cast("double"))
             .as("avg_chars"),
           col("distinct_texts"), col("langs"), col("top_lang"))
-        .orderBy(col("source"))
+        // explicit null placement: a null-source card row (kept by the
+        // left join in both engines) would otherwise sort FIRST in
+        // Spark and LAST in DuckDB — the same NULLS FIRST/LAST
+        // asymmetry the mode column guards against, on the key column
+        .orderBy(col("source").asc_nulls_last)
     },
     Some(s"""WITH base AS (
                SELECT source, lang, n_chars, $duckFp AS fp,
@@ -561,7 +565,8 @@ object Curation {
              SELECT s.source, docs, tokens,
                CAST(chars AS DOUBLE) / CAST(docs AS DOUBLE) AS avg_chars,
                distinct_texts, langs, top_lang
-             FROM s LEFT JOIN tl USING (source) ORDER BY source""")
+             FROM s LEFT JOIN tl USING (source)
+             ORDER BY source NULLS LAST""")
   )
 
   def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences, qSampleStratified,
