@@ -148,8 +148,6 @@ object Maintenance {
     * parallel. Failures isolate per task. Results come back id-sorted. */
   def run(spark: SparkSession, tasks: Seq[Task], parallelism: Int = 4): Seq[Result] = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
-    val distinct = tasks.groupBy(_.id).values.map(_.head).toSeq.sortBy(_.id)
-    if (distinct.isEmpty) return Seq.empty
     // normalize before grouping: "/data/idx/" and "/data/idx" are one
     // artifact, and missing the match would run two writers on it. A
     // string Path can't parse (empty, "foo:") groups by its raw form —
@@ -158,6 +156,17 @@ object Maintenance {
     def normalized(r: String): String =
       try new org.apache.hadoop.fs.Path(r).toString
       catch { case _: IllegalArgumentException => r }
+    // id-dedup collapses RESUBMISSIONS of one task; one id spanning
+    // DISTINCT artifacts is a caller bug that would silently drop work
+    // (e.g. two Rebuild("minhash", ...) over different dirs — only one
+    // would run, the other index quietly goes stale) — fail loud
+    val clashing = tasks.groupBy(_.id)
+      .filter(_._2.map(t => normalized(t.resource)).distinct.size > 1)
+    require(clashing.isEmpty,
+      s"task id(s) ${clashing.keys.mkString(", ")} span distinct resources — " +
+        "give each artifact its own task name")
+    val distinct = tasks.groupBy(_.id).values.map(_.head).toSeq.sortBy(_.id)
+    if (distinct.isEmpty) return Seq.empty
     val byResource = distinct.groupBy(t => normalized(t.resource)).values.toSeq
     val pool = Executors.newFixedThreadPool(
       math.min(parallelism, byResource.size))

@@ -93,15 +93,25 @@ object ScaleSmoke {
     // list; "bpe_deep" names the deep-trainer block below)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").map(_.trim).toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
-    heavy.filter(wanted).foreach { name =>
-      val t0 = System.nanoTime()
-      try {
-        val n = SparkEntry.queries(name)(spark, patched.getPath).count()
-        println(f"SCALE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
-      } catch {
+
+    // per-entry failure isolation shared by the heavy loop and the
+    // measurement blocks below: a multi-hour amplified run must not
+    // lose the remaining entries' measurements to one failure
+    def block(name: String)(body: => Unit): Unit =
+      try body
+      catch {
         case e: Throwable =>
+          // getMessage is null for bare AssertionError/StackOverflow —
+          // an NPE out of the catch would kill the run this isolates
           val msg = Option(e.getMessage).getOrElse(e.toString)
           println(f"SCALE $name%-24s FAILED ${msg.take(100)}")
+      }
+
+    heavy.filter(wanted).foreach { name =>
+      block(name) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, patched.getPath).count()
+        println(f"SCALE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
       }
     }
 
@@ -120,19 +130,6 @@ object ScaleSmoke {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
-
-    // per-block isolation, same stance as the heavy-query loop: a
-    // multi-hour amplified run must not lose the remaining blocks'
-    // measurements to one block's failure
-    def block(name: String)(body: => Unit): Unit =
-      try body
-      catch {
-        case e: Throwable =>
-          // getMessage is null for bare AssertionError/StackOverflow —
-          // an NPE out of the catch would kill the run this isolates
-          val msg = Option(e.getMessage).getOrElse(e.toString)
-          println(f"SCALE $name%-24s FAILED ${msg.take(100)}")
-      }
 
     // PERSISTENT ANN INDEX at scale: build / search / append-union /
     // compact wall times, plus the probe-I/O fraction (the probes/k

@@ -44,31 +44,37 @@ private[graft] object MetaMarker {
     * and a caller (the Indexed memo, Maintenance.plan) would start a
     * SECOND concurrent build — breaking the single-writer assumption
     * the staged-swap/retire protocols rest on. */
-  def exists(fs: FileSystem, dir: String, name: String): Boolean = {
-    var attempt = 0
-    while (true) {
-      val ps = probes(fs, dir, name)
-      ps.collectFirst { case (_, Committed(_)) => () } match {
-        case Some(_) => return true
-        case None if attempt < 2 && retryWorthy(fs, ps) =>
-          attempt += 1; Thread.sleep(15L << attempt)
-        case None => return false
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  def exists(fs: FileSystem, dir: String, name: String): Boolean =
+    resolve(fs, dir, name, maxRetries = 2).isDefined
 
   /** Read the committed marker. Retries across the writer's momentary
     * delete→rename window before concluding there is no index. */
-  def read(fs: FileSystem, dir: String, name: String): JsonNode = {
+  def read(fs: FileSystem, dir: String, name: String): JsonNode =
+    resolve(fs, dir, name, maxRetries = 4).getOrElse(
+      throw new IllegalArgumentException(s"no index meta at $dir"))
+
+  /** The shared retry loop behind [[read]]/[[exists]]: Some(committed)
+    * or None for genuinely-no-index. A marker that stays UNREADABLE
+    * after the retries THROWS the I/O condition instead of reading as
+    * "no index" — a persistent fault (ACL misconfiguration, store
+    * outage) must fail loud, because a caller told "no index" would
+    * start a fresh build whose overwrites clobber the still-committed
+    * version dirs of a live index. */
+  private def resolve(fs: FileSystem, dir: String, name: String,
+      maxRetries: Int): Option[JsonNode] = {
     var attempt = 0
     while (true) {
       val ps = probes(fs, dir, name)
       ps.collectFirst { case (_, Committed(n)) => n } match {
-        case Some(node) => return node
-        case None if attempt < 4 && retryWorthy(fs, ps) =>
-          attempt += 1; Thread.sleep(20L << attempt)
-        case None => throw new IllegalArgumentException(s"no index meta at $dir")
+        case Some(node) => return Some(node)
+        case None if attempt < maxRetries && retryWorthy(fs, ps) =>
+          attempt += 1; Thread.sleep(15L << attempt)
+        case None =>
+          if (ps.exists(_._2 == Unreadable))
+            throw new java.io.IOException(
+              s"index meta unreadable at $dir after $attempt retries — " +
+                "refusing to treat an I/O fault as 'no index'")
+          return None
       }
     }
     throw new IllegalStateException("unreachable")
@@ -91,13 +97,20 @@ private[graft] object MetaMarker {
   def write(fs: FileSystem, dir: String, name: String, json: String): Unit = {
     val live = new Path(dir, name)
     val staged = new Path(dir, s"$name.next")
-    if (!fs.exists(live) && (probe(fs, staged) match {
-          case Committed(_) => true
-          case _ => false
-        }))
-      // must not fall through on a failed rename: create(staged,
-      // overwrite) below would truncate the sole committed copy
-      require(fs.rename(staged, live), s"meta heal failed at $dir")
+    if (!fs.exists(live)) probe(fs, staged) match {
+      case Committed(_) =>
+        // must not fall through on a failed rename: create(staged,
+        // overwrite) below would truncate the sole committed copy
+        require(fs.rename(staged, live), s"meta heal failed at $dir")
+      case Unreadable =>
+        // cannot tell whether the staged file IS the sole committed
+        // copy — truncating it on a transient read fault would brick
+        // the index; abort and let the caller retry
+        throw new java.io.IOException(
+          s"staged meta unreadable at $dir — refusing to overwrite what " +
+            "may be the only committed marker copy")
+      case _ => () // Missing, or torn first-stage debris: safe to overwrite
+    }
     val out = fs.create(staged, true)
     try out.write(json.getBytes("UTF-8"))
     finally out.close()
@@ -140,12 +153,20 @@ private[graft] object MetaMarker {
     }
 
   /** One read-only resolution pass: the live marker, then the staged
-    * copy, each classified — no side effects. [[read]]/[[exists]] take
-    * the first `Committed` and feed the full probe states to
-    * [[retryWorthy]]. */
-  private def probes(fs: FileSystem, dir: String, name: String): Seq[(Path, Probe)] =
-    Seq(new Path(dir, name), new Path(dir, s"$name.next"))
-      .map(p => p -> probe(fs, p))
+    * copy, each classified — no side effects. SHORT-CIRCUITS on a
+    * committed live marker (the steady-state hot path — every
+    * streaming trigger and memo check lands here), so the staged file
+    * is only opened when the live one did not resolve: one probe per
+    * call instead of two, which matters against an object store. */
+  private def probes(fs: FileSystem, dir: String, name: String): Seq[(Path, Probe)] = {
+    val livePath = new Path(dir, name)
+    probe(fs, livePath) match {
+      case c: Committed => Seq(livePath -> c)
+      case lp =>
+        val stagedPath = new Path(dir, s"$name.next")
+        Seq(livePath -> lp, stagedPath -> probe(fs, stagedPath))
+    }
+  }
 
   private def probe(fs: FileSystem, p: Path): Probe =
     try {
