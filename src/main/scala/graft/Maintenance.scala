@@ -53,10 +53,15 @@ object Maintenance {
 
     /** The mutated artifact (partition dir, index dir): the
       * mutual-exclusion key [[run]] serializes on. Grouping compares
-      * PATH-NORMALIZED forms (trailing/double slashes collapse), but
-      * cannot unify relative-vs-absolute spellings of one dir — name
-      * artifacts consistently (the auto-planned tasks echo the dirs
-      * exactly as registered with [[plan]]). */
+      * PATH-NORMALIZED forms (trailing/double slashes collapse) and
+      * unifies resources in a CONTAINMENT relation — a task naming a
+      * parent dir (a caller Rebuild on a lake root) serializes with
+      * every task targeting a path under it (auto-planned
+      * per-partition compactions), because a writer on the parent may
+      * touch any child. Normalization cannot unify
+      * relative-vs-absolute spellings of one dir — name artifacts
+      * consistently (the auto-planned tasks echo the dirs exactly as
+      * registered with [[plan]]). */
     def resource: String
 
     /** Execute, returning a one-line human summary. Must be
@@ -142,10 +147,14 @@ object Maintenance {
   /** Fan the work-list out over a bounded thread pool (each task is
     * itself a distributed Spark job — the pool bounds CONCURRENT
     * jobs, not work). Duplicate ids collapse to one execution; tasks
-    * sharing a `resource` run SEQUENTIALLY in id order (single-writer
-    * per artifact — an auto-planned compaction and a requested rebuild
-    * of the same index must never interleave), distinct resources in
-    * parallel. Failures isolate per task. Results come back id-sorted. */
+    * sharing a `resource` — or whose resources are in a containment
+    * relation (a parent dir vs a partition under it) — run
+    * SEQUENTIALLY in id order (single-writer per artifact — an
+    * auto-planned compaction and a requested rebuild of the same index
+    * must never interleave), disjoint resources in parallel. Failures
+    * isolate per task; an InterruptedException stops the rest of its
+    * resource group (recorded as interrupted-skips) with the thread's
+    * interrupt status restored. Results come back id-sorted. */
   def run(spark: SparkSession, tasks: Seq[Task], parallelism: Int = 4): Seq[Result] = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     // normalize before grouping: "/data/idx/" and "/data/idx" are one
@@ -167,7 +176,20 @@ object Maintenance {
         "give each artifact its own task name")
     val distinct = tasks.groupBy(_.id).values.map(_.head).toSeq.sortBy(_.id)
     if (distinct.isEmpty) return Seq.empty
-    val byResource = distinct.groupBy(t => normalized(t.resource)).values.toSeq
+    // serialize CONTAINED resources too, not just equal ones: a task on
+    // a parent dir (a Rebuild naming a lake root) may touch any path
+    // under it, so it must not run concurrently with a task on a child
+    // (a per-partition compaction). Group key = the shortest registered
+    // resource that contains this one; chains (/a ⊃ /a/b ⊃ /a/b/c)
+    // all collapse to the outermost root. O(n²) over the task list —
+    // fine, the list is the plan, not the data
+    val resources = distinct.map(t => normalized(t.resource)).distinct
+    def containsPath(parent: String, child: String): Boolean =
+      child == parent || child.startsWith(parent + "/")
+    def groupRoot(r: String): String =
+      resources.filter(p => containsPath(p, r)).minBy(_.length)
+    val byResource =
+      distinct.groupBy(t => groupRoot(normalized(t.resource))).values.toSeq
     val pool = Executors.newFixedThreadPool(
       math.min(parallelism, byResource.size))
     def exec(t: Task): Result = {
@@ -178,14 +200,48 @@ object Maintenance {
       // ExecutionException from get() and discard every other task's
       // outcome, breaking the isolation contract this driver exists for
       val out = try Success(t.run(spark))
-        catch { case e: Throwable => Failure(e) }
+        catch {
+          case e: InterruptedException =>
+            // restore the flag: swallowing the exception must not eat
+            // the cancellation signal — the group loop below reads it
+            // to stop scheduling the rest of its tasks
+            Thread.currentThread().interrupt()
+            Failure(e)
+          case e: Throwable => Failure(e)
+        }
       Result(t, out, (System.nanoTime() - t0) / 1e9)
     }
     try {
       byResource
         .map { group =>
           pool.submit(new Callable[Seq[Result]] {
-            def call(): Seq[Result] = group.map(exec)
+            // a cancellation (pool shutdownNow, JVM teardown) stops the
+            // GROUP, not just the task it landed in: the remaining
+            // tasks are recorded as interrupted-skips, never run on an
+            // already-interrupted thread
+            def call(): Seq[Result] = try {
+              val out = Seq.newBuilder[Result]
+              var interrupted = false
+              group.foreach { t =>
+                if (interrupted || Thread.currentThread().isInterrupted) {
+                  out += Result(t, Failure(new InterruptedException(
+                    s"skipped: resource group interrupted before ${t.id}")), 0.0)
+                } else {
+                  val r = exec(t)
+                  if (r.outcome.failed.toOption
+                        .exists(_.isInstanceOf[InterruptedException]))
+                    interrupted = true
+                  out += r
+                }
+              }
+              out.result()
+            } finally {
+              // the pool recycles this thread into OTHER groups'
+              // callables — a flag exec() restored for THIS group must
+              // not bleed into them (a real shutdownNow drains the
+              // queue anyway, so clearing here loses nothing)
+              Thread.interrupted()
+            }
           })
         }
         .flatMap(_.get())

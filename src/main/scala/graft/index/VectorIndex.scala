@@ -112,9 +112,12 @@ object VectorIndex {
     * cleaned by the next build/compact); a crash after it leaves the
     * new index live with cleanup pending. Append sub-tables carry
     * assignments made under the OLD geometry and must not come back to
-    * life under the new one, so the commit lists them as folded
-    * (excluded from reads even while their dirs linger) and they are
-    * deleted only after the swap. */
+    * life under the new one, so the commit lists them as folded —
+    * excluded from reads even while their dirs linger. build() itself
+    * deletes NOTHING after the commit: retired appends and the old
+    * version dirs survive one generation (in-flight readers resolved
+    * against the old meta may still be scanning them) and are reclaimed
+    * by the NEXT build/compact's pre-commit grace pass. */
   def build(corpus: DataFrame, centroids: DataFrame, dir: String): Unit = {
     val spark = corpus.sparkSession
     val fs = fsFor(spark, dir)

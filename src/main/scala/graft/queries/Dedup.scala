@@ -239,8 +239,13 @@ object Dedup {
     * (r8 VERDICT gap #3). Bit-identical to the inline generator: the
     * stored `bucket_n` restores the drop-the-bucket stance exactly,
     * even on buckets the stored table truncated. */
-  private[queries] def minhashPairsIndexed(s: SparkSession, d: String): DataFrame = {
-    val dir = Indexed.minhashDirFor(s, d)
+  private[queries] def minhashPairsIndexed(s: SparkSession, d: String): DataFrame =
+    minhashPairsFromIndex(s, Indexed.minhashDirFor(s, d))
+
+  /** The index-backed generator against an EXPLICIT index dir — the
+    * entry the composed pipeline and specs use when the index location
+    * is not the per-corpus memo's. */
+  private[graft] def minhashPairsFromIndex(s: SparkSession, dir: String): DataFrame = {
     val (bands, shingles) = graft.index.MinhashIndex.read(s, dir)
     // fail LOUDLY on a pre-r9 index (no bucket_n): the cap filter
     // below would evaluate null <= 256 → null and silently drop every

@@ -188,4 +188,58 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     assert(results.forall(_.outcome.isSuccess))
     assert(!overlapped.get(), "same-resource tasks must never run concurrently")
   }
+
+  test("a parent-dir resource serializes with tasks nested under it") {
+    // the ADVICE r9 case: a caller Rebuild naming a lake ROOT must not
+    // run concurrently with auto-planned per-partition compactions
+    // UNDER that root — a writer on the parent may touch any child.
+    // Chains collapse too: /root ⊃ /root/p1 ⊃ /root/p1/sub is one group.
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def body(tag: String): org.apache.spark.sql.SparkSession => String = { _ =>
+      if (active.incrementAndGet() > 1) overlapped.set(true)
+      Thread.sleep(80)
+      active.decrementAndGet()
+      tag
+    }
+    val results = Maintenance.run(spark, Seq(
+      Maintenance.Rebuild("root", "/maint-nest/lake")(body("root")),
+      Maintenance.Rebuild("part1", "/maint-nest/lake/env=prod")(body("p1")),
+      Maintenance.Rebuild("deep", "/maint-nest/lake/env=prod/day=1")(body("d")),
+      // trailing slash on the parent still contains the child
+      Maintenance.Rebuild("part2", "/maint-nest/lake/env=stg/")(body("p2")),
+      // sibling PREFIX without a path boundary is NOT contained — it
+      // may overlap the group freely, so it stays off the counter
+      Maintenance.Rebuild("sib", "/maint-nest/lake-other")(_ => "s")),
+      parallelism = 5)
+    assert(results.forall(_.outcome.isSuccess))
+    assert(!overlapped.get(),
+      "a parent-resource task must serialize with every task nested under it")
+  }
+
+  test("an interrupt stops the rest of its resource group without bleeding into others") {
+    val ranAfter = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // parallelism=1 forces BOTH groups onto one recycled pool thread:
+    // the flag exec() restores for grp must be cleared at the group
+    // boundary, or grp2's callable starts pre-interrupted
+    val results = Maintenance.run(spark, Seq(
+      Maintenance.Rebuild("a-interrupts", "grp") { _ =>
+        throw new InterruptedException("cancelled")
+      },
+      Maintenance.Rebuild("b-after", "grp") { _ =>
+        ranAfter.set(true); "must not run"
+      },
+      Maintenance.Rebuild("z-probe", "grp2") { _ => "other group runs" }),
+      parallelism = 1)
+    val byId = results.map(r => r.task.id -> r).toMap
+    assert(byId("rebuild:a-interrupts").outcome.failed.get
+      .isInstanceOf[InterruptedException])
+    assert(!ranAfter.get(), "tasks after an interrupt in the group must not run")
+    assert(byId("rebuild:b-after").outcome.failed.get
+      .isInstanceOf[InterruptedException])
+    assert(byId("rebuild:b-after").outcome.failed.get.getMessage
+      .contains("skipped"))
+    assert(byId("rebuild:z-probe").outcome.isSuccess,
+      "an unrelated resource group must not inherit the interrupt")
+  }
 }

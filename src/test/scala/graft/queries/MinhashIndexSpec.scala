@@ -121,12 +121,24 @@ class MinhashIndexSpec extends AnyFunSuite with SparkTestSupport {
       s"only the under-cap near-pair may surface: $inline")
   }
 
-  test("pre-r9 unversioned layout stays readable") {
+  test("pre-r9 unversioned layout stays readable; the pair generator rejects it loudly") {
     val dir = Files.createTempDirectory("mhidx-legacy").toString
     val c = corpus("a")
-    Dedup.minhashBands(c).write.parquet(s"$dir/bands")
+    // the REAL legacy shape: bucket_n is an r9 addition, so a pre-r9
+    // bands table doesn't have the column — drop it, or the fixture
+    // tests the current writer against itself
+    Dedup.minhashBands(c).drop("bucket_n").write.parquet(s"$dir/bands")
     Dedup.minhashShingles(c).write.parquet(s"$dir/shingles")
     val (b, s) = MinhashIndex.read(spark, dir)
     assert(b.count() > 0 && s.count() == 2)
+    assert(b.filter(col("bucket_n").isNotNull).head(1).isEmpty,
+      "a legacy read surfaces bucket_n as null on every row")
+    // the cap filter would silently drop every null-bucket_n band →
+    // zero pairs with no error; the generator must refuse instead
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsFromIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("predates bucket_n"),
+      s"expected the rebuild message, got: ${e.getMessage}")
   }
 }
