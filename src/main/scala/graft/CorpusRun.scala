@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.CorpusReport
+import graft.sink.TrainingExport
+
+/** The composed end-to-end training-data job — every curation stage
+  * the engine exposes as query keys, chained into ONE runnable
+  * invocation the way the reference chains source → transform → sink
+  * in one Lambda call (`cloudfront_kinesis_lambda.py:158-253`):
+  *
+  *   documents → quality gates → exact dedup → near-dup cluster
+  *   resolution (persisted minhash index by default) → leakage-safe
+  *   split → sequence packing → per-split verified JSONL delivery
+  *   ([[TrainingExport]]) → one reconciled run report.
+  *
+  * Each stage LANDS as a parquet table under the run dir before the
+  * next consumes it:
+  *   - restartable and debuggable: a failed run leaves every completed
+  *     stage inspectable, and the report provably describes the bytes
+  *     that shipped (it aggregates the PERSISTED curated table, not a
+  *     recomputation of the lineage);
+  *   - single-pass per stage at 100 TB: nothing upstream is recomputed
+  *     by downstream actions (the report, the three split exports, and
+  *     the verification pass all read the landed table).
+  *
+  * RECONCILIATION is part of the run, not an afterthought: every split
+  * delivery is re-read through [[TrainingExport.readVerified]] (shard
+  * checksums + row counts against the manifest) and its row count is
+  * require'd equal to the report's split row and the manifest total —
+  * a run that returns committed numbers that don't match its own
+  * shipped bytes fails loudly instead.
+  *
+  * Layout under `outDir`:
+  * {{{
+  *   survivors/            gate + exact-dedup survivors (parquet)
+  *   corpus/split=.../     curated: representatives + split + bin
+  *   delivery/<split>/     gzip JSONL shards + _MANIFEST.json
+  *   report/               the run report (parquet, stage_id-ordered)
+  * }}}
+  */
+object CorpusRun {
+
+  /** What one run shipped: the report rows and, per split, the
+    * delivery dir + its verified manifest. */
+  final case class Stage(stageId: Int, stage: String, docs: Long,
+      tokens: Long, bins: Option[Long])
+  final case class Delivery(split: String, dir: String,
+      manifest: TrainingExport.Manifest)
+  final case class Summary(outDir: String, stages: Seq[Stage],
+      deliveries: Seq[Delivery]) {
+    def stageDocs(stage: String): Long =
+      stages.find(_.stage == stage).map(_.docs).getOrElse(0L)
+  }
+
+  /** The exported example schema — what a trainer passes to
+    * [[TrainingExport.readVerified]] (no inference scan). */
+  val exportSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("lang", StringType),
+    StructField("split", StringType),
+    StructField("n_tokens", IntegerType),
+    StructField("bin", LongType),
+    StructField("text", StringType)))
+
+  private val splits = Seq("train", "val", "test")
+
+  /** Run the composed pipeline over `corpusDir`'s documents table into
+    * `outDir`. `edgesOf` defaults to the persisted-minhash-index
+    * generator (build-once / query-many — the nightly shape);
+    * [[CorpusReport.bandedEdges]] gives the oracle-able positional
+    * form the `q_corpus_report` key hash-checks. */
+  def run(spark: SparkSession, corpusDir: String, outDir: String,
+      edgesOf: Option[DataFrame => DataFrame] = None,
+      maxRecordsPerShard: Long = 1000000L): Summary = {
+    val edges = edgesOf.getOrElse(CorpusReport.indexedEdges(spark, corpusDir))
+    val flags = CorpusReport.flagged(Tables.documents(spark, corpusDir))
+
+    // stage 1+2: gates + exact dedup, landed
+    CorpusReport.survivors(flags)
+      .write.mode("overwrite").parquet(s"$outDir/survivors")
+    val surv = spark.read.parquet(s"$outDir/survivors")
+
+    // stage 3+4+5: near-dedup representatives + split + bin, landed
+    // partitioned by split so each export below is a pruned read
+    CorpusReport.curated(surv, edges)
+      .write.mode("overwrite").partitionBy("split").parquet(s"$outDir/corpus")
+    val cur = spark.read.parquet(s"$outDir/corpus")
+
+    // stage 6: per-split verified delivery — column order pinned to
+    // exportSchema so the JSON lines (and their checksums) are stable
+    val deliveries = splits.flatMap { sp =>
+      val part = cur.filter(col("split") === sp)
+        .select(exportSchema.fieldNames.map(col).toIndexedSeq: _*)
+      if (part.isEmpty) None
+      else {
+        val dir = s"$outDir/delivery/$sp"
+        Some(Delivery(sp, dir,
+          TrainingExport.writeJsonlShards(part, dir, maxRecordsPerShard)))
+      }
+    }
+
+    // the report aggregates the LANDED curated table
+    val reportDf = CorpusReport.reportFrom(flags, cur)
+    reportDf.write.mode("overwrite").parquet(s"$outDir/report")
+    val stages = spark.read.parquet(s"$outDir/report")
+      .orderBy(col("stage_id")).collect() // O(stages) rows — bounded
+      .map(r => Stage(r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toSeq
+
+    // RECONCILE: each delivery re-verified (checksums + counts against
+    // its manifest), and manifest totals must equal the report's split
+    // rows — the numbers a data card quotes are the shipped bytes
+    val summary = Summary(outDir, stages, deliveries)
+    deliveries.foreach { d =>
+      val verifiedRows =
+        TrainingExport.readVerified(spark, d.dir, Some(exportSchema)).count()
+      val reported = summary.stageDocs(s"split:${d.split}")
+      require(verifiedRows == reported && d.manifest.totalRows == reported,
+        s"run at $outDir does not reconcile for split=${d.split}: " +
+          s"verified=$verifiedRows manifest=${d.manifest.totalRows} report=$reported")
+    }
+    val exported = deliveries.map(_.manifest.totalRows).sum
+    val nearKept = summary.stageDocs("dedup:near")
+    require(exported == nearKept,
+      s"run at $outDir: exported $exported docs != $nearKept representatives")
+    summary
+  }
+
+  /** Operational entry point: `sbt "runMain graft.CorpusRun <corpusDir>
+    * <outDir> [--banded]"`. `--banded` swaps the edge generator for the
+    * oracle-able positional form (useful for cross-checking a run
+    * against the `q_corpus_report` oracle). Prints one line per stage
+    * and per delivery; exits nonzero if reconciliation fails. */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: CorpusRun <corpusDir> <outDir> [--banded]")
+    val (corpusDir, outDir) = (args(0), args(1))
+    val banded = args.contains("--banded")
+    val spark = GraftSession.builder(GraftSession.cpus)
+      .appName("graft-corpus-run").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val failed = try {
+      val summary = run(spark, corpusDir, outDir,
+        edgesOf = if (banded) Some(CorpusReport.bandedEdges) else None)
+      summary.stages.foreach { s =>
+        val bins = s.bins.map(b => s"  bins=$b").getOrElse("")
+        println(f"CORPUS ${s.stageId}%2d ${s.stage}%-20s docs=${s.docs}%-8d tokens=${s.tokens}%-10d$bins")
+      }
+      summary.deliveries.foreach(d => println(
+        s"CORPUS delivered ${d.split}: ${d.manifest.totalRows} rows, " +
+          s"${d.manifest.shards.size} shard(s), ${d.manifest.totalBytes} bytes " +
+          s"-> ${d.dir} (verified)"))
+      false
+    } catch {
+      case e: IllegalArgumentException =>
+        println(s"CORPUS FAILED ${e.getMessage}"); true
+    } finally spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The COMPOSED end-to-end curation pipeline's stage logic and its
+  * run report — one chain from raw documents to packed, split,
+  * export-ready training data:
+  *
+  *   ingest → quality gates (length → tokens → stopwords → repetition,
+  *   the `q_filter_funnel` stack) → exact content dedup → NEAR-dup
+  *   cluster resolution (edge generator pluggable: the oracle-able
+  *   banded exact-Jaccard form, or the persisted minhash band index) →
+  *   leakage-safe split (cluster-hash mod 10, 8/1/1) → per-(split,
+  *   source) sequence packing into 4096-token bins.
+  *
+  * [[graft.CorpusRun]] is the runnable job over these stages (persists
+  * each stage, exports verified JSONL shards per split); the query keys
+  * here are the pipeline's REPORT — one row per stage with surviving
+  * doc/token mass, so the driver's oracle re-derives the whole chain
+  * from first principles in DuckDB (recursive-CTE connected components
+  * included) and hash-checks it.
+  *
+  * Reference parity: the reference IS one composed invocation
+  * (source → transform → sink, `cloudfront_kinesis_lambda.py:158-253`);
+  * this module is that composition for the training-data surface.
+  *
+  * 100 TB shape: every stage is a keyed shuffle or a broadcast —
+  * the gates are per-row, exact dedup shuffles once on the content
+  * fingerprint, near-dup edges come from bucketed band joins (never
+  * all-pairs), components is the [[ConnectedComponents]] fixpoint
+  * (keyed joins + aggs, lineage truncated per round), the split is a
+  * per-row hash decision, and packing windows per (split, source)
+  * partition — no corpus-wide window, sort, or driver loop anywhere.
+  * The report aggregates are one-row (funnel) / O(splits) rollups.
+  */
+object CorpusReport {
+
+  private val sparkFp = "poly_hash(text)"
+  private def duckFpOf(colName: String) =
+    s"""list_reduce(list_transform(string_split_regex($colName, ''),
+         c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"""
+
+  /** One corpus scan: per-doc gate booleans g1..g4 (CONJUNCTIVE — the
+    * exact `q_filter_funnel` stack, so the two reports reconcile row
+    * for row), the content fingerprint, and the exact-dedup survivor
+    * flag g5 (rn=1 within (fp, g4) — one keyed window shuffle). */
+  private[graft] def flagged(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp"), col("g4")).orderBy(col("doc_id"))
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("g1", col("n_chars") >= 100)
+      .withColumn("g2", col("g1") && col("n_tokens") >= 20)
+      .withColumn("g3", col("g2") &&
+        expr("size(filter(toks, t -> t IN ('the','a','of','and','is'))) > 0"))
+      .withColumn("g4", col("g3") &&
+        size(array_distinct(col("toks"))) * 10 > col("n_tokens") * 3)
+      .withColumn("fp", expr(sparkFp))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("g5", col("g4") && col("rn") === 1)
+  }
+
+  /** Gate + exact-dedup survivors, carrying what the downstream stages
+    * need (text for shingling/export, source for packing). */
+  private[graft] def survivors(flags: DataFrame): DataFrame =
+    flags.filter(col("g5"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("n_chars"), col("n_tokens"))
+
+  /** Near-dup cluster resolution + leakage-safe split + packing over
+    * the survivor set: `edgesOf(survivors)` yields (doc_a, doc_b)
+    * near-dup edges among survivors, components names each cluster by
+    * its min doc_id, and only the representative (doc_id == cluster)
+    * survives. Split = poly_hash(cluster) mod 10 (8/1/1) — hashing the
+    * CLUSTER id is what makes the split leakage-safe: any near-dups
+    * that straddled the threshold collapse to one doc BEFORE the split
+    * decision, so eval content cannot leak into train through a
+    * duplicate. Packing = running token sum per (split, source) in
+    * doc_id order → 4096-token bins (each partition packs
+    * independently — the distributed packing shape). */
+  private[graft] def curated(surv: DataFrame,
+      edgesOf: DataFrame => DataFrame): DataFrame = {
+    val labels = ConnectedComponents.minLabel(edgesOf(surv), Checkpointer.Local)
+    val pw = Window.partitionBy(col("split"), col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    surv.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster_id"), col("doc_id")))
+      .filter(col("doc_id") === col("cluster"))
+      .withColumn("m", pmod(expr("poly_hash(cast(cluster as string))"), lit(10)))
+      .withColumn("split",
+        when(col("m") <= 7, "train").when(col("m") === 8, "val")
+          .otherwise("test"))
+      .withColumn("cum", sum(col("n_tokens")).over(pw))
+      .withColumn("bin", floor((col("cum") - 1) / 4096).cast("long"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("n_tokens"), col("cluster"), col("split"), col("bin"))
+  }
+
+  /** The full run report: stage 0 (ingest) through 5 (exact dedup) from
+    * the one-row funnel aggregate, stage 6 (near-dedup representatives),
+    * stages 7–9 (per-split packed doc/token/bin mass). `docs`/`tokens`
+    * are the SURVIVING mass at each stage — `q_filter_funnel`'s
+    * docs_in/docs_out are adjacent pairs of this column (reconciliation
+    * spec'd in CorpusRunSpec). */
+  def report(docs: DataFrame, edgesOf: DataFrame => DataFrame): DataFrame = {
+    val flags = flagged(docs)
+    reportFrom(flags, curated(survivors(flags), edgesOf))
+  }
+
+  /** [[report]] from already-computed stage frames — the runnable job
+    * ([[graft.CorpusRun]]) persists each stage and assembles the report
+    * off the PERSISTED curated table, so the report provably describes
+    * the bytes that shipped, not a recomputation of them. */
+  private[graft] def reportFrom(flags: DataFrame, cur: DataFrame): DataFrame = {
+    val funnel = flags
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("g4"), 1L).otherwise(0L)).as("n4"),
+        sum(when(col("g5"), 1L).otherwise(0L)).as("n5"),
+        sum(col("n_tokens").cast("long")).as("t0"),
+        sum(when(col("g1"), col("n_tokens").cast("long")).otherwise(0L)).as("t1"),
+        sum(when(col("g2"), col("n_tokens").cast("long")).otherwise(0L)).as("t2"),
+        sum(when(col("g3"), col("n_tokens").cast("long")).otherwise(0L)).as("t3"),
+        sum(when(col("g4"), col("n_tokens").cast("long")).otherwise(0L)).as("t4"),
+        sum(when(col("g5"), col("n_tokens").cast("long")).otherwise(0L)).as("t5"))
+      .selectExpr(
+        """stack(6,
+          |  0, 'ingest',             n0, t0,
+          |  1, 'gate:length>=100',   n1, t1,
+          |  2, 'gate:tokens>=20',    n2, t2,
+          |  3, 'gate:has_stopwords', n3, t3,
+          |  4, 'gate:repetition',    n4, t4,
+          |  5, 'dedup:exact',        n5, t5)
+          |AS (stage_id, stage, docs, tokens)""".stripMargin)
+      .withColumn("bins", lit(null).cast("long"))
+    val near = cur
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens").cast("long")).as("tokens"))
+      .select(lit(6).as("stage_id"), lit("dedup:near").as("stage"),
+        col("docs"), coalesce(col("tokens"), lit(0L)).as("tokens"),
+        lit(null).cast("long").as("bins"))
+    val splits = cur
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens").cast("long")).as("tokens"),
+        countDistinct(concat_ws("#", col("source"), col("bin"))).as("bins"))
+      .select(
+        when(col("split") === "train", 7).when(col("split") === "val", 8)
+          .otherwise(9).cast("int").as("stage_id"),
+        concat(lit("split:"), col("split")).as("stage"),
+        col("docs"), col("tokens"), col("bins"))
+    funnel.unionByName(near).unionByName(splits).orderBy(col("stage_id"))
+  }
+
+  /** The ORACLE-ABLE near-dup edge generator: banded exact 3-gram
+    * Jaccard ≥ 0.5 over the survivor set ([[Dedup.nearDupPairsOf]] —
+    * the same edge semantics `q_dup_clusters` / `q_leakage_safe_split`
+    * prove against the recursive-CTE oracle). */
+  val bandedEdges: DataFrame => DataFrame = Dedup.nearDupPairsOf
+
+  /** The BUILD-ONCE edge generator: verified pairs from the persisted
+    * minhash band index of corpus dir `d` at Jaccard ≥ 0.5, restricted
+    * to survivor endpoints (two semi-joins — restriction commutes with
+    * generation because the Jaccard score is pair-intrinsic). Same
+    * threshold semantics as [[bandedEdges]]; candidate RECALL comes
+    * from the band collisions instead of positional bucketing, which
+    * is the real 100 TB stance (a twin a billion ids away still
+    * collides). Engine-specific band hashing → its report key is
+    * rows-only; semantics pinned on planted inputs in CorpusRunSpec. */
+  def indexedEdges(s: SparkSession, d: String): DataFrame => DataFrame = surv => {
+    val ids = surv.select(col("doc_id"))
+    Dedup.minhashPairsIndexed(s, d)
+      .filter(col("jaccard") >= 0.5)
+      .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  private val duckFp = duckFpOf("text")
+
+  /** The DuckDB re-derivation of the ENTIRE chain — gates, fingerprint
+    * dedup, banded-Jaccard edges, recursive-CTE components, cluster-
+    * hash split, window packing — so a hash-green row proves the
+    * composed pipeline end to end, not just its stages in isolation. */
+  private val reportOracle =
+    s"""WITH RECURSIVE f AS (
+       |  SELECT doc_id, source, n_chars,
+       |    string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |    $duckFp AS fp
+       |  FROM documents),
+       |g AS (
+       |  SELECT *,
+       |    (n_chars >= 100) AS g1,
+       |    (n_chars >= 100 AND n_tokens >= 20) AS g2,
+       |    (n_chars >= 100 AND n_tokens >= 20 AND
+       |     len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) > 0) AS g3,
+       |    (n_chars >= 100 AND n_tokens >= 20 AND
+       |     len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) > 0 AND
+       |     len(list_distinct(toks)) * 10 > n_tokens * 3) AS g4
+       |  FROM f),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY fp, g4 ORDER BY doc_id) AS rn
+       |  FROM g),
+       |surv AS (
+       |  SELECT doc_id, source, toks, n_tokens FROM r WHERE g4 AND rn = 1),
+       |s AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+       |  FROM surv WHERE len(toks) >= 3),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM s a JOIN s b
+       |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       |        (len(a.shingles) + len(b.shingles)
+       |         - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |      UNION ALL SELECT doc_b AS a, doc_a AS b FROM p),
+       |reach(node, r2) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r2),
+       |lab AS (SELECT node AS doc_id, min(r2) AS cluster_id
+       |        FROM reach GROUP BY node),
+       |kept AS (
+       |  SELECT surv.doc_id, surv.source, surv.n_tokens,
+       |    coalesce(lab.cluster_id, surv.doc_id) AS cluster
+       |  FROM surv LEFT JOIN lab ON surv.doc_id = lab.doc_id
+       |  WHERE surv.doc_id = coalesce(lab.cluster_id, surv.doc_id)),
+       |sp AS (
+       |  SELECT *, CASE WHEN m <= 7 THEN 'train'
+       |                 WHEN m = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT *,
+       |          ${duckFpOf("CAST(cluster AS VARCHAR)")} % 10 AS m
+       |        FROM kept)),
+       |pk AS (
+       |  SELECT split, source, n_tokens,
+       |    CAST(floor((sum(n_tokens) OVER (PARTITION BY split, source
+       |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1) / 4096) AS BIGINT) AS bin
+       |  FROM sp),
+       |splits AS (
+       |  SELECT CAST(CASE split WHEN 'train' THEN 7 WHEN 'val' THEN 8
+       |              ELSE 9 END AS INT) AS stage_id,
+       |    'split:' || split AS stage,
+       |    count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |    count(DISTINCT source || '#' || CAST(bin AS VARCHAR)) AS bins
+       |  FROM pk GROUP BY split),
+       |c AS (
+       |  SELECT count(*) AS n0,
+       |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+       |    CAST(sum(CASE WHEN g4 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+       |    CAST(sum(n_tokens) AS BIGINT) AS t0,
+       |    CAST(sum(CASE WHEN g1 THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+       |    CAST(sum(CASE WHEN g2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+       |    CAST(sum(CASE WHEN g3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+       |    CAST(sum(CASE WHEN g4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4,
+       |    CAST(sum(CASE WHEN g4 AND rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS t5
+       |  FROM r),
+       |nd AS (
+       |  SELECT count(*) AS n6,
+       |    coalesce(CAST(sum(n_tokens) AS BIGINT), 0) AS t6
+       |  FROM kept)
+       |SELECT stage_id, stage, docs, tokens, bins FROM (
+       |  SELECT CAST(0 AS INT) AS stage_id, 'ingest' AS stage,
+       |    n0 AS docs, t0 AS tokens, CAST(NULL AS BIGINT) AS bins FROM c
+       |  UNION ALL SELECT 1, 'gate:length>=100',   n1, t1, NULL FROM c
+       |  UNION ALL SELECT 2, 'gate:tokens>=20',    n2, t2, NULL FROM c
+       |  UNION ALL SELECT 3, 'gate:has_stopwords', n3, t3, NULL FROM c
+       |  UNION ALL SELECT 4, 'gate:repetition',    n4, t4, NULL FROM c
+       |  UNION ALL SELECT 5, 'dedup:exact',        n5, t5, NULL FROM c
+       |  UNION ALL SELECT 6, 'dedup:near',         n6, t6, NULL FROM nd
+       |  UNION ALL SELECT stage_id, stage, docs, tokens, bins FROM splits)
+       |ORDER BY stage_id""".stripMargin
+
+  /** The composed-pipeline report with the oracle-able banded edge
+    * generator — the driver hash-checks the whole chain against
+    * [[reportOracle]]. */
+  private val qCorpusReport = Q(
+    "q_corpus_report",
+    (s, d) => report(Tables.documents(s, d), bandedEdges),
+    Some(reportOracle))
+
+  /** The same report off the PERSISTED minhash band index — the form
+    * [[graft.CorpusRun]] runs nightly (build-once / query-many edges).
+    * Band hashing is engine-specific → rows-only at the driver;
+    * CorpusRunSpec pins planted docs dying at their intended stages
+    * and coherence with the runnable job's persisted report. */
+  private val qCorpusReportIndexed = Q(
+    "q_corpus_report_indexed",
+    (s, d) => report(Tables.documents(s, d), indexedEdges(s, d)),
+    None)
+
+  def qs: Seq[Q] = Seq(qCorpusReport, qCorpusReportIndexed)
+}

@@ -497,8 +497,14 @@ object Dedup {
   /** Near-dup candidate pairs at Jaccard ≥ 0.5, banded by doc_id range
     * (bucket join, never all-pairs) — the edge set both
     * [[qDupClusters]] and [[qLeakageSafeSplit]] resolve. */
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = shingleSets(Tables.documents(s, d))
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    nearDupPairsOf(Tables.documents(s, d))
+
+  /** [[nearDupPairs]] over an explicit document set — the composed
+    * corpus pipeline ([[CorpusReport]]) restricts it to gate
+    * survivors. */
+  private[queries] def nearDupPairsOf(input: DataFrame): DataFrame = {
+    val docs = shingleSets(input)
     val a = docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
       explode(sequence(floor(col("doc_id") / 20),
         floor(col("doc_id") / 20) + 1)).as("bucket"))

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{CorpusReport, Registry}
+import graft.sink.TrainingExport
+
+/** The composed end-to-end corpus job: planted documents die at
+  * exactly their intended stage, the exported deliveries verify
+  * against their manifests and reconcile with the run report, the
+  * runnable job's persisted report coheres with the pure query key,
+  * and the report's funnel stages reconcile row-for-row with
+  * `q_filter_funnel` on real data. */
+class CorpusRunSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  /** ~n distinct tokens with stopword evidence, seeded for uniqueness
+    * across docs. */
+  private def goodText(seed: String, n: Int = 100): String =
+    (0 until n).map(i => if (i % 10 == 0) "the" else s"$seed$i").mkString(" ")
+
+  /** One doc per intended death stage + survivors:
+    *   1 short (gate:length), 2 few-tokens (gate:tokens),
+    *   3 no stopwords (gate:has_stopwords), 4 repetitive
+    *   (gate:repetition), 6 exact dup of 5 (dedup:exact),
+    *   8 near-twin of 7 (dedup:near), 5/7/9..14 survive. */
+  private def plantedDocs = Seq(
+    1L  -> "too short",
+    2L  -> (0 until 10).map(i => s"verylongtoken${i}abcdefgh").mkString(" "),
+    3L  -> (0 until 30).map(i => s"nostop$i").mkString(" "),
+    4L  -> ("the " * 40).trim,
+    5L  -> goodText("keepa"),
+    6L  -> goodText("keepa"), // byte-identical to 5 → exact dup
+    7L  -> goodText("near"),
+    8L  -> goodText("near").replace("near7 ", "NEAR7 "), // near-twin of 7
+    9L  -> goodText("s9"), 10L -> goodText("s10"), 11L -> goodText("s11"),
+    12L -> goodText("s12"), 13L -> goodText("s13"), 14L -> goodText("s14"))
+
+  private def writeCorpus(): String = {
+    val dir = Files.createTempDirectory("corpusrun").toString
+    plantedDocs
+      .map { case (id, t) => (id, t, "en", s"src${id % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def docsAt(stages: Seq[CorpusRun.Stage], stage: String): Long =
+    stages.find(_.stage == stage).map(_.docs)
+      .getOrElse(fail(s"missing stage $stage"))
+
+  test("planted docs die at their intended stage; deliveries verify and reconcile") {
+    val corpus = writeCorpus()
+    val out = s"$corpus/out-banded"
+    val summary = CorpusRun.run(spark, corpus, out,
+      edgesOf = Some(CorpusReport.bandedEdges))
+
+    val st = summary.stages
+    assert(docsAt(st, "ingest") === 14)
+    assert(docsAt(st, "gate:length>=100") === 13, "doc 1 dies at length")
+    assert(docsAt(st, "gate:tokens>=20") === 12, "doc 2 dies at token count")
+    assert(docsAt(st, "gate:has_stopwords") === 11, "doc 3 dies at stopwords")
+    assert(docsAt(st, "gate:repetition") === 10, "doc 4 dies at repetition")
+    assert(docsAt(st, "dedup:exact") === 9, "doc 6 dies as 5's exact dup")
+    assert(docsAt(st, "dedup:near") === 8, "doc 8 dies as 7's near-twin")
+    val splitDocs = st.filter(_.stage.startsWith("split:")).map(_.docs).sum
+    assert(splitDocs === 8, "split rows partition the representatives")
+
+    // the shipped corpus: survivors exactly, via the VERIFIED read path
+    val shipped = summary.deliveries.flatMap(d =>
+      TrainingExport.readVerified(spark, d.dir, Some(CorpusRun.exportSchema))
+        .select("doc_id").collect().map(_.getLong(0))).toSet
+    assert(shipped === Set(5L, 7L, 9L, 10L, 11L, 12L, 13L, 14L))
+
+    // the persisted report equals the returned summary
+    val persisted = spark.read.parquet(s"$out/report")
+      .orderBy(col("stage_id")).collect()
+      .map(r => CorpusRun.Stage(r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toSeq
+    assert(persisted === st)
+
+    // token masses are consistent: monotone non-increasing through the
+    // funnel, and the split rows partition the representatives' tokens
+    val byId = st.map(s => s.stageId -> s.tokens).toMap
+    (1 to 6).foreach(i => assert(byId(i) <= byId(i - 1), s"stage $i grew"))
+    assert(st.filter(_.stage.startsWith("split:")).map(_.tokens).sum ===
+      byId(6))
+  }
+
+  test("the runnable job coheres with the indexed query key on the same corpus") {
+    val corpus = writeCorpus()
+    val out = s"$corpus/out-indexed"
+    // default edge generator = the persisted minhash band index
+    val summary = CorpusRun.run(spark, corpus, out)
+    // the near-twin is caught through the index too (16 near-identical
+    // minhash slots → a colliding band; deterministic hashing, so this
+    // is a fixed outcome, not a flake)
+    assert(docsAt(summary.stages, "dedup:near") === 8)
+
+    val fromKey = Registry.queries("q_corpus_report_indexed")(spark, corpus)
+      .collect()
+      .map(r => CorpusRun.Stage(r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toSeq
+    assert(summary.stages === fromKey,
+      "the runnable job's persisted report must equal the pure query key")
+  }
+
+  test("report funnel stages reconcile row-for-row with q_filter_funnel") {
+    val sf = "/root/testdata/sf0.001"
+    val report = Registry.queries("q_corpus_report")(spark, sf)
+      .filter(col("stage_id") <= 5)
+      .orderBy(col("stage_id"))
+      .select("docs").collect().map(_.getLong(0))
+    val funnel = Registry.queries("q_filter_funnel")(spark, sf)
+      .orderBy(col("stage_id"))
+      .select("docs_in", "docs_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(funnel.length === 5 && report.length === 6)
+    funnel.zipWithIndex.foreach { case ((in, outDocs), i) =>
+      assert(in === report(i) && outDocs === report(i + 1),
+        s"funnel stage ${i + 1} must be the report's adjacent doc counts")
+    }
+  }
+
+  test("a tampered shard fails the run's verified read") {
+    val corpus = writeCorpus()
+    val out = s"$corpus/out-tamper"
+    val summary = CorpusRun.run(spark, corpus, out,
+      edgesOf = Some(CorpusReport.bandedEdges))
+    // corrupt one delivered shard: truncate it to half its bytes
+    val d = summary.deliveries.head
+    val fs = new org.apache.hadoop.fs.Path(d.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shard = new org.apache.hadoop.fs.Path(d.dir, d.manifest.shards.head.path)
+    val bytes = {
+      val in = fs.open(shard)
+      try { val b = new Array[Byte](d.manifest.shards.head.bytes.toInt); in.readFully(b); b }
+      finally in.close()
+    }
+    val outS = fs.create(shard, true)
+    try outS.write(bytes, 0, bytes.length / 2) finally outS.close()
+    intercept[Exception] {
+      TrainingExport.readVerified(spark, d.dir, Some(CorpusRun.exportSchema))
+        .count()
+    }
+  }
+}

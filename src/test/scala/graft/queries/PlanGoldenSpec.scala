@@ -100,6 +100,17 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
     // regression — the corpus-wide unpartitioned ntile window — would
     // read joins=[]: joins=[] is what this pin rejects.
     "q_ntile_bucketize" -> "shuffles=1 joins=[BroadcastNestedLoopJoin x1]",
+    // r10 composed pipeline report: one plan spans the whole chain —
+    // the two SortMergeJoins are the survivor shingle-set bucket join
+    // (candidate pairs) and the survivors⋈labels cluster join (labels
+    // are NOT broadcast by design: dup-cluster membership is unbounded
+    // at 100 TB). The components fixpoint is checkpoint-truncated out;
+    // the 13 exchanges are the three report branches' (funnel / near /
+    // split) independent aggregation tails over the shared stage
+    // lineage. Both edge generators plan identically because the
+    // indexed form's band tables come off a materialized index read.
+    "q_corpus_report" -> "shuffles=13 joins=[SortMergeJoin x2]",
+    "q_corpus_report_indexed" -> "shuffles=13 joins=[SortMergeJoin x2]",
     // sq8's BroadcastNestedLoopJoin is the deliberate broadcast-tiny
     // query-set cross (same stance as bruteforce/ivf in PlanDump's
     // flag exclusions); the two BroadcastHashJoins are the survivor-id
