@@ -71,14 +71,17 @@ object Maintenance {
   }
 
   /** Rewrite one fragmented `(env, log_day)` lake partition into
-    * target-sized files ([[graft.logs.LogLake.compactPartition]]). */
+    * target-sized files ([[graft.logs.LogLake.compactPartition]]).
+    * `targetBytes` defaults to the fixed 128 MiB; auto-tuned plans
+    * carry the policy-derived target instead. */
   final case class CompactLakePartition(
-      path: String, env: String, day: String, nFiles: Int) extends Task {
+      path: String, env: String, day: String, nFiles: Int,
+      targetBytes: Long = 128L * 1024 * 1024) extends Task {
     def id: String = s"lake-compact:$path/env=$env/log_day=$day"
     def resource: String = s"$path/env=$env/log_day=$day"
     def run(spark: SparkSession): String = {
       val (before, after) =
-        logs.LogLake.compactPartition(spark, path, env, day)
+        logs.LogLake.compactPartition(spark, path, env, day, targetBytes)
       s"$before -> $after files"
     }
   }
@@ -111,6 +114,20 @@ object Maintenance {
     def run(spark: SparkSession): String = body(spark)
   }
 
+  /** A registered (corpus, index) pair for AUTO-PLANNED corpus-driven
+    * rebuilds: [[plan]] compares the index's committed
+    * [[index.CorpusStamp]] against the corpus table's CURRENT metadata
+    * fingerprint and emits `rebuild` as a [[Rebuild]] task exactly when
+    * they differ (or the index was never stamped — legacy/fresh, the
+    * conservative direction). The emitted task stamps the index with
+    * the plan-time fingerprint AFTER the body succeeds, so a corpus
+    * that advances mid-build re-fires next plan instead of going
+    * silently stale. `table` is the source table under `corpusDir`
+    * whose listing defines the fingerprint. */
+  final case class IndexBinding(name: String, indexDir: String,
+      corpusDir: String, table: String = "documents.parquet")(
+      val rebuild: SparkSession => String)
+
   /** One executed task: what ran, what happened, how long it took. */
   final case class Result(task: Task, outcome: Try[String], seconds: Double) {
     def summary: String = outcome match {
@@ -120,19 +137,33 @@ object Maintenance {
   }
 
   /** Enumerate the trigger conditions over the registered artifacts
-    * and return the work-list — metadata reads only, no Spark jobs.
-    * `rebuilds` pass through (their trigger is the caller's — e.g.
-    * "corpus version advanced"). */
+    * and return the work-list — metadata reads only (directory
+    * listings and marker files), no Spark jobs. `rebuilds` pass
+    * through (their trigger is the caller's); `indexBindings` are the
+    * AUTO-PLANNED corpus-driven rebuilds — fired exactly when the
+    * corpus fingerprint advanced past the index's stamp. */
   def plan(
       spark: SparkSession,
       lakes: Seq[String] = Seq.empty,
       vectorIndexes: Seq[String] = Seq.empty,
       minLakeFiles: Int = 8,
       minIndexAppends: Int = 4,
-      rebuilds: Seq[Rebuild] = Seq.empty): Seq[Task] = {
+      rebuilds: Seq[Rebuild] = Seq.empty,
+      indexBindings: Seq[IndexBinding] = Seq.empty,
+      autoTuneLakes: Seq[String] = Seq.empty): Seq[Task] = {
     val lakeTasks = lakes.flatMap { p =>
       logs.LogLake.fragmentedPartitions(spark, p, minLakeFiles)
         .map { case (env, day, n) => CompactLakePartition(p, env, day, n) }
+    }
+    // auto-tuned lakes derive (targetBytes, trigger) from their own
+    // observed layout — LogLake.autoPolicy; the emitted tasks carry
+    // the derived target so compaction and discovery share one policy
+    val autoLakeTasks = autoTuneLakes.flatMap { p =>
+      val policy = logs.LogLake.autoPolicy(spark, p)
+      logs.LogLake.fragmentedPartitionsTuned(spark, p, policy)
+        .map { case (env, day, n) =>
+          CompactLakePartition(p, env, day, n, policy.targetBytes)
+        }
     }
     val indexTasks = vectorIndexes.flatMap { d =>
       if (!index.VectorIndex.exists(spark, d)) None
@@ -141,7 +172,21 @@ object Maintenance {
         if (n >= minIndexAppends) Some(FoldVectorIndexAppends(d, n)) else None
       }
     }
-    lakeTasks ++ indexTasks ++ rebuilds
+    val bindingTasks = indexBindings.flatMap { b =>
+      val current = index.CorpusStamp.fingerprintOf(spark, b.corpusDir, b.table)
+      val stored = index.CorpusStamp.read(spark, b.indexDir).map(_.fingerprint)
+      if (stored.contains(current)) None
+      else Some(Rebuild(b.name, b.indexDir) { s =>
+        val out = b.rebuild(s)
+        // stamp the PLAN-TIME fingerprint only after the body commits:
+        // a corpus advancing mid-build leaves current != next-plan's
+        // reading, so the binding re-fires rather than going stale
+        index.CorpusStamp.write(s, b.indexDir,
+          index.CorpusStamp.Stamp(b.corpusDir, b.table, current))
+        out
+      })
+    }
+    lakeTasks ++ autoLakeTasks ++ indexTasks ++ bindingTasks ++ rebuilds
   }
 
   /** Fan the work-list out over a bounded thread pool (each task is

@@ -1,0 +1,63 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+
+/** The corpus PROVENANCE stamp of a persisted index — which corpus
+  * (dir + source table) the index was last built from, as the 128-bit
+  * metadata fingerprint of that table's file listing
+  * ([[graft.queries.KMeans.dirFingerprint]]: (name, length, mtime)
+  * triples — one namenode listing, no data read).
+  *
+  * This is what lets [[graft.Maintenance.plan]] DETECT "corpus advanced
+  * past index" by itself instead of relying on callers to request
+  * rebuilds (the r9 VERDICT gap): plan() compares the stored stamp
+  * against the corpus's current fingerprint per registered binding and
+  * emits the rebuild task exactly when they differ.
+  *
+  * The stamp is its own [[MetaMarker]]-committed marker file next to
+  * the index's own meta, NOT a field inside it — the index commit
+  * protocols (staged pair swaps) stay untouched, and the stamp applies
+  * uniformly to every index family (minhash, LSH, IVF). Ordering: the
+  * stamp is written AFTER a successful rebuild, with the fingerprint
+  * CAPTURED AT PLAN TIME — if the corpus advances mid-build, the stamp
+  * records the pre-advance listing and the next plan() fires again
+  * (the safe direction: a redundant rebuild of an idempotent artifact,
+  * never a silently-stale index). A crash between index commit and
+  * stamp write re-fires one redundant rebuild on the next plan — same
+  * stance. */
+object CorpusStamp {
+
+  private val MARKER = "_CORPUS_STAMP.json"
+
+  final case class Stamp(corpusDir: String, table: String, fingerprint: String)
+
+  /** The corpus table's current metadata fingerprint. */
+  def fingerprintOf(spark: SparkSession, corpusDir: String, table: String): String =
+    graft.queries.KMeans.dirFingerprint(spark, s"$corpusDir/$table")
+
+  /** Commit the stamp (stage-then-swap, heals like every marker). */
+  def write(spark: SparkSession, indexDir: String, stamp: Stamp): Unit =
+    MetaMarker.write(fsFor(spark, indexDir), indexDir, MARKER,
+      s"""{"corpus_dir": ${quote(stamp.corpusDir)}, """ +
+        s""""table": ${quote(stamp.table)}, """ +
+        s""""fingerprint": ${quote(stamp.fingerprint)}}""")
+
+  /** The committed stamp, or None for a never-stamped (legacy or
+    * freshly-created) index — which plan() treats as stale. */
+  def read(spark: SparkSession, indexDir: String): Option[Stamp] = {
+    val fs = fsFor(spark, indexDir)
+    if (!MetaMarker.exists(fs, indexDir, MARKER)) None
+    else {
+      val n = MetaMarker.read(fs, indexDir, MARKER)
+      Some(Stamp(n.get("corpus_dir").asText(), n.get("table").asText(),
+        n.get("fingerprint").asText()))
+    }
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

@@ -211,7 +211,18 @@ object LogLake {
   def fragmentedPartitions(
       spark: SparkSession,
       path: String,
-      minFiles: Int = 8): Seq[(String, String, Int)] = {
+      minFiles: Int = 8): Seq[(String, String, Int)] =
+    partitionFileSizes(spark, path)
+      .collect { case (env, day, sizes) if sizes.length >= minFiles =>
+        (env, day, sizes.length)
+      }
+
+  /** The same two-level listing, returning every partition's data-file
+    * SIZES — the input both the fixed-threshold discovery above and the
+    * [[autoPolicy]] derivation share. One pass, metadata only. */
+  private def partitionFileSizes(
+      spark: SparkSession,
+      path: String): Seq[(String, String, Seq[Long])] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
@@ -220,12 +231,56 @@ object LogLake {
       if envDir.isDirectory && envDir.getPath.getName.startsWith("env=")
       dayDir <- fs.listStatus(envDir.getPath).toSeq
       if dayDir.isDirectory && dayDir.getPath.getName.startsWith("log_day=")
-      n = fs.listStatus(dayDir.getPath).count(f =>
-        f.isFile && !f.getPath.getName.startsWith("_"))
-      if n >= minFiles
     } yield (envDir.getPath.getName.stripPrefix("env="),
-      dayDir.getPath.getName.stripPrefix("log_day="), n)
+      dayDir.getPath.getName.stripPrefix("log_day="),
+      fs.listStatus(dayDir.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map(_.getLen).toSeq)
   }.sortBy(p => (p._1, p._2))
+
+  /** SELF-TUNED compaction policy derived from the lake's OBSERVED
+    * layout instead of constants (SCALE.md "compaction autotuning"):
+    *
+    *   - `targetBytes` scales with lake size — `clamp(lakeBytes / 256,
+    *     16 MiB, 1 GiB)`: a small lake compacts toward a handful of
+    *     files per partition without giant-rewrite churn, a 100 TB lake
+    *     rides the 1 GiB ceiling (the published Delta OPTIMIZE
+    *     autotune stance: bigger tables earn bigger target files,
+    *     because per-file open/footer overhead amortizes over more
+    *     bytes while rewrite cost per compaction stays bounded).
+    *   - `minFiles` = 4, a churn floor only: the REAL trigger is
+    *     relative ([[fragmentedPartitionsTuned]]).
+    */
+  final case class CompactionPolicy(targetBytes: Long, minFiles: Int)
+
+  def autoPolicy(spark: SparkSession, path: String): CompactionPolicy = {
+    val lakeBytes = partitionFileSizes(spark, path).flatMap(_._3).sum
+    CompactionPolicy(
+      math.min(1024L << 20, math.max(16L << 20, lakeBytes / 256)),
+      minFiles = 4)
+  }
+
+  /** Discovery under a derived policy: a partition triggers iff its
+    * file count is at least TWICE what compacting to `targetBytes`
+    * would produce (`ideal = ceil(bytes / target)`) and above the
+    * churn floor — so a partition of ten target-sized files never
+    * triggers no matter the count (it IS the goal state), while ten
+    * micro-batch KB-files trigger immediately (ideal = 1). The fixed
+    * `minFiles >= 8` form can't express both at once: tuned low it
+    * rewrites healthy partitions, tuned high it lets debris pile up in
+    * small partitions. Returns (env, day, nFiles) — each item feeds
+    * one [[compactPartition]] call with the SAME policy's target. */
+  def fragmentedPartitionsTuned(
+      spark: SparkSession,
+      path: String,
+      policy: CompactionPolicy): Seq[(String, String, Int)] =
+    partitionFileSizes(spark, path).collect {
+      case (env, day, sizes)
+          if sizes.length >= math.max(policy.minFiles,
+            2 * math.max(1L, math.ceil(
+              sizes.sum.toDouble / policy.targetBytes).toLong)) =>
+        (env, day, sizes.length)
+    }
 
   /** The crash-safe SWAP protocol shared by compaction and upsert
     * (steps documented on [[compactPartition]]): write the replacement

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -515,46 +516,92 @@ object Curation {
     * over the corpus, no driver loops. `avg_chars` divides two exact
     * integer sums AS DOUBLES in the same operand order on both
     * engines, so the card is bit-reproducible. */
+  /** The card's shared Spark body ([[qDatasetCard]] below and the v2
+    * dup-rate extension reuse it). r10 added the QUALITY and PII
+    * sections a release review reads: corpus-level stopword rate and
+    * mean token length as EXACT integer sufficient statistics divided
+    * once (never an average of per-doc doubles — that would be
+    * order-dependent float summation), the count of docs passing the
+    * full `q_filter_funnel` gate stack, and pre-scrub PII incidence
+    * via the `q_text_pii_scrub` detector regexes over the raw text. */
+  private[queries] def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val base = Tables.documents(s, d)
+      .withColumn("fp", expr(sparkFp))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_hits",
+        expr("size(filter(toks, t -> t IN ('the','a','of','and','is')))"))
+      .withColumn("token_chars", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("q_pass",
+        col("n_chars") >= 100 && col("n_tokens") >= 20 &&
+          col("stop_hits") > 0 &&
+          size(array_distinct(col("toks"))) * 10 > col("n_tokens") * 3)
+    val stats = base.groupBy(col("source")).agg(
+      count(lit(1)).as("docs"),
+      sum(col("n_tokens")).as("tokens"),
+      sum(col("n_chars")).as("chars"),
+      countDistinct(col("fp")).as("distinct_texts"),
+      countDistinct(col("lang")).as("langs"),
+      sum(col("stop_hits").cast("long")).as("sh"),
+      sum(col("token_chars").cast("long")).as("tc"),
+      sum(when(col("q_pass"), 1L).otherwise(0L)).as("quality_pass"),
+      sum(regexp_count(col("text"), lit(emailRe)).cast("long")).as("pii_emails"),
+      sum(regexp_count(col("text"), lit(ipRe)).cast("long")).as("pii_ips"))
+    // the q_mode_per_key idiom, REUSED (one source of truth for the
+    // tie-break + null semantics — Relational.deterministicMode);
+    // left join: a source whose langs are all null keeps its card
+    // row with a null top_lang
+    val topLang = Relational
+      .deterministicMode(base, col("source"), col("lang"))
+      .select(col("_mk").as("source"), col("_mode").as("top_lang"))
+    stats.join(topLang, Seq("source"), "left")
+      .select(col("source"), col("docs"), col("tokens"),
+        (col("chars").cast("double") / col("docs").cast("double"))
+          .as("avg_chars"),
+        col("distinct_texts"), col("langs"), col("top_lang"),
+        (col("sh").cast("double") / col("tokens").cast("double"))
+          .as("stop_ratio"),
+        (col("tc").cast("double") / col("tokens").cast("double"))
+          .as("avg_token_len"),
+        col("quality_pass"), col("pii_emails"), col("pii_ips"))
+      // explicit null placement: a null-source card row (kept by the
+      // left join in both engines) would otherwise sort FIRST in
+      // Spark and LAST in DuckDB — the same NULLS FIRST/LAST
+      // asymmetry the mode column guards against, on the key column
+      .orderBy(col("source").asc_nulls_last)
+  }
+
   private val qDatasetCard = Q(
     "q_dataset_card",
-    (s, d) => {
-      val base = Tables.documents(s, d)
-        .withColumn("fp", expr(sparkFp))
-        .withColumn("n_tokens", size(split(col("text"), " ")))
-      val stats = base.groupBy(col("source")).agg(
-        count(lit(1)).as("docs"),
-        sum(col("n_tokens")).as("tokens"),
-        sum(col("n_chars")).as("chars"),
-        countDistinct(col("fp")).as("distinct_texts"),
-        countDistinct(col("lang")).as("langs"))
-      // the q_mode_per_key idiom, REUSED (one source of truth for the
-      // tie-break + null semantics — Relational.deterministicMode);
-      // left join: a source whose langs are all null keeps its card
-      // row with a null top_lang
-      val topLang = Relational
-        .deterministicMode(base, col("source"), col("lang"))
-        .select(col("_mk").as("source"), col("_mode").as("top_lang"))
-      stats.join(topLang, Seq("source"), "left")
-        .select(col("source"), col("docs"), col("tokens"),
-          (col("chars").cast("double") / col("docs").cast("double"))
-            .as("avg_chars"),
-          col("distinct_texts"), col("langs"), col("top_lang"))
-        // explicit null placement: a null-source card row (kept by the
-        // left join in both engines) would otherwise sort FIRST in
-        // Spark and LAST in DuckDB — the same NULLS FIRST/LAST
-        // asymmetry the mode column guards against, on the key column
-        .orderBy(col("source").asc_nulls_last)
-    },
+    (s, d) => datasetCard(s, d),
     Some(s"""WITH base AS (
-               SELECT source, lang, n_chars, $duckFp AS fp,
-                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+               SELECT source, lang, n_chars, text, $duckFp AS fp,
+                 string_split(text, ' ') AS toks,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','is'))) AS INT) AS stop_hits,
+                 CAST(length(replace(text, ' ', '')) AS INT) AS token_chars
                FROM documents),
              s AS (
                SELECT source, count(*) AS docs,
                  CAST(sum(n_tokens) AS BIGINT) AS tokens,
                  CAST(sum(n_chars) AS BIGINT) AS chars,
                  count(DISTINCT fp) AS distinct_texts,
-                 count(DISTINCT lang) AS langs
+                 count(DISTINCT lang) AS langs,
+                 CAST(sum(stop_hits) AS BIGINT) AS sh,
+                 CAST(sum(token_chars) AS BIGINT) AS tc,
+                 CAST(sum(CASE WHEN n_chars >= 100 AND n_tokens >= 20
+                   AND stop_hits > 0
+                   AND len(list_distinct(toks)) * 10 > n_tokens * 3
+                   THEN 1 ELSE 0 END) AS BIGINT) AS quality_pass,
+                 CAST(sum(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT)
+                   AS pii_emails,
+                 CAST(sum(len(regexp_extract_all(text,
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))) AS BIGINT)
+                   AS pii_ips
                FROM base GROUP BY source),
              lc AS (SELECT source, lang, count(*) AS cnt
                     FROM base WHERE lang IS NOT NULL GROUP BY 1, 2),
@@ -564,12 +611,48 @@ object Curation {
                     WHERE rn = 1)
              SELECT s.source, docs, tokens,
                CAST(chars AS DOUBLE) / CAST(docs AS DOUBLE) AS avg_chars,
-               distinct_texts, langs, top_lang
+               distinct_texts, langs, top_lang,
+               CAST(sh AS DOUBLE) / CAST(tokens AS DOUBLE) AS stop_ratio,
+               CAST(tc AS DOUBLE) / CAST(tokens AS DOUBLE) AS avg_token_len,
+               quality_pass, pii_emails, pii_ips
              FROM s LEFT JOIN tl USING (source)
              ORDER BY source NULLS LAST""")
   )
 
+  /** The card's NEAR-DUP section — `q_dataset_card` plus the per-source
+    * duplicate-cluster rate off the PERSISTED minhash band index: for
+    * each source, how many docs sit in a near-dup cluster (≥2 members
+    * at verified Jaccard ≥ 0.5, clusters resolved globally so
+    * cross-source families count in every source they touch) and that
+    * count as a fraction of the source's docs. Engine-specific band
+    * hashing → rows-only at the driver; CurationSpec pins the shared
+    * columns equal to `q_dataset_card` and the dup column consistent
+    * with `q_dup_clusters_minhash_indexed` on the same corpus.
+    *
+    * Shape: the card's aggregates + one label join against the
+    * components of the index's verified pairs — labels only exist for
+    * edge-bearing docs, so the join's right side is the dup population,
+    * not the corpus. */
+  private val qDatasetCardDup = Q(
+    "q_dataset_card_dup",
+    (s, d) => {
+      val labels = ConnectedComponents.minLabel(
+        Dedup.minhashPairsIndexed(s, d).filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b")),
+        Checkpointer.Local)
+      val dupBySource = Tables.documents(s, d)
+        .join(labels.select(col("doc_id")), Seq("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))
+      datasetCard(s, d)
+        .join(dupBySource, Seq("source"), "left")
+        .withColumn("dup_docs", coalesce(col("dup_docs"), lit(0L)))
+        .withColumn("dup_rate",
+          col("dup_docs").cast("double") / col("docs").cast("double"))
+        .orderBy(col("source").asc_nulls_last)
+    },
+    None)
+
   def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences, qSampleStratified,
     qNtileBucketize, qSampleWeighted, qMixSources, qTrainingOrder, qSourceCap,
-    qSourceCapAgg, qFilterFunnel, qDatasetCard)
+    qSourceCapAgg, qFilterFunnel, qDatasetCard, qDatasetCardDup)
 }

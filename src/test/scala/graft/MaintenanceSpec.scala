@@ -189,6 +189,48 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     assert(!overlapped.get(), "same-resource tasks must never run concurrently")
   }
 
+  test("plan() auto-fires rebuilds exactly for corpora that advanced past their index stamp") {
+    val work = Files.createTempDirectory("maint-autoidx").toString
+    def writeCorpus(dir: String, seed: String, n: Int): Unit =
+      (0 until n).map(i => (i.toLong, s"$seed text number $i " * 10))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (corpusA, corpusB) = (s"$work/corpusA", s"$work/corpusB")
+    val (idxA, idxB) = (s"$work/idxA", s"$work/idxB")
+    writeCorpus(corpusA, "alpha", 4)
+    writeCorpus(corpusB, "beta", 4)
+    val built = new java.util.concurrent.ConcurrentHashMap[String, Integer]
+    def binding(name: String, idx: String, corpus: String) =
+      Maintenance.IndexBinding(name, idx, corpus) { s =>
+        graft.queries.Dedup.writeMinhashIndex(
+          s.read.parquet(s"$corpus/documents.parquet"), idx)
+        built.merge(name, 1, (a, b) => a + b)
+        "rebuilt"
+      }
+    val bindings = Seq(
+      binding("mh-A", idxA, corpusA), binding("mh-B", idxB, corpusB))
+
+    // never stamped → both fire (legacy/fresh indexes count as stale)
+    val first = Maintenance.plan(spark, indexBindings = bindings)
+    assert(first.map(_.id).sorted === Seq("rebuild:mh-A", "rebuild:mh-B"))
+    val r1 = Maintenance.run(spark, first)
+    assert(r1.forall(_.outcome.isSuccess), r1.map(_.summary).mkString("\n"))
+    assert(built.get("mh-A") === 1 && built.get("mh-B") === 1)
+
+    // stamped and unchanged → plan is empty
+    assert(Maintenance.plan(spark, indexBindings = bindings).isEmpty,
+      "unchanged corpora must fire nothing")
+
+    // corpus A advances; B untouched → exactly A's rebuild fires
+    writeCorpus(corpusA, "alpha", 5)
+    val second = Maintenance.plan(spark, indexBindings = bindings)
+    assert(second.map(_.id) === Seq("rebuild:mh-A"),
+      s"only the stale index may fire: ${second.map(_.id)}")
+    assert(Maintenance.run(spark, second).forall(_.outcome.isSuccess))
+    assert(built.get("mh-A") === 2 && built.get("mh-B") === 1)
+    assert(Maintenance.plan(spark, indexBindings = bindings).isEmpty)
+  }
+
   test("a parent-dir resource serializes with tasks nested under it") {
     // the ADVICE r9 case: a caller Rebuild naming a lake ROOT must not
     // run concurrently with auto-planned per-partition compactions

@@ -219,6 +219,51 @@ class LogLakeSpec extends AnyFunSuite with SparkTestSupport {
     assert(LogLake.fragmentedPartitions(spark, "/tmp/no-such-lake-xyz").isEmpty)
   }
 
+  test("auto-tuned discovery: micro-batch debris triggers, target-sized files never do") {
+    // sizes are planted directly (sparse files — discovery reads the
+    // LISTING, never the bytes), so the policy arithmetic is exercised
+    // at realistic magnitudes without writing gigabytes
+    def plant(dir: String, env: String, day: String, n: Int, bytes: Long): Unit = {
+      val d = new java.io.File(s"$dir/env=$env/log_day=$day")
+      d.mkdirs()
+      (0 until n).foreach { i =>
+        val raf = new java.io.RandomAccessFile(new java.io.File(d, f"part-$i%05d.parquet"), "rw")
+        try raf.setLength(bytes) finally raf.close()
+      }
+    }
+    val dir = Files.createTempDirectory("loglake-auto").toString
+    plant(dir, "prod", "2019-01-18", n = 10, bytes = 1L << 20)  // 10 × 1 MiB debris
+    plant(dir, "prod", "2019-01-19", n = 9, bytes = 16L << 20)  // 9 × 16 MiB healthy
+
+    val policy = LogLake.autoPolicy(spark, dir)
+    assert(policy.targetBytes === 16L << 20,
+      "a small lake rides the 16 MiB floor")
+    val tuned = LogLake.fragmentedPartitionsTuned(spark, dir, policy)
+    assert(tuned === Seq(("prod", "2019-01-18", 10)),
+      s"only the debris partition may trigger: $tuned")
+    // the fixed-threshold form cannot make this distinction: at
+    // minFiles=8 it flags the healthy target-sized partition too
+    assert(LogLake.fragmentedPartitions(spark, dir, 8).map(p => (p._1, p._2)).toSet
+      === Set(("prod", "2019-01-18"), ("prod", "2019-01-19")))
+
+    // target scales with lake size: an 8 GiB lake derives a 32 MiB
+    // target, and its 512 MiB-file partition still never triggers
+    val big = Files.createTempDirectory("loglake-auto-big").toString
+    plant(big, "prod", "2019-01-18", n = 16, bytes = 512L << 20)
+    plant(big, "prod", "2019-01-19", n = 8, bytes = 1L << 20)
+    val bigPolicy = LogLake.autoPolicy(spark, big)
+    assert(bigPolicy.targetBytes ===
+      (16L * (512L << 20) + 8L * (1L << 20)) / 256,
+      s"~32 MiB from the 8 GiB lake, got ${bigPolicy.targetBytes}")
+    assert(LogLake.fragmentedPartitionsTuned(spark, big, bigPolicy)
+      === Seq(("prod", "2019-01-19", 8)))
+
+    // the auto-tuned plan carries the derived target on each task
+    val tasks = graft.Maintenance.plan(spark, autoTuneLakes = Seq(big))
+    assert(tasks === Seq(graft.Maintenance.CompactLakePartition(
+      big, "prod", "2019-01-19", 8, bigPolicy.targetBytes)))
+  }
+
   test("recovery deletes a PARTIAL tmp (no _SUCCESS) instead of installing it") {
     // crash MID-WRITE of tmp while creating a brand-new partition: the
     // upsert path's partDir never existed, so 'partDir missing + tmp

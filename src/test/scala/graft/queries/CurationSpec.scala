@@ -105,6 +105,65 @@ class CurationSpec extends AnyFunSuite with SparkTestSupport {
       ("srcD", 4L, 8L, 5.0, 4L, 1L, "en")))
   }
 
+  test("dataset card v2: quality sufficient statistics and PII incidence columns") {
+    val d = Files.createTempDirectory("cardv2").toString
+    // srcA doc 1: 5 tokens "the aa of bb cc" — 2 stop hits, 11 token
+    // chars; fails quality (n_chars < 100). doc 2 passes every gate.
+    val good = (1 to 30).map(i => s"the word${i}a word${i}b of").mkString(" ")
+    Seq(
+      (1L, "the aa of bb cc", "en", "srcA", 15L),
+      (2L, good, "en", "srcA", 150L),
+      // srcB: planted PII — 2 emails, 1 dotted-quad
+      (3L, "mail a@b.com and c@d.org from 10.1.2.3 now", "en", "srcB", 42L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_dataset_card")(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("srcA")
+    val goodToks = good.split(" ")
+    val aTokens = 5L + goodToks.length
+    val aStops = 2L + goodToks.count(Set("the", "a", "of", "and", "is"))
+    val aChars = 11L + good.replace(" ", "").length
+    assert(a.getDouble(a.fieldIndex("stop_ratio")) ===
+      aStops.toDouble / aTokens.toDouble)
+    assert(a.getDouble(a.fieldIndex("avg_token_len")) ===
+      aChars.toDouble / aTokens.toDouble)
+    assert(a.getLong(a.fieldIndex("quality_pass")) === 1L,
+      "only the long, diverse, stopworded doc passes the gate stack")
+    assert(a.getLong(a.fieldIndex("pii_emails")) === 0L)
+    val b = rows("srcB")
+    assert(b.getLong(b.fieldIndex("pii_emails")) === 2L)
+    assert(b.getLong(b.fieldIndex("pii_ips")) === 1L)
+    assert(b.getLong(b.fieldIndex("quality_pass")) === 0L)
+  }
+
+  test("dataset card dup extension: shared columns equal v1; dup mass matches the cluster key") {
+    val sf = "/root/testdata/sf0.001"
+    val v1 = Registry.queries("q_dataset_card")(spark, sf).collect()
+    val v2 = Registry.queries("q_dataset_card_dup")(spark, sf).collect()
+    assert(v1.length === v2.length)
+    // shared columns are bit-identical — the dup extension only appends
+    val shared = v1.head.schema.fieldNames.toSeq
+    v1.zip(v2).foreach { case (a, b) =>
+      shared.foreach(c =>
+        assert(a.get(a.fieldIndex(c)) === b.get(b.fieldIndex(c)),
+          s"column $c diverged for source ${a.getString(0)}"))
+    }
+    // total dup mass == the labeled population of the cluster key (every
+    // labeled doc is in a ≥2-member cluster by construction)
+    val dupTotal = v2.map(r => r.getLong(r.fieldIndex("dup_docs"))).sum
+    val clustered =
+      Registry.queries("q_dup_clusters_minhash_indexed")(spark, sf).count()
+    assert(dupTotal === clustered,
+      s"card dup mass $dupTotal != cluster-key population $clustered")
+    // rates are the exact per-source quotient
+    v2.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("dup_rate")) ===
+        r.getLong(r.fieldIndex("dup_docs")).toDouble /
+          r.getLong(r.fieldIndex("docs")).toDouble)
+    }
+  }
+
   test("filter funnel: each planted doc dies at exactly its intended gate") {
     val d = Files.createTempDirectory("funnel").toString
     // a doc that survives ALL gates (long, stopworded, diverse), used
