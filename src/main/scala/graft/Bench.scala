@@ -25,9 +25,15 @@ object Bench {
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // the -1.0 failure sentinels stay visible per-query but are EXCLUDED
+    // from the headline sum (r10: 20 sentinels deflated the total by 20 s,
+    // making a broken round look faster than an all-green one) and the
+    // failing keys are listed explicitly
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":${fmt(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failedJson,"value":${fmt(total)}}"""
     println(json)
     // also write to a file: sbt's log tail is noisy enough that stdout
     // scraping has failed (BENCH_r01 recorded parsed:null)

@@ -8,12 +8,14 @@ import org.apache.spark.sql.SparkSession
   *  - `graft.GraftExtensions` registers the codegen'd expressions
   *    (url_unquote, dot_product, cosine_sim, poly_hash).
   *  - UTC session timezone: every timestamp oracle assumes it.
-  *  - `nanosAsLong`: `events.ts` is parquet TIMESTAMP(NANOS), which
-  *    Spark has no native type for — this legacy conf reads it as
-  *    long nanos, and `Tables.events` truncates to microseconds. It is
-  *    a session-level SQL conf (no per-reader option exists), so it
-  *    belongs here, not inside a reader (a library reader mutating the
-  *    caller's session is a side effect the caller can't see).
+  *  - `nanosAsLong`: legacy `events.ts` generations used parquet
+  *    TIMESTAMP(NANOS), which Spark has no native type for — this
+  *    legacy conf reads it as long nanos and `Tables.events` adapts
+  *    (the current generation is TIMESTAMP(MICROS), on which the conf
+  *    is a no-op). It is a session-level SQL conf (no per-reader
+  *    option exists), so it belongs here, not inside a reader (a
+  *    library reader mutating the caller's session is a side effect
+  *    the caller can't see).
   *  - shuffle width = local core count, not the 200 default: on
   *    local[N] the extra partitions are pure scheduling overhead; a
   *    real cluster deployment sets this (or lets AQE coalesce).

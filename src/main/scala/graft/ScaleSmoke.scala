@@ -18,9 +18,10 @@ object ScaleSmoke {
       .appName("graft-scalesmoke").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions._
-    // raw reads (events.ts stays long nanos, via the session-level
-    // nanosAsLong conf) so written copies keep the on-disk shape
-    // Tables expects when reading them back
+    // raw reads (events.ts keeps its on-disk physical type — long
+    // nanos or NTZ micros depending on generation) so written copies
+    // round-trip a shape Tables' adaptive shim accepts when reading
+    // them back
 
     /** N key-shifted copies of a table registered as a temp view over
       * the original name, so the query code runs unmodified. */

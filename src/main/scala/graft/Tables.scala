@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers over the driver's testdata layout (`TESTDATA.md`): one parquet
   * file per table under a scale-factor directory (`sf0.001`, `sf0.01`, …).
@@ -16,29 +17,54 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark has no native
-    * type for (PARQUET_TYPE_ILLEGAL). With `nanosAsLong` set at session
-    * build time (`GraftSession`) it reads as long nanos-since-epoch; we
-    * truncate to microsecond TimestampType — the same truncation DuckDB
-    * applies on `CAST(ts AS TIMESTAMP)`, which every oracle query does
-    * before deriving from ts. Fails fast with a pointer at the conf if
-    * the session wasn't built through `GraftSession` (a reader mutating
-    * the caller's session conf would be an invisible side effect).
+  /** `events.ts` has shipped in three physical layouts across testdata
+    * generations, so the reader adapts to whatever the footer says
+    * rather than hard-assuming one (r10 lesson: a regeneration from
+    * TIMESTAMP(NANOS) to TIMESTAMP(MICROS) broke every events consumer
+    * at analysis time). The canonical post-reader type is always
+    * session-zoned `TimestampType` at microsecond precision — the same
+    * value DuckDB's `CAST(ts AS TIMESTAMP)` yields under a UTC session,
+    * which every oracle query applies before deriving from ts.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    requireNanosConf(spark)
-    eventsTsShim(spark.read.parquet(s"$dir/events.parquet"))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsTsShim(readEvents(spark, s"$dir/events.parquet"))
 
   /** The one events transform, shared by every reader path (a second
-    * hand-synced copy of the truncation would drift silently). */
+    * hand-synced copy would drift silently). Branches on the RAW type:
+    *  - LongType: legacy TIMESTAMP(NANOS) read via `nanosAsLong` →
+    *    truncate nanos to microsecond TimestampType.
+    *  - TimestampNTZType: TIMESTAMP(MICROS, isAdjustedToUTC=false) →
+    *    reinterpret the wall-clock in the session zone (UTC session =
+    *    identical wall-clock, so bit-for-bit the oracle's value).
+    *  - TimestampType: already instant-typed micros → pass through.
+    * Anything else fails loud with the observed type, so the NEXT
+    * testdata regeneration surfaces as one named error, not twenty
+    * scattered analysis failures.
+    */
   private def eventsTsShim(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other; expected LongType " +
+          "(legacy nanosAsLong), TimestampNTZType, or TimestampType — " +
+          "did the testdata generator change the column layout again?")
+    }
 
-  private def requireNanosConf(spark: SparkSession): Unit =
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet uses TIMESTAMP(NANOS): build the session via graft.GraftSession " +
-        "or set spark.sql.legacy.parquet.nanosAsLong=true before reading")
+  /** Footer read for events, rethrowing Spark's PARQUET_TYPE_ILLEGAL
+    * (a nanos-written file read without the legacy conf) with the fix
+    * attached — the bare Spark error names the type but not the conf. */
+  private def readEvents(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: Throwable if String.valueOf(e.getMessage).contains("NANOS") =>
+        throw new IllegalStateException(
+          s"$path uses parquet TIMESTAMP(NANOS): build the session via " +
+            "graft.GraftSession or set spark.sql.legacy.parquet.nanosAsLong=true", e)
+    }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
@@ -48,18 +74,16 @@ object Tables {
     * parquet footer read. Session-independent, so callers may cache it
     * freely (unlike a DataFrame, which pins its SparkSession). */
   def fileSchema(spark: SparkSession, dir: String,
-      name: String): org.apache.spark.sql.types.StructType = {
-    if (name == "events") requireNanosConf(spark)
-    spark.read.parquet(s"$dir/$name.parquet").schema
-  }
+      name: String): org.apache.spark.sql.types.StructType =
+    if (name == "events") readEvents(spark, s"$dir/events.parquet").schema
+    else spark.read.parquet(s"$dir/$name.parquet").schema
 
   /** [[apply]] with a known raw schema: skips the footer read entirely
     * and applies the same reader transforms (the events ts shim). */
   def withKnownSchema(spark: SparkSession, dir: String, name: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val raw = spark.read.schema(schema).parquet(s"$dir/$name.parquet")
-    if (name == "events") { requireNanosConf(spark); eventsTsShim(raw) }
-    else raw
+    if (name == "events") eventsTsShim(raw) else raw
   }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")

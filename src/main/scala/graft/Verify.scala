@@ -1,35 +1,71 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure contract (r10 lesson): a throwing query must leave a RED
+  * artifact, not a missing one — r10's events-schema breakage made 20
+  * keys silently vanish from CORRECTNESS and the round read as all-green.
+  * Now every failure writes `outDir/<name>/_ERROR.json` (so the per-key
+  * directory exists but holds no parquet → the driver's read fails loud)
+  * and the full map lands in `outDir/verify_errors.json`.
+  */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val spark = GraftSession.local("graft-verify")
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private[graft] def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Runs every query, writing parquet on success and _ERROR.json on
+    * failure; returns name → error message for the failures. Factored
+    * out of main so VerifySpec can drive it with a throwing entry. */
+  private[graft] def dumpAll(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame]): Map[String, String] = {
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg
+        val keyDir = new java.io.File(s"$outDir/$name")
+        keyDir.mkdirs()
+        // wipe any parquet a previous (passing) run left behind, so a
+        // regression can't be masked by a stale green artifact
+        Option(keyDir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName != "_ERROR.json").foreach(_.delete())
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR.json"),
+          s"""{"query": ${q(name)}, "error": ${q(msg)}}""")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    errors.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = GraftSession.local("graft-verify")
+    val errors = dumpAll(spark, sfDir, outDir, SparkEntry.queries)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // loud but zero-exit: a non-zero status could make the driver skip
+    // the DuckDB compare for the PASSING keys too — the red channel is
+    // the _ERROR.json sidecars + verify_errors.json, not the exit code
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} FAILED: ${errors.keys.mkString(", ")}")
   }
 }

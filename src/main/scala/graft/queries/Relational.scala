@@ -24,8 +24,10 @@ object Relational {
   /** Microsecond-precision variant (DuckDB '%Y-%m-%d %H:%M:%S.%f'). */
   private def fmtUs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
-  /** DuckDB-side: events.ts is TIMESTAMP_NS; truncate to micros to match
-    * the engine's read path (Tables.events). */
+  /** DuckDB-side: CAST(ts AS TIMESTAMP) is layout-agnostic — a no-op on
+    * the current TIMESTAMP(MICROS) testdata, a nanos→micros truncation
+    * on the legacy TIMESTAMP_NS generation — matching Tables.events'
+    * adaptive shim branch-for-branch. */
   private val oracleEvents =
     "SELECT event_id, user_id, event_type, value, props, CAST(ts AS TIMESTAMP) AS ts FROM events"
 

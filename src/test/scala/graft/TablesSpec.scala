@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Two guards born from the r10 testdata regeneration (the driver
+  * silently switched `events.ts` from TIMESTAMP(NANOS) to
+  * TIMESTAMP(MICROS) and 20 query keys went red at analysis time):
+  *
+  *  1. A schema-drift tripwire: every `/root/testdata/sf*` table read
+  *     through `Tables.apply` must match the engine's canonical
+  *     post-reader StructType. The NEXT regeneration fails HERE with a
+  *     named table+column message, not as two dozen scattered analysis
+  *     errors deep inside query suites.
+  *  2. A layout-compatibility pin for the events ts shim: all three
+  *     physical generations (legacy nanos-as-long, NTZ micros,
+  *     instant micros) must read to the SAME canonical TimestampType
+  *     wall-clock forever.
+  */
+class TablesSpec extends AnyFunSuite with SparkTestSupport {
+
+  /** Canonical POST-reader column types. Nullability is not pinned
+    * (parquet-writer-dependent and semantically irrelevant here). */
+  private val canonical: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType, true), "label" -> IntegerType))
+
+  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1").filter(d => new java.io.File(d).exists())
+
+  test("every testdata table at every scale factor matches the canonical post-reader schema") {
+    assert(sfDirs.nonEmpty, "no testdata dirs found")
+    assert(canonical.keySet == Tables.names.toSet)
+    for (dir <- sfDirs; name <- Tables.names) {
+      val got = Tables(spark, dir, name).schema.fields
+        .map(f => f.name -> f.dataType).toSeq
+      assert(got == canonical(name),
+        s"SCHEMA DRIFT in $dir/$name.parquet: the driver regenerated " +
+          s"testdata with a new layout.\n  got:       $got\n  canonical: " +
+          s"${canonical(name)}\nUpdate Tables' reader shims (and this pin) " +
+          "to adapt — see the eventsTsShim branches for the pattern.")
+    }
+  }
+
+  // ---- events ts layout compatibility --------------------------------
+  // One logical row per fixture: wall-clock 2024-03-15 12:34:56.789012
+  // (micros precision) must survive every physical generation.
+  private val wallClockMicros = java.time.LocalDateTime
+    .of(2024, 3, 15, 12, 34, 56, 789012000)
+    .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L + 12L
+
+  private def writeFixtureDir(): java.io.File =
+    java.nio.file.Files.createTempDirectory("graft-events-fixture").toFile
+
+  private def readTs(dir: java.io.File): (DataType, Long) = {
+    val df = Tables.events(spark, dir.getPath)
+    val tpe = df.schema("ts").dataType
+    val micros = df.selectExpr("unix_micros(ts) AS us").head().getLong(0)
+    (tpe, micros)
+  }
+
+  test("micros-written events (TIMESTAMP_NTZ, the current generation) read as TimestampType with the oracle's wall-clock") {
+    val dir = writeFixtureDir()
+    spark.sql(
+      s"""SELECT 1L AS event_id,
+         |  timestampadd(MICROSECOND, ${wallClockMicros % 1000000L},
+         |    to_timestamp_ntz('2024-03-15 12:34:56')) AS ts,
+         |  7L AS user_id, 'click' AS event_type, 1.5D AS value,
+         |  '{}' AS props""".stripMargin)
+      .coalesce(1).write.mode("overwrite").parquet(s"${dir.getPath}/events.parquet")
+    val (tpe, us) = readTs(dir)
+    assert(tpe == TimestampType)
+    assert(us == wallClockMicros)
+  }
+
+  test("instant-written events (TimestampType micros) pass through unchanged") {
+    val dir = writeFixtureDir()
+    spark.sql(
+      s"""SELECT 1L AS event_id, timestamp_micros(${wallClockMicros}L) AS ts,
+         |  7L AS user_id, 'click' AS event_type, 1.5D AS value,
+         |  '{}' AS props""".stripMargin)
+      .coalesce(1).write.mode("overwrite").parquet(s"${dir.getPath}/events.parquet")
+    val (tpe, us) = readTs(dir)
+    assert(tpe == TimestampType)
+    assert(us == wallClockMicros)
+  }
+
+  test("nanos-written events (legacy TIMESTAMP(NANOS), pre-r10 generation) truncate to the same microsecond wall-clock") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageTypeParser, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.io.LocalOutputFile
+
+    val dir = writeFixtureDir()
+    // Spark cannot WRITE TIMESTAMP(NANOS); author the legacy fixture with
+    // parquet-java directly, +250 ns past the microsecond so the shim's
+    // truncation (not rounding) is what the assertion pins.
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(false,
+        LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts")
+      .required(PrimitiveTypeName.INT64).named("user_id")
+      .required(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(PrimitiveTypeName.DOUBLE).named("value")
+      .required(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val file = new java.io.File(dir, "events.parquet")
+    val writer = ExampleParquetWriter
+      .builder(new LocalOutputFile(file.toPath))
+      .withType(schema).build()
+    val g = new SimpleGroupFactory(schema).newGroup()
+    g.append("event_id", 1L)
+    g.append("ts", wallClockMicros * 1000L + 250L)
+    g.append("user_id", 7L)
+    g.append("event_type", "click")
+    g.append("value", 1.5d)
+    g.append("props", "{}")
+    writer.write(g)
+    writer.close()
+
+    val (tpe, us) = readTs(dir)
+    assert(tpe == TimestampType)
+    assert(us == wallClockMicros)
+  }
+
+  test("an unsupported ts layout fails with one named error, not a downstream analysis error") {
+    val dir = writeFixtureDir()
+    spark.sql("SELECT 1L AS event_id, 'not-a-time' AS ts, 7L AS user_id, " +
+        "'click' AS event_type, 1.5D AS value, '{}' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(s"${dir.getPath}/events.parquet")
+    val e = intercept[IllegalStateException] {
+      Tables.events(spark, dir.getPath)
+    }
+    assert(e.getMessage.contains("events.ts"))
+    assert(e.getMessage.contains("StringType"))
+  }
+}

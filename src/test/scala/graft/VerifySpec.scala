@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Verify's red channel (r10: a throwing query silently VANISHED
+  * from CORRECTNESS instead of reading red — the exact silent-error
+  * path SURVEY §3.2 promises not to reproduce). */
+class VerifySpec extends AnyFunSuite with SparkTestSupport {
+
+  private def queries(ok: Boolean): Map[String, (SparkSession, String) => DataFrame] = Map(
+    "good_key" -> ((s, _) => s.range(3).toDF("id")),
+    "bad_key" -> ((s, _) =>
+      if (ok) s.range(1).toDF("id")
+      else throw new IllegalStateException("deliberately broken for VerifySpec")))
+
+  test("a throwing query leaves _ERROR.json and a verify_errors.json entry; passing keys still land") {
+    val out = java.nio.file.Files.createTempDirectory("graft-verify-spec").toString
+    val errors = Verify.dumpAll(spark, "/root/testdata/sf0.001", out, queries(ok = false))
+    assert(errors.keySet == Set("bad_key"))
+    assert(errors("bad_key").contains("deliberately broken"))
+    val sidecar = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/bad_key/_ERROR.json"))
+    assert(sidecar.contains("bad_key") && sidecar.contains("deliberately broken"))
+    val summary = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/verify_errors.json"))
+    assert(summary.contains("bad_key"))
+    // the bad key's dir holds NO parquet (driver read fails loud, never
+    // picks up a stale artifact); the good key's parquet is readable
+    val badFiles = new java.io.File(s"$out/bad_key").listFiles().map(_.getName)
+    assert(badFiles.toSeq == Seq("_ERROR.json"))
+    assert(spark.read.parquet(s"$out/good_key").count() == 3)
+  }
+
+  test("a regression after a passing run replaces the stale parquet with _ERROR.json") {
+    val out = java.nio.file.Files.createTempDirectory("graft-verify-spec2").toString
+    assert(Verify.dumpAll(spark, "/root/testdata/sf0.001", out, queries(ok = true)).isEmpty)
+    assert(spark.read.parquet(s"$out/bad_key").count() == 1)
+    val errors = Verify.dumpAll(spark, "/root/testdata/sf0.001", out, queries(ok = false))
+    assert(errors.keySet == Set("bad_key"))
+    val files = new java.io.File(s"$out/bad_key").listFiles().map(_.getName)
+    assert(files.toSeq == Seq("_ERROR.json"),
+      s"stale green artifact survived a regression: ${files.toSeq}")
+    // and back to green: the error sidecar must not survive a fix either
+    assert(Verify.dumpAll(spark, "/root/testdata/sf0.001", out, queries(ok = true)).isEmpty)
+    assert(spark.read.parquet(s"$out/bad_key").count() == 1)
+    assert(!new java.io.File(s"$out/bad_key/_ERROR.json").exists(),
+      "_ERROR.json survived a fix — a green key would read red")
+  }
+}
