@@ -706,8 +706,48 @@ object Similarity {
          |SELECT * FROM m_ivf UNION ALL SELECT * FROM m_sq8 ORDER BY method""".stripMargin
     })
 
+  /** Johnson–Lindenstrauss random projection 64→16 dims — the classic
+    * sketch-before-ANN step: at 100 TB the projected corpus is 4×
+    * smaller, so 4× more of it fits each executor's memory and every
+    * downstream candidate shuffle carries quarter-width vectors, at a
+    * bounded (JL-lemma) distance distortion. EmbedProjectSpec pins the
+    * distortion empirically (±40% per pair at k=16, mean ratio ≈ 1).
+    *
+    * The ±1/√k projection matrix (Achlioptas 2003 — sign entries
+    * preserve the JL guarantee) is DERIVED, not stored: entry (i,j) is
+    * the top bit of a Knuth multiplicative hash of the flat index, a
+    * pure-arithmetic formula both engines evaluate identically — so
+    * the operator is fully oracle-checked (unlike the splitmix64
+    * hyperplanes above, which are engine-side literals → rows-only)
+    * and at scale there is no matrix to broadcast or keep in sync.
+    * Narrow map, zero shuffle; the fold order of the inner `aggregate`
+    * matches DuckDB's list_sum element order, so round(·,6) outputs
+    * are bit-stable across engines. Long (vec_id, dim, val) output
+    * keeps the driver's hash compare on scalar columns. */
+  private val qEmbedProject = Q(
+    "q_embed_project",
+    (s, d) =>
+      embDouble(s, d)
+        .select(col("vec_id"), posexplode(expr(
+          """transform(sequence(0, 15), j ->
+            |  round(aggregate(sequence(0, 63), 0.0D, (acc, i) ->
+            |    acc + element_at(emb, i + 1) *
+            |      (CASE WHEN ((i * 16 + j) * 2654435761L) % 4294967296L
+            |            >= 2147483648L THEN 1.0D ELSE -1.0D END)
+            |  ) / sqrt(16.0), 6))""".stripMargin)).as(Seq("dim", "val")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("val"))
+        .orderBy(col("vec_id"), col("dim")),
+    Some(s"""WITH e AS ($oracleEmb),
+        |p AS (SELECT vec_id, j,
+        |        round(list_sum(list_transform(range(64), i ->
+        |          emb[i+1] * (CASE WHEN ((i*16+j) * 2654435761) % 4294967296
+        |                      >= 2147483648 THEN 1.0 ELSE -1.0 END)))
+        |          / sqrt(16.0), 6) AS val
+        |      FROM e CROSS JOIN (SELECT unnest(range(16)) AS j))
+        |SELECT vec_id, j AS dim, val FROM p ORDER BY vec_id, dim""".stripMargin))
+
   def qs: Seq[Q] =
     Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityIvf,
       qSimilarityIvfKmeans, qSemanticDedup, qEmbedCosineDup, qAnnRecall,
-      qEmbedCentroids, qSimilaritySq8, qRetrievalMetrics)
+      qEmbedCentroids, qSimilaritySq8, qRetrievalMetrics, qEmbedProject)
 }
