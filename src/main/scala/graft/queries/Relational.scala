@@ -1400,7 +1400,50 @@ object Relational {
             FROM r WHERE rn = 1 ORDER BY user_id""")
   )
 
+  /** Key-skew profile over `events.user_id` — the diagnostic run BEFORE
+    * choosing a skew mitigation (salting, AQE skew-join, broadcast):
+    * top-20 heaviest keys with each key's share of all rows and the
+    * running cumulative share ("the top N keys own X% of the table").
+    * q_join_salted is the mitigation; this is the measurement that
+    * justifies it.
+    *
+    * Scale: per-key counts are one partial-agg'd keyed shuffle; the
+    * top-20 cut is TakeOrderedAndProject (no global sort materializes);
+    * the only single-partition window runs over exactly 20 rows
+    * (bounded by construction, not by data volume); the grand total is
+    * a one-row broadcast cross join. */
+  private val qSkewProfile = Q(
+    "q_skew_profile",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      val top = counts.orderBy(col("cnt").desc, col("user_id")).limit(20)
+      val w = Window.orderBy(col("cnt").desc, col("user_id"))
+      top.crossJoin(broadcast(total))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("pct", round(col("cnt").cast("double") / col("total"), 6))
+        .withColumn("cum_pct",
+          round(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("double") / col("total"), 6))
+        .select(col("rnk").cast("long").as("rnk"), col("user_id"), col("cnt"),
+          col("total"), col("pct"), col("cum_pct"))
+        .orderBy(col("rnk"))
+    },
+    Some("""WITH counts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+            total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+            top AS (SELECT * FROM counts ORDER BY cnt DESC, user_id LIMIT 20)
+           SELECT row_number() OVER (ORDER BY cnt DESC, user_id) AS rnk,
+             user_id, cnt, total.total AS total,
+             round(CAST(cnt AS DOUBLE) / total.total, 6) AS pct,
+             round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / total.total, 6) AS cum_pct
+           FROM top CROSS JOIN total ORDER BY rnk""")
+  )
+
   def qs: Seq[Q] = Seq(
+    qSkewProfile,
     qScanProjection, qFilterPredicate,
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
     qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinFullOuter,

@@ -494,8 +494,113 @@ object TextOps {
     * overcounts, same fully-oracle-checked contract. */
   private val qCmsCountsWide = cmsCountsQ("q_cms_counts_wide", depth = 8, width = 128)
 
+  /** Char-trigram LM quality score (the CCNet/Gopher-style LM filter
+    * shape): P(c3 | c1c2) with add-one smoothing, trained on the corpus
+    * itself and scored per document as (a) mean conditional probability
+    * and (b) the fraction of "surprising" trigrams (p < 0.05) — low
+    * avg_p / high rare_rate marks gibberish, boilerplate-free noise,
+    * or wrong-script text for the curation gates.
+    *
+    * Determinism: the per-trigram probability is computed ENTIRELY in
+    * integer arithmetic — `((cnt+1) * 1e6) div (cnt2+V)` — so the
+    * per-doc sum is an order-independent long sum (no cross-libm log,
+    * no float-accumulation order: the same lesson as q_embed_centroids'
+    * micro-units and q_length_histogram's integer log2). Doubles appear
+    * only at the output edge, one exact division per doc.
+    *
+    * Scale: the trigram model is bounded by |alphabet|³ regardless of
+    * corpus size (377 entries here; low millions for full Unicode text)
+    * → both count tables broadcast, so scoring is a narrow map over the
+    * exploded trigrams; the only unbounded-input shuffles are the two
+    * count groupBys (partial-agg'd on bounded key spaces) and the final
+    * per-doc agg. V (distinct third-chars) is a bounded driver scalar
+    * like q_tfidf's corpus count. */
+  private val qLmScore = Q(
+    "q_lm_score",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(length(col("text")) >= 3)
+      val tri = docs.select(col("doc_id"),
+        explode(expr("transform(sequence(1, char_length(lower(text)) - 2), " +
+          "i -> substring(lower(text), i, 3))")).as("tri"))
+      val tc = tri.groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+      val pc = tc.groupBy(substring(col("tri"), 1, 2).as("pre"))
+        .agg(sum(col("cnt")).as("cnt2"))
+      // bounded driver scalar: |distinct third chars| ≤ |alphabet|
+      val v = tc.select(countDistinct(substring(col("tri"), 3, 1))).head().getLong(0)
+      tri.join(broadcast(tc), "tri")
+        .join(broadcast(pc), substring(col("tri"), 1, 2) === col("pre"))
+        .withColumn("micro", expr(s"((cnt + 1) * 1000000) div (cnt2 + ${v}L)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"),
+          round(sum(col("micro")).cast("double") / count(lit(1)) / 1000000.0, 6)
+            .as("avg_p"),
+          round(sum(when(col("micro") < 50000, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("rare_rate"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tri AS (
+              SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) - 1),
+                       i -> substr(lower(text), CAST(i AS INT), 3))) AS tri
+              FROM documents WHERE length(text) >= 3),
+            tc AS (SELECT tri, count(*) AS cnt FROM tri GROUP BY tri),
+            pc AS (SELECT substr(tri, 1, 2) AS pre, sum(cnt) AS cnt2 FROM tc GROUP BY pre),
+            v AS (SELECT count(DISTINCT substr(tri, 3, 1)) AS v FROM tc),
+            scored AS (
+              SELECT t.doc_id, ((tc.cnt + 1) * 1000000) // (pc.cnt2 + v.v) AS micro
+              FROM tri t JOIN tc USING (tri)
+              JOIN pc ON substr(t.tri, 1, 2) = pc.pre CROSS JOIN v)
+           SELECT doc_id, count(*) AS n_tri,
+             round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_p,
+             round(CAST(count(*) FILTER (micro < 50000) AS DOUBLE) / count(*), 6) AS rare_rate
+           FROM scored GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** Per-SOURCE quality calibration: the same raw score means different
+    * things in different domains (web text has fewer stopwords than
+    * books; code has none), so curation thresholds are set on the
+    * within-source percentile, not the raw value. `q_cal` =
+    * percent_rank of the raw stopword-ratio signal within each source
+    * (unique total order via the doc_id tiebreak, so both engines
+    * agree exactly); `keep` drops the bottom quintile per source.
+    *
+    * Scale: one shuffle keyed on source + within-partition sort. A
+    * low-cardinality source column makes each partition hold a whole
+    * source — at 100 TB swap the exact percent_rank for
+    * approx-quantile boundaries per source (the q_ntile_bucketize
+    * swap point) or sub-salt the rank with a two-pass merge. */
+  private val qQualityCalibrate = Q(
+    "q_quality_calibrate",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          (expr("size(filter(toks, t -> t IN ('the','a','of','and','is')))")
+            .cast("double") / size(col("toks"))).as("q_raw"))
+      val w = Window.partitionBy(col("source")).orderBy(col("q_raw"), col("doc_id"))
+      scored
+        .withColumn("q_cal", round(percent_rank().over(w), 6))
+        .withColumn("keep", when(col("q_cal") >= 0.2, 1).otherwise(0))
+        .select(col("doc_id"), col("source"), round(col("q_raw"), 6).as("q_raw"),
+          col("q_cal"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH scored AS (
+              SELECT doc_id, source,
+                len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the','a','of','and','is')))
+                  / len(string_split(text, ' ')) AS q_raw
+              FROM documents)
+           SELECT doc_id, source, round(q_raw, 6) AS q_raw,
+             round(percent_rank() OVER (PARTITION BY source
+               ORDER BY q_raw, doc_id), 6) AS q_cal,
+             CAST(CASE WHEN round(percent_rank() OVER (PARTITION BY source
+               ORDER BY q_raw, doc_id), 6) >= 0.2 THEN 1 ELSE 0 END AS INT) AS keep
+           FROM scored ORDER BY doc_id""")
+  )
+
   def qs: Seq[Q] =
     Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint,
       qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf, qLengthHistogram,
-      qBm25, qCmsCounts, qCmsCountsWide)
+      qBm25, qCmsCounts, qCmsCountsWide, qLmScore, qQualityCalibrate)
 }

@@ -1,0 +1,75 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Planted-input semantics for q_lm_score (the hash match against
+  * DuckDB proves both engines compute the same numbers; this proves
+  * the numbers rank text quality the way an LM filter must) and for
+  * q_skew_profile (share arithmetic on a known key distribution). */
+class LmScoreSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  test("q_lm_score: gibberish scores lower avg_p and higher rare_rate than repetitive natural text") {
+    val dir = Files.createTempDirectory("lmscore").toString
+    val normal = "the quick brown fox jumps over the lazy dog and then " +
+      "the quick brown fox jumps over the lazy dog again and again"
+    // same letters, shuffled into trigram soup the corpus model never
+    // repeats — every conditional is a one-count smoothed estimate
+    val gibberish = "qjx zvw kqh xjz wvq hqk jxq zwv qhk xzj vwq khq " +
+      "jqx zvk wqh xjv zqw hkq qzj xvw khj qxz wvj"
+    val docs = (1L to 8L).map(i => (i, normal, "en", "web", normal.length.toLong)) :+
+      ((9L, gibberish, "en", "web", gibberish.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = Registry.queries("q_lm_score")(spark, dir)
+      .select("doc_id", "avg_p", "rare_rate").collect() // bounded: 9 fixture rows
+    val byId = rows.map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byId.size == 9)
+    val (gibP, gibRare) = byId(9L)
+    val normP = byId.filterKeys(_ < 9L).values.map(_._1)
+    val normRare = byId.filterKeys(_ < 9L).values.map(_._2)
+    assert(normP.forall(_ > gibP),
+      s"gibberish avg_p $gibP not below normal ${normP.min}")
+    assert(normRare.forall(_ < gibRare),
+      s"gibberish rare_rate $gibRare not above normal ${normRare.max}")
+    // absolute sanity (tiny-corpus scale: add-one smoothing over few
+    // prefixes keeps even gibberish conditionals moderate — measured
+    // gibberish rare_rate 0.09 here vs 0 for the repeated text; the
+    // separation, not a large absolute rate, is the contract)
+    assert(gibRare > 0.05, s"gibberish rare_rate $gibRare unexpectedly low")
+    assert(normRare.max == 0.0,
+      s"8x-repeated text should have no rare trigrams, got ${normRare.max}")
+  }
+
+  test("q_skew_profile: shares and cumulative shares on a planted key distribution") {
+    val dir = Files.createTempDirectory("skewprof").toString
+    // user 1 → 50 rows, user 2 → 30, users 3..22 → 1 each: total 100
+    val rows = (1 to 50).map(i => (i.toLong, 1L)) ++
+      (51 to 80).map(i => (i.toLong, 2L)) ++
+      (81 to 100).map(i => (i.toLong, i.toLong - 78L))
+    rows.toDF("event_id", "user_id")
+      .withColumn("ts", timestamp_micros(col("event_id") * 1000000L))
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = Registry.queries("q_skew_profile")(spark, dir).collect() // bounded: top-20
+    assert(out.length == 20)
+    val first = out.head
+    assert(first.getAs[Long]("user_id") == 1L && first.getAs[Long]("cnt") == 50L)
+    assert(first.getAs[Double]("pct") == 0.5 && first.getAs[Double]("cum_pct") == 0.5)
+    val second = out(1)
+    assert(second.getAs[Long]("user_id") == 2L)
+    assert(second.getAs[Double]("pct") == 0.3 && second.getAs[Double]("cum_pct") == 0.8)
+    val third = out(2)
+    assert(third.getAs[Long]("cnt") == 1L && third.getAs[Double]("cum_pct") == 0.81)
+    assert(out.forall(_.getAs[Long]("total") == 100L))
+  }
+}
