@@ -86,7 +86,12 @@ object ScaleSmoke {
       // fresh fingerprint ⇒ the measured time INCLUDES one index
       // build; query-only cost is the memoized second call's)
       "q_bpe_train", "q_bpe_train_hist", "q_similarity_indexed",
-      "q_similarity_indexed_sq8", "q_source_cap_agg")
+      "q_similarity_indexed_sq8", "q_source_cap_agg",
+      // r11: LM scoring + calibration scan documents, the projection
+      // scans embeddings, the skew profile scans events — all three
+      // amplified tables covered; each claims linear-per-row cost
+      "q_lm_score", "q_quality_calibrate", "q_embed_project",
+      "q_skew_profile")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared char-trigram LM kernel behind the batch quality filter
+  * (`q_lm_score`, queries/TextOps.scala) and the streaming gate
+  * (stream/QualityStream.scala) — ONE definition of the counting, the
+  * smoothing, and the integer micro-unit arithmetic, so stream and
+  * batch scores are equal by construction (QualityStreamSpec pins it).
+  *
+  * Model: add-one-smoothed P(c3 | c1c2) over lowercased char trigrams.
+  * Per-trigram probability is held in integer MICRO-units —
+  * `(cnt+1) * 1e6 div (denominator + V)` — so scoring sums longs
+  * (order-independent, no cross-libm log) and doubles appear only at
+  * the output edge.
+  *
+  * Scale stance: the model is bounded by |alphabet|³ regardless of
+  * corpus size (hundreds of entries on ASCII-ish text, low millions on
+  * full Unicode), so it ships inside the plan as two map literals and
+  * scoring is a NARROW per-row map — no explode-join, no shuffle, no
+  * streaming state. Training is one explode + one groupBy on a
+  * bounded key space; the collects are model-sized, not corpus-sized.
+  */
+object TrigramLm {
+
+  final case class Model(
+      triMicro: Map[String, Long],
+      preDenom: Map[String, Long],
+      v: Long)
+
+  /** Lowercased char trigrams of `text` (empty array under 3 chars). */
+  private val trisExpr =
+    "CASE WHEN char_length(text) >= 3 THEN " +
+      "transform(sequence(1, char_length(lower(text)) - 2), " +
+      "i -> substring(lower(text), i, 3)) ELSE array() END"
+
+  /** Train on a reference corpus (a `text` column is required). */
+  def train(docs: DataFrame): Model = {
+    val tc = docs.filter(length(col("text")) >= 3)
+      .select(explode(expr(trisExpr)).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // |alphabet|³-bounded; reused thrice below
+    val v = tc.select(countDistinct(substring(col("tri"), 3, 1))).head().getLong(0)
+    val pre = tc.collect() // bounded collects: model-sized
+      .groupBy(_.getString(0).substring(0, 2))
+      .view.mapValues(_.map(_.getLong(1)).sum).toMap
+    val triM = tc.collect().map { r =>
+      val t = r.getString(0)
+      t -> (r.getLong(1) + 1L) * 1000000L / (pre(t.substring(0, 2)) + v)
+    }.toMap
+    Model(triM, pre, v)
+  }
+
+  /** Adds `n_tri`, `avg_p`, `rare_rate` columns. Works on batch and
+    * streaming frames alike (narrow, stateless). Unseen trigrams back
+    * off to the add-one estimate for their prefix, unseen prefixes to
+    * 1/V — novel text scores LOW instead of erroring, which is what a
+    * gate needs. Docs under 3 chars score avg_p=0 / rare_rate=1. */
+  def scored(docs: DataFrame, model: Model,
+      rareMicroThreshold: Long = 50000L): DataFrame = {
+    val triM: Column = typedLit(model.triMicro)
+    val preM: Column = typedLit(model.preDenom)
+    docs
+      .withColumn("_tris", expr(trisExpr))
+      .withColumn("_micro", transform(col("_tris"), t =>
+        coalesce(
+          element_at(triM, t),
+          // backoff: floor-div is exact here (operands ≪ 2^53), so
+          // every path stays integer-micro typed
+          floor(lit(1000000.0) / (coalesce(
+            element_at(preM, substring(t, 1, 2)), lit(0L)) + lit(model.v)))
+            .cast("long"),
+          lit(1000000L / math.max(model.v, 1L)))))
+      .withColumn("n_tri", size(col("_tris")).cast("long"))
+      .withColumn("avg_p", when(col("n_tri") > 0,
+        round(aggregate(col("_micro"), lit(0L).cast("long"), _ + _).cast("double")
+          / col("n_tri") / 1000000.0, 6)).otherwise(lit(0.0)))
+      .withColumn("rare_rate", when(col("n_tri") > 0,
+        round(size(filter(col("_micro"), _ < rareMicroThreshold)).cast("double")
+          / col("n_tri"), 6)).otherwise(lit(1.0)))
+      .drop("_tris", "_micro")
+  }
+}

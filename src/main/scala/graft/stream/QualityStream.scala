@@ -1,0 +1,44 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TrigramLm
+
+/** Streaming LM quality gate: score and filter a DOCUMENT STREAM
+  * against a char-trigram model trained OFFLINE on a reference corpus
+  * (the standard online-filtering shape — the model is a batch
+  * artifact; the stream is scored statelessly against it).
+  *
+  * The counting/smoothing/micro-unit arithmetic lives in
+  * [[graft.functions.TrigramLm]], shared with the batch `q_lm_score`,
+  * so stream and batch scores are equal by construction
+  * (QualityStreamSpec pins it). Scoring is a narrow per-row map over
+  * two bounded map literals: no shuffle, no streaming state, any
+  * trigger mode, and the gate composes with every LogStream sink. (A
+  * stream-static join would force an explode + stateful per-doc
+  * re-aggregation — strictly worse.)
+  */
+object QualityStream {
+
+  /** The gate: keep docs whose mean conditional probability clears the
+    * threshold. Stateless filter — composes with any sink/rollup. */
+  def qualityGated(docs: DataFrame, model: TrigramLm.Model,
+      minAvgP: Double = 0.3): DataFrame =
+    TrigramLm.scored(docs, model).filter(col("avg_p") >= minAvgP)
+
+  /** Monitoring rollup: per-window pass/drop counts with a watermark —
+    * the ops dashboard beside the gate. `ts` column required. */
+  def gateRollup(docs: DataFrame, model: TrigramLm.Model,
+      minAvgP: Double = 0.3, window_ : String = "1 hour",
+      lateness: String = "2 hours"): DataFrame =
+    TrigramLm.scored(docs, model)
+      .withColumn("passed", (col("avg_p") >= minAvgP).cast("int"))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("passed")).as("passed"),
+        (count(lit(1)) - sum(col("passed"))).as("dropped"))
+      .select(col("window.start").as("window_start"), col("docs"),
+        col("passed"), col("dropped"))
+}

@@ -1,0 +1,91 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+import graft.functions.TrigramLm
+import graft.queries.Registry
+
+/** The streaming LM gate must agree with its batch twin: same model,
+  * same documents → bit-equal scores; plus gate/backoff/rollup
+  * behavior on planted streams. */
+case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
+
+class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming scores equal batch q_lm_score on the same corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+    val model = TrigramLm.train(docs)
+    // batch twin over the SAME corpus the model was trained on: every
+    // trigram is in-vocabulary, so the map-literal path must reproduce
+    // q_lm_score exactly (that query joins the same counts)
+    val streamed = TrigramLm.scored(docs, model)
+      .select(col("doc_id"), col("n_tri"), col("avg_p"), col("rare_rate"))
+    val batch = Registry.queries("q_lm_score")(spark, sf)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream-scored corpus diverged from batch q_lm_score")
+  }
+
+  test("the gate passes reference-like text, drops gibberish, and backs off on unseen trigrams") {
+    val corpus = Seq.fill(8)("the quick brown fox jumps over the lazy dog and " +
+      "the quick brown fox naps").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val model = TrigramLm.train(corpus)
+
+    val input = MemoryStream[StreamDoc](spark)
+    val q = QualityStream.qualityGated(input.toDF(), model, minAvgP = 0.3)
+      .writeStream.format("memory").queryName("quality_gated").start()
+    try {
+      input.addData(
+        StreamDoc(1L, "the quick brown fox jumps over the lazy dog", ts(0)),
+        StreamDoc(2L, "zqx vkj wpf zzq jjx qqv kkz xxw ppj vvq zzk", ts(1)),
+        // unseen trigrams exercise the prefix/alphabet backoff — must
+        // score low, not throw
+        StreamDoc(3L, "0123456789 0123456789 0123456789 0123456789", ts(2)))
+      q.processAllAvailable()
+      val out = spark.table("quality_gated").select("doc_id").as[Long].collect().sorted
+      assert(out.sameElements(Array(1L)),
+        s"gate kept ${out.mkString(",")}; expected only doc 1")
+    } finally q.stop()
+  }
+
+  test("gate rollup counts pass/drop per window under a watermark") {
+    // 8 copies: a 1-doc corpus would leave every add-one conditional
+    // near 2/(1+V) ≈ 0.1 and NOTHING passes. Threshold 0.2, not the
+    // gate test's 0.3: this corpus has no intra-doc repetition, so
+    // in-vocabulary text sits at 9/(8+V) ≈ 0.27 (gibberish ≈ 0.05)
+    val corpus = Seq.tabulate(8)(i =>
+        (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val model = TrigramLm.train(corpus)
+    val input = MemoryStream[StreamDoc](spark)
+    val q = QualityStream.gateRollup(input.toDF(), model, minAvgP = 0.2,
+        window_ = "1 hour", lateness = "1 hour")
+      .writeStream.format("memory").queryName("quality_rollup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(1L, "the quick brown fox jumps over the lazy dog", ts(0)),
+        StreamDoc(2L, "zqx vkj wpf zzq jjx qqv kkz xxw ppj vvq zzk", ts(5)))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the first window
+      input.addData(StreamDoc(9L, "the quick brown fox", ts(240)))
+      q.processAllAvailable()
+      val rows = spark.table("quality_rollup")
+        .select("docs", "passed", "dropped").collect()
+      assert(rows.nonEmpty, "first window never closed")
+      assert(rows.head.getLong(0) == 2L && rows.head.getLong(1) == 1L &&
+        rows.head.getLong(2) == 1L)
+    } finally q.stop()
+  }
+
+  private def ts(minutes: Int): Timestamp =
+    new Timestamp(1700000000000L + minutes * 60000L)
+}
