@@ -161,6 +161,20 @@ object Chunking {
     * merged token can never collide with a pre-existing one. */
   private val BpeJoin = "~"
 
+  /** Greedy left-to-right non-overlapping application of the one-row
+    * broadcast merge `(_ml, _mr)` to a `toks` array (real BPE
+    * semantics: `a a a` + merge(a,a) → `[a~a, a]`). ONE definition
+    * shared by the trainer's re-tokenizer and `q_bpe_encode`'s
+    * applier — the two must agree token-for-token or the shipped
+    * merge table and the encoded corpus drift apart. */
+  private def mergeFoldSql: String =
+    s"""aggregate(toks, CAST(array() AS ARRAY<STRING>),
+       |  (acc, x) -> CASE WHEN size(acc) > 0
+       |                    AND element_at(acc, -1) = _ml AND x = _mr
+       |              THEN concat(slice(acc, 1, size(acc) - 1),
+       |                          array(concat(_ml, '$BpeJoin', _mr)))
+       |              ELSE concat(acc, array(x)) END)""".stripMargin
+
   /** The N-round BPE merge trainer both `q_bpe_train*` keys wrap:
     * `weighted` is a `(toks ARRAY<STRING>, w BIGINT)` frame — one row
     * per document with `w = 1` for the corpus form, one row per
@@ -254,13 +268,7 @@ object Chunking {
       if (r < rounds && !exhausted) { // the last round's re-tokenization is unread
         val next = cur
           .crossJoin(broadcast(best.select(col("l").as("_ml"), col("r").as("_mr"))))
-          .withColumn("toks", expr(
-            s"""aggregate(toks, CAST(array() AS ARRAY<STRING>),
-               |  (acc, x) -> CASE WHEN size(acc) > 0
-               |                    AND element_at(acc, -1) = _ml AND x = _mr
-               |              THEN concat(slice(acc, 1, size(acc) - 1),
-               |                          array(concat(_ml, '$BpeJoin', _mr)))
-               |              ELSE concat(acc, array(x)) END)""".stripMargin))
+          .withColumn("toks", expr(mergeFoldSql))
           .drop("_ml", "_mr")
         if (r % ckptEvery == 0) {
           val c = ckpt(next)
@@ -313,6 +321,30 @@ object Chunking {
     * (sequence, weight) histogram first and train on distinct
     * sequences weighted by count — same merges (same oracle,
     * hash-proven), histogram passes instead of corpus passes. */
+  /** The oracle's CTE unroll of the trainer: toks0 = the raw split
+    * corpus, then one (pair count → argmax → re-tokenize) layer per
+    * round. Shared by `q_bpe_train*` (which SELECT the b$r argmax
+    * rows) and `q_bpe_encode` (which SELECTs the final toks$rounds
+    * re-tokenization — the same chain proves both artifacts). */
+  private def bpeOracleCtes(rounds: Int): String = {
+    def round(r: Int): String =
+      s"""p$r AS (SELECT l[i] AS lt, l[i+1] AS rt, count(*) AS cnt
+         |        FROM toks${r - 1}, LATERAL (SELECT unnest(range(1, len(l))) AS i) u
+         |        WHERE len(l) >= 2 GROUP BY 1, 2),
+         |b$r AS (SELECT lt, rt, cnt FROM p$r ORDER BY cnt DESC, lt, rt LIMIT 1),
+         |toks$r AS (SELECT doc_id,
+         |             CASE WHEN len(l) < 2 THEN l ELSE
+         |               list_reduce(list_transform(l, t -> [t]),
+         |                 (acc, x) -> CASE WHEN acc[-1] = b$r.lt AND x[1] = b$r.rt
+         |                             THEN list_append(acc[1:len(acc)-1],
+         |                                              b$r.lt || '$BpeJoin' || b$r.rt)
+         |                             ELSE list_append(acc, x[1]) END)
+         |             END AS l
+         |           FROM toks${r - 1}, b$r)""".stripMargin
+    s"""toks0 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
   private val qBpeTrain = Q(
     "q_bpe_train",
     (s, d) => bpeTrain(
@@ -320,27 +352,66 @@ object Chunking {
         .select(split(col("text"), " ").as("toks"), lit(1L).as("w")),
       BpeTrainRounds),
     Some {
-      def round(r: Int): String =
-        s"""p$r AS (SELECT l[i] AS lt, l[i+1] AS rt, count(*) AS cnt
-           |        FROM toks${r - 1}, LATERAL (SELECT unnest(range(1, len(l))) AS i) u
-           |        WHERE len(l) >= 2 GROUP BY 1, 2),
-           |b$r AS (SELECT lt, rt, cnt FROM p$r ORDER BY cnt DESC, lt, rt LIMIT 1),
-           |toks$r AS (SELECT doc_id,
-           |             CASE WHEN len(l) < 2 THEN l ELSE
-           |               list_reduce(list_transform(l, t -> [t]),
-           |                 (acc, x) -> CASE WHEN acc[-1] = b$r.lt AND x[1] = b$r.rt
-           |                             THEN list_append(acc[1:len(acc)-1],
-           |                                              b$r.lt || '$BpeJoin' || b$r.rt)
-           |                             ELSE list_append(acc, x[1]) END)
-           |             END AS l
-           |           FROM toks${r - 1}, b$r)""".stripMargin
       val selects = (1 to BpeTrainRounds)
         .map(r => s"SELECT CAST($r AS INT) AS round, lt AS l, rt AS r, cnt FROM b$r")
         .mkString("\n", "\nUNION ALL ", "\n")
-      s"""WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |${(1 to BpeTrainRounds).map(round).mkString(",\n")}
+      s"""WITH ${bpeOracleCtes(BpeTrainRounds)}
          |$selects ORDER BY round""".stripMargin
     }
+  )
+
+  /** APPLY the trained merge table to the corpus — the encode step a
+    * tokenizer runs over all 100 TB after training once. Output is the
+    * per-doc compression report (tokens in, tokens out, ratio); the
+    * encoded arrays themselves are intermediate (the driver hash wants
+    * scalar columns, and at scale the arrays stream straight into
+    * sequence packing anyway).
+    *
+    * Shape: training is `bpeTrain` (its own scaling story above);
+    * application is one broadcast cross-join + `mergeFoldSql` fold PER
+    * MERGE over the corpus — R narrow passes, zero shuffles. The
+    * per-round chain is the right form for small R; at tokenizer-scale
+    * R (~30k merges) the declarative chain would blow the plan up —
+    * the swap is a single mapPartitions kernel applying the collected
+    * merge ranks with a per-word priority queue (the standard
+    * tokenizer inner loop), which keeps one corpus pass total. The
+    * `presentRounds` read is ≤R rows — the merge table IS the
+    * tokenizer artifact being shipped.
+    *
+    * Oracle: the SAME CTE chain that certifies the trainer, read at
+    * its final re-tokenization layer — one hash-green row certifies
+    * trainer AND encoder agree with the reference semantics. */
+  private val qBpeEncode = Q(
+    "q_bpe_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_in", size(col("toks")))
+      val merges = bpeTrain(
+        docs.select(col("toks"), lit(1L).as("w")), BpeTrainRounds)
+      // bounded driver read (≤ BpeTrainRounds rows): guards the
+      // exhausted-trainer edge — cross-joining an EMPTY round would
+      // wipe the corpus (same caveat as the trainer loop documents)
+      val presentRounds = merges.select(col("round"))
+        .collect().map(_.getInt(0)).sorted
+      val encoded = presentRounds.foldLeft(docs) { (cur, r) =>
+        cur.crossJoin(broadcast(merges.where(col("round") === r)
+            .select(col("l").as("_ml"), col("r").as("_mr"))))
+          .withColumn("toks", expr(mergeFoldSql))
+          .drop("_ml", "_mr")
+      }
+      encoded.select(col("doc_id"), col("n_in"),
+          size(col("toks")).as("n_tokens"),
+          round(size(col("toks")).cast("double") / col("n_in"), 6).as("ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH ${bpeOracleCtes(BpeTrainRounds)}
+         |SELECT t0.doc_id, CAST(len(t0.l) AS INT) AS n_in,
+         |  CAST(len(tn.l) AS INT) AS n_tokens,
+         |  round(CAST(len(tn.l) AS DOUBLE) / len(t0.l), 6) AS ratio
+         |FROM toks0 t0 JOIN toks$BpeTrainRounds tn USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)
   )
 
   /** The HISTOGRAM form of [[qBpeTrain]] — the production BPE-trainer
@@ -454,5 +525,5 @@ object Chunking {
 
   def qs: Seq[Q] =
     Seq(qSpanDedup, qChunkDocuments, qBpePairs, qBpeTrain, qBpeTrainHist,
-      qSourceOverlap, qOovRate)
+      qBpeEncode, qSourceOverlap, qOovRate)
 }
