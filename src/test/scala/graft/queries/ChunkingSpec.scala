@@ -101,6 +101,21 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
     assert(merges === Seq((1, "a", "b", 3L), (2, "a~b", "c", 2L), (3, "x", "x", 2L)))
   }
 
+  test("bpe ENCODE: the trained merges compress each doc by the hand-computed amount") {
+    // same fixture as the training test; after its 3 proven merges:
+    //   A: a b a b c → [a~b a~b c] → [a~b a~b~c]        5 → 2
+    //   B: a b c d   → [a~b c d]   → [a~b~c d]          4 → 2
+    //   C: x x x     → (untouched) → [x~x x] (greedy)   3 → 2
+    val d = Files.createTempDirectory("bpeencode").toString
+    Seq(doc(1L, "a b a b c"), doc(2L, "a b c d"), doc(3L, "x x x"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_bpe_encode")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(rows === Seq(
+      (1L, 5, 2, 0.4), (2L, 4, 2, 0.5), (3L, 3, 2, 0.666667)))
+  }
+
   test("histogram BPE trainer equals the per-doc trainer on a fixture with REPEATED docs") {
     // three identical copies of doc A (the histogram's weight=3 path)
     // plus two distinct docs — weights must multiply pair counts
