@@ -35,19 +35,20 @@ object TrigramLm {
       "transform(sequence(1, char_length(lower(text)) - 2), " +
       "i -> substring(lower(text), i, 3)) ELSE array() END"
 
-  /** Train on a reference corpus (a `text` column is required). */
+  /** Train on a reference corpus (a `text` column is required). ONE
+    * Spark job: the |alphabet|³-bounded count table is collected once
+    * (model-sized, not corpus-sized) and V / prefix sums / per-trigram
+    * micros all derive on the driver from those rows. */
   def train(docs: DataFrame): Model = {
-    val tc = docs.filter(length(col("text")) >= 3)
+    val counts = docs.filter(length(col("text")) >= 3)
       .select(explode(expr(trisExpr)).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // |alphabet|³-bounded; reused thrice below
-    val v = tc.select(countDistinct(substring(col("tri"), 3, 1))).head().getLong(0)
-    val pre = tc.collect() // bounded collects: model-sized
-      .groupBy(_.getString(0).substring(0, 2))
-      .view.mapValues(_.map(_.getLong(1)).sum).toMap
-    val triM = tc.collect().map { r =>
-      val t = r.getString(0)
-      t -> (r.getLong(1) + 1L) * 1000000L / (pre(t.substring(0, 2)) + v)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val v = counts.map(_._1.substring(2, 3)).distinct.length.toLong
+    val pre = counts.groupBy(_._1.substring(0, 2))
+      .view.mapValues(_.map(_._2).sum).toMap
+    val triM = counts.map { case (t, cnt) =>
+      t -> (cnt + 1L) * 1000000L / (pre(t.substring(0, 2)) + v)
     }.toMap
     Model(triM, pre, v)
   }
