@@ -111,6 +111,27 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("JL projection is a narrow map: no Exchange except the output-order sort") {
+    // the 100 TB claim of q_embed_project is zero data shuffles — a
+    // single range Exchange for the deterministic output ORDER BY is
+    // the only allowed one (a real pipeline drops that edge sort)
+    val p = plan("q_embed_project")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), "projection must not join anything:\n" + p)
+  }
+
+  test("LM scoring shuffles only in training: one bounded-key aggregate, no join, no per-doc shuffle") {
+    // model rides the plan as map literals, so the SCORING side of
+    // q_lm_score must be shuffle-free: the whole query shows exactly
+    // one Exchange pair (partial→final agg of the trigram counts) plus
+    // the output sort, and no join operator anywhere
+    val p = plan("q_lm_score")
+    assert(!p.contains("Join"), "scoring must use map literals, not a join:\n" + p)
+    val skewP = plan("q_skew_profile")
+    // the top-20 cut must be TakeOrdered, never a global sort of all keys
+    assert(skewP.contains("TakeOrderedAndProject"), skewP)
+  }
+
   test("salted join actually shuffles (broadcast would defeat the salt demo)") {
     val p = plan("q_join_salted")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
