@@ -1,0 +1,97 @@
+package graft.functions
+
+/** Single-pass BPE merge application — the PRODUCTION encode kernel
+  * promised by `q_bpe_encode`'s scaladoc (queries/Chunking.scala): at
+  * tokenizer-scale R (~30k merges) the declarative per-merge fold
+  * chain builds an R-node plan, while this kernel applies the whole
+  * collected merge-rank table to each token sequence in ONE pass with
+  * a per-word priority queue — the standard tokenizer inner loop
+  * (linked list over token slots + lazy-deletion min-heap of
+  * candidate pairs ordered by (rank, position)).
+  *
+  * SEMANTICS — provably identical to applying the merges as R
+  * sequential greedy left-to-right non-overlapping folds (the
+  * `mergeFoldSql` form both the trainer and `q_bpe_encode` use, and
+  * the DuckDB oracle's `list_reduce` chain):
+  *
+  *  1. A merge at rank k never creates a candidate pair of rank < k:
+  *     the pair for rank k' consists of tokens that existed in the
+  *     round-k' corpus, and the token produced by merge k (`l JOIN r`)
+  *     cannot equal either component of an earlier merge — it did not
+  *     exist yet, and no later token can collide with it because
+  *     merged pairs are distinct across rounds (once rank k's pass
+  *     eliminates every (l, r) adjacency, later merges can never
+  *     recreate one: merging replaces two tokens with one, so no NEW
+  *     adjacency of two pre-existing tokens ever forms).
+  *  2. Therefore processing candidates in global (rank, position)
+  *     order merges every rank-k pair before any rank-(k+1) pair —
+  *     exactly the sequential-pass order — and within one rank the
+  *     position tiebreak reproduces the fold's leftmost-first
+  *     non-overlap (an overlapping occurrence dies at validation
+  *     because its left slot was consumed).
+  *
+  * Cost per sequence: O(n + m log n) for n tokens and m merges
+  * performed — independent of R, which is the whole point: the R=3
+  * oracle gate and an R=30k production table run the same single
+  * pass. No allocation beyond the slot arrays and the heap.
+  */
+object BpeEncoder {
+
+  /** Apply `ranks` ((left, right) -> training round, lower = earlier)
+    * to one token sequence. `join` is the merge separator (the
+    * trainer's `BpeJoin`). Returns the encoded sequence. */
+  def encode(toks: Array[String], ranks: Map[(String, String), Int],
+      join: String): Array[String] = {
+    val n = toks.length
+    if (n < 2 || ranks.isEmpty) return toks
+
+    val tok = toks.clone()
+    val next = Array.tabulate(n)(i => if (i == n - 1) -1 else i + 1)
+    val prev = Array.tabulate(n)(i => i - 1)
+    val alive = Array.fill(n)(true)
+
+    // heap entries encode (rank, leftPos) as one non-negative long, so
+    // natural Long order IS (rank asc, position asc) — rank and pos
+    // both fit 31 bits (rank = training round count, pos < n)
+    val heap = new java.util.PriorityQueue[java.lang.Long](n)
+    def push(i: Int): Unit = {
+      val j = next(i)
+      if (j != -1) ranks.get((tok(i), tok(j))) match {
+        case Some(r) => heap.add((r.toLong << 32) | i.toLong)
+        case None => ()
+      }
+    }
+    var i = 0
+    while (i < n - 1) { push(i); i += 1 }
+
+    var outLen = n
+    while (!heap.isEmpty) {
+      val e = heap.poll().longValue()
+      val rank = (e >>> 32).toInt
+      val li = (e & 0xffffffffL).toInt
+      // lazy deletion: the entry is stale unless the slot is live and
+      // its CURRENT pair still merges at exactly this rank (the slot's
+      // token mutates on merge; a re-formed pair pushed its own entry)
+      if (alive(li) && next(li) != -1 &&
+          ranks.get((tok(li), tok(next(li)))).contains(rank)) {
+        val ri = next(li)
+        tok(li) = tok(li) + join + tok(ri)
+        alive(ri) = false
+        next(li) = next(ri)
+        if (next(ri) != -1) prev(next(ri)) = li
+        outLen -= 1
+        if (prev(li) != -1) push(prev(li))
+        push(li)
+      }
+    }
+
+    val out = new Array[String](outLen)
+    var src = 0
+    var dst = 0
+    while (src < n) {
+      if (alive(src)) { out(dst) = tok(src); dst += 1 }
+      src += 1
+    }
+    out
+  }
+}

@@ -256,10 +256,11 @@ object Chunking {
       // merges EXHAUSTED (every sequence folded to a single token):
       // stop instead of cross-joining the zero-row broadcast into the
       // working set — later rounds would silently wipe the corpus and
-      // still burn two jobs each. Matches the oracle's CTE behavior
-      // (an empty argmax layer contributes no rows); the returned
-      // merge table simply ends at the last productive round. The
-      // check is a head-probe of an already-checkpointed ≤1-row frame.
+      // still burn two jobs each. Matches the oracle's CTE behavior on
+      // BOTH outputs: an empty argmax layer contributes no merge-table
+      // rows, and the re-tokenization CTEs LEFT-join their argmax so
+      // an empty layer passes the corpus through unchanged. The check
+      // is a head-probe of an already-checkpointed ≤1-row frame.
       exhausted = best.isEmpty
       // progress callback BEFORE any absorb/release below: under
       // Checkpointer.Reliable an absorbed winner's storage is freed,
@@ -327,20 +328,26 @@ object Chunking {
     * rows) and `q_bpe_encode` (which SELECTs the final toks$rounds
     * re-tokenization — the same chain proves both artifacts). */
   private def bpeOracleCtes(rounds: Int): String = {
+    // toks$r LEFT-joins its argmax layer so an EXHAUSTED trainer (b$r
+    // empty: every sequence already folded to one token) passes the
+    // corpus through unchanged instead of emptying every later layer —
+    // the same edge the Spark trainer guards with its exhaustion stop,
+    // so engine and oracle now agree on it end-to-end (the b$r UNION
+    // selects already agreed: an empty layer contributes no rows)
     def round(r: Int): String =
       s"""p$r AS (SELECT l[i] AS lt, l[i+1] AS rt, count(*) AS cnt
          |        FROM toks${r - 1}, LATERAL (SELECT unnest(range(1, len(l))) AS i) u
          |        WHERE len(l) >= 2 GROUP BY 1, 2),
          |b$r AS (SELECT lt, rt, cnt FROM p$r ORDER BY cnt DESC, lt, rt LIMIT 1),
          |toks$r AS (SELECT doc_id,
-         |             CASE WHEN len(l) < 2 THEN l ELSE
+         |             CASE WHEN b$r.lt IS NULL OR len(l) < 2 THEN l ELSE
          |               list_reduce(list_transform(l, t -> [t]),
          |                 (acc, x) -> CASE WHEN acc[-1] = b$r.lt AND x[1] = b$r.rt
          |                             THEN list_append(acc[1:len(acc)-1],
          |                                              b$r.lt || '$BpeJoin' || b$r.rt)
          |                             ELSE list_append(acc, x[1]) END)
          |             END AS l
-         |           FROM toks${r - 1}, b$r)""".stripMargin
+         |           FROM toks${r - 1} LEFT JOIN b$r ON TRUE)""".stripMargin
     s"""toks0 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
        |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
@@ -372,9 +379,10 @@ object Chunking {
     * MERGE over the corpus — R narrow passes, zero shuffles. The
     * per-round chain is the right form for small R; at tokenizer-scale
     * R (~30k merges) the declarative chain would blow the plan up —
-    * the swap is a single mapPartitions kernel applying the collected
-    * merge ranks with a per-word priority queue (the standard
-    * tokenizer inner loop), which keeps one corpus pass total. The
+    * that swap SHIPS as [[qBpeEncodeFast]]: the single mapPartitions
+    * kernel ([[graft.functions.BpeEncoder]]) applying the collected
+    * merge ranks with a per-word priority queue, one corpus pass at
+    * ANY R, hash-proven equal by verbatim oracle reuse. The
     * `presentRounds` read is ≤R rows — the merge table IS the
     * tokenizer artifact being shipped.
     *
@@ -412,6 +420,50 @@ object Chunking {
          |  round(CAST(len(tn.l) AS DOUBLE) / len(t0.l), 6) AS ratio
          |FROM toks0 t0 JOIN toks$BpeTrainRounds tn USING (doc_id)
          |ORDER BY doc_id""".stripMargin)
+  )
+
+  /** The PRODUCTION-R encode form — [[qBpeEncode]] with the R-pass
+    * declarative chain swapped for the single-pass
+    * [[graft.functions.BpeEncoder]] kernel: train as before, collect
+    * the merge table ONCE (≤R rows — the tokenizer artifact a real
+    * deployment ships anyway), broadcast the rank map, and encode
+    * every document in ONE mapPartitions pass with the per-word
+    * priority queue. Per-doc cost is O(n + merges·log n) regardless
+    * of R, vs the chain's R plan nodes and R array rewrites — at a
+    * real tokenizer's R≈30k this is the only viable form (ScaleSmoke's
+    * `bpe_encode_r256` block measures the gap).
+    *
+    * Oracle: [[qBpeEncode]]'s VERBATIM — a hash-green row is a
+    * machine-checked proof the kernel reproduces the R sequential
+    * greedy folds exactly (the equivalence argument lives on
+    * [[graft.functions.BpeEncoder]]). */
+  private val qBpeEncodeFast = Q(
+    "q_bpe_encode_fast",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val merges = bpeTrain(
+        docs.select(col("toks"), lit(1L).as("w")), BpeTrainRounds)
+      val ranks: Map[(String, String), Int] = merges
+        .select(col("round"), col("l"), col("r"))
+        .collect().map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
+        .toMap
+      val bc = s.sparkContext.broadcast(ranks)
+      docs.as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          val rk = bc.value
+          it.map { case (id, toks) =>
+            val enc = graft.functions.BpeEncoder.encode(toks.toArray, rk, BpeJoin)
+            (id, toks.length, enc.length)
+          }
+        }
+        .toDF("doc_id", "n_in", "n_tokens")
+        .select(col("doc_id"), col("n_in"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_in"), 6).as("ratio"))
+        .orderBy(col("doc_id"))
+    },
+    qBpeEncode.oracle
   )
 
   /** The HISTOGRAM form of [[qBpeTrain]] — the production BPE-trainer
@@ -525,5 +577,5 @@ object Chunking {
 
   def qs: Seq[Q] =
     Seq(qSpanDedup, qChunkDocuments, qBpePairs, qBpeTrain, qBpeTrainHist,
-      qBpeEncode, qSourceOverlap, qOovRate)
+      qBpeEncode, qBpeEncodeFast, qSourceOverlap, qOovRate)
 }

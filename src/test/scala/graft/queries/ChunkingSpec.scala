@@ -116,6 +116,58 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
       (1L, 5, 2, 0.4), (2L, 4, 2, 0.5), (3L, 3, 2, 0.666667)))
   }
 
+  test("BpeEncoder kernel: hand-computed merges, overlap, cascade, stale-entry discard") {
+    import graft.functions.BpeEncoder
+    def enc(toks: String*)(ranks: ((String, String), Int)*): Seq[String] =
+      BpeEncoder.encode(toks.toArray, ranks.toMap, "~").toSeq
+    // greedy left-to-right non-overlap: a a a → [a~a, a]
+    assert(enc("a", "a", "a")(("a", "a") -> 1) === Seq("a~a", "a"))
+    assert(enc("a", "a", "a", "a")(("a", "a") -> 1) === Seq("a~a", "a~a"))
+    // cascade: rank 2 consumes rank 1's output symbol
+    assert(enc("a", "b", "c")(("a", "b") -> 1, ("a~b", "c") -> 2)
+      === Seq("a~b~c"))
+    // rank order beats position order: (b,c) at rank 1 fires before
+    // (a,b) at rank 2, which then no longer matches
+    assert(enc("a", "b", "c")(("b", "c") -> 1, ("a", "b") -> 2)
+      === Seq("a", "b~c"))
+    // the pair formed BEHIND a merge: (x, a~b) ranked later
+    assert(enc("x", "a", "b")(("a", "b") -> 1, ("x", "a~b") -> 2)
+      === Seq("x~a~b"))
+    // no applicable merges / short inputs pass through
+    assert(enc("p", "q")(("a", "b") -> 1) === Seq("p", "q"))
+    assert(enc("solo")(("a", "b") -> 1) === Seq("solo"))
+    assert(BpeEncoder.encode(Array.empty[String], Map(("a", "b") -> 1), "~").isEmpty)
+  }
+
+  test("q_bpe_encode_fast: the kernel reproduces the declarative chain row-for-row") {
+    // the hand-computed fixture plus a seeded random corpus with heavy
+    // repetition (real merge pressure over 3 trained rounds) — the
+    // kernel and the R-pass chain must agree on EVERY doc
+    val d = Files.createTempDirectory("bpefast").toString
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val randomDocs = (10L until 60L).map { id =>
+      doc(id, (0 until (3 + rnd.nextInt(20)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    (Seq(doc(1L, "a b a b c"), doc(2L, "a b c d"), doc(3L, "x x x")) ++ randomDocs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val chain = Registry.queries("q_bpe_encode")(spark, d).collect().map(_.toSeq).toSeq
+    val fast = Registry.queries("q_bpe_encode_fast")(spark, d).collect().map(_.toSeq).toSeq
+    assert(fast === chain)
+    // and on the 3-doc fixture alone (its own trained merges), the
+    // kernel path reproduces the hand-computed compression exactly
+    val d3 = Files.createTempDirectory("bpefast3").toString
+    Seq(doc(1L, "a b a b c"), doc(2L, "a b c d"), doc(3L, "x x x"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d3/documents.parquet")
+    val fast3 = Registry.queries("q_bpe_encode_fast")(spark, d3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(fast3 === Seq(
+      (1L, 5, 2, 0.4), (2L, 4, 2, 0.5), (3L, 3, 2, 0.666667)))
+  }
+
   test("histogram BPE trainer equals the per-doc trainer on a fixture with REPEATED docs") {
     // three identical copies of doc A (the histogram's weight=3 path)
     // plus two distinct docs — weights must multiply pair counts
