@@ -552,9 +552,10 @@ object TextOps {
     *
     * Scale: one shuffle keyed on source + within-partition sort. A
     * low-cardinality source column makes each partition hold a whole
-    * source — at 100 TB swap the exact percent_rank for
-    * approx-quantile boundaries per source (the q_ntile_bucketize
-    * swap point) or sub-salt the rank with a two-pass merge. */
+    * source — the 100 TB form SHIPS as [[qQualityCalibrateScalable]]
+    * (two-pass histogram rank, bit-identical output, proven by
+    * verbatim oracle reuse); this single-window form stays as the
+    * reference implementation the swap is certified against. */
   private val qQualityCalibrate = Q(
     "q_quality_calibrate",
     (s, d) => {
@@ -586,8 +587,61 @@ object TextOps {
            FROM scored ORDER BY doc_id""")
   )
 
+  /** The 100 TB form of [[qQualityCalibrate]] — the whole-source
+    * single-partition window replaced by a TWO-PASS exact rank that
+    * never materializes a source on one task:
+    *
+    *   pass 1: histogram of (source, q_raw) — the groupBy is
+    *     partial-agg'd, and the subsequent cumulative/total windows run
+    *     over HISTOGRAM rows (distinct score values per source — the
+    *     stopword ratio is a rational with token-count-bounded
+    *     denominator, thousands of values, not billions of docs);
+    *   pass 2: `row_number` within (source, q_raw) ordered by doc_id —
+    *     partitions bounded by ONE value's duplication, not a source
+    *     (the residual hot-value case sub-salts the same way).
+    *
+    * `percent_rank` over (q_raw, doc_id) is a total order, so it equals
+    * `(cum_before + rank_in_value − 1) / (n_total − 1)` exactly — no
+    * approximation, which is why this key reuses the exact form's
+    * oracle VERBATIM: a hash-green row is a machine-checked proof the
+    * decomposition is lossless (the q_bpe_train_hist pattern). The
+    * histogram join-back shuffles on (source, q_raw); AQE broadcasts
+    * the bounded histogram side when it fits. */
+  private val qQualityCalibrateScalable = Q(
+    "q_quality_calibrate_scalable",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          (expr("size(filter(toks, t -> t IN ('the','a','of','and','is')))")
+            .cast("double") / size(col("toks"))).as("q_raw"))
+      val wv = Window.partitionBy(col("source")).orderBy(col("q_raw"))
+      val hist = scored.groupBy(col("source"), col("q_raw"))
+        .agg(count(lit(1)).as("n_val"))
+        .withColumn("cum_before", sum(col("n_val")).over(wv) - col("n_val"))
+        .withColumn("n_total",
+          sum(col("n_val")).over(Window.partitionBy(col("source"))))
+        .drop("n_val")
+      val wd = Window.partitionBy(col("source"), col("q_raw"))
+        .orderBy(col("doc_id"))
+      scored
+        .withColumn("rk_in_val", row_number().over(wd))
+        .join(hist, Seq("source", "q_raw"))
+        .withColumn("q_cal", when(col("n_total") > 1,
+          round((col("cum_before") + col("rk_in_val") - 1).cast("double")
+            / (col("n_total") - 1), 6)).otherwise(lit(0.0)))
+        .withColumn("keep", when(col("q_cal") >= 0.2, 1).otherwise(0))
+        .select(col("doc_id"), col("source"), round(col("q_raw"), 6).as("q_raw"),
+          col("q_cal"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    qQualityCalibrate.oracle
+  )
+
   def qs: Seq[Q] =
     Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint,
       qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf, qLengthHistogram,
-      qBm25, qCmsCounts, qCmsCountsWide, qLmScore, qQualityCalibrate)
+      qBm25, qCmsCounts, qCmsCountsWide, qLmScore, qQualityCalibrate,
+      qQualityCalibrateScalable)
 }

@@ -33,6 +33,41 @@ class CurationSpec extends AnyFunSuite with SparkTestSupport {
     assert(bySrc("cold").size == 3, "under-cap source kept whole")
   }
 
+  test("quality calibrate: two-pass histogram rank equals the whole-source window exactly") {
+    // adversarial regimes for the decomposition: a dominant source
+    // (the 100 TB skew case the two-pass form exists for), heavy
+    // SCORE TIES inside it (cum_before + within-value rank must
+    // reconstruct the total order), a single-doc source (n_total = 1
+    // → percent_rank 0, no division), and a two-doc source
+    val d = Files.createTempDirectory("qcal").toString
+    val stop = "the a of and is"
+    val docs =
+      // dominant source: 200 docs, only 3 distinct stopword ratios
+      (0 until 200).map { i =>
+        val text = i % 3 match {
+          case 0 => s"$stop junk junk junk junk junk" // ratio 5/10
+          case 1 => s"$stop junk junk junk junk junk junk junk junk junk junk junk junk junk junk junk" // 5/20
+          case 2 => "junk only no stopwords here at all now ten toks"  // 0/10
+        }
+        (i.toLong, text, "en", "web", text.length.toLong)
+      } ++
+        Seq((900L, s"$stop alone", "en", "solo", 20L),
+          (901L, s"$stop $stop", "en", "duo", 20L),
+          (902L, "no stops", "en", "duo", 8L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val exact = Registry.queries("q_quality_calibrate")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val scalable = Registry.queries("q_quality_calibrate_scalable")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(scalable == exact,
+      "two-pass decomposition must be bit-identical to the exact window")
+    // sanity: the single-doc source ranks 0 and is dropped by the
+    // bottom-quintile gate, tie runs share nothing (total order)
+    val solo = scalable.find(_.head == 900L).get
+    assert(solo(3) == 0.0 && solo(4) == 0)
+  }
+
   test("ntile bucketize: histogram form equals the exact ntile window on tie-heavy fixtures") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
