@@ -187,6 +187,56 @@ object MultimodalOps {
       }))
   }
 
+  /** Exact-integer pixel statistics from DECODED pixels — the
+    * oracle-able face of the decode pipeline: because [[synthImage]]'s
+    * pixels are a pure function of the document's (ASCII) text bytes
+    * and the PNG roundtrip is lossless, channel sums and the
+    * BT.601-weighted integer luma sum are predictable by an engine
+    * that never decodes an image (the DuckDB oracle recomputes them
+    * from `ord(text[i])`). All-long arithmetic — no float accumulation
+    * order to disagree on. `decoded` is 0/1 so both engines emit the
+    * same integer column. */
+  final case class MediaPixelStats(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      decoded: Int,
+      n_px: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      luma_int: Long)
+
+  private def pixelStatsOf(m: MediaRecord): MediaPixelStats =
+    decodeImage(m.media) match {
+      case Some(img) =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        MediaPixelStats(m.doc_id, w, h, 1, w.toLong * h, sr, sg, sb,
+          299L * sr + 587L * sg + 114L * sb)
+      case None =>
+        MediaPixelStats(m.doc_id, m.width, m.height, 0, 0L, 0L, 0L, 0L, 0L)
+    }
+
+  /** Batched pixel-stat extraction (same per-partition micro-batch
+    * shape as [[extractFeatures]]; no shuffle). */
+  def pixelStats(media: Dataset[MediaRecord]): Dataset[MediaPixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(_.map(pixelStatsOf)))
+  }
+
   // ------------------------------------------------------------ operators
 
   /** The batched decode pipeline: partition iterator → micro-batches →

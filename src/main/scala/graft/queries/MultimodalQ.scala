@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.MultimodalOps
 
-/** Multimodal query surface (north star): binary-column metadata (exact,
-  * SQL-oracle-able) and the batched decode/feature pipeline (rows-only —
-  * the stub decoder is engine-specific by design). */
+/** Multimodal query surface (north star): binary-column metadata and
+  * the batched decode pipeline over the real `javax.imageio` codec —
+  * ALL fully SQL-oracle-able: the planted images' pixels are a pure
+  * function of the document text, so DuckDB certifies the decode
+  * results without ever decoding an image. */
 object Multimodal {
 
   /** Binary payload metadata: byte length + SHA-256 digest of the media
@@ -29,22 +31,41 @@ object Multimodal {
   )
 
   /** The batched per-partition decode pipeline (mapPartitions with
-    * micro-batches — Scala analog of mapInPandas), now over a REAL
-    * codec: `asMedia` PNG-encodes a deterministic image per doc with
-    * `javax.imageio`, `extractFeatures` decodes it back and derives the
-    * features from actual pixels. Feature checksum keeps the output
-    * compact; `decoded` exposes codec success per row. */
+    * micro-batches — Scala analog of mapInPandas) over a REAL codec,
+    * now FULLY oracle-checked: `asMedia` PNG-encodes a deterministic
+    * image per doc with `javax.imageio`, `pixelStats` decodes it back
+    * and sums actual pixel channels as exact integers. Because
+    * `synthImage` derives pixel (x,y) from the doc's text bytes
+    * (3 bytes → one RGB pixel, cycling) and the corpus is ASCII, the
+    * DuckDB oracle predicts every sum from `ord(text[i])` WITHOUT a
+    * codec — a hash-green row proves the real encode→decode roundtrip
+    * end-to-end (dims from the decoded PNG header, sums from decoded
+    * pixels). The float feature pipeline ([[MultimodalOps.extractFeatures]])
+    * stays engine-side, spec'd in MultimodalOpsSpec. */
   private val qMultimodalFeatures = Q(
     "q_multimodal_features",
-    (s, d) => {
-      val feats = MultimodalOps.extractFeatures(MultimodalOps.asMedia(s, d))
-      feats.toDF()
-        .select(
-          col("doc_id"), col("n_bytes"), col("width"), col("height"), col("decoded"),
-          round(aggregate(col("features"), lit(0.0), (a, v) => a + v), 3).as("feat_sum"))
-        .orderBy(col("doc_id"))
-    },
-    None
+    (s, d) =>
+      MultimodalOps.pixelStats(MultimodalOps.asMedia(s, d))
+        .toDF()
+        .orderBy(col("doc_id")),
+    Some("""WITH dims AS (
+              SELECT doc_id, text, length(text) AS n,
+                     (n_chars % 64) + 16 AS w, (n_chars % 48) + 12 AS h
+              FROM documents),
+            px AS (
+              SELECT doc_id, w, h,
+                CASE WHEN n = 0 THEN 0 ELSE ord(text[CAST((3*i) % n AS INT) + 1]) END AS r,
+                CASE WHEN n = 0 THEN 0 ELSE ord(text[CAST((3*i+1) % n AS INT) + 1]) END AS g,
+                CASE WHEN n = 0 THEN 0 ELSE ord(text[CAST((3*i+2) % n AS INT) + 1]) END AS b
+              FROM dims, LATERAL (SELECT unnest(range(0, CAST(w*h AS BIGINT))) AS i) u)
+           SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             CAST(1 AS INT) AS decoded,
+             count(*) AS n_px,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum(299*r + 587*g + 114*b) AS BIGINT) AS luma_int
+           FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")
   )
 
   /** Exact media dedup by content digest — the binary-column form of

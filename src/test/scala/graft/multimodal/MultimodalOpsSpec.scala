@@ -74,6 +74,26 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestSupport {
     assert(out.zip(again).forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("pixelStats sums decoded channels exactly (the q_multimodal_features kernel)") {
+    // solid red 8×4: sum_r = 255·32, others 0; half-white 10×10:
+    // each channel 255·50, luma_int = 1000·255·50 (BT.601 integer
+    // weights sum to 1000)
+    val half = new BufferedImage(10, 10, BufferedImage.TYPE_INT_RGB)
+    (0 until 10).foreach(y => (0 until 10).foreach(x =>
+      half.setRGB(x, y, if (y < 5) 0xffffff else 0x000000)))
+    val ds = Seq(rec(1, solid(0xff0000, 8, 4)), rec(2, half)).toDS()
+    val out = MultimodalOps.pixelStats(ds).collect().sortBy(_.doc_id)
+    assert(out(0) === MultimodalOps.MediaPixelStats(
+      1L, 8, 4, 1, 32L, 255L * 32, 0L, 0L, 299L * 255 * 32))
+    assert(out(1) === MultimodalOps.MediaPixelStats(
+      2L, 10, 10, 1, 100L, 255L * 50, 255L * 50, 255L * 50, 1000L * 255 * 50))
+    // garbage fails soft with decoded=0 and zero sums
+    val garbage = MediaRecord(9L, Array.fill[Byte](32)(3), "bin", 4, 4)
+    val g = MultimodalOps.pixelStats(Seq(garbage).toDS()).collect()
+    assert(g.toSeq === Seq(MultimodalOps.MediaPixelStats(
+      9L, 4, 4, 0, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("undecodable payloads fail soft: decoded=false, metadata passthrough") {
     val garbage = MediaRecord(9L, Array.tabulate(100)(i => (i % 251).toByte),
       "image/fake", 10, 10)
