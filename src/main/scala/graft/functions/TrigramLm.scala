@@ -1,7 +1,12 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared char-trigram LM kernel behind the batch quality filter
   * (`q_lm_score`, queries/TextOps.scala) and the streaming gate
@@ -13,14 +18,25 @@ import org.apache.spark.sql.functions._
   * Per-trigram probability is held in integer MICRO-units —
   * `(cnt+1) * 1e6 div (denominator + V)` — so scoring sums longs
   * (order-independent, no cross-libm log) and doubles appear only at
-  * the output edge.
+  * the output edge. The micro numerator is computed in BigInt on the
+  * driver: per-trigram counts are corpus-proportional (a 100 TB corpus
+  * is ~1e14 trigrams, so a hot trigram's `(cnt+1)*1e6` would overflow
+  * Long at ~9.2e12) — the quotient is always ≤ 1e6 and exact.
   *
   * Scale stance: the model is bounded by |alphabet|³ regardless of
   * corpus size (hundreds of entries on ASCII-ish text, low millions on
-  * full Unicode), so it ships inside the plan as two map literals and
-  * scoring is a NARROW per-row map — no explode-join, no shuffle, no
-  * streaming state. Training is one explode + one groupBy on a
-  * bounded key space; the collects are model-sized, not corpus-sized.
+  * full Unicode), so scoring is a NARROW per-row map — no explode-join,
+  * no shuffle, no streaming state. Training is one explode + one
+  * groupBy on a bounded key space; the collects are model-sized, not
+  * corpus-sized. HOW the model ships picks itself by size
+  * ([[TrigramLm.LiteralModelMaxEntries]]): small models ride the plan
+  * as two `typedLit` map literals (zero extra machinery); large ones
+  * (the full-Unicode case) go out ONCE per executor as a torrent
+  * broadcast consumed by the codegen'd [[TrigramMicro]] expression —
+  * the plan then carries a fixed-size handle instead of a multi-MB
+  * literal serialized into every task, and task binaries/codegen stay
+  * flat at any model size (LmScoreSpec proves path equality and the
+  * flat plan).
   */
 object TrigramLm {
 
@@ -29,11 +45,29 @@ object TrigramLm {
       preDenom: Map[String, Long],
       v: Long)
 
+  /** Above this many total map entries the model ships as a broadcast
+    * consumed by [[TrigramMicro]] instead of in-plan map literals. */
+  val LiteralModelMaxEntries = 10000
+
   /** Lowercased char trigrams of `text` (empty array under 3 chars). */
   private val trisExpr =
     "CASE WHEN char_length(text) >= 3 THEN " +
       "transform(sequence(1, char_length(lower(text)) - 2), " +
       "i -> substring(lower(text), i, 3)) ELSE array() END"
+
+  /** First two CODEPOINTS of a trigram — matching the engines'
+    * codepoint-based `substring`/`substr` semantics. Java
+    * `String.substring(0, 2)` would split a surrogate pair on non-BMP
+    * text (emoji, CJK extensions) and mis-group prefix denominators
+    * relative to what Spark/DuckDB count. */
+  private def cpPrefix(s: String): String =
+    if (s.codePointCount(0, s.length) < 2) s
+    else s.substring(0, s.offsetByCodePoints(0, 2))
+
+  /** The trigram's last codepoint (the predicted character). */
+  private def cpLast(s: String): String =
+    if (s.codePointCount(0, s.length) < 3) s
+    else s.substring(s.offsetByCodePoints(0, 2))
 
   /** Train on a reference corpus (a `text` column is required). ONE
     * Spark job: the |alphabet|³-bounded count table is collected once
@@ -44,35 +78,69 @@ object TrigramLm {
       .select(explode(expr(trisExpr)).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    val v = counts.map(_._1.substring(2, 3)).distinct.length.toLong
-    val pre = counts.groupBy(_._1.substring(0, 2))
+    val v = counts.map(c => cpLast(c._1)).distinct.length.toLong
+    val pre = counts.groupBy(c => cpPrefix(c._1))
       .view.mapValues(_.map(_._2).sum).toMap
     val triM = counts.map { case (t, cnt) =>
-      t -> (cnt + 1L) * 1000000L / (pre(t.substring(0, 2)) + v)
+      t -> ((BigInt(cnt) + 1) * 1000000 / (BigInt(pre(cpPrefix(t))) + v)).toLong
     }.toMap
     Model(triM, pre, v)
   }
+
+  /** The per-trigram micro-probability with backoff — the ONE lookup
+    * semantics both shipping paths implement: a seen trigram reads its
+    * micro; an unseen one backs off to the add-one estimate for its
+    * prefix (integer division — exact, see [[scored]]'s literal
+    * `floor` note); an unseen prefix to 1/V. Called from generated
+    * code per array element — allocation-free on the hit path. */
+  def microOf(t: UTF8String, m: Model): Long = {
+    val s = t.toString
+    m.triMicro.get(s) match {
+      case Some(x) => x
+      case None =>
+        val denom = m.preDenom.getOrElse(cpPrefix(s), 0L) + m.v
+        // denom == 0 only for an empty model: the literal path's
+        // floor(1e6/0.0) = +Inf casts to Long.MaxValue — mirror it
+        if (denom > 0) 1000000L / denom else Long.MaxValue
+    }
+  }
+
+  /** Codegen entry point ([[TrigramMicro.doGenCode]]): unwraps the
+    * broadcast handle passed as a plan reference object. */
+  def microOfRef(t: UTF8String, bc: Object): Long =
+    microOf(t, bc.asInstanceOf[Broadcast[Model]].value)
 
   /** Adds `n_tri`, `avg_p`, `rare_rate` columns. Works on batch and
     * streaming frames alike (narrow, stateless). Unseen trigrams back
     * off to the add-one estimate for their prefix, unseen prefixes to
     * 1/V — novel text scores LOW instead of erroring, which is what a
-    * gate needs. Docs under 3 chars score avg_p=0 / rare_rate=1. */
+    * gate needs. Docs under 3 chars score avg_p=0 / rare_rate=1.
+    *
+    * `literalMaxEntries` overrides the literal/broadcast cutover
+    * (tests force each path; production uses the default). */
   def scored(docs: DataFrame, model: Model,
-      rareMicroThreshold: Long = 50000L): DataFrame = {
-    val triM: Column = typedLit(model.triMicro)
-    val preM: Column = typedLit(model.preDenom)
+      rareMicroThreshold: Long = 50000L,
+      literalMaxEntries: Int = LiteralModelMaxEntries): DataFrame = {
+    val micro: Column => Column =
+      if (model.triMicro.size + model.preDenom.size <= literalMaxEntries) {
+        val triM: Column = typedLit(model.triMicro)
+        val preM: Column = typedLit(model.preDenom)
+        t =>
+          coalesce(
+            element_at(triM, t),
+            // backoff: floor-div is exact here (operands ≪ 2^53), so
+            // every path stays integer-micro typed
+            floor(lit(1000000.0) / (coalesce(
+              element_at(preM, substring(t, 1, 2)), lit(0L)) + lit(model.v)))
+              .cast("long"),
+            lit(1000000L / math.max(model.v, 1L)))
+      } else {
+        val bc = docs.sparkSession.sparkContext.broadcast(model)
+        t => TrigramMicro.col(t, bc)
+      }
     docs
       .withColumn("_tris", expr(trisExpr))
-      .withColumn("_micro", transform(col("_tris"), t =>
-        coalesce(
-          element_at(triM, t),
-          // backoff: floor-div is exact here (operands ≪ 2^53), so
-          // every path stays integer-micro typed
-          floor(lit(1000000.0) / (coalesce(
-            element_at(preM, substring(t, 1, 2)), lit(0L)) + lit(model.v)))
-            .cast("long"),
-          lit(1000000L / math.max(model.v, 1L)))))
+      .withColumn("_micro", transform(col("_tris"), micro))
       .withColumn("n_tri", size(col("_tris")).cast("long"))
       .withColumn("avg_p", when(col("n_tri") > 0,
         round(aggregate(col("_micro"), lit(0L).cast("long"), _ + _).cast("double")
@@ -82,4 +150,33 @@ object TrigramLm {
           / col("n_tri"), 6)).otherwise(lit(1.0)))
       .drop("_tris", "_micro")
   }
+}
+
+/** `trigram_micro(tri)` — [[TrigramLm.microOf]] against a BROADCAST
+  * model: the large-model shipping path. The expression holds only the
+  * broadcast HANDLE; generated code fetches the executor-local model
+  * value through a plan reference object, so plan size, task-binary
+  * size, and codegen output are independent of model size. */
+case class TrigramMicro(child: Expression, bc: Broadcast[TrigramLm.Model])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "trigram_micro"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TrigramLm.microOf(input.asInstanceOf[UTF8String], bc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("trigramLmBc", bc, "java.lang.Object")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TrigramLm.microOfRef($c, $bcRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramMicro =
+    copy(child = newChild)
+}
+
+object TrigramMicro {
+  /** Column wrapper (the `transform` lambda's element hook). */
+  def col(t: Column, bc: Broadcast[TrigramLm.Model]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      TrigramMicro(org.apache.spark.sql.GraftColumnBridge.expression(t), bc))
 }

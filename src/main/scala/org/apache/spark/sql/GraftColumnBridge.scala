@@ -1,0 +1,21 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ Expression bridge for graft's broadcast-carrying
+  * expressions ([[graft.functions.TrigramMicro]]).
+  *
+  * Spark 4 made `Column` wrap a `ColumnNode` and moved the expression
+  * bridge to `classic.ExpressionUtils`, which is `private[sql]` — but
+  * expressions that must capture a RUNTIME object (a `Broadcast`
+  * handle) cannot go through the public `FunctionRegistry` route the
+  * other graft expressions use (GraftExtensions registers by NAME; a
+  * registry builder only receives child expressions). This shim is the
+  * minimal, documented escape hatch: one object inside the
+  * `org.apache.spark.sql` package exposing the two conversions. Same
+  * JVM-visibility technique every Spark extension library uses; only
+  * public Spark artifacts are touched. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -47,6 +47,69 @@ class LmScoreSpec extends AnyFunSuite with SparkTestSupport {
       s"8x-repeated text should have no rare trigrams, got ${normRare.max}")
   }
 
+  test("TrigramLm: broadcast path equals the literal path row-for-row") {
+    import graft.functions.TrigramLm
+    val normal = "the quick brown fox jumps over the lazy dog"
+    val docs = ((1L to 20L).map(i => (i, s"$normal number $i")) :+
+      ((21L, "zz unseen trigrams qqq"))) // exercises the backoff paths
+      .toDF("doc_id", "text")
+    val model = TrigramLm.train(docs)
+    val literal = TrigramLm.scored(docs, model, literalMaxEntries = Int.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    val broadcast = TrigramLm.scored(docs, model, literalMaxEntries = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(broadcast === literal,
+      "the broadcast shipping path must not change a single score")
+  }
+
+  test("TrigramLm: a 100k-trigram model keeps the plan flat via the broadcast path") {
+    import graft.functions.TrigramLm
+    // synthetic large-alphabet model: 110k seen trigrams with a known
+    // uniform micro, the scaladoc's "low millions on full Unicode"
+    // case shrunk to test size
+    val alphabet = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')
+    val all = (for { a <- alphabet; b <- alphabet; c <- alphabet }
+      yield s"$a$b$c").take(110000)
+    val triMicro = all.map(t => t -> 250000L).toMap
+    val preDenom = all.map(_.take(2)).distinct.map(_ -> 3L).toMap
+    val model = TrigramLm.Model(triMicro, preDenom, v = 4L)
+    assert(model.triMicro.size >= 100000, s"got ${model.triMicro.size}")
+
+    val docs = Seq((1L, "abc"), (2L, "zzz"), (3L, "!!!!")).toDF("doc_id", "text")
+    val out = TrigramLm.scored(docs, model) // default threshold → broadcast
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.length < 50000,
+      s"plan grew with the model (${plan.length} chars) — literal leak?")
+    val got = out.select("doc_id", "avg_p", "rare_rate").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // docs 1-2: single seen trigram at 0.25 micro-prob
+    assert(got(1L) === ((0.25, 0.0)) && got(2L) === ((0.25, 0.0)))
+    // doc 3: two unseen trigrams, unseen prefix → 1e6/(0+4) = 0.25
+    assert(got(3L) === ((0.25, 0.0)))
+  }
+
+  test("TrigramLm.train: codepoint-aware grouping on non-BMP text (surrogate pairs)") {
+    import graft.functions.TrigramLm
+    // each emoji is TWO UTF-16 code units, so a 3-codepoint trigram is
+    // up to 6 units — code-unit substring(0,2)/(2,3) would split
+    // surrogate pairs and mis-derive V / prefix denominators relative
+    // to the engines' codepoint substr
+    val emoji = "😀😁😂" // 😀😁😂, 3 codepoints
+    val docs = Seq((1L, emoji + "ab"), (2L, "xy" + emoji)).toDF("doc_id", "text")
+    val model = TrigramLm.train(docs)
+    // engine-side truth, same expression q_lm_score's trigram pass uses
+    val trisExpr = "CASE WHEN char_length(text) >= 3 THEN " +
+      "transform(sequence(1, char_length(lower(text)) - 2), " +
+      "i -> substring(lower(text), i, 3)) ELSE array() END"
+    val triDf = docs.select(explode(expr(trisExpr)).as("tri"))
+    val vSpark = triDf.select(expr("substring(tri, 3, 1)")).distinct().count()
+    val preSpark = triDf.groupBy(expr("substring(tri, 1, 2)").as("pre"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(model.v === vSpark, "V must count CODEPOINTS, not code units")
+    assert(model.preDenom === preSpark,
+      "prefix denominators must group by the first two codepoints")
+  }
+
   test("q_skew_profile: shares and cumulative shares on a planted key distribution") {
     val dir = Files.createTempDirectory("skewprof").toString
     // user 1 → 50 rows, user 2 → 30, users 3..22 → 1 each: total 100
