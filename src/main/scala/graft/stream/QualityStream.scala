@@ -27,6 +27,28 @@ object QualityStream {
       minAvgP: Double = 0.3): DataFrame =
     TrigramLm.scored(docs, model).filter(col("avg_p") >= minAvgP)
 
+  /** End-to-end streaming TRAINING DELIVERY behind the gate — the
+    * streaming analog of the batch curate→export pipeline
+    * ([[graft.queries.CorpusReport]]/CorpusRun's tail): each
+    * micro-batch is LM-scored, gated, TOKEN-COUNTED (whitespace
+    * tokens, `q_token_count`'s `n_ws_tokens` semantics — the budget a
+    * trainer actually meters), and landed as manifest-verified
+    * gzip-JSONL shards under its own `batch_id=<n>/` directory via
+    * [[LogStream.toTrainingDelivery]] (whose exactly-once replay
+    * contract this inherits: a replayed batch overwrites its own
+    * directory). Scoring is narrow and stateless, so the only
+    * streaming state is the sink checkpoint — any trigger mode works,
+    * and a downstream trainer can tail completed batch dirs, check
+    * their manifests, and sum `n_ws_tokens` for its token budget
+    * without coordinating with the stream. */
+  def toGatedTrainingDelivery(docs: DataFrame, model: TrigramLm.Model,
+      outDir: String, checkpointDir: String, minAvgP: Double = 0.3,
+      maxRecordsPerShard: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery =
+    LogStream.toTrainingDelivery(
+      qualityGated(docs, model, minAvgP)
+        .withColumn("n_ws_tokens", size(split(trim(col("text")), "\\s+"))),
+      outDir, checkpointDir, maxRecordsPerShard)
+
   /** Monitoring rollup: per-window pass/drop counts with a watermark —
     * the ops dashboard beside the gate. `ts` column required. */
   def gateRollup(docs: DataFrame, model: TrigramLm.Model,

@@ -23,14 +23,72 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
   test("streaming scores equal batch q_lm_score on the same corpus") {
     val docs = graft.Tables.documents(spark, sf)
     val model = TrigramLm.train(docs)
-    // batch twin over the SAME corpus the model was trained on: every
-    // trigram is in-vocabulary, so the map-literal path must reproduce
-    // q_lm_score exactly (that query joins the same counts)
-    val streamed = TrigramLm.scored(docs, model)
+    // the corpus ACTUALLY STREAMED through a streaming query (not a
+    // second batch evaluation): every doc through a MemoryStream →
+    // scored → memory sink, compared to the batch key's rows
+    val input = MemoryStream[StreamDoc](spark)
+    val q = TrigramLm.scored(input.toDF(), model)
       .select(col("doc_id"), col("n_tri"), col("avg_p"), col("rare_rate"))
-    val batch = Registry.queries("q_lm_score")(spark, sf)
-    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
-      "stream-scored corpus diverged from batch q_lm_score")
+      .writeStream.format("memory").queryName("lm_stream_scores").start()
+    try {
+      val streamDocs = docs.select("doc_id", "text").collect()
+        .map(r => StreamDoc(r.getLong(0), r.getString(1), ts(0)))
+      // two triggers, so scoring crosses a micro-batch boundary
+      val (a, b) = streamDocs.splitAt(streamDocs.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("lm_stream_scores")
+      val batch = Registry.queries("q_lm_score")(spark, sf)
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream-scored corpus diverged from batch q_lm_score")
+    } finally q.stop()
+  }
+
+  test("gated training delivery: stream lands exactly the batch gate's survivors, token-counted and manifest-verified") {
+    import java.nio.file.Files
+    val corpus = graft.Tables.documents(spark, sf)
+    val model = TrigramLm.train(corpus)
+    // feed the first 40 docs; pick the gate threshold at their median
+    // avg_p so BOTH outcomes occur (a fixed threshold could degenerate
+    // to keep-all/drop-all as testdata evolves)
+    val fed = corpus.filter(col("doc_id") < 40).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val scored = TrigramLm.scored(
+        fed.toSeq.toDF("doc_id", "text"), model)
+      .select("doc_id", "avg_p").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val threshold = scored.map(_._2).sorted.apply(scored.length / 2)
+    val expectedKept = scored.filter(_._2 >= threshold).map(_._1).toSet
+    assert(expectedKept.nonEmpty && expectedKept.size < fed.length,
+      s"degenerate gate: kept ${expectedKept.size}/${fed.length}")
+
+    val out = Files.createTempDirectory("gated-deliver").toString
+    val ckpt = Files.createTempDirectory("gated-deliver-ckpt").toString
+    val input = MemoryStream[StreamDoc](spark)
+    val q = QualityStream.toGatedTrainingDelivery(input.toDF(), model,
+      out, ckpt, minAvgP = threshold, maxRecordsPerShard = 7L)
+    try {
+      val docs = fed.map { case (id, t) => StreamDoc(id, t, ts(id.toInt)) }
+      val (a, b) = docs.splitAt(25)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // every batch dir verifies against its own manifest and parses
+    val delivered = Seq("batch_id=0", "batch_id=1").map { b =>
+      graft.sink.TrainingExport.readVerified(spark, s"$out/$b")
+    }.reduce(_ unionByName _)
+    assert(delivered.select("doc_id").as[Long].collect().toSet === expectedKept,
+      "streamed survivor set != batch gate survivors")
+    // the delivered token counts are the q_token_count ws semantics
+    val badTokens = delivered
+      .withColumn("expect", size(split(trim(col("text")), "\\s+")))
+      .filter(col("n_ws_tokens") =!= col("expect")).count()
+    assert(badTokens === 0L, "delivered n_ws_tokens drifted from the ws-token semantics")
+    // manifest totals sum to the survivor count (the trainer's budget view)
+    val manifestRows = Seq("batch_id=0", "batch_id=1")
+      .map(b => graft.sink.TrainingExport.buildManifest(spark, s"$out/$b").totalRows).sum
+    assert(manifestRows === expectedKept.size.toLong)
   }
 
   test("the gate passes reference-like text, drops gibberish, and backs off on unseen trigrams") {
