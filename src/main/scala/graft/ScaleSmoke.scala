@@ -91,7 +91,12 @@ object ScaleSmoke {
       // scans embeddings, the skew profile scans events — all three
       // amplified tables covered; each claims linear-per-row cost
       "q_lm_score", "q_quality_calibrate", "q_embed_project",
-      "q_skew_profile")
+      "q_skew_profile",
+      // r12: the calibrate swap (two-pass vs whole-source window — the
+      // win to demonstrate at amplified skew), both encode forms at the
+      // oracle-gated R=3, and the real-codec decode pipeline
+      "q_quality_calibrate_scalable", "q_bpe_encode", "q_bpe_encode_fast",
+      "q_multimodal_features")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")
@@ -214,6 +219,52 @@ object ScaleSmoke {
       println(f"SCALE mh_index build=$tBuild%.2f s " +
         f"probe(batch=$nb)=$tProbe%.2f s kept=$kept " +
         "(batch docs are indexed, so ~all drop)")
+    }
+
+    // CHAIN vs KERNEL encode at growing merge-table size R: the chain
+    // form costs R narrow passes (plan nodes grow with R); the kernel
+    // is one mapPartitions at ANY R. Merge table = top-R adjacent
+    // base-token pairs ranked by count (components are base tokens, so
+    // no pass can recreate a table pair — the same property trained
+    // tables have, keeping chain ≡ kernel; asserted at the smallest R).
+    if (wanted("bpe_encode_r")) block("bpe_encode_r") {
+      import graft.queries.Chunking
+      val docs = spark.table("amplified_documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .localCheckpoint(true)
+      val allPairs = docs
+        .where(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |          i -> struct(element_at(toks, i) AS l,
+            |                      element_at(toks, i + 1) AS r))""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1024)
+        .withColumn("round",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("l"), col("r"))).cast("int"))
+        .localCheckpoint(true)
+      def mergesAt(r: Int) = allPairs.where(col("round") <= r)
+      // equality once, at a chain-affordable R
+      val eqR = 32
+      val chain32 = Chunking.applyMergesChain(docs, mergesAt(eqR))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      val kern32 = Chunking.applyMergesKernel(spark, docs, mergesAt(eqR))
+        .select(col("doc_id"), col("n_tokens"))
+      val diff = chain32.exceptAll(kern32).count()
+      println(f"SCALE bpe_encode_r eq@R=$eqR diffRows=$diff (must be 0)")
+      for (r <- Seq(8, 32, 128)) {
+        val (n, t) = timed(Chunking.applyMergesChain(docs, mergesAt(r))
+          .select(sum(size(col("toks")))).head().getLong(0))
+        println(f"SCALE bpe_encode_r chain  R=$r%-5d $t%8.2f s  outToks=$n")
+      }
+      for (r <- Seq(8, 32, 128, 256, 1024)) {
+        val (n, t) = timed(Chunking.applyMergesKernel(spark, docs, mergesAt(r))
+          .select(sum(col("n_tokens"))).head().getLong(0))
+        println(f"SCALE bpe_encode_r kernel R=$r%-5d $t%8.2f s  outToks=$n")
+      }
     }
 
     if (wanted("bpe_deep")) block("bpe_deep") {

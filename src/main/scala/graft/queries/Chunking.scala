@@ -389,6 +389,48 @@ object Chunking {
     * Oracle: the SAME CTE chain that certifies the trainer, read at
     * its final re-tokenization layer — one hash-green row certifies
     * trainer AND encoder agree with the reference semantics. */
+  /** Apply a trained merge table to a `toks` frame via the R-pass
+    * declarative chain (one broadcast cross-join + greedy fold per
+    * round). The bounded driver read of `round` values (≤R rows)
+    * guards the exhausted-trainer edge — cross-joining an EMPTY round
+    * would wipe the corpus (same caveat the trainer loop documents).
+    * Shared by [[qBpeEncode]] and the ScaleSmoke chain-vs-kernel
+    * R-sweep. */
+  private[graft] def applyMergesChain(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val presentRounds = merges.select(col("round"))
+      .collect().map(_.getInt(0)).sorted
+    presentRounds.foldLeft(docs) { (cur, r) =>
+      cur.crossJoin(broadcast(merges.where(col("round") === r)
+          .select(col("l").as("_ml"), col("r").as("_mr"))))
+        .withColumn("toks", expr(mergeFoldSql))
+        .drop("_ml", "_mr")
+    }
+  }
+
+  /** Apply a trained merge table with the single-pass
+    * [[graft.functions.BpeEncoder]] kernel: ranks collected once (≤R
+    * rows), broadcast, one mapPartitions over the corpus. Returns
+    * `(doc_id, n_in, n_tokens)`. Shared by [[qBpeEncodeFast]] and the
+    * ScaleSmoke R-sweep. */
+  private[graft] def applyMergesKernel(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, merges: DataFrame): DataFrame = {
+    import s.implicits._
+    val ranks: Map[(String, String), Int] = merges
+      .select(col("round"), col("l"), col("r"))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
+      .toMap
+    val bc = s.sparkContext.broadcast(ranks)
+    docs.select(col("doc_id"), col("toks")).as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val rk = bc.value
+        it.map { case (id, toks) =>
+          val enc = graft.functions.BpeEncoder.encode(toks.toArray, rk, BpeJoin)
+          (id, toks.length, enc.length)
+        }
+      }
+      .toDF("doc_id", "n_in", "n_tokens")
+  }
+
   private val qBpeEncode = Q(
     "q_bpe_encode",
     (s, d) => {
@@ -397,17 +439,7 @@ object Chunking {
         .withColumn("n_in", size(col("toks")))
       val merges = bpeTrain(
         docs.select(col("toks"), lit(1L).as("w")), BpeTrainRounds)
-      // bounded driver read (≤ BpeTrainRounds rows): guards the
-      // exhausted-trainer edge — cross-joining an EMPTY round would
-      // wipe the corpus (same caveat as the trainer loop documents)
-      val presentRounds = merges.select(col("round"))
-        .collect().map(_.getInt(0)).sorted
-      val encoded = presentRounds.foldLeft(docs) { (cur, r) =>
-        cur.crossJoin(broadcast(merges.where(col("round") === r)
-            .select(col("l").as("_ml"), col("r").as("_mr"))))
-          .withColumn("toks", expr(mergeFoldSql))
-          .drop("_ml", "_mr")
-      }
+      val encoded = applyMergesChain(docs, merges)
       encoded.select(col("doc_id"), col("n_in"),
           size(col("toks")).as("n_tokens"),
           round(size(col("toks")).cast("double") / col("n_in"), 6).as("ratio"))
@@ -440,25 +472,11 @@ object Chunking {
   private val qBpeEncodeFast = Q(
     "q_bpe_encode_fast",
     (s, d) => {
-      import s.implicits._
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
       val merges = bpeTrain(
         docs.select(col("toks"), lit(1L).as("w")), BpeTrainRounds)
-      val ranks: Map[(String, String), Int] = merges
-        .select(col("round"), col("l"), col("r"))
-        .collect().map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
-        .toMap
-      val bc = s.sparkContext.broadcast(ranks)
-      docs.as[(Long, Seq[String])]
-        .mapPartitions { it =>
-          val rk = bc.value
-          it.map { case (id, toks) =>
-            val enc = graft.functions.BpeEncoder.encode(toks.toArray, rk, BpeJoin)
-            (id, toks.length, enc.length)
-          }
-        }
-        .toDF("doc_id", "n_in", "n_tokens")
+      applyMergesKernel(s, docs, merges)
         .select(col("doc_id"), col("n_in"), col("n_tokens"),
           round(col("n_tokens").cast("double") / col("n_in"), 6).as("ratio"))
         .orderBy(col("doc_id"))

@@ -132,6 +132,32 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     assert(skewP.contains("TakeOrderedAndProject"), skewP)
   }
 
+  test("scalable calibrate never windows a whole source: the per-row rank partitions by (source, value)") {
+    // the exact form's scale flaw was Window.partitionBy(source) over
+    // EVERY doc; the two-pass form's only per-row window must carry
+    // q_raw in its partition spec (whole-source windows remain only
+    // over bounded histogram rows)
+    val p = plan("q_quality_calibrate_scalable")
+    val rnLine = p.linesIterator.find(_.contains("row_number"))
+    assert(rnLine.isDefined, "expected a row_number window:\n" + p)
+    assert(rnLine.get.contains("q_raw"),
+      "per-row rank must partition by (source, q_raw), not source alone:\n" + p)
+  }
+
+  test("kernel BPE encode is one mapPartitions pass: no join, no per-merge operator chain") {
+    val p = plan("q_bpe_encode_fast")
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("Join"),
+      "the kernel path must not cross-join merge rounds:\n" + p)
+  }
+
+  test("multimodal decode pipeline shuffles nothing but the output sort") {
+    val p = plan("q_multimodal_features")
+    assert(p.contains("MapPartitions"), p)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "decode is embarrassingly parallel — only the ORDER BY may exchange:\n" + p)
+  }
+
   test("salted join actually shuffles (broadcast would defeat the salt demo)") {
     val p = plan("q_join_salted")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
