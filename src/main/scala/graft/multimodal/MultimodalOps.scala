@@ -259,9 +259,13 @@ object MultimodalOps {
       decodeImage(m.media) match {
         case Some(img) if math.max(img.getWidth, img.getHeight) > target =>
           val (sw, sh) = (img.getWidth, img.getHeight)
-          val scale = target.toDouble / math.max(sw, sh)
-          val tw = math.max(1, math.round(sw * scale).toInt)
-          val th = math.max(1, math.round(sh * scale).toInt)
+          // one IEEE rounding per dim (s·target exact, ONE division):
+          // the oracle computes the same `s * target / m` shape, so
+          // both engines round the same double at the .5 boundary —
+          // `s * (target/m)` would round twice and can disagree
+          val maxDim = math.max(sw, sh)
+          val tw = math.max(1, math.round(sw.toDouble * target / maxDim).toInt)
+          val th = math.max(1, math.round(sh.toDouble * target / maxDim).toInt)
           val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
           var y = 0
           while (y < th) {

@@ -68,6 +68,62 @@ object Multimodal {
            FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")
   )
 
+  /** Resize bound for [[qMultimodalResize]] — small enough that most
+    * planted images (16–79 × 12–59) actually resample. */
+  private val ResizeTarget = 24
+
+  /** The REAL resize pipeline under the full oracle: asMedia's PNG →
+    * decode → nearest-neighbor resample into a 24×24 box (aspect
+    * preserved) → PNG re-encode → decode again → exact pixel sums.
+    * Every stage is deterministic integer math, so DuckDB predicts the
+    * result of two codec roundtrips + a resample without any codec:
+    * target dims are `round(s·24/max)` (`floor(x+0.5)` — exactly Java
+    * `Math.round`), and resized pixel (x,y) samples source pixel
+    * `((x·sw)/tw, (y·sh)/th)` (integer division), whose bytes come
+    * from the text as in [[qMultimodalFeatures]]. Images already
+    * inside the box pass through — the same formula covers them
+    * because tw=sw collapses the sampling to identity. */
+  private val qMultimodalResize = Q(
+    "q_multimodal_resize",
+    (s, d) =>
+      MultimodalOps.pixelStats(
+          MultimodalOps.resize(MultimodalOps.asMedia(s, d), ResizeTarget))
+        .toDF()
+        .orderBy(col("doc_id")),
+    Some(s"""WITH dims AS (
+              SELECT doc_id, text, length(text) AS n,
+                     (n_chars % 64) + 16 AS sw, (n_chars % 48) + 12 AS sh,
+                     greatest((n_chars % 64) + 16, (n_chars % 48) + 12) AS m
+              FROM documents),
+            tdims AS (
+              SELECT doc_id, text, n, sw, sh,
+                CASE WHEN m > $ResizeTarget
+                     THEN greatest(1, CAST(floor(sw * $ResizeTarget.0 / m + 0.5) AS BIGINT))
+                     ELSE sw END AS w,
+                CASE WHEN m > $ResizeTarget
+                     THEN greatest(1, CAST(floor(sh * $ResizeTarget.0 / m + 0.5) AS BIGINT))
+                     ELSE sh END AS h
+              FROM dims),
+            px AS (
+              SELECT doc_id, w, h,
+                ((((i // w) * sh) // h) * sw + (((i % w) * sw) // w)) AS p
+              FROM tdims, LATERAL (SELECT unnest(range(0, CAST(w*h AS BIGINT))) AS i) u),
+            rgb AS (
+              SELECT x.doc_id, x.w, x.h,
+                CASE WHEN t.n = 0 THEN 0 ELSE ord(t.text[CAST((3*x.p) % t.n AS INT) + 1]) END AS r,
+                CASE WHEN t.n = 0 THEN 0 ELSE ord(t.text[CAST((3*x.p + 1) % t.n AS INT) + 1]) END AS g,
+                CASE WHEN t.n = 0 THEN 0 ELSE ord(t.text[CAST((3*x.p + 2) % t.n AS INT) + 1]) END AS b
+              FROM px x JOIN tdims t USING (doc_id))
+           SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             CAST(1 AS INT) AS decoded,
+             count(*) AS n_px,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum(299*r + 587*g + 114*b) AS BIGINT) AS luma_int
+           FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id""")
+  )
+
   /** Exact media dedup by content digest — the binary-column form of
     * exact text dedup: group on sha256 of the payload, keep the lowest
     * doc_id as canonical. The digest is computed in the scan stage
@@ -93,5 +149,6 @@ object Multimodal {
             ORDER BY keep_doc""")
   )
 
-  def qs: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDedup)
+  def qs: Seq[Q] =
+    Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalResize, qMultimodalDedup)
 }
