@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, CosineSim, DotProduct, NgramHashes, PolyHash, SimHash64}
+import graft.functions.{BloomMightContain, CosineSim, DotProduct, NgramHashes, NgramPolyHashes, PolyHash, SimHash64}
 import graft.logs.expressions.UrlUnquote
 
 /** Engine extensions, injected via the public
@@ -49,6 +49,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"${other.getClass.getSimpleName} ($other)")
         }
         NgramHashes(args.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_poly_hashes"),
+      new ExpressionInfo(classOf[NgramPolyHashes].getName, "ngram_poly_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"ngram_poly_hashes(text, n) requires exactly 2 arguments, got ${args.length}")
+        require(args(1).foldable, "ngram_poly_hashes: n must be a literal")
+        val n = args(1).eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long if l >= 1 && l <= Int.MaxValue => l.intValue()
+          case null => throw new IllegalArgumentException(
+            "ngram_poly_hashes: n must be a non-null integer literal")
+          case other => throw new IllegalArgumentException(
+            s"ngram_poly_hashes: n must be an integer literal, got " +
+              s"${other.getClass.getSimpleName} ($other)")
+        }
+        NgramPolyHashes(args.head, n)
       }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),

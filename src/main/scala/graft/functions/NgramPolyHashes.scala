@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `ngram_poly_hashes(text, n)` — the ENGINE-AGNOSTIC sibling of
+  * [[NgramHashes]]: the [[PolyHash]] rolling hash
+  * (`fold(a, cp) = (a·31 + cp) mod 1e9+7`) of every word n-gram,
+  * codepoint by codepoint over the exact n-gram character span
+  * (tokens re-joined by single spaces == the original span, the same
+  * identity NgramHashes exploits byte-wise).
+  *
+  * Why it exists: xxhash64 shingles make minhash signatures
+  * engine-SPECIFIC — DuckDB cannot recompute them, so every
+  * xxhash64-based near-dedup key is a rows-only check. This hash is
+  * plain modular arithmetic DuckDB computes verbatim
+  * (`list_reduce(list_transform(string_split_regex(g,''), ascii), …)`),
+  * which turns the whole minhash→bands→bucket-join→verified-Jaccard
+  * chain into a fully hash-checkable query (`q_minhash_dup_portable`).
+  * One codegen'd pass per row; weaker mixing than xxhash64 (31-base
+  * polynomial), which minhash tolerates: collisions only ADD
+  * candidates, and exact-Jaccard verification removes them.
+  */
+object NgramPolyHashes {
+
+  def hashes(s: UTF8String, n: Int): ArrayData = {
+    if (s == null) return new GenericArrayData(Array.emptyLongArray)
+    val str = s.toString
+    // Spark split(text, ' ') limit=-1 semantics: empty tokens kept
+    val toks = str.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](toks.length - n + 1)
+    var j = 0
+    while (j <= toks.length - n) {
+      var a = 0L
+      var t = 0
+      while (t < n) {
+        if (t > 0) a = (a * 31 + ' '.toInt) % PolyHash.Mod
+        val tok = toks(j + t)
+        var i = 0
+        while (i < tok.length) {
+          val cp = tok.codePointAt(i)
+          a = (a * 31 + cp) % PolyHash.Mod
+          i += Character.charCount(cp)
+        }
+        t += 1
+      }
+      out(j) = a
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class NgramPolyHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be ≥ 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_poly_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramPolyHashes.hashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramPolyHashes.hashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramPolyHashes =
+    copy(child = newChild)
+}

@@ -294,6 +294,112 @@ object Dedup {
     None
   )
 
+  /** Affine minhash permutation constants for the PORTABLE signature:
+    * `perm_k(h) = (h·A_k + B_k) mod 1e9+7`, plain modular arithmetic
+    * both engines compute (products stay ≤ ~1.6e16 ≪ 2^63). */
+  private def portA(k: Int): Long = 1000003L * (k + 1)
+  private def portB(k: Int): Long = 15485863L * (k + 1)
+
+  /** [[minhashSig]] with every engine-specific hash swapped for
+    * arithmetic DuckDB can replay: shingle hash =
+    * `ngram_poly_hashes` (the PolyHash rolling hash per word 3-gram,
+    * codegen'd — [[graft.functions.NgramPolyHashes]]), the 16 minhash
+    * slots = affine permutations mod 1e9+7. Identical execution shape
+    * to the xxhash64 form: one explode + one partial-agg'd groupBy. */
+  private def minhashSigPortable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(call_function("ngram_poly_hashes", col("text"), lit(3))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("shingles"),
+        (0 until 16).map(k =>
+          min((col("h") * lit(portA(k)) + lit(portB(k)))
+            % lit(graft.functions.PolyHash.Mod)).as(s"s$k")): _*)
+
+  /** 4 bands of 4 slots, combined with a base-31 polynomial instead of
+    * xxhash64 — same bucket-join key shape, engine-agnostic value. */
+  private def bandsOfPortable(sig: DataFrame): DataFrame = {
+    def bh(i: Int) = s"((s$i*31 + s${i + 1})*31 + s${i + 2})*31 + s${i + 3}"
+    sig.select(col("doc_id"), explode(expr(
+      s"""array(named_struct('band', 0, 'bh', ${bh(0)}),
+         |      named_struct('band', 1, 'bh', ${bh(4)}),
+         |      named_struct('band', 2, 'bh', ${bh(8)}),
+         |      named_struct('band', 3, 'bh', ${bh(12)}))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+  }
+
+  private[queries] def minhashPairsPortable(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSigPortable(Tables.documents(s, d))
+    val bands = bandsOfPortable(sig)
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+    verifiedPairsFrom(bands, sig.select(col("doc_id"), col("shingles")))
+  }
+
+  /** The oracle replays the ENTIRE chain — shingle rolling hash, 16
+    * affine minhash permutations, polynomial band hashes, the 256
+    * bucket cap, the band bucket join, and exact-Jaccard verification
+    * on distinct shingle-hash sets — in DuckDB SQL. Built
+    * programmatically so the permutation constants exist in exactly
+    * one place. */
+  private def minhashPortableOracle: String = {
+    val mod = graft.functions.PolyHash.Mod
+    val slots = (0 until 16).map(k =>
+      s"min((h * ${portA(k)} + ${portB(k)}) % $mod) AS s$k")
+      .mkString(",\n          ")
+    def bh(i: Int) = s"((s$i*31 + s${i + 1})*31 + s${i + 2})*31 + s${i + 3}"
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |grams AS (SELECT doc_id,
+       |            unnest(list_transform(range(1, len(l) - 1),
+       |                   j -> array_to_string(l[j:j+2], ' '))) AS g
+       |          FROM toks WHERE len(l) >= 3),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         list_reduce(list_transform(string_split_regex(g, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |                     (a, b) -> (a * 31 + b) % $mod) AS h
+       |       FROM grams),
+       |sig AS (SELECT doc_id,
+       |          $slots
+       |        FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, ${bh(0)} AS bh FROM sig
+       |  UNION ALL SELECT doc_id, 1, ${bh(4)} FROM sig
+       |  UNION ALL SELECT doc_id, 2, ${bh(8)} FROM sig
+       |  UNION ALL SELECT doc_id, 3, ${bh(12)} FROM sig),
+       |occ AS (SELECT doc_id, band, bh,
+       |          count(*) OVER (PARTITION BY band, bh) AS bn FROM bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM occ a JOIN occ b ON a.band = b.band AND a.bh = b.bh
+       |              AND a.doc_id < b.doc_id
+       |         WHERE a.bn <= 256 AND b.bn <= 256),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+       |          FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+       |          JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
+       |          GROUP BY c.doc_a, c.doc_b)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes sa ON sa.doc_id = c.doc_a
+       |JOIN sizes sb ON sb.doc_id = c.doc_b
+       |ORDER BY jaccard DESC, c.doc_a, c.doc_b LIMIT 50""".stripMargin
+  }
+
+  /** [[qMinhashDup]] with the FULL ORACLE the xxhash64 form cannot
+    * have: every stage of the LSH chain is engine-agnostic arithmetic,
+    * so the driver hash certifies candidate generation, the bucket
+    * cap, AND verification cross-engine — upgrading the near-dedup
+    * family's check from rows-only to hash-green. The xxhash64 form
+    * stays the production default (stronger mixing, byte-level
+    * single-pass shingling); this key proves the ALGORITHM. */
+  private val qMinhashDupPortable = Q(
+    "q_minhash_dup_portable",
+    (s, d) =>
+      minhashPairsPortable(s, d)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(50),
+    Some(minhashPortableOracle)
+  )
+
   /** SimHash near-duplicate candidates: 64-bit simhash from distinct
     * token hashes (majority vote per bit), candidates = pairs equal on
     * any of the 4 16-bit bands (Hamming ≤ 3 guarantees a matching band
@@ -653,7 +759,8 @@ object Dedup {
   )
 
   def qs: Seq[Q] =
-    Seq(qDedupExact, qDedupExactAgg, qMinhashDup, qSimhashDup, qNgramJaccard,
+    Seq(qDedupExact, qDedupExactAgg, qMinhashDup, qMinhashDupPortable,
+      qSimhashDup, qNgramJaccard,
       qNgramContainment, qDecontaminate, qDupClusters,
       qDupClustersMinhash, qLeakageSafeSplit)
 }

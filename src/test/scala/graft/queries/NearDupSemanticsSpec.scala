@@ -130,6 +130,27 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
       s"unrelated docs must not pair up: $got")
   }
 
+  test("portable minhash finds the same planted pairs as the xxhash64 form") {
+    // the engine-agnostic signature must preserve the SEMANTICS of the
+    // production form: exact pair at 1.0, near pair high, unrelated
+    // docs never paired — and since verification is exact Jaccard on
+    // (differently-hashed) distinct shingle sets, the verified scores
+    // of shared pairs must be IDENTICAL across the two signatures
+    val xx = Registry.queries("q_minhash_dup")(spark, docsDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val port = Registry.queries("q_minhash_dup_portable")(spark, docsDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(port.get((4L, 5L)).contains(1.0), port.toString)
+    assert(port.getOrElse((1L, 2L), 0.0) > 0.8, port.toString)
+    assert(!port.keySet.exists { case (a, b) => Set(a, b).contains(3L) || Set(a, b).contains(6L) },
+      s"unrelated docs must not pair up: $port")
+    val shared = xx.keySet intersect port.keySet
+    assert(shared.nonEmpty)
+    assert(shared.forall(k => xx(k) == port(k)),
+      "verified Jaccard must not depend on the shingle hash: " +
+        shared.map(k => s"$k xx=${xx(k)} port=${port(k)}").mkString(", "))
+  }
+
   test("simhash reports hamming 0 for the exact pair, small for the near pair") {
     val got = Registry.queries("q_simhash_dup")(spark, docsDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
