@@ -340,14 +340,15 @@ object Dedup {
     * bucket cap, the band bucket join, and exact-Jaccard verification
     * on distinct shingle-hash sets — in DuckDB SQL. Built
     * programmatically so the permutation constants exist in exactly
-    * one place. */
-  private def minhashPortableOracle: String = {
+    * one place. [[minhashPortableCtes]] is the shared chain; the pair
+    * key and the cluster key append their own SELECTs. */
+  private def minhashPortableCtes: String = {
     val mod = graft.functions.PolyHash.Mod
     val slots = (0 until 16).map(k =>
       s"min((h * ${portA(k)} + ${portB(k)}) % $mod) AS s$k")
       .mkString(",\n          ")
     def bh(i: Int) = s"((s$i*31 + s${i + 1})*31 + s${i + 2})*31 + s${i + 3}"
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
        |grams AS (SELECT doc_id,
        |            unnest(list_transform(range(1, len(l) - 1),
        |                   j -> array_to_string(l[j:j+2], ' '))) AS g
@@ -374,15 +375,20 @@ object Dedup {
        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
        |          FROM cand c JOIN sh x ON x.doc_id = c.doc_a
        |          JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
-       |          GROUP BY c.doc_a, c.doc_b)
-       |SELECT c.doc_a, c.doc_b,
-       |  CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard
-       |FROM cand c
-       |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-       |JOIN sizes sa ON sa.doc_id = c.doc_a
-       |JOIN sizes sb ON sb.doc_id = c.doc_b
-       |ORDER BY jaccard DESC, c.doc_a, c.doc_b LIMIT 50""".stripMargin
+       |          GROUP BY c.doc_a, c.doc_b),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b)""".stripMargin
   }
+
+  private def minhashPortableOracle: String =
+    s"""WITH $minhashPortableCtes
+       |SELECT doc_a, doc_b, jaccard FROM scored
+       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
   /** [[qMinhashDup]] with the FULL ORACLE the xxhash64 form cannot
     * have: every stage of the LSH chain is engine-agnostic arithmetic,
@@ -675,6 +681,34 @@ object Dedup {
     None
   )
 
+  /** [[qDupClustersMinhash]] over the PORTABLE edge generator —
+    * content-based dup-cluster resolution under a FULL oracle: DuckDB
+    * re-derives the same LSH candidate pairs (the
+    * [[qMinhashDupPortable]] chain), applies the same verified-Jaccard
+    * threshold, and resolves components with a recursive CTE, so the
+    * driver hash certifies edge generation AND the fixpoint labeling
+    * cross-engine (q_dup_clusters proved the recursion pattern over
+    * positional edges; this closes it over content-based ones). */
+  private val qDupClustersMinhashPortable = Q(
+    "q_dup_clusters_minhash_portable",
+    (s, d) =>
+      ConnectedComponents.minLabel(
+        minhashPairsPortable(s, d).filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b")),
+        Checkpointer.Local)
+        .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $minhashPortableCtes,
+            |e AS (SELECT doc_a AS a, doc_b AS b FROM scored WHERE jaccard >= 0.5
+            |      UNION ALL
+            |      SELECT doc_b AS a, doc_a AS b FROM scored WHERE jaccard >= 0.5),
+            |reach(node, r) AS (
+            |      SELECT a, a FROM e
+            |      UNION
+            |      SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r)
+            |SELECT node AS doc_id, min(r) AS cluster_id
+            |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)
+  )
+
   /** LEAKAGE-SAFE train/val/test split — the assignment rule a
     * pretraining pipeline must use: hash the near-dup CLUSTER id, not
     * the document id, so near-duplicates can never straddle a split
@@ -762,5 +796,5 @@ object Dedup {
     Seq(qDedupExact, qDedupExactAgg, qMinhashDup, qMinhashDupPortable,
       qSimhashDup, qNgramJaccard,
       qNgramContainment, qDecontaminate, qDupClusters,
-      qDupClustersMinhash, qLeakageSafeSplit)
+      qDupClustersMinhash, qDupClustersMinhashPortable, qLeakageSafeSplit)
 }

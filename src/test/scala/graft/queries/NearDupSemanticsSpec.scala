@@ -83,6 +83,11 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     assert(!positional.contains(1L),
       s"doc_id-banded clustering is blind to far-apart twins (the gap " +
         s"q_dup_clusters_minhash closes): $positional")
+    // the portable-signature variant resolves the identical clusters
+    val portable = Registry.queries("q_dup_clusters_minhash_portable")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(portable === clusters,
+      s"portable edges must resolve the same clusters: $portable vs $clusters")
   }
 
   test("decontamination flags exactly the doc containing an eval-set span, with the exact fraction") {
