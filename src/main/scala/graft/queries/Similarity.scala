@@ -236,6 +236,74 @@ object Similarity {
     None
   )
 
+  /** [[qSimilarityLsh]]'s FULLY-ORACLE-CHECKED sibling — the
+    * `q_embed_project` move applied to hyperplane LSH: instead of
+    * driver-side splitmix64 planes (64-bit wraparound arithmetic DuckDB
+    * cannot replay), the ±1 plane weights DERIVE per-entry from the
+    * Knuth multiplicative hash in plain modular arithmetic, the dot
+    * products run in the same pinned left-fold order both engines
+    * share, and the bucket is the plane-sign bit vector as an integer.
+    * DuckDB therefore re-derives the ENTIRE ANN pipeline — geometry,
+    * bucketing, candidate join, exact cosine re-rank — and the driver
+    * hash certifies it end to end (the production key stays rows-only
+    * by design: adaptive `planesFor` geometry, multiprobe expansion,
+    * occupancy caps, codegen'd dot kernels; THIS key pins fixed
+    * 4-table × 8-plane single-probe geometry, the algorithm's core).
+    * The nested-lambda expression is interpreted, accepted here: the
+    * production form owns the hot path. */
+  private val qSimilarityLshPortable = Q(
+    "q_similarity_lsh_portable",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val bucketsExpr = expr(
+        """transform(sequence(0, 3), t ->
+          |  named_struct('tbl', t, 'bucket',
+          |    aggregate(sequence(0, 7), 0L, (acc, p) ->
+          |      acc + CASE WHEN aggregate(sequence(0, 63), 0.0D, (a, i) ->
+          |          a + element_at(emb, i + 1) *
+          |            (CASE WHEN (((t*8 + p)*64 + i) * 2654435761L) % 4294967296L
+          |                  >= 2147483648L THEN 1.0D ELSE -1.0D END)) >= 0.0D
+          |      THEN shiftleft(1L, p) ELSE 0L END)))""".stripMargin)
+      val r = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("emb"),
+          explode(bucketsExpr).as("h"))
+        .select(col("neighbor_id"), col("emb"), col("h.tbl"), col("h.bucket"))
+      val l = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+          explode(bucketsExpr).as("h"))
+        .select(col("query_id"), col("qemb"), col("h.tbl"), col("h.bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      l.join(r, Seq("tbl", "bucket"))
+        .select(col("query_id"), col("qemb"), col("neighbor_id"), col("emb"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .withColumn("cos", round(cosine(col("qemb"), col("emb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS ($oracleEmb),
+        |b AS (SELECT vec_id, t,
+        |        list_sum(list_transform(range(8), p ->
+        |          CASE WHEN list_sum(list_transform(range(64), i ->
+        |            emb[i+1] * (CASE WHEN (((t*8 + p)*64 + i) * 2654435761) % 4294967296
+        |                        >= 2147483648 THEN 1.0 ELSE -1.0 END))) >= 0
+        |          THEN 1 << p ELSE 0 END)) AS bucket
+        |      FROM e CROSS JOIN (SELECT unnest(range(4)) AS t)),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |         FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+        |         WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |x AS (SELECT query_id, neighbor_id,
+        |        round(${oracleCos("qe.emb", "ce.emb")}, 6) AS cos
+        |      FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+        |                JOIN e ce ON ce.vec_id = cand.neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM x)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+  )
+
   /** Embedding-cosine near-duplicate pairs over a structurally bounded
     * pair set (vec_id within 10): exact, SQL-oracle-able. Banded into
     * an equi-join on floor(vec_id/10) (a-side explodes into its bucket
@@ -747,7 +815,8 @@ object Similarity {
         |SELECT vec_id, j AS dim, val FROM p ORDER BY vec_id, dim""".stripMargin))
 
   def qs: Seq[Q] =
-    Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityIvf,
+    Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityLshPortable,
+      qSimilarityIvf,
       qSimilarityIvfKmeans, qSemanticDedup, qEmbedCosineDup, qAnnRecall,
       qEmbedCentroids, qSimilaritySq8, qRetrievalMetrics, qEmbedProject)
 }
