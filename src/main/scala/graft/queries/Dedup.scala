@@ -446,6 +446,81 @@ object Dedup {
     None
   )
 
+  /** [[qSimhashDup]]'s FULLY-ORACLE-CHECKED sibling — the last
+    * near-dedup family without one: a 30-BIT simhash whose per-token
+    * hash is `poly_hash` (mod 1e9+7 < 2^30, so every bit is
+    * arithmetic DuckDB replays), majority-voted per bit over the
+    * DISTINCT token hashes with the same strict `2·ones > n` rule,
+    * banded 3×10 bits, occupancy-capped, Hamming-verified. The driver
+    * hash certifies the vote, the banding, the cap, and the
+    * verification cross-engine. The 64-bit xxhash64 form stays the
+    * production default (single codegen'd pass, wider fingerprint);
+    * this key's explode-by-bit vote is the portable demonstration
+    * (30× row fan-out into a partial-agg'd groupBy — linear, just not
+    * the hot form). */
+  private val qSimhashDupPortable = Q(
+    "q_simhash_dup_portable",
+    (s, d) => {
+      val th = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), call_function("poly_hash", col("tok")).as("h"))
+        .distinct()
+      val sims = th
+        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 29)")).as("b"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(expr("shiftright(h, b) & 1")).as("ones"), count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(expr("2*ones > n"), expr("shiftleft(1L, b)"))
+          .otherwise(0L)).as("sim"))
+      val bands = sims.select(col("doc_id"), col("sim"), explode(expr(
+        """transform(sequence(0, 2), k ->
+          |  named_struct('band', k, 'bits', shiftright(sim, 10*k) & 1023))""".stripMargin)).as("bd"))
+        .select(col("doc_id"), col("sim"), col("bd.band"), col("bd.bits"))
+      val capped = bands.withColumn("bn",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bits"))))
+        .filter(col("bn") <= 256)
+      val l = capped.select(col("band"), col("bits"),
+        col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+      val r = capped.select(col("band"), col("bits"),
+        col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+      l.join(r, Seq("band", "bits")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(expr("sim_a ^ sim_b")).as("hamming"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("hamming")).as("hamming"))
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(50)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            |             FROM documents WHERE text IS NOT NULL),
+            |th AS (SELECT DISTINCT doc_id,
+            |         CASE WHEN tok = '' THEN 0 ELSE
+            |           list_reduce(list_transform(string_split_regex(tok, ''), c -> CAST(ascii(c) AS BIGINT)),
+            |                       (a, b) -> (a * 31 + b) % ${graft.functions.PolyHash.Mod})
+            |         END AS h
+            |       FROM toks),
+            |votes AS (SELECT doc_id, b, sum((h >> CAST(b AS INT)) & 1) AS ones, count(*) AS n
+            |          FROM th CROSS JOIN (SELECT unnest(range(30)) AS b) GROUP BY doc_id, b),
+            |sims AS (SELECT doc_id,
+            |           CAST(sum(CASE WHEN 2*ones > n
+            |                    THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sim
+            |         FROM votes GROUP BY doc_id),
+            |bands AS (SELECT doc_id, sim, 0 AS band, (sim >> 0) & 1023 AS bits FROM sims
+            |  UNION ALL SELECT doc_id, sim, 1, (sim >> 10) & 1023 FROM sims
+            |  UNION ALL SELECT doc_id, sim, 2, (sim >> 20) & 1023 FROM sims),
+            |occ AS (SELECT doc_id, sim, band, bits,
+            |          count(*) OVER (PARTITION BY band, bits) AS bn FROM bands),
+            |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |            a.sim AS sa, b.sim AS sb
+            |          FROM occ a JOIN occ b ON a.band = b.band AND a.bits = b.bits
+            |               AND a.doc_id < b.doc_id
+            |          WHERE a.bn <= 256 AND b.bn <= 256)
+            |SELECT doc_a, doc_b, CAST(min(bit_count(xor(sa, sb))) AS INT) AS hamming
+            |FROM pairs GROUP BY doc_a, doc_b
+            |ORDER BY hamming, doc_a, doc_b LIMIT 50""".stripMargin)
+  )
+
   /** Exact n-gram Jaccard over a structurally bounded pair set (same
     * source, doc_id within 20): each doc joins ≤20 others regardless of
     * corpus size. Fully SQL-oracle-able: set ops on distinct shingles. */
@@ -794,7 +869,7 @@ object Dedup {
 
   def qs: Seq[Q] =
     Seq(qDedupExact, qDedupExactAgg, qMinhashDup, qMinhashDupPortable,
-      qSimhashDup, qNgramJaccard,
+      qSimhashDup, qSimhashDupPortable, qNgramJaccard,
       qNgramContainment, qDecontaminate, qDupClusters,
       qDupClustersMinhash, qDupClustersMinhashPortable, qLeakageSafeSplit)
 }

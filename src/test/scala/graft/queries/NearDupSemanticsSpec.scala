@@ -163,6 +163,15 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     assert(got.getOrElse((1L, 2L), 64) <= 12, got.toString)
   }
 
+  test("portable simhash: exact pair at hamming 0, near pair small, on the planted corpus") {
+    val got = Registry.queries("q_simhash_dup_portable")(spark, docsDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got.get((4L, 5L)).contains(0), got.toString)
+    // 30-bit fingerprint: proportionally the same closeness bar as the
+    // 64-bit form's <=12
+    assert(got.getOrElse((1L, 2L), 30) <= 6, got.toString)
+  }
+
   test("ngram jaccard scores the planted pairs correctly") {
     val got = Registry.queries("q_ngram_jaccard")(spark, docsDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
