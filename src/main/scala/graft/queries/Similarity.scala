@@ -283,7 +283,16 @@ object Similarity {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(s"""WITH e AS ($oracleEmb),
+    Some(lshPortableOracle)
+  )
+
+  /** The q_similarity_lsh_portable oracle text as a named val so
+    * [[qAnnRecallPortable]] can embed the SAME chain verbatim as its
+    * approx side — the recall metric then certifies the identical
+    * pipeline the standalone key certifies, not a re-derivation that
+    * could drift. */
+  private[queries] lazy val lshPortableOracle: String =
+    s"""WITH e AS ($oracleEmb),
         |b AS (SELECT vec_id, t,
         |        list_sum(list_transform(range(8), p ->
         |          CASE WHEN list_sum(list_transform(range(64), i ->
@@ -301,8 +310,7 @@ object Similarity {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY cos DESC, neighbor_id) AS rank FROM x)
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
-  )
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs over a structurally bounded
     * pair set (vec_id within 10): exact, SQL-oracle-able. Banded into
@@ -522,6 +530,88 @@ object Similarity {
     None
   )
 
+  /** [[qSemanticDedup]]'s FULLY-ORACLE-CHECKED sibling — the same
+    * cluster → capped within-cluster cosine pairs → connected
+    * components → keep-decision chain, with both engine-specific parts
+    * swapped for portable equivalents: the coarse cluster is the t=0
+    * slice of the Knuth-hash hyperplane geometry
+    * ([[qSimilarityLshPortable]] proved DuckDB replays it bit-exact) —
+    * an 8-plane sign bucket instead of trained k-means — and the
+    * transitive groups resolve via the recursive-CTE fixpoint
+    * (q_dup_clusters_minhash_portable proved that). The cosine
+    * threshold is pinned LOW (0.40) deliberately: the synthetic
+    * embeddings are near-orthogonal (max within-bucket cosine ≈ 0.45),
+    * so a production 0.995 gate would pass vacuously with zero edges;
+    * 0.40 forces real merges (5 clusters at sf0.001, 76 at sf0.1)
+    * through every stage the hash certifies — bucket derivation,
+    * occupancy cap, pair generation, threshold on the shared rounded
+    * cosine, fixpoint labeling, and the singleton fallthrough. The
+    * production key keeps the trained quantizer and the 0.995 gate;
+    * THIS key is the cross-engine certificate of the algorithm.
+    * Scale shape is identical to production: pairs only within a
+    * capped bucket (never all-pairs), one (long,long) shuffle per
+    * components round. */
+  private val qSemanticDedupPortable = Q(
+    "q_semantic_dedup_portable",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val bucketExpr = expr(
+        """aggregate(sequence(0, 7), 0L, (acc, p) ->
+          |  acc + CASE WHEN aggregate(sequence(0, 63), 0.0D, (a, i) ->
+          |      a + element_at(emb, i + 1) *
+          |        (CASE WHEN ((p*64 + i) * 2654435761L) % 4294967296L
+          |              >= 2147483648L THEN 1.0D ELSE -1.0D END)) >= 0.0D
+          |  THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin)
+      val capped = e.select(col("vec_id"), col("emb"), bucketExpr.as("cid"))
+        .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("cid"))))
+        .filter(col("cn") <= LshBucketCap)
+        .drop("cn")
+      val l = capped.select(col("cid"), col("vec_id").as("doc_a"),
+        col("emb").as("emb_a"))
+      val r = capped.select(col("cid"), col("vec_id").as("doc_b"),
+        col("emb").as("emb_b"))
+      val pairs = l.join(r, Seq("cid"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+        .filter(col("cos") >= 0.40)
+        .select(col("doc_a"), col("doc_b"))
+      val clusters = ConnectedComponents.minLabel(pairs, Checkpointer.Local)
+      e.select(col("vec_id")).join(clusters,
+          e("vec_id") === clusters("doc_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("group_id"),
+          (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id")).as("keep"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE e AS ($oracleEmb),
+        |b AS (SELECT vec_id, emb,
+        |        list_sum(list_transform(range(8), p ->
+        |          CASE WHEN list_sum(list_transform(range(64), i ->
+        |            emb[i+1] * (CASE WHEN ((p*64 + i) * 2654435761) % 4294967296
+        |                        >= 2147483648 THEN 1.0 ELSE -1.0 END))) >= 0
+        |          THEN 1 << p ELSE 0 END)) AS cid
+        |      FROM e),
+        |cap AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY cid) AS cn
+        |                       FROM b) WHERE cn <= 256),
+        |p AS (SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+        |      FROM cap a JOIN cap c ON a.cid = c.cid AND c.vec_id > a.vec_id
+        |      WHERE round(${oracleCos("a.emb", "c.emb")}, 6) >= 0.40),
+        |ed AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |       UNION ALL
+        |       SELECT doc_b AS a, doc_a AS b FROM p),
+        |reach(node, r) AS (
+        |       SELECT a, a FROM ed
+        |       UNION
+        |       SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r),
+        |lab AS (SELECT node AS doc_id, min(r) AS cluster_id
+        |        FROM reach GROUP BY node)
+        |SELECT e.vec_id,
+        |  coalesce(lab.cluster_id, e.vec_id) AS group_id,
+        |  coalesce(lab.cluster_id, e.vec_id) = e.vec_id AS keep
+        |FROM e LEFT JOIN lab ON e.vec_id = lab.doc_id
+        |ORDER BY vec_id""".stripMargin)
+  )
+
   /** ANN quality harness — recall@5 of each approximate index (IVF,
     * hyperplane LSH) against the exact brute-force top-5. The eval
     * every ANN deployment runs before trusting an index: a tuning
@@ -553,6 +643,61 @@ object Similarity {
         .orderBy(col("method"))
     },
     None
+  )
+
+  /** [[qAnnRecall]]'s FULLY-ORACLE-CHECKED sibling: recall@5 of the two
+    * ANN variants whose ENTIRE pipelines are themselves cross-engine
+    * replayable — IVF (the `ivfOracle` chain) and portable hyperplane
+    * LSH (the `lshPortableOracle` chain) — against the exact
+    * brute-force top-5 (`bruteOracle`). DuckDB re-derives all three
+    * sides from the raw embeddings and recomputes the metric, so the
+    * driver hash certifies not just that each index returns its
+    * claimed rows (the standalone keys do that) but that the QUALITY
+    * NUMBER every tuning decision reads is computed identically — the
+    * eval harness itself is under the oracle, closing the loop the
+    * production q_ann_recall leaves rows-only (its LSH side uses
+    * engine-specific splitmix64 planes). Cost shape: three bounded
+    * subplans joined on (query_id, neighbor_id) — no new scan
+    * geometry. */
+  private val qAnnRecallPortable = Q(
+    "q_ann_recall_portable",
+    (s, d) => {
+      val exact = qSimilarityBruteforce.fn(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      def recall(approx: DataFrame, method: String) =
+        exact.join(
+            approx.select(col("query_id"), col("neighbor_id"))
+              .withColumn("hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall"))
+          .agg(round(avg(col("recall")), 3).as("avg_recall"),
+            round(min(col("recall")), 3).as("min_recall"))
+          .select(lit(method).as("method"), col("avg_recall"), col("min_recall"))
+      recall(qSimilarityIvf.fn(s, d), "ivf")
+        .unionByName(recall(qSimilarityLshPortable.fn(s, d), "lsh_portable"))
+        .orderBy(col("method"))
+    },
+    Some(s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($bruteOracle) t),
+        |ivf AS (SELECT query_id, neighbor_id FROM ($ivfOracle) t),
+        |lshp AS (SELECT query_id, neighbor_id FROM ($lshPortableOracle) t),
+        |r1 AS (SELECT e.query_id,
+        |         CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall
+        |       FROM exact e LEFT JOIN ivf a
+        |         ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |       GROUP BY e.query_id),
+        |r2 AS (SELECT e.query_id,
+        |         CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall
+        |       FROM exact e LEFT JOIN lshp a
+        |         ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |       GROUP BY e.query_id)
+        |SELECT method, avg_recall, min_recall FROM (
+        |  SELECT 'ivf' AS method, round(avg(recall), 3) AS avg_recall,
+        |         round(min(recall), 3) AS min_recall FROM r1
+        |  UNION ALL
+        |  SELECT 'lsh_portable', round(avg(recall), 3), round(min(recall), 3)
+        |  FROM r2)
+        |ORDER BY method""".stripMargin)
   )
 
   /** Per-label embedding centroids (class prototypes) — the vector
@@ -817,6 +962,7 @@ object Similarity {
   def qs: Seq[Q] =
     Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityLshPortable,
       qSimilarityIvf,
-      qSimilarityIvfKmeans, qSemanticDedup, qEmbedCosineDup, qAnnRecall,
+      qSimilarityIvfKmeans, qSemanticDedup, qSemanticDedupPortable,
+      qEmbedCosineDup, qAnnRecall, qAnnRecallPortable,
       qEmbedCentroids, qSimilaritySq8, qRetrievalMetrics, qEmbedProject)
 }

@@ -419,6 +419,59 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     assert(dropped == Set(10L, 11L, 12L), s"only the planted twins drop: $dropped")
   }
 
+  test("portable semantic dedup collapses the planted twin groups transitively") {
+    // same avalanche fixture rationale as the production key's test:
+    // integer-hash vectors so no accidental near-twins exist
+    val dir = Files.createTempDirectory("semdedup-port").toString
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def pv(seed: Int): Array[Float] =
+      Array.tabulate(64)(j =>
+        (((mix(seed * 64L + j) & 0x7fffffffL) % 1000L).toDouble / 1000.0 * 2 - 1).toFloat)
+    val rows0 = (0 until 30).map { i =>
+      val v =
+        if (i == 10) pv(0)
+        else if (i == 11) { val x = pv(1); x(0) = x(0) + 0.01f; x }
+        else if (i == 12) { val x = pv(0); x(1) = x(1) + 0.01f; x }
+        else pv(i)
+      (i.toLong, v, i % 3)
+    }
+    rows0.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Registry.queries("q_semantic_dedup_portable")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows.size == 30, s"one verdict per vector: ${rows.size}")
+    // exact twins share every sign bucket; the +0.01 near-twins flip a
+    // plane only if its margin is below the perturbation — not the case
+    // on this fixture — so the portable chain must find the same groups
+    // the production (k-means-clustered, 0.995-gated) key finds
+    assert(rows(10L) == (0L, false), rows(10L).toString)
+    assert(rows(12L) == (0L, false), rows(12L).toString)
+    assert(rows(11L) == (1L, false), rows(11L).toString)
+    assert(rows(0L) == (0L, true) && rows(1L) == (1L, true))
+    val dropped = rows.filter(!_._2._2).keys.toSet
+    assert(dropped == Set(10L, 11L, 12L), s"only the planted twins drop: $dropped")
+  }
+
+  test("portable ANN recall: bounds hold, both oracled methods report, twin keeps recall positive") {
+    val rows = Registry.queries("q_ann_recall_portable")(spark, embDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Set("ivf", "lsh_portable"), rows.keySet.toString)
+    rows.foreach { case (m, (avg, mn)) =>
+      assert(avg >= 0.0 && avg <= 1.0 && mn >= 0.0 && mn <= avg,
+        s"$m: avg=$avg min=$mn out of bounds")
+    }
+    assert(rows("ivf")._1 >= 0.2, s"ivf recall collapsed: $rows")
+    // single-probe fixed 8-plane geometry on a 20-vector corpus is
+    // sparse, but query 0's identical twin shares every bucket → the
+    // average cannot be zero
+    assert(rows("lsh_portable")._1 > 0.0, s"lsh_portable recall collapsed: $rows")
+  }
+
   test("IVF centroid count scales ~sqrt(n) and is clamped") {
     assert(Similarity.centroidsFor(0) == 16)
     assert(Similarity.centroidsFor(100) == 16)
