@@ -97,7 +97,8 @@ object ScaleSmoke {
       // oracle-gated R=3, and the real-codec decode pipeline
       "q_quality_calibrate_scalable", "q_bpe_encode", "q_bpe_encode_fast",
       "q_multimodal_features", "q_multimodal_resize", "q_minhash_dup_portable",
-      "q_dup_clusters_minhash_portable", "q_similarity_lsh_portable")
+      "q_dup_clusters_minhash_portable", "q_similarity_lsh_portable",
+      "q_similarity_ivf_kmeans_portable")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

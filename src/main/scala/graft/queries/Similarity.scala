@@ -473,6 +473,123 @@ object Similarity {
     None
   )
 
+  /** Lloyd rounds for the PORTABLE trained-IVF variant — small and
+    * fixed because each round is one unrolled CTE layer in the oracle
+    * (the q_bpe_* precedent); 2 rounds already moves the lowest-id
+    * init centroids onto the data's cluster structure, which is the
+    * semantics being certified. The production trained form
+    * (`q_similarity_ivf_kmeans`, 5 engine-side iterations) stays the
+    * deployment key. */
+  private val IvfKmPortableRounds = 2
+
+  /** IVF with centroids trained by a CROSS-ENGINE-EXACT Lloyd's
+    * k-means — the fully-oracle-checked companion to
+    * `q_similarity_ivf_kmeans` (which trains in the engine and is
+    * rows-only). Exactness across engines comes from two choices:
+    *
+    *   1. **Integer-micro centroids.** Every embedding is quantized
+    *      once to `BIGINT` micros (`round(x·1e6)`); a centroid is the
+    *      element-wise **sum** of its members' micro vectors — an
+    *      integer aggregate, so it is exact and order-independent in
+    *      both engines, unlike a floating-point mean whose value
+    *      depends on reduction order. The mean's `/count` is dropped
+    *      entirely because cosine is scale-invariant: the sum vector
+    *      points exactly where the mean does. Magnitudes stay exact in
+    *      doubles: |component| ≤ 1e6·|x|max·n ≈ 1e9 on the driver
+    *      tables, far under 2^53.
+    *   2. **Fixed-order distance folds.** Assignment ranks by
+    *      round(cosine, 6) with ties to the lower cid; the cosine is a
+    *      sequential left fold over the array in BOTH engines
+    *      (`cosine_sim` ↔ `list_dot_product`), so the doubles agree
+    *      bit-for-bit — the same argument every similarity oracle here
+    *      rests on.
+    *
+    * Init = the k lowest-id HELD-OUT corpus vectors (queries excluded,
+    * the deployment shape); then [[IvfKmPortableRounds]] rounds of
+    * (assign → integer re-sum), then the standard [[ivfSearch]] at
+    * nprobe=4. Per round: one broadcast-assign (no corpus shuffle) and
+    * one (cid, pos)-keyed integer aggregation — both linear scans, the
+    * same 100 TB stance as the engine-trained form. Dim-adaptive on
+    * both sides (posexplode ↔ range(max(len))). */
+  private val qSimilarityIvfKmeansPortable = Q(
+    "q_similarity_ivf_kmeans_portable",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val k = centroidsFor(e.count())
+      val corpus = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("emb"),
+          expr("transform(emb, x -> CAST(round(x * 1000000) AS BIGINT))")
+            .as("emb_m"))
+      var cent = corpus.filter(col("nid") < k + 10)
+        .select(col("nid").as("cid"),
+          expr("transform(emb_m, x -> CAST(x AS DOUBLE))").as("cemb"))
+      for (_ <- 1 to IvfKmPortableRounds) {
+        val assigned = graft.index.VectorConventions.assign(
+          corpus, cent, "nid", "emb", 1)
+        cent = assigned
+          .select(col("cid"), posexplode(col("emb_m")).as(Seq("i", "v")))
+          .groupBy(col("cid"), col("i")).agg(sum(col("v")).as("s"))
+          .groupBy(col("cid"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(i, s))), x -> CAST(x.s AS DOUBLE))")
+            .as("cemb"))
+      }
+      ivfSearch(e, cent, queryProbes = 4)
+    },
+    Some(ivfKmeansPortableOracle)
+  )
+
+  /** The unrolled-Lloyd oracle: cent0 = lowest-id held-out init, then
+    * per round r an assignment CTE (argmax round(cos,6), tie → lower
+    * cid) and an integer re-sum CTE, then the verbatim ivfSearch tail
+    * (probes: corpus 1, queries 4, exact top-5 re-rank). */
+  private[queries] lazy val ivfKmeansPortableOracle: String = {
+    def assignCte(cent: String): String =
+      s"""SELECT nid, emb_m, cid FROM (
+         |  SELECT c.nid, c.emb_m, ct.cid, row_number() OVER (PARTITION BY c.nid
+         |      ORDER BY round(${oracleCos("c.emb", "ct.cemb")}, 6) DESC, ct.cid) AS crn
+         |  FROM corpus c CROSS JOIN $cent ct) WHERE crn = 1""".stripMargin
+    def resumCtes(r: Int): String =
+      s"""s$r AS (SELECT cid, i, CAST(sum(emb_m[i + 1]) AS BIGINT) AS s
+         |      FROM a$r CROSS JOIN (SELECT unnest(range(
+         |        (SELECT max(len(emb_m)) FROM em))) AS i)
+         |      GROUP BY cid, i),
+         |cent$r AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cemb
+         |        FROM s$r GROUP BY cid)""".stripMargin
+    val rounds = (1 to IvfKmPortableRounds).map { r =>
+      s"""a$r AS (${assignCte(s"cent${r - 1}")}),
+         |${resumCtes(r)}""".stripMargin
+    }.mkString(",\n")
+    val fin = s"cent$IvfKmPortableRounds"
+    s"""WITH e AS ($oracleEmb),
+       |em AS (SELECT vec_id, emb,
+       |         list_transform(emb, x -> CAST(round(x * 1000000) AS BIGINT)) AS emb_m
+       |       FROM e),
+       |corpus AS (SELECT vec_id AS nid, emb, emb_m FROM em WHERE vec_id >= 10),
+       |cent0 AS (SELECT nid AS cid,
+       |            list_transform(emb_m, x -> CAST(x AS DOUBLE)) AS cemb
+       |          FROM corpus
+       |          WHERE nid < 10 + (SELECT least(4096, greatest(16,
+       |            CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM e)),
+       |$rounds,
+       |ca AS (SELECT nid AS neighbor_id, emb, cid FROM (
+       |         SELECT c.nid, c.emb, ct.cid, row_number() OVER (PARTITION BY c.nid
+       |             ORDER BY round(${oracleCos("c.emb", "ct.cemb")}, 6) DESC, ct.cid) AS crn
+       |         FROM corpus c CROSS JOIN $fin ct) WHERE crn <= 1),
+       |qa AS (SELECT vec_id AS query_id, qemb, cid FROM (
+       |         SELECT q.vec_id, q.emb AS qemb, ct.cid, row_number() OVER (
+       |             PARTITION BY q.vec_id
+       |             ORDER BY round(${oracleCos("q.emb", "ct.cemb")}, 6) DESC, ct.cid) AS crn
+       |         FROM em q CROSS JOIN $fin ct WHERE q.vec_id < 10) WHERE crn <= 4),
+       |x AS (SELECT query_id, neighbor_id,
+       |        round(${oracleCos("qemb", "emb")}, 6) AS cos
+       |      FROM qa JOIN ca USING (cid)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS rank FROM x)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** SEMANTIC dedup (SemDeDup-shaped: Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication") — the embedding-space analog of minhash dedup:
@@ -962,7 +1079,8 @@ object Similarity {
   def qs: Seq[Q] =
     Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityLshPortable,
       qSimilarityIvf,
-      qSimilarityIvfKmeans, qSemanticDedup, qSemanticDedupPortable,
+      qSimilarityIvfKmeans, qSimilarityIvfKmeansPortable,
+      qSemanticDedup, qSemanticDedupPortable,
       qEmbedCosineDup, qAnnRecall, qAnnRecallPortable,
       qEmbedCentroids, qSimilaritySq8, qRetrievalMetrics, qEmbedProject)
 }

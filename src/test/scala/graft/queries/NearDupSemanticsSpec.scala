@@ -333,7 +333,8 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     // trade for full oracle-checkability
     Seq("q_similarity_bruteforce", "q_similarity_lsh",
       "q_similarity_lsh_portable", "q_similarity_ivf",
-      "q_similarity_ivf_kmeans").foreach { name =>
+      "q_similarity_ivf_kmeans",
+      "q_similarity_ivf_kmeans_portable").foreach { name =>
       val top1 = Registry.queries(name)(spark, embDir)
         .filter(col("query_id") === 0 && col("rank") === 1)
         .collect()
@@ -363,7 +364,8 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
 
   test("non-64-dim corpus: indexes use the data's dim, twin still top-1, recall floor holds") {
     Seq("q_similarity_bruteforce", "q_similarity_lsh", "q_similarity_ivf",
-      "q_similarity_ivf_kmeans").foreach { name =>
+      "q_similarity_ivf_kmeans", "q_similarity_ivf_kmeans_portable")
+      .foreach { name =>
       val top1 = Registry.queries(name)(spark, embDir24)
         .filter(col("query_id") === 0 && col("rank") === 1)
         .collect()
