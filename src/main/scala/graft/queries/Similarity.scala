@@ -792,11 +792,14 @@ object Similarity {
             round(min(col("recall")), 3).as("min_recall"))
           .select(lit(method).as("method"), col("avg_recall"), col("min_recall"))
       recall(qSimilarityIvf.fn(s, d), "ivf")
+        .unionByName(
+          recall(qSimilarityIvfKmeansPortable.fn(s, d), "ivf_kmeans_portable"))
         .unionByName(recall(qSimilarityLshPortable.fn(s, d), "lsh_portable"))
         .orderBy(col("method"))
     },
     Some(s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($bruteOracle) t),
         |ivf AS (SELECT query_id, neighbor_id FROM ($ivfOracle) t),
+        |ivfkp AS (SELECT query_id, neighbor_id FROM ($ivfKmeansPortableOracle) t),
         |lshp AS (SELECT query_id, neighbor_id FROM ($lshPortableOracle) t),
         |r1 AS (SELECT e.query_id,
         |         CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall
@@ -807,13 +810,22 @@ object Similarity {
         |         CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall
         |       FROM exact e LEFT JOIN lshp a
         |         ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |       GROUP BY e.query_id),
+        |r3 AS (SELECT e.query_id,
+        |         CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall
+        |       FROM exact e LEFT JOIN ivfkp a
+        |         ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         |       GROUP BY e.query_id)
         |SELECT method, avg_recall, min_recall FROM (
         |  SELECT 'ivf' AS method, round(avg(recall), 3) AS avg_recall,
         |         round(min(recall), 3) AS min_recall FROM r1
         |  UNION ALL
         |  SELECT 'lsh_portable', round(avg(recall), 3), round(min(recall), 3)
-        |  FROM r2)
+        |  FROM r2
+        |  UNION ALL
+        |  SELECT 'ivf_kmeans_portable', round(avg(recall), 3),
+        |         round(min(recall), 3)
+        |  FROM r3)
         |ORDER BY method""".stripMargin)
   )
 

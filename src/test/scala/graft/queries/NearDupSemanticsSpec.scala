@@ -459,10 +459,11 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     assert(dropped == Set(10L, 11L, 12L), s"only the planted twins drop: $dropped")
   }
 
-  test("portable ANN recall: bounds hold, both oracled methods report, twin keeps recall positive") {
+  test("portable ANN recall: bounds hold, all oracled methods report, twin keeps recall positive") {
     val rows = Registry.queries("q_ann_recall_portable")(spark, embDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(rows.keySet == Set("ivf", "lsh_portable"), rows.keySet.toString)
+    assert(rows.keySet == Set("ivf", "ivf_kmeans_portable", "lsh_portable"),
+      rows.keySet.toString)
     rows.foreach { case (m, (avg, mn)) =>
       assert(avg >= 0.0 && avg <= 1.0 && mn >= 0.0 && mn <= avg,
         s"$m: avg=$avg min=$mn out of bounds")
@@ -472,6 +473,10 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     // sparse, but query 0's identical twin shares every bucket → the
     // average cannot be zero
     assert(rows("lsh_portable")._1 > 0.0, s"lsh_portable recall collapsed: $rows")
+    // the portable trainer probes 4 of 16 lists and query 0's twin is
+    // always in a probed list (identical embedding → same argmax)
+    assert(rows("ivf_kmeans_portable")._1 >= 0.2,
+      s"ivf_kmeans_portable recall collapsed: $rows")
   }
 
   test("IVF centroid count scales ~sqrt(n) and is clamped") {
