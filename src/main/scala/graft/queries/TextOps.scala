@@ -639,9 +639,79 @@ object TextOps {
     qQualityCalibrate.oracle
   )
 
+  /** PHRASE search over a positional inverted index — the retrieval
+    * primitive tf-idf/BM25 can't express: "these words, adjacent, in
+    * this order". The index is the classic (term, doc_id, pos) posting
+    * relation; a phrase hit is an equi-join of the first word's
+    * postings with the second word's at `pos+1` — adjacency becomes a
+    * join key, never a scan of document text.
+    *
+    * Queries are data-derived (self-contained like q_bpe_pairs): the
+    * top-5 corpus bigrams by adjacent-pair count (ties → lexicographic)
+    * are searched. Output per (phrase, doc): occurrence count and first
+    * position, capped at 20 docs per phrase by doc_id.
+    *
+    * Scale shape: the posting build is one explode (narrow); the query
+    * terms are a ≤10-row broadcast, so BOTH posting sides are
+    * broadcast-semi-filtered to the query vocabulary before the
+    * adjacency join — postings for 10 terms, not the 100 TB corpus,
+    * meet in the shuffle. At real scale the posting relation is the
+    * persisted artifact (build once, query many — the VectorIndex
+    * pattern); this key certifies the query semantics end to end.
+    * Output is all-integer → no float caveats in the oracle. */
+  private val qPhraseSearch = Q(
+    "q_phrase_search",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .withColumn("pos", col("pos").cast("long"))
+      val phrases = toks
+        .withColumn("nxt", lead(col("term"), 1)
+          .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("term").as("l"), col("nxt").as("r")).count()
+        .orderBy(col("count").desc, col("l"), col("r")).limit(5)
+        .select(concat_ws(" ", col("l"), col("r")).as("phrase"),
+          col("l"), col("r"))
+      val p1 = toks.join(broadcast(phrases), col("term") === col("l"))
+      val p2 = toks
+        .join(broadcast(phrases.select(col("r").as("term")).distinct),
+          Seq("term"), "leftsemi")
+        .select(col("doc_id").as("doc2"), col("pos").as("pos2"),
+          col("term").as("term2"))
+      val hits = p1.join(p2,
+          p1("doc_id") === col("doc2") && col("pos2") === p1("pos") + 1 &&
+            col("term2") === p1("r"))
+        .groupBy(col("phrase"), col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+      val w = Window.partitionBy(col("phrase")).orderBy(col("doc_id"))
+      hits.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20).drop("rn")
+        .orderBy(col("phrase"), col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(arr) AS term,
+              unnest(range(len(arr))) AS pos
+            FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)),
+            big AS (SELECT a.term AS l, b.term AS r, count(*) AS cnt
+                    FROM toks a JOIN toks b
+                      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                    GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 5),
+            hits AS (SELECT big.l || ' ' || big.r AS phrase, t1.doc_id,
+                       count(*) AS n_hits, min(t1.pos) AS first_pos
+                     FROM big JOIN toks t1 ON t1.term = big.l
+                          JOIN toks t2 ON t2.doc_id = t1.doc_id
+                            AND t2.pos = t1.pos + 1 AND t2.term = big.r
+                     GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY phrase
+                    ORDER BY doc_id) AS rn FROM hits)
+            SELECT phrase, doc_id, n_hits, first_pos
+            FROM r WHERE rn <= 20 ORDER BY phrase, doc_id""")
+  )
+
   def qs: Seq[Q] =
     Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint,
       qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf, qLengthHistogram,
       qBm25, qCmsCounts, qCmsCountsWide, qLmScore, qQualityCalibrate,
-      qQualityCalibrateScalable)
+      qQualityCalibrateScalable, qPhraseSearch)
 }

@@ -37,6 +37,33 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
     d
   }
 
+  /** Phrase search on a hand-countable corpus: "the cat" is the only
+    * repeated bigram (count 3), so it must rank as a query phrase, and
+    * its per-doc hit counts and first positions are known exactly. */
+  test("phrase search finds planted phrases with exact counts and positions") {
+    val d = Files.createTempDirectory("phrase").toString
+    Seq(
+      doc(1L, "the cat sat on the mat the cat"),
+      doc(2L, "the cat naps"),
+      doc(3L, "dogs bark loud"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_phrase_search")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // top bigram "the cat" (count 3) is searched; adjacency join must
+    // count both occurrences in doc 1 and locate the first at pos 0
+    assert(rows(("the cat", 1L)) === ((2L, 0L)), rows.toString)
+    assert(rows(("the cat", 2L)) === ((1L, 0L)), rows.toString)
+    assert(!rows.contains(("the cat", 3L)), "doc 3 has no phrase hit")
+    // exactly 5 query phrases, the count-1 ties resolved lexicographically
+    val phrases = rows.keys.map(_._1).toSet
+    assert(phrases === Set("the cat", "bark loud", "cat naps", "cat sat",
+      "dogs bark"), phrases.toString)
+    // "cat sat" occurs once in doc 1 at token position 1
+    assert(rows(("cat sat", 1L)) === ((1L, 1L)), rows.toString)
+  }
+
   test("span dedup flags the planted boilerplate in every carrier, even 9k ids apart") {
     val out = Registry.queries("q_span_dedup")(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
