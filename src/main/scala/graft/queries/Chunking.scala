@@ -484,6 +484,44 @@ object Chunking {
     qBpeEncode.oracle
   )
 
+  /** Round-trip audit of the tokenizer artifact: encode every doc with
+    * the trained merges, DECODE by splitting each merged token back on
+    * the join character and flattening, and report per doc whether the
+    * decoded sequence is exactly the original — the losslessness
+    * property every downstream consumer of tokenized data silently
+    * assumes. It can actually fail: a corpus word that CONTAINS the
+    * join character ([[BpeJoin]], '~') decodes to more pieces than went in,
+    * and this key is the gate that would catch such contamination
+    * corpus-wide (spec'd with a planted offender) instead of letting it
+    * surface as corrupted training text. Decode is a narrow per-row
+    * array map — no shuffle beyond encode itself; per-doc booleans,
+    * never a corpus-wide collect. Oracle: the trainer's own CTE chain
+    * re-derives encode, and DuckDB re-splits with the same semantics. */
+  private val qBpeRoundtrip = Q(
+    "q_bpe_roundtrip",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("toks0", col("toks"))
+        .withColumn("n_in", size(col("toks")))
+      val merges = bpeTrain(
+        docs.select(col("toks"), lit(1L).as("w")), BpeTrainRounds)
+      applyMergesChain(docs, merges)
+        .select(col("doc_id"), col("n_in"), size(col("toks")).as("n_tokens"),
+          (expr(s"flatten(transform(toks, t -> split(t, '$BpeJoin')))")
+            === col("toks0")).as("lossless"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH ${bpeOracleCtes(BpeTrainRounds)}
+         |SELECT t0.doc_id, CAST(len(t0.l) AS INT) AS n_in,
+         |  CAST(len(tn.l) AS INT) AS n_tokens,
+         |  flatten(list_transform(tn.l, t -> string_split(t, '$BpeJoin'))) = t0.l
+         |    AS lossless
+         |FROM toks0 t0 JOIN toks$BpeTrainRounds tn USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)
+  )
+
   /** The HISTOGRAM form of [[qBpeTrain]] — the production BPE-trainer
     * move its scaladoc promises: fold the corpus to a
     * (distinct text → weight) histogram FIRST, then run the merge
@@ -595,5 +633,5 @@ object Chunking {
 
   def qs: Seq[Q] =
     Seq(qSpanDedup, qChunkDocuments, qBpePairs, qBpeTrain, qBpeTrainHist,
-      qBpeEncode, qBpeEncodeFast, qSourceOverlap, qOovRate)
+      qBpeEncode, qBpeEncodeFast, qBpeRoundtrip, qSourceOverlap, qOovRate)
 }

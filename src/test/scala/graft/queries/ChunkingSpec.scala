@@ -37,6 +37,28 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
     d
   }
 
+  /** Round-trip audit: clean docs decode to exactly their input; a doc
+    * whose text already contains the BPE join character '~' must be
+    * reported lossless=false (decode splits the contaminated word),
+    * NOT silently passed. */
+  test("bpe roundtrip certifies clean docs and flags a planted join-char word") {
+    val d = Files.createTempDirectory("roundtrip").toString
+    Seq(
+      doc(1L, "aa bb aa bb aa bb cc dd"),
+      doc(2L, "aa bb cc dd ee ff"),
+      doc(3L, "poisoned to~ken aa bb"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_bpe_roundtrip")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getBoolean(3)))
+      .toMap
+    assert(rows(1L)._3 && rows(2L)._3, s"clean docs must round-trip: $rows")
+    assert(!rows(3L)._3, s"the planted '~' word must fail the audit: $rows")
+    // encode really merged something: "aa bb" is the dominant pair, so
+    // doc 1 (3 occurrences) must compress
+    assert(rows(1L)._2 < rows(1L)._1, rows.toString)
+  }
+
   /** Phrase search on a hand-countable corpus: "the cat" is the only
     * repeated bigram (count 3), so it must rank as a query phrase, and
     * its per-doc hit counts and first positions are known exactly. */
