@@ -126,5 +126,85 @@ object Graph {
            SELECT id, round(rank, 9) AS rank FROM r3 ORDER BY id""")
   )
 
-  def qs: Seq[Q] = Seq(qPagerank)
+  /** Distributed triangle counting (Suri & Vassilvitskii 2011, "Counting
+    * triangles and the curse of the last reducer") — the third graph
+    * operator, and the one whose naive form dies at scale: enumerating
+    * wedges at an unoriented hub node is O(deg²), and one celebrity
+    * node serializes the job. The standard fix is DEGREE ORIENTATION:
+    * direct every undirected edge from its lower-(degree, id) endpoint
+    * to the higher one, making the graph acyclic with per-node
+    * out-degree O(√m) — wedge work becomes O(m^{3/2}) total and no
+    * reducer is ever the "last" one. Each triangle then closes exactly
+    * once (its corners are totally ordered by rank), so the count needs
+    * no deduplication.
+    *
+    * Graph: supplier co-occurrence within an order, restricted to
+    * high-quantity lineitems (the co-supply network of bulk orders).
+    * The bipartite→one-mode projection is the classic blowup risk; here
+    * the per-order item cap bounds pairs per order at C(items, 2), the
+    * same occupancy-cap rationale as every band join in Dedup.
+    *
+    * Pipeline: distinct (order, supplier) → within-order pairs →
+    * degree → orient → one wedge equi-join on the pivot + one closing
+    * semi-join on (x, z) → per-corner explode + count. All integer,
+    * fully oracle-checked; output is the top-20 triangle-heavy nodes. */
+  private val qTriangleCount = Q(
+    "q_triangle_count",
+    (s, d) => {
+      val os = Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("n"))
+        .distinct()
+      val pairs = os.select(col("ok"), col("n").as("u"))
+        .join(os.select(col("ok"), col("n").as("v")), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      val deg = pairs.select(col("u").as("node"))
+        .union(pairs.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val lower = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = pairs
+        .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+        .select(when(lower, col("u")).otherwise(col("v")).as("src"),
+          when(lower, col("v")).otherwise(col("u")).as("dst"))
+      val wedges = oriented.select(col("src").as("x"), col("dst").as("y"))
+        .join(oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y"))
+      val tris = wedges.join(
+        oriented.select(col("src").as("x"), col("dst").as("z")),
+        Seq("x", "z"), "leftsemi")
+      tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("node"))
+        .limit(20)
+    },
+    Some("""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS n
+              FROM lineitem WHERE l_quantity > 45),
+            p AS (SELECT DISTINCT a.n AS u, b.n AS v
+                  FROM os a JOIN os b ON a.ok = b.ok AND a.n < b.n),
+            deg AS (SELECT node, count(*) AS dg FROM
+                      (SELECT u AS node FROM p UNION ALL SELECT v FROM p)
+                    GROUP BY node),
+            o AS (SELECT
+                    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+                         THEN u ELSE v END AS src,
+                    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+                         THEN v ELSE u END AS dst
+                  FROM p JOIN deg du ON du.node = p.u
+                         JOIN deg dv ON dv.node = p.v),
+            w AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                  FROM o e1 JOIN o e2 ON e2.src = e1.dst),
+            t AS (SELECT w.x, w.y, w.z FROM w
+                  WHERE EXISTS (SELECT 1 FROM o
+                                WHERE o.src = w.x AND o.dst = w.z)),
+            c AS (SELECT node, count(*) AS n_triangles FROM
+                    (SELECT x AS node FROM t UNION ALL
+                     SELECT y FROM t UNION ALL SELECT z FROM t)
+                  GROUP BY node)
+            SELECT node, n_triangles FROM c
+            ORDER BY n_triangles DESC, node LIMIT 20""")
+  )
+
+  def qs: Seq[Q] = Seq(qPagerank, qTriangleCount)
 }

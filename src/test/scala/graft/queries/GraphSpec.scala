@@ -28,6 +28,27 @@ class GraphSpec extends AnyFunSuite with SparkTestSupport {
     assert(got.values.sum <= 1.0 + 1e-12)
   }
 
+  /** Two planted triangles sharing node 3, one open edge, and a
+    * low-quantity row that must be filtered out (it would otherwise
+    * close extra triangles through supplier 9). */
+  test("triangle count matches the hand count on a planted co-supply graph") {
+    val dir = java.nio.file.Files.createTempDirectory("tri").toString
+    val rows = Seq(
+      // order 10 is the {1,2,3} clique; order 11-13 build {3,4,5}
+      (10L, 1L, 50.0), (10L, 2L, 50.0), (10L, 3L, 50.0),
+      (11L, 3L, 50.0), (11L, 4L, 50.0),
+      (12L, 4L, 50.0), (12L, 5L, 50.0),
+      (13L, 3L, 50.0), (13L, 5L, 50.0),
+      (14L, 6L, 50.0), (14L, 7L, 50.0), // open edge, no triangle
+      (10L, 9L, 10.0)) // below the quantity gate — must not join the clique
+      .toDF("l_orderkey", "l_suppkey", "l_quantity")
+    rows.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Registry.queries("q_triangle_count")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((3L, 2L), (1L, 1L), (2L, 1L), (4L, 1L), (5L, 1L)),
+      got.toString)
+  }
+
   test("checkpointing the rank lineage is bit-transparent at deep iteration counts") {
     def run(every: Int) = Graph.pagerank(edges, iterations = 12, ckptEvery = every)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
