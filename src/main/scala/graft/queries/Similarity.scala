@@ -829,6 +829,55 @@ object Similarity {
         |ORDER BY method""".stripMargin)
   )
 
+  /** k-NN label transfer (weak supervision / label propagation): each
+    * query vector is classified by MAJORITY VOTE over the labels of its
+    * 5 exact-cosine nearest corpus neighbors, and scored against its
+    * own label — the leave-out eval a team runs before trusting
+    * neighbor-vote labeling to annotate an unlabeled corpus. Ties break
+    * to the smaller label (deterministic in both engines).
+    *
+    * The neighbor set is EXACTLY `q_similarity_bruteforce`'s top-5
+    * (same fn, same oracle CTE), so any ANN index key
+    * (`q_similarity_indexed`, IVF, LSH) swaps in as the 100 TB
+    * candidate generator without touching the vote — the vote itself
+    * is one (query, label) count + one row_number, integer-only.
+    * Full oracle; prediction quality is the fixture's concern
+    * (NearDupSemanticsSpec plants an identical twin whose label must
+    * carry the vote). */
+  private val qKnnClassify = Q(
+    "q_knn_classify",
+    (s, d) => {
+      val knn = qSimilarityBruteforce.fn(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      val lbl = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("int").as("label"))
+      val votes = knn
+        .join(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("pred_label")), "neighbor_id")
+        .groupBy(col("query_id"), col("pred_label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("pred_label"))
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .select(col("query_id"), col("true_label"), col("pred_label"),
+          col("votes"), (col("pred_label") === col("true_label")).as("correct"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH knn AS (SELECT query_id, neighbor_id FROM ($bruteOracle) t),
+        |v AS (SELECT k.query_id, CAST(e.label AS INT) AS pred_label,
+        |        count(*) AS votes
+        |      FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+        |      GROUP BY 1, 2),
+        |top AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY votes DESC, pred_label) AS rn FROM v)
+        |SELECT t.query_id, CAST(q.label AS INT) AS true_label,
+        |  t.pred_label, t.votes, t.pred_label = CAST(q.label AS INT) AS correct
+        |FROM top t JOIN embeddings q ON q.vec_id = t.query_id
+        |WHERE t.rn = 1 ORDER BY t.query_id""".stripMargin)
+  )
+
   /** Per-label embedding centroids (class prototypes) — the vector
     * aggregate behind curation moves like outlier filtering and
     * cluster naming. Determinism across engines is the hard part:
@@ -1093,6 +1142,6 @@ object Similarity {
       qSimilarityIvf,
       qSimilarityIvfKmeans, qSimilarityIvfKmeansPortable,
       qSemanticDedup, qSemanticDedupPortable,
-      qEmbedCosineDup, qAnnRecall, qAnnRecallPortable,
+      qEmbedCosineDup, qAnnRecall, qAnnRecallPortable, qKnnClassify,
       qEmbedCentroids, qSimilaritySq8, qRetrievalMetrics, qEmbedProject)
 }

@@ -271,6 +271,34 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     assert(mrr > 0.0 && mrr <= 1.0 && ndcg > 0.0 && ndcg <= 1.0, rows.toString)
   }
 
+  /** Two separable label clusters plus a rigged 2-2-1 vote: majority
+    * labeling must transfer cleanly where neighbors agree, and a vote
+    * tie must break to the SMALLER label in both engines. */
+  test("knn label transfer: clean clusters classify correctly, vote ties break low") {
+    val dir = Files.createTempDirectory("knn-classify").toString
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => (math.sin(seed * 97.0 + j * 13.0)).toFloat)
+    val rows =
+      // query 0 sits in cluster A (label 1), query 1 in cluster B (label 2)
+      Seq((0L, vec(100), 1), (1L, vec(200), 2),
+        // query 2's five exact twins carry labels 3,3,4,4,5 — a 2-2 tie
+        (2L, vec(300), 4)) ++
+        (10 until 15).map(i => (i.toLong, vec(100), 1)) ++
+        (15 until 20).map(i => (i.toLong, vec(200), 2)) ++
+        Seq((20L, vec(300), 3), (21L, vec(300), 3),
+          (22L, vec(300), 4), (23L, vec(300), 4), (24L, vec(300), 5))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Registry.queries("q_knn_classify")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(0L) === ((1, 1, 5L, true)), got.toString)
+    assert(got(1L) === ((2, 2, 5L, true)), got.toString)
+    // 2-2 tie between labels 3 and 4 → smaller label wins, and the
+    // true label (4) is NOT matched — the tie-break direction is pinned
+    assert(got(2L) === ((4, 3, 2L, false)), got.toString)
+  }
+
   test("LSH geometry scales with corpus size (planesFor) and is clamped") {
     assert(Similarity.planesFor(0) == 4)
     assert(Similarity.planesFor(1000) == 4)
