@@ -428,6 +428,109 @@ object Relational {
     None
   )
 
+  /** Small-range (linear-counting) lookup for the portable HLL:
+    * `round(m·ln(m/V))` for every possible empty-bucket count V — only
+    * m+1 values exist, so the ln() is evaluated ONCE on the driver and
+    * shipped as integer literals into BOTH engine texts. This is how
+    * the estimator stays log-free at runtime: libm `ln` is not required
+    * to be correctly rounded (unlike +·/÷√), so a live ln() call is a
+    * cross-engine hash hazard — the same reason q_tfidf/q_bm25 chose
+    * log-free forms. Index 0 is a placeholder (the V=0 branch never
+    * consults the table). */
+  private val HllM = 64
+  private val hllSmallRange: Seq[Long] =
+    0L +: (1 to HllM).map(v => math.round(HllM * math.log(HllM.toDouble / v)))
+
+  /** PORTABLE HyperLogLog (Flajolet et al. 2007) — the hash-certified
+    * sibling of `q_agg_approx_distinct` (whose Spark-internal HLL++
+    * sketch is rows-only by design). Every stage is cross-engine-exact
+    * arithmetic:
+    *   - hash: a murmur-style xor-shift/multiply finalizer mod 2^32 —
+    *     rho (the leading-zero statistic) needs AVALANCHE, which the
+    *     repo's usual single Knuth multiply does not give on sequential
+    *     ids (measured 86% error; the finalizer lands inside HLL's
+    *     1.04/√m ≈ 13% envelope). Constants stay < 2^31 so every
+    *     intermediate fits BIGINT in both engines (DuckDB errors on
+    *     64-bit overflow rather than wrapping);
+    *   - bucket = top 6 hash bits (m=64), rho = leading-zero rank of
+    *     the remaining 26 bits via `length(bin(w))` integer arithmetic
+    *     (the q_length_histogram move);
+    *   - the harmonic-mean denominator Σ2^(−M_j) is scaled by 2^27 into
+    *     an EXACT integer `Z = Σ 2^(27−M_j)` — per-bucket max and a
+    *     long sum, both order-independent, no float accumulation;
+    *   - estimate = α·m²·2^27 / Z, one correctly-rounded double
+    *     division at the edge; the small-range branch reads the
+    *     driver-computed [[hllSmallRange]] literal table instead of
+    *     calling ln().
+    * Per group the sketch is 64 longs — mergeable by max, the same
+    * 100 TB contract as the engine sketch — and the key self-audits:
+    * exact distinct and the relative error ride along in the output. */
+  private val qApproxDistinctPortable = Q(
+    "q_approx_distinct_portable",
+    (s, d) => {
+      val estCase =
+        s"""CASE WHEN v > 0 AND (0.709 * 4096.0 * 134217728.0) / z <= 160.0
+           |     THEN CAST(element_at(array(${hllSmallRange.mkString(", ")}), CAST(v + 1 AS INT)) AS BIGINT)
+           |     ELSE CAST(round((0.709 * 4096.0 * 134217728.0) / z) AS BIGINT)
+           |END""".stripMargin
+      val sketch = Tables.events(s, d)
+        .selectExpr("event_type", "user_id % 4294967296 AS h")
+        .selectExpr("event_type", "h ^ shiftright(h, 16) AS h")
+        .selectExpr("event_type", "(h * 1540483477) % 4294967296 AS h")
+        .selectExpr("event_type", "h ^ shiftright(h, 13) AS h")
+        .selectExpr("event_type", "(h * 1540483477) % 4294967296 AS h")
+        .selectExpr("event_type", "h ^ shiftright(h, 16) AS h")
+        .selectExpr("event_type", "h div 67108864 AS bucket", "h % 67108864 AS w")
+        .selectExpr("event_type", "bucket",
+          "CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END AS rho")
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("m"))
+        .groupBy(col("event_type"))
+        .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - m AS INT))")) +
+            (lit(HllM.toLong) - count(lit(1))) * lit(134217728L)).as("z"),
+          (lit(HllM.toLong) - count(lit(1))).as("v"))
+      val exact = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      sketch.join(exact, "event_type")
+        .selectExpr("event_type", "n_exact", s"$estCase AS n_est")
+        .withColumn("err_pct",
+          round(abs(col("n_est") - col("n_exact")).cast("double")
+            / col("n_exact") * 100.0, 2))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH e AS ($oracleEvents),
+        |h0 AS (SELECT event_type, user_id % 4294967296 AS h FROM e),
+        |h1 AS (SELECT event_type, xor(h, h >> 16) AS h FROM h0),
+        |h2 AS (SELECT event_type, (h * 1540483477) % 4294967296 AS h FROM h1),
+        |h3 AS (SELECT event_type, xor(h, h >> 13) AS h FROM h2),
+        |h4 AS (SELECT event_type, (h * 1540483477) % 4294967296 AS h FROM h3),
+        |h5 AS (SELECT event_type, xor(h, h >> 16) AS h FROM h4),
+        |b AS (SELECT event_type, h // 67108864 AS bucket, h % 67108864 AS w
+        |      FROM h5),
+        |r AS (SELECT event_type, bucket,
+        |        max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS m
+        |      FROM b GROUP BY 1, 2),
+        |zz AS (SELECT event_type,
+        |         CAST(sum(CAST(1 AS BIGINT) << CAST(27 - m AS INT)) AS BIGINT)
+        |           + (64 - count(*)) * 134217728 AS z,
+        |         64 - count(*) AS v
+        |       FROM r GROUP BY 1),
+        |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |      FROM e GROUP BY 1)
+        |SELECT zz.event_type, x.n_exact,
+        |  CASE WHEN v > 0 AND (0.709 * 4096.0 * 134217728.0) / z <= 160.0
+        |       THEN CAST(([${hllSmallRange.mkString(", ")}])[v + 1] AS BIGINT)
+        |       ELSE CAST(round((0.709 * 4096.0 * 134217728.0) / z) AS BIGINT)
+        |  END AS n_est,
+        |  round(abs(CASE WHEN v > 0 AND (0.709 * 4096.0 * 134217728.0) / z <= 160.0
+        |       THEN CAST(([${hllSmallRange.mkString(", ")}])[v + 1] AS BIGINT)
+        |       ELSE CAST(round((0.709 * 4096.0 * 134217728.0) / z) AS BIGINT)
+        |  END - x.n_exact) * 1.0 / x.n_exact * 100.0, 2) AS err_pct
+        |FROM zz JOIN x ON zz.event_type = x.event_type
+        |ORDER BY zz.event_type""".stripMargin)
+  )
+
   /** Rollup (grouping sets) over (event_type, day). */
   private val qAggRollup = Q(
     "q_agg_rollup",
@@ -1448,7 +1551,8 @@ object Relational {
     qScalarMath, qScalarString, qScalarTimestamp, qEnrichLiterals, qJsonExtract,
     qJoinBroadcast, qJoinLarge, qJoinSemi, qJoinAnti, qJoinFullOuter,
     qJoinRange, qJoinAsof,
-    qAggGroupby, qAggDistinct, qAggApproxDistinct, qAggRollup, qAggPercentile,
+    qAggGroupby, qAggDistinct, qAggApproxDistinct, qApproxDistinctPortable,
+    qAggRollup, qAggPercentile,
     qAggPercentileApprox,
     qAggCube, qAggHllUnion, qPivot, qUnpivot,
     qWindowRank, qWindowFrame, qWindowRange, qWindowStats, qTopk, qGroupTopk, qSetOps,

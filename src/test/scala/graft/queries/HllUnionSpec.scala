@@ -46,4 +46,24 @@ class HllUnionSpec extends AnyFunSuite with SparkTestSupport {
         s"group $k: approx $ap vs exact $ex exceeds 3×rsd")
     }
   }
+
+  test("portable HLL stays inside its 3-sigma envelope across scales and exercises both branches") {
+    import spark.implicits._
+    // m=64 → rsd = 1.04/sqrt(64) = 13%; 3 sigma = 39%. Synthesize
+    // event tables at three cardinalities spanning the small-range
+    // (linear-counting table) branch and the raw-estimate branch.
+    for (n <- Seq(40L, 500L, 20000L)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"hllp$n").toString
+      (0L until n).map(u => (u, new java.sql.Timestamp(86400000L + u), u,
+          "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val Array(row) = Registry.queries("q_approx_distinct_portable")(spark, dir)
+        .collect()
+      val (ex, est) = (row.getLong(1), row.getLong(2))
+      assert(ex == n, s"fixture exactness: $ex != $n")
+      assert(math.abs(est - n).toDouble / n <= 0.39,
+        s"n=$n: portable estimate $est outside the 3-sigma envelope")
+    }
+  }
 }
