@@ -989,6 +989,69 @@ object Relational {
     None
   )
 
+  /** PORTABLE approximate percentiles — the hash-certified sibling of
+    * `q_agg_percentile_approx` (whose t-digest is engine-internal and
+    * rows-only), same pattern as `q_approx_distinct_portable`: replace
+    * the opaque sketch with a deterministic one both engines can
+    * compute. The sketch here is a fixed 1024-bin equi-width histogram
+    * in integer CENTS: pass 1 takes per-group min/max/count (exact
+    * integer aggregates), pass 2 bins every value with integer
+    * `div` — order-independent counts, no float accumulation — and the
+    * percentile estimate is the lower edge of the first bin whose
+    * cumulative count reaches ceil(p·n). Error is bounded by one bin
+    * width, which the output CARRIES (`err_bound`) so a consumer sees
+    * the guarantee next to the estimate. Mergeable by bin-count
+    * addition — the same shard-then-merge contract as the t-digest at
+    * 100 TB, with the group-row fan-in being 1024 longs per group. */
+  private val qPercentileHistPortable = Q(
+    "q_percentile_hist_portable",
+    (s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      val mm = base.groupBy(col("l_returnflag"))
+        .agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+          count(lit(1)).as("n"))
+        .withColumn("w", expr("(mx - mn) div 1024 + 1"))
+      val cum = base.join(broadcast(mm), "l_returnflag")
+        .withColumn("bin", expr("(c - mn) div w"))
+        .groupBy(col("l_returnflag"), col("bin"), col("mn"), col("w"), col("n"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      def pct(p: String, alias: String) = round(
+        min(when(col("cum") >= expr(s"CAST(ceil($p * n) AS BIGINT)"),
+          col("mn") + col("bin") * col("w"))).cast("double") / 100.0, 2)
+        .as(alias)
+      cum.groupBy(col("l_returnflag"))
+        .agg(pct("0.5", "p50"), pct("0.9", "p90"), pct("0.99", "p99"),
+          round(max(col("w")).cast("double") / 100.0, 2).as("err_bound"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH base AS (SELECT l_returnflag,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+            mm AS (SELECT l_returnflag, min(c) AS mn, max(c) AS mx,
+                     count(*) AS n, (max(c) - min(c)) // 1024 + 1 AS w
+                   FROM base GROUP BY 1),
+            cum AS (SELECT l_returnflag, bin, mn, w, n, cnt,
+                      sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM (SELECT b.l_returnflag, (b.c - mm.mn) // mm.w AS bin,
+                            mm.mn, mm.w, mm.n, count(*) AS cnt
+                          FROM base b JOIN mm USING (l_returnflag)
+                          GROUP BY 1, 2, 3, 4, 5))
+            SELECT l_returnflag,
+              round(CAST(min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+                THEN mn + bin * w END) AS DOUBLE) / 100.0, 2) AS p50,
+              round(CAST(min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT)
+                THEN mn + bin * w END) AS DOUBLE) / 100.0, 2) AS p90,
+              round(CAST(min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT)
+                THEN mn + bin * w END) AS DOUBLE) / 100.0, 2) AS p99,
+              round(CAST(max(w) AS DOUBLE) / 100.0, 2) AS err_bound
+            FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   /** Skew-mitigation pattern: the same lineitem⋈orders join as
     * `q_join_large`, executed salted — the build side is replicated
     * across 8 salt values and the probe side picks a deterministic salt
@@ -1553,7 +1616,7 @@ object Relational {
     qJoinRange, qJoinAsof,
     qAggGroupby, qAggDistinct, qAggApproxDistinct, qApproxDistinctPortable,
     qAggRollup, qAggPercentile,
-    qAggPercentileApprox,
+    qAggPercentileApprox, qPercentileHistPortable,
     qAggCube, qAggHllUnion, qPivot, qUnpivot,
     qWindowRank, qWindowFrame, qWindowRange, qWindowStats, qTopk, qGroupTopk, qSetOps,
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,

@@ -31,4 +31,38 @@ class PercentileApproxSpec extends AnyFunSuite with SparkTestSupport {
     // percentiles are ordered within a group: p50 ≤ p90 ≤ p99
     approx.values.foreach(ps => assert(ps == ps.sorted, s"unordered: $ps"))
   }
+
+  test("portable histogram percentiles bracket the exact order statistic within one bin") {
+    import org.apache.spark.sql.functions._
+    val hist = SparkEntry.queries("q_percentile_hist_portable")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)), r.getDouble(4))))
+      .toMap
+    // the operator's EXACT guarantee: the estimate is the lower edge of
+    // the bin holding the ceil(p·n)-th order statistic, so in cents:
+    // x_(k) − w < est ≤ x_(k). (The interpolated `percentile` answer is
+    // NOT the reference — adjacent-rank gaps add slack the histogram
+    // never promised.) Group sizes at sf0.001 are ~2k rows — the
+    // driver-side sort is a test-only convenience.
+    val byGroup = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    assert(hist.keySet == byGroup.keySet)
+    for ((g, (ps, bound)) <- hist) {
+      val sorted = byGroup(g)
+      val wCents = math.round(bound * 100)
+      assert(wCents > 0, s"group $g: error bound must be positive")
+      for ((a, p) <- ps.zip(Seq(0.5, 0.9, 0.99))) {
+        val k = math.ceil(p * sorted.length).toLong.toInt
+        val xk = sorted(k - 1)
+        val estCents = math.round(a * 100)
+        assert(estCents <= xk && estCents > xk - wCents,
+          s"group $g p=$p: est $estCents must bracket order stat $xk within $wCents")
+      }
+      assert(ps == ps.sorted, s"unordered: $ps")
+    }
+  }
 }
