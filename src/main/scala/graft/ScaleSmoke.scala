@@ -36,11 +36,16 @@ object ScaleSmoke {
     amplify("documents", Seq("doc_id"))
     amplify("events", Seq("event_id", "user_id"))
     amplify("embeddings", Seq("vec_id"))
+    // lineitem: shift BOTH order and supplier keys so each copy is a
+    // DISJOINT co-supply graph — triangle work then must scale
+    // linearly in copies; values (prices) are unkeyed so the histogram
+    // sketch sees N× rows over the same range
+    amplify("lineitem", Seq("l_orderkey", "l_suppkey"))
 
     // patched table reader: route the amplified names through the views
     val patched = new java.io.File("/tmp/graft_scale_smoke")
     patched.mkdirs()
-    Seq("documents", "events", "embeddings").foreach { t =>
+    Seq("documents", "events", "embeddings", "lineitem").foreach { t =>
       spark.table(s"amplified_$t").write.mode("overwrite")
         .parquet(s"${patched.getPath}/$t.parquet")
     }
@@ -48,7 +53,7 @@ object ScaleSmoke {
     // dedup/similarity/text family) — copy the REAL sf files so any
     // query later added to `heavy` that touches them runs over real
     // rows instead of silently seeing 0
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    Seq("region", "nation", "customer", "supplier", "part", "orders")
       .foreach { t =>
         // recursive delete + copy: both src and dst may be single-file
         // OR directory-shaped parquet (a Spark-written table is a dir;
@@ -98,7 +103,14 @@ object ScaleSmoke {
       "q_quality_calibrate_scalable", "q_bpe_encode", "q_bpe_encode_fast",
       "q_multimodal_features", "q_multimodal_resize", "q_minhash_dup_portable",
       "q_dup_clusters_minhash_portable", "q_similarity_lsh_portable",
-      "q_similarity_ivf_kmeans_portable")
+      "q_similarity_ivf_kmeans_portable",
+      // r12 late additions: phrase postings + adjacency join, oriented
+      // triangle join, knn vote over brute candidates, the two portable
+      // sketches (integer HLL / histogram percentiles), and the
+      // roundtrip audit (trainer + chain encode + decode compare)
+      "q_phrase_search", "q_triangle_count", "q_knn_classify",
+      "q_approx_distinct_portable", "q_percentile_hist_portable",
+      "q_bpe_roundtrip")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

@@ -158,6 +158,39 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
       "decode is embarrassingly parallel — only the ORDER BY may exchange:\n" + p)
   }
 
+  test("phrase search broadcasts the query vocabulary; adjacency is an equi-join") {
+    val p = plan("q_phrase_search")
+    // the ≤10-term phrase table must broadcast into both posting
+    // filters, and position adjacency must plan as a real equi-join —
+    // a nested-loop here would scan postings per phrase occurrence
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("triangle count closes wedges with equi-joins, never a nested loop") {
+    val p = plan("q_triangle_count")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the closing step is the semi-join on (x, z)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("portable HLL partial-aggregates the bucket maxima before the group shuffle") {
+    val df = Registry.queries("q_approx_distinct_portable")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // (event_type, bucket) max(rho) then (event_type) fold — both
+    // levels must show map-side partial aggregation
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("portable histogram percentiles broadcast the 3-row min/max side") {
+    val p = plan("q_percentile_hist_portable")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("salted join actually shuffles (broadcast would defeat the salt demo)") {
     val p = plan("q_join_salted")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
