@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HILBERT-curve clustering — the second space-filling-curve layout
+  * lever next to [[ZOrder]]. Both make multi-column parquet min/max
+  * pruning work; Hilbert's advantage is LOCALITY: consecutive curve
+  * positions are always adjacent cells (the z-curve jumps across the
+  * plane at power-of-two seams), so per-bucket bounding boxes are
+  * tighter on average and range scans touch fewer cells.
+  *
+  * The index is the classic bit-staged transform (the xy2d form of
+  * Hilbert's curve on a 2^16 × 2^16 grid): 16 stages, one per bit from
+  * high to low, each deriving the stage's quadrant (rx, ry) from the
+  * current (x, y), accumulating `s²·((3·rx) XOR ry)` into the distance,
+  * and rotating/reflecting the frame for the next stage. Everything is
+  * integer CASE/AND/XOR/multiply — whole-stage-codegen'd in Spark,
+  * plain arithmetic in DuckDB — and the SAME Scala emitter prints both
+  * dialects, so the operator is fully oracle-checkable like the z-curve
+  * (a hand-rolled copy drifting between dialects would surface as a
+  * hash mismatch, never as silent layout corruption).
+  *
+  * Spark side: each stage is three derived columns, LINEAR in plan size
+  * (a single nested expression would substitute the (x, y) subtrees
+  * exponentially). */
+object Hilbert {
+
+  /** Stage masks, high bit first: 2^15 … 2^0. */
+  private val stages: Seq[Long] = (15 to 0 by -1).map(1L << _)
+
+  /** The per-stage arithmetic, dialect-abstracted over XOR rendering.
+    * Returns (dTerm, newX, newY) SQL for a stage of size `s`, reading
+    * columns `x`, `y`, `rx`, `ry`. Reflection uses the full-grid
+    * constant 65535 (the Wikipedia xy2d form): later stages mask with
+    * smaller s, so out-of-quadrant high bits never matter. */
+  private def stageSql(s: Long, xor: (String, String) => String,
+      x: String = "x", y: String = "y"): (String, String, String) = (
+    s"$s * $s * ${xor("(3 * rx)", "ry")}",
+    s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 65535 - $y ELSE $y END) ELSE $x END",
+    s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 65535 - $x ELSE $x END) ELSE $y END")
+
+  /** Append a Hilbert-distance column computed from `xCol`, `yCol`
+    * (masked to 16 bits). Intermediate stage columns are dropped. */
+  def withHilbert(df: DataFrame, xCol: String, yCol: String,
+      out: String): DataFrame = {
+    var cur = df
+      .withColumn("hx", expr(s"CAST($xCol AS BIGINT) & 65535"))
+      .withColumn("hy", expr(s"CAST($yCol AS BIGINT) & 65535"))
+      .withColumn("hd", lit(0L))
+    for (s <- stages) {
+      val (dT, nx, ny) = stageSql(s, (a, b) => s"($a ^ $b)", "hx", "hy")
+      cur = cur
+        .withColumn("rx", expr(s"CASE WHEN (hx & $s) > 0 THEN 1L ELSE 0L END"))
+        .withColumn("ry", expr(s"CASE WHEN (hy & $s) > 0 THEN 1L ELSE 0L END"))
+        .withColumn("hd", expr(s"hd + $dT"))
+        .withColumn("nhx", expr(nx))
+        .withColumn("nhy", expr(ny))
+        .withColumn("hx", col("nhx")).withColumn("hy", col("nhy"))
+        .drop("nhx", "nhy", "rx", "ry")
+    }
+    cur.withColumn(out, col("hd")).drop("hx", "hy", "hd")
+  }
+
+  /** The identical 16 stages as chained DuckDB CTEs. `from` must yield
+    * columns (x, y) plus any carried columns named in `carry`; the
+    * final CTE exposes carry ++ (hd). */
+  def hilbertDuckCtes(from: String, carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    val first = s"h0 AS (SELECT $keep, CAST(x AS BIGINT) & 65535 AS x, " +
+      s"CAST(y AS BIGINT) & 65535 AS y, CAST(0 AS BIGINT) AS hd FROM ($from))"
+    val rest = stages.zipWithIndex.map { case (s, i) =>
+      val (dT, nx, ny) = stageSql(s, (a, b) => s"xor($a, $b)")
+      s"""h${i + 1} AS (SELECT $keep, $nx AS x, $ny AS y, hd + $dT AS hd
+         |  FROM (SELECT $keep, x, y, hd,
+         |          CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |          CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |        FROM h$i))""".stripMargin
+    }
+    (first +: rest).mkString(",\n")
+  }
+
+  /** Reference implementation for specs: the same algorithm in plain
+    * Scala (driver-side, test-only). */
+  def reference(x0: Long, y0: Long): Long = {
+    var x = x0 & 65535L; var y = y0 & 65535L; var d = 0L
+    var s = 32768L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = 65535L - x; y = 65535L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}

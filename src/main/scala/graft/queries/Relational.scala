@@ -1419,6 +1419,38 @@ object Relational {
              FROM z GROUP BY bucket ORDER BY bucket""")
   )
 
+  /** HILBERT layout audit — the same per-bucket bounding-box report as
+    * `q_zorder_layout`, over [[graft.functions.Hilbert]]'s curve
+    * instead of the Morton interleave. Hilbert's selling point over
+    * z-order is tighter locality (consecutive curve positions are
+    * always ADJACENT cells — no power-of-two seam jumps), which
+    * HilbertSpec quantifies against the z-curve on the same keys; this
+    * key certifies the index arithmetic itself cross-engine (16 bit
+    * stages of CASE/AND/XOR, one Scala emitter printing both dialects)
+    * and that buckets still cover bounded rectangles — the property
+    * parquet min/max pruning buys layout from. */
+  private val qHilbertLayout = Q(
+    "q_hilbert_layout",
+    (s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+      graft.functions.Hilbert.withHilbert(base, "x", "y", "h")
+        .withColumn("bucket", expr("shiftright(h, 10)").cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH ${graft.functions.Hilbert.hilbertDuckCtes(
+               "SELECT l_partkey AS x, l_suppkey AS y, l_partkey AS ox, l_suppkey AS oy FROM lineitem",
+               Seq("ox", "oy"))}
+             SELECT CAST(hd >> 10 AS BIGINT) AS bucket, count(*) AS n,
+               min(ox) AS min_x, max(ox) AS max_x,
+               min(oy) AS min_y, max(oy) AS max_y
+             FROM h16 GROUP BY bucket ORDER BY bucket""")
+  )
+
   /** 3-COLUMN z-order layout audit — the n-way interleave
     * ([[graft.functions.ZOrder.zvalueSparkSql(cols:Seq[String])*]])
     * over (l_partkey, l_suppkey, l_linenumber): per z-bucket (4096
@@ -1623,5 +1655,6 @@ object Relational {
     qSubqueryCorrelated, qPathTransitions, qFunnelSteps,
     qCohortRetention, qStringAggOrdered,
     qBloomPrefilterJoin, qIntervalMerge, qAnomalyMad, qDecayedCounts,
-    qZorderLayout, qZorderLayout3, qRegressionStats, qModePerKey)
+    qZorderLayout, qZorderLayout3, qHilbertLayout, qRegressionStats,
+    qModePerKey)
 }

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Hilbert-curve semantics beyond the oracle hash: the engine chain
+  * equals the plain-Scala reference, the curve is a curve (consecutive
+  * positions are Manhattan-adjacent), it is a bijection on the grid,
+  * and — the reason it exists next to ZOrder — its buckets cover
+  * TIGHTER bounding boxes than Morton buckets on the same keys when
+  * the bucket size is not an aligned power of 4. */
+class HilbertSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private val side = 64
+  private lazy val grid = for (x <- 0 until side; y <- 0 until side)
+    yield (x.toLong, y.toLong)
+
+  test("engine bit-stage chain equals the reference implementation") {
+    val df = grid.toDF("x", "y")
+    val got = Hilbert.withHilbert(df, "x", "y", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (x, y) =>
+      assert(got((x, y)) == Hilbert.reference(x, y), s"($x, $y)")
+    }
+  }
+
+  test("bijective on the grid; an aligned subsquare is a contiguous, adjacent walk") {
+    val ds = grid.map { case (x, y) => (x, y, Hilbert.reference(x, y)) }
+    assert(ds.map(_._3).distinct.size == side * side, "collision on the grid")
+    // the origin-aligned 64×64 subsquare of the 2^16 grid is one
+    // contiguous d-range, so sorting by d must walk it one Manhattan
+    // step at a time — a single jump anywhere falsifies the rotation
+    // logic of some stage
+    val walk = ds.sortBy(_._3)
+    assert(walk.last._3 - walk.head._3 == side * side - 1,
+      s"subsquare is not contiguous in d: ${walk.head._3}..${walk.last._3}")
+    walk.sliding(2).foreach { case Seq((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
+  test("hilbert buckets cover tighter boxes than morton buckets across quad seams") {
+    // bucket = 128 consecutive curve positions, OFFSET by 64 so every
+    // bucket straddles a quadtree boundary. Hilbert's neighbors stay
+    // adjacent across seams (two 8×8 squares per bucket, bbox 128);
+    // morton's consecutive quads jump across the plane, inflating the
+    // boxes ~2.5× on this grid. Aligned buckets would hide the
+    // difference (sibling quads are adjacent for BOTH curves).
+    def area(ids: Seq[(Long, Long, Long)]): Double =
+      ids.groupBy(t => (t._3 + 64) / 128).values.map { pts =>
+        val xs = pts.map(_._1); val ys = pts.map(_._2)
+        ((xs.max - xs.min + 1) * (ys.max - ys.min + 1)).toDouble
+      }.sum
+    val hil = area(grid.map { case (x, y) => (x, y, Hilbert.reference(x, y)) })
+    val spreadDf = grid.toDF("x", "y")
+      .withColumn("z", ZOrder.zvalue("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val mor = area(spreadDf)
+    assert(hil * 2 < mor,
+      s"hilbert bucket boxes ($hil) must clearly beat morton ($mor) across seams")
+    // hilbert's is the theoretical floor even misaligned: every full
+    // bucket is still two ADJACENT 8×8 squares
+    assert(hil == (side * side / 128) * 128.0, s"hilbert boxes not tight: $hil")
+  }
+}
