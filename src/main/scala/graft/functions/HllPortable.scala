@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** The PORTABLE HyperLogLog as a typed mergeable aggregator — the
+  * streaming/UDAF form of `q_approx_distinct_portable`'s SQL chain
+  * (queries/Relational.scala), sharing the SAME hash, bucket/rho
+  * arithmetic, scaled-integer denominator, and small-range table, so
+  * the two paths are one estimator (HllPortableSpec pins them equal
+  * per group; a constant drifting between the Scala and SQL copies
+  * fails that spec, not production).
+  *
+  * State is 64 bytes (one rho max per bucket, rho ≤ 27 fits a byte);
+  * merge is elementwise max — associative, commutative, idempotent —
+  * which is what makes the sketch safe under ANY partitioning,
+  * micro-batch boundary, or shard-then-merge topology at 100 TB.
+  */
+class HllPortable extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  import HllPortable._
+
+  override def zero: Array[Byte] = new Array[Byte](M)
+
+  override def reduce(b: Array[Byte], x: Long): Array[Byte] = {
+    val h = hash32(x)
+    val bucket = (h >>> 26).toInt
+    val w = h & ((1L << 26) - 1)
+    val r = rho(w)
+    if (r > b(bucket)) b(bucket) = r.toByte
+    b
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(reduction: Array[Byte]): Array[Byte] = reduction
+
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+object HllPortable {
+  /** Bucket count (p=6). rsd = 1.04/√64 = 13%. */
+  val M = 64
+
+  /** Small-range (linear-counting) table: round(m·ln(m/V)) for every
+    * possible empty-bucket count V — ln() evaluated once HERE and read
+    * as literals by both this Scala path and the SQL texts
+    * (Relational's key interpolates this exact sequence), because libm
+    * ln is not correctly rounded and a live call would be a
+    * cross-engine hash hazard. Index 0 is a placeholder. */
+  val smallRange: Seq[Long] =
+    0L +: (1 to M).map(v => math.round(M * math.log(M.toDouble / v)))
+
+  /** Murmur-style 32-bit finalizer — identical op sequence to the SQL
+    * chain (`% 4294967296` ≡ the mask for the non-negative inputs both
+    * paths feed; constants < 2^31 keep every intermediate in 63 bits). */
+  def hash32(x: Long): Long = {
+    var h = x & 0xFFFFFFFFL
+    h ^= h >>> 16
+    h = (h * 1540483477L) & 0xFFFFFFFFL
+    h ^= h >>> 13
+    h = (h * 1540483477L) & 0xFFFFFFFFL
+    h ^= h >>> 16
+    h
+  }
+
+  /** Leading-zero rank of the low 26 hash bits: 27 − bitlength(w)
+    * (27 when w = 0) — the `length(bin(w))` arithmetic in Scala. */
+  def rho(w: Long): Int =
+    if (w == 0L) 27 else 27 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+
+  /** The estimator over a bucket-maxima state: EXACT integer
+    * denominator Z = Σ 2^(27−M_j), one double division, table lookup on
+    * the small range — op-for-op the SQL text's CASE. */
+  def estimate(b: Array[Byte]): Long = {
+    var z = 0L
+    var v = 0
+    var i = 0
+    while (i < M) {
+      z += 1L << (27 - b(i))
+      if (b(i) == 0) v += 1
+      i += 1
+    }
+    val raw = 0.709 * 4096.0 * 134217728.0 / z
+    if (v > 0 && raw <= 160.0) smallRange(v) else math.round(raw)
+  }
+}

@@ -436,10 +436,13 @@ object Relational {
     * to be correctly rounded (unlike +·/÷√), so a live ln() call is a
     * cross-engine hash hazard — the same reason q_tfidf/q_bm25 chose
     * log-free forms. Index 0 is a placeholder (the V=0 branch never
-    * consults the table). */
-  private val HllM = 64
-  private val hllSmallRange: Seq[Long] =
-    0L +: (1 to HllM).map(v => math.round(HllM * math.log(HllM.toDouble / v)))
+    * consults the table). The table (and every constant of the
+    * estimator) is canonically defined in
+    * [[graft.functions.HllPortable]] — the typed-aggregator form used
+    * by the streaming surface — so the SQL chain here and the UDAF are
+    * one estimator (HllPortableSpec pins them equal). */
+  private val HllM = graft.functions.HllPortable.M
+  private val hllSmallRange: Seq[Long] = graft.functions.HllPortable.smallRange
 
   /** PORTABLE HyperLogLog (Flajolet et al. 2007) — the hash-certified
     * sibling of `q_agg_approx_distinct` (whose Spark-internal HLL++

@@ -343,6 +343,33 @@ object LogStream {
       .select(col("w.start").as("window_start"),
         col("approx_visitors"), col("requests"))
 
+  /** Windowed approx-distinct via the PORTABLE HLL
+    * ([[graft.functions.HllPortable]]) — same contract as
+    * [[distinctVisitorsWindowed]] but the sketch is the repo's own
+    * hash-certified estimator instead of HLL++: 64 bytes of state per
+    * open window, merged by elementwise max (associative/commutative/
+    * idempotent → micro-batch boundaries and shuffle partitioning
+    * cannot change the estimate), and the SAME arithmetic the
+    * DuckDB-oracled batch key `q_approx_distinct_portable` certifies.
+    * Input identity is hashed to a long with `xxhash64` BEFORE the
+    * sketch (stream ids are strings); stream==batch equality on
+    * identical rows is spec'd in LogStreamSpec. */
+  def distinctVisitorsPortableWindowed(
+      canonical: DataFrame,
+      window_ : String = "1 hour",
+      lateness: String = "2 hours"): DataFrame = {
+    val hll = udaf(new graft.functions.HllPortable)
+    val est = org.apache.spark.sql.functions.udf(
+      (b: Array[Byte]) => graft.functions.HllPortable.estimate(b))
+    canonical
+      .withWatermark("`@timestamp`", lateness)
+      .groupBy(window(col("@timestamp"), window_).as("w"))
+      .agg(hll(xxhash64(col("src_ip"))).as("sketch"),
+        count(lit(1)).as("requests"))
+      .select(col("w.start").as("window_start"),
+        est(col("sketch")).as("approx_visitors"), col("requests"))
+  }
+
   /** Streaming COUNT-MIN rollup: one [[graft.functions.CountMin]]
     * sketch per event-time window — point-frequency estimates over an
     * UNBOUNDED token domain in `depth × width` longs of state per

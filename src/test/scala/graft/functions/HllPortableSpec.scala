@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSupport, Tables}
+import graft.queries.Registry
+
+/** The one-estimator claim: the typed aggregator and the SQL chain of
+  * `q_approx_distinct_portable` are the SAME HyperLogLog — same hash,
+  * same buckets, same integer denominator, same table — so their
+  * estimates must be EQUAL (not merely close) on identical input. Plus
+  * the merge laws the 100 TB contract rests on. */
+class HllPortableSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("UDAF estimate equals the oracle-checked SQL chain per group") {
+    val hll = udaf(new HllPortable)
+    val est = udf((b: Array[Byte]) => HllPortable.estimate(b))
+    val viaUdaf = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(est(hll(col("user_id"))).as("n_est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaSql = Registry.queries("q_approx_distinct_portable")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(viaUdaf == viaSql, s"udaf $viaUdaf != sql $viaSql")
+  }
+
+  test("merge is associative, commutative, idempotent; estimate is partitioning-invariant") {
+    val agg = new HllPortable
+    def sketchOf(xs: Seq[Long]): Array[Byte] =
+      xs.foldLeft(agg.zero)(agg.reduce)
+    val a = sketchOf(0L until 500L)
+    val b = sketchOf(300L until 900L)
+    val ab = agg.merge(sketchOf(0L until 500L), sketchOf(300L until 900L))
+    val ba = agg.merge(b.clone(), a.clone())
+    assert(ab.toSeq == ba.toSeq, "merge must commute")
+    assert(agg.merge(ab.clone(), ab.clone()).toSeq == ab.toSeq,
+      "merge must be idempotent (re-merging a shard is harmless)")
+    assert(ab.toSeq == sketchOf(0L until 900L).toSeq,
+      "union sketch must equal the one-pass sketch")
+    // shuffling input across partitions cannot change the estimate
+    val hll = udaf(new HllPortable)
+    val est = udf((x: Array[Byte]) => HllPortable.estimate(x))
+    def run(parts: Int): Long =
+      (0L until 5000L).toDF("x").repartition(parts)
+        .agg(est(hll(col("x")))).collect()(0).getLong(0)
+    assert(run(1) == run(13), "estimate must not depend on partitioning")
+  }
+
+  test("estimate stays inside 3 sigma across both branches") {
+    val agg = new HllPortable
+    for (n <- Seq(10L, 100L, 2000L, 50000L)) {
+      val est = HllPortable.estimate(
+        (0L until n).foldLeft(agg.zero)(agg.reduce))
+      assert(math.abs(est - n).toDouble / n <= 0.39,
+        s"n=$n: estimate $est outside 3 sigma")
+    }
+  }
+}

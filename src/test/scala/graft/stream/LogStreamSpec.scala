@@ -745,6 +745,36 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("windowed approx-distinct: the PORTABLE HLL stream equals batch and stays exact at tiny cardinality") {
+    val rows = Seq(
+      row("02:10:00", ip = "1.1.1.1"), row("02:20:00", ip = "1.1.1.1"),
+      row("02:30:00", ip = "2.2.2.2"), row("02:40:00", ip = "3.3.3.3"),
+      row("03:10:00", ip = "1.1.1.1"), row("03:20:00", ip = "4.4.4.4"))
+    val input = MemoryStream[LogRow](spark)
+    val out = LogStream.distinctVisitorsPortableWindowed(
+      CloudFrontTransform.canonicalCols(input.toDF()))
+    withQuery(out, "advp_out", "append") { q =>
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(row("09:00:00"))
+      q.processAllAvailable()
+      val got = spark.table("advp_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+        .toSet
+      // elementwise-max merge is batch/stream/partitioning-invariant
+      val batch = LogStream.distinctVisitorsPortableWindowed(
+          CloudFrontTransform.canonicalCols(rows.toDF()))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      // the small-range table is EXACT at 3/2 distinct (round(64·ln(64/61)) = 3,
+      // round(64·ln(64/62)) = 2)
+      assert(got == Set(
+        ("2019-01-18 02:00:00.0", 3L, 4L),
+        ("2019-01-18 03:00:00.0", 2L, 2L)), got.toString)
+    }
+  }
+
   /** Stream/batch CMS parity at one (depth, width): same rows through
     * cmsWindowed as a stream and as a batch must produce bit-identical
     * counter matrices, and estimates must never underestimate. Run at
