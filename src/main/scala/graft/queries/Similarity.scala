@@ -878,6 +878,62 @@ object Similarity {
         |WHERE t.rn = 1 ORDER BY t.query_id""".stripMargin)
   )
 
+  /** Embedding OUTLIER report — the curation move after clustering:
+    * for every label, the 3 vectors FARTHEST (lowest cosine) from the
+    * label centroid, with their similarity — the inspection list a
+    * curator reviews before dropping mislabeled/garbage vectors
+    * (the outlier-removal step of SemDeDup-style pipelines).
+    *
+    * The centroid is the exact integer-micro SUM vector per label (the
+    * `q_similarity_ivf_kmeans_portable` move: cosine is scale-invariant
+    * so the mean's division is unnecessary, and element-wise BIGINT
+    * sums are order-independent in both engines → full oracle). One
+    * (label, pos) aggregation + one broadcast join of ≤labels rows +
+    * a per-label bottom-k window — no pairwise work anywhere. */
+  private val qEmbedOutliers = Q(
+    "q_embed_outliers",
+    (s, d) => {
+      val e = embDouble(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("emb"),
+          expr("transform(emb, x -> CAST(round(x * 1000000) AS BIGINT))")
+            .as("emb_m"))
+      val cent = e
+        .select(col("label"), posexplode(col("emb_m")).as(Seq("i", "v")))
+        .groupBy(col("label"), col("i")).agg(sum(col("v")).as("s"))
+        .groupBy(col("label"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(i, s))), x -> CAST(x.s AS DOUBLE))")
+          .as("cemb"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("cos").asc, col("vec_id"))
+      e.join(broadcast(cent), "label")
+        .withColumn("cos", round(cosine(col("emb"), col("cemb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("label"), col("rnk").cast("int").as("rnk"),
+          col("vec_id"), col("cos"))
+        .orderBy(col("label"), col("rnk"))
+    },
+    Some(s"""WITH e AS ($oracleEmb),
+        |em AS (SELECT vec_id, CAST(label AS BIGINT) AS label, emb,
+        |         list_transform(emb, x -> CAST(round(x * 1000000) AS BIGINT)) AS emb_m
+        |       FROM e),
+        |sums AS (SELECT label, i, CAST(sum(emb_m[i + 1]) AS BIGINT) AS s
+        |         FROM em CROSS JOIN (SELECT unnest(range(
+        |           (SELECT max(len(emb_m)) FROM em))) AS i)
+        |         GROUP BY label, i),
+        |cent AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY i) AS cemb
+        |         FROM sums GROUP BY label),
+        |x AS (SELECT em.label, em.vec_id,
+        |        round(${oracleCos("em.emb", "cent.cemb")}, 6) AS cos
+        |      FROM em JOIN cent ON em.label = cent.label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label
+        |        ORDER BY cos ASC, vec_id) AS rnk FROM x)
+        |SELECT label, CAST(rnk AS INT) AS rnk, vec_id, cos
+        |FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin)
+  )
+
   /** Per-label embedding centroids (class prototypes) — the vector
     * aggregate behind curation moves like outlier filtering and
     * cluster naming. Determinism across engines is the hard part:
@@ -1143,5 +1199,6 @@ object Similarity {
       qSimilarityIvfKmeans, qSimilarityIvfKmeansPortable,
       qSemanticDedup, qSemanticDedupPortable,
       qEmbedCosineDup, qAnnRecall, qAnnRecallPortable, qKnnClassify,
+      qEmbedOutliers,
       qEmbedCentroids, qSimilaritySq8, qRetrievalMetrics, qEmbedProject)
 }

@@ -271,6 +271,33 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
     assert(mrr > 0.0 && mrr <= 1.0 && ndcg > 0.0 && ndcg <= 1.0, rows.toString)
   }
 
+  /** One tight label cluster with a single planted anti-aligned vector:
+    * the outlier report must rank it farthest (rnk 1) with a strongly
+    * negative cosine, and tight members must score near 1. */
+  test("embed outliers: the planted anti-aligned vector ranks farthest from its label centroid") {
+    val dir = Files.createTempDirectory("embout").toString
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => (math.sin(seed * 97.0 + j * 13.0)).toFloat)
+    val base = vec(7)
+    val rows =
+      // 9 tight copies of the base direction, one flipped outlier
+      (0 until 9).map(i => (i.toLong, base, 0)) ++
+        Seq((9L, base.map(x => -x), 0)) ++
+        // a second label so the window partitioning is exercised
+        (10 until 15).map(i => (i.toLong, vec(20), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Registry.queries("q_embed_outliers")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val (worstId, worstCos) = got((0L, 1))
+    assert(worstId == 9L, s"outlier must rank 1: $got")
+    assert(worstCos < -0.5, s"anti-aligned vector must score strongly negative: $worstCos")
+    // rank-2 is a tight member: near-perfect alignment with the centroid
+    assert(got((0L, 2))._2 > 0.9, got.toString)
+    assert(got.keys.map(_._1).toSet == Set(0L, 1L), "both labels report")
+  }
+
   /** Two separable label clusters plus a rigged 2-2-1 vote: majority
     * labeling must transfer cleanly where neighbors agree, and a vote
     * tie must break to the SMALLER label in both engines. */
