@@ -639,6 +639,83 @@ object TextOps {
     qQualityCalibrate.oracle
   )
 
+  /** GOPHER quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", §A1.1) — the
+    * canonical pretraining quality-filter suite, as one composite gate
+    * with per-rule attribution. The subset applicable to single-line
+    * docs: word count ∈ [50, 100k], mean word length ∈ [3, 10], ≥80%
+    * of words containing an alphabetic character, and ≥2 distinct
+    * stopwords present (the "real language" check). `reject_reason`
+    * names the FIRST failed rule — the attribution a funnel report
+    * (q_filter_funnel-style) aggregates to explain corpus attrition.
+    *
+    * Everything is exact integer arithmetic: mean word length =
+    * (len(text) − n + 1) / n for single-space-joined text (total word
+    * chars derived by subtraction, no per-word float accumulation),
+    * stopword presence as 9 explicit contains-flags summed. One narrow
+    * scan, no shuffle before the output sort — the 100 TB cost is the
+    * read itself. */
+  private val qGopherRules = Q(
+    "q_gopher_rules",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("mean_wl",
+          round((length(col("text")) - col("n_words") + 1)
+            .cast("double") / col("n_words"), 4))
+        .withColumn("n_alpha",
+          expr("CAST(size(filter(toks, t -> t rlike '[A-Za-z]')) AS BIGINT)"))
+        .withColumn("n_stop", expr(
+          """CAST(CASE WHEN array_contains(toks, 'the') THEN 1 ELSE 0 END
+            |   + CASE WHEN array_contains(toks, 'be') THEN 1 ELSE 0 END
+            |   + CASE WHEN array_contains(toks, 'to') THEN 1 ELSE 0 END
+            |   + CASE WHEN array_contains(toks, 'of') THEN 1 ELSE 0 END
+            |   + CASE WHEN array_contains(toks, 'and') THEN 1 ELSE 0 END
+            |   + CASE WHEN array_contains(toks, 'that') THEN 1 ELSE 0 END
+            |   + CASE WHEN array_contains(toks, 'have') THEN 1 ELSE 0 END
+            |   + CASE WHEN array_contains(toks, 'with') THEN 1 ELSE 0 END
+            |   + CASE WHEN array_contains(toks, 'a') THEN 1 ELSE 0 END
+            | AS BIGINT)""".stripMargin))
+        .withColumn("reject_reason", expr(
+          """CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+            |     WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 'mean_word_len'
+            |     WHEN n_alpha * 5 < n_words * 4 THEN 'alpha_ratio'
+            |     WHEN n_stop < 2 THEN 'stopwords'
+            |     ELSE 'ok' END""".stripMargin))
+        .select(col("doc_id"), col("n_words"), col("mean_wl"),
+          col("n_alpha"), col("n_stop"),
+          (col("reject_reason") === "ok").as("pass"), col("reject_reason"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+            FROM documents),
+            m AS (SELECT doc_id, n_words,
+              round(CAST(len(text) - n_words + 1 AS DOUBLE) / n_words, 4) AS mean_wl,
+              CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+              CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+                 + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+                 + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+                 + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+                 + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+                 + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+                 + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+                 + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END
+                 + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+               AS BIGINT) AS n_stop
+            FROM t),
+            r AS (SELECT *,
+              CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+                   WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 'mean_word_len'
+                   WHEN n_alpha * 5 < n_words * 4 THEN 'alpha_ratio'
+                   WHEN n_stop < 2 THEN 'stopwords'
+                   ELSE 'ok' END AS reject_reason
+            FROM m)
+            SELECT doc_id, n_words, mean_wl, n_alpha, n_stop,
+              reject_reason = 'ok' AS pass, reject_reason
+            FROM r ORDER BY doc_id""")
+  )
+
   /** PHRASE search over a positional inverted index — the retrieval
     * primitive tf-idf/BM25 can't express: "these words, adjacent, in
     * this order". The index is the classic (term, doc_id, pos) posting
@@ -713,5 +790,5 @@ object TextOps {
     Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint,
       qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf, qLengthHistogram,
       qBm25, qCmsCounts, qCmsCountsWide, qLmScore, qQualityCalibrate,
-      qQualityCalibrateScalable, qPhraseSearch)
+      qQualityCalibrateScalable, qPhraseSearch, qGopherRules)
 }

@@ -37,6 +37,35 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
     d
   }
 
+  /** One doc per Gopher rule: each must be rejected by EXACTLY the rule
+    * it violates (first-failed attribution), and a clean doc passes. */
+  test("gopher rules attribute each planted violation to the right gate") {
+    val d = Files.createTempDirectory("gopher").toString
+    val stopPad = "the a of and to" // 5 words, 4 distinct stopwords
+    val clean = (stopPad + " " + Seq.tabulate(50)(i => s"word$i").mkString(" "))
+    val short = "the a tiny doc" // 4 words → word_count
+    // 60 long pseudo-words → mean word length > 10 (has stopwords so
+    // the attribution must be mean_word_len, not stopwords)
+    val longWords = (stopPad + " " +
+      Seq.fill(55)("supercalifragilistic").mkString(" "))
+    // 60 numeric tokens → alpha ratio < 80% (stopwords present)
+    val numeric = (stopPad + " " + Seq.fill(55)("12345").mkString(" "))
+    // 60 plain words, no stopwords at all
+    val noStops = Seq.tabulate(60)(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      doc(1L, clean), doc(2L, short), doc(3L, longWords),
+      doc(4L, numeric), doc(5L, noStops))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Registry.queries("q_gopher_rules")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(5), r.getString(6)))).toMap
+    assert(got(1L) === ((true, "ok")), got.toString)
+    assert(got(2L) === ((false, "word_count")), got.toString)
+    assert(got(3L) === ((false, "mean_word_len")), got.toString)
+    assert(got(4L) === ((false, "alpha_ratio")), got.toString)
+    assert(got(5L) === ((false, "stopwords")), got.toString)
+  }
+
   /** Round-trip audit: clean docs decode to exactly their input; a doc
     * whose text already contains the BPE join character '~' must be
     * reported lossless=false (decode splits the contaminated word),
