@@ -867,9 +867,84 @@ object Dedup {
             GROUP BY split ORDER BY split""")
   )
 
+  /** WINNOWING (Schleimer, Wilkerson & Aiken 2003, "Winnowing: local
+    * algorithms for document fingerprinting") — the LOCAL-fingerprint
+    * member of the dedup family, orthogonal to minhash (global set
+    * resemblance) and simhash (global weighted profile): select the
+    * MINIMUM k-gram hash in every sliding window of w consecutive
+    * grams, so any shared run of ≥ w+k−1 tokens between two documents
+    * GUARANTEES a shared fingerprint regardless of position — the
+    * plagiarism/partial-overlap detector, where minhash only sees
+    * whole-document similarity.
+    *
+    * Chain: word 3-gram `poly_hash` per position (the q_doc_fingerprint
+    * char-fold, so both engines hash identically) → window-4 minimum →
+    * per-doc distinct fingerprints → hot-fingerprint cap (df ≤ 64,
+    * the LshBucketCap rationale: a boilerplate shingle shared by
+    * thousands of docs generates O(df²) candidate pairs and no
+    * information) → fingerprint-bucket self-join, pairs reporting ≥ 2
+    * shared fingerprints. All integer arithmetic → full oracle;
+    * offset-shifted planted overlap spec'd.
+    *
+    * Shape note: grams and window minima are WINDOW FUNCTIONS (lead ×2
+    * + frame-min sharing one per-doc sort), not nested array lambdas —
+    * the slice-inside-transform formulation re-evaluated the whole
+    * gram array per window element after Catalyst lambda inlining
+    * (O(len²) hashes: measured 247 s at sf0.1 vs ~2 s for this form). */
+  private val qWinnowing = Q(
+    "q_winnowing",
+    (s, d) => {
+      val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val fps = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+        .withColumn("w1", lead(col("w0"), 1).over(wnd))
+        .withColumn("w2", lead(col("w0"), 2).over(wnd))
+        .filter(col("w2").isNotNull)
+        .withColumn("h", expr("poly_hash(concat(w0, ' ', w1, ' ', w2))"))
+        .withColumn("mn", min(col("h")).over(wnd.rowsBetween(0, 3)))
+        .withColumn("gcnt",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .filter(col("pos") <= col("gcnt") - 4) // full windows only
+        .select(col("doc_id"), col("mn").as("fp")).distinct()
+      val cold = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 64).select(col("fp"))
+      val kept = fps.join(cold, Seq("fp"), "leftsemi")
+      kept.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+        .filter(col("doc_b") > col("doc_a"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+        .limit(100)
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+            g AS (SELECT doc_id, list_transform(range(len(toks) - 2), j ->
+                    list_reduce(list_transform(
+                      string_split_regex(array_to_string(toks[j+1:j+3], ' '), ''),
+                      c -> CAST(ascii(c) AS BIGINT)),
+                      (a, b) -> (a * 31 + b) % 1000000007)) AS gh
+                  FROM t WHERE len(toks) >= 6),
+            w AS (SELECT doc_id, list_distinct(list_transform(
+                    range(len(gh) - 3), i -> list_min(gh[i+1:i+4]))) AS fps
+                  FROM g),
+            f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+            cold AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 64),
+            k AS (SELECT f.doc_id, f.fp FROM f JOIN cold USING (fp)),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    count(*) AS shared
+                  FROM k a JOIN k b ON a.fp = b.fp AND b.doc_id > a.doc_id
+                  GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT doc_a, doc_b, shared FROM p
+            ORDER BY shared DESC, doc_a, doc_b LIMIT 100""")
+  )
+
   def qs: Seq[Q] =
     Seq(qDedupExact, qDedupExactAgg, qMinhashDup, qMinhashDupPortable,
       qSimhashDup, qSimhashDupPortable, qNgramJaccard,
       qNgramContainment, qDecontaminate, qDupClusters,
-      qDupClustersMinhash, qDupClustersMinhashPortable, qLeakageSafeSplit)
+      qDupClustersMinhash, qDupClustersMinhashPortable, qLeakageSafeSplit,
+      qWinnowing)
 }

@@ -37,6 +37,29 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
     d
   }
 
+  /** Winnowing guarantee: a shared run of ≥ w+k−1 = 6 tokens yields a
+    * shared fingerprint at ANY offset — docs 1 and 2 share an 8-token
+    * run placed at different positions; doc 3 is disjoint. */
+  test("winnowing pairs offset-shifted overlapping docs, not disjoint ones") {
+    val d = Files.createTempDirectory("winnow").toString
+    // 16 tokens: 14 grams, 11 fully-contained windows → the ≥2-shared
+    // pair gate is comfortably met by the distinct window minima
+    val run = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi"
+    val docs = Seq(
+      doc(1L, s"$run filler1 filler2 filler3 filler4"),
+      doc(2L, s"pad1 pad2 pad3 pad4 pad5 pad6 pad7 $run"),
+      doc(3L, "one two three four five six seven eight nine ten"))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Registry.queries("q_winnowing")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)),
+      s"offset-shifted shared run must be fingerprint-paired: $got")
+    assert(got.keys.forall(k => !Set(k._1, k._2).contains(3L)),
+      s"disjoint doc must pair with nothing: $got")
+  }
+
   /** One doc per Gopher rule: each must be rejected by EXACTLY the rule
     * it violates (first-failed attribution), and a clean doc passes. */
   test("gopher rules attribute each planted violation to the right gate") {
