@@ -1055,6 +1055,77 @@ object Relational {
             FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** Two-sample KOLMOGOROV–SMIRNOV drift matrix — the distribution-
+    * shift detector a data-ops team runs between corpus snapshots or
+    * sources before mixing: for every source pair, the KS distance
+    * between their doc-length distributions, with the length at which
+    * the CDFs diverge most (where to LOOK when drift fires). Top-20
+    * most-drifted pairs reported.
+    *
+    * Exact and cross-engine: CDFs are integer cumulative counts over
+    * the pooled value grid (steps only occur at data points, so the
+    * grid maximum IS the true KS), and the max compares
+    * |cum_a·n_b − cum_b·n_a| — cross-multiplied INTEGERS — dividing by
+    * n_a·n_b only at the output edge. Pairwise KS is inherently
+    * O(S²) in tracked sources; the report is for a bounded tracked
+    * set (here 20 sources → 190 pairs × ~|grid| rows, trivially
+    * small next to the corpus scan that feeds it). */
+  private val qKsDrift = Q(
+    "q_ks_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+      val counts = docs.groupBy(col("source"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val grid = docs.select(col("v")).distinct()
+        .crossJoin(broadcast(ns))
+      val cdf = grid.join(counts, Seq("source", "v"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("source"), col("n"), col("v"), col("cum"))
+      val a = cdf.select(col("source").as("source_a"), col("n").as("n_a"),
+        col("v"), col("cum").as("cum_a"))
+      val b = cdf.select(col("source").as("source_b"), col("n").as("n_b"),
+        col("v").as("vb"), col("cum").as("cum_b"))
+      val w = Window.partitionBy(col("source_a"), col("source_b"))
+        .orderBy(col("num").desc, col("v"))
+      a.join(b, col("v") === col("vb") && col("source_a") < col("source_b"))
+        .withColumn("num", abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("source_a"), col("source_b"),
+          round(col("num").cast("double") / (col("n_a") * col("n_b")), 6).as("ks"),
+          col("v").as("at_v"))
+        .orderBy(col("ks").desc, col("source_a"), col("source_b"))
+        .limit(20)
+    },
+    Some("""WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+              FROM documents),
+            counts AS (SELECT source, v, count(*) AS c FROM docs GROUP BY 1, 2),
+            ns AS (SELECT source, count(*) AS n FROM docs GROUP BY 1),
+            grid AS (SELECT p.v, ns.source, ns.n
+                     FROM (SELECT DISTINCT v FROM docs) p CROSS JOIN ns),
+            cdf AS (SELECT source, n, v,
+                      sum(coalesce(c, 0)) OVER (PARTITION BY source ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM grid LEFT JOIN counts USING (source, v)),
+            p AS (SELECT a.source AS source_a, b.source AS source_b,
+                    a.n AS n_a, b.n AS n_b, a.v,
+                    abs(a.cum * b.n - b.cum * a.n) AS num
+                  FROM cdf a JOIN cdf b
+                    ON a.v = b.v AND a.source < b.source),
+            r AS (SELECT *, row_number() OVER (PARTITION BY source_a, source_b
+                    ORDER BY num DESC, v) AS rn FROM p)
+            SELECT source_a, source_b,
+              round(CAST(num AS DOUBLE) / (n_a * n_b), 6) AS ks,
+              v AS at_v
+            FROM r WHERE rn = 1
+            ORDER BY ks DESC, source_a, source_b LIMIT 20""")
+  )
+
   /** Skew-mitigation pattern: the same lineitem⋈orders join as
     * `q_join_large`, executed salted — the build side is replicated
     * across 8 salt values and the probe side picks a deterministic salt
@@ -1651,7 +1722,7 @@ object Relational {
     qJoinRange, qJoinAsof,
     qAggGroupby, qAggDistinct, qAggApproxDistinct, qApproxDistinctPortable,
     qAggRollup, qAggPercentile,
-    qAggPercentileApprox, qPercentileHistPortable,
+    qAggPercentileApprox, qPercentileHistPortable, qKsDrift,
     qAggCube, qAggHllUnion, qPivot, qUnpivot,
     qWindowRank, qWindowFrame, qWindowRange, qWindowStats, qTopk, qGroupTopk, qSetOps,
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,

@@ -37,6 +37,28 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
     d
   }
 
+  /** Hand-computed KS: A={10,10,20,20}, B={10,20,30,30} → CDF diffs at
+    * the pooled grid are .25/.5/0, so KS=0.5 attained first at v=20;
+    * C duplicates A exactly → KS(A,C)=0. */
+  test("ks drift matches the hand-computed statistic and zeroes on identical sources") {
+    val d = Files.createTempDirectory("ksdrift").toString
+    def rows(src: String, lens: Seq[Long], base: Long) =
+      lens.zipWithIndex.map { case (n, i) =>
+        (base + i, "x", "en", src, n)
+      }
+    (rows("a", Seq(10L, 10L, 20L, 20L), 0L) ++
+      rows("b", Seq(10L, 20L, 30L, 30L), 100L) ++
+      rows("c", Seq(10L, 10L, 20L, 20L), 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Registry.queries("q_ks_drift")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got(("a", "b")) === ((0.5, 20L)), got.toString)
+    assert(got(("b", "c")) === ((0.5, 20L)), got.toString)
+    assert(got(("a", "c"))._1 === 0.0, s"identical sources must not drift: $got")
+  }
+
   /** Winnowing guarantee: a shared run of ≥ w+k−1 = 6 tokens yields a
     * shared fingerprint at ANY offset — docs 1 and 2 share an 8-token
     * run placed at different positions; doc 3 is disjoint. */
