@@ -111,7 +111,7 @@ object ScaleSmoke {
       "q_phrase_search", "q_triangle_count", "q_knn_classify",
       "q_approx_distinct_portable", "q_percentile_hist_portable",
       "q_bpe_roundtrip", "q_hilbert_layout", "q_winnowing",
-      "q_gopher_rules", "q_embed_outliers")
+      "q_gopher_rules", "q_embed_outliers", "q_ks_drift")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")
