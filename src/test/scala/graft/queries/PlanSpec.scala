@@ -191,6 +191,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("winnowing computes grams and window minima as window functions, not array lambdas") {
+    val p = plan("q_winnowing")
+    // the nested transform/slice formulation measured O(len²) after
+    // Catalyst inlined the gram array into the window lambda (247 s at
+    // sf0.1 vs 1.7 s) — this pins the lead+frame-min shape so a
+    // refactor back to lambdas fails here before it reaches a bench
+    assert(p.contains("Window"), p)
+    assert(!p.contains("ArrayTransform") && !p.contains("transform("),
+      "gram/window arithmetic must not be array lambdas:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("salted join actually shuffles (broadcast would defeat the salt demo)") {
     val p = plan("q_join_salted")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
