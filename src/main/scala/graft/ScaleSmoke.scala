@@ -39,7 +39,12 @@ object ScaleSmoke {
     // lineitem: shift BOTH order and supplier keys so each copy is a
     // DISJOINT co-supply graph — triangle work then must scale
     // linearly in copies; values (prices) are unkeyed so the histogram
-    // sketch sees N× rows over the same range
+    // sketch sees N× rows over the same range.
+    // CAVEAT (r12 ADVICE): orders/part/supplier below are copied
+    // VERBATIM, so amplified lineitem's shifted keys only join parent
+    // rows for copy 0 — a heavy entry that joins lineitem to its
+    // parents must either amplify those keys in lockstep here first or
+    // accept 1/N join selectivity; today's heavy list joins none.
     amplify("lineitem", Seq("l_orderkey", "l_suppkey"))
 
     // patched table reader: route the amplified names through the views

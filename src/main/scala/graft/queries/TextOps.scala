@@ -645,14 +645,16 @@ object TextOps {
     * with per-rule attribution. The subset applicable to single-line
     * docs: word count ∈ [50, 100k], mean word length ∈ [3, 10], ≥80%
     * of words containing an alphabetic character, and ≥2 distinct
-    * stopwords present (the "real language" check). `reject_reason`
-    * names the FIRST failed rule — the attribution a funnel report
-    * (q_filter_funnel-style) aggregates to explain corpus attrition.
+    * stopwords present (the "real language" check) — the paper's exact
+    * 8-word list: the, be, to, of, and, that, have, with.
+    * `reject_reason` names the FIRST failed rule — the attribution a
+    * funnel report (q_filter_funnel-style) aggregates to explain
+    * corpus attrition.
     *
     * Everything is exact integer arithmetic: mean word length =
     * (len(text) − n + 1) / n for single-space-joined text (total word
     * chars derived by subtraction, no per-word float accumulation),
-    * stopword presence as 9 explicit contains-flags summed. One narrow
+    * stopword presence as 8 explicit contains-flags summed. One narrow
     * scan, no shuffle before the output sort — the 100 TB cost is the
     * read itself. */
   private val qGopherRules = Q(
@@ -675,7 +677,6 @@ object TextOps {
             |   + CASE WHEN array_contains(toks, 'that') THEN 1 ELSE 0 END
             |   + CASE WHEN array_contains(toks, 'have') THEN 1 ELSE 0 END
             |   + CASE WHEN array_contains(toks, 'with') THEN 1 ELSE 0 END
-            |   + CASE WHEN array_contains(toks, 'a') THEN 1 ELSE 0 END
             | AS BIGINT)""".stripMargin))
         .withColumn("reject_reason", expr(
           """CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
@@ -701,7 +702,6 @@ object TextOps {
                  + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
                  + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
                  + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END
-                 + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
                AS BIGINT) AS n_stop
             FROM t),
             r AS (SELECT *,

@@ -86,7 +86,9 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
     * it violates (first-failed attribution), and a clean doc passes. */
   test("gopher rules attribute each planted violation to the right gate") {
     val d = Files.createTempDirectory("gopher").toString
-    val stopPad = "the a of and to" // 5 words, 4 distinct stopwords
+    // 5 words; 4 distinct CANONICAL stopwords (the/of/and/to — 'a' is
+    // deliberately NOT on Gopher's 8-word list and must not count)
+    val stopPad = "the a of and to"
     val clean = (stopPad + " " + Seq.tabulate(50)(i => s"word$i").mkString(" "))
     val short = "the a tiny doc" // 4 words → word_count
     // 60 long pseudo-words → mean word length > 10 (has stopwords so
@@ -97,9 +99,12 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
     val numeric = (stopPad + " " + Seq.fill(55)("12345").mkString(" "))
     // 60 plain words, no stopwords at all
     val noStops = Seq.tabulate(60)(i => s"word$i").mkString(" ")
+    // 'a' plus ONE canonical stopword: n_stop must read 1 (not 2 — 'a'
+    // is off the paper's list), so the doc fails the ≥2 gate
+    val aPlusOne = ("a the " + Seq.tabulate(58)(i => s"word$i").mkString(" "))
     val docs = Seq(
       doc(1L, clean), doc(2L, short), doc(3L, longWords),
-      doc(4L, numeric), doc(5L, noStops))
+      doc(4L, numeric), doc(5L, noStops), doc(6L, aPlusOne))
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     val got = Registry.queries("q_gopher_rules")(spark, d).collect()
@@ -109,6 +114,7 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
     assert(got(3L) === ((false, "mean_word_len")), got.toString)
     assert(got(4L) === ((false, "alpha_ratio")), got.toString)
     assert(got(5L) === ((false, "stopwords")), got.toString)
+    assert(got(6L) === ((false, "stopwords")), got.toString)
   }
 
   /** Round-trip audit: clean docs decode to exactly their input; a doc
