@@ -116,7 +116,10 @@ object ScaleSmoke {
       "q_phrase_search", "q_triangle_count", "q_knn_classify",
       "q_approx_distinct_portable", "q_percentile_hist_portable",
       "q_bpe_roundtrip", "q_hilbert_layout", "q_winnowing",
-      "q_gopher_rules", "q_embed_outliers", "q_ks_drift")
+      "q_gopher_rules", "q_embed_outliers", "q_ks_drift",
+      // r13: the MAD de-weak (histogram passes over amplified events —
+      // the claim is bounded per-group state at any group size)
+      "q_anomaly_mad_scalable")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

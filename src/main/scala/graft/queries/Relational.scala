@@ -1386,9 +1386,13 @@ object Relational {
     * Shape: two aggregation passes over the fact (median, then median
     * absolute deviation — MAD needs the median first) + a per-type
     * stats join the optimizer broadcasts (5 rows). Exact `percentile`
-    * keeps the full oracle; at 100 TB swap in the mergeable t-digest
-    * exactly as `q_agg_percentile_approx` does for `q_agg_percentile`
-    * — the operator shape is unchanged. */
+    * keeps the full oracle but BUFFERS every value per group — a hot
+    * event type at 100 TB is a memory cliff on one aggregation buffer;
+    * the production form is `q_anomaly_mad_scalable` below, which runs
+    * the identical two-pass median→MAD over the mergeable 1024-bin
+    * integer histogram (bounded memory at any group size) with the
+    * carried one-bin-width error bound. This exact form stays as the
+    * small-data reference the scalable sibling's spec gates against. */
   private val qAnomalyMad = Q(
     "q_anomaly_mad",
     (s, d) => {
@@ -1417,6 +1421,126 @@ object Relational {
              FROM e JOIN mad USING (event_type)
              WHERE abs(e.value - mad.med) > 3.0 * 1.4826 * mad.mad
              ORDER BY e.event_id""")
+  )
+
+  /** The 100 TB form of `q_anomaly_mad` (r12 VERDICT #1 — the one
+    * standing perf flag): the same two-pass median→MAD robust outlier
+    * gate, with BOTH percentile passes swapped from exact `percentile`
+    * (unbounded per-group value buffer) to the mergeable 1024-bin
+    * integer-cents histogram `q_percentile_hist_portable` certified —
+    * per-group state is 1024 longs regardless of group size, partials
+    * merge by bin addition, and a hot event type at any scale costs
+    * the same memory as a cold one.
+    *
+    * Estimator: median ≈ lower edge of the first bin whose cumulative
+    * count reaches ceil(n/2) = (n+1) div 2 — within one bin width `w1`
+    * of the true median; MAD runs the identical histogram over
+    * |cents − med| (within `w1 + w2`: the deviations shift ≤ w1 from
+    * the true-median deviations, plus the second histogram's own bin).
+    * Both bounds ride OUT (`med_err`/`mad_err`) so a consumer sees the
+    * guarantee next to each flag. The outlier gate itself is exact
+    * integer cross-multiplication — |c − med|·10⁴ > 44478·mad, i.e.
+    * the 3·1.4826 threshold with no float accumulation anywhere — so
+    * the whole chain is deterministic and fully oracle-checked (and
+    * the SQL is dual-dialect: no `div`/`//`, floor-division only).
+    * AnomalyMadSpec pins flag-set EQUALITY with the exact form on an
+    * odd-count integer-cents fixture (bins degenerate to exact values)
+    * and bounded disagreement on a wide-spread fixture. */
+  private val qAnomalyMadScalable = Q(
+    "q_anomaly_mad_scalable",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      // one mergeable-histogram median pass: (event_type, v) →
+      // (event_type, <out> lower-edge median, <out>_err bin width)
+      def histMedian(vals: DataFrame, out: String): DataFrame = {
+        val mm = vals.groupBy(col("event_type"))
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+            count(lit(1)).as("n"))
+          .withColumn("w", expr("(mx - mn) div 1024 + 1"))
+        vals.join(broadcast(mm), "event_type")
+          .withColumn("bin", expr("(v - mn) div w"))
+          .groupBy(col("event_type"), col("bin"), col("mn"), col("w"), col("n"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("bin"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("event_type"))
+          .agg(
+            min(when(col("cum") >= expr("(n + 1) div 2"),
+              col("mn") + col("bin") * col("w"))).as(out),
+            max(col("w")).as(s"${out}_w"))
+      }
+      val med = histMedian(e.select(col("event_type"), col("c").as("v")), "med_c")
+      val dev = e.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("c") - col("med_c")).as("v"))
+      val mad = histMedian(dev, "mad_c")
+      val stats = med.join(mad, "event_type")
+      e.join(broadcast(stats), "event_type")
+        .filter(abs(col("c") - col("med_c")) * lit(10000L) >
+          lit(44478L) * col("mad_c"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          (col("med_c") / lit(100.0)).as("med"),
+          (col("mad_c") / lit(100.0)).as("mad"),
+          (col("med_c_w") / lit(100.0)).as("med_err"),
+          ((col("med_c_w") + col("mad_c_w")) / lit(100.0)).as("mad_err"))
+        .orderBy(col("event_id"))
+    },
+    // dual-dialect SQL (runs verbatim in BOTH DuckDB and Spark —
+    // SqlPortabilitySpec pins it portable): integer floor-division is
+    // spelled floor(a / b.0) (no `div`, no `//`), and ceil(n/2) is
+    // (n+1) floor-div 2 so the rank is pure integer arithmetic
+    Some("""WITH e AS (SELECT event_id, event_type, value,
+              CAST(round(value * 100) AS BIGINT) AS c FROM events),
+            mm1 AS (SELECT event_type, min(c) AS mn, count(*) AS n,
+                      CAST(floor((max(c) - min(c)) / 1024.0) AS BIGINT) + 1 AS w
+                    FROM e GROUP BY event_type),
+            h1 AS (SELECT event_type, bin, mn, w, n, count(*) AS cnt
+                   FROM (SELECT e.event_type,
+                           CAST(floor((e.c - mm1.mn) / CAST(mm1.w AS DOUBLE)) AS BIGINT) AS bin,
+                           mm1.mn, mm1.w, mm1.n
+                         FROM e JOIN mm1 USING (event_type))
+                   GROUP BY event_type, bin, mn, w, n),
+            c1 AS (SELECT event_type, bin, mn, w, n,
+                     sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM h1),
+            med AS (SELECT event_type,
+                      min(CASE WHEN cum >= CAST(floor((n + 1) / 2.0) AS BIGINT)
+                        THEN mn + bin * w END) AS med_c,
+                      max(w) AS med_w
+                    FROM c1 GROUP BY event_type),
+            d AS (SELECT e.event_type, abs(e.c - med.med_c) AS v
+                  FROM e JOIN med USING (event_type)),
+            mm2 AS (SELECT event_type, min(v) AS mn, count(*) AS n,
+                      CAST(floor((max(v) - min(v)) / 1024.0) AS BIGINT) + 1 AS w
+                    FROM d GROUP BY event_type),
+            h2 AS (SELECT event_type, bin, mn, w, n, count(*) AS cnt
+                   FROM (SELECT d.event_type,
+                           CAST(floor((d.v - mm2.mn) / CAST(mm2.w AS DOUBLE)) AS BIGINT) AS bin,
+                           mm2.mn, mm2.w, mm2.n
+                         FROM d JOIN mm2 USING (event_type))
+                   GROUP BY event_type, bin, mn, w, n),
+            c2 AS (SELECT event_type, bin, mn, w, n,
+                     sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM h2),
+            mad AS (SELECT event_type,
+                      min(CASE WHEN cum >= CAST(floor((n + 1) / 2.0) AS BIGINT)
+                        THEN mn + bin * w END) AS mad_c,
+                      max(w) AS mad_w
+                    FROM c2 GROUP BY event_type),
+            st AS (SELECT med.event_type, med.med_c, med.med_w, mad.mad_c, mad.mad_w
+                   FROM med JOIN mad USING (event_type))
+            SELECT e.event_id, e.event_type, e.value,
+              CAST(st.med_c AS DOUBLE) / 100.0 AS med,
+              CAST(st.mad_c AS DOUBLE) / 100.0 AS mad,
+              CAST(st.med_w AS DOUBLE) / 100.0 AS med_err,
+              CAST(st.med_w + st.mad_w AS DOUBLE) / 100.0 AS mad_err
+            FROM e JOIN st USING (event_type)
+            WHERE abs(e.c - st.med_c) * 10000 > 44478 * st.mad_c
+            ORDER BY e.event_id""")
   )
 
   /** Exponentially TIME-DECAYED counts per key — the "recent activity
@@ -1728,7 +1852,8 @@ object Relational {
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,
     qSubqueryCorrelated, qPathTransitions, qFunnelSteps,
     qCohortRetention, qStringAggOrdered,
-    qBloomPrefilterJoin, qIntervalMerge, qAnomalyMad, qDecayedCounts,
+    qBloomPrefilterJoin, qIntervalMerge, qAnomalyMad, qAnomalyMadScalable,
+    qDecayedCounts,
     qZorderLayout, qZorderLayout3, qHilbertLayout, qRegressionStats,
     qModePerKey)
 }

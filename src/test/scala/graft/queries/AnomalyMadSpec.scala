@@ -1,0 +1,98 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** `q_anomaly_mad_scalable` vs the exact form — the de-weak gate the
+  * r12 VERDICT prescribed: on a fixture where the 1024-bin histogram
+  * degenerates to exact values (integer cents, range ≤ 1023 → bin
+  * width 1, odd count → no median interpolation) the flag sets must be
+  * IDENTICAL; on a wide-spread fixture the disagreements must all lie
+  * inside the carried error band (|dev − threshold| ≤
+  * 4.4478·(w1+w2) + w1), never outside it — and planted far outliers
+  * must be flagged by BOTH forms.
+  */
+class AnomalyMadSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def writeEvents(d: String, cents: Seq[Long]): Unit = {
+    val base = 1547776800L * 1000000000L
+    cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong + 1L, base + i * 1000000L, 1L, "m", c.toDouble / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+  }
+
+  private def flagged(name: String, d: String): Set[Long] =
+    Registry.queries(name)(spark, d).collect().map(_.getLong(0)).toSet
+
+  test("flag sets are identical to the exact form when bins are exact") {
+    val d = Files.createTempDirectory("madeq").toString
+    // 49 consecutive integer-cent inliers + 2 far outliers; range 1000
+    // cents < 1024 → w1 = 1; odd n = 51 → the exact median is the
+    // rank-26 element, exactly the histogram's lower-edge pick
+    val cents = (9976L to 10024L) ++ Seq(10900L, 10900L)
+    writeEvents(d, cents)
+    val exact = flagged("q_anomaly_mad", d)
+    val scalable = flagged("q_anomaly_mad_scalable", d)
+    assert(scalable === exact, s"exact=$exact scalable=$scalable")
+    // and the planted outliers (the last two event_ids) are in both
+    val outlierIds = Set(50L, 51L)
+    assert(outlierIds.subsetOf(exact) && outlierIds.subsetOf(scalable))
+  }
+
+  test("wide-spread disagreements stay inside the carried error band") {
+    val d = Files.createTempDirectory("madband").toString
+    val rnd = new scala.util.Random(13)
+    // 501 values over a ~$10k spread (w1 ≈ range/1024 ≈ 977 cents) + 4
+    // planted far outliers at 40× the spread — unambiguous at any bin
+    // width
+    val inliers = Seq.fill(497)(500000L + rnd.nextInt(1000000).toLong)
+    val outliers = Seq.fill(4)(40000000L)
+    val cents = inliers ++ outliers
+    writeEvents(d, cents)
+
+    // exact med/MAD in plain Scala (odd n → middle element, matching
+    // Spark's interpolating percentile on an odd count)
+    def medianOf(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+    val medE = medianOf(cents)
+    val madE = medianOf(cents.map(c => math.abs(c - medE)))
+
+    // the scalable estimator's bin widths, computed as the query does
+    val w1 = (cents.max - cents.min) / 1024 + 1
+    // deviations measured against the HISTOGRAM median for w2
+    def histMedian(xs: Seq[Long]): (Long, Long) = {
+      val (mn, mx, n) = (xs.min, xs.max, xs.size)
+      val w = (mx - mn) / 1024 + 1
+      val byBin = xs.groupBy(x => (x - mn) / w).toSeq.sortBy(_._1)
+      val rank = (n + 1) / 2
+      var cum = 0L
+      val bin = byBin.find { case (_, vs) => cum += vs.size; cum >= rank }.get._1
+      (mn + bin * w, w)
+    }
+    val (medS, _) = histMedian(cents)
+    val (madS, w2) = histMedian(cents.map(c => math.abs(c - medS)))
+    assert(math.abs(medS - medE) <= w1, s"median drift $medS vs $medE > w1=$w1")
+    assert(math.abs(madS - madE) <= w1 + w2,
+      s"MAD drift $madS vs $madE > w1+w2=${w1 + w2}")
+
+    val exact = flagged("q_anomaly_mad", d)
+    val scalable = flagged("q_anomaly_mad_scalable", d)
+    // planted outliers flagged by BOTH
+    val outlierIds = ((cents.size - 3) to cents.size).map(_.toLong).toSet
+    assert(outlierIds.subsetOf(exact) && outlierIds.subsetOf(scalable),
+      s"planted outliers must survive both gates: exact=$exact scalable=$scalable")
+    // every disagreement sits within the error band of the threshold
+    val band = 4.4478 * (w1 + w2) + w1
+    val disagreements = (exact diff scalable) ++ (scalable diff exact)
+    disagreements.foreach { id =>
+      val dv = math.abs(cents(id.toInt - 1) - medE).toDouble
+      val t = 4.4478 * madE
+      assert(math.abs(dv - t) <= band,
+        s"event $id disagrees outside the error band: |$dv - $t| > $band")
+    }
+  }
+}
