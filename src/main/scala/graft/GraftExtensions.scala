@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, CosineSim, DotProduct, NgramHashes, NgramPolyHashes, PolyHash, SimHash64}
+import graft.functions.{BloomMightContain, CosineSim, DotProduct, HilbertIndex, NgramHashes, NgramPolyHashes, PolyHash, SimHash64}
 import graft.logs.expressions.UrlUnquote
 
 /** Engine extensions, injected via the public
@@ -75,6 +75,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1,
           s"simhash64(text) requires exactly 1 argument, got ${args.length}")
         SimHash64(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"hilbert_index(x, y) requires exactly 2 arguments, got ${args.length}")
+        HilbertIndex(args.head, args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),

@@ -1,7 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** HILBERT-curve clustering — the second space-filling-curve layout
   * lever next to [[ZOrder]]. Both make multi-column parquet min/max
@@ -83,8 +86,14 @@ object Hilbert {
     (first +: rest).mkString(",\n")
   }
 
-  /** Reference implementation for specs: the same algorithm in plain
-    * Scala (driver-side, test-only). */
+  /** The 16-stage transform as one plain-Scala loop — BOTH the spec
+    * reference AND the production kernel: [[HilbertIndex]]'s codegen
+    * emits a static call to this method (Scala objects compile with
+    * static forwarders, the [[graft.logs.expressions.PyUnquote]]
+    * pattern), so the hot path is one JIT-compiled while-loop inside
+    * whole-stage codegen instead of the 33-projection column chain —
+    * which cost a ~4 s plan/Janino constant per query at sf0.1 (r12
+    * VERDICT watch-item #2). */
   def reference(x0: Long, y0: Long): Long = {
     var x = x0 & 65535L; var y = y0 & 65535L; var d = 0L
     var s = 32768L
@@ -100,4 +109,33 @@ object Hilbert {
     }
     d
   }
+}
+
+/** Codegen'd Catalyst expression for the Hilbert index — the
+  * production path for `q_hilbert_layout` and
+  * [[Hilbert.writeClustered]]-style layout jobs. One expression node
+  * (vs 16 stages × 2 projections of the column-chain form at
+  * [[Hilbert.withHilbert]], kept for cross-validation and as the
+  * dialect-emitter twin of the DuckDB oracle CTEs): planning is O(1),
+  * the generated code is a single static call JIT-compiled once, and
+  * the whole computation stays inside whole-stage codegen.
+  * Registered as SQL function `hilbert_index(x, y)` by
+  * [[graft.GraftExtensions]]; HilbertSpec pins it bit-equal to the
+  * column chain and the Scala reference over a full grid. */
+case class HilbertIndex(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_index"
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    Hilbert.reference(x.asInstanceOf[Long], y.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, y) => s"graft.functions.Hilbert.reference($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertIndex =
+    copy(left = newLeft, right = newRight)
 }

@@ -1623,16 +1623,22 @@ object Relational {
     * z-order is tighter locality (consecutive curve positions are
     * always ADJACENT cells — no power-of-two seam jumps), which
     * HilbertSpec quantifies against the z-curve on the same keys; this
-    * key certifies the index arithmetic itself cross-engine (16 bit
-    * stages of CASE/AND/XOR, one Scala emitter printing both dialects)
-    * and that buckets still cover bounded rectangles — the property
-    * parquet min/max pruning buys layout from. */
+    * key certifies the index arithmetic itself cross-engine and that
+    * buckets still cover bounded rectangles — the property parquet
+    * min/max pruning buys layout from.
+    *
+    * Engine side is the codegen'd [[graft.functions.HilbertIndex]]
+    * expression (r13 — one static-call node, planning O(1)); the
+    * oracle stays the 16-stage CTE chain printed by the SAME Scala
+    * emitter that HilbertSpec pins bit-equal to the expression, so the
+    * cross-engine certification is unchanged while the r12 ~4 s
+    * plan/Janino constant of the 33-projection chain is gone. */
   private val qHilbertLayout = Q(
     "q_hilbert_layout",
     (s, d) => {
-      val base = Tables.lineitem(s, d)
+      Tables.lineitem(s, d)
         .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
-      graft.functions.Hilbert.withHilbert(base, "x", "y", "h")
+        .withColumn("h", expr("hilbert_index(x, y)"))
         .withColumn("bucket", expr("shiftright(h, 10)").cast("long"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),

@@ -26,6 +26,24 @@ class HilbertSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("codegen expression equals the column chain and the reference on the grid") {
+    val df = grid.toDF("x", "y")
+    // the production path: one codegen'd expression node
+    val viaExpr = df.selectExpr("x", "y", "hilbert_index(x, y) AS h")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaChain = Hilbert.withHilbert(df, "x", "y", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (x, y) =>
+      assert(viaExpr((x, y)) == Hilbert.reference(x, y), s"expr ($x, $y)")
+      assert(viaExpr((x, y)) == viaChain((x, y)), s"expr vs chain ($x, $y)")
+    }
+    // interpreted eval path (no codegen) must agree too
+    val hi = HilbertIndex(
+      org.apache.spark.sql.catalyst.expressions.Literal(37L),
+      org.apache.spark.sql.catalyst.expressions.Literal(99L))
+    assert(hi.eval(null) == Hilbert.reference(37L, 99L))
+  }
+
   test("bijective on the grid; an aligned subsquare is a contiguous, adjacent walk") {
     val ds = grid.map { case (x, y) => (x, y, Hilbert.reference(x, y)) }
     assert(ds.map(_._3).distinct.size == side * side, "collision on the grid")
