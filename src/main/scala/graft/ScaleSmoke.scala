@@ -149,6 +149,47 @@ object ScaleSmoke {
       }
     }
 
+    // SPAN-KEY SHUFFLE BYTES (r13): the q_span_dedup 128-bit-hash-pair
+    // swap's claim is fewer bytes on the shuffle wire than span
+    // strings — measure both forms on the amplified corpus with a
+    // task-metrics listener (sleep drains the listener bus; a smoke
+    // tolerates the 2 s). Delta lands in SCALE.md.
+    if (wanted("span_shuffle")) block("span_shuffle") {
+      def shuffleBytes(body: => Unit): Long = {
+        val acc = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try { body; Thread.sleep(2000) }
+        finally spark.sparkContext.removeSparkListener(l)
+        acc.get()
+      }
+      val docs = spark.read.parquet(s"${patched.getPath}/documents.parquet")
+      def both(d: org.apache.spark.sql.DataFrame): (Long, Long) = (
+        shuffleBytes(graft.queries.Chunking.spanProfile(d,
+          graft.queries.Chunking.spanKey128).count(): Unit),
+        shuffleBytes(graft.queries.Chunking.spanProfile(d,
+          graft.queries.Chunking.spanKeyString).count(): Unit))
+      // (a) the synthetic corpus as-is: ~6-char tokens → ~20-char
+      // spans, which COMPRESS below the 16 incompressible hash bytes —
+      // the honest small-span regime; (b) tokens stretched 8× (~160-
+      // char spans ≈ line-level dedup granularity, the regime the
+      // VERDICT's "strings dominate shuffle bytes" claim describes)
+      val (hashB, strB) = both(docs)
+      val longDocs = docs.withColumn("text", expr(
+        "array_join(transform(split(text, ' '), t -> " +
+          "concat(t, t, t, t, t, t, t, t)), ' ')"))
+      val (hashBL, strBL) = both(longDocs)
+      println(f"SCALE span_shuffle shortSpans hashPair=${hashB / 1e6}%.1f MB " +
+        f"string=${strB / 1e6}%.1f MB (${strB.toDouble / hashB}%.2fx)  " +
+        f"lineLenSpans hashPair=${hashBL / 1e6}%.1f MB " +
+        f"string=${strBL / 1e6}%.1f MB (${strBL.toDouble / hashBL}%.2fx)")
+    }
+
     // DEEP BPE training: the q_bpe_train loop at production round
     // counts (30 rounds vs the oracle-gated 3), Checkpointer-every-5
     // policy. The claim under test is LINEARITY IN N: per-round cost

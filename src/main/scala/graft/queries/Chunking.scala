@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -36,6 +36,51 @@ object Chunking {
     * sf0.01). */
   private val SpanK = 3
 
+  /** The span-profile body with a PLUGGABLE span key: `key(span)`
+    * yields the column(s) the corpus-wide distinct-doc count groups
+    * and joins on. Production uses the 128-bit hash pair
+    * ([[spanKey128]]); the raw-string key and a deliberately-weak key
+    * exist for SpanDedupSpec to prove (a) hash == string on real data
+    * and (b) that an under-wide key visibly corrupts counts — the
+    * failure mode the 128 bits are sized against. */
+  private[graft] def spanProfile(
+      docs: DataFrame, key: Column => Seq[Column]): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, cast(ceil(size(toks)/$SpanK.0) as int) - 1),
+           |          i -> concat_ws(' ', slice(toks, i*$SpanK+1, $SpanK)))""".stripMargin))
+        .as("span"))
+    val keyCols = key(col("span")).zipWithIndex
+      .map { case (c, i) => c.as(s"k$i") }
+    val keyNames = keyCols.indices.map(i => s"k$i")
+    val keyed = spans.select(col("doc_id") +: keyCols: _*)
+    val counts = keyed.groupBy(keyNames.map(col): _*)
+      .agg(countDistinct(col("doc_id")).as("span_docs"))
+    keyed.join(counts, keyNames)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("span_docs") > 1, 1L).otherwise(0L)).as("n_boilerplate"),
+        round(avg(when(col("span_docs") > 1, 1.0d).otherwise(0.0d)), 6)
+          .as("boilerplate_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The production span key: a 128-bit content hash as an xxhash64
+    * PAIR over independent byte streams (the span and its reversal —
+    * NOT `xxhash64(span, salt)`, whose multi-argument form chains the
+    * second element's seed off the first's hash, making component 2 a
+    * pure function of component 1 and the pair no wider than 64 bits).
+    * Collision odds for distinct spans are 2^-128-scale — below any
+    * corpus size's birthday bound. */
+  private[graft] def spanKey128(span: Column): Seq[Column] =
+    Seq(xxhash64(span), xxhash64(reverse(span)))
+
+  /** Raw-string span key — the oracle-shaped twin SpanDedupSpec pins
+    * the hash form equal to. */
+  private[graft] def spanKeyString(span: Column): Seq[Column] = Seq(span)
+
   /** Global boilerplate-span detection: split each doc into
     * non-overlapping K-token spans, count DISTINCT docs per span
     * corpus-wide, and report per doc how much of it is made of spans
@@ -44,30 +89,24 @@ object Chunking {
     *
     * 100 TB shape: explode is map-side; the span groupBy and the
     * count join-back both shuffle on the span key (partial-agg'd,
-    * AQE-coalesced). Spans here shuffle as short strings; at scale the
-    * key swaps to a 128-bit content hash (xxhash64 pair / sha-256
-    * truncation) so shuffle rows are fixed-width — counts are
-    * identical, and the string form keeps the DuckDB oracle exact. */
+    * AQE-coalesced) — and that key is the FIXED-WIDTH 128-bit hash
+    * pair ([[spanKey128]], r13: was the span string), so shuffle rows
+    * are 16 bytes + doc_id REGARDLESS of span text length, sort/agg
+    * comparisons are two long compares instead of variable-length
+    * byte scans, and the distinct-agg hash table holds fixed-width
+    * keys. Measured honestly (ScaleSmoke span_shuffle): on-wire bytes
+    * are roughly break-even at this corpus's short spans (lz4
+    * compresses text; random hash bytes don't compress) — the win is
+    * INVARIANCE: hash bytes stay flat as spans lengthen while string
+    * bytes grow, i.e. the worst case is bounded at line-level
+    * granularity. The DuckDB oracle keeps grouping by the string — a
+    * hash-green row therefore PROVES the hashed grouping loses
+    * nothing on real data, and SpanDedupSpec pins string-equality
+    * plus the weak-key failure mode; PlanSpec gates that the
+    * exchanges actually carry the hash pair, not strings. */
   private val qSpanDedup = Q(
     "q_span_dedup",
-    (s, d) => {
-      val spans = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), explode(expr(
-          s"""transform(sequence(0, cast(ceil(size(toks)/$SpanK.0) as int) - 1),
-             |          i -> concat_ws(' ', slice(toks, i*$SpanK+1, $SpanK)))""".stripMargin))
-          .as("span"))
-      val counts = spans.groupBy("span")
-        .agg(countDistinct(col("doc_id")).as("span_docs"))
-      spans.join(counts, "span")
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_spans"),
-          sum(when(col("span_docs") > 1, 1L).otherwise(0L)).as("n_boilerplate"),
-          round(avg(when(col("span_docs") > 1, 1.0d).otherwise(0.0d)), 6)
-            .as("boilerplate_ratio"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => spanProfile(Tables.documents(s, d), spanKey128),
     Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
              |spans AS (
              |  SELECT doc_id,

@@ -1,0 +1,54 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSupport, Tables}
+
+/** The r13 span-key swap: `q_span_dedup` now shuffles a 128-bit
+  * xxhash64 pair instead of span strings. This spec proves the swap
+  * loses nothing — the hashed profile equals the string-keyed profile
+  * row-for-row on real data — and demonstrates the failure mode the
+  * width is sized against: an under-wide key (2 bits here) merges
+  * distinct spans and visibly corrupts boilerplate counts. The DuckDB
+  * oracle stays string-keyed, so the driver's hash-green is a second,
+  * cross-engine proof on every run.
+  */
+class SpanDedupSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("128-bit hash keys reproduce the string-keyed profile exactly") {
+    val docs = Tables.documents(spark, sf)
+    val hashed = Chunking.spanProfile(docs, Chunking.spanKey128)
+      .collect().map(_.toSeq).toSeq
+    val strings = Chunking.spanProfile(docs, Chunking.spanKeyString)
+      .collect().map(_.toSeq).toSeq
+    assert(hashed == strings)
+  }
+
+  test("an under-wide span key corrupts counts — the collision mode 128 bits prevent") {
+    val d = Files.createTempDirectory("spanweak").toString
+    // 40 docs of 3 spans each, every span unique corpus-wide → ZERO
+    // boilerplate under any collision-free key
+    (1 to 40).map(i =>
+      (i.toLong, s"u${i}a x y u${i}b p q u${i}c r s", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val docs = Tables.documents(spark, d)
+    val good = Chunking.spanProfile(docs, Chunking.spanKey128)
+      .agg(sum("n_boilerplate")).as[Long].head()
+    assert(good == 0L, s"collision-free corpus must show zero boilerplate: $good")
+    // 2-bit key: 120 distinct spans into 4 buckets — collisions are
+    // certain, and collided spans masquerade as cross-doc duplicates
+    val weak = Chunking.spanProfile(docs,
+        span => Seq(pmod(xxhash64(span), lit(4L))))
+      .agg(sum("n_boilerplate")).as[Long].head()
+    assert(weak > 0L,
+      "the weak key should have merged distinct spans; if not, this " +
+        "fixture no longer demonstrates the collision failure mode")
+  }
+}
