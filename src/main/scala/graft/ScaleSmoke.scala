@@ -118,8 +118,10 @@ object ScaleSmoke {
       "q_bpe_roundtrip", "q_hilbert_layout", "q_winnowing",
       "q_gopher_rules", "q_embed_outliers", "q_ks_drift",
       // r13: the MAD de-weak (histogram passes over amplified events —
-      // the claim is bounded per-group state at any group size)
-      "q_anomaly_mad_scalable")
+      // the claim is bounded per-group state at any group size) and
+      // the stored-fingerprint winnowing (amplified corpus ⇒ fresh
+      // fingerprint ⇒ measured time INCLUDES one index build)
+      "q_anomaly_mad_scalable", "q_winnowing_indexed")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

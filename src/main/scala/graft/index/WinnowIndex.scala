@@ -1,0 +1,86 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** PERSISTENT winnowing fingerprint index — the stored form of the
+  * local-fingerprint tables behind partial-overlap detection
+  * ([[graft.queries.Dedup.winnowFingerprints]]): `fps` holds one row
+  * per (doc, distinct window-min fingerprint), `stats` the corpus
+  * document frequency per fingerprint (the df ≤ 64 hot-fingerprint
+  * cap's input). The pair MUST stay torn-proof for the same reason as
+  * [[MinhashIndex]]'s bands/shingles: stats from corpus v1 applied to
+  * fps from corpus v2 silently mis-caps — a newly-hot boilerplate
+  * fingerprint would flood the pair join, or a cooled one would be
+  * dropped while still informative.
+  *
+  * So both tables are versioned and committed together by the
+  * [[MetaMarker]] pointer protocol: new versions land in fresh
+  * `fps_vN`/`stats_vN` dirs and ONE staged meta swap names the pair; a
+  * crash mid-rebuild — or a rebuild racing a reading stream — leaves
+  * readers on the old, internally-consistent pair, and orphaned dirs
+  * are retired by the next successful build (one-generation grace, so
+  * a mid-probe reader of the just-retired pair never loses its files).
+  *
+  * Layout: `<dir>/_WINNOW_META.json` + the two parquet dirs.
+  */
+object WinnowIndex {
+
+  private val META = "_WINNOW_META.json"
+
+  private val fpsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("fp", LongType)))
+
+  private val statsSchema = StructType(Seq(
+    StructField("fp", LongType),
+    StructField("df", LongType)))
+
+  /** Persist a (fps, stats) pair as the index's next version and
+    * commit both names in one meta swap. */
+  def build(fps: DataFrame, stats: DataFrame, dir: String): Unit = {
+    val spark = fps.sparkSession
+    val fs = fsFor(spark, dir)
+    val current = currentNames(fs, dir)
+    current.foreach { case (curF, curS) =>
+      MetaMarker.retireUnnamed(fs, dir, Seq("fps", "stats"),
+        Set(curF, curS))
+    }
+    val n = current match {
+      case Some((f, _)) =>
+        f.stripPrefix("fps").stripPrefix("_v").toIntOption.getOrElse(0) + 1
+      case None => 0
+    }
+    val (nextF, nextS) = (s"fps_v$n", s"stats_v$n")
+    fps.write.mode("overwrite").parquet(s"$dir/$nextF")
+    stats.write.mode("overwrite").parquet(s"$dir/$nextS")
+    MetaMarker.write(fs, dir, META,
+      s"""{"fps": "$nextF", "stats": "$nextS"}""")
+  }
+
+  /** The committed (fps, stats) pair as pure reads (explicit schema —
+    * no footer pass), resolved through the meta so both tables always
+    * come from the SAME corpus version. */
+  def read(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (f, s) = currentNames(fsFor(spark, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no winnowing index at $dir"))
+    (spark.read.schema(fpsSchema).parquet(s"$dir/$f"),
+      spark.read.schema(statsSchema).parquet(s"$dir/$s"))
+  }
+
+  /** True once [[build]] ever committed at `dir`. */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    currentNames(fsFor(spark, dir), dir).isDefined
+
+  private def currentNames(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[(String, String)] =
+    if (MetaMarker.exists(fs, dir, META)) {
+      val root = MetaMarker.read(fs, dir, META)
+      Some((root.get("fps").asText(), root.get("stats").asText()))
+    } else None
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

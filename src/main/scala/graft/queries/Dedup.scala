@@ -894,32 +894,106 @@ object Dedup {
   private val qWinnowing = Q(
     "q_winnowing",
     (s, d) => {
-      val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val fps = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
-        .withColumn("w1", lead(col("w0"), 1).over(wnd))
-        .withColumn("w2", lead(col("w0"), 2).over(wnd))
-        .filter(col("w2").isNotNull)
-        .withColumn("h", expr("poly_hash(concat(w0, ' ', w1, ' ', w2))"))
-        .withColumn("mn", min(col("h")).over(wnd.rowsBetween(0, 3)))
-        .withColumn("gcnt",
-          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        .filter(col("pos") <= col("gcnt") - 4) // full windows only
-        .select(col("doc_id"), col("mn").as("fp")).distinct()
-      val cold = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 64).select(col("fp"))
-      val kept = fps.join(cold, Seq("fp"), "leftsemi")
-      kept.select(col("fp"), col("doc_id").as("doc_a"))
-        .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
-        .filter(col("doc_b") > col("doc_a"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
-        .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
-        .limit(100)
+      val fps = winnowFingerprints(Tables.documents(s, d))
+      winnowPairsFrom(fps, winnowStats(fps))
     },
-    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+    Some(winnowOracle))
+
+  /** Distinct winnowing fingerprints per doc — `(doc_id, fp)`. The
+    * shared generator behind the inline query, the persisted
+    * [[graft.index.WinnowIndex]] build, and the streaming overlap
+    * probe's batch side (the [[minhashSig]] role for the LOCAL-
+    * fingerprint family). See [[qWinnowing]]'s scaladoc for the
+    * window-function shape rationale (the lambda form was O(len²)). */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .withColumn("w1", lead(col("w0"), 1).over(wnd))
+      .withColumn("w2", lead(col("w0"), 2).over(wnd))
+      .filter(col("w2").isNotNull)
+      .withColumn("h", expr("poly_hash(concat(w0, ' ', w1, ' ', w2))"))
+      .withColumn("mn", min(col("h")).over(wnd.rowsBetween(0, 3)))
+      .withColumn("gcnt",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("gcnt") - 4) // full windows only
+      .select(col("doc_id"), col("mn").as("fp")).distinct()
+  }
+
+  /** Corpus document frequency per fingerprint — `(fp, df)`, the
+    * hot-fingerprint table the df ≤ 64 cap reads (stored next to the
+    * fingerprints in the persisted index so probes never re-aggregate
+    * the corpus). */
+  private[graft] def winnowStats(fps: DataFrame): DataFrame =
+    fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+
+  /** Pair aggregation from a (fingerprints, stats) pair — the ONE
+    * definition behind the inline and index-backed winnowing queries:
+    * cap to cold fingerprints (df ≤ 64 DROP — a boilerplate shingle
+    * shared by thousands of docs generates O(df²) pairs and no
+    * information), self-join on fp, report pairs sharing ≥ 2. */
+  private[graft] def winnowPairsFrom(
+      fps: DataFrame, stats: DataFrame): DataFrame = {
+    val cold = stats.filter(col("df") <= 64).select(col("fp"))
+    val kept = fps.join(cold, Seq("fp"), "leftsemi")
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_b") > col("doc_a"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  /** Materialize the winnowing fingerprint index as lake tables — the
+    * build-once / query-many form ([[writeMinhashIndex]]'s treatment
+    * for partial-overlap detection): the corpus fingerprint pass (the
+    * dominant cost — a per-doc sort feeding grams and window minima)
+    * runs once, and both stored tables derive from it. Versioned +
+    * meta-committed ([[graft.index.WinnowIndex]]) so a rebuild racing
+    * a reading stream can never serve a torn (fps, stats) pair. */
+  def writeWinnowIndex(docs: DataFrame, dir: String): Unit = {
+    val fps = winnowFingerprints(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try graft.index.WinnowIndex.build(fps, winnowStats(fps), dir)
+    finally fps.unpersist()
+  }
+
+  /** The persisted winnowing index's two tables as pure reads (both
+    * from the SAME committed version). */
+  def readWinnowIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.index.WinnowIndex.read(spark, dir)
+
+  /** Drop every `batch` doc sharing ≥ `minShared` cold corpus
+    * fingerprints with ANY single indexed document — the streaming
+    * partial-overlap gate (the [[dropNearDups]] analog for local
+    * fingerprints: minhash only sees whole-document resemblance; this
+    * catches a batch doc that EMBEDS ≥ w+k−1 consecutive tokens of a
+    * corpus doc). Corpus side is the PERSISTED index; the df cap
+    * bounds probe fan-out exactly as the batch pair generator's. */
+  def dropOverlapping(batch: DataFrame, corpusFps: DataFrame,
+      corpusStats: DataFrame, minShared: Int = 2): DataFrame = {
+    val cold = corpusStats.filter(col("df") <= 64).select(col("fp"))
+    val corpusKept = corpusFps.join(cold, Seq("fp"), "leftsemi")
+    val hits = winnowFingerprints(batch)
+      .join(corpusKept.select(col("fp"), col("doc_id").as("cdoc")), Seq("fp"))
+      .groupBy(col("doc_id"), col("cdoc"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("doc_id")).distinct()
+    batch.join(hits, Seq("doc_id"), "left_anti")
+  }
+
+  /** `q_winnowing`'s oracle, shared verbatim by `q_winnowing_indexed`
+    * — hash-green there proves the stored index answers bit-identically
+    * to the inline fingerprint pass (the `q_similarity_indexed`
+    * stance). */
+  // lazy: qWinnowing above references this during object init (a
+  // forward val reference would read null into its oracle)
+  private[queries] lazy val winnowOracle: String =
+    ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
               FROM documents),
             g AS (SELECT doc_id, list_transform(range(len(toks) - 2), j ->
                     list_reduce(list_transform(
@@ -939,7 +1013,6 @@ object Dedup {
                   GROUP BY 1, 2 HAVING count(*) >= 2)
             SELECT doc_a, doc_b, shared FROM p
             ORDER BY shared DESC, doc_a, doc_b LIMIT 100""")
-  )
 
   def qs: Seq[Q] =
     Seq(qDedupExact, qDedupExactAgg, qMinhashDup, qMinhashDupPortable,

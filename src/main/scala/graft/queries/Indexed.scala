@@ -128,6 +128,15 @@ object Indexed {
       Dedup.writeMinhashIndex(graft.Tables.documents(s, d), scratch)
     }
 
+  /** Build-once memo for the winnowing fingerprint index over a corpus
+    * dir's `documents` table ([[Dedup.writeWinnowIndex]]) — shared by
+    * `q_winnowing_indexed` and the streaming overlap gate's specs. */
+  private[graft] def winnowDirFor(s: SparkSession, d: String): String =
+    ensureIndex(s, "wnindex", d, "documents.parquet",
+        dir => graft.index.WinnowIndex.exists(s, dir)) { scratch =>
+      Dedup.writeWinnowIndex(graft.Tables.documents(s, d), scratch)
+    }
+
   private val qSimilarityIndexed = Q(
     "q_similarity_indexed",
     (s, d) => {
@@ -228,6 +237,21 @@ object Indexed {
         .orderBy(col("doc_id")),
     None)
 
+  /** `q_winnowing` answered FROM the persisted fingerprint index —
+    * partial-overlap detection gets the same build-once / query-many
+    * artifact the minhash family has. The ORACLE IS `q_winnowing`'s,
+    * verbatim: poly_hash fingerprints are cross-engine-deterministic
+    * (unlike minhash's band hashing), so the driver's hash-green here
+    * proves the STORED tables answer bit-identically to both the
+    * inline pass and DuckDB — persisting changed nothing. */
+  private val qWinnowingIndexed = Q(
+    "q_winnowing_indexed",
+    (s, d) => {
+      val (fps, stats) = Dedup.readWinnowIndex(s, winnowDirFor(s, d))
+      Dedup.winnowPairsFrom(fps, stats)
+    },
+    Some(Dedup.winnowOracle))
+
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
-    qMinhashDupIndexed, qDupClustersMinhashIndexed)
+    qMinhashDupIndexed, qDupClustersMinhashIndexed, qWinnowingIndexed)
 }

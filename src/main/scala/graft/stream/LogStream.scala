@@ -773,6 +773,40 @@ object LogStream {
       }
       .start()
 
+  /** Streaming PARTIAL-OVERLAP gate — [[toNearDedupedLake]]'s sibling
+    * for the LOCAL-fingerprint family (r13): drop every incoming doc
+    * that shares ≥ `minShared` cold winnowing fingerprints with any
+    * single document in the persisted
+    * [[graft.index.WinnowIndex]] at `indexDir`. Minhash gates
+    * whole-document resemblance; this catches a stream doc that
+    * EMBEDS a run of ≥ w+k−1 consecutive tokens of an indexed doc —
+    * quote-level contamination the global-signature gate can't see.
+    *
+    * Same online-refresh contract as the minhash gate: the index meta
+    * is re-resolved INSIDE the per-batch closure, so a rebuild's
+    * staged meta swap is picked up by the very next micro-batch with
+    * no stream restart, and every batch sees an internally-consistent
+    * (fps, stats) pair — never stats from one corpus version capping
+    * fingerprints of another. */
+  def toOverlapGatedLake(
+      docs: DataFrame,
+      indexDir: String,
+      lakeDir: String,
+      checkpointDir: String,
+      minShared: Int = 2): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val (fps, stats) =
+          graft.queries.Dedup.readWinnowIndex(batch.sparkSession, indexDir)
+        writeBatchIdempotent(
+          graft.queries.Dedup.dropOverlapping(
+            batch.toDF(), fps, stats, minShared),
+          lakeDir, batchId)
+      }
+      .start()
+
   /** Streaming ANOMALY GATE — the streaming form of `q_anomaly_mad`:
     * score each event against PRECOMPUTED per-key robust stats
     * (`med`/`mad` per `event_type`, from the batch median/MAD pass) and

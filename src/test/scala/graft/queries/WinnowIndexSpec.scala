@@ -1,0 +1,77 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** The persisted winnowing fingerprint index (r13): stored answers
+  * must be bit-identical to the inline fingerprint pass, a rebuild
+  * must swap the (fps, stats) pair atomically through the meta, and
+  * the previous generation must survive one build (the mid-probe
+  * reader grace the MinhashIndex protocol guarantees).
+  */
+class WinnowIndexSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("stored index answers bit-identically to the inline pass; rebuild swaps whole") {
+    val run = toks("shared", 30)
+    val corpusA = Seq(
+      (1L, s"$run ${toks("a", 20)}"),
+      (2L, s"${toks("b", 10)} $run"),
+      (3L, toks("solo", 40))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("wnidx").toString
+
+    Dedup.writeWinnowIndex(corpusA, dir)
+    assert(graft.index.WinnowIndex.exists(spark, dir))
+    val (fps0, stats0) = Dedup.readWinnowIndex(spark, dir)
+    val inlineA = {
+      val f = Dedup.winnowFingerprints(corpusA)
+      pairsOf(Dedup.winnowPairsFrom(f, Dedup.winnowStats(f)))
+    }
+    assert(pairsOf(Dedup.winnowPairsFrom(fps0, stats0)) == inlineA)
+    assert(inlineA.exists(p => p._1 == 1L && p._2 == 2L),
+      s"offset-shifted shared run must pair docs 1 and 2: $inlineA")
+
+    // rebuild over a different corpus at the same dir: the next read
+    // must serve wholly the new pair
+    val corpusB = Seq(
+      (7L, s"$run ${toks("c", 15)}"),
+      (8L, s"${toks("d", 25)} $run ${toks("e", 5)}")).toDF("doc_id", "text")
+    Dedup.writeWinnowIndex(corpusB, dir)
+    val (fps1, stats1) = Dedup.readWinnowIndex(spark, dir)
+    val inlineB = {
+      val f = Dedup.winnowFingerprints(corpusB)
+      pairsOf(Dedup.winnowPairsFrom(f, Dedup.winnowStats(f)))
+    }
+    assert(pairsOf(Dedup.winnowPairsFrom(fps1, stats1)) == inlineB)
+    assert(inlineB.exists(p => p._1 == 7L && p._2 == 8L), inlineB.toString)
+
+    // one-generation grace: the v0 dirs are still on disk after ONE
+    // rebuild (a mid-probe reader of the retired pair keeps its files)
+    val names = new java.io.File(dir).list().toSet
+    assert(names.contains("fps_v0") && names.contains("fps_v1"),
+      s"previous generation must survive one rebuild: $names")
+  }
+
+  test("overlap drop gate: embedded corpus run is caught, disjoint text passes") {
+    val run = toks("quoted", 30)
+    val corpus = Seq((1L, s"$run ${toks("tail", 20)}")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("wngate").toString
+    Dedup.writeWinnowIndex(corpus, dir)
+    val (fps, stats) = Dedup.readWinnowIndex(spark, dir)
+    val batch = Seq(
+      (100L, s"${toks("pre", 7)} $run ${toks("post", 3)}"), // embeds the run
+      (101L, toks("fresh", 40))).toDF("doc_id", "text")
+    val kept = Dedup.dropOverlapping(batch, fps, stats)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(101L),
+      s"doc embedding a 30-token corpus run must be dropped: $kept")
+  }
+}

@@ -1085,6 +1085,51 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     } finally q.stop()
   }
 
+  test("streaming overlap gate drops a doc embedding an indexed run; follows a rebuild next batch") {
+    import spark.implicits._
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    val idxDir = Files.createTempDirectory("graft-wn-idx").toString
+    val lake = Files.createTempDirectory("graft-wn-lake").toString
+    val ckpt = Files.createTempDirectory("graft-wn-ckpt").toString
+    val runA = toks("alpha", 30)
+    val runB = toks("beta", 30)
+    graft.queries.Dedup.writeWinnowIndex(
+      Seq((1L, s"$runA ${toks("tail", 10)}")).toDF("doc_id", "text"), idxDir)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = LogStream.toOverlapGatedLake(
+      input.toDF().toDF("doc_id", "text"), idxDir, lake, ckpt)
+    try {
+      // batch 0: doc 100 EMBEDS corpus run A at a different offset →
+      // dropped (minhash would score this J ≈ 0.6 and miss it at 0.9);
+      // doc 101 is disjoint → kept
+      input.addData(
+        (100L, s"${toks("pre", 8)} $runA"),
+        (101L, toks("fresh", 40)))
+      q.processAllAvailable()
+      // REBUILD over corpus B mid-stream: the meta swap must be
+      // picked up by the very next micro-batch, no restart
+      graft.queries.Dedup.writeWinnowIndex(
+        Seq((2L, s"$runB ${toks("other", 10)}")).toDF("doc_id", "text"), idxDir)
+      input.addData(
+        (102L, s"${toks("pre", 8)} $runA"), // run A no longer indexed → kept
+        (103L, s"$runB ${toks("post", 5)}")) // run B now indexed → dropped
+      q.processAllAvailable()
+      val kept = spark.read.parquet(lake)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(101L, 102L),
+        s"overlap gate must drop embedders and follow the rebuild: $kept")
+      // batch-equivalence: the same rows through the batch core under
+      // the CURRENT index give the same keep decisions
+      val (fps, stats) = graft.queries.Dedup.readWinnowIndex(spark, idxDir)
+      val batchKept = graft.queries.Dedup.dropOverlapping(
+          Seq((102L, s"${toks("pre", 8)} $runA"),
+            (103L, s"$runB ${toks("post", 5)}")).toDF("doc_id", "text"),
+          fps, stats)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchKept == Set(102L), s"stream/batch divergence: $batchKept")
+    } finally q.stop()
+  }
+
   test("near-dedup gate follows a minhash index rebuild from the next micro-batch, no restart") {
     import spark.implicits._
     def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
