@@ -818,6 +818,65 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("windowed KS drift: matching window scores low, shifted window high; stream equals batch") {
+    import spark.implicits._
+    // reference corpus: one doc per length 100..163 → 64 width-1 bins,
+    // cum_ref = 1..64, n_ref = 64 (every integer is exact)
+    val ref = LogStream.fitLengthCdf(
+      (100L to 163L).map(v => (v, v)).toDF("doc_id", "n_chars"))
+    assert((ref.mn, ref.w, ref.n) == ((100L, 1L, 64L)), ref.toString)
+    assert(ref.cum == (1L to 64L), ref.toString)
+
+    // window 02: lengths spread across the ref range (low drift);
+    // window 03: all lengths piled at the top (high drift)
+    val w2 = Seq(101L, 120L, 140L, 161L)
+    val w3 = Seq(160L, 161L, 162L, 163L)
+    val rows =
+      w2.zipWithIndex.map { case (v, i) => (i.toLong, 2L * 3600 + i * 60, v) } ++
+        w3.zipWithIndex.map { case (v, i) => (100L + i, 3L * 3600 + i * 60, v) }
+    def asDocs(r: Seq[(Long, Long, Long)]) =
+      r.toDF("doc_id", "secs", "n_chars")
+        .withColumn("ts", col("secs").cast("timestamp"))
+
+    // the exact expected KS at bin granularity, replicated in Scala
+    def scalaKs(vals: Seq[Long]): (Double, Long) = {
+      val cumS = (0 until ref.bins).scanLeft(0L)((acc, k) =>
+        acc + vals.count(v => v - ref.mn == k)).tail
+      val diffs = cumS.zip(ref.cum).map { case (cs, cr) =>
+        math.abs(cs * ref.n - cr * vals.size) }
+      val ks = BigDecimal(diffs.max.toDouble / (vals.size * ref.n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (ks, ref.mn + diffs.indexOf(diffs.max) * ref.w)
+    }
+
+    val input = MemoryStream[(Long, Long, Long)](spark)
+    val out = LogStream.driftWindowed(
+      input.toDF().toDF("doc_id", "secs", "n_chars")
+        .withColumn("ts", col("secs").cast("timestamp")), ref)
+    withQuery(out, "drift_out", "append") { q =>
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((999L, 9L * 3600, 130L)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("drift_out")
+        .collect().map(r => r.getTimestamp(0).toString ->
+          ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      val (ks2, at2) = scalaKs(w2)
+      val (ks3, at3) = scalaKs(w3)
+      assert(got("1970-01-01 02:00:00.0") == ((4L, ks2, at2)), got.toString)
+      assert(got("1970-01-01 03:00:00.0") == ((4L, ks3, at3)), got.toString)
+      assert(ks2 < 0.25 && ks3 > 0.9,
+        s"shifted window must score high, matching low: $ks2 / $ks3")
+      // stream == batch: the same plan over the same rows in batch mode
+      val batch = LogStream.driftWindowed(asDocs(rows), ref)
+        .collect().map(r => r.getTimestamp(0).toString ->
+          ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      assert(batch == got.view.filterKeys(_ != "1970-01-01 09:00:00.0").toMap ||
+        batch == got,
+        s"stream $got != batch $batch")
+    }
+  }
+
   test("windowed CMS: streaming sketch equals the batch sketch and never underestimates") {
     cmsParityAt(4, 64, "cms_out")
   }
