@@ -138,14 +138,14 @@ object LogQueries {
               FROM orders),
                  c AS (
               SELECT *, CASE
-                WHEN ip_num // 16777216 = 10 THEN 'private_10_8'
-                WHEN ip_num // 1048576 = 2753 THEN 'private_172_16_12'
-                WHEN ip_num // 65536 = 49320 THEN 'private_192_168_16'
-                WHEN ip_num // 16777216 = 127 THEN 'loopback'
+                WHEN CAST(floor(ip_num / 16777216.0) AS BIGINT) = 10 THEN 'private_10_8'
+                WHEN CAST(floor(ip_num / 1048576.0) AS BIGINT) = 2753 THEN 'private_172_16_12'
+                WHEN CAST(floor(ip_num / 65536.0) AS BIGINT) = 49320 THEN 'private_192_168_16'
+                WHEN CAST(floor(ip_num / 16777216.0) AS BIGINT) = 127 THEN 'loopback'
                 ELSE 'public' END AS ip_class
               FROM ip)
             SELECT ip_class, count(*) AS n,
-              count(DISTINCT ip_num // 256) AS n_subnets_24,
+              count(DISTINCT CAST(floor(ip_num / 256.0) AS BIGINT)) AS n_subnets_24,
               min(ip_num) AS min_ip, max(ip_num) AS max_ip
             FROM c GROUP BY ip_class ORDER BY ip_class""")
   )
@@ -174,7 +174,7 @@ object LogQueries {
     Some("""SELECT p_partkey,
               CAST(p_size AS INT) AS size_v,
               p_brand AS brand_v,
-              CAST(NULL AS VARCHAR) AS absent_v,
+              CAST(NULL AS STRING) AS absent_v,
               3 AS n_params,
               'brand,size,type' AS param_keys
             FROM part ORDER BY p_partkey""")

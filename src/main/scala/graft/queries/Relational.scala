@@ -163,7 +163,7 @@ object Relational {
     Some("""SELECT c_custkey,
               'globaledge_cloudfront' AS type,
               'prod' AS env,
-              'svc-' || CAST(c_nationkey AS VARCHAR) AS serviceId
+              'svc-' || CAST(c_nationkey AS STRING) AS serviceId
             FROM customer ORDER BY c_custkey""")
   )
 
@@ -1035,12 +1035,14 @@ object Relational {
     Some("""WITH base AS (SELECT l_returnflag,
               CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
             mm AS (SELECT l_returnflag, min(c) AS mn, max(c) AS mx,
-                     count(*) AS n, (max(c) - min(c)) // 1024 + 1 AS w
+                     count(*) AS n,
+                     CAST(floor((max(c) - min(c)) / 1024.0) AS BIGINT) + 1 AS w
                    FROM base GROUP BY 1),
             cum AS (SELECT l_returnflag, bin, mn, w, n, cnt,
                       sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
                         ROWS UNBOUNDED PRECEDING) AS cum
-                    FROM (SELECT b.l_returnflag, (b.c - mm.mn) // mm.w AS bin,
+                    FROM (SELECT b.l_returnflag,
+                            CAST(floor((b.c - mm.mn) / CAST(mm.w AS DOUBLE)) AS BIGINT) AS bin,
                             mm.mn, mm.w, mm.n, count(*) AS cnt
                           FROM base b JOIN mm USING (l_returnflag)
                           GROUP BY 1, 2, 3, 4, 5))
