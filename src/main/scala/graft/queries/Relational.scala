@@ -502,36 +502,52 @@ object Relational {
             / col("n_exact") * 100.0, 2))
         .orderBy(col("event_type"))
     },
-    Some(s"""WITH e AS ($oracleEvents),
+    // dual-dialect rewrite (r13): xor(a,b) → ((a|b) - (a&b)) (Spark's
+    // `^` is DuckDB's power operator; or-minus-and is exact for the
+    // non-negative operands here), `//` → CAST(floor(a/b.0)), the
+    // small-range literal table as a simple CASE instead of a list
+    // subscript, and float constants anchored with CAST(.. AS DOUBLE)
+    // so Spark's decimal-literal typing can't fork the arithmetic —
+    // with these the text runs VERBATIM in both engines
+    // (SqlPortabilitySpec pins it portable)
+    Some {
+      val est = s"(CAST(0.709 AS DOUBLE) * 4096.0 * 134217728.0) / z"
+      val smallCase = "CAST(CASE CAST(v AS INT) " +
+        hllSmallRange.zipWithIndex.drop(1)
+          .map { case (x, i) => s"WHEN $i THEN $x" }.mkString(" ") +
+        " END AS BIGINT)"
+      val nEst =
+        s"""CASE WHEN v > 0 AND $est <= 160.0
+           |     THEN $smallCase
+           |     ELSE CAST(round($est) AS BIGINT)
+           |END""".stripMargin
+      s"""WITH e AS ($oracleEvents),
         |h0 AS (SELECT event_type, user_id % 4294967296 AS h FROM e),
-        |h1 AS (SELECT event_type, xor(h, h >> 16) AS h FROM h0),
+        |h1 AS (SELECT event_type, ((h | (h >> 16)) - (h & (h >> 16))) AS h FROM h0),
         |h2 AS (SELECT event_type, (h * 1540483477) % 4294967296 AS h FROM h1),
-        |h3 AS (SELECT event_type, xor(h, h >> 13) AS h FROM h2),
+        |h3 AS (SELECT event_type, ((h | (h >> 13)) - (h & (h >> 13))) AS h FROM h2),
         |h4 AS (SELECT event_type, (h * 1540483477) % 4294967296 AS h FROM h3),
-        |h5 AS (SELECT event_type, xor(h, h >> 16) AS h FROM h4),
-        |b AS (SELECT event_type, h // 67108864 AS bucket, h % 67108864 AS w
+        |h5 AS (SELECT event_type, ((h | (h >> 16)) - (h & (h >> 16))) AS h FROM h4),
+        |b AS (SELECT event_type,
+        |        CAST(floor(h / 67108864.0) AS BIGINT) AS bucket,
+        |        h % 67108864 AS w
         |      FROM h5),
         |r AS (SELECT event_type, bucket,
         |        max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS m
-        |      FROM b GROUP BY 1, 2),
+        |      FROM b GROUP BY event_type, bucket),
         |zz AS (SELECT event_type,
         |         CAST(sum(CAST(1 AS BIGINT) << CAST(27 - m AS INT)) AS BIGINT)
         |           + (64 - count(*)) * 134217728 AS z,
         |         64 - count(*) AS v
-        |       FROM r GROUP BY 1),
+        |       FROM r GROUP BY event_type),
         |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
-        |      FROM e GROUP BY 1)
+        |      FROM e GROUP BY event_type)
         |SELECT zz.event_type, x.n_exact,
-        |  CASE WHEN v > 0 AND (0.709 * 4096.0 * 134217728.0) / z <= 160.0
-        |       THEN CAST(([${hllSmallRange.mkString(", ")}])[v + 1] AS BIGINT)
-        |       ELSE CAST(round((0.709 * 4096.0 * 134217728.0) / z) AS BIGINT)
-        |  END AS n_est,
-        |  round(abs(CASE WHEN v > 0 AND (0.709 * 4096.0 * 134217728.0) / z <= 160.0
-        |       THEN CAST(([${hllSmallRange.mkString(", ")}])[v + 1] AS BIGINT)
-        |       ELSE CAST(round((0.709 * 4096.0 * 134217728.0) / z) AS BIGINT)
-        |  END - x.n_exact) * 1.0 / x.n_exact * 100.0, 2) AS err_pct
+        |  $nEst AS n_est,
+        |  round(CAST(abs($nEst - x.n_exact) AS DOUBLE) / x.n_exact * 100.0, 2) AS err_pct
         |FROM zz JOIN x ON zz.event_type = x.event_type
-        |ORDER BY zz.event_type""".stripMargin)
+        |ORDER BY zz.event_type""".stripMargin
+    }
   )
 
   /** Rollup (grouping sets) over (event_type, day). */

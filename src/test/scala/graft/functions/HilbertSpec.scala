@@ -60,6 +60,35 @@ class HilbertSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("hilbert-clustered layout: every file covers a tight, seam-free box") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val dir = java.nio.file.Files.createTempDirectory("hilclust").toString
+    // 64x64 grid scaled to [0, 4096) per dim (the ZOrderSpec layout
+    // fixture, written through the Hilbert curve instead)
+    val gridDf = spark.range(4096)
+      .select((col("id") % 64 * 64).as("x"), (col("id") / 64 * 64).cast("long").as("y"))
+    Hilbert.writeClustered(gridDf, "x", "y", dir, nFiles = 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 16, s"expected 16 files, got ${files.length}")
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(spans.forall { case (sx, sy) => sx < 4032 && sy < 4032 },
+      spans.mkString(","))
+    // Hilbert's guarantee is STRONGER than z-order's "well under half":
+    // a contiguous 256-position range of the curve at this granularity
+    // is a union of adjacent aligned squares, so per-file spans stay
+    // near the quadrant scale — the mean must beat half-span with room
+    val meanSpan = spans.map { case (sx, sy) => sx + sy }.sum.toDouble / (2 * spans.length)
+    assert(meanSpan < 4032 / 2.0,
+      f"mean per-file span $meanSpan%.0f too wide for a hilbert layout")
+    assert(spark.read.parquet(dir).count() == 4096)
+  }
+
   test("hilbert buckets cover tighter boxes than morton buckets across quad seams") {
     // bucket = 128 consecutive curve positions, OFFSET by 64 so every
     // bucket straddles a quadtree boundary. Hilbert's neighbors stay
