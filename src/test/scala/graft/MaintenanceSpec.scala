@@ -166,6 +166,47 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     } finally q.stop()
   }
 
+  test("a Maintenance-driven WINNOW index rebuild feeds the running overlap gate next batch") {
+    // r13: IndexBinding is family-generic — the same auto-plan /
+    // corpus-stamp machinery drives the winnowing fingerprint index,
+    // and the streaming partial-overlap gate follows the rebuild with
+    // no restart (the WinnowIndex meta-swap under Maintenance's
+    // scheduling)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    val work = Files.createTempDirectory("maint-wn-stream").toString
+    val idxDir = s"$work/idx"
+    val runA = toks("alpha", 30)
+    val runB = toks("beta", 30)
+    graft.queries.Dedup.writeWinnowIndex(
+      Seq((1L, s"$runA ${toks("tail", 10)}")).toDF("doc_id", "text"), idxDir)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.stream.LogStream.toOverlapGatedLake(
+      input.toDF().toDF("doc_id", "text"), idxDir, s"$work/lake", s"$work/ckpt")
+    try {
+      input.addData(
+        (100L, s"${toks("pre", 8)} $runA"), // embeds indexed run → dropped
+        (101L, toks("fresh", 40)))
+      q.processAllAvailable()
+      val results = Maintenance.run(spark, Seq(
+        Maintenance.Rebuild("winnow-index", idxDir) { _ =>
+          graft.queries.Dedup.writeWinnowIndex(
+            Seq((2L, s"$runB ${toks("other", 10)}")).toDF("doc_id", "text"), idxDir)
+          "rebuilt over corpus v2"
+        }))
+      assert(results.forall(_.outcome.isSuccess),
+        results.map(_.summary).mkString("\n"))
+      input.addData(
+        (102L, s"${toks("pre", 8)} $runA"), // no longer indexed → kept
+        (103L, s"$runB ${toks("post", 5)}")) // now indexed → dropped
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$work/lake")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(101L, 102L),
+        s"overlap gate must serve the Maintenance-rebuilt index next batch: $kept")
+    } finally q.stop()
+  }
+
   test("tasks sharing a resource serialize; distinct resources parallelize") {
     // two tasks on the SAME artifact (a requested rebuild racing an
     // auto-planned compaction is the real case) must never overlap —
