@@ -1144,6 +1144,66 @@ object Relational {
             ORDER BY ks DESC, source_a, source_b LIMIT 20""")
   )
 
+  /** The streaming KS drift monitor's EXACT code path under a DuckDB
+    * oracle (r13): [[graft.stream.LogStream.driftWindowed]] run in
+    * batch mode (watermarks are a no-op there — literally the same
+    * plan the stream executes per micro-batch) over daily event-value
+    * windows, against a [[graft.stream.LogStream.fitLengthCdf]]
+    * reference fitted on the full corpus. A hash-green row certifies
+    * every integer of the monitor cross-engine — bin geometry,
+    * 64-edge cumulative counts, the cross-multiplied KS max, the
+    * argmax value, the bin-width bound — so the streaming gate's
+    * arithmetic is oracle-proven, not just Spark-vs-Spark spec'd.
+    * Values enter as exact cents (`round(value*100)`) BEFORE the CDF
+    * fit: `fitLengthCdf` casts its column to long, and a raw double
+    * there would fork dialects (Spark CAST truncates, DuckDB rounds). */
+  private val qDriftWindowed = Q(
+    "q_drift_windowed",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("ts"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val ref = graft.stream.LogStream.fitLengthCdf(e, valCol = "cents")
+      graft.stream.LogStream.driftWindowed(e, ref, tsCol = "ts",
+          valCol = "cents", windowDur = "1 day", lateness = "1 hour")
+        .select(fmtS(col("window_start")).as("day"), col("n"), col("ks"),
+          col("at_v"), col("err_v"))
+        .orderBy(col("day"))
+    },
+    Some(s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts,
+               CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             mm AS (SELECT min(c) AS mn, max(c) AS mx, count(*) AS nref,
+                      (max(c) - min(c)) // 64 + 1 AS w FROM e),
+             bins AS (SELECT unnest(range(0, 64)) AS bin),
+             refb AS (SELECT (e.c - mm.mn) // mm.w AS bin, count(*) AS cnt
+                      FROM e CROSS JOIN mm GROUP BY 1),
+             refc AS (SELECT b.bin,
+                        sum(coalesce(r.cnt, 0)) OVER (ORDER BY b.bin
+                          ROWS UNBOUNDED PRECEDING) AS rcum
+                      FROM bins b LEFT JOIN refb r USING (bin)),
+             wn AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+                    FROM e GROUP BY 1),
+             wb AS (SELECT date_trunc('day', e.ts) AS day,
+                      (e.c - mm.mn) // mm.w AS bin, count(*) AS cnt
+                    FROM e CROSS JOIN mm GROUP BY 1, 2),
+             wc AS (SELECT g.day, g.bin,
+                      sum(coalesce(wb.cnt, 0)) OVER (PARTITION BY g.day
+                        ORDER BY g.bin ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM (SELECT wn.day, b.bin FROM wn CROSS JOIN bins b) g
+                    LEFT JOIN wb ON wb.day = g.day AND wb.bin = g.bin),
+             diffs AS (SELECT wc.day, wc.bin, wn.n,
+                         abs(wc.cum * mm.nref - refc.rcum * wn.n) AS num
+                       FROM wc
+                       JOIN refc ON refc.bin = wc.bin
+                       JOIN wn ON wn.day = wc.day
+                       CROSS JOIN mm),
+             r AS (SELECT *, row_number() OVER (PARTITION BY day
+                     ORDER BY num DESC, bin) AS rn FROM diffs)
+             SELECT strftime(r.day, '%Y-%m-%d %H:%M:%S') AS day, r.n,
+               round(CAST(r.num AS DOUBLE) / (CAST(r.n AS DOUBLE) * mm.nref), 6) AS ks,
+               mm.mn + r.bin * mm.w AS at_v, mm.w AS err_v
+             FROM r CROSS JOIN mm WHERE r.rn = 1 ORDER BY day""")
+  )
+
   /** Skew-mitigation pattern: the same lineitem⋈orders join as
     * `q_join_large`, executed salted — the build side is replicated
     * across 8 salt values and the probe side picks a deterministic salt
@@ -1870,7 +1930,7 @@ object Relational {
     qJoinRange, qJoinAsof,
     qAggGroupby, qAggDistinct, qAggApproxDistinct, qApproxDistinctPortable,
     qAggRollup, qAggPercentile,
-    qAggPercentileApprox, qPercentileHistPortable, qKsDrift,
+    qAggPercentileApprox, qPercentileHistPortable, qKsDrift, qDriftWindowed,
     qAggCube, qAggHllUnion, qPivot, qUnpivot,
     qWindowRank, qWindowFrame, qWindowRange, qWindowStats, qTopk, qGroupTopk, qSetOps,
     qSessionize, qTumblingWindow, qUdafCustom, qJoinSalted,

@@ -18,6 +18,36 @@ import graft.SparkTestSupport
 class AnomalyMadSpec extends AnyFunSuite with SparkTestSupport {
   import spark.implicits._
 
+  /** The estimator core, as the query computes it (plain Scala —
+    * shared by the property test and the wide-spread fixture). */
+  private def histMedianOf(xs: Seq[Long]): (Long, Long) = {
+    val (mn, mx, n) = (xs.min, xs.max, xs.size)
+    val w = (mx - mn) / 1024 + 1
+    val byBin = xs.groupBy(x => (x - mn) / w).toSeq.sortBy(_._1)
+    val rank = (n + 1) / 2
+    var cum = 0L
+    val bin = byBin.find { case (_, vs) => cum += vs.size; cum >= rank }.get._1
+    (mn + bin * w, w)
+  }
+
+  /** ScalaCheck: the histogram median's one-bin-width error bound —
+    * the guarantee the output's `med_err` column carries — holds for
+    * ARBITRARY integer inputs, not just the planted fixtures: the
+    * estimate never exceeds the true lower median and trails it by
+    * less than one bin width. */
+  test("property: histogram median is within one bin width below the true lower median") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val valsGen = Gen.nonEmptyListOf(Gen.chooseNum(-2000000L, 2000000L))
+    val prop = Prop.forAll(valsGen) { xs =>
+      val (est, w) = histMedianOf(xs)
+      val lowerMedian = xs.sorted.apply((xs.size - 1) / 2)
+      // lower edge of the median's bin: est ≤ median < est + w
+      est <= lowerMedian && lowerMedian < est + w
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private def writeEvents(d: String, cents: Seq[Long]): Unit = {
     val base = 1547776800L * 1000000000L
     cents.zipWithIndex.map { case (c, i) =>
