@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, CosineSim, DotProduct, HilbertIndex, NgramHashes, NgramPolyHashes, PolyHash, SimHash64}
+import graft.functions.{BloomMightContain, CosineSim, DotProduct, HilbertIndex, HilbertIndex3, NgramHashes, NgramPolyHashes, PolyHash, SimHash64}
 import graft.logs.expressions.UrlUnquote
 
 /** Engine extensions, injected via the public
@@ -83,6 +83,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           s"hilbert_index(x, y) requires exactly 2 arguments, got ${args.length}")
         HilbertIndex(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert3_index"),
+      new ExpressionInfo(classOf[HilbertIndex3].getName, "hilbert3_index"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"hilbert3_index(x, y, z) requires exactly 3 arguments, got ${args.length}")
+        HilbertIndex3(args.head, args(1), args(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),

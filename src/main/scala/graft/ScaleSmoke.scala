@@ -121,7 +121,8 @@ object ScaleSmoke {
       // the claim is bounded per-group state at any group size) and
       // the stored-fingerprint winnowing (amplified corpus ⇒ fresh
       // fingerprint ⇒ measured time INCLUDES one index build)
-      "q_anomaly_mad_scalable", "q_winnowing_indexed", "q_drift_windowed")
+      "q_anomaly_mad_scalable", "q_winnowing_indexed", "q_drift_windowed",
+      "q_hilbert_layout3")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** 3-D HILBERT curve index — completes the layout family
+  * (2-D/3-D Morton in [[ZOrder]], 2-D Hilbert in [[Hilbert]]): the
+  * tighter-locality curve for THREE-column parquet min/max pruning,
+  * e.g. (partkey, suppkey, linenumber) or (lat, lon, time) keys.
+  *
+  * Algorithm: Skilling's transpose form ("Programming the Hilbert
+  * curve", J. Skilling, AIP Conf. Proc. 707, 2004) — axes →
+  * Hilbert-transpose via one descending-bit loop of conditional
+  * XOR/swap against axis 0, then an inverted Gray fold, then a plain
+  * bit interleave of the transposed axes. Everything is integer
+  * XOR/AND/shift, so the SAME Scala emitter prints the DuckDB oracle
+  * CTEs ([[hilbert3DuckCtes]]) while Spark executes the JIT'd kernel
+  * through the codegen'd [[HilbertIndex3]] expression (the
+  * [[HilbertIndex]] treatment — one static call, O(1) planning).
+  *
+  * 16 bits per axis (the [[ZOrder.bitsPerColumn]] stance for n=3):
+  * the 48-bit index stays a non-negative BIGINT in both engines.
+  * Hilbert3Spec proves the curve IS a curve at an enumerable size
+  * (bits=4: a 4096-point bijection walked one Manhattan step at a
+  * time) and pins expression ≡ reference ≡ emitter on the 16-bit
+  * production geometry.
+  */
+object Hilbert3 {
+
+  val Bits = 16
+
+  /** The production kernel AND spec reference (and the codegen
+    * target of [[HilbertIndex3]] — Scala objects compile with static
+    * forwarders). */
+  def reference(x0: Long, y0: Long, z0: Long): Long = index(x0, y0, z0, Bits)
+
+  /** Parameterized form: `bits` per axis (tests enumerate the full
+    * bits=4 cube; production uses [[Bits]]). */
+  def index(x0: Long, y0: Long, z0: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    val xs = Array(x0 & mask, y0 & mask, z0 & mask)
+    // axes → transpose (Skilling, descending bit Q)
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < 3) {
+        if ((xs(i) & q) != 0) xs(0) ^= p
+        else { val t = (xs(0) ^ xs(i)) & p; xs(0) ^= t; xs(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // inverted Gray fold
+    xs(1) ^= xs(0); xs(2) ^= xs(1)
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) { if ((xs(2) & q) != 0) t ^= q - 1; q >>= 1 }
+    xs(0) ^= t; xs(1) ^= t; xs(2) ^= t
+    // interleave: transposed axis 0 carries the top bit of each triple
+    var d = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      d = (d << 1) | ((xs(0) >> b) & 1)
+      d = (d << 1) | ((xs(1) >> b) & 1)
+      d = (d << 1) | ((xs(2) >> b) & 1)
+      b -= 1
+    }
+    d
+  }
+
+  /** The identical transform as chained DuckDB CTEs. `from` must
+    * yield columns (x, y, z) plus any carried columns named in
+    * `carry`; the final CTE `hh` exposes carry ++ (hd). Stage-for-
+    * stage the same arithmetic as [[index]] at bits=16, with xor()
+    * rendering Spark-incompatible but DuckDB-exact (this is the
+    * oracle side; the engine side is the codegen'd kernel). */
+  def hilbert3DuckCtes(from: String, carry: Seq[String]): String = {
+    val keep = if (carry.isEmpty) "" else carry.mkString("", ", ", ", ")
+    val mask = (1L << Bits) - 1
+    val first = s"t0 AS (SELECT $keep CAST(x AS BIGINT) & $mask AS x0, " +
+      s"CAST(y AS BIGINT) & $mask AS x1, CAST(z AS BIGINT) & $mask AS x2 FROM ($from))"
+    // axes → transpose: one CTE per (Q, axis) step, exactly the loop order
+    val qs = (Bits - 1 to 1 by -1).map(1L << _)
+    var n = 0
+    val steps = scala.collection.mutable.ArrayBuffer[String]()
+    for (q <- qs; i <- 0 until 3) {
+      val p = q - 1
+      val xi = s"x$i"
+      val (nx0, nxi) =
+        if (i == 0)
+          // branchless for axis 0 against itself: bit set → x0 ^= p
+          (s"CASE WHEN (x0 & $q) != 0 THEN xor(x0, $p) ELSE x0 END", null)
+        else (
+          s"CASE WHEN ($xi & $q) != 0 THEN xor(x0, $p) " +
+            s"ELSE xor(x0, xor(x0, $xi) & $p) END",
+          s"CASE WHEN ($xi & $q) != 0 THEN $xi " +
+            s"ELSE xor($xi, xor(x0, $xi) & $p) END")
+      val cols = (0 until 3).map {
+        case 0 => s"$nx0 AS x0"
+        case j if j == i && i != 0 => s"$nxi AS x$i"
+        case j => s"x$j"
+      }
+      n += 1
+      steps += s"t$n AS (SELECT $keep ${cols.mkString(", ")} FROM t${n - 1})"
+    }
+    // inverted Gray fold
+    n += 1
+    steps += s"t$n AS (SELECT $keep x0, xor(x1, x0) AS x1, xor(x2, xor(x1, x0)) AS x2 FROM t${n - 1})"
+    val tExpr = qs.map(q => s"(CASE WHEN (x2 & $q) != 0 THEN ${q - 1} ELSE 0 END)")
+      .reduce((a, b) => s"xor($a, $b)")
+    n += 1
+    steps += s"t$n AS (SELECT $keep xor(x0, tt) AS x0, xor(x1, tt) AS x1, xor(x2, tt) AS x2 " +
+      s"FROM (SELECT $keep x0, x1, x2, $tExpr AS tt FROM t${n - 1}))"
+    // interleave: bit b of axis i lands at index bit 3*b + (2 - i)
+    val terms = for {
+      b <- 0 until Bits
+      i <- 0 until 3
+    } yield {
+      val pos = 3 * b + (2 - i)
+      val bit = s"((x$i >> $b) & 1)"
+      if (pos == 0) bit else s"($bit << $pos)"
+    }
+    val interleave = terms.mkString("(", " | ", ")")
+    (Seq(first) ++ steps :+
+      s"hh AS (SELECT $keep $interleave AS hd FROM t$n)").mkString(",\n")
+  }
+}
+
+/** Codegen'd Catalyst expression for the 3-D Hilbert index —
+  * registered as SQL function `hilbert3_index(x, y, z)` by
+  * [[graft.GraftExtensions]]; Hilbert3Spec pins it equal to the
+  * Scala kernel, and `q_hilbert_layout3`'s DuckDB oracle (printed by
+  * the same object's emitter) hash-certifies the arithmetic
+  * cross-engine. */
+case class HilbertIndex3(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert3_index"
+
+  override protected def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    Hilbert3.reference(x.asInstanceOf[Long], y.asInstanceOf[Long],
+      z.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, y, z) => s"graft.functions.Hilbert3.reference($x, $y, $z)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): HilbertIndex3 =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

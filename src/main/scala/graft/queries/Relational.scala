@@ -1764,6 +1764,42 @@ object Relational {
              FROM z GROUP BY bucket ORDER BY bucket""")
   )
 
+  /** 3-COLUMN HILBERT layout audit (r13) — completes the
+    * space-filling-curve family (2-D/3-D Morton, 2-D Hilbert): the
+    * same per-bucket bounding-box report as `q_zorder_layout3` over
+    * [[graft.functions.Hilbert3]]'s Skilling-transpose curve. Engine
+    * side is the codegen'd `hilbert3_index` expression (one static
+    * call, O(1) planning — the lesson `q_hilbert_layout` paid for);
+    * the oracle re-derives the transform stage-for-stage from the
+    * SAME Scala emitter as DuckDB CTEs, so the 48-bit index is
+    * hash-certified cross-engine, and buckets still cover bounded
+    * 3-D boxes — what parquet min/max pruning buys on any of the
+    * three predicates. */
+  private val qHilbertLayout3 = Q(
+    "q_hilbert_layout3",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+          col("l_linenumber").as("w"))
+        .withColumn("h", expr("hilbert3_index(x, y, w)"))
+        .withColumn("bucket", expr("shiftright(h, 12)").cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          min(col("w")).as("min_w"), max(col("w")).as("max_w"))
+        .orderBy(col("bucket")),
+    Some(s"""WITH ${graft.functions.Hilbert3.hilbert3DuckCtes(
+               "SELECT l_partkey AS x, l_suppkey AS y, l_linenumber AS z, " +
+                 "l_partkey AS ox, l_suppkey AS oy, l_linenumber AS ow FROM lineitem",
+               Seq("ox", "oy", "ow"))}
+             SELECT CAST(hd >> 12 AS BIGINT) AS bucket, count(*) AS n,
+               min(ox) AS min_x, max(ox) AS max_x,
+               min(oy) AS min_y, max(oy) AS max_y,
+               min(ow) AS min_w, max(ow) AS max_w
+             FROM hh GROUP BY bucket ORDER BY bucket""")
+  )
+
   /** Exact distributed SIMPLE LINEAR REGRESSION + correlation per
     * group (the `regr_slope`/`regr_intercept`/`corr` family) — fitted
     * from SUFFICIENT STATISTICS: one partial-aggregable pass collects
@@ -1938,6 +1974,7 @@ object Relational {
     qCohortRetention, qStringAggOrdered,
     qBloomPrefilterJoin, qIntervalMerge, qAnomalyMad, qAnomalyMadScalable,
     qDecayedCounts,
-    qZorderLayout, qZorderLayout3, qHilbertLayout, qRegressionStats,
+    qZorderLayout, qZorderLayout3, qHilbertLayout, qHilbertLayout3,
+    qRegressionStats,
     qModePerKey)
 }

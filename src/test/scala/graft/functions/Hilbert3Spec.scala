@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** 3-D Hilbert semantics beyond the oracle hash: at an enumerable
+  * size (bits=4, the full 16³ cube) the Skilling transform is a
+  * bijection whose sorted walk moves one Manhattan step at a time —
+  * the defining curve property, which no interleave bug survives —
+  * and on the production 16-bit geometry the codegen'd expression
+  * equals the Scala kernel. Locality: 3-D Hilbert buckets must beat
+  * 3-D Morton buckets across octant seams, the reason the second
+  * curve exists (the 2-D HilbertSpec argument, one dimension up).
+  */
+class Hilbert3Spec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private val side = 16 // bits=4 cube, fully enumerable
+  private lazy val cube = for {
+    x <- 0 until side; y <- 0 until side; z <- 0 until side
+  } yield (x.toLong, y.toLong, z.toLong)
+
+  test("bits=4 cube: bijection onto 0..4095, walked one Manhattan step at a time") {
+    val walk = cube.map { case (x, y, z) => (x, y, z, Hilbert3.index(x, y, z, 4)) }
+      .sortBy(_._4)
+    assert(walk.map(_._4) == (0L until (side * side * side)).toSeq,
+      "indices must be exactly 0..4095 (bijection onto the cube)")
+    walk.sliding(2).foreach { case Seq((x1, y1, z1, _), (x2, y2, z2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+        s"curve jumps from ($x1,$y1,$z1) to ($x2,$y2,$z2)")
+    }
+  }
+
+  test("codegen expression equals the 16-bit kernel on a structured grid") {
+    val pts = for {
+      x <- 0L until 64L by 3L; y <- 0L until 64L by 5L; z <- 0L until 7L
+    } yield (x * 797 % 65536, y * 521 % 65536, z * 9001 % 65536)
+    val got = pts.toDF("x", "y", "z")
+      .selectExpr("x", "y", "z", "hilbert3_index(x, y, z) AS h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    pts.foreach { case (x, y, z) =>
+      assert(got((x, y, z)) == Hilbert3.reference(x, y, z), s"($x, $y, $z)")
+    }
+    // interpreted eval path agrees too
+    val hi = HilbertIndex3(
+      org.apache.spark.sql.catalyst.expressions.Literal(37L),
+      org.apache.spark.sql.catalyst.expressions.Literal(99L),
+      org.apache.spark.sql.catalyst.expressions.Literal(12345L))
+    assert(hi.eval(null) == Hilbert3.reference(37L, 99L, 12345L))
+  }
+
+  test("hilbert3 buckets beat morton3 buckets across octant seams") {
+    // bucket = 128 consecutive positions OFFSET by 64 so every bucket
+    // straddles an octree boundary (the 2-D spec's seam construction)
+    def volume(ids: Seq[(Long, Long, Long, Long)]): Double =
+      ids.groupBy(t => (t._4 + 64) / 128).values.map { pts =>
+        ((pts.map(_._1).max - pts.map(_._1).min + 1) *
+          (pts.map(_._2).max - pts.map(_._2).min + 1) *
+          (pts.map(_._3).max - pts.map(_._3).min + 1)).toDouble
+      }.sum
+    val hil = volume(cube.map { case (x, y, z) =>
+      (x, y, z, Hilbert3.index(x, y, z, 4)) })
+    // morton at the same 4-bit geometry: interleave the low 4 bits
+    def morton(x: Long, y: Long, z: Long): Long =
+      (0 until 4).foldLeft(0L)((acc, b) =>
+        acc | (((x >> b) & 1) << (3 * b + 2)) |
+          (((y >> b) & 1) << (3 * b + 1)) | (((z >> b) & 1) << (3 * b)))
+    val mor = volume(cube.map { case (x, y, z) => (x, y, z, morton(x, y, z)) })
+    assert(hil * 1.5 < mor,
+      s"hilbert3 bucket volumes ($hil) must clearly beat morton3 ($mor) across seams")
+  }
+}
