@@ -85,15 +85,19 @@ object Hilbert {
       .drop("__h")
       .write.mode("overwrite").parquet(path)
 
-  /** The identical 16 stages as chained DuckDB CTEs. `from` must yield
-    * columns (x, y) plus any carried columns named in `carry`; the
-    * final CTE exposes carry ++ (hd). */
+  /** The identical 16 stages as chained dual-dialect CTEs. `from`
+    * must yield columns (x, y) plus any carried columns named in
+    * `carry`; the final CTE exposes carry ++ (hd). xor renders as
+    * `((a|b) − (a&b))` — exact for these non-negative operands and
+    * valid in BOTH engines (DuckDB's `^` is power, Spark lacks
+    * `xor()`), so the emitted oracle also runs verbatim through
+    * `spark.sql` (pinned portable in SqlPortabilitySpec, r13). */
   def hilbertDuckCtes(from: String, carry: Seq[String]): String = {
     val keep = carry.mkString(", ")
     val first = s"h0 AS (SELECT $keep, CAST(x AS BIGINT) & 65535 AS x, " +
       s"CAST(y AS BIGINT) & 65535 AS y, CAST(0 AS BIGINT) AS hd FROM ($from))"
     val rest = stages.zipWithIndex.map { case (s, i) =>
-      val (dT, nx, ny) = stageSql(s, (a, b) => s"xor($a, $b)")
+      val (dT, nx, ny) = stageSql(s, (a, b) => s"(($a | $b) - ($a & $b))")
       s"""h${i + 1} AS (SELECT $keep, $nx AS x, $ny AS y, hd + $dT AS hd
          |  FROM (SELECT $keep, x, y, hd,
          |          CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,

@@ -70,49 +70,70 @@ object Hilbert3 {
     d
   }
 
-  /** The identical transform as chained DuckDB CTEs. `from` must
-    * yield columns (x, y, z) plus any carried columns named in
+  /** xor emitted as `((a|b) − (a&b))` — exact for the non-negative
+    * operands of this transform and valid in BOTH dialects (DuckDB's
+    * `^` is power, Spark lacks `xor()`), which is what lets the
+    * emitted oracle also run VERBATIM through `spark.sql` (the
+    * SqlPortabilitySpec win). Operands duplicate textually, so every
+    * xor here takes COLUMN references or small constants — never a
+    * nested xor rendering (that would compound exponentially; the
+    * t-fold below is chained CTEs for exactly this reason). */
+  private def xorSql(a: String, b: String): String =
+    s"(($a | $b) - ($a & $b))"
+
+  /** The identical transform as chained dual-dialect CTEs. `from`
+    * must yield columns (x, y, z) plus any carried columns named in
     * `carry`; the final CTE `hh` exposes carry ++ (hd). Stage-for-
-    * stage the same arithmetic as [[index]] at bits=16, with xor()
-    * rendering Spark-incompatible but DuckDB-exact (this is the
-    * oracle side; the engine side is the codegen'd kernel). */
+    * stage the same arithmetic as [[index]] at bits=16. */
   def hilbert3DuckCtes(from: String, carry: Seq[String]): String = {
     val keep = if (carry.isEmpty) "" else carry.mkString("", ", ", ", ")
     val mask = (1L << Bits) - 1
     val first = s"t0 AS (SELECT $keep CAST(x AS BIGINT) & $mask AS x0, " +
       s"CAST(y AS BIGINT) & $mask AS x1, CAST(z AS BIGINT) & $mask AS x2 FROM ($from))"
-    // axes → transpose: one CTE per (Q, axis) step, exactly the loop order
+    // axes → transpose: one CTE per (Q, axis) step, exactly the loop
+    // order; the exchange term (x0^xi)&p is materialized as its own
+    // column `ex` in a subquery so each xor sees plain references
     val qs = (Bits - 1 to 1 by -1).map(1L << _)
     var n = 0
     val steps = scala.collection.mutable.ArrayBuffer[String]()
     for (q <- qs; i <- 0 until 3) {
       val p = q - 1
-      val xi = s"x$i"
-      val (nx0, nxi) =
-        if (i == 0)
-          // branchless for axis 0 against itself: bit set → x0 ^= p
-          (s"CASE WHEN (x0 & $q) != 0 THEN xor(x0, $p) ELSE x0 END", null)
-        else (
-          s"CASE WHEN ($xi & $q) != 0 THEN xor(x0, $p) " +
-            s"ELSE xor(x0, xor(x0, $xi) & $p) END",
-          s"CASE WHEN ($xi & $q) != 0 THEN $xi " +
-            s"ELSE xor($xi, xor(x0, $xi) & $p) END")
-      val cols = (0 until 3).map {
-        case 0 => s"$nx0 AS x0"
-        case j if j == i && i != 0 => s"$nxi AS x$i"
-        case j => s"x$j"
-      }
       n += 1
-      steps += s"t$n AS (SELECT $keep ${cols.mkString(", ")} FROM t${n - 1})"
+      if (i == 0)
+        // axis 0 against itself: bit set → x0 ^= p, else no-op
+        steps += s"t$n AS (SELECT $keep " +
+          s"CASE WHEN (x0 & $q) != 0 THEN ${xorSql("x0", p.toString)} ELSE x0 END AS x0, " +
+          s"x1, x2 FROM t${n - 1})"
+      else {
+        val xi = s"x$i"
+        val other = if (i == 1) "x2" else "x1"
+        steps += s"t$n AS (SELECT $keep " +
+          s"CASE WHEN ($xi & $q) != 0 THEN ${xorSql("x0", p.toString)} " +
+          s"ELSE ${xorSql("x0", "ex")} END AS x0, " +
+          s"CASE WHEN ($xi & $q) != 0 THEN $xi ELSE ${xorSql(xi, "ex")} END AS $xi, " +
+          s"$other FROM (SELECT $keep x0, x1, x2, " +
+          s"(${xorSql("x0", xi)} & $p) AS ex FROM t${n - 1}))"
+      }
     }
-    // inverted Gray fold
+    // inverted Gray fold: two CTEs so x2's fold reads the UPDATED x1
+    // as a plain column reference
     n += 1
-    steps += s"t$n AS (SELECT $keep x0, xor(x1, x0) AS x1, xor(x2, xor(x1, x0)) AS x2 FROM t${n - 1})"
-    val tExpr = qs.map(q => s"(CASE WHEN (x2 & $q) != 0 THEN ${q - 1} ELSE 0 END)")
-      .reduce((a, b) => s"xor($a, $b)")
+    steps += s"t$n AS (SELECT $keep x0, ${xorSql("x1", "x0")} AS x1, x2 FROM t${n - 1})"
     n += 1
-    steps += s"t$n AS (SELECT $keep xor(x0, tt) AS x0, xor(x1, tt) AS x1, xor(x2, tt) AS x2 " +
-      s"FROM (SELECT $keep x0, x1, x2, $tExpr AS tt FROM t${n - 1}))"
+    steps += s"t$n AS (SELECT $keep x0, x1, ${xorSql("x2", "x1")} AS x2 FROM t${n - 1})"
+    // t-fold: t accumulates xor of (q−1) for x2's set bits — CHAINED
+    // CTEs (one per bit) so the or-minus-and rendering stays linear
+    n += 1
+    steps += s"t$n AS (SELECT $keep x0, x1, x2, CAST(0 AS BIGINT) AS tt FROM t${n - 1})"
+    for (q <- qs) {
+      n += 1
+      steps += s"t$n AS (SELECT $keep x0, x1, x2, " +
+        s"CASE WHEN (x2 & $q) != 0 THEN ${xorSql("tt", (q - 1).toString)} ELSE tt END AS tt " +
+        s"FROM t${n - 1})"
+    }
+    n += 1
+    steps += s"t$n AS (SELECT $keep ${xorSql("x0", "tt")} AS x0, " +
+      s"${xorSql("x1", "tt")} AS x1, ${xorSql("x2", "tt")} AS x2 FROM t${n - 1})"
     // interleave: bit b of axis i lands at index bit 3*b + (2 - i)
     val terms = for {
       b <- 0 until Bits
