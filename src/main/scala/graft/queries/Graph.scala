@@ -104,23 +104,23 @@ object Graph {
              nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
              nn AS (SELECT count(*) AS n FROM nodes),
              deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-             r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+             r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
              c1 AS (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS c
                     FROM edges e JOIN r0 r ON e.src = r.id
                     JOIN deg d ON e.src = d.src GROUP BY e.dst),
-             r1 AS (SELECT nodes.id, ${1.0 - Damping} / nn.n
+             r1 AS (SELECT nodes.id, CAST(${1.0 - Damping} AS DOUBLE) / nn.n
                       + $Damping * coalesce(c1.c, 0.0) AS rank
                     FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id),
              c2 AS (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS c
                     FROM edges e JOIN r1 r ON e.src = r.id
                     JOIN deg d ON e.src = d.src GROUP BY e.dst),
-             r2 AS (SELECT nodes.id, ${1.0 - Damping} / nn.n
+             r2 AS (SELECT nodes.id, CAST(${1.0 - Damping} AS DOUBLE) / nn.n
                       + $Damping * coalesce(c2.c, 0.0) AS rank
                     FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id),
              c3 AS (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS c
                     FROM edges e JOIN r2 r ON e.src = r.id
                     JOIN deg d ON e.src = d.src GROUP BY e.dst),
-             r3 AS (SELECT nodes.id, ${1.0 - Damping} / nn.n
+             r3 AS (SELECT nodes.id, CAST(${1.0 - Damping} AS DOUBLE) / nn.n
                       + $Damping * coalesce(c3.c, 0.0) AS rank
                     FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id)
            SELECT id, round(rank, 9) AS rank FROM r3 ORDER BY id""")
