@@ -481,6 +481,66 @@ object LogStream {
         lit(ref.w).as("err_v"))
   }
 
+  /** One micro-batch's KS distance against a fitted [[LengthCdf]] —
+    * the scalar [[toDriftGatedLake]] admits on. One bounded
+    * aggregation job (≤ `bins` rows collected), then exact integer
+    * cross-multiplied arithmetic driver-side — the same estimator as
+    * [[driftWindowed]] at batch granularity. Empty batch → 0.0
+    * (nothing to drift). */
+  def batchKs(batch: DataFrame, ref: LengthCdf,
+      valCol: String = "n_chars"): Double = {
+    val byBin = batch.select(
+        least(greatest(
+          expr(s"(CAST($valCol AS BIGINT) - ${ref.mn}L) div ${ref.w}L"), lit(0L)),
+          lit(ref.bins - 1L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = byBin.values.sum
+    if (n == 0L) 0.0
+    else {
+      var cum = 0L
+      val num = (0 until ref.bins).map { k =>
+        cum += byBin.getOrElse(k.toLong, 0L)
+        math.abs(cum * ref.n - ref.cum(k) * n)
+      }.max
+      num.toDouble / (n.toDouble * ref.n)
+    }
+  }
+
+  /** DRIFT-GATED ADMISSION — the operational form of the KS monitor
+    * (where [[driftWindowed]] *observes*, this *acts*): each
+    * micro-batch's value distribution is KS-tested against the
+    * batch-fitted reference BEFORE landing; a passing batch lands in
+    * the lake, a drifted one is QUARANTINED whole (with its measured
+    * `ks` stamped on every row) instead of contaminating the training
+    * corpus — the scraper-broke / source-swapped circuit breaker.
+    * Quarantine-not-drop because drift is a property of the BATCH, not
+    * any row: after triage the quarantined shards are replayable as-is.
+    * Both destinations write through [[writeBatchIdempotent]] (each
+    * batch owns its `batch_id` partition in its ONE destination), so
+    * crash-replays converge exactly-once. Per-trigger overhead is one
+    * ≤`bins`-row aggregation. */
+  def toDriftGatedLake(
+      docs: DataFrame,
+      ref: LengthCdf,
+      lakeDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      maxKs: Double = 0.2,
+      valCol: String = "n_chars"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val ks = batchKs(batch.toDF(), ref, valCol)
+        if (ks <= maxKs)
+          writeBatchIdempotent(batch.toDF(), lakeDir, batchId)
+        else
+          writeBatchIdempotent(
+            batch.toDF().withColumn("ks", lit(ks)), quarantineDir, batchId)
+      }
+      .start()
+
   /** Streaming SIMILARITY enrichment — each streamed embedding gets its
     * approximate nearest neighbor from a static corpus (the "which
     * known document/prototype is this closest to" lookup every

@@ -877,6 +877,43 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("drift-gated admission: matching batch lands, drifted batch quarantines whole") {
+    import spark.implicits._
+    val ref = LogStream.fitLengthCdf(
+      (100L to 163L).map(v => (v, v)).toDF("doc_id", "n_chars"))
+    val work = Files.createTempDirectory("drift-gate").toString
+    val (lake, quarantine) = (s"$work/lake", s"$work/quarantine")
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = LogStream.toDriftGatedLake(
+      input.toDF().toDF("doc_id", "n_chars"), ref, lake, quarantine,
+      s"$work/ckpt", maxKs = 0.5)
+    try {
+      // batch 0: lengths spread across the reference range → admitted
+      input.addData((1L, 101L), (2L, 120L), (3L, 140L), (4L, 161L))
+      q.processAllAvailable()
+      // batch 1: all lengths piled at the top → KS near 1 → quarantined
+      input.addData((10L, 160L), (11L, 161L), (12L, 162L), (13L, 163L))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(lake)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 3L, 4L), s"matching batch must land: $kept")
+      val quar = spark.read.parquet(quarantine)
+        .select("doc_id", "ks").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(quar.keySet == Set(10L, 11L, 12L, 13L),
+        s"drifted batch must quarantine whole: $quar")
+      // the stamped ks is the exact integer-derived value
+      val expected = LogStream.batchKs(
+        Seq((10L, 160L), (11L, 161L), (12L, 162L), (13L, 163L))
+          .toDF("doc_id", "n_chars"), ref)
+      assert(quar.values.forall(_ == expected), s"$quar vs $expected")
+      assert(expected > 0.5, s"fixture must actually drift: $expected")
+      // and an empty-input KS is defined as no-drift
+      assert(LogStream.batchKs(
+        Seq.empty[(Long, Long)].toDF("doc_id", "n_chars"), ref) == 0.0)
+    } finally q.stop()
+  }
+
   test("windowed CMS: streaming sketch equals the batch sketch and never underestimates") {
     cmsParityAt(4, 64, "cms_out")
   }
