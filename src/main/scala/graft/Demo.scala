@@ -135,6 +135,44 @@ object Demo {
       .filter(col("neighbor_id") >= 1000000L).count()
     println(s"[demo] after appending exact twins, $after/3 queries " +
       "rank an appended vector first — index maintained, no rebuild")
+
+    // -- 7. admission control in front of the corpus (r13): the
+    //      drift-gated delivery quarantines a distribution-shifted
+    //      micro-batch WHOLE, and the winnowing overlap gate drops a
+    //      doc that merely EMBEDS indexed content
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ref = LogStream.fitLengthCdf(
+        (100L to 163L).map(v => (v, v)).toDF("doc_id", "n_chars"))
+      val gdir = Files.createTempDirectory("demo-drift").toString
+      val in = MemoryStream[(Long, Long)](spark)
+      val gq = LogStream.toDriftGatedLake(
+        in.toDF().toDF("doc_id", "n_chars"), ref,
+        s"$gdir/lake", s"$gdir/quarantine", s"$gdir/ckpt", maxKs = 0.5)
+      in.addData((1L, 101L), (2L, 120L), (3L, 140L), (4L, 161L))
+      gq.processAllAvailable()
+      in.addData((10L, 160L), (11L, 161L), (12L, 162L), (13L, 163L))
+      gq.processAllAvailable(); gq.stop()
+      val landed = spark.read.parquet(s"$gdir/lake").count()
+      val quarantined = spark.read.parquet(s"$gdir/quarantine").count()
+      println(s"[demo] drift gate admitted $landed rows, quarantined " +
+        s"$quarantined (a whole shifted batch, ks stamped for triage)")
+
+      def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+      val run = toks("quoted", 30)
+      val wIdx = Files.createTempDirectory("demo-winnow").toString + "/idx"
+      queries.Dedup.writeWinnowIndex(
+        Seq((1L, s"$run ${toks("tail", 20)}")).toDF("doc_id", "text"), wIdx)
+      val (fps, stats) = queries.Dedup.readWinnowIndex(spark, wIdx)
+      val incoming = Seq(
+        (100L, s"${toks("pre", 7)} $run"), // embeds the indexed run
+        (101L, toks("fresh", 40))).toDF("doc_id", "text")
+      val keptDocs = queries.Dedup.dropOverlapping(incoming, fps, stats)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      println(s"[demo] overlap gate kept docs $keptDocs — the embedder " +
+        "was caught by shared winnowing fingerprints (minhash would miss it)")
+    }
     spark.stop()
   }
 }
