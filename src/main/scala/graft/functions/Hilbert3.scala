@@ -70,6 +70,20 @@ object Hilbert3 {
     d
   }
 
+  /** Write `df` 3-D-Hilbert-clustered on (xCol, yCol, zCol) — the
+    * [[Hilbert.writeClustered]] twin one dimension up, for
+    * three-predicate lakes (requires GraftExtensions): range-partition
+    * by curve position, sort within partitions, drop the helper. */
+  def writeClustered(
+      df: org.apache.spark.sql.DataFrame, xCol: String, yCol: String,
+      zCol: String, path: String, nFiles: Int): Unit =
+    df.withColumn("__h",
+        org.apache.spark.sql.functions.expr(s"hilbert3_index($xCol, $yCol, $zCol)"))
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__h"))
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+
   /** xor emitted as `((a|b) − (a&b))` — exact for the non-negative
     * operands of this transform and valid in BOTH dialects (DuckDB's
     * `^` is power, Spark lacks `xor()`), which is what lets the

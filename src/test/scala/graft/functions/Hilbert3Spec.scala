@@ -51,6 +51,34 @@ class Hilbert3Spec extends AnyFunSuite with SparkTestSupport {
     assert(hi.eval(null) == Hilbert3.reference(37L, 99L, 12345L))
   }
 
+  test("hilbert3-clustered layout: every file covers a tight 3-D box") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val dir = java.nio.file.Files.createTempDirectory("hil3clust").toString
+    // 16^3 cube scaled to [0, 4096) per dim
+    val df = spark.range(4096).select(
+      (col("id") % 16 * 256).as("x"),
+      (col("id") / 16 % 16 * 256).cast("long").as("y"),
+      (col("id") / 256 * 256).cast("long").as("z"))
+    Hilbert3.writeClustered(df, "x", "y", "z", dir, nFiles = 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 16, s"expected 16 files, got ${files.length}")
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")),
+          max(col("z")) - min(col("z")))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(spans.forall { case (sx, sy, sz) => sx < 3840 && sy < 3840 && sz < 3840 },
+      spans.mkString(","))
+    val meanSpan = spans.map { case (sx, sy, sz) => sx + sy + sz }.sum.toDouble /
+      (3 * spans.length)
+    assert(meanSpan < 3840 / 2.0,
+      f"mean per-file span $meanSpan%.0f too wide for a hilbert3 layout")
+    assert(spark.read.parquet(dir).count() == 4096)
+  }
+
   test("hilbert3 buckets beat morton3 buckets across octant seams") {
     // bucket = 128 consecutive positions OFFSET by 64 so every bucket
     // straddles an octree boundary (the 2-D spec's seam construction)
