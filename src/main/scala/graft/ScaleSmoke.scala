@@ -122,7 +122,7 @@ object ScaleSmoke {
       // the stored-fingerprint winnowing (amplified corpus ⇒ fresh
       // fingerprint ⇒ measured time INCLUDES one index build)
       "q_anomaly_mad_scalable", "q_winnowing_indexed", "q_drift_windowed",
-      "q_hilbert_layout3")
+      "q_hilbert_layout3", "q_ccnet_buckets")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

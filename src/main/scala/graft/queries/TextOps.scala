@@ -639,6 +639,85 @@ object TextOps {
     qQualityCalibrate.oracle
   )
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting high quality monolingual datasets from web crawl
+    * data" §4.3): split each source's corpus into HEAD / MIDDLE /
+    * TAIL thirds by LM score — the standard coarse quality
+    * stratification a pretraining mix is then drawn from (head for
+    * quality-first runs, head+middle for volume, tail dropped or
+    * heavily downsampled). Score = the char-trigram LM's mean
+    * conditional probability ([[graft.functions.TrigramLm]], the
+    * q_lm_score machinery — integer-micro exact, so both engines rank
+    * the same values); head = HIGHEST avg_p (= lowest perplexity),
+    * matching CCNet's ascending-perplexity head.
+    *
+    * Ranking is the `q_quality_calibrate_scalable` two-pass histogram
+    * rank, NOT a whole-source window (the r11 lesson applied from
+    * birth): pass 1 aggregates (source, avg_p) counts and cumulates
+    * over histogram rows; pass 2 ranks within one value by doc_id —
+    * no task ever materializes a source. Tertile edges are integer
+    * cross-multiplication (rn·3 ≤ n_total), exact in both engines. */
+  private val qCcnetBuckets = Q(
+    "q_ccnet_buckets",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).filter(length(col("text")) >= 3)
+      val model = graft.functions.TrigramLm.train(docs)
+      // materialize the scored table ONCE: both the histogram side and
+      // the join-back side read it, and without this each re-runs the
+      // whole trigram scoring chain (measured 56 s → 16 s at the 16×
+      // smoke); the checkpoint holds 3 narrow columns, not text
+      val scored = graft.functions.TrigramLm.scored(docs, model)
+        .select(col("doc_id"), col("source"), col("avg_p"))
+        .localCheckpoint(true)
+      val wv = Window.partitionBy(col("source")).orderBy(col("avg_p").desc)
+      val hist = scored.groupBy(col("source"), col("avg_p"))
+        .agg(count(lit(1)).as("n_val"))
+        .withColumn("cum_before", sum(col("n_val")).over(wv) - col("n_val"))
+        .withColumn("n_total",
+          sum(col("n_val")).over(Window.partitionBy(col("source"))))
+        .drop("n_val")
+      val wd = Window.partitionBy(col("source"), col("avg_p"))
+        .orderBy(col("doc_id"))
+      scored
+        .withColumn("rk_in_val", row_number().over(wd))
+        .join(hist, Seq("source", "avg_p"))
+        .withColumn("rn", col("cum_before") + col("rk_in_val"))
+        .withColumn("bucket",
+          when(col("rn") * 3 <= col("n_total"), "head")
+            .when(col("rn") * 3 <= col("n_total") * 2, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("source"), col("avg_p"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tri AS (
+              SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) - 1),
+                       i -> substr(lower(text), CAST(i AS INT), 3))) AS tri
+              FROM documents WHERE length(text) >= 3),
+            tc AS (SELECT tri, count(*) AS cnt FROM tri GROUP BY tri),
+            pc AS (SELECT substr(tri, 1, 2) AS pre, sum(cnt) AS cnt2 FROM tc GROUP BY pre),
+            v AS (SELECT count(DISTINCT substr(tri, 3, 1)) AS v FROM tc),
+            scored AS (
+              SELECT t.doc_id, ((tc.cnt + 1) * 1000000) // (pc.cnt2 + v.v) AS micro
+              FROM tri t JOIN tc USING (tri)
+              JOIN pc ON substr(t.tri, 1, 2) = pc.pre CROSS JOIN v),
+            davg AS (SELECT doc_id,
+                       round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_p
+                     FROM scored GROUP BY doc_id),
+            ds AS (SELECT d.doc_id, d.source, a.avg_p
+                   FROM documents d JOIN davg a USING (doc_id)
+                   WHERE length(d.text) >= 3),
+            r AS (SELECT *, row_number() OVER (PARTITION BY source
+                    ORDER BY avg_p DESC, doc_id) AS rn,
+                    count(*) OVER (PARTITION BY source) AS n_total
+                  FROM ds)
+            SELECT doc_id, source, avg_p,
+              CASE WHEN rn * 3 <= n_total THEN 'head'
+                   WHEN rn * 3 <= n_total * 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+            FROM r ORDER BY doc_id""")
+  )
+
   /** GOPHER quality rules (Rae et al. 2021, "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher", §A1.1) — the
     * canonical pretraining quality-filter suite, as one composite gate
@@ -790,5 +869,6 @@ object TextOps {
     Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint,
       qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf, qLengthHistogram,
       qBm25, qCmsCounts, qCmsCountsWide, qLmScore, qQualityCalibrate,
-      qQualityCalibrateScalable, qPhraseSearch, qGopherRules)
+      qQualityCalibrateScalable, qPhraseSearch, qGopherRules,
+      qCcnetBuckets)
 }

@@ -135,4 +135,28 @@ class LmScoreSpec extends AnyFunSuite with SparkTestSupport {
     assert(third.getAs[Long]("cnt") == 1L && third.getAs[Double]("cum_pct") == 0.81)
     assert(out.forall(_.getAs[Long]("total") == 100L))
   }
+
+  test("q_ccnet_buckets: per-source thirds track LM quality on a rigged corpus") {
+    val dir = Files.createTempDirectory("ccnet").toString
+    // per source, three docs with forced quality order under the
+    // corpus-trained model: best = the corpus-dominant trigram
+    // pattern, middle = a second repeated pattern, worst = unique
+    // trigram soup. Two sources, same construction, shifted ids.
+    def best(i: Long) = (i, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")
+    def mid(i: Long) = (i, "abababababababababababababab")
+    def worst(i: Long, salt: String) =
+      (i, s"qjx${salt}zvw kqh xjz wvq hqk jxq zwv qhk xzj")
+    val docs = Seq(
+      best(1L), mid(2L), worst(3L, "k"),
+      best(11L), mid(12L), worst(13L, "m"))
+      .map { case (id, t) =>
+        (id, t, "en", if (id < 10) "s0" else "s1", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("q_ccnet_buckets")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(
+      1L -> "head", 2L -> "middle", 3L -> "tail",
+      11L -> "head", 12L -> "middle", 13L -> "tail"), got.toString)
+  }
 }

@@ -144,6 +144,17 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
       "per-row rank must partition by (source, q_raw), not source alone:\n" + p)
   }
 
+  test("ccnet buckets never window a whole source: the per-row rank partitions by (source, avg_p)") {
+    // born scalable (the calibrate lesson): the only per-row window
+    // must carry avg_p in its partition spec — whole-source windows
+    // remain only over bounded histogram rows
+    val p = plan("q_ccnet_buckets")
+    val rnLine = p.linesIterator.find(_.contains("row_number"))
+    assert(rnLine.isDefined, "expected a row_number window:\n" + p)
+    assert(rnLine.get.contains("avg_p"),
+      "per-row rank must partition by (source, avg_p), not source alone:\n" + p)
+  }
+
   test("kernel BPE encode is one mapPartitions pass: no join, no per-merge operator chain") {
     val p = plan("q_bpe_encode_fast")
     assert(p.contains("MapPartitions"), p)
