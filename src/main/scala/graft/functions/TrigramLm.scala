@@ -28,15 +28,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * full Unicode), so scoring is a NARROW per-row map — no explode-join,
   * no shuffle, no streaming state. Training is one explode + one
   * groupBy on a bounded key space; the collects are model-sized, not
-  * corpus-sized. HOW the model ships picks itself by size
-  * ([[TrigramLm.LiteralModelMaxEntries]]): small models ride the plan
-  * as two `typedLit` map literals (zero extra machinery); large ones
-  * (the full-Unicode case) go out ONCE per executor as a torrent
-  * broadcast consumed by the codegen'd [[TrigramMicro]] expression —
-  * the plan then carries a fixed-size handle instead of a multi-MB
-  * literal serialized into every task, and task binaries/codegen stay
-  * flat at any model size (LmScoreSpec proves path equality and the
-  * flat plan).
+  * corpus-sized. The model ships as a torrent BROADCAST consumed by
+  * the codegen'd [[TrigramMicro]] expression — one executor-local
+  * Scala HashMap, O(1) probes, a fixed-size plan handle, and task
+  * binaries/codegen flat at any model size. The in-plan `typedLit`
+  * map-literal path remains selectable via `literalMaxEntries` but is
+  * no longer the default at ANY size (r13): `element_at` on a map
+  * LITERAL is a per-probe linear scan of ArrayBasedMapData, measured
+  * 5.3 s vs the broadcast's 3.8 s scoring sf0.1 even at a 491-entry
+  * model — the "zero extra machinery" argument lost to measurement.
+  * LmScoreSpec proves the two paths bit-equal and the plan flat.
   */
 object TrigramLm {
 
@@ -46,8 +47,11 @@ object TrigramLm {
       v: Long)
 
   /** Above this many total map entries the model ships as a broadcast
-    * consumed by [[TrigramMicro]] instead of in-plan map literals. */
-  val LiteralModelMaxEntries = 10000
+    * consumed by [[TrigramMicro]] instead of in-plan map literals.
+    * 0 since r13 — broadcast + HashMap probes beat the map literal's
+    * linear `element_at` scans at every measured model size; raise
+    * explicitly (tests do) to exercise the literal path. */
+  val LiteralModelMaxEntries = 0
 
   /** Lowercased char trigrams of `text` (empty array under 3 chars). */
   private val trisExpr =

@@ -510,7 +510,9 @@ object TextOps {
     *
     * Scale: the trigram model is bounded by |alphabet|³ regardless of
     * corpus size (377 entries here; low millions for full Unicode
-    * text), so it ships as two in-plan map literals and scoring is a
+    * text), so it ships as one executor-local broadcast (r13: the
+    * in-plan map-literal path measured slower at every size — its
+    * element_at probes scan linearly) and scoring is a
     * NARROW per-row map ([[graft.functions.TrigramLm]], shared with
     * the streaming gate): train is one explode + one bounded-key
     * groupBy, score adds ZERO shuffles — the explode-join-reagg

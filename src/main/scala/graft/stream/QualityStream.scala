@@ -14,7 +14,7 @@ import graft.functions.TrigramLm
   * [[graft.functions.TrigramLm]], shared with the batch `q_lm_score`,
   * so stream and batch scores are equal by construction
   * (QualityStreamSpec pins it). Scoring is a narrow per-row map over
-  * two bounded map literals: no shuffle, no streaming state, any
+  * one broadcast model handle: no shuffle, no streaming state, any
   * trigger mode, and the gate composes with every LogStream sink. (A
   * stream-static join would force an explode + stateful per-doc
   * re-aggregation — strictly worse.)
