@@ -49,6 +49,74 @@ object QualityStream {
         .withColumn("n_ws_tokens", size(split(trim(col("text")), "\\s+"))),
       outDir, checkpointDir, maxRecordsPerShard)
 
+  /** The FULL streaming curation pipeline in one call (r13 capstone —
+    * every admission gate the engine has, composed in the order a
+    * production ingest runs them): per micro-batch,
+    *
+    *   1. LM quality gate — drop docs under `minAvgP` (stateless,
+    *      broadcast model);
+    *   2. partial-overlap gate — drop docs sharing ≥ `minShared` cold
+    *      winnowing fingerprints with any doc in the persisted
+    *      [[graft.index.WinnowIndex]] at `indexDir` (meta re-resolved
+    *      per batch, so a rebuild serves next trigger);
+    *   3. drift admission — KS-test the SURVIVORS' length distribution
+    *      against the batch-fitted `ref` (what would actually enter
+    *      the corpus is what is tested): passing batches land as
+    *      manifest-verified gzip-JSONL shards under `batch_id=<n>/`
+    *      ([[LogStream.toTrainingDelivery]]'s exactly-once contract —
+    *      replays overwrite their own directory); drifted batches
+    *      quarantine WHOLE with the measured `ks` stamped per row
+    *      ([[LogStream.toDriftGatedLake]]'s triage contract).
+    *
+    * Token counting (`n_ws_tokens`) rides on delivered rows so a
+    * trainer meters its budget from the manifests alone. Per-batch
+    * cost: one stateless scoring pass, one fingerprint probe join,
+    * one ≤bins-row aggregation — no streaming state beyond the sink
+    * checkpoint. QualityStreamSpec drives all three gates firing in
+    * one stream. */
+  def toCuratedTrainingDelivery(
+      docs: DataFrame,
+      model: TrigramLm.Model,
+      indexDir: String,
+      ref: LogStream.LengthCdf,
+      outDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      minAvgP: Double = 0.3,
+      minShared: Int = 2,
+      maxKs: Double = 0.2,
+      maxRecordsPerShard: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+        val gated = qualityGated(batch.toDF(), model, minAvgP)
+        val (fps, stats) =
+          graft.queries.Dedup.readWinnowIndex(batch.sparkSession, indexDir)
+        val deduped = graft.queries.Dedup
+          .dropOverlapping(gated, fps, stats, minShared)
+          .withColumn("n_ws_tokens", size(split(trim(col("text")), "\\s+")))
+          // one materialization: the KS measurement and the delivery
+          // both consume it — without this the scoring chain and the
+          // fingerprint probe would run twice per trigger
+          .localCheckpoint(true)
+        // drift is measured on text length DERIVED from the text
+        // itself (fit `ref` the same way) — no n_chars column required
+        // of the stream schema, and a metadata column that drifted
+        // from the actual text could never skew the gate
+        val ks = LogStream.batchKs(
+          deduped.withColumn("__len", length(col("text"))), ref, "__len")
+        if (ks <= maxKs)
+          graft.sink.TrainingExport.writeJsonlShards(
+            deduped, s"$outDir/batch_id=$batchId", maxRecordsPerShard): Unit
+        else
+          LogStream.writeBatchIdempotent(
+            deduped.withColumn("ks", lit(ks)), quarantineDir, batchId)
+      }
+      .start()
+
   /** Monitoring rollup: per-window pass/drop counts with a watermark —
     * the ops dashboard beside the gate. `ts` column required. */
   def gateRollup(docs: DataFrame, model: TrigramLm.Model,

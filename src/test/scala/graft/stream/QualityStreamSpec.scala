@@ -91,6 +91,62 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(manifestRows === expectedKept.size.toLong)
   }
 
+  test("curated delivery composes all three gates: LM drop, overlap drop, drift quarantine") {
+    import java.nio.file.Files
+    val sentA = "the quick brown fox jumps over the lazy dog"
+    val sentB = "a slow green turtle walks under the busy bridge"
+    def rep(s: String, k: Int) = Seq.fill(k)(s).mkString(" ")
+    // model + reference CDF trained on a corpus containing BOTH
+    // sentence families; ref lengths spread 44..359 (A×1..A×8)
+    val refDocs = (1 to 8).map(k => (k.toLong, rep(sentA, k))) ++
+      (20 to 23).map(i => (i.toLong, rep(sentB, 3)))
+    val refDf = refDocs.toDF("doc_id", "text")
+    val model = TrigramLm.train(refDf)
+    val ref = LogStream.fitLengthCdf(
+      (1 to 8).map(k => (k.toLong, rep(sentA, k))).toDF("doc_id", "text")
+        .withColumn("len", length(col("text"))), valCol = "len")
+
+    val work = Files.createTempDirectory("curated").toString
+    val idxDir = s"$work/idx"
+    graft.queries.Dedup.writeWinnowIndex(
+      Seq((100L, rep(sentB, 3) + " closing tail words here")).toDF("doc_id", "text"),
+      idxDir)
+
+    val input = MemoryStream[StreamDoc](spark)
+    val q = QualityStream.toCuratedTrainingDelivery(
+      input.toDF(), model, idxDir, ref,
+      s"$work/out", s"$work/quarantine", s"$work/ckpt",
+      minAvgP = 0.3, maxKs = 0.5)
+    try {
+      // batch 0: four A-docs spread across the ref length range
+      // (delivered), one gibberish doc (LM gate), one doc embedding
+      // the INDEXED B-run (overlap gate — it would pass the LM)
+      input.addData(
+        StreamDoc(1L, rep(sentA, 1), ts(0)), StreamDoc(2L, rep(sentA, 3), ts(1)),
+        StreamDoc(3L, rep(sentA, 5), ts(2)), StreamDoc(4L, rep(sentA, 7), ts(3)),
+        StreamDoc(5L, "zqx vkj wpf zzq jjx qqv kkz xxw ppj vvq zzk", ts(4)),
+        StreamDoc(6L, "intro words then " + rep(sentB, 3), ts(5)))
+      q.processAllAvailable()
+      // batch 1: natural text, no overlap — but 5× beyond the
+      // reference length range: the whole batch must quarantine
+      input.addData(
+        StreamDoc(10L, rep(sentA, 40), ts(6)), StreamDoc(11L, rep(sentA, 40), ts(7)),
+        StreamDoc(12L, rep(sentA, 40), ts(8)), StreamDoc(13L, rep(sentA, 40), ts(9)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val delivered = graft.sink.TrainingExport.readVerified(spark, s"$work/out/batch_id=0")
+    assert(delivered.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L),
+      "batch 0 must deliver exactly the LM-passing, non-overlapping docs")
+    // the drifted batch landed WHOLE in quarantine with its ks stamped
+    val quar = spark.read.parquet(s"$work/quarantine")
+      .select("doc_id", "ks").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(quar.keySet === Set(10L, 11L, 12L, 13L), quar.toString)
+    assert(quar.values.forall(_ > 0.5), s"quarantine ks must exceed the gate: $quar")
+    // batch 1 wrote NO delivery directory (it was quarantined)
+    assert(!new java.io.File(s"$work/out/batch_id=1").exists())
+  }
+
   test("the gate passes reference-like text, drops gibberish, and backs off on unseen trigrams") {
     val corpus = Seq.fill(8)("the quick brown fox jumps over the lazy dog and " +
       "the quick brown fox naps").zipWithIndex
