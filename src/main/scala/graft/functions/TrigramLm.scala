@@ -91,6 +91,46 @@ object TrigramLm {
     Model(triM, pre, v)
   }
 
+  /** Broadcast memo keyed by (SparkContext, model IDENTITY): a
+    * long-running stream calls [[scored]] once per micro-batch, and
+    * without the memo every trigger serialized and shipped a FRESH
+    * broadcast of the (possibly full-Unicode, low-millions-entry)
+    * model that only driver GC ever reclaimed (r13 ADVICE). One
+    * broadcast per model instance per context; re-broadcast happens
+    * only when a caller actually trains a new model or the context is
+    * replaced (a stopped context's entries are dropped on next use —
+    * a handle from a dead context would fail the consuming job).
+    * Entries pin the model strongly; models per JVM are few and
+    * model-sized, and [[releaseBroadcasts]] drops everything for
+    * callers that want deterministic cleanup on stream stop. */
+  private val bcMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, ModelIdentity), Broadcast[Model]]
+
+  private final class ModelIdentity(val m: Model) {
+    override def hashCode: Int = System.identityHashCode(m)
+    override def equals(o: Any): Boolean = o match {
+      case other: ModelIdentity => other.m eq m
+      case _ => false
+    }
+  }
+
+  private def broadcastFor(sc: org.apache.spark.SparkContext,
+      model: Model): Broadcast[Model] = {
+    bcMemo.entrySet().removeIf(e => e.getKey._1 != sc.applicationId)
+    bcMemo.computeIfAbsent((sc.applicationId, new ModelIdentity(model)),
+      _ => sc.broadcast(model))
+  }
+
+  /** Destroy and forget every memoized model broadcast — explicit
+    * cleanup for a stopping stream (otherwise the ContextCleaner
+    * reclaims them when the models themselves become unreachable). */
+  def releaseBroadcasts(): Unit = {
+    bcMemo.values().forEach { b =>
+      try b.destroy() catch { case _: Throwable => () }
+    }
+    bcMemo.clear()
+  }
+
   /** The per-trigram micro-probability with backoff — the ONE lookup
     * semantics both shipping paths implement: a seen trigram reads its
     * micro; an unseen one backs off to the add-one estimate for its
@@ -139,7 +179,7 @@ object TrigramLm {
               .cast("long"),
             lit(1000000L / math.max(model.v, 1L)))
       } else {
-        val bc = docs.sparkSession.sparkContext.broadcast(model)
+        val bc = broadcastFor(docs.sparkSession.sparkContext, model)
         t => TrigramMicro.col(t, bc)
       }
     docs

@@ -28,6 +28,8 @@ object WinnowIndex {
 
   private val META = "_WINNOW_META.json"
 
+  private val VersionedFps = "fps_v(\\d+)".r
+
   private val fpsSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("fp", LongType)))
@@ -48,7 +50,16 @@ object WinnowIndex {
     }
     val n = current match {
       case Some((f, _)) =>
-        f.stripPrefix("fps").stripPrefix("_v").toIntOption.getOrElse(0) + 1
+        // fail LOUD on a committed meta whose fps name doesn't parse
+        // (manual edit, future layout change): silently restarting at
+        // v0 would let mode("overwrite") clobber dirs the meta no
+        // longer knows about (r13 ADVICE)
+        f match {
+          case VersionedFps(v) => v.toInt + 1
+          case other => throw new IllegalStateException(
+            s"winnow index meta at $dir names fps dir '$other', which " +
+              "does not match fps_v<N> — refusing to renumber over it")
+        }
       case None => 0
     }
     val (nextF, nextS) = (s"fps_v$n", s"stats_v$n")

@@ -68,14 +68,19 @@ object Chunking {
   }
 
   /** The production span key: a 128-bit content hash as an xxhash64
-    * PAIR over independent byte streams (the span and its reversal —
-    * NOT `xxhash64(span, salt)`, whose multi-argument form chains the
+    * PAIR over genuinely distinct byte streams — the span itself and
+    * the span with a one-byte sentinel appended. NOT
+    * `xxhash64(span, salt)`, whose multi-argument form chains the
     * second element's seed off the first's hash, making component 2 a
-    * pure function of component 1 and the pair no wider than 64 bits).
-    * Collision odds for distinct spans are 2^-128-scale — below any
+    * pure function of component 1 and the pair no wider than 64 bits;
+    * and NOT `xxhash64(reverse(span))` (r13's form), whose second
+    * stream EQUALS the first for palindromic spans, degrading those
+    * keys to 64 bits (r13 ADVICE). The sentinel suffix makes the two
+    * inputs differ for EVERY span (they differ in length), so distinct
+    * spans collide on both components only at 2^-128 scale — below any
     * corpus size's birthday bound. */
   private[graft] def spanKey128(span: Column): Seq[Column] =
-    Seq(xxhash64(span), xxhash64(reverse(span)))
+    Seq(xxhash64(span), xxhash64(concat(span, lit("\u0001"))))
 
   /** Raw-string span key — the oracle-shaped twin SpanDedupSpec pins
     * the hash form equal to. */

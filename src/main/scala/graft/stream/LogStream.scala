@@ -415,6 +415,12 @@ object LogStream {
       bins: Int = 64): LengthCdf = {
     val v = docs.select(col(valCol).cast("long").as("v"))
     val head = v.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    // an empty reference corpus aggregates min/max to NULL — fail with
+    // the actual problem instead of an NPE here (and a zero-count
+    // reference would make every later batchKs division meaningless)
+    require(!head.isNullAt(0) && head.getLong(2) > 0,
+      s"empty reference corpus: fitLengthCdf needs at least one row " +
+        s"with a non-null `$valCol` to fit a reference CDF")
     val (mn, mx, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
     val w = (mx - mn) / bins + 1
     val byBin = v.select(expr(s"(v - ${mn}L) div ${w}L").as("bin"))

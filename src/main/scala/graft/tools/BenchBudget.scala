@@ -40,20 +40,39 @@ object BenchBudget {
     * get a committed budget — silence here would exempt exactly the
     * keys most likely to carry a fresh regression). Keys budgeted but
     * not measured are ignored (retired keys). */
+  /** Ceiling scale factor for known-slow machines: set
+    * `GRAFT_BENCH_BUDGET_SCALE` (e.g. `2.0`) to multiply every
+    * committed ceiling, or `0` to skip the wall-clock gate entirely
+    * (failed-key reporting still applies — a broken key is a defect
+    * regardless of machine speed). */
+  def ceilingScale: Double =
+    sys.env.get("GRAFT_BENCH_BUDGET_SCALE").flatMap(_.toDoubleOption)
+      .getOrElse(1.0)
+
   def check(timings: Map[String, Double],
-      budgets: Map[String, Double]): Seq[String] =
+      budgets: Map[String, Double],
+      scale: Double = 1.0): Seq[String] =
     timings.toSeq.sortBy(_._1).flatMap { case (k, t) =>
       budgets.get(k) match {
+        // a key that FAILED during measurement ([[measure]] records
+        // NaN) must never pass: the exception path returns near-zero
+        // wall-clock, which a ceiling compare would silently bless
+        case _ if t.isNaN => Some(s"$k: FAILED during bench measurement " +
+          "(exception, not timed) — a broken key cannot pass its budget")
         case None => Some(f"$k: no committed budget (measured $t%.2f s) — " +
           "regenerate bench_budget.json (runMain graft.tools.BenchBudgetGen)")
-        case Some(c) if t > c => Some(f"$k: $t%.2f s exceeds ceiling $c%.2f s")
+        case Some(c) if scale > 0 && t > c * scale =>
+          Some(f"$k: $t%.2f s exceeds ceiling ${c * scale}%.2f s")
         case _ => None
       }
     }
 
   /** One timing pass over every registered key at `sfDir` (count() as
     * the action, like Bench). `warmups` keys run first untimed to pay
-    * parquet-reader/codegen JIT. */
+    * parquet-reader/codegen JIT. A key that THROWS records `NaN`, not
+    * its (near-zero) time-to-exception — [[check]] reports NaN keys as
+    * failures, so a query that starts erroring trips the gate instead
+    * of trivially passing it. */
   def measure(spark: SparkSession, sfDir: String,
       warmups: Int = 3): Map[String, Double] = {
     val qs = graft.queries.Registry.queries.toSeq.sortBy(_._1)
@@ -62,9 +81,10 @@ object BenchBudget {
     }
     qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); () }
-      catch { case _: Throwable => () } // errors are the correctness gate's job
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => name -> Double.NaN }
     }.toMap
   }
 }
@@ -78,6 +98,9 @@ object BenchBudgetGen {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = graft.GraftSession.local("graft-bench-budget")
     val t = BenchBudget.measure(spark, sfDir)
+    val failed = t.filter(_._2.isNaN).keys.toSeq.sorted
+    require(failed.isEmpty,
+      s"cannot commit budgets while keys fail: ${failed.mkString(", ")}")
     val entries = t.toSeq.sortBy(_._1).map { case (k, v) =>
       f""""$k": ${math.max(5.0 * v, 3.0)}%.1f"""
     }

@@ -25,13 +25,24 @@ class BenchBudgetSpec extends AnyFunSuite with SparkTestSupport {
     val unbudgeted = BenchBudget.check(Map("q_new" -> 0.5), budgets)
     assert(unbudgeted.size == 1 && unbudgeted.head.contains("no committed budget"),
       unbudgeted)
+    // a key that THREW during measurement (recorded NaN) must trip the
+    // gate — the exception path's near-zero wall-clock can't bless it
+    val broken = BenchBudget.check(Map("q_a" -> Double.NaN, "q_b" -> 1.0), budgets)
+    assert(broken.size == 1 && broken.head.contains("FAILED"), broken)
+    // ...even when the wall-clock gate is disabled for a slow machine
+    val scaledOff = BenchBudget.check(
+      Map("q_a" -> Double.NaN, "q_b" -> 999.0), budgets, scale = 0.0)
+    assert(scaledOff.size == 1 && scaledOff.head.contains("FAILED"), scaledOff)
+    // the env knob scales ceilings for known-slow machines
+    assert(BenchBudget.check(Map("q_a" -> 5.0), budgets, scale = 2.0).isEmpty)
   }
 
   test("every registered key runs under its committed sf0.001 ceiling") {
     val (budgets, sfDir) = BenchBudget.load()
     val timings = BenchBudget.measure(spark, sfDir)
     assert(timings.size == Registry.all.size)
-    val violations = BenchBudget.check(timings, budgets)
+    val violations = BenchBudget.check(timings, budgets,
+      scale = BenchBudget.ceilingScale)
     assert(violations.isEmpty,
       "bench budget violations (plan regression, or regenerate " +
         s"bench_budget.json deliberately):\n${violations.mkString("\n")}")

@@ -110,6 +110,27 @@ class LmScoreSpec extends AnyFunSuite with SparkTestSupport {
       "prefix denominators must group by the first two codepoints")
   }
 
+  test("TrigramLm.scored memoizes ONE broadcast per model instance (streaming churn fix)") {
+    // r13 ADVICE: a foreachBatch stream calling scored() per trigger
+    // used to ship a fresh Broadcast of the model every micro-batch;
+    // the memo must hand back the SAME broadcast for the same model
+    // instance, and a distinct model instance must get its own
+    val docs = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    val m1 = graft.functions.TrigramLm.train(docs)
+    val m2 = graft.functions.TrigramLm.train(docs)
+    def bcIdOf(model: graft.functions.TrigramLm.Model): Long = {
+      val df = graft.functions.TrigramLm.scored(docs, model)
+      // the broadcast rides inside the TrigramMicro expression; count
+      // distinct broadcast ids across two scored() calls via the plan
+      df.queryExecution.analyzed.collect { case n => n.expressions }.flatten
+        .flatMap(_.collect {
+          case graft.functions.TrigramMicro(_, bc) => bc.id
+        }).head
+    }
+    assert(bcIdOf(m1) == bcIdOf(m1), "same model must reuse one broadcast")
+    assert(bcIdOf(m1) != bcIdOf(m2), "a new model instance needs a new broadcast")
+  }
+
   test("q_skew_profile: shares and cumulative shares on a planted key distribution") {
     val dir = Files.createTempDirectory("skewprof").toString
     // user 1 → 50 rows, user 2 → 30, users 3..22 → 1 each: total 100

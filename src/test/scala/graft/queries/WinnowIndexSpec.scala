@@ -74,4 +74,24 @@ class WinnowIndexSpec extends AnyFunSuite with SparkTestSupport {
     assert(kept == Set(101L),
       s"doc embedding a 30-token corpus run must be dropped: $kept")
   }
+
+  test("a committed meta whose fps name doesn't parse fails the next build loudly") {
+    // r13 ADVICE: silently restarting numbering at v0 would let
+    // mode("overwrite") clobber dirs the meta no longer names
+    val corpus = Seq((1L, toks("x", 20))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("wnbad").toString
+    Dedup.writeWinnowIndex(corpus, dir)
+    // hand-edit the committed meta to an unparseable fps name (drop
+    // the Hadoop checksum sidecar too, or the raw overwrite reads as
+    // a CRC failure instead of reaching the version parse)
+    val meta = java.nio.file.Paths.get(dir, "_WINNOW_META.json")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._WINNOW_META.json.crc"))
+    java.nio.file.Files.write(meta,
+      """{"fps": "fps_custom", "stats": "stats_v0"}""".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      Dedup.writeWinnowIndex(corpus, dir)
+    }
+    assert(e.getMessage.contains("fps_custom"), e.getMessage)
+  }
 }

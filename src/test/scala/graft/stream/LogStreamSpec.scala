@@ -818,6 +818,15 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("fitLengthCdf rejects an empty reference corpus with a named error") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      LogStream.fitLengthCdf(
+        Seq.empty[(Long, Long)].toDF("doc_id", "n_chars"))
+    }
+    assert(e.getMessage.contains("empty reference corpus"), e.getMessage)
+  }
+
   test("windowed KS drift: matching window scores low, shifted window high; stream equals batch") {
     import spark.implicits._
     // reference corpus: one doc per length 100..163 → 64 width-1 bins,
