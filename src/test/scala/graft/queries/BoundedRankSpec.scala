@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Unit proof of [[TextOps.boundedCumBefore]] — the r14 bounded
+  * histogram-rank kernel behind q_quality_calibrate_scalable and
+  * q_ccnet_buckets (and the verbatim-oracle hash-greens of both are
+  * the end-to-end proof): for every (part, key) histogram row,
+  * `cum_before` must equal the brute-force count of rows with a
+  * strictly smaller key in the same part, and `n_total` the part's
+  * row count — across bit widths (one level, exact multi-level
+  * boundaries), digit-boundary keys, and parts whose key sets leave
+  * whole digit ranges empty.
+  */
+class BoundedRankSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def check(rows: Seq[(String, Long, Long)], bits: Int): Unit = {
+    val hist = rows.toDF("source", "k", "n_val")
+    val got = TextOps.boundedCumBefore(hist, Seq("source"), "k", bits)
+      .select(col("source"), col("k"), col("cum_before"), col("n_total"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val byPart = rows.groupBy(_._1)
+    assert(got.size == rows.size, s"row count changed: ${got.size} vs ${rows.size}")
+    rows.foreach { case (p, k, _) =>
+      val exp = byPart(p).filter(_._2 < k).map(_._3).sum
+      val tot = byPart(p).map(_._3).sum
+      assert(got((p, k)) == ((exp, tot)),
+        s"($p, $k) bits=$bits: got ${got((p, k))}, want ($exp, $tot)")
+    }
+  }
+
+  test("single-level (bits<=10): plain bounded cumulation") {
+    check(Seq(("a", 0L, 3L), ("a", 5L, 1L), ("a", 1023L, 7L),
+      ("b", 2L, 2L), ("b", 3L, 4L)), bits = 10)
+  }
+
+  test("two-level (bits=20): digit boundaries, empty digit ranges, min/max keys") {
+    val keys = Seq(0L, 1L, 1023L, 1024L, 1025L, 524288L, 1048575L)
+    val rows = keys.zipWithIndex.map { case (k, i) => ("s0", k, i + 1L) } ++
+      Seq(("s1", 1024L, 5L), ("s1", 2048L, 6L))
+    check(rows, bits = 20)
+  }
+
+  test("four-level (bits=40): the calibrate rational-key width, skewed key set") {
+    // keys chosen to straddle every digit level: same d1 different d2,
+    // same d1d2 different d3, same d1d2d3 different d4
+    val base = 7L << 30
+    val keys = Seq(0L, base, base + (3L << 20), base + (3L << 20) + (9L << 10),
+      base + (3L << 20) + (9L << 10) + 1L, (1L << 40) - 1L)
+    check(keys.zipWithIndex.map { case (k, i) => ("s", k, 2L * i + 1L) },
+      bits = 40)
+  }
+
+  test("every window in the helper's plan partitions by one more digit than it orders by") {
+    // the structural boundedness claim itself: level-i windows
+    // partition by (part, d1..d(i-1)) and order by d_i — never by the
+    // part alone over non-digit rows
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val hist = Seq(("s", 5L, 1L), ("s", 99999L, 2L)).toDF("source", "k", "n_val")
+    val out = TextOps.boundedCumBefore(hist, Seq("source"), "k", 40)
+    val specs = out.queryExecution.optimizedPlan.collect {
+      case w: LWindow =>
+        (w.partitionSpec.flatMap(_.references.toSeq.map(_.name)),
+          w.orderSpec.flatMap(_.references.toSeq.map(_.name)))
+    }
+    assert(specs.nonEmpty)
+    specs.foreach { case (part, ord) =>
+      assert(ord.forall(_.startsWith("_d")), s"window orders by $ord")
+      val lvl = ord.head.stripPrefix("_d").toInt
+      assert(part.toSet == (Set("source") ++ (1 until lvl).map(j => s"_d$j")),
+        s"level-$lvl window partitions by $part")
+    }
+  }
+}

@@ -140,8 +140,8 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     val p = plan("q_quality_calibrate_scalable")
     val rnLine = p.linesIterator.find(_.contains("row_number"))
     assert(rnLine.isDefined, "expected a row_number window:\n" + p)
-    assert(rnLine.get.contains("q_raw"),
-      "per-row rank must partition by (source, q_raw), not source alone:\n" + p)
+    assert(rnLine.get.contains("qkey"),
+      "per-row rank must partition by (source, qkey), not source alone:\n" + p)
   }
 
   test("ccnet buckets never window a whole source: the per-row rank partitions by (source, avg_p)") {
@@ -151,8 +151,45 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     val p = plan("q_ccnet_buckets")
     val rnLine = p.linesIterator.find(_.contains("row_number"))
     assert(rnLine.isDefined, "expected a row_number window:\n" + p)
-    assert(rnLine.get.contains("avg_p"),
-      "per-row rank must partition by (source, avg_p), not source alone:\n" + p)
+    assert(rnLine.get.contains("micro"),
+      "per-row rank must partition by (source, micro), not source alone:\n" + p)
+  }
+
+  /** The r14 family gate (r13 VERDICT #1): walk EVERY window in the
+    * optimized plan — not just the row_number one — and require that
+    * any window partitioned by the grouping column ALONE consumes a
+    * bounded histogram aggregate: an Aggregate descendant grouping on
+    * a 1024-ary digit column (`_d<i>`, TextOps.boundedCumBefore) or a
+    * div-1024 `bin` column (q_anomaly_mad_scalable). The r13 flaw
+    * this closes: a `sum().over(partitionBy(source))` window over
+    * per-distinct-VALUE histogram rows escaped the old
+    * row_number-only check, and distinct values grow with the
+    * corpus. */
+  private def assertNoUnboundedGroupWindows(name: String, group: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df: DataFrame = Registry.queries(name)(spark, sf)
+    val offenders = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet == Set(group) =>
+        val boundedInput = w.child.collectFirst {
+          case a: Aggregate
+              if a.groupingExpressions.flatMap(_.references.toSeq.map(_.name))
+                .exists(n => n.startsWith("_d") || n == "bin") => a
+        }.isDefined
+        if (boundedInput) None
+        else Some(w.partitionSpec.map(_.sql).mkString(",") + " over " +
+          w.child.nodeName)
+    }.flatten
+    assert(offenders.isEmpty,
+      s"$name: window(s) partitioned by '$group' alone over an " +
+        s"unbounded (non-digit-histogram) input:\n${offenders.mkString("\n")}")
+  }
+
+  test("calibrate/ccnet/anomaly family: NO window partitions by the group alone over unbounded rows") {
+    assertNoUnboundedGroupWindows("q_quality_calibrate_scalable", "source")
+    assertNoUnboundedGroupWindows("q_ccnet_buckets", "source")
+    assertNoUnboundedGroupWindows("q_anomaly_mad_scalable", "event_type")
   }
 
   test("kernel BPE encode is one mapPartitions pass: no join, no per-merge operator chain") {
