@@ -1,5 +1,12 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
 /** Single-pass BPE merge application — the PRODUCTION encode kernel
   * promised by `q_bpe_encode`'s scaladoc (queries/Chunking.scala): at
   * tokenizer-scale R (~30k merges) the declarative per-merge fold
@@ -94,4 +101,61 @@ object BpeEncoder {
     }
     out
   }
+
+  /** [[BpeTokenCount]]'s eval body: encoded length of a Catalyst
+    * string array under `ranks` — one materialization of the row's
+    * tokens, then the standard kernel. */
+  def countTokens(arr: ArrayData, ranks: Map[(String, String), Int],
+      join: String): Int = {
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    encode(toks, ranks, join).length
+  }
+
+  /** Codegen entry point ([[BpeTokenCount.doGenCode]]): unwraps the
+    * broadcast handle passed as a plan reference object. */
+  def countRef(arr: ArrayData, bc: Object, join: String): Int =
+    countTokens(arr,
+      bc.asInstanceOf[Broadcast[Map[(String, String), Int]]].value, join)
+}
+
+/** `bpe_token_count(toks)` — the [[BpeEncoder]] kernel as a Catalyst
+  * EXPRESSION against a BROADCAST rank map (the [[TrigramMicro]]
+  * shipping pattern): per-row post-BPE token count with no
+  * mapPartitions boundary, so it composes as one narrow column in any
+  * batch or STREAMING plan while holding only the broadcast HANDLE —
+  * plan size, task-binary size, and codegen output are independent of
+  * the merge-table size (R ≈ 30k in production). This is the serve
+  * side of the persisted [[graft.index.TokenizerIndex]] artifact: the
+  * token budget a trainer meters, computed against the committed
+  * merge table instead of whitespace counts. */
+case class BpeTokenCount(child: Expression,
+    bc: Broadcast[Map[(String, String), Int]], join: String)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bpe_token_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeEncoder.countTokens(input.asInstanceOf[ArrayData], bc.value, join)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bpeRanksBc", bc, "java.lang.Object")
+    val joinRef = ctx.addReferenceObj("bpeJoin", join, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeEncoder.countRef($c, $bcRef, $joinRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+object BpeTokenCount {
+  /** Column wrapper over a `toks ARRAY<STRING>` column. */
+  def col(toks: Column, bc: Broadcast[Map[(String, String), Int]],
+      join: String): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BpeTokenCount(org.apache.spark.sql.GraftColumnBridge.expression(toks),
+        bc, join))
 }

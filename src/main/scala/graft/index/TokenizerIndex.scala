@@ -1,0 +1,99 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** PERSISTENT BPE tokenizer artifact — the stored merge table a
+  * training pipeline trains ONCE and then applies to every batch and
+  * every stream (r13 VERDICT "What's missing" #1: the minhash /
+  * winnow / LSH / vector families all had build-once/query-many lake
+  * artifacts; the tokenizer — the artifact a training run re-uses
+  * MOST — did not, so `q_bpe_encode_fast` re-trained its merges
+  * inside every invocation).
+  *
+  * Stored form: one parquet table `merges_vN` of `(round, l, r, cnt)`
+  * rows — the trainer's exact output ([[graft.queries.Chunking]]'s
+  * `bpeTrain`), ≤R rows, NOT corpus-sized — plus the [[MetaMarker]]
+  * meta naming the committed version and pinning the two encode-time
+  * INVARIANTS the table is only meaningful under: the join character
+  * (a merge `(l, r)` names the token `l<join>r` — decoding with a
+  * different join char corrupts text) and the round count (documents
+  * encoded under different R are not comparable). A reader gets the
+  * triple atomically; a version mismatch between merge table and
+  * invariants is impossible by construction.
+  *
+  * Commit protocol = the [[WinnowIndex]] one: new versions land in
+  * fresh `merges_vN` dirs, ONE staged meta swap publishes, orphans
+  * retire with one-generation grace (a mid-read consumer of the
+  * just-retired version never loses its files), and a meta whose
+  * committed name doesn't parse as `merges_v<N>` fails the next build
+  * loudly instead of silently renumbering over live dirs. */
+object TokenizerIndex {
+
+  private val META = "_TOKENIZER_META.json"
+
+  private val VersionedMerges = "merges_v(\\d+)".r
+
+  private val mergesSchema = StructType(Seq(
+    StructField("round", IntegerType),
+    StructField("l", StringType),
+    StructField("r", StringType),
+    StructField("cnt", LongType)))
+
+  /** The committed artifact: the merge table plus its invariants. */
+  final case class Tokenizer(merges: DataFrame, join: String, rounds: Int)
+
+  /** Persist a trained merge table as the artifact's next version and
+    * publish (table name, join char, rounds) in one meta swap. */
+  def build(merges: DataFrame, join: String, rounds: Int, dir: String): Unit = {
+    val spark = merges.sparkSession
+    val fs = fsFor(spark, dir)
+    val current = currentName(fs, dir)
+    current.foreach(cur =>
+      MetaMarker.retireUnnamed(fs, dir, Seq("merges"), Set(cur)))
+    val n = current match {
+      case Some(VersionedMerges(v)) => v.toInt + 1
+      case Some(other) => throw new IllegalStateException(
+        s"tokenizer meta at $dir names merges dir '$other', which does " +
+          "not match merges_v<N> — refusing to renumber over it")
+      case None => 0
+    }
+    val next = s"merges_v$n"
+    merges.select("round", "l", "r", "cnt")
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    MetaMarker.write(fs, dir, META,
+      s"""{"merges": "$next", "join": ${quote(join)}, "rounds": $rounds}""")
+  }
+
+  /** The committed tokenizer as a pure read (explicit schema — no
+    * footer pass), resolved through the meta so the merge table and
+    * its join/rounds invariants always come from the SAME commit. */
+  def read(spark: SparkSession, dir: String): Tokenizer = {
+    val fs = fsFor(spark, dir)
+    if (!MetaMarker.exists(fs, dir, META))
+      throw new IllegalArgumentException(s"no tokenizer artifact at $dir")
+    val root = MetaMarker.read(fs, dir, META)
+    Tokenizer(
+      spark.read.schema(mergesSchema)
+        .parquet(s"$dir/${root.get("merges").asText()}"),
+      root.get("join").asText(),
+      root.get("rounds").asInt())
+  }
+
+  /** True once [[build]] ever committed at `dir`. */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    MetaMarker.exists(fsFor(spark, dir), dir, META)
+
+  private def currentName(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[String] =
+    if (MetaMarker.exists(fs, dir, META))
+      Some(MetaMarker.read(fs, dir, META).get("merges").asText())
+    else None
+
+  private def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

@@ -590,6 +590,57 @@ object Chunking {
     qBpeTrain.oracle
   )
 
+  /** `q_bpe_encode`'s oracle string — shared with the INDEXED encode
+    * key (`q_bpe_encode_indexed`, queries/Indexed.scala): verbatim
+    * reuse makes its hash-green a machine-checked proof the STORED
+    * merge table answers identically to inline training. */
+  private[queries] def bpeEncodeOracle: String = qBpeEncode.oracle.get
+
+  /** Train the engine-standard merge table over `docs` (`text`
+    * required) and persist it as the lake tokenizer artifact at `dir`
+    * ([[graft.index.TokenizerIndex]]) — the train-once half of the
+    * build-once/apply-many split a real pipeline runs (training cost
+    * is the `bpeTrain` story; this adds one ≤R-row write + meta
+    * swap). */
+  def writeTokenizer(docs: DataFrame, dir: String,
+      rounds: Int = BpeTrainRounds): Unit =
+    graft.index.TokenizerIndex.build(
+      bpeTrain(docs.select(split(col("text"), " ").as("toks"),
+        lit(1L).as("w")), rounds),
+      BpeJoin, rounds, dir)
+
+  /** Resolve the COMMITTED tokenizer at `dir` and collect its rank
+    * map — a ≤R-row driver read (the merge table IS the artifact a
+    * deployment ships; R ≈ 30k in production, never corpus-sized).
+    * Returns (ranks, join char). Callers that serve many batches
+    * re-call this per batch: the meta re-resolution is what lets a
+    * Maintenance rebuild land mid-stream (the winnow/vector consumer
+    * contract). */
+  def loadTokenizerRanks(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Map[(String, String), Int], String) = {
+    val tok = graft.index.TokenizerIndex.read(s, dir)
+    (tok.merges.select(col("round"), col("l"), col("r"))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
+      .toMap,
+      tok.join)
+  }
+
+  /** Add `outCol` = the post-BPE token count of `text` under the
+    * STORED tokenizer at `dir` — the serve side of the artifact, as
+    * ONE narrow codegen'd column ([[graft.functions.BpeTokenCount]]
+    * over a broadcast rank map): no mapPartitions fence, no shuffle,
+    * all input columns preserved, batch and STREAMING frames alike.
+    * This is the token-budget column a training delivery meters
+    * (whitespace counts overestimate post-BPE compression). */
+  def withBpeTokenCount(df: DataFrame, dir: String,
+      outCol: String = "n_bpe_tokens"): DataFrame = {
+    val s = df.sparkSession
+    val (ranks, join) = loadTokenizerRanks(s, dir)
+    val bc = s.sparkContext.broadcast(ranks)
+    df.withColumn(outCol,
+      graft.functions.BpeTokenCount.col(split(col("text"), " "), bc, join))
+  }
+
   /** Cross-source span-overlap matrix — the report a data team runs
     * BEFORE mixing corpora: for every pair of sources, how many
     * distinct content spans they share (shared spans ⇒ the mixture

@@ -117,6 +117,41 @@ object QualityStream {
       }
       .start()
 
+  /** Streaming ENCODE against the persisted tokenizer artifact
+    * ([[graft.index.TokenizerIndex]]): each micro-batch gets
+    * `n_bpe_tokens` — the post-BPE token count under the COMMITTED
+    * merge table, the budget a trainer actually meters (whitespace
+    * counts overestimate post-BPE compression) — and lands as
+    * manifest-verified gzip-JSONL shards under `batch_id=<n>/`
+    * ([[LogStream.toTrainingDelivery]]'s exactly-once contract:
+    * replays overwrite their own directory).
+    *
+    * The tokenizer meta is RE-RESOLVED every trigger
+    * ([[graft.queries.Chunking.withBpeTokenCount]] reads through the
+    * [[graft.index.MetaMarker]]), so a Maintenance-driven retrain
+    * lands mid-stream with no restart — the winnow/vector consumer
+    * contract, now for the tokenizer (MaintenanceSpec drives it).
+    * Per-batch cost: one ≤R-row merge-table read + broadcast, then
+    * one narrow codegen'd column ([[graft.functions.BpeTokenCount]])
+    * — no shuffle, no streaming state beyond the sink checkpoint. */
+  def toTokenizedDelivery(
+      docs: DataFrame,
+      tokenizerDir: String,
+      outDir: String,
+      checkpointDir: String,
+      maxRecordsPerShard: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+        graft.sink.TrainingExport.writeJsonlShards(
+          graft.queries.Chunking.withBpeTokenCount(batch.toDF(), tokenizerDir),
+          s"$outDir/batch_id=$batchId", maxRecordsPerShard): Unit
+      }
+      .start()
+
   /** Monitoring rollup: per-window pass/drop counts with a watermark —
     * the ops dashboard beside the gate. `ts` column required. */
   def gateRollup(docs: DataFrame, model: TrigramLm.Model,

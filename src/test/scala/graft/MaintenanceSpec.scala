@@ -207,6 +207,44 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     } finally q.stop()
   }
 
+  test("a Maintenance-driven TOKENIZER retrain feeds the running encode stream next batch") {
+    // r14: the tokenizer artifact joins the family — a retrain commits
+    // through the TokenizerIndex meta swap while the streaming encode
+    // delivery keeps consuming; the per-trigger meta re-resolution
+    // must serve the NEW merge table from the next batch, no restart
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = Files.createTempDirectory("maint-tok-stream").toString
+    val tokDir = s"$work/tok"
+    // corpus v1's merges compress "a b" chains; v2's compress "c d"
+    graft.queries.Chunking.writeTokenizer(
+      Seq((1L, "a b a b a b")).toDF("doc_id", "text"), tokDir)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.stream.QualityStream.toTokenizedDelivery(
+      input.toDF().toDF("doc_id", "text"), tokDir, s"$work/out", s"$work/ckpt")
+    try {
+      input.addData((100L, "a b a b"), (101L, "c d c d"))
+      q.processAllAvailable()
+      val results = Maintenance.run(spark, Seq(
+        Maintenance.Rebuild("tokenizer", tokDir) { s =>
+          graft.queries.Chunking.writeTokenizer(
+            Seq((2L, "c d c d c d")).toDF("doc_id", "text"), tokDir)
+          "retrained over corpus v2"
+        }))
+      assert(results.forall(_.outcome.isSuccess),
+        results.map(_.summary).mkString("\n"))
+      input.addData((102L, "a b a b"), (103L, "c d c d"))
+      q.processAllAvailable()
+      val got = Seq(0, 1).map(b =>
+        graft.sink.TrainingExport.readVerified(spark, s"$work/out/batch_id=$b"))
+        .reduce(_ unionByName _)
+        .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+      // v1 merges fold the whole "a b a b" chain to 1 token and leave
+      // "c d c d" at 4; after the retrain the roles flip exactly
+      assert(got == Map(100L -> 1L, 101L -> 4L, 102L -> 4L, 103L -> 1L),
+        s"encode stream must serve the Maintenance-retrained tokenizer next batch: $got")
+    } finally q.stop()
+  }
+
   test("tasks sharing a resource serialize; distinct resources parallelize") {
     // two tasks on the SAME artifact (a requested rebuild racing an
     // auto-planned compaction is the real case) must never overlap —

@@ -200,6 +200,41 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
     } finally q.stop()
   }
 
+  test("tokenized delivery: streamed n_bpe_tokens equal the batch serve pass, manifest-verified") {
+    import java.nio.file.Files
+    val corpus = graft.Tables.documents(spark, sf)
+    // the REAL artifact the batch key uses: build-once memo over the
+    // corpus dir (q_bpe_encode_indexed's tokenizer), consumed here by
+    // the streaming encode — one artifact, two consumers
+    val tokDir = graft.queries.Indexed.tokenizerDirFor(spark, sf)
+    val fed = corpus.filter(col("doc_id") < 40).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = graft.queries.Chunking
+      .withBpeTokenCount(fed.toSeq.toDF("doc_id", "text"), tokDir)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Int)].collect().toMap
+
+    val out = Files.createTempDirectory("tok-deliver").toString
+    val ckpt = Files.createTempDirectory("tok-deliver-ckpt").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val q = QualityStream.toTokenizedDelivery(
+      input.toDF().toDF("doc_id", "text"), tokDir, out, ckpt)
+    try {
+      val (a, b) = fed.splitAt(25)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val delivered = Seq("batch_id=0", "batch_id=1")
+      .map(b => graft.sink.TrainingExport.readVerified(spark, s"$out/$b"))
+      .reduce(_ unionByName _)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect()
+      .map { case (id, n) => id -> n.toInt }.toMap
+    assert(delivered == expected,
+      "streamed n_bpe_tokens diverged from the batch serve pass")
+    // the artifact genuinely compressed something (non-degenerate)
+    assert(expected.values.exists(_ > 0) && expected.nonEmpty)
+  }
+
   private def ts(minutes: Int): Timestamp =
     new Timestamp(1700000000000L + minutes * 60000L)
 }
