@@ -91,6 +91,68 @@ object TrigramLm {
     Model(triM, pre, v)
   }
 
+  /** Train ONE model PER LANGUAGE in a single Spark job (r14,
+    * Wenzek et al.'s actual per-language setup — CCNet buckets per
+    * language with one LM per language, not one global LM): trigram
+    * counts group by (lang, tri) — still a bounded key space,
+    * |langs| × |alphabet|³ — and the per-lang V / prefix sums /
+    * micros derive on the driver exactly as [[train]] does, so each
+    * returned model is bit-identical to `train(docs.filter(lang = l))`
+    * while the corpus is scanned ONCE for all languages. */
+  def trainByLang(docs: DataFrame, langCol: String): Map[String, Model] = {
+    val counts = docs.filter(length(col("text")) >= 3)
+      .select(col(langCol).as("_lang"), explode(expr(trisExpr)).as("tri"))
+      .groupBy(col("_lang"), col("tri")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    counts.groupBy(_._1).view.mapValues { rows =>
+      val cs = rows.map(r => r._2 -> r._3)
+      val v = cs.map(c => cpLast(c._1)).distinct.length.toLong
+      val pre = cs.groupBy(c => cpPrefix(c._1))
+        .view.mapValues(_.map(_._2).sum).toMap
+      val triM = cs.map { case (t, cnt) =>
+        t -> ((BigInt(cnt) + 1) * 1000000 / (BigInt(pre(cpPrefix(t))) + v)).toLong
+      }.toMap
+      Model(triM, pre, v)
+    }.toMap
+  }
+
+  /** [[scored]] with a PER-LANGUAGE model bank: each row's trigrams
+    * score against the model its `langCol` selects — one broadcast
+    * Map[lang → Model], one narrow pass, the codegen'd
+    * [[TrigramMicroLang]] probing lang then trigram. A lang with no
+    * model (possible only if scoring sees languages training didn't)
+    * backs off to the empty-model semantics ([[microOf]]'s 1/V-with-
+    * V=0 path — scores LOW, never errors). Column semantics are
+    * [[scored]]'s exactly, per language. */
+  def scoredByLang(docs: DataFrame, models: Map[String, Model],
+      langCol: String, rareMicroThreshold: Long = 50000L): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(models)
+    docs
+      .withColumn("_tris", expr(trisExpr))
+      .withColumn("_micro", transform(col("_tris"),
+        t => TrigramMicroLang.col(t, col(langCol), bc)))
+      .withColumn("n_tri", size(col("_tris")).cast("long"))
+      .withColumn("avg_p", when(col("n_tri") > 0,
+        round(aggregate(col("_micro"), lit(0L).cast("long"), _ + _).cast("double")
+          / col("n_tri") / 1000000.0, 6)).otherwise(lit(0.0)))
+      .withColumn("rare_rate", when(col("n_tri") > 0,
+        round(size(filter(col("_micro"), _ < rareMicroThreshold)).cast("double")
+          / col("n_tri"), 6)).otherwise(lit(1.0)))
+      .drop("_tris", "_micro")
+  }
+
+  private val EmptyModel = Model(Map.empty, Map.empty, 0L)
+
+  /** [[TrigramMicroLang]]'s lookup: select the lang's model, then the
+    * standard [[microOf]] backoff chain. */
+  def microOfLang(t: UTF8String, lang: UTF8String,
+      models: Map[String, Model]): Long =
+    microOf(t, models.getOrElse(lang.toString, EmptyModel))
+
+  /** Codegen entry point ([[TrigramMicroLang.doGenCode]]). */
+  def microOfLangRef(t: UTF8String, lang: UTF8String, bc: Object): Long =
+    microOfLang(t, lang, bc.asInstanceOf[Broadcast[Map[String, Model]]].value)
+
   /** Broadcast memo keyed by (SparkContext, model IDENTITY): a
     * long-running stream calls [[scored]] once per micro-batch, and
     * without the memo every trigger serialized and shipped a FRESH
@@ -223,4 +285,42 @@ object TrigramMicro {
   def col(t: Column, bc: Broadcast[TrigramLm.Model]): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       TrigramMicro(org.apache.spark.sql.GraftColumnBridge.expression(t), bc))
+}
+
+/** `trigram_micro_lang(tri, lang)` — [[TrigramLm.microOfLang]] against
+  * a broadcast PER-LANGUAGE model bank: the shipping path for
+  * language-conditioned scoring (`q_ccnet_lang_buckets`). Same
+  * contract as [[TrigramMicro]]: the expression holds only the
+  * broadcast handle, so plan/task/codegen size is independent of the
+  * bank's size (|langs| × model). */
+case class TrigramMicroLang(left: Expression, right: Expression,
+    bc: Broadcast[Map[String, TrigramLm.Model]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "trigram_micro_lang"
+
+  override protected def nullSafeEval(tri: Any, lang: Any): Any =
+    TrigramLm.microOfLang(tri.asInstanceOf[UTF8String],
+      lang.asInstanceOf[UTF8String], bc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("trigramLmLangBc", bc, "java.lang.Object")
+    defineCodeGen(ctx, ev,
+      (t, l) => s"graft.functions.TrigramLm.microOfLangRef($t, $l, $bcRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TrigramMicroLang =
+    copy(left = newLeft, right = newRight)
+}
+
+object TrigramMicroLang {
+  /** Column wrapper (the `transform` lambda's element hook; `lang`
+    * is an outer row column referenced inside the lambda). */
+  def col(t: Column, lang: Column,
+      bc: Broadcast[Map[String, TrigramLm.Model]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      TrigramMicroLang(
+        org.apache.spark.sql.GraftColumnBridge.expression(t),
+        org.apache.spark.sql.GraftColumnBridge.expression(lang), bc))
 }

@@ -954,10 +954,116 @@ object TextOps {
             FROM r WHERE rn <= 20 ORDER BY phrase, doc_id""")
   )
 
+  /** LANGUAGE-CONDITIONED CCNet stratification (r14; Wenzek et al.
+    * 2020 §4.3 as actually run on a MULTILINGUAL crawl): documents are
+    * language-identified first (`q_lang_id`'s stopword vote — the
+    * composition the r13 VERDICT asked for), ONE trigram LM trains PER
+    * LANGUAGE ([[graft.functions.TrigramLm.trainByLang]] — one corpus
+    * pass for all languages, per-lang models bit-identical to
+    * filtering then training), each doc scores against ITS OWN
+    * language's model (the codegen'd lang-keyed
+    * [[graft.functions.TrigramMicroLang]] over one broadcast model
+    * bank — no shuffle, no per-lang corpus re-scan), and HEAD/MIDDLE/
+    * TAIL tertiles assign per (source, lang). A Spanish doc is no
+    * longer judged by an English-dominated global model — the
+    * mis-ranking `q_ccnet_buckets`' single-LM form bakes in on mixed
+    * corpora.
+    *
+    * Ranking is the same bounded 1024-ary digit decomposition as
+    * `q_ccnet_buckets` ([[boundedCumBefore]], part = (source, lang)):
+    * exact, lossless (micro = round(avg_p·1e6) is order-faithful),
+    * every window partition ≤1024 rows. Fully oracle-checked — the
+    * SQL re-derives the vote, the per-lang models (GROUP BY lang),
+    * the integer-micro scoring, and the tertiles. */
+  private val qCcnetLangBuckets = Q(
+    "q_ccnet_lang_buckets",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val voted = Tables.documents(s, d)
+        .filter(length(col("text")) >= 3)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("en_hits", expr("size(filter(toks, t -> t IN ('the','a','of','and','is')))"))
+        .withColumn("es_hits", expr("size(filter(toks, t -> t IN ('el','la','de','y','es')))"))
+        .withColumn("de_hits", expr("size(filter(toks, t -> t IN ('der','die','und','das','ist')))"))
+        .withColumn("plang",
+          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits"), "en")
+            .when(col("es_hits") >= col("de_hits"), "es")
+            .otherwise("de"))
+        .select(col("doc_id"), col("source"), col("text"), col("plang"))
+      val models = graft.functions.TrigramLm.trainByLang(voted, "plang")
+      val scored = graft.functions.TrigramLm
+        .scoredByLang(voted, models, "plang")
+        .select(col("doc_id"), col("source"), col("plang").as("lang"), col("avg_p"))
+        .withColumn("micro", expr("CAST(round(avg_p * 1000000) AS BIGINT)"))
+        .localCheckpoint(true)
+      val hist = scored.groupBy(col("source"), col("lang"), col("micro"))
+        .agg(count(lit(1)).as("n_val"))
+        .withColumn("_key", lit(1000000L) - col("micro"))
+      val cums = boundedCumBefore(hist, Seq("source", "lang"), "_key", bits = 20)
+        .select(col("source"), col("lang"), col("micro"),
+          col("cum_before"), col("n_total"))
+      val wd = Window.partitionBy(col("source"), col("lang"), col("micro"))
+        .orderBy(col("doc_id"))
+      scored
+        .withColumn("rk_in_val", row_number().over(wd))
+        .join(cums, Seq("source", "lang", "micro"))
+        .withColumn("rn", col("cum_before") + col("rk_in_val"))
+        .withColumn("bucket",
+          when(col("rn") * 3 <= col("n_total"), "head")
+            .when(col("rn") * 3 <= col("n_total") * 2, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("source"), col("lang"), col("avg_p"),
+          col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH h AS (
+              SELECT doc_id,
+                CASE WHEN len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is')))
+                          >= len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y','es')))
+                      AND len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is')))
+                          >= len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ist')))
+                     THEN 'en'
+                     WHEN len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y','es')))
+                          >= len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ist')))
+                     THEN 'es'
+                     ELSE 'de' END AS lang
+              FROM documents WHERE length(text) >= 3),
+            tri AS (
+              SELECT d.doc_id, h.lang,
+                unnest(list_transform(range(1, length(lower(d.text)) - 1),
+                  i -> substr(lower(d.text), CAST(i AS INT), 3))) AS tri
+              FROM documents d JOIN h USING (doc_id)),
+            tc AS (SELECT lang, tri, count(*) AS cnt FROM tri GROUP BY 1, 2),
+            pc AS (SELECT lang, substr(tri, 1, 2) AS pre, sum(cnt) AS cnt2
+                   FROM tc GROUP BY 1, 2),
+            v AS (SELECT lang, count(DISTINCT substr(tri, 3, 1)) AS v
+                  FROM tc GROUP BY 1),
+            scored AS (
+              SELECT t.doc_id, ((tc.cnt + 1) * 1000000) // (pc.cnt2 + v.v) AS micro
+              FROM tri t
+              JOIN tc ON t.lang = tc.lang AND t.tri = tc.tri
+              JOIN pc ON t.lang = pc.lang AND substr(t.tri, 1, 2) = pc.pre
+              JOIN v ON t.lang = v.lang),
+            davg AS (SELECT doc_id,
+                       round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_p
+                     FROM scored GROUP BY doc_id),
+            ds AS (SELECT d.doc_id, d.source, h.lang, a.avg_p
+                   FROM documents d JOIN h USING (doc_id) JOIN davg a USING (doc_id)),
+            r AS (SELECT *, row_number() OVER (PARTITION BY source, lang
+                    ORDER BY avg_p DESC, doc_id) AS rn,
+                    count(*) OVER (PARTITION BY source, lang) AS n_total
+                  FROM ds)
+            SELECT doc_id, source, lang, avg_p,
+              CASE WHEN rn * 3 <= n_total THEN 'head'
+                   WHEN rn * 3 <= n_total * 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+            FROM r ORDER BY doc_id""")
+  )
+
   def qs: Seq[Q] =
     Seq(qTextTokens, qTokenCount, qTextQuality, qLangId, qDocFingerprint,
       qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf, qLengthHistogram,
       qBm25, qCmsCounts, qCmsCountsWide, qLmScore, qQualityCalibrate,
       qQualityCalibrateScalable, qPhraseSearch, qGopherRules,
-      qCcnetBuckets)
+      qCcnetBuckets, qCcnetLangBuckets)
 }

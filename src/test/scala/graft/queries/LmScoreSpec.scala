@@ -180,4 +180,47 @@ class LmScoreSpec extends AnyFunSuite with SparkTestSupport {
       1L -> "head", 2L -> "middle", 3L -> "tail",
       11L -> "head", 12L -> "middle", 13L -> "tail"), got.toString)
   }
+
+  test("q_ccnet_lang_buckets: per-(source, lang) thirds under per-language models on a rigged multilingual corpus") {
+    val dir = Files.createTempDirectory("ccnetlang").toString
+    // two languages in one source, each with its own best/mid/worst
+    // trio; the stopword tokens both pin the lang VOTE and join the
+    // lang's own LM training set. Buckets must stratify WITHIN each
+    // language — a doc competes only against its own language's docs,
+    // scored by its own language's model.
+    def en(i: Long, body: String) = (i, s"the $body the")
+    def es(i: Long, body: String) = (i, s"el $body la de")
+    val docs = Seq(
+      en(1L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      en(2L, "abababababababababababab"),
+      en(3L, "qjxkq zvwqh xjzwv qhkxz jxqzw"),
+      es(11L, "cccccccccccccccccccccccccccccc"),
+      es(12L, "cdcdcdcdcdcdcdcdcdcdcdcd"),
+      es(13L, "zqjkw xwvqz kqhjx wzqkv qxjzw"))
+      .map { case (id, t) => (id, t, "xx", "s0", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("q_ccnet_lang_buckets")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(4))).toMap
+    // votes: en docs (2 'the' hits) → en; es docs ('el','la','de') → es
+    assert(rows.view.mapValues(_._1).toMap == Map(
+      1L -> "en", 2L -> "en", 3L -> "en",
+      11L -> "es", 12L -> "es", 13L -> "es"), rows.toString)
+    assert(rows.view.mapValues(_._2).toMap == Map(
+      1L -> "head", 2L -> "middle", 3L -> "tail",
+      11L -> "head", 12L -> "middle", 13L -> "tail"), rows.toString)
+  }
+
+  test("trainByLang models are bit-identical to filter-then-train per language") {
+    val docs = Seq(
+      (1L, "the quick brown fox", "en"), (2L, "the lazy brown dog", "en"),
+      (3L, "el zorro marron rapido", "es"))
+      .toDF("doc_id", "text", "plang")
+    val bank = graft.functions.TrigramLm.trainByLang(docs, "plang")
+    for (l <- Seq("en", "es")) {
+      val solo = graft.functions.TrigramLm.train(
+        docs.filter(col("plang") === l))
+      assert(bank(l) == solo, s"lang $l model diverged from filter-then-train")
+    }
+  }
 }

@@ -165,13 +165,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     * per-distinct-VALUE histogram rows escaped the old
     * row_number-only check, and distinct values grow with the
     * corpus. */
-  private def assertNoUnboundedGroupWindows(name: String, group: String): Unit = {
+  private def assertNoUnboundedGroupWindows(name: String, groups: Set[String]): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df: DataFrame = Registry.queries(name)(spark, sf)
     val offenders = df.queryExecution.optimizedPlan.collect {
       case w: LWindow
           if w.partitionSpec.nonEmpty &&
-            w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet == Set(group) =>
+            w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+              .subsetOf(groups) =>
         val boundedInput = w.child.collectFirst {
           case a: Aggregate
               if a.groupingExpressions.flatMap(_.references.toSeq.map(_.name))
@@ -182,14 +183,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
           w.child.nodeName)
     }.flatten
     assert(offenders.isEmpty,
-      s"$name: window(s) partitioned by '$group' alone over an " +
+      s"$name: window(s) partitioned by a subset of $groups over an " +
         s"unbounded (non-digit-histogram) input:\n${offenders.mkString("\n")}")
   }
 
   test("calibrate/ccnet/anomaly family: NO window partitions by the group alone over unbounded rows") {
-    assertNoUnboundedGroupWindows("q_quality_calibrate_scalable", "source")
-    assertNoUnboundedGroupWindows("q_ccnet_buckets", "source")
-    assertNoUnboundedGroupWindows("q_anomaly_mad_scalable", "event_type")
+    assertNoUnboundedGroupWindows("q_quality_calibrate_scalable", Set("source"))
+    assertNoUnboundedGroupWindows("q_ccnet_buckets", Set("source"))
+    assertNoUnboundedGroupWindows("q_ccnet_lang_buckets", Set("source", "lang"))
+    assertNoUnboundedGroupWindows("q_anomaly_mad_scalable", Set("event_type"))
   }
 
   test("kernel BPE encode is one mapPartitions pass: no join, no per-merge operator chain") {
