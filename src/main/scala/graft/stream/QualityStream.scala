@@ -49,17 +49,24 @@ object QualityStream {
         .withColumn("n_ws_tokens", size(split(trim(col("text")), "\\s+"))),
       outDir, checkpointDir, maxRecordsPerShard)
 
-  /** The FULL streaming curation pipeline in one call (r13 capstone —
-    * every admission gate the engine has, composed in the order a
-    * production ingest runs them): per micro-batch,
+  /** The FULL streaming curation pipeline in one call (r13 capstone,
+    * r14: + the near-dup gate — every admission gate the engine has,
+    * composed in the order a production ingest runs them): per
+    * micro-batch,
     *
     *   1. LM quality gate — drop docs under `minAvgP` (stateless,
     *      broadcast model);
-    *   2. partial-overlap gate — drop docs sharing ≥ `minShared` cold
+    *   2. NEAR-DUP gate — drop docs whose verified Jaccard against
+    *      any doc in the persisted [[graft.index.MinhashIndex]] at
+    *      `minhashIndexDir` reaches `nearDupThreshold` (whole-document
+    *      resemblance — the gate that stops a re-crawl of the corpus
+    *      from re-entering it);
+    *   3. partial-overlap gate — drop docs sharing ≥ `minShared` cold
     *      winnowing fingerprints with any doc in the persisted
-    *      [[graft.index.WinnowIndex]] at `indexDir` (meta re-resolved
-    *      per batch, so a rebuild serves next trigger);
-    *   3. drift admission — KS-test the SURVIVORS' length distribution
+    *      [[graft.index.WinnowIndex]] at `winnowIndexDir`
+    *      (quote-level contamination the global-signature gate can't
+    *      see);
+    *   4. drift admission — KS-test the SURVIVORS' length distribution
     *      against the batch-fitted `ref` (what would actually enter
     *      the corpus is what is tested): passing batches land as
     *      manifest-verified gzip-JSONL shards under `batch_id=<n>/`
@@ -68,21 +75,25 @@ object QualityStream {
     *      quarantine WHOLE with the measured `ks` stamped per row
     *      ([[LogStream.toDriftGatedLake]]'s triage contract).
     *
-    * Token counting (`n_ws_tokens`) rides on delivered rows so a
-    * trainer meters its budget from the manifests alone. Per-batch
-    * cost: one stateless scoring pass, one fingerprint probe join,
-    * one ≤bins-row aggregation — no streaming state beyond the sink
-    * checkpoint. QualityStreamSpec drives all three gates firing in
-    * one stream. */
+    * Both index metas are re-resolved per batch, so a Maintenance
+    * rebuild of either serves from the next trigger. Token counting
+    * (`n_ws_tokens`) rides on delivered rows so a trainer meters its
+    * budget from the manifests alone. Per-batch cost: one stateless
+    * scoring pass, one band probe + verify join, one fingerprint
+    * probe join, one ≤bins-row aggregation — no streaming state
+    * beyond the sink checkpoint. QualityStreamSpec drives all four
+    * gates firing in one stream. */
   def toCuratedTrainingDelivery(
       docs: DataFrame,
       model: TrigramLm.Model,
-      indexDir: String,
+      minhashIndexDir: String,
+      winnowIndexDir: String,
       ref: LogStream.LengthCdf,
       outDir: String,
       quarantineDir: String,
       checkpointDir: String,
       minAvgP: Double = 0.3,
+      nearDupThreshold: Double = 0.9,
       minShared: Int = 2,
       maxKs: Double = 0.2,
       maxRecordsPerShard: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery =
@@ -93,10 +104,14 @@ object QualityStream {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
         val gated = qualityGated(batch.toDF(), model, minAvgP)
+        val (bands, shingles) = graft.queries.Dedup
+          .readMinhashIndex(batch.sparkSession, minhashIndexDir)
+        val nearDeduped = graft.queries.Dedup
+          .dropNearDups(gated, bands, shingles, nearDupThreshold)
         val (fps, stats) =
-          graft.queries.Dedup.readWinnowIndex(batch.sparkSession, indexDir)
+          graft.queries.Dedup.readWinnowIndex(batch.sparkSession, winnowIndexDir)
         val deduped = graft.queries.Dedup
-          .dropOverlapping(gated, fps, stats, minShared)
+          .dropOverlapping(nearDeduped, fps, stats, minShared)
           .withColumn("n_ws_tokens", size(split(trim(col("text")), "\\s+")))
           // one materialization: the KS measurement and the delivery
           // both consume it — without this the scoring chain and the

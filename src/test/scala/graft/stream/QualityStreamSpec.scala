@@ -91,15 +91,17 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(manifestRows === expectedKept.size.toLong)
   }
 
-  test("curated delivery composes all three gates: LM drop, overlap drop, drift quarantine") {
+  test("curated delivery composes all four gates: LM drop, near-dup drop, overlap drop, drift quarantine") {
     import java.nio.file.Files
     val sentA = "the quick brown fox jumps over the lazy dog"
     val sentB = "a slow green turtle walks under the busy bridge"
+    val sentC = "every bright student reads the good book with great care"
     def rep(s: String, k: Int) = Seq.fill(k)(s).mkString(" ")
-    // model + reference CDF trained on a corpus containing BOTH
+    // model + reference CDF trained on a corpus containing ALL THREE
     // sentence families; ref lengths spread 44..359 (A×1..A×8)
     val refDocs = (1 to 8).map(k => (k.toLong, rep(sentA, k))) ++
-      (20 to 23).map(i => (i.toLong, rep(sentB, 3)))
+      (20 to 23).map(i => (i.toLong, rep(sentB, 3))) ++
+      (30 to 33).map(i => (i.toLong, rep(sentC, 3)))
     val refDf = refDocs.toDF("doc_id", "text")
     val model = TrigramLm.train(refDf)
     val ref = LogStream.fitLengthCdf(
@@ -111,21 +113,33 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
     graft.queries.Dedup.writeWinnowIndex(
       Seq((100L, rep(sentB, 3) + " closing tail words here")).toDF("doc_id", "text"),
       idxDir)
+    // minhash index over a C-family corpus doc: a re-crawled copy of
+    // it must die at the near-dup gate — it passes the LM and shares
+    // nothing with the winnow index; the A-family stream docs share
+    // no shingles with it, so they pass the probe untouched (an
+    // A-family index doc would near-dup EVERY rep(sentA, k) —
+    // repeated sentences collapse to near-identical shingle sets)
+    val mhDir = s"$work/mhidx"
+    graft.queries.Dedup.writeMinhashIndex(
+      Seq((200L, rep(sentC, 5))).toDF("doc_id", "text"), mhDir)
 
     val input = MemoryStream[StreamDoc](spark)
     val q = QualityStream.toCuratedTrainingDelivery(
-      input.toDF(), model, idxDir, ref,
+      input.toDF(), model, mhDir, idxDir, ref,
       s"$work/out", s"$work/quarantine", s"$work/ckpt",
       minAvgP = 0.3, maxKs = 0.5)
     try {
       // batch 0: four A-docs spread across the ref length range
-      // (delivered), one gibberish doc (LM gate), one doc embedding
-      // the INDEXED B-run (overlap gate — it would pass the LM)
+      // (delivered), one gibberish doc (LM gate), one re-crawl of the
+      // minhash-indexed doc (near-dup gate — it would pass every
+      // other gate), one doc embedding the INDEXED B-run (overlap
+      // gate — it would pass the LM and the near-dup probe)
       input.addData(
         StreamDoc(1L, rep(sentA, 1), ts(0)), StreamDoc(2L, rep(sentA, 3), ts(1)),
         StreamDoc(3L, rep(sentA, 5), ts(2)), StreamDoc(4L, rep(sentA, 7), ts(3)),
         StreamDoc(5L, "zqx vkj wpf zzq jjx qqv kkz xxw ppj vvq zzk", ts(4)),
-        StreamDoc(6L, "intro words then " + rep(sentB, 3), ts(5)))
+        StreamDoc(6L, "intro words then " + rep(sentB, 3), ts(5)),
+        StreamDoc(7L, rep(sentC, 5), ts(6)))
       q.processAllAvailable()
       // batch 1: natural text, no overlap — but 5× beyond the
       // reference length range: the whole batch must quarantine
@@ -137,7 +151,8 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
 
     val delivered = graft.sink.TrainingExport.readVerified(spark, s"$work/out/batch_id=0")
     assert(delivered.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L),
-      "batch 0 must deliver exactly the LM-passing, non-overlapping docs")
+      "batch 0 must deliver exactly the docs passing ALL FOUR gates " +
+        "(5 dies at the LM, 7 at the near-dup probe, 6 at the overlap gate)")
     // the drifted batch landed WHOLE in quarantine with its ks stamped
     val quar = spark.read.parquet(s"$work/quarantine")
       .select("doc_id", "ks").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
