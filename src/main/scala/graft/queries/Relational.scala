@@ -1169,12 +1169,21 @@ object Relational {
           col("at_v"), col("err_v"))
         .orderBy(col("day"))
     },
+    // dual-dialect SQL (runs verbatim in BOTH DuckDB and Spark —
+    // SqlPortabilitySpec pins it portable, r14): floor-division is
+    // spelled floor(a / b.0), the bin axis is an inline VALUES table
+    // (DuckDB's unnest(range()) vs Spark's range() TVF don't share
+    // syntax), and the day renders via CAST(.. AS STRING) — identical
+    // 'yyyy-MM-dd HH:mm:ss' text in both engines for the midnight
+    // timestamps date_trunc produces
     Some(s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts,
                CAST(round(value * 100) AS BIGINT) AS c FROM events),
              mm AS (SELECT min(c) AS mn, max(c) AS mx, count(*) AS nref,
-                      (max(c) - min(c)) // 64 + 1 AS w FROM e),
-             bins AS (SELECT unnest(range(0, 64)) AS bin),
-             refb AS (SELECT (e.c - mm.mn) // mm.w AS bin, count(*) AS cnt
+                      CAST(floor((max(c) - min(c)) / 64.0) AS BIGINT) + 1 AS w FROM e),
+             bins AS (SELECT CAST(v AS BIGINT) AS bin
+                      FROM (VALUES ${(0 until 64).map(i => s"($i)").mkString(", ")}) AS t(v)),
+             refb AS (SELECT CAST(floor((e.c - mm.mn) / CAST(mm.w AS DOUBLE)) AS BIGINT) AS bin,
+                        count(*) AS cnt
                       FROM e CROSS JOIN mm GROUP BY 1),
              refc AS (SELECT b.bin,
                         sum(coalesce(r.cnt, 0)) OVER (ORDER BY b.bin
@@ -1183,7 +1192,8 @@ object Relational {
              wn AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
                     FROM e GROUP BY 1),
              wb AS (SELECT date_trunc('day', e.ts) AS day,
-                      (e.c - mm.mn) // mm.w AS bin, count(*) AS cnt
+                      CAST(floor((e.c - mm.mn) / CAST(mm.w AS DOUBLE)) AS BIGINT) AS bin,
+                      count(*) AS cnt
                     FROM e CROSS JOIN mm GROUP BY 1, 2),
              wc AS (SELECT g.day, g.bin,
                       sum(coalesce(wb.cnt, 0)) OVER (PARTITION BY g.day
@@ -1198,7 +1208,7 @@ object Relational {
                        CROSS JOIN mm),
              r AS (SELECT *, row_number() OVER (PARTITION BY day
                      ORDER BY num DESC, bin) AS rn FROM diffs)
-             SELECT strftime(r.day, '%Y-%m-%d %H:%M:%S') AS day, r.n,
+             SELECT CAST(CAST(r.day AS TIMESTAMP) AS STRING) AS day, r.n,
                round(CAST(r.num AS DOUBLE) / (CAST(r.n AS DOUBLE) * mm.nref), 6) AS ks,
                mm.mn + r.bin * mm.w AS at_v, mm.w AS err_v
              FROM r CROSS JOIN mm WHERE r.rn = 1 ORDER BY day""")
