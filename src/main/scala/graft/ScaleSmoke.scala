@@ -122,7 +122,13 @@ object ScaleSmoke {
       // the stored-fingerprint winnowing (amplified corpus ⇒ fresh
       // fingerprint ⇒ measured time INCLUDES one index build)
       "q_anomaly_mad_scalable", "q_winnowing_indexed", "q_drift_windowed",
-      "q_hilbert_layout3", "q_ccnet_buckets")
+      "q_hilbert_layout3", "q_ccnet_buckets",
+      // r14: the lang-conditioned stratification (per-lang LM bank +
+      // bounded digit rank over (source, lang)) and the stored-
+      // tokenizer encode (amplified corpus ⇒ fresh fingerprint ⇒ the
+      // measured time INCLUDES one tokenizer train+persist; the
+      // memoized apply-only cost is the bench's)
+      "q_ccnet_lang_buckets", "q_bpe_encode_indexed")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")
