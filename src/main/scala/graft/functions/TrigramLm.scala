@@ -126,7 +126,9 @@ object TrigramLm {
     * [[scored]]'s exactly, per language. */
   def scoredByLang(docs: DataFrame, models: Map[String, Model],
       langCol: String, rareMicroThreshold: Long = 50000L): DataFrame = {
-    val bc = docs.sparkSession.sparkContext.broadcast(models)
+    // memoized like [[scored]]'s single-model path: a streaming
+    // per-lang gate calls this every trigger with the same bank
+    val bc = memoBroadcast(docs.sparkSession.sparkContext, models)
     docs
       .withColumn("_tris", expr(trisExpr))
       .withColumn("_micro", transform(col("_tris"),
@@ -166,9 +168,9 @@ object TrigramLm {
     * model-sized, and [[releaseBroadcasts]] drops everything for
     * callers that want deterministic cleanup on stream stop. */
   private val bcMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, ModelIdentity), Broadcast[Model]]
+    (String, ModelIdentity), Broadcast[_]]
 
-  private final class ModelIdentity(val m: Model) {
+  private final class ModelIdentity(val m: AnyRef) {
     override def hashCode: Int = System.identityHashCode(m)
     override def equals(o: Any): Boolean = o match {
       case other: ModelIdentity => other.m eq m
@@ -176,12 +178,17 @@ object TrigramLm {
     }
   }
 
-  private def broadcastFor(sc: org.apache.spark.SparkContext,
-      model: Model): Broadcast[Model] = {
+  private def memoBroadcast[T <: AnyRef](sc: org.apache.spark.SparkContext,
+      value: T): Broadcast[T] = {
     bcMemo.entrySet().removeIf(e => e.getKey._1 != sc.applicationId)
-    bcMemo.computeIfAbsent((sc.applicationId, new ModelIdentity(model)),
-      _ => sc.broadcast(model))
+    bcMemo.computeIfAbsent((sc.applicationId, new ModelIdentity(value)),
+      _ => sc.broadcast(value)(
+        scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[T]]))
+      .asInstanceOf[Broadcast[T]]
   }
+
+  private def broadcastFor(sc: org.apache.spark.SparkContext,
+      model: Model): Broadcast[Model] = memoBroadcast(sc, model)
 
   /** Destroy and forget every memoized model broadcast — explicit
     * cleanup for a stopping stream (otherwise the ContextCleaner

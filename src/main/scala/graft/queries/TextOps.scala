@@ -954,6 +954,20 @@ object TextOps {
             FROM r WHERE rn <= 20 ORDER BY phrase, doc_id""")
   )
 
+  /** The `q_lang_id` stopword VOTE as one reusable column over
+    * `text` — shared by [[qCcnetLangBuckets]] and the streaming
+    * per-language gate ([[graft.stream.QualityStream.qualityGatedByLang]]),
+    * so batch and stream assign languages identically by
+    * construction. Pure built-in expressions (codegen'd), no UDF. */
+  private[graft] def langVote: org.apache.spark.sql.Column = {
+    def hits(words: String) =
+      expr(s"size(filter(split(text, ' '), t -> t IN ($words)))")
+    val en = hits("'the','a','of','and','is'")
+    val es = hits("'el','la','de','y','es'")
+    val de = hits("'der','die','und','das','ist'")
+    when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+  }
+
   /** LANGUAGE-CONDITIONED CCNet stratification (r14; Wenzek et al.
     * 2020 §4.3 as actually run on a MULTILINGUAL crawl): documents are
     * language-identified first (`q_lang_id`'s stopword vote — the
@@ -981,14 +995,7 @@ object TextOps {
       import org.apache.spark.sql.expressions.Window
       val voted = Tables.documents(s, d)
         .filter(length(col("text")) >= 3)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("en_hits", expr("size(filter(toks, t -> t IN ('the','a','of','and','is')))"))
-        .withColumn("es_hits", expr("size(filter(toks, t -> t IN ('el','la','de','y','es')))"))
-        .withColumn("de_hits", expr("size(filter(toks, t -> t IN ('der','die','und','das','ist')))"))
-        .withColumn("plang",
-          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits"), "en")
-            .when(col("es_hits") >= col("de_hits"), "es")
-            .otherwise("de"))
+        .withColumn("plang", langVote)
         .select(col("doc_id"), col("source"), col("text"), col("plang"))
       val models = graft.functions.TrigramLm.trainByLang(voted, "plang")
       val scored = graft.functions.TrigramLm

@@ -27,6 +27,28 @@ object QualityStream {
       minAvgP: Double = 0.3): DataFrame =
     TrigramLm.scored(docs, model).filter(col("avg_p") >= minAvgP)
 
+  /** LANGUAGE-CONDITIONED gate (r14 — the streaming twin of
+    * `q_ccnet_lang_buckets`' scoring): each doc is language-voted
+    * with the SAME stopword vote the batch key uses
+    * ([[graft.queries.TextOps.langVote]] — batch ≡ stream language
+    * assignment by construction) and scored against ITS OWN
+    * language's model from the broadcast bank (the codegen'd
+    * [[graft.functions.TrigramMicroLang]]). A multilingual ingest
+    * needs this form: under one global model the majority language
+    * sets the scale and every other language scores as noise — the
+    * per-lang bank judges each doc by its own language's trigram
+    * statistics. Train the bank offline with
+    * [[graft.functions.TrigramLm.trainByLang]]; the broadcast is
+    * memoized per bank instance, so fast triggers don't re-ship it.
+    * Stateless narrow filter — composes with every delivery sink. */
+  def qualityGatedByLang(docs: DataFrame,
+      models: Map[String, TrigramLm.Model],
+      minAvgP: Double = 0.3): DataFrame =
+    TrigramLm.scoredByLang(
+      docs.withColumn("lang_pred", graft.queries.TextOps.langVote),
+      models, "lang_pred")
+      .filter(col("avg_p") >= minAvgP)
+
   /** End-to-end streaming TRAINING DELIVERY behind the gate — the
     * streaming analog of the batch curate→export pipeline
     * ([[graft.queries.CorpusReport]]/CorpusRun's tail): each

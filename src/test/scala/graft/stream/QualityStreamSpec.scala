@@ -250,6 +250,49 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(expected.values.exists(_ > 0) && expected.nonEmpty)
   }
 
+  test("per-language gate keeps the minority-language doc a global-model gate drops") {
+    // corpus: en-dominated with a small es family — the CCNet setup.
+    // Under ONE global model the en mass sets the trigram scale and
+    // the es doc reads as noise; under the per-lang bank it is judged
+    // by its own language's statistics.
+    val enSent = "the quick brown fox jumps over the lazy dog and is of a kind"
+    val esSent = "el zorro marron salta sobre el perro y es de la casa blanca"
+    val corpus = ((1 to 12).map(i => (i.toLong, enSent)) ++
+      (20 to 21).map(i => (i.toLong, esSent))).toDF("doc_id", "text")
+    val global = TrigramLm.train(corpus)
+    val bank = TrigramLm.trainByLang(
+      corpus.withColumn("plang", graft.queries.TextOps.langVote), "plang")
+
+    val probe = Seq((100L, esSent)).toDF("doc_id", "text")
+    val gAvg = TrigramLm.scored(probe, global)
+      .select("avg_p").as[Double].head()
+    val lAvg = TrigramLm.scoredByLang(
+        probe.withColumn("plang", graft.queries.TextOps.langVote), bank, "plang")
+      .select("avg_p").as[Double].head()
+    assert(lAvg > gAvg,
+      s"own-language model must score the es doc higher: $lAvg vs global $gAvg")
+    val cut = (gAvg + lAvg) / 2 // a threshold the two models straddle
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = QualityStream.qualityGatedByLang(
+        input.toDF().toDF("doc_id", "text"), bank, minAvgP = cut)
+      .select(col("doc_id"), col("lang_pred"), col("avg_p"))
+      .writeStream.format("memory").queryName("lang_gated").start()
+    try {
+      input.addData((100L, esSent), (101L, enSent),
+        (102L, "zqx vkj wpf zzq jjx qqv kkz xxw ppj vvq zzk"))
+      q.processAllAvailable()
+      val rows = spark.table("lang_gated")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows == Map(100L -> "es", 101L -> "en"),
+        s"per-lang gate must keep the es AND en docs, drop gibberish: $rows")
+      // the streamed es score is the batch scoredByLang score exactly
+      val streamed = spark.table("lang_gated")
+        .filter(col("doc_id") === 100L).select("avg_p").as[Double].head()
+      assert(streamed == lAvg, s"stream $streamed != batch $lAvg")
+    } finally q.stop()
+  }
+
   private def ts(minutes: Int): Timestamp =
     new Timestamp(1700000000000L + minutes * 60000L)
 }
