@@ -50,8 +50,16 @@ object CorpusRun {
       tokens: Long, bins: Option[Long])
   final case class Delivery(split: String, dir: String,
       manifest: TrainingExport.Manifest)
+
+  /** Per-split POST-BPE token budget against the run's own persisted
+    * tokenizer — the number a trainer actually meters (the export
+    * rows' `n_tokens` are whitespace counts, which overestimate
+    * post-BPE compression). */
+  final case class TokenBudget(split: String, docs: Long, bpeTokens: Long)
+
   final case class Summary(outDir: String, stages: Seq[Stage],
-      deliveries: Seq[Delivery]) {
+      deliveries: Seq[Delivery],
+      tokenBudgets: Seq[TokenBudget] = Seq.empty) {
     def stageDocs(stage: String): Long =
       stages.find(_.stage == stage).map(_.docs).getOrElse(0L)
   }
@@ -104,6 +112,33 @@ object CorpusRun {
       }
     }
 
+    // stage 7 (r14): the run's TOKENIZER ARTIFACT + token budget.
+    // The merge table trains on the TRAIN split ONLY — the tokenizer
+    // is part of the model, so fitting it on val/test text is
+    // leakage, same stance as the leakage-safe split itself — and
+    // persists under the run dir ([[graft.index.TokenizerIndex]]:
+    // versioned + meta-committed, the artifact every later batch and
+    // streaming encode serves from). The budget table lands one row
+    // per split: docs + POST-BPE tokens under that committed
+    // tokenizer (one narrow codegen'd column per split, pruned reads
+    // off the partitioned curated table).
+    val tokDir = s"$outDir/tokenizer"
+    queries.Chunking.writeTokenizer(
+      cur.filter(col("split") === "train").select(col("doc_id"), col("text")),
+      tokDir)
+    val budgets = splits.flatMap { sp =>
+      val part = cur.filter(col("split") === sp)
+      if (part.isEmpty) None
+      else {
+        val row = queries.Chunking.withBpeTokenCount(part, tokDir)
+          .agg(count(lit(1)), sum(col("n_bpe_tokens").cast("long"))).head()
+        Some(TokenBudget(sp, row.getLong(0), row.getLong(1)))
+      }
+    }
+    spark.createDataFrame(budgets)
+      .select(col("split"), col("docs"), col("bpeTokens").as("bpe_tokens"))
+      .write.mode("overwrite").parquet(s"$outDir/token_budget")
+
     // the report aggregates the LANDED curated table
     val reportDf = CorpusReport.reportFrom(flags, cur)
     reportDf.write.mode("overwrite").parquet(s"$outDir/report")
@@ -116,7 +151,7 @@ object CorpusRun {
     // RECONCILE: each delivery re-verified (checksums + counts against
     // its manifest), and manifest totals must equal the report's split
     // rows — the numbers a data card quotes are the shipped bytes
-    val summary = Summary(outDir, stages, deliveries)
+    val summary = Summary(outDir, stages, deliveries, budgets)
     deliveries.foreach { d =>
       val verifiedRows =
         TrainingExport.readVerified(spark, d.dir, Some(exportSchema)).count()
@@ -129,6 +164,12 @@ object CorpusRun {
     val nearKept = summary.stageDocs("dedup:near")
     require(exported == nearKept,
       s"run at $outDir: exported $exported docs != $nearKept representatives")
+    // the token budget's doc counts must be the delivered doc counts
+    budgets.foreach { b =>
+      require(b.docs == summary.stageDocs(s"split:${b.split}"),
+        s"run at $outDir: token budget split=${b.split} counted ${b.docs} " +
+          s"docs != report ${summary.stageDocs(s"split:${b.split}")}")
+    }
     summary
   }
 
@@ -156,6 +197,8 @@ object CorpusRun {
         s"CORPUS delivered ${d.split}: ${d.manifest.totalRows} rows, " +
           s"${d.manifest.shards.size} shard(s), ${d.manifest.totalBytes} bytes " +
           s"-> ${d.dir} (verified)"))
+      summary.tokenBudgets.foreach(b => println(
+        s"CORPUS budget ${b.split}: ${b.bpeTokens} bpe tokens over ${b.docs} docs"))
       false
     } catch {
       case e: IllegalArgumentException =>

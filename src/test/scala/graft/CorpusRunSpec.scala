@@ -89,6 +89,24 @@ class CorpusRunSpec extends AnyFunSuite with SparkTestSupport {
     (1 to 6).foreach(i => assert(byId(i) <= byId(i - 1), s"stage $i grew"))
     assert(st.filter(_.stage.startsWith("split:")).map(_.tokens).sum ===
       byId(6))
+
+    // r14: the run persisted its tokenizer (train-split-fitted) and a
+    // reconciled per-split POST-BPE budget — docs match the report,
+    // the landed table matches the summary, and every budget is
+    // <= the ws-token mass (BPE only ever merges)
+    assert(graft.index.TokenizerIndex.exists(spark, s"$out/tokenizer"))
+    assert(summary.tokenBudgets.map(_.split).toSet ===
+      st.filter(_.stage.startsWith("split:")).map(_.stage.stripPrefix("split:")).toSet)
+    summary.tokenBudgets.foreach { b =>
+      assert(b.docs === docsAt(st, s"split:${b.split}"), b.toString)
+      val wsTokens = st.find(_.stage == s"split:${b.split}").get.tokens
+      assert(b.bpeTokens > 0 && b.bpeTokens <= wsTokens,
+        s"${b.split}: bpe ${b.bpeTokens} vs ws $wsTokens")
+    }
+    val landedBudget = spark.read.parquet(s"$out/token_budget")
+      .collect().map(r => CorpusRun.TokenBudget(
+        r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(landedBudget === summary.tokenBudgets.toSet)
   }
 
   test("the runnable job coheres with the indexed query key on the same corpus") {
