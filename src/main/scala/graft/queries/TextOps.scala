@@ -989,40 +989,88 @@ object TextOps {
     * every window partition ≤1024 rows. Fully oracle-checked — the
     * SQL re-derives the vote, the per-lang models (GROUP BY lang),
     * the integer-micro scoring, and the tertiles. */
+  /** The `q_ccnet_lang_buckets` body over an arbitrary documents
+    * frame (`doc_id`, `source`, `text`): vote → per-lang model bank →
+    * own-language scoring → bounded digit rank → tertiles. Returns
+    * (the bucketed frame, the trained bank) so the train/serve split
+    * ([[fitCcnet]]) reuses the EXACT batch computation for its edges
+    * instead of re-deriving a second stratification. */
+  private[graft] def ccnetLangBuckets(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Map[String, graft.functions.TrigramLm.Model]) = {
+    import org.apache.spark.sql.expressions.Window
+    val voted = docs
+      .filter(length(col("text")) >= 3)
+      .withColumn("plang", langVote)
+      .select(col("doc_id"), col("source"), col("text"), col("plang"))
+    val models = graft.functions.TrigramLm.trainByLang(voted, "plang")
+    val scored = graft.functions.TrigramLm
+      .scoredByLang(voted, models, "plang")
+      .select(col("doc_id"), col("source"), col("plang").as("lang"), col("avg_p"))
+      .withColumn("micro", expr("CAST(round(avg_p * 1000000) AS BIGINT)"))
+      .localCheckpoint(true)
+    val hist = scored.groupBy(col("source"), col("lang"), col("micro"))
+      .agg(count(lit(1)).as("n_val"))
+      .withColumn("_key", lit(1000000L) - col("micro"))
+    val cums = boundedCumBefore(hist, Seq("source", "lang"), "_key", bits = 20)
+      .select(col("source"), col("lang"), col("micro"),
+        col("cum_before"), col("n_total"))
+    val wd = Window.partitionBy(col("source"), col("lang"), col("micro"))
+      .orderBy(col("doc_id"))
+    val bucketed = scored
+      .withColumn("rk_in_val", row_number().over(wd))
+      .join(cums, Seq("source", "lang", "micro"))
+      .withColumn("rn", col("cum_before") + col("rk_in_val"))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n_total"), "head")
+          .when(col("rn") * 3 <= col("n_total") * 2, "middle")
+          .otherwise("tail"))
+    (bucketed, models)
+  }
+
+  /** The SERVE artifact of the CCNet stratification (r14): the
+    * per-language model bank plus, per (source, lang), the tertile
+    * EDGE micros — e1 = the lowest micro score inside head, e2 = the
+    * lowest inside middle. Model-sized (|langs| models + sources ×
+    * langs × 2 longs), so a stream consumes it as broadcasts with
+    * ZERO per-trigger state or joins — the `anomalyGate`/`LengthCdf`
+    * train/serve pattern applied to quality stratification. A
+    * streamed doc with a score strictly between two batch docs gets
+    * exactly the batch bucket; a doc TYING an edge micro takes the
+    * higher bucket (the batch splits within-micro ties by doc_id,
+    * which no stateless rule can see — the disagreement is bounded by
+    * one micro = 1e-6 of avg_p, the histogram-edge caveat the
+    * `med_err` pattern documents). */
+  final case class CcnetServe(
+      models: Map[String, graft.functions.TrigramLm.Model],
+      edges: Map[(String, String), (Long, Long)])
+
+  /** Fit a [[CcnetServe]] over a reference corpus: runs the exact
+    * `q_ccnet_lang_buckets` computation and reads each (source, lang)
+    * stratum's edge micros off it (one bounded collect — strata
+    * counts, not docs). */
+  def fitCcnet(docs: org.apache.spark.sql.DataFrame): CcnetServe = {
+    val (bucketed, models) = ccnetLangBuckets(docs)
+    val edges = bucketed.groupBy(col("source"), col("lang"))
+      .agg(
+        min(when(col("bucket") === "head", col("micro"))).as("e1"),
+        min(when(col("bucket") === "middle", col("micro"))).as("e2"))
+      .collect().map { r =>
+        val e1 = if (r.isNullAt(2)) Long.MaxValue else r.getLong(2)
+        // a stratum so small it has no middle (n < 2): everything
+        // below head is tail
+        val e2 = if (r.isNullAt(3)) e1 else r.getLong(3)
+        (r.getString(0), r.getString(1)) -> (e1, e2)
+      }.toMap
+    CcnetServe(models, edges)
+  }
+
   private val qCcnetLangBuckets = Q(
     "q_ccnet_lang_buckets",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val voted = Tables.documents(s, d)
-        .filter(length(col("text")) >= 3)
-        .withColumn("plang", langVote)
-        .select(col("doc_id"), col("source"), col("text"), col("plang"))
-      val models = graft.functions.TrigramLm.trainByLang(voted, "plang")
-      val scored = graft.functions.TrigramLm
-        .scoredByLang(voted, models, "plang")
-        .select(col("doc_id"), col("source"), col("plang").as("lang"), col("avg_p"))
-        .withColumn("micro", expr("CAST(round(avg_p * 1000000) AS BIGINT)"))
-        .localCheckpoint(true)
-      val hist = scored.groupBy(col("source"), col("lang"), col("micro"))
-        .agg(count(lit(1)).as("n_val"))
-        .withColumn("_key", lit(1000000L) - col("micro"))
-      val cums = boundedCumBefore(hist, Seq("source", "lang"), "_key", bits = 20)
-        .select(col("source"), col("lang"), col("micro"),
-          col("cum_before"), col("n_total"))
-      val wd = Window.partitionBy(col("source"), col("lang"), col("micro"))
-        .orderBy(col("doc_id"))
-      scored
-        .withColumn("rk_in_val", row_number().over(wd))
-        .join(cums, Seq("source", "lang", "micro"))
-        .withColumn("rn", col("cum_before") + col("rk_in_val"))
-        .withColumn("bucket",
-          when(col("rn") * 3 <= col("n_total"), "head")
-            .when(col("rn") * 3 <= col("n_total") * 2, "middle")
-            .otherwise("tail"))
+    (s, d) =>
+      ccnetLangBuckets(Tables.documents(s, d))._1
         .select(col("doc_id"), col("source"), col("lang"), col("avg_p"),
           col("bucket"))
-        .orderBy(col("doc_id"))
-    },
+        .orderBy(col("doc_id")),
     Some("""WITH h AS (
               SELECT doc_id,
                 CASE WHEN len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is')))

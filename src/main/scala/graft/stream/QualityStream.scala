@@ -189,6 +189,64 @@ object QualityStream {
       }
       .start()
 
+  /** CCNet bucket assignment SERVED from a batch-fitted
+    * [[graft.queries.TextOps.CcnetServe]] (r14 — the train/serve
+    * split of `q_ccnet_lang_buckets`, the `anomalyGate`/`LengthCdf`
+    * pattern applied to quality stratification): each doc is
+    * language-voted (the batch vote, shared by construction), scored
+    * against its own language's model from the broadcast bank, and
+    * assigned head/middle/tail by comparing its integer micro score
+    * to the stratum's tertile EDGES — a broadcast join against the
+    * sources × langs × 2 edge table, so the whole pass is stateless
+    * and runs identically on batch and streaming frames. Docs from a
+    * stratum the fit never saw go to `tail` (the conservative
+    * admission direction); a doc TYING an edge micro takes the higher
+    * bucket (bounded 1e-6-of-avg_p disagreement with the batch
+    * doc_id tie-break — see [[graft.queries.TextOps.CcnetServe]]). */
+  def ccnetBucketed(docs: DataFrame,
+      serve: graft.queries.TextOps.CcnetServe): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val edgesDf = serve.edges.toSeq
+      .map { case ((src, lang), (e1, e2)) => (src, lang, e1, e2) }
+      .toDF("source", "lang_pred", "_e1", "_e2")
+    TrigramLm.scoredByLang(
+        docs.withColumn("lang_pred", graft.queries.TextOps.langVote),
+        serve.models, "lang_pred")
+      .withColumn("_micro", expr("CAST(round(avg_p * 1000000) AS BIGINT)"))
+      .join(broadcast(edgesDf), Seq("source", "lang_pred"), "left")
+      .withColumn("bucket",
+        when(col("_micro") >= coalesce(col("_e1"), lit(Long.MaxValue)), "head")
+          .when(col("_micro") >= coalesce(col("_e2"), lit(Long.MaxValue)), "middle")
+          .otherwise("tail"))
+      .drop("_micro", "_e1", "_e2")
+  }
+
+  /** CCNet ADMISSION to a lake: keep only the buckets in `admit`
+    * (the deployment shape Wenzek et al. describe — head for
+    * quality-first runs, head+middle for volume, tail dropped),
+    * landed batch-id idempotent ([[LogStream.writeBatchIdempotent]]'s
+    * replay contract). Stateless per trigger: one scoring pass + one
+    * broadcast edge join, no streaming state beyond the checkpoint. */
+  def toCcnetAdmittedLake(
+      docs: DataFrame,
+      serve: graft.queries.TextOps.CcnetServe,
+      lakeDir: String,
+      checkpointDir: String,
+      admit: Set[String] = Set("head", "middle")): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+        LogStream.writeBatchIdempotent(
+          ccnetBucketed(batch.toDF(), serve)
+            .filter(col("bucket").isin(admit.toSeq: _*)),
+          lakeDir, batchId)
+      }
+      .start()
+
   /** Monitoring rollup: per-window pass/drop counts with a watermark —
     * the ops dashboard beside the gate. `ts` column required. */
   def gateRollup(docs: DataFrame, model: TrigramLm.Model,

@@ -293,6 +293,62 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
     } finally q.stop()
   }
 
+  test("ccnet train/serve: streamed bucket assignment equals the batch key; admission drops tail") {
+    import java.nio.file.Files
+    // two (source, lang) strata x six docs of strictly decreasing
+    // repetitiveness — distinct scores, so the stateless edge rule
+    // must reproduce the batch tertiles EXACTLY (the tie caveat
+    // can't fire; the spec asserts the precondition)
+    def en(i: Long, body: String) = (i, s"the $body the")
+    def es(i: Long, body: String) = (i, s"el $body la de")
+    val enBodies = Seq(
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaa", "aabaabaabaabaabaabaab",
+      "abababababababababab", "abcabcabcabcabcabc",
+      "abcdabcdabcdabcd", "qjxkw zvwqh xjzwv")
+    val esBodies = Seq(
+      "cccccccccccccccccccccccccccc", "ccdccdccdccdccdccd",
+      "cdcdcdcdcdcdcdcdcdcd", "cdecdecdecdecde",
+      "cdefcdefcdefcdef", "zqjkw xwvqz kqhjx")
+    val docs = enBodies.zipWithIndex.map { case (b, i) => en(i + 1L, b) } ++
+      esBodies.zipWithIndex.map { case (b, i) => es(i + 11L, b) }
+    val rows = docs.map { case (id, t) => (id, t, "xx", "s0", t.length.toLong) }
+    val dir = Files.createTempDirectory("ccnetserve").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val corpus = graft.Tables.documents(spark, dir)
+    val batch = Registry.queries("q_ccnet_lang_buckets")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getString(4))).toMap
+    // precondition: scores are distinct within each stratum
+    val (bucketed, _) = graft.queries.TextOps.ccnetLangBuckets(corpus)
+    val microDups = bucketed.groupBy(col("source"), col("lang"), col("micro"))
+      .count().filter(col("count") > 1).count()
+    assert(microDups == 0L, "fixture must have distinct scores per stratum")
+
+    val serve = graft.queries.TextOps.fitCcnet(corpus)
+    assert(serve.edges.keySet == Set(("s0", "en"), ("s0", "es")), serve.edges.keys)
+
+    val work = Files.createTempDirectory("ccnetadmit").toString
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = QualityStream.toCcnetAdmittedLake(
+      input.toDF().toDF("doc_id", "text", "source"), serve,
+      s"$work/lake", s"$work/ckpt")
+    try {
+      input.addData(docs.map { case (id, t) => (id, t, "s0") }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val landed = spark.read.parquet(s"$work/lake")
+      .select("doc_id", "lang_pred", "bucket").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val expectAdmitted = batch.filter { case (_, (_, b)) => b != "tail" }
+    assert(landed == expectAdmitted,
+      s"streamed admission must equal the batch key's non-tail set:\n" +
+        s"landed $landed\nexpect $expectAdmitted")
+    // each stratum delivered exactly its head + middle (2 + 2 of 6)
+    assert(landed.count(_._2._1 == "en") == 4 && landed.count(_._2._1 == "es") == 4)
+  }
+
   private def ts(minutes: Int): Timestamp =
     new Timestamp(1700000000000L + minutes * 60000L)
 }
