@@ -954,6 +954,92 @@ object TextOps {
             FROM r WHERE rn <= 20 ORDER BY phrase, doc_id""")
   )
 
+  /** GOPHER repetition rules (r14; Rae et al. 2021 §A1.1, the
+    * REPETITION half of the quality suite — [[qGopherRules]] covers
+    * the structural half): per document, the fraction of characters
+    * contained within the single most frequent word {2,3,4}-gram —
+    * the signal that catches ONE phrase stamped through a doc
+    * (template spam, degenerate generations), which
+    * `q_repetition_ratio`'s distinct/total shingle ratio dilutes when
+    * the rest of the doc is diverse. Thresholds are the paper's: a
+    * doc fails when top-2-gram > 0.20, top-3-gram > 0.18, or
+    * top-4-gram > 0.16 of its characters.
+    *
+    * Arithmetic is engine-exact: occurrences × gram char-length over
+    * doc char-length — integer inputs, one IEEE division. The top
+    * gram is deterministic (count desc, gram asc). 100 TB shape: the
+    * gram explode is map-side, the count groupBy partial-aggs on
+    * (doc_id, n, gram), and the argmax window partitions by
+    * (doc_id, n) — bounded by ONE doc's gram count, never a corpus
+    * dimension; no joins (the per-doc char length rides the grouping
+    * keys). */
+  private val qGopherRepetition = Q(
+    "q_gopher_repetition",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("nc"),
+          split(col("text"), " ").as("toks"))
+        .withColumn("g", explode(expr(
+          """flatten(transform(array(2, 3, 4), n ->
+            |  CASE WHEN size(toks) >= n THEN
+            |    transform(sequence(1, size(toks) - n + 1),
+            |      i -> struct(n AS n, concat_ws(' ', slice(toks, i, n)) AS gram))
+            |  ELSE CAST(array() AS ARRAY<STRUCT<n: INT, gram: STRING>>) END))""".stripMargin)))
+        .select(col("doc_id"), col("nc"), col("g.n").as("n"), col("g.gram").as("gram"))
+      val counts = grams.groupBy(col("doc_id"), col("nc"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("doc_id"), col("n"))
+        .orderBy(col("cnt").desc, col("gram"))
+      val top = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("frac", round(
+          (col("cnt") * length(col("gram"))).cast("double") / col("nc"), 6))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(top.groupBy(col("doc_id")).agg(
+          coalesce(max(when(col("n") === 2, col("frac"))), lit(0.0)).as("top2_char_frac"),
+          coalesce(max(when(col("n") === 3, col("frac"))), lit(0.0)).as("top3_char_frac"),
+          coalesce(max(when(col("n") === 4, col("frac"))), lit(0.0)).as("top4_char_frac")),
+          Seq("doc_id"), "left")
+        .na.fill(0.0, Seq("top2_char_frac", "top3_char_frac", "top4_char_frac"))
+        .withColumn("pass",
+          col("top2_char_frac") <= 0.20 && col("top3_char_frac") <= 0.18 &&
+            col("top4_char_frac") <= 0.16)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l,
+              length(text) AS nc FROM documents),
+            g AS (
+              SELECT doc_id, nc, 2 AS n, array_to_string(l[i:i+1], ' ') AS gram
+              FROM t, LATERAL (SELECT unnest(range(1, len(l))) AS i) u
+              WHERE len(l) >= 2
+              UNION ALL
+              SELECT doc_id, nc, 3 AS n, array_to_string(l[i:i+2], ' ') AS gram
+              FROM t, LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) u
+              WHERE len(l) >= 3
+              UNION ALL
+              SELECT doc_id, nc, 4 AS n, array_to_string(l[i:i+3], ' ') AS gram
+              FROM t, LATERAL (SELECT unnest(range(1, len(l) - 2)) AS i) u
+              WHERE len(l) >= 4),
+            c AS (SELECT doc_id, nc, n, gram, count(*) AS cnt
+                  FROM g GROUP BY doc_id, nc, n, gram),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                    ORDER BY cnt DESC, gram) AS rn FROM c),
+            top AS (SELECT doc_id, n,
+                      round(CAST(cnt * length(gram) AS DOUBLE) / nc, 6) AS frac
+                    FROM r WHERE rn = 1),
+            p AS (SELECT d.doc_id,
+                    coalesce(max(CASE WHEN n = 2 THEN frac END), 0.0) AS top2_char_frac,
+                    coalesce(max(CASE WHEN n = 3 THEN frac END), 0.0) AS top3_char_frac,
+                    coalesce(max(CASE WHEN n = 4 THEN frac END), 0.0) AS top4_char_frac
+                  FROM documents d LEFT JOIN top ON d.doc_id = top.doc_id
+                  GROUP BY d.doc_id)
+            SELECT doc_id, top2_char_frac, top3_char_frac, top4_char_frac,
+              (top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+                AND top4_char_frac <= 0.16) AS pass
+            FROM p ORDER BY doc_id""")
+  )
+
   /** The `q_lang_id` stopword VOTE as one reusable column over
     * `text` — shared by [[qCcnetLangBuckets]] and the streaming
     * per-language gate ([[graft.stream.QualityStream.qualityGatedByLang]]),
@@ -1120,5 +1206,5 @@ object TextOps {
       qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf, qLengthHistogram,
       qBm25, qCmsCounts, qCmsCountsWide, qLmScore, qQualityCalibrate,
       qQualityCalibrateScalable, qPhraseSearch, qGopherRules,
-      qCcnetBuckets, qCcnetLangBuckets)
+      qGopherRepetition, qCcnetBuckets, qCcnetLangBuckets)
 }

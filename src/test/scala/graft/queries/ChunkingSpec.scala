@@ -117,6 +117,36 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSupport {
     assert(got(6L) === ((false, "stopwords")), got.toString)
   }
 
+  /** The repetition half of the Gopher suite (r14): the top-n-gram
+    * character fraction must catch a single phrase stamped through a
+    * doc and clear a diverse doc, with hand-computable fractions. */
+  test("gopher repetition: a stamped phrase fails its n-gram gate, diverse text passes") {
+    val d = Files.createTempDirectory("gopherrep").toString
+    // 30 distinct words: every bigram unique → top fractions tiny
+    val diverse = Seq.tabulate(30)(i => s"w$i").mkString(" ")
+    // "ab ab ... ab" (20 copies): the top 2-gram "ab ab" occurs 19
+    // times (overlapping), chars = 19*5 = 95 over nc = 59 → frac > 1
+    // is fine (overlapping occurrences; the gate only compares), and
+    // every n fails its threshold
+    val stamped = Seq.fill(20)("ab").mkString(" ")
+    // exactly computable small case: "x y x y z" → nc = 9;
+    // top 2-gram "x y" cnt 2 len 3 → 6/9 = 0.666667 (fails 0.20);
+    // top 3-gram: "x y x" / "y x y" / "x y z" all cnt 1 → tie breaks
+    // to smallest gram "x y x", len 5 → 5/9 = 0.555556 (fails 0.18);
+    // top 4-gram "x y x y" cnt 1 len 7 → 7/9 = 0.777778 (fails 0.16)
+    val tiny = "x y x y z"
+    Seq(doc(1L, diverse), doc(2L, stamped), doc(3L, tiny))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Registry.queries("q_gopher_repetition")(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L)._4, s"diverse doc must pass: ${got(1L)}")
+    assert(got(1L)._1 < 0.20 && got(1L)._2 < 0.18 && got(1L)._3 < 0.16)
+    assert(!got(2L)._4, s"stamped doc must fail: ${got(2L)}")
+    assert(got(3L) === ((0.666667, 0.555556, 0.777778, false)), got(3L).toString)
+  }
+
   /** Round-trip audit: clean docs decode to exactly their input; a doc
     * whose text already contains the BPE join character '~' must be
     * reported lossless=false (decode splits the contaminated word),
