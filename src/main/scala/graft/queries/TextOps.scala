@@ -954,6 +954,94 @@ object TextOps {
             FROM r WHERE rn <= 20 ORDER BY phrase, doc_id""")
   )
 
+  /** N-GRAM language ID (r14 — the Cavnar–Trenkle 1994 "N-Gram-Based
+    * Text Categorization" out-of-place classifier, the canonical
+    * n-gram lang-ID heuristic the brief names; [[qLangId]]'s stopword
+    * vote is the cheap word-level sibling): per language, a RANK
+    * PROFILE of its top-K character trigrams (count desc, trigram asc
+    * — deterministic) is fitted from the labeled corpus; a document
+    * is classified to the language minimizing the out-of-place
+    * distance — for each of the doc's own top-K trigrams, the rank
+    * gap |doc rank − lang rank|, with K charged when the language's
+    * profile lacks the trigram.
+    *
+    * 100 TB shape: profiles are bounded (langs × K rows — selected by
+    * a rank window over the |alphabet|³-bounded per-lang trigram
+    * domain, the q_lm_score training argument) and BROADCAST; per-doc
+    * ranks window within one doc; the distance join fans each doc's
+    * ≤K profile rows across the bounded language list and probes the
+    * broadcast profiles — O(docs × K × langs) narrow rows, no
+    * corpus-sized shuffle beyond the two trigram aggregations. Fully
+    * oracle-checked: both engines fit the same profiles, rank with
+    * the same tie-breaks, and charge the same penalties. */
+  private val qLangIdNgram = Q(
+    "q_lang_id_ngram",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 50
+      val tris = Tables.documents(s, d)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, char_length(lower(text)) - 2),
+            |          i -> substring(lower(text), i, 3))""".stripMargin)).as("tri"))
+      val profile = tris.groupBy(col("lang"), col("tri"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("lrank", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))))
+        .filter(col("lrank") <= K)
+        .select(col("lang").as("cand"), col("tri"), col("lrank"))
+      val dprof = tris.groupBy(col("doc_id"), col("tri"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("drank", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("tri"))))
+        .filter(col("drank") <= K)
+      val langs = profile.select(col("cand")).distinct()
+      val dist = dprof
+        .crossJoin(broadcast(langs))
+        .join(broadcast(profile), Seq("cand", "tri"), "left")
+        .groupBy(col("doc_id"), col("cand"))
+        .agg(sum(coalesce(abs(col("drank") - col("lrank")), lit(K.toLong)))
+          .as("dist"))
+      val best = dist.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("dist"), col("cand"))))
+        .filter(col("rn") === 1)
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(best.select(col("doc_id"), col("cand").as("predicted"), col("dist")),
+          Seq("doc_id"), "left")
+        .filter(col("predicted").isNotNull)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tri AS (
+              SELECT doc_id, lang,
+                unnest(list_transform(range(1, length(lower(text)) - 1),
+                  i -> substr(lower(text), CAST(i AS INT), 3))) AS tri
+              FROM documents WHERE length(text) >= 3),
+            lp AS (SELECT lang, tri, count(*) AS cnt FROM tri GROUP BY 1, 2),
+            lr AS (SELECT lang AS cand, tri,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY cnt DESC, tri) AS lrank
+                   FROM lp),
+            profile AS (SELECT * FROM lr WHERE lrank <= 50),
+            dp AS (SELECT doc_id, tri, count(*) AS cnt FROM tri GROUP BY 1, 2),
+            dr AS (SELECT doc_id, tri,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY cnt DESC, tri) AS drank
+                   FROM dp),
+            dprof AS (SELECT * FROM dr WHERE drank <= 50),
+            langs AS (SELECT DISTINCT cand FROM profile),
+            dist AS (
+              SELECT d.doc_id, l.cand,
+                CAST(sum(coalesce(abs(d.drank - p.lrank), 50)) AS BIGINT) AS dist
+              FROM dprof d CROSS JOIN langs l
+              LEFT JOIN profile p ON p.cand = l.cand AND p.tri = d.tri
+              GROUP BY 1, 2),
+            best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY dist, cand) AS rn FROM dist)
+            SELECT d.doc_id, d.lang, b.cand AS predicted, b.dist
+            FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+            ORDER BY d.doc_id""")
+  )
+
   /** GOPHER repetition rules (r14; Rae et al. 2021 §A1.1, the
     * REPETITION half of the quality suite — [[qGopherRules]] covers
     * the structural half): per document, the fraction of characters
@@ -1206,5 +1294,5 @@ object TextOps {
       qTextPiiScrub, qRepetitionRatio, qHeavyHitters, qTfidf, qLengthHistogram,
       qBm25, qCmsCounts, qCmsCountsWide, qLmScore, qQualityCalibrate,
       qQualityCalibrateScalable, qPhraseSearch, qGopherRules,
-      qGopherRepetition, qCcnetBuckets, qCcnetLangBuckets)
+      qGopherRepetition, qLangIdNgram, qCcnetBuckets, qCcnetLangBuckets)
 }

@@ -211,6 +211,34 @@ class LmScoreSpec extends AnyFunSuite with SparkTestSupport {
       11L -> "head", 12L -> "middle", 13L -> "tail"), rows.toString)
   }
 
+  test("q_lang_id_ngram: rank-profile classifier reads content, not labels") {
+    val dir = Files.createTempDirectory("ctlang").toString
+    val en = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "a thorough thought through the weather whether they gather there",
+      "with strength and wisdom the knight fought through the night")
+    val es = Seq(
+      "el zorro marron salta sobre el perro perezoso junto al gran rio",
+      "la casa blanca esta cerca de la montana y del camino largo",
+      "con fuerza y sabiduria el caballero lucho durante la noche oscura")
+    // doc 100: SPANISH text carrying an ENGLISH label — its trigrams
+    // must pull it to the es profile regardless of the label (and its
+    // mislabeled mass slightly pollutes the en profile, which the
+    // majority-correct en docs must outweigh)
+    val planted = (100L, "el perro corre por la calle cerca de la plaza grande", "en")
+    val docs = en.zipWithIndex.map { case (t, i) => (i + 1L, t, "en") } ++
+      es.zipWithIndex.map { case (t, i) => (i + 11L, t, "es") } :+ planted
+    docs.map { case (id, t, l) => (id, t, l, "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("q_lang_id_ngram")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    (1L to 3L).foreach(i => assert(got(i) == "en", s"doc $i: ${got(i)}"))
+    (11L to 13L).foreach(i => assert(got(i) == "es", s"doc $i: ${got(i)}"))
+    assert(got(100L) == "es",
+      s"mislabeled doc must classify by its content: ${got(100L)}")
+  }
+
   test("trainByLang models are bit-identical to filter-then-train per language") {
     val docs = Seq(
       (1L, "the quick brown fox", "en"), (2L, "the lazy brown dog", "en"),
