@@ -954,6 +954,61 @@ object TextOps {
             FROM r WHERE rn <= 20 ORDER BY phrase, doc_id""")
   )
 
+  /** The Gopher STRUCTURAL reject reason as one reusable column over
+    * `text` — the exact CASE chain `q_gopher_rules` materializes,
+    * factored (r14) so the streaming gate
+    * ([[graft.stream.QualityStream.gopherGated]]) applies the same
+    * rules by construction. Pure narrow expressions — safe in any
+    * streaming plan. */
+  private[graft] def gopherRejectReason: org.apache.spark.sql.Column = expr(
+    """CASE WHEN size(split(text, ' ')) < 50
+      |       OR size(split(text, ' ')) > 100000 THEN 'word_count'
+      |     WHEN round((length(text) - size(split(text, ' ')) + 1)
+      |            / CAST(size(split(text, ' ')) AS DOUBLE), 4) < 3.0
+      |       OR round((length(text) - size(split(text, ' ')) + 1)
+      |            / CAST(size(split(text, ' ')) AS DOUBLE), 4) > 10.0
+      |       THEN 'mean_word_len'
+      |     WHEN size(filter(split(text, ' '), t -> t rlike '[A-Za-z]')) * 5
+      |            < size(split(text, ' ')) * 4 THEN 'alpha_ratio'
+      |     WHEN (CASE WHEN array_contains(split(text, ' '), 'the') THEN 1 ELSE 0 END
+      |         + CASE WHEN array_contains(split(text, ' '), 'be') THEN 1 ELSE 0 END
+      |         + CASE WHEN array_contains(split(text, ' '), 'to') THEN 1 ELSE 0 END
+      |         + CASE WHEN array_contains(split(text, ' '), 'of') THEN 1 ELSE 0 END
+      |         + CASE WHEN array_contains(split(text, ' '), 'and') THEN 1 ELSE 0 END
+      |         + CASE WHEN array_contains(split(text, ' '), 'that') THEN 1 ELSE 0 END
+      |         + CASE WHEN array_contains(split(text, ' '), 'have') THEN 1 ELSE 0 END
+      |         + CASE WHEN array_contains(split(text, ' '), 'with') THEN 1 ELSE 0 END) < 2
+      |       THEN 'stopwords'
+      |     ELSE 'ok' END""".stripMargin)
+
+  /** The top-`n`-word-gram character fraction of `text` as ONE pure
+    * array expression (r14): grams → `array_sort` → a single
+    * `aggregate` scan over the sorted array tracking the longest run
+    * (strict-greater replacement, so ties keep the FIRST — i.e.
+    * smallest — gram, matching `q_gopher_repetition`'s
+    * count-desc/gram-asc argmax exactly; GopherStreamSpec pins
+    * equality against the windowed batch key on real corpus data).
+    * O(len·log len) per doc, no grouping, no window — which is what
+    * makes the repetition rules applicable INSIDE a streaming plan,
+    * where window functions are unsupported. */
+  private[graft] def topGramCharFracExpr(n: Int): org.apache.spark.sql.Column = expr(
+    s"""CASE WHEN size(split(text, ' ')) >= $n THEN
+       |  round((aggregate(
+       |     array_sort(transform(sequence(1, size(split(text, ' ')) - $n + 1),
+       |       i -> concat_ws(' ', slice(split(text, ' '), i, $n)))),
+       |     named_struct('prev', CAST(NULL AS STRING), 'run', 0,
+       |                  'bc', 0, 'bg', CAST(NULL AS STRING)),
+       |     (a, g) -> CASE WHEN a.prev IS NOT NULL AND g = a.prev THEN
+       |         named_struct('prev', g, 'run', a.run + 1,
+       |           'bc', CASE WHEN a.run + 1 > a.bc THEN a.run + 1 ELSE a.bc END,
+       |           'bg', CASE WHEN a.run + 1 > a.bc THEN g ELSE a.bg END)
+       |       ELSE named_struct('prev', g, 'run', 1,
+       |           'bc', CASE WHEN 1 > a.bc THEN 1 ELSE a.bc END,
+       |           'bg', CASE WHEN 1 > a.bc THEN g ELSE a.bg END) END,
+       |     a -> a.bc * char_length(a.bg))
+       |   ) / CAST(length(text) AS DOUBLE), 6)
+       |ELSE 0.0 END""".stripMargin)
+
   /** N-GRAM language ID (r14 — the Cavnar–Trenkle 1994 "N-Gram-Based
     * Text Categorization" out-of-place classifier, the canonical
     * n-gram lang-ID heuristic the brief names; [[qLangId]]'s stopword

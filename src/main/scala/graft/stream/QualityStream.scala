@@ -189,6 +189,33 @@ object QualityStream {
       }
       .start()
 
+  /** Streaming GOPHER gate (r14): the full quality-rule suite —
+    * structural rules (word count, mean word length, alpha ratio,
+    * stopwords: [[graft.queries.TextOps.gopherRejectReason]], the
+    * batch key's exact CASE chain) plus the repetition rules
+    * (top-{2,3,4}-gram character fractions against the paper's
+    * 0.20/0.18/0.16 thresholds) — as ONE stateless narrow filter.
+    * The repetition argmax runs as a pure per-row array expression
+    * ([[graft.queries.TextOps.topGramCharFracExpr]]: sort + one
+    * linear run-scan), because window functions don't exist inside a
+    * streaming plan; GopherStreamSpec pins the array form equal to
+    * the windowed batch key's fractions on real corpus data. Unlike
+    * the LM gate, this needs NO trained artifact — it is the
+    * first-line filter an ingest runs before anything model-based. */
+  def gopherGated(docs: DataFrame,
+      includeRepetition: Boolean = true): DataFrame = {
+    val structural = docs
+      .withColumn("gopher_reason", graft.queries.TextOps.gopherRejectReason)
+      .filter(col("gopher_reason") === "ok")
+    if (!includeRepetition) structural.drop("gopher_reason")
+    else structural
+      .withColumn("_f2", graft.queries.TextOps.topGramCharFracExpr(2))
+      .withColumn("_f3", graft.queries.TextOps.topGramCharFracExpr(3))
+      .withColumn("_f4", graft.queries.TextOps.topGramCharFracExpr(4))
+      .filter(col("_f2") <= 0.20 && col("_f3") <= 0.18 && col("_f4") <= 0.16)
+      .drop("gopher_reason", "_f2", "_f3", "_f4")
+  }
+
   /** CCNet bucket assignment SERVED from a batch-fitted
     * [[graft.queries.TextOps.CcnetServe]] (r14 — the train/serve
     * split of `q_ccnet_lang_buckets`, the `anomalyGate`/`LengthCdf`

@@ -1,0 +1,67 @@
+package graft.stream
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+import graft.queries.{Registry, TextOps}
+
+/** The streaming Gopher gate must be the batch keys, re-expressed:
+  * the factored structural CASE equals `q_gopher_rules`' attribution
+  * row-for-row on the real corpus, the per-row array-scan repetition
+  * fractions equal `q_gopher_repetition`'s windowed argmax (including
+  * its count-desc/gram-asc tie-break), and the composed gate passes/
+  * drops planted docs through an actual MemoryStream run. */
+class GopherStreamSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("factored structural reason equals q_gopher_rules on the real corpus") {
+    val viaCol = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.gopherRejectReason.as("r"))
+      .as[(Long, String)].collect().toMap
+    val viaKey = Registry.queries("q_gopher_rules")(spark, sf)
+      .select("doc_id", "reject_reason").as[(Long, String)].collect().toMap
+    assert(viaCol == viaKey)
+  }
+
+  test("array-scan repetition fractions equal the windowed batch key on the real corpus") {
+    val viaExpr = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.topGramCharFracExpr(2).as("f2"),
+        TextOps.topGramCharFracExpr(3).as("f3"),
+        TextOps.topGramCharFracExpr(4).as("f4"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val viaKey = Registry.queries("q_gopher_repetition")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(viaExpr == viaKey,
+      "per-row array argmax diverged from the windowed batch argmax")
+  }
+
+  test("the composed streaming gate drops structural and repetition offenders, keeps clean text") {
+    // clean: >=50 words, sane lengths, stopwords, no dominant gram
+    val clean = "the a of and to " +
+      Seq.tabulate(50)(i => s"word$i").mkString(" ")
+    // structural offender: no stopwords at all
+    val noStops = Seq.tabulate(60)(i => s"word$i").mkString(" ")
+    // repetition offender: structurally fine but one stamped bigram
+    val stamped = "the a of and to " +
+      Seq.fill(50)("spam ham").mkString(" ")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = QualityStream.gopherGated(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_gated").start()
+    try {
+      input.addData((1L, clean), (2L, noStops), (3L, stamped))
+      q.processAllAvailable()
+      val kept = spark.table("gopher_gated")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L),
+        s"gate kept $kept; expected only the clean doc")
+    } finally q.stop()
+    // and the streamed frame carries the ORIGINAL columns only
+    assert(spark.table("gopher_gated").columns.toSeq == Seq("doc_id", "text"))
+  }
+}
