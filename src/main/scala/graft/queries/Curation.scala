@@ -273,6 +273,54 @@ object Curation {
     * Shape: one tiny group-size agg broadcast back, one scan with the
     * hash gate, one final rollup — the sizes join is O(#groups) and
     * everything else is map-side at any corpus size. */
+  /** TEMPERATURE mixture reweighting (r14; the multilingual sampling
+    * rule of Lample & Conneau 2019 / XLM-R §3.1: draw language l with
+    * probability ∝ (n_l/N)^α, α < 1 upweighting low-resource
+    * languages): per language, the natural share, the temperature
+    * share, the implied boost factor, and the expected docs drawn at
+    * a 1000-doc budget. α is pinned at 0.5 because `sqrt` is a
+    * CORRECTLY-ROUNDED IEEE operation in both engines — a `pow(x, α)`
+    * for general α is libm-dependent and would fork the oracle; the
+    * weights are then integer micros (`round(sqrt(n)·1e6)`), so the
+    * normalizing sum is exact integer arithmetic and every share is
+    * one identical double division.
+    *
+    * 100 TB shape: one partial-agg'd groupBy to per-lang counts, then
+    * a one-row broadcast cross join — the corpus is scanned once and
+    * nothing else scales with it. */
+  private val qMixTemperature = Q(
+    "q_mix_temperature",
+    (s, d) => {
+      val byLang = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("w", expr("CAST(round(sqrt(n) * 1000000) AS BIGINT)"))
+      // the totals derive FROM byLang (a self-join), so both sides are
+      // ALIASED and every reference qualified — unqualified `n`/`w`
+      // resolve ambiguously across the two lineage copies
+      val tot = byLang.agg(sum(col("n")).as("N"), sum(col("w")).as("W"))
+      byLang.alias("b").crossJoin(broadcast(tot.alias("t")))
+        .select(col("b.lang").as("lang"), col("b.n").as("n_docs"),
+          expr("round(CAST(b.n AS DOUBLE) / t.N, 6)").as("share_natural"),
+          expr("round(CAST(b.w AS DOUBLE) / t.W, 6)").as("share_temp"),
+          expr("""round(CAST(b.w AS DOUBLE) * CAST(t.N AS DOUBLE)
+                 / (CAST(t.W AS DOUBLE) * CAST(b.n AS DOUBLE)), 6)""").as("boost"),
+          expr("CAST(round(1000.0 * b.w / t.W) AS BIGINT)").as("exp_docs_at_1000"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n,
+              CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS w
+            FROM documents GROUP BY lang),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                         CAST(sum(w) AS BIGINT) AS wt FROM c)
+            SELECT lang, n AS n_docs,
+              round(CAST(n AS DOUBLE) / nt, 6) AS share_natural,
+              round(CAST(w AS DOUBLE) / wt, 6) AS share_temp,
+              round(CAST(w AS DOUBLE) * CAST(nt AS DOUBLE)
+                / (CAST(wt AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS boost,
+              CAST(round(1000.0 * w / wt) AS BIGINT) AS exp_docs_at_1000
+            FROM c CROSS JOIN t ORDER BY lang""")
+  )
+
   private val qMixSources = Q(
     "q_mix_sources",
     (s, d) => {
@@ -653,6 +701,7 @@ object Curation {
     None)
 
   def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences, qSampleStratified,
-    qNtileBucketize, qSampleWeighted, qMixSources, qTrainingOrder, qSourceCap,
+    qNtileBucketize, qSampleWeighted, qMixSources, qMixTemperature,
+    qTrainingOrder, qSourceCap,
     qSourceCapAgg, qFilterFunnel, qDatasetCard, qDatasetCardDup)
 }

@@ -224,4 +224,37 @@ class CurationSpec extends AnyFunSuite with SparkTestSupport {
       ("repetition", 3L, 2L, 1L),    // doc 6 out
       ("exact_dedup", 2L, 1L, 1L)))  // doc 2 out; doc 1 survives
   }
+
+  test("temperature mixing: α=0.5 shares and boosts exact on perfect-square counts") {
+    // perfect-square language counts so sqrt is an exact integer and
+    // every expected value is hand-computable: n = 100/25/4/1 →
+    // w = 10/5/2/1 (micros ×1e6), N = 130, W = 18e6. The planted
+    // regime covers the rule's point: the 1-doc language's natural
+    // share 1/130 is boosted 7.2× while the dominant language is
+    // DOWN-weighted to 10/18 of the budget.
+    val d = Files.createTempDirectory("mixtemp").toString
+    val docs = (
+      (0 until 100).map(i => (i.toLong, s"en doc $i", "en")) ++
+        (100 until 125).map(i => (i.toLong, s"fr doc $i", "fr")) ++
+        (125 until 129).map(i => (i.toLong, s"sw doc $i", "sw")) ++
+        Seq((129L, "yo doc", "yo"))
+      ).map { case (id, text, lang) => (id, text, lang, "web", 20L) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_mix_temperature")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(rows === Seq(
+      ("en", 100L, 0.769231, 0.555556, 0.722222, 556L),
+      ("fr", 25L, 0.192308, 0.277778, 1.444444, 278L),
+      ("sw", 4L, 0.030769, 0.111111, 3.611111, 111L),
+      ("yo", 1L, 0.007692, 0.055556, 7.222222, 56L)))
+    // the invariant the α<1 rule promises: boost strictly decreases
+    // as n grows, and the temperature shares still sum to 1 (each
+    // share is 6-decimal rounded, so the sum drifts up to langs·5e-7)
+    assert(math.abs(rows.map(_._4).sum - 1.0) <= rows.size * 5e-7)
+    val boostByAscN = rows.sortBy(_._2).map(_._5)
+    assert(boostByAscN == boostByAscN.sorted.reverse,
+      "α=0.5 must upweight low-resource languages monotonically")
+  }
 }
