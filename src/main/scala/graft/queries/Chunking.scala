@@ -596,6 +596,27 @@ object Chunking {
     * merge table answers identically to inline training. */
   private[queries] def bpeEncodeOracle: String = qBpeEncode.oracle.get
 
+  /** Oracle for the per-language fertility report
+    * (`q_tokenizer_fertility`, queries/Indexed.scala): the SAME
+    * CTE-unrolled trainer+encoder as `q_bpe_encode`'s oracle, rolled
+    * up per language. Ratios are one IEEE division of two exact
+    * integer sums, so the 6-decimal round cannot fork engines; the
+    * BIGINT casts pin DuckDB's HUGEINT sums to the driver's
+    * type-sensitive hash. */
+  private[queries] def bpeFertilityOracle: String =
+    s"""WITH ${bpeOracleCtes(BpeTrainRounds)}
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(len(t0.l)) AS BIGINT) AS n_words,
+       |  CAST(sum(len(tn.l)) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(len(tn.l)) AS DOUBLE) / sum(len(t0.l)), 6)
+       |    AS compression,
+       |  round(CAST(sum(d.n_chars) AS DOUBLE) / sum(len(tn.l)), 6)
+       |    AS chars_per_token
+       |FROM toks0 t0
+       |JOIN toks$BpeTrainRounds tn USING (doc_id)
+       |JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** Train the engine-standard merge table over `docs` (`text`
     * required) and persist it as the lake tokenizer artifact at `dir`
     * ([[graft.index.TokenizerIndex]]) — the train-once half of the

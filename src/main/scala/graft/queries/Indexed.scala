@@ -291,7 +291,52 @@ object Indexed {
     },
     Some(Chunking.bpeEncodeOracle))
 
+  /** Per-LANGUAGE tokenizer fertility from the persisted artifact
+    * (r14) — the multilingual tokenizer-equity audit a corpus team
+    * runs before fixing a vocabulary: for each language, whitespace
+    * words, post-BPE tokens, the compression ratio, and
+    * chars-per-token. A tokenizer trained on a skewed mixture spends
+    * its merges on the dominant language, so under-resourced
+    * languages pay more tokens per character of content — the
+    * cost/context-window disparity this report surfaces (the premise
+    * of temperature reweighting, `q_mix_temperature`).
+    *
+    * 100 TB shape: identical to `q_bpe_encode_indexed`'s serve pass —
+    * stored merge table through committed meta (≤R driver rows),
+    * broadcast rank map, the codegen'd count column — then ONE
+    * O(langs) partial-agg'd groupBy; nothing but the final tiny sort
+    * shuffles. Fully oracle-checked: the oracle re-derives training
+    * AND encoding declaratively, so hash-green proves the stored
+    * artifact's per-language roll-up exact. */
+  private val qTokenizerFertility = Q(
+    "q_tokenizer_fertility",
+    (s, d) => {
+      val dir = tokenizerDirFor(s, d)
+      val (ranks, join) = Chunking.loadTokenizerRanks(s, dir)
+      val bc = s.sparkContext.broadcast(ranks)
+      graft.Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          split(col("text"), " ").as("toks"))
+        .withColumn("n_in", size(col("toks")).cast("long"))
+        .withColumn("n_tok",
+          graft.functions.BpeTokenCount.col(col("toks"), bc, join)
+            .cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_in")).as("n_words"),
+          sum(col("n_tok")).as("n_bpe_tokens"),
+          sum(col("n_chars")).as("n_chars_sum"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+            .as("compression"),
+          round(col("n_chars_sum").cast("double") / col("n_bpe_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy(col("lang"))
+    },
+    Some(Chunking.bpeFertilityOracle))
+
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
     qMinhashDupIndexed, qDupClustersMinhashIndexed, qWinnowingIndexed,
-    qBpeEncodeIndexed)
+    qBpeEncodeIndexed, qTokenizerFertility)
 }

@@ -76,4 +76,29 @@ class TokenizerIndexSpec extends AnyFunSuite with SparkTestSupport {
     }
     assert(e.getMessage.contains("merges_final"), e.getMessage)
   }
+
+  test("fertility report: dominant language captures every merge, the minority pays in tokens") {
+    // the equity skew q_tokenizer_fertility exists to surface, in its
+    // smallest exact form: language "aa" dominates the pair counts so
+    // ALL three merges chain on its content ((a,b) → (a~b,a~b) →
+    // (a~b~a~b,a~b), each round's count 6/4/2 vs the minority's 1s),
+    // folding each aa doc 6 → 1 token, while "zz"'s all-distinct doc
+    // keeps 6 — the trained tokenizer spends nothing on it
+    val d = Files.createTempDirectory("fert").toString
+    Seq(
+      (1L, "a b a b a b", "aa", "web", 12L),
+      (2L, "a b a b a b", "aa", "web", 12L),
+      (3L, "u v w x y z", "zz", "web", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_tokenizer_fertility")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(rows === Seq(
+      ("aa", 2L, 12L, 2L, 0.166667, 12.0),
+      ("zz", 1L, 6L, 6L, 1.0, 2.0)))
+    // the disparity reading: zz gets fewer chars of content per token
+    assert(rows(1)._6 < rows(0)._6,
+      "the language the tokenizer ignored must pay more tokens per char")
+  }
 }
