@@ -321,6 +321,107 @@ object Curation {
             FROM c CROSS JOIN t ORDER BY lang""")
   )
 
+  /** Batch-fitted temperature-mix admission rates — the TRAIN half of
+    * the `q_mix_temperature` rule's train/serve split (the
+    * `CcnetServe`/`LengthCdf` pattern): per language, the keep
+    * probability in integer MICROS that thins an incoming stream to
+    * the α=0.5 temperature mixture. Since admission can only drop
+    * (a stream can't upsample), rates are normalized so the REFERENCE
+    * language — the rarest, argmin(n) with lexicographic tie-break —
+    * keeps everything: keep_l = (s_l/n_l)/(s_ref/n_ref), which at
+    * α=0.5 is √(n_ref/n_l). The fit is exact integer arithmetic end
+    * to end: w = round(√n·1e6) (one correctly-rounded IEEE chain),
+    * then a BigInt floor division clamped at 1e6 — so the DuckDB
+    * oracle of [[qMixTemperatureGate]] re-derives every rate
+    * bit-identically in HUGEINT. O(langs) driver rows. */
+  final case class TempMixServe(keepMicros: Map[String, Long])
+
+  def fitTempMix(docs: DataFrame): TempMixServe = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.nonEmpty, "empty reference corpus: no languages to fit")
+    val w = counts.map { case (l, n) =>
+      l -> math.round(math.sqrt(n.toDouble) * 1000000d)
+    }.toMap
+    val (refLang, refN) = counts.minBy { case (l, n) => (n, l) }
+    val refW = w(refLang)
+    TempMixServe(counts.map { case (l, n) =>
+      val km = (BigInt(1000000) * w(l) * refN) / (BigInt(n) * refW)
+      l -> math.min(1000000L, km.toLong)
+    }.toMap)
+  }
+
+  /** The SERVE half: admit a doc iff `poly_hash(text) mod 1e6` clears
+    * its language's fitted rate — a deterministic weighted Bernoulli
+    * gate (the `q_sample_weighted` convention), stateless, so the
+    * same column logic runs on batch and STREAMING frames alike.
+    * Languages the fit never saw are dropped (no fitted quota — the
+    * conservative admission direction, mirroring ccnet's tail). One
+    * broadcast join against the O(langs) rate table; no shuffle. */
+  def temperatureGated(docs: DataFrame, serve: TempMixServe): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val rates = serve.keepMicros.toSeq.toDF("lang", "keep_micros")
+    docs.join(broadcast(rates), Seq("lang"), "inner")
+      .filter(pmod(expr(sparkFp), lit(1000000L)) < col("keep_micros"))
+  }
+
+  /** The fit AND the gate under one full oracle: per language, the
+    * corpus count, the fitted keep rate, the docs the hash gate
+    * admits, and the admitted share of the delivered mixture. A
+    * hash-green row proves the whole train/serve chain — the √-weight
+    * micros, the rarest-language normalization, the BigInt floor
+    * division, the clamp, and the poly_hash threshold decision for
+    * every doc — because the oracle re-derives all of it in HUGEINT
+    * SQL from the raw table.
+    *
+    * 100 TB shape: one partial-agg'd count pass (the fit), one scan
+    * with a broadcast O(langs) join and the integer gate, one
+    * O(langs) roll-up and a one-row broadcast for the share — nothing
+    * holds more than a counter per language. */
+  private val qMixTemperatureGate = Q(
+    "q_mix_temperature_gate",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val serve = fitTempMix(docs)
+      val rates = serve.keepMicros.toSeq.toDF("lang", "keep_micros")
+      val perLang = docs.join(broadcast(rates), Seq("lang"))
+        .withColumn("adm",
+          (pmod(expr(sparkFp), lit(1000000L)) < col("keep_micros")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), max(col("keep_micros")).as("keep_micros"),
+          sum(col("adm")).as("n_admitted"))
+      val tot = perLang.agg(sum(col("n_admitted")).as("ta"))
+      perLang.alias("p").crossJoin(broadcast(tot.alias("t")))
+        .select(col("p.lang").as("lang"), col("p.n_docs").as("n_docs"),
+          col("p.keep_micros").as("keep_micros"),
+          col("p.n_admitted").as("n_admitted"),
+          expr("round(CAST(p.n_admitted AS DOUBLE) / t.ta, 6)").as("share_admitted"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH c AS (SELECT lang, count(*) AS n,
+            |       CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS w
+            |     FROM documents GROUP BY lang),
+            |ref AS (SELECT n AS nr, w AS wr FROM c ORDER BY n, lang LIMIT 1),
+            |k AS (SELECT lang, n, CAST(least(CAST(1000000 AS HUGEINT),
+            |        CAST(1000000 AS HUGEINT) * w * nr
+            |          // (CAST(n AS HUGEINT) * wr)) AS BIGINT) AS keep_micros
+            |      FROM c CROSS JOIN ref),
+            |g AS (SELECT d.lang, k.keep_micros,
+            |        CASE WHEN ($duckFp) % 1000000 < k.keep_micros
+            |        THEN 1 ELSE 0 END AS adm
+            |      FROM documents d JOIN k USING (lang)),
+            |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            |        CAST(max(keep_micros) AS BIGINT) AS keep_micros,
+            |        CAST(sum(adm) AS BIGINT) AS n_admitted
+            |      FROM g GROUP BY lang),
+            |t AS (SELECT CAST(sum(n_admitted) AS BIGINT) AS ta FROM a)
+            |SELECT lang, n_docs, keep_micros, n_admitted,
+            |  round(CAST(n_admitted AS DOUBLE) / ta, 6) AS share_admitted
+            |FROM a CROSS JOIN t ORDER BY lang""".stripMargin)
+  )
+
   private val qMixSources = Q(
     "q_mix_sources",
     (s, d) => {
@@ -702,6 +803,7 @@ object Curation {
 
   def qs: Seq[Q] = Seq(qCurationPipeline, qPackSequences, qSampleStratified,
     qNtileBucketize, qSampleWeighted, qMixSources, qMixTemperature,
+    qMixTemperatureGate,
     qTrainingOrder, qSourceCap,
     qSourceCapAgg, qFilterFunnel, qDatasetCard, qDatasetCardDup)
 }

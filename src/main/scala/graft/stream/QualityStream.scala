@@ -274,6 +274,35 @@ object QualityStream {
       }
       .start()
 
+  /** Temperature-mix ADMISSION to a lake (r14 — the serve half of
+    * `q_mix_temperature_gate`'s train/serve split): thin the incoming
+    * stream to the α=0.5 temperature mixture with the batch-fitted
+    * per-language rates, by the stateless deterministic hash gate
+    * ([[graft.queries.Curation.temperatureGated]] — the identical
+    * column logic batch and streaming, so the batch key's hash-green
+    * oracle row certifies every admission decision this stream
+    * makes). Languages the fit never saw are dropped (no quota — the
+    * conservative direction). One broadcast O(langs) join per
+    * trigger, no streaming state beyond the checkpoint; landed
+    * batch-id idempotent under
+    * [[LogStream.writeBatchIdempotent]]'s replay contract. */
+  def toTemperatureMixedLake(
+      docs: DataFrame,
+      serve: graft.queries.Curation.TempMixServe,
+      lakeDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+        LogStream.writeBatchIdempotent(
+          graft.queries.Curation.temperatureGated(batch.toDF(), serve),
+          lakeDir, batchId)
+      }
+      .start()
+
   /** Monitoring rollup: per-window pass/drop counts with a watermark —
     * the ops dashboard beside the gate. `ts` column required. */
   def gateRollup(docs: DataFrame, model: TrigramLm.Model,

@@ -257,4 +257,42 @@ class CurationSpec extends AnyFunSuite with SparkTestSupport {
     assert(boostByAscN == boostByAscN.sorted.reverse,
       "α=0.5 must upweight low-resource languages monotonically")
   }
+
+  test("temperature gate: fitted rates are exactly sqrt(n_ref/n_l) on perfect squares; rarest keeps all") {
+    // n = 400/25/4 → rates √(4/400)=0.1, √(4/25)=0.4, 1 — every
+    // intermediate (w micros, BigInt floor-div, clamp) collapses to
+    // these exact values, so the fit has no rounding slack to hide in
+    val d = Files.createTempDirectory("tempgate").toString
+    val docs = (
+      (0 until 400).map(i => (i.toLong, s"en doc number $i body", "en")) ++
+        (400 until 425).map(i => (i.toLong, s"fr doc number $i body", "fr")) ++
+        (425 until 429).map(i => (i.toLong, s"yo doc number $i body", "yo"))
+      ).map { case (id, text, lang) => (id, text, lang, "web", 20L) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val serve = Curation.fitTempMix(spark.read.parquet(s"$d/documents.parquet"))
+    assert(serve.keepMicros === Map("en" -> 100000L, "fr" -> 400000L,
+      "yo" -> 1000000L))
+
+    val rows = Registry.queries("q_mix_temperature_gate")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows.map(t => (t._1, t._2, t._3)) === Seq(
+      ("en", 400L, 100000L), ("fr", 25L, 400000L), ("yo", 4L, 1000000L)))
+    // the reference (rarest) language's quota is 1 — nothing dropped
+    assert(rows.find(_._1 == "yo").get._4 == 4L)
+    // admitted counts re-derived through a DIFFERENT code path (SQL
+    // text over the raw parquet) must agree with the key's gate
+    spark.read.parquet(s"$d/documents.parquet").createOrReplaceTempView("tg_docs")
+    val recount = spark.sql(
+      """SELECT lang, sum(CASE WHEN pmod(poly_hash(text), 1000000) < k
+        |  THEN 1 ELSE 0 END) FROM (SELECT lang, text,
+        |  CASE lang WHEN 'en' THEN 100000 WHEN 'fr' THEN 400000
+        |  ELSE 1000000 END AS k FROM tg_docs) GROUP BY lang""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(t => t._1 -> t._4).toMap === recount)
+    // a gate can only thin: admitted ≤ corpus, per language
+    rows.foreach(t => assert(t._4 <= t._2, t.toString))
+  }
 }

@@ -349,6 +349,45 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(landed.count(_._2._1 == "en") == 4 && landed.count(_._2._1 == "es") == 4)
   }
 
+  test("temperature train/serve: streamed admission equals the batch gate; unseen language dropped") {
+    import java.nio.file.Files
+    // fit on the real sf corpus (many langs, uneven counts), then
+    // stream that same corpus through the lake writer across a
+    // micro-batch boundary: the landed set must be EXACTLY the batch
+    // gate's admitted set — same fit, same stateless hash rule
+    val corpus = graft.Tables.documents(spark, sf)
+    val serve = graft.queries.Curation.fitTempMix(corpus)
+    assert(serve.keepMicros.values.max == 1000000L,
+      "the rarest language must keep everything")
+    val batchAdmitted = graft.queries.Curation
+      .temperatureGated(corpus.select("doc_id", "text", "lang"), serve)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchAdmitted.nonEmpty && batchAdmitted.size < corpus.count(),
+      "fixture must exercise both admission outcomes")
+
+    val work = Files.createTempDirectory("tempmix").toString
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = QualityStream.toTemperatureMixedLake(
+      input.toDF().toDF("doc_id", "text", "lang"), serve,
+      s"$work/lake", s"$work/ckpt")
+    try {
+      val docs = corpus.select("doc_id", "text", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      // a language the fit never saw: conservatively dropped
+      input.addData((b :+ ((999999L, "unseen language doc", "qq"))).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val landed = spark.read.parquet(s"$work/lake")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed == batchAdmitted,
+      s"streamed admission diverged from the batch gate " +
+        s"(landed ${landed.size} vs batch ${batchAdmitted.size})")
+    assert(!landed.contains(999999L), "unseen language must be dropped")
+  }
+
   private def ts(minutes: Int): Timestamp =
     new Timestamp(1700000000000L + minutes * 60000L)
 }
