@@ -350,4 +350,23 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("temperature mix family: rate/total joins broadcast, aggregates are partial, no sort-merge") {
+    // all three r14 mixing keys share the shape: the corpus is scanned
+    // once, everything joined against it is O(langs) or one row, and
+    // every aggregate partial-aggregates before its shuffle — at 100 TB
+    // a SortMergeJoin or missing map-side combine here would be the
+    // whole cost
+    for (key <- Seq("q_mix_temperature", "q_mix_temperature_gate",
+        "q_tokenizer_fertility")) {
+      val p = plan(key)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$key must not shuffle a join side:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$key must partial-aggregate:\n$p")
+    }
+    // the gate key joins twice (rates, one-row total) — both broadcast
+    val pg = plan("q_mix_temperature_gate")
+    assert("BroadcastHashJoin".r.findAllIn(pg).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(pg).size >= 2, pg)
+  }
 }
