@@ -128,7 +128,10 @@ object ScaleSmoke {
       // tokenizer encode (amplified corpus ⇒ fresh fingerprint ⇒ the
       // measured time INCLUDES one tokenizer train+persist; the
       // memoized apply-only cost is the bench's)
-      "q_ccnet_lang_buckets", "q_bpe_encode_indexed")
+      "q_ccnet_lang_buckets", "q_bpe_encode_indexed",
+      // r14: the tokenizer-serve roll-up and the mix fit+gate — both
+      // must scale linearly (zero-shuffle scoring / O(langs) aggs)
+      "q_tokenizer_fertility", "q_mix_temperature_gate")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

@@ -364,6 +364,7 @@ object Curation {
     val rates = serve.keepMicros.toSeq.toDF("lang", "keep_micros")
     docs.join(broadcast(rates), Seq("lang"), "inner")
       .filter(pmod(expr(sparkFp), lit(1000000L)) < col("keep_micros"))
+      .drop("keep_micros")
   }
 
   /** The fit AND the gate under one full oracle: per language, the

@@ -97,13 +97,22 @@ object QualityStream {
     *      quarantine WHOLE with the measured `ks` stamped per row
     *      ([[LogStream.toDriftGatedLake]]'s triage contract).
     *
+    * Optionally (`tempMix` set, `lang` column required), a FIFTH
+    * stage thins the dedup survivors to the α=0.5 temperature
+    * mixture ([[graft.queries.Curation.temperatureGated]] — the
+    * multilingual rebalancing a production delivery runs AFTER
+    * dedup, so quotas spend on unique content; languages the fit
+    * never saw are dropped). Drift is then measured on what would
+    * actually land, as always.
+    *
     * Both index metas are re-resolved per batch, so a Maintenance
     * rebuild of either serves from the next trigger. Token counting
     * (`n_ws_tokens`) rides on delivered rows so a trainer meters its
     * budget from the manifests alone. Per-batch cost: one stateless
     * scoring pass, one band probe + verify join, one fingerprint
-    * probe join, one ≤bins-row aggregation — no streaming state
-    * beyond the sink checkpoint. QualityStreamSpec drives all four
+    * probe join, one O(langs) broadcast join when mixing, one
+    * ≤bins-row aggregation — no streaming state beyond the sink
+    * checkpoint. QualityStreamSpec drives all five
     * gates firing in one stream. */
   def toCuratedTrainingDelivery(
       docs: DataFrame,
@@ -118,7 +127,8 @@ object QualityStream {
       nearDupThreshold: Double = 0.9,
       minShared: Int = 2,
       maxKs: Double = 0.2,
-      maxRecordsPerShard: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery =
+      maxRecordsPerShard: Long = 1000000L,
+      tempMix: Option[graft.queries.Curation.TempMixServe] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -132,8 +142,11 @@ object QualityStream {
           .dropNearDups(gated, bands, shingles, nearDupThreshold)
         val (fps, stats) =
           graft.queries.Dedup.readWinnowIndex(batch.sparkSession, winnowIndexDir)
-        val deduped = graft.queries.Dedup
+        val overlapFree = graft.queries.Dedup
           .dropOverlapping(nearDeduped, fps, stats, minShared)
+        val mixed = tempMix.fold(overlapFree)(sv =>
+          graft.queries.Curation.temperatureGated(overlapFree, sv))
+        val deduped = mixed
           .withColumn("n_ws_tokens", size(split(trim(col("text")), "\\s+")))
           // one materialization: the KS measurement and the delivery
           // both consume it — without this the scoring chain and the

@@ -162,6 +162,50 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(!new java.io.File(s"$work/out/batch_id=1").exists())
   }
 
+  test("curated delivery's optional fifth gate thins to the temperature mixture") {
+    import java.nio.file.Files
+    // the mix stage composes AFTER the dedup gates: a doc that clears
+    // LM, near-dup, and overlap still dies if its language has no
+    // quota. Rates are pinned directly (quota 0 for xx) so the
+    // assertion is hash-independent — the exactness of FITTED rates
+    // is CurationSpec's job
+    val sentA = "the quick brown fox jumps over the lazy dog"
+    def rep(s: String, k: Int) = Seq.fill(k)(s).mkString(" ")
+    val refDf = (1 to 8).map(k => (k.toLong, rep(sentA, k))).toDF("doc_id", "text")
+    val model = TrigramLm.train(refDf)
+    val ref = LogStream.fitLengthCdf(
+      refDf.withColumn("len", length(col("text"))), valCol = "len")
+    val work = Files.createTempDirectory("curated5").toString
+    graft.queries.Dedup.writeWinnowIndex(
+      Seq((100L, "completely unrelated winnow index content words")).toDF("doc_id", "text"),
+      s"$work/idx")
+    graft.queries.Dedup.writeMinhashIndex(
+      Seq((200L, "equally unrelated minhash index corpus body text")).toDF("doc_id", "text"),
+      s"$work/mhidx")
+    val serve = graft.queries.Curation.TempMixServe(
+      Map("en" -> 1000000L, "xx" -> 0L))
+
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = QualityStream.toCuratedTrainingDelivery(
+      input.toDF().toDF("doc_id", "text", "lang"), model,
+      s"$work/mhidx", s"$work/idx", ref,
+      s"$work/out", s"$work/quarantine", s"$work/ckpt",
+      minAvgP = 0.3, maxKs = 0.9, tempMix = Some(serve))
+    try {
+      input.addData(
+        (1L, rep(sentA, 2), "en"), (2L, rep(sentA, 4), "en"),
+        (3L, rep(sentA, 3), "xx"),   // identical text family — mix gate only
+        (4L, rep(sentA, 3), "qq"))   // language the fit never saw
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val delivered = graft.sink.TrainingExport
+      .readVerified(spark, s"$work/out/batch_id=0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(delivered === Set(1L, 2L),
+      "xx (quota 0) and qq (unfitted) must die at the mix gate; en lands")
+  }
+
   test("the gate passes reference-like text, drops gibberish, and backs off on unseen trigrams") {
     val corpus = Seq.fill(8)("the quick brown fox jumps over the lazy dog and " +
       "the quick brown fox naps").zipWithIndex
