@@ -617,6 +617,30 @@ object Chunking {
        |JOIN documents d USING (doc_id)
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** Oracle for token-mass temperature mixing
+    * (`q_mix_temperature_tokens`, queries/Indexed.scala): per-language
+    * post-BPE token sums from the same CTE-unrolled trainer+encoder,
+    * then `q_mix_temperature`'s arithmetic over them — √ of an exact
+    * integer sum, integer-micro weights, exact integer normalizers,
+    * one IEEE division per share. */
+  private[queries] def bpeMixTokensOracle: String =
+    s"""WITH ${bpeOracleCtes(BpeTrainRounds)},
+       |c AS (SELECT d.lang, count(*) AS n_docs,
+       |        CAST(sum(len(tn.l)) AS BIGINT) AS n_tokens
+       |      FROM toks$BpeTrainRounds tn JOIN documents d USING (doc_id)
+       |      GROUP BY d.lang),
+       |cw AS (SELECT lang, n_docs, n_tokens,
+       |         CAST(round(sqrt(n_tokens) * 1000000) AS BIGINT) AS w
+       |       FROM c),
+       |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+       |             CAST(sum(w) AS BIGINT) AS wt FROM cw)
+       |SELECT lang, n_docs, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS share_natural,
+       |  round(CAST(w AS DOUBLE) / wt, 6) AS share_temp,
+       |  round(CAST(w AS DOUBLE) * CAST(tt AS DOUBLE)
+       |    / (CAST(wt AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS boost
+       |FROM cw CROSS JOIN t ORDER BY lang""".stripMargin
+
   /** Train the engine-standard merge table over `docs` (`text`
     * required) and persist it as the lake tokenizer artifact at `dir`
     * ([[graft.index.TokenizerIndex]]) — the train-once half of the

@@ -336,7 +336,52 @@ object Indexed {
     },
     Some(Chunking.bpeFertilityOracle))
 
+  /** Temperature mixing over post-BPE TOKEN mass (r14) — the
+    * `q_mix_temperature` rule re-based in the unit a trainer actually
+    * budgets: a language of few long documents is a LARGER draw of
+    * the token budget than its doc count suggests (and vice versa),
+    * so production mixtures weight by token counts. Token mass comes
+    * from the persisted tokenizer's serve pass (the
+    * `q_tokenizer_fertility` machinery), so the two bases can
+    * genuinely disagree — TokenizerIndexSpec pins a fixture where
+    * the doc-majority language is the token-minority and the natural
+    * shares flip between the two keys.
+    *
+    * 100 TB shape: the zero-shuffle token-count scan + one O(langs)
+    * partial-agg'd roll-up + a one-row broadcast cross join; α stays
+    * 0.5 (√ of an exact integer token sum — correctly-rounded IEEE
+    * in both engines), weights land as integer micros, the
+    * normalizing sums are exact integers. Fully oracle-checked: the
+    * oracle re-derives training, encoding, the per-language token
+    * sums, and the temperature arithmetic declaratively. */
+  private val qMixTemperatureTokens = Q(
+    "q_mix_temperature_tokens",
+    (s, d) => {
+      val dir = tokenizerDirFor(s, d)
+      val (ranks, join) = Chunking.loadTokenizerRanks(s, dir)
+      val bc = s.sparkContext.broadcast(ranks)
+      val byLang = graft.Tables.documents(s, d)
+        .select(col("lang"), split(col("text"), " ").as("toks"))
+        .withColumn("n_tok",
+          graft.functions.BpeTokenCount.col(col("toks"), bc, join)
+            .cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("w", expr("CAST(round(sqrt(n_tokens) * 1000000) AS BIGINT)"))
+      val tot = byLang.agg(sum(col("n_tokens")).as("tt"), sum(col("w")).as("wt"))
+      byLang.alias("b").crossJoin(broadcast(tot.alias("t")))
+        .select(col("b.lang").as("lang"), col("b.n_docs").as("n_docs"),
+          col("b.n_tokens").as("n_tokens"),
+          expr("round(CAST(b.n_tokens AS DOUBLE) / t.tt, 6)").as("share_natural"),
+          expr("round(CAST(b.w AS DOUBLE) / t.wt, 6)").as("share_temp"),
+          expr("""round(CAST(b.w AS DOUBLE) * CAST(t.tt AS DOUBLE)
+                 / (CAST(t.wt AS DOUBLE) * CAST(b.n_tokens AS DOUBLE)), 6)""")
+            .as("boost"))
+        .orderBy(col("lang"))
+    },
+    Some(Chunking.bpeMixTokensOracle))
+
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
     qMinhashDupIndexed, qDupClustersMinhashIndexed, qWinnowingIndexed,
-    qBpeEncodeIndexed, qTokenizerFertility)
+    qBpeEncodeIndexed, qTokenizerFertility, qMixTemperatureTokens)
 }

@@ -100,5 +100,25 @@ class TokenizerIndexSpec extends AnyFunSuite with SparkTestSupport {
     // the disparity reading: zz gets fewer chars of content per token
     assert(rows(1)._6 < rows(0)._6,
       "the language the tokenizer ignored must pay more tokens per char")
+
+    // token-mass temperature mixing on the SAME fixture: aa is the
+    // doc-MAJORITY (2 of 3) but the token-MINORITY (2 of 8 post-BPE),
+    // so the natural shares flip between the two bases — the reason
+    // the tokens key exists
+    val mix = Registry.queries("q_mix_temperature_tokens")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(mix.map(t => (t._1, t._2, t._3, t._4)) === Seq(
+      ("aa", 2L, 2L, 0.25), ("zz", 1L, 6L, 0.75)))
+    val mixDocs = Registry.queries("q_mix_temperature")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(mixDocs("aa") == 0.666667 && mixDocs("zz") == 0.333333,
+      s"doc-basis shares must rank opposite the token basis: $mixDocs")
+    // temperature shares follow the same integer-micro arithmetic as
+    // the doc-basis key, over token sums
+    val w = Seq(2L, 6L).map(n => math.round(math.sqrt(n.toDouble) * 1e6))
+    val wt = w.sum.toDouble
+    assert(mix.map(_._5) === w.map(x => BigDecimal(x / wt)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 }
