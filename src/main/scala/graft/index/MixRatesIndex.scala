@@ -1,0 +1,90 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** PERSISTENT temperature-mix rates artifact — the per-language
+  * admission quotas ([[graft.queries.Curation.TempMixServe]]) a
+  * delivery fits ONCE over a reference corpus and then serves to
+  * every batch and every stream, refit as the corpus grows (the
+  * [[TokenizerIndex]] treatment for the mixing family: without it the
+  * fitted rates live only in the driver that fit them, and a
+  * long-running admission stream can never pick up a refit without a
+  * restart).
+  *
+  * Stored form: one parquet table `rates_vN` of `(lang, keep_micros)`
+  * rows — O(langs), never corpus-sized — plus the [[MetaMarker]] meta
+  * naming the committed version and pinning the fit invariant the
+  * rates are only meaningful under: `alpha_micros` (the temperature
+  * exponent in micros; rates fitted at different α are not
+  * comparable, and a consumer mixing generations would skew the
+  * mixture silently).
+  *
+  * Commit protocol = the [[TokenizerIndex]] one: new versions land in
+  * fresh `rates_vN` dirs, ONE staged meta swap publishes, orphans
+  * retire with one-generation grace, and a committed name that does
+  * not parse as `rates_v<N>` fails the next build loudly instead of
+  * silently renumbering over live dirs. */
+object MixRatesIndex {
+
+  private val META = "_MIXRATES_META.json"
+
+  private val VersionedRates = "rates_v(\\d+)".r
+
+  private val ratesSchema = StructType(Seq(
+    StructField("lang", StringType),
+    StructField("keep_micros", LongType)))
+
+  /** The committed artifact: the rate table plus its fit invariant. */
+  final case class Rates(rates: DataFrame, alphaMicros: Long)
+
+  /** Persist fitted rates as the artifact's next version and publish
+    * (table name, α) in one meta swap. */
+  def build(rates: DataFrame, alphaMicros: Long, dir: String): Unit = {
+    val spark = rates.sparkSession
+    val fs = fsFor(spark, dir)
+    val current = currentName(fs, dir)
+    current.foreach(cur =>
+      MetaMarker.retireUnnamed(fs, dir, Seq("rates"), Set(cur)))
+    val n = current match {
+      case Some(VersionedRates(v)) => v.toInt + 1
+      case Some(other) => throw new IllegalStateException(
+        s"mix-rates meta at $dir names rates dir '$other', which does " +
+          "not match rates_v<N> — refusing to renumber over it")
+      case None => 0
+    }
+    val next = s"rates_v$n"
+    rates.select("lang", "keep_micros")
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    MetaMarker.write(fs, dir, META,
+      s"""{"rates": "$next", "alpha_micros": $alphaMicros}""")
+  }
+
+  /** The committed rates as a pure read (explicit schema — no footer
+    * pass), resolved through the meta so the table and its α always
+    * come from the SAME commit. */
+  def read(spark: SparkSession, dir: String): Rates = {
+    val fs = fsFor(spark, dir)
+    if (!MetaMarker.exists(fs, dir, META))
+      throw new IllegalArgumentException(s"no mix-rates artifact at $dir")
+    val root = MetaMarker.read(fs, dir, META)
+    Rates(
+      spark.read.schema(ratesSchema)
+        .parquet(s"$dir/${root.get("rates").asText()}"),
+      root.get("alpha_micros").asLong())
+  }
+
+  /** True once [[build]] ever committed at `dir`. */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    MetaMarker.exists(fsFor(spark, dir), dir, META)
+
+  private def currentName(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[String] =
+    if (MetaMarker.exists(fs, dir, META))
+      Some(MetaMarker.read(fs, dir, META).get("rates").asText())
+    else None
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

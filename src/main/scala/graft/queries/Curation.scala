@@ -351,6 +351,37 @@ object Curation {
     }.toMap)
   }
 
+  /** α of the shipped fit, in micros — pinned with the persisted
+    * rates so generations fitted under a different exponent can never
+    * be served as if comparable. */
+  val TempMixAlphaMicros = 500000L
+
+  /** Fit rates over `docs` and persist them as the next version of
+    * the lake artifact at `dir` ([[graft.index.MixRatesIndex]]) — the
+    * train-once half of the split; the Maintenance rebuild body for a
+    * rates [[graft.Maintenance.IndexBinding]]. */
+  def writeTempMix(docs: DataFrame, dir: String): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.index.MixRatesIndex.build(
+      fitTempMix(docs).keepMicros.toSeq.toDF("lang", "keep_micros"),
+      TempMixAlphaMicros, dir)
+  }
+
+  /** Resolve the COMMITTED rates at `dir` into a serveable
+    * [[TempMixServe]] — an O(langs) driver read through the meta, so
+    * callers that serve many batches re-call it per batch and a
+    * Maintenance refit lands mid-stream (the tokenizer/winnow
+    * consumer contract). Refuses rates fitted under a different α. */
+  def readTempMix(s: SparkSession, dir: String): TempMixServe = {
+    val r = graft.index.MixRatesIndex.read(s, dir)
+    require(r.alphaMicros == TempMixAlphaMicros,
+      s"mix-rates artifact at $dir was fitted at alpha_micros=" +
+        s"${r.alphaMicros}, this engine serves $TempMixAlphaMicros")
+    TempMixServe(r.rates.collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap)
+  }
+
   /** The SERVE half: admit a doc iff `poly_hash(text) mod 1e6` clears
     * its language's fitted rate — a deterministic weighted Bernoulli
     * gate (the `q_sample_weighted` convention), stateless, so the

@@ -316,6 +316,31 @@ object QualityStream {
       }
       .start()
 
+  /** [[toTemperatureMixedLake]] against the PERSISTED rates artifact
+    * ([[graft.index.MixRatesIndex]]): the committed rates are
+    * re-resolved EVERY trigger (an O(langs) meta-guided read), so a
+    * Maintenance-driven refit — the corpus grew, the language balance
+    * moved — re-quotas the stream from the next batch with no
+    * restart. The winnow/vector/tokenizer consumer contract, now for
+    * the mixing family. */
+  def toTemperatureMixedLake(
+      docs: DataFrame,
+      ratesDir: String,
+      lakeDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+        LogStream.writeBatchIdempotent(
+          graft.queries.Curation.temperatureGated(batch.toDF(),
+            graft.queries.Curation.readTempMix(batch.sparkSession, ratesDir)),
+          lakeDir, batchId)
+      }
+      .start()
+
   /** Monitoring rollup: per-window pass/drop counts with a watermark —
     * the ops dashboard beside the gate. `ts` column required. */
   def gateRollup(docs: DataFrame, model: TrigramLm.Model,

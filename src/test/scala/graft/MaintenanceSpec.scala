@@ -245,6 +245,55 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     } finally q.stop()
   }
 
+  test("a Maintenance-driven MIX-RATES refit re-quotas the running admission stream next batch") {
+    // the mixing family joins the consumer contract: the stream
+    // re-resolves the committed rates every trigger, so a refit over
+    // a corpus whose language balance FLIPPED (en-heavy → yo-heavy)
+    // flips the quotas mid-stream with no restart
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = Files.createTempDirectory("maint-mixrates").toString
+    val ratesDir = s"$work/rates"
+    def corpus(nEn: Int, nYo: Int) =
+      ((0 until nEn).map(i => (i.toLong, s"en corpus doc $i", "en")) ++
+        (nEn until nEn + nYo).map(i => (i.toLong, s"yo corpus doc $i", "yo")))
+        .toDF("doc_id", "text", "lang")
+    graft.queries.Curation.writeTempMix(corpus(400, 4), ratesDir)
+    assert(graft.queries.Curation.readTempMix(spark, ratesDir).keepMicros ===
+      Map("en" -> 100000L, "yo" -> 1000000L))
+
+    val streamDocs =
+      (0 until 20).map(i => (1000L + i, s"streamed english text $i", "en")) ++
+        (20 until 40).map(i => (1000L + i, s"streamed yoruba text $i", "yo"))
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = graft.stream.QualityStream.toTemperatureMixedLake(
+      input.toDF().toDF("doc_id", "text", "lang"), ratesDir,
+      s"$work/lake", s"$work/ckpt")
+    try {
+      input.addData(streamDocs: _*)
+      q.processAllAvailable()
+      val results = Maintenance.run(spark, Seq(
+        Maintenance.Rebuild("mix-rates", ratesDir) { _ =>
+          graft.queries.Curation.writeTempMix(corpus(4, 400), ratesDir)
+          "refit over corpus v2"
+        }))
+      assert(results.forall(_.outcome.isSuccess),
+        results.map(_.summary).mkString("\n"))
+      input.addData(streamDocs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val landed = spark.read.parquet(s"$work/lake")
+      .select(col("batch_id").cast("long"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def count(b: Long, l: String) = landed.count(t => t == ((b, l)))
+    // v1 rates: yo keeps everything, en thinned to ~10%
+    assert(count(0, "yo") == 20 && count(0, "en") < 20,
+      s"batch 0 must admit all yo and thin en: ${landed.toSeq}")
+    // after the refit the roles flip, same input docs
+    assert(count(1, "en") == 20 && count(1, "yo") < 20,
+      s"batch 1 must serve the refit rates: ${landed.toSeq}")
+  }
+
   test("tasks sharing a resource serialize; distinct resources parallelize") {
     // two tasks on the SAME artifact (a requested rebuild racing an
     // auto-planned compaction is the real case) must never overlap —

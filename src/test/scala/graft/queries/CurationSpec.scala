@@ -295,4 +295,34 @@ class CurationSpec extends AnyFunSuite with SparkTestSupport {
     // a gate can only thin: admitted ≤ corpus, per language
     rows.foreach(t => assert(t._4 <= t._2, t.toString))
   }
+
+  test("mix-rates artifact: versioned swap, alpha pinned, bad meta fails loud") {
+    val d = Files.createTempDirectory("mixrates").toString
+    val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "yo"))
+      .toDF("doc_id", "text", "lang")
+    Curation.writeTempMix(v1, d)
+    assert(graft.index.MixRatesIndex.exists(spark, d))
+    val r1 = Curation.readTempMix(spark, d)
+    assert(r1.keepMicros("yo") == 1000000L && r1.keepMicros("en") < 1000000L)
+    // refit swaps whole; previous generation survives one rebuild
+    Curation.writeTempMix(
+      v1.withColumn("lang", org.apache.spark.sql.functions.lit("zz")), d)
+    assert(Curation.readTempMix(spark, d).keepMicros === Map("zz" -> 1000000L))
+    val names = new java.io.File(d).list().toSet
+    assert(names.contains("rates_v0") && names.contains("rates_v1"), names)
+    // a committed alpha this engine doesn't serve is refused by name
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(d, "._MIXRATES_META.json.crc"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "_MIXRATES_META.json"),
+      """{"rates": "rates_v1", "alpha_micros": 250000}""".getBytes("UTF-8"))
+    val ea = intercept[IllegalArgumentException] { Curation.readTempMix(spark, d) }
+    assert(ea.getMessage.contains("250000"), ea.getMessage)
+    // an unparseable committed name fails the NEXT build loudly
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(d, "._MIXRATES_META.json.crc"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "_MIXRATES_META.json"),
+      """{"rates": "rates_final", "alpha_micros": 500000}""".getBytes("UTF-8"))
+    val es = intercept[IllegalStateException] { Curation.writeTempMix(v1, d) }
+    assert(es.getMessage.contains("rates_final"), es.getMessage)
+  }
 }
