@@ -355,4 +355,30 @@ object QualityStream {
         (count(lit(1)) - sum(col("passed"))).as("dropped"))
       .select(col("window.start").as("window_start"), col("docs"),
         col("passed"), col("dropped"))
+
+  /** Token-budget rollup (r14): per (window, lang), docs, post-BPE
+    * tokens under the PERSISTED tokenizer, and chars-per-token — the
+    * ops dashboard beside [[toTokenizedDelivery]], watching the two
+    * things a multilingual ingest drifts on: how fast each language
+    * eats the token budget and whether its fertility moves (a falling
+    * chars-per-token means the committed tokenizer fits arriving text
+    * worse — the refit trigger). The tokenizer meta re-resolves per
+    * batch, the count column is the codegen'd
+    * [[graft.functions.BpeTokenCount]], so per-trigger cost is the
+    * ≤R-row read + one windowed partial-agg'd groupBy; `ts` and
+    * `lang` columns required. The per-language token arithmetic is
+    * the oracle-certified `q_tokenizer_fertility` roll-up, windowed. */
+  def tokenRollup(docs: DataFrame, tokenizerDir: String,
+      window_ : String = "1 hour",
+      lateness: String = "2 hours"): DataFrame =
+    graft.queries.Chunking.withBpeTokenCount(docs, tokenizerDir)
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_bpe_tokens").cast("long")).as("bpe_tokens"),
+        sum(length(col("text")).cast("long")).as("chars"))
+      .select(col("window.start").as("window_start"), col("lang"),
+        col("docs"), col("bpe_tokens"),
+        round(col("chars").cast("double") / col("bpe_tokens"), 6)
+          .as("chars_per_token"))
 }

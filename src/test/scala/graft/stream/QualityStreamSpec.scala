@@ -259,6 +259,37 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
     } finally q.stop()
   }
 
+  test("token rollup reports per-language budget and fertility per window") {
+    import java.nio.file.Files
+    // tokenizer whose merges chain entirely on "a b" content: the aa
+    // doc folds 6 → 1 token while zz stays 6 — so the per-language
+    // rollup rows are exactly computable (chars 11 each)
+    val tokDir = Files.createTempDirectory("tokroll").toString
+    graft.queries.Chunking.writeTokenizer(
+      Seq((1L, "a b a b a b"), (2L, "a b a b a b")).toDF("doc_id", "text"),
+      tokDir)
+    val input = MemoryStream[(Long, String, String, Timestamp)](spark)
+    val q = QualityStream.tokenRollup(
+        input.toDF().toDF("doc_id", "text", "lang", "ts"), tokDir,
+        window_ = "1 hour", lateness = "1 hour")
+      .writeStream.format("memory").queryName("token_rollup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "a b a b a b", "aa", ts(0)),
+        (2L, "u v w x y z", "zz", ts(5)))
+      q.processAllAvailable()
+      input.addData((9L, "a b", "aa", ts(240)))   // close the window
+      q.processAllAvailable()
+      val rows = spark.table("token_rollup")
+        .select("lang", "docs", "bpe_tokens", "chars_per_token")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1).toSeq
+      assert(rows === Seq(("aa", 1L, 1L, 11.0), ("zz", 1L, 6L, 1.833333)),
+        rows.toString)
+    } finally q.stop()
+  }
+
   test("tokenized delivery: streamed n_bpe_tokens equal the batch serve pass, manifest-verified") {
     import java.nio.file.Files
     val corpus = graft.Tables.documents(spark, sf)
