@@ -130,8 +130,10 @@ object ScaleSmoke {
       // memoized apply-only cost is the bench's)
       "q_ccnet_lang_buckets", "q_bpe_encode_indexed",
       // r14: the tokenizer-serve roll-up and the mix fit+gate — both
-      // must scale linearly (zero-shuffle scoring / O(langs) aggs)
-      "q_tokenizer_fertility", "q_mix_temperature_gate")
+      // must scale linearly (zero-shuffle scoring / O(langs) aggs) —
+      // and the span-scrub rewrite (span_dedup's shuffles + the
+      // doc_id reassembly)
+      "q_tokenizer_fertility", "q_mix_temperature_gate", "q_span_scrub")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

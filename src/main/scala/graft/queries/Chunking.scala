@@ -127,6 +127,71 @@ object Chunking {
              |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin)
   )
 
+  /** The REWRITE form of span dedup (r14) — not just detecting
+    * boilerplate but producing the CLEANED corpus: every K-token span
+    * that appears in more than one distinct document (the
+    * `q_span_dedup` signal — headers/footers/nav chrome) is removed
+    * from every document, and the survivors reassemble in original
+    * order. The C4/RefinedWeb line-removal transform at span
+    * granularity; a doc that is pure boilerplate collapses to the
+    * empty string (reported via `n_removed = n_spans`, not dropped —
+    * the downstream length gate decides).
+    *
+    * 100 TB shape: `q_span_dedup`'s plus the reassembly — map-side
+    * posexplode, span-count groupBy and join-back PARTITIONED on the
+    * fixed-width 128-bit key pair ([[spanKey128]]; the join-back
+    * payload necessarily carries each span's text once, since the
+    * rewrite must rebuild from it — that is the rewrite's floor, one
+    * corpus pass on the wire), then ONE doc_id shuffle whose
+    * per-group state is the doc's own spans (bounded by document
+    * length, never corpus-scaled). The reassembly is a conditional
+    * collect + array_sort on (pos, span) — no window, no driver work.
+    * The DuckDB oracle re-derives the whole rewrite grouping by span
+    * STRINGS with an ordered filtered string_agg, so a hash-green row
+    * proves the hashed grouping AND the reconstruction lossless. */
+  private val qSpanScrub = Q(
+    "q_span_scrub",
+    (s, d) => {
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, cast(ceil(size(toks)/$SpanK.0) as int) - 1),
+             |          i -> concat_ws(' ', slice(toks, i*$SpanK+1, $SpanK)))""".stripMargin)))
+        .toDF("doc_id", "pos", "span")
+      val keyCols = spanKey128(col("span")).zipWithIndex
+        .map { case (c, i) => c.as(s"k$i") }
+      val keyed = spans.select(col("doc_id") +: col("pos") +: col("span") +: keyCols: _*)
+      val counts = keyed.groupBy(col("k0"), col("k1"))
+        .agg(countDistinct(col("doc_id")).as("span_docs"))
+      keyed.join(counts, Seq("k0", "k1"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("span_docs") > 1, 1L).otherwise(0L)).as("n_removed"),
+          concat_ws(" ", expr(
+            """transform(
+              |  array_sort(collect_list(
+              |    CASE WHEN span_docs = 1 THEN struct(pos, span) END)),
+              |  x -> x.span)""".stripMargin)).as("text_clean"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |spans AS (
+             |  SELECT doc_id, CAST(i AS INT) AS pos,
+             |         array_to_string(l[(i*$SpanK+1):(i*$SpanK+$SpanK)], ' ') AS span
+             |  FROM toks, LATERAL (SELECT unnest(range(0,
+             |         CAST(ceil(len(l)/$SpanK.0) AS BIGINT))) AS i) u),
+             |counts AS (SELECT span, count(DISTINCT doc_id) AS span_docs
+             |           FROM spans GROUP BY span)
+             |SELECT s.doc_id, count(*) AS n_spans,
+             |  CAST(sum(CASE WHEN c.span_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_removed,
+             |  coalesce(string_agg(CASE WHEN c.span_docs = 1 THEN s.span END, ' '
+             |    ORDER BY s.pos), '') AS text_clean
+             |FROM spans s JOIN counts c USING (span)
+             |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin)
+  )
+
   /** Chunk geometry: 100-char windows every 80 chars (20-char overlap
     * so no training example starts cold at a hard cut). */
   private val ChunkLen = 100
@@ -772,6 +837,6 @@ object Chunking {
   )
 
   def qs: Seq[Q] =
-    Seq(qSpanDedup, qChunkDocuments, qBpePairs, qBpeTrain, qBpeTrainHist,
+    Seq(qSpanDedup, qSpanScrub, qChunkDocuments, qBpePairs, qBpeTrain, qBpeTrainHist,
       qBpeEncode, qBpeEncodeFast, qBpeRoundtrip, qSourceOverlap, qOovRate)
 }

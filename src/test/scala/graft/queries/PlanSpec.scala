@@ -264,6 +264,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     exchanges.foreach(e =>
       assert(!e.contains("span#"), s"span string on the shuffle wire: $e"))
     assert(p.contains("xxhash64"), p)
+    // the scrub's COUNT side must shuffle hash pairs too; only the
+    // doc_id reassembly exchange may carry span text (the doc's own
+    // spans, bounded by document length)
+    val ps = plan("q_span_scrub")
+    val countExchanges = ps.linesIterator
+      .filter(e => e.contains("hashpartitioning") && !e.contains("doc_id")).toSeq
+    assert(countExchanges.nonEmpty, ps)
+    countExchanges.foreach(e =>
+      assert(!e.contains("span#"), s"span string on the count shuffle: $e"))
   }
 
   test("salted join actually shuffles (broadcast would defeat the salt demo)") {

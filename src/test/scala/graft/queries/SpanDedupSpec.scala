@@ -51,4 +51,27 @@ class SpanDedupSpec extends AnyFunSuite with SparkTestSupport {
       "the weak key should have merged distinct spans; if not, this " +
         "fixture no longer demonstrates the collision failure mode")
   }
+
+  test("span scrub rewrites docs: shared spans removed everywhere, unique content kept in order") {
+    val d = Files.createTempDirectory("spanscrub").toString
+    // span granularity K=3: "hdr nav bar" is the planted boilerplate
+    // (docs 1, 2, 3); doc 3 is NOTHING BUT boilerplate and must
+    // collapse to "" rather than vanish; docs keep their own unique
+    // spans in original order around the removed one
+    Seq(
+      (1L, "hdr nav bar one two three four five six", "en", "s0", 0L),
+      (2L, "alpha beta gamma hdr nav bar delta eps zeta", "en", "s0", 0L),
+      (3L, "hdr nav bar hdr nav bar", "en", "s0", 0L),
+      (4L, "fully unique content with no shared span here x", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_span_scrub")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(rows === Seq(
+      (1L, 3L, 1L, "one two three four five six"),
+      (2L, 3L, 1L, "alpha beta gamma delta eps zeta"),
+      (3L, 2L, 2L, ""),
+      (4L, 3L, 0L, "fully unique content with no shared span here x")))
+  }
 }
