@@ -173,6 +173,36 @@ object Demo {
       println(s"[demo] overlap gate kept docs $keptDocs — the embedder " +
         "was caught by shared winnowing fingerprints (minhash would miss it)")
     }
+
+    // -- 8. multilingual rebalancing (r14): fit temperature-mix
+    //      quotas over a skewed corpus, persist them as a versioned
+    //      lake artifact, and thin an incoming stream to the α=0.5
+    //      mixture — the rarest language keeps everything
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val corpus = (
+        (0 until 400).map(i => (i.toLong, s"majority text $i", "en")) ++
+          (400 until 404).map(i => (i.toLong, s"minority text $i", "yo"))
+        ).toDF("doc_id", "text", "lang")
+      val mdir = Files.createTempDirectory("demo-mix").toString + "/rates"
+      queries.Curation.writeTempMix(corpus, mdir)
+      val rates = queries.Curation.readTempMix(spark, mdir).keepMicros
+      println(s"[demo] fitted mix quotas (micros): $rates — " +
+        "en thinned to sqrt(4/400)=10%, yo keeps all")
+      val mixLake = Files.createTempDirectory("demo-mixlake").toString
+      val min = MemoryStream[(Long, String, String)](spark)
+      val mq = stream.QualityStream.toTemperatureMixedLake(
+        min.toDF().toDF("doc_id", "text", "lang"), mdir,
+        s"$mixLake/lake", s"$mixLake/ckpt")
+      min.addData(corpus.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toIndexedSeq)
+      mq.processAllAvailable(); mq.stop()
+      val admitted = spark.read.parquet(s"$mixLake/lake")
+        .groupBy("lang").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"[demo] stream thinned to the temperature mixture: $admitted")
+    }
     spark.stop()
   }
 }

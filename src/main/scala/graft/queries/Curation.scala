@@ -382,9 +382,26 @@ object Curation {
       .map(row => row.getString(0) -> row.getLong(1)).toMap)
   }
 
-  /** The SERVE half: admit a doc iff `poly_hash(text) mod 1e6` clears
+  /** The admission coin: `poly_hash(text)` finalized by a
+    * MULTIPLICATIVE mix before thresholding. The raw rolling hash is
+    * LINEAR in its trailing characters — texts differing only in a
+    * short suffix ("doc 123" vs "doc 124") map to consecutive hash
+    * values, so a bare `fp mod 1e6 < rate` gate admits or rejects
+    * such families in RUNS instead of independently (measured: a
+    * 10%-quota language with sequential-suffix texts admitted 75% —
+    * the Demo fixture caught it). Multiplying by the Knuth constant
+    * modulo the same prime turns consecutive inputs into
+    * ~2.65e9-strided outputs, decorrelating the low bits, and stays
+    * dual-dialect exact: one BIGINT multiply (max ~2.7e18, no
+    * overflow in either engine) and two mods the oracle repeats
+    * verbatim. */
+  private[graft] def gateCoinOf(fpExpr: String): String =
+    s"pmod(pmod(($fpExpr) * 2654435761, 1000000007), 1000000)"
+
+  /** The SERVE half: admit a doc iff its [[gateCoinOf]] coin clears
     * its language's fitted rate — a deterministic weighted Bernoulli
-    * gate (the `q_sample_weighted` convention), stateless, so the
+    * gate (the `q_sample_weighted` convention, hardened by the
+    * multiplicative finalizer), stateless, so the
     * same column logic runs on batch and STREAMING frames alike.
     * Languages the fit never saw are dropped (no fitted quota — the
     * conservative admission direction, mirroring ccnet's tail). One
@@ -394,7 +411,7 @@ object Curation {
     import s.implicits._
     val rates = serve.keepMicros.toSeq.toDF("lang", "keep_micros")
     docs.join(broadcast(rates), Seq("lang"), "inner")
-      .filter(pmod(expr(sparkFp), lit(1000000L)) < col("keep_micros"))
+      .filter(expr(gateCoinOf(sparkFp)) < col("keep_micros"))
       .drop("keep_micros")
   }
 
@@ -420,7 +437,7 @@ object Curation {
       val rates = serve.keepMicros.toSeq.toDF("lang", "keep_micros")
       val perLang = docs.join(broadcast(rates), Seq("lang"))
         .withColumn("adm",
-          (pmod(expr(sparkFp), lit(1000000L)) < col("keep_micros")).cast("long"))
+          (expr(gateCoinOf(sparkFp)) < col("keep_micros")).cast("long"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), max(col("keep_micros")).as("keep_micros"),
           sum(col("adm")).as("n_admitted"))
@@ -441,7 +458,8 @@ object Curation {
             |          // (CAST(n AS HUGEINT) * wr)) AS BIGINT) AS keep_micros
             |      FROM c CROSS JOIN ref),
             |g AS (SELECT d.lang, k.keep_micros,
-            |        CASE WHEN ($duckFp) % 1000000 < k.keep_micros
+            |        CASE WHEN (($duckFp) * 2654435761) % 1000000007 % 1000000
+            |               < k.keep_micros
             |        THEN 1 ELSE 0 END AS adm
             |      FROM documents d JOIN k USING (lang)),
             |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -286,7 +286,7 @@ class CurationSpec extends AnyFunSuite with SparkTestSupport {
     // text over the raw parquet) must agree with the key's gate
     spark.read.parquet(s"$d/documents.parquet").createOrReplaceTempView("tg_docs")
     val recount = spark.sql(
-      """SELECT lang, sum(CASE WHEN pmod(poly_hash(text), 1000000) < k
+      """SELECT lang, sum(CASE WHEN pmod(pmod(poly_hash(text) * 2654435761, 1000000007), 1000000) < k
         |  THEN 1 ELSE 0 END) FROM (SELECT lang, text,
         |  CASE lang WHEN 'en' THEN 100000 WHEN 'fr' THEN 400000
         |  ELSE 1000000 END AS k FROM tg_docs) GROUP BY lang""".stripMargin)
