@@ -91,7 +91,7 @@ object CorpusReport {
     surv.join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster_id"), col("doc_id")))
       .filter(col("doc_id") === col("cluster"))
-      .withColumn("m", pmod(expr("poly_hash(cast(cluster as string))"), lit(10)))
+      .withColumn("m", expr(Curation.gateCoinOf("poly_hash(cast(cluster as string))", 10)))
       .withColumn("split",
         when(col("m") <= 7, "train").when(col("m") === 8, "val")
           .otherwise("test"))
@@ -241,7 +241,7 @@ object CorpusReport {
        |  SELECT *, CASE WHEN m <= 7 THEN 'train'
        |                 WHEN m = 8 THEN 'val' ELSE 'test' END AS split
        |  FROM (SELECT *,
-       |          ${duckFpOf("CAST(cluster AS VARCHAR)")} % 10 AS m
+       |          (${duckFpOf("CAST(cluster AS VARCHAR)")}) * 2654435761 % 1000000007 % 10 AS m
        |        FROM kept)),
        |pk AS (
        |  SELECT split, source, n_tokens,

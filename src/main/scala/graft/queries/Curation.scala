@@ -43,9 +43,10 @@ object Curation {
         .withColumn("fp", expr(sparkFp))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1) // exact-content dedup, keep lowest id
+        .withColumn("m", expr(gateCoinOf("fp", 10)))
         .withColumn("split",
-          when(col("fp") % 10 <= 7, "train")
-            .when(col("fp") % 10 === 8, "val")
+          when(col("m") <= 7, "train")
+            .when(col("m") === 8, "val")
             .otherwise("test"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
@@ -62,8 +63,10 @@ object Curation {
                  dd AS (
                SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
                FROM q)
-             SELECT CASE WHEN fp % 10 <= 7 THEN 'train'
-                         WHEN fp % 10 = 8 THEN 'val'
+             SELECT CASE WHEN (fp * 2654435761) % 1000000007 % 10 <= 7
+                           THEN 'train'
+                         WHEN (fp * 2654435761) % 1000000007 % 10 = 8
+                           THEN 'val'
                          ELSE 'test' END AS split,
                count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
              FROM dd WHERE rn = 1 GROUP BY 1 ORDER BY split""")
@@ -107,7 +110,8 @@ object Curation {
     * precondition; a real pipeline reads rates from a config table and
     * broadcast-joins it).
     * `rand()`-based sampling is non-reproducible and un-auditable;
-    * `fp % 100 < rate` gives every row a stable in/out decision, so
+    * `coin(fp) < rate` ([[gateCoinOf]] — the multiplicatively mixed
+    * fingerprint) gives every row a stable in/out decision, so
     * reruns, spot-checks, and incremental re-trains see the same
     * sample — and the oracle can verify it row for row. One scan, one
     * tiny agg; the decision is per-row with no shuffle before the agg,
@@ -119,7 +123,7 @@ object Curation {
       Tables.documents(s, d)
         .withColumn("n_tokens", size(split(col("text"), " ")))
         .withColumn("fp", expr(sparkFp))
-        .withColumn("keep", (pmod(col("fp"), lit(100)) < rate).cast("long"))
+        .withColumn("keep", (expr(gateCoinOf("fp", 100)) < rate).cast("long"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_total"),
@@ -130,7 +134,7 @@ object Curation {
     Some(s"""WITH q AS (
                SELECT source,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                 CASE WHEN ($duckFp) % 100 <
+                 CASE WHEN (($duckFp) * 2654435761) % 1000000007 % 100 <
                    ((${duckFpOf("source")}) % 3 + 1) * 10
                  THEN 1 ELSE 0 END AS keep
                FROM documents)
@@ -236,7 +240,7 @@ object Curation {
         .withColumn("n_tokens", size(split(col("text"), " ")))
         .withColumn("wt", least(lit(1L) + expr("n_chars div 500"), lit(4L)))
         .withColumn("fp", expr(sparkFp))
-        .withColumn("keep", (pmod(col("fp"), lit(1000)) < col("wt") * 125).cast("long"))
+        .withColumn("keep", (expr(gateCoinOf("fp", 1000)) < col("wt") * 125).cast("long"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_total"),
@@ -248,7 +252,7 @@ object Curation {
                SELECT source,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                  least(1 + n_chars // 500, 4) AS wt,
-                 CASE WHEN ($duckFp) % 1000 < least(1 + n_chars // 500, 4) * 125
+                 CASE WHEN (($duckFp) * 2654435761) % 1000000007 % 1000 < least(1 + n_chars // 500, 4) * 125
                  THEN 1 ELSE 0 END AS keep
                FROM documents)
              SELECT source, count(*) AS n_total,
@@ -264,7 +268,8 @@ object Curation {
     * books 50%, code 20% of a 200-doc budget here) compute each
     * group's keep RATE from its actual size, clamp at 1, and sample by
     * hash threshold. The rate lands in integer BASIS POINTS
-    * (`floor(rate·10⁴)`) so the keep decision `fp mod 10⁴ < rate_bp`
+    * (`floor(rate·10⁴)`) so the keep decision `coin(fp) < rate_bp`
+    * ([[gateCoinOf]] at scale 10⁴)
     * is pure integer comparison — deterministic, auditable, and
     * engine-exact (the one double chain producing rate_bp is the
     * identical IEEE tree in both engines, ::DOUBLE-pinned in the
@@ -395,8 +400,13 @@ object Curation {
     * dual-dialect exact: one BIGINT multiply (max ~2.7e18, no
     * overflow in either engine) and two mods the oracle repeats
     * verbatim. */
-  private[graft] def gateCoinOf(fpExpr: String): String =
-    s"pmod(pmod(($fpExpr) * 2654435761, 1000000007), 1000000)"
+  private[graft] def gateCoinOf(fpExpr: String,
+      scale: Long = 1000000L): String =
+    s"pmod(pmod(($fpExpr) * 2654435761, 1000000007), $scale)"
+
+  /** The oracle's verbatim twin of [[gateCoinOf]]. */
+  private[graft] def duckCoinOf(fpExpr: String, scale: Long): String =
+    s"(($fpExpr) * 2654435761) % 1000000007 % $scale"
 
   /** The SERVE half: admit a doc iff its [[gateCoinOf]] coin clears
     * its language's fitted rate — a deterministic weighted Bernoulli
@@ -490,7 +500,7 @@ object Curation {
         .withColumn("rate_bp",
           floor(least(lit(1.0), (lit(200.0) * col("w")) / col("n_g")) * lit(10000))
             .cast("long"))
-        .withColumn("keep", (pmod(col("fp"), lit(10000)) < col("rate_bp")).cast("long"))
+        .withColumn("keep", (expr(gateCoinOf("fp", 10000)) < col("rate_bp")).cast("long"))
         .groupBy(col("grp"))
         .agg(
           max(col("n_g")).as("n_total"),
@@ -515,7 +525,7 @@ object Curation {
                    * 10000) AS BIGINT) AS rate_bp
                FROM gw JOIN sz USING (grp))
            SELECT grp, max(n_g) AS n_total, max(rate_bp) AS rate_bp,
-             CAST(sum(CASE WHEN fp % 10000 < rate_bp THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(sum(CASE WHEN (fp * 2654435761) % 1000000007 % 10000 < rate_bp THEN 1 ELSE 0 END) AS BIGINT)
                AS n_sampled
            FROM r GROUP BY grp ORDER BY grp""")
   )

@@ -805,7 +805,7 @@ object Dedup {
       val clustered = Tables.documents(s, d).select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("cluster_id"), col("doc_id")))
-        .withColumn("m", pmod(expr("poly_hash(cast(cluster as string))"), lit(10)))
+        .withColumn("m", expr(Curation.gateCoinOf("poly_hash(cast(cluster as string))", 10)))
         .withColumn("split",
           when(col("m") <= 7, "train").when(col("m") === 8, "val").otherwise("test"))
       val audit = clustered.groupBy(col("cluster"))
@@ -852,7 +852,8 @@ object Dedup {
                             list_reduce(list_transform(
                                 string_split_regex(CAST(cluster AS VARCHAR), ''),
                                 c -> CAST(ascii(c) AS BIGINT)),
-                              (a, b) -> (a * 31 + b) % 1000000007) % 10 AS m
+                              (a, b) -> (a * 31 + b) % 1000000007)
+                            * 2654435761 % 1000000007 % 10 AS m
                           FROM cl)),
                  aud AS (SELECT cluster, count(*) AS sz,
                            count(DISTINCT split) AS n_splits
