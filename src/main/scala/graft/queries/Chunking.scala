@@ -688,6 +688,28 @@ object Chunking {
     * then `q_mix_temperature`'s arithmetic over them — √ of an exact
     * integer sum, integer-micro weights, exact integer normalizers,
     * one IEEE division per share. */
+  /** Oracle for the budget plan (`q_mix_budget_plan`,
+    * queries/Indexed.scala): the token-mass CTEs again, then the
+    * budget arithmetic — one rounded division per target, and the
+    * over-repetition flag by exact integer cross-multiplication. */
+  private[queries] def bpeMixBudgetOracle(budget: Long): String =
+    s"""WITH ${bpeOracleCtes(BpeTrainRounds)},
+       |c AS (SELECT d.lang, CAST(sum(len(tn.l)) AS BIGINT) AS n_tokens
+       |      FROM toks$BpeTrainRounds tn JOIN documents d USING (doc_id)
+       |      GROUP BY d.lang),
+       |cw AS (SELECT lang, n_tokens,
+       |         CAST(round(sqrt(n_tokens) * 1000000) AS BIGINT) AS w
+       |       FROM c),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM cw),
+       |p AS (SELECT lang, n_tokens,
+       |        CAST(round($budget.0 * w / wt) AS BIGINT) AS target_tokens
+       |      FROM cw CROSS JOIN t)
+       |SELECT lang, n_tokens, target_tokens,
+       |  round(CAST(target_tokens AS DOUBLE) / n_tokens, 6) AS epochs,
+       |  CAST(CASE WHEN target_tokens > n_tokens * 4 THEN 1 ELSE 0 END
+       |    AS INT) AS over_repeated
+       |FROM p ORDER BY lang""".stripMargin
+
   private[queries] def bpeMixTokensOracle: String =
     s"""WITH ${bpeOracleCtes(BpeTrainRounds)},
        |c AS (SELECT d.lang, count(*) AS n_docs,

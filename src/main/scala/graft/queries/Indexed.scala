@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.VectorIndex
@@ -381,7 +381,59 @@ object Indexed {
     },
     Some(Chunking.bpeMixTokensOracle))
 
+  /** Token budget in the plan key — small enough that every target is
+    * hand-checkable at test scale, and a pure constant both dialects
+    * share. */
+  private val MixBudgetTokens = 100000L
+
+  /** BUDGET-CONSTRAINED mixture plan (r14) — the final artifact of
+    * the mixing family: given a training-run token budget and the
+    * per-language post-BPE token masses (the persisted tokenizer's
+    * serve pass), emit each language's temperature-share target
+    * tokens and the implied EPOCH factor (how many times its corpus
+    * must repeat to fill its quota), flagging languages whose
+    * repetition exceeds 4 epochs — the point past which repeated data
+    * stops substituting for fresh data (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": ~4 epochs is where
+    * returns decay). The flag is computed by EXACT integer
+    * cross-multiplication (`target > 4·n_tokens`), never the rounded
+    * epoch double, so it cannot fork engines at the boundary.
+    *
+    * 100 TB shape: identical to `q_mix_temperature_tokens` — the
+    * zero-shuffle token-count scan, one O(langs) roll-up, a one-row
+    * broadcast; the budget is a literal. Fully oracle-checked. */
+  private[graft] def mixBudgetPlan(s: SparkSession, d: String,
+      budget: Long): DataFrame = {
+    val dir = tokenizerDirFor(s, d)
+    val (ranks, join) = Chunking.loadTokenizerRanks(s, dir)
+    val bc = s.sparkContext.broadcast(ranks)
+    val byLang = graft.Tables.documents(s, d)
+      .select(col("lang"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tok",
+        graft.functions.BpeTokenCount.col(col("toks"), bc, join)
+          .cast("long"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w", expr("CAST(round(sqrt(n_tokens) * 1000000) AS BIGINT)"))
+    val tot = byLang.agg(sum(col("w")).as("wt"))
+    byLang.alias("b").crossJoin(broadcast(tot.alias("t")))
+      .select(col("b.lang").as("lang"), col("b.n_tokens").as("n_tokens"),
+        expr(s"CAST(round($budget.0 * b.w / t.wt) AS BIGINT)")
+          .as("target_tokens"))
+      .withColumn("epochs",
+        expr("round(CAST(target_tokens AS DOUBLE) / n_tokens, 6)"))
+      .withColumn("over_repeated",
+        (col("target_tokens") > col("n_tokens") * 4).cast("int"))
+      .orderBy(col("lang"))
+  }
+
+  private val qMixBudgetPlan = Q(
+    "q_mix_budget_plan",
+    (s, d) => mixBudgetPlan(s, d, MixBudgetTokens),
+    Some(Chunking.bpeMixBudgetOracle(MixBudgetTokens)))
+
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
     qMinhashDupIndexed, qDupClustersMinhashIndexed, qWinnowingIndexed,
-    qBpeEncodeIndexed, qTokenizerFertility, qMixTemperatureTokens)
+    qBpeEncodeIndexed, qTokenizerFertility, qMixTemperatureTokens,
+    qMixBudgetPlan)
 }

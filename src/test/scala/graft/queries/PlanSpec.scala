@@ -366,7 +366,8 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     // a SortMergeJoin or missing map-side combine here would be the
     // whole cost
     for (key <- Seq("q_mix_temperature", "q_mix_temperature_gate",
-        "q_tokenizer_fertility")) {
+        "q_tokenizer_fertility", "q_mix_temperature_tokens",
+        "q_mix_budget_plan")) {
       val p = plan(key)
       assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
         s"$key must not shuffle a join side:\n$p")

@@ -121,4 +121,40 @@ class TokenizerIndexSpec extends AnyFunSuite with SparkTestSupport {
     assert(mix.map(_._5) === w.map(x => BigDecimal(x / wt)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
+
+  test("budget plan: targets split by temperature weight; the 4-epoch flag is exact at the boundary") {
+    // same fixture as the fertility test: post-BPE token masses are
+    // aa=2, zz=6 → integer-micro weights 1414214 / 2449490
+    val d = Files.createTempDirectory("budg").toString
+    Seq(
+      (1L, "a b a b a b", "aa", "web", 12L),
+      (2L, "a b a b a b", "aa", "web", 12L),
+      (3L, "u v w x y z", "zz", "web", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val w = Seq(2L, 6L).map(n => math.round(math.sqrt(n.toDouble) * 1e6))
+    val wt = w.sum
+
+    // the registered key's fixed 100k budget: both languages must
+    // repeat wildly (targets ≫ 4·n_tokens) and the flag says so
+    val rows = Registry.queries("q_mix_budget_plan")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSeq
+    val targets = w.map(x => math.round(100000.0 * x / wt))
+    assert(rows.map(t => (t._1, t._2, t._3)) ===
+      Seq(("aa", 2L, targets(0)), ("zz", 6L, targets(1))))
+    assert(rows.map(_._4) === Seq(2L, 6L).zip(targets).map { case (n, t) =>
+      BigDecimal(t.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble })
+    assert(rows.map(_._5) === Seq(1, 1),
+      s"100k tokens over an 8-token corpus must flag every language: $rows")
+
+    // budget 22 puts aa AT exactly 4 epochs (target 8 = 4·2): the flag
+    // uses strict integer cross-multiplication, so exactly-4 is NOT
+    // over-repeated — the boundary a rounded-double epoch would fork
+    val tight = Indexed.mixBudgetPlan(spark, d, 22L).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getInt(4))).toSeq
+    assert(tight === Seq(("aa", 8L, 0), ("zz", 14L, 0)), tight.toString)
+  }
 }
