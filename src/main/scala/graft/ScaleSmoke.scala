@@ -133,7 +133,11 @@ object ScaleSmoke {
       // must scale linearly (zero-shuffle scoring / O(langs) aggs) —
       // and the span-scrub rewrite (span_dedup's shuffles + the
       // doc_id reassembly)
-      "q_tokenizer_fertility", "q_mix_temperature_gate", "q_span_scrub")
+      "q_tokenizer_fertility", "q_mix_temperature_gate", "q_span_scrub",
+      // r14 tail: the budget plan — the mixing family's end artifact;
+      // one extra serve scan + O(langs) roll-up over the memoized
+      // tokenizer, so its cost must track q_tokenizer_fertility's
+      "q_mix_budget_plan")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")
