@@ -1,0 +1,99 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** PERSISTENT DSIR importance-weight artifact — the per-bucket
+  * hashed-n-gram importance weights ([[graft.queries.Dsir]]) a corpus
+  * team fits ONCE against a target domain and then serves to every
+  * selection batch and admission stream (the [[MixRatesIndex]]
+  * treatment for data selection: without it the fitted weights live
+  * only in the driver that fit them, and a long-running admission
+  * stream can never pick up a refit without a restart).
+  *
+  * Stored form: one parquet table `weights_vN` of `(bucket, w_micro)`
+  * rows — O(n_buckets), never corpus-sized — plus the [[MetaMarker]]
+  * meta naming the committed version and pinning the fit invariants
+  * the weights are only meaningful under:
+  *   - `n_buckets`: the hashed feature-space width. Weights fitted at
+  *     a different width index a DIFFERENT hash partition of token
+  *     space; serving them as comparable would score garbage.
+  *   - `target_spec`: the target-domain predicate the fit labeled
+  *     docs with. Weights answer "how much more target-like than
+  *     raw", so a consumer must know WHICH target that was.
+  *
+  * Commit protocol = the [[MixRatesIndex]] one: new versions land in
+  * fresh `weights_vN` dirs, ONE staged meta swap publishes, orphans
+  * retire with one-generation grace, and a committed name that does
+  * not parse as `weights_v<N>` fails the next build loudly instead of
+  * silently renumbering over live dirs. */
+object DsirIndex {
+
+  private val META = "_DSIR_META.json"
+
+  private val VersionedWeights = "weights_v(\\d+)".r
+
+  private val weightsSchema = StructType(Seq(
+    StructField("bucket", IntegerType),
+    StructField("w_micro", LongType)))
+
+  /** The committed artifact: the weight table plus its fit invariants. */
+  final case class Weights(weights: DataFrame, nBuckets: Int,
+      targetSpec: String)
+
+  /** Persist fitted weights as the artifact's next version and publish
+    * (table name, n_buckets, target_spec) in one meta swap. */
+  def build(weights: DataFrame, nBuckets: Int, targetSpec: String,
+      dir: String): Unit = {
+    val spark = weights.sparkSession
+    val fs = fsFor(spark, dir)
+    val current = currentName(fs, dir)
+    current.foreach(cur =>
+      MetaMarker.retireUnnamed(fs, dir, Seq("weights"), Set(cur)))
+    val n = current match {
+      case Some(VersionedWeights(v)) => v.toInt + 1
+      case Some(other) => throw new IllegalStateException(
+        s"dsir meta at $dir names weights dir '$other', which does " +
+          "not match weights_v<N> — refusing to renumber over it")
+      case None => 0
+    }
+    val next = s"weights_v$n"
+    weights.select("bucket", "w_micro")
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    // target_spec is a predicate STRING (library-authored, no user
+    // content) — escape the two JSON-significant chars anyway so a
+    // future spec with a quote can never produce a torn meta
+    val spec = targetSpec.replace("\\", "\\\\").replace("\"", "\\\"")
+    MetaMarker.write(fs, dir, META,
+      s"""{"weights": "$next", "n_buckets": $nBuckets, "target_spec": "$spec"}""")
+  }
+
+  /** The committed weights as a pure read (explicit schema — no footer
+    * pass), resolved through the meta so the table and its invariants
+    * always come from the SAME commit. */
+  def read(spark: SparkSession, dir: String): Weights = {
+    val fs = fsFor(spark, dir)
+    if (!MetaMarker.exists(fs, dir, META))
+      throw new IllegalArgumentException(s"no dsir artifact at $dir")
+    val root = MetaMarker.read(fs, dir, META)
+    Weights(
+      spark.read.schema(weightsSchema)
+        .parquet(s"$dir/${root.get("weights").asText()}"),
+      root.get("n_buckets").asInt(),
+      root.get("target_spec").asText())
+  }
+
+  /** True once [[build]] ever committed at `dir`. */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    MetaMarker.exists(fsFor(spark, dir), dir, META)
+
+  private def currentName(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[String] =
+    if (MetaMarker.exists(fs, dir, META))
+      Some(MetaMarker.read(fs, dir, META).get("weights").asText())
+    else None
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+  * NeurIPS) — pick the raw-corpus documents that look most like a
+  * small curated TARGET domain, by importance weight under hashed
+  * n-gram bag-of-words models of target vs raw:
+  *
+  *   w(doc) = p_target(doc) / p_raw(doc)
+  *          = Π_tok p_t(bucket(tok)) / p_r(bucket(tok))
+  *
+  * with each token hashed into one of B buckets and both per-bucket
+  * distributions Laplace-smoothed. This is the selection rule behind
+  * several production pretraining corpora (and is an exact
+  * Naive-Bayes likelihood ratio — the hashed fastText-classifier
+  * surrogate of the CCNet family, `q_ccnet_buckets`).
+  *
+  * ENGINE-EXACT, LOG-FREE FORM: the paper's log-ratio sum is libm
+  * `ln` — cross-engine forkable — so the weight is kept as the
+  * per-token RATIO in integer micros,
+  *
+  *   w_micro(b) = ⌊(cnt_t(b)+1)·(N_r+B)·10⁶ / ((cnt_r(b)+1)·(N_t+B))⌋
+  *
+  * computed by BigInt floor division (HUGEINT in the oracle — the
+  * products overflow int64 at corpus scale), and the per-doc score is
+  * the SUM of token micros — order-independent integer arithmetic, so
+  * both engines agree bit-for-bit. Summing ratios instead of log
+  * ratios ranks by the arithmetic rather than geometric mean of
+  * per-token evidence — a monotone-equivalent selection signal for
+  * the gate's purpose, chosen for exactness and documented here.
+  *
+  * 100 TB shape: the FIT is one explode + partial-agg'd groupBy down
+  * to ≤B rows (B = 4096 — bounded driver collect, the
+  * [[graft.functions.TrigramLm]] convention); SCORING broadcasts the
+  * dense B-entry weight array as a plan literal and evaluates one
+  * `transform`+`aggregate` column per doc — O(1) array probes, zero
+  * joins, zero shuffles before the output sort. Unseen buckets carry
+  * the both-unseen Laplace ratio, so the SAME array serves future
+  * streaming batches whose tokens the fit never saw.
+  */
+object Dsir {
+
+  /** Hashed feature-space width. 4096 keeps the fit's driver collect
+    * and the broadcast scoring array trivially bounded while leaving
+    * bucket collisions rare on real vocabularies' heavy tail (the
+    * paper uses 10⁴; any width works — it is pinned in the persisted
+    * artifact's meta so fits and serves can never mix widths). */
+  val DsirBuckets = 4096
+
+  /** Selection threshold: keep a doc iff its per-token mean ratio
+    * micro ≥ 10⁶, i.e. the doc is at least as target-like as raw. */
+  val DsirThresholdMicros = 1000000L
+
+  /** The target-domain predicate of the shipped fit: every fifth
+    * source family (`srcN` with N ≡ 0 mod 5 — 20% of sources) plays
+    * the curated target. Pinned into the artifact meta as a string so
+    * a consumer can never serve weights fitted against a different
+    * target as if comparable. */
+  val TargetSpec = "CAST(substring(source, 4) AS INT) % 5 = 0"
+
+  private def isTarget: Column = expr(TargetSpec)
+
+  /** One token's bucket: the cross-engine-deterministic poly_hash
+    * (the `q_doc_fingerprint` convention) mod B. */
+  private def bucketOf(tok: Column): Column =
+    pmod(call_function("poly_hash", tok), lit(DsirBuckets)).cast("int")
+
+  /** Fit the dense per-bucket weight array over `docs`: one
+    * explode + groupBy(bucket) partial agg (≤B result rows regardless
+    * of corpus size), totals and the Laplace ratio derived on the
+    * driver in BigInt — bit-identical to the oracle's HUGEINT chain.
+    * Buckets no token hashed into get the both-unseen ratio. */
+  def fitWeights(docs: DataFrame): Array[Long] = {
+    val dist = docs
+      .withColumn("is_t", isTarget)
+      .select(col("is_t"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(bucketOf(col("tok")).as("bucket"))
+      .agg(sum(col("is_t").cast("long")).as("cnt_t"),
+        count(lit(1)).as("cnt_r"))
+      .collect()
+    require(dist.nonEmpty, "empty corpus: no tokens to fit DSIR weights")
+    val nT = dist.map(_.getLong(1)).sum
+    val nR = dist.map(_.getLong(2)).sum
+    val counts = dist.map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Array.tabulate(DsirBuckets) { b =>
+      val (ct, cr) = counts.getOrElse(b, (0L, 0L))
+      ((BigInt(ct + 1) * (nR + DsirBuckets) * 1000000L) /
+        (BigInt(cr + 1) * (nT + DsirBuckets))).toLong
+    }
+  }
+
+  /** Score `docs` against a fitted weight array: per doc the token
+    * count, the summed ratio micros, the floor per-token mean, and
+    * the threshold decision — one narrow fused column pass (the
+    * B-entry array rides the plan as a foldable literal; `element_at`
+    * on an array literal is an O(1) probe, unlike the map literal's
+    * linear scan that cost `q_lm_score` its r13 rewrite). Stateless,
+    * so the same columns serve batch and STREAMING frames alike. */
+  def scored(docs: DataFrame, weights: Array[Long]): DataFrame = {
+    require(weights.length == DsirBuckets,
+      s"weight array has ${weights.length} entries, engine serves $DsirBuckets")
+    val wLit = typedLit(weights)
+    docs
+      .withColumn("_toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("_toks")).cast("long"))
+      .withColumn("dsir_micros", aggregate(
+        transform(col("_toks"),
+          t => element_at(wLit, (bucketOf(t) + 1))),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("dsir_avg_micros",
+        when(col("n_toks") > 0, expr("dsir_micros div n_toks"))
+          .otherwise(lit(0L)))
+      .withColumn("selected",
+        (col("dsir_avg_micros") >= DsirThresholdMicros).cast("long"))
+      .drop("_toks")
+  }
+
+  /** The SERVE gate: admit exactly the docs [[scored]] selects —
+    * deterministic, stateless, streaming-safe. */
+  def gated(docs: DataFrame, weights: Array[Long]): DataFrame =
+    scored(docs, weights)
+      .filter(col("selected") === 1L)
+      .drop("n_toks", "dsir_micros", "dsir_avg_micros", "selected")
+
+  /** Fit weights over `docs` and persist them as the next version of
+    * the lake artifact at `dir` ([[graft.index.DsirIndex]]) — the
+    * train-once half of the split; the Maintenance rebuild body for a
+    * dsir [[graft.Maintenance.IndexBinding]]. */
+  def writeWeights(docs: DataFrame, dir: String): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.index.DsirIndex.build(
+      fitWeights(docs).zipWithIndex
+        .map { case (w, b) => (b, w) }.toSeq.toDF("bucket", "w_micro"),
+      DsirBuckets, TargetSpec, dir)
+  }
+
+  /** Resolve the COMMITTED weights at `dir` into the dense serving
+    * array — an O(B) driver read through the meta, so callers that
+    * serve many batches re-call it per batch and a Maintenance refit
+    * lands mid-stream (the tokenizer/winnow consumer contract).
+    * Refuses weights fitted at a different width or target. */
+  def readWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Long] = {
+    val art = graft.index.DsirIndex.read(s, dir)
+    require(art.nBuckets == DsirBuckets,
+      s"dsir artifact at $dir was fitted at n_buckets=${art.nBuckets}, " +
+        s"this engine serves $DsirBuckets")
+    require(art.targetSpec == TargetSpec,
+      s"dsir artifact at $dir was fitted against target '${art.targetSpec}', " +
+        s"this engine serves '$TargetSpec'")
+    val arr = Array.fill(DsirBuckets)(-1L)
+    art.weights.collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    require(!arr.contains(-1L),
+      s"dsir artifact at $dir is missing buckets — torn weight table")
+    arr
+  }
+
+  /** Per-doc DSIR importance weights and the selection decision, fit
+    * and serve in one key — the full oracle re-derives the hashed
+    * bucket distributions, the HUGEINT Laplace ratios, and every
+    * doc's integer score/decision from the raw table, so a hash-green
+    * row certifies the entire chain end to end. */
+  private val qDsirWeights = Q(
+    "q_dsir_weights",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      scored(docs, fitWeights(docs))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          col("dsir_micros"), col("dsir_avg_micros"), col("selected"))
+        .orderBy(col("doc_id"))
+    },
+    Some(dsirOracle))
+
+  private[queries] def dsirOracle: String =
+    s"""WITH t AS (
+          SELECT doc_id, source,
+                 CAST(substr(source, 4) AS INT) % 5 = 0 AS is_t,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id, source, is_t,
+                 list_reduce(list_transform(string_split_regex(tok, ''),
+                               c -> CAST(ascii(c) AS BIGINT)),
+                             (a, x) -> (a * 31 + x) % 1000000007)
+                   % $DsirBuckets AS bucket
+          FROM t),
+        b AS (
+          SELECT bucket,
+                 CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS HUGEINT) AS cnt_t,
+                 CAST(count(*) AS HUGEINT) AS cnt_r
+          FROM h GROUP BY bucket),
+        tot AS (
+          SELECT CAST(sum(cnt_t) AS HUGEINT) AS nt,
+                 CAST(sum(cnt_r) AS HUGEINT) AS nr
+          FROM b),
+        w AS (
+          SELECT bucket,
+                 CAST(((cnt_t + 1) * (nr + $DsirBuckets) * 1000000)
+                      // ((cnt_r + 1) * (nt + $DsirBuckets)) AS BIGINT) AS w_micro
+          FROM b CROSS JOIN tot),
+        sc AS (
+          SELECT h.doc_id, h.source,
+                 CAST(count(*) AS BIGINT) AS n_toks,
+                 CAST(sum(w.w_micro) AS BIGINT) AS dsir_micros
+          FROM h JOIN w USING (bucket)
+          GROUP BY h.doc_id, h.source)
+        SELECT doc_id, source, n_toks, dsir_micros,
+               dsir_micros // n_toks AS dsir_avg_micros,
+               CAST(CASE WHEN dsir_micros // n_toks >= $DsirThresholdMicros
+                    THEN 1 ELSE 0 END AS BIGINT) AS selected
+        FROM sc ORDER BY doc_id"""
+
+  def qs: Seq[Q] = Seq(qDsirWeights)
+}

@@ -432,8 +432,34 @@ object Indexed {
     (s, d) => mixBudgetPlan(s, d, MixBudgetTokens),
     Some(Chunking.bpeMixBudgetOracle(MixBudgetTokens)))
 
+  /** Build-once memo for the persisted DSIR weight artifact over a
+    * corpus dir's `documents` table ([[Dsir.writeWeights]]) — shared
+    * by `q_dsir_weights_indexed` and the streaming admission specs. */
+  private[graft] def dsirDirFor(s: SparkSession, d: String): String =
+    ensureIndex(s, "dsirindex", d, "documents.parquet",
+        dir => graft.index.DsirIndex.exists(s, dir)) { scratch =>
+      Dsir.writeWeights(graft.Tables.documents(s, d), scratch)
+    }
+
+  /** `q_dsir_weights` answered FROM the persisted weight artifact —
+    * the train-once / select-many form of importance resampling. The
+    * ORACLE IS `q_dsir_weights`'s, VERBATIM (it re-derives the fit
+    * from the raw table): a hash-green row proves the STORED weight
+    * table scores and selects bit-identically to the inline fit —
+    * persisting changed nothing about selection semantics. */
+  private val qDsirWeightsIndexed = Q(
+    "q_dsir_weights_indexed",
+    (s, d) => {
+      val weights = Dsir.readWeights(s, dsirDirFor(s, d))
+      Dsir.scored(graft.Tables.documents(s, d), weights)
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          col("dsir_micros"), col("dsir_avg_micros"), col("selected"))
+        .orderBy(col("doc_id"))
+    },
+    Some(Dsir.dsirOracle))
+
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
     qMinhashDupIndexed, qDupClustersMinhashIndexed, qWinnowingIndexed,
     qBpeEncodeIndexed, qTokenizerFertility, qMixTemperatureTokens,
-    qMixBudgetPlan)
+    qMixBudgetPlan, qDsirWeightsIndexed)
 }

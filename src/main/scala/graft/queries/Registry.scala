@@ -20,7 +20,7 @@ object Registry {
   def all: Seq[Q] = {
     val qs = Relational.qs ++ TextOps.qs ++ Dedup.qs ++ Similarity.qs ++
       Multimodal.qs ++ Curation.qs ++ LogQueries.qs ++ Graph.qs ++ SqlFrontend.qs ++
-      Chunking.qs ++ Indexed.qs ++ CorpusReport.qs
+      Chunking.qs ++ Indexed.qs ++ CorpusReport.qs ++ Dsir.qs
     require(qs.map(_.name).distinct.size == qs.size,
       "duplicate query names: " +
         qs.groupBy(_.name).filter(_._2.size > 1).keys.mkString(", "))

@@ -1,0 +1,128 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+import graft.index.DsirIndex
+
+/** DSIR importance-resampling semantics on a planted two-domain
+  * corpus: target-like raw docs must clear the gate, off-domain docs
+  * must not, the persisted artifact must serve bit-identically to the
+  * inline fit (and refuse foreign invariants), and the stateless gate
+  * must score a genuinely streamed corpus exactly like batch. The
+  * cross-engine half of the proof is the driver's hash-green
+  * `q_dsir_weights` / `q_dsir_weights_indexed` rows (full DuckDB
+  * HUGEINT oracle). */
+case class DsirDoc(doc_id: Long, source: String, text: String)
+
+class DsirSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  // Counts are THOUSANDS of tokens so the Laplace +B smoothing
+  // (B = 4096) does not flatten the planted signal: "gold" is
+  // target-dominant, "mud" raw-only, "common" proportional.
+  private def fixture = Seq(
+    DsirDoc(1L, "src0", rep("gold", 4000) + " " + rep("common", 2000)),
+    DsirDoc(2L, "src1", rep("gold", 900) + " " + rep("common", 100)),
+    DsirDoc(3L, "src2", rep("mud", 1000)),
+    DsirDoc(4L, "src3", rep("common", 500) + " " + rep("mud", 500)))
+
+  private def rep(t: String, n: Int): String = Seq.fill(n)(t).mkString(" ")
+
+  test("planted domains: target-like raw doc clears the gate, off-domain does not") {
+    val docs = fixture.toDF()
+    val w = Dsir.fitWeights(docs)
+    val out = Dsir.scored(docs, w)
+      .select("doc_id", "dsir_avg_micros", "selected")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the target doc and the gold-heavy raw doc select; mud-heavy and
+    // the 50/50 common/mud doc do not
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L, out.toString)
+    assert(out(3L)._2 == 0L && out(4L)._2 == 0L, out.toString)
+    // the raw-only token's ratio is orders of magnitude under parity,
+    // the proportional token sits just under it
+    assert(out(3L)._1 < 10000L, s"mud doc scored ${out(3L)._1}")
+    assert(out(4L)._1 < 1000000L && out(4L)._1 > 400000L, out(4L).toString)
+    // gate = scored.filter: same decisions, payload columns restored
+    val kept = Dsir.gated(docs, w).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), kept.toString)
+  }
+
+  test("unseen tokens serve the both-unseen Laplace ratio (the smoothing default)") {
+    val docs = fixture.toDF()
+    val w = Dsir.fitWeights(docs)
+    // (N_t, N_r) = (6000, 9000): default = (9000+B)·1e6 / (6000+B)
+    val expected = (BigInt(9000 + Dsir.DsirBuckets) * 1000000L /
+      BigInt(6000 + Dsir.DsirBuckets)).toLong
+    val novel = Seq(DsirDoc(9L, "src7", "qqnovel qqnovel")).toDF()
+    val got = Dsir.scored(novel, w)
+      .select("dsir_avg_micros").as[Long].head()
+    assert(got == expected, s"$got vs $expected")
+  }
+
+  test("artifact roundtrip is bit-identical; foreign invariants and torn tables refuse; retrain swaps whole") {
+    val docs = fixture.toDF()
+    val dir = Files.createTempDirectory("dsiridx").toString
+    Dsir.writeWeights(docs, dir)
+    assert(DsirIndex.exists(spark, dir))
+    assert(Dsir.readWeights(spark, dir).toSeq == Dsir.fitWeights(docs).toSeq)
+
+    // foreign target spec refuses at serve time
+    val dirSpec = Files.createTempDirectory("dsirspec").toString
+    DsirIndex.build(
+      Seq.tabulate(Dsir.DsirBuckets)(b => (b, 1L)).toDF("bucket", "w_micro"),
+      Dsir.DsirBuckets, "lang = 'en'", dirSpec)
+    val eSpec = intercept[IllegalArgumentException](
+      Dsir.readWeights(spark, dirSpec))
+    assert(eSpec.getMessage.contains("target"), eSpec.getMessage)
+
+    // foreign bucket width refuses at serve time
+    val dirB = Files.createTempDirectory("dsirb").toString
+    DsirIndex.build(Seq((0, 1L)).toDF("bucket", "w_micro"),
+      1234, Dsir.TargetSpec, dirB)
+    val eB = intercept[IllegalArgumentException](Dsir.readWeights(spark, dirB))
+    assert(eB.getMessage.contains("n_buckets"), eB.getMessage)
+
+    // a weight table missing buckets refuses instead of serving junk
+    val dirT = Files.createTempDirectory("dsirtorn").toString
+    DsirIndex.build(Seq((0, 1L), (1, 2L)).toDF("bucket", "w_micro"),
+      Dsir.DsirBuckets, Dsir.TargetSpec, dirT)
+    val eT = intercept[IllegalArgumentException](Dsir.readWeights(spark, dirT))
+    assert(eT.getMessage.contains("missing buckets"), eT.getMessage)
+
+    // refit against a different corpus: the meta advances a version
+    // and serves the NEW fit
+    val docsB = Seq(
+      DsirDoc(1L, "src0", rep("iron", 3000)),
+      DsirDoc(2L, "src1", rep("iron", 500) + " " + rep("clay", 500))).toDF()
+    Dsir.writeWeights(docsB, dir)
+    assert(Dsir.readWeights(spark, dir).toSeq == Dsir.fitWeights(docsB).toSeq)
+  }
+
+  test("a genuinely streamed corpus scores bit-identically to batch") {
+    val docs = fixture.toDF()
+    val w = Dsir.fitWeights(docs)
+    val input = MemoryStream[DsirDoc](spark)
+    val q = Dsir.scored(input.toDF(), w)
+      .select(col("doc_id"), col("dsir_micros"),
+        col("dsir_avg_micros"), col("selected"))
+      .writeStream.format("memory").queryName("dsir_stream_scores").start()
+    try {
+      // two triggers, so scoring crosses a micro-batch boundary
+      val (a, b) = fixture.splitAt(2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("dsir_stream_scores")
+      val batch = Dsir.scored(docs, w)
+        .select(col("doc_id"), col("dsir_micros"),
+          col("dsir_avg_micros"), col("selected"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream-scored corpus diverged from batch DSIR scoring")
+    } finally q.stop()
+  }
+}
