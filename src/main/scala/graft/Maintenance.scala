@@ -98,6 +98,20 @@ object Maintenance {
     }
   }
 
+  /** Fold a winnowing index's pending append sub-tables into the next
+    * committed (fps, stats) version
+    * ([[graft.index.WinnowIndex.compact]]) — turns the union+re-agg
+    * read path pure again. */
+  final case class FoldWinnowIndexAppends(dir: String, nPending: Int)
+      extends Task {
+    def id: String = s"winnow-compact:$dir"
+    def resource: String = dir
+    def run(spark: SparkSession): String = {
+      index.WinnowIndex.compact(spark, dir)
+      s"folded $nPending append table(s)"
+    }
+  }
+
   /** A corpus-driven rebuild (minhash band index, LSH, full IVF
     * retrain) the CALLER requests: only the pipeline knows which fresh
     * corpus an index should be rebuilt from, so the body is supplied,
@@ -150,7 +164,8 @@ object Maintenance {
       minIndexAppends: Int = 4,
       rebuilds: Seq[Rebuild] = Seq.empty,
       indexBindings: Seq[IndexBinding] = Seq.empty,
-      autoTuneLakes: Seq[String] = Seq.empty): Seq[Task] = {
+      autoTuneLakes: Seq[String] = Seq.empty,
+      winnowIndexes: Seq[String] = Seq.empty): Seq[Task] = {
     val lakeTasks = lakes.flatMap { p =>
       logs.LogLake.fragmentedPartitions(spark, p, minLakeFiles)
         .map { case (env, day, n) => CompactLakePartition(p, env, day, n) }
@@ -172,6 +187,13 @@ object Maintenance {
         if (n >= minIndexAppends) Some(FoldVectorIndexAppends(d, n)) else None
       }
     }
+    val winnowTasks = winnowIndexes.flatMap { d =>
+      if (!index.WinnowIndex.exists(spark, d)) None
+      else {
+        val n = index.WinnowIndex.pendingAppends(spark, d)
+        if (n >= minIndexAppends) Some(FoldWinnowIndexAppends(d, n)) else None
+      }
+    }
     val bindingTasks = indexBindings.flatMap { b =>
       val current = index.CorpusStamp.fingerprintOf(spark, b.corpusDir, b.table)
       val stored = index.CorpusStamp.read(spark, b.indexDir).map(_.fingerprint)
@@ -186,7 +208,8 @@ object Maintenance {
         out
       })
     }
-    lakeTasks ++ autoLakeTasks ++ indexTasks ++ bindingTasks ++ rebuilds
+    lakeTasks ++ autoLakeTasks ++ indexTasks ++ winnowTasks ++
+      bindingTasks ++ rebuilds
   }
 
   /** Fan the work-list out over a bounded thread pool (each task is

@@ -1,6 +1,7 @@
 package graft.index
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** PERSISTENT winnowing fingerprint index — the stored form of the
@@ -22,7 +23,22 @@ import org.apache.spark.sql.types._
   * are retired by the next successful build (one-generation grace, so
   * a mid-probe reader of the just-retired pair never loses its files).
   *
-  * Layout: `<dir>/_WINNOW_META.json` + the two parquet dirs.
+  * INCREMENTAL MAINTENANCE (r14 — the [[VectorIndex]] append treatment,
+  * because a 100 TB deployment cannot re-fingerprint the whole corpus
+  * per arriving micro-batch): each appended batch of NEW documents
+  * lands its own (fps, stats-delta) pair under `appends/<label>/`; a
+  * read over a dir with live appends serves
+  * `fps = base ∪ deltas` and `stats = Σ_fp (base ∪ deltas)` — paying
+  * one union + re-aggregation until [[compact]] folds the deltas into
+  * the next committed version and reads become pure again. With zero
+  * live appends the read path is byte-for-byte the pre-append one.
+  * Append docs MUST be new (absent from the base and every other
+  * append) — re-fingerprinting an existing doc_id would double its
+  * (doc, fp) rows and every pair count downstream; the caller owns
+  * that contract exactly as [[VectorIndex.append]]'s callers do.
+  *
+  * Layout: `<dir>/_WINNOW_META.json` + the two parquet version dirs
+  * + `appends/<label>/{fps,stats}`.
   */
 object WinnowIndex {
 
@@ -39,22 +55,26 @@ object WinnowIndex {
     StructField("df", LongType)))
 
   /** Persist a (fps, stats) pair as the index's next version and
-    * commit both names in one meta swap. */
+    * commit both names in one meta swap. A full rebuild subsumes every
+    * append generation, so the commit also marks ALL current append
+    * labels folded (their dirs retire with one-generation grace). */
   def build(fps: DataFrame, stats: DataFrame, dir: String): Unit = {
     val spark = fps.sparkSession
     val fs = fsFor(spark, dir)
-    val current = currentNames(fs, dir)
-    current.foreach { case (curF, curS) =>
+    val current = currentMeta(fs, dir)
+    current.foreach { m =>
+      m.folded.foreach(l =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
       MetaMarker.retireUnnamed(fs, dir, Seq("fps", "stats"),
-        Set(curF, curS))
+        Set(m.fps, m.stats))
     }
     val n = current match {
-      case Some((f, _)) =>
+      case Some(m) =>
         // fail LOUD on a committed meta whose fps name doesn't parse
         // (manual edit, future layout change): silently restarting at
         // v0 would let mode("overwrite") clobber dirs the meta no
         // longer knows about (r13 ADVICE)
-        f match {
+        m.fps match {
           case VersionedFps(v) => v.toInt + 1
           case other => throw new IllegalStateException(
             s"winnow index meta at $dir names fps dir '$other', which " +
@@ -62,34 +82,147 @@ object WinnowIndex {
         }
       case None => 0
     }
+    // label snapshot BEFORE the table writes, committed with them: an
+    // append landing mid-build stays live (re-served and folded by the
+    // next compact) instead of silently shadowed by the fresh base
+    val folded = liveLabels(fs, dir, current)
     val (nextF, nextS) = (s"fps_v$n", s"stats_v$n")
     fps.write.mode("overwrite").parquet(s"$dir/$nextF")
     stats.write.mode("overwrite").parquet(s"$dir/$nextS")
-    MetaMarker.write(fs, dir, META,
-      s"""{"fps": "$nextF", "stats": "$nextS"}""")
+    writeMeta(fs, dir, nextF, nextS, folded)
   }
 
-  /** The committed (fps, stats) pair as pure reads (explicit schema —
-    * no footer pass), resolved through the meta so both tables always
-    * come from the SAME corpus version. */
+  /** Land one micro-batch's (fps, stats-delta) pair as an append
+    * sub-table. Idempotent per label: re-running a batch overwrites
+    * its own dirs only. The label charset is restricted because it
+    * lands in a path AND in the meta's folded-list JSON. */
+  def append(fps: DataFrame, stats: DataFrame, dir: String,
+      label: String): Unit = {
+    require(label.nonEmpty && label.matches("[A-Za-z0-9._=-]+"),
+      s"bad append label (allowed: [A-Za-z0-9._=-]+): $label")
+    require(exists(fps.sparkSession, dir),
+      s"no winnowing index at $dir to append to — build first")
+    fps.write.mode("overwrite").parquet(s"$dir/appends/$label/fps")
+    stats.write.mode("overwrite").parquet(s"$dir/appends/$label/stats")
+  }
+
+  /** The committed (fps, stats) pair, resolved through the meta so
+    * both tables always come from the SAME corpus version. With zero
+    * live appends both are pure schema-pinned reads (no footer pass,
+    * no shuffle); with live appends the fps side is a union and the
+    * stats side re-aggregates df across base + deltas — the cost
+    * [[compact]] exists to fold away. */
   def read(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val (f, s) = currentNames(fsFor(spark, dir), dir)
+    val fs = fsFor(spark, dir)
+    val m = currentMeta(fs, dir)
       .getOrElse(throw new IllegalArgumentException(
         s"no winnowing index at $dir"))
-    (spark.read.schema(fpsSchema).parquet(s"$dir/$f"),
-      spark.read.schema(statsSchema).parquet(s"$dir/$s"))
+    val baseFps = spark.read.schema(fpsSchema).parquet(s"$dir/${m.fps}")
+    val baseStats = spark.read.schema(statsSchema).parquet(s"$dir/${m.stats}")
+    val labels = liveLabels(fs, dir, Some(m))
+    if (labels.isEmpty) (baseFps, baseStats)
+    else {
+      val fps = labels.foldLeft(baseFps)((acc, l) =>
+        acc.union(spark.read.schema(fpsSchema)
+          .parquet(s"$dir/appends/$l/fps")))
+      val stats = labels.foldLeft(baseStats)((acc, l) =>
+          acc.union(spark.read.schema(statsSchema)
+            .parquet(s"$dir/appends/$l/stats")))
+        .groupBy(col("fp")).agg(sum(col("df")).as("df"))
+      (fps, stats)
+    }
+  }
+
+  /** How many live (unfolded) append sub-tables a read currently pays
+    * for — [[graft.Maintenance]]'s compaction trigger. Metadata only. */
+  def pendingAppends(spark: SparkSession, dir: String): Int = {
+    val fs = fsFor(spark, dir)
+    currentMeta(fs, dir).map(m => liveLabels(fs, dir, Some(m)).size)
+      .getOrElse(0)
+  }
+
+  /** Fold all live appends into a NEW committed (fps, stats) version
+    * and mark the labels folded — the read path turns pure again.
+    * Crash-safe exactly as [[VectorIndex.compact]]: a crash before
+    * the meta swap leaves the old state fully live (the half-built
+    * version dirs are retired by the next build/compact's entry
+    * sweep); a crash after IS the normal post-state; folded dirs
+    * linger one generation so a reader that resolved the old meta
+    * never loses files mid-scan. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val m = currentMeta(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no winnowing index at $dir"))
+    // step 1: finish any interrupted predecessor
+    m.folded.foreach(l =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+    MetaMarker.retireUnnamed(fs, dir, Seq("fps", "stats"),
+      Set(m.fps, m.stats))
+    // fold from an explicit label SNAPSHOT, never a re-listing: an
+    // append landing between two listings would be baked into the new
+    // version yet missing from the folded record — read again (and
+    // re-folded next compact) as a duplicate
+    val labels = liveLabels(fs, dir, Some(m))
+    if (labels.isEmpty) { writeMeta(fs, dir, m.fps, m.stats, Seq.empty); return }
+    val n = m.fps match {
+      case VersionedFps(v) => v.toInt + 1
+      case other => throw new IllegalStateException(
+        s"winnow index meta at $dir names fps dir '$other', which " +
+          "does not match fps_v<N> — refusing to renumber over it")
+    }
+    val (nextF, nextS) = (s"fps_v$n", s"stats_v$n")
+    labels
+      .foldLeft(spark.read.schema(fpsSchema).parquet(s"$dir/${m.fps}"))(
+        (acc, l) => acc.union(spark.read.schema(fpsSchema)
+          .parquet(s"$dir/appends/$l/fps")))
+      .write.mode("overwrite").parquet(s"$dir/$nextF")
+    labels
+      .foldLeft(spark.read.schema(statsSchema).parquet(s"$dir/${m.stats}"))(
+        (acc, l) => acc.union(spark.read.schema(statsSchema)
+          .parquet(s"$dir/appends/$l/stats")))
+      .groupBy(col("fp")).agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/$nextS")
+    writeMeta(fs, dir, nextF, nextS, labels)
   }
 
   /** True once [[build]] ever committed at `dir`. */
   def exists(spark: SparkSession, dir: String): Boolean =
-    currentNames(fsFor(spark, dir), dir).isDefined
+    currentMeta(fsFor(spark, dir), dir).isDefined
 
-  private def currentNames(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Option[(String, String)] =
+  private final case class Meta(fps: String, stats: String,
+      folded: Seq[String])
+
+  private def currentMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Meta] =
     if (MetaMarker.exists(fs, dir, META)) {
       val root = MetaMarker.read(fs, dir, META)
-      Some((root.get("fps").asText(), root.get("stats").asText()))
+      // pre-append metas carry no folded list — read as empty
+      val folded = Option(root.get("folded")).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }.getOrElse(Seq.empty)
+      Some(Meta(root.get("fps").asText(), root.get("stats").asText(), folded))
     } else None
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      fps: String, stats: String, folded: Seq[String]): Unit =
+    MetaMarker.write(fs, dir, META,
+      s"""{"fps": "$fps", "stats": "$stats", """ +
+        s""""folded": [${folded.map(l => s""""$l"""").mkString(", ")}]}""")
+
+  /** Append labels on disk MINUS the meta's folded list, sorted for
+    * deterministic fold order. Pure listing. */
+  private def liveLabels(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      meta: Option[Meta]): Seq[String] = {
+    val appendsDir = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    if (!fs.exists(appendsDir)) Seq.empty
+    else {
+      val folded = meta.map(_.folded.toSet).getOrElse(Set.empty)
+      fs.listStatus(appendsDir)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(folded).sorted.toSeq
+    }
+  }
 
   private def fsFor(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)

@@ -967,6 +967,20 @@ object Dedup {
   def readWinnowIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     graft.index.WinnowIndex.read(spark, dir)
 
+  /** Fingerprint one micro-batch of NEW documents and land it as an
+    * append sub-table of the persisted index — the incremental
+    * maintenance path ([[graft.index.WinnowIndex.append]]): only the
+    * batch is fingerprinted (the per-doc sort runs over arriving docs,
+    * never the corpus), reads serve base ∪ deltas immediately, and
+    * [[graft.Maintenance]] folds the deltas back into a pure committed
+    * version once enough accumulate. */
+  def appendWinnowIndex(docs: DataFrame, dir: String, label: String): Unit = {
+    val fps = winnowFingerprints(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try graft.index.WinnowIndex.append(fps, winnowStats(fps), dir, label)
+    finally fps.unpersist()
+  }
+
   /** Drop every `batch` doc sharing ≥ `minShared` cold corpus
     * fingerprints with ANY single indexed document — the streaming
     * partial-overlap gate (the [[dropNearDups]] analog for local

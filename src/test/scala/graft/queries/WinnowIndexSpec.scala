@@ -75,6 +75,90 @@ class WinnowIndexSpec extends AnyFunSuite with SparkTestSupport {
       s"doc embedding a 30-token corpus run must be dropped: $kept")
   }
 
+  test("appends serve immediately (bit-identical to a full rebuild), compact folds them pure") {
+    val run = toks("shared", 30)
+    val base = Seq(
+      (1L, s"$run ${toks("a", 20)}"),
+      (2L, s"${toks("b", 10)} $run"),
+      (3L, toks("solo", 40))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("wnapp").toString
+    Dedup.writeWinnowIndex(base, dir)
+
+    // a later micro-batch of NEW docs: 20 embeds the shared run (so
+    // cross base↔append pairs must appear), 21 is disjoint
+    val batch = Seq(
+      (20L, s"${toks("pre", 5)} $run"),
+      (21L, toks("fresh", 40))).toDF("doc_id", "text")
+    Dedup.appendWinnowIndex(batch, dir, "batch_id=0")
+    assert(graft.index.WinnowIndex.pendingAppends(spark, dir) == 1)
+
+    // union-served reads ≡ one inline pass over the WHOLE corpus —
+    // including the df side: a fingerprint hot in base AND delta must
+    // carry the summed df into the cap
+    val full = base.union(batch)
+    val inline = {
+      val f = Dedup.winnowFingerprints(full)
+      pairsOf(Dedup.winnowPairsFrom(f, Dedup.winnowStats(f)))
+    }
+    val (fpsU, statsU) = Dedup.readWinnowIndex(spark, dir)
+    assert(pairsOf(Dedup.winnowPairsFrom(fpsU, statsU)) == inline)
+    assert(inline.exists(p => p._1 == 1L && p._2 == 20L),
+      s"appended doc embedding the base run must pair cross-generation: $inline")
+
+    // the streaming overlap gate sees appended content without any
+    // rebuild: a probe embedding the run is dropped
+    val probe = Seq(
+      (100L, s"$run ${toks("tail", 5)}"),
+      (101L, toks("novel", 40))).toDF("doc_id", "text")
+    val kept = Dedup.dropOverlapping(probe, fpsU, statsU)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(101L), kept.toString)
+
+    // compact: reads turn pure again and answer identically
+    graft.index.WinnowIndex.compact(spark, dir)
+    assert(graft.index.WinnowIndex.pendingAppends(spark, dir) == 0)
+    val (fpsC, statsC) = Dedup.readWinnowIndex(spark, dir)
+    assert(pairsOf(Dedup.winnowPairsFrom(fpsC, statsC)) == inline)
+    // folded dirs linger one generation (mid-scan reader grace), then
+    // the next compact's entry sweep removes them
+    assert(new java.io.File(s"$dir/appends/batch_id=0").exists())
+    graft.index.WinnowIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/appends/batch_id=0").exists())
+
+    // the index stays appendable after a fold
+    val batch2 = Seq((30L, s"${toks("late", 8)} $run")).toDF("doc_id", "text")
+    Dedup.appendWinnowIndex(batch2, dir, "batch_id=1")
+    val inline2 = {
+      val f = Dedup.winnowFingerprints(full.union(batch2))
+      pairsOf(Dedup.winnowPairsFrom(f, Dedup.winnowStats(f)))
+    }
+    val (fps2, stats2) = Dedup.readWinnowIndex(spark, dir)
+    assert(pairsOf(Dedup.winnowPairsFrom(fps2, stats2)) == inline2)
+  }
+
+  test("Maintenance plans and runs the winnow fold off the pending-append trigger") {
+    val run = toks("maint", 30)
+    val dir = Files.createTempDirectory("wnmaint").toString
+    Dedup.writeWinnowIndex(
+      Seq((1L, s"$run ${toks("a", 10)}")).toDF("doc_id", "text"), dir)
+    Dedup.appendWinnowIndex(
+      Seq((2L, s"${toks("b", 5)} $run")).toDF("doc_id", "text"),
+      dir, "batch_id=0")
+    // below threshold: no task; at threshold: one fold task
+    assert(graft.Maintenance.plan(spark, winnowIndexes = Seq(dir),
+      minIndexAppends = 2).isEmpty)
+    val tasks = graft.Maintenance.plan(spark, winnowIndexes = Seq(dir),
+      minIndexAppends = 1)
+    assert(tasks.map(_.id) == Seq(s"winnow-compact:$dir"), tasks.toString)
+    val results = graft.Maintenance.run(spark, tasks)
+    assert(results.forall(_.outcome.isSuccess), results.map(_.summary).toString)
+    assert(graft.index.WinnowIndex.pendingAppends(spark, dir) == 0)
+    // an unbuilt dir plans nothing (no spurious task on a fresh lake)
+    assert(graft.Maintenance.plan(spark,
+      winnowIndexes = Seq(Files.createTempDirectory("wnnone").toString),
+      minIndexAppends = 1).isEmpty)
+  }
+
   test("a committed meta whose fps name doesn't parse fails the next build loudly") {
     // r13 ADVICE: silently restarting numbering at v0 would let
     // mode("overwrite") clobber dirs the meta no longer names
