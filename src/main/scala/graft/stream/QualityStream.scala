@@ -105,14 +105,21 @@ object QualityStream {
     * never saw are dropped). Drift is then measured on what would
     * actually land, as always.
     *
-    * Both index metas are re-resolved per batch, so a Maintenance
-    * rebuild of either serves from the next trigger. Token counting
+    * Optionally (`dsirIndexDir` set), a DOMAIN-RELEVANCE stage runs
+    * right after the LM gate: drop docs whose DSIR importance weight
+    * under the persisted [[graft.index.DsirIndex]] falls below
+    * target/raw parity ([[graft.queries.Dsir.gated]] — stateless,
+    * one broadcast weight-array column pass, so it sits BEFORE the
+    * index-probe gates and spares them the off-domain volume).
+    *
+    * Every artifact meta is re-resolved per batch, so a Maintenance
+    * rebuild/refit of any serves from the next trigger. Token counting
     * (`n_ws_tokens`) rides on delivered rows so a trainer meters its
     * budget from the manifests alone. Per-batch cost: one stateless
     * scoring pass, one band probe + verify join, one fingerprint
     * probe join, one O(langs) broadcast join when mixing, one
     * ≤bins-row aggregation — no streaming state beyond the sink
-    * checkpoint. QualityStreamSpec drives all five
+    * checkpoint. QualityStreamSpec drives all six
     * gates firing in one stream. */
   def toCuratedTrainingDelivery(
       docs: DataFrame,
@@ -128,7 +135,8 @@ object QualityStream {
       minShared: Int = 2,
       maxKs: Double = 0.2,
       maxRecordsPerShard: Long = 1000000L,
-      tempMix: Option[graft.queries.Curation.TempMixServe] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      tempMix: Option[graft.queries.Curation.TempMixServe] = None,
+      dsirIndexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -136,10 +144,13 @@ object QualityStream {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
         val gated = qualityGated(batch.toDF(), model, minAvgP)
+        val domainKept = dsirIndexDir.fold(gated)(dir =>
+          graft.queries.Dsir.gated(gated,
+            graft.queries.Dsir.readWeights(batch.sparkSession, dir)))
         val (bands, shingles) = graft.queries.Dedup
           .readMinhashIndex(batch.sparkSession, minhashIndexDir)
         val nearDeduped = graft.queries.Dedup
-          .dropNearDups(gated, bands, shingles, nearDupThreshold)
+          .dropNearDups(domainKept, bands, shingles, nearDupThreshold)
         val (fps, stats) =
           graft.queries.Dedup.readWinnowIndex(batch.sparkSession, winnowIndexDir)
         val overlapFree = graft.queries.Dedup

@@ -463,6 +463,53 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(!landed.contains(999999L), "unseen language must be dropped")
   }
 
+  test("curated delivery's optional DSIR gate drops off-domain docs from the persisted artifact") {
+    import java.nio.file.Files
+    def rep(s: String, k: Int) = Seq.fill(k)(s).mkString(" ")
+    // DSIR fit: "gold" target-dominant, "mud" raw-only (the DsirSpec
+    // fixture); the artifact is persisted and served through its meta
+    val fit = Seq(
+      (1L, "src0", rep("gold", 4000) + " " + rep("common", 2000)),
+      (2L, "src1", rep("gold", 900) + " " + rep("common", 100)),
+      (3L, "src2", rep("mud", 1000)),
+      (4L, "src3", rep("common", 500) + " " + rep("mud", 500)))
+      .toDF("doc_id", "source", "text")
+    val work = Files.createTempDirectory("curateddsir").toString
+    graft.queries.Dsir.writeWeights(fit, s"$work/dsir")
+    graft.queries.Dedup.writeWinnowIndex(
+      Seq((100L, "completely unrelated winnow index content words")).toDF("doc_id", "text"),
+      s"$work/idx")
+    graft.queries.Dedup.writeMinhashIndex(
+      Seq((200L, "equally unrelated minhash index corpus body text")).toDF("doc_id", "text"),
+      s"$work/mhidx")
+    // the LM gate is neutralized (minAvgP = 0) and drift is fit on the
+    // on-domain doc family — this test isolates the DSIR stage; every
+    // other gate has its own spec above
+    val onDomain = rep("gold", 900) + " " + rep("common", 100)
+    val model = TrigramLm.train(Seq((1L, onDomain)).toDF("doc_id", "text"))
+    val ref = LogStream.fitLengthCdf(
+      Seq((1L, onDomain)).toDF("doc_id", "text")
+        .withColumn("len", length(col("text"))), valCol = "len")
+
+    val input = MemoryStream[StreamDoc](spark)
+    val q = QualityStream.toCuratedTrainingDelivery(
+      input.toDF(), model, s"$work/mhidx", s"$work/idx", ref,
+      s"$work/out", s"$work/quarantine", s"$work/ckpt",
+      minAvgP = 0.0, maxKs = 0.9, dsirIndexDir = Some(s"$work/dsir"))
+    try {
+      input.addData(
+        StreamDoc(10L, onDomain, ts(0)),           // target-like: lands
+        StreamDoc(11L, rep("mud", 1000), ts(1)))   // off-domain: DSIR gate
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val delivered = graft.sink.TrainingExport
+      .readVerified(spark, s"$work/out/batch_id=0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(delivered === Set(10L),
+      "the off-domain doc must die at the DSIR gate; the target-like doc lands")
+  }
+
   private def ts(minutes: Int): Timestamp =
     new Timestamp(1700000000000L + minutes * 60000L)
 }
