@@ -137,7 +137,11 @@ object ScaleSmoke {
       // r14 tail: the budget plan — the mixing family's end artifact;
       // one extra serve scan + O(langs) roll-up over the memoized
       // tokenizer, so its cost must track q_tokenizer_fertility's
-      "q_mix_budget_plan")
+      "q_mix_budget_plan",
+      // r14: DSIR fit+score — the fit is one explode + ≤4096-bucket
+      // partial agg, scoring a zero-shuffle array-literal probe, so
+      // growth must stay linear in the amplified corpus
+      "q_dsir_weights")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

@@ -120,6 +120,21 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("Join"), "projection must not join anything:\n" + p)
   }
 
+  test("DSIR scoring is a narrow map: weight array rides the plan, no join, only the output sort shuffles") {
+    // the 100 TB claim of q_dsir_weights: the fit collapses to ≤B
+    // rows at fit time, so the SERVED query plan — scoring every doc
+    // against the broadcast weight array — must show exactly one
+    // Exchange (the deterministic output ORDER BY) and no join
+    // operator anywhere; element_at over the array literal is an O(1)
+    // probe inside the fused column pass
+    val p = plan("q_dsir_weights")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), "scoring must probe the array literal, not join:\n" + p)
+    val pIdx = plan("q_dsir_weights_indexed")
+    assert("Exchange".r.findAllIn(pIdx).size == 1, pIdx)
+    assert(!pIdx.contains("Join"), pIdx)
+  }
+
   test("LM scoring shuffles only in training: one bounded-key aggregate, no join, no per-doc shuffle") {
     // model rides the plan as map literals, so the SCORING side of
     // q_lm_score must be shuffle-free: the whole query shows exactly
