@@ -112,6 +112,21 @@ object Maintenance {
     }
   }
 
+  /** Fold a minhash band index's pending append sub-tables into the
+    * next committed (bands, shingles) version
+    * ([[graft.index.MinhashIndex.compact]]) — makes the combined
+    * occupancy durable and re-truncates to the canonical per-bucket
+    * cap. */
+  final case class FoldMinhashIndexAppends(dir: String, nPending: Int)
+      extends Task {
+    def id: String = s"minhash-compact:$dir"
+    def resource: String = dir
+    def run(spark: SparkSession): String = {
+      index.MinhashIndex.compact(spark, dir)
+      s"folded $nPending append table(s)"
+    }
+  }
+
   /** A corpus-driven rebuild (minhash band index, LSH, full IVF
     * retrain) the CALLER requests: only the pipeline knows which fresh
     * corpus an index should be rebuilt from, so the body is supplied,
@@ -165,7 +180,8 @@ object Maintenance {
       rebuilds: Seq[Rebuild] = Seq.empty,
       indexBindings: Seq[IndexBinding] = Seq.empty,
       autoTuneLakes: Seq[String] = Seq.empty,
-      winnowIndexes: Seq[String] = Seq.empty): Seq[Task] = {
+      winnowIndexes: Seq[String] = Seq.empty,
+      minhashIndexes: Seq[String] = Seq.empty): Seq[Task] = {
     val lakeTasks = lakes.flatMap { p =>
       logs.LogLake.fragmentedPartitions(spark, p, minLakeFiles)
         .map { case (env, day, n) => CompactLakePartition(p, env, day, n) }
@@ -194,6 +210,13 @@ object Maintenance {
         if (n >= minIndexAppends) Some(FoldWinnowIndexAppends(d, n)) else None
       }
     }
+    val minhashTasks = minhashIndexes.flatMap { d =>
+      if (!index.MinhashIndex.exists(spark, d)) None
+      else {
+        val n = index.MinhashIndex.pendingAppends(spark, d)
+        if (n >= minIndexAppends) Some(FoldMinhashIndexAppends(d, n)) else None
+      }
+    }
     val bindingTasks = indexBindings.flatMap { b =>
       val current = index.CorpusStamp.fingerprintOf(spark, b.corpusDir, b.table)
       val stored = index.CorpusStamp.read(spark, b.indexDir).map(_.fingerprint)
@@ -209,7 +232,7 @@ object Maintenance {
       })
     }
     lakeTasks ++ autoLakeTasks ++ indexTasks ++ winnowTasks ++
-      bindingTasks ++ rebuilds
+      minhashTasks ++ bindingTasks ++ rebuilds
   }
 
   /** Fan the work-list out over a bounded thread pool (each task is

@@ -1,6 +1,8 @@
 package graft.index
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** PERSISTENT MinHash band index — the stored form of the content
@@ -20,9 +22,36 @@ import org.apache.spark.sql.types._
   * internally-consistent pair; orphaned version dirs are retired by
   * the next successful build.
   *
-  * Layout: `<dir>/_MINHASH_META.json` (bands + shingles version names)
-  * + the two parquet dirs. Pre-r9 indexes (unversioned `bands/` +
-  * `shingles/`, no meta) are still readable.
+  * INCREMENTAL MAINTENANCE (r14 — the [[VectorIndex]]/[[WinnowIndex]]
+  * append treatment): each appended batch of NEW documents lands its
+  * own (bands, shingles) pair under `appends/<label>/`, each row
+  * carrying the batch-LOCAL `bucket_n`/truncation. A read over live
+  * appends must restore the cross-generation semantics the inline
+  * build would have produced:
+  *
+  *  - `bucket_n` must be the COMBINED occupancy — generations
+  *    partition the docs, so it is the SUM of each generation's own
+  *    pre-truncation count (per-row values are constant within a
+  *    (bucket, generation)). Without the re-derivation, a bucket hot
+  *    only ACROSS generations (180 base + 180 appended copies) would
+  *    pass the batch pair generator's `bucket_n <= 256` drop stance
+  *    that the inline form applies, and the one degenerate bucket the
+  *    cap exists for would go quadratic.
+  *  - truncation composes: each generation kept its own 256 lowest
+  *    doc_ids per bucket, a SUPERSET of the global 256 lowest — so
+  *    [[compact]] re-truncating the union by global doc_id order
+  *    converges BIT-IDENTICALLY to a from-scratch rebuild.
+  *
+  * The occupancy re-derivation costs two partial-agg'd shuffles per
+  * read — the price of unfolded appends, folded away by [[compact]]
+  * (scheduled by [[graft.Maintenance]] off [[pendingAppends]]); with
+  * zero live appends reads are the pure schema-pinned scans they
+  * always were.
+  *
+  * Layout: `<dir>/_MINHASH_META.json` (bands + shingles version names
+  * + folded append labels) + the two parquet dirs
+  * + `appends/<label>/{bands,shingles}`. Pre-r9 indexes (unversioned
+  * `bands/` + `shingles/`, no meta) are still readable.
   */
 object MinhashIndex {
 
@@ -41,60 +70,180 @@ object MinhashIndex {
     StructField("shingles", ArrayType(LongType))))
 
   /** Persist a (bands, shingles) pair as the index's next version and
-    * commit both names in one meta swap. */
+    * commit both names in one meta swap. A full rebuild subsumes every
+    * append generation, so the commit also marks ALL current append
+    * labels folded (their dirs retire with one-generation grace). */
   def build(bands: DataFrame, shingles: DataFrame, dir: String): Unit = {
     val spark = bands.sparkSession
     val fs = fsFor(spark, dir)
-    val current = currentNames(fs, dir)
+    val current = currentMeta(fs, dir)
     // ONE-GENERATION GRACE (the LshIndex.build stance): retire only
     // dirs the CURRENT meta does not name — crash orphans and the pair
     // the PREVIOUS build retired — never the pair a just-now reader
     // (a streaming trigger mid-probe) may still be scanning.
-    current.foreach { case (curB, curS) =>
+    current.foreach { m =>
+      m.folded.foreach(l =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
       MetaMarker.retireUnnamed(fs, dir, Seq("bands", "shingles"),
-        Set(curB, curS))
+        Set(m.bands, m.shingles))
     }
-    val n = current match {
-      case Some((b, _)) =>
-        b.stripPrefix("bands").stripPrefix("_v").toIntOption.getOrElse(0) + 1
-      case None => 0
-    }
+    val n = current.map(m => versionAfter(m.bands)).getOrElse(0)
+    // label snapshot BEFORE the table writes, committed with them: an
+    // append landing mid-build stays live instead of silently shadowed
+    val folded = liveLabels(fs, dir, current)
     val (nextB, nextS) = (s"bands_v$n", s"shingles_v$n")
     bands.write.mode("overwrite").parquet(s"$dir/$nextB")
     shingles.write.mode("overwrite").parquet(s"$dir/$nextS")
     // commit: the pair switches together or not at all; the
     // pre-rebuild pair stays on disk until the next build's grace
     // cleanup
-    MetaMarker.write(fs, dir, META,
-      s"""{"bands": "$nextB", "shingles": "$nextS"}""")
+    writeMeta(fs, dir, nextB, nextS, folded)
   }
 
-  /** The committed (bands, shingles) pair as pure reads (explicit
-    * schema — no footer pass), resolved through the meta so both
-    * tables always come from the SAME corpus version. */
+  /** Land one micro-batch's (bands, shingles) pair as an append
+    * sub-table — rows carry the batch-local `bucket_n`; [[read]]
+    * restores the combined occupancy. Idempotent per label. */
+  def append(bands: DataFrame, shingles: DataFrame, dir: String,
+      label: String): Unit = {
+    require(label.nonEmpty && label.matches("[A-Za-z0-9._=-]+"),
+      s"bad append label (allowed: [A-Za-z0-9._=-]+): $label")
+    require(exists(bands.sparkSession, dir),
+      s"no minhash index at $dir to append to — build first")
+    bands.write.mode("overwrite").parquet(s"$dir/appends/$label/bands")
+    shingles.write.mode("overwrite").parquet(s"$dir/appends/$label/shingles")
+  }
+
+  /** The committed (bands, shingles) pair, resolved through the meta
+    * so both tables always come from the SAME corpus version. Pure
+    * schema-pinned reads with zero live appends; with live appends the
+    * bands side re-derives the combined `bucket_n` (see the class doc)
+    * and the shingles side unions. */
   def read(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val (b, s) = currentNames(fsFor(spark, dir), dir)
+    val fs = fsFor(spark, dir)
+    val m = currentMeta(fs, dir)
       .getOrElse(throw new IllegalArgumentException(
         s"no minhash index at $dir"))
-    (spark.read.schema(bandsSchema).parquet(s"$dir/$b"),
-      spark.read.schema(shinglesSchema).parquet(s"$dir/$s"))
+    val baseBands = spark.read.schema(bandsSchema).parquet(s"$dir/${m.bands}")
+    val baseShingles =
+      spark.read.schema(shinglesSchema).parquet(s"$dir/${m.shingles}")
+    val labels = liveLabels(fs, dir, Some(m))
+    if (labels.isEmpty) (baseBands, baseShingles)
+    else (combinedBands(spark, dir, m, labels),
+      labels.foldLeft(baseShingles)((acc, l) =>
+        acc.union(spark.read.schema(shinglesSchema)
+          .parquet(s"$dir/appends/$l/shingles"))))
+  }
+
+  /** base ∪ appends with `bucket_n` restored to the cross-generation
+    * occupancy: per (bucket, generation) the stored value is constant
+    * and generations partition docs, so the true combined count is the
+    * sum of one value per generation. */
+  private def combinedBands(spark: SparkSession, dir: String, m: Meta,
+      labels: Seq[String]): DataFrame = {
+    val tagged = labels.zipWithIndex
+      .foldLeft(spark.read.schema(bandsSchema).parquet(s"$dir/${m.bands}")
+          .withColumn("_gen", lit(0))) { case (acc, (l, i)) =>
+        acc.union(spark.read.schema(bandsSchema)
+          .parquet(s"$dir/appends/$l/bands").withColumn("_gen", lit(i + 1)))
+      }
+    val occ = tagged
+      .groupBy(col("band"), col("bh"), col("_gen"))
+      .agg(max(col("bucket_n")).as("_gn"))
+      .groupBy(col("band"), col("bh"))
+      .agg(sum(col("_gn")).as("bucket_n"))
+    tagged.drop("bucket_n", "_gen")
+      .join(occ, Seq("band", "bh"))
+      .select(col("doc_id"), col("band"), col("bh"), col("bucket_n"))
+  }
+
+  /** How many live (unfolded) append sub-tables a read currently pays
+    * for — [[graft.Maintenance]]'s compaction trigger. Metadata only. */
+  def pendingAppends(spark: SparkSession, dir: String): Int = {
+    val fs = fsFor(spark, dir)
+    currentMeta(fs, dir).map(m => liveLabels(fs, dir, Some(m)).size)
+      .getOrElse(0)
+  }
+
+  /** Fold all live appends into a NEW committed pair — combined
+    * occupancy made durable and the union RE-TRUNCATED to the global
+    * 256 lowest doc_ids per bucket, which converges bit-identically
+    * to a from-scratch rebuild (each generation's kept rows are a
+    * superset of the global keep set). Crash-safe exactly as
+    * [[VectorIndex.compact]]: the meta swap is the commit point,
+    * folded dirs linger one generation. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val m = currentMeta(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no minhash index at $dir"))
+    // step 1: finish any interrupted predecessor
+    m.folded.foreach(l =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+    MetaMarker.retireUnnamed(fs, dir, Seq("bands", "shingles"),
+      Set(m.bands, m.shingles))
+    val labels = liveLabels(fs, dir, Some(m))
+    if (labels.isEmpty) { writeMeta(fs, dir, m.bands, m.shingles, Seq.empty); return }
+    val n = versionAfter(m.bands)
+    val (nextB, nextS) = (s"bands_v$n", s"shingles_v$n")
+    combinedBands(spark, dir, m, labels)
+      .withColumn("_bn", row_number().over(
+        Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
+      .filter(col("_bn") <= 256).drop("_bn")
+      .write.mode("overwrite").parquet(s"$dir/$nextB")
+    labels
+      .foldLeft(spark.read.schema(shinglesSchema)
+        .parquet(s"$dir/${m.shingles}"))((acc, l) =>
+        acc.union(spark.read.schema(shinglesSchema)
+          .parquet(s"$dir/appends/$l/shingles")))
+      .write.mode("overwrite").parquet(s"$dir/$nextS")
+    writeMeta(fs, dir, nextB, nextS, labels)
   }
 
   /** True once [[build]] ever committed at `dir` (or a pre-r9 legacy
     * layout exists there). */
   def exists(spark: SparkSession, dir: String): Boolean =
-    currentNames(fsFor(spark, dir), dir).isDefined
+    currentMeta(fsFor(spark, dir), dir).isDefined
 
-  /** The committed version names, or the pre-r9 unversioned layout if
-    * only legacy dirs exist; None when nothing was ever built. */
-  private def currentNames(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Option[(String, String)] =
+  private def versionAfter(bands: String): Int =
+    bands.stripPrefix("bands").stripPrefix("_v").toIntOption.getOrElse(0) + 1
+
+  private final case class Meta(bands: String, shingles: String,
+      folded: Seq[String])
+
+  /** The committed meta, or the pre-r9 unversioned layout if only
+    * legacy dirs exist; None when nothing was ever built. */
+  private def currentMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Meta] =
     if (MetaMarker.exists(fs, dir, META)) {
       val root = MetaMarker.read(fs, dir, META)
-      Some((root.get("bands").asText(), root.get("shingles").asText()))
+      val folded = Option(root.get("folded")).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }.getOrElse(Seq.empty)
+      Some(Meta(root.get("bands").asText(), root.get("shingles").asText(),
+        folded))
     } else if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bands")))
-      Some(("bands", "shingles"))
+      Some(Meta("bands", "shingles", Seq.empty))
     else None
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      bands: String, shingles: String, folded: Seq[String]): Unit =
+    MetaMarker.write(fs, dir, META,
+      s"""{"bands": "$bands", "shingles": "$shingles", """ +
+        s""""folded": [${folded.map(l => s""""$l"""").mkString(", ")}]}""")
+
+  /** Append labels on disk MINUS the meta's folded list, sorted for
+    * deterministic fold order. Pure listing. */
+  private def liveLabels(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      meta: Option[Meta]): Seq[String] = {
+    val appendsDir = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    if (!fs.exists(appendsDir)) Seq.empty
+    else {
+      val folded = meta.map(_.folded.toSet).getOrElse(Set.empty)
+      fs.listStatus(appendsDir)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(folded).sorted.toSeq
+    }
+  }
 
   private def fsFor(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)

@@ -193,6 +193,22 @@ object Dedup {
   def readMinhashIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     graft.index.MinhashIndex.read(spark, dir)
 
+  /** Signature-pass one micro-batch of NEW documents and land it as an
+    * append sub-table of the persisted index — the incremental
+    * maintenance path ([[graft.index.MinhashIndex.append]]): only the
+    * batch is shingled and banded (never the corpus), reads serve the
+    * cross-generation union immediately (combined `bucket_n` restored
+    * by the read), and [[graft.Maintenance]] folds the deltas back
+    * into a pure committed version once enough accumulate. */
+  def appendMinhashIndex(docs: DataFrame, dir: String, label: String): Unit = {
+    val sig = minhashSig(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try graft.index.MinhashIndex.append(
+      occupancyBands(sig), sig.select(col("doc_id"), col("shingles")),
+      dir, label)
+    finally sig.unpersist()
+  }
+
   /** Drop every `batch` doc whose verified Jaccard against ANY indexed
     * corpus doc reaches `threshold` — the batch core of streaming
     * corpus-wide near-dedup (the content-based analog of the

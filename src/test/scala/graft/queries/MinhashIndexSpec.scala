@@ -121,6 +121,78 @@ class MinhashIndexSpec extends AnyFunSuite with SparkTestSupport {
       s"only the under-cap near-pair may surface: $inline")
   }
 
+  test("appends serve immediately: combined occupancy, cross-generation pairs, compact ≡ rebuild") {
+    val dir = Files.createTempDirectory("mhapp").toString
+    // base: a 180-copy family (under the 256 cap on its own) + one doc
+    val base = ((0 until 180).map(i => (i.toLong, toks("fam", 100))) :+
+      (1000L, toks("pair", 100))).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(base, dir)
+
+    // append: 180 MORE family copies (combined 360 — over the cap only
+    // ACROSS generations), a near-twin of the base doc, a fresh doc
+    val delta = ((0 until 180).map(i => (2000L + i, toks("fam", 100))) :+
+      (3000L, toks("pair", 100).replace("pair7 ", "PAIR7 ")) :+
+      (3001L, toks("fresh", 100))).toDF("doc_id", "text")
+    Dedup.appendMinhashIndex(delta, dir, "batch_id=0")
+    assert(MinhashIndex.pendingAppends(spark, dir) == 1)
+
+    // the union read must restore COMBINED bucket_n: the family's
+    // buckets read 360 (> 256 → the pair generator drops them — with
+    // per-generation counts of 180 leaking through, 360 docs of
+    // boilerplate would go quadratic), and the near-pair STRADDLING
+    // generations surfaces
+    val pairs = Dedup.minhashPairsFromIndex(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty && pairs.forall(p => p == ((1000L, 3000L))),
+      s"only the cross-generation near-pair may surface: $pairs")
+
+    // the streaming probe sees appended content with no rebuild
+    val (bands, shingles) = Dedup.readMinhashIndex(spark, dir)
+    val probe = Seq(
+      (9000L, toks("fresh", 100).replace("fresh3 ", "FRESH3 ")),
+      (9001L, toks("novel", 100))).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDups(probe, bands, shingles)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(9001L),
+      s"near-twin of the APPENDED doc must be dropped: $kept")
+
+    // compact converges BIT-IDENTICALLY to a from-scratch rebuild of
+    // the full corpus — including the re-truncation to the global 256
+    // lowest doc_ids of the over-cap family
+    MinhashIndex.compact(spark, dir)
+    assert(MinhashIndex.pendingAppends(spark, dir) == 0)
+    val fresh = Files.createTempDirectory("mhfresh").toString
+    Dedup.writeMinhashIndex(base.union(delta), fresh)
+    def bandRows(d: String) = MinhashIndex.read(spark, d)._1
+      .collect().map(_.toSeq).toSet
+    def shingleRows(d: String) = MinhashIndex.read(spark, d)._2
+      .select(col("doc_id"), array_sort(col("shingles")))
+      .collect().map(_.toSeq).toSet
+    assert(bandRows(dir) == bandRows(fresh),
+      "compacted bands must equal a from-scratch rebuild's")
+    assert(shingleRows(dir) == shingleRows(fresh))
+    // folded dirs linger one generation, then the next compact sweeps
+    assert(new java.io.File(s"$dir/appends/batch_id=0").exists())
+    MinhashIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/appends/batch_id=0").exists())
+  }
+
+  test("Maintenance plans and runs the minhash fold off the pending-append trigger") {
+    val dir = Files.createTempDirectory("mhmaint").toString
+    Dedup.writeMinhashIndex(corpus("a"), dir)
+    Dedup.appendMinhashIndex(
+      Seq((50L, toks("afresh", 100))).toDF("doc_id", "text"),
+      dir, "batch_id=0")
+    assert(graft.Maintenance.plan(spark, minhashIndexes = Seq(dir),
+      minIndexAppends = 2).isEmpty)
+    val tasks = graft.Maintenance.plan(spark, minhashIndexes = Seq(dir),
+      minIndexAppends = 1)
+    assert(tasks.map(_.id) == Seq(s"minhash-compact:$dir"), tasks.toString)
+    val results = graft.Maintenance.run(spark, tasks)
+    assert(results.forall(_.outcome.isSuccess), results.map(_.summary).toString)
+    assert(MinhashIndex.pendingAppends(spark, dir) == 0)
+  }
+
   test("pre-r9 unversioned layout stays readable; the pair generator rejects it loudly") {
     val dir = Files.createTempDirectory("mhidx-legacy").toString
     val c = corpus("a")
