@@ -922,6 +922,51 @@ object LogStream {
       }
       .start()
 
+  /** SELF-MAINTAINING streaming near-dedup (r14) — the closed ingest
+    * loop [[toNearDedupedLake]]'s static-index stance deferred to
+    * "batch re-index + stream restart": each micro-batch is gated
+    * against the index AND its survivors are APPENDED back
+    * ([[graft.queries.Dedup.appendMinhashIndex]], label
+    * `batch_id=<n>`), so a re-crawl arriving TWO TRIGGERS LATER is
+    * caught by the doc admitted two triggers earlier — no rebuild, no
+    * restart. This is the form a live 100 TB ingest actually runs:
+    * only the batch is ever signature-passed, the corpus side stays a
+    * stored read (base ∪ unfolded deltas), and
+    * [[graft.Maintenance]] folds the accumulating deltas off the
+    * [[graft.index.MinhashIndex.pendingAppends]] trigger — a
+    * mid-stream compact's meta swap serves from the next trigger
+    * exactly like a rebuild's.
+    *
+    * Exactly-once: a replayed batch overwrites BOTH its own
+    * `batch_id=` lake partition and its own append label — both
+    * idempotent, so a crash between the two writes re-runs cleanly.
+    * A dup pair arriving WITHIN one micro-batch still lands whole
+    * (the [[dedupAgainstCorpus]] stance); it joins the index with the
+    * batch and catches the third copy. */
+  def toSelfDedupingLake(
+      docs: DataFrame,
+      indexDir: String,
+      lakeDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.9): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val (bands, shingles) =
+          graft.queries.Dedup.readMinhashIndex(batch.sparkSession, indexDir)
+        // one materialization: the lake write and the append's
+        // signature pass both consume the survivors — without it the
+        // probe join runs twice per trigger
+        val survivors = graft.queries.Dedup
+          .dropNearDups(batch.toDF(), bands, shingles, threshold)
+          .localCheckpoint(true)
+        writeBatchIdempotent(survivors, lakeDir, batchId)
+        graft.queries.Dedup.appendMinhashIndex(
+          survivors, indexDir, s"batch_id=$batchId")
+      }
+      .start()
+
   /** Streaming PARTIAL-OVERLAP gate — [[toNearDedupedLake]]'s sibling
     * for the LOCAL-fingerprint family (r13): drop every incoming doc
     * that shares ≥ `minShared` cold winnowing fingerprints with any

@@ -229,6 +229,47 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     } finally q.stop()
   }
 
+  test("self-deduping lake: a survivor admitted one trigger joins the gate for the next; compact serves mid-stream") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-selfdedup").toString
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    val idxDir = s"$work/idx"
+    graft.queries.Dedup.writeMinhashIndex(
+      Seq((1L, toks("corpus", 100))).toDF("doc_id", "text"), idxDir)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = LogStream.toSelfDedupingLake(
+      input.toDF().toDF("doc_id", "text"), idxDir,
+      s"$work/lake", s"$work/ckpt", threshold = 0.9)
+    try {
+      // batch 0: a fresh doc lands AND joins the index as an append
+      input.addData((100L, toks("alpha", 100)))
+      q.processAllAvailable()
+      assert(graft.index.MinhashIndex.pendingAppends(spark, idxDir) == 1)
+      // batch 1: a near-twin of the doc ADMITTED LAST TRIGGER — only
+      // the self-append can catch it (it was never in the base index);
+      // a twin of the base corpus and a fresh doc exercise both other
+      // paths in the same trigger
+      input.addData(
+        (101L, toks("alpha", 100).replace("alpha7 ", "ALPHA7 ")),
+        (102L, toks("corpus", 100).replace("corpus7 ", "CORPUS7 ")),
+        (103L, toks("beta", 100)))
+      q.processAllAvailable()
+      // a Maintenance fold lands mid-stream: the next trigger gates
+      // against the compacted index exactly as before
+      graft.index.MinhashIndex.compact(spark, idxDir)
+      assert(graft.index.MinhashIndex.pendingAppends(spark, idxDir) == 0)
+      input.addData(
+        (104L, toks("beta", 100).replace("beta3 ", "BETA3 ")),
+        (105L, toks("gamma", 100)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$work/lake")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L, 103L, 105L),
+      s"twins of self-appended docs (101 pre-compact, 104 post-compact) " +
+        s"and of the base corpus (102) must be dropped: $kept")
+  }
+
   test("persisted band index keeps representatives of an over-cap dup family — the stream gate still fires") {
     import spark.implicits._
     def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
