@@ -1001,6 +1001,37 @@ object LogStream {
       }
       .start()
 
+  /** SELF-MAINTAINING overlap gating (r14) — [[toSelfDedupingLake]]'s
+    * sibling for the LOCAL-fingerprint family: each micro-batch is
+    * overlap-gated against the persisted [[graft.index.WinnowIndex]]
+    * AND its survivors' fingerprints are APPENDED back
+    * ([[graft.queries.Dedup.appendWinnowIndex]], label
+    * `batch_id=<n>`) — a doc quoting a run of a doc admitted two
+    * triggers earlier is caught with no rebuild and no restart.
+    * Same exactly-once contract: a replay overwrites both its lake
+    * partition and its append label; [[graft.Maintenance]] folds the
+    * deltas off [[graft.index.WinnowIndex.pendingAppends]]. */
+  def toSelfOverlapGatingLake(
+      docs: DataFrame,
+      indexDir: String,
+      lakeDir: String,
+      checkpointDir: String,
+      minShared: Int = 2): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val (fps, stats) =
+          graft.queries.Dedup.readWinnowIndex(batch.sparkSession, indexDir)
+        val survivors = graft.queries.Dedup
+          .dropOverlapping(batch.toDF(), fps, stats, minShared)
+          .localCheckpoint(true)
+        writeBatchIdempotent(survivors, lakeDir, batchId)
+        graft.queries.Dedup.appendWinnowIndex(
+          survivors, indexDir, s"batch_id=$batchId")
+      }
+      .start()
+
   /** Streaming ANOMALY GATE — the streaming form of `q_anomaly_mad`:
     * score each event against PRECOMPUTED per-key robust stats
     * (`med`/`mad` per `event_type`, from the batch median/MAD pass) and

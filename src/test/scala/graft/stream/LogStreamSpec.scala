@@ -1276,6 +1276,44 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     } finally q.stop()
   }
 
+  test("self-overlap-gating lake: a run admitted one trigger gates quoters the next; compact serves mid-stream") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-selfoverlap").toString
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    val runA = toks("alpha", 30)
+    graft.queries.Dedup.writeWinnowIndex(
+      Seq((1L, s"${toks("corpus", 30)} tail words")).toDF("doc_id", "text"),
+      s"$work/idx")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = LogStream.toSelfOverlapGatingLake(
+      input.toDF().toDF("doc_id", "text"), s"$work/idx",
+      s"$work/lake", s"$work/ckpt")
+    try {
+      // batch 0: a fresh doc containing run A lands AND its
+      // fingerprints join the index as an append
+      input.addData((100L, s"$runA ${toks("x", 10)}"))
+      q.processAllAvailable()
+      assert(graft.index.WinnowIndex.pendingAppends(spark, s"$work/idx") == 1)
+      // batch 1: a doc QUOTING run A — only the self-append catches it
+      // (run A was never in the base index); a disjoint doc passes
+      input.addData(
+        (101L, s"${toks("pre", 8)} $runA"),
+        (102L, toks("fresh", 40)))
+      q.processAllAvailable()
+      // a Maintenance fold mid-stream: the next trigger still gates
+      graft.index.WinnowIndex.compact(spark, s"$work/idx")
+      input.addData(
+        (103L, s"$runA ${toks("post", 5)}"),
+        (104L, toks("novel", 40)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$work/lake")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L, 102L, 104L),
+      s"quoters of the self-appended run (101 pre-compact, 103 post-compact) " +
+        s"must be dropped: $kept")
+  }
+
   test("near-dedup gate follows a minhash index rebuild from the next micro-batch, no restart") {
     import spark.implicits._
     def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
