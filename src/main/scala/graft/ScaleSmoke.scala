@@ -307,6 +307,58 @@ object ScaleSmoke {
         "(batch docs are indexed, so ~all drop)")
     }
 
+    // INCREMENTAL index maintenance (r14): the same corpus served as
+    // one committed version vs base + 8 unfolded appends — the probe
+    // premium appends cost until Maintenance folds them, and the
+    // compact that restores the pure-read baseline. Batches are
+    // disjoint doc_id slices (the append contract: new docs only).
+    if (wanted("append_maint")) block("append_maint") {
+      import graft.queries.Dedup
+      val docs = Tables.documents(spark, patched.getPath)
+      val probe = docs.filter(col("doc_id") < 1000).localCheckpoint(true)
+      val nb = probe.count()
+
+      val mdir = s"${patched.getPath}/mh_app"
+      rmDir(mdir)
+      val (_, tFull) = timed(Dedup.writeMinhashIndex(docs, mdir))
+      def mhProbe(): Long = {
+        val (b, s) = Dedup.readMinhashIndex(spark, mdir)
+        Dedup.dropNearDups(probe, b, s, 0.9).count()
+      }
+      val (_, tPure) = timed(mhProbe())
+      rmDir(mdir)
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 10 < 2), mdir)
+      val (_, tApp) = timed((2 until 10).foreach(i =>
+        Dedup.appendMinhashIndex(docs.filter(col("doc_id") % 10 === i),
+          mdir, s"batch_id=$i")))
+      val (_, tUnfolded) = timed(mhProbe())
+      val (_, tCompact) = timed(graft.index.MinhashIndex.compact(spark, mdir))
+      val (_, tFolded) = timed(mhProbe())
+      println(f"SCALE mh_append full_build=$tFull%.2f s probe_pure=$tPure%.2f s " +
+        f"append8=$tApp%.2f s probe_8unfolded=$tUnfolded%.2f s " +
+        f"compact=$tCompact%.2f s probe_folded=$tFolded%.2f s (batch=$nb)")
+
+      val wdir = s"${patched.getPath}/wn_app"
+      rmDir(wdir)
+      val (_, wFull) = timed(Dedup.writeWinnowIndex(docs, wdir))
+      def wnProbe(): Long = {
+        val (f, s) = Dedup.readWinnowIndex(spark, wdir)
+        Dedup.dropOverlapping(probe, f, s).count()
+      }
+      val (_, wPure) = timed(wnProbe())
+      rmDir(wdir)
+      Dedup.writeWinnowIndex(docs.filter(col("doc_id") % 10 < 2), wdir)
+      val (_, wApp) = timed((2 until 10).foreach(i =>
+        Dedup.appendWinnowIndex(docs.filter(col("doc_id") % 10 === i),
+          wdir, s"batch_id=$i")))
+      val (_, wUnfolded) = timed(wnProbe())
+      val (_, wCompact) = timed(graft.index.WinnowIndex.compact(spark, wdir))
+      val (_, wFolded) = timed(wnProbe())
+      println(f"SCALE wn_append full_build=$wFull%.2f s probe_pure=$wPure%.2f s " +
+        f"append8=$wApp%.2f s probe_8unfolded=$wUnfolded%.2f s " +
+        f"compact=$wCompact%.2f s probe_folded=$wFolded%.2f s (batch=$nb)")
+    }
+
     // CHAIN vs KERNEL encode at growing merge-table size R: the chain
     // form costs R narrow passes (plan nodes grow with R); the kernel
     // is one mapPartitions at ANY R. Merge table = top-R adjacent
