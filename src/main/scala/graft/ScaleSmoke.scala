@@ -141,7 +141,11 @@ object ScaleSmoke {
       // r14: DSIR fit+score — the fit is one explode + ≤4096-bucket
       // partial agg, scoring a zero-shuffle array-literal probe, so
       // growth must stay linear in the amplified corpus
-      "q_dsir_weights")
+      "q_dsir_weights",
+      // r14: semantic decontamination — broadcast benchmark, one
+      // corpus scan with a keyed max; must track q_decontaminate's
+      // near-flat broadcast-probe shape
+      "q_decontaminate_semantic")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

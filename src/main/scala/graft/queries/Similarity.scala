@@ -1193,6 +1193,55 @@ object Similarity {
         |      FROM e CROSS JOIN (SELECT unnest(range(16)) AS j))
         |SELECT vec_id, j AS dim, val FROM p ORDER BY vec_id, dim""".stripMargin))
 
+  /** SEMANTIC decontamination core — per corpus vector, the maximum
+    * cosine against ANY benchmark vector and the threshold decision.
+    * The paraphrase-robust complement of the n-gram
+    * `q_decontaminate`: an eval item rewritten in different words
+    * shares no 5-grams but keeps a near-identical embedding, so
+    * n-gram decontamination alone leaks it into training data.
+    *
+    * 100 TB shape: the benchmark side is eval-suite-sized (thousands)
+    * → broadcast; the corpus is scanned ONCE with a map-side cosine
+    * fan-out and a partial-agg'd max per vector — no corpus-side
+    * shuffle beyond the keyed max. Against a benchmark too large to
+    * brute-force, the family's IVF/LSH indexes are the probe path
+    * (`VectorIndex.search` with benchmark vectors as queries). */
+  private[graft] def semanticDecontam(corpus: DataFrame, bench: DataFrame,
+      threshold: Double): DataFrame =
+    corpus.crossJoin(broadcast(bench.select(col("bemb"))))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(cosine(col("emb"), col("bemb"))).as("mc"))
+      .select(col("vec_id"), col("label"),
+        round(col("mc"), 6).as("max_benchmark_cos"),
+        (round(col("mc"), 6) >= threshold).cast("long").as("contaminated"))
+
+  /** Benchmark = the 20 lowest vec_ids (the family's query-set
+    * convention widened), corpus = the rest; max is order-independent
+    * and the cosine kernel is the oracle's fold, so the whole chain is
+    * hash-checkable. */
+  private val qDecontaminateSemantic = Q(
+    "q_decontaminate_semantic",
+    (s, d) => {
+      val e = embDouble(s, d)
+      semanticDecontam(
+        e.filter(col("vec_id") >= 20),
+        e.filter(col("vec_id") < 20).select(col("emb").as("bemb")),
+        threshold = 0.8)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH e AS ($oracleEmb),
+             bench AS (SELECT emb AS bemb FROM e WHERE vec_id < 20),
+             corpus AS (SELECT vec_id, label, emb FROM e WHERE vec_id >= 20),
+             m AS (SELECT c.vec_id, c.label,
+                     max(${oracleCos("c.emb", "b.bemb")}) AS mc
+                   FROM corpus c CROSS JOIN bench b
+                   GROUP BY c.vec_id, c.label)
+             SELECT vec_id, label, round(mc, 6) AS max_benchmark_cos,
+               CAST(CASE WHEN round(mc, 6) >= 0.8 THEN 1 ELSE 0 END AS BIGINT)
+                 AS contaminated
+             FROM m ORDER BY vec_id""")
+  )
+
   def qs: Seq[Q] =
     Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityLshPortable,
       qSimilarityIvf,
@@ -1200,5 +1249,6 @@ object Similarity {
       qSemanticDedup, qSemanticDedupPortable,
       qEmbedCosineDup, qAnnRecall, qAnnRecallPortable, qKnnClassify,
       qEmbedOutliers,
-      qEmbedCentroids, qSimilaritySq8, qRetrievalMetrics, qEmbedProject)
+      qEmbedCentroids, qSimilaritySq8, qRetrievalMetrics, qEmbedProject,
+      qDecontaminateSemantic)
 }

@@ -534,6 +534,41 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
       s"ivf_kmeans_portable recall collapsed: $rows")
   }
 
+  test("semantic decontamination flags exact and paraphrase-level twins of benchmark vectors") {
+    // the n-gram decontaminate key can only catch shared 5-grams; this
+    // fixture plants the case it misses — a benchmark item "rewritten"
+    // (tiny embedding perturbation) — plus an exact twin and clean
+    // vectors (avalanche-hash fixture: random 64-dim cosines sit ~6σ
+    // below the 0.8 threshold)
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def pv(seed: Int): Array[Float] =
+      Array.tabulate(64)(j =>
+        (((mix(seed * 64L + j) & 0x7fffffffL) % 1000L).toDouble / 1000.0 * 2 - 1).toFloat)
+    val dir = Files.createTempDirectory("semdecon").toString
+    val bench = (0 until 20).map(i => (i.toLong, pv(i), 0))
+    val corpus = Seq(
+      (20L, pv(0), 1),                                        // exact twin
+      (21L, { val x = pv(7); x(0) = x(0) + 0.05f; x }, 1)) ++ // paraphrase
+      (22 until 30).map(i => (i.toLong, pv(1000 + i), 1))     // clean
+    (bench ++ corpus).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Registry.queries("q_decontaminate_semantic")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(rows.keySet == (20L until 30L).toSet, rows.keySet.toString)
+    assert(rows(20L)._1 == 1.0 && rows(20L)._2 == 1L,
+      s"exact twin must flag at cos 1.0: ${rows(20L)}")
+    assert(rows(21L)._1 > 0.99 && rows(21L)._2 == 1L,
+      s"paraphrase-level twin must flag: ${rows(21L)}")
+    (22L until 30L).foreach(i =>
+      assert(rows(i)._2 == 0L && rows(i)._1 < 0.8,
+        s"clean vector $i must pass: ${rows(i)}"))
+  }
+
   test("IVF centroid count scales ~sqrt(n) and is clamped") {
     assert(Similarity.centroidsFor(0) == 16)
     assert(Similarity.centroidsFor(100) == 16)
