@@ -203,6 +203,52 @@ object Demo {
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"[demo] stream thinned to the temperature mixture: $admitted")
     }
+
+    // -- 9. the self-maintaining ingest loop (r14): each trigger gates
+    //      arrivals against the persisted near-dup index AND appends
+    //      its survivors back — a re-crawl of a doc admitted two
+    //      triggers earlier is caught with no rebuild, no restart; a
+    //      DSIR domain fit persisted as an artifact drops off-domain
+    //      text before it ever reaches the index probes
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+      val work = Files.createTempDirectory("demo-selfdedup").toString
+      queries.Dedup.writeMinhashIndex(
+        Seq((1L, toks("corpus", 100))).toDF("doc_id", "text"), s"$work/idx")
+      val sin = MemoryStream[(Long, String)](spark)
+      val sq = LogStream.toSelfDedupingLake(
+        sin.toDF().toDF("doc_id", "text"), s"$work/idx",
+        s"$work/lake", s"$work/ckpt")
+      sin.addData((100L, toks("alpha", 100)))
+      sq.processAllAvailable()
+      sin.addData( // a near-twin of the doc admitted LAST trigger
+        (101L, toks("alpha", 100).replace("alpha7 ", "ALPHA7 ")),
+        (102L, toks("beta", 100)))
+      sq.processAllAvailable(); sq.stop()
+      val kept = spark.read.parquet(s"$work/lake")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      println(s"[demo] self-deduping lake kept $kept — the re-crawl of " +
+        "trigger-0's survivor was caught by its own append; Maintenance " +
+        s"folds the ${index.MinhashIndex.pendingAppends(spark, s"$work/idx")} " +
+        "pending append(s) off the compaction trigger")
+
+      val fit = Seq(
+        (1L, "src0", (toks("ondomain", 50) + " ") * 40),
+        (2L, "src1", (toks("ondomain", 50) + " ") * 8),
+        (3L, "src2", (toks("offdomain", 50) + " ") * 20)).toDF("doc_id", "source", "text")
+      queries.Dsir.writeWeights(fit, s"$work/dsir")
+      val arrivals = Seq(
+        (10L, toks("ondomain", 50)), (11L, toks("offdomain", 50)))
+        .toDF("doc_id", "text")
+      val domainKept = queries.Dsir.gated(arrivals,
+          queries.Dsir.readWeights(spark, s"$work/dsir"))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      println(s"[demo] DSIR gate admitted docs $domainKept — importance " +
+        "weights fitted once against the target domain, served from the " +
+        "versioned artifact, off-domain text dropped before the dedup probes")
+    }
     spark.stop()
   }
 }
