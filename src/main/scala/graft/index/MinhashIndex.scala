@@ -107,8 +107,15 @@ object MinhashIndex {
       label: String): Unit = {
     require(label.nonEmpty && label.matches("[A-Za-z0-9._=-]+"),
       s"bad append label (allowed: [A-Za-z0-9._=-]+): $label")
-    require(exists(bands.sparkSession, dir),
-      s"no minhash index at $dir to append to — build first")
+    val m = currentMeta(fsFor(bands.sparkSession, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no minhash index at $dir to append to — build first"))
+    // a pre-r9 layout has no bucket_n: the combined-occupancy
+    // re-derivation would propagate nulls into every bucket count —
+    // refuse here instead of serving silently-null occupancy
+    require(m.bands != "bands",
+      s"legacy (pre-r9) minhash index at $dir — rebuild (writeMinhashIndex) " +
+        "before appending")
     bands.write.mode("overwrite").parquet(s"$dir/appends/$label/bands")
     shingles.write.mode("overwrite").parquet(s"$dir/appends/$label/shingles")
   }

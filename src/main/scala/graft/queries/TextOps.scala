@@ -37,6 +37,12 @@ object TextOps {
     * by `part` alone is legal only when it consumes an aggregate
     * grouped by a `_d`/`bin` column — bounded at 1024 by this
     * construction. */
+  /** `key` MUST lie in `[0, 2^bits)` — a value at or past the 2^bits
+    * endpoint has its high bits silently dropped by the digit
+    * extraction, aliasing it with a low key; the aliased histogram
+    * rows then TIE in the final window's orderBy and cumulate in
+    * nondeterministic order. Callers with an inclusive upper endpoint
+    * pass one extra bit (q_quality_calibrate_scalable's 41). */
   private[queries] def boundedCumBefore(
       hist: org.apache.spark.sql.DataFrame, part: Seq[String],
       key: String, bits: Int): org.apache.spark.sql.DataFrame = {
@@ -700,7 +706,13 @@ object TextOps {
         .withColumn("qkey", expr("shiftleft(nstop, 40) div ntok"))
       val hist = scored.groupBy(col("source"), col("qkey"))
         .agg(count(lit(1)).as("n_val"))
-      val cums = boundedCumBefore(hist, Seq("source"), "qkey", bits = 40)
+      // bits = 41, not 40: qkey's range is [0, 2^40] INCLUSIVE — an
+      // all-stopword doc (nstop = ntok) lands exactly on the 2^40
+      // endpoint, and a 40-bit decomposition would drop its 41st bit,
+      // aliasing ratio 1.0 with ratio 0.0 into one digit cell whose
+      // tied final-window rows cumulate in NONDETERMINISTIC order
+      // (surfaced as an intermittent rank reversal in CurationSpec)
+      val cums = boundedCumBefore(hist, Seq("source"), "qkey", bits = 41)
         .select(col("source"), col("qkey"), col("cum_before"), col("n_total"))
       val wd = Window.partitionBy(col("source"), col("qkey"))
         .orderBy(col("doc_id"))

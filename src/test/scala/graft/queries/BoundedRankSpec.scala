@@ -56,6 +56,18 @@ class BoundedRankSpec extends AnyFunSuite with SparkTestSupport {
       bits = 40)
   }
 
+  test("five-level (bits=41): the inclusive-endpoint width — 2^40 must NOT alias with key 0") {
+    // the calibrate regression: qkey = (nstop << 40) div ntok reaches
+    // 2^40 EXACTLY on an all-stopword doc; under bits=40 its 41st bit
+    // was dropped, aliasing it with key 0 into one digit cell whose
+    // tied window rows cumulated in nondeterministic order. bits=41
+    // gives the endpoint its own top digit — cum_before must place it
+    // strictly ABOVE every other key, deterministically.
+    check(Seq(("s", 0L, 3L), ("s", 1L << 20, 5L), ("s", (1L << 40) - 1L, 7L),
+      ("s", 1L << 40, 11L), ("t", 1L << 40, 1L), ("t", 42L, 2L)),
+      bits = 41)
+  }
+
   test("every window in the helper's plan partitions by one more digit than it orders by") {
     // the structural boundedness claim itself: level-i windows
     // partition by (part, d1..d(i-1)) and order by d_i — never by the

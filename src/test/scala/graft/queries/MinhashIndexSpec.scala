@@ -205,6 +205,12 @@ class MinhashIndexSpec extends AnyFunSuite with SparkTestSupport {
     assert(b.count() > 0 && s.count() == 2)
     assert(b.filter(col("bucket_n").isNotNull).head(1).isEmpty,
       "a legacy read surfaces bucket_n as null on every row")
+    // appending to a legacy layout would propagate null bucket_n into
+    // every combined occupancy — refuse loudly
+    val eApp = intercept[IllegalArgumentException] {
+      Dedup.appendMinhashIndex(c, dir, "batch_id=0")
+    }
+    assert(eApp.getMessage.contains("legacy"), eApp.getMessage)
     // the cap filter would silently drop every null-bucket_n band →
     // zero pairs with no error; the generator must refuse instead
     val e = intercept[IllegalArgumentException] {
