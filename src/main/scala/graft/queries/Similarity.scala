@@ -1242,6 +1242,108 @@ object Similarity {
              FROM m ORDER BY vec_id""")
   )
 
+  /** Neighborhood size for the bitext ratio margin (Artetxe & Schwenk
+    * use k=4 in LASER mining; the margin is insensitive to small k). */
+  private[graft] val BitextK = 4
+
+  /** Margin-based BITEXT MINING (Artetxe & Schwenk, ACL 2019; the LASER /
+    * CCMatrix mining rule): candidate translation pairs between two
+    * language shards of the embedding space, scored by the RATIO margin —
+    * cos(x, y) normalized by the mean cosine of each side's own top-k
+    * neighborhood — and kept only when the pair is MUTUALLY best in both
+    * mining directions and the margin clears 1.0 (the pair is tighter
+    * than either side's typical neighborhood, the rule's noise floor).
+    * Plain cosine thresholds fail here because some sentences are "hubs"
+    * that sit close to everything; the margin divides that hubness out.
+    *
+    * Determinism contract: cosines are collapsed to integer micros
+    * (`cmicro`), neighborhood sums are therefore exact long arithmetic
+    * (order-independent — no float-summation drift between engines), and
+    * the margin is ONE double division of two exactly-representable
+    * longs, round(6)'d — so the full chain is hash-checkable vs DuckDB.
+    *
+    * 100 TB shape: mining is per language PAIR — the target shard
+    * broadcasts when eval-sized; at corpus scale the cross join swaps
+    * for the family's ANN candidate generator (`VectorIndex.search` with
+    * the source shard as queries, k' > k candidates), and the margin is
+    * computed over retrieved candidates exactly as CCMatrix does. The
+    * scoring itself is two bounded windows (per src over |candidates|,
+    * per tgt over |candidates|) + two O(|X|+|Y|) broadcast aggregates —
+    * nothing scans the corpus twice: the scored pair table is
+    * localCheckpoint'ed once and feeds rank, means, and margins. */
+  private val bitextOracle: String =
+    s"""WITH e AS ($oracleEmb),
+       |  dl AS (SELECT doc_id, lang FROM documents),
+       |  s AS (SELECT vec_id AS src_id, emb AS semb FROM e JOIN dl ON vec_id = doc_id WHERE lang = 'en'),
+       |  t AS (SELECT vec_id AS tgt_id, emb AS temb FROM e JOIN dl ON vec_id = doc_id WHERE lang = 'de'),
+       |  p AS (SELECT src_id, tgt_id,
+       |          CAST(round(round(${oracleCos("semb", "temb")}, 6) * 1e6) AS BIGINT) AS cmicro
+       |        FROM s CROSS JOIN t),
+       |  r AS (SELECT *,
+       |          row_number() OVER (PARTITION BY src_id ORDER BY cmicro DESC, tgt_id) AS rs,
+       |          row_number() OVER (PARTITION BY tgt_id ORDER BY cmicro DESC, src_id) AS rt
+       |        FROM p),
+       |  ms AS (SELECT src_id, SUM(cmicro) AS ssum, COUNT(*) AS sk FROM r WHERE rs <= $BitextK GROUP BY src_id),
+       |  mt AS (SELECT tgt_id, SUM(cmicro) AS tsum, COUNT(*) AS tk FROM r WHERE rt <= $BitextK GROUP BY tgt_id),
+       |  g AS (SELECT r.src_id, r.tgt_id, r.cmicro,
+       |          round(CAST(r.cmicro AS DOUBLE) * 2 * sk * tk /
+       |                (ssum * tk + tsum * sk), 6) AS margin
+       |        FROM r JOIN ms USING (src_id) JOIN mt USING (tgt_id)),
+       |  b AS (SELECT *,
+       |          row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rb,
+       |          row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rf
+       |        FROM g)
+       |SELECT src_id, tgt_id, round(CAST(cmicro AS DOUBLE) / 1e6, 6) AS cos, margin
+       |FROM b WHERE rb = 1 AND rf = 1 AND margin > 1.0
+       |ORDER BY src_id, tgt_id""".stripMargin
+
+  private val qBitextMine = Q(
+    "q_bitext_mine",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val lang = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val el = e.join(lang, col("vec_id") === col("doc_id"))
+      val src = el.filter(col("lang") === "en")
+        .select(col("vec_id").as("src_id"), col("emb").as("semb"))
+      val tgt = el.filter(col("lang") === "de")
+        .select(col("vec_id").as("tgt_id"), col("emb").as("temb"))
+      // Scored pairs computed ONCE (localCheckpoint) — rank pass, both
+      // neighborhood means, and the margin join all reuse this table.
+      val ranked = src.crossJoin(broadcast(tgt))
+        .withColumn("cmicro",
+          round(round(cosine(col("semb"), col("temb")), 6) * lit(1e6), 0)
+            .cast("long"))
+        .select(col("src_id"), col("tgt_id"), col("cmicro"))
+        .withColumn("rs", row_number().over(
+          Window.partitionBy(col("src_id")).orderBy(col("cmicro").desc, col("tgt_id"))))
+        .withColumn("rt", row_number().over(
+          Window.partitionBy(col("tgt_id")).orderBy(col("cmicro").desc, col("src_id"))))
+        .localCheckpoint(true)
+      val ms = ranked.filter(col("rs") <= BitextK)
+        .groupBy(col("src_id"))
+        .agg(sum(col("cmicro")).as("ssum"), count(lit(1)).as("sk"))
+      val mt = ranked.filter(col("rt") <= BitextK)
+        .groupBy(col("tgt_id"))
+        .agg(sum(col("cmicro")).as("tsum"), count(lit(1)).as("tk"))
+      val margins = ranked
+        .join(broadcast(ms), "src_id")
+        .join(broadcast(mt), "tgt_id")
+        .withColumn("margin",
+          round(col("cmicro").cast("double") * 2 * col("sk") * col("tk") /
+            (col("ssum") * col("tk") + col("tsum") * col("sk")), 6))
+      margins
+        .withColumn("rb", row_number().over(
+          Window.partitionBy(col("src_id")).orderBy(col("margin").desc, col("tgt_id"))))
+        .withColumn("rf", row_number().over(
+          Window.partitionBy(col("tgt_id")).orderBy(col("margin").desc, col("src_id"))))
+        .filter(col("rb") === 1 && col("rf") === 1 && col("margin") > 1.0)
+        .select(col("src_id"), col("tgt_id"),
+          round(col("cmicro").cast("double") / 1e6, 6).as("cos"), col("margin"))
+        .orderBy(col("src_id"), col("tgt_id"))
+    },
+    Some(bitextOracle)
+  )
+
   def qs: Seq[Q] =
     Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityLshPortable,
       qSimilarityIvf,
@@ -1250,5 +1352,5 @@ object Similarity {
       qEmbedCosineDup, qAnnRecall, qAnnRecallPortable, qKnnClassify,
       qEmbedOutliers,
       qEmbedCentroids, qSimilaritySq8, qRetrievalMetrics, qEmbedProject,
-      qDecontaminateSemantic)
+      qDecontaminateSemantic, qBitextMine)
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** Planted-fixture semantics for `q_bitext_mine` (margin-based bitext
+  * mining): true translation pairs must be mined with a high ratio
+  * margin, and a HUB target — a vector near a whole source cluster,
+  * which a plain cosine threshold would pair with every cluster
+  * member — must yield at most its single mutual-best pair.
+  */
+class BitextSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  // splitmix64 avalanche vectors (NOT the sin-based fixture — that one
+  // contains accidental cos≈0.9975 near-twins at seed offset 16, which
+  // would hand the margin rule spurious best pairs)
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(64)(j =>
+      (((mix(seed * 64L + j) & 0x7fffffffL) % 1000L).toDouble / 1000.0 * 2 - 1).toFloat)
+
+  private def shifted(v: Array[Float], at: Int, by: Float): Array[Float] = {
+    val x = v.clone(); x(at) = x(at) + by; x
+  }
+
+  /** en: 0,1 isolated; 2,3,4 a tight cluster; 5 noise.
+    * de: 100≈0 and 101≈1 (planted translations), 102 ≈ en 2 (the hub:
+    * near ALL of 2/3/4), 103-105 noise. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("bitext").toString
+    val base = vec(7)
+    val en = Seq(
+      0L -> vec(0), 1L -> vec(1),
+      2L -> shifted(base, 0, 0.02f),
+      3L -> shifted(base, 1, 0.02f),
+      4L -> shifted(base, 2, 0.02f),
+      5L -> vec(5))
+    val de = Seq(
+      100L -> shifted(vec(0), 0, 0.01f),
+      101L -> shifted(vec(1), 1, 0.01f),
+      102L -> shifted(shifted(base, 0, 0.02f), 3, 0.01f),
+      103L -> vec(33), 104L -> vec(44), 105L -> vec(55))
+    (en ++ de).map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    (en.map(_._1 -> "en") ++ de.map(_._1 -> "de"))
+      .map { case (id, lang) => (id, s"doc $id", lang, "web", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("planted translation pairs are mined with a high ratio margin") {
+    val rows = Registry.queries("q_bitext_mine")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val mined = rows.map(t => (t._1, t._2)).toSet
+    assert(mined.contains((0L, 100L)), s"missing planted pair (0,100) in ${mined.toSeq.sorted}")
+    assert(mined.contains((1L, 101L)), s"missing planted pair (1,101) in ${mined.toSeq.sorted}")
+    rows.filter(t => t._2 == 100L || t._2 == 101L).foreach { case (s, t, m) =>
+      assert(m > 1.5, s"planted pair ($s,$t) margin $m should clear 1.5")
+    }
+  }
+
+  test("a hub target yields only its mutual-best pair, never the whole cluster") {
+    val rows = Registry.queries("q_bitext_mine")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hubPairs = rows.filter(_._2 == 102L)
+    // plain cosine would accept (2,102), (3,102) AND (4,102) — all ≈0.999;
+    // mutual-best admits exactly one cluster member (WHICH one is a
+    // ratio-margin detail: the margin divides by each side's
+    // neighborhood mean, so the raw-cosine winner need not win)
+    assert(hubPairs.length == 1 && Set(2L, 3L, 4L).contains(hubPairs.head._1),
+      s"hub 102 should pair with exactly one of srcs 2/3/4, got ${hubPairs.toSeq}")
+    // the two losing cluster members must NOT fall through to a noise
+    // target: their rank-1 margin choice is the hub, which is taken
+    val losers = Set(2L, 3L, 4L) - hubPairs.head._1
+    assert(!rows.exists(p => losers.contains(p._1)),
+      s"cluster members $losers must yield no pair, got ${rows.toSeq.sorted}")
+  }
+}
