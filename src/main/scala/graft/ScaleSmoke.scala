@@ -145,7 +145,13 @@ object ScaleSmoke {
       // r14: semantic decontamination — broadcast benchmark, one
       // corpus scan with a keyed max; must track q_decontaminate's
       // near-flat broadcast-probe shape
-      "q_decontaminate_semantic")
+      "q_decontaminate_semantic",
+      // r14: ANN-candidate bitext mining — per-query candidate count
+      // is probes·n/√n so total pair work grows ~n^1.5 in shard size
+      // (vs the exact form's n²); the smoke pins that sub-quadratic
+      // envelope (the exact q_bitext_mine is eval-sized by design and
+      // deliberately NOT amplified)
+      "q_bitext_mine_ann")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

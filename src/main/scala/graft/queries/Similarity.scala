@@ -1344,6 +1344,160 @@ object Similarity {
     Some(bitextOracle)
   )
 
+  /** Probes per mining query against the other shard's IVF quantizer —
+    * the knob candidate recall is bought with (scan fraction ≈
+    * probes/k, the q_similarity_ivf convention). */
+  private[graft] val BitextProbes = 2
+
+  /** The 100 TB form of [[qBitextMine]]: the all-pairs cross join —
+    * quadratic in shard size — swaps for IVF candidate generation,
+    * exactly as CCMatrix mines at billions of sentences (Schwenk et
+    * al. 2021: "the k nearest neighbors are approximated using an
+    * index"). Each direction builds a coarse quantizer over the OTHER
+    * side (lowest-id vectors as centroids, `centroidsFor(n)` of them —
+    * the q_similarity_ivf convention, so the oracle re-derives it),
+    * assigns that shard to posting lists (probes=1), probes each
+    * mining query into its `BitextProbes` nearest lists, and scores
+    * only retrieved candidates. Per-query work drops from n to
+    * ~probes·n/√n; neighborhood means, margins, and the mutual-best
+    * rule are computed over the retrieved candidate graph — the
+    * standard CCMatrix approximation (a pair can only be missed if
+    * neither direction retrieves it).
+    *
+    * Determinism: identical integer-micro arithmetic to the exact
+    * form, and the candidate sets themselves are deterministic
+    * (round-6 cosines, id tiebreaks), so the WHOLE chain — quantizer,
+    * assignment, probes, margins, mutual-best — re-derives in DuckDB
+    * under a FULL oracle.
+    *
+    * 100 TB shape: centroid selection is TakeOrderedAndProject (top-k
+    * by id, never a global sort); assignment crosses each shard
+    * against the broadcast centroid set only; every window partitions
+    * by a mining query over its retrieved candidates (~probes·n/k
+    * rows, not a shard); neighborhood aggregates are partial-agg'd
+    * shuffle joins keyed on src/tgt id — NOT driver broadcasts like
+    * the eval-sized exact form — so nothing here holds a shard in one
+    * task. */
+  private val annBitextOracle: String = {
+    def shardCent(shard: String, id: String, emb: String): String =
+      s"""(SELECT $id AS cid, $emb AS cemb FROM (
+         |    SELECT $id, $emb, row_number() OVER (ORDER BY $id) AS rn FROM $shard)
+         |  WHERE rn <= (SELECT least(4096, greatest(16,
+         |    CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM $shard))""".stripMargin
+    s"""WITH e AS ($oracleEmb),
+       |  dl AS (SELECT doc_id, lang FROM documents),
+       |  s AS (SELECT vec_id AS src_id, emb AS semb FROM e JOIN dl ON vec_id = doc_id WHERE lang = 'en'),
+       |  t AS (SELECT vec_id AS tgt_id, emb AS temb FROM e JOIN dl ON vec_id = doc_id WHERE lang = 'de'),
+       |  centt AS ${shardCent("t", "tgt_id", "temb")},
+       |  cents AS ${shardCent("s", "src_id", "semb")},
+       |  ta AS (SELECT tgt_id, temb, cid FROM (
+       |           SELECT t.tgt_id, t.temb, c.cid, row_number() OVER (PARTITION BY t.tgt_id
+       |             ORDER BY round(${oracleCos("t.temb", "c.cemb")}, 6) DESC, c.cid) AS crn
+       |           FROM t CROSS JOIN centt c) WHERE crn <= 1),
+       |  sp AS (SELECT src_id, semb, cid FROM (
+       |           SELECT s.src_id, s.semb, c.cid, row_number() OVER (PARTITION BY s.src_id
+       |             ORDER BY round(${oracleCos("s.semb", "c.cemb")}, 6) DESC, c.cid) AS crn
+       |           FROM s CROSS JOIN centt c) WHERE crn <= $BitextProbes),
+       |  sa AS (SELECT src_id, semb, cid FROM (
+       |           SELECT s.src_id, s.semb, c.cid, row_number() OVER (PARTITION BY s.src_id
+       |             ORDER BY round(${oracleCos("s.semb", "c.cemb")}, 6) DESC, c.cid) AS crn
+       |           FROM s CROSS JOIN cents c) WHERE crn <= 1),
+       |  tp AS (SELECT tgt_id, temb, cid FROM (
+       |           SELECT t.tgt_id, t.temb, c.cid, row_number() OVER (PARTITION BY t.tgt_id
+       |             ORDER BY round(${oracleCos("t.temb", "c.cemb")}, 6) DESC, c.cid) AS crn
+       |           FROM t CROSS JOIN cents c) WHERE crn <= $BitextProbes),
+       |  fwd AS (SELECT sp.src_id, ta.tgt_id,
+       |            CAST(round(round(${oracleCos("sp.semb", "ta.temb")}, 6) * 1e6) AS BIGINT) AS cmicro
+       |          FROM sp JOIN ta USING (cid)),
+       |  bwd AS (SELECT sa.src_id, tp.tgt_id,
+       |            CAST(round(round(${oracleCos("sa.semb", "tp.temb")}, 6) * 1e6) AS BIGINT) AS cmicro
+       |          FROM tp JOIN sa USING (cid)),
+       |  fr AS (SELECT *, row_number() OVER (PARTITION BY src_id
+       |           ORDER BY cmicro DESC, tgt_id) AS rs FROM fwd),
+       |  br AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+       |           ORDER BY cmicro DESC, src_id) AS rt FROM bwd),
+       |  ms AS (SELECT src_id, SUM(cmicro) AS ssum, COUNT(*) AS sk FROM fr WHERE rs <= $BitextK GROUP BY src_id),
+       |  mt AS (SELECT tgt_id, SUM(cmicro) AS tsum, COUNT(*) AS tk FROM br WHERE rt <= $BitextK GROUP BY tgt_id),
+       |  pairs AS (SELECT src_id, tgt_id, cmicro FROM fwd
+       |            UNION SELECT src_id, tgt_id, cmicro FROM bwd),
+       |  g AS (SELECT p.src_id, p.tgt_id, p.cmicro,
+       |          round(CAST(p.cmicro AS DOUBLE) * 2 * sk * tk /
+       |                (ssum * tk + tsum * sk), 6) AS margin
+       |        FROM pairs p JOIN ms USING (src_id) JOIN mt USING (tgt_id)),
+       |  b AS (SELECT *,
+       |          row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rb,
+       |          row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rf
+       |        FROM g)
+       |SELECT src_id, tgt_id, round(CAST(cmicro AS DOUBLE) / 1e6, 6) AS cos, margin
+       |FROM b WHERE rb = 1 AND rf = 1 AND margin > 1.0
+       |ORDER BY src_id, tgt_id""".stripMargin
+  }
+
+  private val qBitextMineAnn = Q(
+    "q_bitext_mine_ann",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val lang = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val el = e.join(lang, col("vec_id") === col("doc_id"))
+      val src = el.filter(col("lang") === "en")
+        .select(col("vec_id").as("src_id"), col("emb").as("semb"))
+      val tgt = el.filter(col("lang") === "de")
+        .select(col("vec_id").as("tgt_id"), col("emb").as("temb"))
+      // coarse quantizers: top-k-by-id (TakeOrderedAndProject — never a
+      // global sort), one per shard, each broadcast by assign()
+      val centT = tgt.orderBy(col("tgt_id")).limit(centroidsFor(tgt.count()))
+        .select(col("tgt_id").as("cid"), col("temb").as("cemb"))
+      val centS = src.orderBy(col("src_id")).limit(centroidsFor(src.count()))
+        .select(col("src_id").as("cid"), col("semb").as("cemb"))
+      def micro(a: Column, b: Column): Column =
+        round(round(cosine(a, b), 6) * lit(1e6), 0).cast("long")
+      import graft.index.VectorConventions.assign
+      // each direction: other-shard postings (probes=1) ⋈ this shard's
+      // probed cells — candidates ≈ probes·n/k per query, never a cross
+      val fwd = assign(src, centT, "src_id", "semb", BitextProbes)
+        .join(assign(tgt, centT, "tgt_id", "temb", 1), "cid")
+        .withColumn("cmicro", micro(col("semb"), col("temb")))
+        .select(col("src_id"), col("tgt_id"), col("cmicro"))
+        .localCheckpoint(true)
+      val bwd = assign(tgt, centS, "tgt_id", "temb", BitextProbes)
+        .join(assign(src, centS, "src_id", "semb", 1), "cid")
+        .withColumn("cmicro", micro(col("semb"), col("temb")))
+        .select(col("src_id"), col("tgt_id"), col("cmicro"))
+        .localCheckpoint(true)
+      val ms = fwd
+        .withColumn("rs", row_number().over(
+          Window.partitionBy(col("src_id")).orderBy(col("cmicro").desc, col("tgt_id"))))
+        .filter(col("rs") <= BitextK)
+        .groupBy(col("src_id"))
+        .agg(sum(col("cmicro")).as("ssum"), count(lit(1)).as("sk"))
+      val mt = bwd
+        .withColumn("rt", row_number().over(
+          Window.partitionBy(col("tgt_id")).orderBy(col("cmicro").desc, col("src_id"))))
+        .filter(col("rt") <= BitextK)
+        .groupBy(col("tgt_id"))
+        .agg(sum(col("cmicro")).as("tsum"), count(lit(1)).as("tk"))
+      // shuffle joins on the mining ids (ms/mt are O(shard) — NOT
+      // broadcast like the eval-sized exact form; AQE may still
+      // broadcast when they fit)
+      val margins = fwd.union(bwd).distinct()
+        .join(ms, "src_id")
+        .join(mt, "tgt_id")
+        .withColumn("margin",
+          round(col("cmicro").cast("double") * 2 * col("sk") * col("tk") /
+            (col("ssum") * col("tk") + col("tsum") * col("sk")), 6))
+      margins
+        .withColumn("rb", row_number().over(
+          Window.partitionBy(col("src_id")).orderBy(col("margin").desc, col("tgt_id"))))
+        .withColumn("rf", row_number().over(
+          Window.partitionBy(col("tgt_id")).orderBy(col("margin").desc, col("src_id"))))
+        .filter(col("rb") === 1 && col("rf") === 1 && col("margin") > 1.0)
+        .select(col("src_id"), col("tgt_id"),
+          round(col("cmicro").cast("double") / 1e6, 6).as("cos"), col("margin"))
+        .orderBy(col("src_id"), col("tgt_id"))
+    },
+    Some(annBitextOracle)
+  )
+
   def qs: Seq[Q] =
     Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityLshPortable,
       qSimilarityIvf,
@@ -1352,5 +1506,5 @@ object Similarity {
       qEmbedCosineDup, qAnnRecall, qAnnRecallPortable, qKnnClassify,
       qEmbedOutliers,
       qEmbedCentroids, qSimilaritySq8, qRetrievalMetrics, qEmbedProject,
-      qDecontaminateSemantic, qBitextMine)
+      qDecontaminateSemantic, qBitextMine, qBitextMineAnn)
 }

@@ -71,6 +71,26 @@ class BitextSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("ANN candidate generation still mines the planted pairs with high margin") {
+    val rows = Registry.queries("q_bitext_mine_ann")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val mined = rows.map(t => (t._1, t._2)).toSet
+    assert(mined.contains((0L, 100L)), s"missing planted pair (0,100) in ${mined.toSeq.sorted}")
+    assert(mined.contains((1L, 101L)), s"missing planted pair (1,101) in ${mined.toSeq.sorted}")
+    rows.filter(t => t._2 == 100L || t._2 == 101L).foreach { case (s, t, m) =>
+      assert(m > 1.5, s"planted pair ($s,$t) margin $m should clear 1.5")
+    }
+  }
+
+  test("ANN form: the hub admits at most one pair (candidate-subset mutual-best)") {
+    val rows = Registry.queries("q_bitext_mine_ann")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hubPairs = rows.filter(_._2 == 102L)
+    assert(hubPairs.length <= 1 &&
+      hubPairs.forall(p => Set(2L, 3L, 4L).contains(p._1)),
+      s"hub 102 must admit at most one cluster member, got ${hubPairs.toSeq}")
+  }
+
   test("a hub target yields only its mutual-best pair, never the whole cluster") {
     val rows = Registry.queries("q_bitext_mine")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
