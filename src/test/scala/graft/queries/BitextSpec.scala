@@ -91,6 +91,26 @@ class BitextSpec extends AnyFunSuite with SparkTestSupport {
       s"hub 102 must admit at most one cluster member, got ${hubPairs.toSeq}")
   }
 
+  test("ANN mining agrees with exact mining on the random-embedding testdata") {
+    // RANDOM embeddings are the adversarial case for IVF (no cluster
+    // structure): measured agreement at probes=4 is 0.677 recall /
+    // 0.721 precision (sf0.001) — floors set well under that so only
+    // a broken candidate generator (which craters to ~0.2) trips, not
+    // testdata regeneration drift
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+    def pairs(key: String): Set[(Long, Long)] =
+      Registry.queries(key)(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q_bitext_mine")
+    val ann = pairs("q_bitext_mine_ann")
+    val inter = (exact & ann).size.toDouble
+    assert(inter / exact.size >= 0.55,
+      f"mining recall ${inter / exact.size}%.3f under 0.55 (exact=${exact.size}, ann=${ann.size})")
+    assert(inter / ann.size >= 0.60,
+      f"mining precision ${inter / ann.size}%.3f under 0.60 (exact=${exact.size}, ann=${ann.size})")
+  }
+
   test("a hub target yields only its mutual-best pair, never the whole cluster") {
     val rows = Registry.queries("q_bitext_mine")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
