@@ -306,6 +306,64 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** Deterministic MULTI-FRAME media for a document (r14 — the planted
+    * content for the frame sampler): an animated GIF of
+    * `(n_chars % 3) + 2` frames, each a black/white image whose pixel
+    * p (row-major) is WHITE iff the doc's byte at `(p + 7·frame) % n`
+    * is ≥ 64 — pure black/white survives ANY palette quantization
+    * exactly (a grayscale ramp would not: the JDK GIF writer may remap
+    * to its 256-entry palette), which is what keeps the whole
+    * GIF→sample→PNG→decode chain bit-predictable from the text. Dims
+    * keyed off n_chars like [[asMedia]], kept small (≤23×17). */
+  def asMediaGif(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        (pmod(col("n_chars"), lit(16)) + 8).cast("int").as("w"),
+        (pmod(col("n_chars"), lit(12)) + 6).cast("int").as("h"),
+        (pmod(col("n_chars"), lit(3)) + 2).cast("int").as("nf"))
+      .as[(Long, String, Int, Int, Int)]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map {
+        case (id, text, w, h, nf) =>
+          val bytes = text.getBytes("UTF-8")
+          val n = bytes.length
+          val frames = (0 until nf).map { j =>
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            var p = 0
+            while (p < w * h) {
+              val on = n > 0 && (bytes((p + 7 * j) % n) & 0xff) >= 64
+              img.setRGB(p % w, p / w, if (on) 0xffffff else 0x000000)
+              p += 1
+            }
+            img
+          }
+          MediaRecord(id, encodeGif(frames), "image/gif", w, h)
+      }))
+  }
+
+  /** Per-FRAME pixel stats for sampled frames: the frame index rides
+    * [[sampleFrames]]' `media_type` (`frame/<i>`); `sum_px` is the red
+    * channel's sum — for the black/white planted frames that is
+    * 255 × white-pixel-count, an exact integer the oracle predicts
+    * from text bytes. Same batched no-shuffle shape as
+    * [[pixelStats]]. */
+  final case class FramePixelStats(
+      doc_id: Long,
+      frame: Int,
+      width: Int,
+      height: Int,
+      n_px: Long,
+      sum_px: Long)
+
+  def frameStats(media: Dataset[MediaRecord]): Dataset[FramePixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
+      val frame = m.media_type.stripPrefix("frame/").toInt
+      val s = pixelStatsOf(m)
+      FramePixelStats(m.doc_id, frame, s.width, s.height, s.n_px, s.sum_r)
+    }))
+  }
+
   /** Real frame sampling for multi-frame media (animated GIF — the one
     * video-shaped container the JDK decodes): open one `ImageReader`
     * per payload, keep every `stride`-th frame, re-encode each kept

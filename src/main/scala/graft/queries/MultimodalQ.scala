@@ -149,6 +149,52 @@ object Multimodal {
             ORDER BY keep_doc""")
   )
 
+  /** FRAME SAMPLING under the full oracle (r14 — the video-shaped leg
+    * of the multimodal brief): each doc becomes a REAL animated GIF
+    * ([[MultimodalOps.asMediaGif]] — (n_chars%3)+2 black/white frames
+    * whose pixels derive from the text bytes), the sampler keeps every
+    * 2nd frame via one `ImageReader` per payload (flatMap — one row in,
+    * many out, per-partition, no shuffle), re-encodes each kept frame
+    * as standalone PNG, and the stats pass decodes THOSE back to exact
+    * integer pixel sums. Pure black/white is the trick that keeps the
+    * GIF palette out of the arithmetic: (0,0,0)/(255,255,255) survive
+    * any quantizer bit-exactly, so DuckDB predicts every kept frame's
+    * white-count from `ord(text[...])` without touching a codec — a
+    * hash-green row certifies GIF encode → frame decode → stride
+    * sample → PNG re-encode → decode, end to end. At 100 TB the shape
+    * is the point: frame sampling is embarrassingly parallel, cost
+    * scales with executor count, and the one-to-many row fan-out
+    * happens inside the partition. */
+  private val qMultimodalFrames = Q(
+    "q_multimodal_frames",
+    (s, d) =>
+      MultimodalOps.frameStats(
+          MultimodalOps.sampleFrames(MultimodalOps.asMediaGif(s, d), 2))
+        .toDF()
+        .orderBy(col("doc_id"), col("frame")),
+    Some("""WITH dims AS (
+              SELECT doc_id, text, length(text) AS n,
+                     (n_chars % 16) + 8 AS w, (n_chars % 12) + 6 AS h,
+                     (n_chars % 3) + 2 AS nf
+              FROM documents),
+            fr AS (
+              SELECT doc_id, text, n, w, h,
+                     unnest(range(0, CAST(nf AS BIGINT))) AS j
+              FROM dims),
+            kept AS (SELECT * FROM fr WHERE j % 2 = 0),
+            px AS (
+              SELECT doc_id, j, w, h,
+                CASE WHEN n > 0 AND ord(text[CAST((i + 7*j) % n AS INT) + 1]) >= 64
+                     THEN 255 ELSE 0 END AS v
+              FROM kept, LATERAL (SELECT unnest(range(0, CAST(w*h AS BIGINT))) AS i) u)
+           SELECT doc_id, CAST(j AS INT) AS frame,
+             CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             count(*) AS n_px, CAST(sum(v) AS BIGINT) AS sum_px
+           FROM px GROUP BY doc_id, j, w, h
+           ORDER BY doc_id, frame""")
+  )
+
   def qs: Seq[Q] =
-    Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalResize, qMultimodalDedup)
+    Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalResize, qMultimodalDedup,
+      qMultimodalFrames)
 }

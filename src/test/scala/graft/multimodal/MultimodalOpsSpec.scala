@@ -154,4 +154,24 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestSupport {
     assert(imgs(0).getRGB(0, 0) == imgs(1).getRGB(0, 0))
     assert(imgs(0).getRGB(0, 0) != imgs(2).getRGB(0, 0))
   }
+
+  test("asMediaGif frames survive the GIF palette bit-exactly and the sampled stats are byte-predictable") {
+    val dir = java.nio.file.Files.createTempDirectory("mm-gif").toString
+    // n_chars = 6 → w=14, h=12, nf=2 (frames 0,1; stride 2 keeps 0).
+    // 'a'(97) ≥ 64 → white; ' '(32) < 64 → black — text "a a a " gives
+    // alternating pixels whose white count the key must report exactly
+    val text = "a a a "
+    Seq((1L, text, "en", "web", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Registry.queries("q_multimodal_frames")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 1, s"nf=2 at stride 2 keeps exactly frame 0: ${rows.toSeq}")
+    val (id, frame, w, h, npx, sum) = rows.head
+    assert(id == 1L && frame == 0 && w == 14 && h == 12 && npx == 168L)
+    // frame 0: pixel p white iff text byte p%6 is a letter — bytes
+    // "a a a " = W B W B W B, so exactly half of 168 pixels are white
+    assert(sum == 84L * 255L, s"white count must be 84, got ${sum / 255.0}")
+  }
 }
