@@ -364,6 +364,87 @@ object MultimodalOps {
     }))
   }
 
+  /** Deterministic AUDIO for a document (r14 — the audio leg of the
+    * multimodal brief, over the REAL JDK codec `javax.sound.sampled`:
+    * WAV in/out ships with the JVM, zero dependencies): 16-bit signed
+    * little-endian mono PCM at 8 kHz, `(n_chars % 64) + 32` samples,
+    * sample i = `(byte(i % n) − 64) · 256` — pure integer synthesis
+    * from the text bytes, and WAV PCM is lossless, so every decoded
+    * sample is byte-predictable. */
+  val AudioRate = 8000f
+
+  def asMediaWav(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        (pmod(col("n_chars"), lit(64)) + 32).cast("int").as("ns"))
+      .as[(Long, String, Int)]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, text, ns) =>
+        val bytes = text.getBytes("UTF-8")
+        val n = bytes.length
+        val pcm = new Array[Byte](ns * 2)
+        var i = 0
+        while (i < ns) {
+          val v = if (n == 0) 0 else ((bytes(i % n) & 0xff) - 64) * 256
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(AudioRate, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new ByteArrayInputStream(pcm), fmt, ns.toLong)
+        val bos = new ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRecord(id, bos.toByteArray, "audio/wav", ns, 1)
+      }))
+  }
+
+  /** Decoded-audio statistics — the oracle-able face of the audio
+    * pipeline, exactly [[MediaPixelStats]]' role for images: decode
+    * the WAV through `AudioSystem`, reconstruct the signed 16-bit
+    * samples, and report exact integer aggregates (sum, sum of
+    * absolute values, peak). Undecodable payloads fail SOFT
+    * (`decoded` 0, zero aggregates) — the quarantine contract every
+    * media operator here shares. */
+  final case class AudioStats(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      decoded: Int,
+      sum_amp: Long,
+      sum_abs: Long,
+      peak: Int)
+
+  def audioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(m.media))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian)
+          val raw = ais.readAllBytes()
+          val ns = raw.length / 2
+          var (sum, sabs, peak) = (0L, 0L, 0)
+          var i = 0
+          while (i < ns) {
+            val v = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+            sum += v
+            sabs += math.abs(v)
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          AudioStats(m.doc_id, fmt.getSampleRate.toInt, ns.toLong, 1, sum, sabs, peak)
+        } finally ais.close()
+      } catch {
+        case _: Exception => AudioStats(m.doc_id, 0, 0L, 0, 0L, 0L, 0)
+      }
+    }))
+  }
+
   /** Real frame sampling for multi-frame media (animated GIF — the one
     * video-shaped container the JDK decodes): open one `ImageReader`
     * per payload, keep every `stride`-th frame, re-encode each kept

@@ -194,7 +194,40 @@ object Multimodal {
            ORDER BY doc_id, frame""")
   )
 
+  /** AUDIO under the full oracle (r14 — with [[qMultimodalFrames]] the
+    * multimodal family now covers image/video/audio over REAL JDK
+    * codecs): each doc synthesizes to 16-bit mono PCM from its text
+    * bytes, round-trips through the `javax.sound.sampled` WAV codec
+    * (lossless), and the stats pass decodes the container back to
+    * exact integer aggregates — sum, mean-abs numerator, peak. DuckDB
+    * predicts all three from `ord(text[...])` without an audio stack;
+    * hash-green certifies WAV encode → decode end to end. Same
+    * batched per-partition no-shuffle shape as every media operator
+    * here. */
+  private val qMultimodalAudio = Q(
+    "q_multimodal_audio",
+    (s, d) =>
+      MultimodalOps.audioStats(MultimodalOps.asMediaWav(s, d))
+        .toDF()
+        .orderBy(col("doc_id")),
+    Some("""WITH dims AS (
+              SELECT doc_id, text, length(text) AS n,
+                     (n_chars % 64) + 32 AS ns
+              FROM documents),
+            amp AS (
+              SELECT doc_id, ns,
+                CASE WHEN n = 0 THEN 0
+                     ELSE (ord(text[CAST(i % n AS INT) + 1]) - 64) * 256 END AS v
+              FROM dims, LATERAL (SELECT unnest(range(0, CAST(ns AS BIGINT))) AS i) u)
+           SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+             CAST(ns AS BIGINT) AS n_samples, CAST(1 AS INT) AS decoded,
+             CAST(sum(v) AS BIGINT) AS sum_amp,
+             CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+             CAST(max(abs(v)) AS INT) AS peak
+           FROM amp GROUP BY doc_id, ns ORDER BY doc_id""")
+  )
+
   def qs: Seq[Q] =
     Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalResize, qMultimodalDedup,
-      qMultimodalFrames)
+      qMultimodalFrames, qMultimodalAudio)
 }

@@ -174,4 +174,27 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestSupport {
     // "a a a " = W B W B W B, so exactly half of 168 pixels are white
     assert(sum == 84L * 255L, s"white count must be 84, got ${sum / 255.0}")
   }
+
+  test("audio stats round-trip the real WAV codec with byte-exact samples; garbage fails soft") {
+    val dir = java.nio.file.Files.createTempDirectory("mm-wav").toString
+    // n_chars = 4 → ns = 36 samples cycling over "ab a" bytes:
+    // 'a'=97→(97−64)·256=8448, 'b'=98→8704, ' '=32→−8192
+    Seq((1L, "ab a", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Registry.queries("q_multimodal_audio")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(rows.length == 1)
+    val (_, rate, ns, decoded, sum, sabs, peak) = rows.head
+    assert(rate == 8000 && ns == 36L && decoded == 1)
+    // 36 samples = 9 full "ab a" cycles: 9·(8448+8704+(−8192)+8448)
+    assert(sum == 9L * (8448 + 8704 - 8192 + 8448), s"sum_amp $sum")
+    assert(sabs == 9L * (8448 + 8704 + 8192 + 8448), s"sum_abs $sabs")
+    assert(peak == 8704, s"peak $peak")
+    // garbage payload → decoded=0, zero aggregates, no throw
+    val garbage = MediaRecord(7L, Array.fill[Byte](32)(3), "bin", 0, 0)
+    val soft = MultimodalOps.audioStats(Seq(garbage).toDS()).collect().head
+    assert(soft.decoded == 0 && soft.n_samples == 0L && soft.peak == 0)
+  }
 }
