@@ -127,6 +127,20 @@ object Maintenance {
     }
   }
 
+  /** Fold a persisted trigram-LM artifact's pending count-delta
+    * appends into the next committed counts version
+    * ([[graft.index.LmIndex.compact]]) — appends read exactly either
+    * way (counts sum), so this is purely the read-cost fold. */
+  final case class FoldLmIndexAppends(dir: String, nPending: Int)
+      extends Task {
+    def id: String = s"lm-compact:$dir"
+    def resource: String = dir
+    def run(spark: SparkSession): String = {
+      index.LmIndex.compact(spark, dir)
+      s"folded $nPending append table(s)"
+    }
+  }
+
   /** A corpus-driven rebuild (minhash band index, LSH, full IVF
     * retrain) the CALLER requests: only the pipeline knows which fresh
     * corpus an index should be rebuilt from, so the body is supplied,
@@ -181,7 +195,8 @@ object Maintenance {
       indexBindings: Seq[IndexBinding] = Seq.empty,
       autoTuneLakes: Seq[String] = Seq.empty,
       winnowIndexes: Seq[String] = Seq.empty,
-      minhashIndexes: Seq[String] = Seq.empty): Seq[Task] = {
+      minhashIndexes: Seq[String] = Seq.empty,
+      lmIndexes: Seq[String] = Seq.empty): Seq[Task] = {
     val lakeTasks = lakes.flatMap { p =>
       logs.LogLake.fragmentedPartitions(spark, p, minLakeFiles)
         .map { case (env, day, n) => CompactLakePartition(p, env, day, n) }
@@ -217,6 +232,13 @@ object Maintenance {
         if (n >= minIndexAppends) Some(FoldMinhashIndexAppends(d, n)) else None
       }
     }
+    val lmTasks = lmIndexes.flatMap { d =>
+      if (!index.LmIndex.exists(spark, d)) None
+      else {
+        val n = index.LmIndex.pendingAppends(spark, d)
+        if (n >= minIndexAppends) Some(FoldLmIndexAppends(d, n)) else None
+      }
+    }
     val bindingTasks = indexBindings.flatMap { b =>
       val current = index.CorpusStamp.fingerprintOf(spark, b.corpusDir, b.table)
       val stored = index.CorpusStamp.read(spark, b.indexDir).map(_.fingerprint)
@@ -232,7 +254,7 @@ object Maintenance {
       })
     }
     lakeTasks ++ autoLakeTasks ++ indexTasks ++ winnowTasks ++
-      minhashTasks ++ bindingTasks ++ rebuilds
+      minhashTasks ++ lmTasks ++ bindingTasks ++ rebuilds
   }
 
   /** Fan the work-list out over a bounded thread pool (each task is

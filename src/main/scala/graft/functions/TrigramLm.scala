@@ -77,11 +77,25 @@ object TrigramLm {
     * Spark job: the |alphabet|³-bounded count table is collected once
     * (model-sized, not corpus-sized) and V / prefix sums / per-trigram
     * micros all derive on the driver from those rows. */
-  def train(docs: DataFrame): Model = {
-    val counts = docs.filter(length(col("text")) >= 3)
+  def train(docs: DataFrame): Model =
+    modelFromCounts(counts(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)))
+
+  /** The |alphabet|³-bounded trigram count table as a FRAME — the raw
+    * artifact the persisted form stores ([[graft.index.LmIndex]]):
+    * counts are SUMMABLE (unlike the derived micros), which is what
+    * makes incremental corpus appends exact — Σ counts over base +
+    * deltas is the full-corpus count table. */
+  def counts(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 3)
       .select(explode(expr(trisExpr)).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+
+  /** Derive the model from a count table — THE one derivation
+    * (V / prefix denominators / per-trigram add-one micros) shared by
+    * [[train]] and the persisted-artifact read path, so a stored
+    * model can never drift from an inline-trained one. */
+  def modelFromCounts(counts: Array[(String, Long)]): Model = {
     val v = counts.map(c => cpLast(c._1)).distinct.length.toLong
     val pre = counts.groupBy(c => cpPrefix(c._1))
       .view.mapValues(_.map(_._2).sum).toMap

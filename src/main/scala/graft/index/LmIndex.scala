@@ -1,0 +1,184 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PERSISTENT trigram-LM artifact (r14 — the last major artifact
+  * family without a lake form: tokenizer / minhash / winnow / vector /
+  * mix-rates / DSIR all had build-once/query-many storage; the quality
+  * LM every curation gate scores against did not, so each JVM
+  * re-trained it from the corpus).
+  *
+  * Stored form: ONE parquet table `counts_vN` of `(tri, cnt)` rows —
+  * the raw |alphabet|³-bounded trigram counts, NOT the derived micros.
+  * Counts are SUMMABLE, which is what makes incremental maintenance
+  * exact: an appended micro-batch lands its own delta count table, a
+  * read sums base + deltas per trigram, and the model derived from
+  * those sums is BIT-IDENTICAL to training on the concatenated corpus
+  * (`TrigramLm.modelFromCounts` is the one shared derivation — V,
+  * prefix denominators, and add-one micros all recompute from the
+  * summed counts, so smoothing stays exact under appends, something a
+  * stored-micros layout could never offer). [[compact]] folds deltas
+  * into the next committed version and reads turn pure again.
+  *
+  * Commit protocol = [[WinnowIndex]]'s: versions land in fresh
+  * `counts_vN` dirs, ONE staged meta swap publishes, folded append
+  * dirs retire with one-generation grace, and a committed meta whose
+  * name doesn't parse as `counts_v<N>` fails the next build loudly
+  * instead of silently renumbering over live dirs.
+  *
+  * Layout: `<dir>/_LM_META.json` + `counts_vN` + `appends/<label>`.
+  */
+object LmIndex {
+
+  private val META = "_LM_META.json"
+
+  private val VersionedCounts = "counts_v(\\d+)".r
+
+  private val countsSchema = StructType(Seq(
+    StructField("tri", StringType),
+    StructField("cnt", LongType)))
+
+  /** Persist a trigram count table as the artifact's next version.
+    * A full rebuild subsumes every append generation, so the commit
+    * also marks all current append labels folded. */
+  def build(counts: DataFrame, dir: String): Unit = {
+    val spark = counts.sparkSession
+    val fs = fsFor(spark, dir)
+    val current = currentMeta(fs, dir)
+    current.foreach { m =>
+      m.folded.foreach(l =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+      MetaMarker.retireUnnamed(fs, dir, Seq("counts"), Set(m.counts))
+    }
+    val n = current match {
+      case Some(m) => m.counts match {
+        case VersionedCounts(v) => v.toInt + 1
+        case other => throw new IllegalStateException(
+          s"LM index meta at $dir names counts dir '$other', which does " +
+            "not match counts_v<N> — refusing to renumber over it")
+      }
+      case None => 0
+    }
+    // label snapshot BEFORE the table write, committed with it: an
+    // append landing mid-build stays live instead of silently shadowed
+    val folded = liveLabels(fs, dir, current)
+    val next = s"counts_v$n"
+    counts.select(col("tri"), col("cnt").cast("long").as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    writeMeta(fs, dir, next, folded)
+  }
+
+  /** Land one micro-batch's count DELTA as an append sub-table.
+    * Idempotent per label (re-running a batch overwrites its own dir
+    * only). Unlike the doc-keyed indexes there is no new-docs-only
+    * contract to honor — counts sum, so any disjoint batching of the
+    * same corpus reads identically; the caller must only not append
+    * the SAME batch under two labels. */
+  def append(counts: DataFrame, dir: String, label: String): Unit = {
+    require(label.nonEmpty && label.matches("[A-Za-z0-9._=-]+"),
+      s"bad append label (allowed: [A-Za-z0-9._=-]+): $label")
+    require(exists(counts.sparkSession, dir),
+      s"no LM artifact at $dir to append to — build first")
+    counts.select(col("tri"), col("cnt").cast("long").as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/appends/$label")
+  }
+
+  /** The committed count table (base + live append deltas, summed). */
+  def readCounts(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsFor(spark, dir)
+    val m = currentMeta(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no LM artifact at $dir"))
+    val base = spark.read.schema(countsSchema).parquet(s"$dir/${m.counts}")
+    val labels = liveLabels(fs, dir, Some(m))
+    if (labels.isEmpty) base
+    else labels.foldLeft(base)((acc, l) =>
+        acc.union(spark.read.schema(countsSchema)
+          .parquet(s"$dir/appends/$l")))
+      .groupBy(col("tri")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** The committed MODEL — one model-sized collect + the shared
+    * derivation, so a stored model is bit-identical to
+    * `TrigramLm.train` on the same corpus (LmIndexSpec pins it,
+    * q_lm_score_indexed's verbatim-oracle hash certifies it
+    * cross-engine). */
+  def readModel(spark: SparkSession, dir: String): graft.functions.TrigramLm.Model =
+    graft.functions.TrigramLm.modelFromCounts(
+      readCounts(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)))
+
+  /** Live (unfolded) append count — [[graft.Maintenance]]'s
+    * compaction trigger. Metadata only. */
+  def pendingAppends(spark: SparkSession, dir: String): Int = {
+    val fs = fsFor(spark, dir)
+    currentMeta(fs, dir).map(m => liveLabels(fs, dir, Some(m)).size)
+      .getOrElse(0)
+  }
+
+  /** Fold all live appends into a NEW committed version (summed per
+    * trigram); crash-safe exactly as [[WinnowIndex.compact]]. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val m = currentMeta(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no LM artifact at $dir"))
+    m.folded.foreach(l =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+    MetaMarker.retireUnnamed(fs, dir, Seq("counts"), Set(m.counts))
+    val labels = liveLabels(fs, dir, Some(m))
+    if (labels.isEmpty) { writeMeta(fs, dir, m.counts, Seq.empty); return }
+    val n = m.counts match {
+      case VersionedCounts(v) => v.toInt + 1
+      case other => throw new IllegalStateException(
+        s"LM index meta at $dir names counts dir '$other', which does " +
+          "not match counts_v<N> — refusing to renumber over it")
+    }
+    val next = s"counts_v$n"
+    labels
+      .foldLeft(spark.read.schema(countsSchema).parquet(s"$dir/${m.counts}"))(
+        (acc, l) => acc.union(spark.read.schema(countsSchema)
+          .parquet(s"$dir/appends/$l")))
+      .groupBy(col("tri")).agg(sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    writeMeta(fs, dir, next, labels)
+  }
+
+  /** True once [[build]] ever committed at `dir`. */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    currentMeta(fsFor(spark, dir), dir).isDefined
+
+  private final case class Meta(counts: String, folded: Seq[String])
+
+  private def currentMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Meta] =
+    if (MetaMarker.exists(fs, dir, META)) {
+      val root = MetaMarker.read(fs, dir, META)
+      val folded = Option(root.get("folded")).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }.getOrElse(Seq.empty)
+      Some(Meta(root.get("counts").asText(), folded))
+    } else None
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      counts: String, folded: Seq[String]): Unit =
+    MetaMarker.write(fs, dir, META,
+      s"""{"counts": "$counts", """ +
+        s""""folded": [${folded.map(l => s""""$l"""").mkString(", ")}]}""")
+
+  private def liveLabels(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      meta: Option[Meta]): Seq[String] = {
+    val appendsDir = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    if (!fs.exists(appendsDir)) Seq.empty
+    else {
+      val folded = meta.map(_.folded.toSet).getOrElse(Set.empty)
+      fs.listStatus(appendsDir)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(folded).sorted.toSeq
+    }
+  }
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

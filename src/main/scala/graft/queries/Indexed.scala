@@ -147,6 +147,17 @@ object Indexed {
       Chunking.writeTokenizer(graft.Tables.documents(s, d), scratch)
     }
 
+  /** Build-once memo for the persisted trigram-LM artifact
+    * ([[graft.index.LmIndex]]) over a corpus dir's `documents` table —
+    * `q_lm_score_indexed`'s stored model. */
+  private[graft] def lmDirFor(s: SparkSession, d: String): String =
+    ensureIndex(s, "lmindex", d, "documents.parquet",
+        dir => graft.index.LmIndex.exists(s, dir)) { scratch =>
+      graft.index.LmIndex.build(
+        graft.functions.TrigramLm.counts(graft.Tables.documents(s, d)),
+        scratch)
+    }
+
   private val qSimilarityIndexed = Q(
     "q_similarity_indexed",
     (s, d) => {
@@ -458,8 +469,31 @@ object Indexed {
     },
     Some(Dsir.dsirOracle))
 
+  /** `q_lm_score` answered FROM the persisted LM artifact — counts
+    * read through the committed meta, the model derived by the SAME
+    * `modelFromCounts` the inline trainer uses, scoring unchanged.
+    * Reuses `q_lm_score`'s oracle VERBATIM: hash-green is a
+    * machine-checked proof that persisting the counts (and any number
+    * of exact count-delta appends + compactions before this read)
+    * changes nothing about the scores — the q_similarity_indexed /
+    * q_winnowing_indexed / q_bpe_encode_indexed protocol applied to
+    * the last unpersisted artifact family. */
+  private val qLmScoreIndexed = Q(
+    "q_lm_score_indexed",
+    (s, d) => {
+      val dir = lmDirFor(s, d)
+      val model = graft.index.LmIndex.readModel(s, dir)
+      val docs = graft.Tables.documents(s, d)
+        .filter(length(col("text")) >= 3)
+      graft.functions.TrigramLm.scored(docs, model)
+        .select(col("doc_id"), col("n_tri"), col("avg_p"), col("rare_rate"))
+        .orderBy(col("doc_id"))
+    },
+    TextOps.qLmScore.oracle
+  )
+
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
     qMinhashDupIndexed, qDupClustersMinhashIndexed, qWinnowingIndexed,
     qBpeEncodeIndexed, qTokenizerFertility, qMixTemperatureTokens,
-    qMixBudgetPlan, qDsirWeightsIndexed)
+    qMixBudgetPlan, qDsirWeightsIndexed, qLmScoreIndexed)
 }

@@ -587,7 +587,7 @@ object TextOps {
     * groupBy, score adds ZERO shuffles — the explode-join-reagg
     * alternative moved every trigram row through two joins and a
     * per-doc shuffle (measured 17.4 s vs 4.9 s at the 8× smoke). */
-  private val qLmScore = Q(
+  private[queries] val qLmScore = Q(
     "q_lm_score",
     (s, d) => {
       val docs = Tables.documents(s, d).filter(length(col("text")) >= 3)

@@ -1,0 +1,116 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+import graft.functions.TrigramLm
+
+/** The persisted trigram-LM artifact (r14): a stored model must be
+  * bit-identical to inline training, count-delta APPENDS must read as
+  * if trained on the concatenated corpus (counts sum exactly — the
+  * property that justifies storing counts instead of derived micros),
+  * compaction must fold without changing the model, and the meta
+  * protocol must fail loudly on unparsable committed names.
+  */
+class LmIndexSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private val corpusA = docsDf(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "pack my box with five dozen liquor jugs",
+    3L -> "sphinx of black quartz judge my vow")
+
+  private val corpusB = docsDf(
+    10L -> "jackdaws love my big sphinx of quartz",
+    11L -> "how vexingly quick daft zebras jump")
+
+  private def assertModelEq(a: TrigramLm.Model, b: TrigramLm.Model): Unit = {
+    assert(a.v == b.v, s"V: ${a.v} vs ${b.v}")
+    assert(a.preDenom == b.preDenom, "prefix denominators differ")
+    assert(a.triMicro == b.triMicro, "per-trigram micros differ")
+  }
+
+  test("stored model is bit-identical to inline training; rebuild swaps whole with one-generation grace") {
+    val dir = Files.createTempDirectory("lmidx").toString
+    LmIndex.build(TrigramLm.counts(corpusA), dir)
+    assert(LmIndex.exists(spark, dir))
+    assertModelEq(LmIndex.readModel(spark, dir), TrigramLm.train(corpusA))
+
+    LmIndex.build(TrigramLm.counts(corpusB), dir)
+    assertModelEq(LmIndex.readModel(spark, dir), TrigramLm.train(corpusB))
+    val names = new java.io.File(dir).list().toSet
+    assert(names.contains("counts_v0") && names.contains("counts_v1"),
+      s"previous generation must survive one rebuild: $names")
+  }
+
+  test("count-delta appends read as the concatenated corpus; compact folds pure without changing the model") {
+    val dir = Files.createTempDirectory("lmidx-app").toString
+    LmIndex.build(TrigramLm.counts(corpusA), dir)
+    LmIndex.append(TrigramLm.counts(corpusB), dir, "batch-0001")
+    assert(LmIndex.pendingAppends(spark, dir) == 1)
+    // THE summability proof: base counts + delta counts re-derive the
+    // exact model of training on A ∪ B — V and the add-one prefix
+    // denominators included (stored micros could never do this)
+    val full = TrigramLm.train(corpusA.unionByName(corpusB))
+    assertModelEq(LmIndex.readModel(spark, dir), full)
+
+    LmIndex.compact(spark, dir)
+    assert(LmIndex.pendingAppends(spark, dir) == 0)
+    assertModelEq(LmIndex.readModel(spark, dir), full)
+    // idempotent: a second compact with nothing live is a no-op
+    LmIndex.compact(spark, dir)
+    assertModelEq(LmIndex.readModel(spark, dir), full)
+  }
+
+  test("Maintenance plans and runs the LM fold off the pending-append trigger") {
+    val dir = Files.createTempDirectory("lmidx-maint").toString
+    LmIndex.build(TrigramLm.counts(corpusA), dir)
+    LmIndex.append(TrigramLm.counts(corpusB), dir, "b1")
+    // below the trigger: no task planned
+    assert(graft.Maintenance.plan(spark, lmIndexes = Seq(dir),
+      minIndexAppends = 2).isEmpty)
+    LmIndex.append(TrigramLm.counts(docsDf(20L -> "extra corpus text here")),
+      dir, "b2")
+    val tasks = graft.Maintenance.plan(spark, lmIndexes = Seq(dir),
+      minIndexAppends = 2)
+    assert(tasks.map(_.id) == Seq(s"lm-compact:$dir"), tasks.map(_.id))
+    val full = TrigramLm.train(corpusA.unionByName(corpusB)
+      .unionByName(docsDf(20L -> "extra corpus text here")))
+    val results = graft.Maintenance.run(spark, tasks)
+    assert(results.forall(_.outcome.isSuccess), results.toString)
+    assert(LmIndex.pendingAppends(spark, dir) == 0)
+    assertModelEq(LmIndex.readModel(spark, dir), full)
+  }
+
+  test("append label hygiene and the build-first contract") {
+    val dir = Files.createTempDirectory("lmidx-lab").toString
+    intercept[IllegalArgumentException] {
+      LmIndex.readModel(spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      LmIndex.append(TrigramLm.counts(corpusB), dir, "b1")
+    }
+    LmIndex.build(TrigramLm.counts(corpusA), dir)
+    intercept[IllegalArgumentException] {
+      LmIndex.append(TrigramLm.counts(corpusB), dir, "bad label/..")
+    }
+  }
+
+  test("a committed meta whose counts name doesn't parse fails the next build loudly") {
+    val dir = Files.createTempDirectory("lmidx-meta").toString
+    LmIndex.build(TrigramLm.counts(corpusA), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MetaMarker.write(fs, dir, "_LM_META.json",
+      """{"counts": "handmade", "folded": []}""")
+    val e = intercept[IllegalStateException] {
+      LmIndex.build(TrigramLm.counts(corpusB), dir)
+    }
+    assert(e.getMessage.contains("refusing to renumber"))
+  }
+}
