@@ -109,6 +109,35 @@ object LmIndex {
       readCounts(spark, dir).collect()
         .map(r => r.getString(0) -> r.getLong(1)))
 
+  /** [[readModel]] with an IDENTITY-STABLE cache keyed by the
+    * artifact's committed signature (counts version + live append
+    * labels): a streaming consumer calling this per trigger gets the
+    * SAME model instance while the artifact is unchanged — which lets
+    * [[graft.functions.TrigramLm]]'s identity-keyed broadcast memo
+    * reuse one broadcast across triggers (the r13 per-trigger
+    * broadcast leak, avoided by construction) — and a fresh instance
+    * on the first trigger after any build/append/compact. The
+    * signature check is metadata-only (one meta read + one listing);
+    * the model re-derives only when the signature moved. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, graft.functions.TrigramLm.Model)]
+
+  def readModelCached(spark: SparkSession,
+      dir: String): graft.functions.TrigramLm.Model = {
+    val fs = fsFor(spark, dir)
+    val m = currentMeta(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no LM artifact at $dir"))
+    val sig = m.counts + "|" + liveLabels(fs, dir, Some(m)).mkString(",")
+    val cached = modelCache.get(dir)
+    if (cached != null && cached._1 == sig) cached._2
+    else {
+      val model = readModel(spark, dir)
+      modelCache.put(dir, (sig, model))
+      model
+    }
+  }
+
   /** Live (unfolded) append count — [[graft.Maintenance]]'s
     * compaction trigger. Metadata only. */
   def pendingAppends(spark: SparkSession, dir: String): Int = {

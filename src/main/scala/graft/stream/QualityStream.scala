@@ -213,6 +213,40 @@ object QualityStream {
       }
       .start()
 
+  /** Streaming LM gate served FROM the PERSISTED artifact
+    * ([[graft.index.LmIndex]]): unlike [[qualityGated]]'s fitted-model
+    * parameter (the explicit train/serve split), this consumer
+    * RE-RESOLVES the committed counts through the meta every trigger
+    * and derives the model with the shared
+    * `TrigramLm.modelFromCounts` — so a Maintenance-driven rebuild,
+    * append, or compaction lands mid-stream with no restart: the
+    * tokenizer/winnow/vector consumer contract, closed for the LM
+    * (LmStreamSpec drives a mid-stream rebuild). Per-trigger cost is
+    * METADATA-ONLY while the artifact is unchanged
+    * ([[graft.index.LmIndex.readModelCached]] returns an
+    * identity-stable model, so TrigramLm's identity-keyed broadcast
+    * memo reuses ONE broadcast across triggers); scoring is the
+    * zero-shuffle narrow pass. Landed batch-id idempotent under
+    * [[LogStream.writeBatchIdempotent]]'s replay contract. */
+  def toLmGatedLake(
+      docs: DataFrame,
+      lmDir: String,
+      lakeDir: String,
+      checkpointDir: String,
+      minAvgP: Double = 0.002): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+        val model = graft.index.LmIndex.readModelCached(
+          batch.sparkSession, lmDir)
+        LogStream.writeBatchIdempotent(
+          qualityGated(batch.toDF(), model, minAvgP), lakeDir, batchId)
+      }
+      .start()
+
   /** Streaming GOPHER gate (r14): the full quality-rule suite —
     * structural rules (word count, mean word length, alpha ratio,
     * stopwords: [[graft.queries.TextOps.gopherRejectReason]], the

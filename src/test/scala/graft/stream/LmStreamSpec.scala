@@ -1,0 +1,66 @@
+package graft.stream
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+import graft.functions.TrigramLm
+import graft.index.LmIndex
+
+/** The LM-gated streaming lake consumes the PERSISTED artifact with
+  * per-trigger meta re-resolution: a Maintenance rebuild must land
+  * mid-stream with no restart, and the re-read must be identity-stable
+  * while the artifact is unchanged (one broadcast across triggers, not
+  * one per trigger — the r13 leak, avoided by construction).
+  */
+class LmStreamSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def rep(s: String, n: Int): String = Seq.fill(n)(s).mkString("")
+
+  private def t0 = new Timestamp(0L)
+
+  test("mid-stream rebuild lands next trigger; unchanged artifact serves an identity-stable model") {
+    val dir = Files.createTempDirectory("lmgate-idx").toString
+    val lake = Files.createTempDirectory("lmgate-lake").toString
+    val ckpt = Files.createTempDirectory("lmgate-ckpt").toString
+    // model A: trained on "abab…" — an "ab" doc scores ~0.97, an "xy"
+    // doc backs off to exactly 0.5; the 0.8 gate separates them
+    LmIndex.build(TrigramLm.counts(
+      Seq((1L, rep("ab", 40))).toDF("doc_id", "text")), dir)
+
+    val m1 = LmIndex.readModelCached(spark, dir)
+    assert(LmIndex.readModelCached(spark, dir) eq m1,
+      "unchanged artifact must serve the SAME model instance")
+
+    val input = MemoryStream[StreamDoc](spark)
+    val q = QualityStream.toLmGatedLake(
+      input.toDF().select("doc_id", "text"), dir, lake, ckpt, minAvgP = 0.8)
+    try {
+      input.addData(Seq(
+        StreamDoc(100L, rep("ab", 40), t0), StreamDoc(101L, rep("xy", 40), t0)))
+      q.processAllAvailable()
+      val kept1 = spark.read.parquet(lake)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept1 === Set(100L),
+        s"under model A only the ab-doc clears the 0.8 gate: $kept1")
+
+      // REBUILD on a different reference corpus while the stream runs
+      LmIndex.build(TrigramLm.counts(
+        Seq((2L, rep("xy", 40))).toDF("doc_id", "text")), dir)
+      assert(!(LmIndex.readModelCached(spark, dir) eq m1),
+        "a rebuild must invalidate the cached model instance")
+
+      input.addData(Seq(
+        StreamDoc(200L, rep("ab", 40), t0), StreamDoc(201L, rep("xy", 40), t0)))
+      q.processAllAvailable()
+      val kept2 = spark.read.parquet(lake)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept2 === Set(100L, 201L),
+        s"the next trigger must gate under model B (xy passes, ab fails): $kept2")
+    } finally q.stop()
+  }
+}
