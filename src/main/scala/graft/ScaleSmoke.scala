@@ -151,7 +151,17 @@ object ScaleSmoke {
       // (vs the exact form's n²); the smoke pins that sub-quadratic
       // envelope (the exact q_bitext_mine is eval-sized by design and
       // deliberately NOT amplified)
-      "q_bitext_mine_ann")
+      "q_bitext_mine_ann",
+      // r14 late: quality-aware cluster resolution (tracks
+      // q_dup_clusters + one partial-agg'd argmax + a keyed join
+      // back), the two codec legs (frames: GIF decode → stride sample
+      // → PNG re-encode per payload; audio: WAV roundtrip — both
+      // embarrassingly parallel, must grow linearly in docs), and the
+      // LM served from the persisted artifact (amplified corpus ⇒
+      // fresh fingerprint ⇒ measured time INCLUDES one counts build;
+      // the serve side is the metadata read + broadcast scoring)
+      "q_dup_clusters_quality", "q_multimodal_frames",
+      "q_multimodal_audio", "q_lm_score_indexed")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")
