@@ -147,6 +147,40 @@ object Indexed {
       Chunking.writeTokenizer(graft.Tables.documents(s, d), scratch)
     }
 
+  /** Build-once memos for the TWO bitext shard indexes
+    * (`q_bitext_mine_indexed`): one [[graft.index.VectorIndex]] per
+    * language shard — forward mining searches the tgt index with src
+    * queries, backward the src index with tgt queries. The memo
+    * family embeds the DOCUMENTS fingerprint explicitly because shard
+    * MEMBERSHIP comes from `documents.lang` while the vectors come
+    * from `embeddings` (ensureIndex's one-table fingerprint would
+    * miss a lang-relabeling at unchanged vectors). Centroids are the
+    * shard's `centroidsFor(n)` lowest ids (TakeOrderedAndProject —
+    * the q_bitext_mine_ann convention, so the oracle re-derives
+    * them). */
+  private[graft] def bitextShardIndexDirs(s: SparkSession,
+      d: String): (String, String) = {
+    val docFp = KMeans.dirFingerprint(s, s"$d/documents.parquet")
+    def shard(lang: String): DataFrame = {
+      val ids = graft.Tables.documents(s, d)
+        .filter(col("lang") === lang).select(col("doc_id"))
+      Similarity.embDouble(s, d)
+        .join(ids, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("emb"))
+    }
+    def idx(family: String, lang: String): String =
+      ensureIndex(s, s"$family-$docFp", d, "embeddings.parquet",
+          dir => VectorIndex.exists(s, dir)) { scratch =>
+        val sh = shard(lang)
+        val k = Similarity.centroidsFor(sh.count())
+        VectorIndex.build(sh,
+          sh.orderBy(col("vec_id")).limit(k)
+            .select(col("vec_id").as("cid"), col("emb").as("cemb")),
+          scratch)
+      }
+    (idx("btsrc", "en"), idx("bttgt", "de"))
+  }
+
   /** Build-once memo for the persisted trigram-LM artifact
     * ([[graft.index.LmIndex]]) over a corpus dir's `documents` table —
     * `q_lm_score_indexed`'s stored model. */

@@ -1505,6 +1505,137 @@ object Similarity {
     Some(annBitextOracle)
   )
 
+  /** Retrieved neighbors per mining direction in the INDEXED form —
+    * CCMatrix's published operating point (Schwenk et al. 2021 mine
+    * margins over the k = 16 nearest neighbors the index returns). */
+  private[graft] val BitextTopK = 16
+
+  /** Bitext mining served FROM two PERSISTED [[graft.index.VectorIndex]]
+    * artifacts — the deployment form: CCMatrix indexes each language
+    * ONCE and mines every pair against the stored indexes, never
+    * rebuilding per run. Forward direction = `VectorIndex.search` of
+    * the tgt-shard index with the src queries (top-`BitextTopK` per
+    * query, `BitextProbes` lists probed — candidates are the probed
+    * cells TRUNCATED to the 16 nearest, exactly CCMatrix's k-NN
+    * retrieval), backward symmetric; margins, neighborhoods, and
+    * mutual-best run over the retrieved candidate graph with the
+    * family's exact integer-micro arithmetic.
+    *
+    * vs [[qBitextMineAnn]]: same quantizer convention (lowest-id
+    * centroids, so the WHOLE chain — build geometry included —
+    * re-derives in DuckDB under a FULL oracle), but candidates are
+    * top-k-truncated (the published rule) and the quantizer is
+    * build-once: a repeat run pays two metadata reads + two pruned
+    * scans, zero index construction. Index staleness is the
+    * fingerprint memo's problem (either table changing rebuilds);
+    * crash-safety and append/compact maintenance are
+    * [[graft.index.VectorIndex]]'s documented contract. */
+  private val indexedBitextOracle: String = {
+    def shardCent(shard: String, id: String, emb: String): String =
+      s"""(SELECT $id AS cid, $emb AS cemb FROM (
+         |    SELECT $id, $emb, row_number() OVER (ORDER BY $id) AS rn FROM $shard)
+         |  WHERE rn <= (SELECT least(4096, greatest(16,
+         |    CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM $shard))""".stripMargin
+    s"""WITH e AS ($oracleEmb),
+       |  dl AS (SELECT doc_id, lang FROM documents),
+       |  s AS (SELECT vec_id AS src_id, emb AS semb FROM e JOIN dl ON vec_id = doc_id WHERE lang = 'en'),
+       |  t AS (SELECT vec_id AS tgt_id, emb AS temb FROM e JOIN dl ON vec_id = doc_id WHERE lang = 'de'),
+       |  centt AS ${shardCent("t", "tgt_id", "temb")},
+       |  cents AS ${shardCent("s", "src_id", "semb")},
+       |  ta AS (SELECT tgt_id, temb, cid FROM (
+       |           SELECT t.tgt_id, t.temb, c.cid, row_number() OVER (PARTITION BY t.tgt_id
+       |             ORDER BY round(${oracleCos("t.temb", "c.cemb")}, 6) DESC, c.cid) AS crn
+       |           FROM t CROSS JOIN centt c) WHERE crn <= 1),
+       |  sp AS (SELECT src_id, semb, cid FROM (
+       |           SELECT s.src_id, s.semb, c.cid, row_number() OVER (PARTITION BY s.src_id
+       |             ORDER BY round(${oracleCos("s.semb", "c.cemb")}, 6) DESC, c.cid) AS crn
+       |           FROM s CROSS JOIN centt c) WHERE crn <= $BitextProbes),
+       |  sa AS (SELECT src_id, semb, cid FROM (
+       |           SELECT s.src_id, s.semb, c.cid, row_number() OVER (PARTITION BY s.src_id
+       |             ORDER BY round(${oracleCos("s.semb", "c.cemb")}, 6) DESC, c.cid) AS crn
+       |           FROM s CROSS JOIN cents c) WHERE crn <= 1),
+       |  tp AS (SELECT tgt_id, temb, cid FROM (
+       |           SELECT t.tgt_id, t.temb, c.cid, row_number() OVER (PARTITION BY t.tgt_id
+       |             ORDER BY round(${oracleCos("t.temb", "c.cemb")}, 6) DESC, c.cid) AS crn
+       |           FROM t CROSS JOIN cents c) WHERE crn <= $BitextProbes),
+       |  fr AS (SELECT *, row_number() OVER (PARTITION BY src_id
+       |           ORDER BY cmicro DESC, tgt_id) AS rs
+       |         FROM (SELECT sp.src_id, ta.tgt_id,
+       |                 CAST(round(round(${oracleCos("sp.semb", "ta.temb")}, 6) * 1e6) AS BIGINT) AS cmicro
+       |               FROM sp JOIN ta USING (cid))),
+       |  fwd AS (SELECT src_id, tgt_id, cmicro, rs FROM fr WHERE rs <= $BitextTopK),
+       |  br AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+       |           ORDER BY cmicro DESC, src_id) AS rt
+       |         FROM (SELECT sa.src_id, tp.tgt_id,
+       |                 CAST(round(round(${oracleCos("sa.semb", "tp.temb")}, 6) * 1e6) AS BIGINT) AS cmicro
+       |               FROM tp JOIN sa USING (cid))),
+       |  bwd AS (SELECT src_id, tgt_id, cmicro, rt FROM br WHERE rt <= $BitextTopK),
+       |  ms AS (SELECT src_id, SUM(cmicro) AS ssum, COUNT(*) AS sk FROM fwd WHERE rs <= $BitextK GROUP BY src_id),
+       |  mt AS (SELECT tgt_id, SUM(cmicro) AS tsum, COUNT(*) AS tk FROM bwd WHERE rt <= $BitextK GROUP BY tgt_id),
+       |  pairs AS (SELECT src_id, tgt_id, cmicro FROM fwd
+       |            UNION SELECT src_id, tgt_id, cmicro FROM bwd),
+       |  g AS (SELECT p.src_id, p.tgt_id, p.cmicro,
+       |          round(CAST(p.cmicro AS DOUBLE) * 2 * sk * tk /
+       |                (ssum * tk + tsum * sk), 6) AS margin
+       |        FROM pairs p JOIN ms USING (src_id) JOIN mt USING (tgt_id)),
+       |  b AS (SELECT *,
+       |          row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rb,
+       |          row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rf
+       |        FROM g)
+       |SELECT src_id, tgt_id, round(CAST(cmicro AS DOUBLE) / 1e6, 6) AS cos, margin
+       |FROM b WHERE rb = 1 AND rf = 1 AND margin > 1.0
+       |ORDER BY src_id, tgt_id""".stripMargin
+  }
+
+  private val qBitextMineIndexed = Q(
+    "q_bitext_mine_indexed",
+    (s, d) => {
+      val (srcIdx, tgtIdx) = Indexed.bitextShardIndexDirs(s, d)
+      val e = embDouble(s, d)
+      val lang = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val el = e.join(lang, col("vec_id") === col("doc_id"))
+      val src = el.filter(col("lang") === "en")
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      val tgt = el.filter(col("lang") === "de")
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      def micro(cos: Column): Column = round(cos * lit(1e6), 0).cast("long")
+      // search's (rank by cos desc, id) IS the family's (cmicro desc,
+      // id) ranking — cos is already round(·,6) so ·1e6 is exact
+      val fwd = graft.index.VectorIndex.search(s, tgtIdx, src,
+          topK = BitextTopK, probes = BitextProbes)
+        .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+          micro(col("cos")).as("cmicro"), col("rank").as("rs"))
+        .localCheckpoint(true)
+      val bwd = graft.index.VectorIndex.search(s, srcIdx, tgt,
+          topK = BitextTopK, probes = BitextProbes)
+        .select(col("neighbor_id").as("src_id"), col("query_id").as("tgt_id"),
+          micro(col("cos")).as("cmicro"), col("rank").as("rt"))
+        .localCheckpoint(true)
+      val ms = fwd.filter(col("rs") <= BitextK)
+        .groupBy(col("src_id"))
+        .agg(sum(col("cmicro")).as("ssum"), count(lit(1)).as("sk"))
+      val mt = bwd.filter(col("rt") <= BitextK)
+        .groupBy(col("tgt_id"))
+        .agg(sum(col("cmicro")).as("tsum"), count(lit(1)).as("tk"))
+      val margins = fwd.drop("rs").union(bwd.drop("rt")).distinct()
+        .join(ms, "src_id")
+        .join(mt, "tgt_id")
+        .withColumn("margin",
+          round(col("cmicro").cast("double") * 2 * col("sk") * col("tk") /
+            (col("ssum") * col("tk") + col("tsum") * col("sk")), 6))
+      margins
+        .withColumn("rb", row_number().over(
+          Window.partitionBy(col("src_id")).orderBy(col("margin").desc, col("tgt_id"))))
+        .withColumn("rf", row_number().over(
+          Window.partitionBy(col("tgt_id")).orderBy(col("margin").desc, col("src_id"))))
+        .filter(col("rb") === 1 && col("rf") === 1 && col("margin") > 1.0)
+        .select(col("src_id"), col("tgt_id"),
+          round(col("cmicro").cast("double") / 1e6, 6).as("cos"), col("margin"))
+        .orderBy(col("src_id"), col("tgt_id"))
+    },
+    Some(indexedBitextOracle)
+  )
+
   def qs: Seq[Q] =
     Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityLshPortable,
       qSimilarityIvf,
@@ -1513,5 +1644,5 @@ object Similarity {
       qEmbedCosineDup, qAnnRecall, qAnnRecallPortable, qKnnClassify,
       qEmbedOutliers,
       qEmbedCentroids, qSimilaritySq8, qRetrievalMetrics, qEmbedProject,
-      qDecontaminateSemantic, qBitextMine, qBitextMineAnn)
+      qDecontaminateSemantic, qBitextMine, qBitextMineAnn, qBitextMineIndexed)
 }

@@ -91,6 +91,21 @@ class BitextSpec extends AnyFunSuite with SparkTestSupport {
       s"hub 102 must admit at most one cluster member, got ${hubPairs.toSeq}")
   }
 
+  test("INDEXED mining (stored shard indexes) still finds the planted pairs and respects the hub rule") {
+    val rows = Registry.queries("q_bitext_mine_indexed")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val mined = rows.map(t => (t._1, t._2)).toSet
+    assert(mined.contains((0L, 100L)) && mined.contains((1L, 101L)),
+      s"missing planted pair(s) in ${mined.toSeq.sorted}")
+    rows.filter(t => t._2 == 100L || t._2 == 101L).foreach { case (s, t, m) =>
+      assert(m > 1.5, s"planted pair ($s,$t) margin $m should clear 1.5")
+    }
+    val hubPairs = rows.filter(_._2 == 102L)
+    assert(hubPairs.length <= 1 &&
+      hubPairs.forall(p => Set(2L, 3L, 4L).contains(p._1)),
+      s"hub 102 must admit at most one cluster member, got ${hubPairs.toSeq}")
+  }
+
   test("ANN mining agrees with exact mining on the random-embedding testdata") {
     // RANDOM embeddings are the adversarial case for IVF (no cluster
     // structure): measured agreement at probes=4 is 0.677 recall /
