@@ -161,7 +161,13 @@ object ScaleSmoke {
       // fresh fingerprint ⇒ measured time INCLUDES one counts build;
       // the serve side is the metadata read + broadcast scoring)
       "q_dup_clusters_quality", "q_multimodal_frames",
-      "q_multimodal_audio", "q_lm_score_indexed")
+      "q_multimodal_audio", "q_lm_score_indexed",
+      // r14 late: indexed bitext — amplified corpus ⇒ fresh shard
+      // fingerprints ⇒ the measured time INCLUDES both shard index
+      // builds; the mining itself is top-16-truncated per direction,
+      // so post-retrieval work is O(n·16) and growth must land under
+      // the un-truncated ANN form's
+      "q_bitext_mine_indexed")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")
