@@ -249,6 +249,47 @@ object Demo {
         "weights fitted once against the target domain, served from the " +
         "versioned artifact, off-domain text dropped before the dedup probes")
     }
+
+    // -- 10. the persisted quality LM serving a live gate (r14): counts
+    //      stored once, a stream gates against them per trigger, and a
+    //      count-delta APPEND (exact — counts sum) retrains the gate
+    //      mid-stream with no restart
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      def rep(s: String, n: Int) = Seq.fill(n)(s).mkString("")
+      val work = Files.createTempDirectory("demo-lm").toString
+      index.LmIndex.build(functions.TrigramLm.counts(
+        Seq((1L, rep("ab", 40))).toDF("doc_id", "text")), s"$work/lm")
+      val sin = MemoryStream[(Long, String)](spark)
+      val sq = stream.QualityStream.toLmGatedLake(
+        sin.toDF().toDF("doc_id", "text"), s"$work/lm",
+        s"$work/lake", s"$work/ckpt", minAvgP = 0.8)
+      sin.addData((100L, rep("ab", 40)), (101L, rep("xy", 40)))
+      sq.processAllAvailable()
+      // the reference corpus grows: one exact count-delta append — the
+      // very next trigger scores under the enlarged model
+      index.LmIndex.append(functions.TrigramLm.counts(
+        Seq((2L, rep("xy", 40))).toDF("doc_id", "text")), s"$work/lm", "b1")
+      sin.addData((200L, rep("xy", 40)))
+      sq.processAllAvailable(); sq.stop()
+      val kept = spark.read.parquet(s"$work/lake")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      println(s"[demo] LM-gated lake kept $kept — the xy-doc rejected at " +
+        "trigger 0 passes after the count-delta append landed mid-stream; " +
+        "Maintenance folds the append off the same trigger as every index")
+    }
+
+    // -- 11. bitext mining for parallel-corpus construction (r14): the
+    //      margin rule over the stored shard indexes — built once,
+    //      mined many, the CCMatrix deployment shape
+    {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+      val mined = SparkEntry.queries("q_bitext_mine_indexed")(spark, sfDir)
+      println(s"[demo] indexed bitext mining proposed ${mined.count()} " +
+        "mutual-best translation pairs from the stored en/de shard " +
+        "indexes (ratio margin > 1.0 — hubness divided out)")
+    }
     spark.stop()
   }
 }
