@@ -1590,7 +1590,6 @@ object Similarity {
   private val qBitextMineIndexed = Q(
     "q_bitext_mine_indexed",
     (s, d) => {
-      val (srcIdx, tgtIdx) = Indexed.bitextShardIndexDirs(s, d)
       val e = embDouble(s, d)
       val lang = Tables.documents(s, d).select(col("doc_id"), col("lang"))
       val el = e.join(lang, col("vec_id") === col("doc_id"))
@@ -1598,6 +1597,16 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
       val tgt = el.filter(col("lang") === "de")
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      // an EMPTY shard mines nothing — yield that, don't crash:
+      // VectorIndex.build correctly refuses an empty centroid set, but
+      // a corpus simply lacking one of the pair's languages is a valid
+      // (empty) mining input, exactly as the exact/ANN forms treat it
+      if (src.isEmpty || tgt.isEmpty) {
+        import s.implicits._
+        Seq.empty[(Long, Long, Double, Double)]
+          .toDF("src_id", "tgt_id", "cos", "margin")
+      } else {
+      val (srcIdx, tgtIdx) = Indexed.bitextShardIndexDirs(s, d)
       def micro(cos: Column): Column = round(cos * lit(1e6), 0).cast("long")
       // search's (rank by cos desc, id) IS the family's (cmicro desc,
       // id) ranking — cos is already round(·,6) so ·1e6 is exact
@@ -1632,6 +1641,7 @@ object Similarity {
         .select(col("src_id"), col("tgt_id"),
           round(col("cmicro").cast("double") / 1e6, 6).as("cos"), col("margin"))
         .orderBy(col("src_id"), col("tgt_id"))
+      }
     },
     Some(indexedBitextOracle)
   )

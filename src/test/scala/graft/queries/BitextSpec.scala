@@ -106,6 +106,25 @@ class BitextSpec extends AnyFunSuite with SparkTestSupport {
       s"hub 102 must admit at most one cluster member, got ${hubPairs.toSeq}")
   }
 
+  test("a corpus lacking one language mines EMPTY in every form — never a crash") {
+    // the indexed form in particular must not reach VectorIndex.build
+    // with an empty centroid set (which correctly refuses)
+    val d2 = Files.createTempDirectory("bitext-onelang").toString
+    Seq((0L, vec(0), 0), (1L, vec(1), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    Seq((0L, "doc 0", "en", "web", 10L), (1L, "doc 1", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    Seq("q_bitext_mine", "q_bitext_mine_ann", "q_bitext_mine_indexed")
+      .foreach { k =>
+        val out = Registry.queries(k)(spark, d2)
+        assert(out.isEmpty, s"$k must mine nothing without a tgt shard")
+        assert(out.columns.toSeq == Seq("src_id", "tgt_id", "cos", "margin"),
+          s"$k empty result must keep the contract schema: ${out.columns.toSeq}")
+      }
+  }
+
   test("ANN mining agrees with exact mining on the random-embedding testdata") {
     // RANDOM embeddings are the adversarial case for IVF (no cluster
     // structure): measured agreement at probes=4 is 0.677 recall /
