@@ -445,6 +445,47 @@ object MultimodalOps {
     }))
   }
 
+  /** Decimating audio DOWNSAMPLE through the real codec — the audio
+    * analog of [[resize]]: decode the WAV, keep every `factor`-th
+    * 16-bit frame, re-encode at `rate/factor`. Two codec roundtrips
+    * plus an integer index selection, so the result stays
+    * byte-predictable from the synthesized samples (no filtering —
+    * plain decimation; an anti-alias FIR would be the production
+    * upgrade, deliberately out of scope for the determinism
+    * contract). Undecodable payloads fail soft to zero rows. */
+  def resampleAudio(media: Dataset[MediaRecord],
+      factor: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    require(factor >= 1, s"factor must be ≥1, got $factor")
+    media.mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { m =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(m.media))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian)
+          val raw = ais.readAllBytes()
+          val ns = raw.length / 2
+          val kept = 0 until ns by factor
+          val pcm = new Array[Byte](kept.size * 2)
+          kept.zipWithIndex.foreach { case (i, j) =>
+            pcm(2 * j) = raw(2 * i)
+            pcm(2 * j + 1) = raw(2 * i + 1)
+          }
+          val outFmt = new javax.sound.sampled.AudioFormat(
+            fmt.getSampleRate / factor, 16, 1, true, false)
+          val out = new javax.sound.sampled.AudioInputStream(
+            new ByteArrayInputStream(pcm), outFmt, kept.size.toLong)
+          val bos = new ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(out,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Some(m.copy(media = bos.toByteArray, width = kept.size))
+        } finally ais.close()
+      } catch { case _: Exception => None }
+    }))
+  }
+
   /** Real frame sampling for multi-frame media (animated GIF — the one
     * video-shaped container the JDK decodes): open one `ImageReader`
     * per payload, keep every `stride`-th frame, re-encode each kept

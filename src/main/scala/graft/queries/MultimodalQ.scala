@@ -227,7 +227,39 @@ object Multimodal {
            FROM amp GROUP BY doc_id, ns ORDER BY doc_id""")
   )
 
+  /** Audio DOWNSAMPLE under the full oracle — the transform leg beside
+    * [[qMultimodalAudio]]'s decode (the audio analog of
+    * [[qMultimodalResize]]): WAV decode → keep every 2nd frame → WAV
+    * re-encode at 4 kHz → decode again → exact integer aggregates.
+    * Plain decimation keeps the whole two-roundtrip chain
+    * byte-predictable: the kept samples are exactly the even-index
+    * synthesized values, so DuckDB re-derives sum/abs/peak over
+    * `range(0, ns, 2)` with no audio stack. */
+  private val qMultimodalAudioResample = Q(
+    "q_multimodal_audio_resample",
+    (s, d) =>
+      MultimodalOps.audioStats(
+          MultimodalOps.resampleAudio(MultimodalOps.asMediaWav(s, d), 2))
+        .toDF()
+        .orderBy(col("doc_id")),
+    Some("""WITH dims AS (
+              SELECT doc_id, text, length(text) AS n,
+                     (n_chars % 64) + 32 AS ns
+              FROM documents),
+            amp AS (
+              SELECT doc_id, ns,
+                CASE WHEN n = 0 THEN 0
+                     ELSE (ord(text[CAST(i % n AS INT) + 1]) - 64) * 256 END AS v
+              FROM dims, LATERAL (SELECT unnest(range(0, CAST(ns AS BIGINT), 2)) AS i) u)
+           SELECT doc_id, CAST(4000 AS INT) AS sample_rate,
+             count(*) AS n_samples, CAST(1 AS INT) AS decoded,
+             CAST(sum(v) AS BIGINT) AS sum_amp,
+             CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+             CAST(max(abs(v)) AS INT) AS peak
+           FROM amp GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   def qs: Seq[Q] =
     Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalResize, qMultimodalDedup,
-      qMultimodalFrames, qMultimodalAudio)
+      qMultimodalFrames, qMultimodalAudio, qMultimodalAudioResample)
 }

@@ -197,4 +197,25 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestSupport {
     val soft = MultimodalOps.audioStats(Seq(garbage).toDS()).collect().head
     assert(soft.decoded == 0 && soft.n_samples == 0L && soft.peak == 0)
   }
+
+  test("audio decimation keeps exactly the even-index samples through a second codec roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("mm-wav-rs").toString
+    // ns = 36, samples cycle "ab a": positions 0,2,4,… are
+    // 'a','  ','a','b'… — even indices of the 4-cycle are 'a'(8448)
+    // and ' '(−8192), 9 of each among the 18 kept
+    Seq((1L, "ab a", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Registry.queries("q_multimodal_audio_resample")(spark, dir)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(rows.length == 1)
+    val (rate, ns, sum, sabs, peak) = rows.head
+    assert(rate == 4000 && ns == 18L)
+    assert(sum == 9L * (8448 - 8192), s"sum_amp $sum")
+    assert(sabs == 9L * (8448 + 8192), s"sum_abs $sabs")
+    assert(peak == 8448, s"peak $peak")
+    // garbage fails soft through the resampler too: zero rows, no throw
+    val garbage = MediaRecord(7L, Array.fill[Byte](32)(3), "bin", 0, 0)
+    assert(MultimodalOps.resampleAudio(Seq(garbage).toDS(), 2).isEmpty)
+  }
 }
