@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.SparkContext
+import org.apache.spark.broadcast.Broadcast
+
+/** IDENTITY-keyed broadcast memo — the shared fix for the per-trigger
+  * broadcast leak class (r13 ADVICE for the LM model, r14 ADVICE for
+  * the tokenizer rank map): a long-running stream that calls a
+  * `withX(df, artifactDir)` helper once per micro-batch must NOT ship
+  * a fresh broadcast of the (possibly multi-MB) driver-side artifact
+  * every trigger with only GC-driven cleanup. Instead each artifact
+  * family pairs this memo with a signature-stable cached read (e.g.
+  * [[graft.index.LmIndex.readModelCached]],
+  * [[graft.index.TokenizerIndex.readRanksCached]]): the cached read
+  * returns the SAME object instance while the committed artifact is
+  * unchanged, and this memo maps (context, object identity) → one
+  * broadcast — so an unchanged artifact reuses one broadcast across
+  * every trigger, and the first trigger after a rebuild/append/compact
+  * naturally re-broadcasts the fresh instance.
+  *
+  * Entries pin their values strongly; values per JVM are few and
+  * artifact-sized. Entries from a replaced (stopped) context are
+  * dropped on next use — a broadcast handle from a dead context would
+  * fail the consuming job anyway. [[release]] destroys everything for
+  * callers wanting deterministic cleanup on stream stop; each artifact
+  * family owns its OWN memo instance so releasing one family's
+  * broadcasts can never kill another family's live stream.
+  */
+private[graft] final class BroadcastMemo {
+  import BroadcastMemo.Identity
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Identity), Broadcast[_]]
+
+  def of[T <: AnyRef](sc: SparkContext, value: T): Broadcast[T] = {
+    memo.entrySet().removeIf(e => e.getKey._1 != sc.applicationId)
+    memo.computeIfAbsent((sc.applicationId, new Identity(value)),
+      _ => sc.broadcast(value)(
+        scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[T]]))
+      .asInstanceOf[Broadcast[T]]
+  }
+
+  /** Destroy and forget every memoized broadcast — explicit cleanup
+    * for a stopping stream (otherwise the ContextCleaner reclaims
+    * them when the values themselves become unreachable). */
+  def release(): Unit = {
+    memo.values().forEach { b =>
+      try b.destroy() catch { case _: Throwable => () }
+    }
+    memo.clear()
+  }
+}
+
+private[graft] object BroadcastMemo {
+  private final class Identity(val v: AnyRef) {
+    override def hashCode: Int = System.identityHashCode(v)
+    override def equals(o: Any): Boolean = o match {
+      case other: Identity => other.v eq v
+      case _ => false
+    }
+  }
+}

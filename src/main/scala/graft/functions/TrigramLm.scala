@@ -209,25 +209,10 @@ object TrigramLm {
     * Entries pin the model strongly; models per JVM are few and
     * model-sized, and [[releaseBroadcasts]] drops everything for
     * callers that want deterministic cleanup on stream stop. */
-  private val bcMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, ModelIdentity), Broadcast[_]]
-
-  private final class ModelIdentity(val m: AnyRef) {
-    override def hashCode: Int = System.identityHashCode(m)
-    override def equals(o: Any): Boolean = o match {
-      case other: ModelIdentity => other.m eq m
-      case _ => false
-    }
-  }
+  private val bcMemo = new BroadcastMemo
 
   private def memoBroadcast[T <: AnyRef](sc: org.apache.spark.SparkContext,
-      value: T): Broadcast[T] = {
-    bcMemo.entrySet().removeIf(e => e.getKey._1 != sc.applicationId)
-    bcMemo.computeIfAbsent((sc.applicationId, new ModelIdentity(value)),
-      _ => sc.broadcast(value)(
-        scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[T]]))
-      .asInstanceOf[Broadcast[T]]
-  }
+      value: T): Broadcast[T] = bcMemo.of(sc, value)
 
   private def broadcastFor(sc: org.apache.spark.SparkContext,
       model: Model): Broadcast[Model] = memoBroadcast(sc, model)
@@ -235,12 +220,7 @@ object TrigramLm {
   /** Destroy and forget every memoized model broadcast — explicit
     * cleanup for a stopping stream (otherwise the ContextCleaner
     * reclaims them when the models themselves become unreachable). */
-  def releaseBroadcasts(): Unit = {
-    bcMemo.values().forEach { b =>
-      try b.destroy() catch { case _: Throwable => () }
-    }
-    bcMemo.clear()
-  }
+  def releaseBroadcasts(): Unit = bcMemo.release()
 
   /** The per-trigram micro-probability with backoff — the ONE lookup
     * semantics both shipping paths implement: a seen trigram reads its

@@ -79,8 +79,15 @@ object LmIndex {
   def append(counts: DataFrame, dir: String, label: String): Unit = {
     require(label.nonEmpty && label.matches("[A-Za-z0-9._=-]+"),
       s"bad append label (allowed: [A-Za-z0-9._=-]+): $label")
-    require(exists(counts.sparkSession, dir),
-      s"no LM artifact at $dir to append to — build first")
+    val m = currentMeta(fsFor(counts.sparkSession, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no LM artifact at $dir to append to — build first"))
+    // a folded label is filtered out of every read FOREVER — the write
+    // would land yet be invisible, silently dropping the counts (r14
+    // ADVICE): fail loud so a replayed batch picks a fresh label
+    require(!m.folded.contains(label),
+      s"append label '$label' at $dir is already folded — a re-append " +
+        "would be invisible to every read; use a fresh label")
     counts.select(col("tri"), col("cnt").cast("long").as("cnt"))
       .write.mode("overwrite").parquet(s"$dir/appends/$label")
   }

@@ -57,6 +57,8 @@ object MinhashIndex {
 
   private val META = "_MINHASH_META.json"
 
+  private val VersionedBands = "bands_v(\\d+)".r
+
   // bucket_n = TRUE pre-truncation bucket occupancy (see
   // Dedup.minhashBands) — reads of a pre-r9 index surface it as null
   private val bandsSchema = StructType(Seq(
@@ -116,6 +118,14 @@ object MinhashIndex {
     require(m.bands != "bands",
       s"legacy (pre-r9) minhash index at $dir — rebuild (writeMinhashIndex) " +
         "before appending")
+    // a folded label's dir is filtered out of every read FOREVER — the
+    // write would land on disk yet be invisible, silently dropping the
+    // appended docs (r14 ADVICE). Reusing a compacted label means the
+    // caller replayed a batch whose append already committed AND was
+    // folded: fail loud so it can skip instead of losing data.
+    require(!m.folded.contains(label),
+      s"append label '$label' at $dir is already folded — a re-append " +
+        "would be invisible to every read; skip the replayed batch instead")
     bands.write.mode("overwrite").parquet(s"$dir/appends/$label/bands")
     shingles.write.mode("overwrite").parquet(s"$dir/appends/$label/shingles")
   }
@@ -125,7 +135,21 @@ object MinhashIndex {
     * schema-pinned reads with zero live appends; with live appends the
     * bands side re-derives the combined `bucket_n` (see the class doc)
     * and the shingles side unions. */
-  def read(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  def read(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    read(spark, dir, None)
+
+  /** [[read]] with one append label EXCLUDED — the replay-safety read
+    * for self-appending streaming gates
+    * ([[graft.stream.LogStream.toSelfDedupingLake]]): a crash-replayed
+    * micro-batch must gate against the index AS IT WAS before its own
+    * append, or every prior survivor self-matches (Jaccard 1.0) and
+    * the replay overwrites the lake partition and the append label
+    * with an EMPTY survivor set (r14 ADVICE). Excluding the batch's
+    * own label reproduces the original pre-append view exactly; on a
+    * first (non-replay) run the label doesn't exist yet and the
+    * exclusion is a no-op. */
+  def read(spark: SparkSession, dir: String,
+      excludeLabel: Option[String]): (DataFrame, DataFrame) = {
     val fs = fsFor(spark, dir)
     val m = currentMeta(fs, dir)
       .getOrElse(throw new IllegalArgumentException(
@@ -134,6 +158,7 @@ object MinhashIndex {
     val baseShingles =
       spark.read.schema(shinglesSchema).parquet(s"$dir/${m.shingles}")
     val labels = liveLabels(fs, dir, Some(m))
+      .filterNot(excludeLabel.contains)
     if (labels.isEmpty) (baseBands, baseShingles)
     else (combinedBands(spark, dir, m, labels),
       labels.foldLeft(baseShingles)((acc, l) =>
@@ -170,6 +195,15 @@ object MinhashIndex {
     currentMeta(fs, dir).map(m => liveLabels(fs, dir, Some(m)).size)
       .getOrElse(0)
   }
+
+  /** True iff `label` is in the committed meta's FOLDED list — i.e. an
+    * append under this label committed AND a compact/rebuild already
+    * baked it into the base. A self-appending stream replaying that
+    * batch must SKIP it (the original survivors are durable in both
+    * the lake and the base); re-gating or re-appending would lose
+    * data. Metadata-only probe. */
+  def isLabelFolded(spark: SparkSession, dir: String, label: String): Boolean =
+    currentMeta(fsFor(spark, dir), dir).exists(_.folded.contains(label))
 
   /** Fold all live appends into a NEW committed pair — combined
     * occupancy made durable and the union RE-TRUNCATED to the global
@@ -211,8 +245,18 @@ object MinhashIndex {
   def exists(spark: SparkSession, dir: String): Boolean =
     currentMeta(fsFor(spark, dir), dir).isDefined
 
-  private def versionAfter(bands: String): Int =
-    bands.stripPrefix("bands").stripPrefix("_v").toIntOption.getOrElse(0) + 1
+  private def versionAfter(bands: String): Int = bands match {
+    // only the pre-r9 unversioned layout takes the v1 fallback; any
+    // OTHER non-matching committed name is a manual edit or a future
+    // layout change, and silently restarting at v1 would let
+    // mode("overwrite") clobber dirs the meta no longer knows about
+    // (the WinnowIndex/LmIndex/TokenizerIndex stance, r14 ADVICE)
+    case "bands" => 1
+    case VersionedBands(v) => v.toInt + 1
+    case other => throw new IllegalStateException(
+      s"minhash index meta at names bands dir '$other', which does not " +
+        "match bands_v<N> — refusing to renumber over it")
+  }
 
   private final case class Meta(bands: String, shingles: String,
       folded: Seq[String])

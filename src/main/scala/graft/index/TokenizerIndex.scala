@@ -80,6 +80,43 @@ object TokenizerIndex {
       root.get("rounds").asInt())
   }
 
+  /** The committed merge table collected to the driver-side rank map
+    * `((l, r) → round)` the encode kernel
+    * ([[graft.functions.BpeEncoder]]) consumes, plus the join char —
+    * with an IDENTITY-STABLE cache keyed by the artifact's committed
+    * signature (the [[LmIndex.readModelCached]] treatment, r14
+    * ADVICE): a streaming consumer calling this per trigger gets the
+    * SAME map instance while the artifact is unchanged, which lets an
+    * identity-keyed broadcast memo
+    * ([[graft.functions.BroadcastMemo]]) reuse ONE broadcast across
+    * triggers instead of re-shipping the ~30k-entry table every
+    * micro-batch — and a fresh instance on the first trigger after a
+    * rebuild (the mid-stream retrain contract: the meta re-resolution
+    * is metadata-only; the ≤R-row collect re-runs only when the
+    * committed version moved). */
+  def readRanksCached(spark: SparkSession,
+      dir: String): (Map[(String, String), Int], String) = {
+    val fs = fsFor(spark, dir)
+    if (!MetaMarker.exists(fs, dir, META))
+      throw new IllegalArgumentException(s"no tokenizer artifact at $dir")
+    val root = MetaMarker.read(fs, dir, META)
+    val sig = root.get("merges").asText() + "|" + root.get("join").asText() +
+      "|" + root.get("rounds").asInt()
+    val cached = ranksCache.get(dir)
+    if (cached != null && cached._1 == sig) cached._2
+    else {
+      val tok = read(spark, dir)
+      val ranks = (tok.merges.select("round", "l", "r")
+        .collect().map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
+        .toMap, tok.join)
+      ranksCache.put(dir, (sig, ranks))
+      ranks
+    }
+  }
+
+  private val ranksCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, (Map[(String, String), Int], String))]
+
   /** True once [[build]] ever committed at `dir`. */
   def exists(spark: SparkSession, dir: String): Boolean =
     MetaMarker.exists(fsFor(spark, dir), dir, META)

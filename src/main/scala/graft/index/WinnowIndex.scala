@@ -100,8 +100,15 @@ object WinnowIndex {
       label: String): Unit = {
     require(label.nonEmpty && label.matches("[A-Za-z0-9._=-]+"),
       s"bad append label (allowed: [A-Za-z0-9._=-]+): $label")
-    require(exists(fps.sparkSession, dir),
-      s"no winnowing index at $dir to append to — build first")
+    val m = currentMeta(fsFor(fps.sparkSession, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no winnowing index at $dir to append to — build first"))
+    // a folded label's dir is filtered out of every read FOREVER — the
+    // write would land yet be invisible, silently dropping the docs
+    // (r14 ADVICE): fail loud so a replayed batch skips instead
+    require(!m.folded.contains(label),
+      s"append label '$label' at $dir is already folded — a re-append " +
+        "would be invisible to every read; skip the replayed batch instead")
     fps.write.mode("overwrite").parquet(s"$dir/appends/$label/fps")
     stats.write.mode("overwrite").parquet(s"$dir/appends/$label/stats")
   }
@@ -112,7 +119,18 @@ object WinnowIndex {
     * no shuffle); with live appends the fps side is a union and the
     * stats side re-aggregates df across base + deltas — the cost
     * [[compact]] exists to fold away. */
-  def read(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  def read(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    read(spark, dir, None)
+
+  /** [[read]] with one append label EXCLUDED — the replay-safety read
+    * for the self-appending overlap gate
+    * ([[graft.stream.LogStream.toSelfOverlapGatingLake]]): a replayed
+    * batch gating against an index containing its own append would
+    * self-match every prior survivor and overwrite lake + label with
+    * an empty set (r14 ADVICE; the [[MinhashIndex.read]] treatment).
+    * On a first run the label doesn't exist and exclusion is a no-op. */
+  def read(spark: SparkSession, dir: String,
+      excludeLabel: Option[String]): (DataFrame, DataFrame) = {
     val fs = fsFor(spark, dir)
     val m = currentMeta(fs, dir)
       .getOrElse(throw new IllegalArgumentException(
@@ -120,6 +138,7 @@ object WinnowIndex {
     val baseFps = spark.read.schema(fpsSchema).parquet(s"$dir/${m.fps}")
     val baseStats = spark.read.schema(statsSchema).parquet(s"$dir/${m.stats}")
     val labels = liveLabels(fs, dir, Some(m))
+      .filterNot(excludeLabel.contains)
     if (labels.isEmpty) (baseFps, baseStats)
     else {
       val fps = labels.foldLeft(baseFps)((acc, l) =>
@@ -189,6 +208,13 @@ object WinnowIndex {
   /** True once [[build]] ever committed at `dir`. */
   def exists(spark: SparkSession, dir: String): Boolean =
     currentMeta(fsFor(spark, dir), dir).isDefined
+
+  /** True iff `label` is in the committed meta's FOLDED list — the
+    * replayed-batch probe ([[MinhashIndex.isLabelFolded]]'s twin): a
+    * folded label proves the batch's lake write and append both
+    * committed and were compacted, so the replay must no-op. */
+  def isLabelFolded(spark: SparkSession, dir: String, label: String): Boolean =
+    currentMeta(fsFor(spark, dir), dir).exists(_.folded.contains(label))
 
   private final case class Meta(fps: String, stats: String,
       folded: Seq[String])

@@ -796,11 +796,18 @@ object Chunking {
   def withBpeTokenCount(df: DataFrame, dir: String,
       outCol: String = "n_bpe_tokens"): DataFrame = {
     val s = df.sparkSession
-    val (ranks, join) = loadTokenizerRanks(s, dir)
-    val bc = s.sparkContext.broadcast(ranks)
+    // signature-cached read + identity-keyed broadcast memo: an
+    // unchanged artifact reuses ONE broadcast across every streaming
+    // trigger instead of re-shipping the ~30k-entry rank map per
+    // micro-batch (the r13 LM-path leak, r14 ADVICE for this path);
+    // a mid-stream retrain's fresh map re-broadcasts naturally
+    val (ranks, join) = graft.index.TokenizerIndex.readRanksCached(s, dir)
+    val bc = ranksBcMemo.of(s.sparkContext, ranks)
     df.withColumn(outCol,
       graft.functions.BpeTokenCount.col(split(col("text"), " "), bc, join))
   }
+
+  private val ranksBcMemo = new graft.functions.BroadcastMemo
 
   /** Cross-source span-overlap matrix — the report a data team runs
     * BEFORE mixing corpora: for every pair of sources, how many

@@ -937,9 +937,23 @@ object LogStream {
     * mid-stream compact's meta swap serves from the next trigger
     * exactly like a rebuild's.
     *
-    * Exactly-once: a replayed batch overwrites BOTH its own
-    * `batch_id=` lake partition and its own append label — both
-    * idempotent, so a crash between the two writes re-runs cleanly.
+    * Exactly-once (r15 — replay-safe against the loop's own appends,
+    * r14 ADVICE): foreachBatch is at-least-once, and a naive replay
+    * would re-gate the batch against an index that already contains
+    * its OWN `batch_id=N` append — every prior survivor self-matches
+    * at Jaccard 1.0 and the replay overwrites lake partition and
+    * append label with an EMPTY survivor set, permanently. So the
+    * gate reads the index WITH THE BATCH'S OWN LABEL EXCLUDED
+    * ([[graft.index.MinhashIndex.read]]'s excludeLabel form) — a
+    * no-op on first run (the label doesn't exist yet), and on replay
+    * it reproduces the exact pre-append view, hence the original
+    * survivor set; both writes are then idempotent overwrites. If
+    * [[graft.Maintenance]] already FOLDED the label (possible only
+    * after both writes committed — the append precedes the fold and
+    * the lake write precedes the append), the replay no-ops: the
+    * original survivors are durable in both lake and base, and a
+    * re-append under a folded label would be invisible forever
+    * (appendMinhashIndex refuses it loudly).
     * A dup pair arriving WITHIN one micro-batch still lands whole
     * (the [[dedupAgainstCorpus]] stance); it joins the index with the
     * batch and catches the third copy. */
@@ -953,17 +967,20 @@ object LogStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val (bands, shingles) =
-          graft.queries.Dedup.readMinhashIndex(batch.sparkSession, indexDir)
-        // one materialization: the lake write and the append's
-        // signature pass both consume the survivors — without it the
-        // probe join runs twice per trigger
-        val survivors = graft.queries.Dedup
-          .dropNearDups(batch.toDF(), bands, shingles, threshold)
-          .localCheckpoint(true)
-        writeBatchIdempotent(survivors, lakeDir, batchId)
-        graft.queries.Dedup.appendMinhashIndex(
-          survivors, indexDir, s"batch_id=$batchId")
+        val label = s"batch_id=$batchId"
+        if (!graft.index.MinhashIndex.isLabelFolded(
+            batch.sparkSession, indexDir, label)) {
+          val (bands, shingles) = graft.index.MinhashIndex.read(
+            batch.sparkSession, indexDir, Some(label))
+          // one materialization: the lake write and the append's
+          // signature pass both consume the survivors — without it the
+          // probe join runs twice per trigger
+          val survivors = graft.queries.Dedup
+            .dropNearDups(batch.toDF(), bands, shingles, threshold)
+            .localCheckpoint(true)
+          writeBatchIdempotent(survivors, lakeDir, batchId)
+          graft.queries.Dedup.appendMinhashIndex(survivors, indexDir, label)
+        }
       }
       .start()
 
@@ -1008,9 +1025,13 @@ object LogStream {
     * ([[graft.queries.Dedup.appendWinnowIndex]], label
     * `batch_id=<n>`) — a doc quoting a run of a doc admitted two
     * triggers earlier is caught with no rebuild and no restart.
-    * Same exactly-once contract: a replay overwrites both its lake
-    * partition and its append label; [[graft.Maintenance]] folds the
-    * deltas off [[graft.index.WinnowIndex.pendingAppends]]. */
+    * Same replay-safe exactly-once contract as [[toSelfDedupingLake]]
+    * (r15): the gate reads the index with the batch's OWN label
+    * excluded, so a crash-replay reproduces the original survivor set
+    * instead of self-overlap-dropping every prior survivor; a label
+    * [[graft.Maintenance]] already folded proves both writes
+    * committed, so that replay no-ops. Deltas fold off
+    * [[graft.index.WinnowIndex.pendingAppends]]. */
   def toSelfOverlapGatingLake(
       docs: DataFrame,
       indexDir: String,
@@ -1021,14 +1042,17 @@ object LogStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val (fps, stats) =
-          graft.queries.Dedup.readWinnowIndex(batch.sparkSession, indexDir)
-        val survivors = graft.queries.Dedup
-          .dropOverlapping(batch.toDF(), fps, stats, minShared)
-          .localCheckpoint(true)
-        writeBatchIdempotent(survivors, lakeDir, batchId)
-        graft.queries.Dedup.appendWinnowIndex(
-          survivors, indexDir, s"batch_id=$batchId")
+        val label = s"batch_id=$batchId"
+        if (!graft.index.WinnowIndex.isLabelFolded(
+            batch.sparkSession, indexDir, label)) {
+          val (fps, stats) = graft.index.WinnowIndex.read(
+            batch.sparkSession, indexDir, Some(label))
+          val survivors = graft.queries.Dedup
+            .dropOverlapping(batch.toDF(), fps, stats, minShared)
+            .localCheckpoint(true)
+          writeBatchIdempotent(survivors, lakeDir, batchId)
+          graft.queries.Dedup.appendWinnowIndex(survivors, indexDir, label)
+        }
       }
       .start()
 

@@ -193,6 +193,51 @@ class MinhashIndexSpec extends AnyFunSuite with SparkTestSupport {
     assert(MinhashIndex.pendingAppends(spark, dir) == 0)
   }
 
+  test("excluded-label read restores the pre-append view; a folded label refuses re-append") {
+    val dir = Files.createTempDirectory("mhidx-replay").toString
+    Dedup.writeMinhashIndex(corpus("a"), dir)
+    val fresh = Seq((50L, toks("afresh", 100))).toDF("doc_id", "text")
+    Dedup.appendMinhashIndex(fresh, dir, "batch_id=0")
+    // a twin of the APPENDED doc: dropped by the full read, KEPT when
+    // the append's own label is excluded — the replayed-batch view
+    val twin = Seq((60L, toks("afresh", 100).replace("afresh3 ", "AFRESH3 ")))
+      .toDF("doc_id", "text")
+    val (bFull, sFull) = MinhashIndex.read(spark, dir)
+    assert(Dedup.dropNearDups(twin, bFull, sFull).count() == 0)
+    val (bExcl, sExcl) = MinhashIndex.read(spark, dir, Some("batch_id=0"))
+    assert(Dedup.dropNearDups(twin, bExcl, sExcl).count() == 1,
+      "excluding the batch's own label must restore the pre-append view")
+    // excluding a label that doesn't exist is a no-op
+    val (bNo, sNo) = MinhashIndex.read(spark, dir, Some("batch_id=99"))
+    assert(Dedup.dropNearDups(twin, bNo, sNo).count() == 0)
+
+    assert(!MinhashIndex.isLabelFolded(spark, dir, "batch_id=0"))
+    MinhashIndex.compact(spark, dir)
+    assert(MinhashIndex.isLabelFolded(spark, dir, "batch_id=0"))
+    // a re-append under the folded label would land on disk yet be
+    // invisible to every read — refuse loudly instead of losing data
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendMinhashIndex(fresh, dir, "batch_id=0")
+    }
+    assert(e.getMessage.contains("folded"), e.getMessage)
+  }
+
+  test("build/compact refuse to renumber over a meta naming an unparsable bands dir") {
+    val dir = Files.createTempDirectory("mhidx-badmeta").toString
+    Dedup.writeMinhashIndex(corpus("a"), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a manual edit / future layout change: neither the legacy literal
+    // 'bands' nor bands_v<N> — silently restarting at v1 would let
+    // mode("overwrite") clobber dirs the meta no longer knows about
+    graft.index.MetaMarker.write(fs, dir, "_MINHASH_META.json",
+      """{"bands": "bands_weird", "shingles": "shingles_v0", "folded": []}""")
+    val e = intercept[IllegalStateException] {
+      Dedup.writeMinhashIndex(corpus("b"), dir)
+    }
+    assert(e.getMessage.contains("refusing to renumber"), e.getMessage)
+  }
+
   test("pre-r9 unversioned layout stays readable; the pair generator rejects it loudly") {
     val dir = Files.createTempDirectory("mhidx-legacy").toString
     val c = corpus("a")

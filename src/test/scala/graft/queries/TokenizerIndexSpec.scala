@@ -157,4 +157,30 @@ class TokenizerIndexSpec extends AnyFunSuite with SparkTestSupport {
       .map(r => (r.getString(0), r.getLong(2), r.getInt(4))).toSeq
     assert(tight === Seq(("aa", 8L, 0), ("zz", 14L, 0)), tight.toString)
   }
+
+  test("withBpeTokenCount memoizes ONE broadcast while the artifact is unchanged; a retrain re-broadcasts") {
+    // r14 ADVICE: toTokenizedDelivery/tokenRollup call this once per
+    // micro-batch — a fresh broadcast of the rank map every trigger is
+    // the exact per-trigger leak the LM path fixed in r13. The
+    // signature-cached read + identity-keyed memo must hand back the
+    // SAME broadcast across calls, and a committed retrain a fresh one.
+    val dir = Files.createTempDirectory("tokidx-memo").toString
+    Chunking.writeTokenizer(corpus, dir)
+    def bcIdOf(): Long =
+      Chunking.withBpeTokenCount(corpus, dir)
+        .queryExecution.analyzed.collect { case n => n.expressions }.flatten
+        .flatMap(_.collect {
+          case graft.functions.BpeTokenCount(_, bc, _) => bc.id
+        }).head
+    val before = bcIdOf()
+    assert(before == bcIdOf(),
+      "an unchanged artifact must reuse one broadcast across triggers")
+    Chunking.writeTokenizer(
+      Seq((1L, "p q p q r s"), (2L, "p q r s r s")).toDF("doc_id", "text"),
+      dir)
+    val after = bcIdOf()
+    assert(after != before,
+      "a committed retrain must broadcast the fresh rank map")
+    assert(after == bcIdOf(), "the retrained artifact memoizes again")
+  }
 }

@@ -178,4 +178,32 @@ class WinnowIndexSpec extends AnyFunSuite with SparkTestSupport {
     }
     assert(e.getMessage.contains("fps_custom"), e.getMessage)
   }
+
+  test("excluded-label read restores the pre-append view; a folded label refuses re-append") {
+    val run = toks("alpha", 30)
+    val dir = Files.createTempDirectory("wnidx-replay").toString
+    Dedup.writeWinnowIndex(
+      Seq((1L, s"${toks("corpus", 30)} tail words")).toDF("doc_id", "text"),
+      dir)
+    val appended = Seq((100L, s"$run ${toks("x", 10)}"))
+      .toDF("doc_id", "text")
+    Dedup.appendWinnowIndex(appended, dir, "batch_id=0")
+    // a doc QUOTING the appended run: dropped by the full read, KEPT
+    // when the append's own label is excluded — the replayed-batch view
+    val quoter = Seq((200L, s"${toks("pre", 8)} $run")).toDF("doc_id", "text")
+    val (fFull, sFull) = graft.index.WinnowIndex.read(spark, dir)
+    assert(Dedup.dropOverlapping(quoter, fFull, sFull).count() == 0)
+    val (fExcl, sExcl) =
+      graft.index.WinnowIndex.read(spark, dir, Some("batch_id=0"))
+    assert(Dedup.dropOverlapping(quoter, fExcl, sExcl).count() == 1,
+      "excluding the batch's own label must restore the pre-append view")
+
+    assert(!graft.index.WinnowIndex.isLabelFolded(spark, dir, "batch_id=0"))
+    graft.index.WinnowIndex.compact(spark, dir)
+    assert(graft.index.WinnowIndex.isLabelFolded(spark, dir, "batch_id=0"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendWinnowIndex(appended, dir, "batch_id=0")
+    }
+    assert(e.getMessage.contains("folded"), e.getMessage)
+  }
 }

@@ -270,6 +270,137 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
         s"and of the base corpus (102) must be dropped: $kept")
   }
 
+  test("self-deduping lake crash-replay: the re-run batch reproduces its survivors instead of self-matching them away") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-selfdedup-replay").toString
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    val idxDir = s"$work/idx"
+    graft.queries.Dedup.writeMinhashIndex(
+      Seq((1L, toks("corpus", 100))).toDF("doc_id", "text"), idxDir)
+    val input = MemoryStream[(Long, String)](spark)
+    def start() = LogStream.toSelfDedupingLake(
+      input.toDF().toDF("doc_id", "text"), idxDir,
+      s"$work/lake", s"$work/ckpt", threshold = 0.9)
+    val q = start()
+    try {
+      // batch 0: one fresh survivor, one near-twin of the base corpus
+      input.addData(
+        (100L, toks("alpha", 100)),
+        (101L, toks("corpus", 100).replace("corpus7 ", "CORPUS7 ")))
+      q.processAllAvailable()
+    } finally q.stop()
+    def lakeIds() = spark.read.parquet(s"$work/lake")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lakeIds() == Set(100L))
+    assert(graft.index.MinhashIndex.pendingAppends(spark, idxDir) == 1)
+    // crash simulation: batch 0 committed its lake partition AND its
+    // index append, but died before the checkpoint commit — drop the
+    // commit marker so the restarted query REPLAYS batch 0 against an
+    // index that already contains batch 0's own append. Without the
+    // own-label-excluded gate read, survivor 100 self-matches at
+    // Jaccard 1.0 and the replay overwrites lake and label with an
+    // EMPTY set (r14 ADVICE).
+    assert(new java.io.File(s"$work/ckpt/commits/0").delete())
+    // the local FS keeps a checksum twin next to the marker — drop it
+    // too, or the replayed commit's rename trips over the stale crc
+    new java.io.File(s"$work/ckpt/commits/.0.crc").delete()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(lakeIds() == Set(100L),
+      s"replay must reproduce the original survivors: ${lakeIds()}")
+    assert(graft.index.MinhashIndex.pendingAppends(spark, idxDir) == 1)
+    // the re-appended label still gates the next trigger
+    val q3 = start()
+    try {
+      input.addData(
+        (102L, toks("alpha", 100).replace("alpha7 ", "ALPHA7 ")),
+        (103L, toks("beta", 100)))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(lakeIds() == Set(100L, 103L),
+      s"the replayed append must still gate later twins: ${lakeIds()}")
+  }
+
+  test("self-deduping lake crash-replay AFTER a fold: the replayed batch no-ops, survivors stay durable") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-selfdedup-fold-replay").toString
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    val idxDir = s"$work/idx"
+    graft.queries.Dedup.writeMinhashIndex(
+      Seq((1L, toks("corpus", 100))).toDF("doc_id", "text"), idxDir)
+    val input = MemoryStream[(Long, String)](spark)
+    def start() = LogStream.toSelfDedupingLake(
+      input.toDF().toDF("doc_id", "text"), idxDir,
+      s"$work/lake", s"$work/ckpt", threshold = 0.9)
+    val q = start()
+    try {
+      input.addData((100L, toks("alpha", 100)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Maintenance folds the batch's label into the base, THEN the
+    // checkpoint commit turns out lost: the folded label proves both
+    // of the batch's writes committed, so the replay must no-op —
+    // re-gating would self-drop, and a re-append under a folded label
+    // would be invisible forever
+    graft.index.MinhashIndex.compact(spark, idxDir)
+    assert(graft.index.MinhashIndex.isLabelFolded(spark, idxDir, "batch_id=0"))
+    assert(new java.io.File(s"$work/ckpt/commits/0").delete())
+    // the local FS keeps a checksum twin next to the marker — drop it
+    // too, or the replayed commit's rename trips over the stale crc
+    new java.io.File(s"$work/ckpt/commits/.0.crc").delete()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the stream stays live past the no-op replay: batch 1 gates
+      // against the folded base as usual
+      input.addData(
+        (101L, toks("alpha", 100).replace("alpha7 ", "ALPHA7 ")),
+        (102L, toks("beta", 100)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val kept = spark.read.parquet(s"$work/lake")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L, 102L),
+      s"fold-replay must keep the original survivor durable and keep gating: $kept")
+    assert(graft.index.MinhashIndex.pendingAppends(spark, idxDir) == 1,
+      "only batch 1's append may be live after the folded no-op replay")
+  }
+
+  test("self-overlap-gating lake crash-replay reproduces its survivors") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-selfoverlap-replay").toString
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    val runA = toks("alpha", 30)
+    val idxDir = s"$work/idx"
+    graft.queries.Dedup.writeWinnowIndex(
+      Seq((1L, s"${toks("corpus", 30)} tail words")).toDF("doc_id", "text"),
+      idxDir)
+    val input = MemoryStream[(Long, String)](spark)
+    def start() = LogStream.toSelfOverlapGatingLake(
+      input.toDF().toDF("doc_id", "text"), idxDir,
+      s"$work/lake", s"$work/ckpt")
+    val q = start()
+    try {
+      input.addData((100L, s"$runA ${toks("x", 10)}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def lakeIds() = spark.read.parquet(s"$work/lake")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lakeIds() == Set(100L))
+    // lost checkpoint commit → replay against the index holding the
+    // batch's own fingerprints; the own-label-excluded read keeps the
+    // survivor from self-overlap-dropping
+    assert(new java.io.File(s"$work/ckpt/commits/0").delete())
+    // the local FS keeps a checksum twin next to the marker — drop it
+    // too, or the replayed commit's rename trips over the stale crc
+    new java.io.File(s"$work/ckpt/commits/.0.crc").delete()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(lakeIds() == Set(100L),
+      s"replay must reproduce the original survivors: ${lakeIds()}")
+    assert(graft.index.WinnowIndex.pendingAppends(spark, idxDir) == 1)
+  }
+
   test("persisted band index keeps representatives of an over-cap dup family — the stream gate still fires") {
     import spark.implicits._
     def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
