@@ -237,6 +237,59 @@ object MultimodalOps {
     media.mapPartitions(_.grouped(BatchSize).flatMap(_.map(pixelStatsOf)))
   }
 
+  /** 64-bit AVERAGE HASH over the decoded pixels — the perceptual
+    * signature behind `q_image_phash_dup`: nearest-neighbor-sample an
+    * 8×8 luma grid (cell (cx,cy) reads source pixel (cx·w/8, cy·h/8),
+    * integer division — the [[resize]] sampling formula, so a resized
+    * or re-encoded copy lands on nearly the same cells), integer
+    * BT.601 luma `299r+587g+114b` per cell, and bit p = 1 iff the
+    * cell's luma strictly exceeds the 64-cell mean (`64·luma > total`
+    * — all-integer, no division, so the DuckDB oracle replays every
+    * bit from the planted text bytes). Exact sha256 dedup
+    * (`q_multimodal_dedup`) misses any re-encoded/resized copy — the
+    * dominant duplication mode in web image corpora; this hash is
+    * invariant to the re-encode and nearly invariant to the resample.
+    */
+  def averageHash64(img: BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val lum = new Array[Long](64)
+    var total = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val rgb = img.getRGB(cx * w / 8, cy * h / 8)
+        val l = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        lum(cy * 8 + cx) = l
+        total += l
+        cx += 1
+      }
+      cy += 1
+    }
+    var hash = 0L
+    var p = 0
+    while (p < 64) {
+      if (64L * lum(p) > total) hash |= 1L << p
+      p += 1
+    }
+    hash
+  }
+
+  /** A decoded payload's perceptual signature row. */
+  final case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** Batched per-partition [[averageHash64]] over a media column —
+    * same no-shuffle decode shape as [[pixelStats]]. Undecodable
+    * payloads fail SOFT by dropping out (no pixels → no perceptual
+    * signature; quarantine them upstream via [[extractFeatures]]'
+    * `decoded` flag). */
+  def imageHashes(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap(m =>
+      decodeImage(m.media).map(img => ImageHash(m.doc_id, averageHash64(img))))))
+  }
+
   // ------------------------------------------------------------ operators
 
   /** The batched decode pipeline: partition iterator → micro-batches →

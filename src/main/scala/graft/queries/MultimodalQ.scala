@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -259,7 +260,99 @@ object Multimodal {
            FROM amp GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Perceptual image NEAR-dup (r15 — r14 VERDICT top gap): exact
+    * sha256 dedup ([[qMultimodalDedup]]) misses every re-encoded or
+    * resized copy, the dominant duplication mode in web image corpora.
+    * This key runs the REAL decode pass ([[MultimodalOps.imageHashes]]
+    * — 64-bit integer average-hash over an 8×8 NN-sampled luma grid),
+    * bands the hash 8×8 bits for candidates exactly as `q_simhash_dup`
+    * bands its fingerprint, and verifies by Hamming distance ≤ 7 —
+    * the pigeonhole bound that makes the banded plan EXHAUSTIVE: a
+    * pair within 7 differing bits must agree on at least one of 8
+    * bands, so banding + verify ≡ brute force, at collision-scaled
+    * cost instead of n². Same bucket-occupancy cap as the minhash /
+    * simhash generators (an all-uniform image family hashes
+    * identically; 256 representatives keep detection, the cap keeps
+    * the join linear).
+    *
+    * FULL oracle: the planted pixels are a pure function of the text
+    * bytes and every stage is integer arithmetic (NN cell sampling =
+    * the resize leg's formula, BT.601 luma, strict-majority bit,
+    * byte banding, popcount verify), so DuckDB replays the entire
+    * chain — decode included — without a codec. The hash packs as two
+    * 32-bit halves oracle-side (DuckDB `<<` overflows at bit 63 where
+    * Java wraps); Hamming is the sum of the halves' popcounts. */
+  private val qImagePhashDup = Q(
+    "q_image_phash_dup",
+    (s, d) => {
+      val hashed = MultimodalOps.imageHashes(MultimodalOps.asMedia(s, d)).toDF()
+      val bands = hashed.select(col("doc_id"), col("ahash"), explode(expr(
+        """transform(sequence(0, 7), b ->
+          |  named_struct('band', b, 'bits', shiftrightunsigned(ahash, 8*b) & 255))""".stripMargin))
+        .as("bd"))
+        .select(col("doc_id"), col("ahash"), col("bd.band"), col("bd.bits"))
+      val capped = bands.withColumn("bn",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bits"))))
+        .filter(col("bn") <= 256)
+      val l = capped.select(col("band"), col("bits"),
+        col("doc_id").as("doc_a"), col("ahash").as("ha"))
+      val r = capped.select(col("band"), col("bits"),
+        col("doc_id").as("doc_b"), col("ahash").as("hb"))
+      l.join(r, Seq("band", "bits")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(expr("ha ^ hb")).as("hamming"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("hamming")).as("hamming"))
+        .filter(col("hamming") <= 7)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH dims AS (
+             |  SELECT doc_id, text, length(text) AS n,
+             |         (n_chars % 64) + 16 AS w, (n_chars % 48) + 12 AS h
+             |  FROM documents),
+             |cells AS (
+             |  SELECT doc_id, n, text, c AS cell,
+             |         (((c // 8) * h) // 8) * w + (((c % 8) * w) // 8) AS p
+             |  FROM dims, LATERAL (SELECT unnest(range(0, 64)) AS c) u),
+             |lum AS (
+             |  SELECT doc_id, cell,
+             |    299 * (CASE WHEN n = 0 THEN 0 ELSE ord(text[CAST((3*p) % n AS INT) + 1]) END)
+             |  + 587 * (CASE WHEN n = 0 THEN 0 ELSE ord(text[CAST((3*p+1) % n AS INT) + 1]) END)
+             |  + 114 * (CASE WHEN n = 0 THEN 0 ELSE ord(text[CAST((3*p+2) % n AS INT) + 1]) END) AS luma
+             |  FROM cells),
+             |bits AS (
+             |  SELECT doc_id, cell,
+             |    CASE WHEN 64 * luma > sum(luma) OVER (PARTITION BY doc_id)
+             |         THEN 1 ELSE 0 END AS bit
+             |  FROM lum),
+             |hashes AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN bit = 1 AND cell < 32
+             |             THEN (1::BIGINT << CAST(cell AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+             |    CAST(sum(CASE WHEN bit = 1 AND cell >= 32
+             |             THEN (1::BIGINT << CAST(cell - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+             |  FROM bits GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, lo, hi, b AS band,
+             |    CASE WHEN b < 4 THEN (lo >> CAST(8*b AS INT)) & 255
+             |         ELSE (hi >> CAST(8*(b-4) AS INT)) & 255 END AS bits
+             |  FROM hashes, LATERAL (SELECT unnest(range(0, 8)) AS b) u),
+             |occ AS (SELECT *, count(*) OVER (PARTITION BY band, bits) AS bn FROM bands),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         a.lo AS la, a.hi AS hA, b.lo AS lb, b.hi AS hB
+             |  FROM occ a JOIN occ b ON a.band = b.band AND a.bits = b.bits
+             |       AND a.doc_id < b.doc_id
+             |  WHERE a.bn <= 256 AND b.bn <= 256)
+             |SELECT doc_a, doc_b,
+             |  CAST(min(bit_count(xor(la, lb)) + bit_count(xor(hA, hB))) AS INT) AS hamming
+             |FROM pairs GROUP BY doc_a, doc_b
+             |HAVING min(bit_count(xor(la, lb)) + bit_count(xor(hA, hB))) <= 7
+             |ORDER BY doc_a, doc_b""".stripMargin)
+  )
+
   def qs: Seq[Q] =
     Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalResize, qMultimodalDedup,
-      qMultimodalFrames, qMultimodalAudio, qMultimodalAudioResample)
+      qMultimodalFrames, qMultimodalAudio, qMultimodalAudioResample,
+      qImagePhashDup)
 }

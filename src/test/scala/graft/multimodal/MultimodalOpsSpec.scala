@@ -218,4 +218,45 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestSupport {
     val garbage = MediaRecord(7L, Array.fill[Byte](32)(3), "bin", 0, 0)
     assert(MultimodalOps.resampleAudio(Seq(garbage).toDS(), 2).isEmpty)
   }
+
+  test("average-hash catches a re-encoded resized twin that sha256 dedup misses") {
+    // a structured image (bright top half, dark bottom) so the hash has
+    // real signal; its RESIZED re-encode is the planted near-dup — the
+    // dominant duplication mode in web image corpora, invisible to the
+    // content digest because the bytes differ
+    val structured = new BufferedImage(40, 30, BufferedImage.TYPE_INT_RGB)
+    (0 until 30).foreach(y => (0 until 40).foreach(x =>
+      structured.setRGB(x, y, if (y < 15) 0xe0e0e0 else 0x101010)))
+    val original = rec(1, structured)
+    val twin = MultimodalOps.resize(Seq(original.copy(doc_id = 2)).toDS(), 24)
+      .collect().head
+    assert(!java.util.Arrays.equals(original.media, twin.media),
+      "the resized twin must be a different byte payload (sha misses it)")
+    val unrelated = rec(3, solid(0x2040ff, 40, 30))
+    val hashes = MultimodalOps.imageHashes(
+        Seq(original, twin, unrelated).toDS())
+      .collect().map(h => h.doc_id -> h.ahash).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hashes(1L), hashes(2L)) <= 7,
+      s"re-encoded resized twin must fall within the Hamming gate: " +
+        s"${hamming(hashes(1L), hashes(2L))}")
+    assert(hamming(hashes(1L), hashes(3L)) > 7,
+      "an unrelated image must stay outside the gate")
+    // end-to-end through the registered query: plant two docs whose
+    // SYNTHESIZED images are near-twins (same dims — same n_chars mod
+    // classes — one text byte apart) plus an unrelated doc; only the
+    // twin pair may surface
+    val dir = java.nio.file.Files.createTempDirectory("mm-phash").toString
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running"
+    Seq(
+      (1L, base, "en", "web", base.length.toLong),
+      (2L, base.replace("quick", "quack"), "en", "web", base.length.toLong),
+      (3L, "zzz completely different content with other bytes %%%!!!@@@##$$", "en", "web", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.queries.Registry.queries("q_image_phash_dup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      s"only the planted near-twin pair may surface: ${pairs.toSeq}")
+  }
 }
