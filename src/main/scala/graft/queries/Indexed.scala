@@ -181,6 +181,27 @@ object Indexed {
     (idx("btsrc", "en"), idx("bttgt", "de"))
   }
 
+  /** Build-once memo for the BENCHMARK-side vector index behind
+    * `q_decontaminate_semantic_indexed`: the eval suite (the family's
+    * 20 lowest vec_ids) persisted as a [[graft.index.VectorIndex]] so
+    * the paraphrase-leak probe serves from a STORED artifact instead
+    * of re-broadcasting the benchmark per run — the scale path for a
+    * benchmark too large to broadcast. Centroid convention is
+    * [[indexDirFor]]'s (the `centroidsFor(n)` lowest ids), so the
+    * oracle re-derives the geometry. */
+  private[queries] def decontamBenchIndexDir(s: SparkSession,
+      d: String): String =
+    ensureIndex(s, "dcbench", d, "embeddings.parquet",
+        dir => VectorIndex.exists(s, dir)) { scratch =>
+      val bench = Similarity.embDouble(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("emb"))
+      val k = Similarity.centroidsFor(bench.count())
+      VectorIndex.build(bench,
+        bench.orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id").as("cid"), col("emb").as("cemb")),
+        scratch)
+    }
+
   /** Build-once memo for the persisted trigram-LM artifact
     * ([[graft.index.LmIndex]]) over a corpus dir's `documents` table —
     * `q_lm_score_indexed`'s stored model. */
@@ -526,8 +547,43 @@ object Indexed {
     TextOps.qLmScore.oracle
   )
 
+  /** `q_decontaminate_semantic` served FROM the persisted benchmark
+    * index (r15 — r14 VERDICT #2): the brute-force key broadcasts the
+    * eval suite per run; here the benchmark lives in a stored
+    * [[graft.index.VectorIndex]] and every corpus vector probes it as
+    * a search query (topK=1 — the max benchmark cosine IS the one
+    * decontamination needs). Probing ALL centroid lists makes the
+    * IVF search EXHAUSTIVE, so the stored serve is exact and the
+    * brute-force oracle is reused VERBATIM — hash-green proves
+    * persisting the benchmark changes nothing about the
+    * contamination decision (round(·,6) is monotone, so the max of
+    * per-pair rounded cosines equals the rounded max). At an
+    * over-sized benchmark a deployment turns `probes` down for the
+    * approximate-but-bounded serve; the corpus side stays one scan
+    * either way, and the probed-list filter is bounded by the
+    * CENTROID count, never the corpus. */
+  private val qDecontaminateSemanticIndexed = Q(
+    "q_decontaminate_semantic_indexed",
+    (s, d) => {
+      val dir = decontamBenchIndexDir(s, d)
+      val corpus = Similarity.embDouble(s, d).filter(col("vec_id") >= 20)
+      val nCent = VectorIndex.readCentroids(s, dir).count().toInt
+      VectorIndex.search(s, dir,
+          corpus.select(col("vec_id").as("query_id"), col("emb").as("qemb")),
+          topK = 1, probes = nCent)
+        .join(corpus.select(col("vec_id"), col("label")),
+          col("query_id") === col("vec_id"))
+        .select(col("vec_id"), col("label"),
+          col("cos").as("max_benchmark_cos"),
+          (col("cos") >= 0.8).cast("long").as("contaminated"))
+        .orderBy(col("vec_id"))
+    },
+    Similarity.qDecontaminateSemantic.oracle
+  )
+
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
     qMinhashDupIndexed, qDupClustersMinhashIndexed, qWinnowingIndexed,
     qBpeEncodeIndexed, qTokenizerFertility, qMixTemperatureTokens,
-    qMixBudgetPlan, qDsirWeightsIndexed, qLmScoreIndexed)
+    qMixBudgetPlan, qDsirWeightsIndexed, qLmScoreIndexed,
+    qDecontaminateSemanticIndexed)
 }

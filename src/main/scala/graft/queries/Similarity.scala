@@ -1219,7 +1219,7 @@ object Similarity {
     * convention widened), corpus = the rest; max is order-independent
     * and the cosine kernel is the oracle's fold, so the whole chain is
     * hash-checkable. */
-  private val qDecontaminateSemantic = Q(
+  private[queries] val qDecontaminateSemantic = Q(
     "q_decontaminate_semantic",
     (s, d) => {
       val e = embDouble(s, d)
