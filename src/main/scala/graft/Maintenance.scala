@@ -127,6 +127,21 @@ object Maintenance {
     }
   }
 
+  /** Fold a persisted LSH index's pending bucket appends into the
+    * next committed buckets version ([[graft.index.LshIndex.compact]])
+    * — combined occupancy made durable, the union re-truncated to the
+    * global cap-lowest (bit-identical to a rebuild), reads turn back
+    * into one pure pruned scan. */
+  final case class FoldLshIndexAppends(dir: String, nPending: Int)
+      extends Task {
+    def id: String = s"lsh-compact:$dir"
+    def resource: String = dir
+    def run(spark: SparkSession): String = {
+      index.LshIndex.compact(spark, dir)
+      s"folded $nPending append table(s)"
+    }
+  }
+
   /** Fold a persisted trigram-LM artifact's pending count-delta
     * appends into the next committed counts version
     * ([[graft.index.LmIndex.compact]]) — appends read exactly either
@@ -196,7 +211,8 @@ object Maintenance {
       autoTuneLakes: Seq[String] = Seq.empty,
       winnowIndexes: Seq[String] = Seq.empty,
       minhashIndexes: Seq[String] = Seq.empty,
-      lmIndexes: Seq[String] = Seq.empty): Seq[Task] = {
+      lmIndexes: Seq[String] = Seq.empty,
+      lshIndexes: Seq[String] = Seq.empty): Seq[Task] = {
     val lakeTasks = lakes.flatMap { p =>
       logs.LogLake.fragmentedPartitions(spark, p, minLakeFiles)
         .map { case (env, day, n) => CompactLakePartition(p, env, day, n) }
@@ -239,6 +255,13 @@ object Maintenance {
         if (n >= minIndexAppends) Some(FoldLmIndexAppends(d, n)) else None
       }
     }
+    val lshTasks = lshIndexes.flatMap { d =>
+      if (!index.LshIndex.exists(spark, d)) None
+      else {
+        val n = index.LshIndex.pendingAppends(spark, d)
+        if (n >= minIndexAppends) Some(FoldLshIndexAppends(d, n)) else None
+      }
+    }
     val bindingTasks = indexBindings.flatMap { b =>
       val current = index.CorpusStamp.fingerprintOf(spark, b.corpusDir, b.table)
       val stored = index.CorpusStamp.read(spark, b.indexDir).map(_.fingerprint)
@@ -254,7 +277,7 @@ object Maintenance {
       })
     }
     lakeTasks ++ autoLakeTasks ++ indexTasks ++ winnowTasks ++
-      minhashTasks ++ lmTasks ++ bindingTasks ++ rebuilds
+      minhashTasks ++ lmTasks ++ lshTasks ++ bindingTasks ++ rebuilds
   }
 
   /** Fan the work-list out over a bounded thread pool (each task is

@@ -162,8 +162,11 @@ object LmIndex {
     m.folded.foreach(l =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
     MetaMarker.retireUnnamed(fs, dir, Seq("counts"), Set(m.counts))
+    // retain tombstones on a no-op compact (the MinhashIndex.compact
+    // rationale): a cleared folded list would let a replayed batch
+    // re-append invisibly under its folded label
     val labels = liveLabels(fs, dir, Some(m))
-    if (labels.isEmpty) { writeMeta(fs, dir, m.counts, Seq.empty); return }
+    if (labels.isEmpty) { writeMeta(fs, dir, m.counts, m.folded); return }
     val n = m.counts match {
       case VersionedCounts(v) => v.toInt + 1
       case other => throw new IllegalStateException(

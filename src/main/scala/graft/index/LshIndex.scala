@@ -16,39 +16,96 @@ import org.apache.spark.sql.types._
   * count) needs persisting for a consumer to reconstruct the exact
   * probe expressions; the bucket table is the expensive part.
   *
-  * Layout: `<dir>/_LSH_META.json` (dim, nPlanes, nTables) +
-  * `<dir>/buckets_vN/` parquet (nn_id, nn_label, nn_emb, tbl, bucket),
-  * occupancy-capped at build time with the same 256 cap as the inline
-  * index. Refresh: a rebuild commits geometry + buckets atomically,
+  * INCREMENTAL MAINTENANCE (r15 — the fifth artifact family brought up
+  * to the [[MinhashIndex]]/[[WinnowIndex]]/[[LmIndex]]/[[VectorIndex]]
+  * protocol): each appended batch of NEW vectors lands its own bucket
+  * sub-table under `appends/<label>/`, bucketed with the COMMITTED
+  * geometry (never re-derived from the batch — `planesFor(batchCount)`
+  * would silently change the hash family). Buckets are content-keyed,
+  * so generations union trivially; the one cross-generation subtlety
+  * is the occupancy cap, solved exactly as [[MinhashIndex]] solves it:
+  *
+  *  - the STORED table TRUNCATES each (tbl, bucket) to the `cap`
+  *    lowest nn_ids and carries `bucket_n` = the TRUE pre-truncation
+  *    occupancy; generations partition the vectors, so a read restores
+  *    the combined occupancy as the SUM of one per-generation value.
+  *  - the SERVE stance stays the inline form's DROP-the-bucket
+  *    ([[buckets]]/[[readIndex]] filter combined `bucket_n <= cap`
+  *    before handing rows out), so a consumer sees EXACTLY what the
+  *    inline `bucketedCorpus` over base ∪ appends would produce — a
+  *    bucket hot only ACROSS generations (180 base + 180 appended) is
+  *    correctly dropped, where naive per-generation caps would leak
+  *    360 rows of boilerplate into every probe join.
+  *  - truncation composes: each generation's kept rows are a superset
+  *    of the global cap-lowest, so [[compact]] re-truncating the union
+  *    by global nn_id order converges BIT-IDENTICALLY to a
+  *    from-scratch rebuild.
+  *
+  * Layout: `<dir>/_LSH_META.json` (dim, nPlanes, nTables, buckets
+  * version, folded append labels) + `<dir>/buckets_vN/` parquet
+  * (nn_id, nn_label, nn_emb, tbl, bucket, bucket_n)
+  * + `appends/<label>/` sub-tables. Pre-r15 bucket tables (no
+  * `bucket_n`) stay readable — they were drop-capped at build, so the
+  * null-safe serve filter passes them — but refuse appends (rebuild
+  * first). Refresh: a rebuild commits geometry + buckets atomically,
   * and the `foreachBatch` consumers
   * ([[graft.stream.LogStream.toNearestNeighborLake]]) re-resolve the
-  * meta per trigger, so a running stream serves the new version from
-  * its next micro-batch without a restart. The continuous stream-
-  * static-join form pins the version read at plan time (restart to
-  * refresh).
+  * meta per trigger, so a running stream serves the new version — or
+  * freshly appended vectors — from its next micro-batch without a
+  * restart. The continuous stream-static-join form pins the version
+  * read at plan time (restart to refresh).
   */
 object LshIndex {
+
+  private val META = "_LSH_META.json"
+
+  private val VersionedBuckets = "buckets_v(\\d+)".r
 
   final case class Geometry(dim: Int, nPlanes: Int, nTables: Int)
 
   /** `nn_label` persists as STRING regardless of the corpus's label
     * type — it is the enrichment's routing tag, and a fixed stored
-    * type keeps the explicit read schema valid for every corpus. */
+    * type keeps the explicit read schema valid for every corpus.
+    * `bucket_n` (r15) = TRUE pre-truncation occupancy; a pre-r15
+    * table surfaces it as null. */
   private val bucketsSchema = StructType(Seq(
     StructField("nn_id", LongType),
     StructField("nn_label", StringType),
     StructField("nn_emb", ArrayType(DoubleType)),
     StructField("tbl", IntegerType),
-    StructField("bucket", LongType)))
+    StructField("bucket", LongType),
+    StructField("bucket_n", LongType)))
+
+  /** The stored form of one generation's bucketing: the SAME hash
+    * family as `Similarity.bucketedCorpus` (shared `lshBucketsExpr`),
+    * but TRUNCATED to the cap-lowest nn_ids per (tbl, bucket) with
+    * the true occupancy carried — so the serve filter can apply the
+    * inline drop stance across generations (see the class doc). */
+  private def occupancyBuckets(c: DataFrame, dim: Int, nPlanes: Int,
+      nTables: Int): DataFrame = {
+    import graft.queries.Similarity.{lshBucketsExpr, LshBucketCap}
+    c.select(col("vec_id").cast("long").as("nn_id"),
+        col("label").cast("string").as("nn_label"),
+        expr("transform(emb, x -> CAST(x AS DOUBLE))").as("nn_emb"),
+        explode(lshBucketsExpr(col("emb"), dim, nPlanes, nTables)).as("h"))
+      .select(col("nn_id"), col("nn_label"), col("nn_emb"),
+        col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("tbl"), col("bucket"))))
+      .withColumn("bn", row_number().over(
+        Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("nn_id"))))
+      .filter(col("bn") <= LshBucketCap)
+      .drop("bn")
+  }
 
   /** Bucket a corpus (vec_id, label, emb) with the data-derived
-    * geometry and persist it. The bucketing itself is
-    * [[graft.queries.Similarity.bucketedCorpus]] — the SAME definition
-    * the inline streaming form uses, so index/inline agreement is
-    * structural. Cost: one bucketing pass over the corpus plus two
-    * small stat jobs (the dim probe and the count that sizes
-    * `planesFor`) — cache the corpus first if it is an expensive
-    * derived plan rather than a scan.
+    * geometry and persist it. The hash family is
+    * [[graft.queries.Similarity.bucketedCorpus]]'s — the SAME
+    * `lshBucketsExpr` definition the inline streaming form uses, so
+    * index/inline agreement is structural. Cost: one bucketing pass
+    * over the corpus plus two small stat jobs (the dim probe and the
+    * count that sizes `planesFor`) — cache the corpus first if it is
+    * an expensive derived plan rather than a scan.
     *
     * REBUILD-safe by the VectorIndex pointer protocol: the new buckets
     * land in a fresh `buckets_vN` dir, and the meta — which names both
@@ -57,12 +114,13 @@ object LshIndex {
     * a torn pair (new 11-plane buckets under an old 10-plane meta
     * would silently join near-nothing). A crash before the commit
     * leaves the old index fully live; the orphaned version dir is
-    * cleaned by the next successful build. */
+    * cleaned by the next successful build. A full rebuild subsumes
+    * every append generation, so the commit marks ALL current append
+    * labels folded (their dirs retire with one-generation grace). */
   def build(corpus: DataFrame, dir: String, nTables: Int = 4): Unit = {
-    import graft.queries.Similarity.{bucketedCorpus, dimOf, planesFor}
+    import graft.queries.Similarity.{dimOf, planesFor}
     val spark = corpus.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, dir)
     val current = if (metaExists(fs, dir)) Some(readMetaFull(fs, dir)) else None
     // ONE-GENERATION GRACE: retire only versions the CURRENT meta does
     // not name (crash orphans AND the version the PREVIOUS build
@@ -71,36 +129,73 @@ object LshIndex {
     // yank files out from under an in-flight scan that read the old
     // meta a moment earlier (a streaming trigger mid-probe) and kill
     // the very query the no-restart refresh contract protects.
-    current.foreach { case (_, name) =>
-      MetaMarker.retireUnnamed(fs, dir, Seq("buckets"), Set(name))
+    current.foreach { m =>
+      m.folded.foreach(l =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+      MetaMarker.retireUnnamed(fs, dir, Seq("buckets"), Set(m.buckets))
     }
-    val next = current match {
-      case Some((_, name)) =>
-        s"buckets_v${name.stripPrefix("buckets_v").stripPrefix("buckets")
-          .toIntOption.getOrElse(0) + 1}"
-      case None => "buckets_v0"
-    }
+    val next = s"buckets_v${current.map(m => versionAfter(m.buckets)).getOrElse(0)}"
+    // label snapshot BEFORE the table write, committed with it: an
+    // append landing mid-build stays live instead of silently shadowed
+    val folded = liveLabels(fs, dir, current)
     val c = corpus.select(col("vec_id"), col("label"), col("emb"))
     val dim = dimOf(c)
     val nPlanes = planesFor(c.count())
-    bucketedCorpus(c, dim, nPlanes, nTables)
+    occupancyBuckets(c, dim, nPlanes, nTables)
       .write.mode("overwrite").parquet(s"$dir/$next")
-    // commit: geometry + buckets version in ONE staged meta swap; the
-    // pre-rebuild version stays on disk until the NEXT build's grace
-    // cleanup above
-    MetaMarker.write(fs, dir, "_LSH_META.json",
-      s"""{"dim": $dim, "n_planes": $nPlanes, "n_tables": $nTables, "buckets": "$next"}""")
+    // commit: geometry + buckets version + folded list in ONE staged
+    // meta swap; the pre-rebuild version stays on disk until the NEXT
+    // build's grace cleanup above
+    writeMeta(fs, dir, Geometry(dim, nPlanes, nTables), next, folded)
+  }
+
+  /** Land one micro-batch of NEW vectors as an append sub-table,
+    * bucketed with the COMMITTED geometry (the batch must hash into
+    * the same family as the base or the stream's probe expressions
+    * join near-nothing against it). Idempotent per label. Vectors
+    * must be new (absent from base and every other append) — the
+    * [[VectorIndex.append]] caller contract. */
+  def append(corpus: DataFrame, dir: String, label: String): Unit = {
+    require(label.nonEmpty && label.matches("[A-Za-z0-9._=-]+"),
+      s"bad append label (allowed: [A-Za-z0-9._=-]+): $label")
+    val spark = corpus.sparkSession
+    val fs = fsFor(spark, dir)
+    require(metaExists(fs, dir),
+      s"no LSH index at $dir to append to — build first")
+    val m = readMetaFull(fs, dir)
+    // a pre-r15 base has no bucket_n: the combined-occupancy
+    // re-derivation would propagate nulls into every bucket count —
+    // refuse here instead of serving silently-wrong occupancy. The
+    // folded list doubles as the layout marker: only r15+ builds
+    // write it.
+    require(m.hasFolded,
+      s"pre-r15 LSH index at $dir (no occupancy column) — rebuild " +
+        "(LshIndex.build) before appending")
+    // a folded label's dir is filtered out of every read FOREVER (r14
+    // ADVICE on the sibling families): fail loud instead of losing data
+    require(!m.folded.contains(label),
+      s"append label '$label' at $dir is already folded — a re-append " +
+        "would be invisible to every read; skip the replayed batch instead")
+    occupancyBuckets(corpus.select(col("vec_id"), col("label"), col("emb")),
+        m.g.dim, m.g.nPlanes, m.g.nTables)
+      .write.mode("overwrite").parquet(s"$dir/appends/$label")
   }
 
   def readGeometry(spark: SparkSession, dir: String): Geometry =
-    readMetaFull(fsFor(spark, dir), dir)._1
+    readMetaFull(fsFor(spark, dir), dir).g
 
-  /** The persisted bucket table (the version the meta names) as a pure
-    * read (explicit schema — no footer pass). */
-  def buckets(spark: SparkSession, dir: String): DataFrame = {
-    val name = readMetaFull(fsFor(spark, dir), dir)._2
-    spark.read.schema(bucketsSchema).parquet(s"$dir/$name")
-  }
+  /** The persisted bucket table SERVED under the inline drop stance:
+    * base ∪ live appends with the combined occupancy restored, buckets
+    * over the cap dropped whole, `bucket_n` stripped — exactly the
+    * rows `Similarity.bucketedCorpus` over the union corpus would
+    * produce (LshIndexSpec pins the bit-identity). With zero live
+    * appends this is one pure schema-pinned scan + a filter; with live
+    * appends the occupancy re-derivation costs two partial-agg'd
+    * shuffles — the price [[compact]] folds away. Pre-r15 tables
+    * surface null `bucket_n` and pass the null-safe filter (they were
+    * drop-capped at build). */
+  def buckets(spark: SparkSession, dir: String): DataFrame =
+    readIndex(spark, dir)._2
 
   /** Geometry AND buckets from ONE meta read — what every consumer
     * must use: calling [[readGeometry]] then [[buckets]] reads the
@@ -109,22 +204,144 @@ object LshIndex {
     * a torn read that silently enriches with near-nothing, the exact
     * failure the atomic swap exists to prevent. */
   def readIndex(spark: SparkSession, dir: String): (Geometry, DataFrame) = {
-    val (g, name) = readMetaFull(fsFor(spark, dir), dir)
-    (g, spark.read.schema(bucketsSchema).parquet(s"$dir/$name"))
+    import graft.queries.Similarity.LshBucketCap
+    val fs = fsFor(spark, dir)
+    val m = readMetaFull(fs, dir)
+    val served = rawBucketsFor(spark, dir, m)
+      .filter(col("bucket_n").isNull || col("bucket_n") <= LshBucketCap)
+      .drop("bucket_n")
+    (m.g, served)
   }
+
+  /** The TRUNCATION-stance rows (cap-lowest representatives with the
+    * combined true occupancy) — [[compact]]'s input and the spec's
+    * probe; consumers wanting detection inside over-cap dup families
+    * (the MinhashIndex stream-gate rationale) read this form. */
+  def rawBuckets(spark: SparkSession, dir: String): DataFrame =
+    rawBucketsFor(spark, dir, readMetaFull(fsFor(spark, dir), dir))
+
+  private def rawBucketsFor(spark: SparkSession, dir: String,
+      m: Meta): DataFrame = {
+    val fs = fsFor(spark, dir)
+    val base = spark.read.schema(bucketsSchema).parquet(s"$dir/${m.buckets}")
+    val labels = liveLabels(fs, dir, Some(m))
+    if (labels.isEmpty) base
+    else {
+      // combined occupancy: per (tbl, bucket, generation) the stored
+      // value is constant and generations partition vectors, so the
+      // true count is the sum of one value per generation
+      val tagged = labels.zipWithIndex
+        .foldLeft(base.withColumn("_gen", lit(0))) { case (acc, (l, i)) =>
+          acc.union(spark.read.schema(bucketsSchema)
+            .parquet(s"$dir/appends/$l").withColumn("_gen", lit(i + 1)))
+        }
+      val occ = tagged
+        .groupBy(col("tbl"), col("bucket"), col("_gen"))
+        .agg(max(col("bucket_n")).as("_gn"))
+        .groupBy(col("tbl"), col("bucket"))
+        .agg(sum(col("_gn")).as("bucket_n"))
+      tagged.drop("bucket_n", "_gen")
+        .join(occ, Seq("tbl", "bucket"))
+        .select(col("nn_id"), col("nn_label"), col("nn_emb"),
+          col("tbl"), col("bucket"), col("bucket_n"))
+    }
+  }
+
+  /** How many live (unfolded) append sub-tables a read currently pays
+    * for — [[graft.Maintenance]]'s compaction trigger. Metadata only. */
+  def pendingAppends(spark: SparkSession, dir: String): Int = {
+    val fs = fsFor(spark, dir)
+    if (!metaExists(fs, dir)) 0
+    else liveLabels(fs, dir, Some(readMetaFull(fs, dir))).size
+  }
+
+  /** Fold all live appends into a NEW committed bucket version —
+    * combined occupancy made durable and the union RE-TRUNCATED to
+    * the global cap-lowest nn_ids per bucket, which converges
+    * bit-identically to a from-scratch rebuild (each generation's
+    * kept rows are a superset of the global keep set). Geometry is
+    * unchanged — appends were bucketed with it. Crash-safe exactly as
+    * [[MinhashIndex.compact]]: the meta swap is the commit point,
+    * folded dirs linger one generation. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    import graft.queries.Similarity.LshBucketCap
+    val fs = fsFor(spark, dir)
+    require(metaExists(fs, dir), s"no LSH index at $dir")
+    val m = readMetaFull(fs, dir)
+    // step 1: finish any interrupted predecessor
+    m.folded.foreach(l =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+    MetaMarker.retireUnnamed(fs, dir, Seq("buckets"), Set(m.buckets))
+    // retain tombstones on a no-op compact (the MinhashIndex.compact
+    // rationale): a cleared folded list would let a replayed batch
+    // re-append invisibly under its folded label
+    val labels = liveLabels(fs, dir, Some(m))
+    if (labels.isEmpty) { writeMeta(fs, dir, m.g, m.buckets, m.folded); return }
+    val next = s"buckets_v${versionAfter(m.buckets)}"
+    rawBucketsFor(spark, dir, m)
+      .withColumn("_bn", row_number().over(
+        Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("nn_id"))))
+      .filter(col("_bn") <= LshBucketCap).drop("_bn")
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    writeMeta(fs, dir, m.g, next, labels)
+  }
+
+  /** True once [[build]] ever committed at `dir`. */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    metaExists(fsFor(spark, dir), dir)
+
+  private def versionAfter(buckets: String): Int = buckets match {
+    // only the (hypothetical) unversioned legacy name takes the
+    // fallback; any other non-matching committed name fails loud (the
+    // r14 ADVICE stance on MinhashIndex.versionAfter)
+    case "buckets" => 1
+    case VersionedBuckets(v) => v.toInt + 1
+    case other => throw new IllegalStateException(
+      s"LSH index meta names buckets dir '$other', which does not match " +
+        "buckets_v<N> — refusing to renumber over it")
+  }
+
+  private final case class Meta(g: Geometry, buckets: String,
+      folded: Seq[String], hasFolded: Boolean)
 
   private def fsFor(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def metaExists(fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean =
-    MetaMarker.exists(fs, dir, "_LSH_META.json")
+    MetaMarker.exists(fs, dir, META)
 
   private def readMetaFull(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): (Geometry, String) = {
-    val root = MetaMarker.read(fs, dir, "_LSH_META.json")
-    (Geometry(root.get("dim").asInt(), root.get("n_planes").asInt(),
+      dir: String): Meta = {
+    val root = MetaMarker.read(fs, dir, META)
+    val foldedNode = Option(root.get("folded"))
+    val folded = foldedNode.map { arr =>
+      (0 until arr.size()).map(arr.get(_).asText())
+    }.getOrElse(Seq.empty)
+    Meta(
+      Geometry(root.get("dim").asInt(), root.get("n_planes").asInt(),
         root.get("n_tables").asInt()),
-      root.get("buckets").asText())
+      root.get("buckets").asText(), folded, foldedNode.isDefined)
+  }
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      g: Geometry, buckets: String, folded: Seq[String]): Unit =
+    MetaMarker.write(fs, dir, META,
+      s"""{"dim": ${g.dim}, "n_planes": ${g.nPlanes}, """ +
+        s""""n_tables": ${g.nTables}, "buckets": "$buckets", """ +
+        s""""folded": [${folded.map(l => s""""$l"""").mkString(", ")}]}""")
+
+  /** Append labels on disk MINUS the meta's folded list, sorted for
+    * deterministic fold order. Pure listing. */
+  private def liveLabels(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      meta: Option[Meta]): Seq[String] = {
+    val appendsDir = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    if (!fs.exists(appendsDir)) Seq.empty
+    else {
+      val folded = meta.map(_.folded.toSet).getOrElse(Set.empty)
+      fs.listStatus(appendsDir)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(folded).sorted.toSeq
+    }
   }
 }

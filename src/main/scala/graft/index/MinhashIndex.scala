@@ -222,8 +222,14 @@ object MinhashIndex {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
     MetaMarker.retireUnnamed(fs, dir, Seq("bands", "shingles"),
       Set(m.bands, m.shingles))
+    // RETAIN the folded tombstones on a no-op compact (dirs were just
+    // swept above, but the labels stay): clearing them would let a
+    // crash-replayed batch re-append under its folded label and lose
+    // data. A fold WITH new labels replaces the list — safe, because a
+    // still-replayable batch N implies no batch N+1 ever ran, so the
+    // only foldable new label IS N's (single writer per index).
     val labels = liveLabels(fs, dir, Some(m))
-    if (labels.isEmpty) { writeMeta(fs, dir, m.bands, m.shingles, Seq.empty); return }
+    if (labels.isEmpty) { writeMeta(fs, dir, m.bands, m.shingles, m.folded); return }
     val n = versionAfter(m.bands)
     val (nextB, nextS) = (s"bands_v$n", s"shingles_v$n")
     combinedBands(spark, dir, m, labels)

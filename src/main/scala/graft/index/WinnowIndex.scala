@@ -182,8 +182,11 @@ object WinnowIndex {
     // append landing between two listings would be baked into the new
     // version yet missing from the folded record — read again (and
     // re-folded next compact) as a duplicate
+    // retain tombstones on a no-op compact (the MinhashIndex.compact
+    // rationale): clearing them would reopen the folded-label replay
+    // hole for the latest batch
     val labels = liveLabels(fs, dir, Some(m))
-    if (labels.isEmpty) { writeMeta(fs, dir, m.fps, m.stats, Seq.empty); return }
+    if (labels.isEmpty) { writeMeta(fs, dir, m.fps, m.stats, m.folded); return }
     val n = m.fps match {
       case VersionedFps(v) => v.toInt + 1
       case other => throw new IllegalStateException(

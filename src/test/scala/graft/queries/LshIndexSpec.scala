@@ -1,0 +1,146 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+import graft.index.LshIndex
+
+/** The persisted hyperplane-LSH index's append/compact protocol (r15 —
+  * the fifth artifact family brought up to the minhash/winnow/LM/
+  * vector treatment): the stored drop-stance read must be bit-identical
+  * to the inline `bucketedCorpus` over base ∪ appends — INCLUDING the
+  * occupancy cap composed across generations — and compact must
+  * converge to a from-scratch rebuild. */
+class LshIndexSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def vec(seed: Int): Seq[Double] =
+    (0 until 8).map(j => math.sin(seed * 97.0 + j * 13.0))
+
+  /** 30 distinct vectors + `megaN` copies of one boilerplate vector
+    * starting at `megaBase` — the over-cap dup family generator. */
+  private def corpus(ids: Range, megaBase: Long, megaN: Int): DataFrame =
+    (ids.map(i => (i.toLong, s"l$i", vec(i))) ++
+      (0 until megaN).map(i => (megaBase + i, "mega", vec(999))))
+      .toDF("vec_id", "label", "emb")
+
+  private def rows(df: DataFrame): Set[(Long, String, Seq[Double], Int, Long)] =
+    df.select(col("nn_id"), col("nn_label"), col("nn_emb"),
+        col("tbl"), col("bucket"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Double](2),
+        r.getInt(3), r.getLong(4))).toSet
+
+  private def inline(c: DataFrame): DataFrame = {
+    val dim = Similarity.dimOf(c.select(col("vec_id"), col("label"),
+      col("emb")))
+    Similarity.bucketedCorpus(c, dim, Similarity.planesFor(c.count()), 4)
+  }
+
+  test("drop-stance read ≡ inline bucketing over base ∪ appends, cap composed across generations") {
+    val dir = Files.createTempDirectory("lshidx").toString
+    // 150 mega copies in the base, 150 more appended: each generation
+    // is under the 256 cap on its own — only the COMBINED occupancy
+    // re-derivation can drop the bucket the way the inline form does
+    val base = corpus(0 until 30, 1000L, 150)
+    val delta = corpus(50 until 60, 2000L, 150)
+    LshIndex.build(base, dir)
+    assert(rows(LshIndex.buckets(spark, dir)) == rows(inline(base)),
+      "zero-append read must equal the inline bucketing of the base")
+
+    LshIndex.append(delta, dir, "batch_id=0")
+    assert(LshIndex.pendingAppends(spark, dir) == 1)
+    val union = base.union(delta)
+    assert(rows(LshIndex.buckets(spark, dir)) == rows(inline(union)),
+      "append read must equal the inline bucketing of base ∪ delta — " +
+        "the cross-generation mega bucket (300 > 256) must drop whole")
+    // the truncation-stance raw read keeps representatives of the
+    // dropped family, with the TRUE combined occupancy attached
+    val mega = LshIndex.rawBuckets(spark, dir)
+      .filter(col("nn_label") === "mega")
+    assert(mega.count() > 0, "raw read must keep mega representatives")
+    assert(mega.agg(min(col("bucket_n"))).head().getLong(0) >= 300L,
+      "combined occupancy must count BOTH generations")
+  }
+
+  test("compact ≡ from-scratch rebuild bit-identically; folded grace; folded label refuses re-append") {
+    val dir = Files.createTempDirectory("lshidx-compact").toString
+    val base = corpus(0 until 30, 1000L, 150)
+    val delta = corpus(50 until 60, 2000L, 150)
+    LshIndex.build(base, dir)
+    LshIndex.append(delta, dir, "batch_id=0")
+    val gBefore = LshIndex.readGeometry(spark, dir)
+
+    LshIndex.compact(spark, dir)
+    assert(LshIndex.pendingAppends(spark, dir) == 0)
+    assert(LshIndex.readGeometry(spark, dir) == gBefore,
+      "compact must not touch the committed geometry")
+    val fresh = Files.createTempDirectory("lshidx-fresh").toString
+    LshIndex.build(base.union(delta), fresh)
+    def raw(d: String) = LshIndex.rawBuckets(spark, d)
+      .collect().map(_.toSeq.map {
+        case a: scala.collection.Seq[_] => a.toSeq
+        case x => x
+      }).toSet
+    assert(raw(dir) == raw(fresh),
+      "compacted buckets must equal a from-scratch rebuild's " +
+        "(global re-truncation included)")
+    assert(rows(LshIndex.buckets(spark, dir)) ==
+      rows(LshIndex.buckets(spark, fresh)))
+
+    // folded dirs linger one generation, then the next compact sweeps
+    assert(new java.io.File(s"$dir/appends/batch_id=0").exists())
+    LshIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/appends/batch_id=0").exists())
+    // a folded label's re-append would be invisible forever: refuse
+    val e = intercept[IllegalArgumentException] {
+      LshIndex.append(delta, dir, "batch_id=0")
+    }
+    assert(e.getMessage.contains("folded"), e.getMessage)
+  }
+
+  test("Maintenance plans and runs the LSH fold off the pending-append trigger") {
+    val dir = Files.createTempDirectory("lshidx-maint").toString
+    LshIndex.build(corpus(0 until 30, 1000L, 0), dir)
+    LshIndex.append(corpus(50 until 55, 2000L, 0), dir, "batch_id=0")
+    assert(graft.Maintenance.plan(spark, lshIndexes = Seq(dir),
+      minIndexAppends = 2).isEmpty)
+    val tasks = graft.Maintenance.plan(spark, lshIndexes = Seq(dir),
+      minIndexAppends = 1)
+    assert(tasks.map(_.id) == Seq(s"lsh-compact:$dir"), tasks.toString)
+    val results = graft.Maintenance.run(spark, tasks)
+    assert(results.forall(_.outcome.isSuccess),
+      results.map(_.summary).toString)
+    assert(LshIndex.pendingAppends(spark, dir) == 0)
+  }
+
+  test("appends bucket with the COMMITTED geometry, not a re-derived one") {
+    val dir = Files.createTempDirectory("lshidx-geom").toString
+    // base large enough that planesFor(base) > planesFor(batch): a
+    // re-derived batch geometry would hash into a different family and
+    // the appended vectors would never meet their probes
+    val base = (0 until 2000).map(i => (i.toLong, s"l$i", vec(i)))
+      .toDF("vec_id", "label", "emb")
+    LshIndex.build(base, dir)
+    val g = LshIndex.readGeometry(spark, dir)
+    assert(g.nPlanes == Similarity.planesFor(2000L))
+    val batch = Seq((9000L, "fresh", vec(9000))).toDF("vec_id", "label", "emb")
+    // a re-derived geometry would size planes from the 1-row batch —
+    // a DIFFERENT hash family than the committed 5-plane one
+    assert(Similarity.planesFor(1L) != g.nPlanes)
+    LshIndex.append(batch, dir, "batch_id=0")
+    // the appended SUB-TABLE must hold exactly the committed
+    // geometry's buckets for that embedding (read it directly — the
+    // serve-side read may drop rows landing in over-cap hot buckets,
+    // which is the cap's job, not this test's subject)
+    val expected = rows(Similarity.bucketedCorpus(batch, g.dim,
+      g.nPlanes, g.nTables))
+    val got = rows(spark.read.parquet(s"$dir/appends/batch_id=0"))
+    assert(got == expected,
+      s"appended vector must hash with the committed geometry")
+  }
+}

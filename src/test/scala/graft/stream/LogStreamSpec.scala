@@ -1293,6 +1293,50 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(got.map(_._1).exists(_.contains("\"@timestamp\":\"2019-01-18T02:00:03+00:00\"")))
   }
 
+  test("LSH-enriched lake serves APPENDED vectors from the next micro-batch — no rebuild, no restart") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Double] =
+      (0 until 16).map(j => math.sin(seed * 97.0 + j * 13.0))
+    def t(time: String) = java.sql.Timestamp.valueOf(s"2019-01-18 $time")
+    val idxDir = Files.createTempDirectory("graft-nnapp-idx").toString
+    val lake = Files.createTempDirectory("graft-nnapp").toString
+    val ckpt = Files.createTempDirectory("graft-nnapp-ckpt").toString
+    graft.index.LshIndex.build(
+      (0 until 30).map(i => (i.toLong, "A", vec(i)))
+        .toDF("vec_id", "label", "emb"),
+      idxDir)
+    val input = MemoryStream[EmbRow](spark)
+    val q = LogStream.toNearestNeighborLake(input.toDF(), idxDir, lake, ckpt)
+    try {
+      // batch 0: the query's exact twin is NOT in the corpus yet —
+      // best neighbor is some non-exact vector
+      input.addData(EmbRow(100L, t("02:00:00"), vec(77)))
+      q.processAllAvailable()
+      // a fresh crawl batch APPENDS the twin (committed geometry, no
+      // rebuild); the trigger's meta re-resolution serves it next batch
+      graft.index.LshIndex.append(
+        Seq((5000L, "B", vec(77))).toDF("vec_id", "label", "emb"),
+        idxDir, "batch_id=crawl7")
+      input.addData(EmbRow(101L, t("02:01:00"), vec(77)))
+      q.processAllAvailable()
+      // Maintenance folds mid-stream; the twin still serves after
+      graft.index.LshIndex.compact(spark, idxDir)
+      assert(graft.index.LshIndex.pendingAppends(spark, idxDir) == 0)
+      input.addData(EmbRow(102L, t("02:02:00"), vec(77)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(lake)
+        .select("doc_id", "nn_id", "nn_cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val first = got.filter(_._1 == 100L)
+      assert(first.size == 1 && first.head._2 != 5000L && first.head._3 < 1.0,
+        s"batch 0 must not see the yet-unappended twin: $got")
+      assert(got.filter(_._1 == 101L) == Set((101L, 5000L, 1.0)),
+        s"batch 1 must find the APPENDED twin at cos 1.0: $got")
+      assert(got.filter(_._1 == 102L) == Set((102L, 5000L, 1.0)),
+        s"batch 2 must still find the twin after the mid-stream fold: $got")
+    } finally q.stop()
+  }
+
   test("LSH-enriched lake serves a rebuilt index (new corpus AND geometry) from the next micro-batch, no restart") {
     def vec(seed: Int): Seq[Double] =
       (0 until 16).map(j => math.sin(seed * 97.0 + j * 13.0))
