@@ -174,9 +174,25 @@ object VectorIndex {
     // folded-list (a quote or backslash there would corrupt the meta)
     require(label.nonEmpty && label.matches("[A-Za-z0-9._=-]+"),
       s"bad append label (allowed: [A-Za-z0-9._=-]+): $label")
+    // a folded label's dir is excluded from every read FOREVER: a
+    // caller reusing a compacted label for NEW content would silently
+    // drop it (the r14 ADVICE stance, applied family-wide in r15).
+    // Streaming replays route through [[appendStream]], which SKIPS a
+    // folded label instead (the replayed content is already in the
+    // base — convergent).
+    require(!readMeta(vectors.sparkSession, dir).folded.contains(label),
+      s"append label '$label' at $dir is already folded — a re-append " +
+        "would be invisible to every read; use a fresh label")
     toPostings(vectors, readCentroids(vectors.sparkSession, dir))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/appends/$label")
   }
+
+  /** True iff `label` is in the committed meta's folded list — the
+    * replayed-batch probe ([[graft.index.MinhashIndex.isLabelFolded]]'s
+    * twin): a folded label proves the append committed and was
+    * compacted, so a streaming replay must no-op. Metadata only. */
+  def isLabelFolded(spark: SparkSession, dir: String, label: String): Boolean =
+    exists(spark, dir) && readMeta(spark, dir).folded.contains(label)
 
   /** Streaming maintenance: each micro-batch appends under its own
     * `batch_id=<n>` label — exactly-once by directory overwrite, the
@@ -186,8 +202,14 @@ object VectorIndex {
     vectors.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) => append(batch.toDF(), dir, s"batch_id=$batchId"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val label = s"batch_id=$batchId"
+        // replay after a fold: the batch's content is already in the
+        // base — skipping converges; re-appending would be invisible
+        if (!isLabelFolded(batch.sparkSession, dir, label))
+          append(batch.toDF(), dir, label)
+      }
       .start()
 
   /** Fold all live appended sub-tables into a NEW postings version and
@@ -220,7 +242,10 @@ object VectorIndex {
       Set(meta0.postings, meta0.centroids))
     val meta = meta0.copy(folded = Seq.empty)
     val labels = appendLabels(spark, dir)
-    if (labels.isEmpty) { writeMeta(spark, dir, meta); return }
+    // retain tombstones on a no-op compact (dirs were swept above, the
+    // labels stay): clearing them would let a crash-replayed batch
+    // re-append under its folded label — the r15 family-wide stance
+    if (labels.isEmpty) { writeMeta(spark, dir, meta0); return }
 
     val next = meta.postings match {
       case "postings" => "postings_v1"

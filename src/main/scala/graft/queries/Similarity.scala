@@ -1606,45 +1606,68 @@ object Similarity {
         Seq.empty[(Long, Long, Double, Double)]
           .toDF("src_id", "tgt_id", "cos", "margin")
       } else {
-      val (srcIdx, tgtIdx) = Indexed.bitextShardIndexDirs(s, d)
-      def micro(cos: Column): Column = round(cos * lit(1e6), 0).cast("long")
-      // search's (rank by cos desc, id) IS the family's (cmicro desc,
-      // id) ranking — cos is already round(·,6) so ·1e6 is exact
-      val fwd = graft.index.VectorIndex.search(s, tgtIdx, src,
-          topK = BitextTopK, probes = BitextProbes)
-        .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
-          micro(col("cos")).as("cmicro"), col("rank").as("rs"))
-        .localCheckpoint(true)
-      val bwd = graft.index.VectorIndex.search(s, srcIdx, tgt,
-          topK = BitextTopK, probes = BitextProbes)
-        .select(col("neighbor_id").as("src_id"), col("query_id").as("tgt_id"),
-          micro(col("cos")).as("cmicro"), col("rank").as("rt"))
-        .localCheckpoint(true)
-      val ms = fwd.filter(col("rs") <= BitextK)
-        .groupBy(col("src_id"))
-        .agg(sum(col("cmicro")).as("ssum"), count(lit(1)).as("sk"))
-      val mt = bwd.filter(col("rt") <= BitextK)
-        .groupBy(col("tgt_id"))
-        .agg(sum(col("cmicro")).as("tsum"), count(lit(1)).as("tk"))
-      val margins = fwd.drop("rs").union(bwd.drop("rt")).distinct()
-        .join(ms, "src_id")
-        .join(mt, "tgt_id")
-        .withColumn("margin",
-          round(col("cmicro").cast("double") * 2 * col("sk") * col("tk") /
-            (col("ssum") * col("tk") + col("tsum") * col("sk")), 6))
-      margins
-        .withColumn("rb", row_number().over(
-          Window.partitionBy(col("src_id")).orderBy(col("margin").desc, col("tgt_id"))))
-        .withColumn("rf", row_number().over(
-          Window.partitionBy(col("tgt_id")).orderBy(col("margin").desc, col("src_id"))))
-        .filter(col("rb") === 1 && col("rf") === 1 && col("margin") > 1.0)
-        .select(col("src_id"), col("tgt_id"),
-          round(col("cmicro").cast("double") / 1e6, 6).as("cos"), col("margin"))
-        .orderBy(col("src_id"), col("tgt_id"))
+        val (srcIdx, tgtIdx) = Indexed.bitextShardIndexDirs(s, d)
+        mineFromIndexes(s, srcIdx, tgtIdx, src, tgt)
       }
     },
     Some(indexedBitextOracle)
   )
+
+  /** The indexed MINING CORE — one definition behind the batch key
+    * above and the streaming refresh
+    * ([[graft.stream.LogStream.toBitextMiningLake]]): retrieve the
+    * candidate graph from the two persisted shard indexes (forward =
+    * tgt index searched with the src queries, backward symmetric;
+    * top-[[BitextTopK]] per query over [[BitextProbes]] probed lists —
+    * CCMatrix's k-NN retrieval), then margins, neighborhoods and
+    * mutual-best over the retrieved graph in the family's exact
+    * integer-micro arithmetic. `src`/`tgt` are (query_id, qemb) query
+    * sets — the batch key passes the corpus shards, the stream passes
+    * the indexes' own accumulated contents. */
+  private[graft] def mineFromIndexes(s: SparkSession, srcIdx: String,
+      tgtIdx: String, src: DataFrame, tgt: DataFrame): DataFrame = {
+    def micro(cos: Column): Column = round(cos * lit(1e6), 0).cast("long")
+    // search's (rank by cos desc, id) IS the family's (cmicro desc,
+    // id) ranking — cos is already round(·,6) so ·1e6 is exact
+    val fwd = graft.index.VectorIndex.search(s, tgtIdx, src,
+        topK = BitextTopK, probes = BitextProbes)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        micro(col("cos")).as("cmicro"), col("rank").as("rs"))
+      .localCheckpoint(true)
+    val bwd = graft.index.VectorIndex.search(s, srcIdx, tgt,
+        topK = BitextTopK, probes = BitextProbes)
+      .select(col("neighbor_id").as("src_id"), col("query_id").as("tgt_id"),
+        micro(col("cos")).as("cmicro"), col("rank").as("rt"))
+      .localCheckpoint(true)
+    val ms = fwd.filter(col("rs") <= BitextK)
+      .groupBy(col("src_id"))
+      .agg(sum(col("cmicro")).as("ssum"), count(lit(1)).as("sk"))
+    val mt = bwd.filter(col("rt") <= BitextK)
+      .groupBy(col("tgt_id"))
+      .agg(sum(col("cmicro")).as("tsum"), count(lit(1)).as("tk"))
+    val margins = fwd.drop("rs").union(bwd.drop("rt")).distinct()
+      .join(ms, "src_id")
+      .join(mt, "tgt_id")
+      .withColumn("margin",
+        round(col("cmicro").cast("double") * 2 * col("sk") * col("tk") /
+          (col("ssum") * col("tk") + col("tsum") * col("sk")), 6))
+    margins
+      .withColumn("rb", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("margin").desc, col("tgt_id"))))
+      .withColumn("rf", row_number().over(
+        Window.partitionBy(col("tgt_id")).orderBy(col("margin").desc, col("src_id"))))
+      .filter(col("rb") === 1 && col("rf") === 1 && col("margin") > 1.0)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("cmicro").cast("double") / 1e6, 6).as("cos"), col("margin"))
+      .orderBy(col("src_id"), col("tgt_id"))
+  }
+
+  /** A persisted shard index's accumulated contents as a mining query
+    * set — base ∪ unfolded appends, so a streaming re-mine sees every
+    * sentence ingested so far without touching any corpus table. */
+  private[graft] def shardQueries(s: SparkSession, dir: String): DataFrame =
+    graft.index.VectorIndex.postings(s, dir)
+      .select(col("neighbor_id").as("query_id"), col("emb").as("qemb"))
 
   def qs: Seq[Q] =
     Seq(qSimilarityBruteforce, qSimilarityLsh, qSimilarityLshPortable,

@@ -801,6 +801,112 @@ object LogStream {
   def writeBatchIdempotent(batch: Dataset[Row], lakeDir: String, batchId: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$lakeDir/batch_id=$batchId")
 
+  /** STREAMING BITEXT MINING (r15 — r14 VERDICT #5): the deployment
+    * form CCMatrix actually runs. Arriving sentences
+    * `(doc_id, lang, emb)` split by language and APPEND to their
+    * shard's persisted [[graft.index.VectorIndex]] per trigger (label
+    * `batch_id=<n>` — idempotent overwrite; [[graft.Maintenance]]
+    * folds the deltas), then the trigger REFRESHES the mined-pairs
+    * view by running the batch key's exact mining core
+    * ([[graft.queries.Similarity.mineFromIndexes]]) over the two
+    * accumulated indexes — the expensive side (index construction)
+    * is amortized to per-batch appends; the re-mine pays only the
+    * top-k retrieval graph (candidates ≈ queries × probes·n/k,
+    * truncated to 16 — never a cross join, never a rebuild).
+    *
+    * The refresh is GLOBAL by necessity, not convenience: the
+    * Artetxe–Schwenk margin is corpus-level — one arriving sentence
+    * shifts its neighbors' neighborhood means and can displace a
+    * previously-best pair, so mined pairs are a DERIVED VIEW of the
+    * whole corpus, not an append-only event log. The view publishes
+    * through the [[graft.index.MetaMarker]] pointer protocol
+    * ([[writeRefreshedView]]): each trigger commits a whole new
+    * version atomically, a replayed trigger rewrites the same version
+    * (idempotent), and a reader mid-scan on the previous version
+    * keeps its files (one-generation grace). A deployment that mines
+    * on a cadence rather than per trigger wraps the refresh in
+    * `batchId % n == 0`.
+    *
+    * Exactly-once: appends are label-idempotent; a label
+    * [[graft.Maintenance]] already folded is SKIPPED on replay (its
+    * content is durable in the base — the [[toSelfDedupingLake]]
+    * stance), and the view rewrite converges because the re-mine
+    * reads base ∪ appends either way. A mid-stream index REBUILD or
+    * compact is served from the very next trigger — both the search
+    * and the query-set read re-resolve the index meta per call. */
+  def toBitextMiningLake(
+      sentences: DataFrame,
+      srcIdxDir: String,
+      tgtIdxDir: String,
+      srcLang: String,
+      tgtLang: String,
+      minedDir: String,
+      checkpointDir: String): StreamingQuery =
+    sentences.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val label = s"batch_id=$batchId"
+        def ingest(dir: String, lang: String): Unit =
+          if (!graft.index.VectorIndex.isLabelFolded(s, dir, label)) {
+            val side = batch.toDF().filter(col("lang") === lang)
+              .select(col("doc_id").as("vec_id"), col("emb"))
+            if (!side.isEmpty)
+              graft.index.VectorIndex.append(side, dir, label)
+          }
+        ingest(srcIdxDir, srcLang)
+        ingest(tgtIdxDir, tgtLang)
+        writeRefreshedView(
+          graft.queries.Similarity.mineFromIndexes(s, srcIdxDir, tgtIdxDir,
+            graft.queries.Similarity.shardQueries(s, srcIdxDir),
+            graft.queries.Similarity.shardQueries(s, tgtIdxDir)),
+          minedDir, batchId)
+      }
+      .start()
+
+  private val ViewMeta = "_VIEW_META.json"
+
+  /** Atomically publish one refreshed VERSION of a derived view — the
+    * write unit for per-trigger FULL-REFRESH artifacts (a mined-pairs
+    * table, any global top-k) where rows can DISAPPEAR between
+    * versions, so neither the append-only `batch_id=` lake nor the
+    * upsert changelog fits. The [[graft.index.MetaMarker]] pointer
+    * protocol: the new version lands in `view_v<id>`, ONE staged meta
+    * swap publishes it, the previous version lingers one generation
+    * (a reader that resolved the old meta keeps its files), and
+    * generation-old dirs are retired at the NEXT publish's entry. A
+    * replayed trigger rewrites its own version dir and re-commits the
+    * same meta — idempotent. */
+  def writeRefreshedView(view: DataFrame, dir: String, version: Long): Unit = {
+    val spark = view.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current =
+      if (graft.index.MetaMarker.exists(fs, dir, ViewMeta))
+        Some(graft.index.MetaMarker.read(fs, dir, ViewMeta).get("table").asText())
+      else None
+    val next = s"view_v$version"
+    // entry sweep: retire generation-old versions (never the CURRENT —
+    // a just-now reader may be mid-scan on it; never `next` — a replay
+    // overwrites it below anyway). First publish: nothing to sweep.
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+      graft.index.MetaMarker.retireUnnamed(fs, dir, Seq("view_v"),
+        current.toSet + next)
+    view.write.mode("overwrite").parquet(s"$dir/$next")
+    graft.index.MetaMarker.write(fs, dir, ViewMeta, s"""{"table": "$next"}""")
+  }
+
+  /** The current committed version of a [[writeRefreshedView]] view. */
+  def readView(spark: SparkSession, dir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(graft.index.MetaMarker.exists(fs, dir, ViewMeta),
+      s"no published view at $dir")
+    spark.read.parquet(
+      s"$dir/${graft.index.MetaMarker.read(fs, dir, ViewMeta).get("table").asText()}")
+  }
+
   /** Exactly-once lake delivery via `foreachBatch`: a crash between a
     * batch's write and its checkpoint commit makes Structured Streaming
     * replay that batch — with an append sink that duplicates rows, but

@@ -161,4 +161,88 @@ class BitextSpec extends AnyFunSuite with SparkTestSupport {
     assert(!rows.exists(p => losers.contains(p._1)),
       s"cluster members $losers must yield no pair, got ${rows.toSeq.sorted}")
   }
+
+  private def vecD(seed: Int): Seq[Double] = vec(seed).toSeq.map(_.toDouble)
+  private def shiftedD(v: Seq[Double], at: Int, by: Double): Seq[Double] =
+    v.updated(at, v(at) + by)
+
+  /** Seed one shard [[graft.index.VectorIndex]] from (id, emb) pairs
+    * (all seeds double as centroids — tiny fixture shards). */
+  private def seedIndex(dir: String, vs: Seq[(Long, Seq[Double])]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = vs.toDF("vec_id", "emb")
+    graft.index.VectorIndex.build(df,
+      df.select(col("vec_id").as("cid"), col("emb").as("cemb")), dir)
+  }
+
+  test("streaming mining: cross-boundary pair surfaces, schedule-invariant view, rebuild served next trigger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import graft.stream.LogStream
+
+    def run(batches: Seq[Seq[(Long, String, Seq[Double])]],
+        work: String,
+        between: Option[() => Unit] = None): Set[(Long, Long)] = {
+      seedIndex(s"$work/src", Seq(5L -> vecD(5)))
+      seedIndex(s"$work/tgt",
+        Seq(103L -> vecD(33), 104L -> vecD(44), 105L -> vecD(55)))
+      val input = MemoryStream[(Long, String, Seq[Double])](spark)
+      val q = LogStream.toBitextMiningLake(
+        input.toDF().toDF("doc_id", "lang", "emb"),
+        s"$work/src", s"$work/tgt", "en", "de",
+        s"$work/mined", s"$work/ckpt")
+      try batches.zipWithIndex.foreach { case (b, i) =>
+        if (i == batches.size - 1) between.foreach(_.apply())
+        input.addData(b: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      LogStream.readView(spark, s"$work/mined")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    // translations arrive ACROSS a micro-batch boundary: en sides in
+    // batch 0, de sides in batch 1 — only the batch-0 appends let the
+    // batch-1 refresh mine them
+    val twoBatches = run(
+      Seq(
+        Seq((0L, "en", vecD(0)), (1L, "en", vecD(1))),
+        Seq((100L, "de", shiftedD(vecD(0), 0, 0.01)),
+          (101L, "de", shiftedD(vecD(1), 1, 0.01)))),
+      java.nio.file.Files.createTempDirectory("bitext-stream2").toString)
+    assert(twoBatches.contains((0L, 100L)) && twoBatches.contains((1L, 101L)),
+      s"cross-boundary planted pairs must be mined: ${twoBatches.toSeq.sorted}")
+
+    // the mined VIEW is a function of what arrived, not of the arrival
+    // schedule: the same four sentences in ONE batch give the same set
+    val oneBatch = run(
+      Seq(Seq(
+        (0L, "en", vecD(0)), (1L, "en", vecD(1)),
+        (100L, "de", shiftedD(vecD(0), 0, 0.01)),
+        (101L, "de", shiftedD(vecD(1), 1, 0.01)))),
+      java.nio.file.Files.createTempDirectory("bitext-stream1").toString)
+    assert(oneBatch == twoBatches,
+      s"schedule-invariance broken: one=$oneBatch two=$twoBatches")
+
+    // a mid-stream tgt REBUILD (100 dropped — e.g. a quality purge) is
+    // served by the very next trigger: (0,100) disappears from the
+    // refreshed view, (1,101) survives
+    val work3 = java.nio.file.Files.createTempDirectory("bitext-stream3").toString
+    val afterRebuild = run(
+      Seq(
+        Seq(
+          (0L, "en", vecD(0)), (1L, "en", vecD(1)),
+          (100L, "de", shiftedD(vecD(0), 0, 0.01)),
+          (101L, "de", shiftedD(vecD(1), 1, 0.01))),
+        Seq((6L, "en", vecD(6)))),
+      work3,
+      between = Some(() => seedIndex(s"$work3/tgt",
+        Seq(103L -> vecD(33), 104L -> vecD(44), 105L -> vecD(55),
+          101L -> shiftedD(vecD(1), 1, 0.01)))))
+    assert(!afterRebuild.contains((0L, 100L)),
+      s"the purged sentence's pair must vanish after the rebuild: " +
+        s"${afterRebuild.toSeq.sorted}")
+    assert(afterRebuild.contains((1L, 101L)),
+      s"the surviving translation must still be mined: " +
+        s"${afterRebuild.toSeq.sorted}")
+  }
 }
