@@ -40,12 +40,22 @@ object TokenizerIndex {
     StructField("r", StringType),
     StructField("cnt", LongType)))
 
-  /** The committed artifact: the merge table plus its invariants. */
-  final case class Tokenizer(merges: DataFrame, join: String, rounds: Int)
+  /** The committed artifact: the merge table plus its invariants.
+    * `mode` (r15) is the PRE-TOKENIZATION the merges were trained
+    * over — "word" (space-split tokens; a word containing the join
+    * char cannot round-trip) or "byte" (2-hex-digit UTF-8 byte
+    * symbols; closed alphabet, lossless on arbitrary input). The two
+    * modes' merge tables are mutually meaningless, so mode rides the
+    * meta and every serve path refuses the mode it cannot apply — the
+    * MixRatesIndex `alpha_micros` refuse-by-name stance. */
+  final case class Tokenizer(merges: DataFrame, join: String, rounds: Int,
+      mode: String)
 
   /** Persist a trained merge table as the artifact's next version and
-    * publish (table name, join char, rounds) in one meta swap. */
-  def build(merges: DataFrame, join: String, rounds: Int, dir: String): Unit = {
+    * publish (table name, join char, rounds, mode) in one meta swap. */
+  def build(merges: DataFrame, join: String, rounds: Int, dir: String,
+      mode: String = "word"): Unit = {
+    require(mode == "word" || mode == "byte", s"unknown tokenizer mode: $mode")
     val spark = merges.sparkSession
     val fs = fsFor(spark, dir)
     val current = currentName(fs, dir)
@@ -62,7 +72,8 @@ object TokenizerIndex {
     merges.select("round", "l", "r", "cnt")
       .write.mode("overwrite").parquet(s"$dir/$next")
     MetaMarker.write(fs, dir, META,
-      s"""{"merges": "$next", "join": ${quote(join)}, "rounds": $rounds}""")
+      s"""{"merges": "$next", "join": ${quote(join)}, "rounds": $rounds, """ +
+        s""""mode": ${quote(mode)}}""")
   }
 
   /** The committed tokenizer as a pure read (explicit schema — no
@@ -77,7 +88,9 @@ object TokenizerIndex {
       spark.read.schema(mergesSchema)
         .parquet(s"$dir/${root.get("merges").asText()}"),
       root.get("join").asText(),
-      root.get("rounds").asInt())
+      root.get("rounds").asInt(),
+      // pre-r15 metas carry no mode — they were all word-trained
+      Option(root.get("mode")).map(_.asText()).getOrElse("word"))
   }
 
   /** The committed merge table collected to the driver-side rank map
@@ -100,8 +113,18 @@ object TokenizerIndex {
     if (!MetaMarker.exists(fs, dir, META))
       throw new IllegalArgumentException(s"no tokenizer artifact at $dir")
     val root = MetaMarker.read(fs, dir, META)
+    val mode = Option(root.get("mode")).map(_.asText()).getOrElse("word")
+    // the rank-map serve paths SPLIT TEXT ON SPACES before applying
+    // merges — byte-mode merges are over hex byte symbols and would
+    // count garbage silently: refuse by the committed mode (the
+    // MixRatesIndex alpha_micros stance)
+    require(mode == "word",
+      s"tokenizer artifact at $dir is mode '$mode' — the word-splitting " +
+        "serve path (withBpeTokenCount / loadTokenizerRanks) cannot " +
+        "apply it; decode byte-mode artifacts through the hex-symbol " +
+        "pipeline instead")
     val sig = root.get("merges").asText() + "|" + root.get("join").asText() +
-      "|" + root.get("rounds").asInt()
+      "|" + root.get("rounds").asInt() + "|" + mode
     val cached = ranksCache.get(dir)
     if (cached != null && cached._1 == sig) cached._2
     else {

@@ -436,7 +436,61 @@ object Chunking {
     * round. Shared by `q_bpe_train*` (which SELECT the b$r argmax
     * rows) and `q_bpe_encode` (which SELECTs the final toks$rounds
     * re-tokenization — the same chain proves both artifacts). */
-  private def bpeOracleCtes(rounds: Int): String = {
+  /** BYTE-LEVEL pre-tokenization (r15 — the byte-fallback mode real
+    * tokenizers run so no input can ever be OOV or collide with the
+    * merge join char): the doc's UTF-8 bytes, each as one 2-hex-digit
+    * symbol. The symbol alphabet is CLOSED ([0-9A-F]{2}) and excludes
+    * '~', so decode — strip the join char, unhex, UTF-8 — is lossless
+    * on ARBITRARY input: any Unicode, and the very word containing
+    * '~' that the word-mode `q_bpe_roundtrip` can only REPORT. Both
+    * engines uppercase-hex identically, so the whole chain stays
+    * oracle-certifiable. */
+  private def byteToksExpr: String =
+    """CASE WHEN length(text) = 0 THEN CAST(array() AS ARRAY<STRING>)
+      |ELSE transform(sequence(1, length(hex(encode(text, 'UTF-8'))) DIV 2),
+      |               i -> substring(hex(encode(text, 'UTF-8')), 2*i - 1, 2))
+      |END""".stripMargin
+
+  private def byteToks0Sql: String =
+    "list_transform(range(1, len(hex(encode(text)))//2 + 1), " +
+      "i -> hex(encode(text))[2*i-1:2*i])"
+
+  /** Byte-mode roundtrip: train the SAME R-round trainer over the
+    * byte-symbol sequences, apply the chain, decode, compare. Where
+    * [[qBpeRoundtrip]]'s `lossless` column REPORTS the word-mode
+    * failure on a join-char-bearing word, this key's must be true for
+    * EVERY document by construction — the closed alphabet makes the
+    * failure impossible, which is why production tokenizers are
+    * byte-level. FULL oracle: the certified trainer CTEs over the
+    * byte toks0, read at the final re-tokenization layer, decoded
+    * with the same strip-join/unhex/UTF-8 chain. */
+  private val qBpeByteRoundtrip = Q(
+    "q_bpe_byte_roundtrip",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), expr(byteToksExpr).as("toks"))
+        .withColumn("n_bytes", size(col("toks")))
+      val merges = bpeTrainCached(s, d, "byte", BpeTrainRounds)(
+        docs.select(col("toks"), lit(1L).as("w")))
+      applyMergesChain(docs, merges)
+        .select(col("doc_id"), col("n_bytes"), size(col("toks")).as("n_tokens"),
+          (expr(s"decode(unhex(replace(concat_ws('', toks), '$BpeJoin', '')), 'UTF-8')")
+            === col("text")).as("lossless"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH ${bpeOracleCtes(BpeTrainRounds, byteToks0Sql)}
+         |SELECT t0.doc_id, CAST(len(t0.l) AS INT) AS n_bytes,
+         |  CAST(len(tn.l) AS INT) AS n_tokens,
+         |  decode(unhex(replace(array_to_string(tn.l, ''), '$BpeJoin', '')))
+         |    = d.text AS lossless
+         |FROM toks0 t0 JOIN toks$BpeTrainRounds tn USING (doc_id)
+         |JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)
+  )
+
+  private def bpeOracleCtes(rounds: Int,
+      toks0Sql: String = "string_split(text, ' ')"): String = {
     // toks$r LEFT-joins its argmax layer so an EXHAUSTED trainer (b$r
     // empty: every sequence already folded to one token) passes the
     // corpus through unchanged instead of emptying every later layer —
@@ -457,7 +511,7 @@ object Chunking {
          |                             ELSE list_append(acc, x[1]) END)
          |             END AS l
          |           FROM toks${r - 1} LEFT JOIN b$r ON TRUE)""".stripMargin
-    s"""toks0 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    s"""toks0 AS (SELECT doc_id, $toks0Sql AS l FROM documents),
        |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
 
@@ -770,6 +824,58 @@ object Chunking {
         lit(1L).as("w")), rounds),
       BpeJoin, rounds, dir)
 
+  /** [[writeTokenizer]]'s BYTE-FALLBACK sibling (r15): train the merge
+    * table over the closed 2-hex-digit byte-symbol alphabet and commit
+    * it with `mode = "byte"` in the meta, so the word-splitting serve
+    * paths refuse it loudly instead of counting garbage. Decode of a
+    * byte-mode encoding is lossless on ARBITRARY input — any Unicode,
+    * and words containing the join char (the failure `q_bpe_roundtrip`
+    * can only report; `q_bpe_byte_roundtrip` certifies the fix). */
+  def writeByteTokenizer(docs: DataFrame, dir: String,
+      rounds: Int = BpeTrainRounds): Unit =
+    graft.index.TokenizerIndex.build(
+      bpeTrain(docs.select(expr(byteToksExpr).as("toks"),
+        lit(1L).as("w")), rounds),
+      BpeJoin, rounds, dir, mode = "byte")
+
+  /** Encode `text` under a STORED byte-mode tokenizer and decode it
+    * back — the serve-side primitive of the byte pipeline: hex byte
+    * symbols → [[graft.functions.BpeEncoder]] single-pass merge
+    * application → strip-join/unhex/UTF-8 decode. Returns
+    * (doc_id, n_bytes, n_tokens, decoded). The artifact's mode is
+    * enforced here symmetrically to the word path's refusal. */
+  def byteRoundtrip(df: DataFrame, dir: String): DataFrame = {
+    val s = df.sparkSession
+    val tok = graft.index.TokenizerIndex.read(s, dir)
+    require(tok.mode == "byte",
+      s"tokenizer artifact at $dir is mode '${tok.mode}' — byteRoundtrip " +
+        "applies byte-mode artifacts only")
+    val ranks = tok.merges.select(col("round"), col("l"), col("r"))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
+      .toMap
+    val bc = ranksBcMemo.of(s.sparkContext, ranks)
+    val join = tok.join
+    import s.implicits._
+    df.select(col("doc_id"), col("text"), expr(byteToksExpr).as("toks"))
+      .as[(Long, String, Seq[String])]
+      .mapPartitions { it =>
+        val rk = bc.value
+        it.map { case (id, text, toks) =>
+          val enc = graft.functions.BpeEncoder.encode(toks.toArray, rk, join)
+          val hexStr = enc.mkString("").replace(join, "")
+          val bytes = new Array[Byte](hexStr.length / 2)
+          var i = 0
+          while (i < bytes.length) {
+            bytes(i) = java.lang.Integer
+              .parseInt(hexStr.substring(2 * i, 2 * i + 2), 16).toByte
+            i += 1
+          }
+          (id, toks.length, enc.length, new String(bytes, "UTF-8"))
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_tokens", "decoded")
+  }
+
   /** Resolve the COMMITTED tokenizer at `dir` and collect its rank
     * map — a ≤R-row driver read (the merge table IS the artifact a
     * deployment ships; R ≈ 30k in production, never corpus-sized).
@@ -896,5 +1002,6 @@ object Chunking {
 
   def qs: Seq[Q] =
     Seq(qSpanDedup, qSpanScrub, qChunkDocuments, qBpePairs, qBpeTrain, qBpeTrainHist,
-      qBpeEncode, qBpeEncodeFast, qBpeRoundtrip, qSourceOverlap, qOovRate)
+      qBpeEncode, qBpeEncodeFast, qBpeRoundtrip, qBpeByteRoundtrip,
+      qSourceOverlap, qOovRate)
 }

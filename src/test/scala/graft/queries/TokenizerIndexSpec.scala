@@ -183,4 +183,52 @@ class TokenizerIndexSpec extends AnyFunSuite with SparkTestSupport {
       "a committed retrain must broadcast the fresh rank map")
     assert(after == bcIdOf(), "the retrained artifact memoizes again")
   }
+
+  test("byte mode: lossless on arbitrary Unicode incl. the join-char offender; modes refuse each other") {
+    // doc 2 contains the merge join char '~' INSIDE a word — the exact
+    // input the word-mode roundtrip can only REPORT as lossy; docs 3/4
+    // stress multi-byte UTF-8 (2-, 3-, and 4-byte sequences)
+    val docs = Seq(
+      (1L, "plain ascii words here", "en", "web", 22L),
+      (2L, "na~ve til~de words", "en", "web", 18L),
+      (3L, "café 中文 mixed", "zh", "web", 13L),
+      (4L, "emoji 🎉 tail", "en", "web", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("tok-byte-corpus").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    // the registered word-mode roundtrip REPORTS the offender
+    val word = Registry.queries("q_bpe_roundtrip")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!word(2L), "word-mode roundtrip must report the '~' word lossy")
+    // the byte-mode key is lossless for EVERY document
+    val byte = Registry.queries("q_bpe_byte_roundtrip")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(byte.size == 4 && byte.values.forall(identity),
+      s"byte-mode roundtrip must be lossless on all docs: $byte")
+
+    // the STORED byte artifact round-trips through the serve kernel
+    val dir = Files.createTempDirectory("tok-byte-idx").toString
+    Chunking.writeByteTokenizer(docs, dir)
+    assert(TokenizerIndex.read(spark, dir).mode == "byte")
+    val served = Chunking.byteRoundtrip(docs, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(served == texts,
+      s"stored byte artifact must decode every doc exactly: $served")
+
+    // refuse-by-mode, both directions: the word-splitting serve paths
+    // cannot apply a byte artifact, and the byte decoder cannot apply
+    // a word artifact
+    val eWord = intercept[IllegalArgumentException] {
+      Chunking.withBpeTokenCount(docs, dir)
+    }
+    assert(eWord.getMessage.contains("mode 'byte'"), eWord.getMessage)
+    val wordDir = Files.createTempDirectory("tok-word-idx").toString
+    Chunking.writeTokenizer(docs, wordDir)
+    val eByte = intercept[IllegalArgumentException] {
+      Chunking.byteRoundtrip(docs, wordDir)
+    }
+    assert(eByte.getMessage.contains("mode 'word'"), eByte.getMessage)
+  }
 }
