@@ -167,7 +167,12 @@ object ScaleSmoke {
       // builds; the mining itself is top-16-truncated per direction,
       // so post-retrieval work is O(n·16) and growth must land under
       // the un-truncated ANN form's
-      "q_bitext_mine_indexed")
+      "q_bitext_mine_indexed",
+      // r15: exact-substring dedup — the sliding-window explode is the
+      // biggest fan-out in the corpus-prep family (n windows/doc, each
+      // carrying L tokens); the claim is one partial-agg'd count + one
+      // AQE-skew-handled join-back, linear in windows, never pairwise
+      "q_exact_substring_dedup")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

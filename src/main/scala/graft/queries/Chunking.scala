@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -207,6 +208,96 @@ object Chunking {
     * from the same text they slice). Embarrassingly parallel: zero
     * data shuffles — the explode multiplies rows in place and the sink
     * (or downstream tokenizer) sees them partition-local. */
+  /** Minimum duplicated run length for [[qExactSubstringDedup]] —
+    * Lee et al. 2022 use 50 BPE tokens on web corpora; 8 word tokens
+    * keeps the synthetic corpus's planted near-dup runs detectable
+    * while exercising the identical machinery. */
+  private val ExactSubstrL = 8
+
+  /** EXACT-SUBSTRING dedup (r15 — Lee et al. 2022's ≥L-token
+    * exact-substring removal, the gap between the span family and
+    * winnowing): report, per document, the MERGED token spans covered
+    * by any exactly-duplicated run of ≥ L tokens anywhere in the
+    * corpus (cross-doc and intra-doc alike). `q_span_dedup` only sees
+    * duplication ALIGNED to its disjoint K-grids; winnowing
+    * guarantees detection of long overlaps but reports fingerprints,
+    * not exact covered spans. This key is exact by the window lemma:
+    * a duplicated substring of length ≥ L exists iff some length-L
+    * sliding window is duplicated, so the duplicated-window position
+    * set IS the covered-position set.
+    *
+    * 100 TB shape — the distributed replacement for the reference
+    * algorithm's suffix array, which does not shard: one posexplode
+    * into n sliding windows per doc (linear), a partial-agg'd
+    * groupBy(window) count (map-side combine collapses boilerplate
+    * BEFORE the shuffle), one join back (AQE splits the hot keys),
+    * and the per-doc interval-island sweep (two windows over doc_id —
+    * state bounded by document length). NO pairwise join anywhere —
+    * a window duplicated a million times costs one count row, never
+    * 10¹² pairs. On-wire bytes carry each window's text once; at
+    * tokenizer-scale L a deployment swaps the group key for the
+    * codegen'd 128-bit span-key pair ([[spanKey128]] — exactly the
+    * `q_span_dedup` move) and keeps this string-keyed form as its
+    * oracle-certified reference. Removal is the `q_span_scrub`
+    * composition over the reported spans. */
+  private val qExactSubstringDedup = Q(
+    "q_exact_substring_dedup",
+    (s, d) => {
+      val L = ExactSubstrL
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= L)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(toks) - $L + 1),
+             |          i -> struct(i AS pos,
+             |                      concat_ws(' ', slice(toks, i, $L)) AS win))""".stripMargin))
+          .as("p"))
+        .select(col("doc_id"), col("p.pos").as("pos"), col("p.win").as("win"))
+      val counts = w.groupBy(col("win")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      val dup = w.join(counts, Seq("win"))
+        .select(col("doc_id"), col("pos").cast("long").as("s"),
+          (col("pos") + L - 1).cast("long").as("e"))
+      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      dup
+        .withColumn("prev_max", max(col("e")).over(wPrev))
+        // merge overlapping AND adjacent covers: positions are
+        // integers, so s = prev_max + 1 still extends the island
+        .withColumn("fresh",
+          when(col("prev_max").isNull || col("s") > col("prev_max") + 1, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("fresh")).over(wRun))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"),
+          count(lit(1)).as("n_dup_windows"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_tokens"),
+          col("n_dup_windows"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some {
+      val L = ExactSubstrL
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+${L - 1}], ' ') AS win
+         |      FROM t, LATERAL (SELECT unnest(range(1, len(toks) - $L + 2)) AS i) u
+         |      WHERE len(toks) >= $L),
+         |dup AS (SELECT doc_id, CAST(pos AS BIGINT) AS s, CAST(pos + $L - 1 AS BIGINT) AS e
+         |        FROM (SELECT *, count(*) OVER (PARTITION BY win) AS c FROM w)
+         |        WHERE c >= 2),
+         |m AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |      FROM dup),
+         |g AS (SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1
+         |        THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS island
+         |      FROM m)
+         |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+         |  max(e) - min(s) + 1 AS span_tokens, count(*) AS n_dup_windows
+         |FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+    }
+  )
+
   private val qChunkDocuments = Q(
     "q_chunk_documents",
     (s, d) =>
@@ -1001,7 +1092,8 @@ object Chunking {
   )
 
   def qs: Seq[Q] =
-    Seq(qSpanDedup, qSpanScrub, qChunkDocuments, qBpePairs, qBpeTrain, qBpeTrainHist,
+    Seq(qSpanDedup, qSpanScrub, qExactSubstringDedup, qChunkDocuments,
+      qBpePairs, qBpeTrain, qBpeTrainHist,
       qBpeEncode, qBpeEncodeFast, qBpeRoundtrip, qBpeByteRoundtrip,
       qSourceOverlap, qOovRate)
 }

@@ -74,4 +74,34 @@ class SpanDedupSpec extends AnyFunSuite with SparkTestSupport {
       (3L, 2L, 2L, ""),
       (4L, 3L, 0L, "fully unique content with no shared span here x")))
   }
+
+  test("exact-substring dedup: planted >=L run covered whole, misaligned and sub-L overlaps handled exactly") {
+    val d = Files.createTempDirectory("exactsub").toString
+    // L = 8. The shared run is 10 tokens and sits MISALIGNED between
+    // the two docs (offset 2 in doc 1, offset 0 in doc 2) — the
+    // q_span_dedup grid misses that by construction; the sliding
+    // window must cover it exactly. Doc 3 shares only 7 consecutive
+    // tokens (sub-L) → no span. Doc 4 repeats an 8-token run INSIDE
+    // itself → intra-doc detection, two islands.
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val rep = (1 to 8).map(i => s"q$i").mkString(" ")
+    Seq(
+      (1L, s"pre1 pre2 $run tail1 tail2 tail3"),
+      (2L, s"$run out1 out2 out3 out4 out5 out6"),
+      (3L, s"x1 x2 ${(1 to 7).map(i => s"r$i").mkString(" ")} y1 y2 y3 y4"),
+      (4L, s"$rep mid1 mid2 $rep"))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Registry.queries("q_exact_substring_dedup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: run occupies tokens 3..12; doc 2: tokens 1..10.
+    // doc 3: nothing (7 < L). doc 4: tokens 1..8 and 11..18 — two
+    // islands separated by the unique mid tokens.
+    assert(got == Seq(
+      (1L, 3L, 12L),
+      (2L, 1L, 10L),
+      (4L, 1L, 8L), (4L, 11L, 18L)),
+      s"covered spans must be exact: $got")
+  }
 }
