@@ -290,6 +290,109 @@ object Demo {
         "mutual-best translation pairs from the stored en/de shard " +
         "indexes (ratio margin > 1.0 — hubness divided out)")
     }
+
+    // -- 12. perceptual image near-dup (r15): a re-encoded resized copy
+    //      changes every byte (sha256 dedup is blind to it) but not the
+    //      picture — the 64-bit average-hash banding catches it
+    {
+      import spark.implicits._
+      val d = Files.createTempDirectory("demo-phash").toString
+      val base = "the quick brown fox jumps over the lazy dog and keeps on running"
+      Seq(
+        (1L, base, "en", "web", base.length.toLong),
+        (2L, base.replace("quick", "quack"), "en", "web", base.length.toLong),
+        (3L, "zzz completely different content with other bytes %%%!!!@@@##$$", "en", "web", base.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val pairs = SparkEntry.queries("q_image_phash_dup")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      println(s"[demo] perceptual image dedup found ${pairs.mkString(", ")} — " +
+        "the near-twin pixels hash within Hamming 7 while sha256 sees " +
+        "two unrelated byte payloads")
+    }
+
+    // -- 13. STREAMING bitext mining (r15): sentences arrive, append to
+    //      their language shard's index, and each trigger refreshes the
+    //      mined-pairs view — the translation's two halves arrive in
+    //      DIFFERENT micro-batches and still pair up
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      // splitmix avalanche noise, not sin-based vectors — the sin
+      // fixture hides accidental near-twins whose cosines distort the
+      // ratio margin (the BitextSpec lesson)
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      def vec(seed: Int): Seq[Double] =
+        (0 until 32).map(j =>
+          ((mix(seed * 32L + j) & 0x7fffffffL) % 1000L) / 1000.0 * 2 - 1)
+      val work = Files.createTempDirectory("demo-bitext-stream").toString
+      def seed(dir: String, vs: Seq[(Long, Seq[Double])]): Unit = {
+        val df = vs.toDF("vec_id", "emb")
+        index.VectorIndex.build(df,
+          df.selectExpr("vec_id AS cid", "emb AS cemb"), dir)
+      }
+      seed(s"$work/src", Seq(5L -> vec(5)))
+      seed(s"$work/tgt", Seq(103L -> vec(33), 104L -> vec(44)))
+      val sin = MemoryStream[(Long, String, Seq[Double])](spark)
+      val sq = stream.LogStream.toBitextMiningLake(
+        sin.toDF().toDF("doc_id", "lang", "emb"),
+        s"$work/src", s"$work/tgt", "en", "de", s"$work/mined", s"$work/ckpt")
+      sin.addData((0L, "en", vec(0)))
+      sq.processAllAvailable()
+      sin.addData((100L, "de", vec(0).updated(0, vec(0).head + 0.01)))
+      sq.processAllAvailable(); sq.stop()
+      val mined = stream.LogStream.readView(spark, s"$work/mined")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      println(s"[demo] streaming bitext mining paired $mined — the en half " +
+        "arrived one trigger before its de translation; the shard append " +
+        "made it minable the moment the other half landed")
+    }
+
+    // -- 14. byte-fallback tokenizer (r15): the word-mode roundtrip can
+    //      only REPORT a join-char collision; the byte-mode artifact
+    //      decodes arbitrary input exactly
+    {
+      import spark.implicits._
+      val d = Files.createTempDirectory("demo-bpe-byte").toString
+      val docs = Seq(
+        (1L, "plain ascii words here", "en", "web", 22L),
+        (2L, "na~ve til~de words", "en", "web", 18L),
+        (3L, "café 中文 🎉", "zh", "web", 9L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val lossyWords = SparkEntry.queries("q_bpe_roundtrip")(spark, d)
+        .filter(!col("lossless")).count()
+      val lossyBytes = SparkEntry.queries("q_bpe_byte_roundtrip")(spark, d)
+        .filter(!col("lossless")).count()
+      println(s"[demo] tokenizer roundtrip: word mode reports $lossyWords " +
+        s"lossy doc(s) (the '~' words), byte mode $lossyBytes — the closed " +
+        "hex alphabet makes OOV impossible on any Unicode")
+    }
+
+    // -- 15. exact-substring dedup (r15): a 10-token run shared at
+    //      DIFFERENT offsets — invisible to the aligned span grid — is
+    //      covered exactly by the sliding-window plan
+    {
+      import spark.implicits._
+      val d = Files.createTempDirectory("demo-exactsub").toString
+      val run = (1 to 10).map(i => s"r$i").mkString(" ")
+      Seq(
+        (1L, s"pre1 pre2 $run tail1 tail2 tail3"),
+        (2L, s"$run out1 out2 out3 out4 out5 out6"))
+        .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val spans = SparkEntry.queries("q_exact_substring_dedup")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      println(s"[demo] exact-substring dedup covered $spans — the shared " +
+        "run sits at offset 2 in doc 1 and offset 0 in doc 2, exactly the " +
+        "misalignment the disjoint span grid cannot see")
+    }
     spark.stop()
   }
 }

@@ -172,7 +172,17 @@ object ScaleSmoke {
       // biggest fan-out in the corpus-prep family (n windows/doc, each
       // carrying L tokens); the claim is one partial-agg'd count + one
       // AQE-skew-handled join-back, linear in windows, never pairwise
-      "q_exact_substring_dedup")
+      "q_exact_substring_dedup",
+      // r15: perceptual image near-dup (PNG encode+decode per payload +
+      // the 8-band self-join — must track the codec-linear profile of
+      // the features leg plus a collision-scaled band join), the
+      // byte-mode tokenizer roundtrip (the hex explode multiplies token
+      // counts ~3×; linearity per pass is the claim), and the
+      // index-served decontamination probe (amplified corpus ⇒ fresh
+      // fingerprint ⇒ the measured time INCLUDES one bench-index build;
+      // the probe itself is one search over a fixed-size bench index)
+      "q_image_phash_dup", "q_bpe_byte_roundtrip",
+      "q_decontaminate_semantic_indexed")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")
