@@ -547,26 +547,42 @@ object Chunking {
       "i -> hex(encode(text))[2*i-1:2*i])"
 
   /** Byte-mode roundtrip: train the SAME R-round trainer over the
-    * byte-symbol sequences, apply the chain, decode, compare. Where
+    * byte-symbol sequences, encode, decode, compare. Where
     * [[qBpeRoundtrip]]'s `lossless` column REPORTS the word-mode
     * failure on a join-char-bearing word, this key's must be true for
     * EVERY document by construction — the closed alphabet makes the
     * failure impossible, which is why production tokenizers are
     * byte-level. FULL oracle: the certified trainer CTEs over the
     * byte toks0, read at the final re-tokenization layer, decoded
-    * with the same strip-join/unhex/UTF-8 chain. */
+    * with the same strip-join/unhex/UTF-8 chain.
+    *
+    * 100 TB shape — byte sequences are ~6× longer than word
+    * sequences, so this key adopts BOTH production moves the family
+    * has already hash-certified: training folds the corpus to its
+    * (distinct text → weight) HISTOGRAM first (identical merge table
+    * by construction — the `q_bpe_train_hist` proof; on a
+    * mass-duplicated web corpus the per-round passes shrink by the
+    * duplication factor), and the encode is the single-pass
+    * [[graft.functions.BpeEncoder]] kernel (identical output — the
+    * `q_bpe_encode_fast` proof) instead of R interpreted fold passes.
+    * The corpus-form declarative oracle stays VERBATIM-equivalent, so
+    * hash-green certifies both moves again at the byte level. 64×
+    * smoke: 137 s (chain+corpus training) → re-measured after the
+    * swap in SCALE.md. */
   private val qBpeByteRoundtrip = Q(
     "q_bpe_byte_roundtrip",
     (s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), expr(byteToksExpr).as("toks"))
-        .withColumn("n_bytes", size(col("toks")))
       val merges = bpeTrainCached(s, d, "byte", BpeTrainRounds)(
-        docs.select(col("toks"), lit(1L).as("w")))
-      applyMergesChain(docs, merges)
-        .select(col("doc_id"), col("n_bytes"), size(col("toks")).as("n_tokens"),
-          (expr(s"decode(unhex(replace(concat_ws('', toks), '$BpeJoin', '')), 'UTF-8')")
-            === col("text")).as("lossless"))
+        Tables.documents(s, d)
+          .groupBy(col("text")).agg(count(lit(1)).as("w"))
+          .select(expr(byteToksExpr).as("toks"), col("w")))
+      val ranks = merges.select(col("round"), col("l"), col("r"))
+        .collect().map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
+        .toMap
+      byteEncodeDecode(Tables.documents(s, d),
+          s.sparkContext.broadcast(ranks), BpeJoin)
+        .select(col("doc_id"), col("n_bytes"), col("n_tokens"),
+          (col("decoded") === col("text")).as("lossless"))
         .orderBy(col("doc_id"))
     },
     Some(
@@ -944,8 +960,19 @@ object Chunking {
     val ranks = tok.merges.select(col("round"), col("l"), col("r"))
       .collect().map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
       .toMap
-    val bc = ranksBcMemo.of(s.sparkContext, ranks)
-    val join = tok.join
+    byteEncodeDecode(df, ranksBcMemo.of(s.sparkContext, ranks), tok.join)
+      .select(col("doc_id"), col("n_bytes"), col("n_tokens"), col("decoded"))
+  }
+
+  /** The byte-mode encode→decode kernel pass shared by the stored-
+    * artifact serve ([[byteRoundtrip]]) and the inline key: hex byte
+    * symbols → single-pass [[graft.functions.BpeEncoder]] merge
+    * application → strip-join/unhex/UTF-8 decode. One mapPartitions,
+    * no shuffle; returns (doc_id, text, n_bytes, n_tokens, decoded). */
+  private def byteEncodeDecode(df: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]],
+      join: String): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
     df.select(col("doc_id"), col("text"), expr(byteToksExpr).as("toks"))
       .as[(Long, String, Seq[String])]
@@ -961,10 +988,10 @@ object Chunking {
               .parseInt(hexStr.substring(2 * i, 2 * i + 2), 16).toByte
             i += 1
           }
-          (id, toks.length, enc.length, new String(bytes, "UTF-8"))
+          (id, text, toks.length, enc.length, new String(bytes, "UTF-8"))
         }
       }
-      .toDF("doc_id", "n_bytes", "n_tokens", "decoded")
+      .toDF("doc_id", "text", "n_bytes", "n_tokens", "decoded")
   }
 
   /** Resolve the COMMITTED tokenizer at `dir` and collect its rank
