@@ -127,6 +127,19 @@ object Maintenance {
     }
   }
 
+  /** Fold a persisted perceptual-hash index's pending appends into
+    * the next committed version ([[graft.index.PhashIndex.compact]])
+    * — rows union without re-derivation, purely the read-cost fold. */
+  final case class FoldPhashIndexAppends(dir: String, nPending: Int)
+      extends Task {
+    def id: String = s"phash-compact:$dir"
+    def resource: String = dir
+    def run(spark: SparkSession): String = {
+      index.PhashIndex.compact(spark, dir)
+      s"folded $nPending append table(s)"
+    }
+  }
+
   /** Fold a persisted LSH index's pending bucket appends into the
     * next committed buckets version ([[graft.index.LshIndex.compact]])
     * — combined occupancy made durable, the union re-truncated to the
@@ -212,7 +225,8 @@ object Maintenance {
       winnowIndexes: Seq[String] = Seq.empty,
       minhashIndexes: Seq[String] = Seq.empty,
       lmIndexes: Seq[String] = Seq.empty,
-      lshIndexes: Seq[String] = Seq.empty): Seq[Task] = {
+      lshIndexes: Seq[String] = Seq.empty,
+      phashIndexes: Seq[String] = Seq.empty): Seq[Task] = {
     val lakeTasks = lakes.flatMap { p =>
       logs.LogLake.fragmentedPartitions(spark, p, minLakeFiles)
         .map { case (env, day, n) => CompactLakePartition(p, env, day, n) }
@@ -262,6 +276,13 @@ object Maintenance {
         if (n >= minIndexAppends) Some(FoldLshIndexAppends(d, n)) else None
       }
     }
+    val phashTasks = phashIndexes.flatMap { d =>
+      if (!index.PhashIndex.exists(spark, d)) None
+      else {
+        val n = index.PhashIndex.pendingAppends(spark, d)
+        if (n >= minIndexAppends) Some(FoldPhashIndexAppends(d, n)) else None
+      }
+    }
     val bindingTasks = indexBindings.flatMap { b =>
       val current = index.CorpusStamp.fingerprintOf(spark, b.corpusDir, b.table)
       val stored = index.CorpusStamp.read(spark, b.indexDir).map(_.fingerprint)
@@ -277,7 +298,8 @@ object Maintenance {
       })
     }
     lakeTasks ++ autoLakeTasks ++ indexTasks ++ winnowTasks ++
-      minhashTasks ++ lmTasks ++ lshTasks ++ bindingTasks ++ rebuilds
+      minhashTasks ++ lmTasks ++ lshTasks ++ phashTasks ++
+      bindingTasks ++ rebuilds
   }
 
   /** Fan the work-list out over a bounded thread pool (each task is

@@ -182,7 +182,11 @@ object ScaleSmoke {
       // fingerprint ⇒ the measured time INCLUDES one bench-index build;
       // the probe itself is one search over a fixed-size bench index)
       "q_image_phash_dup", "q_bpe_byte_roundtrip",
-      "q_decontaminate_semantic_indexed")
+      "q_decontaminate_semantic_indexed",
+      // r15 late: the stored-hash serve (amplified corpus ⇒ fresh
+      // fingerprint ⇒ the measured time INCLUDES the one decode+hash
+      // index build; the pair query itself probes 16-byte rows)
+      "q_image_phash_dup_indexed")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

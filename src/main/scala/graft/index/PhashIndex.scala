@@ -1,0 +1,173 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PERSISTENT perceptual-hash index (r15) — the stored form of the
+  * image average-hash table behind `q_image_phash_dup`, bringing the
+  * MEDIA near-dup family the build-once/probe-many artifact every text
+  * family already has: decode + hash the corpus ONCE
+  * ([[graft.multimodal.MultimodalOps.imageHashes]] — the expensive
+  * codec pass), persist the (doc_id, ahash) rows, and every batch
+  * query or streaming trigger probes the STORED table instead of
+  * re-decoding the corpus.
+  *
+  * The table is per-document rows (no truncation, no derived
+  * occupancy), so incremental maintenance is the SIMPLEST of the
+  * family: appends land new rows under `appends/<label>/`, reads
+  * union, and the banding/occupancy-cap math — which must see the
+  * COMBINED corpus — derives per query from the unioned rows exactly
+  * as the inline form derives it from a one-shot hash pass. [[compact]]
+  * folds the union into the next committed version (trivially
+  * rebuild-identical: the rows ARE the artifact). Same [[MetaMarker]]
+  * commit protocol, folded-label tombstones, and one-generation grace
+  * as every sibling index.
+  *
+  * Layout: `<dir>/_PHASH_META.json` (table version + folded labels)
+  * + `hashes_vN/` parquet (doc_id, ahash) + `appends/<label>/`.
+  */
+object PhashIndex {
+
+  private val META = "_PHASH_META.json"
+
+  private val VersionedHashes = "hashes_v(\\d+)".r
+
+  private val hashesSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ahash", LongType)))
+
+  /** Persist a hash table as the index's next version. A full rebuild
+    * subsumes every append generation, so the commit marks ALL current
+    * append labels folded (dirs retire with one-generation grace). */
+  def build(hashes: DataFrame, dir: String): Unit = {
+    val spark = hashes.sparkSession
+    val fs = fsFor(spark, dir)
+    val current = currentMeta(fs, dir)
+    current.foreach { m =>
+      m.folded.foreach(l =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+      MetaMarker.retireUnnamed(fs, dir, Seq("hashes"), Set(m.table))
+    }
+    val n = current.map(m => versionAfter(m.table)).getOrElse(0)
+    val folded = liveLabels(fs, dir, current)
+    val next = s"hashes_v$n"
+    hashes.select(col("doc_id"), col("ahash").cast("long").as("ahash"))
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    writeMeta(fs, dir, next, folded)
+  }
+
+  /** Land one micro-batch's hash rows as an append sub-table.
+    * Idempotent per label; a folded label refuses loudly (the r15
+    * family-wide stance — the write would be invisible forever). */
+  def append(hashes: DataFrame, dir: String, label: String): Unit = {
+    require(label.nonEmpty && label.matches("[A-Za-z0-9._=-]+"),
+      s"bad append label (allowed: [A-Za-z0-9._=-]+): $label")
+    val m = currentMeta(fsFor(hashes.sparkSession, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no phash index at $dir to append to — build first"))
+    require(!m.folded.contains(label),
+      s"append label '$label' at $dir is already folded — a re-append " +
+        "would be invisible to every read; skip the replayed batch instead")
+    hashes.select(col("doc_id"), col("ahash").cast("long").as("ahash"))
+      .write.mode("overwrite").parquet(s"$dir/appends/$label")
+  }
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, None)
+
+  /** The stored hash rows, base ∪ live appends — with one label
+    * optionally EXCLUDED: the replay-safety read for the
+    * self-appending streaming gate
+    * ([[graft.stream.LogStream.toImageDedupedLake]]; the
+    * [[MinhashIndex.read]] treatment — a crash-replayed batch must
+    * probe the index as it was before its own append, or every prior
+    * survivor self-matches at Hamming 0). */
+  def read(spark: SparkSession, dir: String,
+      excludeLabel: Option[String]): DataFrame = {
+    val fs = fsFor(spark, dir)
+    val m = currentMeta(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no phash index at $dir"))
+    val base = spark.read.schema(hashesSchema).parquet(s"$dir/${m.table}")
+    liveLabels(fs, dir, Some(m)).filterNot(excludeLabel.contains)
+      .foldLeft(base)((acc, l) =>
+        acc.union(spark.read.schema(hashesSchema)
+          .parquet(s"$dir/appends/$l")))
+  }
+
+  /** Live (unfolded) append count — [[graft.Maintenance]]'s fold
+    * trigger. Metadata only. */
+  def pendingAppends(spark: SparkSession, dir: String): Int = {
+    val fs = fsFor(spark, dir)
+    currentMeta(fs, dir).map(m => liveLabels(fs, dir, Some(m)).size)
+      .getOrElse(0)
+  }
+
+  /** Fold all live appends into the next committed version — the rows
+    * union without any re-derivation, so the fold is trivially
+    * rebuild-identical. Crash-safe as every sibling; a no-op fold
+    * RETAINS the folded tombstones. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val m = currentMeta(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no phash index at $dir"))
+    m.folded.foreach(l =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+    MetaMarker.retireUnnamed(fs, dir, Seq("hashes"), Set(m.table))
+    val labels = liveLabels(fs, dir, Some(m))
+    if (labels.isEmpty) { writeMeta(fs, dir, m.table, m.folded); return }
+    val next = s"hashes_v${versionAfter(m.table)}"
+    read(spark, dir).write.mode("overwrite").parquet(s"$dir/$next")
+    writeMeta(fs, dir, next, labels)
+  }
+
+  /** True once [[build]] ever committed at `dir`. */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    currentMeta(fsFor(spark, dir), dir).isDefined
+
+  /** True iff `label` is in the committed folded list — the replayed-
+    * batch no-op probe ([[MinhashIndex.isLabelFolded]]'s twin). */
+  def isLabelFolded(spark: SparkSession, dir: String, label: String): Boolean =
+    currentMeta(fsFor(spark, dir), dir).exists(_.folded.contains(label))
+
+  private def versionAfter(table: String): Int = table match {
+    case VersionedHashes(v) => v.toInt + 1
+    case other => throw new IllegalStateException(
+      s"phash index meta names hashes dir '$other', which does not match " +
+        "hashes_v<N> — refusing to renumber over it")
+  }
+
+  private final case class Meta(table: String, folded: Seq[String])
+
+  private def currentMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Meta] =
+    if (MetaMarker.exists(fs, dir, META)) {
+      val root = MetaMarker.read(fs, dir, META)
+      val folded = Option(root.get("folded")).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }.getOrElse(Seq.empty)
+      Some(Meta(root.get("table").asText(), folded))
+    } else None
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      table: String, folded: Seq[String]): Unit =
+    MetaMarker.write(fs, dir, META,
+      s"""{"table": "$table", """ +
+        s""""folded": [${folded.map(l => s""""$l"""").mkString(", ")}]}""")
+
+  private def liveLabels(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      meta: Option[Meta]): Seq[String] = {
+    val appendsDir = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    if (!fs.exists(appendsDir)) Seq.empty
+    else {
+      val folded = meta.map(_.folded.toSet).getOrElse(Set.empty)
+      fs.listStatus(appendsDir)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(folded).sorted.toSeq
+    }
+  }
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

@@ -202,6 +202,21 @@ object Indexed {
         scratch)
     }
 
+  /** Build-once memo for the persisted perceptual-hash index
+    * ([[graft.index.PhashIndex]]) over a corpus dir's planted media —
+    * the stored form of the decode+hash pass `q_image_phash_dup` runs
+    * inline. Hashes derive from `documents` (the planted pixels are a
+    * pure function of the text), so the documents fingerprint keys
+    * the memo. */
+  private[graft] def phashDirFor(s: SparkSession, d: String): String =
+    ensureIndex(s, "phindex", d, "documents.parquet",
+        dir => graft.index.PhashIndex.exists(s, dir)) { scratch =>
+      graft.index.PhashIndex.build(
+        graft.multimodal.MultimodalOps.imageHashes(
+          graft.multimodal.MultimodalOps.asMedia(s, d)).toDF(),
+        scratch)
+    }
+
   /** Build-once memo for the persisted trigram-LM artifact
     * ([[graft.index.LmIndex]]) over a corpus dir's `documents` table —
     * `q_lm_score_indexed`'s stored model. */
@@ -581,9 +596,25 @@ object Indexed {
     Similarity.qDecontaminateSemantic.oracle
   )
 
+  /** `q_image_phash_dup` answered FROM the persisted hash table (r15)
+    * — the build-once/query-many form of media near-dup: the codec
+    * pass (decode + average-hash, the dominant cost at any real
+    * payload size) runs once into [[graft.index.PhashIndex]]; every
+    * subsequent pair query — and the streaming gate — probes stored
+    * 16-byte rows, never payloads. VERBATIM oracle reuse: hash-green
+    * proves the stored table answers bit-identically to the inline
+    * decode (the q_similarity_indexed pattern, now covering the
+    * media family). */
+  private val qImagePhashDupIndexed = Q(
+    "q_image_phash_dup_indexed",
+    (s, d) => Multimodal.phashPairsFrom(
+      graft.index.PhashIndex.read(s, phashDirFor(s, d))),
+    Multimodal.qImagePhashDup.oracle
+  )
+
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
     qMinhashDupIndexed, qDupClustersMinhashIndexed, qWinnowingIndexed,
     qBpeEncodeIndexed, qTokenizerFertility, qMixTemperatureTokens,
     qMixBudgetPlan, qDsirWeightsIndexed, qLmScoreIndexed,
-    qDecontaminateSemanticIndexed)
+    qDecontaminateSemanticIndexed, qImagePhashDupIndexed)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -282,30 +283,64 @@ object Multimodal {
     * chain — decode included — without a codec. The hash packs as two
     * 32-bit halves oracle-side (DuckDB `<<` overflows at bit 63 where
     * Java wraps); Hamming is the sum of the halves' popcounts. */
-  private val qImagePhashDup = Q(
+  /** The 8×8-bit banding of a 64-bit average-hash table — candidates
+    * share at least one identical byte-band. Shared by the pair
+    * generators and the streaming gate. */
+  private def phashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("ahash"), explode(expr(
+      """transform(sequence(0, 7), b ->
+        |  named_struct('band', b, 'bits', shiftrightunsigned(ahash, 8*b) & 255))""".stripMargin))
+      .as("bd"))
+      .select(col("doc_id"), col("ahash"), col("bd.band"), col("bd.bits"))
+
+  /** Band + occupancy-cap + Hamming-verify PAIR GENERATOR over a
+    * (doc_id, ahash) table — ONE definition behind the inline key,
+    * the index-served key, and (gate-shaped) the streaming media
+    * dedup. Hamming ≤ `maxHamming` with 8 bands is exhaustive by
+    * pigeonhole for maxHamming ≤ 7. */
+  private[graft] def phashPairsFrom(hashes: DataFrame,
+      maxHamming: Int = 7): DataFrame = {
+    val capped = phashBands(hashes).withColumn("bn",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bits"))))
+      .filter(col("bn") <= 256)
+    val l = capped.select(col("band"), col("bits"),
+      col("doc_id").as("doc_a"), col("ahash").as("ha"))
+    val r = capped.select(col("band"), col("bits"),
+      col("doc_id").as("doc_b"), col("ahash").as("hb"))
+    l.join(r, Seq("band", "bits")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("ha ^ hb")).as("hamming"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The batch doc_ids whose hash sits within `maxHamming` of ANY
+    * corpus hash — the streaming gate's probe
+    * ([[graft.stream.LogStream.toImageDedupedLake]]). The CORPUS side
+    * truncates hot band buckets to 256 representatives per bucket
+    * (lowest doc_ids — the minhash stream-gate stance: a probing
+    * near-twin of a mass-duplicated family still matches whichever
+    * representatives remain, while probe fan-out stays capped); the
+    * batch side is a micro-batch, never capped. */
+  private[graft] def phashHits(batchHashes: DataFrame,
+      corpusHashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val corpus = phashBands(corpusHashes)
+      .withColumn("bn", row_number().over(
+        Window.partitionBy(col("band"), col("bits")).orderBy(col("doc_id"))))
+      .filter(col("bn") <= 256)
+      .select(col("band"), col("bits"), col("ahash").as("ch"))
+    phashBands(batchHashes)
+      .join(corpus, Seq("band", "bits"))
+      .filter(bit_count(expr("ahash ^ ch")) <= maxHamming)
+      .select(col("doc_id")).distinct()
+  }
+
+  private[queries] val qImagePhashDup = Q(
     "q_image_phash_dup",
-    (s, d) => {
-      val hashed = MultimodalOps.imageHashes(MultimodalOps.asMedia(s, d)).toDF()
-      val bands = hashed.select(col("doc_id"), col("ahash"), explode(expr(
-        """transform(sequence(0, 7), b ->
-          |  named_struct('band', b, 'bits', shiftrightunsigned(ahash, 8*b) & 255))""".stripMargin))
-        .as("bd"))
-        .select(col("doc_id"), col("ahash"), col("bd.band"), col("bd.bits"))
-      val capped = bands.withColumn("bn",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("bits"))))
-        .filter(col("bn") <= 256)
-      val l = capped.select(col("band"), col("bits"),
-        col("doc_id").as("doc_a"), col("ahash").as("ha"))
-      val r = capped.select(col("band"), col("bits"),
-        col("doc_id").as("doc_b"), col("ahash").as("hb"))
-      l.join(r, Seq("band", "bits")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(expr("ha ^ hb")).as("hamming"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(min(col("hamming")).as("hamming"))
-        .filter(col("hamming") <= 7)
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, d) => phashPairsFrom(
+      MultimodalOps.imageHashes(MultimodalOps.asMedia(s, d)).toDF()),
     Some("""WITH dims AS (
              |  SELECT doc_id, text, length(text) AS n,
              |         (n_chars % 64) + 16 AS w, (n_chars % 48) + 12 AS h

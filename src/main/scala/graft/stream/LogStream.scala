@@ -865,6 +865,56 @@ object LogStream {
       }
       .start()
 
+  /** SELF-MAINTAINING streaming MEDIA near-dedup (r15) — the
+    * [[toSelfDedupingLake]] loop for the perceptual-hash family: each
+    * micro-batch of media payloads is decoded + average-hashed ONCE
+    * ([[graft.multimodal.MultimodalOps.imageHashes]]), gated against
+    * the persisted [[graft.index.PhashIndex]] (Hamming ≤ `maxHamming`
+    * over the byte-banded probe — a re-encoded or resized copy of any
+    * indexed image is caught, where digest dedup sees unrelated
+    * bytes), survivors land batch-id idempotent, and the survivors'
+    * HASHES append back under `batch_id=<n>` — a copy of an image
+    * admitted two triggers earlier is caught with no rebuild and no
+    * restart. Only hashes ever travel to the index: 16 bytes/image,
+    * never payloads.
+    *
+    * Replay-safe exactly as [[toSelfDedupingLake]]: the gate reads the
+    * index with the batch's OWN label excluded (a replay otherwise
+    * self-matches every survivor at Hamming 0 and overwrites both
+    * writes with the empty set), and a label
+    * [[graft.Maintenance]] already folded proves both writes
+    * committed, so that replay no-ops. Undecodable payloads carry no
+    * hash — they pass the gate un-probed (fail-soft; quarantine via
+    * `extractFeatures`' decoded flag upstream if wanted). */
+  def toImageDedupedLake(
+      media: DataFrame,
+      indexDir: String,
+      lakeDir: String,
+      checkpointDir: String,
+      maxHamming: Int = 7): StreamingQuery =
+    media.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val label = s"batch_id=$batchId"
+        if (!graft.index.PhashIndex.isLabelFolded(s, indexDir, label)) {
+          import s.implicits._
+          // ONE decode pass feeds the gate probe and the append
+          val hashes = graft.multimodal.MultimodalOps
+            .imageHashes(batch.as[graft.multimodal.MultimodalOps.MediaRecord])
+            .toDF().localCheckpoint(true)
+          val corpus = graft.index.PhashIndex.read(s, indexDir, Some(label))
+          val hits = graft.queries.Multimodal
+            .phashHits(hashes, corpus, maxHamming)
+          val survivors = batch.toDF().join(hits, Seq("doc_id"), "left_anti")
+          writeBatchIdempotent(survivors, lakeDir, batchId)
+          graft.index.PhashIndex.append(
+            hashes.join(hits, Seq("doc_id"), "left_anti"), indexDir, label)
+        }
+      }
+      .start()
+
   private val ViewMeta = "_VIEW_META.json"
 
   /** Atomically publish one refreshed VERSION of a derived view — the

@@ -1,0 +1,99 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+import graft.index.PhashIndex
+
+/** The persisted perceptual-hash index (r15): stored rows must answer
+  * the pair generator bit-identically to the inline decode+hash pass,
+  * appends must serve immediately and compose with the band occupancy
+  * derived over the UNION, and the folded-label protocol must match
+  * the sibling families. */
+class PhashIndexSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def hashes(vs: (Long, Long)*) = vs.toSeq.toDF("doc_id", "ahash")
+
+  test("append serves immediately; excluded-label read restores the pre-append view; folded label refuses") {
+    val dir = Files.createTempDirectory("phidx").toString
+    // base: two hamming-0 twins (1,2) and an isolated hash (3)
+    PhashIndex.build(
+      hashes(1L -> 0x0f0f0f0f0f0f0f0fL, 2L -> 0x0f0f0f0f0f0f0f0fL,
+        3L -> 0x1234567890abcdefL), dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.phashPairsFrom(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(PhashIndex.read(spark, dir)) == Set((1L, 2L)))
+
+    // append a near-twin of doc 3 (2 bits apart): the pair surfaces
+    // from the union read with no rebuild
+    PhashIndex.append(hashes(50L -> 0x1234567890abcdecL), dir, "batch_id=0")
+    assert(PhashIndex.pendingAppends(spark, dir) == 1)
+    assert(pairs(PhashIndex.read(spark, dir)) == Set((1L, 2L), (3L, 50L)))
+    // the replayed-batch view: excluding the append's own label
+    // restores exactly the pre-append pairs
+    assert(pairs(PhashIndex.read(spark, dir, Some("batch_id=0"))) ==
+      Set((1L, 2L)))
+
+    // compact ≡ rebuild (rows union, no re-derivation)
+    PhashIndex.compact(spark, dir)
+    assert(PhashIndex.pendingAppends(spark, dir) == 0)
+    val fresh = Files.createTempDirectory("phidx-fresh").toString
+    PhashIndex.build(
+      hashes(1L -> 0x0f0f0f0f0f0f0f0fL, 2L -> 0x0f0f0f0f0f0f0f0fL,
+        3L -> 0x1234567890abcdefL, 50L -> 0x1234567890abcdecL), fresh)
+    assert(PhashIndex.read(spark, dir).collect().map(_.toSeq).toSet ==
+      PhashIndex.read(spark, fresh).collect().map(_.toSeq).toSet)
+
+    // folded tombstone: re-append refuses loudly, even after a second
+    // (no-op) compact swept the dir
+    assert(PhashIndex.isLabelFolded(spark, dir, "batch_id=0"))
+    PhashIndex.compact(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      PhashIndex.append(hashes(60L -> 1L), dir, "batch_id=0")
+    }
+    assert(e.getMessage.contains("folded"), e.getMessage)
+  }
+
+  test("Maintenance plans and runs the phash fold off the pending-append trigger") {
+    val dir = Files.createTempDirectory("phidx-maint").toString
+    PhashIndex.build(hashes(1L -> 11L, 2L -> 22L), dir)
+    PhashIndex.append(hashes(50L -> 33L), dir, "batch_id=0")
+    assert(graft.Maintenance.plan(spark, phashIndexes = Seq(dir),
+      minIndexAppends = 2).isEmpty)
+    val tasks = graft.Maintenance.plan(spark, phashIndexes = Seq(dir),
+      minIndexAppends = 1)
+    assert(tasks.map(_.id) == Seq(s"phash-compact:$dir"), tasks.toString)
+    val results = graft.Maintenance.run(spark, tasks)
+    assert(results.forall(_.outcome.isSuccess),
+      results.map(_.summary).toString)
+    assert(PhashIndex.pendingAppends(spark, dir) == 0)
+  }
+
+  test("band occupancy caps compose over the UNION: a family hot only across generations stays bounded") {
+    val dir = Files.createTempDirectory("phidx-cap").toString
+    // 200 identical hashes in the base + 200 appended: every band
+    // bucket holds 400 > 256 across the union — the pair generator's
+    // window cap must see the COMBINED occupancy (it derives per query
+    // over the unioned rows, so this holds by construction) and drop
+    // the family rather than emit 400² pairs
+    PhashIndex.build(
+      hashes((0 until 200).map(i => i.toLong -> 0x00ffff0000ffff00L): _*), dir)
+    PhashIndex.append(
+      hashes((0 until 200).map(i => (1000L + i) -> 0x00ffff0000ffff00L): _*),
+      dir, "batch_id=0")
+    val pairs = Multimodal.phashPairsFrom(PhashIndex.read(spark, dir))
+    assert(pairs.isEmpty,
+      "the over-cap cross-generation family must be dropped by the cap")
+    // the streaming GATE still catches a probe twin — truncation keeps
+    // representatives (the minhash stream-gate stance)
+    val hits = Multimodal.phashHits(
+      hashes(9999L -> 0x00ffff0000ffff01L), PhashIndex.read(spark, dir))
+    assert(hits.collect().map(_.getLong(0)).toSeq == Seq(9999L),
+      "a near-twin of the over-cap family must still be gated")
+  }
+}

@@ -401,6 +401,76 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(graft.index.WinnowIndex.pendingAppends(spark, idxDir) == 1)
   }
 
+  test("image-deduped lake: a resized re-encode of an indexed image is dropped; a copy of a survivor is caught next trigger; replay-safe") {
+    import spark.implicits._
+    import graft.multimodal.MultimodalOps
+    import graft.multimodal.MultimodalOps.MediaRecord
+    // the average-hash keys on LUMA STRUCTURE, not hue — distinct
+    // fixtures need distinct bright-region GEOMETRY (a blue-top image
+    // hashes identically to a gray-top one)
+    def structured(bright: (Int, Int) => Boolean, w: Int = 40,
+        h: Int = 30): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, if (bright(x, y)) 0xe0e0e0 else 0x101010)))
+      img
+    }
+    val topHalf = structured((_, y) => y < 15)
+    val leftHalf = structured((x, _) => x < 20)
+    val quadrant = structured((x, y) => x < 20 && y < 15)
+    def rec(id: Long, img: java.awt.image.BufferedImage): MediaRecord =
+      MediaRecord(id, MultimodalOps.encodePng(img), "image/png",
+        img.getWidth, img.getHeight)
+    val work = Files.createTempDirectory("graft-imagededup").toString
+    val idxDir = s"$work/idx"
+    val original = rec(1L, topHalf)
+    // seed the index from the existing corpus (one decode pass)
+    graft.index.PhashIndex.build(
+      MultimodalOps.imageHashes(Seq(original).toDS()).toDF(), idxDir)
+    val input = MemoryStream[MediaRecord](spark)
+    def start() = LogStream.toImageDedupedLake(
+      input.toDF(), idxDir, s"$work/lake", s"$work/ckpt")
+    val q = start()
+    def lakeIds() = spark.read.parquet(s"$work/lake")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      // batch 0: a RESIZED RE-ENCODE of the indexed image (every byte
+      // differs — sha dedup blind) is dropped; a fresh distinct image
+      // is kept AND its hash joins the index
+      val resizedTwin = MultimodalOps
+        .resize(Seq(original.copy(doc_id = 100L)).toDS(), 24).collect().head
+      val fresh = rec(101L, leftHalf)
+      input.addData(resizedTwin, fresh)
+      q.processAllAvailable()
+      assert(lakeIds() == Set(101L),
+        s"resized twin must be dropped, fresh kept: ${lakeIds()}")
+      assert(graft.index.PhashIndex.pendingAppends(spark, idxDir) == 1)
+      // batch 1: a re-encode of the doc ADMITTED LAST TRIGGER — only
+      // the self-append can catch it; a mid-stream fold then serves
+      // the compacted index next trigger
+      val copyOfFresh = MultimodalOps
+        .resize(Seq(fresh.copy(doc_id = 102L)).toDS(), 24).collect().head
+      input.addData(copyOfFresh, rec(103L, quadrant))
+      q.processAllAvailable()
+      graft.index.PhashIndex.compact(spark, idxDir)
+      input.addData(rec(104L, topHalf))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(lakeIds() == Set(101L, 103L),
+      s"copies of survivors (102) and of the base (104, an exact " +
+        s"re-render) must be dropped: ${lakeIds()}")
+    // crash-replay: the last batch committed both writes but lost its
+    // checkpoint commit — the own-label-excluded gate reproduces the
+    // original (empty) survivor set instead of corrupting the lake
+    assert(new java.io.File(s"$work/ckpt/commits/2").delete())
+    new java.io.File(s"$work/ckpt/commits/.2.crc").delete()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(lakeIds() == Set(101L, 103L),
+      s"replay must reproduce the survivors: ${lakeIds()}")
+  }
+
   test("persisted band index keeps representatives of an over-cap dup family — the stream gate still fires") {
     import spark.implicits._
     def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
