@@ -298,6 +298,79 @@ object Chunking {
     }
   )
 
+  /** The REMOVAL form of exact-substring dedup (Lee et al. 2022's
+    * actual transform — their pipeline deletes the duplicated spans,
+    * not just reports them): every token position covered by a
+    * duplicated ≥L-token run is removed from every document and the
+    * survivors reassemble in original order — [[qSpanScrub]]'s rewrite
+    * contract at sliding-window granularity. Both copies of a dup run
+    * are removed (the published semantics: positions are removed by
+    * coverage, not by keep-one election — exact/near dedup upstream
+    * already keeps one canonical copy of whole-document duplicates).
+    *
+    * 100 TB shape: [[qExactSubstringDedup]]'s count + join-back, then
+    * the covered positions explode (bounded by Σ doc length), one
+    * (doc_id, pos) anti-flag join, and the q_span_scrub reassembly
+    * (conditional collect + array_sort per doc — state bounded by
+    * document length, never corpus-scaled). */
+  private val qExactSubstringScrub = Q(
+    "q_exact_substring_scrub",
+    (s, d) => {
+      val L = ExactSubstrL
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val w = docs.where(size(col("toks")) >= L)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(toks) - $L + 1),
+             |          i -> struct(i AS pos,
+             |                      concat_ws(' ', slice(toks, i, $L)) AS win))""".stripMargin))
+          .as("q"))
+        .select(col("doc_id"), col("q.pos").as("pos"), col("q.win").as("win"))
+      val counts = w.groupBy(col("win")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      val covered = w.join(counts, Seq("win"))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(pos, pos + $L - 1)")).as("p"))
+        .distinct()
+        .withColumn("cov", lit(1L))
+      docs
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+        .join(covered, Seq("doc_id", "p"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("cov"), lit(0L))).as("n_removed"),
+          concat_ws(" ", expr(
+            """transform(
+              |  array_sort(collect_list(
+              |    CASE WHEN cov IS NULL THEN struct(p, tok) END)),
+              |  x -> x.tok)""".stripMargin)).as("text_clean"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val L = ExactSubstrL
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+${L - 1}], ' ') AS win
+         |      FROM t, LATERAL (SELECT unnest(range(1, len(toks) - $L + 2)) AS i) u
+         |      WHERE len(toks) >= $L),
+         |dupw AS (SELECT doc_id, pos
+         |         FROM (SELECT *, count(*) OVER (PARTITION BY win) AS c FROM w)
+         |         WHERE c >= 2),
+         |covered AS (SELECT DISTINCT doc_id, pos + k AS p
+         |            FROM dupw, LATERAL (SELECT unnest(range(0, $L)) AS k) u),
+         |tok AS (SELECT doc_id, i AS p, toks[i] AS tok
+         |        FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  coalesce(string_agg(CASE WHEN c.p IS NULL THEN t.tok END, ' '
+         |    ORDER BY t.p), '') AS text_clean
+         |FROM tok t LEFT JOIN covered c USING (doc_id, p)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+    }
+  )
+
   private val qChunkDocuments = Q(
     "q_chunk_documents",
     (s, d) =>
@@ -1119,8 +1192,8 @@ object Chunking {
   )
 
   def qs: Seq[Q] =
-    Seq(qSpanDedup, qSpanScrub, qExactSubstringDedup, qChunkDocuments,
-      qBpePairs, qBpeTrain, qBpeTrainHist,
+    Seq(qSpanDedup, qSpanScrub, qExactSubstringDedup, qExactSubstringScrub,
+      qChunkDocuments, qBpePairs, qBpeTrain, qBpeTrainHist,
       qBpeEncode, qBpeEncodeFast, qBpeRoundtrip, qBpeByteRoundtrip,
       qSourceOverlap, qOovRate)
 }

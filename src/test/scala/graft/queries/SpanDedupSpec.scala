@@ -103,5 +103,17 @@ class SpanDedupSpec extends AnyFunSuite with SparkTestSupport {
       (2L, 1L, 10L),
       (4L, 1L, 8L), (4L, 11L, 18L)),
       s"covered spans must be exact: $got")
+
+    // the REMOVAL form over the same corpus: covered positions deleted
+    // from BOTH copies, everything else reassembled in order
+    val scrubbed = Registry.queries("q_exact_substring_scrub")(spark, d)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(scrubbed == Seq(
+      (1L, 15L, 10L, "pre1 pre2 tail1 tail2 tail3"),
+      (2L, 16L, 10L, "out1 out2 out3 out4 out5 out6"),
+      (3L, 13L, 0L, "x1 x2 r1 r2 r3 r4 r5 r6 r7 y1 y2 y3 y4"),
+      (4L, 18L, 16L, "mid1 mid2")),
+      s"scrub must remove exactly the covered positions: $scrubbed")
   }
 }
