@@ -289,10 +289,11 @@ object VectorIndex {
     postingsFor(spark, dir, readMeta(spark, dir))
 
   private def postingsFor(spark: SparkSession, dir: String,
-      meta: Meta): DataFrame = {
+      meta: Meta, excludeLabel: Option[String] = None): DataFrame = {
     val base = spark.read.schema(postingsSchema)
       .parquet(s"$dir/${meta.postings}")
     appendLabels(spark, dir).filterNot(meta.folded.toSet)
+      .filterNot(excludeLabel.contains)
       .foldLeft(base) { (acc, l) =>
         acc.unionByName(
           spark.read.schema(postingsSchema).parquet(s"$dir/appends/$l"))
@@ -336,7 +337,18 @@ object VectorIndex {
     * `q_similarity_ivf` — that equivalence is oracle-checked via
     * `q_similarity_indexed`. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
-      topK: Int = 5, probes: Int = 2): DataFrame = {
+      topK: Int = 5, probes: Int = 2): DataFrame =
+    search(spark, dir, queries, topK, probes, None)
+
+  /** [[search]] with one append label EXCLUDED from the postings —
+    * the replay-safety read for self-appending streaming gates
+    * ([[graft.stream.LogStream.toSemanticDedupedLake]]; the
+    * MinhashIndex/PhashIndex excluded-label treatment): a
+    * crash-replayed micro-batch must probe the index as it was before
+    * its own append, or every prior survivor self-matches at cosine
+    * 1.0. On a first run the label doesn't exist — a no-op. */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+      topK: Int, probes: Int, excludeLabel: Option[String]): DataFrame = {
     val meta = readMeta(spark, dir)
     requireQueryDim(queries, meta, dir)
     val cent = readCentroidsAt(spark, dir, meta.centroids)
@@ -345,7 +357,7 @@ object VectorIndex {
       cent, "query_id", "qemb", probes)
     val probed = q.select(col("cid")).distinct()
       .collect().map(_.getLong(0)) // bounded: ≤ queries × probes values
-    val lists = postingsFor(spark, dir, meta)
+    val lists = postingsFor(spark, dir, meta, excludeLabel)
       .filter(col("cid").isin(probed.toIndexedSeq: _*))
       .select(col("cid"), col("neighbor_id"), col("emb"))
     val w = Window.partitionBy(col("query_id"))

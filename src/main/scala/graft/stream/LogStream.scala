@@ -865,6 +865,100 @@ object LogStream {
       }
       .start()
 
+  /** Streaming SEMANTIC DECONTAMINATION gate (r15) — the deployment
+    * form of `q_decontaminate_semantic_indexed`: drop every arriving
+    * document whose embedding sits within cosine `threshold` of ANY
+    * vector in the persisted BENCHMARK index (an eval item rewritten
+    * in different words shares no n-grams but keeps a near-identical
+    * embedding — the leak the n-gram gates cannot see). Per trigger:
+    * one `VectorIndex.search` of the bench index with the batch as
+    * queries (topK=1 — the max benchmark cosine IS the decision),
+    * probes sized by the caller (ALL centroid lists = exact; fewer =
+    * the bounded approximate serve). Stateless gate, static index:
+    * the meta re-resolution per trigger serves a benchmark rebuild
+    * next micro-batch with no restart. Survivors land batch-id
+    * idempotent — replay converges because the gate reads only the
+    * static artifact.
+    *
+    * @param vecs (doc_id: long, emb: array<double>) */
+  def toDecontaminatedLake(
+      vecs: DataFrame,
+      benchIndexDir: String,
+      lakeDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.8,
+      probes: Int = 16): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val hits = graft.index.VectorIndex.search(s, benchIndexDir,
+            batch.toDF().select(col("doc_id").as("query_id"),
+              col("emb").as("qemb")),
+            topK = 1, probes = probes)
+          .filter(col("cos") >= threshold)
+          .select(col("query_id").as("doc_id")).distinct()
+        writeBatchIdempotent(
+          batch.toDF().join(hits, Seq("doc_id"), "left_anti"),
+          lakeDir, batchId)
+      }
+      .start()
+
+  /** SELF-MAINTAINING streaming SEMANTIC near-dedup (r15) — the
+    * embedding-space member of the self-appending gate family
+    * ([[toSelfDedupingLake]] = content minhash,
+    * [[toSelfOverlapGatingLake]] = local fingerprints,
+    * [[toImageDedupedLake]] = perceptual media; this one catches the
+    * paraphrase re-crawl none of those see): each micro-batch of
+    * embeddings probes the persisted [[graft.index.VectorIndex]]
+    * (topK=1 — max corpus cosine), drops rows at or above
+    * `threshold`, lands survivors batch-id idempotent, and APPENDS
+    * the survivors' vectors back under `batch_id=<n>` — a paraphrase
+    * of a doc admitted two triggers earlier is dropped with no
+    * rebuild; [[graft.Maintenance]] folds the deltas off
+    * `VectorIndex.pendingAppends`.
+    *
+    * Replay-safe by the family's own-label-excluded read
+    * ([[graft.index.VectorIndex.search]]'s `excludeLabel` form): a
+    * crash-replayed batch probes the index as it was before its own
+    * append, reproducing the original survivor set instead of
+    * self-matching it to an empty overwrite; a label Maintenance
+    * already folded proves both writes committed, so that replay
+    * no-ops.
+    *
+    * @param vecs (doc_id: long, emb: array<double>) */
+  def toSemanticDedupedLake(
+      vecs: DataFrame,
+      indexDir: String,
+      lakeDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.95,
+      probes: Int = 2): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val label = s"batch_id=$batchId"
+        if (!graft.index.VectorIndex.isLabelFolded(s, indexDir, label)) {
+          val hits = graft.index.VectorIndex.search(s, indexDir,
+              batch.toDF().select(col("doc_id").as("query_id"),
+                col("emb").as("qemb")),
+              topK = 1, probes = probes, excludeLabel = Some(label))
+            .filter(col("cos") >= threshold)
+            .select(col("query_id").as("doc_id")).distinct()
+          val survivors = batch.toDF()
+            .join(hits, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          writeBatchIdempotent(survivors, lakeDir, batchId)
+          graft.index.VectorIndex.append(
+            survivors.select(col("doc_id").as("vec_id"), col("emb")),
+            indexDir, label)
+        }
+      }
+      .start()
+
   /** SELF-MAINTAINING streaming MEDIA near-dedup (r15) — the
     * [[toSelfDedupingLake]] loop for the perceptual-hash family: each
     * micro-batch of media payloads is decoded + average-hashed ONCE

@@ -401,6 +401,101 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(graft.index.WinnowIndex.pendingAppends(spark, idxDir) == 1)
   }
 
+  test("semantic-deduped lake: paraphrases of indexed docs AND of prior survivors dropped; fold + crash-replay safe") {
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def vec(seed: Int): Seq[Double] =
+      (0 until 16).map(j =>
+        ((mix(seed * 16L + j) & 0x7fffffffL) % 1000L) / 1000.0 * 2 - 1)
+    def near(v: Seq[Double]): Seq[Double] = v.updated(0, v.head + 0.01)
+    val work = Files.createTempDirectory("graft-semdedup").toString
+    val idxDir = s"$work/idx"
+    val corpus = Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "emb")
+    graft.index.VectorIndex.build(corpus,
+      corpus.selectExpr("vec_id AS cid", "emb AS cemb"), idxDir)
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    def start() = LogStream.toSemanticDedupedLake(
+      input.toDF().toDF("doc_id", "emb"), idxDir,
+      s"$work/lake", s"$work/ckpt", threshold = 0.95, probes = 2)
+    def lakeIds() = spark.read.parquet(s"$work/lake")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val q = start()
+    try {
+      // batch 0: a paraphrase of indexed doc 1 is dropped; a fresh
+      // doc is kept AND its vector joins the index
+      input.addData((100L, near(vec(1))), (101L, vec(50)))
+      q.processAllAvailable()
+      assert(lakeIds() == Set(101L), s"got ${lakeIds()}")
+      assert(graft.index.VectorIndex.pendingAppends(spark, idxDir) == 1)
+      // batch 1: a paraphrase of the doc ADMITTED LAST TRIGGER — only
+      // the self-append can catch it
+      input.addData((102L, near(vec(50))), (103L, vec(60)))
+      q.processAllAvailable()
+      // a Maintenance fold mid-stream; the gate still fires after
+      graft.index.VectorIndex.compact(spark, idxDir)
+      input.addData((104L, near(vec(60))), (105L, vec(70)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(lakeIds() == Set(101L, 103L, 105L),
+      s"paraphrases of survivors (102 pre-fold, 104 post-fold) must be " +
+        s"dropped: ${lakeIds()}")
+    // crash-replay of the last batch: the own-label-excluded search
+    // reproduces the original survivors instead of self-dropping them
+    assert(new java.io.File(s"$work/ckpt/commits/2").delete())
+    new java.io.File(s"$work/ckpt/commits/.2.crc").delete()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(lakeIds() == Set(101L, 103L, 105L),
+      s"replay must reproduce the survivors: ${lakeIds()}")
+  }
+
+  test("decontamination gate drops paraphrase leaks against the stored benchmark; a rebuild serves next trigger") {
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def vec(seed: Int): Seq[Double] =
+      (0 until 16).map(j =>
+        ((mix(seed * 16L + j) & 0x7fffffffL) % 1000L) / 1000.0 * 2 - 1)
+    def near(v: Seq[Double]): Seq[Double] = v.updated(0, v.head + 0.01)
+    val work = Files.createTempDirectory("graft-decontam-stream").toString
+    val benchDir = s"$work/bench"
+    def buildBench(vs: Seq[(Long, Seq[Double])]): Unit = {
+      val df = vs.toDF("vec_id", "emb")
+      graft.index.VectorIndex.build(df,
+        df.selectExpr("vec_id AS cid", "emb AS cemb"), benchDir)
+    }
+    buildBench(Seq(900L -> vec(9), 901L -> vec(10)))
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val q = LogStream.toDecontaminatedLake(
+      input.toDF().toDF("doc_id", "emb"), benchDir,
+      s"$work/lake", s"$work/ckpt", threshold = 0.8, probes = 2)
+    try {
+      // batch 0: a paraphrase of eval item 900 leaks — dropped; a
+      // clean doc passes
+      input.addData((100L, near(vec(9))), (101L, vec(42))): Unit
+      q.processAllAvailable()
+      // the eval suite is refreshed mid-stream (900 retired, a new
+      // item added): the next trigger gates against the NEW benchmark
+      buildBench(Seq(901L -> vec(10), 902L -> vec(11)))
+      input.addData((102L, near(vec(9))), (103L, near(vec(11)))): Unit
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$work/lake")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(101L, 102L),
+      s"the retired item's paraphrase (102) passes after the rebuild, " +
+        s"the new item's (103) is dropped: $kept")
+  }
+
   test("image-deduped lake: a resized re-encode of an indexed image is dropped; a copy of a survivor is caught next trigger; replay-safe") {
     import spark.implicits._
     import graft.multimodal.MultimodalOps
