@@ -53,11 +53,18 @@ object TrigramLm {
     * explicitly (tests do) to exercise the literal path. */
   val LiteralModelMaxEntries = 0
 
-  /** Lowercased char trigrams of `text` (empty array under 3 chars). */
+  /** Lowercased char trigrams of `text` (empty array under 3 chars).
+    * The outer 1-element transform is a LET-BINDING: SQL lambdas
+    * cannot introduce locals, and writing `lower(text)` inside the
+    * inner lambda re-lowercases the WHOLE document once per trigram —
+    * O(n²) chars per doc, measured as the dominant cost of every
+    * trigram consumer at sf0.1 (q_lm_score/ccnet/lang_id_ngram family,
+    * r15). Binding it once per row restores the O(n) explode. */
   private val trisExpr =
     "CASE WHEN char_length(text) >= 3 THEN " +
-      "transform(sequence(1, char_length(lower(text)) - 2), " +
-      "i -> substring(lower(text), i, 3)) ELSE array() END"
+      "flatten(transform(array(lower(text)), lt -> " +
+      "transform(sequence(1, char_length(lt) - 2), " +
+      "i -> substring(lt, i, 3)))) ELSE array() END"
 
   /** First two CODEPOINTS of a trigram — matching the engines'
     * codepoint-based `substring`/`substr` semantics. Java

@@ -1053,11 +1053,15 @@ object TextOps {
       // once and re-aggregating (the localCheckpoint write+read of the
       // corpus-sized intermediate exceeds the second explode's cost:
       // 6.5 s vs 7.2 s at sf0.1)
+      // the 1-element outer transform LET-BINDS lower(text) — written
+      // inside the inner lambda it re-lowercases the whole doc once
+      // per trigram, O(n²) chars per doc (the TrigramLm.trisExpr fix)
       val tris = Tables.documents(s, d)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"), explode(expr(
-          """transform(sequence(1, char_length(lower(text)) - 2),
-            |          i -> substring(lower(text), i, 3))""".stripMargin)).as("tri"))
+          """flatten(transform(array(lower(text)), lt ->
+            |  transform(sequence(1, char_length(lt) - 2),
+            |            i -> substring(lt, i, 3))))""".stripMargin)).as("tri"))
       val profile = tris.groupBy(col("lang"), col("tri"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("lrank", row_number().over(
