@@ -610,9 +610,13 @@ object Chunking {
     * engines uppercase-hex identically, so the whole chain stays
     * oracle-certifiable. */
   private def byteToksExpr: String =
+    // the 1-element outer transform LET-BINDS the hex string — written
+    // inside the inner lambda it re-hex-encodes the whole doc once per
+    // byte pair, O(n²) chars per doc (the TrigramLm.trisExpr lesson)
     """CASE WHEN length(text) = 0 THEN CAST(array() AS ARRAY<STRING>)
-      |ELSE transform(sequence(1, length(hex(encode(text, 'UTF-8'))) DIV 2),
-      |               i -> substring(hex(encode(text, 'UTF-8')), 2*i - 1, 2))
+      |ELSE flatten(transform(array(hex(encode(text, 'UTF-8'))), hx ->
+      |  transform(sequence(1, length(hx) DIV 2),
+      |            i -> substring(hx, 2*i - 1, 2))))
       |END""".stripMargin
 
   private def byteToks0Sql: String =
