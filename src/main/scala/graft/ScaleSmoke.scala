@@ -173,6 +173,9 @@ object ScaleSmoke {
       // carrying L tokens); the claim is one partial-agg'd count + one
       // AQE-skew-handled join-back, linear in windows, never pairwise
       "q_exact_substring_dedup",
+      // r15 late: the removal form — report's shuffles + the bounded
+      // covered-position explode + the per-doc reassembly
+      "q_exact_substring_scrub",
       // r15: perceptual image near-dup (PNG encode+decode per payload +
       // the 8-band self-join — must track the codec-linear profile of
       // the features leg plus a collision-scaled band join), the

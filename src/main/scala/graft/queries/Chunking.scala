@@ -240,43 +240,49 @@ object Chunking {
     * `q_span_dedup` move) and keeps this string-keyed form as its
     * oracle-certified reference. Removal is the `q_span_scrub`
     * composition over the reported spans. */
+  /** The shared core of both exact-substring keys: the merged
+    * covered-span ISLANDS per doc — (doc_id, span_start, span_end,
+    * n_dup_windows). Sliding windows → partial-agg'd dup count →
+    * join-back → per-doc interval sweep. */
+  private def exactDupIslands(docs: DataFrame, L: Int): DataFrame = {
+    val w = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= L)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - $L + 1),
+           |          i -> struct(i AS pos,
+           |                      concat_ws(' ', slice(toks, i, $L)) AS win))""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.win").as("win"))
+    val counts = w.groupBy(col("win")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val dup = w.join(counts, Seq("win"))
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + L - 1).cast("long").as("e"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    dup
+      .withColumn("prev_max", max(col("e")).over(wPrev))
+      // merge overlapping AND adjacent covers: positions are
+      // integers, so s = prev_max + 1 still extends the island
+      .withColumn("fresh",
+        when(col("prev_max").isNull || col("s") > col("prev_max") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("fresh")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"),
+        count(lit(1)).as("n_dup_windows"))
+  }
+
   private val qExactSubstringDedup = Q(
     "q_exact_substring_dedup",
-    (s, d) => {
-      val L = ExactSubstrL
-      val w = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .where(size(col("toks")) >= L)
-        .select(col("doc_id"), explode(expr(
-          s"""transform(sequence(1, size(toks) - $L + 1),
-             |          i -> struct(i AS pos,
-             |                      concat_ws(' ', slice(toks, i, $L)) AS win))""".stripMargin))
-          .as("p"))
-        .select(col("doc_id"), col("p.pos").as("pos"), col("p.win").as("win"))
-      val counts = w.groupBy(col("win")).agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2)
-      val dup = w.join(counts, Seq("win"))
-        .select(col("doc_id"), col("pos").cast("long").as("s"),
-          (col("pos") + L - 1).cast("long").as("e"))
-      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-      dup
-        .withColumn("prev_max", max(col("e")).over(wPrev))
-        // merge overlapping AND adjacent covers: positions are
-        // integers, so s = prev_max + 1 still extends the island
-        .withColumn("fresh",
-          when(col("prev_max").isNull || col("s") > col("prev_max") + 1, 1L)
-            .otherwise(0L))
-        .withColumn("island", sum(col("fresh")).over(wRun))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"),
-          count(lit(1)).as("n_dup_windows"))
+    (s, d) =>
+      exactDupIslands(Tables.documents(s, d), ExactSubstrL)
         .select(col("doc_id"), col("span_start"), col("span_end"),
           (col("span_end") - col("span_start") + 1).as("span_tokens"),
           col("n_dup_windows"))
-        .orderBy(col("doc_id"), col("span_start"))
-    },
+        .orderBy(col("doc_id"), col("span_start")),
     Some {
       val L = ExactSubstrL
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -316,36 +322,31 @@ object Chunking {
   private val qExactSubstringScrub = Q(
     "q_exact_substring_scrub",
     (s, d) => {
-      val L = ExactSubstrL
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val w = docs.where(size(col("toks")) >= L)
-        .select(col("doc_id"), explode(expr(
-          s"""transform(sequence(1, size(toks) - $L + 1),
-             |          i -> struct(i AS pos,
-             |                      concat_ws(' ', slice(toks, i, $L)) AS win))""".stripMargin))
-          .as("q"))
-        .select(col("doc_id"), col("q.pos").as("pos"), col("q.win").as("win"))
-      val counts = w.groupBy(col("win")).agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2)
-      val covered = w.join(counts, Seq("win"))
-        .select(col("doc_id"),
-          explode(expr(s"sequence(pos, pos + $L - 1)")).as("p"))
-        .distinct()
-        .withColumn("cov", lit(1L))
-      docs
-        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
-        .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
-        .join(covered, Seq("doc_id", "p"), "left")
+      // the removal NEVER joins at token granularity: islands collect
+      // to ONE row per covered doc (a document has few merged spans),
+      // the join is doc-level, and coverage is a narrow per-doc array
+      // filter — order preserved by construction, no collect, no sort,
+      // no token-level shuffle. The first cut joined 48M token rows
+      // against 47M covered-position rows at the 64× all-duplicate
+      // smoke (~33 s); this shape reads ~3 s (SCALE.md).
+      val spans = exactDupIslands(docs, ExactSubstrL)
         .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          sum(coalesce(col("cov"), lit(0L))).as("n_removed"),
-          concat_ws(" ", expr(
-            """transform(
-              |  array_sort(collect_list(
-              |    CASE WHEN cov IS NULL THEN struct(p, tok) END)),
-              |  x -> x.tok)""".stripMargin)).as("text_clean"))
+        .agg(collect_list(struct(col("span_start"), col("span_end")))
+          .as("spans"))
+      docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .join(spans, Seq("doc_id"), "left")
+        .withColumn("kept", expr(
+          """filter(
+            |  transform(toks, (t, i) ->
+            |    struct(CAST(i + 1 AS BIGINT) AS p, t AS tok)),
+            |  x -> spans IS NULL OR
+            |       NOT exists(spans, sp ->
+            |         x.p >= sp.span_start AND x.p <= sp.span_end))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+          concat_ws(" ", expr("transform(kept, x -> x.tok)")).as("text_clean"))
         .orderBy(col("doc_id"))
     },
     Some {
