@@ -823,9 +823,13 @@ object LogStream {
     * ([[writeRefreshedView]]): each trigger commits a whole new
     * version atomically, a replayed trigger rewrites the same version
     * (idempotent), and a reader mid-scan on the previous version
-    * keeps its files (one-generation grace). A deployment that mines
-    * on a cadence rather than per trigger wraps the refresh in
-    * `batchId % n == 0`.
+    * keeps its files (one-generation grace). `mineEvery` is the
+    * cadence lever: appends land EVERY trigger (ingest never skips),
+    * the re-mine runs on triggers where `batchId % mineEvery == 0` —
+    * a deployment ingesting every minute but re-mining hourly sets it
+    * to the ratio; between refreshes the view serves the last mined
+    * version (its staleness is bounded by the cadence, exactly like a
+    * scheduled batch miner's).
     *
     * Exactly-once: appends are label-idempotent; a label
     * [[graft.Maintenance]] already folded is SKIPPED on replay (its
@@ -841,7 +845,9 @@ object LogStream {
       srcLang: String,
       tgtLang: String,
       minedDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      mineEvery: Int = 1): StreamingQuery = {
+    require(mineEvery >= 1, s"mineEvery must be ≥1, got $mineEvery")
     sentences.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -857,13 +863,15 @@ object LogStream {
           }
         ingest(srcIdxDir, srcLang)
         ingest(tgtIdxDir, tgtLang)
-        writeRefreshedView(
-          graft.queries.Similarity.mineFromIndexes(s, srcIdxDir, tgtIdxDir,
-            graft.queries.Similarity.shardQueries(s, srcIdxDir),
-            graft.queries.Similarity.shardQueries(s, tgtIdxDir)),
-          minedDir, batchId)
+        if (batchId % mineEvery == 0)
+          writeRefreshedView(
+            graft.queries.Similarity.mineFromIndexes(s, srcIdxDir, tgtIdxDir,
+              graft.queries.Similarity.shardQueries(s, srcIdxDir),
+              graft.queries.Similarity.shardQueries(s, tgtIdxDir)),
+            minedDir, batchId)
       }
       .start()
+  }
 
   /** Streaming SEMANTIC DECONTAMINATION gate (r15) — the deployment
     * form of `q_decontaminate_semantic_indexed`: drop every arriving

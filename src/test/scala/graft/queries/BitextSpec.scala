@@ -245,4 +245,38 @@ class BitextSpec extends AnyFunSuite with SparkTestSupport {
       s"the surviving translation must still be mined: " +
         s"${afterRebuild.toSeq.sorted}")
   }
+
+  test("mining cadence: ingest every trigger, re-mine on the mineEvery multiple — staleness bounded by the cadence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = java.nio.file.Files.createTempDirectory("bitext-cadence").toString
+    seedIndex(s"$work/src", Seq(5L -> vecD(5)))
+    seedIndex(s"$work/tgt",
+      Seq(103L -> vecD(33), 104L -> vecD(44), 105L -> vecD(55)))
+    val input = MemoryStream[(Long, String, Seq[Double])](spark)
+    val q = graft.stream.LogStream.toBitextMiningLake(
+      input.toDF().toDF("doc_id", "lang", "emb"),
+      s"$work/src", s"$work/tgt", "en", "de",
+      s"$work/mined", s"$work/ckpt", mineEvery = 2)
+    def mined(): Set[(Long, Long)] =
+      graft.stream.LogStream.readView(spark, s"$work/mined")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // batch 0 (0 % 2 == 0): refresh runs — no translations yet
+      input.addData((0L, "en", vecD(0)))
+      q.processAllAvailable()
+      assert(!mined().contains((0L, 100L)))
+      // batch 1: the translation ARRIVES and is INGESTED (appended),
+      // but the refresh is skipped — the view still serves batch 0's
+      input.addData((100L, "de", shiftedD(vecD(0), 0, 0.01)))
+      q.processAllAvailable()
+      assert(!mined().contains((0L, 100L)),
+        s"the skipped trigger must serve the previous view: ${mined()}")
+      // batch 2 (2 % 2 == 0): the refresh sees BOTH appends — the
+      // pair surfaces, staleness bounded by one cadence interval
+      input.addData((6L, "en", vecD(6)))
+      q.processAllAvailable()
+      assert(mined().contains((0L, 100L)),
+        s"the cadence refresh must mine the ingested pair: ${mined()}")
+    } finally q.stop()
+  }
 }
