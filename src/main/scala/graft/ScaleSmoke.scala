@@ -260,6 +260,44 @@ object ScaleSmoke {
         f"string=${strBL / 1e6}%.1f MB (${strBL.toDouble / hashBL}%.2fx)")
     }
 
+    // EXACT-SUBSTRING SHUFFLE BYTES (r16): same claim for the sliding-
+    // window family — windows are 8× denser than the disjoint span
+    // grid and (unlike span scrub) the dedup never needs the window
+    // text downstream, so the hash-pair form drops the string from the
+    // shuffle ENTIRELY (16 key bytes + doc_id + pos per row vs ~L
+    // tokens of text per row).
+    if (wanted("exact_substring_shuffle")) block("exact_substring_shuffle") {
+      def shuffleBytes(body: => Unit): Long = {
+        val acc = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try { body; Thread.sleep(2000) }
+        finally spark.sparkContext.removeSparkListener(l)
+        acc.get()
+      }
+      val docs = spark.read.parquet(s"${patched.getPath}/documents.parquet")
+      def both(d: org.apache.spark.sql.DataFrame): (Long, Long) = (
+        shuffleBytes(graft.queries.Chunking.exactDupIslands(
+          d, 8, graft.queries.Chunking.spanKey128).count(): Unit),
+        shuffleBytes(graft.queries.Chunking.exactDupIslands(
+          d, 8, graft.queries.Chunking.spanKeyString).count(): Unit))
+      val (hashB, strB) = both(docs)
+      val longDocs = docs.withColumn("text", expr(
+        "array_join(transform(split(text, ' '), t -> " +
+          "concat(t, t, t, t, t, t, t, t)), ' ')"))
+      val (hashBL, strBL) = both(longDocs)
+      println(f"SCALE exact_substring_shuffle shortToks " +
+        f"hashPair=${hashB / 1e6}%.1f MB string=${strB / 1e6}%.1f MB " +
+        f"(${strB.toDouble / hashB}%.2fx)  longToks " +
+        f"hashPair=${hashBL / 1e6}%.1f MB string=${strBL / 1e6}%.1f MB " +
+        f"(${strBL.toDouble / hashBL}%.2fx)")
+    }
+
     // DEEP BPE training: the q_bpe_train loop at production round
     // counts (30 rounds vs the oracle-gated 3), Checkpointer-every-5
     // policy. The claim under test is LINEARITY IN N: per-round cost

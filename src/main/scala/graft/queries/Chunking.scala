@@ -212,7 +212,7 @@ object Chunking {
     * Lee et al. 2022 use 50 BPE tokens on web corpora; 8 word tokens
     * keeps the synthetic corpus's planted near-dup runs detectable
     * while exercising the identical machinery. */
-  private val ExactSubstrL = 8
+  private[graft] val ExactSubstrL = 8
 
   /** EXACT-SUBSTRING dedup (r15 — Lee et al. 2022's ≥L-token
     * exact-substring removal, the gap between the span family and
@@ -234,17 +234,33 @@ object Chunking {
     * and the per-doc interval-island sweep (two windows over doc_id —
     * state bounded by document length). NO pairwise join anywhere —
     * a window duplicated a million times costs one count row, never
-    * 10¹² pairs. On-wire bytes carry each window's text once; at
-    * tokenizer-scale L a deployment swaps the group key for the
-    * codegen'd 128-bit span-key pair ([[spanKey128]] — exactly the
-    * `q_span_dedup` move) and keeps this string-keyed form as its
-    * oracle-certified reference. Removal is the `q_span_scrub`
-    * composition over the reported spans. */
+    * 10¹² pairs. The group/join key is the FIXED-WIDTH 128-bit hash
+    * pair ([[spanKey128]] — the r13 `q_span_dedup` move, shipped here
+    * in r16): unlike the span family, this operator never needs the
+    * window TEXT downstream (only positions), so the window string is
+    * hashed map-side and NEVER crosses the wire at all — shuffle rows
+    * are (16 key bytes + doc_id + pos) regardless of L, where the
+    * string-keyed form paid ~L tokens per row on windows 8× denser
+    * than the disjoint span grid. The DuckDB oracle still groups by
+    * the window string, so a hash-green row proves the hashed
+    * grouping loses nothing; ScaleSmoke's exact_substring_shuffle
+    * block measures the on-wire delta and SpanDedupSpec-style key
+    * pluggability keeps the string form available for that
+    * measurement. Removal is the `q_span_scrub` composition over the
+    * reported spans. */
   /** The shared core of both exact-substring keys: the merged
     * covered-span ISLANDS per doc — (doc_id, span_start, span_end,
     * n_dup_windows). Sliding windows → partial-agg'd dup count →
-    * join-back → per-doc interval sweep. */
-  private def exactDupIslands(docs: DataFrame, L: Int): DataFrame = {
+    * join-back → per-doc interval sweep. `key` is pluggable exactly
+    * like [[spanProfile]]'s (production [[spanKey128]]; the string
+    * form exists for the shuffle-bytes measurement and equality
+    * specs). */
+  private[graft] def exactDupIslands(
+      docs: DataFrame, L: Int,
+      key: Column => Seq[Column] = spanKey128): DataFrame = {
+    val keyCols = key(col("win")).zipWithIndex
+      .map { case (c, i) => c.as(s"k$i") }
+    val keyNames = keyCols.indices.map(i => s"k$i")
     val w = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= L)
@@ -254,9 +270,14 @@ object Chunking {
            |                      concat_ws(' ', slice(toks, i, $L)) AS win))""".stripMargin))
         .as("p"))
       .select(col("doc_id"), col("p.pos").as("pos"), col("p.win").as("win"))
-    val counts = w.groupBy(col("win")).agg(count(lit(1)).as("c"))
+      // hash the window OUT of the row before any exchange: the dedup
+      // needs only positions downstream, so no window text ever
+      // shuffles
+      .select(col("doc_id") +: col("pos") +: keyCols: _*)
+    val counts = w.groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
-    val dup = w.join(counts, Seq("win"))
+    val dup = w.join(counts, keyNames)
       .select(col("doc_id"), col("pos").cast("long").as("s"),
         (col("pos") + L - 1).cast("long").as("e"))
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
@@ -319,36 +340,53 @@ object Chunking {
     * (doc_id, pos) anti-flag join, and the q_span_scrub reassembly
     * (conditional collect + array_sort per doc — state bounded by
     * document length, never corpus-scaled). */
+  /** The removal core shared by the standalone key and the composed
+    * pipeline ([[CorpusReport]]'s scrub stage): every token position
+    * covered by a duplicated ≥L-token run WITHIN `docs` is removed
+    * and survivors reassemble in order. Input needs (doc_id, text);
+    * every other column passes through. Output adds
+    * (n_tokens_raw, n_scrubbed, text_clean) — the caller decides
+    * whether to swap text_clean in for text.
+    *
+    * The removal NEVER joins at token granularity: islands collect
+    * to ONE row per covered doc (a document has few merged spans),
+    * the join is doc-level, and coverage is a narrow per-doc array
+    * filter — order preserved by construction, no collect, no sort,
+    * no token-level shuffle. The first cut joined 48M token rows
+    * against 47M covered-position rows at the 64× all-duplicate
+    * smoke (~33 s); this shape reads ~3 s (SCALE.md). */
+  private[graft] def exactSubstringScrubbed(docs: DataFrame,
+      L: Int = ExactSubstrL): DataFrame = {
+    val spans = exactDupIslands(docs, L)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("_spans"))
+    docs.withColumn("_toks", split(col("text"), " "))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("_kept", expr(
+        """filter(
+          |  transform(_toks, (t, i) ->
+          |    struct(CAST(i + 1 AS BIGINT) AS p, t AS tok)),
+          |  x -> _spans IS NULL OR
+          |       NOT exists(_spans, sp ->
+          |         x.p >= sp.span_start AND x.p <= sp.span_end))""".stripMargin))
+      .withColumn("n_tokens_raw", size(col("_toks")).cast("long"))
+      .withColumn("n_scrubbed",
+        (size(col("_toks")) - size(col("_kept"))).cast("long"))
+      .withColumn("text_clean",
+        concat_ws(" ", expr("transform(_kept, x -> x.tok)")))
+      .drop("_toks", "_spans", "_kept")
+  }
+
   private val qExactSubstringScrub = Q(
     "q_exact_substring_scrub",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      // the removal NEVER joins at token granularity: islands collect
-      // to ONE row per covered doc (a document has few merged spans),
-      // the join is doc-level, and coverage is a narrow per-doc array
-      // filter — order preserved by construction, no collect, no sort,
-      // no token-level shuffle. The first cut joined 48M token rows
-      // against 47M covered-position rows at the 64× all-duplicate
-      // smoke (~33 s); this shape reads ~3 s (SCALE.md).
-      val spans = exactDupIslands(docs, ExactSubstrL)
-        .groupBy(col("doc_id"))
-        .agg(collect_list(struct(col("span_start"), col("span_end")))
-          .as("spans"))
-      docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .join(spans, Seq("doc_id"), "left")
-        .withColumn("kept", expr(
-          """filter(
-            |  transform(toks, (t, i) ->
-            |    struct(CAST(i + 1 AS BIGINT) AS p, t AS tok)),
-            |  x -> spans IS NULL OR
-            |       NOT exists(spans, sp ->
-            |         x.p >= sp.span_start AND x.p <= sp.span_end))""".stripMargin))
+    (s, d) =>
+      exactSubstringScrubbed(Tables.documents(s, d))
         .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
-          concat_ws(" ", expr("transform(kept, x -> x.tok)")).as("text_clean"))
-        .orderBy(col("doc_id"))
-    },
+          col("n_tokens_raw").as("n_tokens"),
+          col("n_scrubbed").as("n_removed"),
+          col("text_clean"))
+        .orderBy(col("doc_id")),
     Some {
       val L = ExactSubstrL
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -290,6 +290,22 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
       assert(!e.contains("span#"), s"span string on the count shuffle: $e"))
   }
 
+  test("exact-substring dedup shuffles 128-bit hash pairs, never window strings") {
+    // the r16 swap: sliding windows are 8× denser than the span grid
+    // and the dedup needs only POSITIONS downstream, so no exchange —
+    // count side or join-back — may carry the window text at all
+    for (key <- Seq("q_exact_substring_dedup", "q_exact_substring_scrub")) {
+      val p = plan(key)
+      val exchanges = p.linesIterator
+        .filter(_.contains("hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty, p)
+      exchanges.foreach(e =>
+        assert(!e.contains("win#"),
+          s"$key: window string on the shuffle wire: $e"))
+      assert(p.contains("xxhash64"), p)
+    }
+  }
+
   test("salted join actually shuffles (broadcast would defeat the salt demo)") {
     val p = plan("q_join_salted")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)

@@ -52,6 +52,16 @@ class SpanDedupSpec extends AnyFunSuite with SparkTestSupport {
         "fixture no longer demonstrates the collision failure mode")
   }
 
+  test("exact-substring islands: 128-bit hash keys reproduce the string-keyed result exactly") {
+    val docs = Tables.documents(spark, sf)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    val hashed = sorted(Chunking.exactDupIslands(docs, 8, Chunking.spanKey128))
+    val strings = sorted(Chunking.exactDupIslands(docs, 8, Chunking.spanKeyString))
+    assert(hashed.nonEmpty, "fixture corpus must contain >=8-token dup runs")
+    assert(hashed == strings)
+  }
+
   test("span scrub rewrites docs: shared spans removed everywhere, unique content kept in order") {
     val d = Files.createTempDirectory("spanscrub").toString
     // span granularity K=3: "hdr nav bar" is the planted boilerplate
