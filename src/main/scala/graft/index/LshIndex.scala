@@ -41,10 +41,21 @@ import org.apache.spark.sql.types._
   *    by global nn_id order converges BIT-IDENTICALLY to a
   *    from-scratch rebuild.
   *
+  * GEOMETRY-KEYED appends (r16): bucket rows are only meaningful under
+  * the geometry that hashed them, so each append also stamps
+  * `appends/_GEOM_<label>.json` with the geometry it bucketed under;
+  * reads and compaction DROP (loudly) live sub-tables whose stamp a
+  * rebuild has superseded — without the stamp, an append racing a
+  * rebuild would stay live and be unioned into reads as a second hash
+  * family (silently wrong occupancy and probes). [[staleAppends]]
+  * surfaces the condition; a full rebuild (which folds every label
+  * and re-covers the vectors from the corpus) heals it.
+  *
   * Layout: `<dir>/_LSH_META.json` (dim, nPlanes, nTables, buckets
   * version, folded append labels) + `<dir>/buckets_vN/` parquet
   * (nn_id, nn_label, nn_emb, tbl, bucket, bucket_n)
-  * + `appends/<label>/` sub-tables. Pre-r15 bucket tables (no
+  * + `appends/<label>/` sub-tables with `appends/_GEOM_<label>.json`
+  * stamps. Pre-r15 bucket tables (no
   * `bucket_n`) stay readable — they were drop-capped at build, so the
   * null-safe serve filter passes them — but refuse appends (rebuild
   * first). Refresh: a rebuild commits geometry + buckets atomically,
@@ -58,6 +69,22 @@ import org.apache.spark.sql.types._
 object LshIndex {
 
   private val META = "_LSH_META.json"
+
+  /** Per-append geometry stamp (r16): unlike the content-keyed sibling
+    * families (minhash shingles, phash bytes), LSH bucket rows are only
+    * meaningful UNDER the geometry that hashed them — a rebuild racing
+    * a concurrent append can commit a different nPlanes (`planesFor`
+    * over a grown corpus), and a "stays live" append bucketed with the
+    * old geometry would then be unioned into reads as a second, alien
+    * hash family: silently wrong occupancy sums and probe joins. Each
+    * append therefore stamps the geometry it bucketed under, and reads
+    * DROP (loudly) any live sub-table whose stamp differs from the
+    * committed meta — its vectors are unservable in the current family
+    * and are re-covered by the next full rebuild, which folds every
+    * label. A missing stamp (pre-r16 append) is accepted as committed-
+    * geometry: without a racing rebuild those appends are correct, and
+    * refusing them would brick every existing index on upgrade. */
+  private val AppendMeta = "_LSH_APPEND_META.json"
 
   private val VersionedBuckets = "buckets_v(\\d+)".r
 
@@ -130,8 +157,10 @@ object LshIndex {
     // meta a moment earlier (a streaming trigger mid-probe) and kill
     // the very query the no-restart refresh contract protects.
     current.foreach { m =>
-      m.folded.foreach(l =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+      m.folded.foreach { l =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true)
+        deleteAppendGeometry(fs, dir, l)
+      }
       MetaMarker.retireUnnamed(fs, dir, Seq("buckets"), Set(m.buckets))
     }
     val next = s"buckets_v${current.map(m => versionAfter(m.buckets)).getOrElse(0)}"
@@ -176,6 +205,12 @@ object LshIndex {
     require(!m.folded.contains(label),
       s"append label '$label' at $dir is already folded — a re-append " +
         "would be invisible to every read; skip the replayed batch instead")
+    // stamp BEFORE the parquet, as a SIBLING of the sub-table dir (the
+    // overwrite below would delete a stamp inside it): a crash after
+    // the stamp leaves harmless debris the replay re-swaps, and no
+    // crash ordering can ever leave a bucketed sub-table that reads
+    // would misclassify as committed-geometry
+    writeAppendGeometry(fs, dir, label, m.g)
     occupancyBuckets(corpus.select(col("vec_id"), col("label"), col("emb")),
         m.g.dim, m.g.nPlanes, m.g.nTables)
       .write.mode("overwrite").parquet(s"$dir/appends/$label")
@@ -224,7 +259,12 @@ object LshIndex {
       m: Meta): DataFrame = {
     val fs = fsFor(spark, dir)
     val base = spark.read.schema(bucketsSchema).parquet(s"$dir/${m.buckets}")
-    val labels = liveLabels(fs, dir, Some(m))
+    val (labels, stale) = partitionByGeometry(fs, dir, m)
+    if (stale.nonEmpty)
+      System.err.println(s"[lsh-index] $dir: dropping ${stale.size} " +
+        s"append sub-table(s) bucketed under a superseded geometry " +
+        s"(${stale.mkString(", ")}) — unservable in the committed hash " +
+        "family; a full rebuild re-covers their vectors")
     if (labels.isEmpty) base
     else {
       // combined occupancy: per (tbl, bucket, generation) the stored
@@ -247,12 +287,27 @@ object LshIndex {
     }
   }
 
-  /** How many live (unfolded) append sub-tables a read currently pays
-    * for — [[graft.Maintenance]]'s compaction trigger. Metadata only. */
+  /** How many live SERVABLE (unfolded, committed-geometry) append
+    * sub-tables a read currently pays for — [[graft.Maintenance]]'s
+    * compaction trigger. Stale-geometry appends are excluded: they are
+    * not compactable (see [[compact]]) and not served, so they do not
+    * contribute read cost. Metadata only. */
   def pendingAppends(spark: SparkSession, dir: String): Int = {
     val fs = fsFor(spark, dir)
     if (!metaExists(fs, dir)) 0
-    else liveLabels(fs, dir, Some(readMetaFull(fs, dir))).size
+    else partitionByGeometry(fs, dir, readMetaFull(fs, dir))._1.size
+  }
+
+  /** Live append labels whose geometry stamp differs from the
+    * committed meta — sub-tables a rebuild raced past. Reads drop
+    * them; [[compact]] refuses while they exist; a full [[build]] over
+    * the current corpus is the healing path (it folds every label).
+    * Metadata only — Maintenance planners use this to route the
+    * artifact to a corpus-driven rebuild instead of a compaction. */
+  def staleAppends(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = fsFor(spark, dir)
+    if (!metaExists(fs, dir)) Seq.empty
+    else partitionByGeometry(fs, dir, readMetaFull(fs, dir))._2
   }
 
   /** Fold all live appends into a NEW committed bucket version —
@@ -269,13 +324,23 @@ object LshIndex {
     require(metaExists(fs, dir), s"no LSH index at $dir")
     val m = readMetaFull(fs, dir)
     // step 1: finish any interrupted predecessor
-    m.folded.foreach(l =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+    m.folded.foreach { l =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true)
+      deleteAppendGeometry(fs, dir, l)
+    }
     MetaMarker.retireUnnamed(fs, dir, Seq("buckets"), Set(m.buckets))
     // retain tombstones on a no-op compact (the MinhashIndex.compact
     // rationale): a cleared folded list would let a replayed batch
-    // re-append invisibly under its folded label
-    val labels = liveLabels(fs, dir, Some(m))
+    // re-append invisibly under its folded label. Only COMMITTED-
+    // geometry appends fold — a stale-geometry sub-table (a rebuild
+    // raced past it) holds rows of a different hash family that can
+    // never merge into this bucket table; it stays live-but-dropped
+    // until a full rebuild folds every label.
+    val (labels, stale) = partitionByGeometry(fs, dir, m)
+    if (stale.nonEmpty)
+      System.err.println(s"[lsh-index] $dir: compact leaving " +
+        s"${stale.size} stale-geometry append(s) unfolded " +
+        s"(${stale.mkString(", ")}) — rebuild to re-cover them")
     if (labels.isEmpty) { writeMeta(fs, dir, m.g, m.buckets, m.folded); return }
     val next = s"buckets_v${versionAfter(m.buckets)}"
     rawBucketsFor(spark, dir, m)
@@ -330,6 +395,44 @@ object LshIndex {
       s"""{"dim": ${g.dim}, "n_planes": ${g.nPlanes}, """ +
         s""""n_tables": ${g.nTables}, "buckets": "$buckets", """ +
         s""""folded": [${folded.map(l => s""""$l"""").mkString(", ")}]}""")
+
+  /** The geometry-stamp marker name for one append label. The stamp is
+    * a SIBLING of the sub-table dir (under `appends/`), so the append's
+    * `mode(overwrite)` parquet write cannot delete it, and it is
+    * written BEFORE the parquet — no crash ordering leaves a bucketed
+    * sub-table that reads would misattribute to the committed
+    * geometry. */
+  private def geomMarkerName(label: String) = s"_GEOM_$label.json"
+
+  private def writeAppendGeometry(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, label: String, g: Geometry): Unit =
+    MetaMarker.write(fs, s"$dir/appends", geomMarkerName(label),
+      s"""{"dim": ${g.dim}, "n_planes": ${g.nPlanes}, """ +
+        s""""n_tables": ${g.nTables}}""")
+
+  private def deleteAppendGeometry(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, label: String): Unit = {
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/appends/${geomMarkerName(label)}"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/appends/${geomMarkerName(label)}.next"), false)
+  }
+
+  /** Live labels split into (servable, stale): servable = stamped with
+    * the committed geometry, or unstamped (pre-r16 legacy — correct
+    * absent a racing rebuild, and refusing them would brick existing
+    * indexes on upgrade); stale = stamped with a geometry a rebuild
+    * has since superseded. */
+  private def partitionByGeometry(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, m: Meta): (Seq[String], Seq[String]) =
+    liveLabels(fs, dir, Some(m)).partition { l =>
+      if (!MetaMarker.exists(fs, s"$dir/appends", geomMarkerName(l))) true
+      else {
+        val n = MetaMarker.read(fs, s"$dir/appends", geomMarkerName(l))
+        Geometry(n.get("dim").asInt(), n.get("n_planes").asInt(),
+          n.get("n_tables").asInt()) == m.g
+      }
+    }
 
   /** Append labels on disk MINUS the meta's folded list, sorted for
     * deterministic fold order. Pure listing. */

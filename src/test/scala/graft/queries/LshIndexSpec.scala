@@ -143,4 +143,45 @@ class LshIndexSpec extends AnyFunSuite with SparkTestSupport {
     assert(got == expected,
       s"appended vector must hash with the committed geometry")
   }
+
+  test("an append a rebuild raced past is dropped from reads, kept out of compact, healed by rebuild") {
+    val dir = Files.createTempDirectory("lshidx-race").toString
+    val small = corpus(0 until 30, 1000L, 0)         // planesFor(30)  = 4
+    val big = (0 until 3000).map(i => (i.toLong, s"l$i", vec(i)))
+      .toDF("vec_id", "label", "emb")                // planesFor(3000) = 6
+    assert(Similarity.planesFor(30L) != Similarity.planesFor(3000L))
+    LshIndex.build(small, dir)
+    val batch = Seq((9000L, "racer", vec(9000))).toDF("vec_id", "label", "emb")
+    LshIndex.append(batch, dir, "racer")             // stamped 4-plane
+    // reproduce the post-race state deterministically: hide the append
+    // from the rebuild's fold snapshot (as if it landed just after),
+    // rebuild to a 6-plane geometry, then restore the append live
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mv(a: String, b: String): Unit =
+      assert(fs.rename(new org.apache.hadoop.fs.Path(a),
+        new org.apache.hadoop.fs.Path(b)))
+    mv(s"$dir/appends", s"$dir/appends_hidden")
+    LshIndex.build(big, dir)
+    mv(s"$dir/appends_hidden", s"$dir/appends")
+    // the racer is live but stamped with the superseded geometry:
+    // surfaced as stale, excluded from the compaction trigger, and
+    // DROPPED from serves — the union would mix two hash families
+    assert(LshIndex.staleAppends(spark, dir) == Seq("racer"))
+    assert(LshIndex.pendingAppends(spark, dir) == 0)
+    assert(rows(LshIndex.buckets(spark, dir)) == rows(inline(big)),
+      "a stale-geometry sub-table must not be unioned into reads")
+    // compact folds nothing and must NOT tombstone the racer (a fold
+    // would merge alien-family buckets; a tombstone would shadow it)
+    LshIndex.compact(spark, dir)
+    assert(LshIndex.staleAppends(spark, dir) == Seq("racer"))
+    assert(rows(LshIndex.buckets(spark, dir)) == rows(inline(big)))
+    // the healing path: a full rebuild over the current corpus (which
+    // by contract includes the racer's vectors) folds every label
+    val healed = big.union(batch)
+    LshIndex.build(healed, dir)
+    assert(LshIndex.staleAppends(spark, dir).isEmpty)
+    assert(LshIndex.pendingAppends(spark, dir) == 0)
+    assert(rows(LshIndex.buckets(spark, dir)) == rows(inline(healed)))
+  }
 }
