@@ -18,40 +18,82 @@ import org.apache.spark.broadcast.Broadcast
   * every trigger, and the first trigger after a rebuild/append/compact
   * naturally re-broadcasts the fresh instance.
   *
-  * Entries pin their values strongly; values per JVM are few and
-  * artifact-sized. Entries from a replaced (stopped) context are
-  * dropped on next use — a broadcast handle from a dead context would
-  * fail the consuming job anyway. [[release]] destroys everything for
-  * callers wanting deterministic cleanup on stream stop; each artifact
-  * family owns its OWN memo instance so releasing one family's
-  * broadcasts can never kill another family's live stream.
+  * BOUNDED (r16 — r15 ADVICE): entries pin their values strongly, so
+  * without a bound a stream with periodic retrains accumulates one
+  * artifact-sized broadcast per retrain for the application's
+  * lifetime — the memo's own strong reference defeats the
+  * ContextCleaner reclamation the release() doc promises. The memo is
+  * therefore an LRU capped at [[BroadcastMemo.MaxEntries]] per
+  * instance: inserting past the cap evicts the least-recently-used
+  * entry — `unpersist(blocking=false)` (NOT destroy: an in-flight job
+  * planned against the evicted handle refetches from the driver and
+  * completes; destroy would kill it, and a foreachBatch failure
+  * terminates its whole stream) and drop the strong pin, after which
+  * the ContextCleaner destroys driver-side blocks as soon as nothing
+  * else references the handle. A superseded artifact (its cached read
+  * replaced the instance, so no future call can memo-hit it) thus
+  * ages out after at most MaxEntries retrains; a still-live artifact
+  * re-inserted every trigger stays MRU and is never evicted below
+  * MaxEntries concurrently-live values per family.
+  *
+  * Entries from a replaced (stopped) context are dropped on next use —
+  * a broadcast handle from a dead context would fail the consuming job
+  * anyway. [[release]] destroys everything for callers wanting
+  * deterministic cleanup on stream stop; each artifact family owns its
+  * OWN memo instance so releasing one family's broadcasts can never
+  * kill another family's live stream.
   */
 private[graft] final class BroadcastMemo {
-  import BroadcastMemo.Identity
+  import BroadcastMemo.{Identity, MaxEntries}
 
+  // access-ordered: iteration starts at the LRU entry. All access is
+  // synchronized — calls are driver-side, once per trigger per family,
+  // so contention is nil and simplicity wins.
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Identity), Broadcast[_]]
+    new java.util.LinkedHashMap[(String, Identity), Broadcast[_]](
+      16, 0.75f, true)
 
-  def of[T <: AnyRef](sc: SparkContext, value: T): Broadcast[T] = {
-    memo.entrySet().removeIf(e => e.getKey._1 != sc.applicationId)
-    memo.computeIfAbsent((sc.applicationId, new Identity(value)),
-      _ => sc.broadcast(value)(
-        scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[T]]))
-      .asInstanceOf[Broadcast[T]]
-  }
+  def of[T <: AnyRef](sc: SparkContext, value: T): Broadcast[T] =
+    memo.synchronized {
+      memo.entrySet().removeIf(e => e.getKey._1 != sc.applicationId)
+      val key = (sc.applicationId, new Identity(value))
+      val hit = memo.get(key)
+      if (hit != null) hit.asInstanceOf[Broadcast[T]]
+      else {
+        while (memo.size() >= MaxEntries) {
+          val it = memo.entrySet().iterator()
+          val lru = it.next()
+          try lru.getValue.unpersist(false)
+          catch { case _: Throwable => () }
+          it.remove()
+        }
+        val bc = sc.broadcast(value)(
+          scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[T]])
+        memo.put(key, bc)
+        bc
+      }
+    }
 
   /** Destroy and forget every memoized broadcast — explicit cleanup
-    * for a stopping stream (otherwise the ContextCleaner reclaims
-    * them when the values themselves become unreachable). */
-  def release(): Unit = {
+    * for a stopping stream. */
+  def release(): Unit = memo.synchronized {
     memo.values().forEach { b =>
       try b.destroy() catch { case _: Throwable => () }
     }
     memo.clear()
   }
+
+  /** Current entry count — spec hook for the LRU bound. */
+  private[graft] def size: Int = memo.synchronized(memo.size())
 }
 
 private[graft] object BroadcastMemo {
+  /** Per-memo LRU cap: generous against legitimate concurrently-live
+    * artifacts (a family rarely serves more than a handful of dirs per
+    * JVM) while bounding the superseded-instance accumulation at a
+    * few artifact sizes. */
+  private[graft] val MaxEntries = 8
+
   private final class Identity(val v: AnyRef) {
     override def hashCode: Int = System.identityHashCode(v)
     override def equals(o: Any): Boolean = o match {

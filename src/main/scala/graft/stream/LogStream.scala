@@ -854,13 +854,19 @@ object LogStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
         val label = s"batch_id=$batchId"
+        // ONE per-batch aggregate replaces the two per-side isEmpty
+        // probe jobs this loop used to pay (r15 VERDICT): the lang
+        // counts are a two-row collect, and a language absent from
+        // the batch skips its append's scan-and-write entirely
+        val langRows = batch.toDF().groupBy(col("lang")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         def ingest(dir: String, lang: String): Unit =
-          if (!graft.index.VectorIndex.isLabelFolded(s, dir, label)) {
-            val side = batch.toDF().filter(col("lang") === lang)
-              .select(col("doc_id").as("vec_id"), col("emb"))
-            if (!side.isEmpty)
-              graft.index.VectorIndex.append(side, dir, label)
-          }
+          if (langRows.getOrElse(lang, 0L) > 0L &&
+              !graft.index.VectorIndex.isLabelFolded(s, dir, label))
+            graft.index.VectorIndex.append(
+              batch.toDF().filter(col("lang") === lang)
+                .select(col("doc_id").as("vec_id"), col("emb")),
+              dir, label)
         ingest(srcIdxDir, srcLang)
         ingest(tgtIdxDir, tgtLang)
         if (batchId % mineEvery == 0)
@@ -880,31 +886,44 @@ object LogStream {
     * in different words shares no n-grams but keeps a near-identical
     * embedding — the leak the n-gram gates cannot see). Per trigger:
     * one `VectorIndex.search` of the bench index with the batch as
-    * queries (topK=1 — the max benchmark cosine IS the decision),
-    * probes sized by the caller (ALL centroid lists = exact; fewer =
-    * the bounded approximate serve). Stateless gate, static index:
-    * the meta re-resolution per trigger serves a benchmark rebuild
-    * next micro-batch with no restart. Survivors land batch-id
-    * idempotent — replay converges because the gate reads only the
-    * static artifact.
+    * queries (topK=1 — the max benchmark cosine IS the decision).
+    * `probes` defaults to EXHAUSTIVE — every centroid list, resolved
+    * per trigger exactly like the batch key
+    * (`q_decontaminate_semantic_indexed`), because this is a SAFETY
+    * gate: an approximate probe set lets a paraphrase leak pass with
+    * no signal at all whenever the benchmark outgrows the probe
+    * count. A deployment that has measured its recall can opt DOWN
+    * explicitly (`probes > 0`); it cannot be degraded by default.
+    * Exhaustive here still means one bounded probe pass — the filter
+    * is sized by the CENTROID count, never the corpus. Stateless
+    * gate, static index: the meta re-resolution per trigger serves a
+    * benchmark rebuild next micro-batch with no restart. Survivors
+    * land batch-id idempotent — replay converges because the gate
+    * reads only the static artifact.
     *
-    * @param vecs (doc_id: long, emb: array<double>) */
+    * @param vecs (doc_id: long, emb: array<double>)
+    * @param probes 0 (default) = exhaustive (all centroid lists,
+    *   re-resolved per trigger); > 0 = explicit approximate serve */
   def toDecontaminatedLake(
       vecs: DataFrame,
       benchIndexDir: String,
       lakeDir: String,
       checkpointDir: String,
       threshold: Double = 0.8,
-      probes: Int = 16): StreamingQuery =
+      probes: Int = 0): StreamingQuery =
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
+        val p =
+          if (probes > 0) probes
+          else graft.index.VectorIndex.readCentroids(s, benchIndexDir)
+            .count().toInt
         val hits = graft.index.VectorIndex.search(s, benchIndexDir,
             batch.toDF().select(col("doc_id").as("query_id"),
               col("emb").as("qemb")),
-            topK = 1, probes = probes)
+            topK = 1, probes = p)
           .filter(col("cos") >= threshold)
           .select(col("query_id").as("doc_id")).distinct()
         writeBatchIdempotent(
@@ -1007,8 +1026,12 @@ object LogStream {
             .imageHashes(batch.as[graft.multimodal.MultimodalOps.MediaRecord])
             .toDF().localCheckpoint(true)
           val corpus = graft.index.PhashIndex.read(s, indexDir, Some(label))
+          // materialize the gate decision ONCE (tiny: hit doc_ids
+          // only) — without it the band-probe join against the index
+          // would run twice, once per anti-join below
           val hits = graft.queries.Multimodal
             .phashHits(hashes, corpus, maxHamming)
+            .localCheckpoint(true)
           val survivors = batch.toDF().join(hits, Seq("doc_id"), "left_anti")
           writeBatchIdempotent(survivors, lakeDir, batchId)
           graft.index.PhashIndex.append(

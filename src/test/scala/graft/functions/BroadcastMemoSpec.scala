@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** The broadcast memo's two contracts: identity reuse (one broadcast
+  * per live artifact instance across triggers — the per-trigger leak
+  * fix) and the r16 LRU bound (superseded instances age out instead of
+  * accumulating one artifact-sized broadcast per retrain forever; the
+  * eviction unpersists rather than destroys, so a plan still holding
+  * the evicted handle keeps working). */
+class BroadcastMemoSpec extends AnyFunSuite with SparkTestSupport {
+
+  test("same instance reuses one broadcast; a fresh instance re-broadcasts") {
+    val memo = new BroadcastMemo
+    val sc = spark.sparkContext
+    val a = Map("k" -> 1)
+    val b1 = memo.of(sc, a)
+    val b2 = memo.of(sc, a)
+    assert(b1 eq b2, "identical artifact instance must reuse its broadcast")
+    val retrained = Map("k" -> 1) // equal content, NEW instance
+    val b3 = memo.of(sc, retrained)
+    assert(!(b3 eq b1), "a retrained instance must get a fresh broadcast")
+    assert(memo.size == 2)
+    memo.release()
+    assert(memo.size == 0)
+  }
+
+  test("LRU bound: superseded instances age out; MRU entries survive; evicted handles still read") {
+    val memo = new BroadcastMemo
+    val sc = spark.sparkContext
+    val live = Map("live" -> 0L)
+    val bLive = memo.of(sc, live)
+    // simulate MaxEntries retrains, touching the live artifact between
+    // each (a live stream re-memos its instance every trigger)
+    val evicted = (1 to BroadcastMemo.MaxEntries).map { i =>
+      val bc = memo.of(sc, Map("retrain" -> i.toLong))
+      assert(memo.of(sc, live) eq bLive,
+        s"LRU touch must keep the live artifact memoized (retrain $i)")
+      bc
+    }
+    assert(memo.size <= BroadcastMemo.MaxEntries,
+      s"memo must stay bounded, got ${memo.size}")
+    assert(memo.of(sc, live) eq bLive,
+      "the continuously-touched live artifact must never be evicted")
+    // an evicted (unpersisted, not destroyed) handle must still serve a
+    // job — eviction frees executor copies without killing in-flight
+    // consumers; the ContextCleaner destroys it once unreachable
+    val oldest = evicted.head
+    assert(oldest.value("retrain") == 1L)
+    memo.release()
+  }
+}
