@@ -93,16 +93,19 @@ object CorpusRun {
       .write.mode("overwrite").parquet(s"$outDir/survivors")
     val surv = spark.read.parquet(s"$outDir/survivors")
 
-    // stage 3+4+5: near-dedup representatives + split + bin, landed
-    // partitioned by split so each export below is a pruned read
+    // stages 3-6: near-dedup representatives + exact-substring scrub
+    // (cleaned text landed — r16) + split + bin, landed partitioned by
+    // split so each export below is a pruned read. Docs scrubbed to
+    // nothing stay in the table (null bin) and are excluded from
+    // every consumer below via n_tokens > 0.
     CorpusReport.curated(surv, edges)
       .write.mode("overwrite").partitionBy("split").parquet(s"$outDir/corpus")
     val cur = spark.read.parquet(s"$outDir/corpus")
 
-    // stage 6: per-split verified delivery — column order pinned to
+    // stage 7: per-split verified delivery — column order pinned to
     // exportSchema so the JSON lines (and their checksums) are stable
     val deliveries = splits.flatMap { sp =>
-      val part = cur.filter(col("split") === sp)
+      val part = cur.filter(col("split") === sp && col("n_tokens") > 0)
         .select(exportSchema.fieldNames.map(col).toIndexedSeq: _*)
       if (part.isEmpty) None
       else {
@@ -112,7 +115,7 @@ object CorpusRun {
       }
     }
 
-    // stage 7 (r14): the run's TOKENIZER ARTIFACT + token budget.
+    // stage 8 (r14): the run's TOKENIZER ARTIFACT + token budget.
     // The merge table trains on the TRAIN split ONLY — the tokenizer
     // is part of the model, so fitting it on val/test text is
     // leakage, same stance as the leakage-safe split itself — and
@@ -124,10 +127,11 @@ object CorpusRun {
     // off the partitioned curated table).
     val tokDir = s"$outDir/tokenizer"
     queries.Chunking.writeTokenizer(
-      cur.filter(col("split") === "train").select(col("doc_id"), col("text")),
+      cur.filter(col("split") === "train" && col("n_tokens") > 0)
+        .select(col("doc_id"), col("text")),
       tokDir)
     val budgets = splits.flatMap { sp =>
-      val part = cur.filter(col("split") === sp)
+      val part = cur.filter(col("split") === sp && col("n_tokens") > 0)
       if (part.isEmpty) None
       else {
         val row = queries.Chunking.withBpeTokenCount(part, tokDir)
@@ -161,9 +165,9 @@ object CorpusRun {
           s"verified=$verifiedRows manifest=${d.manifest.totalRows} report=$reported")
     }
     val exported = deliveries.map(_.manifest.totalRows).sum
-    val nearKept = summary.stageDocs("dedup:near")
-    require(exported == nearKept,
-      s"run at $outDir: exported $exported docs != $nearKept representatives")
+    val scrubKept = summary.stageDocs("scrub:exact_substring")
+    require(exported == scrubKept,
+      s"run at $outDir: exported $exported docs != $scrubKept scrub survivors")
     // the token budget's doc counts must be the delivered doc counts
     budgets.foreach { b =>
       require(b.docs == summary.stageDocs(s"split:${b.split}"),

@@ -14,8 +14,11 @@ import graft.Tables
   *   the `q_filter_funnel` stack) → exact content dedup → NEAR-dup
   *   cluster resolution (edge generator pluggable: the oracle-able
   *   banded exact-Jaccard form, or the persisted minhash band index) →
-  *   leakage-safe split (cluster-hash mod 10, 8/1/1) → per-(split,
-  *   source) sequence packing into 4096-token bins.
+  *   exact-substring SCRUB (r16 — the Lee et al./C4 rewrite pass:
+  *   duplicated ≥L-token runs removed from the representative corpus,
+  *   cleaned text shipped) → leakage-safe split (cluster-hash mod 10,
+  *   8/1/1) → per-(split, source) sequence packing into 4096-token
+  *   bins.
   *
   * [[graft.CorpusRun]] is the runnable job over these stages (persists
   * each stage, exports verified JSONL shards per split); the query keys
@@ -38,6 +41,11 @@ import graft.Tables
   * The report aggregates are one-row (funnel) / O(splits) rollups.
   */
 object CorpusReport {
+
+  /** Scrub window length — shared with the standalone
+    * `q_exact_substring_*` keys so the stage and the keys describe the
+    * same transform. */
+  private val ScrubL = Chunking.ExactSubstrL
 
   private val sparkFp = "poly_hash(text)"
   private def duckFpOf(colName: String) =
@@ -71,40 +79,60 @@ object CorpusReport {
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         col("n_chars"), col("n_tokens"))
 
-  /** Near-dup cluster resolution + leakage-safe split + packing over
-    * the survivor set: `edgesOf(survivors)` yields (doc_a, doc_b)
-    * near-dup edges among survivors, components names each cluster by
-    * its min doc_id, and only the representative (doc_id == cluster)
-    * survives. Split = poly_hash(cluster) mod 10 (8/1/1) — hashing the
+  /** Near-dup cluster resolution + exact-substring SCRUB + leakage-safe
+    * split + packing over the survivor set: `edgesOf(survivors)` yields
+    * (doc_a, doc_b) near-dup edges among survivors, components names
+    * each cluster by its min doc_id, and only the representative
+    * (doc_id == cluster) survives. Then (r16 — the stage Lee et al./C4
+    * run between dedup and split) every ≥L-token run duplicated WITHIN
+    * the representative corpus is removed from every doc
+    * ([[Chunking.exactSubstringScrubbed]] — counted over what actually
+    * survives, so a run shared only with an already-dropped near-dup
+    * twin is not boilerplate), and the CLEANED text and token counts
+    * flow into packing and export. A doc scrubbed to nothing stays in
+    * the curated table (it IS a near-dup representative — dropping it
+    * would unbalance the stage-6 row) with a null bin; the split
+    * stages, exports, and packing exclude it via `n_tokens > 0`.
+    * Split = poly_hash(cluster) mod 10 (8/1/1) — hashing the
     * CLUSTER id is what makes the split leakage-safe: any near-dups
     * that straddled the threshold collapse to one doc BEFORE the split
     * decision, so eval content cannot leak into train through a
     * duplicate. Packing = running token sum per (split, source) in
     * doc_id order → 4096-token bins (each partition packs
-    * independently — the distributed packing shape). */
+    * independently — the distributed packing shape; scrubbed-empty
+    * docs contribute zero to the running sum, so their presence in
+    * the frame cannot shift a bin boundary). */
   private[graft] def curated(surv: DataFrame,
       edgesOf: DataFrame => DataFrame): DataFrame = {
     val labels = ConnectedComponents.minLabel(edgesOf(surv), Checkpointer.Local)
     val pw = Window.partitionBy(col("split"), col("source"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    surv.join(labels, Seq("doc_id"), "left")
+    val reps = surv.join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster_id"), col("doc_id")))
       .filter(col("doc_id") === col("cluster"))
+    Chunking.exactSubstringScrubbed(reps)
+      .withColumn("text", col("text_clean"))
+      .withColumn("n_tokens",
+        (col("n_tokens_raw") - col("n_scrubbed")).cast("int"))
       .withColumn("m", expr(Curation.gateCoinOf("poly_hash(cast(cluster as string))", 10)))
       .withColumn("split",
         when(col("m") <= 7, "train").when(col("m") === 8, "val")
           .otherwise("test"))
       .withColumn("cum", sum(col("n_tokens")).over(pw))
-      .withColumn("bin", floor((col("cum") - 1) / 4096).cast("long"))
+      .withColumn("bin", when(col("n_tokens") > 0,
+        floor((col("cum") - 1) / 4096)).cast("long"))
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
-        col("n_tokens"), col("cluster"), col("split"), col("bin"))
+        col("n_tokens"), col("n_tokens_raw"), col("n_scrubbed"),
+        col("cluster"), col("split"), col("bin"))
   }
 
   /** The full run report: stage 0 (ingest) through 5 (exact dedup) from
-    * the one-row funnel aggregate, stage 6 (near-dedup representatives),
-    * stages 7–9 (per-split packed doc/token/bin mass). `docs`/`tokens`
-    * are the SURVIVING mass at each stage — `q_filter_funnel`'s
+    * the one-row funnel aggregate, stage 6 (near-dedup representatives,
+    * pre-scrub mass), stage 7 (exact-substring scrub — cleaned token
+    * mass and docs still non-empty), stages 8–10 (per-split packed
+    * doc/token/bin mass over the cleaned text). `docs`/`tokens` are
+    * the SURVIVING mass at each stage — `q_filter_funnel`'s
     * docs_in/docs_out are adjacent pairs of this column (reconciliation
     * spec'd in CorpusRunSpec). */
   def report(docs: DataFrame, edgesOf: DataFrame => DataFrame): DataFrame = {
@@ -142,22 +170,37 @@ object CorpusReport {
           |AS (stage_id, stage, docs, tokens)""".stripMargin)
       .withColumn("bins", lit(null).cast("long"))
     val near = cur
-      .agg(count(lit(1)).as("docs"), sum(col("n_tokens").cast("long")).as("tokens"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tokens_raw").cast("long")).as("tokens"))
       .select(lit(6).as("stage_id"), lit("dedup:near").as("stage"),
         col("docs"), coalesce(col("tokens"), lit(0L)).as("tokens"),
         lit(null).cast("long").as("bins"))
+    // stage 7 (r16): the exact-substring rewrite — docs that still
+    // carry tokens after boilerplate-run removal, and the CLEANED
+    // token mass that actually ships
+    val scrub = cur
+      .agg(
+        sum(when(col("n_tokens") > 0, 1L).otherwise(0L)).as("docs"),
+        sum(col("n_tokens").cast("long")).as("tokens"))
+      .select(lit(7).as("stage_id"),
+        lit("scrub:exact_substring").as("stage"),
+        coalesce(col("docs"), lit(0L)).as("docs"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        lit(null).cast("long").as("bins"))
     val splits = cur
+      .filter(col("n_tokens") > 0)
       .groupBy(col("split"))
       .agg(
         count(lit(1)).as("docs"),
         sum(col("n_tokens").cast("long")).as("tokens"),
         countDistinct(concat_ws("#", col("source"), col("bin"))).as("bins"))
       .select(
-        when(col("split") === "train", 7).when(col("split") === "val", 8)
-          .otherwise(9).cast("int").as("stage_id"),
+        when(col("split") === "train", 8).when(col("split") === "val", 9)
+          .otherwise(10).cast("int").as("stage_id"),
         concat(lit("split:"), col("split")).as("stage"),
         col("docs"), col("tokens"), col("bins"))
-    funnel.unionByName(near).unionByName(splits).orderBy(col("stage_id"))
+    funnel.unionByName(near).unionByName(scrub).unionByName(splits)
+      .orderBy(col("stage_id"))
   }
 
   /** The ORACLE-ABLE near-dup edge generator: banded exact 3-gram
@@ -233,28 +276,49 @@ object CorpusReport {
        |lab AS (SELECT node AS doc_id, min(r2) AS cluster_id
        |        FROM reach GROUP BY node),
        |kept AS (
-       |  SELECT surv.doc_id, surv.source, surv.n_tokens,
+       |  SELECT surv.doc_id, surv.source, surv.toks, surv.n_tokens,
        |    coalesce(lab.cluster_id, surv.doc_id) AS cluster
        |  FROM surv LEFT JOIN lab ON surv.doc_id = lab.doc_id
        |  WHERE surv.doc_id = coalesce(lab.cluster_id, surv.doc_id)),
+       |w2 AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(toks[i:i+${ScrubL - 1}], ' ') AS win
+       |  FROM kept, LATERAL (SELECT unnest(range(1, len(toks) - $ScrubL + 2)) AS i) u
+       |  WHERE len(toks) >= $ScrubL),
+       |dupw AS (
+       |  SELECT doc_id, pos
+       |  FROM (SELECT *, count(*) OVER (PARTITION BY win) AS c FROM w2)
+       |  WHERE c >= 2),
+       |cov AS (SELECT DISTINCT doc_id, pos + k AS p
+       |        FROM dupw, LATERAL (SELECT unnest(range(0, $ScrubL)) AS k) u),
+       |covn AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id),
+       |sc AS (
+       |  SELECT kept.doc_id, kept.source, kept.cluster,
+       |    kept.n_tokens AS n_raw,
+       |    kept.n_tokens - coalesce(covn.n_cov, 0) AS n_clean
+       |  FROM kept LEFT JOIN covn ON kept.doc_id = covn.doc_id),
        |sp AS (
        |  SELECT *, CASE WHEN m <= 7 THEN 'train'
        |                 WHEN m = 8 THEN 'val' ELSE 'test' END AS split
        |  FROM (SELECT *,
        |          (${duckFpOf("CAST(cluster AS VARCHAR)")}) * 2654435761 % 1000000007 % 10 AS m
-       |        FROM kept)),
+       |        FROM sc WHERE n_clean > 0)),
        |pk AS (
-       |  SELECT split, source, n_tokens,
-       |    CAST(floor((sum(n_tokens) OVER (PARTITION BY split, source
+       |  SELECT split, source, n_clean AS n_tokens,
+       |    CAST(floor((sum(n_clean) OVER (PARTITION BY split, source
        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1) / 4096) AS BIGINT) AS bin
        |  FROM sp),
        |splits AS (
-       |  SELECT CAST(CASE split WHEN 'train' THEN 7 WHEN 'val' THEN 8
-       |              ELSE 9 END AS INT) AS stage_id,
+       |  SELECT CAST(CASE split WHEN 'train' THEN 8 WHEN 'val' THEN 9
+       |              ELSE 10 END AS INT) AS stage_id,
        |    'split:' || split AS stage,
        |    count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
        |    count(DISTINCT source || '#' || CAST(bin AS VARCHAR)) AS bins
        |  FROM pk GROUP BY split),
+       |scr AS (
+       |  SELECT count(*) FILTER (WHERE n_clean > 0) AS n7,
+       |    coalesce(CAST(sum(n_clean) AS BIGINT), 0) AS t7
+       |  FROM sc),
        |c AS (
        |  SELECT count(*) AS n0,
        |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -282,6 +346,7 @@ object CorpusReport {
        |  UNION ALL SELECT 4, 'gate:repetition',    n4, t4, NULL FROM c
        |  UNION ALL SELECT 5, 'dedup:exact',        n5, t5, NULL FROM c
        |  UNION ALL SELECT 6, 'dedup:near',         n6, t6, NULL FROM nd
+       |  UNION ALL SELECT 7, 'scrub:exact_substring', n7, t7, NULL FROM scr
        |  UNION ALL SELECT stage_id, stage, docs, tokens, bins FROM splits)
        |ORDER BY stage_id""".stripMargin
 

@@ -22,11 +22,19 @@ class CorpusRunSpec extends AnyFunSuite with SparkTestSupport {
   private def goodText(seed: String, n: Int = 100): String =
     (0 until n).map(i => if (i % 10 == 0) "the" else s"$seed$i").mkString(" ")
 
+  /** The r16 scrub fixture: a 10-token run SHARED between two
+    * otherwise-unique surviving docs — long enough for the ≥8-token
+    * exact-substring stage, far too little shared content for the
+    * near-dup stage (Jaccard ≈ 8/208), so both docs SURVIVE near-dedup
+    * and both lose exactly these 10 tokens at the scrub stage. */
+  private val sharedRun = (0 until 10).map(i => s"shared$i").mkString(" ")
+
   /** One doc per intended death stage + survivors:
     *   1 short (gate:length), 2 few-tokens (gate:tokens),
     *   3 no stopwords (gate:has_stopwords), 4 repetitive
     *   (gate:repetition), 6 exact dup of 5 (dedup:exact),
-    *   8 near-twin of 7 (dedup:near), 5/7/9..14 survive. */
+    *   8 near-twin of 7 (dedup:near), 15/16 lose their shared run at
+    *   scrub:exact_substring, 5/7/9..16 survive. */
   private def plantedDocs = Seq(
     1L  -> "too short",
     2L  -> (0 until 10).map(i => s"verylongtoken${i}abcdefgh").mkString(" "),
@@ -37,7 +45,9 @@ class CorpusRunSpec extends AnyFunSuite with SparkTestSupport {
     7L  -> goodText("near"),
     8L  -> goodText("near").replace("near7 ", "NEAR7 "), // near-twin of 7
     9L  -> goodText("s9"), 10L -> goodText("s10"), 11L -> goodText("s11"),
-    12L -> goodText("s12"), 13L -> goodText("s13"), 14L -> goodText("s14"))
+    12L -> goodText("s12"), 13L -> goodText("s13"), 14L -> goodText("s14"),
+    15L -> s"${goodText("s15")} $sharedRun",
+    16L -> s"${goodText("s16")} $sharedRun")
 
   private def writeCorpus(): String = {
     val dir = Files.createTempDirectory("corpusrun").toString
@@ -59,21 +69,38 @@ class CorpusRunSpec extends AnyFunSuite with SparkTestSupport {
       edgesOf = Some(CorpusReport.bandedEdges))
 
     val st = summary.stages
-    assert(docsAt(st, "ingest") === 14)
-    assert(docsAt(st, "gate:length>=100") === 13, "doc 1 dies at length")
-    assert(docsAt(st, "gate:tokens>=20") === 12, "doc 2 dies at token count")
-    assert(docsAt(st, "gate:has_stopwords") === 11, "doc 3 dies at stopwords")
-    assert(docsAt(st, "gate:repetition") === 10, "doc 4 dies at repetition")
-    assert(docsAt(st, "dedup:exact") === 9, "doc 6 dies as 5's exact dup")
-    assert(docsAt(st, "dedup:near") === 8, "doc 8 dies as 7's near-twin")
+    assert(docsAt(st, "ingest") === 16)
+    assert(docsAt(st, "gate:length>=100") === 15, "doc 1 dies at length")
+    assert(docsAt(st, "gate:tokens>=20") === 14, "doc 2 dies at token count")
+    assert(docsAt(st, "gate:has_stopwords") === 13, "doc 3 dies at stopwords")
+    assert(docsAt(st, "gate:repetition") === 12, "doc 4 dies at repetition")
+    assert(docsAt(st, "dedup:exact") === 11, "doc 6 dies as 5's exact dup")
+    assert(docsAt(st, "dedup:near") === 10, "doc 8 dies as 7's near-twin")
+    // r16: docs 15/16 both SURVIVE near-dedup (a 10-token shared run is
+    // far below Jaccard 0.5) and both lose exactly that run at the
+    // scrub stage — 20 tokens gone corpus-wide, no doc dropped
+    assert(docsAt(st, "scrub:exact_substring") === 10,
+      "scrub rewrites, it does not drop non-empty docs")
+    assert(st.find(_.stage == "scrub:exact_substring").get.tokens ===
+      st.find(_.stage == "dedup:near").get.tokens - 20,
+      "docs 15 and 16 each lose their 10-token shared run")
     val splitDocs = st.filter(_.stage.startsWith("split:")).map(_.docs).sum
-    assert(splitDocs === 8, "split rows partition the representatives")
+    assert(splitDocs === 10, "split rows partition the representatives")
 
     // the shipped corpus: survivors exactly, via the VERIFIED read path
-    val shipped = summary.deliveries.flatMap(d =>
+    val shippedRows = summary.deliveries.flatMap(d =>
       TrainingExport.readVerified(spark, d.dir, Some(CorpusRun.exportSchema))
-        .select("doc_id").collect().map(_.getLong(0))).toSet
-    assert(shipped === Set(5L, 7L, 9L, 10L, 11L, 12L, 13L, 14L))
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)))
+    assert(shippedRows.map(_._1).toSet ===
+      Set(5L, 7L, 9L, 10L, 11L, 12L, 13L, 14L, 15L, 16L))
+    // the DELIVERED text is the cleaned text: the shared run is gone
+    // from both copies, the unique content intact in order
+    Seq(15L, 16L).foreach { id =>
+      val t = shippedRows.find(_._1 == id).get._2
+      assert(!t.contains("shared"), s"doc $id must ship scrubbed: $t")
+      assert(t === goodText(s"s$id"), s"doc $id unique content must survive")
+    }
 
     // the persisted report equals the returned summary
     val persisted = spark.read.parquet(s"$out/report")
@@ -84,11 +111,12 @@ class CorpusRunSpec extends AnyFunSuite with SparkTestSupport {
     assert(persisted === st)
 
     // token masses are consistent: monotone non-increasing through the
-    // funnel, and the split rows partition the representatives' tokens
+    // funnel (scrub included), and the split rows partition the
+    // CLEANED token mass
     val byId = st.map(s => s.stageId -> s.tokens).toMap
-    (1 to 6).foreach(i => assert(byId(i) <= byId(i - 1), s"stage $i grew"))
+    (1 to 7).foreach(i => assert(byId(i) <= byId(i - 1), s"stage $i grew"))
     assert(st.filter(_.stage.startsWith("split:")).map(_.tokens).sum ===
-      byId(6))
+      byId(7))
 
     // r14: the run persisted its tokenizer (train-split-fitted) and a
     // reconciled per-split POST-BPE budget — docs match the report,
@@ -117,7 +145,7 @@ class CorpusRunSpec extends AnyFunSuite with SparkTestSupport {
     // the near-twin is caught through the index too (16 near-identical
     // minhash slots → a colliding band; deterministic hashing, so this
     // is a fixed outcome, not a flake)
-    assert(docsAt(summary.stages, "dedup:near") === 8)
+    assert(docsAt(summary.stages, "dedup:near") === 10)
 
     val fromKey = Registry.queries("q_corpus_report_indexed")(spark, corpus)
       .collect()
