@@ -337,11 +337,34 @@ object Multimodal {
       .select(col("doc_id")).distinct()
   }
 
+  /** The band/occupancy/popcount-verify TAIL of every phash oracle —
+    * shared by the image and audio keys: expects a `hashes(doc_id,
+    * lo, hi)` CTE (the 64-bit hash as two 32-bit halves — DuckDB `<<`
+    * overflows at bit 63 where Java wraps). */
+  private val phashOracleTail =
+    """bands AS (
+      |  SELECT doc_id, lo, hi, b AS band,
+      |    CASE WHEN b < 4 THEN (lo >> CAST(8*b AS INT)) & 255
+      |         ELSE (hi >> CAST(8*(b-4) AS INT)) & 255 END AS bits
+      |  FROM hashes, LATERAL (SELECT unnest(range(0, 8)) AS b) u),
+      |occ AS (SELECT *, count(*) OVER (PARTITION BY band, bits) AS bn FROM bands),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.lo AS la, a.hi AS hA, b.lo AS lb, b.hi AS hB
+      |  FROM occ a JOIN occ b ON a.band = b.band AND a.bits = b.bits
+      |       AND a.doc_id < b.doc_id
+      |  WHERE a.bn <= 256 AND b.bn <= 256)
+      |SELECT doc_a, doc_b,
+      |  CAST(min(bit_count(xor(la, lb)) + bit_count(xor(hA, hB))) AS INT) AS hamming
+      |FROM pairs GROUP BY doc_a, doc_b
+      |HAVING min(bit_count(xor(la, lb)) + bit_count(xor(hA, hB))) <= 7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private[queries] val qImagePhashDup = Q(
     "q_image_phash_dup",
     (s, d) => phashPairsFrom(
       MultimodalOps.imageHashes(MultimodalOps.asMedia(s, d)).toDF()),
-    Some("""WITH dims AS (
+    Some(s"""WITH dims AS (
              |  SELECT doc_id, text, length(text) AS n,
              |         (n_chars % 64) + 16 AS w, (n_chars % 48) + 12 AS h
              |  FROM documents),
@@ -367,27 +390,143 @@ object Multimodal {
              |    CAST(sum(CASE WHEN bit = 1 AND cell >= 32
              |             THEN (1::BIGINT << CAST(cell - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
              |  FROM bits GROUP BY doc_id),
-             |bands AS (
-             |  SELECT doc_id, lo, hi, b AS band,
-             |    CASE WHEN b < 4 THEN (lo >> CAST(8*b AS INT)) & 255
-             |         ELSE (hi >> CAST(8*(b-4) AS INT)) & 255 END AS bits
-             |  FROM hashes, LATERAL (SELECT unnest(range(0, 8)) AS b) u),
-             |occ AS (SELECT *, count(*) OVER (PARTITION BY band, bits) AS bn FROM bands),
-             |pairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |         a.lo AS la, a.hi AS hA, b.lo AS lb, b.hi AS hB
-             |  FROM occ a JOIN occ b ON a.band = b.band AND a.bits = b.bits
-             |       AND a.doc_id < b.doc_id
-             |  WHERE a.bn <= 256 AND b.bn <= 256)
-             |SELECT doc_a, doc_b,
-             |  CAST(min(bit_count(xor(la, lb)) + bit_count(xor(hA, hB))) AS INT) AS hamming
-             |FROM pairs GROUP BY doc_a, doc_b
-             |HAVING min(bit_count(xor(la, lb)) + bit_count(xor(hA, hB))) <= 7
+             |$phashOracleTail""".stripMargin)
+  )
+
+  /** Perceptual AUDIO near-dup (r16 — r15 VERDICT #3, the phash plan
+    * transplanted to the audio modality): the REAL WAV decode feeds a
+    * 64-bit average-hash over the |amplitude| envelope
+    * ([[MultimodalOps.audioHashes]] — sample i → cell `i·64/ns`,
+    * integer cell sums, strict-majority bit), then EXACTLY the image
+    * key's banded pair generator: 8×8-bit banding, 256-occupancy cap,
+    * Hamming ≤ 7 verify — pigeonhole-exhaustive, collision-scaled,
+    * never n². A resampled or re-encoded clip only ever trips exact
+    * sha256 by accident; the envelope hash is invariant to the
+    * re-encode and nearly invariant to decimation
+    * (MultimodalOpsSpec pins a `resampleAudio` twin caught at
+    * Hamming ≤ 7). FULL oracle: synthesis, decode, envelope, bits,
+    * banding, and popcount are all integer arithmetic replayed from
+    * the text bytes — the one oracle tail shared with
+    * [[qImagePhashDup]]. */
+  private[queries] val qAudioPhashDup = Q(
+    "q_audio_phash_dup",
+    (s, d) => phashPairsFrom(
+      MultimodalOps.audioHashes(MultimodalOps.asMediaWav(s, d)).toDF()),
+    Some(s"""WITH dims AS (
+             |  SELECT doc_id, text, length(text) AS n,
+             |         (n_chars % 64) + 32 AS ns
+             |  FROM documents),
+             |samp AS (
+             |  SELECT doc_id, CAST((i * 64) // ns AS INT) AS cell,
+             |    abs(CASE WHEN n = 0 THEN 0
+             |        ELSE (ord(text[CAST(i % n AS INT) + 1]) - 64) * 256 END) AS a
+             |  FROM dims, LATERAL (SELECT unnest(range(0, CAST(ns AS BIGINT))) AS i) u),
+             |cells AS (
+             |  SELECT doc_id, cell, CAST(sum(a) AS BIGINT) AS csum
+             |  FROM samp GROUP BY doc_id, cell),
+             |bits AS (
+             |  SELECT doc_id, cell,
+             |    CASE WHEN 64 * csum > sum(csum) OVER (PARTITION BY doc_id)
+             |         THEN 1 ELSE 0 END AS bit
+             |  FROM cells),
+             |hashes AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN bit = 1 AND cell < 32
+             |             THEN (1::BIGINT << CAST(cell AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+             |    CAST(sum(CASE WHEN bit = 1 AND cell >= 32
+             |             THEN (1::BIGINT << CAST(cell - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+             |  FROM bits GROUP BY doc_id),
+             |$phashOracleTail""".stripMargin)
+  )
+
+  /** FRAME-SIGNATURE video near-dup (r16 — r15 VERDICT #4): a trimmed
+    * or re-encoded animation shares most per-frame CONTENT with its
+    * original but nothing at the payload-byte level, and
+    * [[qImagePhashDup]]'s single-payload hash only sees the FIRST
+    * frame of a multi-frame decode. This key hashes EVERY frame
+    * (real chain: GIF decode → per-frame PNG re-encode →
+    * [[MultimodalOps.averageHash64]]) and reports winnowing-style
+    * shared-fingerprint containment between animations: distinct
+    * frame-hash sets joined on EXACT hash equality (bucketed by hash
+    * value, 256-occupancy drop cap — collision-scaled, never
+    * all-pairs), pairs kept when the shared count covers at least
+    * half the smaller set. All-integer output (shared/sizes), so the
+    * DuckDB oracle replays the whole chain — codec included — from
+    * the planted black/white frame bytes. */
+  private[graft] def frameSigPairsFrom(frameHashes: DataFrame): DataFrame = {
+    val sigs = frameHashes.select(col("doc_id"), col("ahash")).distinct()
+    val counts = sigs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sigs"))
+    val capped = sigs.withColumn("bn",
+        count(lit(1)).over(Window.partitionBy(col("ahash"))))
+      .filter(col("bn") <= 256)
+    val l = capped.select(col("ahash"), col("doc_id").as("doc_a"))
+    val r = capped.select(col("ahash"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("ahash")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_sigs"))
+      .join(counts.select(col("doc_id").as("doc_a"),
+        col("n_sigs").as("sigs_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"),
+        col("n_sigs").as("sigs_b")), Seq("doc_b"))
+      .filter(col("shared_sigs") * 2 >= least(col("sigs_a"), col("sigs_b")))
+      .select(col("doc_a"), col("doc_b"), col("shared_sigs"),
+        col("sigs_a"), col("sigs_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private[queries] val qVideoFramesigDup = Q(
+    "q_video_framesig_dup",
+    (s, d) => frameSigPairsFrom(
+      MultimodalOps.imageHashes(
+        MultimodalOps.sampleFrames(MultimodalOps.asMediaGif(s, d), 1)).toDF()),
+    Some("""WITH dims AS (
+             |  SELECT doc_id, text, length(text) AS n,
+             |         (n_chars % 16) + 8 AS w, (n_chars % 12) + 6 AS h,
+             |         (n_chars % 3) + 2 AS nf
+             |  FROM documents),
+             |fr AS (
+             |  SELECT doc_id, text, n, w, h, j
+             |  FROM dims, LATERAL (SELECT unnest(range(0, CAST(nf AS BIGINT))) AS j) u),
+             |lum AS (
+             |  SELECT doc_id, j, c,
+             |    CASE WHEN n > 0 AND ord(text[CAST(
+             |           ((((c // 8) * h) // 8) * w + (((c % 8) * w) // 8) + 7*j) % n
+             |         AS INT) + 1]) >= 64
+             |         THEN 255000 ELSE 0 END AS luma
+             |  FROM fr, LATERAL (SELECT unnest(range(0, 64)) AS c) u),
+             |bits AS (
+             |  SELECT doc_id, j, c,
+             |    CASE WHEN 64 * luma > sum(luma) OVER (PARTITION BY doc_id, j)
+             |         THEN 1 ELSE 0 END AS bit
+             |  FROM lum),
+             |fh AS (
+             |  SELECT doc_id, j,
+             |    CAST(sum(CASE WHEN bit = 1 AND c < 32
+             |             THEN (1::BIGINT << CAST(c AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+             |    CAST(sum(CASE WHEN bit = 1 AND c >= 32
+             |             THEN (1::BIGINT << CAST(c - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+             |  FROM bits GROUP BY doc_id, j),
+             |sigs AS (SELECT DISTINCT doc_id, lo, hi FROM fh),
+             |counts AS (SELECT doc_id, count(*) AS n_sigs FROM sigs GROUP BY doc_id),
+             |capped AS (
+             |  SELECT * FROM (
+             |    SELECT *, count(*) OVER (PARTITION BY lo, hi) AS bn FROM sigs)
+             |  WHERE bn <= 256),
+             |p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_sigs
+             |  FROM capped a JOIN capped b
+             |    ON a.lo = b.lo AND a.hi = b.hi AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id)
+             |SELECT doc_a, doc_b, shared_sigs,
+             |  ca.n_sigs AS sigs_a, cb.n_sigs AS sigs_b
+             |FROM p JOIN counts ca ON ca.doc_id = doc_a
+             |       JOIN counts cb ON cb.doc_id = doc_b
+             |WHERE 2 * shared_sigs >= least(ca.n_sigs, cb.n_sigs)
              |ORDER BY doc_a, doc_b""".stripMargin)
   )
 
   def qs: Seq[Q] =
     Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalResize, qMultimodalDedup,
       qMultimodalFrames, qMultimodalAudio, qMultimodalAudioResample,
-      qImagePhashDup)
+      qImagePhashDup, qAudioPhashDup, qVideoFramesigDup)
 }

@@ -259,4 +259,93 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestSupport {
     assert(pairs.toSeq == Seq((1L, 2L)),
       s"only the planted near-twin pair may surface: ${pairs.toSeq}")
   }
+
+  /** A 16-bit mono LE WAV from raw sample values — the spec-side twin
+    * of asMediaWav's synthesis, for clips longer than the corpus
+    * generator's 32–95 samples. */
+  private def wavRec(id: Long, samples: Array[Int]): MediaRecord = {
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    MediaRecord(id, bos.toByteArray, "audio/wav", samples.length, 1)
+  }
+
+  test("audio envelope hash catches a decimated re-encoded twin that sha256 misses") {
+    // structured clip (loud first half, silent second) at a REALISTIC
+    // length: ns = 256 so the decimated twin (ns = 128) still occupies
+    // every one of the 64 envelope cells — the invariance regime; the
+    // corpus generator's toy 32-95-sample clips are below it by design
+    val orig = wavRec(1, Array.tabulate(256)(i => if (i < 128) 12000 else 0))
+    val twin = MultimodalOps.resampleAudio(
+      Seq(orig.copy(doc_id = 2)).toDS(), 2).collect().head
+    assert(!java.util.Arrays.equals(orig.media, twin.media),
+      "the decimated twin must be a different byte payload (sha misses it)")
+    // unrelated: the inverted envelope (silent first half, loud second)
+    val unrelated = wavRec(3, Array.tabulate(256)(i => if (i < 128) 0 else 12000))
+    val hashes = MultimodalOps.audioHashes(Seq(orig, twin, unrelated).toDS())
+      .collect().map(h => h.doc_id -> h.ahash).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hashes(1L), hashes(2L)) <= 7,
+      s"decimated twin must fall within the Hamming gate: " +
+        s"${hamming(hashes(1L), hashes(2L))}")
+    assert(hamming(hashes(1L), hashes(3L)) > 7,
+      "an inverted-envelope clip must stay outside the gate")
+
+    // end-to-end through the registered key: two planted docs whose
+    // synthesized clips are envelope near-twins (one loud byte
+    // tweaked), one with the inverted envelope; only the pair surfaces
+    val dir = java.nio.file.Files.createTempDirectory("mm-audiophash").toString
+    val loudQuiet = "z" * 32 + "@" * 32     // bytes ≥64 are loud, '@' = 0
+    val tweaked = "y" + "z" * 31 + "@" * 32
+    val inverted = "@" * 32 + "z" * 32
+    // n_chars = 96 → ns = 64: one full text period per clip, every
+    // envelope cell singly occupied
+    Seq((1L, loudQuiet), (2L, tweaked), (3L, inverted))
+      .map { case (id, t) => (id, t, "en", "web", 96L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.queries.Registry.queries("q_audio_phash_dup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      s"only the planted envelope near-twin pair may surface: ${pairs.toSeq}")
+  }
+
+  test("frame signatures catch a trimmed re-encoded animation that whole-payload hashing misses") {
+    // four structurally distinct B/W frames (vertical white band in
+    // four positions); the trimmed copy re-encodes only the middle two
+    def stripe(k: Int): BufferedImage = {
+      val img = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+      (0 until 24).foreach(y => (0 until 32).foreach { x =>
+        img.setRGB(x, y, if (x / 8 == k) 0xffffff else 0x000000)
+      })
+      img
+    }
+    val frames = (0 until 4).map(stripe)
+    val full = MediaRecord(1L, MultimodalOps.encodeGif(frames),
+      "image/gif", 32, 24)
+    val trimmed = MediaRecord(2L, MultimodalOps.encodeGif(frames.slice(1, 3)),
+      "image/gif", 32, 24)
+    assert(!java.util.Arrays.equals(full.media, trimmed.media))
+    val other = MediaRecord(3L,
+      MultimodalOps.encodeGif(Seq(solid(0xffffff, 32, 24), solid(0x000000, 32, 24))),
+      "image/gif", 32, 24)
+    val fh = MultimodalOps.imageHashes(
+      MultimodalOps.sampleFrames(Seq(full, trimmed, other).toDS(), 1)).toDF()
+    val pairs = graft.queries.Multimodal.frameSigPairsFrom(fh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // the trimmed copy's ENTIRE signature set is contained in the
+    // original's: shared = 2 = |trimmed|, so containment = 1.0; the
+    // single-payload phash key sees only frame 0 of each and misses it
+    assert(pairs.toSeq == Seq((1L, 2L, 2L, 4L, 2L)),
+      s"trimmed-copy containment must surface exactly: ${pairs.toSeq}")
+  }
 }
