@@ -5,6 +5,7 @@ import java.util.concurrent.{Callable, Executors}
 import scala.util.{Failure, Success, Try}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
 
 /** The maintenance DRIVER over the engine's persisted artifacts — the
   * orchestration layer that turns the single-call maintenance units
@@ -185,6 +186,52 @@ object Maintenance {
     def run(spark: SparkSession): String = body(spark)
   }
 
+  /** A registered (landed lake → cleaned view) SCRUB binding — the
+    * REMOVE half of the exact-substring detect→remove loop (r16 —
+    * r15 VERDICT #7): the streaming winnowing overlap gate
+    * ([[stream.LogStream.toOverlapGatedLake]] /
+    * [[toSelfOverlapGatingLake]]) is the bounded-state DETECTOR of
+    * ≥L-token duplicated runs on the ingest path, and this binding
+    * schedules the exact batch REMOVER
+    * ([[queries.Chunking.exactSubstringScrubbed]] — the
+    * `q_exact_substring_scrub` transform) over everything the gate
+    * has landed. [[plan]] fires exactly when the lake's top-level
+    * fingerprint advanced past the view's stamp (new batch dirs or a
+    * replay's overwrite), so an idle lake costs one listing and zero
+    * jobs. The cleaned corpus publishes as a versioned full-refresh
+    * VIEW ([[stream.LogStream.refreshView]] — a doc's cleaned text
+    * legitimately CHANGES between versions as later batches land the
+    * other copy of a run, so neither an append lake nor a changelog
+    * fits), read back via [[stream.LogStream.readView]]. */
+  final case class ScrubBinding(name: String, lakeDir: String,
+      viewDir: String, minTokens: Int = queries.Chunking.ExactSubstrL)
+
+  /** One fired scrub: rewrite the landed lake into the next view
+    * version, then stamp the view with the PLAN-TIME lake fingerprint
+    * (the [[IndexBinding]] ordering — a lake advancing mid-scrub
+    * re-fires next plan instead of going silently stale). */
+  final case class ScrubLakeToView(b: ScrubBinding, fingerprint: String)
+      extends Task {
+    def id: String = s"scrub-lake:${b.viewDir}"
+    def resource: String = b.viewDir
+    def run(spark: SparkSession): String = {
+      val docs = spark.read.parquet(b.lakeDir)
+      val cleaned = queries.Chunking
+        .exactSubstringScrubbed(docs, b.minTokens)
+        .withColumn("text", col("text_clean"))
+        .drop("text_clean")
+      stream.LogStream.refreshView(cleaned, b.viewDir)
+      index.CorpusStamp.write(spark, b.viewDir,
+        index.CorpusStamp.Stamp(b.lakeDir, "", fingerprint))
+      // summary off the LANDED view (a cheap re-read), never a
+      // recomputation of the scrub itself
+      val row = stream.LogStream.readView(spark, b.viewDir)
+        .agg(count(lit(1)), coalesce(sum(col("n_scrubbed")), lit(0L)))
+        .head()
+      s"scrubbed ${row.getLong(0)} doc(s), removed ${row.getLong(1)} token(s)"
+    }
+  }
+
   /** A registered (corpus, index) pair for AUTO-PLANNED corpus-driven
     * rebuilds: [[plan]] compares the index's committed
     * [[index.CorpusStamp]] against the corpus table's CURRENT metadata
@@ -226,7 +273,8 @@ object Maintenance {
       minhashIndexes: Seq[String] = Seq.empty,
       lmIndexes: Seq[String] = Seq.empty,
       lshIndexes: Seq[String] = Seq.empty,
-      phashIndexes: Seq[String] = Seq.empty): Seq[Task] = {
+      phashIndexes: Seq[String] = Seq.empty,
+      scrubBindings: Seq[ScrubBinding] = Seq.empty): Seq[Task] = {
     val lakeTasks = lakes.flatMap { p =>
       logs.LogLake.fragmentedPartitions(spark, p, minLakeFiles)
         .map { case (env, day, n) => CompactLakePartition(p, env, day, n) }
@@ -297,9 +345,18 @@ object Maintenance {
         out
       })
     }
+    val scrubTasks = scrubBindings.flatMap { b =>
+      val current = index.CorpusStamp.lakeFingerprintOf(spark, b.lakeDir)
+      if (current == "absent") None // nothing landed yet
+      else {
+        val stored = index.CorpusStamp.read(spark, b.viewDir).map(_.fingerprint)
+        if (stored.contains(current)) None
+        else Some(ScrubLakeToView(b, current))
+      }
+    }
     lakeTasks ++ autoLakeTasks ++ indexTasks ++ winnowTasks ++
       minhashTasks ++ lmTasks ++ lshTasks ++ phashTasks ++
-      bindingTasks ++ rebuilds
+      bindingTasks ++ scrubTasks ++ rebuilds
   }
 
   /** Fan the work-list out over a bounded thread pool (each task is

@@ -35,6 +35,25 @@ object CorpusStamp {
   def fingerprintOf(spark: SparkSession, corpusDir: String, table: String): String =
     graft.queries.KMeans.dirFingerprint(spark, s"$corpusDir/$table")
 
+  /** Fingerprint of a PARTITIONED lake's top level — dirs included:
+    * a `batch_id=N/` lake holds only subdirectories at its root, so
+    * the file-only fingerprint above is blind to new batches. One
+    * listing, (name, length, mtime) per entry; a new batch dir or a
+    * replay's overwrite (entry mtime advances) both change it. */
+  def lakeFingerprintOf(spark: SparkSession, lakeDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(lakeDir)
+    val fs = fsFor(spark, lakeDir)
+    if (!fs.exists(p)) "absent"
+    else {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      fs.listStatus(p).sortBy(_.getPath.getName)
+        .foreach(f => md.update(
+          s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}\n"
+            .getBytes("UTF-8")))
+      md.digest().take(16).map("%02x".format(_)).mkString
+    }
+  }
+
   /** Commit the stamp (stage-then-swap, heals like every marker). */
   def write(spark: SparkSession, indexDir: String, stamp: Stamp): Unit =
     MetaMarker.write(fsFor(spark, indexDir), indexDir, MARKER,

@@ -1072,6 +1072,29 @@ object LogStream {
     graft.index.MetaMarker.write(fs, dir, ViewMeta, s"""{"table": "$next"}""")
   }
 
+  /** [[writeRefreshedView]] with the next version derived from the
+    * committed meta — for refreshers with no natural batch id (the
+    * Maintenance-planned view rebuilds, e.g. the scheduled
+    * exact-substring scrub). Single-writer per dir is the caller's
+    * contract (Maintenance serializes tasks by resource), exactly as
+    * for every index build. */
+  def refreshView(view: DataFrame, dir: String): Unit = {
+    val spark = view.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next =
+      if (!graft.index.MetaMarker.exists(fs, dir, ViewMeta)) 0L
+      else {
+        val cur = graft.index.MetaMarker.read(fs, dir, ViewMeta)
+          .get("table").asText()
+        require(cur.startsWith("view_v"),
+          s"view meta at $dir names '$cur', not view_v<N> — refusing " +
+            "to renumber over it")
+        cur.stripPrefix("view_v").toLong + 1L
+      }
+    writeRefreshedView(view, dir, next)
+  }
+
   /** The current committed version of a [[writeRefreshedView]] view. */
   def readView(spark: SparkSession, dir: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(dir)

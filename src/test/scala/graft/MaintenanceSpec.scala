@@ -207,6 +207,72 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     } finally q.stop()
   }
 
+  test("the detect->remove loop: the overlap gate lands docs, the planned scrub cleans cross-trigger duplicated runs") {
+    // r16 (r15 VERDICT #7): the winnowing overlap gate is the
+    // bounded-state streaming DETECTOR of >=L-token duplicated runs;
+    // the ScrubBinding schedules the exact batch REMOVER over the
+    // landed corpus. Across a trigger boundary: a run landed in batch
+    // 0 is only scrubbed once its second copy lands in batch 1 — the
+    // re-fired plan rewrites BOTH copies in the next view version.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    val work = Files.createTempDirectory("maint-scrub").toString
+    val (idxDir, lakeDir, viewDir) =
+      (s"$work/idx", s"$work/lake", s"$work/clean")
+    val indexedRun = toks("alpha", 30)
+    val sharedRun = toks("shared", 10) // >= L = 8, sub-winnow-window
+    graft.queries.Dedup.writeWinnowIndex(
+      Seq((1L, s"$indexedRun ${toks("tail", 10)}")).toDF("doc_id", "text"),
+      idxDir)
+    val binding = Maintenance.ScrubBinding("clean-corpus", lakeDir, viewDir)
+    // nothing landed yet -> no task, no stamp, zero jobs
+    assert(Maintenance.plan(spark, scrubBindings = Seq(binding)).isEmpty)
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.stream.LogStream.toOverlapGatedLake(
+      input.toDF().toDF("doc_id", "text"), idxDir, lakeDir, s"$work/ckpt")
+    try {
+      // batch 0: one doc quoting the indexed run (gate drops it) and
+      // one clean doc carrying the first copy of the shared run
+      input.addData(
+        (100L, s"${toks("pre", 8)} $indexedRun"),
+        (101L, s"${toks("u101", 20)} $sharedRun"))
+      q.processAllAvailable()
+      val t1 = Maintenance.plan(spark, scrubBindings = Seq(binding))
+      assert(t1.map(_.id) === Seq(s"scrub-lake:$viewDir"), t1.toString)
+      val r1 = Maintenance.run(spark, t1)
+      assert(r1.forall(_.outcome.isSuccess), r1.map(_.summary).mkString("\n"))
+      // one copy in the corpus -> nothing duplicated -> nothing removed
+      val v1 = graft.stream.LogStream.readView(spark, viewDir)
+        .select("doc_id", "text", "n_scrubbed").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(v1 === Seq((101L, s"${toks("u101", 20)} $sharedRun", 0L)))
+      // settled lake -> re-plan finds nothing
+      assert(Maintenance.plan(spark, scrubBindings = Seq(binding)).isEmpty)
+
+      // batch 1: the SECOND copy of the shared run arrives (10 shared
+      // tokens are far below the winnowing gate's whole-doc overlap
+      // threshold, so it lands) -> the lake fingerprint advances, the
+      // plan re-fires, and the next view version scrubs BOTH copies
+      input.addData((102L, s"$sharedRun ${toks("u102", 20)}"))
+      q.processAllAvailable()
+      val t2 = Maintenance.plan(spark, scrubBindings = Seq(binding))
+      assert(t2.map(_.id) === Seq(s"scrub-lake:$viewDir"), t2.toString)
+      val r2 = Maintenance.run(spark, t2)
+      assert(r2.forall(_.outcome.isSuccess), r2.map(_.summary).mkString("\n"))
+      assert(r2.head.outcome.get.contains("removed 20 token(s)"),
+        r2.head.outcome.get)
+      val v2 = graft.stream.LogStream.readView(spark, viewDir)
+        .select("doc_id", "text", "n_scrubbed").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        .sortBy(_._1)
+      assert(v2 === Seq(
+        (101L, toks("u101", 20), 10L),
+        (102L, toks("u102", 20), 10L)),
+        s"both copies of the cross-trigger run must be scrubbed: $v2")
+    } finally q.stop()
+  }
+
   test("a Maintenance-driven TOKENIZER retrain feeds the running encode stream next batch") {
     // r14: the tokenizer artifact joins the family — a retrain commits
     // through the TokenizerIndex meta swap while the streaming encode
