@@ -17,10 +17,26 @@ final case class Q(
     oracle: Option[String])
 
 object Registry {
+  /** Every registered key tagged with its contributing module — the
+    * machine-readable inventory [[graft.tools.KeysInventory]] emits as
+    * KEYS.md. */
+  def byFamily: Seq[(String, Seq[Q])] = Seq(
+    "relational" -> Relational.qs,
+    "text" -> TextOps.qs,
+    "dedup" -> Dedup.qs,
+    "similarity" -> Similarity.qs,
+    "multimodal" -> Multimodal.qs,
+    "curation" -> Curation.qs,
+    "log-analytics" -> LogQueries.qs,
+    "graph" -> Graph.qs,
+    "sql-frontend" -> SqlFrontend.qs,
+    "chunking-bpe" -> Chunking.qs,
+    "indexed-serve" -> Indexed.qs,
+    "corpus-pipeline" -> CorpusReport.qs,
+    "dsir" -> Dsir.qs)
+
   def all: Seq[Q] = {
-    val qs = Relational.qs ++ TextOps.qs ++ Dedup.qs ++ Similarity.qs ++
-      Multimodal.qs ++ Curation.qs ++ LogQueries.qs ++ Graph.qs ++ SqlFrontend.qs ++
-      Chunking.qs ++ Indexed.qs ++ CorpusReport.qs ++ Dsir.qs
+    val qs = byFamily.flatMap(_._2)
     require(qs.map(_.name).distinct.size == qs.size,
       "duplicate query names: " +
         qs.groupBy(_.name).filter(_._2.size > 1).keys.mkString(", "))
