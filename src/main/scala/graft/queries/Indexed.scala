@@ -217,6 +217,19 @@ object Indexed {
         scratch)
     }
 
+  /** Build-once memo for the AUDIO envelope-hash table (r16) — the
+    * same modality-agnostic [[graft.index.PhashIndex]] protocol over
+    * [[graft.multimodal.MultimodalOps.audioHashes]] of the planted
+    * WAV clips, in its own dir (the hash spaces are unrelated). */
+  private[graft] def audioPhashDirFor(s: SparkSession, d: String): String =
+    ensureIndex(s, "aphindex", d, "documents.parquet",
+        dir => graft.index.PhashIndex.exists(s, dir)) { scratch =>
+      graft.index.PhashIndex.build(
+        graft.multimodal.MultimodalOps.audioHashes(
+          graft.multimodal.MultimodalOps.asMediaWav(s, d)).toDF(),
+        scratch)
+    }
+
   /** Build-once memo for the persisted trigram-LM artifact
     * ([[graft.index.LmIndex]]) over a corpus dir's `documents` table —
     * `q_lm_score_indexed`'s stored model. */
@@ -612,9 +625,25 @@ object Indexed {
     Multimodal.qImagePhashDup.oracle
   )
 
+  /** `q_audio_phash_dup` answered FROM the persisted hash table (r16)
+    * — the stored-serve form of audio near-dup, same contract as the
+    * image sibling: the WAV decode + envelope hash (the dominant cost
+    * at real clip sizes) runs once into the modality-agnostic
+    * [[graft.index.PhashIndex]]; pair queries and the streaming gate
+    * ([[graft.stream.LogStream.toAudioDedupedLake]]) probe stored
+    * 16-byte rows. VERBATIM oracle reuse — hash-green proves the
+    * stored table answers bit-identically to the inline decode. */
+  private val qAudioPhashDupIndexed = Q(
+    "q_audio_phash_dup_indexed",
+    (s, d) => Multimodal.phashPairsFrom(
+      graft.index.PhashIndex.read(s, audioPhashDirFor(s, d))),
+    Multimodal.qAudioPhashDup.oracle
+  )
+
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
     qMinhashDupIndexed, qDupClustersMinhashIndexed, qWinnowingIndexed,
     qBpeEncodeIndexed, qTokenizerFertility, qMixTemperatureTokens,
     qMixBudgetPlan, qDsirWeightsIndexed, qLmScoreIndexed,
-    qDecontaminateSemanticIndexed, qImagePhashDupIndexed)
+    qDecontaminateSemanticIndexed, qImagePhashDupIndexed,
+    qAudioPhashDupIndexed)
 }

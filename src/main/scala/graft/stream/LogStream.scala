@@ -1013,6 +1013,49 @@ object LogStream {
       lakeDir: String,
       checkpointDir: String,
       maxHamming: Int = 7): StreamingQuery =
+    toPhashGatedLake(media, b => {
+      import b.sparkSession.implicits._
+      graft.multimodal.MultimodalOps
+        .imageHashes(b.as[graft.multimodal.MultimodalOps.MediaRecord]).toDF()
+    }, indexDir, lakeDir, checkpointDir, maxHamming)
+
+  /** SELF-MAINTAINING streaming AUDIO near-dedup (r16) — the
+    * [[toImageDedupedLake]] loop for the audio modality: arriving
+    * clips are decoded + envelope-hashed ONCE
+    * ([[graft.multimodal.MultimodalOps.audioHashes]]) and gated
+    * against the SAME persisted [[graft.index.PhashIndex]] protocol
+    * (the hash table is modality-agnostic 16-byte rows — one family,
+    * one maintenance story), so a resampled or re-encoded copy of a
+    * clip admitted two triggers earlier is caught with no rebuild and
+    * no restart. Identical replay-safety and fold contracts. Keep
+    * image and audio indexes in SEPARATE dirs — the hash spaces are
+    * unrelated and a cross-modality Hamming match would be
+    * meaningless. */
+  def toAudioDedupedLake(
+      media: DataFrame,
+      indexDir: String,
+      lakeDir: String,
+      checkpointDir: String,
+      maxHamming: Int = 7): StreamingQuery =
+    toPhashGatedLake(media, b => {
+      import b.sparkSession.implicits._
+      graft.multimodal.MultimodalOps
+        .audioHashes(b.as[graft.multimodal.MultimodalOps.MediaRecord]).toDF()
+    }, indexDir, lakeDir, checkpointDir, maxHamming)
+
+  /** The shared perceptual-hash gate loop behind
+    * [[toImageDedupedLake]] and [[toAudioDedupedLake]]: `hashesOf`
+    * runs the modality's one decode+hash pass over the micro-batch;
+    * everything downstream — band probe, anti-joins, idempotent lake
+    * write, self-append, fold/replay contracts — is hash-space
+    * generic. */
+  private def toPhashGatedLake(
+      media: DataFrame,
+      hashesOf: Dataset[Row] => DataFrame,
+      indexDir: String,
+      lakeDir: String,
+      checkpointDir: String,
+      maxHamming: Int): StreamingQuery =
     media.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -1020,11 +1063,8 @@ object LogStream {
         val s = batch.sparkSession
         val label = s"batch_id=$batchId"
         if (!graft.index.PhashIndex.isLabelFolded(s, indexDir, label)) {
-          import s.implicits._
           // ONE decode pass feeds the gate probe and the append
-          val hashes = graft.multimodal.MultimodalOps
-            .imageHashes(batch.as[graft.multimodal.MultimodalOps.MediaRecord])
-            .toDF().localCheckpoint(true)
+          val hashes = hashesOf(batch).localCheckpoint(true)
           val corpus = graft.index.PhashIndex.read(s, indexDir, Some(label))
           // materialize the gate decision ONCE (tiny: hit doc_ids
           // only) — without it the band-probe join against the index

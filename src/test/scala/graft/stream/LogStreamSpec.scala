@@ -566,6 +566,62 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
       s"replay must reproduce the survivors: ${lakeIds()}")
   }
 
+  test("audio-deduped lake: a decimated re-encode of an indexed clip is dropped; a copy of a survivor is caught next trigger") {
+    import spark.implicits._
+    import graft.multimodal.MultimodalOps
+    import graft.multimodal.MultimodalOps.MediaRecord
+    // structured envelopes at realistic length (ns = 256, so a
+    // factor-2 decimation still occupies all 64 envelope cells)
+    def clip(id: Long, loud: Int => Boolean): MediaRecord = {
+      val samples = Array.tabulate(256)(i => if (loud(i)) 12000 else 0)
+      val pcm = new Array[Byte](512)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, 256L),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRecord(id, bos.toByteArray, "audio/wav", 256, 1)
+    }
+    val original = clip(1L, _ < 128)           // loud first half
+    val work = Files.createTempDirectory("graft-audiodedup").toString
+    val idxDir = s"$work/idx"
+    graft.index.PhashIndex.build(
+      MultimodalOps.audioHashes(Seq(original).toDS()).toDF(), idxDir)
+    val input = MemoryStream[MediaRecord](spark)
+    val q = LogStream.toAudioDedupedLake(
+      input.toDF(), idxDir, s"$work/lake", s"$work/ckpt")
+    def lakeIds() = spark.read.parquet(s"$work/lake")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      // batch 0: a DECIMATED RE-ENCODE of the indexed clip (every byte
+      // differs — sha dedup blind) is dropped; a fresh distinct clip
+      // is kept AND its hash joins the index
+      val decimatedTwin = MultimodalOps
+        .resampleAudio(Seq(original.copy(doc_id = 100L)).toDS(), 2)
+        .collect().head
+      val fresh = clip(101L, _ >= 128)         // loud second half
+      input.addData(decimatedTwin, fresh)
+      q.processAllAvailable()
+      assert(lakeIds() == Set(101L),
+        s"decimated twin must be dropped, fresh kept: ${lakeIds()}")
+      assert(graft.index.PhashIndex.pendingAppends(spark, idxDir) == 1)
+      // batch 1: a decimated copy of the clip ADMITTED LAST TRIGGER —
+      // only the self-append can catch it
+      val copyOfFresh = MultimodalOps
+        .resampleAudio(Seq(fresh.copy(doc_id = 102L)).toDS(), 2)
+        .collect().head
+      input.addData(copyOfFresh, clip(103L, i => i >= 64 && i < 192))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(lakeIds() == Set(101L, 103L),
+      s"the survivor's decimated copy (102) must be dropped: ${lakeIds()}")
+  }
+
   test("persisted band index keeps representatives of an over-cap dup family — the stream gate still fires") {
     import spark.implicits._
     def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
