@@ -189,7 +189,13 @@ object ScaleSmoke {
       // r15 late: the stored-hash serve (amplified corpus ⇒ fresh
       // fingerprint ⇒ the measured time INCLUDES the one decode+hash
       // index build; the pair query itself probes 16-byte rows)
-      "q_image_phash_dup_indexed")
+      "q_image_phash_dup_indexed",
+      // r16: the audio/video perceptual family — WAV decode + envelope
+      // hash + band join (audio), GIF frame decode + per-frame ahash +
+      // exact-sig containment join (video); the indexed audio serve
+      // includes its one build like the image sibling
+      "q_audio_phash_dup", "q_audio_phash_dup_indexed",
+      "q_video_framesig_dup")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")
