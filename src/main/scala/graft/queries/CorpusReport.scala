@@ -137,7 +137,13 @@ object CorpusReport {
     * spec'd in CorpusRunSpec). */
   def report(docs: DataFrame, edgesOf: DataFrame => DataFrame): DataFrame = {
     val flags = flagged(docs)
-    reportFrom(flags, curated(survivors(flags), edgesOf))
+    // materialize the curated table ONCE: reportFrom aggregates it in
+    // three branches (near / scrub / splits), and since r16 the plan
+    // behind it carries the components fixpoint AND the scrub — the
+    // runnable job lands it as parquet for the same reason
+    // (CorpusRun.scala), so the pure key mirrors that with a local
+    // checkpoint instead of paying the chain three times
+    reportFrom(flags, curated(survivors(flags), edgesOf).localCheckpoint())
   }
 
   /** [[report]] from already-computed stage frames — the runnable job

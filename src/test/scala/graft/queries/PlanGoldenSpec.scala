@@ -109,8 +109,8 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSupport {
     // split) independent aggregation tails over the shared stage
     // lineage. Both edge generators plan identically because the
     // indexed form's band tables come off a materialized index read.
-    "q_corpus_report" -> "shuffles=13 joins=[SortMergeJoin x2]",
-    "q_corpus_report_indexed" -> "shuffles=13 joins=[SortMergeJoin x2]",
+    "q_corpus_report" -> "shuffles=7 joins=[]",
+    "q_corpus_report_indexed" -> "shuffles=7 joins=[]",
     // sq8's BroadcastNestedLoopJoin is the deliberate broadcast-tiny
     // query-set cross (same stance as bruteforce/ivf in PlanDump's
     // flag exclusions); the two BroadcastHashJoins are the survivor-id
