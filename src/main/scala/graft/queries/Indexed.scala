@@ -230,6 +230,20 @@ object Indexed {
         scratch)
     }
 
+  /** Build-once memo for the VIDEO frame-signature table (r16) — the
+    * [[graft.index.PhashIndex]] rows are pure (doc_id, ahash), so a
+    * per-frame signature SET stores as multiple rows per doc with the
+    * identical append/fold protocol; own dir, own hash space. */
+  private[graft] def videoSigDirFor(s: SparkSession, d: String): String =
+    ensureIndex(s, "vsindex", d, "documents.parquet",
+        dir => graft.index.PhashIndex.exists(s, dir)) { scratch =>
+      graft.index.PhashIndex.build(
+        graft.multimodal.MultimodalOps.imageHashes(
+          graft.multimodal.MultimodalOps.sampleFrames(
+            graft.multimodal.MultimodalOps.asMediaGif(s, d), 1)).toDF(),
+        scratch)
+    }
+
   /** Build-once memo for the persisted trigram-LM artifact
     * ([[graft.index.LmIndex]]) over a corpus dir's `documents` table —
     * `q_lm_score_indexed`'s stored model. */
@@ -640,10 +654,23 @@ object Indexed {
     Multimodal.qAudioPhashDup.oracle
   )
 
+  /** `q_video_framesig_dup` answered FROM the persisted signature
+    * table (r16): the codec chain (GIF frame decode → per-frame PNG
+    * re-encode → ahash — the dominant cost at real payload sizes)
+    * runs once; containment pair queries and the streaming gate
+    * ([[graft.stream.LogStream.toVideoDedupedLake]]) probe stored
+    * 16-byte rows. VERBATIM oracle reuse. */
+  private val qVideoFramesigDupIndexed = Q(
+    "q_video_framesig_dup_indexed",
+    (s, d) => Multimodal.frameSigPairsFrom(
+      graft.index.PhashIndex.read(s, videoSigDirFor(s, d))),
+    Multimodal.qVideoFramesigDup.oracle
+  )
+
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
     qMinhashDupIndexed, qDupClustersMinhashIndexed, qWinnowingIndexed,
     qBpeEncodeIndexed, qTokenizerFertility, qMixTemperatureTokens,
     qMixBudgetPlan, qDsirWeightsIndexed, qLmScoreIndexed,
     qDecontaminateSemanticIndexed, qImagePhashDupIndexed,
-    qAudioPhashDupIndexed)
+    qAudioPhashDupIndexed, qVideoFramesigDupIndexed)
 }

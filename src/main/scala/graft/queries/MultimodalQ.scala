@@ -474,6 +474,35 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The batch doc_ids whose distinct frame-signature set is at least
+    * half-contained in some SINGLE indexed animation — the video
+    * gate's probe ([[graft.stream.LogStream.toVideoDedupedLake]]).
+    * A trimmed or re-encoded copy of an indexed animation has every
+    * sig contained (containment 1.0); an arriving animation that
+    * EXTENDS an indexed one with enough new frames passes — it
+    * carries new content. The corpus side truncates hot sig buckets
+    * to 256 representative docs (lowest ids — the phashHits stance:
+    * a probing copy of a mass-duplicated animation still matches a
+    * representative, while probe fan-out stays capped); the batch
+    * side is a micro-batch, never capped. */
+  private[graft] def frameSigHits(batchSigs: DataFrame,
+      corpusSigs: DataFrame): DataFrame = {
+    val b = batchSigs.select(col("doc_id"), col("ahash")).distinct()
+    val counts = b.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sigs"))
+    val c = corpusSigs.select(col("doc_id").as("nn_doc"), col("ahash"))
+      .distinct()
+      .withColumn("bn", row_number().over(
+        Window.partitionBy(col("ahash")).orderBy(col("nn_doc"))))
+      .filter(col("bn") <= 256)
+      .drop("bn")
+    b.join(c, Seq("ahash"))
+      .groupBy(col("doc_id"), col("nn_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts, Seq("doc_id"))
+      .filter(col("shared") * 2 >= col("n_sigs"))
+      .select(col("doc_id")).distinct()
+  }
+
   private[queries] val qVideoFramesigDup = Q(
     "q_video_framesig_dup",
     (s, d) => frameSigPairsFrom(

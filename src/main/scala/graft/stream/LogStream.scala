@@ -1017,7 +1017,8 @@ object LogStream {
       import b.sparkSession.implicits._
       graft.multimodal.MultimodalOps
         .imageHashes(b.as[graft.multimodal.MultimodalOps.MediaRecord]).toDF()
-    }, indexDir, lakeDir, checkpointDir, maxHamming)
+    }, graft.queries.Multimodal.phashHits(_, _, maxHamming),
+      indexDir, lakeDir, checkpointDir)
 
   /** SELF-MAINTAINING streaming AUDIO near-dedup (r16) — the
     * [[toImageDedupedLake]] loop for the audio modality: arriving
@@ -1041,21 +1042,48 @@ object LogStream {
       import b.sparkSession.implicits._
       graft.multimodal.MultimodalOps
         .audioHashes(b.as[graft.multimodal.MultimodalOps.MediaRecord]).toDF()
-    }, indexDir, lakeDir, checkpointDir, maxHamming)
+    }, graft.queries.Multimodal.phashHits(_, _, maxHamming),
+      indexDir, lakeDir, checkpointDir)
+
+  /** SELF-MAINTAINING streaming VIDEO near-dedup (r16) — the same
+    * loop over FRAME-SIGNATURE SETS: arriving animations are frame-
+    * decoded + per-frame hashed once (the `q_video_framesig_dup`
+    * chain), gated by shared-signature CONTAINMENT against the
+    * persisted [[graft.index.PhashIndex]] (multi-row per doc — the
+    * hash table is pure rows, so a sig SET stores exactly like a
+    * single hash; a trimmed or re-encoded copy of an indexed
+    * animation has every sig contained and is dropped, where the
+    * single-payload hash only ever sees frame 0), survivors land and
+    * their sig sets append back. Identical replay/fold contracts. */
+  def toVideoDedupedLake(
+      media: DataFrame,
+      indexDir: String,
+      lakeDir: String,
+      checkpointDir: String): StreamingQuery =
+    toPhashGatedLake(media, b => {
+      import b.sparkSession.implicits._
+      graft.multimodal.MultimodalOps.imageHashes(
+        graft.multimodal.MultimodalOps.sampleFrames(
+          b.as[graft.multimodal.MultimodalOps.MediaRecord], 1)).toDF()
+    }, graft.queries.Multimodal.frameSigHits,
+      indexDir, lakeDir, checkpointDir)
 
   /** The shared perceptual-hash gate loop behind
-    * [[toImageDedupedLake]] and [[toAudioDedupedLake]]: `hashesOf`
-    * runs the modality's one decode+hash pass over the micro-batch;
-    * everything downstream — band probe, anti-joins, idempotent lake
-    * write, self-append, fold/replay contracts — is hash-space
-    * generic. */
+    * [[toImageDedupedLake]], [[toAudioDedupedLake]], and
+    * [[toVideoDedupedLake]]: `hashesOf` runs the modality's one
+    * decode+hash pass over the micro-batch (one row per hash — frame
+    * sig SETS are many rows per doc), `hitsOf(batchHashes,
+    * corpusHashes)` decides the dropped doc_ids (banded Hamming for
+    * single-hash modalities, sig-set containment for video);
+    * everything downstream — anti-joins, idempotent lake write,
+    * self-append, fold/replay contracts — is shared. */
   private def toPhashGatedLake(
       media: DataFrame,
       hashesOf: Dataset[Row] => DataFrame,
+      hitsOf: (DataFrame, DataFrame) => DataFrame,
       indexDir: String,
       lakeDir: String,
-      checkpointDir: String,
-      maxHamming: Int): StreamingQuery =
+      checkpointDir: String): StreamingQuery =
     media.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -1067,11 +1095,9 @@ object LogStream {
           val hashes = hashesOf(batch).localCheckpoint(true)
           val corpus = graft.index.PhashIndex.read(s, indexDir, Some(label))
           // materialize the gate decision ONCE (tiny: hit doc_ids
-          // only) — without it the band-probe join against the index
+          // only) — without it the probe join against the index
           // would run twice, once per anti-join below
-          val hits = graft.queries.Multimodal
-            .phashHits(hashes, corpus, maxHamming)
-            .localCheckpoint(true)
+          val hits = hitsOf(hashes, corpus).localCheckpoint(true)
           val survivors = batch.toDF().join(hits, Seq("doc_id"), "left_anti")
           writeBatchIdempotent(survivors, lakeDir, batchId)
           graft.index.PhashIndex.append(

@@ -622,6 +622,51 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
       s"the survivor's decimated copy (102) must be dropped: ${lakeIds()}")
   }
 
+  test("video-deduped lake: a trimmed re-encode of an indexed animation is dropped; a survivor's copy is caught next trigger") {
+    import spark.implicits._
+    import graft.multimodal.MultimodalOps
+    import graft.multimodal.MultimodalOps.MediaRecord
+    def stripe(k: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 24).foreach(y => (0 until 32).foreach(x =>
+        img.setRGB(x, y, if (x / 8 == k % 4 && y / 8 == k / 4) 0xffffff
+          else 0x000000)))
+      img
+    }
+    def gif(id: Long, ks: Seq[Int]): MediaRecord = MediaRecord(
+      id, MultimodalOps.encodeGif(ks.map(stripe)), "image/gif", 32, 24)
+    val work = Files.createTempDirectory("graft-videodedup").toString
+    val idxDir = s"$work/idx"
+    // seed: one indexed animation of four structurally distinct frames
+    graft.index.PhashIndex.build(
+      MultimodalOps.imageHashes(MultimodalOps.sampleFrames(
+        Seq(gif(1L, Seq(0, 1, 2, 3))).toDS(), 1)).toDF(), idxDir)
+    val input = MemoryStream[MediaRecord](spark)
+    val q = LogStream.toVideoDedupedLake(
+      input.toDF(), idxDir, s"$work/lake", s"$work/ckpt")
+    def lakeIds() = spark.read.parquet(s"$work/lake")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      // batch 0: a TRIMMED RE-ENCODE of the indexed animation (middle
+      // two frames — different payload bytes, containment 1.0) is
+      // dropped; a fresh animation sharing only ONE of its three
+      // frames (containment 1/3 < 1/2 — new content) is kept and its
+      // sig set joins the index
+      input.addData(gif(100L, Seq(1, 2)), gif(101L, Seq(3, 4, 5)))
+      q.processAllAvailable()
+      assert(lakeIds() == Set(101L),
+        s"trimmed copy must be dropped, fresh kept: ${lakeIds()}")
+      assert(graft.index.PhashIndex.pendingAppends(spark, idxDir) == 1)
+      // batch 1: a trimmed copy of the animation ADMITTED LAST
+      // TRIGGER — only the self-append can catch it
+      input.addData(gif(102L, Seq(4, 5)), gif(103L, Seq(6, 7)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(lakeIds() == Set(101L, 103L),
+      s"the survivor's trimmed copy (102) must be dropped: ${lakeIds()}")
+  }
+
   test("persisted band index keeps representatives of an over-cap dup family — the stream gate still fires") {
     import spark.implicits._
     def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
