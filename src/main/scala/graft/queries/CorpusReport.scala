@@ -142,8 +142,13 @@ object CorpusReport {
     // behind it carries the components fixpoint AND the scrub — the
     // runnable job lands it as parquet for the same reason
     // (CorpusRun.scala), so the pure key mirrors that with a local
-    // checkpoint instead of paying the chain three times
-    reportFrom(flags, curated(survivors(flags), edgesOf).localCheckpoint())
+    // checkpoint instead of paying the chain three times. The report
+    // never reads text, so it is dropped BEFORE the checkpoint —
+    // column pruning then elides the cleaned-text reassembly
+    // (concat_ws over the kept tokens) from the materialized plan
+    // entirely; only the runnable job, which ships the text, pays it
+    reportFrom(flags,
+      curated(survivors(flags), edgesOf).drop("text").localCheckpoint())
   }
 
   /** [[report]] from already-computed stage frames — the runnable job
