@@ -195,7 +195,7 @@ object ScaleSmoke {
       // exact-sig containment join (video); the indexed audio serve
       // includes its one build like the image sibling
       "q_audio_phash_dup", "q_audio_phash_dup_indexed",
-      "q_video_framesig_dup")
+      "q_video_framesig_dup", "q_video_framesig_dup_indexed")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")
