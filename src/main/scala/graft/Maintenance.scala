@@ -226,9 +226,12 @@ object Maintenance {
       // summary off the LANDED view (a cheap re-read), never a
       // recomputation of the scrub itself
       val row = stream.LogStream.readView(spark, b.viewDir)
-        .agg(count(lit(1)), coalesce(sum(col("n_scrubbed")), lit(0L)))
+        .agg(count(lit(1)),
+          coalesce(sum((col("n_scrubbed") > 0).cast("long")), lit(0L)),
+          coalesce(sum(col("n_scrubbed")), lit(0L)))
         .head()
-      s"scrubbed ${row.getLong(0)} doc(s), removed ${row.getLong(1)} token(s)"
+      s"rewrote ${row.getLong(1)} of ${row.getLong(0)} doc(s), " +
+        s"removed ${row.getLong(2)} token(s)"
     }
   }
 
@@ -334,7 +337,16 @@ object Maintenance {
     val bindingTasks = indexBindings.flatMap { b =>
       val current = index.CorpusStamp.fingerprintOf(spark, b.corpusDir, b.table)
       val stored = index.CorpusStamp.read(spark, b.indexDir).map(_.fingerprint)
-      if (stored.contains(current)) None
+      // r16: a stale-GEOMETRY LSH append (a rebuild raced past it;
+      // reads drop it, compaction refuses it) also fires the bound
+      // rebuild — the raced vectors stay unserved until a full
+      // rebuild folds every label, and the corpus fingerprint alone
+      // cannot see the condition because the stamp was written by
+      // the very rebuild that caused it. Metadata-only probe; false
+      // on non-LSH index dirs (no _LSH_META marker).
+      val staleLsh = index.LshIndex.exists(spark, b.indexDir) &&
+        index.LshIndex.staleAppends(spark, b.indexDir).nonEmpty
+      if (stored.contains(current) && !staleLsh) None
       else Some(Rebuild(b.name, b.indexDir) { s =>
         val out = b.rebuild(s)
         // stamp the PLAN-TIME fingerprint only after the body commits:

@@ -590,7 +590,10 @@ object MultimodalOps {
                 val v = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8))
                   .toShort.toInt
                 val a = math.abs(v).toLong
-                cells((i * 64) / ns) += a
+                // long product: i*64 overflows Int past ~33.5M samples
+                // (a 70-minute clip at 8 kHz) and the soft-fail catch
+                // would silently exclude exactly the longest clips
+                cells(((i.toLong * 64) / ns).toInt) += a
                 total += a
                 i += 1
               }

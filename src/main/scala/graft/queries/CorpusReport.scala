@@ -142,13 +142,19 @@ object CorpusReport {
     // behind it carries the components fixpoint AND the scrub — the
     // runnable job lands it as parquet for the same reason
     // (CorpusRun.scala), so the pure key mirrors that with a local
-    // checkpoint instead of paying the chain three times. The report
-    // never reads text, so it is dropped BEFORE the checkpoint —
-    // column pruning then elides the cleaned-text reassembly
-    // (concat_ws over the kept tokens) from the materialized plan
-    // entirely; only the runnable job, which ships the text, pays it
+    // checkpoint instead of paying the chain three times. LAZY (the
+    // eager form would execute the whole fixpoint+scrub as a side
+    // effect of merely CONSTRUCTING the plan — PlanDump and the plan
+    // goldens build keys without running them); the first action
+    // materializes it once and all three branches reuse it. The
+    // report never reads text, so it is dropped BEFORE the
+    // checkpoint — column pruning then elides the cleaned-text
+    // reassembly (concat_ws over the kept tokens) from the
+    // materialized plan entirely; only the runnable job, which ships
+    // the text, pays it
     reportFrom(flags,
-      curated(survivors(flags), edgesOf).drop("text").localCheckpoint())
+      curated(survivors(flags), edgesOf).drop("text")
+        .localCheckpoint(eager = false))
   }
 
   /** [[report]] from already-computed stage frames — the runnable job

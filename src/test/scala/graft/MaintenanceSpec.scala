@@ -425,6 +425,61 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     assert(Maintenance.plan(spark, indexBindings = bindings).isEmpty)
   }
 
+  test("a stale-geometry LSH append fires the bound rebuild even with a current corpus stamp") {
+    // r16: the rebuild-vs-append race leaves a live append bucketed
+    // under superseded geometry — reads drop it, compact refuses it,
+    // and the corpus fingerprint cannot see it (the stamp was written
+    // by the very rebuild that raced). The binding planner must
+    // consult LshIndex.staleAppends and fire the healing rebuild.
+    import graft.index.LshIndex
+    def vec8(seed: Int): Seq[Double] =
+      (0 until 8).map(j => math.sin(seed * 97.0 + j * 13.0))
+    val work = Files.createTempDirectory("maint-lsh-race").toString
+    val (corpusDir, idxDir) = (s"$work/corpus", s"$work/idx")
+    def corpusDf(n: Int) = (0 until n)
+      .map(i => (i.toLong, s"l$i", vec8(i)))
+      .toDF("vec_id", "label", "emb")
+    // the "corpus" table the binding fingerprints (content irrelevant
+    // to the race — only its listing matters)
+    corpusDf(30).write.mode("overwrite")
+      .parquet(s"$corpusDir/documents.parquet")
+    // reproduce the post-race state (the LshIndexSpec recipe): append
+    // under 4-plane geometry, hide it from the rebuild's fold
+    // snapshot, rebuild to 6 planes, restore
+    LshIndex.build(corpusDf(30), idxDir)
+    LshIndex.append(Seq((9000L, "racer", vec8(9000)))
+      .toDF("vec_id", "label", "emb"), idxDir, "racer")
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mv(a: String, b: String): Unit =
+      assert(fs.rename(new org.apache.hadoop.fs.Path(a),
+        new org.apache.hadoop.fs.Path(b)))
+    mv(s"$idxDir/appends", s"$idxDir/appends_hidden")
+    LshIndex.build(corpusDf(3000), idxDir)
+    mv(s"$idxDir/appends_hidden", s"$idxDir/appends")
+    // the raced rebuild stamped the CURRENT corpus fingerprint — the
+    // fingerprint route alone would stay silent forever
+    graft.index.CorpusStamp.write(spark, idxDir, graft.index.CorpusStamp.Stamp(
+      corpusDir, "documents.parquet",
+      graft.index.CorpusStamp.fingerprintOf(spark, corpusDir, "documents.parquet")))
+    assert(LshIndex.staleAppends(spark, idxDir) == Seq("racer"))
+    val binding = Maintenance.IndexBinding("lsh-race", idxDir, corpusDir) { s =>
+      LshIndex.build(corpusDf(3000)
+        .union(Seq((9000L, "racer", vec8(9000))).toDF("vec_id", "label", "emb")), idxDir)
+      "rebuilt over the full corpus"
+    }
+    val tasks = Maintenance.plan(spark, indexBindings = Seq(binding))
+    assert(tasks.map(_.id) == Seq("rebuild:lsh-race"),
+      s"a stale append must fire the bound rebuild: $tasks")
+    val results = Maintenance.run(spark, tasks)
+    assert(results.forall(_.outcome.isSuccess),
+      results.map(_.summary).mkString("\n"))
+    assert(LshIndex.staleAppends(spark, idxDir).isEmpty,
+      "the rebuild folds every label, healing the race")
+    assert(Maintenance.plan(spark, indexBindings = Seq(binding)).isEmpty,
+      "a healed index with a current stamp plans nothing")
+  }
+
   test("a parent-dir resource serializes with tasks nested under it") {
     // the ADVICE r9 case: a caller Rebuild naming a lake ROOT must not
     // run concurrently with auto-planned per-partition compactions
