@@ -186,6 +186,20 @@ object Maintenance {
     def run(spark: SparkSession): String = body(spark)
   }
 
+  /** Fold a persisted exact-substring window-count artifact's pending
+    * deltas into the next committed version
+    * ([[graft.index.SubstrIndex.compact]]) — counts sum, so this is
+    * purely the read-cost fold, the [[FoldLmIndexAppends]] twin. */
+  final case class FoldSubstrIndexAppends(dir: String, nPending: Int)
+      extends Task {
+    def id: String = s"substr-compact:$dir"
+    def resource: String = dir
+    def run(spark: SparkSession): String = {
+      index.SubstrIndex.compact(spark, dir)
+      s"folded $nPending append table(s)"
+    }
+  }
+
   /** A registered (landed lake → cleaned view) SCRUB binding — the
     * REMOVE half of the exact-substring detect→remove loop (r16 —
     * r15 VERDICT #7): the streaming winnowing overlap gate
@@ -277,7 +291,8 @@ object Maintenance {
       lmIndexes: Seq[String] = Seq.empty,
       lshIndexes: Seq[String] = Seq.empty,
       phashIndexes: Seq[String] = Seq.empty,
-      scrubBindings: Seq[ScrubBinding] = Seq.empty): Seq[Task] = {
+      scrubBindings: Seq[ScrubBinding] = Seq.empty,
+      substrIndexes: Seq[String] = Seq.empty): Seq[Task] = {
     val lakeTasks = lakes.flatMap { p =>
       logs.LogLake.fragmentedPartitions(spark, p, minLakeFiles)
         .map { case (env, day, n) => CompactLakePartition(p, env, day, n) }
@@ -357,6 +372,13 @@ object Maintenance {
         out
       })
     }
+    val substrTasks = substrIndexes.flatMap { d =>
+      if (!index.SubstrIndex.exists(spark, d)) None
+      else {
+        val n = index.SubstrIndex.pendingAppends(spark, d)
+        if (n >= minIndexAppends) Some(FoldSubstrIndexAppends(d, n)) else None
+      }
+    }
     val scrubTasks = scrubBindings.flatMap { b =>
       val current = index.CorpusStamp.lakeFingerprintOf(spark, b.lakeDir)
       if (current == "absent") None // nothing landed yet
@@ -368,7 +390,7 @@ object Maintenance {
     }
     lakeTasks ++ autoLakeTasks ++ indexTasks ++ winnowTasks ++
       minhashTasks ++ lmTasks ++ lshTasks ++ phashTasks ++
-      bindingTasks ++ scrubTasks ++ rebuilds
+      substrTasks ++ bindingTasks ++ scrubTasks ++ rebuilds
   }
 
   /** Fan the work-list out over a bounded thread pool (each task is

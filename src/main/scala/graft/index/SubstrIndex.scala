@@ -1,0 +1,191 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PERSISTENT exact-substring WINDOW-COUNT artifact (r16) — the stored
+  * form of `q_exact_substring_dedup`'s corpus-wide sliding-window
+  * occurrence counts, and what makes the EXACT ≥L-token duplicate
+  * detector streamable: the winnowing overlap gate guarantees
+  * detection but approximates spans; probing a stored count table
+  * gives an arriving batch the exact window-level decision against
+  * the whole landed corpus WITHOUT re-scanning it.
+  *
+  * Stored form: ONE parquet table `counts_vN` of `(k0, k1, cnt)` rows
+  * — the 128-bit window-key pair ([[graft.queries.Chunking]]'s
+  * `spanKey128`; no window text is ever stored or shuffled) with its
+  * corpus-wide occurrence count. Counts are SUMMABLE ([[LmIndex]]'s
+  * property): an appended micro-batch lands its own delta count
+  * table, a read sums base + deltas per key, and the summed table is
+  * BIT-IDENTICAL to counting the concatenated corpus — so a window
+  * whose copies arrive in different batches still crosses the ≥2
+  * duplicate threshold exactly. The own-label-excluded read form is
+  * the self-appending streaming gate's crash-replay view
+  * ([[graft.stream.LogStream.toExactSubstringGatedLake]]).
+  *
+  * Commit protocol = [[LmIndex]]'s: versions land in fresh `counts_vN`
+  * dirs, ONE staged meta swap publishes, folded append dirs retire
+  * with one-generation grace, folded labels refuse re-appends loudly.
+  *
+  * Layout: `<dir>/_SUBSTR_META.json` + `counts_vN` + `appends/<label>`.
+  */
+object SubstrIndex {
+
+  private val META = "_SUBSTR_META.json"
+
+  private val VersionedCounts = "counts_v(\\d+)".r
+
+  private val countsSchema = StructType(Seq(
+    StructField("k0", LongType),
+    StructField("k1", LongType),
+    StructField("cnt", LongType)))
+
+  private def canon(counts: DataFrame): DataFrame =
+    counts.select(col("k0").cast("long").as("k0"),
+      col("k1").cast("long").as("k1"),
+      col("cnt").cast("long").as("cnt"))
+
+  /** Persist a window-count table as the artifact's next version. A
+    * full rebuild subsumes every append generation, so the commit
+    * also marks all current append labels folded. */
+  def build(counts: DataFrame, dir: String): Unit = {
+    val spark = counts.sparkSession
+    val fs = fsFor(spark, dir)
+    val current = currentMeta(fs, dir)
+    current.foreach { m =>
+      m.folded.foreach(l =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+      MetaMarker.retireUnnamed(fs, dir, Seq("counts"), Set(m.counts))
+    }
+    val n = current match {
+      case Some(m) => m.counts match {
+        case VersionedCounts(v) => v.toInt + 1
+        case other => throw new IllegalStateException(
+          s"substr index meta at $dir names counts dir '$other', which " +
+            "does not match counts_v<N> — refusing to renumber over it")
+      }
+      case None => 0
+    }
+    // label snapshot BEFORE the table write, committed with it: an
+    // append landing mid-build stays live instead of silently shadowed
+    val folded = liveLabels(fs, dir, current)
+    val next = s"counts_v$n"
+    canon(counts).write.mode("overwrite").parquet(s"$dir/$next")
+    writeMeta(fs, dir, next, folded)
+  }
+
+  /** Land one micro-batch's count DELTA as an append sub-table.
+    * Idempotent per label. Counts sum, so any disjoint batching of
+    * the same corpus reads identically; the caller must only not
+    * append the SAME batch under two labels. */
+  def append(counts: DataFrame, dir: String, label: String): Unit = {
+    require(label.nonEmpty && label.matches("[A-Za-z0-9._=-]+"),
+      s"bad append label (allowed: [A-Za-z0-9._=-]+): $label")
+    val m = currentMeta(fsFor(counts.sparkSession, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no substr index at $dir to append to — build first"))
+    require(!m.folded.contains(label),
+      s"append label '$label' at $dir is already folded — a re-append " +
+        "would be invisible to every read; skip the replayed batch instead")
+    canon(counts).write.mode("overwrite").parquet(s"$dir/appends/$label")
+  }
+
+  /** The committed count table (base + live append deltas, summed),
+    * with one label optionally EXCLUDED — the self-appending gate's
+    * crash-replay view (a replayed batch must probe the counts as
+    * they were before its own append, or every prior survivor's
+    * windows self-match). */
+  def readCounts(spark: SparkSession, dir: String,
+      excludeLabel: Option[String] = None): DataFrame = {
+    val fs = fsFor(spark, dir)
+    val m = currentMeta(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no substr index at $dir"))
+    val base = spark.read.schema(countsSchema).parquet(s"$dir/${m.counts}")
+    val labels = liveLabels(fs, dir, Some(m)).filterNot(excludeLabel.contains)
+    if (labels.isEmpty) base
+    else labels.foldLeft(base)((acc, l) =>
+        acc.union(spark.read.schema(countsSchema)
+          .parquet(s"$dir/appends/$l")))
+      .groupBy(col("k0"), col("k1")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Live (unfolded) append count — [[graft.Maintenance]]'s
+    * compaction trigger. Metadata only. */
+  def pendingAppends(spark: SparkSession, dir: String): Int = {
+    val fs = fsFor(spark, dir)
+    currentMeta(fs, dir).map(m => liveLabels(fs, dir, Some(m)).size)
+      .getOrElse(0)
+  }
+
+  /** Fold all live appends into a NEW committed version (summed per
+    * key); crash-safe exactly as [[LmIndex.compact]], tombstones
+    * retained on a no-op fold. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val m = currentMeta(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no substr index at $dir"))
+    m.folded.foreach(l =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+    MetaMarker.retireUnnamed(fs, dir, Seq("counts"), Set(m.counts))
+    val labels = liveLabels(fs, dir, Some(m))
+    if (labels.isEmpty) { writeMeta(fs, dir, m.counts, m.folded); return }
+    val n = m.counts match {
+      case VersionedCounts(v) => v.toInt + 1
+      case other => throw new IllegalStateException(
+        s"substr index meta at $dir names counts dir '$other', which " +
+          "does not match counts_v<N> — refusing to renumber over it")
+    }
+    val next = s"counts_v$n"
+    labels
+      .foldLeft(spark.read.schema(countsSchema).parquet(s"$dir/${m.counts}"))(
+        (acc, l) => acc.union(spark.read.schema(countsSchema)
+          .parquet(s"$dir/appends/$l")))
+      .groupBy(col("k0"), col("k1")).agg(sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    writeMeta(fs, dir, next, labels)
+  }
+
+  /** True once [[build]] ever committed at `dir`. */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    currentMeta(fsFor(spark, dir), dir).isDefined
+
+  /** True iff `label` is in the committed folded list — the replayed-
+    * batch no-op probe. */
+  def isLabelFolded(spark: SparkSession, dir: String, label: String): Boolean =
+    currentMeta(fsFor(spark, dir), dir).exists(_.folded.contains(label))
+
+  private final case class Meta(counts: String, folded: Seq[String])
+
+  private def currentMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Meta] =
+    if (MetaMarker.exists(fs, dir, META)) {
+      val root = MetaMarker.read(fs, dir, META)
+      val folded = Option(root.get("folded")).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }.getOrElse(Seq.empty)
+      Some(Meta(root.get("counts").asText(), folded))
+    } else None
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      counts: String, folded: Seq[String]): Unit =
+    MetaMarker.write(fs, dir, META,
+      s"""{"counts": "$counts", """ +
+        s""""folded": [${folded.map(l => s""""$l"""").mkString(", ")}]}""")
+
+  private def liveLabels(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      meta: Option[Meta]): Seq[String] = {
+    val appendsDir = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    if (!fs.exists(appendsDir)) Seq.empty
+    else {
+      val folded = meta.map(_.folded.toSet).getOrElse(Set.empty)
+      fs.listStatus(appendsDir)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(folded).sorted.toSeq
+    }
+  }
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

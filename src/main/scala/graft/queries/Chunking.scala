@@ -255,13 +255,17 @@ object Chunking {
     * like [[spanProfile]]'s (production [[spanKey128]]; the string
     * form exists for the shuffle-bytes measurement and equality
     * specs). */
-  private[graft] def exactDupIslands(
-      docs: DataFrame, L: Int,
+  /** The hashed sliding-window table — (doc_id, pos, k0, k1): the
+    * window string is hashed OUT of the row before any exchange (the
+    * dedup family needs only positions downstream, so no window text
+    * ever shuffles). Shared by the inline islands, the persisted
+    * count table ([[windowCounts]] → [[graft.index.SubstrIndex]]),
+    * and the stored-counts serve ([[exactDupIslandsAgainst]]). */
+  private[graft] def windowKeyed(docs: DataFrame, L: Int,
       key: Column => Seq[Column] = spanKey128): DataFrame = {
     val keyCols = key(col("win")).zipWithIndex
       .map { case (c, i) => c.as(s"k$i") }
-    val keyNames = keyCols.indices.map(i => s"k$i")
-    val w = docs
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= L)
       .select(col("doc_id"), explode(expr(
@@ -270,16 +274,23 @@ object Chunking {
            |                      concat_ws(' ', slice(toks, i, $L)) AS win))""".stripMargin))
         .as("p"))
       .select(col("doc_id"), col("p.pos").as("pos"), col("p.win").as("win"))
-      // hash the window OUT of the row before any exchange: the dedup
-      // needs only positions downstream, so no window text ever
-      // shuffles
       .select(col("doc_id") +: col("pos") +: keyCols: _*)
-    val counts = w.groupBy(keyNames.map(col): _*)
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2)
-    val dup = w.join(counts, keyNames)
-      .select(col("doc_id"), col("pos").cast("long").as("s"),
-        (col("pos") + L - 1).cast("long").as("e"))
+  }
+
+  /** Corpus-wide window-occurrence counts — (k0, k1, cnt), the
+    * SUMMABLE stored form behind [[graft.index.SubstrIndex]]: counts
+    * over any disjoint batching of a corpus sum to the full-corpus
+    * counts, which is what makes the artifact's incremental appends
+    * exact. */
+  private[graft] def windowCounts(docs: DataFrame,
+      L: Int = ExactSubstrL): DataFrame =
+    windowKeyed(docs, L).groupBy(col("k0"), col("k1"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merged per-doc islands from a duplicated-window position table
+    * (doc_id, s, e) — the interval sweep shared by every islands
+    * form; state bounded by document length. */
+  private def islandsOf(dup: DataFrame): DataFrame = {
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"))
@@ -296,14 +307,52 @@ object Chunking {
         count(lit(1)).as("n_dup_windows"))
   }
 
-  private val qExactSubstringDedup = Q(
+  private[graft] def exactDupIslands(
+      docs: DataFrame, L: Int,
+      key: Column => Seq[Column] = spanKey128): DataFrame = {
+    val w = windowKeyed(docs, L, key)
+    val keyNames = w.columns.filter(_.startsWith("k")).toSeq
+    val counts = w.groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    islandsOf(w.join(counts, keyNames)
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + L - 1).cast("long").as("e")))
+  }
+
+  /** Islands of `docs` measured AGAINST A STORED count table
+    * ([[graft.index.SubstrIndex.readCounts]]) instead of re-counting
+    * the corpus: a window is duplicated iff its stored count reaches
+    * `minCount` — 2 when `docs` IS the indexed corpus (each doc's own
+    * windows are already in the counts, so ≥2 ⇔ the inline dup
+    * decision, bit-identical), 1 when `docs` is an ARRIVING batch
+    * probing a corpus it is not part of (existing once in the corpus
+    * + arriving again = duplicated). One map-side window pass over
+    * `docs` + one keyed join against fixed-width count rows — the
+    * corpus is never re-scanned. */
+  private[graft] def exactDupIslandsAgainst(docs: DataFrame,
+      counts: DataFrame, L: Int, minCount: Long): DataFrame = {
+    val w = windowKeyed(docs, L)
+    islandsOf(w.join(
+        counts.filter(col("cnt") >= minCount).select(col("k0"), col("k1")),
+        Seq("k0", "k1"))
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + L - 1).cast("long").as("e")))
+  }
+
+  /** The report shape both the inline and stored-counts forms emit. */
+  private[graft] def exactSubstringReport(islands: DataFrame): DataFrame =
+    islands
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_dup_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+
+  private[queries] val qExactSubstringDedup = Q(
     "q_exact_substring_dedup",
     (s, d) =>
-      exactDupIslands(Tables.documents(s, d), ExactSubstrL)
-        .select(col("doc_id"), col("span_start"), col("span_end"),
-          (col("span_end") - col("span_start") + 1).as("span_tokens"),
-          col("n_dup_windows"))
-        .orderBy(col("doc_id"), col("span_start")),
+      exactSubstringReport(
+        exactDupIslands(Tables.documents(s, d), ExactSubstrL)),
     Some {
       val L = ExactSubstrL
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -244,6 +244,17 @@ object Indexed {
         scratch)
     }
 
+  /** Build-once memo for the exact-substring WINDOW-COUNT artifact
+    * (r16, [[graft.index.SubstrIndex]]) over a corpus dir's
+    * `documents` table — the stored form of the sliding-window
+    * occurrence counts `q_exact_substring_dedup` derives inline. */
+  private[graft] def substrDirFor(s: SparkSession, d: String): String =
+    ensureIndex(s, "ssindex", d, "documents.parquet",
+        dir => graft.index.SubstrIndex.exists(s, dir)) { scratch =>
+      graft.index.SubstrIndex.build(
+        Chunking.windowCounts(graft.Tables.documents(s, d)), scratch)
+    }
+
   /** Build-once memo for the persisted trigram-LM artifact
     * ([[graft.index.LmIndex]]) over a corpus dir's `documents` table —
     * `q_lm_score_indexed`'s stored model. */
@@ -667,10 +678,33 @@ object Indexed {
     Multimodal.qVideoFramesigDup.oracle
   )
 
+  /** `q_exact_substring_dedup` answered FROM the persisted window-
+    * count table (r16): the corpus-wide sliding-window count pass (the
+    * one shuffle that scales with corpus size) runs once into
+    * [[graft.index.SubstrIndex]]; the serve re-generates only the
+    * QUERY docs' windows map-side and joins fixed-width stored count
+    * rows — the corpus is never re-counted. Because the query corpus
+    * IS the indexed corpus, a stored count ≥ 2 is exactly the inline
+    * dup decision, so the oracle reuses VERBATIM — hash-green proves
+    * the stored counts answer bit-identically. This is also the
+    * artifact behind the EXACT streaming gate
+    * ([[graft.stream.LogStream.toExactSubstringGatedLake]] — probe at
+    * count ≥ 1, summable self-appends). */
+  private val qExactSubstringDedupIndexed = Q(
+    "q_exact_substring_dedup_indexed",
+    (s, d) => Chunking.exactSubstringReport(
+      Chunking.exactDupIslandsAgainst(
+        graft.Tables.documents(s, d),
+        graft.index.SubstrIndex.readCounts(s, substrDirFor(s, d)),
+        Chunking.ExactSubstrL, minCount = 2L)),
+    Chunking.qExactSubstringDedup.oracle
+  )
+
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
     qMinhashDupIndexed, qDupClustersMinhashIndexed, qWinnowingIndexed,
     qBpeEncodeIndexed, qTokenizerFertility, qMixTemperatureTokens,
     qMixBudgetPlan, qDsirWeightsIndexed, qLmScoreIndexed,
     qDecontaminateSemanticIndexed, qImagePhashDupIndexed,
-    qAudioPhashDupIndexed, qVideoFramesigDupIndexed)
+    qAudioPhashDupIndexed, qVideoFramesigDupIndexed,
+    qExactSubstringDedupIndexed)
 }

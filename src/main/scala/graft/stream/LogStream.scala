@@ -1354,6 +1354,74 @@ object LogStream {
       }
       .start()
 
+  /** SELF-MAINTAINING streaming EXACT-SUBSTRING gate (r16) — the
+    * exact ≥L-token duplicate detector on the ingest path, closing
+    * the approximation the winnowing gate accepts: probing the
+    * persisted [[graft.index.SubstrIndex]] window-count table gives
+    * an arriving doc the exact window-level decision against the
+    * whole landed corpus without re-scanning it. Per trigger: one
+    * map-side window pass over the batch, one keyed join against
+    * fixed-width (16-byte-key) stored count rows at count ≥ 1 (a run
+    * existing ONCE in the corpus and arriving again IS duplicated),
+    * the per-doc island sweep, and the coverage decision — a doc is
+    * dropped when corpus-duplicated runs cover at least
+    * `maxDupFraction` of its tokens (any-hit would kill every doc
+    * carrying one common 8-token phrase; the coverage form is the
+    * document-level reading of Lee et al.'s span removal, and the
+    * SCRUB path — [[graft.Maintenance.ScrubBinding]] over this lake —
+    * still removes the sub-threshold spans exactly). Survivors land
+    * batch-id idempotent and their window COUNTS append back
+    * (summable deltas — a run whose two copies arrive in different
+    * triggers still crosses the threshold exactly);
+    * [[graft.Maintenance]] folds the deltas off
+    * [[graft.index.SubstrIndex.pendingAppends]].
+    *
+    * Replay-safe by the family contract: the gate reads the counts
+    * with the batch's OWN label excluded (a replay otherwise counts
+    * each survivor's windows against themselves), and a label already
+    * folded proves both writes committed, so that replay no-ops.
+    * Within-batch duplicate runs land whole (the
+    * [[toSelfDedupingLake]] stance) and join the counts for the next
+    * trigger. */
+  def toExactSubstringGatedLake(
+      docs: DataFrame,
+      indexDir: String,
+      lakeDir: String,
+      checkpointDir: String,
+      maxDupFraction: Double = 0.5,
+      minTokens: Int = graft.queries.Chunking.ExactSubstrL): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val label = s"batch_id=$batchId"
+        if (!graft.index.SubstrIndex.isLabelFolded(s, indexDir, label)) {
+          val counts = graft.index.SubstrIndex
+            .readCounts(s, indexDir, Some(label))
+          val covered = graft.queries.Chunking
+            .exactDupIslandsAgainst(batch.toDF(), counts, minTokens,
+              minCount = 1L)
+            .groupBy(col("doc_id"))
+            .agg(sum(col("span_end") - col("span_start") + 1)
+              .as("_covered"))
+          val hits = batch.toDF()
+            .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("_n"))
+            .join(covered, Seq("doc_id"))
+            .filter(col("_covered") >= lit(maxDupFraction) * col("_n"))
+            .select(col("doc_id"))
+            .localCheckpoint(true)
+          val survivors = batch.toDF().join(hits, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          writeBatchIdempotent(survivors, lakeDir, batchId)
+          graft.index.SubstrIndex.append(
+            graft.queries.Chunking.windowCounts(survivors, minTokens),
+            indexDir, label)
+        }
+      }
+      .start()
+
   /** Streaming PARTIAL-OVERLAP gate — [[toNearDedupedLake]]'s sibling
     * for the LOCAL-fingerprint family (r13): drop every incoming doc
     * that shares ≥ `minShared` cold winnowing fingerprints with any

@@ -1,0 +1,75 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+import graft.index.SubstrIndex
+
+/** The persisted exact-substring window-count artifact: summable
+  * appends read bit-identically to counting the concatenated corpus
+  * (the LmIndex property — what makes the incremental form EXACT),
+  * stored-counts islands reproduce the inline islands, compact
+  * converges, and folded labels refuse re-appends. */
+class SubstrIndexSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private val L = Chunking.ExactSubstrL
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private val run = (1 to 10).map(i => s"r$i").mkString(" ")
+  private def uniq(s: String, n: Int) =
+    (1 to n).map(i => s"$s$i").mkString(" ")
+
+  private val batch1 = Seq(
+    1L -> s"${uniq("a", 12)} $run",
+    2L -> uniq("b", 20))
+  private val batch2 = Seq(
+    3L -> s"$run ${uniq("c", 12)}") // the run's SECOND copy — cross-batch
+
+  private def counts(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("append deltas sum to the full-corpus counts; stored-counts islands ≡ inline islands") {
+    val dir = Files.createTempDirectory("ssidx").toString
+    SubstrIndex.build(Chunking.windowCounts(docsDf(batch1)), dir)
+    SubstrIndex.append(Chunking.windowCounts(docsDf(batch2)), dir, "batch_id=1")
+    assert(SubstrIndex.pendingAppends(spark, dir) == 1)
+    val full = docsDf(batch1 ++ batch2)
+    assert(counts(SubstrIndex.readCounts(spark, dir)) ==
+      counts(Chunking.windowCounts(full)),
+      "summed base+delta must equal counting the concatenated corpus")
+    // the duplicated run's copies arrived in DIFFERENT batches — the
+    // summed counts must still cross the >=2 threshold, so the
+    // stored-counts islands equal the inline corpus-wide islands
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(Chunking.exactSubstringReport(Chunking.exactDupIslandsAgainst(
+        full, SubstrIndex.readCounts(spark, dir), L, minCount = 2L))) ==
+      rows(Chunking.exactSubstringReport(Chunking.exactDupIslands(full, L))))
+    // compact folds the delta; reads unchanged
+    SubstrIndex.compact(spark, dir)
+    assert(SubstrIndex.pendingAppends(spark, dir) == 0)
+    assert(counts(SubstrIndex.readCounts(spark, dir)) ==
+      counts(Chunking.windowCounts(full)))
+    // folded label refuses a replayed re-append
+    assert(SubstrIndex.isLabelFolded(spark, dir, "batch_id=1"))
+    intercept[IllegalArgumentException] {
+      SubstrIndex.append(Chunking.windowCounts(docsDf(batch2)), dir, "batch_id=1")
+    }
+  }
+
+  test("own-label-excluded read is the pre-append view") {
+    val dir = Files.createTempDirectory("ssidx-excl").toString
+    SubstrIndex.build(Chunking.windowCounts(docsDf(batch1)), dir)
+    val before = counts(SubstrIndex.readCounts(spark, dir))
+    SubstrIndex.append(Chunking.windowCounts(docsDf(batch2)), dir, "batch_id=1")
+    assert(counts(SubstrIndex.readCounts(spark, dir,
+      excludeLabel = Some("batch_id=1"))) == before,
+      "excluding the batch's own label must reproduce the pre-append counts")
+    assert(counts(SubstrIndex.readCounts(spark, dir)) != before)
+  }
+}

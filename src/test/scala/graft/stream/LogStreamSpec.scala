@@ -667,6 +667,46 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
       s"the survivor's trimmed copy (102) must be dropped: ${lakeIds()}")
   }
 
+  test("exact-substring gate: a mostly-quoted doc is dropped, a lightly-quoting doc lands, a cross-trigger quote is caught") {
+    import spark.implicits._
+    import graft.queries.Chunking
+    def toks(s: String, n: Int) = (1 to n).map(i => s"$s$i").mkString(" ")
+    val work = Files.createTempDirectory("graft-substrgate").toString
+    val idxDir = s"$work/idx"
+    val corpusRun = toks("alpha", 16)
+    // seed: the landed corpus's window counts
+    graft.index.SubstrIndex.build(
+      Chunking.windowCounts(Seq((1L, s"$corpusRun ${toks("tail", 8)}"))
+        .toDF("doc_id", "text")), idxDir)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = LogStream.toExactSubstringGatedLake(
+      input.toDF().toDF("doc_id", "text"), idxDir, s"$work/lake",
+      s"$work/ckpt")
+    def lakeIds() = spark.read.parquet(s"$work/lake")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      // batch 0: doc 100 is 16/24 quoted from the corpus (coverage
+      // 0.67 >= 0.5 → dropped); doc 101 quotes the same run but pads
+      // it past the threshold (16/40 = 0.4 → lands, counts appended)
+      input.addData(
+        (100L, s"$corpusRun ${toks("u100", 8)}"),
+        (101L, s"$corpusRun ${toks("u101", 24)}"))
+      q.processAllAvailable()
+      assert(lakeIds() == Set(101L),
+        s"coverage gate must drop 100 and keep 101: ${lakeIds()}")
+      assert(graft.index.SubstrIndex.pendingAppends(spark, idxDir) == 1)
+      // batch 1: doc 102 heavily quotes doc 101's UNIQUE content —
+      // admitted one trigger earlier, catchable only via the
+      // self-appended counts; doc 103 is fresh
+      input.addData(
+        (102L, s"${toks("u101", 24)} ${toks("pad", 4)}"),
+        (103L, toks("fresh", 24)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(lakeIds() == Set(101L, 103L),
+      s"the survivor's quoter (102) must be dropped: ${lakeIds()}")
+  }
+
   test("persisted band index keeps representatives of an over-cap dup family — the stream gate still fires") {
     import spark.implicits._
     def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
