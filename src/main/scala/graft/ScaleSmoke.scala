@@ -195,7 +195,12 @@ object ScaleSmoke {
       // exact-sig containment join (video); the indexed audio serve
       // includes its one build like the image sibling
       "q_audio_phash_dup", "q_audio_phash_dup_indexed",
-      "q_video_framesig_dup", "q_video_framesig_dup_indexed")
+      "q_video_framesig_dup", "q_video_framesig_dup_indexed",
+      // r16 late: the stored-counts serve (amplified corpus ⇒ fresh
+      // fingerprint ⇒ the measured time INCLUDES the one window-count
+      // build; the serve itself is a map-side window pass + one
+      // fixed-width keyed join)
+      "q_exact_substring_dedup_indexed")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")
