@@ -48,8 +48,15 @@ object SubstrIndex {
 
   /** Persist a window-count table as the artifact's next version. A
     * full rebuild subsumes every append generation, so the commit
-    * also marks all current append labels folded. */
-  def build(counts: DataFrame, dir: String): Unit = {
+    * also marks all current append labels folded. `windowLen` — the L
+    * the counts were windowed with — is COMMITTED IN THE META: keys
+    * of different window lengths are disjoint hash spaces, so every
+    * consumer (the indexed serve, the streaming gate) must resolve L
+    * from the artifact rather than pass its own — a mismatched probe
+    * would silently match nothing and a mismatched append would
+    * permanently mix incompatible key spaces. */
+  def build(counts: DataFrame, dir: String,
+      windowLen: Int = graft.queries.Chunking.ExactSubstrL): Unit = {
     val spark = counts.sparkSession
     val fs = fsFor(spark, dir)
     val current = currentMeta(fs, dir)
@@ -72,8 +79,15 @@ object SubstrIndex {
     val folded = liveLabels(fs, dir, current)
     val next = s"counts_v$n"
     canon(counts).write.mode("overwrite").parquet(s"$dir/$next")
-    writeMeta(fs, dir, next, folded)
+    writeMeta(fs, dir, next, folded, windowLen)
   }
+
+  /** The committed window length L — what every probe and append must
+    * window with. One meta read. */
+  def windowLen(spark: SparkSession, dir: String): Int =
+    currentMeta(fsFor(spark, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no substr index at $dir")).windowLen
 
   /** Land one micro-batch's count DELTA as an append sub-table.
     * Idempotent per label. Counts sum, so any disjoint batching of
@@ -129,7 +143,9 @@ object SubstrIndex {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
     MetaMarker.retireUnnamed(fs, dir, Seq("counts"), Set(m.counts))
     val labels = liveLabels(fs, dir, Some(m))
-    if (labels.isEmpty) { writeMeta(fs, dir, m.counts, m.folded); return }
+    if (labels.isEmpty) {
+      writeMeta(fs, dir, m.counts, m.folded, m.windowLen); return
+    }
     val n = m.counts match {
       case VersionedCounts(v) => v.toInt + 1
       case other => throw new IllegalStateException(
@@ -143,7 +159,7 @@ object SubstrIndex {
           .parquet(s"$dir/appends/$l")))
       .groupBy(col("k0"), col("k1")).agg(sum(col("cnt")).as("cnt"))
       .write.mode("overwrite").parquet(s"$dir/$next")
-    writeMeta(fs, dir, next, labels)
+    writeMeta(fs, dir, next, labels, m.windowLen)
   }
 
   /** True once [[build]] ever committed at `dir`. */
@@ -155,7 +171,8 @@ object SubstrIndex {
   def isLabelFolded(spark: SparkSession, dir: String, label: String): Boolean =
     currentMeta(fsFor(spark, dir), dir).exists(_.folded.contains(label))
 
-  private final case class Meta(counts: String, folded: Seq[String])
+  private final case class Meta(counts: String, folded: Seq[String],
+      windowLen: Int)
 
   private def currentMeta(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Option[Meta] =
@@ -164,13 +181,19 @@ object SubstrIndex {
       val folded = Option(root.get("folded")).map { arr =>
         (0 until arr.size()).map(arr.get(_).asText())
       }.getOrElse(Seq.empty)
-      Some(Meta(root.get("counts").asText(), folded))
+      val wl = Option(root.get("window_len")).map(_.asInt()).getOrElse(
+        // no committed L means probes/appends cannot know the key
+        // space — refuse loudly rather than NPE or silently guess
+        throw new IllegalStateException(
+          s"substr index meta at $dir has no window_len — rebuild " +
+            "(SubstrIndex.build) before serving"))
+      Some(Meta(root.get("counts").asText(), folded, wl))
     } else None
 
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-      counts: String, folded: Seq[String]): Unit =
+      counts: String, folded: Seq[String], windowLen: Int): Unit =
     MetaMarker.write(fs, dir, META,
-      s"""{"counts": "$counts", """ +
+      s"""{"counts": "$counts", "window_len": $windowLen, """ +
         s""""folded": [${folded.map(l => s""""$l"""").mkString(", ")}]}""")
 
   private def liveLabels(fs: org.apache.hadoop.fs.FileSystem, dir: String,

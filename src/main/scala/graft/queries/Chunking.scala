@@ -247,14 +247,9 @@ object Chunking {
     * block measures the on-wire delta and SpanDedupSpec-style key
     * pluggability keeps the string form available for that
     * measurement. Removal is the `q_span_scrub` composition over the
-    * reported spans. */
-  /** The shared core of both exact-substring keys: the merged
-    * covered-span ISLANDS per doc — (doc_id, span_start, span_end,
-    * n_dup_windows). Sliding windows → partial-agg'd dup count →
-    * join-back → per-doc interval sweep. `key` is pluggable exactly
-    * like [[spanProfile]]'s (production [[spanKey128]]; the string
-    * form exists for the shuffle-bytes measurement and equality
-    * specs). */
+    * reported spans. (This block narrates the whole family —
+    * [[windowKeyed]] / [[exactDupIslands]] / [[exactDupIslandsAgainst]]
+    * / [[qExactSubstringDedup]] below.) */
   /** The hashed sliding-window table — (doc_id, pos, k0, k1): the
     * window string is hashed OUT of the row before any exchange (the
     * dedup family needs only positions downstream, so no window text
@@ -307,6 +302,13 @@ object Chunking {
         count(lit(1)).as("n_dup_windows"))
   }
 
+  /** The shared core of both exact-substring keys: the merged
+    * covered-span ISLANDS per doc — (doc_id, span_start, span_end,
+    * n_dup_windows). Sliding windows → partial-agg'd dup count →
+    * join-back → per-doc interval sweep. `key` is pluggable exactly
+    * like [[spanProfile]]'s (production [[spanKey128]]; the string
+    * form exists for the shuffle-bytes measurement and equality
+    * specs). */
   private[graft] def exactDupIslands(
       docs: DataFrame, L: Int,
       key: Column => Seq[Column] = spanKey128): DataFrame = {

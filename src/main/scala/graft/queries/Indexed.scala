@@ -692,11 +692,16 @@ object Indexed {
     * count ≥ 1, summable self-appends). */
   private val qExactSubstringDedupIndexed = Q(
     "q_exact_substring_dedup_indexed",
-    (s, d) => Chunking.exactSubstringReport(
-      Chunking.exactDupIslandsAgainst(
-        graft.Tables.documents(s, d),
-        graft.index.SubstrIndex.readCounts(s, substrDirFor(s, d)),
-        Chunking.ExactSubstrL, minCount = 2L)),
+    (s, d) => {
+      val dir = substrDirFor(s, d)
+      // L from the ARTIFACT meta (the consumer contract — different
+      // window lengths are disjoint key spaces)
+      Chunking.exactSubstringReport(
+        Chunking.exactDupIslandsAgainst(
+          graft.Tables.documents(s, d),
+          graft.index.SubstrIndex.readCounts(s, dir),
+          graft.index.SubstrIndex.windowLen(s, dir), minCount = 2L))
+    },
     Chunking.qExactSubstringDedup.oracle
   )
 

@@ -1388,8 +1388,7 @@ object LogStream {
       indexDir: String,
       lakeDir: String,
       checkpointDir: String,
-      maxDupFraction: Double = 0.5,
-      minTokens: Int = graft.queries.Chunking.ExactSubstrL): StreamingQuery =
+      maxDupFraction: Double = 0.5): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -1397,27 +1396,52 @@ object LogStream {
         val s = batch.sparkSession
         val label = s"batch_id=$batchId"
         if (!graft.index.SubstrIndex.isLabelFolded(s, indexDir, label)) {
+          // the window length L is the ARTIFACT'S, resolved per
+          // trigger: keys of different L are disjoint hash spaces, so
+          // a caller-supplied L would silently probe nothing and
+          // poison the count table with mixed-length appends
+          val L = graft.index.SubstrIndex.windowLen(s, indexDir)
           val counts = graft.index.SubstrIndex
             .readCounts(s, indexDir, Some(label))
+          // surrogate ROW ids: a source re-emitting one doc_id twice
+          // in a trigger must not get its two texts' windows merged
+          // into one bogus combined coverage (the
+          // nearestNeighborEnriched qid stance); checkpointed so both
+          // uses below see identical ids
+          val rows = batch.toDF()
+            .withColumn("_rid", monotonically_increasing_id())
+            .localCheckpoint(true)
           val covered = graft.queries.Chunking
-            .exactDupIslandsAgainst(batch.toDF(), counts, minTokens,
-              minCount = 1L)
+            .exactDupIslandsAgainst(
+              rows.select(col("_rid").as("doc_id"), col("text")),
+              counts, L, minCount = 1L)
             .groupBy(col("doc_id"))
             .agg(sum(col("span_end") - col("span_start") + 1)
               .as("_covered"))
-          val hits = batch.toDF()
-            .select(col("doc_id"),
+            .withColumnRenamed("doc_id", "_rid")
+          val hits = rows
+            .select(col("_rid"),
               size(split(col("text"), " ")).cast("long").as("_n"))
-            .join(covered, Seq("doc_id"))
+            .join(covered, Seq("_rid"))
             .filter(col("_covered") >= lit(maxDupFraction) * col("_n"))
-            .select(col("doc_id"))
+            .select(col("_rid"))
             .localCheckpoint(true)
-          val survivors = batch.toDF().join(hits, Seq("doc_id"), "left_anti")
+          val survivors = rows.join(hits, Seq("_rid"), "left_anti")
+            .drop("_rid")
             .localCheckpoint(true)
-          writeBatchIdempotent(survivors, lakeDir, batchId)
-          graft.index.SubstrIndex.append(
-            graft.queries.Chunking.windowCounts(survivors, minTokens),
-            indexDir, label)
+          // narrow the fold-vs-replay window: a Maintenance compact
+          // folding THIS label between the entry probe and here means
+          // the batch already committed both writes once — re-writing
+          // against the post-fold counts would empty the partition.
+          // (The airtight deployment rule remains: do not compact a
+          // self-appended artifact while its stream has an
+          // uncommitted trigger.)
+          if (!graft.index.SubstrIndex.isLabelFolded(s, indexDir, label)) {
+            writeBatchIdempotent(survivors, lakeDir, batchId)
+            graft.index.SubstrIndex.append(
+              graft.queries.Chunking.windowCounts(survivors, L),
+              indexDir, label)
+          }
         }
       }
       .start()
