@@ -978,10 +978,14 @@ object LogStream {
           val survivors = batch.toDF()
             .join(hits, Seq("doc_id"), "left_anti")
             .localCheckpoint(true)
-          writeBatchIdempotent(survivors, lakeDir, batchId)
-          graft.index.VectorIndex.append(
-            survivors.select(col("doc_id").as("vec_id"), col("emb")),
-            indexDir, label)
+          // pre-write fold re-check (r16, family-wide): see
+          // [[toSelfDedupingLake]]
+          if (!graft.index.VectorIndex.isLabelFolded(s, indexDir, label)) {
+            writeBatchIdempotent(survivors, lakeDir, batchId)
+            graft.index.VectorIndex.append(
+              survivors.select(col("doc_id").as("vec_id"), col("emb")),
+              indexDir, label)
+          }
         }
       }
       .start()
@@ -1099,9 +1103,13 @@ object LogStream {
           // would run twice, once per anti-join below
           val hits = hitsOf(hashes, corpus).localCheckpoint(true)
           val survivors = batch.toDF().join(hits, Seq("doc_id"), "left_anti")
-          writeBatchIdempotent(survivors, lakeDir, batchId)
-          graft.index.PhashIndex.append(
-            hashes.join(hits, Seq("doc_id"), "left_anti"), indexDir, label)
+          // pre-write fold re-check (r16, family-wide): see
+          // [[toSelfDedupingLake]]
+          if (!graft.index.PhashIndex.isLabelFolded(s, indexDir, label)) {
+            writeBatchIdempotent(survivors, lakeDir, batchId)
+            graft.index.PhashIndex.append(
+              hashes.join(hits, Seq("doc_id"), "left_anti"), indexDir, label)
+          }
         }
       }
       .start()
@@ -1348,8 +1356,22 @@ object LogStream {
           val survivors = graft.queries.Dedup
             .dropNearDups(batch.toDF(), bands, shingles, threshold)
             .localCheckpoint(true)
-          writeBatchIdempotent(survivors, lakeDir, batchId)
-          graft.queries.Dedup.appendMinhashIndex(survivors, indexDir, label)
+          // pre-write fold re-check (r16, family-wide): a Maintenance
+          // compact folding THIS label between the entry probe and
+          // here means the replaying batch already committed both
+          // writes — the survivor set above was computed against a
+          // post-fold view (own-label exclusion filters nothing once
+          // the label is folded into the base) and re-writing it
+          // would empty the partition. The re-check narrows that
+          // window from the whole trigger to microseconds; the
+          // airtight rule stays operational: do not compact a
+          // self-appended artifact while its stream has an
+          // uncommitted trigger.
+          if (!graft.index.MinhashIndex.isLabelFolded(
+              batch.sparkSession, indexDir, label)) {
+            writeBatchIdempotent(survivors, lakeDir, batchId)
+            graft.queries.Dedup.appendMinhashIndex(survivors, indexDir, label)
+          }
         }
       }
       .start()
@@ -1512,8 +1534,13 @@ object LogStream {
           val survivors = graft.queries.Dedup
             .dropOverlapping(batch.toDF(), fps, stats, minShared)
             .localCheckpoint(true)
-          writeBatchIdempotent(survivors, lakeDir, batchId)
-          graft.queries.Dedup.appendWinnowIndex(survivors, indexDir, label)
+          // pre-write fold re-check (r16, family-wide): see
+          // [[toSelfDedupingLake]]
+          if (!graft.index.WinnowIndex.isLabelFolded(
+              batch.sparkSession, indexDir, label)) {
+            writeBatchIdempotent(survivors, lakeDir, batchId)
+            graft.queries.Dedup.appendWinnowIndex(survivors, indexDir, label)
+          }
         }
       }
       .start()
