@@ -401,33 +401,73 @@ object Chunking {
     *
     * The removal NEVER joins at token granularity: islands collect
     * to ONE row per covered doc (a document has few merged spans),
-    * the join is doc-level, and coverage is a narrow per-doc array
-    * filter — order preserved by construction, no collect, no sort,
-    * no token-level shuffle. The first cut joined 48M token rows
-    * against 47M covered-position rows at the 64× all-duplicate
-    * smoke (~33 s); this shape reads ~3 s (SCALE.md). */
+    * the join is doc-level, and survivors reassemble by GAP SLICING
+    * (r16 VERDICT #6): the islands are disjoint and merged, so the
+    * kept tokens are exactly the k+1 inter-island gaps — one `slice`
+    * per gap, each O(its length), total O(n_tokens) per doc. The
+    * previous per-token `exists(_spans, …)` filter was
+    * O(tokens × islands), quadratic-ish on an adversarial
+    * alternating-dup doc (ScaleSmoke's scrub_reassembly block pins
+    * the degenerate case). Order preserved by construction, no
+    * collect, no token-level shuffle. The first cut joined 48M token
+    * rows against 47M covered-position rows at the 64× all-duplicate
+    * smoke (~33 s); the doc-level shape reads ~3 s (SCALE.md). */
   private[graft] def exactSubstringScrubbed(docs: DataFrame,
-      L: Int = ExactSubstrL): DataFrame = {
-    val spans = exactDupIslands(docs, L)
-      .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("span_start"), col("span_end")))
-        .as("_spans"))
+      L: Int = ExactSubstrL): DataFrame =
+    scrubBySpans(docs,
+      exactDupIslands(docs, L)
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("span_start"), col("span_end")))
+          .as("_spans")))
+
+  /** Remove every token position covered by `spans` — a per-doc
+    * `(doc_id, _spans ARRAY<STRUCT<span_start, span_end>>)` table of
+    * DISJOINT MERGED 1-based islands — and reassemble survivors in
+    * order. Shared by the inline scrub above and the stored-counts
+    * scrub ([[exactSubstringScrubbedAgainst]]): the two differ only
+    * in where the islands come from. `_sp` is let-bound as a column
+    * (a HOF lambda referencing `array_sort(...)` directly would
+    * re-sort per element). */
+  private def scrubBySpans(docs: DataFrame, spans: DataFrame): DataFrame =
     docs.withColumn("_toks", split(col("text"), " "))
       .join(spans, Seq("doc_id"), "left")
+      // collect_list order is nondeterministic — one sort per doc,
+      // O(k log k) in island count, then linear gap slicing
+      .withColumn("_sp", expr(
+        """array_sort(coalesce(_spans,
+          |  CAST(array() AS ARRAY<STRUCT<span_start: BIGINT, span_end: BIGINT>>)))""".stripMargin))
       .withColumn("_kept", expr(
-        """filter(
-          |  transform(_toks, (t, i) ->
-          |    struct(CAST(i + 1 AS BIGINT) AS p, t AS tok)),
-          |  x -> _spans IS NULL OR
-          |       NOT exists(_spans, sp ->
-          |         x.p >= sp.span_start AND x.p <= sp.span_end))""".stripMargin))
+        """flatten(transform(sequence(0, size(_sp)), i ->
+          |  slice(_toks,
+          |        CAST(IF(i = 0, 1, element_at(_sp, i).span_end + 1) AS INT),
+          |        CAST(greatest(0,
+          |          IF(i = size(_sp), CAST(size(_toks) AS BIGINT),
+          |             element_at(_sp, i + 1).span_start - 1)
+          |          - IF(i = 0, 1, element_at(_sp, i).span_end + 1)
+          |          + 1) AS INT))))""".stripMargin))
       .withColumn("n_tokens_raw", size(col("_toks")).cast("long"))
       .withColumn("n_scrubbed",
         (size(col("_toks")) - size(col("_kept"))).cast("long"))
-      .withColumn("text_clean",
-        concat_ws(" ", expr("transform(_kept, x -> x.tok)")))
-      .drop("_toks", "_spans", "_kept")
-  }
+      .withColumn("text_clean", concat_ws(" ", col("_kept")))
+      .drop("_toks", "_spans", "_sp", "_kept")
+
+  /** The scrub served FROM A STORED count table (r16 VERDICT #1 —
+    * the remove half of the detect→remove loop without the corpus
+    * re-count): islands come from [[exactDupIslandsAgainst]] (one
+    * map-side window pass over `docs` + a fixed-width join against
+    * [[graft.index.SubstrIndex.readCounts]]), the reassembly is
+    * [[scrubBySpans]]. At minCount=2 with `docs` = the indexed corpus
+    * this is BIT-IDENTICAL to [[exactSubstringScrubbed]]
+    * (SubstrIndexSpec pins stored-count ≥2 ⇔ inline dup), so the
+    * scheduled scrub ([[graft.Maintenance.ScrubLakeToView]]) pays one
+    * window pass per firing instead of a corpus-wide count shuffle. */
+  private[graft] def exactSubstringScrubbedAgainst(docs: DataFrame,
+      counts: DataFrame, L: Int, minCount: Long = 2L): DataFrame =
+    scrubBySpans(docs,
+      exactDupIslandsAgainst(docs, counts, L, minCount)
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("span_start"), col("span_end")))
+          .as("_spans")))
 
   private val qExactSubstringScrub = Q(
     "q_exact_substring_scrub",

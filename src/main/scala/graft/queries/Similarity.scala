@@ -1600,8 +1600,15 @@ object Similarity {
       // an EMPTY shard mines nothing — yield that, don't crash:
       // VectorIndex.build correctly refuses an empty centroid set, but
       // a corpus simply lacking one of the pair's languages is a valid
-      // (empty) mining input, exactly as the exact/ANN forms treat it
-      if (src.isEmpty || tgt.isEmpty) {
+      // (empty) mining input, exactly as the exact/ANN forms treat it.
+      // ONE two-row aggregate decides both sides' emptiness (r16
+      // VERDICT: the streaming loop's lang-count collect,
+      // LogStream.toBitextMiningLake — this batch key used to pay two
+      // isEmpty jobs for the same answer)
+      val langCounts = el.groupBy(col("lang")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (langCounts.getOrElse("en", 0L) == 0L ||
+          langCounts.getOrElse("de", 0L) == 0L) {
         import s.implicits._
         Seq.empty[(Long, Long, Double, Double)]
           .toDF("src_id", "tgt_id", "cos", "margin")
