@@ -484,13 +484,29 @@ object Multimodal {
     * to 256 representative docs (lowest ids — the phashHits stance:
     * a probing copy of a mass-duplicated animation still matches a
     * representative, while probe fan-out stays capped); the batch
-    * side is a micro-batch, never capped. */
+    * side is a micro-batch, never capped.
+    *
+    * DEGENERATE signatures carry no evidence (r16 ADVICE, medium):
+    * [[MultimodalOps.averageHash64]] maps every solid/flat frame to
+    * 0L (no cell strictly exceeds the mean), so fades and black
+    * intro/outro frames of UNRELATED animations share that one sig —
+    * left in, a short mostly-solid arrival would be 'contained' in
+    * any indexed animation carrying one solid frame and silently
+    * dropped. 0L is excluded from BOTH the containment numerator
+    * (shared) and denominator (n_sigs), and a drop additionally
+    * requires ≥ [[MinInformativeSigs]] informative sigs — an arrival
+    * whose frames are all solid passes (an irreversible ingest drop
+    * needs positive content evidence, not its absence). The REPORT
+    * key ([[frameSigPairsFrom]]) keeps 0L: its pairs are reviewable
+    * output under a full oracle, not a destructive gate. */
   private[graft] def frameSigHits(batchSigs: DataFrame,
       corpusSigs: DataFrame): DataFrame = {
     val b = batchSigs.select(col("doc_id"), col("ahash")).distinct()
+      .filter(col("ahash") =!= DegenerateSig)
     val counts = b.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sigs"))
     val c = corpusSigs.select(col("doc_id").as("nn_doc"), col("ahash"))
       .distinct()
+      .filter(col("ahash") =!= DegenerateSig)
       .withColumn("bn", row_number().over(
         Window.partitionBy(col("ahash")).orderBy(col("nn_doc"))))
       .filter(col("bn") <= 256)
@@ -499,9 +515,20 @@ object Multimodal {
       .groupBy(col("doc_id"), col("nn_doc"))
       .agg(count(lit(1)).as("shared"))
       .join(counts, Seq("doc_id"))
-      .filter(col("shared") * 2 >= col("n_sigs"))
+      .filter(col("n_sigs") >= MinInformativeSigs &&
+        col("shared") * 2 >= col("n_sigs"))
       .select(col("doc_id")).distinct()
   }
+
+  /** The one known-degenerate [[MultimodalOps.averageHash64]] value:
+    * a flat frame has no cell strictly above the mean → all-zero
+    * bits. (All-ones is unreachable — a cell above the mean implies
+    * another below it.) */
+  private[graft] val DegenerateSig = 0L
+
+  /** Informative (non-degenerate) distinct sigs a batch animation
+    * must carry before containment may DROP it. */
+  private[graft] val MinInformativeSigs = 2
 
   private[queries] val qVideoFramesigDup = Q(
     "q_video_framesig_dup",

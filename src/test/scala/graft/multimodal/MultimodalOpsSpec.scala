@@ -348,4 +348,40 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestSupport {
     assert(pairs.toSeq == Seq((1L, 2L, 2L, 4L, 2L)),
       s"trimmed-copy containment must surface exactly: ${pairs.toSeq}")
   }
+
+  test("video gate: degenerate solid-frame sigs carry no containment evidence") {
+    // averageHash64 maps EVERY flat frame (fades, black intro/outro)
+    // to 0L, so unrelated animations share that sig; the gate must
+    // never turn it into an irreversible ingest drop
+    def stripe(k: Int): BufferedImage = {
+      val img = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+      (0 until 24).foreach(y => (0 until 32).foreach { x =>
+        img.setRGB(x, y, if (x / 8 == k) 0xffffff else 0x000000)
+      })
+      img
+    }
+    def gif(id: Long, frames: Seq[BufferedImage]) = MediaRecord(
+      id, MultimodalOps.encodeGif(frames), "image/gif", 32, 24)
+    def sigsOf(recs: Seq[MediaRecord]) = MultimodalOps.imageHashes(
+      MultimodalOps.sampleFrames(recs.toDS(), 1)).toDF()
+    // flat frames really do hash to the degenerate value
+    assert(MultimodalOps.averageHash64(solid(0x000000, 32, 24)) == 0L)
+    assert(MultimodalOps.averageHash64(solid(0xffffff, 32, 24)) == 0L)
+    // indexed: two informative frames plus one black fade frame
+    val corpus = sigsOf(Seq(
+      gif(1L, Seq(stripe(0), stripe(1), solid(0x000000, 32, 24)))))
+    val batch = Seq(
+      // all-solid fade: its only sig (0L) matches the corpus fade
+      // frame — zero informative evidence, must pass
+      gif(200L, Seq(solid(0x000000, 32, 24), solid(0xffffff, 32, 24))),
+      // one informative frame shared + a fade: below the
+      // MinInformativeSigs evidence bar, must pass
+      gif(201L, Seq(stripe(0), solid(0x000000, 32, 24))),
+      // genuine trimmed copy: two informative shared frames — dropped
+      gif(202L, Seq(stripe(0), stripe(1))))
+    val hits = graft.queries.Multimodal.frameSigHits(sigsOf(batch), corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(202L),
+      s"only the genuinely-contained trimmed copy may drop: $hits")
+  }
 }
