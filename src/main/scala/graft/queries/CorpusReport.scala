@@ -111,6 +111,14 @@ object CorpusReport {
     val reps = surv.join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster_id"), col("doc_id")))
       .filter(col("doc_id") === col("cluster"))
+      // carry the FUNNEL'S OWN token count through to the stage-6
+      // aggregate (r16 ADVICE): the scrub recomputes a whitespace
+      // n_tokens_raw that happens to equal this column today, but the
+      // docs_in/docs_out continuity between stages 5 and 6 must hold
+      // BY CONSTRUCTION, not coincide — a corpus defining n_tokens by
+      // another tokenizer upstream would otherwise silently break the
+      // funnel reconciliation
+      .withColumnRenamed("n_tokens", "n_tokens_pre")
     Chunking.exactSubstringScrubbed(reps)
       .withColumn("text", col("text_clean"))
       .withColumn("n_tokens",
@@ -123,8 +131,8 @@ object CorpusReport {
       .withColumn("bin", when(col("n_tokens") > 0,
         floor((col("cum") - 1) / 4096)).cast("long"))
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
-        col("n_tokens"), col("n_tokens_raw"), col("n_scrubbed"),
-        col("cluster"), col("split"), col("bin"))
+        col("n_tokens"), col("n_tokens_pre"), col("n_tokens_raw"),
+        col("n_scrubbed"), col("cluster"), col("split"), col("bin"))
   }
 
   /** The full run report: stage 0 (ingest) through 5 (exact dedup) from
@@ -186,9 +194,12 @@ object CorpusReport {
           |  5, 'dedup:exact',        n5, t5)
           |AS (stage_id, stage, docs, tokens)""".stripMargin)
       .withColumn("bins", lit(null).cast("long"))
+    // stage 6 sums the SAME column stage 5 summed (carried through
+    // curated as n_tokens_pre) — the adjacent-stage token continuity
+    // is then an identity, not a tokenizer-agreement coincidence
     val near = cur
       .agg(count(lit(1)).as("docs"),
-        sum(col("n_tokens_raw").cast("long")).as("tokens"))
+        sum(col("n_tokens_pre").cast("long")).as("tokens"))
       .select(lit(6).as("stage_id"), lit("dedup:near").as("stage"),
         col("docs"), coalesce(col("tokens"), lit(0L)).as("tokens"),
         lit(null).cast("long").as("bins"))

@@ -533,4 +533,156 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     assert(byId("rebuild:z-probe").outcome.isSuccess,
       "an unrelated resource group must not inherit the interrupt")
   }
+
+  test("counts-served scrub: the indexed binding's view is bit-identical to the inline scrub across a trigger boundary") {
+    // r16 VERDICT #1: the scheduled scrub must serve from the
+    // SubstrIndex the exact-substring gate maintains (one window pass
+    // + fixed-width join) instead of re-counting the lake per firing
+    // — and the decision at stored-count >= 2 must be EXACTLY the
+    // inline one, including a run whose two copies landed in
+    // different triggers (summable deltas).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    val work = Files.createTempDirectory("maint-idxscrub").toString
+    val (idxDir, lakeDir) = (s"$work/idx", s"$work/lake")
+    // empty seed: the artifact's counts are then EXACTLY the lake's
+    // (the gate appends each landed batch's windows)
+    graft.index.SubstrIndex.build(
+      graft.queries.Chunking.windowCounts(
+        Seq.empty[(Long, String)].toDF("doc_id", "text")), idxDir)
+    val sharedRun = toks("shared", 10)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.stream.LogStream.toExactSubstringGatedLake(
+      input.toDF().toDF("doc_id", "text"), idxDir, lakeDir, s"$work/ckpt")
+    try {
+      // trigger 0: first copy of the run; trigger 1: second copy
+      // (25% coverage — far under the gate's drop threshold, lands)
+      input.addData((101L, s"${toks("u101", 30)} $sharedRun"))
+      q.processAllAvailable()
+      input.addData((102L, s"$sharedRun ${toks("u102", 30)}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val inline = Maintenance.ScrubBinding("inline", lakeDir, s"$work/v-in")
+    val indexed = Maintenance.ScrubBinding("indexed", lakeDir,
+      s"$work/v-ix", indexDir = Some(idxDir))
+    val tasks = Maintenance.plan(spark, scrubBindings = Seq(inline, indexed))
+    assert(tasks.size == 2, tasks.map(_.id).toString)
+    val results = Maintenance.run(spark, tasks)
+    assert(results.forall(_.outcome.isSuccess),
+      results.map(_.summary).mkString("\n"))
+    def viewRows(dir: String) = graft.stream.LogStream.readView(spark, dir)
+      .select("doc_id", "text", "n_tokens_raw", "n_scrubbed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val (vIn, vIx) = (viewRows(s"$work/v-in"), viewRows(s"$work/v-ix"))
+    assert(vIn == vIx,
+      s"indexed scrub must be bit-identical to inline:\n$vIn\nvs\n$vIx")
+    // and both actually removed the cross-trigger run from BOTH copies
+    assert(vIx == Seq(
+      (101L, toks("u101", 30), 40L, 10L),
+      (102L, toks("u102", 30), 40L, 10L)), vIx.toString)
+    // a quiesced lake plans nothing for either binding
+    assert(Maintenance.plan(spark,
+      scrubBindings = Seq(inline, indexed)).isEmpty)
+  }
+
+  test("a scrub reads only the batches listed at plan time; a batch landing after the plan re-fires the next one") {
+    // r16 ADVICE: a gate stream mid-commit on batch N at run time
+    // must not be half-read into the published view
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    val work = Files.createTempDirectory("maint-planlist").toString
+    val lakeDir = s"$work/lake"
+    graft.stream.LogStream.writeBatchIdempotent(
+      Seq((1L, toks("a", 12))).toDF("doc_id", "text"), lakeDir, 0L)
+    val binding = Maintenance.ScrubBinding("view", lakeDir, s"$work/view")
+    val tasks = Maintenance.plan(spark, scrubBindings = Seq(binding))
+    assert(tasks.size == 1)
+    // batch 1 lands BETWEEN plan and run (the mid-commit window)
+    graft.stream.LogStream.writeBatchIdempotent(
+      Seq((2L, toks("b", 12))).toDF("doc_id", "text"), lakeDir, 1L)
+    assert(Maintenance.run(spark, tasks).forall(_.outcome.isSuccess))
+    val ids1 = graft.stream.LogStream.readView(spark, s"$work/view")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == Set(1L),
+      s"the view must hold only plan-time batches: $ids1")
+    // the missed batch advanced the fingerprint → the next plan fires
+    // and the refreshed view catches up
+    val tasks2 = Maintenance.plan(spark, scrubBindings = Seq(binding))
+    assert(tasks2.size == 1, "a batch landed after the plan must re-fire")
+    assert(Maintenance.run(spark, tasks2).forall(_.outcome.isSuccess))
+    val ids2 = graft.stream.LogStream.readView(spark, s"$work/view")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == Set(1L, 2L), ids2.toString)
+  }
+
+  test("a replay overwriting files INSIDE an existing batch dir re-fires the scrub (recursive lake fingerprint)") {
+    // r16 ADVICE: directory mtimes do not reliably advance on object
+    // stores when a replay overwrites files in place — the
+    // fingerprint must see the per-batch file listings
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    val work = Files.createTempDirectory("maint-refp").toString
+    val lakeDir = s"$work/lake"
+    graft.stream.LogStream.writeBatchIdempotent(
+      Seq((1L, toks("a", 12))).toDF("doc_id", "text"), lakeDir, 0L)
+    val before = graft.index.CorpusStamp.lakeFingerprintOf(spark, lakeDir)
+    // pin the top-level dir's OWN (len, mtime) so only the inner
+    // files distinguish the two states — the failure mode the
+    // top-level-only fingerprint was blind to
+    val batchPath = new java.io.File(s"$lakeDir/batch_id=0")
+    val pinnedMtime = batchPath.lastModified()
+    Thread.sleep(5) // parquet mtimes are millisecond-granular locally
+    graft.stream.LogStream.writeBatchIdempotent(
+      Seq((1L, toks("a", 12)), (2L, toks("b", 12)))
+        .toDF("doc_id", "text"), lakeDir, 0L)
+    batchPath.setLastModified(pinnedMtime)
+    val after = graft.index.CorpusStamp.lakeFingerprintOf(spark, lakeDir)
+    assert(before != after,
+      "an in-place batch overwrite must change the lake fingerprint")
+  }
+
+  test("parseArgs maps the operational grammar onto plan()'s registrations") {
+    val pa = Maintenance.parseArgs(Seq(
+      "/lakes/a", "/lakes/b",
+      "--index", "/idx/vec1", "/idx/vec2",
+      "--phash-index", "/idx/ph",
+      "--substr-index", "/idx/sub",
+      "--lm-index", "/idx/lm",
+      "--scrub", "/lakes/a::/views/clean::/idx/sub",
+      "--scrub", "s3a://bkt/lake::s3a://bkt/view",
+      "--winnow-index", "/idx/win"))
+    assert(pa.lakes == Seq("/lakes/a", "/lakes/b"))
+    assert(pa.vectorIndexes == Seq("/idx/vec1", "/idx/vec2"))
+    assert(pa.phashIndexes == Seq("/idx/ph"))
+    assert(pa.substrIndexes == Seq("/idx/sub"))
+    assert(pa.lmIndexes == Seq("/idx/lm"))
+    assert(pa.winnowIndexes == Seq("/idx/win"))
+    assert(pa.scrubBindings == Seq(
+      Maintenance.ScrubBinding("clean", "/lakes/a", "/views/clean",
+        indexDir = Some("/idx/sub")),
+      // single colons (URI schemes) pass through untouched
+      Maintenance.ScrubBinding("view", "s3a://bkt/lake", "s3a://bkt/view")))
+    intercept[IllegalArgumentException](
+      Maintenance.parseArgs(Seq("--scrub", "onlylake")))
+    intercept[IllegalArgumentException](
+      Maintenance.parseArgs(Seq("--bogus-flag", "x")))
+  }
+
+  test("a mismatched binding L vs artifact L refuses loudly instead of silently changing scrub semantics") {
+    def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
+    val work = Files.createTempDirectory("maint-lmismatch").toString
+    val (idxDir, lakeDir) = (s"$work/idx", s"$work/lake")
+    graft.index.SubstrIndex.build(
+      graft.queries.Chunking.windowCounts(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), L = 12),
+      idxDir, windowLen = 12)
+    graft.stream.LogStream.writeBatchIdempotent(
+      Seq((1L, toks("a", 16))).toDF("doc_id", "text"), lakeDir, 0L)
+    val binding = Maintenance.ScrubBinding("view", lakeDir, s"$work/view",
+      minTokens = 8, indexDir = Some(idxDir))
+    val results = Maintenance.run(spark,
+      Maintenance.plan(spark, scrubBindings = Seq(binding)))
+    assert(results.size == 1 && results.head.outcome.isFailure)
+    assert(results.head.outcome.failed.get.getMessage.contains("windowed at"),
+      results.head.outcome.failed.get.getMessage)
+  }
 }
