@@ -384,4 +384,30 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestSupport {
     assert(hits == Set(202L),
       s"only the genuinely-contained trimmed copy may drop: $hits")
   }
+
+  test("phash recall floor: a capped bucket's dropped twins are counted against recall") {
+    // the 256-occupancy cap is the ONE approximation in the banded
+    // hamming plan (banding itself is pigeonhole-exhaustive at <= 7);
+    // q_phash_recall exists to put a number on that trade, so a
+    // planted overfull bucket must visibly depress recall_ppm
+    val hashA = 0x1234567890abcdefL
+    // 260 docs share hashA -> every band bucket holds 260 > 256, so
+    // the whole family is dropped from the banded pairs; one cold
+    // hamming-1 pair (300, 305) stays findable
+    val hashes = ((0L until 260L).map(i => (i, hashA)) ++
+      Seq((300L, 0x0f0f0f0f0f0f0f0fL), (305L, 0x0f0f0f0f0f0f0f0eL)))
+      .toDF("doc_id", "ahash")
+    val row = graft.queries.Multimodal.hammingRecallRow("synthetic", hashes)
+      .collect().head
+    // queries = doc_id % 5 == 0: 52 of the A-family + both cold docs
+    assert(row.getLong(1) == 54L, s"n_queries: $row")
+    // truth: 52 A-queries x 259 same-hash others + the oriented cold
+    // pair = 13468 + 2
+    assert(row.getLong(2) == 13470L, s"n_true: $row")
+    // found: only the cold pair survives the cap (both orientations)
+    assert(row.getLong(3) == 2L && row.getLong(4) == 2L, s"found/hit: $row")
+    assert(row.getLong(5) == 2L * 1000000L / 13470L,
+      s"recall must count the capped family's losses: $row")
+    assert(row.getLong(6) == 1000000L, s"banded pairs are verified: $row")
+  }
 }
