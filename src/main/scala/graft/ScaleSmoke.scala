@@ -200,7 +200,13 @@ object ScaleSmoke {
       // fingerprint ⇒ the measured time INCLUDES the one window-count
       // build; the serve itself is a map-side window pass + one
       // fixed-width keyed join)
-      "q_exact_substring_dedup_indexed")
+      "q_exact_substring_dedup_indexed",
+      // r17: the unigram trainer's cost is bounded by the DISTINCT-WORD
+      // histogram (amplified copies add corpus rows but no new words —
+      // the per-word EM work must stay flat); the media recall eval's
+      // brute-truth side is the sampled broadcast cross join
+      "q_unigram_train", "q_unigram_encode", "q_unigram_encode_indexed",
+      "q_phash_recall")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

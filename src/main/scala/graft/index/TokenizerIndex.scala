@@ -58,6 +58,10 @@ object TokenizerIndex {
     require(mode == "word" || mode == "byte", s"unknown tokenizer mode: $mode")
     val spark = merges.sparkSession
     val fs = fsFor(spark, dir)
+    require(!modeOf(fs, dir).contains("unigram"),
+      s"tokenizer artifact at $dir is mode 'unigram' (a vocab table) — " +
+        "a BPE merge-table build over it would leave two mutually " +
+        "meaningless artifacts under one dir; use a fresh dir")
     val current = currentName(fs, dir)
     current.foreach(cur =>
       MetaMarker.retireUnnamed(fs, dir, Seq("merges"), Set(cur)))
@@ -76,6 +80,70 @@ object TokenizerIndex {
         s""""mode": ${quote(mode)}}""")
   }
 
+  private val VersionedVocab = "vocab_v(\\d+)".r
+
+  private val vocabSchema = StructType(Seq(
+    StructField("piece", StringType),
+    StructField("cnt", LongType),
+    StructField("micro", LongType)))
+
+  /** The committed UNIGRAM artifact: the (piece, cnt, micro) vocab
+    * plus the piece-join character. */
+  final case class UnigramVocab(vocab: DataFrame, join: String)
+
+  /** Persist a trained unigram vocab (r17 — the family's third mode):
+    * mode "unigram" stores a `vocab_vN` (piece, cnt, micro) table
+    * instead of a merge table. The two artifact shapes are mutually
+    * meaningless, so the meta's mode gates every serve path BOTH
+    * directions — [[read]]/[[readRanksCached]] refuse unigram metas,
+    * this build refuses BPE metas, and [[readUnigram]] refuses merge
+    * metas (the MixRatesIndex refuse-by-name stance). Same staged
+    * meta-swap commit as [[build]]. */
+  def buildUnigram(vocab: DataFrame, join: String, dir: String): Unit = {
+    val spark = vocab.sparkSession
+    val fs = fsFor(spark, dir)
+    val existingMode = modeOf(fs, dir)
+    require(existingMode.forall(_ == "unigram"),
+      s"tokenizer artifact at $dir is mode '${existingMode.get}' (a merge " +
+        "table) — a unigram vocab build over it would leave two mutually " +
+        "meaningless artifacts under one dir; use a fresh dir")
+    val current = currentName(fs, dir)
+    current.foreach(cur =>
+      MetaMarker.retireUnnamed(fs, dir, Seq("vocab"), Set(cur)))
+    val n = current match {
+      case Some(VersionedVocab(v)) => v.toInt + 1
+      case Some(other) => throw new IllegalStateException(
+        s"tokenizer meta at $dir names vocab dir '$other', which does " +
+          "not match vocab_v<N> — refusing to renumber over it")
+      case None => 0
+    }
+    val next = s"vocab_v$n"
+    vocab.select("piece", "cnt", "micro")
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    MetaMarker.write(fs, dir, META,
+      s"""{"vocab": "$next", "join": ${quote(join)}, """ +
+        s""""mode": "unigram"}""")
+  }
+
+  /** The committed unigram vocab (explicit schema, meta-resolved).
+    * Refuses merge-table artifacts — applying a unigram Viterbi over
+    * BPE merges (or vice versa) would silently segment garbage. */
+  def readUnigram(spark: SparkSession, dir: String): UnigramVocab = {
+    val fs = fsFor(spark, dir)
+    if (!MetaMarker.exists(fs, dir, META))
+      throw new IllegalArgumentException(s"no tokenizer artifact at $dir")
+    val root = MetaMarker.read(fs, dir, META)
+    val mode = Option(root.get("mode")).map(_.asText()).getOrElse("word")
+    require(mode == "unigram",
+      s"tokenizer artifact at $dir is mode '$mode' (a merge table) — " +
+        "the unigram serve path cannot apply it; read it through " +
+        "TokenizerIndex.read instead")
+    UnigramVocab(
+      spark.read.schema(vocabSchema)
+        .parquet(s"$dir/${root.get("vocab").asText()}"),
+      root.get("join").asText())
+  }
+
   /** The committed tokenizer as a pure read (explicit schema — no
     * footer pass), resolved through the meta so the merge table and
     * its join/rounds invariants always come from the SAME commit. */
@@ -84,6 +152,10 @@ object TokenizerIndex {
     if (!MetaMarker.exists(fs, dir, META))
       throw new IllegalArgumentException(s"no tokenizer artifact at $dir")
     val root = MetaMarker.read(fs, dir, META)
+    require(!Option(root.get("mode")).map(_.asText()).contains("unigram"),
+      s"tokenizer artifact at $dir is mode 'unigram' (a vocab table) — " +
+        "the merge-table serve path cannot apply it; read it through " +
+        "TokenizerIndex.readUnigram instead")
     Tokenizer(
       spark.read.schema(mergesSchema)
         .parquet(s"$dir/${root.get("merges").asText()}"),
@@ -146,8 +218,17 @@ object TokenizerIndex {
 
   private def currentName(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Option[String] =
+    if (MetaMarker.exists(fs, dir, META)) {
+      val root = MetaMarker.read(fs, dir, META)
+      // the committed table name lives under the mode's own key
+      Some(Option(root.get("merges")).getOrElse(root.get("vocab")).asText())
+    } else None
+
+  private def modeOf(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[String] =
     if (MetaMarker.exists(fs, dir, META))
-      Some(MetaMarker.read(fs, dir, META).get("merges").asText())
+      Some(Option(MetaMarker.read(fs, dir, META).get("mode"))
+        .map(_.asText()).getOrElse("word"))
     else None
 
   private def quote(s: String): String =

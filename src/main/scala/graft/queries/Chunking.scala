@@ -1325,9 +1325,346 @@ object Chunking {
              |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // UNIGRAM-LM tokenizer (r17 — r16 VERDICT #7): the third
+  // production-standard mode next to word-BPE and byte-BPE —
+  // SentencePiece's unigram model (Kudo 2018), re-expressed in the
+  // family's exact-integer discipline so the whole trainer is
+  // FULL-oracle:
+  //   * pieces are character substrings of words (length ≤
+  //     UniMaxPieceLen); the seed vocabulary is the top-UniSeedV
+  //     substrings by corpus frequency plus ALL single characters
+  //     (the coverage floor — every word stays segmentable);
+  //   * piece probabilities are add-one integer micros,
+  //     (cnt+1)·1e6 div (total+V) — the TrigramLm/q_lm_score
+  //     discipline: no logs, no doubles, cross-engine exact;
+  //   * the E-step is hard (Viterbi) EM: each distinct word's best
+  //     segmentation maximizes the EXACT product of piece micros,
+  //     computed in DECIMAL(38,0) — ≤ UniMaxPieces factors of ≤ 1e6
+  //     keep the product ≤ 1e36, inside both engines' 128-bit
+  //     exact range — with deterministic tie-breaks (fewer pieces,
+  //     then lowest cut mask); segmentations enumerate as cut
+  //     BITMASKS (2^(len−1), bounded by UniMaxWordLen — words past
+  //     the bound pass through whole as OOV pieces, the byte-
+  //     fallback stance);
+  //   * the M-step re-counts piece usage over the best segmentations
+  //     (weighted by word frequency) and re-smooths; after UniRounds
+  //     rounds the vocab PRUNES to used pieces + the single-char
+  //     floor (hard-EM's analog of SentencePiece's likelihood-loss
+  //     pruning).
+  //
+  // 100 TB shape: the trainer's input is the DISTINCT-WORD histogram
+  // (the q_bpe_train_hist stance — one partial-agg'd shuffle over the
+  // corpus, then all EM work is per-distinct-word and embarrassingly
+  // parallel; the vocab is bounded and broadcastable); the encode
+  // pass segments the distinct words once and maps the corpus
+  // through a broadcast join — the corpus never shuffles.
+  // ------------------------------------------------------------------
+
+  private[graft] val UniMaxPieceLen = 4
+  private[graft] val UniMaxPieces = 6
+  private[graft] val UniMaxWordLen = 12
+  private[graft] val UniSeedV = 64
+  private[graft] val UniRounds = 2
+
+  /** Joins a word's pieces in the encoded output. Not a corpus
+    * character (space-separated alnum tokens), so decode is an
+    * unambiguous split. */
+  private[graft] val UniJoin = "+"
+
+  /** The distinct-word histogram — (w, c) with c = corpus occurrence
+    * count. */
+  private def uniWords(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Seed candidates: every substring occurrence of length
+    * 1..UniMaxPieceLen, frequency-weighted; top-UniSeedV plus all
+    * single chars. */
+  private def uniSeed(words: DataFrame): DataFrame = {
+    val subs = words.select(col("c"), explode(expr(
+      s"""flatten(transform(sequence(1, $UniMaxPieceLen), l ->
+         |  IF(length(w) >= l,
+         |     transform(sequence(1, length(w) - l + 1), i -> substring(w, i, l)),
+         |     CAST(array() AS ARRAY<STRING>))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+    // vocab-sized table: the global window is over candidate pieces,
+    // never the corpus
+    subs.withColumn("_r", row_number().over(
+        Window.orderBy(col("cnt").desc, col("piece"))))
+      .filter(col("_r") <= UniSeedV || length(col("piece")) === 1)
+      .select(col("piece"), col("cnt"))
+  }
+
+  /** Add-one integer-micro probabilities over a (piece, cnt) vocab —
+    * micro = (cnt+1)·1e6 div (total+V), always ≥ 1 (no zero factor
+    * can null a product). */
+  private def uniMicros(vocab: DataFrame): DataFrame =
+    vocab.crossJoin(
+        vocab.agg(sum(col("cnt")).as("_t"), count(lit(1)).as("_v")))
+      .select(col("piece"), col("cnt"),
+        expr("(cnt + 1) * 1000000L DIV (_t + _v)").as("micro"))
+
+  /** Every legal segmentation of each distinct word — (w, c, m,
+    * pieces): cut-mask enumeration, ≤ UniMaxPieces pieces each ≤
+    * UniMaxPieceLen chars. Words past UniMaxWordLen are handled by
+    * [[uniBest]]'s whole-word fallback instead. */
+  private def uniSegs(words: DataFrame): DataFrame =
+    words.filter(length(col("w")) <= UniMaxWordLen)
+      .select(col("w"), col("c"), explode(expr(
+        "sequence(0L, shiftleft(1L, length(w) - 1) - 1)")).as("m"))
+      .withColumn("_b", expr(
+        """concat(array(0L),
+          |  CAST(filter(sequence(1, length(w) - 1),
+          |       i -> (shiftright(m, i - 1) & 1) = 1) AS ARRAY<BIGINT>),
+          |  array(CAST(length(w) AS BIGINT)))""".stripMargin))
+      .withColumn("pieces", expr(
+        """transform(sequence(1, size(_b) - 1), k ->
+          |  substring(w, CAST(element_at(_b, k) + 1 AS INT),
+          |            CAST(element_at(_b, k + 1) - element_at(_b, k) AS INT)))""".stripMargin))
+      .filter(size(col("pieces")) <= UniMaxPieces &&
+        !expr(s"exists(pieces, p -> length(p) > $UniMaxPieceLen)"))
+      .drop("_b")
+
+  /** The Viterbi choice per distinct word: max exact DECIMAL(38,0)
+    * micro-product, ties to fewer pieces then lowest mask. Words past
+    * UniMaxWordLen pass through whole (one OOV piece).
+    *
+    * The product PADS to exactly UniMaxPieces factors with
+    * probability-1 slots (micro 1e6): raw micro products carry one
+    * 1e6 scale factor PER PIECE, so comparing a k-piece against a
+    * k'-piece segmentation raw would reward piece count, not
+    * likelihood — padded, every score is 1e36 · ∏pᵢ, monotone with
+    * the true product of probabilities at any k, and still ≤ 1e36
+    * (exact in 128 bits). */
+  private def uniBest(words: DataFrame, segs: DataFrame,
+      micros: DataFrame): DataFrame = {
+    val scored = segs
+      .select(col("w"), col("c"), col("m"), col("pieces"),
+        explode(col("pieces")).as("piece"))
+      .join(micros.select(col("piece"), col("micro")), Seq("piece"))
+      .groupBy(col("w"), col("c"), col("m"), col("pieces"))
+      .agg(count(lit(1)).as("_matched"),
+        expr(s"""aggregate(
+               |  concat(collect_list(CAST(micro AS DECIMAL(38,0))),
+               |         array_repeat(CAST(1000000 AS DECIMAL(38,0)),
+               |                      $UniMaxPieces - size(pieces))),
+               |  CAST(1 AS DECIMAL(38,0)), (acc, x) -> acc * x)""".stripMargin)
+          .as("_score"))
+      // a segmentation with any out-of-vocab piece is invalid (the
+      // single-char floor guarantees at least one valid mask)
+      .filter(col("_matched") === size(col("pieces")))
+    val w = Window.partitionBy(col("w"))
+      .orderBy(col("_score").desc, size(col("pieces")).asc, col("m").asc)
+    val enumerated = scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("w"), col("c"), col("pieces"))
+    // FALLBACK: any word with no valid segmentation passes through
+    // whole as one OOV piece — covers words past UniMaxWordLen (no
+    // mask rows) AND words none of whose characters are in the vocab
+    // (a batch encoded under a vocab trained elsewhere — the
+    // streaming delivery's retrain case). Dropping or crashing on
+    // OOV input is never acceptable on an ingest path (the
+    // byte-fallback stance); training corpora never hit this branch
+    // because their own single chars are always seeded. */
+    enumerated.unionByName(
+      words.join(enumerated.select(col("w")), Seq("w"), "left_anti")
+        .select(col("w"), col("c"), array(col("w")).as("pieces")))
+  }
+
+  /** One hard-EM round: re-count piece usage over the Viterbi
+    * segmentations (vocab-anchored — an OOV fallback piece never
+    * enters), re-smooth. */
+  private def uniEmRound(words: DataFrame, segs: DataFrame,
+      micros: DataFrame): DataFrame = {
+    val usage = uniBest(words, segs, micros)
+      .select(col("c"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("_u"))
+    uniMicros(micros.select(col("piece"))
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("_u"), lit(0L)).as("cnt")))
+  }
+
+  /** The trained unigram vocab — (piece, cnt, micro) after UniRounds
+    * hard-EM rounds and the used-or-single-char prune. */
+  private[graft] def uniTrain(docs: DataFrame): DataFrame = {
+    val words = uniWords(docs)
+    val segs = uniSegs(words)
+    val vR = (1 to UniRounds).foldLeft(uniMicros(uniSeed(words)))(
+      (v, _) => uniEmRound(words, segs, v))
+    uniMicros(vR.filter(col("cnt") > 0 || length(col("piece")) === 1)
+      .select(col("piece"), col("cnt")))
+  }
+
+  /** Segment a corpus under a trained vocab: Viterbi once per
+    * DISTINCT word, then a broadcast map join — the corpus never
+    * shuffles (the q_bpe_encode_fast stance). */
+  private[graft] def uniEncode(docs: DataFrame,
+      vocabMicros: DataFrame): DataFrame = {
+    val words = uniWords(docs)
+    val segMap = uniBest(words, uniSegs(words), vocabMicros)
+      .select(col("w"), concat_ws(UniJoin, col("pieces")).as("_e"),
+        size(col("pieces")).cast("long").as("_np"))
+    val enc = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+      .filter(length(col("w")) > 0)
+      .join(broadcast(segMap), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_nt"), sum(col("_np")).as("_n_pieces"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, _e))), x -> x._e)"))
+          .as("_encoded"))
+    docs.select(col("doc_id"))
+      .join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("_n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("_encoded"), lit("")).as("encoded"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The unrolled-EM oracle chain shared by train and encode: every
+    * CTE mirrors the engine stage 1:1 (words → substring seed → v0 →
+    * mask-enumerated segs → per-round Viterbi + usage re-smooth →
+    * prune). Products compare as HUGEINT (exact, like the engine's
+    * DECIMAL(38,0)); micros divide with `//` on BIGINT (exact, like
+    * DIV). Ends with `vf(piece, cnt, micro)` — the final vocab. */
+  private def uniOracleChain: String = {
+    def scoreRound(vIn: String, best: String, u: String, vC: String,
+        vOut: String): String =
+      s"""$best AS (
+         |  SELECT w, c, pieces FROM (
+         |    SELECT s.*, row_number() OVER (PARTITION BY s.w
+         |      ORDER BY s.score DESC, len(s.pieces), s.m) AS rn
+         |    FROM (
+         |      SELECT e.w, e.c, e.m, e.pieces,
+         |             count(*) AS matched,
+         |             list_reduce(list_concat(list(v.micro :: HUGEINT),
+         |               list_transform(range(0, $UniMaxPieces - len(e.pieces)),
+         |                              x -> 1000000 :: HUGEINT)),
+         |               (a, b) -> a * b) AS score
+         |      FROM (SELECT w, c, m, pieces, unnest(pieces) AS piece FROM segs) e
+         |      JOIN $vIn v USING (piece)
+         |      GROUP BY e.w, e.c, e.m, e.pieces) s
+         |    WHERE s.matched = len(s.pieces))
+         |  WHERE rn = 1),
+         |$u AS (
+         |  SELECT piece, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM (SELECT c, unnest(pieces) AS piece FROM $best) GROUP BY 1),
+         |$vC AS (
+         |  SELECT v.piece, coalesce(u.cnt, 0) AS cnt
+         |  FROM $vIn v LEFT JOIN $u u USING (piece)),
+         |$vOut AS (
+         |  SELECT piece, cnt,
+         |    CAST(((cnt + 1) * 1000000) //
+         |      ((SELECT CAST(sum(cnt) AS BIGINT) FROM $vC) +
+         |       (SELECT count(*) FROM $vC)) AS BIGINT) AS micro
+         |  FROM $vC)""".stripMargin
+    s"""words AS (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |subs AS (
+       |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |         CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM words,
+       |       LATERAL (SELECT unnest(range(1, $UniMaxPieceLen + 1)) AS l) ll,
+       |       LATERAL (SELECT unnest(range(1, length(w) - l + 2)) AS i) ii
+       |  WHERE length(w) >= l GROUP BY 1),
+       |seed AS (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |           row_number() OVER (ORDER BY cnt DESC, piece) AS r FROM subs)
+       |  WHERE r <= $UniSeedV OR length(piece) = 1),
+       |v0 AS (
+       |  SELECT piece, cnt,
+       |    CAST(((cnt + 1) * 1000000) //
+       |      ((SELECT CAST(sum(cnt) AS BIGINT) FROM seed) +
+       |       (SELECT count(*) FROM seed)) AS BIGINT) AS micro
+       |  FROM seed),
+       |segs AS (
+       |  SELECT w, c, m, pieces FROM (
+       |    SELECT w, c, m, list_transform(range(1, len(b)), k ->
+       |             substr(w, CAST(b[k] + 1 AS INT), CAST(b[k+1] - b[k] AS INT))) AS pieces
+       |    FROM (
+       |      SELECT w, c, m,
+       |        list_concat(list_concat([0::BIGINT],
+       |          list_filter(range(1, length(w)),
+       |                      i -> (m >> CAST(i - 1 AS INT)) & 1 = 1)),
+       |          [length(w)::BIGINT]) AS b
+       |      FROM words,
+       |           LATERAL (SELECT unnest(range(0, 1 << (length(w) - 1))) AS m) u
+       |      WHERE length(w) <= $UniMaxWordLen))
+       |  WHERE len(pieces) <= $UniMaxPieces
+       |    AND len(list_filter(pieces, p -> length(p) > $UniMaxPieceLen)) = 0),
+       |${scoreRound("v0", "best1", "u1", "v1c", "v1")},
+       |${scoreRound("v1", "best2", "u2", "v2c", "v2")},
+       |pruned AS (
+       |  SELECT piece, cnt FROM v2 WHERE cnt > 0 OR length(piece) = 1),
+       |vf AS (
+       |  SELECT piece, cnt,
+       |    CAST(((cnt + 1) * 1000000) //
+       |      ((SELECT CAST(sum(cnt) AS BIGINT) FROM pruned) +
+       |       (SELECT count(*) FROM pruned)) AS BIGINT) AS micro
+       |  FROM pruned)""".stripMargin
+  }
+
+  private val qUnigramTrain = Q(
+    "q_unigram_train",
+    (s, d) => uniTrain(Tables.documents(s, d))
+      .orderBy(col("cnt").desc, col("piece")),
+    Some(s"""WITH $uniOracleChain
+             |SELECT piece, cnt, micro FROM vf
+             |ORDER BY cnt DESC, piece""".stripMargin)
+  )
+
+  private[queries] val qUnigramEncode = Q(
+    "q_unigram_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      uniEncode(docs, uniTrain(docs))
+    },
+    Some(s"""WITH $uniOracleChain,
+             |bestf AS (
+             |  SELECT w, pieces FROM (
+             |    SELECT s.*, row_number() OVER (PARTITION BY s.w
+             |      ORDER BY s.score DESC, len(s.pieces), s.m) AS rn
+             |    FROM (
+             |      SELECT e.w, e.m, e.pieces,
+             |             count(*) AS matched,
+             |             list_reduce(list_concat(list(v.micro :: HUGEINT),
+             |               list_transform(range(0, $UniMaxPieces - len(e.pieces)),
+             |                              x -> 1000000 :: HUGEINT)),
+             |               (a, b) -> a * b) AS score
+             |      FROM (SELECT w, m, pieces, unnest(pieces) AS piece FROM segs) e
+             |      JOIN vf v USING (piece)
+             |      GROUP BY e.w, e.m, e.pieces) s
+             |    WHERE s.matched = len(s.pieces))
+             |  WHERE rn = 1),
+             |encm AS (
+             |  SELECT w, array_to_string(pieces, '$UniJoin') AS e,
+             |         CAST(len(pieces) AS BIGINT) AS np
+             |  FROM bestf),
+             |tok AS (
+             |  SELECT doc_id, i AS pos, toks[CAST(i AS INT)] AS w
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+             |  WHERE toks[CAST(i AS INT)] <> '')
+             |SELECT d.doc_id,
+             |  CAST(count(t.pos) AS BIGINT) AS n_tokens,
+             |  coalesce(CAST(sum(m.np) AS BIGINT), 0) AS n_pieces,
+             |  coalesce(string_agg(m.e, ' ' ORDER BY t.pos), '') AS encoded
+             |FROM documents d
+             |LEFT JOIN tok t USING (doc_id)
+             |LEFT JOIN encm m USING (w)
+             |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin)
+  )
+
   def qs: Seq[Q] =
     Seq(qSpanDedup, qSpanScrub, qExactSubstringDedup, qExactSubstringScrub,
       qChunkDocuments, qBpePairs, qBpeTrain, qBpeTrainHist,
       qBpeEncode, qBpeEncodeFast, qBpeRoundtrip, qBpeByteRoundtrip,
-      qSourceOverlap, qOovRate)
+      qSourceOverlap, qOovRate, qUnigramTrain, qUnigramEncode)
 }

@@ -705,11 +705,38 @@ object Indexed {
     Chunking.qExactSubstringDedup.oracle
   )
 
+  /** Build-once memo for the persisted UNIGRAM tokenizer artifact
+    * ([[graft.index.TokenizerIndex]] mode "unigram") over a corpus
+    * dir's `documents` table. */
+  private[graft] def unigramDirFor(s: SparkSession, d: String): String =
+    ensureIndex(s, "unitok", d, "documents.parquet",
+        dir => graft.index.TokenizerIndex.exists(s, dir)) { scratch =>
+      graft.index.TokenizerIndex.buildUnigram(
+        Chunking.uniTrain(graft.Tables.documents(s, d)),
+        Chunking.UniJoin, scratch)
+    }
+
+  /** `q_unigram_encode` answered FROM the persisted vocab (r17): the
+    * EM trainer (the corpus-scaled cost) runs once into the
+    * tokenizer artifact under mode "unigram"; the serve re-runs only
+    * the per-distinct-word Viterbi against the STORED (piece, cnt,
+    * micro) table and maps the corpus through a broadcast join.
+    * VERBATIM oracle reuse — hash-green proves the stored vocab
+    * segments bit-identically to the inline trainer, and the
+    * refuse-by-mode meta keeps a BPE consumer from ever applying it
+    * (TokenizerIndexSpec pins both refusals). */
+  private val qUnigramEncodeIndexed = Q(
+    "q_unigram_encode_indexed",
+    (s, d) => Chunking.uniEncode(graft.Tables.documents(s, d),
+      graft.index.TokenizerIndex.readUnigram(s, unigramDirFor(s, d)).vocab),
+    Chunking.qUnigramEncode.oracle
+  )
+
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
     qMinhashDupIndexed, qDupClustersMinhashIndexed, qWinnowingIndexed,
     qBpeEncodeIndexed, qTokenizerFertility, qMixTemperatureTokens,
     qMixBudgetPlan, qDsirWeightsIndexed, qLmScoreIndexed,
     qDecontaminateSemanticIndexed, qImagePhashDupIndexed,
     qAudioPhashDupIndexed, qVideoFramesigDupIndexed,
-    qExactSubstringDedupIndexed)
+    qExactSubstringDedupIndexed, qUnigramEncodeIndexed)
 }

@@ -213,6 +213,44 @@ object QualityStream {
       }
       .start()
 
+  /** Streaming UNIGRAM encode against the persisted vocab artifact
+    * (r17 — [[toTokenizedDelivery]]'s sibling for the tokenizer
+    * family's third mode): each micro-batch Viterbi-segments under
+    * the COMMITTED (piece, cnt, micro) vocab
+    * ([[graft.index.TokenizerIndex.readUnigram]] — RE-RESOLVED
+    * through the meta every trigger, so a Maintenance-driven retrain
+    * lands mid-stream with no restart, and a BPE merge-table artifact
+    * at the dir REFUSES loudly instead of segmenting garbage — the
+    * refuse-by-mode contract carried onto the stream) and lands as
+    * manifest-verified gzip-JSONL shards under `batch_id=<n>/`
+    * (exactly-once by replay-overwrite).
+    *
+    * Per-batch cost: the bounded vocab read + Viterbi over the
+    * BATCH'S OWN distinct words + one broadcast map join — no corpus
+    * state, no streaming state beyond the sink checkpoint. A word
+    * none of whose pieces are in the vocab passes through whole as
+    * one OOV piece (the uniBest fallback) — a retrained vocab can
+    * change a doc's segmentation, never lose the doc. */
+  def toUnigramEncodedDelivery(
+      docs: DataFrame,
+      tokenizerDir: String,
+      outDir: String,
+      checkpointDir: String,
+      maxRecordsPerShard: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+        val s = batch.sparkSession
+        graft.sink.TrainingExport.writeJsonlShards(
+          graft.queries.Chunking.uniEncode(batch.toDF(),
+            graft.index.TokenizerIndex.readUnigram(s, tokenizerDir).vocab),
+          s"$outDir/batch_id=$batchId", maxRecordsPerShard): Unit
+      }
+      .start()
+
   /** Streaming LM gate served FROM the PERSISTED artifact
     * ([[graft.index.LmIndex]]): unlike [[qualityGated]]'s fitted-model
     * parameter (the explicit train/serve split), this consumer

@@ -534,6 +534,48 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
       "an unrelated resource group must not inherit the interrupt")
   }
 
+  test("a Maintenance-driven UNIGRAM retrain feeds the running encode stream next batch") {
+    // r17: the unigram vocab joins the retrain-mid-stream contract —
+    // the delivery re-resolves the TokenizerIndex meta per trigger,
+    // so a rebuild lands with no restart; OOV words pass through
+    // whole instead of vanishing
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = Files.createTempDirectory("maint-uni-stream").toString
+    val tokDir = s"$work/tok"
+    graft.index.TokenizerIndex.buildUnigram(
+      graft.queries.Chunking.uniTrain(
+        Seq((1L, "abab abab abab")).toDF("doc_id", "text")), "+", tokDir)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.stream.QualityStream.toUnigramEncodedDelivery(
+      input.toDF().toDF("doc_id", "text"), tokDir, s"$work/out", s"$work/ckpt")
+    try {
+      input.addData((100L, "abab abab"), (101L, "xyz"))
+      q.processAllAvailable()
+      val results = Maintenance.run(spark, Seq(
+        Maintenance.Rebuild("unigram", tokDir) { _ =>
+          graft.index.TokenizerIndex.buildUnigram(
+            graft.queries.Chunking.uniTrain(
+              Seq((2L, "ab ab ab")).toDF("doc_id", "text")), "+", tokDir)
+          "retrained over corpus v2"
+        }))
+      assert(results.forall(_.outcome.isSuccess),
+        results.map(_.summary).mkString("\n"))
+      input.addData((102L, "abab abab"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Seq(0, 1).map(b =>
+      graft.sink.TrainingExport.readVerified(spark, s"$work/out/batch_id=$b"))
+      .reduce(_ unionByName _)
+      .select("doc_id", "encoded").as[(Long, String)].collect().toMap
+    // v1 vocab keeps the dominant trained word whole; the OOV word
+    // (no vocab characters at all) passes through whole, never lost
+    assert(got(100L) == "abab abab", got.toString)
+    assert(got(101L) == "xyz", got.toString)
+    // the retrained vocab re-segments the SAME word from the next
+    // trigger — no restart
+    assert(got(102L) == "ab+ab ab+ab", got.toString)
+  }
+
   test("counts-served scrub: the indexed binding's view is bit-identical to the inline scrub across a trigger boundary") {
     // r16 VERDICT #1: the scheduled scrub must serve from the
     // SubstrIndex the exact-substring gate maintains (one window pass

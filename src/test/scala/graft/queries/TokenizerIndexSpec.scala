@@ -231,4 +231,71 @@ class TokenizerIndexSpec extends AnyFunSuite with SparkTestSupport {
     }
     assert(eByte.getMessage.contains("mode 'word'"), eByte.getMessage)
   }
+
+  test("unigram mode: stored vocab serves bit-identically; every other serve path refuses it (and vice versa)") {
+    val docs = Seq(
+      (1L, "river riverbank rivers"),
+      (2L, "river river bank banks"),
+      (3L, "riverbank bank rivers river")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("tok-uni").toString
+    TokenizerIndex.buildUnigram(Chunking.uniTrain(docs), "+", dir)
+    assert(TokenizerIndex.exists(spark, dir))
+
+    // stored vocab answers exactly like the inline trainer
+    val inline = Chunking.uniEncode(docs, Chunking.uniTrain(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    val served = Chunking.uniEncode(docs,
+        TokenizerIndex.readUnigram(spark, dir).vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(inline == served, s"stored-vocab serve drifted:\n$inline\nvs\n$served")
+
+    // a REBUILD swaps whole: versioned vocab dirs advance
+    TokenizerIndex.buildUnigram(Chunking.uniTrain(docs.limit(2)), "+", dir)
+    assert(new java.io.File(s"$dir/vocab_v1").exists())
+
+    // refuse-by-mode, all directions: the BPE serve paths cannot
+    // apply a vocab table; a BPE build cannot renumber over it; the
+    // unigram reader cannot apply a merge table; a unigram build
+    // cannot renumber over a BPE artifact
+    assert(intercept[IllegalArgumentException](
+      TokenizerIndex.read(spark, dir)).getMessage.contains("mode 'unigram'"))
+    assert(intercept[IllegalArgumentException](
+      TokenizerIndex.readRanksCached(spark, dir))
+      .getMessage.contains("mode 'unigram'"))
+    assert(intercept[IllegalArgumentException](
+      Chunking.writeTokenizer(docs, dir)).getMessage.contains("unigram"))
+    val bpeDir = Files.createTempDirectory("tok-uni-bpe").toString
+    Chunking.writeTokenizer(docs, bpeDir)
+    assert(intercept[IllegalArgumentException](
+      TokenizerIndex.readUnigram(spark, bpeDir))
+      .getMessage.contains("mode 'word'"))
+    assert(intercept[IllegalArgumentException](
+      TokenizerIndex.buildUnigram(Chunking.uniTrain(docs), "+", bpeDir))
+      .getMessage.contains("mode 'word'"))
+  }
+
+  test("unigram semantics: EM keeps a frequent multi-char piece whole; ties and fallbacks are deterministic") {
+    // 'river' dominates -> the trained vocab must segment it as one
+    // piece (length 5 > UniMaxPieceLen=4 means 'rive'+'r' or
+    // 'river'? 5 > 4: the whole word is NOT a legal piece, so the
+    // best split uses the highest-mass <=4-char pieces)
+    val docs = Seq(
+      (1L, "abab abab abab abab abab cd"),
+      (2L, "abab abab abab abab cd ef")).toDF("doc_id", "text")
+    val vocab = Chunking.uniTrain(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the dominant word survives as ONE piece with its full usage
+    assert(vocab.contains("abab"), s"vocab: $vocab")
+    assert(vocab("abab") == 9L, s"usage must be word-frequency-weighted: $vocab")
+    val enc = Chunking.uniEncode(docs, Chunking.uniTrain(docs))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(enc(1L).startsWith("abab abab"),
+      s"the frequent word must encode whole: ${enc(1L)}")
+    // a word past UniMaxWordLen passes through whole as one OOV piece
+    val long = Seq((1L, "abc supercalifragilistic")).toDF("doc_id", "text")
+    val encLong = Chunking.uniEncode(long, Chunking.uniTrain(docs))
+      .collect().map(r => (r.getString(3), r.getLong(2))).head
+    assert(encLong._1.endsWith(" supercalifragilistic") && encLong._2 == 4L,
+      s"OOV long word must pass whole: $encLong")
+  }
 }
