@@ -634,7 +634,13 @@ object Multimodal {
     * put on the books. */
   private[graft] def hammingRecallRow(modality: String,
       hashes: DataFrame): DataFrame = {
+    // the decode+hash pass (the dominant cost at real payload sizes)
+    // feeds THREE branches (brute truth, banded found, query count) —
+    // one LAZY local checkpoint materializes it once under the key's
+    // single action (the q_corpus_report stance; eager would run a
+    // job at plan-construction time)
     val h = hashes.select(col("doc_id"), col("ahash"))
+      .localCheckpoint(false)
     val q = h.filter(col("doc_id") % QuerySampleMod === 0)
       .select(col("doc_id").as("q"), col("ahash").as("hq"))
     val truth = h.select(col("doc_id").as("d"), col("ahash").as("hd"))
@@ -653,7 +659,11 @@ object Multimodal {
     * pair generator with the occupancy cap REMOVED (exact-equality
     * sig intersection is already exact — the cap is the only
     * approximation in the chain), found is the operating-cap form. */
-  private def videoRecallRow(frameHashes: DataFrame): DataFrame = {
+  private def videoRecallRow(frameHashes0: DataFrame): DataFrame = {
+    // same one-decode contract as the hamming rows: sig table feeds
+    // truth, found, and the query count
+    val frameHashes = frameHashes0.select(col("doc_id"), col("ahash"))
+      .localCheckpoint(false)
     def orient(p: DataFrame) =
       p.select(col("doc_a").as("q"), col("doc_b").as("d"))
         .union(p.select(col("doc_b").as("q"), col("doc_a").as("d")))
