@@ -545,6 +545,7 @@ object Maintenance {
     * from the shipped entry point). */
   final case class PlanArgs(
       lakes: Seq[String] = Seq.empty,
+      autoTuneLakes: Seq[String] = Seq.empty,
       vectorIndexes: Seq[String] = Seq.empty,
       winnowIndexes: Seq[String] = Seq.empty,
       minhashIndexes: Seq[String] = Seq.empty,
@@ -556,7 +557,7 @@ object Maintenance {
 
   private val Flags = Set("--index", "--winnow-index", "--minhash-index",
     "--lm-index", "--lsh-index", "--phash-index", "--substr-index",
-    "--scrub")
+    "--scrub", "--auto-lake")
 
   /** Parse the operational arg vector: positional args are lake
     * dirs; each `--<kind>` flag collects the dirs that follow it
@@ -585,6 +586,7 @@ object Maintenance {
           s"unknown flag $a — expected one of ${Flags.toSeq.sorted.mkString(", ")}")
       else (mode match {
         case "" => acc.copy(lakes = acc.lakes :+ a)
+        case "--auto-lake" => acc.copy(autoTuneLakes = acc.autoTuneLakes :+ a)
         case "--index" => acc.copy(vectorIndexes = acc.vectorIndexes :+ a)
         case "--winnow-index" => acc.copy(winnowIndexes = acc.winnowIndexes :+ a)
         case "--minhash-index" =>
@@ -614,6 +616,7 @@ object Maintenance {
     val anyFailed =
       try {
         val tasks = plan(spark, pa.lakes, pa.vectorIndexes,
+          autoTuneLakes = pa.autoTuneLakes,
           winnowIndexes = pa.winnowIndexes,
           minhashIndexes = pa.minhashIndexes,
           lmIndexes = pa.lmIndexes,

@@ -1487,12 +1487,21 @@ object Chunking {
   }
 
   /** The trained unigram vocab — (piece, cnt, micro) after UniRounds
-    * hard-EM rounds and the used-or-single-char prune. */
+    * hard-EM rounds and the used-or-single-char prune.
+    *
+    * Lineage policy (the deep-N BPE-trainer lesson): every table the
+    * rounds REUSE or CHAIN (the word histogram, the enumerated segs,
+    * each round's vocab) is lazily local-checkpointed — without it
+    * the unrolled plan re-embeds every prior round's full lineage
+    * per consumer (measured 536 shuffles in q_unigram_encode's plan;
+    * ~40 after). Lazy, not eager: constructing the key must not run
+    * jobs (PlanDump / plan goldens build keys without executing). */
   private[graft] def uniTrain(docs: DataFrame): DataFrame = {
-    val words = uniWords(docs)
-    val segs = uniSegs(words)
-    val vR = (1 to UniRounds).foldLeft(uniMicros(uniSeed(words)))(
-      (v, _) => uniEmRound(words, segs, v))
+    val words = uniWords(docs).localCheckpoint(false)
+    val segs = uniSegs(words).localCheckpoint(false)
+    val vR = (1 to UniRounds).foldLeft(
+      uniMicros(uniSeed(words)).localCheckpoint(false))(
+      (v, _) => uniEmRound(words, segs, v).localCheckpoint(false))
     uniMicros(vR.filter(col("cnt") > 0 || length(col("piece")) === 1)
       .select(col("piece"), col("cnt")))
   }
@@ -1502,7 +1511,7 @@ object Chunking {
     * shuffles (the q_bpe_encode_fast stance). */
   private[graft] def uniEncode(docs: DataFrame,
       vocabMicros: DataFrame): DataFrame = {
-    val words = uniWords(docs)
+    val words = uniWords(docs).localCheckpoint(false)
     val segMap = uniBest(words, uniSegs(words), vocabMicros)
       .select(col("w"), concat_ws(UniJoin, col("pieces")).as("_e"),
         size(col("pieces")).cast("long").as("_np"))

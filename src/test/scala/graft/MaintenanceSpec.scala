@@ -685,6 +685,7 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
   test("parseArgs maps the operational grammar onto plan()'s registrations") {
     val pa = Maintenance.parseArgs(Seq(
       "/lakes/a", "/lakes/b",
+      "--auto-lake", "/lakes/tuned",
       "--index", "/idx/vec1", "/idx/vec2",
       "--phash-index", "/idx/ph",
       "--substr-index", "/idx/sub",
@@ -693,6 +694,7 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
       "--scrub", "s3a://bkt/lake::s3a://bkt/view",
       "--winnow-index", "/idx/win"))
     assert(pa.lakes == Seq("/lakes/a", "/lakes/b"))
+    assert(pa.autoTuneLakes == Seq("/lakes/tuned"))
     assert(pa.vectorIndexes == Seq("/idx/vec1", "/idx/vec2"))
     assert(pa.phashIndexes == Seq("/idx/ph"))
     assert(pa.substrIndexes == Seq("/idx/sub"))
