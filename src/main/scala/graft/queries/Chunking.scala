@@ -1629,38 +1629,49 @@ object Chunking {
              |ORDER BY cnt DESC, piece""".stripMargin)
   )
 
+  /** The encode tail shared by the encode and fertility oracles:
+    * Viterbi under the FINAL vocab `vf` → per-word piece map `encm`
+    * → positional corpus tokens `tok`. */
+  private[queries] val uniEncodeTailCtes: String =
+    s"""bestf AS (
+       |  SELECT w, pieces FROM (
+       |    SELECT s.*, row_number() OVER (PARTITION BY s.w
+       |      ORDER BY s.score DESC, len(s.pieces), s.m) AS rn
+       |    FROM (
+       |      SELECT e.w, e.m, e.pieces,
+       |             count(*) AS matched,
+       |             list_reduce(list_concat(list(v.micro :: HUGEINT),
+       |               list_transform(range(0, $UniMaxPieces - len(e.pieces)),
+       |                              x -> 1000000 :: HUGEINT)),
+       |               (a, b) -> a * b) AS score
+       |      FROM (SELECT w, m, pieces, unnest(pieces) AS piece FROM segs) e
+       |      JOIN vf v USING (piece)
+       |      GROUP BY e.w, e.m, e.pieces) s
+       |    WHERE s.matched = len(s.pieces))
+       |  WHERE rn = 1),
+       |encm AS (
+       |  SELECT w, array_to_string(pieces, '$UniJoin') AS e,
+       |         CAST(len(pieces) AS BIGINT) AS np
+       |  FROM bestf),
+       |tok AS (
+       |  SELECT doc_id, i AS pos, toks[CAST(i AS INT)] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+       |  WHERE toks[CAST(i AS INT)] <> '')""".stripMargin
+
+  /** The full unigram oracle preamble (trainer chain + encode tail)
+    * — what every consumer of the trained-then-applied tokenizer
+    * composes its final SELECT over. */
+  private[queries] val uniFullOracleCtes: String =
+    s"WITH $uniOracleChain,\n$uniEncodeTailCtes"
+
   private[queries] val qUnigramEncode = Q(
     "q_unigram_encode",
     (s, d) => {
       val docs = Tables.documents(s, d)
       uniEncode(docs, uniTrain(docs))
     },
-    Some(s"""WITH $uniOracleChain,
-             |bestf AS (
-             |  SELECT w, pieces FROM (
-             |    SELECT s.*, row_number() OVER (PARTITION BY s.w
-             |      ORDER BY s.score DESC, len(s.pieces), s.m) AS rn
-             |    FROM (
-             |      SELECT e.w, e.m, e.pieces,
-             |             count(*) AS matched,
-             |             list_reduce(list_concat(list(v.micro :: HUGEINT),
-             |               list_transform(range(0, $UniMaxPieces - len(e.pieces)),
-             |                              x -> 1000000 :: HUGEINT)),
-             |               (a, b) -> a * b) AS score
-             |      FROM (SELECT w, m, pieces, unnest(pieces) AS piece FROM segs) e
-             |      JOIN vf v USING (piece)
-             |      GROUP BY e.w, e.m, e.pieces) s
-             |    WHERE s.matched = len(s.pieces))
-             |  WHERE rn = 1),
-             |encm AS (
-             |  SELECT w, array_to_string(pieces, '$UniJoin') AS e,
-             |         CAST(len(pieces) AS BIGINT) AS np
-             |  FROM bestf),
-             |tok AS (
-             |  SELECT doc_id, i AS pos, toks[CAST(i AS INT)] AS w
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
-             |  WHERE toks[CAST(i AS INT)] <> '')
+    Some(s"""$uniFullOracleCtes
              |SELECT d.doc_id,
              |  CAST(count(t.pos) AS BIGINT) AS n_tokens,
              |  coalesce(CAST(sum(m.np) AS BIGINT), 0) AS n_pieces,

@@ -732,11 +732,59 @@ object Indexed {
     Chunking.qUnigramEncode.oracle
   )
 
+  /** The tokenizer-EQUITY audit for the unigram mode (r17 —
+    * `q_tokenizer_fertility`'s sibling over the stored vocab): per
+    * language, how many pieces the committed unigram tokenizer spends
+    * per word and per character. A language the vocab undercovers
+    * pays in fertility BEFORE the training budget overruns do.
+    * Zero-shuffle serve scan (distinct-word Viterbi + broadcast map
+    * join) + one O(langs) partial-agg'd roll-up. FULL oracle over the
+    * unrolled trainer + encode chain. */
+  private val qUnigramFertility = Q(
+    "q_unigram_fertility",
+    (s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      Chunking.uniEncode(docs,
+          graft.index.TokenizerIndex.readUnigram(s, unigramDirFor(s, d)).vocab)
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_chars")).as("_nc"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_words"), 6)
+            .as("fertility"),
+          round(col("_nc").cast("double") / col("n_pieces"), 6)
+            .as("chars_per_piece"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""${Chunking.uniFullOracleCtes},
+             |perdoc AS (
+             |  SELECT d.doc_id, d.lang, d.n_chars,
+             |    CAST(count(t.pos) AS BIGINT) AS nw,
+             |    coalesce(CAST(sum(m.np) AS BIGINT), 0) AS npc
+             |  FROM documents d
+             |  LEFT JOIN tok t USING (doc_id)
+             |  LEFT JOIN encm m USING (w)
+             |  GROUP BY d.doc_id, d.lang, d.n_chars)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(nw) AS BIGINT) AS n_words,
+             |  CAST(sum(npc) AS BIGINT) AS n_pieces,
+             |  round(CAST(sum(npc) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
+             |    AS fertility,
+             |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(npc) AS DOUBLE), 6)
+             |    AS chars_per_piece
+             |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin)
+  )
+
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
     qMinhashDupIndexed, qDupClustersMinhashIndexed, qWinnowingIndexed,
     qBpeEncodeIndexed, qTokenizerFertility, qMixTemperatureTokens,
     qMixBudgetPlan, qDsirWeightsIndexed, qLmScoreIndexed,
     qDecontaminateSemanticIndexed, qImagePhashDupIndexed,
     qAudioPhashDupIndexed, qVideoFramesigDupIndexed,
-    qExactSubstringDedupIndexed, qUnigramEncodeIndexed)
+    qExactSubstringDedupIndexed, qUnigramEncodeIndexed,
+    qUnigramFertility)
 }
