@@ -1541,6 +1541,16 @@ object Chunking {
     val segMap = uniBest(words, uniSegs(words), vocabMicros)
       .select(col("w"), concat_ws(UniJoin, col("pieces")).as("_e"),
         size(col("pieces")).cast("long").as("_np"))
+    corpusEncodeVia(docs, segMap)
+  }
+
+  /** The corpus-mapping tail every per-distinct-word tokenizer mode
+    * shares (unigram Viterbi, WordPiece max-munch): positional word
+    * explode → broadcast join against the `(w, _e, _np)` segmentation
+    * map → per-doc reassembly in position order. The corpus never
+    * shuffles on data-sized keys — the one wide agg groups by doc_id,
+    * which is the reassembly, not a join. */
+  private def corpusEncodeVia(docs: DataFrame, segMap: DataFrame): DataFrame = {
     val enc = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .toDF("doc_id", "pos", "w")
@@ -1705,9 +1715,323 @@ object Chunking {
              |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) — the
+  // family's FOURTH production mode, closing the standard set
+  // (merge-frequency BPE, byte-fallback BPE, unigram-LM, WordPiece).
+  // What distinguishes it from the other three, re-expressed in the
+  // family's exact-integer discipline so the whole chain is
+  // FULL-oracle:
+  //   * symbols live WITHIN words and carry the positional marking the
+  //     original uses: a word's first character is unmarked, every
+  //     continuation character is '##'-prefixed; a merge concatenates
+  //     the left symbol with the right symbol's UNMARKED text, so the
+  //     merged symbol inherits the left's position class;
+  //   * the trainer is merge-based like BPE but the per-round argmax
+  //     maximizes the LIKELIHOOD GAIN score cnt(xy)/(cnt(x)·cnt(y)),
+  //     not the raw pair count — computed as the exact scaled integer
+  //     quotient cnt_xy·1e12 DIV (cnt_x·cnt_y) in DECIMAL(38,0) /
+  //     HUGEINT (both engines produce the identical integer, so the
+  //     argmax order — score desc, cnt desc, (l, r) asc — is shared
+  //     without any float);
+  //   * ENCODING is greedy longest-match-first ("max munch") against
+  //     the trained vocab, position-class-eligible at each step — the
+  //     production inference semantics, which deliberately does NOT
+  //     replay the trainer's merge order (true of real WordPiece too);
+  //     a word the vocab cannot cover passes through WHOLE as one OOV
+  //     piece instead of the original's [UNK] (the family's lossless
+  //     ingest stance — never destroy data on an ingest path).
+  //
+  // 100 TB shape: identical to the unigram mode — the trainer's input
+  // is the DISTINCT-WORD histogram (one partial-agg'd shuffle over the
+  // corpus, then every pass is per-distinct-word over a bounded
+  // working set); the vocab is bounded (corpus character classes + R
+  // merges) and broadcastable; the encode pass max-munches each
+  // distinct word once and maps the corpus through a broadcast join —
+  // the corpus never shuffles.
+  // ------------------------------------------------------------------
+
+  private[graft] val WpRounds = 3
+  private[graft] val WpMark = "##"
+  private[graft] val WpScale = 1000000000000L
+
+  /** Initial within-word tokenization: first char unmarked,
+    * continuations '##'-marked. The guard keeps Spark's `sequence`
+    * from generating DESCENDING [2, 1] on single-char words. */
+  private def wpCharsExpr: String =
+    s"""CASE WHEN length(w) < 2 THEN array(w)
+       |ELSE concat(array(substring(w, 1, 1)),
+       |  transform(sequence(2, length(w)),
+       |            i -> concat('$WpMark', substring(w, i, 1))))
+       |END""".stripMargin
+
+  /** [[mergeFoldSql]]'s WordPiece form: the merged symbol is plain
+    * concatenation with the right's marking stripped (within-word
+    * symbols need no join char — a symbol IS a marked substring). */
+  private def wpMergeFoldSql: String =
+    s"""aggregate(toks, CAST(array() AS ARRAY<STRING>),
+       |  (acc, x) -> CASE WHEN size(acc) > 0
+       |                    AND element_at(acc, -1) = _ml AND x = _mr
+       |              THEN concat(slice(acc, 1, size(acc) - 1),
+       |                          array(concat(_ml, replace(_mr, '$WpMark', ''))))
+       |              ELSE concat(acc, array(x)) END)""".stripMargin
+
+  /** The trained WordPiece vocab — (piece, cnt) where cnt is the
+    * piece's weighted usage in the final tokenization (0 for a
+    * single-char floor symbol merged entirely away — kept anyway: the
+    * coverage floor is what guarantees max-munch terminates without
+    * OOV on the training corpus, the unigram single-char-floor
+    * stance). The per-round pair and symbol counts are two
+    * partial-agg'd shuffles over the distinct-word working set; the
+    * argmax is a 1-row frame; lineage is bounded by per-round lazy
+    * local checkpoints (the uniTrain policy). The exhaustion guard is
+    * [[bpeTrain]]'s: an empty argmax stops the loop instead of
+    * cross-joining a zero-row broadcast that would wipe the working
+    * set (the oracle's LEFT JOIN ON TRUE agrees: an empty layer
+    * passes the tokenization through unchanged). */
+  private[graft] def wpVocab(words: DataFrame, rounds: Int): DataFrame = {
+    var cur = words.select(expr(wpCharsExpr).as("toks"), col("c"))
+      .localCheckpoint(false)
+    val floor = cur.select(explode(col("toks")).as("piece")).distinct()
+      .localCheckpoint(false)
+    var merged = Vector.empty[DataFrame]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      r += 1
+      val pairs = cur.where(size(col("toks")) >= 2)
+        .select(col("c"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |          i -> struct(element_at(toks, i) AS lt,
+            |                      element_at(toks, i + 1) AS rt))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.lt").as("l"), col("p.rt").as("r"))
+        .agg(sum(col("c")).as("cnt"))
+      val syms = cur.select(col("c"), explode(col("toks")).as("s"))
+        .groupBy(col("s")).agg(sum(col("c")).as("scnt"))
+      val best = pairs
+        .join(syms.select(col("s").as("l"), col("scnt").as("lcnt")), Seq("l"))
+        .join(syms.select(col("s").as("r"), col("scnt").as("rcnt")), Seq("r"))
+        .withColumn("score", expr(
+          s"CAST(cnt AS DECIMAL(38,0)) * $WpScale DIV " +
+            "(CAST(lcnt AS DECIMAL(38,0)) * rcnt)"))
+        .orderBy(col("score").desc, col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .select(col("l"), col("r"))
+        .localCheckpoint(false)
+      exhausted = best.isEmpty
+      if (!exhausted) {
+        merged :+= best.select(
+          expr(s"concat(l, replace(r, '$WpMark', ''))").as("piece"))
+        // unlike bpeTrain, the LAST round's re-tokenization is read:
+        // the vocab's usage counts come from the final working set
+        cur = cur
+          .crossJoin(broadcast(best.select(col("l").as("_ml"), col("r").as("_mr"))))
+          .withColumn("toks", expr(wpMergeFoldSql))
+          .drop("_ml", "_mr")
+          .localCheckpoint(false)
+      }
+    }
+    val usage = cur.select(col("c"), explode(col("toks")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("_u"))
+    (floor +: merged).reduce(_ unionByName _).distinct()
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("_u"), lit(0L)).as("cnt"))
+  }
+
+  /** Memoized corpus-form [[wpVocab]] (the family's train-once memo):
+    * the vocab is bounded (character classes + R merges) and
+    * deterministic in the corpus fingerprint. */
+  private val wpVocabMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(String, Long)]]
+
+  private[graft] def wpVocabCached(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val key = s"$d#${KMeans.dirFingerprint(s, s"$d/documents.parquet")}"
+    val rows = wpVocabMemo.computeIfAbsent(key, _ =>
+      wpVocab(uniWords(Tables.documents(s, d)), WpRounds)
+        .collect().map(r => (r.getString(0), r.getLong(1))))
+    import s.implicits._
+    rows.toSeq.toDF("piece", "cnt")
+  }
+
+  /** Greedy longest-match-first segmentation of one word under the
+    * in-scope `_vocab` array (pre-sorted by unmarked length desc,
+    * then piece asc — `filter` preserves order, so the first
+    * survivor IS the max munch). The position derives from the
+    * UNMARKED lengths of the pieces matched so far, each step is
+    * LET-BOUND through a 1-element transform (SQL lambdas have no
+    * locals), and a step no vocab piece matches appends a
+    * sentinel-marked remainder whose length pushes the position past
+    * the end — terminating the fold and flagging the word OOV. */
+  private def wpMunchSql: String =
+    s"""aggregate(sequence(1, length(w)), CAST(array() AS ARRAY<STRING>),
+       |  (acc, it) -> element_at(transform(
+       |    array(1 + aggregate(acc, 0,
+       |                        (a, q) -> a + length(replace(q, '$WpMark', '')))),
+       |    pp -> CASE WHEN pp > length(w) THEN acc ELSE
+       |      element_at(transform(array(filter(_vocab, p ->
+       |          ((pp = 1) = (substring(p, 1, 2) <> '$WpMark'))
+       |          AND substring(w, pp, length(replace(p, '$WpMark', '')))
+       |              = replace(p, '$WpMark', ''))),
+       |        cs -> CASE WHEN size(cs) = 0
+       |          THEN concat(acc, array(concat(char(1), substring(w, pp))))
+       |          ELSE concat(acc, array(element_at(cs, 1))) END), 1)
+       |      END), 1))""".stripMargin
+
+  /** Segment a corpus under a trained WordPiece vocab: max-munch once
+    * per DISTINCT word, then the shared broadcast corpus map. Encoded
+    * form = pieces joined by spaces, marks kept ("ab ##cd") — the
+    * BERT token-stream form; word boundaries recover from the marks,
+    * so decode is lossless, including the OOV whole-word fallback. */
+  private[graft] def wpEncode(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    val sorted = vocab.sortBy(p => (-p.replace(WpMark, "").length, p))
+    val segMap = uniWords(docs)
+      .withColumn("_vocab", typedLit(sorted))
+      .withColumn("_ps", expr(wpMunchSql))
+      .withColumn("pieces", expr(
+        "IF(exists(_ps, p -> substring(p, 1, 1) = char(1)), array(w), _ps)"))
+      .select(col("w"), expr("array_join(pieces, ' ')").as("_e"),
+        size(col("pieces")).cast("long").as("_np"))
+    corpusEncodeVia(docs, segMap)
+  }
+
+  /** The unrolled WordPiece trainer oracle — every CTE mirrors the
+    * engine stage 1:1 (marked-char toks0 → per-round pair counts +
+    * symbol counts + HUGEINT-scored argmax + greedy fold → usage
+    * re-count → floor-or-merged vocab). Ends with
+    * `wvocab(piece, cnt)`. */
+  private def wpOracleChain: String = {
+    def round(r: Int): String =
+      s"""wp$r AS (SELECT l[i] AS lt, l[i+1] AS rt, CAST(sum(c) AS BIGINT) AS cnt
+         |         FROM wtoks${r - 1}, LATERAL (SELECT unnest(range(1, len(l))) AS i) u
+         |         WHERE len(l) >= 2 GROUP BY 1, 2),
+         |ws$r AS (SELECT s, CAST(sum(c) AS BIGINT) AS scnt
+         |         FROM (SELECT c, unnest(l) AS s FROM wtoks${r - 1}) GROUP BY 1),
+         |wb$r AS (SELECT lt, rt,
+         |           (p.cnt :: HUGEINT * $WpScale) //
+         |             (sl.scnt :: HUGEINT * sr.scnt) AS score, p.cnt
+         |         FROM wp$r p JOIN ws$r sl ON sl.s = p.lt
+         |                     JOIN ws$r sr ON sr.s = p.rt
+         |         ORDER BY score DESC, p.cnt DESC, lt, rt LIMIT 1),
+         |wtoks$r AS (SELECT w, c,
+         |    CASE WHEN b.lt IS NULL OR len(l) < 2 THEN l ELSE
+         |      list_reduce(list_transform(l, t -> [t]),
+         |        (acc, x) -> CASE WHEN acc[-1] = b.lt AND x[1] = b.rt
+         |                    THEN list_append(acc[1:len(acc)-1],
+         |                                     b.lt || replace(b.rt, '$WpMark', ''))
+         |                    ELSE list_append(acc, x[1]) END)
+         |    END AS l
+         |    FROM wtoks${r - 1} LEFT JOIN wb$r b ON TRUE)""".stripMargin
+    s"""words AS (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |wtoks0 AS (
+       |  SELECT w, c,
+       |    CASE WHEN length(w) < 2 THEN [w]
+       |    ELSE list_concat([substr(w, 1, 1)],
+       |      list_transform(range(2, length(w) + 1),
+       |                     i -> '$WpMark' || substr(w, CAST(i AS INT), 1)))
+       |    END AS l
+       |  FROM words),
+       |${(1 to WpRounds).map(round).mkString(",\n")},
+       |wfloor AS (SELECT DISTINCT s AS piece
+       |           FROM (SELECT unnest(l) AS s FROM wtoks0)),
+       |wmerged AS (${(1 to WpRounds)
+          .map(r => s"SELECT lt || replace(rt, '$WpMark', '') AS piece FROM wb$r")
+          .mkString("\n UNION ")}),
+       |wusage AS (SELECT s AS piece, CAST(sum(c) AS BIGINT) AS cnt
+       |           FROM (SELECT c, unnest(l) AS s FROM wtoks$WpRounds) GROUP BY 1),
+       |wvocab AS (
+       |  SELECT v.piece, coalesce(u.cnt, 0) AS cnt
+       |  FROM (SELECT piece FROM wfloor UNION SELECT piece FROM wmerged) v
+       |  LEFT JOIN wusage u USING (piece))""".stripMargin
+  }
+
+  /** The encode tail shared by the WordPiece encode and fertility
+    * oracles: sorted vocab list → per-distinct-word max-munch fold
+    * (the engine's exact step semantics, incl. the sentinel OOV
+    * fallback) → per-word piece map `wencm` → positional corpus
+    * tokens `tok`. The fold's accumulator is a plain VARCHAR list
+    * with the position DERIVED from matched unmarked lengths — the
+    * struct-accumulator form double-reads the bound element, which
+    * DuckDB 1.0.0 lambdas corrupt (reproduced: list_append of a
+    * captured element returns '' when the element is also read by
+    * length()). */
+  private[queries] val wpEncodeTailCtes: String =
+    s"""wvlist AS (
+       |  SELECT list_transform(
+       |    list_sort(list_transform(list(piece),
+       |      p -> {'klen': -length(replace(p, '$WpMark', '')), 'p': p}), 'ASC'),
+       |    x -> x.p) AS vocab
+       |  FROM wvocab),
+       |wseg AS (
+       |  SELECT w.w,
+       |    list_reduce(
+       |      list_concat([[] :: VARCHAR[]],
+       |        list_transform(range(1, length(w.w) + 1), i -> [] :: VARCHAR[])),
+       |      (acc, st) -> list_transform(
+       |        [1 + coalesce(list_sum(list_transform(acc,
+       |               q -> length(replace(q, '$WpMark', '')))), 0)],
+       |        pp -> CASE WHEN pp > length(w.w) THEN acc ELSE
+       |          list_transform([list_filter(v.vocab, p ->
+       |              (pp = 1) = NOT starts_with(p, '$WpMark')
+       |              AND substr(w.w, CAST(pp AS INT),
+       |                         length(replace(p, '$WpMark', '')))
+       |                  = replace(p, '$WpMark', ''))[1]],
+       |            c -> CASE WHEN c IS NULL
+       |              THEN list_append(acc, chr(1) || substr(w.w, CAST(pp AS INT)))
+       |              ELSE list_append(acc, c) END)[1]
+       |          END)[1]) AS ps
+       |  FROM words w, wvlist v),
+       |wencm AS (
+       |  SELECT w,
+       |    array_to_string(CASE WHEN len(list_filter(ps,
+       |        p -> starts_with(p, chr(1)))) > 0 THEN [w] ELSE ps END, ' ') AS e,
+       |    CAST(CASE WHEN len(list_filter(ps,
+       |        p -> starts_with(p, chr(1)))) > 0 THEN 1 ELSE len(ps) END
+       |      AS BIGINT) AS np
+       |  FROM wseg),
+       |tok AS (
+       |  SELECT doc_id, i AS pos, toks[CAST(i AS INT)] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+       |  WHERE toks[CAST(i AS INT)] <> '')""".stripMargin
+
+  private[queries] val wpFullOracleCtes: String =
+    s"WITH $wpOracleChain,\n$wpEncodeTailCtes"
+
+  private val qWordpieceTrain = Q(
+    "q_wordpiece_train",
+    (s, d) => wpVocabCached(s, d)
+      .select(col("piece"), col("cnt"),
+        expr(s"substring(piece, 1, 2) <> '$WpMark'").as("is_initial"))
+      .orderBy(col("cnt").desc, col("piece")),
+    Some(s"""WITH $wpOracleChain
+             |SELECT piece, cnt, NOT starts_with(piece, '$WpMark') AS is_initial
+             |FROM wvocab ORDER BY cnt DESC, piece""".stripMargin)
+  )
+
+  private[queries] val qWordpieceEncode = Q(
+    "q_wordpiece_encode",
+    (s, d) => wpEncode(Tables.documents(s, d),
+      wpVocabCached(s, d).collect().map(_.getString(0)).toSeq),
+    Some(s"""$wpFullOracleCtes
+             |SELECT d.doc_id,
+             |  CAST(count(t.pos) AS BIGINT) AS n_tokens,
+             |  coalesce(CAST(sum(m.np) AS BIGINT), 0) AS n_pieces,
+             |  coalesce(string_agg(m.e, ' ' ORDER BY t.pos), '') AS encoded
+             |FROM documents d
+             |LEFT JOIN tok t USING (doc_id)
+             |LEFT JOIN wencm m USING (w)
+             |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin)
+  )
+
   def qs: Seq[Q] =
     Seq(qSpanDedup, qSpanScrub, qExactSubstringDedup, qExactSubstringScrub,
       qChunkDocuments, qBpePairs, qBpeTrain, qBpeTrainHist,
       qBpeEncode, qBpeEncodeFast, qBpeRoundtrip, qBpeByteRoundtrip,
-      qSourceOverlap, qOovRate, qUnigramTrain, qUnigramEncode)
+      qSourceOverlap, qOovRate, qUnigramTrain, qUnigramEncode,
+      qWordpieceTrain, qWordpieceEncode)
 }
