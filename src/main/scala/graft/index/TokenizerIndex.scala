@@ -58,10 +58,10 @@ object TokenizerIndex {
     require(mode == "word" || mode == "byte", s"unknown tokenizer mode: $mode")
     val spark = merges.sparkSession
     val fs = fsFor(spark, dir)
-    require(!modeOf(fs, dir).contains("unigram"),
-      s"tokenizer artifact at $dir is mode 'unigram' (a vocab table) — " +
-        "a BPE merge-table build over it would leave two mutually " +
-        "meaningless artifacts under one dir; use a fresh dir")
+    require(!modeOf(fs, dir).exists(m => m == "unigram" || m == "wordpiece"),
+      s"tokenizer artifact at $dir is mode '${modeOf(fs, dir).getOrElse("")}' " +
+        "(a vocab table) — a BPE merge-table build over it would leave two " +
+        "mutually meaningless artifacts under one dir; use a fresh dir")
     val current = currentName(fs, dir)
     current.foreach(cur =>
       MetaMarker.retireUnnamed(fs, dir, Seq("merges"), Set(cur)))
@@ -125,6 +125,67 @@ object TokenizerIndex {
         s""""mode": "unigram"}""")
   }
 
+  private val VersionedWpVocab = "wpvocab_v(\\d+)".r
+
+  private val wpVocabSchema = StructType(Seq(
+    StructField("piece", StringType),
+    StructField("cnt", LongType)))
+
+  /** The committed WORDPIECE artifact: the (piece, cnt) vocab plus the
+    * continuation mark its pieces carry inline ('##' — decoding or
+    * max-munching under a different mark corrupts text, so it rides
+    * the meta like the BPE join char). */
+  final case class WordpieceVocab(vocab: DataFrame, mark: String)
+
+  /** Persist a trained WordPiece vocab (r17 — the family's fourth
+    * mode): mode "wordpiece" stores a `wpvocab_vN` (piece, cnt) table.
+    * Same refuse-by-mode gating both directions and the same staged
+    * meta-swap commit as the other modes. */
+  def buildWordpiece(vocab: DataFrame, mark: String, dir: String): Unit = {
+    val spark = vocab.sparkSession
+    val fs = fsFor(spark, dir)
+    val existingMode = modeOf(fs, dir)
+    require(existingMode.forall(_ == "wordpiece"),
+      s"tokenizer artifact at $dir is mode '${existingMode.getOrElse("")}' — " +
+        "a wordpiece vocab build over it would leave two mutually " +
+        "meaningless artifacts under one dir; use a fresh dir")
+    val current = currentName(fs, dir)
+    current.foreach(cur =>
+      MetaMarker.retireUnnamed(fs, dir, Seq("wpvocab"), Set(cur)))
+    val n = current match {
+      case Some(VersionedWpVocab(v)) => v.toInt + 1
+      case Some(other) => throw new IllegalStateException(
+        s"tokenizer meta at $dir names vocab dir '$other', which does " +
+          "not match wpvocab_v<N> — refusing to renumber over it")
+      case None => 0
+    }
+    val next = s"wpvocab_v$n"
+    vocab.select("piece", "cnt")
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    MetaMarker.write(fs, dir, META,
+      s"""{"vocab": "$next", "mark": ${quote(mark)}, """ +
+        s""""mode": "wordpiece"}""")
+  }
+
+  /** The committed WordPiece vocab (explicit schema, meta-resolved).
+    * Refuses every other mode — max-munching under BPE merges or a
+    * unigram micro table would silently segment garbage. */
+  def readWordpiece(spark: SparkSession, dir: String): WordpieceVocab = {
+    val fs = fsFor(spark, dir)
+    if (!MetaMarker.exists(fs, dir, META))
+      throw new IllegalArgumentException(s"no tokenizer artifact at $dir")
+    val root = MetaMarker.read(fs, dir, META)
+    val mode = Option(root.get("mode")).map(_.asText()).getOrElse("word")
+    require(mode == "wordpiece",
+      s"tokenizer artifact at $dir is mode '$mode' — the wordpiece " +
+        "max-munch serve path cannot apply it; read it through the " +
+        "matching TokenizerIndex reader instead")
+    WordpieceVocab(
+      spark.read.schema(wpVocabSchema)
+        .parquet(s"$dir/${root.get("vocab").asText()}"),
+      root.get("mark").asText())
+  }
+
   /** The committed unigram vocab (explicit schema, meta-resolved).
     * Refuses merge-table artifacts — applying a unigram Viterbi over
     * BPE merges (or vice versa) would silently segment garbage. */
@@ -152,10 +213,12 @@ object TokenizerIndex {
     if (!MetaMarker.exists(fs, dir, META))
       throw new IllegalArgumentException(s"no tokenizer artifact at $dir")
     val root = MetaMarker.read(fs, dir, META)
-    require(!Option(root.get("mode")).map(_.asText()).contains("unigram"),
-      s"tokenizer artifact at $dir is mode 'unigram' (a vocab table) — " +
-        "the merge-table serve path cannot apply it; read it through " +
-        "TokenizerIndex.readUnigram instead")
+    require(!Option(root.get("mode")).map(_.asText())
+        .exists(m => m == "unigram" || m == "wordpiece"),
+      s"tokenizer artifact at $dir is mode " +
+        s"'${Option(root.get("mode")).map(_.asText()).getOrElse("word")}' " +
+        "(a vocab table) — the merge-table serve path cannot apply it; " +
+        "read it through TokenizerIndex.readUnigram / readWordpiece instead")
     Tokenizer(
       spark.read.schema(mergesSchema)
         .parquet(s"$dir/${root.get("merges").asText()}"),

@@ -1839,6 +1839,11 @@ object Chunking {
       .select(col("piece"), coalesce(col("_u"), lit(0L)).as("cnt"))
   }
 
+  /** Docs-form trainer (specs + ad-hoc consumers): distinct-word
+    * histogram → [[wpVocab]] at the standard round count. */
+  private[graft] def wpTrain(docs: DataFrame): DataFrame =
+    wpVocab(uniWords(docs), WpRounds)
+
   /** Memoized corpus-form [[wpVocab]] (the family's train-once memo):
     * the vocab is bounded (character classes + R merges) and
     * deterministic in the corpus fingerprint. */

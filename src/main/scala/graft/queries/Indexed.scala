@@ -778,6 +778,80 @@ object Indexed {
              |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin)
   )
 
+  /** Build-once memo for the persisted WORDPIECE tokenizer artifact
+    * ([[graft.index.TokenizerIndex]] mode "wordpiece") over a corpus
+    * dir's `documents` table. */
+  private[graft] def wordpieceDirFor(s: SparkSession, d: String): String =
+    ensureIndex(s, "wptok", d, "documents.parquet",
+        dir => graft.index.TokenizerIndex.exists(s, dir)) { scratch =>
+      graft.index.TokenizerIndex.buildWordpiece(
+        Chunking.wpVocabCached(s, d), Chunking.WpMark, scratch)
+    }
+
+  private def wpServedVocab(s: SparkSession, d: String): Seq[String] =
+    graft.index.TokenizerIndex.readWordpiece(s, wordpieceDirFor(s, d))
+      .vocab.select(col("piece")).collect().map(_.getString(0)).toSeq
+
+  /** `q_wordpiece_encode` answered FROM the persisted vocab: the
+    * merge trainer (the corpus-scaled cost) runs once into the
+    * tokenizer artifact under mode "wordpiece"; the serve re-runs
+    * only the per-distinct-word max-munch against the STORED (piece,
+    * cnt) table and maps the corpus through a broadcast join.
+    * VERBATIM oracle reuse — hash-green proves the stored vocab
+    * max-munches bit-identically to the inline trainer, and the
+    * refuse-by-mode meta keeps every other mode's serve path off it
+    * (TokenizerIndexSpec pins the refusals). */
+  private val qWordpieceEncodeIndexed = Q(
+    "q_wordpiece_encode_indexed",
+    (s, d) => Chunking.wpEncode(graft.Tables.documents(s, d),
+      wpServedVocab(s, d)),
+    Chunking.qWordpieceEncode.oracle
+  )
+
+  /** The tokenizer-EQUITY audit for the wordpiece mode
+    * (`q_unigram_fertility`'s sibling over the stored wordpiece
+    * vocab): per language, pieces per word and chars per piece under
+    * the committed max-munch tokenizer. Zero-shuffle serve scan +
+    * one O(langs) roll-up; FULL oracle over the unrolled trainer +
+    * max-munch chain. */
+  private val qWordpieceFertility = Q(
+    "q_wordpiece_fertility",
+    (s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      Chunking.wpEncode(docs, wpServedVocab(s, d))
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_chars")).as("_nc"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_words"), 6)
+            .as("fertility"),
+          round(col("_nc").cast("double") / col("n_pieces"), 6)
+            .as("chars_per_piece"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""${Chunking.wpFullOracleCtes},
+             |perdoc AS (
+             |  SELECT d.doc_id, d.lang, d.n_chars,
+             |    CAST(count(t.pos) AS BIGINT) AS nw,
+             |    coalesce(CAST(sum(m.np) AS BIGINT), 0) AS npc
+             |  FROM documents d
+             |  LEFT JOIN tok t USING (doc_id)
+             |  LEFT JOIN wencm m USING (w)
+             |  GROUP BY d.doc_id, d.lang, d.n_chars)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(nw) AS BIGINT) AS n_words,
+             |  CAST(sum(npc) AS BIGINT) AS n_pieces,
+             |  round(CAST(sum(npc) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
+             |    AS fertility,
+             |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(npc) AS DOUBLE), 6)
+             |    AS chars_per_piece
+             |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin)
+  )
+
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,
     qMinhashDupIndexed, qDupClustersMinhashIndexed, qWinnowingIndexed,
     qBpeEncodeIndexed, qTokenizerFertility, qMixTemperatureTokens,
@@ -785,5 +859,5 @@ object Indexed {
     qDecontaminateSemanticIndexed, qImagePhashDupIndexed,
     qAudioPhashDupIndexed, qVideoFramesigDupIndexed,
     qExactSubstringDedupIndexed, qUnigramEncodeIndexed,
-    qUnigramFertility)
+    qUnigramFertility, qWordpieceEncodeIndexed, qWordpieceFertility)
 }

@@ -251,6 +251,39 @@ object QualityStream {
       }
       .start()
 
+  /** Streaming WORDPIECE encode against the persisted vocab artifact
+    * ([[toUnigramEncodedDelivery]]'s sibling for the family's fourth
+    * mode): each micro-batch max-munches under the COMMITTED
+    * (piece, cnt) vocab
+    * ([[graft.index.TokenizerIndex.readWordpiece]] — re-resolved
+    * through the meta every trigger, so a retrain lands mid-stream
+    * with no restart, and any other mode's artifact at the dir
+    * refuses loudly). Per-batch cost: the bounded vocab read +
+    * max-munch over the BATCH'S OWN distinct words + one broadcast
+    * map join — no corpus state. A word the vocab cannot cover
+    * passes through whole (the wpEncode OOV fallback) — a retrained
+    * vocab can change a doc's segmentation, never lose the doc. */
+  def toWordpieceEncodedDelivery(
+      docs: DataFrame,
+      tokenizerDir: String,
+      outDir: String,
+      checkpointDir: String,
+      maxRecordsPerShard: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+        val s = batch.sparkSession
+        graft.sink.TrainingExport.writeJsonlShards(
+          graft.queries.Chunking.wpEncode(batch.toDF(),
+            graft.index.TokenizerIndex.readWordpiece(s, tokenizerDir)
+              .vocab.select("piece").collect().map(_.getString(0)).toSeq),
+          s"$outDir/batch_id=$batchId", maxRecordsPerShard): Unit
+      }
+      .start()
+
   /** Streaming LM gate served FROM the PERSISTED artifact
     * ([[graft.index.LmIndex]]): unlike [[qualityGated]]'s fitted-model
     * parameter (the explicit train/serve split), this consumer

@@ -576,6 +576,48 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     assert(got(102L) == "ab+ab ab+ab", got.toString)
   }
 
+  test("a Maintenance-driven WORDPIECE retrain feeds the running encode stream next batch") {
+    // r17: the wordpiece vocab joins the retrain-mid-stream contract
+    // — the delivery re-resolves the TokenizerIndex meta per trigger;
+    // OOV words pass through whole instead of becoming [UNK]
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = Files.createTempDirectory("maint-wp-stream").toString
+    val tokDir = s"$work/tok"
+    graft.index.TokenizerIndex.buildWordpiece(
+      graft.queries.Chunking.wpTrain(
+        Seq((1L, "ee ee ee ee xy xy xy")).toDF("doc_id", "text")),
+      "##", tokDir)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.stream.QualityStream.toWordpieceEncodedDelivery(
+      input.toDF().toDF("doc_id", "text"), tokDir, s"$work/out", s"$work/ckpt")
+    try {
+      input.addData((100L, "xyee ee"), (101L, "qq"))
+      q.processAllAvailable()
+      val results = Maintenance.run(spark, Seq(
+        Maintenance.Rebuild("wordpiece", tokDir) { _ =>
+          graft.index.TokenizerIndex.buildWordpiece(
+            graft.queries.Chunking.wpTrain(
+              Seq((2L, "ab ab ab")).toDF("doc_id", "text")), "##", tokDir)
+          "retrained over corpus v2"
+        }))
+      assert(results.forall(_.outcome.isSuccess),
+        results.map(_.summary).mkString("\n"))
+      input.addData((102L, "ab ee"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Seq(0, 1).map(b =>
+      graft.sink.TrainingExport.readVerified(spark, s"$work/out/batch_id=$b"))
+      .reduce(_ unionByName _)
+      .select("doc_id", "encoded").as[(Long, String)].collect().toMap
+    // v1 vocab max-munches the unseen compound; the all-OOV word
+    // passes through whole, never lost
+    assert(got(100L) == "xy ##e ##e ee", got.toString)
+    assert(got(101L) == "qq", got.toString)
+    // the retrained vocab serves from the next trigger — no restart;
+    // a word the NEW vocab cannot cover now passes through whole
+    assert(got(102L) == "ab ee", got.toString)
+  }
+
   test("counts-served scrub: the indexed binding's view is bit-identical to the inline scrub across a trigger boundary") {
     // r16 VERDICT #1: the scheduled scrub must serve from the
     // SubstrIndex the exact-substring gate maintains (one window pass

@@ -274,6 +274,81 @@ class TokenizerIndexSpec extends AnyFunSuite with SparkTestSupport {
       .getMessage.contains("mode 'word'"))
   }
 
+  test("wordpiece mode: stored vocab serves bit-identically; every other serve path refuses it (and vice versa)") {
+    val docs = Seq(
+      (1L, "ee ee ee ee xy xy"),
+      (2L, "xy ee banks")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("tok-wp").toString
+    TokenizerIndex.buildWordpiece(Chunking.wpTrain(docs), "##", dir)
+    assert(TokenizerIndex.exists(spark, dir))
+
+    // stored vocab answers exactly like the inline trainer
+    def enc(vocab: Seq[String]) = Chunking.wpEncode(docs, vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    val inline = enc(Chunking.wpTrain(docs).collect().map(_.getString(0)).toSeq)
+    val served = enc(TokenizerIndex.readWordpiece(spark, dir)
+      .vocab.select("piece").collect().map(_.getString(0)).toSeq)
+    assert(inline == served, s"stored-vocab serve drifted:\n$inline\nvs\n$served")
+
+    // a REBUILD swaps whole: versioned vocab dirs advance
+    TokenizerIndex.buildWordpiece(Chunking.wpTrain(docs.limit(1)), "##", dir)
+    assert(new java.io.File(s"$dir/wpvocab_v1").exists())
+
+    // refuse-by-mode, all directions
+    assert(intercept[IllegalArgumentException](
+      TokenizerIndex.read(spark, dir)).getMessage.contains("mode 'wordpiece'"))
+    assert(intercept[IllegalArgumentException](
+      TokenizerIndex.readRanksCached(spark, dir))
+      .getMessage.contains("mode 'wordpiece'"))
+    assert(intercept[IllegalArgumentException](
+      TokenizerIndex.readUnigram(spark, dir))
+      .getMessage.contains("mode 'wordpiece'"))
+    assert(intercept[IllegalArgumentException](
+      Chunking.writeTokenizer(docs, dir)).getMessage.contains("wordpiece"))
+    assert(intercept[IllegalArgumentException](
+      TokenizerIndex.buildUnigram(Chunking.uniTrain(docs), "+", dir))
+      .getMessage.contains("wordpiece"))
+    val bpeDir = Files.createTempDirectory("tok-wp-bpe").toString
+    Chunking.writeTokenizer(docs, bpeDir)
+    assert(intercept[IllegalArgumentException](
+      TokenizerIndex.readWordpiece(spark, bpeDir))
+      .getMessage.contains("mode 'word'"))
+    assert(intercept[IllegalArgumentException](
+      TokenizerIndex.buildWordpiece(Chunking.wpTrain(docs), "##", bpeDir))
+      .getMessage.contains("mode 'word'"))
+  }
+
+  test("wordpiece semantics: likelihood-gain argmax beats raw count; max-munch marks and OOV passthrough") {
+    // ee appears 4x (pair cnt 4, symbols e=4, ##e=4 -> score
+    // 4e12/16 = 2.5e11); xy appears 3x (pair cnt 3, symbols x=3,
+    // ##y=3 -> score 3e12/9 ~ 3.3e11). A raw-count BPE argmax picks
+    // (e, ##e); the WordPiece likelihood-gain argmax must pick
+    // (x, ##y) FIRST — the defining difference between the modes.
+    val docs = Seq((1L, "ee ee ee ee xy xy xy")).toDF("doc_id", "text")
+    val oneRound = Chunking.wpVocab(
+      docs.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")), 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oneRound.contains("xy") && !oneRound.contains("ee"),
+      s"round-1 argmax must be the likelihood-gain winner: $oneRound")
+
+    // full training merges both; usage counts are word-frequency-weighted
+    val vocab = Chunking.wpTrain(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab("xy") == 3L && vocab("ee") == 4L, s"vocab: $vocab")
+    // the single-char floor stays, usage 0 once fully merged away
+    assert(vocab("e") == 0L && vocab("##e") == 0L, s"vocab: $vocab")
+
+    // greedy longest-match-first on an UNSEEN word composes trained
+    // pieces with continuation marks; an uncoverable word passes
+    // through whole (never [UNK], never lost)
+    val pieces = vocab.keys.toSeq
+    val enc = Chunking.wpEncode(
+        Seq((1L, "xyee qq")).toDF("doc_id", "text"), pieces)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(enc == ((2L, 4L, "xy ##e ##e qq")), s"got $enc")
+  }
+
   test("unigram semantics: EM keeps a frequent multi-char piece whole; ties and fallbacks are deterministic") {
     // 'river' dominates -> the trained vocab must segment it as one
     // piece (length 5 > UniMaxPieceLen=4 means 'rive'+'r' or
