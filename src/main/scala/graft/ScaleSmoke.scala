@@ -206,7 +206,12 @@ object ScaleSmoke {
       // the per-word EM work must stay flat); the media recall eval's
       // brute-truth side is the sampled broadcast cross join
       "q_unigram_train", "q_unigram_encode", "q_unigram_encode_indexed",
-      "q_phash_recall")
+      "q_phash_recall",
+      // r17 late: WordPiece shares the unigram scale argument — the
+      // trainer and the max-munch both work per DISTINCT word, so
+      // amplified copies (same word set) must measure flat
+      "q_wordpiece_train", "q_wordpiece_encode",
+      "q_wordpiece_encode_indexed")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")
