@@ -1861,24 +1861,30 @@ object Chunking {
   }
 
   /** Greedy longest-match-first segmentation of one word under the
-    * in-scope `_vocab` array (pre-sorted by unmarked length desc,
-    * then piece asc — `filter` preserves order, so the first
-    * survivor IS the max munch). The position derives from the
-    * UNMARKED lengths of the pieces matched so far, each step is
-    * LET-BOUND through a 1-element transform (SQL lambdas have no
-    * locals), and a step no vocab piece matches appends a
-    * sentinel-marked remainder whose length pushes the position past
-    * the end — terminating the fold and flagging the word OOV. */
+    * in-scope `_vmap` bucket map (key = position class 'I'/'C' + the
+    * first unmarked character; values pre-sorted by unmarked length
+    * desc, then piece asc — `filter` preserves order, so the first
+    * survivor IS the max munch). Every candidate at a position shares
+    * its first character with the word, so the per-step cost is the
+    * BUCKET size, not |V| — the shape that holds at a production 30k
+    * vocab. The position derives from the UNMARKED lengths of the
+    * pieces matched so far, each step is LET-BOUND through a
+    * 1-element transform (SQL lambdas have no locals), and a step no
+    * vocab piece matches appends a sentinel-marked remainder whose
+    * length pushes the position past the end — terminating the fold
+    * and flagging the word OOV. */
   private def wpMunchSql: String =
     s"""aggregate(sequence(1, length(w)), CAST(array() AS ARRAY<STRING>),
        |  (acc, it) -> element_at(transform(
        |    array(1 + aggregate(acc, 0,
        |                        (a, q) -> a + length(replace(q, '$WpMark', '')))),
        |    pp -> CASE WHEN pp > length(w) THEN acc ELSE
-       |      element_at(transform(array(filter(_vocab, p ->
-       |          ((pp = 1) = (substring(p, 1, 2) <> '$WpMark'))
-       |          AND substring(w, pp, length(replace(p, '$WpMark', '')))
-       |              = replace(p, '$WpMark', ''))),
+       |      element_at(transform(array(filter(
+       |          coalesce(try_element_at(_vmap,
+       |                     concat(IF(pp = 1, 'I', 'C'), substring(w, pp, 1))),
+       |                   CAST(array() AS ARRAY<STRING>)),
+       |          p -> substring(w, pp, length(replace(p, '$WpMark', '')))
+       |               = replace(p, '$WpMark', ''))),
        |        cs -> CASE WHEN size(cs) = 0
        |          THEN concat(acc, array(concat(char(1), substring(w, pp))))
        |          ELSE concat(acc, array(element_at(cs, 1))) END), 1)
@@ -1888,11 +1894,30 @@ object Chunking {
     * per DISTINCT word, then the shared broadcast corpus map. Encoded
     * form = pieces joined by spaces, marks kept ("ab ##cd") — the
     * BERT token-stream form; word boundaries recover from the marks,
-    * so decode is lossless, including the OOV whole-word fallback. */
+    * so decode is lossless, including the OOV whole-word fallback.
+    *
+    * The vocab ships as a one-row BROADCAST map, not a plan literal —
+    * a production-sized vocab (~30k pieces) embedded in the plan
+    * would bloat every task's serialized plan and defeat plan
+    * caching; bucketing by (position class, first char) keeps the
+    * match-step scan proportional to the bucket, and dropping pieces
+    * into class buckets subsumes the per-piece eligibility check. */
   private[graft] def wpEncode(docs: DataFrame, vocab: Seq[String]): DataFrame = {
     val sorted = vocab.sortBy(p => (-p.replace(WpMark, "").length, p))
+    // Seq.groupBy preserves per-group encounter order, so each bucket
+    // stays (unmarked length desc, piece asc) — the max-munch order
+    val buckets = sorted.groupBy { p =>
+      val cont = p.startsWith(WpMark)
+      val unmarked = if (cont) p.substring(WpMark.length) else p
+      (if (cont) "C" else "I") + unmarked.substring(0, 1)
+    }
+    val s = docs.sparkSession
+    import s.implicits._
+    val vmap = buckets.toSeq.toDF("_k", "_b")
+      .agg(map_from_entries(collect_list(struct(col("_k"), col("_b"))))
+        .as("_vmap"))
     val segMap = uniWords(docs)
-      .withColumn("_vocab", typedLit(sorted))
+      .crossJoin(broadcast(vmap))
       .withColumn("_ps", expr(wpMunchSql))
       .withColumn("pieces", expr(
         "IF(exists(_ps, p -> substring(p, 1, 1) = char(1)), array(w), _ps)"))
