@@ -302,6 +302,40 @@ object Maintenance {
       corpusDir: String, table: String = "documents.parquet")(
       val rebuild: SparkSession => String)
 
+  /** A schedulable TOKENIZER retrain (r17 — the detect→retrain loop
+    * for the tokenizer family, CLI-reachable like scrubs): when the
+    * corpus fingerprint moves, retrain the named mode's artifact into
+    * its [[graft.index.TokenizerIndex]] dir; the running encode
+    * streams re-resolve the meta per trigger and pick the new vocab
+    * up next batch (MaintenanceSpec drives both halves). Carried as
+    * plain data so [[parseArgs]] stays a pure equality-comparable
+    * function; [[tokenizerRebindOf]] turns it into the
+    * fingerprint-gated [[IndexBinding]]. */
+  final case class TokenizerBinding(corpusDir: String, tokDir: String,
+      mode: String)
+
+  private[graft] val TokenizerModes = Set("word", "byte", "unigram", "wordpiece")
+
+  private[graft] def tokenizerRebindOf(b: TokenizerBinding): IndexBinding = {
+    require(TokenizerModes(b.mode),
+      s"unknown tokenizer mode '${b.mode}' — expected one of " +
+        TokenizerModes.toSeq.sorted.mkString("|"))
+    IndexBinding(
+      s"tokenizer:${b.mode}:${b.tokDir.stripSuffix("/").split('/').last}",
+      b.tokDir, b.corpusDir) { s =>
+      val docs = Tables.documents(s, b.corpusDir)
+      b.mode match {
+        case "word" => queries.Chunking.writeTokenizer(docs, b.tokDir)
+        case "byte" => queries.Chunking.writeByteTokenizer(docs, b.tokDir)
+        case "unigram" => index.TokenizerIndex.buildUnigram(
+          queries.Chunking.uniTrain(docs), queries.Chunking.UniJoin, b.tokDir)
+        case "wordpiece" => index.TokenizerIndex.buildWordpiece(
+          queries.Chunking.wpTrain(docs), queries.Chunking.WpMark, b.tokDir)
+      }
+      s"retrained ${b.mode} tokenizer over ${b.corpusDir}"
+    }
+  }
+
   /** One executed task: what ran, what happened, how long it took. */
   final case class Result(task: Task, outcome: Try[String], seconds: Double) {
     def summary: String = outcome match {
@@ -553,11 +587,12 @@ object Maintenance {
       lshIndexes: Seq[String] = Seq.empty,
       phashIndexes: Seq[String] = Seq.empty,
       substrIndexes: Seq[String] = Seq.empty,
-      scrubBindings: Seq[ScrubBinding] = Seq.empty)
+      scrubBindings: Seq[ScrubBinding] = Seq.empty,
+      tokenizerBindings: Seq[TokenizerBinding] = Seq.empty)
 
   private val Flags = Set("--index", "--winnow-index", "--minhash-index",
     "--lm-index", "--lsh-index", "--phash-index", "--substr-index",
-    "--scrub", "--auto-lake")
+    "--scrub", "--auto-lake", "--tokenizer")
 
   /** Parse the operational arg vector: positional args are lake
     * dirs; each `--<kind>` flag collects the dirs that follow it
@@ -566,8 +601,12 @@ object Maintenance {
     * colons appear in URI schemes (s3a://…); with the index the
     * scheduled scrub serves from the stored window counts instead of
     * re-counting the lake. The binding name is the view dir's
-    * basename. Pure function, spec'd directly (MaintenanceSpec) — the
-    * main below adds only the session and the exit code. */
+    * basename. `--tokenizer` operands are
+    * `<corpusDir>::<tokenizerDir>::<mode>` (mode ∈ word|byte|unigram|
+    * wordpiece) — a fingerprint-gated retrain of the named mode's
+    * artifact, validated at parse time. Pure function, spec'd
+    * directly (MaintenanceSpec) — the main below adds only the
+    * session and the exit code. */
   private[graft] def parseArgs(args: Seq[String]): PlanArgs = {
     def scrubOf(operand: String): ScrubBinding = {
       val parts = operand.split("::", -1).toSeq
@@ -578,6 +617,17 @@ object Maintenance {
       val name = parts(1).stripSuffix("/").split('/').last
       ScrubBinding(name, parts(0), parts(1),
         indexDir = parts.lift(2))
+    }
+    def tokenizerOf(operand: String): TokenizerBinding = {
+      val parts = operand.split("::", -1).toSeq
+      require(parts.size == 3,
+        s"--tokenizer wants <corpusDir>::<tokenizerDir>::<mode>, got: $operand")
+      require(parts.forall(_.nonEmpty),
+        s"--tokenizer has an empty component: $operand")
+      require(TokenizerModes(parts(2)),
+        s"--tokenizer mode must be one of " +
+          s"${TokenizerModes.toSeq.sorted.mkString("|")}, got: ${parts(2)}")
+      TokenizerBinding(parts(0), parts(1), parts(2))
     }
     args.foldLeft((PlanArgs(), "")) { case ((acc, mode), a) =>
       if (Flags.contains(a)) (acc, a)
@@ -597,6 +647,8 @@ object Maintenance {
         case "--substr-index" =>
           acc.copy(substrIndexes = acc.substrIndexes :+ a)
         case "--scrub" => acc.copy(scrubBindings = acc.scrubBindings :+ scrubOf(a))
+        case "--tokenizer" =>
+          acc.copy(tokenizerBindings = acc.tokenizerBindings :+ tokenizerOf(a))
       }, mode)
     }._1
   }
@@ -623,7 +675,8 @@ object Maintenance {
           lshIndexes = pa.lshIndexes,
           phashIndexes = pa.phashIndexes,
           substrIndexes = pa.substrIndexes,
-          scrubBindings = pa.scrubBindings)
+          scrubBindings = pa.scrubBindings,
+          indexBindings = pa.tokenizerBindings.map(tokenizerRebindOf))
         println(s"MAINT planned ${tasks.size} task(s)")
         val results = run(spark, tasks)
         results.foreach(r => println(s"MAINT ${r.summary}"))

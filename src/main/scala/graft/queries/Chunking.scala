@@ -1752,7 +1752,15 @@ object Chunking {
   // ------------------------------------------------------------------
 
   private[graft] val WpRounds = 3
+
+  /** Continuation mark. Like [[BpeJoin]], '#' is not a corpus
+    * character (space-separated alnum tokens — asserted over the
+    * testdata), so a marked piece can never collide with raw word
+    * text and `replace(p, '##', '')` is exactly the unmark. A corpus
+    * that does carry '#' belongs on the byte-fallback BPE mode, the
+    * family's closed-alphabet escape hatch. */
   private[graft] val WpMark = "##"
+
   private[graft] val WpScale = 1000000000000L
 
   /** Initial within-word tokenization: first char unmarked,

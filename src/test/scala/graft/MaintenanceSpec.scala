@@ -576,6 +576,42 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     assert(got(102L) == "ab+ab ab+ab", got.toString)
   }
 
+  test("--tokenizer bindings: CLI-parsed retrains fire on corpus advance, quiesce when stamped, re-fire on change") {
+    // r17: tokenizer retraining joins the schedulable-without-code
+    // loop — the CLI operand carries (corpus, artifact dir, mode) and
+    // the binding gates on the corpus fingerprint like every index
+    val work = Files.createTempDirectory("maint-tok-cli").toString
+    val (corpus, tokDir) = (s"$work/corpus", s"$work/tokwp")
+    def writeCorpus(seed: String): Unit =
+      (0 until 4).map(i => (i.toLong, s"$seed words repeat $seed $i"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+
+    val pa = Maintenance.parseArgs(
+      Seq("--tokenizer", s"$corpus::$tokDir::wordpiece"))
+    assert(pa.tokenizerBindings ===
+      Seq(Maintenance.TokenizerBinding(corpus, tokDir, "wordpiece")))
+    // an unknown mode refuses at parse time, not at 3am run time
+    intercept[IllegalArgumentException](
+      Maintenance.parseArgs(Seq("--tokenizer", "a::b::sentencepiece")))
+
+    writeCorpus("alpha")
+    val bindings = pa.tokenizerBindings.map(Maintenance.tokenizerRebindOf)
+    val first = Maintenance.plan(spark, indexBindings = bindings)
+    assert(first.map(_.id) === Seq("rebuild:tokenizer:wordpiece:tokwp"))
+    assert(Maintenance.run(spark, first).forall(_.outcome.isSuccess))
+    val v1 = graft.index.TokenizerIndex.readWordpiece(spark, tokDir)
+    assert(v1.mark == "##" && v1.vocab.count() > 0)
+    // stamped and unchanged -> quiet
+    assert(Maintenance.plan(spark, indexBindings = bindings).isEmpty)
+    // corpus advances -> re-fires, and the retrained vocab swaps whole
+    writeCorpus("gamma entirely different tokens")
+    val refire = Maintenance.plan(spark, indexBindings = bindings)
+    assert(refire.size == 1, refire.map(_.id).toString)
+    assert(Maintenance.run(spark, refire).forall(_.outcome.isSuccess))
+    assert(new java.io.File(s"$tokDir/wpvocab_v1").exists())
+  }
+
   test("a Maintenance-driven WORDPIECE retrain feeds the running encode stream next batch") {
     // r17: the wordpiece vocab joins the retrain-mid-stream contract
     // — the delivery re-resolves the TokenizerIndex meta per trigger;
