@@ -243,9 +243,13 @@ object Maintenance {
     * a corpus-wide count shuffle for counts the gate already
     * maintains). Bit-identical to the inline scrub on a quiesced lake
     * (the gate appends exactly the survivors' counts; MaintenanceSpec
-    * pins the equality across a trigger boundary); a count delta
-    * landing mid-scrub can only ADD duplicated windows, and the
-    * fingerprint re-fires the plan either way. */
+    * pins the equality across a trigger boundary). A count delta for
+    * a batch NEWER than the plan's listing can only ADD duplicated
+    * windows, and that batch's fingerprint re-fires the plan; a
+    * LISTED batch whose delta hasn't landed yet (the gate writes the
+    * lake batch BEFORE appending its counts) is caught at PLAN time
+    * by the counts-coverage gate in [[plan]] — the task defers until
+    * every listed batch's label is folded or fully appended. */
   final case class ScrubLakeToView(b: ScrubBinding, fingerprint: String,
       batchPaths: Seq[String]) extends Task {
     def id: String = s"scrub-lake:${b.viewDir}"
@@ -459,6 +463,23 @@ object Maintenance {
       else {
         val stored = index.CorpusStamp.read(spark, b.viewDir).map(_.fingerprint)
         if (stored.contains(snap.fingerprint)) None
+        // counts-COVERAGE gate (r17 review): the gate stream writes
+        // the lake batch BEFORE appending its count delta, so a plan
+        // taken between the two writes would scrub against counts
+        // missing exactly the newest batch's windows — an
+        // under-scrubbed view stamped with the batch-INCLUSIVE
+        // fingerprint that never re-fires (the later count append
+        // moves only the index dir, not the lake fingerprint). Defer
+        // instead: the append lands within the same trigger, the
+        // fingerprint still differs, and the next plan fires with
+        // full coverage. Deployment contract: a counts-served binding
+        // presumes the index is the one the gate maintains over THIS
+        // lake — a foreign batch the gate never counted keeps the
+        // task deferred rather than publishing a wrong view.
+        else if (b.indexDir.exists(idx =>
+            snap.dataPaths.map(_.stripSuffix("/").split('/').last)
+              .exists(l => !index.SubstrIndex.isLabelCovered(spark, idx, l))))
+          None
         else Some(ScrubLakeToView(b, snap.fingerprint, snap.dataPaths))
       }
     }

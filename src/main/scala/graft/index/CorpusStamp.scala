@@ -72,8 +72,22 @@ object CorpusStamp {
             .getBytes("UTF-8"))
           if (f.isDirectory) walk(f.getPath, s"$name/")
         }
-      walk(root, "")
-      val data = fs.listStatus(root).map(_.getPath.getName).sorted
+      // ONE top-level listing feeds BOTH the fingerprint and the data
+      // entries (r17 review): two separate listStatus calls could
+      // race a gate committing a new batch between them — the batch
+      // would appear in dataPaths but not in the fingerprint, so the
+      // scrub would read a possibly-still-landing batch while the
+      // stamp excluded it. With the shared listing, a batch is either
+      // in both (it existed at the instant) or in neither (its later
+      // arrival re-fires the next plan).
+      val top = fs.listStatus(root).sortBy(_.getPath.getName)
+      top.foreach { f =>
+        val name = f.getPath.getName
+        md.update(s"$name:${f.getLen}:${f.getModificationTime}\n"
+          .getBytes("UTF-8"))
+        if (f.isDirectory) walk(f.getPath, s"$name/")
+      }
+      val data = top.map(_.getPath.getName)
         .filterNot(n => n.startsWith("_") || n.startsWith("."))
         .map(n => s"$lakeDir/$n").toSeq
       LakeSnapshot(md.digest().take(16).map("%02x".format(_)).mkString, data)

@@ -171,6 +171,20 @@ object SubstrIndex {
   def isLabelFolded(spark: SparkSession, dir: String, label: String): Boolean =
     currentMeta(fsFor(spark, dir), dir).exists(_.folded.contains(label))
 
+  /** True iff `label`'s count delta is VISIBLE to readers — folded
+    * into the committed table, or present as a fully-written append
+    * dir (`_SUCCESS` committed). The counts-served scrub's plan gate:
+    * the gate stream writes the lake batch BEFORE appending its count
+    * delta, so a plan taken in that window would list a batch whose
+    * windows the stored counts don't yet carry — and a run duplicated
+    * between that batch and an older one would read count 1 < 2 and
+    * silently survive the scrub, stamped current. Metadata-only. */
+  def isLabelCovered(spark: SparkSession, dir: String, label: String): Boolean = {
+    val fs = fsFor(spark, dir)
+    currentMeta(fs, dir).exists(_.folded.contains(label)) ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/appends/$label/_SUCCESS"))
+  }
+
   private final case class Meta(counts: String, folded: Seq[String],
       windowLen: Int)
 

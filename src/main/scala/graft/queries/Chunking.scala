@@ -1686,9 +1686,17 @@ object Chunking {
        |    WHERE s.matched = len(s.pieces))
        |  WHERE rn = 1),
        |encm AS (
-       |  SELECT w, array_to_string(pieces, '$UniJoin') AS e,
-       |         CAST(len(pieces) AS BIGINT) AS np
-       |  FROM bestf),
+       |  -- LEFT-join the word list so the engine's OOV whole-word
+       |  -- fallback (uniBest's union: a word past UniMaxWordLen, or
+       |  -- one with no valid segmentation, passes through as ONE
+       |  -- piece) is the ORACLE'S semantics too — an inner read of
+       |  -- bestf would silently DROP such a word from the encoded
+       |  -- output and undercount n_pieces, pinning the opposite of
+       |  -- the never-lose-a-word contract
+       |  SELECT w.w,
+       |         coalesce(array_to_string(b.pieces, '$UniJoin'), w.w) AS e,
+       |         CAST(coalesce(len(b.pieces), 1) AS BIGINT) AS np
+       |  FROM words w LEFT JOIN bestf b USING (w)),
        |tok AS (
        |  SELECT doc_id, i AS pos, toks[CAST(i AS INT)] AS w
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -739,43 +739,58 @@ object Indexed {
     * Zero-shuffle serve scan (distinct-word Viterbi + broadcast map
     * join) + one O(langs) partial-agg'd roll-up. FULL oracle over the
     * unrolled trainer + encode chain. */
+  /** Per-language fertility roll-up shared by every vocab-mode
+    * tokenizer's equity audit (r17 review: the unigram and wordpiece
+    * keys carried verbatim copies of this block — a future change to
+    * the fertility definition would have to land in four places). */
+  private def fertilityOf(encoded: DataFrame, docs: DataFrame): DataFrame =
+    encoded
+      .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_chars")).as("_nc"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("_nc").cast("double") / col("n_pieces"), 6)
+          .as("chars_per_piece"))
+      .orderBy(col("lang"))
+
+  /** [[fertilityOf]]'s oracle: the mode's full trainer+encode
+    * preamble (ending in `tok` and the per-word map `encmName`)
+    * composed with the ONE per-doc/per-lang roll-up. */
+  private def fertilityOracleSql(preambleCtes: String,
+      encmName: String): String =
+    s"""$preambleCtes,
+       |perdoc AS (
+       |  SELECT d.doc_id, d.lang, d.n_chars,
+       |    CAST(count(t.pos) AS BIGINT) AS nw,
+       |    coalesce(CAST(sum(m.np) AS BIGINT), 0) AS npc
+       |  FROM documents d
+       |  LEFT JOIN tok t USING (doc_id)
+       |  LEFT JOIN $encmName m USING (w)
+       |  GROUP BY d.doc_id, d.lang, d.n_chars)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(npc) AS BIGINT) AS n_pieces,
+       |  round(CAST(sum(npc) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
+       |    AS fertility,
+       |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(npc) AS DOUBLE), 6)
+       |    AS chars_per_piece
+       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
+
   private val qUnigramFertility = Q(
     "q_unigram_fertility",
     (s, d) => {
       val docs = graft.Tables.documents(s, d)
-      Chunking.uniEncode(docs,
-          graft.index.TokenizerIndex.readUnigram(s, unigramDirFor(s, d)).vocab)
-        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
-          Seq("doc_id"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("n_words"),
-          sum(col("n_pieces")).as("n_pieces"),
-          sum(col("n_chars")).as("_nc"))
-        .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
-          round(col("n_pieces").cast("double") / col("n_words"), 6)
-            .as("fertility"),
-          round(col("_nc").cast("double") / col("n_pieces"), 6)
-            .as("chars_per_piece"))
-        .orderBy(col("lang"))
+      fertilityOf(Chunking.uniEncode(docs,
+        graft.index.TokenizerIndex.readUnigram(s, unigramDirFor(s, d)).vocab),
+        docs)
     },
-    Some(s"""${Chunking.uniFullOracleCtes},
-             |perdoc AS (
-             |  SELECT d.doc_id, d.lang, d.n_chars,
-             |    CAST(count(t.pos) AS BIGINT) AS nw,
-             |    coalesce(CAST(sum(m.np) AS BIGINT), 0) AS npc
-             |  FROM documents d
-             |  LEFT JOIN tok t USING (doc_id)
-             |  LEFT JOIN encm m USING (w)
-             |  GROUP BY d.doc_id, d.lang, d.n_chars)
-             |SELECT lang, count(*) AS n_docs,
-             |  CAST(sum(nw) AS BIGINT) AS n_words,
-             |  CAST(sum(npc) AS BIGINT) AS n_pieces,
-             |  round(CAST(sum(npc) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
-             |    AS fertility,
-             |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(npc) AS DOUBLE), 6)
-             |    AS chars_per_piece
-             |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin)
+    Some(fertilityOracleSql(Chunking.uniFullOracleCtes, "encm"))
   )
 
   /** Build-once memo for the persisted WORDPIECE tokenizer artifact
@@ -818,38 +833,9 @@ object Indexed {
     "q_wordpiece_fertility",
     (s, d) => {
       val docs = graft.Tables.documents(s, d)
-      Chunking.wpEncode(docs, wpServedVocab(s, d))
-        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
-          Seq("doc_id"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("n_words"),
-          sum(col("n_pieces")).as("n_pieces"),
-          sum(col("n_chars")).as("_nc"))
-        .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
-          round(col("n_pieces").cast("double") / col("n_words"), 6)
-            .as("fertility"),
-          round(col("_nc").cast("double") / col("n_pieces"), 6)
-            .as("chars_per_piece"))
-        .orderBy(col("lang"))
+      fertilityOf(Chunking.wpEncode(docs, wpServedVocab(s, d)), docs)
     },
-    Some(s"""${Chunking.wpFullOracleCtes},
-             |perdoc AS (
-             |  SELECT d.doc_id, d.lang, d.n_chars,
-             |    CAST(count(t.pos) AS BIGINT) AS nw,
-             |    coalesce(CAST(sum(m.np) AS BIGINT), 0) AS npc
-             |  FROM documents d
-             |  LEFT JOIN tok t USING (doc_id)
-             |  LEFT JOIN wencm m USING (w)
-             |  GROUP BY d.doc_id, d.lang, d.n_chars)
-             |SELECT lang, count(*) AS n_docs,
-             |  CAST(sum(nw) AS BIGINT) AS n_words,
-             |  CAST(sum(npc) AS BIGINT) AS n_pieces,
-             |  round(CAST(sum(npc) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
-             |    AS fertility,
-             |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(npc) AS DOUBLE), 6)
-             |    AS chars_per_piece
-             |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin)
+    Some(fertilityOracleSql(Chunking.wpFullOracleCtes, "wencm"))
   )
 
   def qs: Seq[Q] = Seq(qSimilarityIndexed, qSimilarityIndexedSq8,

@@ -337,28 +337,38 @@ object Multimodal {
       .select(col("doc_id")).distinct()
   }
 
-  /** The band/occupancy/popcount-verify TAIL of every phash oracle —
-    * shared by the image and audio keys: expects a `hashes(doc_id,
-    * lo, hi)` CTE (the 64-bit hash as two 32-bit halves — DuckDB `<<`
-    * overflows at bit 63 where Java wraps). */
-  private val phashOracleTail =
+  /** The banded/capped PAIR chain of every phash oracle — ONE
+    * definition composed by both the pair keys' oracles and the
+    * recall oracle's 'found' side (r17 review: the recall SQL carried
+    * its own copy, so a future cap or banding edit in one place would
+    * silently desynchronize the eval from the key it evaluates).
+    * Expects a `hashes(doc_id, lo, hi)` CTE (the 64-bit hash as two
+    * 32-bit halves — DuckDB `<<` overflows at bit 63 where Java
+    * wraps); ends in `bp(doc_a, doc_b, hamming)`. */
+  private val phashBandedPairsCtes =
     """bands AS (
       |  SELECT doc_id, lo, hi, b AS band,
       |    CASE WHEN b < 4 THEN (lo >> CAST(8*b AS INT)) & 255
       |         ELSE (hi >> CAST(8*(b-4) AS INT)) & 255 END AS bits
       |  FROM hashes, LATERAL (SELECT unnest(range(0, 8)) AS b) u),
       |occ AS (SELECT *, count(*) OVER (PARTITION BY band, bits) AS bn FROM bands),
-      |pairs AS (
+      |prs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         a.lo AS la, a.hi AS hA, b.lo AS lb, b.hi AS hB
       |  FROM occ a JOIN occ b ON a.band = b.band AND a.bits = b.bits
       |       AND a.doc_id < b.doc_id
-      |  WHERE a.bn <= 256 AND b.bn <= 256)
-      |SELECT doc_a, doc_b,
-      |  CAST(min(bit_count(xor(la, lb)) + bit_count(xor(hA, hB))) AS INT) AS hamming
-      |FROM pairs GROUP BY doc_a, doc_b
-      |HAVING min(bit_count(xor(la, lb)) + bit_count(xor(hA, hB))) <= 7
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  WHERE a.bn <= 256 AND b.bn <= 256),
+      |bp AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(min(bit_count(xor(la, lb)) + bit_count(xor(hA, hB))) AS INT) AS hamming
+      |  FROM prs GROUP BY doc_a, doc_b
+      |  HAVING min(bit_count(xor(la, lb)) + bit_count(xor(hA, hB))) <= 7)""".stripMargin
+
+  /** The pair keys' full oracle tail: the shared banded-pair chain
+    * read out in (doc_a, doc_b) order. */
+  private val phashOracleTail =
+    s"""$phashBandedPairsCtes
+       |SELECT doc_a, doc_b, hamming FROM bp ORDER BY doc_a, doc_b""".stripMargin
 
   /** The image average-hash chain as a `hashes(doc_id, lo, hi)` CTE —
     * ONE definition shared by the pair key's oracle and the recall
@@ -658,7 +668,18 @@ object Multimodal {
   /** [[qPhashRecall]]'s video core: ground truth is the containment
     * pair generator with the occupancy cap REMOVED (exact-equality
     * sig intersection is already exact — the cap is the only
-    * approximation in the chain), found is the operating-cap form. */
+    * approximation in the chain), found is the operating-cap form.
+    *
+    * An attempted truth-side pruning (restrict one join side to the
+    * sampled doc_ids, normalize, dedup — every truth pair has a
+    * sampled endpoint, so the sets are identical) measured WORSE and
+    * was reverted (r17): 80–86 s vs 70.6 s at the 64× smoke — the
+    * normalize-then-distinct's extra full shuffle over the joined
+    * rows exceeds what the 1/mod input pruning saves at this bucket
+    * distribution (the q_lang_id_ngram checkpointed-counts
+    * precedent). The uncapped self-join stays the truth side, and
+    * stays quadratic BY DESIGN — it is the eval, not a production
+    * path. */
   private def videoRecallRow(frameHashes0: DataFrame): DataFrame = {
     // same one-decode contract as the hamming rows: sig table feeds
     // truth, found, and the query count
@@ -685,21 +706,7 @@ object Multimodal {
        |  FROM hashes a JOIN hashes b ON a.doc_id <> b.doc_id
        |  WHERE a.doc_id % $QuerySampleMod = 0
        |    AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7),
-       |bands AS (
-       |  SELECT doc_id, lo, hi, b AS band,
-       |    CASE WHEN b < 4 THEN (lo >> CAST(8*b AS INT)) & 255
-       |         ELSE (hi >> CAST(8*(b-4) AS INT)) & 255 END AS bits
-       |  FROM hashes, LATERAL (SELECT unnest(range(0, 8)) AS b) u),
-       |occ AS (SELECT *, count(*) OVER (PARTITION BY band, bits) AS bn FROM bands),
-       |bp AS (
-       |  SELECT doc_a, doc_b FROM (
-       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |           a.lo AS la, a.hi AS hA, b.lo AS lb, b.hi AS hB
-       |    FROM occ a JOIN occ b ON a.band = b.band AND a.bits = b.bits
-       |         AND a.doc_id < b.doc_id
-       |    WHERE a.bn <= 256 AND b.bn <= 256)
-       |  GROUP BY doc_a, doc_b
-       |  HAVING min(bit_count(xor(la, lb)) + bit_count(xor(hA, hB))) <= 7),
+       |$phashBandedPairsCtes,
        |found AS (
        |  SELECT q, d FROM (
        |    SELECT doc_a AS q, doc_b AS d FROM bp

@@ -213,6 +213,28 @@ object QualityStream {
       }
       .start()
 
+  /** Row-preserving corpus encode for AT-LEAST-ONCE batches: a source
+    * re-emitting one doc_id twice within a trigger must get TWO
+    * correctly encoded rows, not one garbled merge — the per-word
+    * encoders' corpus map groups by doc_id, which would interleave
+    * the two copies' pieces into one row (the
+    * `toExactSubstringGatedLake` `_rid` lesson). Encodes on a per-row
+    * surrogate and restores the original doc_id; the surrogate frame
+    * is lazily checkpointed because `monotonically_increasing_id` is
+    * plan-position-dependent — the encode subtree and the restore
+    * join must read ONE materialization, not recompute it. */
+  private def encodeRowPreserving(batch: DataFrame)(
+      encode: DataFrame => DataFrame): DataFrame = {
+    val withRid = batch
+      .withColumnRenamed("doc_id", "_orig_doc_id")
+      .withColumn("doc_id", monotonically_increasing_id())
+      .localCheckpoint(false)
+    encode(withRid)
+      .join(withRid.select(col("doc_id"), col("_orig_doc_id")), Seq("doc_id"))
+      .drop("doc_id")
+      .withColumnRenamed("_orig_doc_id", "doc_id")
+  }
+
   /** Streaming UNIGRAM encode against the persisted vocab artifact
     * (r17 — [[toTokenizedDelivery]]'s sibling for the tokenizer
     * family's third mode): each micro-batch Viterbi-segments under
@@ -245,8 +267,9 @@ object QualityStream {
          batchId: Long) =>
         val s = batch.sparkSession
         graft.sink.TrainingExport.writeJsonlShards(
-          graft.queries.Chunking.uniEncode(batch.toDF(),
-            graft.index.TokenizerIndex.readUnigram(s, tokenizerDir).vocab),
+          encodeRowPreserving(batch.toDF())(
+            graft.queries.Chunking.uniEncode(_,
+              graft.index.TokenizerIndex.readUnigram(s, tokenizerDir).vocab)),
           s"$outDir/batch_id=$batchId", maxRecordsPerShard): Unit
       }
       .start()
@@ -277,9 +300,10 @@ object QualityStream {
          batchId: Long) =>
         val s = batch.sparkSession
         graft.sink.TrainingExport.writeJsonlShards(
-          graft.queries.Chunking.wpEncode(batch.toDF(),
-            graft.index.TokenizerIndex.readWordpiece(s, tokenizerDir)
-              .vocab.select("piece").collect().map(_.getString(0)).toSeq),
+          encodeRowPreserving(batch.toDF())(
+            graft.queries.Chunking.wpEncode(_,
+              graft.index.TokenizerIndex.readWordpiece(s, tokenizerDir)
+                .vocab.select("piece").collect().map(_.getString(0)).toSeq)),
           s"$outDir/batch_id=$batchId", maxRecordsPerShard): Unit
       }
       .start()

@@ -627,7 +627,10 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     val q = graft.stream.QualityStream.toWordpieceEncodedDelivery(
       input.toDF().toDF("doc_id", "text"), tokDir, s"$work/out", s"$work/ckpt")
     try {
-      input.addData((100L, "xyee ee"), (101L, "qq"))
+      // doc 101 arrives TWICE in one trigger (at-least-once source):
+      // the delivery must emit two correctly encoded rows, not one
+      // row with the two texts' pieces interleaved
+      input.addData((100L, "xyee ee"), (101L, "qq"), (101L, "ee qq"))
       q.processAllAvailable()
       val results = Maintenance.run(spark, Seq(
         Maintenance.Rebuild("wordpiece", tokDir) { _ =>
@@ -644,14 +647,16 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     val got = Seq(0, 1).map(b =>
       graft.sink.TrainingExport.readVerified(spark, s"$work/out/batch_id=$b"))
       .reduce(_ unionByName _)
-      .select("doc_id", "encoded").as[(Long, String)].collect().toMap
+      .select("doc_id", "encoded").as[(Long, String)].collect().toSeq.sorted
     // v1 vocab max-munches the unseen compound; the all-OOV word
-    // passes through whole, never lost
-    assert(got(100L) == "xy ##e ##e ee", got.toString)
-    assert(got(101L) == "qq", got.toString)
+    // passes through whole, never lost; the re-delivered doc_id
+    // yields BOTH copies intact (row-preserving encode)
+    assert(got.filter(_._1 == 100L) == Seq((100L, "xy ##e ##e ee")), got.toString)
+    assert(got.filter(_._1 == 101L) == Seq((101L, "ee qq"), (101L, "qq")),
+      got.toString)
     // the retrained vocab serves from the next trigger — no restart;
     // a word the NEW vocab cannot cover now passes through whole
-    assert(got(102L) == "ab ee", got.toString)
+    assert(got.filter(_._1 == 102L) == Seq((102L, "ab ee")), got.toString)
   }
 
   test("counts-served scrub: the indexed binding's view is bit-identical to the inline scrub across a trigger boundary") {
@@ -704,6 +709,26 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     // a quiesced lake plans nothing for either binding
     assert(Maintenance.plan(spark,
       scrubBindings = Seq(inline, indexed)).isEmpty)
+
+    // counts-COVERAGE gate (r17 review): a lake batch whose count
+    // delta hasn't landed yet (the gate writes the lake BEFORE the
+    // counts) must DEFER the counts-served task — scrubbing against
+    // the stored counts would miss exactly that batch's windows and
+    // stamp the under-scrubbed view current, never re-firing. The
+    // inline binding (no index) fires regardless.
+    val late = Seq((103L, s"$sharedRun ${toks("u103", 30)}"))
+      .toDF("doc_id", "text")
+    graft.stream.LogStream.writeBatchIdempotent(late, lakeDir, 2L)
+    val deferred = Maintenance.plan(spark, scrubBindings = Seq(inline, indexed))
+    assert(deferred.map(_.id) == Seq(s"scrub-lake:$work/v-in"),
+      deferred.map(_.id).toString)
+    // the delta lands → the next plan fires the indexed task too
+    graft.index.SubstrIndex.append(
+      graft.queries.Chunking.windowCounts(late), idxDir, "batch_id=2")
+    val fired = Maintenance.plan(spark, scrubBindings = Seq(inline, indexed))
+    assert(fired.map(_.id).toSet ==
+      Set(s"scrub-lake:$work/v-in", s"scrub-lake:$work/v-ix"),
+      fired.map(_.id).toString)
   }
 
   test("a scrub reads only the batches listed at plan time; a batch landing after the plan re-fires the next one") {
@@ -799,6 +824,13 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
       idxDir, windowLen = 12)
     graft.stream.LogStream.writeBatchIdempotent(
       Seq((1L, toks("a", 16))).toDF("doc_id", "text"), lakeDir, 0L)
+    // cover the batch's label (at the ARTIFACT'S L) so the
+    // counts-coverage gate lets the task plan — the refusal under
+    // test is the run-time L mismatch, not plan-time deferral
+    graft.index.SubstrIndex.append(
+      graft.queries.Chunking.windowCounts(
+        Seq((1L, toks("a", 16))).toDF("doc_id", "text"), L = 12),
+      idxDir, "batch_id=0")
     val binding = Maintenance.ScrubBinding("view", lakeDir, s"$work/view",
       minTokens = 8, indexDir = Some(idxDir))
     val results = Maintenance.run(spark,
