@@ -472,13 +472,21 @@ object Maintenance {
         // moves only the index dir, not the lake fingerprint). Defer
         // instead: the append lands within the same trigger, the
         // fingerprint still differs, and the next plan fires with
-        // full coverage. Deployment contract: a counts-served binding
-        // presumes the index is the one the gate maintains over THIS
-        // lake — a foreign batch the gate never counted keeps the
-        // task deferred rather than publishing a wrong view.
+        // full coverage (ONE meta read per binding — uncoveredLabels;
+        // long-folded batches stay provably covered through the
+        // meta's covered_max high-water mark across fold cycles).
+        // A NEVER-BUILT index is NOT a defer: the task emits and the
+        // run fails with the standard no-index refusal — a
+        // misconfigured dir must not impersonate a quiesced lake.
+        // Deployment contract: a counts-served binding presumes the
+        // index is the one the gate maintains over THIS lake — a
+        // foreign batch the gate never counted keeps the task
+        // deferred rather than publishing a wrong view.
         else if (b.indexDir.exists(idx =>
-            snap.dataPaths.map(_.stripSuffix("/").split('/').last)
-              .exists(l => !index.SubstrIndex.isLabelCovered(spark, idx, l))))
+            index.SubstrIndex.exists(spark, idx) &&
+              index.SubstrIndex.uncoveredLabels(spark, idx,
+                snap.dataPaths.map(_.stripSuffix("/").split('/').last))
+                .nonEmpty))
           None
         else Some(ScrubLakeToView(b, snap.fingerprint, snap.dataPaths))
       }

@@ -65,13 +65,6 @@ object CorpusStamp {
     if (!fs.exists(root)) LakeSnapshot("absent", Seq.empty)
     else {
       val md = java.security.MessageDigest.getInstance("SHA-256")
-      def walk(p: org.apache.hadoop.fs.Path, rel: String): Unit =
-        fs.listStatus(p).sortBy(_.getPath.getName).foreach { f =>
-          val name = s"$rel${f.getPath.getName}"
-          md.update(s"$name:${f.getLen}:${f.getModificationTime}\n"
-            .getBytes("UTF-8"))
-          if (f.isDirectory) walk(f.getPath, s"$name/")
-        }
       // ONE top-level listing feeds BOTH the fingerprint and the data
       // entries (r17 review): two separate listStatus calls could
       // race a gate committing a new batch between them — the batch
@@ -79,15 +72,19 @@ object CorpusStamp {
       // scrub would read a possibly-still-landing batch while the
       // stamp excluded it. With the shared listing, a batch is either
       // in both (it existed at the instant) or in neither (its later
-      // arrival re-fires the next plan).
-      val top = fs.listStatus(root).sortBy(_.getPath.getName)
-      top.foreach { f =>
-        val name = f.getPath.getName
-        md.update(s"$name:${f.getLen}:${f.getModificationTime}\n"
-          .getBytes("UTF-8"))
-        if (f.isDirectory) walk(f.getPath, s"$name/")
-      }
-      val data = top.map(_.getPath.getName)
+      // arrival re-fires the next plan). One hashing body serves both
+      // levels, so the digest-entry format cannot fork.
+      def hashEntries(entries: Array[org.apache.hadoop.fs.FileStatus],
+          rel: String): Unit =
+        entries.sortBy(_.getPath.getName).foreach { f =>
+          val name = s"$rel${f.getPath.getName}"
+          md.update(s"$name:${f.getLen}:${f.getModificationTime}\n"
+            .getBytes("UTF-8"))
+          if (f.isDirectory) hashEntries(fs.listStatus(f.getPath), s"$name/")
+        }
+      val top = fs.listStatus(root)
+      hashEntries(top, "")
+      val data = top.map(_.getPath.getName).sorted
         .filterNot(n => n.startsWith("_") || n.startsWith("."))
         .map(n => s"$lakeDir/$n").toSeq
       LakeSnapshot(md.digest().take(16).map("%02x".format(_)).mkString, data)

@@ -79,7 +79,9 @@ object SubstrIndex {
     val folded = liveLabels(fs, dir, current)
     val next = s"counts_v$n"
     canon(counts).write.mode("overwrite").parquet(s"$dir/$next")
-    writeMeta(fs, dir, next, folded, windowLen)
+    writeMeta(fs, dir, next, folded, windowLen,
+      coveredMaxOf(current.map(_.coveredMax).getOrElse(-1L),
+        current.map(_.folded).getOrElse(Seq.empty) ++ folded))
   }
 
   /** The committed window length L — what every probe and append must
@@ -144,7 +146,8 @@ object SubstrIndex {
     MetaMarker.retireUnnamed(fs, dir, Seq("counts"), Set(m.counts))
     val labels = liveLabels(fs, dir, Some(m))
     if (labels.isEmpty) {
-      writeMeta(fs, dir, m.counts, m.folded, m.windowLen); return
+      writeMeta(fs, dir, m.counts, m.folded, m.windowLen, m.coveredMax)
+      return
     }
     val n = m.counts match {
       case VersionedCounts(v) => v.toInt + 1
@@ -159,7 +162,8 @@ object SubstrIndex {
           .parquet(s"$dir/appends/$l")))
       .groupBy(col("k0"), col("k1")).agg(sum(col("cnt")).as("cnt"))
       .write.mode("overwrite").parquet(s"$dir/$next")
-    writeMeta(fs, dir, next, labels, m.windowLen)
+    writeMeta(fs, dir, next, labels, m.windowLen,
+      coveredMaxOf(m.coveredMax, m.folded ++ labels))
   }
 
   /** True once [[build]] ever committed at `dir`. */
@@ -171,22 +175,58 @@ object SubstrIndex {
   def isLabelFolded(spark: SparkSession, dir: String, label: String): Boolean =
     currentMeta(fsFor(spark, dir), dir).exists(_.folded.contains(label))
 
-  /** True iff `label`'s count delta is VISIBLE to readers — folded
-    * into the committed table, or present as a fully-written append
-    * dir (`_SUCCESS` committed). The counts-served scrub's plan gate:
-    * the gate stream writes the lake batch BEFORE appending its count
-    * delta, so a plan taken in that window would list a batch whose
-    * windows the stored counts don't yet carry — and a run duplicated
-    * between that batch and an older one would read count 1 < 2 and
-    * silently survive the scrub, stamped current. Metadata-only. */
-  def isLabelCovered(spark: SparkSession, dir: String, label: String): Boolean = {
+  /** The subset of `labels` whose count deltas are NOT yet visible to
+    * readers — the counts-served scrub's plan gate: the gate stream
+    * writes the lake batch BEFORE appending its count delta, so a
+    * plan taken in that window would list a batch whose windows the
+    * stored counts don't yet carry, and a run duplicated between that
+    * batch and an older one would read count 1 < 2 and silently
+    * survive the scrub, stamped current.
+    *
+    * Coverage evidence, cheapest first (ONE meta read total, plus a
+    * `_SUCCESS` probe only for labels the meta can't prove): the
+    * committed `covered_max` HIGH-WATER MARK — a numeric `batch_id=N`
+    * label at or under it was folded in some earlier generation; the
+    * folded LIST itself keeps only one generation (compaction deletes
+    * older append dirs and lists only the labels it just absorbed),
+    * so without the mark every batch folded two or more fold cycles
+    * ago would read as uncovered FOREVER and the scrub would defer
+    * permanently — then the current folded list, then a fully-written
+    * live append. A missing index returns all labels; the CALLER
+    * decides loudness (plan() emits the task so the run fails with
+    * the standard no-index refusal instead of silently quiescing). */
+  def uncoveredLabels(spark: SparkSession, dir: String,
+      labels: Seq[String]): Seq[String] = {
     val fs = fsFor(spark, dir)
-    currentMeta(fs, dir).exists(_.folded.contains(label)) ||
-      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/appends/$label/_SUCCESS"))
+    currentMeta(fs, dir) match {
+      case None => labels
+      case Some(m) =>
+        val folded = m.folded.toSet
+        labels.filterNot { l =>
+          folded(l) ||
+            batchIdOf(l).exists(_ <= m.coveredMax) ||
+            fs.exists(
+              new org.apache.hadoop.fs.Path(s"$dir/appends/$l/_SUCCESS"))
+        }
+    }
   }
 
+  private val BatchLabel = "batch_id=(\\d+)".r
+
+  private def batchIdOf(label: String): Option[Long] = label match {
+    case BatchLabel(n) => Some(n.toLong)
+    case _ => None
+  }
+
+  /** The high-water mark after folding `labels`: numeric `batch_id=N`
+    * ids advance it; foreign label shapes leave it unchanged (they
+    * remain covered only while listed or live — acceptable: the gate
+    * streams that feed the scrub label by batch id). */
+  private def coveredMaxOf(prior: Long, labels: Seq[String]): Long =
+    (prior +: labels.flatMap(batchIdOf)).max
+
   private final case class Meta(counts: String, folded: Seq[String],
-      windowLen: Int)
+      windowLen: Int, coveredMax: Long)
 
   private def currentMeta(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Option[Meta] =
@@ -201,13 +241,18 @@ object SubstrIndex {
         throw new IllegalStateException(
           s"substr index meta at $dir has no window_len — rebuild " +
             "(SubstrIndex.build) before serving"))
-      Some(Meta(root.get("counts").asText(), folded, wl))
+      // pre-r17-late metas carry no mark: -1 (nothing provably folded
+      // by id) — conservative, heals on the next build/compact
+      val cm = Option(root.get("covered_max")).map(_.asLong()).getOrElse(-1L)
+      Some(Meta(root.get("counts").asText(), folded, wl, cm))
     } else None
 
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-      counts: String, folded: Seq[String], windowLen: Int): Unit =
+      counts: String, folded: Seq[String], windowLen: Int,
+      coveredMax: Long): Unit =
     MetaMarker.write(fs, dir, META,
       s"""{"counts": "$counts", "window_len": $windowLen, """ +
+        s""""covered_max": $coveredMax, """ +
         s""""folded": [${folded.map(l => s""""$l"""").mkString(", ")}]}""")
 
   private def liveLabels(fs: org.apache.hadoop.fs.FileSystem, dir: String,

@@ -731,14 +731,6 @@ object Indexed {
     Chunking.qUnigramEncode.oracle
   )
 
-  /** The tokenizer-EQUITY audit for the unigram mode (r17 —
-    * `q_tokenizer_fertility`'s sibling over the stored vocab): per
-    * language, how many pieces the committed unigram tokenizer spends
-    * per word and per character. A language the vocab undercovers
-    * pays in fertility BEFORE the training budget overruns do.
-    * Zero-shuffle serve scan (distinct-word Viterbi + broadcast map
-    * join) + one O(langs) partial-agg'd roll-up. FULL oracle over the
-    * unrolled trainer + encode chain. */
   /** Per-language fertility roll-up shared by every vocab-mode
     * tokenizer's equity audit (r17 review: the unigram and wordpiece
     * keys carried verbatim copies of this block — a future change to
@@ -782,6 +774,14 @@ object Indexed {
        |    AS chars_per_piece
        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** The tokenizer-EQUITY audit for the unigram mode (r17 —
+    * `q_tokenizer_fertility`'s sibling over the stored vocab): per
+    * language, how many pieces the committed unigram tokenizer spends
+    * per word and per character. A language the vocab undercovers
+    * pays in fertility BEFORE the training budget overruns do.
+    * Zero-shuffle serve scan (distinct-word Viterbi + broadcast map
+    * join) + one O(langs) partial-agg'd roll-up ([[fertilityOf]]).
+    * FULL oracle over the unrolled trainer + encode chain. */
   private val qUnigramFertility = Q(
     "q_unigram_fertility",
     (s, d) => {

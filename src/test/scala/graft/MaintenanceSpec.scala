@@ -729,6 +729,36 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     assert(fired.map(_.id).toSet ==
       Set(s"scrub-lake:$work/v-in", s"scrub-lake:$work/v-ix"),
       fired.map(_.id).toString)
+
+    // coverage must SURVIVE the fold cycle (r17 review): compaction
+    // lists only the labels it just absorbed and deletes older append
+    // dirs, so batches folded two or more fold cycles ago carry
+    // neither list membership nor a live append — the covered_max
+    // high-water mark is the proof that outlives the list. Fold 0..2,
+    // land batch 3, fold again (now folded=[batch_id=3] only), and
+    // the indexed binding must still plan.
+    graft.index.SubstrIndex.compact(spark, idxDir)
+    val late3 = Seq((104L, toks("u104", 30))).toDF("doc_id", "text")
+    graft.stream.LogStream.writeBatchIdempotent(late3, lakeDir, 3L)
+    graft.index.SubstrIndex.append(
+      graft.queries.Chunking.windowCounts(late3), idxDir, "batch_id=3")
+    graft.index.SubstrIndex.compact(spark, idxDir)
+    val afterFolds = Maintenance.plan(spark, scrubBindings = Seq(inline, indexed))
+    assert(afterFolds.map(_.id).toSet ==
+      Set(s"scrub-lake:$work/v-in", s"scrub-lake:$work/v-ix"),
+      s"long-folded batches must stay covered: ${afterFolds.map(_.id)}")
+
+    // a binding naming a NEVER-BUILT index is a misconfiguration, not
+    // a quiesced lake: the task emits and the run refuses loudly
+    val typo = Maintenance.ScrubBinding("typo", lakeDir, s"$work/v-typo",
+      indexDir = Some(s"$work/no-such-index"))
+    val typoTasks = Maintenance.plan(spark, scrubBindings = Seq(typo))
+    assert(typoTasks.size == 1, typoTasks.map(_.id).toString)
+    val typoRes = Maintenance.run(spark, typoTasks)
+    assert(typoRes.head.outcome.isFailure)
+    assert(typoRes.head.outcome.failed.get.getMessage
+      .contains("no substr index"),
+      typoRes.head.outcome.failed.get.getMessage)
   }
 
   test("a scrub reads only the batches listed at plan time; a batch landing after the plan re-fires the next one") {
