@@ -292,6 +292,29 @@ object Maintenance {
     }
   }
 
+  /** The counts-coverage gate's VISIBLE deferral (r17 ADVICE): a
+    * counts-served scrub whose lake lists a batch the stored counts
+    * don't yet cover plans THIS no-op task instead of silently
+    * planning nothing — `run` writes nothing and reports which labels
+    * blocked the firing, so the operator's `MAINT` output
+    * distinguishes "deferred, waiting on count deltas" from a
+    * quiesced lake (no task at all). The healthy case (the gate's
+    * append lands within its trigger) self-resolves next plan; a
+    * label that recurs plan after plan is the PERMANENT defer — a
+    * foreign batch dir the gate never counted, or a lost delta — and
+    * needs the index rebuilt or the foreign dir removed, which this
+    * signal is what surfaces. */
+  final case class DeferredScrub(b: ScrubBinding,
+      uncovered: Seq[String]) extends Task {
+    def id: String = s"scrub-deferred:${b.viewDir}"
+    def resource: String = b.viewDir
+    def run(spark: SparkSession): String =
+      s"scrub '${b.name}' DEFERRED — stored counts at " +
+        s"${b.indexDir.getOrElse("?")} do not yet cover lake batch(es) " +
+        s"${uncovered.mkString(", ")}; fires once their deltas land " +
+        "(recurring here every plan = a batch the gate never counted)"
+  }
+
   /** A registered (corpus, index) pair for AUTO-PLANNED corpus-driven
     * rebuilds: [[plan]] compares the index's committed
     * [[index.CorpusStamp]] against the corpus table's CURRENT metadata
@@ -481,14 +504,18 @@ object Maintenance {
         // Deployment contract: a counts-served binding presumes the
         // index is the one the gate maintains over THIS lake — a
         // foreign batch the gate never counted keeps the task
-        // deferred rather than publishing a wrong view.
-        else if (b.indexDir.exists(idx =>
-            index.SubstrIndex.exists(spark, idx) &&
-              index.SubstrIndex.uncoveredLabels(spark, idx,
-                snap.dataPaths.map(_.stripSuffix("/").split('/').last))
-                .nonEmpty))
-          None
-        else Some(ScrubLakeToView(b, snap.fingerprint, snap.dataPaths))
+        // deferred rather than publishing a wrong view. A deferral
+        // plans the no-op [[DeferredScrub]] signal task (r17 ADVICE),
+        // never nothing — a permanent defer must be operator-visible,
+        // not indistinguishable from quiescence.
+        else {
+          val uncovered = b.indexDir.toSeq.flatMap(idx =>
+            if (!index.SubstrIndex.exists(spark, idx)) Seq.empty
+            else index.SubstrIndex.uncoveredLabels(spark, idx,
+              snap.dataPaths.map(_.stripSuffix("/").split('/').last)))
+          if (uncovered.nonEmpty) Some(DeferredScrub(b, uncovered))
+          else Some(ScrubLakeToView(b, snap.fingerprint, snap.dataPaths))
+        }
       }
     }
     lakeTasks ++ autoLakeTasks ++ indexTasks ++ winnowTasks ++

@@ -1,0 +1,35 @@
+package graft.functions
+
+/** BOUNDED train-once memo: at most ONE entry per slot, replaced when
+  * the slot's content key moves — the query-side twin of the
+  * index-side `(signature, value)` caches ([[graft.index.LmIndex]]'s
+  * `modelCache`, `TokenizerIndex.ranksCache`).
+  *
+  * The earlier per-fingerprint `ConcurrentHashMap` memos
+  * (`computeIfAbsent` keyed by `dir#fingerprint`) were correct but
+  * UNBOUNDED in a long-lived maintenance/stream JVM: every retraining
+  * of a corpus mints a new fingerprint, and the previous generation's
+  * collected vocab/profile rows stayed resident forever (r17 ADVICE).
+  * A slot names the TRAINING TASK (dir + fixed hyper-params); the
+  * content key names the input content (`KMeans.dirFingerprint`). One
+  * task holds one model at a time — retraining REPLACES, the
+  * steady-state footprint is `distinct tasks × one model`, and a
+  * content-key change still misses exactly as before.
+  *
+  * `compute` runs the training under the slot's bin lock — same
+  * blocking discipline as the `computeIfAbsent` it replaces: two
+  * threads asking for the same slot run ONE distributed train, the
+  * second blocks and reads the result. Values must be deterministic
+  * in (slot, contentKey), which every caller's trainer already is. */
+private[graft] final class SlotMemo[V] {
+  private val m =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, V)]
+
+  def of(slot: String, contentKey: String)(train: => V): V =
+    m.compute(slot, (_, prev) =>
+      if (prev != null && prev._1 == contentKey) prev
+      else (contentKey, train))._2
+
+  /** Entry count — test hook for the one-per-slot bound. */
+  private[graft] def size: Int = m.size
+}

@@ -142,28 +142,29 @@ object TrigramLm {
     * identical model on the identical corpus in one JVM (q_lm_score,
     * q_ccnet_buckets, and every Verify/Bench run executes them
     * sequentially) — the model is deterministic in its input, so the
-    * second train is a pure re-scan. `corpusKey` must name the
-    * training input CONTENT, not just its location (build it from
-    * `KMeans.dirFingerprint` for on-disk corpora); streaming refit
-    * paths deliberately do NOT use this — their reference corpora are
-    * re-resolved per batch by design. Entries are model-sized and
-    * bounded by distinct corpora a session touches. */
-  private val trainMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Model]
+    * second train is a pure re-scan. `slot` names the training TASK
+    * (the corpus location + any fixed derivation); `contentKey` names
+    * the training input CONTENT (build it from
+    * `KMeans.dirFingerprint` for on-disk corpora). A retrained corpus
+    * REPLACES its slot's model instead of minting a new resident
+    * entry ([[SlotMemo]] — the r17 unbounded-memo fix); streaming
+    * refit paths deliberately do NOT use this — their reference
+    * corpora are re-resolved per batch by design. */
+  private val trainMemo = new SlotMemo[Model]
 
-  def trainCached(docs: => DataFrame, corpusKey: String): Model =
-    trainMemo.computeIfAbsent(corpusKey, _ => train(docs))
+  def trainCached(docs: => DataFrame, slot: String,
+      contentKey: String): Model =
+    trainMemo.of(slot, contentKey)(train(docs))
 
   /** Memoized [[trainByLang]] — same contract as [[trainCached]];
-    * the lang column participates in the key because the vote
-    * derivation feeding it is part of the training input. */
-  private val trainByLangMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Model]]
+    * the lang column participates in the slot because the vote
+    * derivation feeding it is part of the training task. */
+  private val trainByLangMemo = new SlotMemo[Map[String, Model]]
 
   def trainByLangCached(docs: => DataFrame, langCol: String,
-      corpusKey: String): Map[String, Model] =
-    trainByLangMemo.computeIfAbsent(s"$corpusKey#$langCol",
-      _ => trainByLang(docs, langCol))
+      slot: String, contentKey: String): Map[String, Model] =
+    trainByLangMemo.of(s"$slot#$langCol", contentKey)(
+      trainByLang(docs, langCol))
 
   /** [[scored]] with a PER-LANGUAGE model bank: each row's trigrams
     * score against the model its `langCol` selects — one broadcast

@@ -104,6 +104,23 @@ object SubstrIndex {
     require(!m.folded.contains(label),
       s"append label '$label' at $dir is already folded — a re-append " +
         "would be invisible to every read; skip the replayed batch instead")
+    // covered_max is a batch-id HIGH-WATER MARK, valid only under a
+    // single gate writer appending in batch-id order — enforce that
+    // order here (r17 ADVICE): an out-of-order numeric append (a
+    // second writer, or a manually replayed lower id whose fold
+    // already retired it beyond the one-generation folded list) would
+    // read as covered by uncoveredLabels while its delta never
+    // landed, re-opening exactly the under-scrub the coverage gate
+    // exists to prevent. Foreign (non batch_id=N) labels are exempt:
+    // the mark never advances over them, so they stay honestly
+    // probed. A live-label idempotent replay is unaffected — its id
+    // can only be <= covered_max if a HIGHER id folded past it, which
+    // is the out-of-order case itself.
+    batchIdOf(label).foreach(id => require(id > m.coveredMax,
+      s"append label '$label' at $dir is at or under the covered_max " +
+        s"high-water mark (${m.coveredMax}) — numeric batch appends " +
+        "must arrive in batch-id order from a single gate writer; an " +
+        "out-of-order append would read as covered without its delta"))
     canon(counts).write.mode("overwrite").parquet(s"$dir/appends/$label")
   }
 

@@ -843,14 +843,13 @@ object Chunking {
     * weighting form — the histogram trainer memoizes separately so a
     * hash-green q_bpe_train_hist still proves its decomposition on a
     * real first training. */
-  private val bpeTrainMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Int), Array[(Int, String, String, Long)]]
+  private val bpeTrainMemo =
+    new graft.functions.SlotMemo[Array[(Int, String, String, Long)]]
 
   private def bpeTrainCached(s: org.apache.spark.sql.SparkSession, d: String,
       form: String, rounds: Int)(weighted: => DataFrame): DataFrame = {
-    val key = (s"$d#${KMeans.dirFingerprint(s, s"$d/documents.parquet")}",
-      form, rounds)
-    val rows = bpeTrainMemo.computeIfAbsent(key, _ =>
+    val rows = bpeTrainMemo.of(s"$d#$form#$rounds",
+      KMeans.dirFingerprint(s, s"$d/documents.parquet"))(
       bpeTrain(weighted, rounds)
         .select(col("round"), col("l"), col("r"), col("cnt"))
         .collect()
@@ -1517,13 +1516,13 @@ object Chunking {
     * outlives its SparkContext. Keyed by corpus CONTENT
     * (`KMeans.dirFingerprint`); first training per JVM still runs the
     * full distributed EM. */
-  private val uniTrainMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Array[(String, Long, Long)]]
+  private val uniTrainMemo =
+    new graft.functions.SlotMemo[Array[(String, Long, Long)]]
 
   private[graft] def uniTrainCached(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val key = s"$d#${KMeans.dirFingerprint(s, s"$d/documents.parquet")}"
-    val rows = uniTrainMemo.computeIfAbsent(key, _ =>
+    val rows = uniTrainMemo.of(d,
+      KMeans.dirFingerprint(s, s"$d/documents.parquet"))(
       uniTrain(Tables.documents(s, d))
         .select(col("piece"), col("cnt"), col("micro"))
         .collect()
@@ -1772,10 +1771,22 @@ object Chunking {
   private[graft] val WpScale = 1000000000000L
 
   /** Initial within-word tokenization: first char unmarked,
-    * continuations '##'-marked. The guard keeps Spark's `sequence`
-    * from generating DESCENDING [2, 1] on single-char words. */
+    * continuations '##'-marked. The `length < 2` guard keeps Spark's
+    * `sequence` from generating DESCENDING [2, 1] on single-char
+    * words. The `raise_error` branch ASSERTS the no-'#' precondition
+    * at train time (r17 ADVICE): the trainer's is_initial
+    * classification, the encoder's startsWith bucketing, and the
+    * unmark `replace(p, '##', '')` all assume '#' is not a corpus
+    * character — a '#'-bearing word histogram must refuse loudly
+    * here rather than silently misclassify pieces downstream (such a
+    * corpus belongs on the byte-fallback BPE mode). Zero extra jobs:
+    * the check rides the first tokenization pass. */
   private def wpCharsExpr: String =
-    s"""CASE WHEN length(w) < 2 THEN array(w)
+    s"""CASE WHEN w LIKE '%#%' THEN raise_error(concat(
+       |  'WordPiece training corpus carries the mark character # in word ''',
+       |  w, ''' — piece marking would be ambiguous; use the byte-fallback ',
+       |  'BPE mode for corpora with # in the alphabet'))
+       |WHEN length(w) < 2 THEN array(w)
        |ELSE concat(array(substring(w, 1, 1)),
        |  transform(sequence(2, length(w)),
        |            i -> concat('$WpMark', substring(w, i, 1))))
@@ -1863,13 +1874,12 @@ object Chunking {
   /** Memoized corpus-form [[wpVocab]] (the family's train-once memo):
     * the vocab is bounded (character classes + R merges) and
     * deterministic in the corpus fingerprint. */
-  private val wpVocabMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Array[(String, Long)]]
+  private val wpVocabMemo = new graft.functions.SlotMemo[Array[(String, Long)]]
 
   private[graft] def wpVocabCached(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val key = s"$d#${KMeans.dirFingerprint(s, s"$d/documents.parquet")}"
-    val rows = wpVocabMemo.computeIfAbsent(key, _ =>
+    val rows = wpVocabMemo.of(d,
+      KMeans.dirFingerprint(s, s"$d/documents.parquet"))(
       wpVocab(uniWords(Tables.documents(s, d)), WpRounds)
         .collect().map(r => (r.getString(0), r.getLong(1))))
     import s.implicits._

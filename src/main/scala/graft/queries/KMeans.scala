@@ -33,24 +33,26 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Training is deterministic, so a (corpus key, k, iters, sample cap)
-    * tuple always yields the same centroids — the memo makes index
-    * REUSE explicit: every consumer of the same corpus's quantizer
-    * (ivf-kmeans search, the recall harness, semantic dedup) trains
-    * once per JVM instead of once per query. Bounded by the distinct
-    * corpora a session touches (each entry is k × dim doubles). */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), Array[Array[Double]]]
+  /** Training is deterministic, so a (slot, content, k, iters, sample
+    * cap) tuple always yields the same centroids — the memo makes
+    * index REUSE explicit: every consumer of the same corpus's
+    * quantizer (ivf-kmeans search, the recall harness, semantic dedup)
+    * trains once per JVM instead of once per query. One entry per
+    * training task ([[graft.functions.SlotMemo]]) — a retrained corpus
+    * replaces its quantizer instead of accumulating generations. */
+  private val memo = new graft.functions.SlotMemo[Array[Array[Double]]]
 
-  /** Memoized [[train]]. `corpusKey` must uniquely name the training
-    * input CONTENT, not just its location — a stale key returns the
-    * wrong quantizer, same as reusing any index across datasets. For
+  /** Memoized [[train]]. `slot` names the training TASK (location +
+    * any fixed derivation); `contentKey` must uniquely name the
+    * training input CONTENT — a stale content key returns the wrong
+    * quantizer, same as reusing any index across datasets. For
     * on-disk corpora, build it with [[dirFingerprint]] so data
     * rewritten at the same path misses the memo. */
-  def trainCached(e: => DataFrame, k: Int, corpusKey: String,
-      iters: Int = 5, samplePerCentroid: Int = 64): Array[Array[Double]] =
-    memo.computeIfAbsent((corpusKey, k, iters, samplePerCentroid),
-      _ => train(e, k, iters, samplePerCentroid))
+  def trainCached(e: => DataFrame, k: Int, slot: String,
+      contentKey: String, iters: Int = 5,
+      samplePerCentroid: Int = 64): Array[Array[Double]] =
+    memo.of(s"$slot#$k#$iters#$samplePerCentroid", contentKey)(
+      train(e, k, iters, samplePerCentroid))
 
   /** Content token for memo keys built from an on-disk corpus: hashes
     * the listing's (name, length, mtime) triples so a rewrite at the

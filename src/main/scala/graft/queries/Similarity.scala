@@ -459,7 +459,8 @@ object Similarity {
       val k = centroidsFor(e.count())
       val trained = KMeans.trainCached(
         e.filter(col("vec_id") >= 10).select(col("vec_id"), col("emb")), k,
-        corpusKey = s"$d#heldout#${KMeans.dirFingerprint(s, s"$d/embeddings.parquet")}")
+        slot = s"$d#heldout",
+        contentKey = KMeans.dirFingerprint(s, s"$d/embeddings.parquet"))
       import s.implicits._
       val cent = trained.zipWithIndex
         .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
@@ -613,7 +614,8 @@ object Similarity {
       val k = centroidsFor(e.count())
       import s.implicits._
       val cent = KMeans.trainCached(e.select(col("vec_id"), col("emb")), k,
-          corpusKey = s"$d#full#${KMeans.dirFingerprint(s, s"$d/embeddings.parquet")}")
+          slot = s"$d#full",
+          contentKey = KMeans.dirFingerprint(s, s"$d/embeddings.parquet"))
         .zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
         .toDF("cid", "cemb")
       val w = Window.partitionBy(col("vec_id"))

@@ -592,7 +592,7 @@ object TextOps {
     (s, d) => {
       val docs = Tables.documents(s, d).filter(length(col("text")) >= 3)
       val model = graft.functions.TrigramLm.trainCached(docs,
-        s"$d#lm#${KMeans.dirFingerprint(s, s"$d/documents.parquet")}")
+        s"$d#lm", KMeans.dirFingerprint(s, s"$d/documents.parquet"))
       graft.functions.TrigramLm.scored(docs, model)
         .select(col("doc_id"), col("n_tri"), col("avg_p"), col("rare_rate"))
         .orderBy(col("doc_id"))
@@ -764,7 +764,7 @@ object TextOps {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).filter(length(col("text")) >= 3)
       val model = graft.functions.TrigramLm.trainCached(docs,
-        s"$d#lm#${KMeans.dirFingerprint(s, s"$d/documents.parquet")}")
+        s"$d#lm", KMeans.dirFingerprint(s, s"$d/documents.parquet"))
       // materialize the scored table ONCE: both the histogram side and
       // the join-back side read it, and without this each re-runs the
       // whole trigram scoring chain (measured 56 s → 16 s at the 16×
@@ -1050,9 +1050,10 @@ object TextOps {
     * corpus explode entirely (the doc-side explode is the scoring pass
     * and always runs). The earlier attempt that measured WORSE shared
     * a corpus-SIZED (doc, tri) checkpoint between the two
-    * aggregations; this memo stores only the bounded model. */
-  private val langProfileMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Array[(String, String, Int)]]
+    * aggregations; this memo stores only the bounded model — ONE per
+    * (dir, K) task, replaced on corpus change ([[graft.functions.SlotMemo]]). */
+  private val langProfileMemo =
+    new graft.functions.SlotMemo[Array[(String, String, Int)]]
 
   private def langIdTris(docs: org.apache.spark.sql.DataFrame) =
     // the 1-element outer transform LET-BINDS lower(text) — written
@@ -1067,8 +1068,8 @@ object TextOps {
   private def langProfileCached(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val key = s"$d#${KMeans.dirFingerprint(s, s"$d/documents.parquet")}#$k"
-    val rows = langProfileMemo.computeIfAbsent(key, _ =>
+    val rows = langProfileMemo.of(s"$d#$k",
+      KMeans.dirFingerprint(s, s"$d/documents.parquet"))(
       langIdTris(Tables.documents(s, d))
         .groupBy(col("lang"), col("tri"))
         .agg(count(lit(1)).as("cnt"))
@@ -1269,18 +1270,19 @@ object TextOps {
     * ([[fitCcnet]]) reuses the EXACT batch computation for its edges
     * instead of re-deriving a second stratification. */
   private[graft] def ccnetLangBuckets(docs: org.apache.spark.sql.DataFrame,
-      corpusKey: Option[String] = None)
+      corpusKey: Option[(String, String)] = None)
       : (org.apache.spark.sql.DataFrame, Map[String, graft.functions.TrigramLm.Model]) = {
     import org.apache.spark.sql.expressions.Window
     val voted = docs
       .filter(length(col("text")) >= 3)
       .withColumn("plang", langVote)
       .select(col("doc_id"), col("source"), col("text"), col("plang"))
-    // on-disk corpora memoize the bank by content key (the vote is
-    // deterministic in the corpus, so it belongs to the key's content)
+    // on-disk corpora memoize the bank as (task slot, content key) —
+    // the vote is deterministic in the corpus, so it belongs to the
+    // content; a retrain replaces the slot's bank (SlotMemo)
     val models = corpusKey match {
-      case Some(k) =>
-        graft.functions.TrigramLm.trainByLangCached(voted, "plang", k)
+      case Some((slot, content)) =>
+        graft.functions.TrigramLm.trainByLangCached(voted, "plang", slot, content)
       case None => graft.functions.TrigramLm.trainByLang(voted, "plang")
     }
     val scored = graft.functions.TrigramLm
@@ -1348,7 +1350,8 @@ object TextOps {
     "q_ccnet_lang_buckets",
     (s, d) =>
       ccnetLangBuckets(Tables.documents(s, d),
-        Some(s"$d#ccnet#${KMeans.dirFingerprint(s, s"$d/documents.parquet")}"))._1
+        Some((s"$d#ccnet",
+          KMeans.dirFingerprint(s, s"$d/documents.parquet"))))._1
         .select(col("doc_id"), col("source"), col("lang"), col("avg_p"),
           col("bucket"))
         .orderBy(col("doc_id")),

@@ -715,13 +715,26 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     // counts) must DEFER the counts-served task — scrubbing against
     // the stored counts would miss exactly that batch's windows and
     // stamp the under-scrubbed view current, never re-firing. The
-    // inline binding (no index) fires regardless.
+    // inline binding (no index) fires regardless. The deferral is
+    // VISIBLE (r17 ADVICE): a no-op DeferredScrub task naming the
+    // blocking label plans alongside, distinguishable from quiescence.
     val late = Seq((103L, s"$sharedRun ${toks("u103", 30)}"))
       .toDF("doc_id", "text")
     graft.stream.LogStream.writeBatchIdempotent(late, lakeDir, 2L)
     val deferred = Maintenance.plan(spark, scrubBindings = Seq(inline, indexed))
-    assert(deferred.map(_.id) == Seq(s"scrub-lake:$work/v-in"),
+    assert(deferred.map(_.id).toSet ==
+      Set(s"scrub-lake:$work/v-in", s"scrub-deferred:$work/v-ix"),
       deferred.map(_.id).toString)
+    val stampBefore = graft.index.CorpusStamp.read(spark, s"$work/v-ix")
+    val deferRes = Maintenance.run(spark,
+      deferred.filter(_.id.startsWith("scrub-deferred:")))
+    assert(deferRes.head.outcome.isSuccess)
+    assert(deferRes.head.outcome.get.contains("DEFERRED") &&
+      deferRes.head.outcome.get.contains("batch_id=2"),
+      deferRes.head.outcome.get)
+    // the deferral signal wrote NOTHING: stamp and view untouched
+    assert(graft.index.CorpusStamp.read(spark, s"$work/v-ix") == stampBefore)
+    assert(viewRows(s"$work/v-ix") == vIx)
     // the delta lands → the next plan fires the indexed task too
     graft.index.SubstrIndex.append(
       graft.queries.Chunking.windowCounts(late), idxDir, "batch_id=2")

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bounded train-once memo (r17 ADVICE — the unbounded
+  * per-fingerprint memos): one resident entry per slot, replaced when
+  * the slot's content key moves, re-trained exactly then. */
+class SlotMemoSpec extends AnyFunSuite {
+
+  test("hit on same content, retrain+replace on new content, one entry per slot") {
+    val memo = new SlotMemo[String]
+    var trains = 0
+    def train(v: String): String = { trains += 1; v }
+
+    assert(memo.of("dir-a", "fp1")(train("m1")) == "m1")
+    assert(memo.of("dir-a", "fp1")(train("BUG")) == "m1") // hit: no retrain
+    assert(trains == 1)
+
+    // content moved (corpus rewritten): retrain REPLACES the entry —
+    // the old generation is no longer resident
+    assert(memo.of("dir-a", "fp2")(train("m2")) == "m2")
+    assert(trains == 2)
+    assert(memo.size == 1, "a retrained slot must not accumulate entries")
+
+    // and the replaced generation is gone: asking for fp1 retrains
+    assert(memo.of("dir-a", "fp1")(train("m1b")) == "m1b")
+    assert(trains == 3)
+
+    // distinct slots are independent
+    assert(memo.of("dir-b", "fp1")(train("n1")) == "n1")
+    assert(memo.size == 2)
+  }
+
+  test("concurrent same-slot callers run one training") {
+    val memo = new SlotMemo[Int]
+    val trains = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to 32).map(_ => pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = memo.of("slot", "fp") {
+          Thread.sleep(10)
+          trains.incrementAndGet()
+        }
+      }))
+      val got = futs.map(_.get()).toSet
+      assert(got == Set(1), got.toString)
+      assert(trains.get() == 1)
+    } finally pool.shutdown()
+  }
+}

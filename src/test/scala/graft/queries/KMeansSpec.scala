@@ -113,15 +113,18 @@ class KMeansSpec extends AnyFunSuite with SparkTestSupport {
   }
 
   test("memo key separates different sampling caps on the same corpus") {
-    // same corpusKey/k/iters but different samplePerCentroid train on
+    // same slot/k/iters but different samplePerCentroid train on
     // different samples → must not share one memo slot (ADVICE r4)
     val key = s"kmeans-spec-caps-${System.nanoTime()}"
-    val a = KMeans.trainCached(skewed, k = 4, corpusKey = key, samplePerCentroid = 4)
-    val b = KMeans.trainCached(skewed, k = 4, corpusKey = key, samplePerCentroid = 250)
+    val a = KMeans.trainCached(skewed, k = 4, slot = key, contentKey = "fp",
+      samplePerCentroid = 4)
+    val b = KMeans.trainCached(skewed, k = 4, slot = key, contentKey = "fp",
+      samplePerCentroid = 250)
     assert(!a.zip(b).forall { case (x, y) => x.sameElements(y) },
       "different sampling caps must yield their own centroids, not a shared memo hit")
     // and the memo still hits for an identical call
-    val a2 = KMeans.trainCached(skewed, k = 4, corpusKey = key, samplePerCentroid = 4)
+    val a2 = KMeans.trainCached(skewed, k = 4, slot = key, contentKey = "fp",
+      samplePerCentroid = 4)
     assert(a.zip(a2).forall { case (x, y) => x.sameElements(y) })
   }
 

@@ -62,6 +62,40 @@ class SubstrIndexSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("an out-of-order numeric append at or under covered_max refuses loudly") {
+    // r17 ADVICE: uncoveredLabels proves coverage for any batch_id <=
+    // covered_max, which is only sound when numeric appends arrive in
+    // batch-id order from a single gate writer. An out-of-order append
+    // (a second writer, or a replay of a batch whose fold retired it
+    // beyond the one-generation folded list) would read as covered
+    // while its delta never landed (under-scrub) — or land and be
+    // summed AGAIN on top of the folded copy (double count). Refuse.
+    val dir = Files.createTempDirectory("ssidx-order").toString
+    SubstrIndex.build(Chunking.windowCounts(docsDf(batch1)), dir)
+    SubstrIndex.append(Chunking.windowCounts(docsDf(batch2)), dir, "batch_id=1")
+    SubstrIndex.compact(spark, dir) // covered_max = 1
+    val ex = intercept[IllegalArgumentException] {
+      SubstrIndex.append(Chunking.windowCounts(docsDf(batch2)), dir,
+        "batch_id=0")
+    }
+    assert(ex.getMessage.contains("covered_max"), ex.getMessage)
+    // two fold cycles retire batch_id=1 from the folded LIST; its
+    // replay must still refuse — via the mark, not list membership
+    SubstrIndex.append(Chunking.windowCounts(docsDf(batch2)), dir, "batch_id=2")
+    SubstrIndex.compact(spark, dir) // folded list now [batch_id=2] only
+    assert(!SubstrIndex.isLabelFolded(spark, dir, "batch_id=1"))
+    intercept[IllegalArgumentException] {
+      SubstrIndex.append(Chunking.windowCounts(docsDf(batch2)), dir,
+        "batch_id=1")
+    }
+    // in-order appends keep landing: the next id is fine
+    SubstrIndex.append(Chunking.windowCounts(docsDf(batch2)), dir, "batch_id=3")
+    assert(SubstrIndex.pendingAppends(spark, dir) == 1)
+    // foreign (non-numeric) labels are exempt from the mark
+    SubstrIndex.append(Chunking.windowCounts(docsDf(batch2)), dir, "manual-x")
+    assert(SubstrIndex.pendingAppends(spark, dir) == 2)
+  }
+
   test("own-label-excluded read is the pre-append view") {
     val dir = Files.createTempDirectory("ssidx-excl").toString
     SubstrIndex.build(Chunking.windowCounts(docsDf(batch1)), dir)

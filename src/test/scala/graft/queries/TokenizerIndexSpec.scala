@@ -349,6 +349,24 @@ class TokenizerIndexSpec extends AnyFunSuite with SparkTestSupport {
     assert(enc == ((2L, 4L, "xy ##e ##e qq")), s"got $enc")
   }
 
+  test("wordpiece training refuses a '#'-bearing word histogram loudly") {
+    // r17 ADVICE: the trainer's is_initial classification, the
+    // encoder's startsWith bucketing, and the unmark replace() all
+    // assume '#' is not a corpus character — a corpus carrying it
+    // must fail at TRAIN time (the byte-fallback BPE mode is the
+    // escape hatch), not silently misclassify pieces downstream.
+    val docs = Seq((1L, "ok ok c#de ok")).toDF("doc_id", "text")
+    val ex = intercept[Exception] { Chunking.wpTrain(docs).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("mark character")),
+      messages(ex).mkString("\n"))
+    // a clean corpus through the same entry point still trains
+    assert(Chunking.wpTrain(Seq((1L, "ok ok")).toDF("doc_id", "text"))
+      .count() > 0)
+  }
+
   test("unigram semantics: EM keeps a frequent multi-char piece whole; ties and fallbacks are deterministic") {
     // 'river' dominates -> the trained vocab must segment it as one
     // piece (length 5 > UniMaxPieceLen=4 means 'rive'+'r' or
