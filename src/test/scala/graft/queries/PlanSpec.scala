@@ -170,6 +170,51 @@ class PlanSpec extends AnyFunSuite with SparkTestSupport {
       "per-row rank must partition by (source, micro), not source alone:\n" + p)
   }
 
+  test("unigram seed selection is TakeOrderedAndProject, never an unpartitioned window") {
+    // r17 VERDICT #2: the seed's candidate domain (all distinct
+    // 1..4-char substrings of the word histogram) grows with corpus
+    // vocabulary — tens of millions of rows on a multilingual crawl —
+    // and the old global row_number window funneled ALL of it through
+    // one reducer. The trainer's checkpoints hide this frame from
+    // q_unigram_train's visible plan, so the gate pins uniSeed's OWN
+    // plan: per-partition top-V merge, no Window node anywhere.
+    import spark.implicits._
+    val words = (1 to 200).map(i => (s"word$i", i.toLong)).toDF("w", "c")
+    val p = Chunking.uniSeed(words).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"seed top-V must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Window"),
+      s"seed selection must not window:\n$p")
+  }
+
+  test("NO registered key's visible plan windows over a single partition (documented-bounded keys excepted)") {
+    // the repo-wide sweep of r17 VERDICT #7: an unpartitioned Window
+    // moves every input row to ONE task — acceptable only when the
+    // input is bounded by construction. Keys documented bounded:
+    val bounded = Map(
+      // input is orderBy(cnt desc).limit(20) — 20 rows by construction
+      "q_skew_profile" -> 20,
+      // the running sum rides the n_chars VALUE-DOMAIN histogram
+      // (localCheckpointed out of this plan in the key itself, but the
+      // allowance stays in case the checkpoint boundary moves)
+      "q_ntile_bucketize" -> 1024,
+      // share-of-total over the NATION-grained aggregate (25 rows)
+      "q_sql_cte" -> 25)
+    // checkpoint boundaries truncate trainer-side plans (uniSeed has
+    // its own pin above); this sweep gates everything plan-VISIBLE.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = Registry.all.filterNot(q => bounded.contains(q.name))
+      .flatMap { q =>
+        q.fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty =>
+            s"${q.name}: ${w.windowExpressions.map(_.sql).mkString(",").take(120)}"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned window(s) over potentially unbounded input:\n" +
+        offenders.mkString("\n"))
+  }
+
   /** The r14 family gate (r13 VERDICT #1): walk EVERY window in the
     * optimized plan — not just the row_number one — and require that
     * any window partitioned by the grouping column ALONE consumes a

@@ -349,6 +349,40 @@ class TokenizerIndexSpec extends AnyFunSuite with SparkTestSupport {
     assert(enc == ((2L, 4L, "xy ##e ##e qq")), s"got $enc")
   }
 
+  test("uniSeed's TakeOrdered selection equals the rank-filter reference, ties included") {
+    // r17 VERDICT #2 equivalence leg: the unpartitioned-window form
+    // was replaced by orderBy().limit(V) ∪ single-chars — identical by
+    // construction because (cnt desc, piece asc) is a total order.
+    // Pin it against an INDEPENDENT Scala-side reference over a
+    // histogram with >V candidates and count ties at the boundary.
+    val rng = new scala.util.Random(7)
+    val alpha = "abcdefgh"
+    val words = (1 to 120).map { i =>
+      val w = (0 until 3 + rng.nextInt(4))
+        .map(_ => alpha(rng.nextInt(alpha.length))).mkString
+      (w, 1L + (i % 5).toLong) // repeated counts force ties
+    }
+    val cnt = new scala.collection.mutable.HashMap[String, Long]
+    for ((w, c) <- words; l <- 1 to Chunking.UniMaxPieceLen;
+         i <- 0 to w.length - l)
+      cnt(w.substring(i, i + l)) = cnt.getOrElse(w.substring(i, i + l), 0L) + c
+    val ranked = cnt.toSeq.sortBy { case (p, c) => (-c, p) }
+    val ref: Set[(String, Long)] =
+      (ranked.take(Chunking.UniSeedV) ++
+        ranked.filter(_._1.length == 1)).toSet
+    assert(ranked.size > Chunking.UniSeedV,
+      "fixture's candidate domain must overflow the cap")
+    assert(ranked(Chunking.UniSeedV - 1)._2 ==
+      ranked(Chunking.UniSeedV)._2,
+      "fixture must tie across the cap boundary")
+    val wordsDf = words.toDF("w", "c")
+      .groupBy(col("w")).agg(sum(col("c")).as("c"))
+    val got = Chunking.uniSeed(wordsDf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == ref,
+      s"missing=${(ref -- got).take(5)} extra=${(got -- ref).take(5)}")
+  }
+
   test("wordpiece training refuses a '#'-bearing word histogram loudly") {
     // r17 ADVICE: the trainer's is_initial classification, the
     // encoder's startsWith bucketing, and the unmark replace() all
