@@ -803,6 +803,35 @@ object Chunking {
          |ORDER BY doc_id""".stripMargin)
   )
 
+  /** `q_byte_fertility`'s oracle (r17 VERDICT missing #2 — the equity
+    * audit for the byte-fallback mode, the one production deployments
+    * most often ship): the certified byte trainer CTEs re-derived
+    * declaratively, read at toks0 (bytes) and the final layer
+    * (tokens), rolled up per language with whitespace words as the
+    * fertility base. Same training-form equivalence as
+    * `q_bpe_byte_roundtrip`: the stored artifact trains per-doc at
+    * weight 1, the oracle per-doc — identical merges by
+    * construction. */
+  private[graft] def byteFertilityOracle: String =
+    s"""WITH ${bpeOracleCtes(BpeTrainRounds, byteToks0Sql)},
+       |perdoc AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
+       |    CAST(len(t0.l) AS BIGINT) AS nb,
+       |    CAST(len(tn.l) AS BIGINT) AS nt
+       |  FROM documents d
+       |  JOIN toks0 t0 USING (doc_id)
+       |  JOIN toks$BpeTrainRounds tn USING (doc_id))
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
+       |    AS fertility,
+       |  round(CAST(sum(nb) AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 6)
+       |    AS bytes_per_token
+       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
+
   private def bpeOracleCtes(rounds: Int,
       toks0Sql: String = "string_split(text, ' ')"): String = {
     // toks$r LEFT-joins its argmax layer so an EXHAUSTED trainer (b$r

@@ -349,6 +349,31 @@ class TokenizerIndexSpec extends AnyFunSuite with SparkTestSupport {
     assert(enc == ((2L, 4L, "xy ##e ##e qq")), s"got $enc")
   }
 
+  test("byte fertility: a multi-byte-script minority pays in bytes per token and fertility") {
+    // the equity skew q_byte_fertility exists to surface (r17 VERDICT
+    // missing #2), in its smallest exact form: ASCII "en" dominates
+    // the byte-pair counts, so all three merges chain on its bytes —
+    // round 1 (61,61) cnt 9, round 2 (61~61,61~61) cnt 3, round 3 the
+    // tie-broken (20,61~61~61~61) — folding doc 1's 14 bytes to 3
+    // tokens, while the Greek doc's CE B2 bytes get NO merge: 4 bytes
+    // stay 4 tokens. The minority pays on BOTH axes: fertility 4.0 vs
+    // 1.0 tokens/word and 1.0 vs 4.67 bytes/token (each β costs two
+    // tokens — the byte-level form of script disparity that
+    // chars_per_piece can't see).
+    val d = Files.createTempDirectory("bytefert").toString
+    Seq(
+      (1L, "aaaa aaaa aaaa", "en", "web", 14L),
+      (2L, "ββ", "el", "web", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_byte_fertility")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(rows === Seq(
+      ("el", 1L, 1L, 4L, 4L, 4.0, 1.0),
+      ("en", 1L, 3L, 14L, 3L, 1.0, 4.666667)), rows.toString)
+  }
+
   test("uniSeed's TakeOrdered selection equals the rank-filter reference, ties included") {
     // r17 VERDICT #2 equivalence leg: the unpartitioned-window form
     // was replaced by orderBy().limit(V) ∪ single-chars — identical by
