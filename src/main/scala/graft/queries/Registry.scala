@@ -23,6 +23,7 @@ object Registry {
   def byFamily: Seq[(String, Seq[Q])] = Seq(
     "relational" -> Relational.qs,
     "text" -> TextOps.qs,
+    "html" -> HtmlOps.qs,
     "dedup" -> Dedup.qs,
     "similarity" -> Similarity.qs,
     "multimodal" -> Multimodal.qs,

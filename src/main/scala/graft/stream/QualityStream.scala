@@ -481,6 +481,57 @@ object QualityStream {
       }
       .start()
 
+  /** Stateless HTML→text ingestion stage (r18 — the crawl front
+    * door): replace the raw `html` column with its extracted visible
+    * text ([[graft.queries.HtmlOps.extractLines]] — the
+    * oracle-certified `q_html_extract` expression chain, so batch and
+    * stream extract byte-identically by construction). A narrow
+    * per-row map — no shuffle, no state — that makes EVERY gate in
+    * this file composable over raw HTML: extraction first, then
+    * whichever admission chain the deployment runs. */
+  def htmlExtracted(docs: DataFrame, htmlCol: String = "html"): DataFrame =
+    docs
+      .withColumn("text", graft.queries.HtmlOps.extractedText(col(htmlCol)))
+      .drop(htmlCol)
+
+  /** C4 boilerplate-line gate over line-structured text (r18): keep
+    * each doc's rule-surviving lines
+    * ([[graft.queries.HtmlOps.boilerplateCleaned]] — the same cascade
+    * `q_boilerplate_lines` prices), drop docs with NO surviving line
+    * (all chrome, no content). Stateless narrow filter; runs right
+    * after [[htmlExtracted]] in the C4 order, before any model-based
+    * gate spends cycles on boilerplate. */
+  def boilerplateGated(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text", graft.queries.HtmlOps.boilerplateCleaned("text"))
+      .filter(length(col("text")) > 0)
+
+  /** The raw-HTML front door to a lake (r18): per micro-batch,
+    * extract visible text, apply the C4 line rules, drop
+    * chrome-only docs, and land batch-id idempotent
+    * ([[LogStream.writeBatchIdempotent]]'s replay contract). Both
+    * stages are stateless narrow maps — no streaming state beyond the
+    * sink checkpoint — and the landed lake carries plain
+    * line-structured `text`, so every downstream batch operator and
+    * scheduled Maintenance loop reads it exactly like any other
+    * corpus lake. */
+  def toHtmlCuratedLake(
+      docs: DataFrame,
+      lakeDir: String,
+      checkpointDir: String,
+      htmlCol: String = "html"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+        LogStream.writeBatchIdempotent(
+          boilerplateGated(htmlExtracted(batch.toDF(), htmlCol)),
+          lakeDir, batchId)
+      }
+      .start()
+
   /** Monitoring rollup: per-window pass/drop counts with a watermark —
     * the ops dashboard beside the gate. `ts` column required. */
   def gateRollup(docs: DataFrame, model: TrigramLm.Model,

@@ -1,0 +1,54 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+/** The HTML front door's batch keys on a hand-derivable fixture: every
+  * chrome line dies at exactly ONE attributed rule, content roundtrips
+  * byte-exactly through escape → extract → decode, and a too-short
+  * content line dies at the C4 minimum like any other line. */
+class HtmlOpsSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  test("planted pages: byte-exact content roundtrip and exact per-rule attrition") {
+    val d = Files.createTempDirectory("htmlops").toString
+    // doc 1's content survives everything; doc 2's ("hi." = 1 word)
+    // dies at min_3_words — content is subject to the rules too
+    Seq(
+      (1L, "alpha beta gamma delta", "web", "web", 22L),
+      (2L, "hi", "web", "web", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    // extraction: 7 lines per page (title, nav, h1, content, comments
+    // stub, cookie banner, footer); script/style vanished; the
+    // escaped content decoded back byte-exactly
+    val ext = Registry.queries("q_html_extract")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getString(3))).toSeq
+    assert(ext.map(e => (e._1, e._2, e._3)) ==
+      Seq((1L, 7L, true), (2L, 7L, true)), ext.toString)
+    assert(ext.head._4.linesIterator.toSeq == Seq(
+      "web #1", "Home Tags", "web 1", "alpha beta gamma delta.",
+      "Enable javascript to view comments.",
+      "We use cookies. See our privacy policy.", "(c) 2026 web"),
+      ext.head._4)
+
+    // attrition: 14 lines; comments die at the javascript marker,
+    // cookie+footer at boilerplate, title/nav/h1 (2 words each) and
+    // doc 2's 1-word content at min words, doc 1's content survives
+    // the terminal-punctuation rule
+    val fun = Registry.queries("q_boilerplate_lines")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(fun == Seq(
+      (1, "no_curly", 14L, 14L, 0L),
+      (2, "no_javascript", 14L, 12L, 2L),
+      (3, "no_boilerplate", 12L, 8L, 4L),
+      (4, "min_3_words", 8L, 1L, 7L),
+      (5, "terminal_punct", 1L, 1L, 0L)), fun.toString)
+  }
+}
