@@ -299,10 +299,10 @@ object Multimodal {
     * dedup. Hamming ≤ `maxHamming` with 8 bands is exhaustive by
     * pigeonhole for maxHamming ≤ 7. */
   private[graft] def phashPairsFrom(hashes: DataFrame,
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 7, cap: Int = 256): DataFrame = {
     val capped = phashBands(hashes).withColumn("bn",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bits"))))
-      .filter(col("bn") <= 256)
+      .filter(col("bn") <= cap)
     val l = capped.select(col("band"), col("bits"),
       col("doc_id").as("doc_a"), col("ahash").as("ha"))
     val r = capped.select(col("band"), col("bits"),
@@ -344,9 +344,11 @@ object Multimodal {
     * silently desynchronize the eval from the key it evaluates).
     * Expects a `hashes(doc_id, lo, hi)` CTE (the 64-bit hash as two
     * 32-bit halves — DuckDB `<<` overflows at bit 63 where Java
-    * wraps); ends in `bp(doc_a, doc_b, hamming)`. */
-  private val phashBandedPairsCtes =
-    """bands AS (
+    * wraps); ends in `bp(doc_a, doc_b, hamming)`. `cap` mirrors
+    * [[phashPairsFrom]]'s occupancy cap (the recall-caps eval prices
+    * other levels). */
+  private def phashBandedPairsCtes(cap: Int = 256): String =
+    s"""bands AS (
       |  SELECT doc_id, lo, hi, b AS band,
       |    CASE WHEN b < 4 THEN (lo >> CAST(8*b AS INT)) & 255
       |         ELSE (hi >> CAST(8*(b-4) AS INT)) & 255 END AS bits
@@ -357,7 +359,7 @@ object Multimodal {
       |         a.lo AS la, a.hi AS hA, b.lo AS lb, b.hi AS hB
       |  FROM occ a JOIN occ b ON a.band = b.band AND a.bits = b.bits
       |       AND a.doc_id < b.doc_id
-      |  WHERE a.bn <= 256 AND b.bn <= 256),
+      |  WHERE a.bn <= $cap AND b.bn <= $cap),
       |bp AS (
       |  SELECT doc_a, doc_b,
       |    CAST(min(bit_count(xor(la, lb)) + bit_count(xor(hA, hB))) AS INT) AS hamming
@@ -367,7 +369,7 @@ object Multimodal {
   /** The pair keys' full oracle tail: the shared banded-pair chain
     * read out in (doc_a, doc_b) order. */
   private val phashOracleTail =
-    s"""$phashBandedPairsCtes
+    s"""${phashBandedPairsCtes()}
        |SELECT doc_a, doc_b, hamming FROM bp ORDER BY doc_a, doc_b""".stripMargin
 
   /** The image average-hash chain as a `hashes(doc_id, lo, hi)` CTE —
@@ -643,12 +645,23 @@ object Multimodal {
     * the 256-occupancy cap's doing — the number this key exists to
     * put on the books. */
   private[graft] def hammingRecallRow(modality: String,
-      hashes: DataFrame): DataFrame = {
+      hashes: DataFrame): DataFrame =
+    hammingRecallRows(modality, hashes, Seq(256)).drop("cap")
+
+  /** [[hammingRecallRow]] at several occupancy-cap levels (r18 — r17
+    * VERDICT #6): the TRUTH side is cap-independent, so it (and the
+    * decode+hash pass) materializes ONCE behind lazy local checkpoints
+    * and only the cheap banded `found` side re-runs per cap — the cap
+    * choice becomes a measured recall/fan-out trade like probes in the
+    * ANN sweep, at one truth scan regardless of how many levels are
+    * priced. */
+  private[graft] def hammingRecallRows(modality: String,
+      hashes: DataFrame, caps: Seq[Int]): DataFrame = {
     // the decode+hash pass (the dominant cost at real payload sizes)
-    // feeds THREE branches (brute truth, banded found, query count) —
-    // one LAZY local checkpoint materializes it once under the key's
-    // single action (the q_corpus_report stance; eager would run a
-    // job at plan-construction time)
+    // feeds the branches (brute truth, per-cap banded found, query
+    // count) — one LAZY local checkpoint materializes it once under
+    // the key's single action (the q_corpus_report stance; eager
+    // would run a job at plan-construction time)
     val h = hashes.select(col("doc_id"), col("ahash"))
       .localCheckpoint(false)
     val q = h.filter(col("doc_id") % QuerySampleMod === 0)
@@ -658,11 +671,15 @@ object Multimodal {
       .filter(col("q") =!= col("d") &&
         bit_count(expr("hq ^ hd")) <= 7)
       .select(col("q"), col("d"))
-    val banded = phashPairsFrom(h)
-    val found = banded.select(col("doc_a").as("q"), col("doc_b").as("d"))
-      .union(banded.select(col("doc_b").as("q"), col("doc_a").as("d")))
-      .filter(col("q") % QuerySampleMod === 0)
-    recallRow(modality, q.select(col("q")), truth, found)
+      .localCheckpoint(false)
+    caps.map { cap =>
+      val banded = phashPairsFrom(h, cap = cap)
+      val found = banded.select(col("doc_a").as("q"), col("doc_b").as("d"))
+        .union(banded.select(col("doc_b").as("q"), col("doc_a").as("d")))
+        .filter(col("q") % QuerySampleMod === 0)
+      recallRow(modality, q.select(col("q")), truth, found)
+        .withColumn("cap", lit(cap))
+    }.reduce(_ unionByName _)
   }
 
   /** [[qPhashRecall]]'s video core: ground truth is the containment
@@ -680,9 +697,16 @@ object Multimodal {
     * precedent). The uncapped self-join stays the truth side, and
     * stays quadratic BY DESIGN — it is the eval, not a production
     * path. */
-  private def videoRecallRow(frameHashes0: DataFrame): DataFrame = {
+  private def videoRecallRow(frameHashes0: DataFrame): DataFrame =
+    videoRecallRows(frameHashes0, Seq(256)).drop("cap")
+
+  /** The video recall core at several cap levels — the uncapped
+    * containment TRUTH (the expensive side) materializes once; each
+    * cap re-runs only the capped `found` generator. */
+  private def videoRecallRows(frameHashes0: DataFrame,
+      caps: Seq[Int]): DataFrame = {
     // same one-decode contract as the hamming rows: sig table feeds
-    // truth, found, and the query count
+    // truth, per-cap found, and the query count
     val frameHashes = frameHashes0.select(col("doc_id"), col("ahash"))
       .localCheckpoint(false)
     def orient(p: DataFrame) =
@@ -692,21 +716,27 @@ object Multimodal {
     val queries = frameHashes.select(col("doc_id")).distinct()
       .filter(col("doc_id") % QuerySampleMod === 0)
       .select(col("doc_id").as("q"))
-    recallRow("video", queries,
-      orient(frameSigPairsFrom(frameHashes, cap = Int.MaxValue)),
-      orient(frameSigPairsFrom(frameHashes)))
+    val truth = orient(frameSigPairsFrom(frameHashes, cap = Int.MaxValue))
+      .localCheckpoint(false)
+    caps.map(cap =>
+      recallRow("video", queries, truth,
+        orient(frameSigPairsFrom(frameHashes, cap)))
+        .withColumn("cap", lit(cap)))
+      .reduce(_ unionByName _)
   }
 
   /** The shared SQL tail of both hamming modalities' recall
     * subqueries — expects the modality's `hashes(doc_id, lo, hi)`
-    * CTE bound above it. */
-  private def hammingRecallSql(modality: String): String =
+    * CTE bound above it. `capCol` adds the cap level as a column
+    * (the recall-caps eval's shape). */
+  private def hammingRecallSql(modality: String, cap: Int = 256,
+      capCol: Boolean = false): String =
     s"""truth AS (
        |  SELECT a.doc_id AS q, b.doc_id AS d
        |  FROM hashes a JOIN hashes b ON a.doc_id <> b.doc_id
        |  WHERE a.doc_id % $QuerySampleMod = 0
        |    AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7),
-       |$phashBandedPairsCtes,
+       |${phashBandedPairsCtes(cap)},
        |found AS (
        |  SELECT q, d FROM (
        |    SELECT doc_a AS q, doc_b AS d FROM bp
@@ -714,6 +744,7 @@ object Multimodal {
        |  WHERE q % $QuerySampleMod = 0),
        |hit AS (SELECT t.q FROM truth t JOIN found f ON t.q = f.q AND t.d = f.d)
        |SELECT '$modality' AS modality,
+       |  ${if (capCol) s"CAST($cap AS INT) AS cap," else ""}
        |  (SELECT count(*) FROM hashes WHERE doc_id % $QuerySampleMod = 0) AS n_queries,
        |  (SELECT count(*) FROM truth) AS n_true,
        |  (SELECT count(*) FROM found) AS n_found,
@@ -755,58 +786,104 @@ object Multimodal {
              |${hammingRecallSql("image")})
              |UNION ALL
              |SELECT * FROM (WITH $videoSigsCte,
-             |tp AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-             |  FROM sigs a JOIN sigs b
-             |    ON a.lo = b.lo AND a.hi = b.hi AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2),
-             |truth0 AS (
-             |  SELECT doc_a, doc_b FROM tp
-             |  JOIN counts ca ON ca.doc_id = doc_a
-             |  JOIN counts cb ON cb.doc_id = doc_b
-             |  WHERE 2 * shared >= least(ca.n_sigs, cb.n_sigs)),
-             |capped AS (
-             |  SELECT * FROM (
-             |    SELECT *, count(*) OVER (PARTITION BY lo, hi) AS bn FROM sigs)
-             |  WHERE bn <= 256),
-             |fp AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-             |  FROM capped a JOIN capped b
-             |    ON a.lo = b.lo AND a.hi = b.hi AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2),
-             |found0 AS (
-             |  SELECT doc_a, doc_b FROM fp
-             |  JOIN counts ca ON ca.doc_id = doc_a
-             |  JOIN counts cb ON cb.doc_id = doc_b
-             |  WHERE 2 * shared >= least(ca.n_sigs, cb.n_sigs)),
-             |truth AS (
-             |  SELECT q, d FROM (
-             |    SELECT doc_a AS q, doc_b AS d FROM truth0
-             |    UNION ALL SELECT doc_b AS q, doc_a AS d FROM truth0)
-             |  WHERE q % $QuerySampleMod = 0),
-             |found AS (
-             |  SELECT q, d FROM (
-             |    SELECT doc_a AS q, doc_b AS d FROM found0
-             |    UNION ALL SELECT doc_b AS q, doc_a AS d FROM found0)
-             |  WHERE q % $QuerySampleMod = 0),
-             |hit AS (SELECT t.q FROM truth t JOIN found f ON t.q = f.q AND t.d = f.d)
-             |SELECT 'video' AS modality,
-             |  (SELECT count(DISTINCT doc_id) FROM sigs
-             |   WHERE doc_id % $QuerySampleMod = 0) AS n_queries,
-             |  (SELECT count(*) FROM truth) AS n_true,
-             |  (SELECT count(*) FROM found) AS n_found,
-             |  (SELECT count(*) FROM hit) AS n_hit,
-             |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN CAST(-1 AS BIGINT)
-             |       ELSE (SELECT count(*) FROM hit) * 1000000 // (SELECT count(*) FROM truth)
-             |  END AS recall_ppm,
-             |  CASE WHEN (SELECT count(*) FROM found) = 0 THEN CAST(-1 AS BIGINT)
-             |       ELSE (SELECT count(*) FROM hit) * 1000000 // (SELECT count(*) FROM found)
-             |  END AS precision_ppm)
+             |${videoRecallSql()})
              |ORDER BY modality""".stripMargin)
+  )
+
+  /** The video recall subquery's SQL — expects [[videoSigsCte]] bound
+    * above it; `capCol` adds the cap level as a column. */
+  private def videoRecallSql(cap: Int = 256,
+      capCol: Boolean = false): String =
+    s"""tp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sigs a JOIN sigs b
+       |    ON a.lo = b.lo AND a.hi = b.hi AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth0 AS (
+       |  SELECT doc_a, doc_b FROM tp
+       |  JOIN counts ca ON ca.doc_id = doc_a
+       |  JOIN counts cb ON cb.doc_id = doc_b
+       |  WHERE 2 * shared >= least(ca.n_sigs, cb.n_sigs)),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY lo, hi) AS bn FROM sigs)
+       |  WHERE bn <= $cap),
+       |fp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM capped a JOIN capped b
+       |    ON a.lo = b.lo AND a.hi = b.hi AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |found0 AS (
+       |  SELECT doc_a, doc_b FROM fp
+       |  JOIN counts ca ON ca.doc_id = doc_a
+       |  JOIN counts cb ON cb.doc_id = doc_b
+       |  WHERE 2 * shared >= least(ca.n_sigs, cb.n_sigs)),
+       |truth AS (
+       |  SELECT q, d FROM (
+       |    SELECT doc_a AS q, doc_b AS d FROM truth0
+       |    UNION ALL SELECT doc_b AS q, doc_a AS d FROM truth0)
+       |  WHERE q % $QuerySampleMod = 0),
+       |found AS (
+       |  SELECT q, d FROM (
+       |    SELECT doc_a AS q, doc_b AS d FROM found0
+       |    UNION ALL SELECT doc_b AS q, doc_a AS d FROM found0)
+       |  WHERE q % $QuerySampleMod = 0),
+       |hit AS (SELECT t.q FROM truth t JOIN found f ON t.q = f.q AND t.d = f.d)
+       |SELECT 'video' AS modality,
+       |  ${if (capCol) s"CAST($cap AS INT) AS cap," else ""}
+       |  (SELECT count(DISTINCT doc_id) FROM sigs
+       |   WHERE doc_id % $QuerySampleMod = 0) AS n_queries,
+       |  (SELECT count(*) FROM truth) AS n_true,
+       |  (SELECT count(*) FROM found) AS n_found,
+       |  (SELECT count(*) FROM hit) AS n_hit,
+       |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN CAST(-1 AS BIGINT)
+       |       ELSE (SELECT count(*) FROM hit) * 1000000 // (SELECT count(*) FROM truth)
+       |  END AS recall_ppm,
+       |  CASE WHEN (SELECT count(*) FROM found) = 0 THEN CAST(-1 AS BIGINT)
+       |       ELSE (SELECT count(*) FROM hit) * 1000000 // (SELECT count(*) FROM found)
+       |  END AS precision_ppm""".stripMargin
+
+  /** Cap levels the recall-caps eval prices — 64 under, 256 at, and
+    * 1024 over the production generators' operating cap. */
+  private val RecallCaps = Seq(64, 256, 1024)
+
+  /** CAP-TUNING recall eval (r18 — r17 VERDICT #6): [[qPhashRecall]]
+    * measures recall AT the fixed 256 occupancy cap; this sibling
+    * prices the cap as a TUNING CURVE — one row per (modality, cap)
+    * at {64, 256, 1024} — so the cap choice is a measured
+    * recall/fan-out trade like probes in the ANN sweep. The expensive
+    * sides (decode+hash, brute/uncapped truth) materialize once per
+    * modality behind lazy checkpoints; only the banded `found`
+    * generator re-runs per cap level. FULL oracle (the whole chain —
+    * codecs included — replayed per cell). */
+  private val qPhashRecallCaps = Q(
+    "q_phash_recall_caps",
+    (s, d) => hammingRecallRows("audio",
+        MultimodalOps.audioHashes(MultimodalOps.asMediaWav(s, d)).toDF(),
+        RecallCaps)
+      .unionByName(hammingRecallRows("image",
+        MultimodalOps.imageHashes(MultimodalOps.asMedia(s, d)).toDF(),
+        RecallCaps))
+      .unionByName(videoRecallRows(
+        MultimodalOps.imageHashes(
+          MultimodalOps.sampleFrames(MultimodalOps.asMediaGif(s, d), 1)).toDF(),
+        RecallCaps))
+      .orderBy(col("modality"), col("cap")),
+    Some((RecallCaps.map(c =>
+        s"""SELECT * FROM (WITH $audioHashesCte,
+           |${hammingRecallSql("audio", c, capCol = true)})""".stripMargin) ++
+      RecallCaps.map(c =>
+        s"""SELECT * FROM (WITH $imageHashesCte,
+           |${hammingRecallSql("image", c, capCol = true)})""".stripMargin) ++
+      RecallCaps.map(c =>
+        s"""SELECT * FROM (WITH $videoSigsCte,
+           |${videoRecallSql(c, capCol = true)})""".stripMargin))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY modality, cap"))
   )
 
   def qs: Seq[Q] =
     Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalResize, qMultimodalDedup,
       qMultimodalFrames, qMultimodalAudio, qMultimodalAudioResample,
-      qImagePhashDup, qAudioPhashDup, qVideoFramesigDup, qPhashRecall)
+      qImagePhashDup, qAudioPhashDup, qVideoFramesigDup, qPhashRecall,
+      qPhashRecallCaps)
 }

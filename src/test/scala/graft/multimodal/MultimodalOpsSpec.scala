@@ -410,4 +410,27 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestSupport {
       s"recall must count the capped family's losses: $row")
     assert(row.getLong(6) == 1000000L, s"banded pairs are verified: $row")
   }
+
+  test("phash recall caps: recall rises across the cap curve exactly where the bucket fits") {
+    // r17 VERDICT #6: the cap becomes a measured tuning curve. Plant
+    // a 100-twin family — overfull at cap 64, within 256/1024 — plus
+    // one cold hamming-1 pair that every level finds: the curve must
+    // read (partial, full, full), and the truth side is identical
+    // across rows (it is cap-independent and computed once).
+    val hashA = 0x1234567890abcdefL
+    val hashes = ((0L until 100L).map(i => (i, hashA)) ++
+      Seq((300L, 0x0f0f0f0f0f0f0f0fL), (305L, 0x0f0f0f0f0f0f0f0eL)))
+      .toDF("doc_id", "ahash")
+    val rows = graft.queries.Multimodal
+      .hammingRecallRows("synthetic", hashes, Seq(64, 256, 1024))
+      .orderBy(org.apache.spark.sql.functions.col("cap"))
+      .collect()
+      .map(r => (r.getInt(7), r.getLong(2), r.getLong(4), r.getLong(5)))
+      .toSeq
+    // queries: 20 of the family + both cold ids; truth 20*99 + 2
+    assert(rows == Seq(
+      (64, 1982L, 2L, 2L * 1000000L / 1982L),
+      (256, 1982L, 1982L, 1000000L),
+      (1024, 1982L, 1982L, 1000000L)), rows.toString)
+  }
 }
