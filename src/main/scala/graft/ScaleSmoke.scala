@@ -211,7 +211,16 @@ object ScaleSmoke {
       // trainer and the max-munch both work per DISTINCT word, so
       // amplified copies (same word set) must measure flat
       "q_wordpiece_train", "q_wordpiece_encode",
-      "q_wordpiece_encode_indexed")
+      "q_wordpiece_encode_indexed",
+      // r18: the HTML front door is a pure per-doc regexp chain (must
+      // be codec-profile linear, zero shuffle but the tail); the byte
+      // fertility serve includes its one artifact build (amplified
+      // corpus ⇒ fresh fingerprint) then a kernel pass + O(langs)
+      // roll-up; the recall-caps eval re-runs only the banded found
+      // side per cap over once-materialized truth — its growth must
+      // track q_phash_recall's truth-side slope, not 3× it
+      "q_html_extract", "q_boilerplate_lines", "q_byte_fertility",
+      "q_phash_recall_caps")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

@@ -776,13 +776,30 @@ object Chunking {
     * hash-green certifies both moves again at the byte level. 64×
     * smoke: 137 s (chain+corpus training) → re-measured after the
     * swap in SCALE.md. */
+  /** The corpus dir's byte-mode merge table through the train-once
+    * memo — shared by `q_bpe_byte_roundtrip` and the persisted
+    * byte-mode artifact build ([[graft.queries.Indexed.byteDirFor]]),
+    * so one JVM trains the byte rounds ONCE for both (r18: the
+    * fertility key's artifact build re-ran the identical training the
+    * roundtrip key had already memoized). */
+  private[graft] def byteCorpusMerges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    bpeTrainCached(s, d, "byte", BpeTrainRounds)(
+      Tables.documents(s, d)
+        .groupBy(col("text")).agg(count(lit(1)).as("w"))
+        .select(expr(byteToksExpr).as("toks"), col("w")))
+
+  /** [[writeByteTokenizer]] over a corpus DIR through the train-once
+    * memo — the persisted-artifact build's entry point. */
+  private[graft] def writeByteTokenizerCached(
+      s: org.apache.spark.sql.SparkSession, d: String, dir: String): Unit =
+    graft.index.TokenizerIndex.build(
+      byteCorpusMerges(s, d), BpeJoin, BpeTrainRounds, dir, mode = "byte")
+
   private val qBpeByteRoundtrip = Q(
     "q_bpe_byte_roundtrip",
     (s, d) => {
-      val merges = bpeTrainCached(s, d, "byte", BpeTrainRounds)(
-        Tables.documents(s, d)
-          .groupBy(col("text")).agg(count(lit(1)).as("w"))
-          .select(expr(byteToksExpr).as("toks"), col("w")))
+      val merges = byteCorpusMerges(s, d)
       val ranks = merges.select(col("round"), col("l"), col("r"))
         .collect().map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
         .toMap
@@ -1176,8 +1193,14 @@ object Chunking {
   def writeByteTokenizer(docs: DataFrame, dir: String,
       rounds: Int = BpeTrainRounds): Unit =
     graft.index.TokenizerIndex.build(
-      bpeTrain(docs.select(expr(byteToksExpr).as("toks"),
-        lit(1L).as("w")), rounds),
+      // histogram weighting (the q_bpe_train_hist-certified fold, the
+      // qBpeByteRoundtrip form): identical merge table by construction,
+      // and on a mass-duplicated corpus the per-round byte-pair passes
+      // shrink by the duplication factor — the per-doc w=1 form
+      // measured 50.5 s vs 29.4 s at the 4× amplified smoke (r18;
+      // the remainder is the linear per-doc serve pass)
+      bpeTrain(docs.groupBy(col("text")).agg(count(lit(1)).as("w"))
+        .select(expr(byteToksExpr).as("toks"), col("w")), rounds),
       BpeJoin, rounds, dir, mode = "byte")
 
   /** Encode `text` under a STORED byte-mode tokenizer and decode it

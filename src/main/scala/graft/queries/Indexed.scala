@@ -799,7 +799,10 @@ object Indexed {
   private[graft] def byteDirFor(s: SparkSession, d: String): String =
     ensureIndex(s, "bytetok", d, "documents.parquet",
         dir => graft.index.TokenizerIndex.exists(s, dir)) { scratch =>
-      Chunking.writeByteTokenizer(graft.Tables.documents(s, d), scratch)
+      // the memoized corpus-form byte training (shared with
+      // q_bpe_byte_roundtrip — one JVM trains the byte rounds once),
+      // committed under mode "byte" exactly as writeByteTokenizer does
+      Chunking.writeByteTokenizerCached(s, d, scratch)
     }
 
   /** The tokenizer-EQUITY audit for the BYTE-fallback mode (r18 —
