@@ -826,9 +826,11 @@ object Chunking {
     * declaratively, read at toks0 (bytes) and the final layer
     * (tokens), rolled up per language with whitespace words as the
     * fertility base. Same training-form equivalence as
-    * `q_bpe_byte_roundtrip`: the stored artifact trains per-doc at
-    * weight 1, the oracle per-doc — identical merges by
-    * construction. */
+    * `q_bpe_byte_roundtrip`: the stored artifact trains over the
+    * distinct-TEXT histogram ([[byteCorpusMerges]]), the oracle
+    * per-doc — identical merges because histogram weighting only
+    * regroups the same pair counts (the hash-certified
+    * `q_bpe_train_hist` identity). */
   private[graft] def byteFertilityOracle: String =
     s"""WITH ${bpeOracleCtes(BpeTrainRounds, byteToks0Sql)},
        |perdoc AS (

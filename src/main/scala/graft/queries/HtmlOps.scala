@@ -102,30 +102,34 @@ object HtmlOps {
       "min_3_words" -> b4, "terminal_punct" -> b5)
   }
 
-  /** The same cascade as ONE array predicate usable inside a
-    * higher-order `filter` over a lines array — the streaming gate's
-    * per-doc form (no explode, no shuffle). */
-  private def lineKeptSql(l: String): String =
-    s"""NOT contains($l, '{')
-       |AND NOT contains(lower($l), 'javascript')
-       |AND NOT (contains(lower($l), 'cookie')
-       |         OR contains(lower($l), 'privacy policy')
-       |         OR contains(lower($l), 'terms of use')
-       |         OR contains($l, '(c) ') OR contains($l, '©'))
-       |AND size(split($l, ' ')) >= 3
-       |AND $l RLIKE '[.!?"]${"$"}'""".stripMargin
+  /** Rule-surviving lines of an already-normalized lines array (the
+    * [[extractLines]] output shape) — the SAME [[lineRuleBools]]
+    * cascade as the priced batch funnel, evaluated as a higher-order
+    * array predicate (no explode, no shuffle, ONE source of truth:
+    * an edit to the rules changes the gate and the funnel report
+    * together). */
+  private[graft] def boilerplateKeptLines(lines: Column): Column =
+    filter(lines, l => lineRuleBools(l).last._2)
+
+  /** Normalized lines of a line-structured TEXT column (the generic
+    * entry for already-extracted corpora): split on newline,
+    * whitespace-collapse + trim per line, blank lines dropped —
+    * exactly [[extractLines]]'s tail, for input that skipped the
+    * HTML stages. */
+  private[graft] def textLines(text: Column): Column =
+    filter(
+      transform(split(text, "\n"),
+        l => trim(regexp_replace(l, "[ \\t]+", " "))),
+      l => length(l) > 0)
 
   /** Cleaned text under the line rules: surviving lines re-joined —
     * empty string when nothing survives (the caller's drop
-    * condition). `textCol` names a line-structured text column (the
-    * extraction output); applying it right after [[extractedText]] is
-    * the C4 front door in two narrow column ops. */
-  private[graft] def boilerplateCleaned(textCol: String): Column =
-    array_join(expr(
-      s"""filter(transform(split($textCol, '\\n'),
-         |              l -> trim(regexp_replace(l, '[ \\t]+', ' '))),
-         |       l -> length(l) > 0 AND ${lineKeptSql("l")})""".stripMargin),
-      "\n")
+    * condition). `text` is a line-structured text column; when the
+    * caller already holds the extraction's lines ARRAY, compose
+    * [[boilerplateKeptLines]] directly instead (the streaming front
+    * door does — no join-resplit-renormalize round trip). */
+  private[graft] def boilerplateCleaned(text: Column): Column =
+    array_join(boilerplateKeptLines(textLines(text)), "\n")
 
   // ------------------------------------------------------------------
   // The planted page wrap shared by both keys and their oracles: the

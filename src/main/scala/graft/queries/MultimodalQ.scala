@@ -771,13 +771,11 @@ object Multimodal {
     * bounded); the production keys stay banded. */
   private val qPhashRecall = Q(
     "q_phash_recall",
-    (s, d) => hammingRecallRow("audio",
-        MultimodalOps.audioHashes(MultimodalOps.asMediaWav(s, d)).toDF())
-      .unionByName(hammingRecallRow("image",
-        MultimodalOps.imageHashes(MultimodalOps.asMedia(s, d)).toDF()))
-      .unionByName(videoRecallRow(
-        MultimodalOps.imageHashes(
-          MultimodalOps.sampleFrames(MultimodalOps.asMediaGif(s, d), 1)).toDF()))
+    (s, d) => recallCapsCached(s, d)
+      .filter(col("cap") === 256).drop("cap")
+      .select(col("modality"), col("n_queries"), col("n_true"),
+        col("n_found"), col("n_hit"), col("recall_ppm"),
+        col("precision_ppm"))
       .orderBy(col("modality")),
     Some(s"""SELECT * FROM (WITH $audioHashesCte,
              |${hammingRecallSql("audio")})
@@ -847,6 +845,41 @@ object Multimodal {
     * 1024 over the production generators' operating cap. */
   private val RecallCaps = Seq(64, 256, 1024)
 
+  /** Memoized recall-caps table (the train-once pattern — r18 review:
+    * `q_phash_recall` IS the caps table's 256 slice, and recomputing
+    * it separately paid the per-modality decode+hash pass and the
+    * quadratic brute/uncapped truth sides twice per JVM). The result
+    * is 9 bounded integer rows, deterministic in the documents
+    * content every media table derives from; one entry per corpus dir,
+    * replaced on fingerprint change ([[graft.functions.SlotMemo]]).
+    * First call per JVM still runs the full distributed eval. */
+  private val recallCapsMemo = new graft.functions.SlotMemo[
+    Array[(String, Int, Long, Long, Long, Long, Long, Long)]]
+
+  private def recallCapsCached(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val rows = recallCapsMemo.of(s"$d#phash-recall-caps",
+      KMeans.dirFingerprint(s, s"$d/documents.parquet"))(
+      hammingRecallRows("audio",
+          MultimodalOps.audioHashes(MultimodalOps.asMediaWav(s, d)).toDF(),
+          RecallCaps)
+        .unionByName(hammingRecallRows("image",
+          MultimodalOps.imageHashes(MultimodalOps.asMedia(s, d)).toDF(),
+          RecallCaps))
+        .unionByName(videoRecallRows(
+          MultimodalOps.imageHashes(
+            MultimodalOps.sampleFrames(MultimodalOps.asMediaGif(s, d), 1))
+            .toDF(),
+          RecallCaps))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(7), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    import s.implicits._
+    rows.toSeq
+      .toDF("modality", "cap", "n_queries", "n_true", "n_found", "n_hit",
+        "recall_ppm", "precision_ppm")
+  }
+
   /** CAP-TUNING recall eval (r18 — r17 VERDICT #6): [[qPhashRecall]]
     * measures recall AT the fixed 256 occupancy cap; this sibling
     * prices the cap as a TUNING CURVE — one row per (modality, cap)
@@ -858,17 +891,7 @@ object Multimodal {
     * codecs included — replayed per cell). */
   private val qPhashRecallCaps = Q(
     "q_phash_recall_caps",
-    (s, d) => hammingRecallRows("audio",
-        MultimodalOps.audioHashes(MultimodalOps.asMediaWav(s, d)).toDF(),
-        RecallCaps)
-      .unionByName(hammingRecallRows("image",
-        MultimodalOps.imageHashes(MultimodalOps.asMedia(s, d)).toDF(),
-        RecallCaps))
-      .unionByName(videoRecallRows(
-        MultimodalOps.imageHashes(
-          MultimodalOps.sampleFrames(MultimodalOps.asMediaGif(s, d), 1)).toDF(),
-        RecallCaps))
-      .orderBy(col("modality"), col("cap")),
+    (s, d) => recallCapsCached(s, d).orderBy(col("modality"), col("cap")),
     Some((RecallCaps.map(c =>
         s"""SELECT * FROM (WITH $audioHashesCte,
            |${hammingRecallSql("audio", c, capCol = true)})""".stripMargin) ++

@@ -503,14 +503,30 @@ object QualityStream {
     * gate spends cycles on boilerplate. */
   def boilerplateGated(docs: DataFrame): DataFrame =
     docs
-      .withColumn("text", graft.queries.HtmlOps.boilerplateCleaned("text"))
+      .withColumn("text",
+        graft.queries.HtmlOps.boilerplateCleaned(col("text")))
+      .filter(length(col("text")) > 0)
+
+  /** [[htmlExtracted]] + [[boilerplateGated]] FUSED at the lines
+    * level: extraction's lines array feeds the rule filter directly —
+    * no join-to-text, re-split, re-normalize round trip per document
+    * on the ingest hot path (the two-stage composition is for
+    * pipelines that need the intermediate `text`). Same results by
+    * construction: both forms evaluate the same extractLines →
+    * lineRuleBools chain. */
+  def htmlCurated(docs: DataFrame, htmlCol: String = "html"): DataFrame =
+    docs
+      .withColumn("text", array_join(
+        graft.queries.HtmlOps.boilerplateKeptLines(
+          graft.queries.HtmlOps.extractLines(col(htmlCol))), "\n"))
+      .drop(htmlCol)
       .filter(length(col("text")) > 0)
 
   /** The raw-HTML front door to a lake (r18): per micro-batch,
     * extract visible text, apply the C4 line rules, drop
-    * chrome-only docs, and land batch-id idempotent
-    * ([[LogStream.writeBatchIdempotent]]'s replay contract). Both
-    * stages are stateless narrow maps — no streaming state beyond the
+    * chrome-only docs ([[htmlCurated]] — one fused narrow pass), and
+    * land batch-id idempotent ([[LogStream.writeBatchIdempotent]]'s
+    * replay contract). Stateless — no streaming state beyond the
     * sink checkpoint — and the landed lake carries plain
     * line-structured `text`, so every downstream batch operator and
     * scheduled Maintenance loop reads it exactly like any other
@@ -527,8 +543,7 @@ object QualityStream {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
         LogStream.writeBatchIdempotent(
-          boilerplateGated(htmlExtracted(batch.toDF(), htmlCol)),
-          lakeDir, batchId)
+          htmlCurated(batch.toDF(), htmlCol), lakeDir, batchId)
       }
       .start()
 
