@@ -52,17 +52,35 @@ object HtmlOps {
     "(?i)</(p|div|nav|li|ul|ol|h[1-6]|table|tr|td|footer|header|" +
       "section|article|aside|title|blockquote)>|<br\\s*/?>"
 
+  /** Anchor-text sentinels for the LINK-DENSITY measurements: marked
+    * extraction wraps each `<a>…</a>`'s inner text in \u0001…\u0002
+    * so the density expressions can still see, after tag stripping,
+    * which characters were link text. Control characters — not
+    * producible by the extraction chain itself (tags and entities
+    * decode to printables) and asserted absent from line-structured
+    * corpus text by the C4 front door's contract. */
+  private val MarkA = "\u0001"
+  private val MarkB = "\u0002"
+
   /** Visible text lines of an HTML string: ARRAY<STRING>, each line
     * whitespace-collapsed and trimmed, blank lines dropped. The five
     * decoded entities are the HTML-2.0 named set (amp LAST — decoding
-    * it earlier would double-decode `&amp;lt;`). */
-  private[graft] def extractLines(html: Column): Column = {
+    * it earlier would double-decode `&amp;lt;`). `markAnchors` keeps
+    * anchor-text boundaries as sentinel chars (see [[MarkA]]) for the
+    * link-density measurements; blank-drop then judges the
+    * sentinel-free length so a marker-only line still drops. */
+  private def linesPipeline(html: Column, markAnchors: Boolean): Column = {
     val noScript =
       regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
     val noStyle =
       regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val blocks = regexp_replace(noComment, BlockBreakRe, "\n")
+    val marked =
+      if (markAnchors)
+        regexp_replace(noComment, "(?is)<a\\b[^>]*>(.*?)</a>",
+          s"$MarkA$$1$MarkB")
+      else noComment
+    val blocks = regexp_replace(marked, BlockBreakRe, "\n")
     val noTags = regexp_replace(blocks, "<[^>]*>", " ")
     // entity decode via regexp_replace on literal-safe patterns (none
     // of the five entities carries a regex metacharacter, none of the
@@ -74,8 +92,43 @@ object HtmlOps {
     filter(
       transform(split(decoded, "\n"),
         l => trim(regexp_replace(l, "[ \\t]+", " "))),
-      l => length(l) > 0)
+      l =>
+        if (markAnchors) length(translate(l, MarkA + MarkB, "")) > 0
+        else length(l) > 0)
   }
+
+  private[graft] def extractLines(html: Column): Column =
+    linesPipeline(html, markAnchors = false)
+
+  /** [[extractLines]] with anchor-text sentinels retained — the
+    * link-density measurements' input. */
+  private[graft] def markedExtractLines(html: Column): Column =
+    linesPipeline(html, markAnchors = true)
+
+  /** Link-text character count of one MARKED line — the sum of the
+    * sentinel-delimited segments' lengths. The `\x01`/`\x02` regex
+    * escapes parse identically under Java regex and RE2, so the same
+    * pattern string serves both engines. */
+  private[graft] def lineLinkChars(line: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(line, lit("\\x01([^\\x02]*)\\x02"), lit(1)),
+        x => length(x)),
+      lit(0), (a, x) => a + x)
+
+  /** The sentinel-free text of a MARKED line. */
+  private[graft] def lineUnmarked(line: Column): Column =
+    translate(line, MarkA + MarkB, "")
+
+  /** MARKED lines surviving the link-density rule (drop lines whose
+    * link text covers ≥ half their characters — the RefinedWeb-style
+    * navigation killer the C4 punctuation/word rules can miss),
+    * returned UNMARKED — ready for [[boilerplateKeptLines]] or direct
+    * landing. */
+  private[graft] def linkDensityKeptLines(markedLines: Column): Column =
+    transform(
+      filter(markedLines,
+        l => lineLinkChars(l) * 2 < length(lineUnmarked(l))),
+      l => lineUnmarked(l))
 
   /** Extracted text: lines joined by newline — the `text` a downstream
     * curation operator expects. */
@@ -169,27 +222,63 @@ object HtmlOps {
        |  '<div class="cookie">We use cookies. See our privacy policy.</div>' ||
        |  '<footer>(c) 2026 ' || source || '</footer></body></html>')""".stripMargin
 
-  /** The DuckDB mirror of [[extractLines]] — same regexes (inline
-    * flags + RE2's identical semantics for this subset), 'g' for the
-    * replace-all Spark defaults, chr(10) for the literal newline
-    * DuckDB quoting can't spell. */
-  private def extractLinesDuckSql(htmlSql: String): String = {
+  /** The link-density key's page wrap: anchors vary per doc — a fully
+    * linky nav, a content paragraph with none, a refs paragraph with
+    * `doc_id % 3` inline anchors, a footer with one — so the density
+    * signal has a real spread for the oracle to certify. */
+  private[graft] def wrapHtmlLinksSparkSql: String =
+    s"""concat(
+       |  '<html><head><title>', source, ' #', CAST(doc_id AS STRING),
+       |  '</title></head><body>',
+       |  '<nav><a href="/">Home</a> <a href="/tags">Tags</a> <a href="/about">About</a></nav>',
+       |  '<p>', $escapedTextSql, '.</p>',
+       |  '<p>refs: ', repeat('<a href="/g">guide here</a> ', CAST(doc_id % 3 AS INT)),
+       |  'plus closing words.</p>',
+       |  '<footer>(c) 2026 ', source, ' | <a href="/privacy">Privacy</a></footer>',
+       |  '</body></html>')""".stripMargin
+
+  private def wrapHtmlLinksDuckSql: String =
+    s"""('<html><head><title>' || source || ' #' || doc_id::VARCHAR ||
+       |  '</title></head><body>' ||
+       |  '<nav><a href="/">Home</a> <a href="/tags">Tags</a> <a href="/about">About</a></nav>' ||
+       |  '<p>' || $escapedTextSql || '.</p>' ||
+       |  '<p>refs: ' || repeat('<a href="/g">guide here</a> ', CAST(doc_id % 3 AS INT)) ||
+       |  'plus closing words.</p>' ||
+       |  '<footer>(c) 2026 ' || source || ' | <a href="/privacy">Privacy</a></footer>' ||
+       |  '</body></html>')""".stripMargin
+
+  /** The DuckDB mirror of [[extractLines]] / [[markedExtractLines]] —
+    * same regexes (inline flags + RE2's identical semantics for this
+    * subset), 'g' for the replace-all Spark defaults, chr(10) for the
+    * literal newline DuckDB quoting can't spell; anchor marking uses
+    * `\\1` (the RE2 backreference spelling) where Spark's Java
+    * replacement says `$$1`. */
+  private def extractLinesDuckSql(htmlSql: String,
+      markAnchors: Boolean = false): String = {
     val noScript =
       s"regexp_replace($htmlSql, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g')"
     val noStyle =
       s"regexp_replace($noScript, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g')"
     val noComment = s"regexp_replace($noStyle, '(?s)<!--.*?-->', ' ', 'g')"
+    val marked =
+      if (markAnchors)
+        s"regexp_replace($noComment, '(?is)<a\\b[^>]*>(.*?)</a>', " +
+          s"chr(1) || '\\1' || chr(2), 'g')"
+      else noComment
     val blockRe = "(?i)</(p|div|nav|li|ul|ol|h[1-6]|table|tr|td|footer|" +
       "header|section|article|aside|title|blockquote)>|<br\\s*/?>"
-    val blocks = s"regexp_replace($noComment, '$blockRe', chr(10), 'g')"
+    val blocks = s"regexp_replace($marked, '$blockRe', chr(10), 'g')"
     val noTags = s"regexp_replace($blocks, '<[^>]*>', ' ', 'g')"
     val decoded = s"replace(replace(replace(replace(replace($noTags," +
       s" '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', '''')," +
       s" '&amp;', '&')"
+    val blankDrop =
+      if (markAnchors) "length(translate(l, chr(1) || chr(2), '')) > 0"
+      else "length(l) > 0"
     s"""list_filter(
        |  list_transform(string_split($decoded, chr(10)),
        |                 l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
-       |  l -> length(l) > 0)""".stripMargin
+       |  l -> $blankDrop)""".stripMargin
   }
 
   /** HTML→text extraction over the planted page wrap: per doc, the
@@ -295,5 +384,60 @@ object HtmlOps {
             |ORDER BY stage_id""".stripMargin)
   )
 
-  def qs: Seq[Q] = Seq(qHtmlExtract, qBoilerplateLines)
+  /** LINK-DENSITY profile of the extracted lines (r18 — the classic
+    * boilerplate signal the C4 word/punctuation rules can miss: a
+    * navigation or related-links line is mostly ANCHOR text, and a
+    * plain extractor erases that evidence with the tags). Marked
+    * extraction keeps anchor-text boundaries as sentinels; per doc,
+    * the line count, how many lines are ≥ half link text (the
+    * RefinedWeb-style drop rule [[linkDensityKeptLines]] applies on
+    * the streaming front door), and the doc-level link/text character
+    * masses with the exact integer ppm ratio. One narrow pass + one
+    * doc-keyed partial agg; FULL oracle replaying the marked chain. */
+  private val qHtmlLinkDensity = Q(
+    "q_html_link_density",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(markedExtractLines(expr(wrapHtmlLinksSparkSql)))
+            .as("line"))
+        .select(col("doc_id"),
+          lineLinkChars(col("line")).cast("long").as("lc"),
+          length(lineUnmarked(col("line"))).cast("long").as("tc"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("lc") * 2 >= col("tc"), 1L).otherwise(0L))
+            .as("n_linky_lines"),
+          sum(col("lc")).as("link_chars"),
+          sum(col("tc")).as("text_chars"))
+        .select(col("doc_id"), col("n_lines"), col("n_linky_lines"),
+          col("link_chars"), col("text_chars"),
+          expr("link_chars * 1000000 DIV text_chars").as("density_ppm"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH x AS (
+            |  SELECT doc_id,
+            |    ${extractLinesDuckSql(wrapHtmlLinksDuckSql, markAnchors = true)} AS lines
+            |  FROM documents),
+            |l AS (SELECT doc_id, unnest(lines) AS line FROM x),
+            |m AS (
+            |  SELECT doc_id,
+            |    coalesce(CAST(list_sum(list_transform(
+            |      regexp_extract_all(line, '\\x01([^\\x02]*)\\x02', 1),
+            |      s -> length(s))) AS BIGINT), 0) AS lc,
+            |    CAST(length(translate(line, chr(1) || chr(2), ''))
+            |      AS BIGINT) AS tc
+            |  FROM l)
+            |SELECT doc_id,
+            |  CAST(count(*) AS BIGINT) AS n_lines,
+            |  CAST(sum(CASE WHEN lc * 2 >= tc THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_linky_lines,
+            |  CAST(sum(lc) AS BIGINT) AS link_chars,
+            |  CAST(sum(tc) AS BIGINT) AS text_chars,
+            |  CAST(sum(lc) AS BIGINT) * 1000000 // CAST(sum(tc) AS BIGINT)
+            |    AS density_ppm
+            |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  def qs: Seq[Q] = Seq(qHtmlExtract, qBoilerplateLines, qHtmlLinkDensity)
 }

@@ -513,14 +513,25 @@ object QualityStream {
     * on the ingest hot path (the two-stage composition is for
     * pipelines that need the intermediate `text`). Same results by
     * construction: both forms evaluate the same extractLines →
-    * lineRuleBools chain. */
-  def htmlCurated(docs: DataFrame, htmlCol: String = "html"): DataFrame =
+    * lineRuleBools chain. `dropLinkyLines` adds the RefinedWeb-style
+    * link-density rule FIRST (drop lines ≥ half anchor text — the
+    * navigation killer the C4 word/punctuation rules can miss; the
+    * trade `q_html_link_density` prices): marked extraction keeps
+    * anchor boundaries as sentinels, the density filter consumes and
+    * strips them, the C4 cascade runs on the survivors. */
+  def htmlCurated(docs: DataFrame, htmlCol: String = "html",
+      dropLinkyLines: Boolean = false): DataFrame = {
+    val lines =
+      if (dropLinkyLines)
+        graft.queries.HtmlOps.linkDensityKeptLines(
+          graft.queries.HtmlOps.markedExtractLines(col(htmlCol)))
+      else graft.queries.HtmlOps.extractLines(col(htmlCol))
     docs
       .withColumn("text", array_join(
-        graft.queries.HtmlOps.boilerplateKeptLines(
-          graft.queries.HtmlOps.extractLines(col(htmlCol))), "\n"))
+        graft.queries.HtmlOps.boilerplateKeptLines(lines), "\n"))
       .drop(htmlCol)
       .filter(length(col("text")) > 0)
+  }
 
   /** The raw-HTML front door to a lake (r18): per micro-batch,
     * extract visible text, apply the C4 line rules, drop

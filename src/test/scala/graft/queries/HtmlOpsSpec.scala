@@ -51,4 +51,26 @@ class HtmlOpsSpec extends AnyFunSuite with SparkTestSupport {
       (4, "min_3_words", 8L, 1L, 7L),
       (5, "terminal_punct", 1L, 1L, 0L)), fun.toString)
   }
+
+  test("link density: hand-derived per-line anchor masses roll up exactly") {
+    val d = Files.createTempDirectory("htmldens").toString
+    // same two docs; the links wrap plants a fully-linky nav
+    // (13 of 15 chars), doc_id % 3 inline refs anchors (10 chars
+    // each), and one footer anchor (7 chars)
+    Seq(
+      (1L, "alpha beta gamma delta", "web", "web", 22L),
+      (2L, "hi", "web", "web", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_html_link_density")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // doc 1 lines (lc/tc): title 0/6, nav 13/15 (linky), content 0/23,
+    // refs (1 anchor) 10/36, footer 7/22 → 30/102
+    // doc 2: title 0/6, nav 13/15, content 0/3, refs (2) 20/47,
+    // footer 7/22 → 40/93
+    assert(rows == Seq(
+      (1L, 5L, 1L, 30L, 102L, 30L * 1000000L / 102L),
+      (2L, 5L, 1L, 40L, 93L, 40L * 1000000L / 93L)), rows.toString)
+  }
 }

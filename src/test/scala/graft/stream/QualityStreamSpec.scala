@@ -558,6 +558,17 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
     val model = TrigramLm.train(lake)
     assert(QualityStream.qualityGated(lake, model, minAvgP = 0.0)
       .count() == 1L)
+    // the optional link-density rule kills a navigation line that
+    // PASSES every C4 rule (≥3 words, terminal '.', no markers) —
+    // the signal only marked extraction can see
+    val linky = page("<p><a href=\"/a\">Read the full article here now.</a>" +
+      s"</p><p>$content</p>")
+    def curated(drop: Boolean) = QualityStream.htmlCurated(
+        Seq((9L, linky)).toDF("doc_id", "html"), dropLinkyLines = drop)
+      .select("text").as[String].head()
+    assert(curated(false).linesIterator.toSeq == Seq(
+      "Read the full article here now.", content), curated(false))
+    assert(curated(true).linesIterator.toSeq == Seq(content), curated(true))
   }
 
   private def ts(minutes: Int): Timestamp =
