@@ -220,7 +220,7 @@ object ScaleSmoke {
       // side per cap over once-materialized truth — its growth must
       // track q_phash_recall's truth-side slope, not 3× it
       "q_html_extract", "q_boilerplate_lines", "q_html_link_density",
-      "q_byte_fertility", "q_phash_recall_caps")
+      "q_html_links", "q_byte_fertility", "q_phash_recall_caps")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

@@ -439,5 +439,37 @@ object HtmlOps {
             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
-  def qs: Seq[Q] = Seq(qHtmlExtract, qBoilerplateLines, qHtmlLinkDensity)
+  /** OUTLINK extraction (r18) — the URL-frontier primitive a crawl
+    * pipeline runs beside extraction: every `href` attribute pulled
+    * straight from the markup (anchors only — the link graph's
+    * edges), rolled up corpus-wide to (href, how many docs link it,
+    * total references). The per-doc edge list this explodes is
+    * exactly what a host-graph pagerank (`q_pagerank`) or a frontier
+    * scheduler consumes. One `regexp_extract_all` narrow pass + one
+    * partial-agg'd href-keyed groupBy; FULL oracle (same RE2/Java
+    * pattern). */
+  private val qHtmlLinks = Q(
+    "q_html_links",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(expr(wrapHtmlLinksSparkSql),
+            lit("(?is)<a\\b[^>]*href=\"([^\"]*)\""), lit(1))).as("href"))
+        .groupBy(col("href"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_refs"))
+        .orderBy(col("href"))
+    },
+    Some(s"""WITH l AS (
+            |  SELECT doc_id,
+            |    unnest(regexp_extract_all($wrapHtmlLinksDuckSql,
+            |      '(?is)<a\\b[^>]*href="([^"]*)"', 1)) AS href
+            |  FROM documents)
+            |SELECT href, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            |  CAST(count(*) AS BIGINT) AS n_refs
+            |FROM l GROUP BY href ORDER BY href""".stripMargin)
+  )
+
+  def qs: Seq[Q] =
+    Seq(qHtmlExtract, qBoilerplateLines, qHtmlLinkDensity, qHtmlLinks)
 }

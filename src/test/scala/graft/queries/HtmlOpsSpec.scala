@@ -72,5 +72,12 @@ class HtmlOpsSpec extends AnyFunSuite with SparkTestSupport {
     assert(rows == Seq(
       (1L, 5L, 1L, 30L, 102L, 30L * 1000000L / 102L),
       (2L, 5L, 1L, 40L, 93L, 40L * 1000000L / 93L)), rows.toString)
+
+    // outlink table over the same fixture: nav/footer hrefs from both
+    // docs, the refs anchor once in doc 1 and twice in doc 2
+    val links = Registry.queries("q_html_links")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(links == Seq(("/", 2L, 2L), ("/about", 2L, 2L), ("/g", 2L, 3L),
+      ("/privacy", 2L, 2L), ("/tags", 2L, 2L)), links.toString)
   }
 }
