@@ -65,20 +65,33 @@ object HtmlOps {
   /** Visible text lines of an HTML string: ARRAY<STRING>, each line
     * whitespace-collapsed and trimmed, blank lines dropped. The five
     * decoded entities are the HTML-2.0 named set (amp LAST — decoding
-    * it earlier would double-decode `&amp;lt;`). `markAnchors` keeps
-    * anchor-text boundaries as sentinel chars (see [[MarkA]]) for the
-    * link-density measurements; blank-drop then judges the
-    * sentinel-free length so a marker-only line still drops. */
+    * it earlier would double-decode `&amp;lt;`).
+    *
+    * `markAnchors` keeps anchor-text boundaries as sentinel chars
+    * (see [[MarkA]]) for the link-density measurements, with three
+    * real-HTML guarantees (r18 review): stray sentinel BYTES in the
+    * raw input are stripped first (binary junk must not corrupt the
+    * measurement); the marking substitutes SPACED sentinels exactly
+    * where the unmarked path's tag strip substitutes spaces, so
+    * [[lineUnmarked]]'s recollapse reproduces the unmarked line
+    * byte-exactly ('word<a>link</a>tail.' must read 'word link
+    * tail.' either way); and an anchor whose text spans a block
+    * break gets its per-line sentinel parity REPAIRED
+    * ([[repairSentinels]]) so every line carries balanced marks.
+    * Blank-drop judges the sentinel-free recollapsed length, so a
+    * marker-only or whitespace-only-anchor line still drops — AFTER
+    * the repair, whose parity fold needs every sentinel. */
   private def linesPipeline(html: Column, markAnchors: Boolean): Column = {
+    val src = if (markAnchors) translate(html, MarkA + MarkB, "") else html
     val noScript =
-      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+      regexp_replace(src, "(?is)<script\\b[^>]*>.*?</script>", " ")
     val noStyle =
       regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val marked =
       if (markAnchors)
         regexp_replace(noComment, "(?is)<a\\b[^>]*>(.*?)</a>",
-          s"$MarkA$$1$MarkB")
+          s" $MarkA$$1$MarkB ")
       else noComment
     val blocks = regexp_replace(marked, BlockBreakRe, "\n")
     val noTags = regexp_replace(blocks, "<[^>]*>", " ")
@@ -89,12 +102,44 @@ object HtmlOps {
       "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
       case (c, (ent, ch)) => regexp_replace(c, ent, ch)
     }
-    filter(
-      transform(split(decoded, "\n"),
-        l => trim(regexp_replace(l, "[ \\t]+", " "))),
-      l =>
-        if (markAnchors) length(translate(l, MarkA + MarkB, "")) > 0
-        else length(l) > 0)
+    val collapsed = transform(split(decoded, "\n"),
+      l => trim(regexp_replace(l, "[ \\t]+", " ")))
+    if (markAnchors)
+      filter(repairSentinels(collapsed),
+        l => length(lineUnmarked(l)) > 0)
+    else filter(collapsed, l => length(l) > 0)
+  }
+
+  /** Per-line sentinel-parity repair for anchors spanning block
+    * breaks (r18 review: '<a>Home<br>Products</a>' splits its
+    * sentinels onto different lines, and an unpaired or absent
+    * sentinel would read as ZERO link chars — a pure-link navigation
+    * block escaping exactly the rule built for it). One ordered fold
+    * over the doc's lines carrying the open/closed state: a line
+    * starting inside an anchor gets a leading [[MarkA]], a line
+    * ending inside one gets a trailing [[MarkB]], an interior line
+    * gets both — every emitted line carries balanced sentinels, so
+    * [[lineLinkChars]]' paired regex sees the true link mass. The
+    * net-parity count uses split-counting (occurrence deltas cancel
+    * the off-by-ones) and anchors never nest (the lazy `(.*?)` match
+    * consumes to the first close). Identity on single-line anchors —
+    * the planted-wrap oracles replay without it. */
+  private def repairSentinels(lines: Column): Column = {
+    def netAfter(st: Column, l: Column): Column =
+      st.getField("open") +
+        size(split(l, "\\x01", -1)) - size(split(l, "\\x02", -1))
+    aggregate(
+      lines,
+      struct(lit(0).as("open"),
+        array().cast("array<string>").as("out")),
+      (st, l) => struct(
+        when(netAfter(st, l) > 0, 1).otherwise(0).as("open"),
+        concat(st.getField("out"), array(concat(
+          when(st.getField("open") > 0, lit(MarkA)).otherwise(lit("")),
+          l,
+          when(netAfter(st, l) > 0, lit(MarkB)).otherwise(lit("")))))
+          .as("out")),
+      st => st.getField("out"))
   }
 
   private[graft] def extractLines(html: Column): Column =
@@ -115,9 +160,13 @@ object HtmlOps {
         x => length(x)),
       lit(0), (a, x) => a + x)
 
-  /** The sentinel-free text of a MARKED line. */
+  /** The sentinel-free text of a MARKED line, RE-collapsed and
+    * trimmed: the spaced marking can leave a double space (or an edge
+    * space) where a sentinel sat between two whitespace runs, and
+    * downstream word counts / byte-equality with the unmarked path
+    * need the normalized form. */
   private[graft] def lineUnmarked(line: Column): Column =
-    translate(line, MarkA + MarkB, "")
+    trim(regexp_replace(translate(line, MarkA + MarkB, ""), "[ \\t]+", " "))
 
   /** MARKED lines surviving the link-density rule (drop lines whose
     * link text covers ≥ half their characters — the RefinedWeb-style
@@ -255,15 +304,18 @@ object HtmlOps {
     * replacement says `$$1`. */
   private def extractLinesDuckSql(htmlSql: String,
       markAnchors: Boolean = false): String = {
+    val src =
+      if (markAnchors) s"translate($htmlSql, chr(1) || chr(2), '')"
+      else htmlSql
     val noScript =
-      s"regexp_replace($htmlSql, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g')"
+      s"regexp_replace($src, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g')"
     val noStyle =
       s"regexp_replace($noScript, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g')"
     val noComment = s"regexp_replace($noStyle, '(?s)<!--.*?-->', ' ', 'g')"
     val marked =
       if (markAnchors)
         s"regexp_replace($noComment, '(?is)<a\\b[^>]*>(.*?)</a>', " +
-          s"chr(1) || '\\1' || chr(2), 'g')"
+          s"' ' || chr(1) || '\\1' || chr(2) || ' ', 'g')"
       else noComment
     val blockRe = "(?i)</(p|div|nav|li|ul|ol|h[1-6]|table|tr|td|footer|" +
       "header|section|article|aside|title|blockquote)>|<br\\s*/?>"
@@ -272,8 +324,14 @@ object HtmlOps {
     val decoded = s"replace(replace(replace(replace(replace($noTags," +
       s" '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', '''')," +
       s" '&amp;', '&')"
+    // NOTE: the engine's repairSentinels fold is IDENTITY here — the
+    // planted wrap has no block break inside an anchor, so the oracle
+    // replays the chain without it (HtmlOpsSpec pins the repair
+    // engine-side on a multi-line anchor fixture)
     val blankDrop =
-      if (markAnchors) "length(translate(l, chr(1) || chr(2), '')) > 0"
+      if (markAnchors)
+        "length(trim(regexp_replace(translate(l, chr(1) || chr(2), '')," +
+          " '[ \\t]+', ' ', 'g'))) > 0"
       else "length(l) > 0"
     s"""list_filter(
        |  list_transform(string_split($decoded, chr(10)),
@@ -425,7 +483,8 @@ object HtmlOps {
             |    coalesce(CAST(list_sum(list_transform(
             |      regexp_extract_all(line, '\\x01([^\\x02]*)\\x02', 1),
             |      s -> length(s))) AS BIGINT), 0) AS lc,
-            |    CAST(length(translate(line, chr(1) || chr(2), ''))
+            |    CAST(length(trim(regexp_replace(
+            |      translate(line, chr(1) || chr(2), ''), '[ \\t]+', ' ', 'g')))
             |      AS BIGINT) AS tc
             |  FROM l)
             |SELECT doc_id,

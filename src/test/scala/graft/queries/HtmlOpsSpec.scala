@@ -80,4 +80,42 @@ class HtmlOpsSpec extends AnyFunSuite with SparkTestSupport {
     assert(links == Seq(("/", 2L, 2L), ("/about", 2L, 2L), ("/g", 2L, 3L),
       ("/privacy", 2L, 2L), ("/tags", 2L, 2L)), links.toString)
   }
+
+  test("marked extraction on real-HTML shapes: inline anchors, spanning anchors, stray sentinels") {
+    // the r18 review's four real-world hazards, pinned engine-side
+    // (the planted-wrap oracles never exercise them):
+    import org.apache.spark.sql.functions.col
+    def curated(html: String, drop: Boolean = true): Seq[String] = {
+      val out = graft.stream.QualityStream.htmlCurated(
+        Seq((1L, html)).toDF("doc_id", "html"), dropLinkyLines = drop)
+        .select(col("text")).collect()
+      if (out.isEmpty) Seq.empty
+      else out.head.getString(0).linesIterator.toSeq
+    }
+    // 1. an inline anchor with no surrounding whitespace must read
+    //    identically marked and unmarked — never fuse words, never
+    //    mint a double space
+    val inline = "<p>word<a href=\"/x\">link</a>tail stays readable.</p>"
+    assert(curated(inline, drop = false) ==
+      Seq("word link tail stays readable."))
+    assert(curated(inline, drop = true) ==
+      Seq("word link tail stays readable."))
+    // 2. a 100%-link nav whose anchor text spans <br> block breaks is
+    //    STILL killed by the density rule (per-line sentinel parity
+    //    repaired), while real content beside it survives
+    val spanning = "<nav><a href=\"/x\">Home<br>Products<br>About</a></nav>" +
+      "<p>the actual article body keeps reading well.</p>"
+    assert(curated(spanning) == Seq("the actual article body keeps reading well."))
+    // 3. a whitespace-only anchor line drops like any blank line
+    assert(curated("<p><a href=\"/x\"> </a></p>" +
+      "<p>content line still here today.</p>") ==
+      Seq("content line still here today."))
+    // 4. stray sentinel BYTES in the raw page are stripped before
+    //    marking — a control byte ahead of content must not turn the
+    //    content line into 'link text' and get it dropped
+    val stray = "<p>\u0001 the real content sentence survives fine.</p>" +
+      "<nav><a href=\"/y\">All Links</a></nav>"
+    assert(curated(stray) ==
+      Seq("the real content sentence survives fine."))
+  }
 }
