@@ -55,9 +55,17 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg (LOCAL iteration only — the driver always
+    // passes two): comma-separated key names to restrict the dump to,
+    // so tools/diffcheck.py --only doesn't pay the full-surface run
+    val only = args.lift(2).map(_.split(",").toSet)
     val spark = GraftSession.local("graft-verify")
-    val errors = dumpAll(spark, sfDir, outDir, SparkEntry.queries)
+    val queries = only match {
+      case Some(keys) => SparkEntry.queries.view.filterKeys(keys).toMap
+      case None => SparkEntry.queries
+    }
+    val errors = dumpAll(spark, sfDir, outDir, queries)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -26,10 +26,12 @@ import graft.Tables
   * Extraction model (tag soup, not a DOM): drop `<script>`/`<style>`
   * elements and comments WITH their content, turn block-closing tags
   * into line breaks (so the line structure the C4 rules need
-  * survives), strip remaining tags, decode the five standard entities,
-  * collapse/trim whitespace per line, drop blank lines. A real crawl
-  * pipeline bolts real-world tolerance on top; the operator contract —
-  * line-structured visible text out of markup — is this one.
+  * survives), strip remaining tags, decode the standard entities in
+  * named AND numeric dec/hex forms ([[EntityDecodes]] — `&nbsp;` and
+  * friends decode to a collapsing space, the r19 real-markup
+  * tolerance), collapse/trim whitespace per line, drop blank lines.
+  * The operator contract — line-structured visible text out of
+  * markup — is this one.
   *
   * The query keys run over a deterministic PLANTED page wrap of the
   * `documents` table (nav/script/style/cookie-banner/footer chrome
@@ -62,27 +64,56 @@ object HtmlOps {
   private val MarkA = "\u0001"
   private val MarkB = "\u0002"
 
+  /** Entity decode table for real markup (r19 — r18 VERDICT missing
+    * #1): each row is one regexp pass mapping an alternation of a
+    * named entity and its numeric dec/hex forms (leading zeros
+    * tolerated, `(?i)` for crawl tolerance of legacy all-caps named
+    * forms) to ONE literal character — the SAME chr() both engines
+    * compute, so the decode stays hash-certifiable. `&nbsp;` family
+    * decodes to a PLAIN space (the extraction convention: it feeds
+    * the `[ \t]+` collapse, so an `&nbsp;`-glued nav line word-counts
+    * correctly instead of fusing into one giant token); `&copy;`
+    * decodes to the `©` the C4 boilerplate rule matches. Amp is LAST
+    * — decoding it earlier would double-decode `&amp;lt;`, and its
+    * place at the end keeps `&amp;#160;` (an escaped literal
+    * `&#160;`) from ever re-decoding. None of the replacement chars
+    * is a Java/RE2 replacement metacharacter (`$`, `\`). */
+  private val EntityDecodes: Seq[(String, String)] = Seq(
+    "(?i)&nbsp;|&#0*160;|&#x0*a0;" -> " ",
+    "(?i)&lt;|&#0*60;|&#x0*3c;" -> "<",
+    "(?i)&gt;|&#0*62;|&#x0*3e;" -> ">",
+    "(?i)&quot;|&#0*34;|&#x0*22;" -> "\"",
+    "(?i)&apos;|&#0*39;|&#x0*27;" -> "'",
+    "(?i)&copy;|&#0*169;|&#x0*a9;" -> "©",
+    "(?i)&amp;|&#0*38;|&#x0*26;" -> "&")
+
+  private def duckLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** Visible text lines of an HTML string: ARRAY<STRING>, each line
-    * whitespace-collapsed and trimmed, blank lines dropped. The five
-    * decoded entities are the HTML-2.0 named set (amp LAST — decoding
-    * it earlier would double-decode `&amp;lt;`).
+    * whitespace-collapsed and trimmed, blank lines dropped. Entities
+    * decode per [[EntityDecodes]] (named + numeric dec/hex forms,
+    * amp LAST).
+    *
+    * Stray sentinel BYTES (/) in the raw input are
+    * stripped UNCONDITIONALLY (r18 ADVICE: the scrub ran only on the
+    * marked path, so the unmarked front door could land sentinel
+    * bytes in lake text, poisoning a later marked pass) — the
+    * extraction contract asserts them absent from every output line.
     *
     * `markAnchors` keeps anchor-text boundaries as sentinel chars
     * (see [[MarkA]]) for the link-density measurements, with three
-    * real-HTML guarantees (r18 review): stray sentinel BYTES in the
-    * raw input are stripped first (binary junk must not corrupt the
-    * measurement); the marking substitutes SPACED sentinels exactly
-    * where the unmarked path's tag strip substitutes spaces, so
-    * [[lineUnmarked]]'s recollapse reproduces the unmarked line
-    * byte-exactly ('word<a>link</a>tail.' must read 'word link
-    * tail.' either way); and an anchor whose text spans a block
-    * break gets its per-line sentinel parity REPAIRED
+    * real-HTML guarantees (r18 review): the marking substitutes
+    * SPACED sentinels exactly where the unmarked path's tag strip
+    * substitutes spaces, so [[lineUnmarked]]'s recollapse reproduces
+    * the unmarked line byte-exactly ('word<a>link</a>tail.' must
+    * read 'word link tail.' either way); and an anchor whose text
+    * spans a block break gets its per-line sentinel parity REPAIRED
     * ([[repairSentinels]]) so every line carries balanced marks.
     * Blank-drop judges the sentinel-free recollapsed length, so a
     * marker-only or whitespace-only-anchor line still drops — AFTER
     * the repair, whose parity fold needs every sentinel. */
   private def linesPipeline(html: Column, markAnchors: Boolean): Column = {
-    val src = if (markAnchors) translate(html, MarkA + MarkB, "") else html
+    val src = translate(html, MarkA + MarkB, "")
     val noScript =
       regexp_replace(src, "(?is)<script\\b[^>]*>.*?</script>", " ")
     val noStyle =
@@ -95,11 +126,7 @@ object HtmlOps {
       else noComment
     val blocks = regexp_replace(marked, BlockBreakRe, "\n")
     val noTags = regexp_replace(blocks, "<[^>]*>", " ")
-    // entity decode via regexp_replace on literal-safe patterns (none
-    // of the five entities carries a regex metacharacter, none of the
-    // targets carries a replacement metacharacter)
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
+    val decoded = EntityDecodes.foldLeft(noTags) {
       case (c, (ent, ch)) => regexp_replace(c, ent, ch)
     }
     val collapsed = transform(split(decoded, "\n"),
@@ -241,6 +268,10 @@ object HtmlOps {
   // (terminal '.' so C4's punctuation rule can see real content), a
   // javascript-marker comments stub, a cookie banner, a copyright
   // footer, plus script/style elements that must vanish WITH content.
+  // r19: the nav glues its anchors with &nbsp; and single-quotes one
+  // href — the crawl-tolerance paths (entity decode to a collapsing
+  // space, quote-agnostic href extraction) run INSIDE the
+  // hash-certified wrap, not just in engine-side specs.
   // ------------------------------------------------------------------
 
   private def escapedTextSql: String =
@@ -251,7 +282,7 @@ object HtmlOps {
        |  '<html><head><title>', source, ' #', CAST(doc_id AS STRING),
        |  '</title><style>body { margin: 0; }</style>',
        |  '<script type="text/javascript">var t = 1;</script></head>',
-       |  '<body><nav><a href="/">Home</a> <a href="/tags">Tags</a></nav>',
+       |  '<body><nav><a href="/">Home</a>&nbsp;<a href=''/tags''>Tags</a></nav>',
        |  '<h1>', source, ' ', CAST(doc_id AS STRING), '</h1>',
        |  '<p>', $escapedTextSql, '.</p>',
        |  '<!-- render hints -->',
@@ -263,7 +294,7 @@ object HtmlOps {
     s"""('<html><head><title>' || source || ' #' || doc_id::VARCHAR ||
        |  '</title><style>body { margin: 0; }</style>' ||
        |  '<script type="text/javascript">var t = 1;</script></head>' ||
-       |  '<body><nav><a href="/">Home</a> <a href="/tags">Tags</a></nav>' ||
+       |  '<body><nav><a href="/">Home</a>&nbsp;<a href=''/tags''>Tags</a></nav>' ||
        |  '<h1>' || source || ' ' || doc_id::VARCHAR || '</h1>' ||
        |  '<p>' || $escapedTextSql || '.</p>' ||
        |  '<!-- render hints -->' ||
@@ -274,12 +305,15 @@ object HtmlOps {
   /** The link-density key's page wrap: anchors vary per doc — a fully
     * linky nav, a content paragraph with none, a refs paragraph with
     * `doc_id % 3` inline anchors, a footer with one — so the density
-    * signal has a real spread for the oracle to certify. */
+    * signal has a real spread for the oracle to certify. r19: the nav
+    * glues with numeric nbsp forms (`&#160;`/`&#xA0;`) and spans all
+    * three href quoting forms (double, single, none) — the
+    * crawl-tolerance paths run inside the hash-certified wrap. */
   private[graft] def wrapHtmlLinksSparkSql: String =
     s"""concat(
        |  '<html><head><title>', source, ' #', CAST(doc_id AS STRING),
        |  '</title></head><body>',
-       |  '<nav><a href="/">Home</a> <a href="/tags">Tags</a> <a href="/about">About</a></nav>',
+       |  '<nav><a href="/">Home</a>&#160;<a href=''/tags''>Tags</a>&#xA0;<a href=/about>About</a></nav>',
        |  '<p>', $escapedTextSql, '.</p>',
        |  '<p>refs: ', repeat('<a href="/g">guide here</a> ', CAST(doc_id % 3 AS INT)),
        |  'plus closing words.</p>',
@@ -289,7 +323,7 @@ object HtmlOps {
   private def wrapHtmlLinksDuckSql: String =
     s"""('<html><head><title>' || source || ' #' || doc_id::VARCHAR ||
        |  '</title></head><body>' ||
-       |  '<nav><a href="/">Home</a> <a href="/tags">Tags</a> <a href="/about">About</a></nav>' ||
+       |  '<nav><a href="/">Home</a>&#160;<a href=''/tags''>Tags</a>&#xA0;<a href=/about>About</a></nav>' ||
        |  '<p>' || $escapedTextSql || '.</p>' ||
        |  '<p>refs: ' || repeat('<a href="/g">guide here</a> ', CAST(doc_id % 3 AS INT)) ||
        |  'plus closing words.</p>' ||
@@ -304,9 +338,8 @@ object HtmlOps {
     * replacement says `$$1`. */
   private def extractLinesDuckSql(htmlSql: String,
       markAnchors: Boolean = false): String = {
-    val src =
-      if (markAnchors) s"translate($htmlSql, chr(1) || chr(2), '')"
-      else htmlSql
+    // sentinel scrub mirrors the engine's UNCONDITIONAL translate
+    val src = s"translate($htmlSql, chr(1) || chr(2), '')"
     val noScript =
       s"regexp_replace($src, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g')"
     val noStyle =
@@ -321,9 +354,10 @@ object HtmlOps {
       "header|section|article|aside|title|blockquote)>|<br\\s*/?>"
     val blocks = s"regexp_replace($marked, '$blockRe', chr(10), 'g')"
     val noTags = s"regexp_replace($blocks, '<[^>]*>', ' ', 'g')"
-    val decoded = s"replace(replace(replace(replace(replace($noTags," +
-      s" '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', '''')," +
-      s" '&amp;', '&')"
+    val decoded = EntityDecodes.foldLeft(noTags) {
+      case (c, (ent, ch)) =>
+        s"regexp_replace($c, ${duckLit(ent)}, ${duckLit(ch)}, 'g')"
+    }
     // NOTE: the engine's repairSentinels fold is IDENTITY here — the
     // planted wrap has no block break inside an anchor, so the oracle
     // replays the chain without it (HtmlOpsSpec pins the repair
@@ -343,8 +377,14 @@ object HtmlOps {
     * visible line count, the extracted text (hash-compared line by
     * line against the oracle — the strongest certification a string
     * transform can get), and `content_ok` — the entity-escape →
-    * extract roundtrip recovered the original text byte-exactly.
-    * One narrow pass; only the output sort shuffles. */
+    * extract roundtrip recovered the original text MODULO the
+    * extraction's own normalization (r18 ADVICE: the raw byte-compare
+    * read false on any text carrying a newline or multi-space run
+    * even though extraction worked as specified — so the check
+    * compares against the NORMALIZED form: the text's own
+    * whitespace-collapsed, blank-dropped lines, every one of which
+    * must appear among the extracted lines). One narrow pass; only
+    * the output sort shuffles. */
   private val qHtmlExtract = Q(
     "q_html_extract",
     (s, d) => {
@@ -353,8 +393,8 @@ object HtmlOps {
         .select(col("doc_id"), col("text"), lines.as("_lines"))
         .select(col("doc_id"),
           size(col("_lines")).cast("long").as("n_lines"),
-          array_contains(col("_lines"), concat(col("text"), lit(".")))
-            .as("content_ok"),
+          forall(textLines(concat(col("text"), lit("."))),
+            x => array_contains(col("_lines"), x)).as("content_ok"),
           array_join(col("_lines"), "\n").as("extracted"))
         .orderBy(col("doc_id"))
     },
@@ -364,7 +404,10 @@ object HtmlOps {
             |  FROM documents)
             |SELECT doc_id,
             |  CAST(len(lines) AS BIGINT) AS n_lines,
-            |  list_contains(lines, text || '.') AS content_ok,
+            |  list_has_all(lines, list_filter(
+            |    list_transform(string_split(text || '.', chr(10)),
+            |      l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
+            |    l -> length(l) > 0)) AS content_ok,
             |  array_to_string(lines, chr(10)) AS extracted
             |FROM x ORDER BY doc_id""".stripMargin)
   )
@@ -498,22 +541,43 @@ object HtmlOps {
             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
+  /** Anchor `href` values of an HTML column, quote-agnostic (r19 —
+    * r18 VERDICT missing #1: the double-quote-only pattern silently
+    * dropped the single-quoted/unquoted attribute forms ubiquitous in
+    * crawl data). One group captures the raw value token — a
+    * double-quoted run, a single-quoted run, or an unquoted run to
+    * the first whitespace/`>` — and a symmetric strip removes the
+    * delimiting quotes. Same RE2/Java pattern string both engines. */
+  private val HrefRe =
+    "(?is)<a\\b[^>]*?href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"
+
+  private[graft] def hrefsOf(html: Column): Column =
+    transform(regexp_extract_all(html, lit(HrefRe), lit(1)),
+      h => when(substring(h, 1, 1).isin("\"", "'"),
+        h.substr(lit(2), length(h) - 2)).otherwise(h))
+
+  /** [[hrefsOf]]'s DuckDB mirror over an HTML SQL expression. */
+  private def hrefsDuckSql(htmlSql: String): String =
+    s"""list_transform(regexp_extract_all($htmlSql, ${duckLit(HrefRe)}, 1),
+       |  h -> CASE WHEN substr(h, 1, 1) IN ('"', '''')
+       |            THEN substr(h, 2, length(h) - 2) ELSE h END)""".stripMargin
+
   /** OUTLINK extraction (r18) — the URL-frontier primitive a crawl
     * pipeline runs beside extraction: every `href` attribute pulled
     * straight from the markup (anchors only — the link graph's
     * edges), rolled up corpus-wide to (href, how many docs link it,
     * total references). The per-doc edge list this explodes is
-    * exactly what a host-graph pagerank (`q_pagerank`) or a frontier
-    * scheduler consumes. One `regexp_extract_all` narrow pass + one
-    * partial-agg'd href-keyed groupBy; FULL oracle (same RE2/Java
-    * pattern). */
+    * exactly what a host-graph pagerank (`q_host_pagerank`) or a
+    * frontier scheduler consumes. One `regexp_extract_all` narrow
+    * pass + one partial-agg'd href-keyed groupBy; FULL oracle (same
+    * RE2/Java pattern), now covering all three quoting forms the
+    * planted nav exercises. */
   private val qHtmlLinks = Q(
     "q_html_links",
     (s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(regexp_extract_all(expr(wrapHtmlLinksSparkSql),
-            lit("(?is)<a\\b[^>]*href=\"([^\"]*)\""), lit(1))).as("href"))
+          explode(hrefsOf(expr(wrapHtmlLinksSparkSql))).as("href"))
         .groupBy(col("href"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_refs"))
@@ -521,8 +585,7 @@ object HtmlOps {
     },
     Some(s"""WITH l AS (
             |  SELECT doc_id,
-            |    unnest(regexp_extract_all($wrapHtmlLinksDuckSql,
-            |      '(?is)<a\\b[^>]*href="([^"]*)"', 1)) AS href
+            |    unnest(${hrefsDuckSql(wrapHtmlLinksDuckSql)}) AS href
             |  FROM documents)
             |SELECT href, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
             |  CAST(count(*) AS BIGINT) AS n_refs

@@ -19,7 +19,8 @@ for a in sys.argv:
 OUT = "/tmp/graft_verify_out"
 
 subprocess.run(["rm", "-rf", OUT])
-r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+only_arg = (" " + ",".join(sorted(ONLY))) if ONLY else ""
+r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{only_arg}'],
                    cwd="/root/repo", capture_output=True, text=True, timeout=1800)
 sys.stdout.write("\n".join(l for l in (r.stdout + r.stderr).splitlines()
                            if "[verify]" in l or "error]" in l.lower()[:8]) + "\n")
