@@ -1224,6 +1224,40 @@ object Chunking {
       .select(col("doc_id"), col("n_bytes"), col("n_tokens"), col("decoded"))
   }
 
+  /** COUNT-ONLY byte-mode serve for the fertility audit (r19 — r18
+    * VERDICT wrong #1): the kernel carries `lang` and the whitespace
+    * word count INLINE through the mapPartitions pass, so the audit
+    * needs no join back to `documents` at all — and skips the
+    * decode/unhex tail [[byteRoundtrip]] pays, since per-language
+    * counts never read the decoded string. Returns one narrow row per
+    * doc: (lang, n_words, n_bytes, n_tokens); the caller's O(langs)
+    * partial agg is the only shuffle. */
+  def byteCounts(df: DataFrame, dir: String): DataFrame = {
+    val s = df.sparkSession
+    val tok = graft.index.TokenizerIndex.read(s, dir)
+    require(tok.mode == "byte",
+      s"tokenizer artifact at $dir is mode '${tok.mode}' — byteCounts " +
+        "applies byte-mode artifacts only")
+    val ranks = tok.merges.select(col("round"), col("l"), col("r"))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
+      .toMap
+    val bc = ranksBcMemo.of(s.sparkContext, ranks)
+    val join = tok.join
+    import s.implicits._
+    df.select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        expr(byteToksExpr).as("toks"))
+      .as[(String, Long, Seq[String])]
+      .mapPartitions { it =>
+        val rk = bc.value
+        it.map { case (lang, nw, toks) =>
+          val enc = graft.functions.BpeEncoder.encode(toks.toArray, rk, join)
+          (lang, nw, toks.length.toLong, enc.length.toLong)
+        }
+      }
+      .toDF("lang", "n_words", "n_bytes", "n_tokens")
+  }
+
   /** The byte-mode encode→decode kernel pass shared by the stored-
     * artifact serve ([[byteRoundtrip]]) and the inline key: hex byte
     * symbols → single-pass [[graft.functions.BpeEncoder]] merge
@@ -1597,17 +1631,25 @@ object Chunking {
     rows.toSeq.toDF("piece", "cnt", "micro")
   }
 
+  /** The per-DISTINCT-word unigram segmentation map `(w, _e, _np)` —
+    * Viterbi once per distinct word; the corpus-independent half of
+    * [[uniEncode]], exposed so count-only consumers (the fertility
+    * audit) can broadcast just `(w, _np)` without the encoded
+    * strings. */
+  private[graft] def uniSegMap(docs: DataFrame,
+      vocabMicros: DataFrame): DataFrame = {
+    val words = uniWords(docs).localCheckpoint(false)
+    uniBest(words, uniSegs(words), vocabMicros)
+      .select(col("w"), concat_ws(UniJoin, col("pieces")).as("_e"),
+        size(col("pieces")).cast("long").as("_np"))
+  }
+
   /** Segment a corpus under a trained vocab: Viterbi once per
     * DISTINCT word, then a broadcast map join — the corpus never
     * shuffles (the q_bpe_encode_fast stance). */
   private[graft] def uniEncode(docs: DataFrame,
-      vocabMicros: DataFrame): DataFrame = {
-    val words = uniWords(docs).localCheckpoint(false)
-    val segMap = uniBest(words, uniSegs(words), vocabMicros)
-      .select(col("w"), concat_ws(UniJoin, col("pieces")).as("_e"),
-        size(col("pieces")).cast("long").as("_np"))
-    corpusEncodeVia(docs, segMap)
-  }
+      vocabMicros: DataFrame): DataFrame =
+    corpusEncodeVia(docs, uniSegMap(docs, vocabMicros))
 
   /** The corpus-mapping tail every per-distinct-word tokenizer mode
     * shares (unigram Viterbi, WordPiece max-munch): positional word
@@ -1994,7 +2036,13 @@ object Chunking {
     * caching; bucketing by (position class, first char) keeps the
     * match-step scan proportional to the bucket, and dropping pieces
     * into class buckets subsumes the per-piece eligibility check. */
-  private[graft] def wpEncode(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+  private[graft] def wpEncode(docs: DataFrame, vocab: Seq[String]): DataFrame =
+    corpusEncodeVia(docs, wpSegMap(docs, vocab))
+
+  /** The per-DISTINCT-word WordPiece max-munch map `(w, _e, _np)` —
+    * [[uniSegMap]]'s twin for the wordpiece mode (count-only
+    * consumers broadcast just `(w, _np)`). */
+  private[graft] def wpSegMap(docs: DataFrame, vocab: Seq[String]): DataFrame = {
     val sorted = vocab.sortBy(p => (-p.replace(WpMark, "").length, p))
     // Seq.groupBy preserves per-group encounter order, so each bucket
     // stays (unmarked length desc, piece asc) — the max-munch order
@@ -2008,14 +2056,13 @@ object Chunking {
     val vmap = buckets.toSeq.toDF("_k", "_b")
       .agg(map_from_entries(collect_list(struct(col("_k"), col("_b"))))
         .as("_vmap"))
-    val segMap = uniWords(docs)
+    uniWords(docs)
       .crossJoin(broadcast(vmap))
       .withColumn("_ps", expr(wpMunchSql))
       .withColumn("pieces", expr(
         "IF(exists(_ps, p -> substring(p, 1, 1) = char(1)), array(w), _ps)"))
       .select(col("w"), expr("array_join(pieces, ' ')").as("_e"),
         size(col("pieces")).cast("long").as("_np"))
-    corpusEncodeVia(docs, segMap)
   }
 
   /** The unrolled WordPiece trainer oracle — every CTE mirrors the

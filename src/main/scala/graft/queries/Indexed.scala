@@ -731,25 +731,38 @@ object Indexed {
     Chunking.qUnigramEncode.oracle
   )
 
-  /** Per-language fertility roll-up shared by every vocab-mode
-    * tokenizer's equity audit (r17 review: the unigram and wordpiece
-    * keys carried verbatim copies of this block — a future change to
-    * the fertility definition would have to land in four places). */
-  private def fertilityOf(encoded: DataFrame, docs: DataFrame): DataFrame =
-    encoded
-      .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
-        Seq("doc_id"))
+  /** Per-language fertility roll-up shared by the unigram and
+    * wordpiece equity audits — the COUNT-ONLY serve (r19, r18 VERDICT
+    * wrong #1): the old form fed on the full corpus encode
+    * (`corpusEncodeVia`), which reassembled every document's encoded
+    * STRING via a doc_id-keyed collect_list and then re-joined
+    * `documents` on doc_id — two corpus-sized doc_id shuffles plus
+    * re-encoded text on the wire, all to compute per-lang COUNTS. Now:
+    * one positional explode → broadcast `(w, _np)` join (the encoded
+    * strings never ship) → O(langs) partial agg, plus a second
+    * column-pruned pass for the per-doc facts (doc count, char mass)
+    * — zero data-sized shuffles, matching `q_tokenizer_fertility`'s
+    * plan shape at last. Oracles unchanged (sums are associative), so
+    * hash-green certifies the flattening exact. */
+  private def fertilityOfCounts(docs: DataFrame, segMap: DataFrame): DataFrame = {
+    val wordAgg = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(segMap.select(col("w"), col("_np"))), Seq("w"))
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_words"),
-        sum(col("n_pieces")).as("n_pieces"),
-        sum(col("n_chars")).as("_nc"))
-      .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
-        round(col("n_pieces").cast("double") / col("n_words"), 6)
-          .as("fertility"),
-        round(col("_nc").cast("double") / col("n_pieces"), 6)
-          .as("chars_per_piece"))
+      .agg(count(lit(1)).as("n_words"), sum(col("_np")).as("n_pieces"))
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("_nc"))
+      .join(broadcast(wordAgg), Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        round(coalesce(col("n_pieces"), lit(0L)).cast("double") /
+          coalesce(col("n_words"), lit(0L)), 6).as("fertility"),
+        round(col("_nc").cast("double") /
+          coalesce(col("n_pieces"), lit(0L)), 6).as("chars_per_piece"))
       .orderBy(col("lang"))
+  }
 
   /** [[fertilityOf]]'s oracle: the mode's full trainer+encode
     * preamble (ending in `tok` and the per-word map `encmName`)
@@ -779,16 +792,16 @@ object Indexed {
     * language, how many pieces the committed unigram tokenizer spends
     * per word and per character. A language the vocab undercovers
     * pays in fertility BEFORE the training budget overruns do.
-    * Zero-shuffle serve scan (distinct-word Viterbi + broadcast map
-    * join) + one O(langs) partial-agg'd roll-up ([[fertilityOf]]).
+    * Zero-data-shuffle serve scan (distinct-word Viterbi + broadcast
+    * `(w, _np)` map join) + O(langs) partial-agg'd roll-ups
+    * ([[fertilityOfCounts]] — no corpus encode, no doc_id shuffle).
     * FULL oracle over the unrolled trainer + encode chain. */
   private val qUnigramFertility = Q(
     "q_unigram_fertility",
     (s, d) => {
       val docs = graft.Tables.documents(s, d)
-      fertilityOf(Chunking.uniEncode(docs,
-        graft.index.TokenizerIndex.readUnigram(s, unigramDirFor(s, d)).vocab),
-        docs)
+      fertilityOfCounts(docs, Chunking.uniSegMap(docs,
+        graft.index.TokenizerIndex.readUnigram(s, unigramDirFor(s, d)).vocab))
     },
     Some(fertilityOracleSql(Chunking.uniFullOracleCtes, "encm"))
   )
@@ -816,20 +829,18 @@ object Indexed {
     * script needs more bytes per character (or that the merge budget
     * undercovers) pays visibly here.
     *
-    * 100 TB shape: the serve is [[Chunking.byteRoundtrip]]'s single
+    * 100 TB shape: the serve is [[Chunking.byteCounts]]'s single
     * mapPartitions kernel pass under the STORED artifact (mode
-    * enforced — a word-mode artifact refuses loudly), then one
-    * O(langs) partial-agg'd roll-up; nothing but the final tiny sort
-    * shuffles. FULL oracle over the certified byte trainer CTEs. */
+    * enforced — a word-mode artifact refuses loudly) carrying `lang`
+    * and the word count INLINE (r19, r18 VERDICT wrong #1: the old
+    * form joined the kernel output back to `documents` on doc_id for
+    * columns the kernel already held), then one O(langs) partial-agg'd
+    * roll-up; nothing but the final tiny sort shuffles. FULL oracle
+    * over the certified byte trainer CTEs, unchanged. */
   private val qByteFertility = Q(
     "q_byte_fertility",
     (s, d) => {
-      val docs = graft.Tables.documents(s, d)
-      Chunking.byteRoundtrip(docs, byteDirFor(s, d))
-        .select(col("doc_id"), col("n_bytes"), col("n_tokens"))
-        .join(docs.select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("n_words")),
-          Seq("doc_id"))
+      Chunking.byteCounts(graft.Tables.documents(s, d), byteDirFor(s, d))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("n_words"),
@@ -886,7 +897,7 @@ object Indexed {
     "q_wordpiece_fertility",
     (s, d) => {
       val docs = graft.Tables.documents(s, d)
-      fertilityOf(Chunking.wpEncode(docs, wpServedVocab(s, d)), docs)
+      fertilityOfCounts(docs, Chunking.wpSegMap(docs, wpServedVocab(s, d)))
     },
     Some(fertilityOracleSql(Chunking.wpFullOracleCtes, "wencm"))
   )
