@@ -192,6 +192,25 @@ object SubstrIndex {
   def isLabelFolded(spark: SparkSession, dir: String, label: String): Boolean =
     currentMeta(fsFor(spark, dir), dir).exists(_.folded.contains(label))
 
+  /** True iff `label`'s delta is PROVABLY already absorbed into the
+    * committed counts — by the one-generation folded list, or (for
+    * numeric `batch_id=N` labels) by the `covered_max` high-water
+    * mark: a numeric label at or under the mark was folded in some
+    * earlier generation (appends are order-enforced, so the mark
+    * never advances past an unfolded numeric label under the
+    * single-gate-writer contract). This is the self-appending gate's
+    * replay probe (r18 ADVICE): a batch replayed after TWO
+    * compactions is beyond the one-generation folded list, and a
+    * folded-list-only probe sent that replay back into [[append]],
+    * whose order refusal then threw inside foreachBatch on every
+    * restart — a permanent crash loop where covered evidence proves
+    * both of the batch's writes committed and the trigger must
+    * no-op. */
+  def isLabelCovered(spark: SparkSession, dir: String, label: String): Boolean =
+    currentMeta(fsFor(spark, dir), dir).exists(m =>
+      m.folded.contains(label) ||
+        batchIdOf(label).exists(_ <= m.coveredMax))
+
   /** The subset of `labels` whose count deltas are NOT yet visible to
     * readers — the counts-served scrub's plan gate: the gate stream
     * writes the lake batch BEFORE appending its count delta, so a

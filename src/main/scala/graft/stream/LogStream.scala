@@ -1401,10 +1401,14 @@ object LogStream {
     * Replay-safe by the family contract: the gate reads the counts
     * with the batch's OWN label excluded (a replay otherwise counts
     * each survivor's windows against themselves), and a label already
-    * folded proves both writes committed, so that replay no-ops.
-    * Within-batch duplicate runs land whole (the
-    * [[toSelfDedupingLake]] stance) and join the counts for the next
-    * trigger. */
+    * COVERED — in the folded list, or at/under the committed
+    * `covered_max` high-water mark (r18 ADVICE: a replay landing
+    * after TWO compactions is beyond the one-generation folded list,
+    * and the folded-list-only probe sent it into append(), whose
+    * order refusal crash-looped the stream) — proves both writes
+    * committed, so that replay no-ops. Within-batch duplicate runs
+    * land whole (the [[toSelfDedupingLake]] stance) and join the
+    * counts for the next trigger. */
   def toExactSubstringGatedLake(
       docs: DataFrame,
       indexDir: String,
@@ -1417,7 +1421,7 @@ object LogStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
         val label = s"batch_id=$batchId"
-        if (!graft.index.SubstrIndex.isLabelFolded(s, indexDir, label)) {
+        if (!graft.index.SubstrIndex.isLabelCovered(s, indexDir, label)) {
           // the window length L is the ARTIFACT'S, resolved per
           // trigger: keys of different L are disjoint hash spaces, so
           // a caller-supplied L would silently probe nothing and
@@ -1458,7 +1462,7 @@ object LogStream {
           // (The airtight deployment rule remains: do not compact a
           // self-appended artifact while its stream has an
           // uncommitted trigger.)
-          if (!graft.index.SubstrIndex.isLabelFolded(s, indexDir, label)) {
+          if (!graft.index.SubstrIndex.isLabelCovered(s, indexDir, label)) {
             writeBatchIdempotent(survivors, lakeDir, batchId)
             graft.index.SubstrIndex.append(
               graft.queries.Chunking.windowCounts(survivors, L),

@@ -88,6 +88,16 @@ class SubstrIndexSpec extends AnyFunSuite with SparkTestSupport {
       SubstrIndex.append(Chunking.windowCounts(docsDf(batch2)), dir,
         "batch_id=1")
     }
+    // …and the GATE's replay probe must see that label as COVERED
+    // (r18 ADVICE: the folded-list-only probe sent exactly this
+    // replay — retired beyond the one-generation list — back into
+    // append(), whose refusal above would crash-loop the stream's
+    // foreachBatch on every restart; covered evidence no-ops it)
+    assert(SubstrIndex.isLabelCovered(spark, dir, "batch_id=1"))
+    assert(SubstrIndex.isLabelCovered(spark, dir, "batch_id=2"))
+    assert(!SubstrIndex.isLabelCovered(spark, dir, "batch_id=3"))
+    assert(!SubstrIndex.isLabelCovered(spark, dir, "manual-y"),
+      "foreign labels carry no mark evidence — stay honestly probed")
     // in-order appends keep landing: the next id is fine
     SubstrIndex.append(Chunking.windowCounts(docsDf(batch2)), dir, "batch_id=3")
     assert(SubstrIndex.pendingAppends(spark, dir) == 1)
