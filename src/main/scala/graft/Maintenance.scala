@@ -200,6 +200,21 @@ object Maintenance {
     }
   }
 
+  /** Fold a persisted URL-frontier seen-set's pending deltas into
+    * the next committed version ([[graft.index.FrontierIndex.compact]])
+    * — membership is union-idempotent, so this is purely the
+    * read-cost fold, the [[FoldSubstrIndexAppends]] twin for the
+    * crawl loop ([[stream.LogStream.toUrlFrontierLake]]). */
+  final case class FoldFrontierIndexAppends(dir: String, nPending: Int)
+      extends Task {
+    def id: String = s"frontier-compact:$dir"
+    def resource: String = dir
+    def run(spark: SparkSession): String = {
+      index.FrontierIndex.compact(spark, dir)
+      s"folded $nPending append table(s)"
+    }
+  }
+
   /** A registered (landed lake → cleaned view) SCRUB binding — the
     * REMOVE half of the exact-substring detect→remove loop (r16 —
     * r15 VERDICT #7): the streaming winnowing overlap gate
@@ -392,7 +407,8 @@ object Maintenance {
       lshIndexes: Seq[String] = Seq.empty,
       phashIndexes: Seq[String] = Seq.empty,
       scrubBindings: Seq[ScrubBinding] = Seq.empty,
-      substrIndexes: Seq[String] = Seq.empty): Seq[Task] = {
+      substrIndexes: Seq[String] = Seq.empty,
+      frontierIndexes: Seq[String] = Seq.empty): Seq[Task] = {
     val lakeTasks = lakes.flatMap { p =>
       logs.LogLake.fragmentedPartitions(spark, p, minLakeFiles)
         .map { case (env, day, n) => CompactLakePartition(p, env, day, n) }
@@ -472,6 +488,13 @@ object Maintenance {
         out
       })
     }
+    val frontierTasks = frontierIndexes.flatMap { d =>
+      if (!index.FrontierIndex.exists(spark, d)) None
+      else {
+        val n = index.FrontierIndex.pendingAppends(spark, d)
+        if (n >= minIndexAppends) Some(FoldFrontierIndexAppends(d, n)) else None
+      }
+    }
     val substrTasks = substrIndexes.flatMap { d =>
       if (!index.SubstrIndex.exists(spark, d)) None
       else {
@@ -520,7 +543,7 @@ object Maintenance {
     }
     lakeTasks ++ autoLakeTasks ++ indexTasks ++ winnowTasks ++
       minhashTasks ++ lmTasks ++ lshTasks ++ phashTasks ++
-      substrTasks ++ bindingTasks ++ scrubTasks ++ rebuilds
+      substrTasks ++ frontierTasks ++ bindingTasks ++ scrubTasks ++ rebuilds
   }
 
   /** Fan the work-list out over a bounded thread pool (each task is
@@ -643,12 +666,13 @@ object Maintenance {
       lshIndexes: Seq[String] = Seq.empty,
       phashIndexes: Seq[String] = Seq.empty,
       substrIndexes: Seq[String] = Seq.empty,
+      frontierIndexes: Seq[String] = Seq.empty,
       scrubBindings: Seq[ScrubBinding] = Seq.empty,
       tokenizerBindings: Seq[TokenizerBinding] = Seq.empty)
 
   private val Flags = Set("--index", "--winnow-index", "--minhash-index",
     "--lm-index", "--lsh-index", "--phash-index", "--substr-index",
-    "--scrub", "--auto-lake", "--tokenizer")
+    "--frontier-index", "--scrub", "--auto-lake", "--tokenizer")
 
   /** Parse the operational arg vector: positional args are lake
     * dirs; each `--<kind>` flag collects the dirs that follow it
@@ -702,6 +726,8 @@ object Maintenance {
         case "--phash-index" => acc.copy(phashIndexes = acc.phashIndexes :+ a)
         case "--substr-index" =>
           acc.copy(substrIndexes = acc.substrIndexes :+ a)
+        case "--frontier-index" =>
+          acc.copy(frontierIndexes = acc.frontierIndexes :+ a)
         case "--scrub" => acc.copy(scrubBindings = acc.scrubBindings :+ scrubOf(a))
         case "--tokenizer" =>
           acc.copy(tokenizerBindings = acc.tokenizerBindings :+ tokenizerOf(a))
@@ -731,6 +757,7 @@ object Maintenance {
           lshIndexes = pa.lshIndexes,
           phashIndexes = pa.phashIndexes,
           substrIndexes = pa.substrIndexes,
+          frontierIndexes = pa.frontierIndexes,
           scrubBindings = pa.scrubBindings,
           indexBindings = pa.tokenizerBindings.map(tokenizerRebindOf))
         println(s"MAINT planned ${tasks.size} task(s)")

@@ -220,7 +220,13 @@ object ScaleSmoke {
       // side per cap over once-materialized truth — its growth must
       // track q_phash_recall's truth-side slope, not 3× it
       "q_html_extract", "q_boilerplate_lines", "q_html_link_density",
-      "q_html_links", "q_byte_fertility", "q_phash_recall_caps")
+      "q_html_links", "q_byte_fertility", "q_phash_recall_caps",
+      // r19: the URL filter is a narrow parse + ONE (domain, blocked)
+      // window (amplified copies multiply every domain's group
+      // linearly); the host pagerank's edge list dedups to the FIXED
+      // planted host graph, so iterations must measure flat — only
+      // the extraction/edge-derivation pass may grow
+      "q_url_host_filter", "q_host_pagerank")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

@@ -1,0 +1,233 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PERSISTENT seen-URL SET artifact (r19) — the state of a crawl's
+  * URL FRONTIER: which URLs have already been discovered/scheduled,
+  * so each arriving batch of extracted outlinks
+  * ([[graft.queries.HtmlOps]]'s href extractor) emits only the NEW
+  * ones. The frontier is the last stage of the crawl loop this engine
+  * now closes end-to-end: extract → filter → frontier
+  * ([[graft.stream.LogStream.toUrlFrontierLake]]).
+  *
+  * Stored form: ONE parquet table `keys_vN` of DISTINCT `(k0, k1)`
+  * rows — the 128-bit xxhash64 pair of the URL string (the span-key
+  * stance: fixed 16-byte keys on the wire and in the store, never
+  * variable-width URL text; collisions are negligible at 2^-128-ish
+  * and cost only a dropped frontier edge, never corruption).
+  * Membership is IDEMPOTENT under union (simpler than
+  * [[SubstrIndex]]'s summable counts): any batching of the same URL
+  * set reads identically, and re-appending a URL seen before is
+  * harmless — the read distincts.
+  *
+  * Commit protocol = [[SubstrIndex]]'s: versions land in fresh
+  * `keys_vN` dirs, ONE staged meta swap publishes, folded append
+  * dirs retire with one-generation grace, folded labels refuse
+  * re-appends loudly, and the `covered_max` high-water mark proves
+  * coverage for numeric `batch_id=N` labels retired beyond the
+  * one-generation folded list ([[isLabelCovered]] — born with the
+  * r18-ADVICE crash-loop fix, not retrofitted).
+  *
+  * Layout: `<dir>/_FRONTIER_META.json` + `keys_vN` + `appends/<label>`.
+  */
+object FrontierIndex {
+
+  private val META = "_FRONTIER_META.json"
+
+  private val VersionedKeys = "keys_v(\\d+)".r
+
+  private val keysSchema = StructType(Seq(
+    StructField("k0", LongType),
+    StructField("k1", LongType)))
+
+  /** The 128-bit key pair of a URL column — what the store holds and
+    * every probe computes. Seeds 0/1, the engine-wide span-key
+    * convention. */
+  def keyCols(url: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] =
+    Seq(xxhash64(lit(0L), url).as("k0"), xxhash64(lit(1L), url).as("k1"))
+
+  private def canon(keys: DataFrame): DataFrame =
+    keys.select(col("k0").cast("long").as("k0"),
+      col("k1").cast("long").as("k1")).distinct()
+
+  /** Persist a seen-set as the artifact's next version (full rebuild —
+    * subsumes and retires every append generation). An EMPTY frame is
+    * a valid build: a fresh crawl's frontier starts with nothing
+    * seen. */
+  def build(keys: DataFrame, dir: String): Unit = {
+    val spark = keys.sparkSession
+    val fs = fsFor(spark, dir)
+    val current = currentMeta(fs, dir)
+    current.foreach { m =>
+      m.folded.foreach(l =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+      MetaMarker.retireUnnamed(fs, dir, Seq("keys"), Set(m.keys))
+    }
+    val n = current match {
+      case Some(m) => m.keys match {
+        case VersionedKeys(v) => v.toInt + 1
+        case other => throw new IllegalStateException(
+          s"frontier index meta at $dir names keys dir '$other', which " +
+            "does not match keys_v<N> — refusing to renumber over it")
+      }
+      case None => 0
+    }
+    // label snapshot BEFORE the table write, committed with it (the
+    // SubstrIndex.build stance): an append landing mid-build stays
+    // live instead of silently shadowed
+    val folded = liveLabels(fs, dir, current)
+    val next = s"keys_v$n"
+    canon(keys).write.mode("overwrite").parquet(s"$dir/$next")
+    writeMeta(fs, dir, next, folded,
+      coveredMaxOf(current.map(_.coveredMax).getOrElse(-1L),
+        current.map(_.folded).getOrElse(Seq.empty) ++ folded))
+  }
+
+  /** Land one micro-batch's NEW keys as an append sub-table.
+    * Idempotent per label; numeric `batch_id=N` labels must arrive in
+    * batch-id order from a single gate writer (the covered_max
+    * contract — [[SubstrIndex.append]]'s refusal rationale verbatim:
+    * an out-of-order numeric append would read as covered by the mark
+    * while its keys never landed, silently re-emitting its URLs
+    * forever after). */
+  def append(keys: DataFrame, dir: String, label: String): Unit = {
+    require(label.nonEmpty && label.matches("[A-Za-z0-9._=-]+"),
+      s"bad append label (allowed: [A-Za-z0-9._=-]+): $label")
+    val m = currentMeta(fsFor(keys.sparkSession, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no frontier index at $dir to append to — build first"))
+    require(!m.folded.contains(label),
+      s"append label '$label' at $dir is already folded — a re-append " +
+        "would be invisible to every read; skip the replayed batch instead")
+    batchIdOf(label).foreach(id => require(id > m.coveredMax,
+      s"append label '$label' at $dir is at or under the covered_max " +
+        s"high-water mark (${m.coveredMax}) — numeric batch appends " +
+        "must arrive in batch-id order from a single gate writer"))
+    canon(keys).write.mode("overwrite").parquet(s"$dir/appends/$label")
+  }
+
+  /** The committed seen-set (base ∪ live append deltas, distinct),
+    * with one label optionally EXCLUDED — the self-appending gate's
+    * crash-replay view (a replayed batch must probe the set as it was
+    * before its own append, or every URL it first emitted reads as
+    * already seen and the replay empties its partition). */
+  def readKeys(spark: SparkSession, dir: String,
+      excludeLabel: Option[String] = None): DataFrame = {
+    val fs = fsFor(spark, dir)
+    val m = currentMeta(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no frontier index at $dir"))
+    val base = spark.read.schema(keysSchema).parquet(s"$dir/${m.keys}")
+    val labels = liveLabels(fs, dir, Some(m)).filterNot(excludeLabel.contains)
+    if (labels.isEmpty) base
+    else labels.foldLeft(base)((acc, l) =>
+        acc.union(spark.read.schema(keysSchema).parquet(s"$dir/appends/$l")))
+      .distinct()
+  }
+
+  /** Live (unfolded) append count — [[graft.Maintenance]]'s
+    * compaction trigger. Metadata only. */
+  def pendingAppends(spark: SparkSession, dir: String): Int = {
+    val fs = fsFor(spark, dir)
+    currentMeta(fs, dir).map(m => liveLabels(fs, dir, Some(m)).size)
+      .getOrElse(0)
+  }
+
+  /** Fold all live appends into a NEW committed version (distinct
+    * union); crash-safe exactly as [[SubstrIndex.compact]]. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val m = currentMeta(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no frontier index at $dir"))
+    m.folded.foreach(l =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/appends/$l"), true))
+    MetaMarker.retireUnnamed(fs, dir, Seq("keys"), Set(m.keys))
+    val labels = liveLabels(fs, dir, Some(m))
+    if (labels.isEmpty) {
+      writeMeta(fs, dir, m.keys, m.folded, m.coveredMax)
+      return
+    }
+    val n = m.keys match {
+      case VersionedKeys(v) => v.toInt + 1
+      case other => throw new IllegalStateException(
+        s"frontier index meta at $dir names keys dir '$other', which " +
+          "does not match keys_v<N> — refusing to renumber over it")
+    }
+    val next = s"keys_v$n"
+    labels
+      .foldLeft(spark.read.schema(keysSchema).parquet(s"$dir/${m.keys}"))(
+        (acc, l) => acc.union(
+          spark.read.schema(keysSchema).parquet(s"$dir/appends/$l")))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    writeMeta(fs, dir, next, labels,
+      coveredMaxOf(m.coveredMax, m.folded ++ labels))
+  }
+
+  /** True once [[build]] ever committed at `dir`. */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    currentMeta(fsFor(spark, dir), dir).isDefined
+
+  /** True iff `label` is in the committed folded list. */
+  def isLabelFolded(spark: SparkSession, dir: String, label: String): Boolean =
+    currentMeta(fsFor(spark, dir), dir).exists(_.folded.contains(label))
+
+  /** True iff `label`'s keys are PROVABLY already absorbed — folded
+    * list OR (numeric labels) the covered_max mark. The gate's replay
+    * probe; see [[SubstrIndex.isLabelCovered]] for the two-fold-cycle
+    * crash-loop this evidence closes. */
+  def isLabelCovered(spark: SparkSession, dir: String, label: String): Boolean =
+    currentMeta(fsFor(spark, dir), dir).exists(m =>
+      m.folded.contains(label) ||
+        batchIdOf(label).exists(_ <= m.coveredMax))
+
+  private val BatchLabel = "batch_id=(\\d+)".r
+
+  private def batchIdOf(label: String): Option[Long] = label match {
+    case BatchLabel(n) => Some(n.toLong)
+    case _ => None
+  }
+
+  private def coveredMaxOf(prior: Long, labels: Seq[String]): Long =
+    (prior +: labels.flatMap(batchIdOf)).max
+
+  private final case class Meta(keys: String, folded: Seq[String],
+      coveredMax: Long)
+
+  private def currentMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Meta] =
+    if (MetaMarker.exists(fs, dir, META)) {
+      val root = MetaMarker.read(fs, dir, META)
+      val folded = Option(root.get("folded")).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }.getOrElse(Seq.empty)
+      val cm = Option(root.get("covered_max")).map(_.asLong()).getOrElse(-1L)
+      Some(Meta(root.get("keys").asText(), folded, cm))
+    } else None
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      keys: String, folded: Seq[String], coveredMax: Long): Unit =
+    MetaMarker.write(fs, dir, META,
+      s"""{"keys": "$keys", "covered_max": $coveredMax, """ +
+        s""""folded": [${folded.map(l => s""""$l"""").mkString(", ")}]}""")
+
+  private def liveLabels(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      meta: Option[Meta]): Seq[String] = {
+    val appendsDir = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    if (!fs.exists(appendsDir)) Seq.empty
+    else {
+      val folded = meta.map(_.folded.toSet).getOrElse(Set.empty)
+      fs.listStatus(appendsDir)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(folded).sorted.toSeq
+    }
+  }
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

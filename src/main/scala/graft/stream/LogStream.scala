@@ -1472,6 +1472,74 @@ object LogStream {
       }
       .start()
 
+  /** STREAMING URL FRONTIER (r19) — the stage that closes the crawl
+    * loop: per micro-batch of raw HTML pages, extract every outlink
+    * ([[graft.queries.HtmlOps]]'s quote-agnostic href extractor),
+    * drop blocklisted hosts (a frontier must never schedule a host
+    * the filter stage would discard — relative hrefs carry no host
+    * and pass), and emit ONLY the URLs never seen before against the
+    * persisted [[graft.index.FrontierIndex]] seen-set; the fresh
+    * URLs land batch-id idempotent as the frontier lake (what a
+    * fetch scheduler consumes) and their 128-bit keys append back —
+    * so a URL admitted two triggers earlier is never re-emitted, no
+    * rebuild, no restart, across [[graft.Maintenance]] folds.
+    *
+    * Exactly-once = [[toSelfDedupingLake]]'s contract, with the
+    * r18-ADVICE-hardened replay probe from day one: the entry/
+    * pre-write probes use [[graft.index.FrontierIndex.isLabelCovered]]
+    * (folded list OR covered_max — a replay retired beyond the
+    * one-generation folded list no-ops instead of crash-looping on
+    * append()'s order refusal), and the read excludes the batch's
+    * OWN label (a replay must probe the pre-append view or every URL
+    * it first emitted self-matches and the partition empties). A
+    * missing index auto-builds EMPTY on the first trigger — a fresh
+    * crawl's frontier starts with nothing seen.
+    *
+    * 100 TB shape: the batch side is a narrow extract pass; the probe
+    * is one left-anti join on fixed 16-byte keys against a stored
+    * read (base ∪ unfolded deltas — never URL strings on the wire);
+    * appends are per-trigger deltas Maintenance folds off
+    * [[graft.index.FrontierIndex.pendingAppends]]. */
+  def toUrlFrontierLake(
+      docs: DataFrame,
+      indexDir: String,
+      lakeDir: String,
+      checkpointDir: String,
+      htmlCol: String = "html"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val label = s"batch_id=$batchId"
+        if (!graft.index.FrontierIndex.exists(s, indexDir))
+          graft.index.FrontierIndex.build(
+            Seq.empty[(Long, Long)].toDF("k0", "k1"), indexDir)
+        if (!graft.index.FrontierIndex.isLabelCovered(s, indexDir, label)) {
+          val seen = graft.index.FrontierIndex
+            .readKeys(s, indexDir, Some(label))
+          val batchUrls = batch.toDF()
+            .select(explode(
+              graft.queries.HtmlOps.hrefsOf(col(htmlCol))).as("url"))
+            .filter(!graft.queries.HtmlOps.hostBlocked(
+              graft.queries.HtmlOps.hostOf(col("url"))))
+            .distinct()
+          val fresh = batchUrls
+            .select(col("url") +:
+              graft.index.FrontierIndex.keyCols(col("url")): _*)
+            .join(seen, Seq("k0", "k1"), "left_anti")
+            .localCheckpoint(true) // lake write + key append both read it
+          // pre-write fold re-check (the family-wide r16 narrowing)
+          if (!graft.index.FrontierIndex.isLabelCovered(s, indexDir, label)) {
+            writeBatchIdempotent(fresh.select(col("url")), lakeDir, batchId)
+            graft.index.FrontierIndex.append(
+              fresh.select(col("k0"), col("k1")), indexDir, label)
+          }
+        }
+      }
+      .start()
+
   /** Streaming PARTIAL-OVERLAP gate — [[toNearDedupedLake]]'s sibling
     * for the LOCAL-fingerprint family (r13): drop every incoming doc
     * that shares ≥ `minShared` cold winnowing fingerprints with any

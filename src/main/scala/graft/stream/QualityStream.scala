@@ -533,6 +533,18 @@ object QualityStream {
       .filter(length(col("text")) > 0)
   }
 
+  /** URL/host blocklist gate (r19 — the stage RefinedWeb runs BEFORE
+    * extraction): drop every doc whose URL's host carries a
+    * blocklisted token ([[graft.queries.HtmlOps.hostBlocked]] — the
+    * `q_url_host_filter` rule, token match on dot/dash-split labels).
+    * Stateless narrow filter, zero extraction cycles spent on a host
+    * the pipeline would discard; the DOMAIN-SHARE cap stays a batch
+    * concern (`q_url_host_filter`) — share is a corpus-level
+    * quantity a per-trigger gate cannot see. */
+  def urlHostGated(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs.filter(!graft.queries.HtmlOps.hostBlocked(
+      graft.queries.HtmlOps.hostOf(col(urlCol))))
+
   /** The raw-HTML front door to a lake (r18): per micro-batch,
     * extract visible text, apply the C4 line rules, drop
     * chrome-only docs ([[htmlCurated]] — one fused narrow pass), and
@@ -555,6 +567,33 @@ object QualityStream {
          batchId: Long) =>
         LogStream.writeBatchIdempotent(
           htmlCurated(batch.toDF(), htmlCol), lakeDir, batchId)
+      }
+      .start()
+
+  /** The full crawl-loop front door (r19): host blocklist
+    * ([[urlHostGated]] — before extraction, the RefinedWeb order) →
+    * fused extraction + C4 line rules (+ optional link-density rule)
+    * ([[htmlCurated]]) → batch-id-idempotent lake. Pair with
+    * [[LogStream.toUrlFrontierLake]] over the same stream to close
+    * extract → filter → frontier. Stateless. */
+  def toCrawlCuratedLake(
+      docs: DataFrame,
+      lakeDir: String,
+      checkpointDir: String,
+      htmlCol: String = "html",
+      urlCol: String = "url",
+      dropLinkyLines: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+        LogStream.writeBatchIdempotent(
+          htmlCurated(urlHostGated(batch.toDF(), urlCol), htmlCol,
+            dropLinkyLines),
+          lakeDir, batchId)
       }
       .start()
 

@@ -95,6 +95,30 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
       minLakeFiles = 4, minIndexAppends = 4).isEmpty)
   }
 
+  test("frontier seen-set folds plan at the append-pressure threshold and read back identically") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("maint-frontier").toString
+    val dir = s"$work/frontier"
+    def keysOf(urls: Seq[String]) = urls.toDF("url")
+      .select(graft.index.FrontierIndex.keyCols(col("url")): _*)
+    graft.index.FrontierIndex.build(keysOf(Seq("/seed")), dir)
+    (0 until 4).foreach(i =>
+      graft.index.FrontierIndex.append(keysOf(Seq(s"/u$i")), dir,
+        s"batch_id=$i"))
+    val before = graft.index.FrontierIndex.readKeys(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val tasks = Maintenance.plan(spark,
+      frontierIndexes = Seq(dir, s"$work/absent"), minIndexAppends = 4)
+    assert(tasks === Seq(Maintenance.FoldFrontierIndexAppends(dir, 4)))
+    assert(Maintenance.run(spark, tasks).forall(_.outcome.isSuccess))
+    assert(graft.index.FrontierIndex.pendingAppends(spark, dir) == 0)
+    assert(graft.index.FrontierIndex.readKeys(spark, dir)
+      .collect().map(_.toSeq).toSet === before)
+    // under threshold → nothing planned
+    assert(Maintenance.plan(spark, frontierIndexes = Seq(dir),
+      minIndexAppends = 4).isEmpty)
+  }
+
   test("a failing task isolates; duplicates collapse; rebuild bodies run") {
     val work = Files.createTempDirectory("maint2").toString
     val lake = s"$work/lake"
@@ -835,6 +859,7 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
       "--index", "/idx/vec1", "/idx/vec2",
       "--phash-index", "/idx/ph",
       "--substr-index", "/idx/sub",
+      "--frontier-index", "/idx/fr",
       "--lm-index", "/idx/lm",
       "--scrub", "/lakes/a::/views/clean::/idx/sub",
       "--scrub", "s3a://bkt/lake::s3a://bkt/view",
@@ -844,6 +869,7 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     assert(pa.vectorIndexes == Seq("/idx/vec1", "/idx/vec2"))
     assert(pa.phashIndexes == Seq("/idx/ph"))
     assert(pa.substrIndexes == Seq("/idx/sub"))
+    assert(pa.frontierIndexes == Seq("/idx/fr"))
     assert(pa.lmIndexes == Seq("/idx/lm"))
     assert(pa.winnowIndexes == Seq("/idx/win"))
     assert(pa.scrubBindings == Seq(

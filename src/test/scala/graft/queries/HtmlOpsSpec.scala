@@ -159,6 +159,35 @@ class HtmlOpsSpec extends AnyFunSuite with SparkTestSupport {
     assert(hrefs == Seq("/dq", "/sq", "/uq", "/sp"), hrefs.toString)
   }
 
+  test("url host filter: token-match blocklist (no substring kills), exact 30% domain cap") {
+    val d = Files.createTempDirectory("hostfilter").toString
+    // 12 docs: ids ≡ 0 (mod 11) → ads host (0, 11); evens → bigportal
+    // (2,4,6,8,10 — 5 of 10 unblocked = 50% > 30% cap → keep 3);
+    // odd %4==1 → blog (1,5,9); else refsource (3,7)
+    (0L to 11L).map(i => (i, s"text $i", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_url_host_filter")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val byVerdict = rows.groupBy(_._4).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byVerdict("blocked_token") == Set(0L, 11L), rows.mkString(","))
+    // 10 unblocked, cap = 10*30 DIV 100 = 3 → bigportal keeps exactly 3
+    val big = rows.filter(_._3 == "bigportal.org")
+    assert(big.count(_._4 == "kept") == 3 &&
+      big.count(_._4 == "domain_capped") == 2, big.mkString(","))
+    // smaller domains all kept
+    assert(rows.filter(r => r._3 == "smallsites.io" || r._3 == "refsource.org")
+      .forall(_._4 == "kept"), rows.mkString(","))
+    // token match, not substring: 'adsl.example.com' survives 'ads'
+    import org.apache.spark.sql.functions.{col, lit}
+    val hosts = Seq("adsl.example.com", "ads.example.com", "x.spam-y.org",
+      "clean.example.com").toDF("host")
+    val blocked = hosts.filter(org.apache.spark.sql.functions.expr(
+      "exists(split(host, '[.-]'), t -> t IN ('casino','spam','ads','tracker'))"))
+      .collect().map(_.getString(0)).toSet
+    assert(blocked == Set("ads.example.com", "x.spam-y.org"), blocked.toString)
+  }
+
   test("content_ok is whitespace-normalization-aware: multi-line / multi-space text reads true") {
     // r18 ADVICE: a doc whose text carries a newline or a double space
     // extracted correctly but content_ok reported false (silently, in

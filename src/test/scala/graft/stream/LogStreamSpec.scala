@@ -707,6 +707,54 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
       s"the survivor's quoter (102) must be dropped: ${lakeIds()}")
   }
 
+  test("url frontier: a URL admitted two triggers earlier is never re-emitted, across folds; blocked hosts never enter") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-frontier").toString
+    val idxDir = s"$work/idx"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = LogStream.toUrlFrontierLake(
+      input.toDF().toDF("doc_id", "html"), idxDir, s"$work/lake",
+      s"$work/ckpt")
+    def lakeUrls() = spark.read.parquet(s"$work/lake")
+      .select("url").collect().map(_.getString(0)).toSet
+    try {
+      // trigger 0: two fresh URLs (both quote forms) plus a
+      // blocklisted absolute URL that must never reach the frontier
+      input.addData((1L,
+        """<p><a href="/a">x</a> <a href='/b'>y</a>""" +
+          """ <a href=https://ads0.casino-spam.net/z>bad</a></p>"""))
+      q.processAllAvailable()
+      assert(lakeUrls() == Set("/a", "/b"), lakeUrls().toString)
+      assert(graft.index.FrontierIndex.pendingAppends(spark, idxDir) == 1)
+      // fold the trigger-0 delta (the Maintenance path)
+      graft.index.FrontierIndex.compact(spark, idxDir)
+      assert(graft.index.FrontierIndex.pendingAppends(spark, idxDir) == 0)
+      // trigger 1: /a re-linked (now only durable in the folded base),
+      // /c fresh
+      input.addData((2L, """<p><a href="/a">x</a> <a href="/c">z</a></p>"""))
+      q.processAllAvailable()
+      assert(lakeUrls() == Set("/a", "/b", "/c"), lakeUrls().toString)
+      // second fold cycle retires batch_id=0 beyond the folded list —
+      // the covered_max probe keeps the gate replay-safe regardless
+      graft.index.FrontierIndex.compact(spark, idxDir)
+      assert(!graft.index.FrontierIndex.isLabelFolded(
+        spark, idxDir, "batch_id=0"))
+      assert(graft.index.FrontierIndex.isLabelCovered(
+        spark, idxDir, "batch_id=0"))
+      // trigger 2: URLs admitted TWO triggers earlier (/a, /b) and one
+      // trigger earlier (/c) re-linked alongside fresh /d — only /d
+      // lands
+      input.addData((3L,
+        """<p><a href="/a">x</a> <a href="/b">y</a>""" +
+          """ <a href="/c">z</a> <a href="/d">w</a></p>"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(lakeUrls() == Set("/a", "/b", "/c", "/d"), lakeUrls().toString)
+    // per-batch partitions: /d is batch 2's ONLY emission
+    assert(spark.read.parquet(s"$work/lake/batch_id=2")
+      .select("url").collect().map(_.getString(0)).toSet == Set("/d"))
+  }
+
   test("persisted band index keeps representatives of an over-cap dup family — the stream gate still fires") {
     import spark.implicits._
     def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")

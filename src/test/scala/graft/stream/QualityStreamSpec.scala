@@ -571,6 +571,34 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
     assert(curated(true).linesIterator.toSeq == Seq(content), curated(true))
   }
 
+  test("crawl front door: blocked hosts drop BEFORE extraction, survivors extract + curate") {
+    // r19: the RefinedWeb stage order — URL/host blocklist first (no
+    // extraction cycles on a host the filter discards), then the fused
+    // extract + C4 chain. toCrawlCuratedLake composes both.
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("crawlgate").toString
+    val good = "<p>the quick brown fox jumps over the lazy dog.</p>"
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = QualityStream.toCrawlCuratedLake(
+      input.toDF().toDF("doc_id", "url", "html"),
+      s"$work/lake", s"$work/ckpt")
+    try {
+      input.addData(
+        (1L, "https://docs.refsource.org/p/1", good),
+        (2L, "https://ads0.casino-spam.net/p/2", good), // blocked host
+        (3L, "https://adsl.provider.net/p/3", good)) // token != substring
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$work/lake").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"blocked host must drop pre-extraction: $got")
+    // the stateless gate equals the batch key's blocklist rule
+    val gated = QualityStream.urlHostGated(
+      Seq((1L, "https://x.tracker-hub.io/a"), (2L, "https://ok.example.com/b"))
+        .toDF("doc_id", "url")).select("doc_id").as[Long].collect().toSet
+    assert(gated == Set(2L), gated.toString)
+  }
+
   private def ts(minutes: Int): Timestamp =
     new Timestamp(1700000000000L + minutes * 60000L)
 }
