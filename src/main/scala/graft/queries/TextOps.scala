@@ -193,58 +193,96 @@ object TextOps {
             FROM documents ORDER BY doc_id""")
   )
 
-  /** PII scrub — redact emails and dotted-quad IPs before a corpus is
-    * trained on (the compliance pass every LLM-data pipeline runs).
-    * The test corpus is synthetic words, so deterministic PII is
-    * planted per row from the doc_id, then scrubbed; the query reports
-    * per-source found/redacted counts and a residual column that MUST
-    * be zero — the oracle re-runs the same regexes in DuckDB, proving
-    * the scrub semantics, not just the plumbing. Pure regexp
-    * expressions (codegen'd, no UDF), one scan + tiny agg; regexes are
-    * restricted to syntax Java regex and RE2 interpret identically. */
+  /** The PII/credential pattern set `q_text_pii_scrub` redacts and
+    * the streaming gates can reuse — (name, regex, replacement). r19
+    * (r18 VERDICT missing #3): phones and credential/API-token
+    * patterns join the email/IP rules — the classic accidental-secret
+    * scrub in web corpora. Order matters only in that the assignment-
+    * secret rule runs LAST: its value run (`[^\s]{6,}`) must see the
+    * original token, and the earlier redactions only ever shrink what
+    * it could match. Regexes restricted to the Java≡RE2 shared
+    * subset (`\b`, classes, bounded repeats, inline `(?i)`). */
+  private[graft] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+    ("keyid", "\\bAKIA[0-9A-Z]{16}\\b", "<KEYID>"),
+    ("secret",
+      "(?i)\\b(api_key|apikey|secret|token|passwd|password)\\s*[:=]\\s*[^\\s]{6,}",
+      "<SECRET>"))
+
+  /** PII scrub — redact emails, dotted-quad IPs, phone numbers, cloud
+    * key ids, and credential assignments before a corpus is trained
+    * on (the compliance pass every LLM-data pipeline runs). The test
+    * corpus is synthetic words, so deterministic PII is planted per
+    * row from the doc_id — one instance of EVERY pattern class — then
+    * scrubbed; the query reports per-source found/redacted counts and
+    * a residual column that MUST be zero ACROSS ALL PATTERNS — the
+    * oracle re-runs the same regexes in DuckDB, proving the scrub
+    * semantics, not just the plumbing. Pure regexp expressions
+    * (codegen'd, no UDF), one scan + tiny agg. */
   private val qTextPiiScrub = Q(
     "q_text_pii_scrub",
     (s, d) => {
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val plant = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.1."),
+        (col("doc_id") % 256).cast("string"), lit(".7"),
+        lit(" call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" token=ghp_"),
+        lpad((col("doc_id") % 100000000L).cast("string"), 8, "0"),
+        lit(" creds AKIA"),
+        lpad((col("doc_id") % 10000000L).cast("string"), 16, "0"))
+      val scrubbed = PiiPatterns.foldLeft(col("aug")) {
+        case (c, (_, re, repl)) => regexp_replace(c, re, repl)
+      }
+      val aggs: Seq[org.apache.spark.sql.Column] =
+        (count(lit(1)).as("docs") +:
+          PiiPatterns.map { case (name, re, _) =>
+            sum(regexp_count(col("aug"), lit(re))).as(s"${name}s_found")
+          }) :+
+          sum(PiiPatterns.map { case (_, re, _) =>
+            regexp_count(col("scrubbed"), lit(re))
+          }.reduce(_ + _)).as("residual")
       Tables.documents(s, d)
-        .withColumn("aug", concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com from 10.1."),
-          (col("doc_id") % 256).cast("string"), lit(".7")))
-        .withColumn("scrubbed",
-          regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
-            ipRe, "<IP>"))
+        .withColumn("aug", plant)
+        .withColumn("scrubbed", scrubbed)
         .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("docs"),
-          sum(regexp_count(col("aug"), lit(emailRe))).as("emails_found"),
-          sum(regexp_count(col("aug"), lit(ipRe))).as("ips_found"),
-          sum(regexp_count(col("scrubbed"), lit(emailRe)) +
-            regexp_count(col("scrubbed"), lit(ipRe))).as("residual"))
+        .agg(aggs.head, aggs.tail: _*)
         .orderBy(col("source"))
     },
-    Some("""WITH q AS (
-              SELECT source,
-                text || ' contact user' || doc_id || '@example.com from 10.1.' ||
-                  (doc_id % 256) || '.7' AS aug
-              FROM documents),
-                 r AS (
-              SELECT source, aug,
-                regexp_replace(regexp_replace(aug,
-                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
-              FROM q)
-            SELECT source, count(*) AS docs,
-              CAST(sum(len(regexp_extract_all(aug,
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails_found,
-              CAST(sum(len(regexp_extract_all(aug,
-                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) AS ips_found,
-              CAST(sum(len(regexp_extract_all(scrubbed,
-                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-                + len(regexp_extract_all(scrubbed,
-                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) AS residual
-            FROM r GROUP BY source ORDER BY source""")
+    Some {
+      // DuckDB single-quoted strings keep backslashes literal and the
+      // patterns carry no quotes, so the Scala regex string IS the
+      // SQL literal body
+      def lit(re: String) = "'" + re + "'"
+      val scrub = PiiPatterns.foldLeft("aug") {
+        case (c, (_, re, repl)) =>
+          s"regexp_replace($c, ${lit(re)}, '$repl', 'g')"
+      }
+      val founds = PiiPatterns.map { case (name, re, _) =>
+        s"CAST(sum(len(regexp_extract_all(aug, ${lit(re)}))) AS BIGINT)" +
+          s" AS ${name}s_found"
+      }.mkString(",\n              ")
+      val residual = PiiPatterns.map { case (_, re, _) =>
+        s"len(regexp_extract_all(scrubbed, ${lit(re)}))"
+      }.mkString(" + ")
+      s"""WITH q AS (
+         |  SELECT source,
+         |    text || ' contact user' || doc_id || '@example.com from 10.1.' ||
+         |      (doc_id % 256) || '.7' ||
+         |      ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+         |      ' token=ghp_' || lpad((doc_id % 100000000)::VARCHAR, 8, '0') ||
+         |      ' creds AKIA' || lpad((doc_id % 10000000)::VARCHAR, 16, '0')
+         |      AS aug
+         |  FROM documents),
+         |r AS (SELECT source, aug, $scrub AS scrubbed FROM q)
+         |SELECT source, count(*) AS docs,
+         |  $founds,
+         |  CAST(sum($residual) AS BIGINT) AS residual
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    }
   )
 
   /** REPETITION ratio — the intra-document twin of cross-document
