@@ -60,6 +60,14 @@ object Verify {
     // passes two): comma-separated key names to restrict the dump to,
     // so tools/diffcheck.py --only doesn't pay the full-surface run
     val only = args.lift(2).map(_.split(",").toSet)
+    // a typo'd key must fail loudly, not silently verify nothing
+    // (r19 review: filterKeys ignored unknown names and the caller's
+    // diffcheck then read "0 failures" over an empty run)
+    only.foreach { keys =>
+      val unknown = keys -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query key(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val spark = GraftSession.local("graft-verify")
     val queries = only match {
       case Some(keys) => SparkEntry.queries.view.filterKeys(keys).toMap

@@ -20,7 +20,10 @@ object Curation {
     * the codegen'd PolyHash expression; the interpreted aggregate-over-
     * split formulation measured ~0.5 ms/doc) */
   private def sparkFpOf(colName: String) = s"poly_hash($colName)"
-  private def duckFpOf(colName: String) =
+  // private[queries]: HtmlOps' domain-cap priority reuses the same
+  // cross-engine fingerprint formula (r19 review: it was re-implemented
+  // verbatim there)
+  private[queries] def duckFpOf(colName: String) =
     s"""list_reduce(list_transform(string_split_regex($colName, ''),
          c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"""
   private val sparkFp = sparkFpOf("text")

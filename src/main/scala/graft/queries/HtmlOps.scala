@@ -546,10 +546,20 @@ object HtmlOps {
     * dropped the single-quoted/unquoted attribute forms ubiquitous in
     * crawl data). One group captures the raw value token — a
     * double-quoted run, a single-quoted run, or an unquoted run to
-    * the first whitespace/`>` — and a symmetric strip removes the
-    * delimiting quotes. Same RE2/Java pattern string both engines. */
+    * the first whitespace/quote/`>` — and a symmetric strip removes
+    * the delimiting quotes. Same RE2/Java pattern string both
+    * engines.
+    *
+    * Tag-soup guards (r19 review): `href` must follow a whitespace/
+    * quote delimiter, so an attribute merely ENDING in href
+    * (`data-href="/px"`) never extracts; unquoted values stop at
+    * quotes as well as whitespace. The residual hazard — the literal
+    * text `href=` INSIDE another quoted attribute value — is
+    * accepted tag-soup tolerance (single-regex extraction cannot
+    * tokenize attributes), shared identically by both engines and by
+    * every regex-based crawl extractor. */
   private val HrefRe =
-    "(?is)<a\\b[^>]*?href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"
+    "(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>\"']+)"
 
   private[graft] def hrefsOf(html: Column): Column =
     transform(regexp_extract_all(html, lit(HrefRe), lit(1)),
@@ -666,10 +676,13 @@ object HtmlOps {
   /** The polynomial fingerprint both engines share (`q_doc_fingerprint`
     * / `q_source_cap`'s hash) — the cap's selection priority. */
   private def capFpDuckSql: String =
-    """list_reduce(list_transform(
-      |    string_split_regex('hostcap:' || CAST(doc_id AS VARCHAR), ''),
-      |    c -> CAST(ascii(c) AS BIGINT)),
-      |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+    Curation.duckFpOf("'hostcap:' || CAST(doc_id AS VARCHAR)")
+
+  /** [[hostOf]]'s DuckDB mirror over a URL SQL expression — one
+    * source for the three oracle sites that parse a host. */
+  private def hostOfDuckSql(urlSql: String): String =
+    s"""regexp_replace(lower(regexp_extract($urlSql,
+       |      '^[A-Za-z]+://([^/?#]+)', 1)), ':\\d+$$', '')""".stripMargin
 
   /** URL/domain-level filter (r19) — the crawl-curation stage that
     * runs BEFORE extraction (RefinedWeb §3.1): per document, parse
@@ -714,8 +727,7 @@ object HtmlOps {
     },
     Some(s"""WITH h AS (
             |  SELECT doc_id,
-            |    regexp_replace(lower(regexp_extract($docUrlDuckSql,
-            |      '^[A-Za-z]+://([^/?#]+)', 1)), ':\\d+$$', '') AS host
+            |    ${hostOfDuckSql(docUrlDuckSql)} AS host
             |  FROM documents),
             |f AS (
             |  SELECT doc_id, host,
@@ -786,14 +798,12 @@ object HtmlOps {
     },
     Some(s"""WITH l AS (
             |  SELECT
-            |    regexp_replace(lower(regexp_extract($docUrlDuckSql,
-            |      '^[A-Za-z]+://([^/?#]+)', 1)), ':\\d+$$', '') AS src,
+            |    ${hostOfDuckSql(docUrlDuckSql)} AS src,
             |    unnest(${hrefsDuckSql(hostLinksPageDuckSql)}) AS href
             |  FROM documents),
             |e0 AS (
             |  SELECT src,
-            |    regexp_replace(lower(regexp_extract(href,
-            |      '^[A-Za-z]+://([^/?#]+)', 1)), ':\\d+$$', '') AS dst
+            |    ${hostOfDuckSql("href")} AS dst
             |  FROM l),
             |edges AS (
             |  SELECT DISTINCT src, dst FROM e0

@@ -194,22 +194,28 @@ object TextOps {
   )
 
   /** The PII/credential pattern set `q_text_pii_scrub` redacts and
-    * the streaming gates can reuse — (name, regex, replacement). r19
-    * (r18 VERDICT missing #3): phones and credential/API-token
-    * patterns join the email/IP rules — the classic accidental-secret
-    * scrub in web corpora. Order matters only in that the assignment-
-    * secret rule runs LAST: its value run (`[^\s]{6,}`) must see the
-    * original token, and the earlier redactions only ever shrink what
-    * it could match. Regexes restricted to the Java≡RE2 shared
-    * subset (`\b`, classes, bounded repeats, inline `(?i)`). */
+    * the streaming gates can reuse — (name, regex, replacement),
+    * applied IN ORDER. r19 (r18 VERDICT missing #3): phones and
+    * credential/API-token patterns join the email/IP rules — the
+    * classic accidental-secret scrub in web corpora. The assignment-
+    * secret rule runs FIRST (r19 review): its value run (`[^\s]{6,}`)
+    * must see the original token — were it last, an earlier rule
+    * redacting part of the value (`token=1.2.3.4` → `token=<IP>`)
+    * could shrink the remainder below the 6-char minimum and the
+    * assignment shape would survive the scrub while `secrets_found`
+    * (counted pre-scrub) claimed it redacted. A whole credential
+    * assignment is a secret even when its value is an email/IP, so
+    * secret-first is also the right precedence. Regexes restricted to
+    * the Java≡RE2 shared subset (`\b`, classes, bounded repeats,
+    * inline `(?i)`). */
   private[graft] val PiiPatterns: Seq[(String, String, String)] = Seq(
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
-    ("phone", "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
-    ("keyid", "\\bAKIA[0-9A-Z]{16}\\b", "<KEYID>"),
     ("secret",
       "(?i)\\b(api_key|apikey|secret|token|passwd|password)\\s*[:=]\\s*[^\\s]{6,}",
-      "<SECRET>"))
+      "<SECRET>"),
+    ("keyid", "\\bAKIA[0-9A-Z]{16}\\b", "<KEYID>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"))
 
   /** PII scrub — redact emails, dotted-quad IPs, phone numbers, cloud
     * key ids, and credential assignments before a corpus is trained

@@ -540,10 +540,16 @@ object QualityStream {
     * Stateless narrow filter, zero extraction cycles spent on a host
     * the pipeline would discard; the DOMAIN-SHARE cap stays a batch
     * concern (`q_url_host_filter`) — share is a corpus-level
-    * quantity a per-trigger gate cannot see. */
+    * quantity a per-trigger gate cannot see. A NULL url passes (r19
+    * review: `filter(!NULL)` silently dropped it) — the contract is
+    * "only blocklisted hosts drop", and a feed without URLs must not
+    * silently empty the lake; same stance as the relative-href
+    * empty-host pass. */
   def urlHostGated(docs: DataFrame, urlCol: String = "url"): DataFrame =
-    docs.filter(!graft.queries.HtmlOps.hostBlocked(
-      graft.queries.HtmlOps.hostOf(col(urlCol))))
+    docs.filter(coalesce(
+      !graft.queries.HtmlOps.hostBlocked(
+        graft.queries.HtmlOps.hostOf(col(urlCol))),
+      lit(true)))
 
   /** The raw-HTML front door to a lake (r18): per micro-batch,
     * extract visible text, apply the C4 line rules, drop

@@ -157,6 +157,14 @@ class HtmlOpsSpec extends AnyFunSuite with SparkTestSupport {
       .select(explode(HtmlOps.hrefsOf(col("html"))).as("href"))
       .collect().map(_.getString(0)).toSeq
     assert(hrefs == Seq("/dq", "/sq", "/uq", "/sp"), hrefs.toString)
+    // delimiter guard (r19 review): an attribute merely ENDING in
+    // 'href' must not extract
+    val tricky = """<a data-href="/phantom" href="/real">x</a>""" +
+      """<a data-href="/only">y</a>"""
+    val got = Seq((1L, tricky)).toDF("doc_id", "html")
+      .select(explode(HtmlOps.hrefsOf(col("html"))).as("href"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("/real"), got.toString)
   }
 
   test("url host filter: token-match blocklist (no substring kills), exact 30% domain cap") {

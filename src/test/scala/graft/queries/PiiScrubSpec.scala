@@ -47,6 +47,12 @@ class PiiScrubSpec extends AnyFunSuite with SparkTestSupport {
     assert(scrub("call me at +1-555-0142 today") == "call me at <PHONE> today")
     assert(scrub("from 192.168.10.20 with user@host.org") ==
       "from <IP> with <EMAIL>")
+    // secret rule runs FIRST: a credential whose value is itself an
+    // IP/email redacts as ONE secret — were it last, the IP rule
+    // would shrink the value below the 6-char minimum and the
+    // assignment shape would survive (r19 review)
+    assert(scrub("token=1.2.3.4 leaked") == "<SECRET> leaked")
+    assert(scrub("password: admin@corp.io set") == "<SECRET> set")
     // clean look-alikes: a bare keyword without an assignment, a short
     // value, a version string, an un-prefixed number
     assert(scrub("the token economy is secret knowledge") ==

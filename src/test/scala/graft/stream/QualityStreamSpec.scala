@@ -597,6 +597,12 @@ class QualityStreamSpec extends AnyFunSuite with SparkTestSupport {
       Seq((1L, "https://x.tracker-hub.io/a"), (2L, "https://ok.example.com/b"))
         .toDF("doc_id", "url")).select("doc_id").as[Long].collect().toSet
     assert(gated == Set(2L), gated.toString)
+    // a NULL url PASSES — only blocklisted hosts drop (r19 review:
+    // filter(!NULL) used to silently discard the row)
+    val withNull = QualityStream.urlHostGated(
+      Seq((3L, Option.empty[String]), (4L, Some("https://spam.x.io/z")))
+        .toDF("doc_id", "url")).select("doc_id").as[Long].collect().toSet
+    assert(withNull == Set(3L), withNull.toString)
   }
 
   private def ts(minutes: Int): Timestamp =
