@@ -226,7 +226,10 @@ object ScaleSmoke {
       // linearly); the host pagerank's edge list dedups to the FIXED
       // planted host graph, so iterations must measure flat — only
       // the extraction/edge-derivation pass may grow
-      "q_url_host_filter", "q_host_pagerank")
+      "q_url_host_filter", "q_host_pagerank",
+      // r19 late: reference resolution is a pure per-row map over a
+      // fixed 7-form explode — must track the scan
+      "q_url_resolve")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

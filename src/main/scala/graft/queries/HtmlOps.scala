@@ -748,6 +748,91 @@ object HtmlOps {
             |FROM r CROSS JOIN t ORDER BY doc_id""".stripMargin)
   )
 
+  /** RFC-3986-lite reference resolution of an extracted `href`
+    * against its page's base URL (r19) — the step between href
+    * extraction and a FETCHABLE frontier URL: a relative `/a` means
+    * different resources on different hosts, so landing it raw both
+    * collides across hosts and schedules nothing a fetcher can use.
+    * Handles the crawl-dominant forms: absolute (any scheme, kept
+    * as-is), scheme-relative `//host/p`, root-relative `/p`,
+    * query-only `?q`, and path-relative `p` (resolved against the
+    * base path's directory); fragments are stripped first and a
+    * fragment-only href resolves to NULL (a same-page edge is not a
+    * frontier edge). Deliberately NO dot-segment normalization
+    * (`../`) — a pure string-op subset both engines replay; a
+    * production fetcher canonicalizes again at fetch time
+    * (`q_url_normalize` is the in-repo canonicalizer). */
+  private[graft] def resolveUrl(base: Column, href: Column): Column = {
+    val scheme = regexp_extract(base, "^([A-Za-z]+)://", 1)
+    val origin = regexp_extract(base, "^([A-Za-z]+://[^/?#]+)", 1)
+    val basePath = regexp_extract(base, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val dirPath = regexp_replace(basePath, "[^/]*$", "")
+    val noFrag = regexp_replace(href, "#.*$", "")
+    when(noFrag === "", lit(null).cast("string"))
+      .when(noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), noFrag)
+      .when(noFrag.startsWith("//"), concat(scheme, lit(":"), noFrag))
+      .when(noFrag.startsWith("/"), concat(origin, noFrag))
+      .when(noFrag.startsWith("?"), concat(origin, basePath, noFrag))
+      .otherwise(concat(origin,
+        when(dirPath === "", lit("/")).otherwise(dirPath), noFrag))
+  }
+
+  /** [[resolveUrl]]'s DuckDB mirror over (base, href) SQL
+    * expressions. */
+  private def resolveUrlDuckSql(baseSql: String, hrefSql: String): String =
+    s"""(WITH p AS (SELECT
+       |    regexp_extract($baseSql, '^([A-Za-z]+)://', 1) AS scheme,
+       |    regexp_extract($baseSql, '^([A-Za-z]+://[^/?#]+)', 1) AS origin,
+       |    regexp_extract($baseSql, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS bpath,
+       |    regexp_replace($hrefSql, '#.*$$', '') AS nf)
+       |  SELECT CASE
+       |    WHEN nf = '' THEN NULL
+       |    WHEN regexp_matches(nf, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN nf
+       |    WHEN nf LIKE '//%' THEN scheme || ':' || nf
+       |    WHEN nf LIKE '/%' THEN origin || nf
+       |    WHEN nf LIKE '?%' THEN origin || bpath || nf
+       |    ELSE origin ||
+       |      (CASE WHEN regexp_replace(bpath, '[^/]*$$', '') = '' THEN '/'
+       |            ELSE regexp_replace(bpath, '[^/]*$$', '') END) || nf
+       |    END FROM p)""".stripMargin
+
+  /** The href forms a real crawl page carries, as one planted array —
+    * `q_url_resolve`'s fixture: absolute http(s), non-http scheme,
+    * scheme-relative, root-relative, query-only, path-relative,
+    * fragment-only. */
+  private def resolveFormsSparkSql: String =
+    """array('https://other.example.org/x/y', 'mailto:a@b.co',
+      |  '//cdn.example.net/lib.js', '/rooted/page', '?page=2',
+      |  'sibling.html', '#top')""".stripMargin
+
+  private def resolveFormsDuckSql: String =
+    """['https://other.example.org/x/y', 'mailto:a@b.co',
+      |  '//cdn.example.net/lib.js', '/rooted/page', '?page=2',
+      |  'sibling.html', '#top']""".stripMargin
+
+  /** Reference resolution over every planted href form against each
+    * doc's planted base URL (r19): (doc_id, href, resolved) — the
+    * frontier's absolutization step certified form-by-form under a
+    * FULL oracle. One narrow pass + the output sort. */
+  private val qUrlResolve = Q(
+    "q_url_resolve",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(docUrlSparkSql).as("base"),
+          explode(expr(resolveFormsSparkSql)).as("href"))
+        .select(col("doc_id"), col("href"),
+          resolveUrl(col("base"), col("href")).as("resolved"))
+        .orderBy(col("doc_id"), col("href"))
+    },
+    Some(s"""WITH l AS (
+            |  SELECT doc_id, $docUrlDuckSql AS base,
+            |    unnest($resolveFormsDuckSql) AS href
+            |  FROM documents)
+            |SELECT doc_id, href,
+            |  ${resolveUrlDuckSql("base", "href")} AS resolved
+            |FROM l ORDER BY doc_id, href""".stripMargin)
+  )
+
   /** The host-graph page wrap: each doc links three OTHER planted
     * hosts (absolute URLs, all three href quoting forms), so the
     * outlink extractor's edges compose into a real cross-host
@@ -839,5 +924,5 @@ object HtmlOps {
 
   def qs: Seq[Q] =
     Seq(qHtmlExtract, qBoilerplateLines, qHtmlLinkDensity, qHtmlLinks,
-      qUrlHostFilter, qHostPagerank)
+      qUrlHostFilter, qHostPagerank, qUrlResolve)
 }

@@ -1477,8 +1477,12 @@ object LogStream {
     * ([[graft.queries.HtmlOps]]'s quote-agnostic href extractor),
     * drop blocklisted hosts (a frontier must never schedule a host
     * the filter stage would discard — relative hrefs carry no host
-    * and pass), and emit ONLY the URLs never seen before against the
-    * persisted [[graft.index.FrontierIndex]] seen-set; the fresh
+    * and pass), optionally RESOLVE each href against the page's base
+    * URL to a fetchable absolute http(s) URL (`baseUrlCol` — the
+    * `q_url_resolve` semantics; the same relative path on two hosts
+    * becomes two frontier entries), and emit ONLY the URLs never
+    * seen before against the persisted
+    * [[graft.index.FrontierIndex]] seen-set; the fresh
     * URLs land batch-id idempotent as the frontier lake (what a
     * fetch scheduler consumes) and their 128-bit keys append back —
     * so a URL admitted two triggers earlier is never re-emitted, no
@@ -1505,7 +1509,8 @@ object LogStream {
       indexDir: String,
       lakeDir: String,
       checkpointDir: String,
-      htmlCol: String = "html"): StreamingQuery =
+      htmlCol: String = "html",
+      baseUrlCol: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -1519,9 +1524,26 @@ object LogStream {
         if (!graft.index.FrontierIndex.isLabelCovered(s, indexDir, label)) {
           val seen = graft.index.FrontierIndex
             .readKeys(s, indexDir, Some(label))
-          val batchUrls = batch.toDF()
-            .select(explode(
-              graft.queries.HtmlOps.hrefsOf(col(htmlCol))).as("url"))
+          // with a base-URL column, every extracted href RESOLVES to
+          // an absolute URL (graft.queries.HtmlOps.resolveUrl — the
+          // q_url_resolve semantics: a relative '/a' means different
+          // resources on different hosts, so landing it raw would
+          // both collide and be unfetchable) and only http(s) results
+          // stay (mailto:/javascript: are not fetchable frontier
+          // work); without one, hrefs land raw (the page-local form —
+          // fine for single-host feeds and the planted specs)
+          val extracted = baseUrlCol match {
+            case Some(u) => batch.toDF()
+              .select(col(u).as("_base"), explode(
+                graft.queries.HtmlOps.hrefsOf(col(htmlCol))).as("_href"))
+              .select(graft.queries.HtmlOps
+                .resolveUrl(col("_base"), col("_href")).as("url"))
+              .filter(col("url").rlike("^https?://"))
+            case None => batch.toDF()
+              .select(explode(
+                graft.queries.HtmlOps.hrefsOf(col(htmlCol))).as("url"))
+          }
+          val batchUrls = extracted
             .filter(!graft.queries.HtmlOps.hostBlocked(
               graft.queries.HtmlOps.hostOf(col("url"))))
             .distinct()

@@ -755,6 +755,33 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
       .select("url").collect().map(_.getString(0)).toSet == Set("/d"))
   }
 
+  test("url frontier with base resolution: relative hrefs absolutize per host, non-http schemes drop") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-frontier-res").toString
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = LogStream.toUrlFrontierLake(
+      input.toDF().toDF("doc_id", "url", "html"), s"$work/idx",
+      s"$work/lake", s"$work/ckpt", baseUrlCol = Some("url"))
+    def lakeUrls() = spark.read.parquet(s"$work/lake")
+      .select("url").collect().map(_.getString(0)).toSet
+    try {
+      // the SAME relative href '/a' from two hosts → two frontier
+      // entries; mailto and fragment-only links never enter; a
+      // path-relative href resolves against the page's directory
+      input.addData(
+        (1L, "https://h1.example.org/dir/page",
+          """<p><a href="/a">x</a> <a href=sib.html>s</a>""" +
+            """ <a href="mailto:a@b.co">m</a> <a href="#top">t</a></p>"""),
+        (2L, "https://h2.example.org/p",
+          """<p><a href="/a">x</a></p>"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(lakeUrls() == Set(
+      "https://h1.example.org/a",
+      "https://h1.example.org/dir/sib.html",
+      "https://h2.example.org/a"), lakeUrls().toString)
+  }
+
   test("persisted band index keeps representatives of an over-cap dup family — the stream gate still fires") {
     import spark.implicits._
     def toks(s: String, n: Int) = (0 until n).map(i => s"$s$i").mkString(" ")
