@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, CosineSim, DotProduct, HilbertIndex, HilbertIndex3, NgramHashes, NgramPolyHashes, PolyHash, SimHash64}
+import graft.functions.{BloomMightContain, CosineSim, DotProduct, HilbertIndex, HilbertIndex3, HtmlEntityDecode, NgramHashes, NgramPolyHashes, PolyHash, SimHash64}
 import graft.logs.expressions.UrlUnquote
 
 /** Engine extensions, injected via the public
@@ -26,6 +26,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("html_entity_decode"),
+      new ExpressionInfo(classOf[HtmlEntityDecode].getName,
+        "html_entity_decode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"html_entity_decode(text) requires exactly 1 argument, " +
+            s"got ${args.length}")
+        HtmlEntityDecode(args.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),

@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `html_entity_decode(text)` — ONE codegen'd pass decoding HTML
+  * character references: the full numeric space (`&#NNNN;` decimal
+  * 1–7 digits, `&#xHHHH;` hex 1–6 digits, any valid Unicode scalar)
+  * plus the [[HtmlEntityDecode.Named]] table of common named entities
+  * (case-insensitive — crawl data carries legacy all-caps forms).
+  *
+  * Why an expression (r19): the regexp_replace chain form needs one
+  * full pass over every document PER TARGET CHARACTER (7 passes for
+  * the r19 subset, and general numeric decode is inexpressible as
+  * replace-with-constant at all); this loop decodes everything in one
+  * scan inside whole-stage codegen.
+  *
+  * Token grammar — kept EXACTLY mirrorable by one RE2/Java regex
+  * alternation so the DuckDB oracles can replay the decode
+  * (split-on-pattern + decode-each-match interleave,
+  * [[graft.queries.HtmlOps]]): a token is `&#` + 1..7 digits + `;`,
+  * or `&#x/X` + 1..6 hex + `;`, or `&` + a listed name + `;`. A `&`
+  * that heads no token is literal. One-pass-with-consume semantics
+  * make amp-safety automatic: `&amp;nbsp;` decodes the `&amp;` and
+  * resumes AFTER it, so the emitted `&` never re-decodes — byte-equal
+  * to the regex interleave, which also never rescans emitted text.
+  *
+  * Validity guard (mirrored in the oracle): a numeric reference
+  * decodes only to tab/LF/CR or codepoints ≥ 32 up to U+10FFFF
+  * excluding surrogates — in particular `&#1;`/`&#2;` stay literal,
+  * so markup can never forge the link-density sentinels
+  * ([[graft.queries.HtmlOps]]'s /) that the extraction
+  * contract asserts absent. Everything else (unknown names, out of
+  * range, overlong digit runs) stays byte-literal.
+  */
+object HtmlEntityDecode {
+
+  /** name (lowercase) → decoded string. Kept alphabetical; every
+    * entry also drives the generated oracle regex/CASE, so the two
+    * engines cannot drift. */
+  val Named: Seq[(String, String)] = Seq(
+    "amp" -> "&",
+    "apos" -> "'",
+    "bull" -> "•",
+    "cent" -> "¢",
+    "copy" -> "©",
+    "dagger" -> "†",
+    "deg" -> "°",
+    "euro" -> "€",
+    "gt" -> ">",
+    "hellip" -> "…",
+    "laquo" -> "«",
+    "ldquo" -> "“",
+    "lsquo" -> "‘",
+    "lt" -> "<",
+    "mdash" -> "—",
+    "middot" -> "·",
+    "nbsp" -> " ", // faithful U+00A0; the extraction's whitespace
+    // collapse (HtmlOps.WsRe) treats it as collapsible, so named
+    // and numeric forms normalize identically
+    "ndash" -> "–",
+    "para" -> "¶",
+    "pound" -> "£",
+    "quot" -> "\"",
+    "raquo" -> "»",
+    "rdquo" -> "”",
+    "reg" -> "®",
+    "rsquo" -> "’",
+    "sect" -> "§",
+    "times" -> "×",
+    "trade" -> "™",
+    "yen" -> "¥")
+
+  private val NamedMap: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    Named.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  private val MaxNameLen = Named.map(_._1.length).max
+
+  /** The exact RE2≡Java token pattern of the scanner — the oracle's
+    * split/extract pattern. Numeric alternatives first (disjoint from
+    * named anyway: a name starts with a letter). */
+  val TokenRe: String =
+    "&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};|" +
+      s"&(?i:${Named.map(_._1).mkString("|")});"
+
+  private def validCodepoint(n: Long): Boolean =
+    n == 9 || n == 10 || n == 13 ||
+      (n >= 32 && n <= 0x10FFFF && !(n >= 0xD800 && n <= 0xDFFF))
+
+  /** End index (exclusive) of the token starting at `i` (s(i) == '&'),
+    * or -1 when no token starts here — the scanner twin of
+    * [[TokenRe]]. */
+  private def tokenEnd(s: String, i: Int): Int = {
+    val n = s.length
+    if (i + 1 >= n) return -1
+    if (s.charAt(i + 1) == '#') {
+      var j = i + 2
+      var digits = 0
+      if (j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')) {
+        j += 1
+        while (j < n && digits < 6 && isHex(s.charAt(j))) { j += 1; digits += 1 }
+        if (digits >= 1 && j < n && s.charAt(j) == ';') j + 1 else -1
+      } else {
+        while (j < n && digits < 7 && s.charAt(j) >= '0' && s.charAt(j) <= '9') {
+          j += 1; digits += 1
+        }
+        if (digits >= 1 && j < n && s.charAt(j) == ';') j + 1 else -1
+      }
+    } else {
+      var j = i + 1
+      var letters = 0
+      while (j < n && letters <= MaxNameLen && isAsciiLetter(s.charAt(j))) {
+        j += 1; letters += 1
+      }
+      if (letters >= 1 && letters <= MaxNameLen && j < n && s.charAt(j) == ';' &&
+        NamedMap.containsKey(
+          s.substring(i + 1, j).toLowerCase(java.util.Locale.ROOT))) j + 1
+      else -1
+    }
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def appendDecoded(sb: java.lang.StringBuilder, token: String): Unit = {
+    if (token.charAt(1) == '#') {
+      val hex = token.charAt(2) == 'x' || token.charAt(2) == 'X'
+      val body = token.substring(if (hex) 3 else 2, token.length - 1)
+      val n = java.lang.Long.parseLong(body, if (hex) 16 else 10)
+      if (validCodepoint(n)) sb.appendCodePoint(n.toInt)
+      else sb.append(token)
+    } else {
+      sb.append(NamedMap.get(
+        token.substring(1, token.length - 1)
+          .toLowerCase(java.util.Locale.ROOT)))
+    }
+  }
+
+  def decode(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    val s = u.toString
+    if (s.indexOf('&') < 0) return u
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '&') { sb.append(c); i += 1 }
+      else {
+        val end = tokenEnd(s, i)
+        if (end < 0) { sb.append('&'); i += 1 }
+        else { appendDecoded(sb, s.substring(i, end)); i = end }
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+case class HtmlEntityDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_entity_decode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlEntityDecode.decode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlEntityDecode.decode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlEntityDecode =
+    copy(child = newChild)
+}

@@ -26,10 +26,12 @@ import graft.Tables
   * Extraction model (tag soup, not a DOM): drop `<script>`/`<style>`
   * elements and comments WITH their content, turn block-closing tags
   * into line breaks (so the line structure the C4 rules need
-  * survives), strip remaining tags, decode the standard entities in
-  * named AND numeric dec/hex forms ([[EntityDecodes]] — `&nbsp;` and
-  * friends decode to a collapsing space, the r19 real-markup
-  * tolerance), collapse/trim whitespace per line, drop blank lines.
+  * survives), strip remaining tags, decode character references in ONE
+  * codegen'd pass ([[graft.functions.HtmlEntityDecode]] — the full
+  * numeric dec/hex space + the common named set, faithfully; the r19
+  * real-markup tolerance), collapse/trim whitespace per line
+  * ([[WsRe]] — U+00A0 collapses, so nbsp-glued lines word-count
+  * correctly), drop blank lines.
   * The operator contract — line-structured visible text out of
   * markup — is this one.
   *
@@ -64,35 +66,59 @@ object HtmlOps {
   private val MarkA = "\u0001"
   private val MarkB = "\u0002"
 
-  /** Entity decode table for real markup (r19 — r18 VERDICT missing
-    * #1): each row is one regexp pass mapping an alternation of a
-    * named entity and its numeric dec/hex forms (leading zeros
-    * tolerated, `(?i)` for crawl tolerance of legacy all-caps named
-    * forms) to ONE literal character — the SAME chr() both engines
-    * compute, so the decode stays hash-certifiable. `&nbsp;` family
-    * decodes to a PLAIN space (the extraction convention: it feeds
-    * the `[ \t]+` collapse, so an `&nbsp;`-glued nav line word-counts
-    * correctly instead of fusing into one giant token); `&copy;`
-    * decodes to the `©` the C4 boilerplate rule matches. Amp is LAST
-    * — decoding it earlier would double-decode `&amp;lt;`, and its
-    * place at the end keeps `&amp;#160;` (an escaped literal
-    * `&#160;`) from ever re-decoding. None of the replacement chars
-    * is a Java/RE2 replacement metacharacter (`$`, `\`). */
-  private val EntityDecodes: Seq[(String, String)] = Seq(
-    "(?i)&nbsp;|&#0*160;|&#x0*a0;" -> " ",
-    "(?i)&lt;|&#0*60;|&#x0*3c;" -> "<",
-    "(?i)&gt;|&#0*62;|&#x0*3e;" -> ">",
-    "(?i)&quot;|&#0*34;|&#x0*22;" -> "\"",
-    "(?i)&apos;|&#0*39;|&#x0*27;" -> "'",
-    "(?i)&copy;|&#0*169;|&#x0*a9;" -> "©",
-    "(?i)&amp;|&#0*38;|&#x0*26;" -> "&")
+  /** The whitespace run the per-line collapse normalizes to one
+    * space: ASCII space/tab plus U+00A0 — entity decode is FAITHFUL
+    * (`&nbsp;`/`&#160;`/`&#xA0;` all decode to a real non-breaking
+    * space, [[graft.functions.HtmlEntityDecode]]), and treating that
+    * codepoint as collapsible whitespace is what makes an
+    * `&nbsp;`-glued nav line word-count correctly. Same pattern
+    * string under Java regex and RE2 (`\x{00A0}`). */
+  private[graft] val WsRe = "[ \\t\\x{00A0}]+"
 
   private def duckLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** The DuckDB replay of [[graft.functions.HtmlEntityDecode]] (r19
+    * late — the decode moved from a 7-pass regexp_replace chain into
+    * ONE codegen'd expression pass, widening coverage to the full
+    * numeric dec/hex space + the common named set): split on the
+    * expression's exact token pattern, decode each matched token —
+    * named via a CASE generated from the SAME Scala table, numeric
+    * via an exact digit fold under the SAME validity guard (C0
+    * forgery of the sentinel bytes stays impossible) — and
+    * reassemble by interleaving parts and decoded matches. */
+  private def entityDecodeDuckSql(sql: String): String = {
+    val pat = duckLit(graft.functions.HtmlEntityDecode.TokenRe)
+    val named = graft.functions.HtmlEntityDecode.Named.map { case (k, v) =>
+      s"WHEN '&$k;' THEN ${duckLit(v)}"
+    }.mkString(" ")
+    def guarded(n: String, m: String) =
+      s"CASE WHEN $n IN (9, 10, 13) OR ($n >= 32 AND $n <= 1114111 " +
+        s"AND NOT ($n >= 55296 AND $n <= 57343)) " +
+        s"THEN chr(CAST($n AS INT)) ELSE $m END"
+    val m = "ms[CAST(i AS INT)]"
+    val hexVal = "list_reduce(list_transform(string_split_regex(" +
+      s"lower(substr($m, 4, length($m) - 4)), ''), " +
+      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+      "(a, b) -> a * 16 + b)"
+    val decVal = s"CAST(substr($m, 3, length($m) - 3) AS BIGINT)"
+    val decode =
+      s"""CASE WHEN substr($m, 1, 3) IN ('&#x', '&#X')
+         |         THEN ${guarded(hexVal, m)}
+         |         WHEN substr($m, 1, 2) = '&#'
+         |         THEN ${guarded(decVal, m)}
+         |         ELSE CASE lower($m) $named ELSE $m END END""".stripMargin
+    s"""(SELECT array_to_string(list_transform(range(1, len(ps) + 1),
+       |    i -> ps[CAST(i AS INT)] ||
+       |      CASE WHEN i <= len(ms) THEN $decode ELSE '' END), '')
+       |  FROM (SELECT regexp_split_to_array($sql, $pat) AS ps,
+       |               regexp_extract_all($sql, $pat) AS ms))""".stripMargin
+  }
+
   /** Visible text lines of an HTML string: ARRAY<STRING>, each line
-    * whitespace-collapsed and trimmed, blank lines dropped. Entities
-    * decode per [[EntityDecodes]] (named + numeric dec/hex forms,
-    * amp LAST).
+    * whitespace-collapsed and trimmed ([[WsRe]]), blank lines
+    * dropped. Character references decode in one expression pass
+    * ([[graft.functions.HtmlEntityDecode]] — one-pass-with-consume,
+    * so `&amp;#160;` style escapes never re-decode).
     *
     * Stray sentinel BYTES (/) in the raw input are
     * stripped UNCONDITIONALLY (r18 ADVICE: the scrub ran only on the
@@ -126,11 +152,9 @@ object HtmlOps {
       else noComment
     val blocks = regexp_replace(marked, BlockBreakRe, "\n")
     val noTags = regexp_replace(blocks, "<[^>]*>", " ")
-    val decoded = EntityDecodes.foldLeft(noTags) {
-      case (c, (ent, ch)) => regexp_replace(c, ent, ch)
-    }
+    val decoded = call_function("html_entity_decode", noTags)
     val collapsed = transform(split(decoded, "\n"),
-      l => trim(regexp_replace(l, "[ \\t]+", " ")))
+      l => trim(regexp_replace(l, WsRe, " ")))
     if (markAnchors)
       filter(repairSentinels(collapsed),
         l => length(lineUnmarked(l)) > 0)
@@ -193,7 +217,7 @@ object HtmlOps {
     * downstream word counts / byte-equality with the unmarked path
     * need the normalized form. */
   private[graft] def lineUnmarked(line: Column): Column =
-    trim(regexp_replace(translate(line, MarkA + MarkB, ""), "[ \\t]+", " "))
+    trim(regexp_replace(translate(line, MarkA + MarkB, ""), WsRe, " "))
 
   /** MARKED lines surviving the link-density rule (drop lines whose
     * link text covers ≥ half their characters — the RefinedWeb-style
@@ -248,7 +272,7 @@ object HtmlOps {
   private[graft] def textLines(text: Column): Column =
     filter(
       transform(split(text, "\n"),
-        l => trim(regexp_replace(l, "[ \\t]+", " "))),
+        l => trim(regexp_replace(l, WsRe, " "))),
       l => length(l) > 0)
 
   /** Cleaned text under the line rules: surviving lines re-joined —
@@ -354,10 +378,7 @@ object HtmlOps {
       "header|section|article|aside|title|blockquote)>|<br\\s*/?>"
     val blocks = s"regexp_replace($marked, '$blockRe', chr(10), 'g')"
     val noTags = s"regexp_replace($blocks, '<[^>]*>', ' ', 'g')"
-    val decoded = EntityDecodes.foldLeft(noTags) {
-      case (c, (ent, ch)) =>
-        s"regexp_replace($c, ${duckLit(ent)}, ${duckLit(ch)}, 'g')"
-    }
+    val decoded = entityDecodeDuckSql(noTags)
     // NOTE: the engine's repairSentinels fold is IDENTITY here — the
     // planted wrap has no block break inside an anchor, so the oracle
     // replays the chain without it (HtmlOpsSpec pins the repair
@@ -365,11 +386,11 @@ object HtmlOps {
     val blankDrop =
       if (markAnchors)
         "length(trim(regexp_replace(translate(l, chr(1) || chr(2), '')," +
-          " '[ \\t]+', ' ', 'g'))) > 0"
+          s" '$WsRe', ' ', 'g'))) > 0"
       else "length(l) > 0"
     s"""list_filter(
        |  list_transform(string_split($decoded, chr(10)),
-       |                 l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
+       |                 l -> trim(regexp_replace(l, '$WsRe', ' ', 'g'))),
        |  l -> $blankDrop)""".stripMargin
   }
 
@@ -406,7 +427,7 @@ object HtmlOps {
             |  CAST(len(lines) AS BIGINT) AS n_lines,
             |  list_has_all(lines, list_filter(
             |    list_transform(string_split(text || '.', chr(10)),
-            |      l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
+            |      l -> trim(regexp_replace(l, '$WsRe', ' ', 'g'))),
             |    l -> length(l) > 0)) AS content_ok,
             |  array_to_string(lines, chr(10)) AS extracted
             |FROM x ORDER BY doc_id""".stripMargin)
@@ -527,7 +548,7 @@ object HtmlOps {
             |      regexp_extract_all(line, '\\x01([^\\x02]*)\\x02', 1),
             |      s -> length(s))) AS BIGINT), 0) AS lc,
             |    CAST(length(trim(regexp_replace(
-            |      translate(line, chr(1) || chr(2), ''), '[ \\t]+', ' ', 'g')))
+            |      translate(line, chr(1) || chr(2), ''), '$WsRe', ' ', 'g')))
             |      AS BIGINT) AS tc
             |  FROM l)
             |SELECT doc_id,

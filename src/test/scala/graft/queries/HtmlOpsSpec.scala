@@ -141,11 +141,21 @@ class HtmlOpsSpec extends AnyFunSuite with SparkTestSupport {
         .toDF("doc_id", "html"), dropLinkyLines = false)
       .select(col("text")).collect()
     assert(gated.map(_.getString(0)).toSeq == Seq("alpha beta gamma delta."))
-    // amp stays LAST: an escaped literal entity never double-decodes
+    // one-pass-with-consume: an escaped literal entity never
+    // double-decodes (&amp; decodes and the scanner resumes AFTER it)
     assert(extracted("<p>keep &amp;nbsp; and &amp;#160; literal now.</p>") ==
       Seq("keep &nbsp; and &#160; literal now."))
     // copyright numeric form feeds the C4 boilerplate rule's © match
     assert(extracted("<p>&#169; 2026 somecorp.</p>") == Seq("© 2026 somecorp."))
+    // the expression decoder's wider coverage: typographic named
+    // entities and ARBITRARY numeric/hex codepoints (inexpressible in
+    // the old replace-chain form)
+    assert(extracted("<p>it&rsquo;s 3&ndash;4 words&hellip; &#8212; &#x2764; ok.</p>") ==
+      Seq("it’s 3–4 words… — ❤ ok."))
+    // guards: C0 refs (the sentinel bytes!) stay literal, as do
+    // unknown names, overlong digit runs, and surrogate codepoints
+    assert(extracted("<p>bad &#1; &#2; &foobar; &#12345678; &#xD800; kept.</p>") ==
+      Seq("bad &#1; &#2; &foobar; &#12345678; &#xD800; kept."))
   }
 
   test("href extraction is quote-agnostic: double, single, unquoted, spaced equals") {
