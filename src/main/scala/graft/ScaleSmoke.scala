@@ -228,8 +228,9 @@ object ScaleSmoke {
       // the extraction/edge-derivation pass may grow
       "q_url_host_filter", "q_host_pagerank",
       // r19 late: reference resolution is a pure per-row map over a
-      // fixed 7-form explode — must track the scan
-      "q_url_resolve")
+      // fixed 7-form explode — must track the scan; the composed crawl
+      // funnel adds ONE (fp, g2) window to the extraction pass
+      "q_url_resolve", "q_crawl_funnel")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

@@ -943,7 +943,96 @@ object HtmlOps {
             |FROM r3 ORDER BY host""".stripMargin)
   )
 
+  /** The C4 line-rule cascade's FINAL keep condition as a DuckDB
+    * lambda body over line variable `l` — the single-bool form the
+    * composed funnel filters with (the staged b1..b5 columns live in
+    * `q_boilerplate_lines`' oracle). */
+  private def lineKeepDuckSql(l: String): String =
+    s"""NOT contains($l, '{')
+       |      AND NOT contains(lower($l), 'javascript')
+       |      AND NOT (contains(lower($l), 'cookie')
+       |               OR contains(lower($l), 'privacy policy')
+       |               OR contains(lower($l), 'terms of use')
+       |               OR contains($l, '(c) ') OR contains($l, chr(169)))
+       |      AND len(string_split($l, ' ')) >= 3
+       |      AND regexp_matches($l, '[.!?"]$$')""".stripMargin
+
+  /** The COMPOSED crawl-ingest funnel (r19) — `q_corpus_report`'s
+    * front-door counterpart: every arriving page flows host blocklist
+    * → HTML extraction + C4 line rules (chrome-only docs die) →
+    * exact-content dedup of the CLEANED text (post-extraction
+    * identity — two pages differing only in chrome are duplicates),
+    * reported as per-stage doc attrition. Each stage is an operator
+    * that is individually hash-certified (`q_url_host_filter`,
+    * `q_html_extract`/`q_boilerplate_lines`, `q_dedup_exact`'s keyed
+    * window); this key certifies their COMPOSITION end to end under
+    * one FULL oracle.
+    *
+    * 100 TB shape: one narrow parse/extract pass computing per-doc
+    * booleans, ONE (fp, g2)-keyed window for the dedup survivor, one
+    * O(1) agg → a 3-row stack. */
+  private val qCrawlFunnel = Q(
+    "q_crawl_funnel",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("fp"), col("g2")).orderBy(col("doc_id"))
+      val flags = Tables.documents(s, d)
+        .withColumn("g1",
+          !hostBlocked(hostOf(expr(docUrlSparkSql))))
+        .withColumn("kept_lines",
+          boilerplateKeptLines(extractLines(expr(wrapHtmlSparkSql))))
+        .withColumn("g2", col("g1") && size(col("kept_lines")) > 0)
+        .withColumn("fp",
+          expr("poly_hash(array_join(kept_lines, chr(10)))"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("g3", col("g2") && col("rn") === 1)
+      flags
+        .agg(count(lit(1)).as("n0"),
+          sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("g3"), 1L).otherwise(0L)).as("n3"))
+        .selectExpr(
+          """stack(3,
+            |  1, 'host_blocklist', n0, n1,
+            |  2, 'extract_c4', n1, n2,
+            |  3, 'exact_dedup', n2, n3)
+            |AS (stage_id, stage, docs_in, docs_out)""".stripMargin)
+        .withColumn("dropped", col("docs_in") - col("docs_out"))
+        .orderBy(col("stage_id"))
+    },
+    Some(s"""WITH x AS (
+            |  SELECT doc_id,
+            |    ${hostOfDuckSql(docUrlDuckSql)} AS host,
+            |    ${extractLinesDuckSql(wrapHtmlDuckSql)} AS lines
+            |  FROM documents),
+            |k AS (
+            |  SELECT doc_id,
+            |    NOT (${blockedDuckSql("host")}) AS g1,
+            |    list_filter(lines, l -> ${lineKeepDuckSql("l")}) AS kept
+            |  FROM x),
+            |f AS (
+            |  SELECT doc_id, g1, g1 AND len(kept) > 0 AS g2,
+            |    ${Curation.duckFpOf("array_to_string(kept, chr(10))")} AS fp
+            |  FROM k),
+            |r AS (SELECT *, row_number() OVER (
+            |        PARTITION BY fp, g2 ORDER BY doc_id) AS rn
+            |      FROM f),
+            |a AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n0,
+            |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            |    CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            |    CAST(sum(CASE WHEN g2 AND rn = 1 THEN 1 ELSE 0 END)
+            |      AS BIGINT) AS n3
+            |  FROM r)
+            |SELECT * FROM (
+            |  SELECT 1 AS stage_id, 'host_blocklist' AS stage,
+            |    n0 AS docs_in, n1 AS docs_out, n0 - n1 AS dropped FROM a
+            |  UNION ALL SELECT 2, 'extract_c4', n1, n2, n1 - n2 FROM a
+            |  UNION ALL SELECT 3, 'exact_dedup', n2, n3, n2 - n3 FROM a)
+            |ORDER BY stage_id""".stripMargin)
+  )
+
   def qs: Seq[Q] =
     Seq(qHtmlExtract, qBoilerplateLines, qHtmlLinkDensity, qHtmlLinks,
-      qUrlHostFilter, qHostPagerank, qUrlResolve)
+      qUrlHostFilter, qHostPagerank, qUrlResolve, qCrawlFunnel)
 }

@@ -206,6 +206,30 @@ class HtmlOpsSpec extends AnyFunSuite with SparkTestSupport {
     assert(blocked == Set("ads.example.com", "x.spam-y.org"), blocked.toString)
   }
 
+  test("crawl funnel: every stage drops exactly its planted docs") {
+    val d = Files.createTempDirectory("crawlfunnel").toString
+    // id 0: blocked host (0 % 11 == 0); id 2: 1-word content dies at
+    // the C4 rules → chrome-only; ids 1 and 3: IDENTICAL content →
+    // post-extraction exact dedup keeps the lower id (chrome differs
+    // per doc_id, so only CLEANED-text identity can catch the pair);
+    // id 4: a second distinct survivor
+    Seq(
+      (0L, "alpha beta gamma delta", "web", "web", 22L),
+      (1L, "alpha beta gamma delta", "web", "web", 22L),
+      (2L, "hi", "web", "web", 2L),
+      (3L, "alpha beta gamma delta", "web", "web", 22L),
+      (4L, "epsilon zeta eta theta", "web", "web", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_crawl_funnel")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows == Seq(
+      (1, "host_blocklist", 5L, 4L, 1L),
+      (2, "extract_c4", 4L, 3L, 1L),
+      (3, "exact_dedup", 3L, 2L, 1L)), rows.toString)
+  }
+
   test("content_ok is whitespace-normalization-aware: multi-line / multi-space text reads true") {
     // r18 ADVICE: a doc whose text carries a newline or a double space
     // extracted correctly but content_ok reported false (silently, in
