@@ -29,7 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Validity guard (mirrored in the oracle): a numeric reference
   * decodes only to tab/LF/CR or codepoints ≥ 32 up to U+10FFFF
-  * excluding surrogates — in particular `&#1;`/`&#2;` stay literal,
+  * excluding surrogates, DEL, and the C1 range (127–159 — legacy
+  * cp1252 refs stay readable literals rather than becoming invisible
+  * control bytes) — in particular `&#1;`/`&#2;` stay literal,
   * so markup can never forge the link-density sentinels
   * ([[graft.queries.HtmlOps]]'s /) that the extraction
   * contract asserts absent. Everything else (unknown names, out of
@@ -90,7 +92,14 @@ object HtmlEntityDecode {
 
   private def validCodepoint(n: Long): Boolean =
     n == 9 || n == 10 || n == 13 ||
-      (n >= 32 && n <= 0x10FFFF && !(n >= 0xD800 && n <= 0xDFFF))
+      (n >= 32 && n <= 0x10FFFF &&
+        !(n >= 0xD800 && n <= 0xDFFF) &&
+        // DEL + the C1 range stay literal (r19 review): legacy
+        // Windows-1252 refs (&#145;-&#151; smart quotes/dashes) would
+        // otherwise decode to invisible control bytes; HTML5 remaps
+        // them to cp1252 glyphs, but a remap table is scope creep —
+        // readable literal text is the conservative contract
+        !(n >= 127 && n <= 159))
 
   /** End index (exclusive) of the token starting at `i` (s(i) == '&'),
     * or -1 when no token starts here — the scanner twin of

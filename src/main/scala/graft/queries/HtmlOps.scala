@@ -71,9 +71,12 @@ object HtmlOps {
     * (`&nbsp;`/`&#160;`/`&#xA0;` all decode to a real non-breaking
     * space, [[graft.functions.HtmlEntityDecode]]), and treating that
     * codepoint as collapsible whitespace is what makes an
-    * `&nbsp;`-glued nav line word-count correctly. Same pattern
-    * string under Java regex and RE2 (`\x{00A0}`). */
-  private[graft] val WsRe = "[ \\t\\x{00A0}]+"
+    * `&nbsp;`-glued nav line word-count correctly — plus carriage
+    * return (r19 review: a CRLF page's lines kept a trailing CR that
+    * failed the C4 terminal-punctuation rule on EVERY line, and a
+    * decoded `&#13;` landed a bare control byte in lake text). Same
+    * pattern string under Java regex and RE2. */
+  private[graft] val WsRe = "[ \\t\\r\\x{00A0}]+"
 
   private def duckLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -93,7 +96,8 @@ object HtmlOps {
     }.mkString(" ")
     def guarded(n: String, m: String) =
       s"CASE WHEN $n IN (9, 10, 13) OR ($n >= 32 AND $n <= 1114111 " +
-        s"AND NOT ($n >= 55296 AND $n <= 57343)) " +
+        s"AND NOT ($n >= 55296 AND $n <= 57343) " +
+        s"AND NOT ($n >= 127 AND $n <= 159)) " +
         s"THEN chr(CAST($n AS INT)) ELSE $m END"
     val m = "ms[CAST(i AS INT)]"
     val hexVal = "list_reduce(list_transform(string_split_regex(" +
@@ -107,11 +111,15 @@ object HtmlOps {
          |         WHEN substr($m, 1, 2) = '&#'
          |         THEN ${guarded(decVal, m)}
          |         ELSE CASE lower($m) $named ELSE $m END END""".stripMargin
+    // the chain expression binds ONCE (r19 review: inlining it into
+    // both the split and the extract evaluated the whole regexp chain
+    // twice per row and doubled the generated SQL)
     s"""(SELECT array_to_string(list_transform(range(1, len(ps) + 1),
        |    i -> ps[CAST(i AS INT)] ||
        |      CASE WHEN i <= len(ms) THEN $decode ELSE '' END), '')
-       |  FROM (SELECT regexp_split_to_array($sql, $pat) AS ps,
-       |               regexp_extract_all($sql, $pat) AS ms))""".stripMargin
+       |  FROM (SELECT regexp_split_to_array(_src, $pat) AS ps,
+       |               regexp_extract_all(_src, $pat) AS ms
+       |        FROM (SELECT $sql AS _src)))""".stripMargin
   }
 
   /** Visible text lines of an HTML string: ARRAY<STRING>, each line
@@ -254,6 +262,22 @@ object HtmlOps {
     Seq("no_curly" -> b1, "no_javascript" -> b2, "no_boilerplate" -> b3,
       "min_3_words" -> b4, "terminal_punct" -> b5)
   }
+
+  /** The SAME cascade's per-rule DuckDB conditions over a line
+    * variable — ONE source for every oracle spelling (r19 review:
+    * `q_boilerplate_lines`' staged b1..b5 and the crawl funnel's
+    * single keep-bool each hand-duplicated this text; a rule edit
+    * must land here and in [[lineRuleBools]] only). Order and
+    * semantics mirror [[lineRuleBools]] 1:1. */
+  private def lineRuleDuckConds(l: String): Seq[(String, String)] = Seq(
+    "no_curly" -> s"NOT contains($l, '{')",
+    "no_javascript" -> s"NOT contains(lower($l), 'javascript')",
+    "no_boilerplate" -> (s"NOT (contains(lower($l), 'cookie') " +
+      s"OR contains(lower($l), 'privacy policy') " +
+      s"OR contains(lower($l), 'terms of use') " +
+      s"OR contains($l, '(c) ') OR contains($l, chr(169)))"),
+    "min_3_words" -> s"len(string_split($l, ' ')) >= 3",
+    "terminal_punct" -> s"regexp_matches($l, '[.!?\"]$$')")
 
   /** Rule-surviving lines of an already-normalized lines array (the
     * [[extractLines]] output shape) — the SAME [[lineRuleBools]]
@@ -471,23 +495,11 @@ object HtmlOps {
             |l AS (SELECT unnest(lines) AS line FROM x),
             |g AS (
             |  SELECT line,
-            |    NOT contains(line, '{') AS b1,
-            |    NOT contains(line, '{')
-            |      AND NOT contains(lower(line), 'javascript') AS b2,
-            |    NOT contains(line, '{')
-            |      AND NOT contains(lower(line), 'javascript')
-            |      AND NOT (contains(lower(line), 'cookie')
-            |               OR contains(lower(line), 'privacy policy')
-            |               OR contains(lower(line), 'terms of use')
-            |               OR contains(line, '(c) ')
-            |               OR contains(line, chr(169))) AS b3
+            ${(1 to 5).map(k => "|    " +
+      lineRuleDuckConds("line").take(k).map(_._2)
+        .mkString("\n            |      AND ") +
+      s" AS b$k").mkString(",\n            ")}
             |  FROM l),
-            |g2 AS (
-            |  SELECT *,
-            |    b3 AND len(string_split(line, ' ')) >= 3 AS b4,
-            |    b3 AND len(string_split(line, ' ')) >= 3
-            |       AND regexp_matches(line, '[.!?"]$$') AS b5
-            |  FROM g),
             |a AS (
             |  SELECT CAST(count(*) AS BIGINT) AS n0,
             |    CAST(sum(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -495,7 +507,7 @@ object HtmlOps {
             |    CAST(sum(CASE WHEN b3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
             |    CAST(sum(CASE WHEN b4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
             |    CAST(sum(CASE WHEN b5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
-            |  FROM g2)
+            |  FROM g)
             |SELECT * FROM (
             |  SELECT 1 AS stage_id, 'no_curly' AS stage,
             |    n0 AS lines_in, n1 AS lines_out, n0 - n1 AS dropped FROM a
@@ -788,7 +800,13 @@ object HtmlOps {
     val origin = regexp_extract(base, "^([A-Za-z]+://[^/?#]+)", 1)
     val basePath = regexp_extract(base, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
     val dirPath = regexp_replace(basePath, "[^/]*$", "")
-    val noFrag = regexp_replace(href, "#.*$", "")
+    // WHATWG-style edge strip (r19 review: quoted hrefs routinely
+    // carry leading/trailing whitespace — href=" /a" classified as
+    // path-relative and produced garbage), then fragment strip with
+    // DOTALL (Java's bare $ matches before a final newline, RE2's
+    // does not — (?s)#.* is anchor-free and byte-identical in both)
+    val noFrag = regexp_replace(
+      regexp_replace(href, "^\\s+|\\s+$", ""), "(?s)#.*", "")
     when(noFrag === "", lit(null).cast("string"))
       .when(noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), noFrag)
       .when(noFrag.startsWith("//"), concat(scheme, lit(":"), noFrag))
@@ -805,7 +823,8 @@ object HtmlOps {
        |    regexp_extract($baseSql, '^([A-Za-z]+)://', 1) AS scheme,
        |    regexp_extract($baseSql, '^([A-Za-z]+://[^/?#]+)', 1) AS origin,
        |    regexp_extract($baseSql, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS bpath,
-       |    regexp_replace($hrefSql, '#.*$$', '') AS nf)
+       |    regexp_replace(regexp_replace($hrefSql,
+       |      '^\\s+|\\s+$$', ''), '(?s)#.*', '') AS nf)
        |  SELECT CASE
        |    WHEN nf = '' THEN NULL
        |    WHEN regexp_matches(nf, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN nf
@@ -943,19 +962,10 @@ object HtmlOps {
             |FROM r3 ORDER BY host""".stripMargin)
   )
 
-  /** The C4 line-rule cascade's FINAL keep condition as a DuckDB
-    * lambda body over line variable `l` — the single-bool form the
-    * composed funnel filters with (the staged b1..b5 columns live in
-    * `q_boilerplate_lines`' oracle). */
+  /** The cascade's FINAL keep condition as a DuckDB lambda body —
+    * the conjunction of [[lineRuleDuckConds]]. */
   private def lineKeepDuckSql(l: String): String =
-    s"""NOT contains($l, '{')
-       |      AND NOT contains(lower($l), 'javascript')
-       |      AND NOT (contains(lower($l), 'cookie')
-       |               OR contains(lower($l), 'privacy policy')
-       |               OR contains(lower($l), 'terms of use')
-       |               OR contains($l, '(c) ') OR contains($l, chr(169)))
-       |      AND len(string_split($l, ' ')) >= 3
-       |      AND regexp_matches($l, '[.!?"]$$')""".stripMargin
+    lineRuleDuckConds(l).map(_._2).mkString("\n      AND ")
 
   /** The COMPOSED crawl-ingest funnel (r19) — `q_corpus_report`'s
     * front-door counterpart: every arriving page flows host blocklist

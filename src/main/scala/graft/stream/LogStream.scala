@@ -1538,7 +1538,9 @@ object LogStream {
                 graft.queries.HtmlOps.hrefsOf(col(htmlCol))).as("_href"))
               .select(graft.queries.HtmlOps
                 .resolveUrl(col("_base"), col("_href")).as("url"))
-              .filter(col("url").rlike("^https?://"))
+              // (?i): uppercase schemes are fetchable too (r19
+              // review — resolution returns absolute hrefs verbatim)
+              .filter(col("url").rlike("(?i)^https?://"))
             case None => batch.toDF()
               .select(explode(
                 graft.queries.HtmlOps.hrefsOf(col(htmlCol))).as("url"))

@@ -773,13 +773,20 @@ class LogStreamSpec extends AnyFunSuite with SparkTestSupport {
           """<p><a href="/a">x</a> <a href=sib.html>s</a>""" +
             """ <a href="mailto:a@b.co">m</a> <a href="#top">t</a></p>"""),
         (2L, "https://h2.example.org/p",
-          """<p><a href="/a">x</a></p>"""))
+          // r19 review fixes pinned: whitespace-padded quoted hrefs
+          // resolve correctly (not as garbage path-relative), and an
+          // uppercase-scheme absolute href stays fetchable frontier
+          // work
+          """<p><a href="/a">x</a> <a href=" /b ">w</a>""" +
+            """ <a href="HTTP://caps.example.org/c">c</a></p>"""))
       q.processAllAvailable()
     } finally q.stop()
     assert(lakeUrls() == Set(
       "https://h1.example.org/a",
       "https://h1.example.org/dir/sib.html",
-      "https://h2.example.org/a"), lakeUrls().toString)
+      "https://h2.example.org/a",
+      "https://h2.example.org/b",
+      "HTTP://caps.example.org/c"), lakeUrls().toString)
   }
 
   test("persisted band index keeps representatives of an over-cap dup family — the stream gate still fires") {
