@@ -256,7 +256,9 @@ object HtmlOps {
     val b3 = b2 && !(lower(line).contains("cookie") ||
       lower(line).contains("privacy policy") ||
       lower(line).contains("terms of use") ||
-      line.contains("(c) ") || line.contains("©"))
+      // '(c)' followed by space or digit (r18 verdict nit: the
+      // trailing-space-only form passed '(c)2026')
+      line.rlike("\\(c\\)[ 0-9]") || line.contains("©"))
     val b4 = b3 && size(split(line, " ")) >= 3
     val b5 = b4 && line.rlike("[.!?\"]$")
     Seq("no_curly" -> b1, "no_javascript" -> b2, "no_boilerplate" -> b3,
@@ -275,7 +277,7 @@ object HtmlOps {
     "no_boilerplate" -> (s"NOT (contains(lower($l), 'cookie') " +
       s"OR contains(lower($l), 'privacy policy') " +
       s"OR contains(lower($l), 'terms of use') " +
-      s"OR contains($l, '(c) ') OR contains($l, chr(169)))"),
+      s"OR regexp_matches($l, '\\(c\\)[ 0-9]') OR contains($l, chr(169)))"),
     "min_3_words" -> s"len(string_split($l, ' ')) >= 3",
     "terminal_punct" -> s"regexp_matches($l, '[.!?\"]$$')")
 

@@ -147,6 +147,13 @@ class HtmlOpsSpec extends AnyFunSuite with SparkTestSupport {
       Seq("keep &nbsp; and &#160; literal now."))
     // copyright numeric form feeds the C4 boilerplate rule's © match
     assert(extracted("<p>&#169; 2026 somecorp.</p>") == Seq("© 2026 somecorp."))
+    // the (c) rule catches the no-space form too (r18 verdict nit) —
+    // this line passes every other rule and must die at boilerplate
+    val cgate = graft.stream.QualityStream.htmlCurated(
+      Seq((1L, "<p>(c)2026 somecorp all rights reserved.</p>" +
+        "<p>real content stays around here.</p>")).toDF("doc_id", "html"))
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    assert(cgate == Seq("real content stays around here."), cgate.toString)
     // the expression decoder's wider coverage: typographic named
     // entities and ARBITRARY numeric/hex codepoints (inexpressible in
     // the old replace-chain form)
