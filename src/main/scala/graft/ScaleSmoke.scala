@@ -230,7 +230,10 @@ object ScaleSmoke {
       // r19 late: reference resolution is a pure per-row map over a
       // fixed 7-form explode — must track the scan; the composed crawl
       // funnel adds ONE (fp, g2) window to the extraction pass
-      "q_url_resolve", "q_crawl_funnel")
+      "q_url_resolve", "q_crawl_funnel",
+      // r19 late: robots probe is a broadcast rule join over a narrow
+      // parse — must track the scan
+      "q_robots_filter")
     println(s"SCALE copies=$copies (documents=${spark.table("amplified_documents").count()}, " +
       s"events=${spark.table("amplified_events").count()}, " +
       s"embeddings=${spark.table("amplified_embeddings").count()})")

@@ -875,6 +875,103 @@ object HtmlOps {
             |FROM l ORDER BY doc_id, href""".stripMargin)
   )
 
+  // ------------------------------------------------------------------
+  // robots.txt disallow filtering (r19 late) — the politeness stage
+  // every crawl pipeline runs between the frontier and the fetcher.
+  // Semantics: the CONSERVATIVE robots subset — per exact host, a set
+  // of Disallow path-prefixes; a URL is disallowed iff its path
+  // starts with any of its host's prefixes. No Allow overrides, no
+  // wildcards, no crawl-delay (those need a fetcher's user-agent
+  // context); prefix match is the RFC 9309 baseline rule.
+  // ------------------------------------------------------------------
+
+  /** The planted per-host rule table — (host, disallow prefix). Six
+    * rows over the planted host families: the portal disallows two
+    * prefixes, each blog subdomain one, the reference host none (so
+    * the same path is disallowed on one host and allowed on
+    * another). */
+  private[graft] val RobotsRules: Seq[(String, String)] = Seq(
+    ("en.bigportal.org", "/private/"),
+    ("en.bigportal.org", "/tmp/"),
+    ("blog0.smallsites.io", "/drafts/"),
+    ("blog1.smallsites.io", "/drafts/"),
+    ("blog2.smallsites.io", "/drafts/"))
+
+  private def robotsRulesDuckSql: String =
+    RobotsRules.map { case (h, p) => s"('$h', '$p')" }.mkString(", ")
+
+  /** The robots key's planted URL: the host spread of
+    * [[docUrlSparkSql]] with a PATH spread that exercises every rule
+    * outcome — disallowed prefixes, the same prefix on a rule-free
+    * host, and plain pages. */
+  private def robotsUrlSparkSql: String =
+    s"""concat('https://', ${hostCaseSparkSql("doc_id")},
+       |  CASE WHEN doc_id % 5 = 0 THEN '/private/x'
+       |       WHEN doc_id % 5 = 1 THEN '/tmp/y'
+       |       WHEN doc_id % 5 = 2 THEN '/drafts/z'
+       |       ELSE '/page/' END,
+       |  CAST(doc_id AS STRING))""".stripMargin
+
+  private def robotsUrlDuckSql: String =
+    s"""('https://' || (${hostCaseDuckSql("doc_id")}) ||
+       |  CASE WHEN doc_id % 5 = 0 THEN '/private/x'
+       |       WHEN doc_id % 5 = 1 THEN '/tmp/y'
+       |       WHEN doc_id % 5 = 2 THEN '/drafts/z'
+       |       ELSE '/page/' END ||
+       |  doc_id::VARCHAR)""".stripMargin
+
+  /** robots.txt disallow filter (r19 late): per document, parse
+    * host + path from its URL, probe the host's Disallow prefixes
+    * (broadcast — a real deployment's parsed robots table is
+    * O(hosts·rules), never corpus-sized), and report the verdict with
+    * the matched prefix (deterministically the lexicographically
+    * first when several match). One narrow parse + one broadcast
+    * left join + one doc-keyed partial agg; FULL oracle (VALUES
+    * table + the same join). */
+  private val qRobotsFilter = Q(
+    "q_robots_filter",
+    (s, d) => {
+      import s.implicits._
+      val rules = RobotsRules.toDF("host", "prefix")
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(robotsUrlSparkSql).as("url"))
+        .select(col("doc_id"), hostOf(col("url")).as("host"),
+          regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+            .as("path"))
+        .join(broadcast(rules), Seq("host"), "left")
+        .withColumn("hit",
+          col("prefix").isNotNull && col("path").startsWith(col("prefix")))
+        .groupBy(col("doc_id"), col("host"), col("path"))
+        .agg(max(col("hit")).as("_any"),
+          min(when(col("hit"), col("prefix"))).as("matched_prefix"))
+        .select(col("doc_id"), col("host"), col("path"),
+          when(col("_any"), lit("disallowed")).otherwise(lit("allowed"))
+            .as("verdict"),
+          col("matched_prefix"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH u AS (
+            |  SELECT doc_id, $robotsUrlDuckSql AS url FROM documents),
+            |p AS (
+            |  SELECT doc_id,
+            |    ${hostOfDuckSql("url")} AS host,
+            |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+            |      AS path
+            |  FROM u),
+            |rules(host, prefix) AS (VALUES $robotsRulesDuckSql),
+            |j AS (
+            |  SELECT p.doc_id, p.host, p.path,
+            |    r.prefix IS NOT NULL
+            |      AND starts_with(p.path, r.prefix) AS hit,
+            |    r.prefix
+            |  FROM p LEFT JOIN rules r ON p.host = r.host)
+            |SELECT doc_id, host, path,
+            |  CASE WHEN max(hit) THEN 'disallowed' ELSE 'allowed' END
+            |    AS verdict,
+            |  min(CASE WHEN hit THEN prefix END) AS matched_prefix
+            |FROM j GROUP BY doc_id, host, path ORDER BY doc_id""".stripMargin)
+  )
+
   /** The host-graph page wrap: each doc links three OTHER planted
     * hosts (absolute URLs, all three href quoting forms), so the
     * outlink extractor's edges compose into a real cross-host
@@ -1046,5 +1143,6 @@ object HtmlOps {
 
   def qs: Seq[Q] =
     Seq(qHtmlExtract, qBoilerplateLines, qHtmlLinkDensity, qHtmlLinks,
-      qUrlHostFilter, qHostPagerank, qUrlResolve, qCrawlFunnel)
+      qUrlHostFilter, qHostPagerank, qUrlResolve, qCrawlFunnel,
+      qRobotsFilter)
 }

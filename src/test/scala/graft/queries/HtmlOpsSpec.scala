@@ -213,6 +213,29 @@ class HtmlOpsSpec extends AnyFunSuite with SparkTestSupport {
     assert(blocked == Set("ads.example.com", "x.spam-y.org"), blocked.toString)
   }
 
+  test("robots filter: per-HOST prefix disallow — same path allowed on a rule-free host") {
+    val d = Files.createTempDirectory("robots").toString
+    // id 2 (even → bigportal) lands path /drafts/z2: bigportal has NO
+    // /drafts rule → allowed; id 7 (odd, %4==3 → refsource) path
+    // /drafts/z7 → allowed (refsource has no rules either); id 10
+    // (even → bigportal) path /private/x10 →
+    // disallowed at /private/; id 17 (odd %4==1 → blog2, 17%3=2) path
+    // /drafts/z17 → disallowed at /drafts/
+    Seq(2L, 7L, 10L, 17L).map(i => (i, s"text $i", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Registry.queries("q_robots_filter")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), Option(r.getString(4)))).toSeq
+    assert(rows == Seq(
+      (2L, "en.bigportal.org", "/drafts/z2", "allowed", None),
+      (7L, "docs.refsource.org", "/drafts/z7", "allowed", None),
+      (10L, "en.bigportal.org", "/private/x10", "disallowed",
+        Some("/private/")),
+      (17L, "blog2.smallsites.io", "/drafts/z17", "disallowed",
+        Some("/drafts/"))), rows.toString)
+  }
+
   test("crawl funnel: every stage drops exactly its planted docs") {
     val d = Files.createTempDirectory("crawlfunnel").toString
     // id 0: blocked host (0 % 11 == 0); id 2: 1-word content dies at
